@@ -1,0 +1,190 @@
+package graft.ops
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.1–§2.2 of SURVEY.md — scan / projection / filter / type-coercion.
+  *
+  * This is the reference's actual core: the clean→load pipeline
+  * (`cleancalaccessrawdata.py:~60-240`, `loadcalaccessrawdata.py:~50-200`)
+  * re-expressed as single whole-stage-codegen'd projections. The two-phase
+  * staging (text temp table → typed INSERT..SELECT) collapses into one
+  * declarative `select` with casts; Catalyst pushes the filters and prunes
+  * the columns down to the parquet scan.
+  */
+object CoreQueries {
+
+  /** Flagship: TPC-H-Q1-shaped pricing summary ≙ the reference's
+    * verify+summary semantics (`SmryCd` recompute, SURVEY §2.4 A3/A6).
+    * Money summed as DECIMAL (order-independent, oracle-stable); the avg is
+    * derived from the exact decimal sum via one deterministic double
+    * division. Map-side partial aggregation makes this a single shuffle of
+    * |groups| rows — scale-safe.
+    */
+  val q1Pricing = GQuery(
+    "q1_pricing",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).as("raw_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("raw_base"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 4))).as("raw_disc"),
+          count(lit(1)).as("cnt"))
+        .select(
+          col("l_returnflag"), col("l_linestatus"),
+          col("raw_qty").cast(DecimalType(38, 2)).as("sum_qty"),
+          col("raw_base").cast(DecimalType(38, 2)).as("sum_base"),
+          col("raw_disc").cast(DecimalType(38, 4)).as("sum_disc"),
+          (col("raw_qty").cast(DoubleType) / col("cnt"))
+            .cast(DecimalType(38, 6)).as("avg_qty"),
+          col("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DECIMAL(38,6)) AS avg_qty,
+             COUNT(*) AS cnt
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """))
+
+  /** P8 predicate filters: equality + range + IN — all pushed to the
+    * parquet scan (`PushedFilters` in explain). ≙ ORM
+    * `QuerySet.filter/exclude` (`verifycalaccessrawdata.py:~40-80`). */
+  val filterPred = GQuery(
+    "filter_pred",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate").between(
+          lit("1996-01-01").cast(TimestampType),
+          lit("1996-12-31").cast(TimestampType)))
+        .filter(col("l_returnflag") === "R")
+        .filter(col("l_quantity") >= 25.0)
+        .filter(col("l_linestatus").isin("F", "O"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+          "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
+      FROM lineitem
+      WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+        AND l_returnflag = 'R' AND l_quantity >= 25.0
+        AND l_linestatus IN ('F','O')
+      ORDER BY l_orderkey, l_linenumber
+    """))
+
+  /** P3–P7 "load" projection: rename, ''→NULL, date coercion, decimal/int
+    * casts — one pass, ≙ `loadcalaccessrawdata.py:~90-180`'s staging-then-
+    * cast collapsed into a single typed select. */
+  val loadTyped = GQuery(
+    "load_typed",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          col("ts").cast(DateType).as("event_date"),
+          col("value").cast(DecimalType(14, 2)).as("value_dec"),
+          when(trim(col("event_type")) === "", lit(null))
+            .otherwise(col("event_type")).as("etype"),
+          col("user_id").cast(LongType).as("uid"))
+        .orderBy("event_id"),
+    Some("""
+      SELECT event_id,
+             CAST(ts AS DATE) AS event_date,
+             CAST(value AS DECIMAL(14,2)) AS value_dec,
+             NULLIF(TRIM(event_type), '') AS etype,
+             CAST(user_id AS BIGINT) AS uid
+      FROM events
+      ORDER BY event_id
+    """))
+
+  /** P6 decimal coercion on money columns, summed per group
+    * (≙ `AMOUNT`/`CUM_YTD` NUMERIC(14,2) load casts, `fields.py:~65`). */
+  val decimalCast = GQuery(
+    "decimal_cast",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          col("l_extendedprice").cast(DecimalType(14, 2)).as("price"))
+        .groupBy("l_returnflag")
+        .agg(sum(col("price")).cast(DecimalType(38, 2)).as("sum_price"),
+          max(col("price")).cast(DecimalType(14, 2)).as("max_price"))
+        .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(38,2)) AS sum_price,
+             CAST(MAX(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS max_price
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """))
+
+  /** P1 field-count predicate — the clean pass's keep/route decision
+    * (`cleancalaccessrawdata.py:~100-140`): a row is "good" iff its field
+    * count matches the declared header width. Simulated over documents.text
+    * treated as a raw delimited line. */
+  val cleanSplitGood = GQuery(
+    "clean_split_good",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ", -1)).cast(LongType).as("n_fields"))
+        .filter(col("n_fields") >= 40)
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_fields
+      FROM documents
+      WHERE len(str_split(text, ' ')) >= 40
+      ORDER BY doc_id
+    """))
+
+  /** P1 complement: the error side-channel (`<name>.errs.csv`,
+    * `cleancalaccessrawdata.py:~120-220`) — rows failing the width check,
+    * carrying enough of the original line to debug. */
+  val cleanSplitBad = GQuery(
+    "clean_split_bad",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ", -1)).cast(LongType).as("n_fields"),
+          substring(col("text"), 1, 40).as("line_prefix"))
+        .filter(col("n_fields") < 40)
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_fields,
+             substr(text, 1, 40) AS line_prefix
+      FROM documents
+      WHERE len(str_split(text, ' ')) < 40
+      ORDER BY doc_id
+    """))
+
+  /** P2 control-char / pattern scrub (`cleancalaccessrawdata.py:~80-160`):
+    * regexp_replace normalization, all-codegen. */
+  val strClean = GQuery(
+    "str_clean",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_replace(regexp_replace(col("text"), "[aeiou]", "_"),
+            "\\s+", " ").as("scrubbed"))
+        .select(col("doc_id"), substring(col("scrubbed"), 1, 60).as("scrubbed"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             substr(regexp_replace(regexp_replace(text, '[aeiou]', '_', 'g'), '\s+', ' ', 'g'), 1, 60) AS scrubbed
+      FROM documents
+      ORDER BY doc_id
+    """))
+
+  def all: Seq[GQuery] = Seq(q1Pricing, filterPred, loadTyped, decimalCast,
+    cleanSplitGood, cleanSplitBad, strClean)
+}
