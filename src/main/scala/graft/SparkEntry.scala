@@ -11,7 +11,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def registry: Seq[GQuery] =
-    ops.CoreQueries.all
+    ops.CoreQueries.all ++ ops.JoinQueries.all ++ ops.AggQueries.all ++
+      ops.WindowQueries.all ++ ops.SortSetQueries.all ++
+      ops.ScalarQueries.all ++ ops.StreamQueries.all ++
+      ops.TextQueries.all ++ ops.VectorQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,199 @@
+package graft.ops
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.4 aggregations ≙ the reference's verify/report layer
+  * (`verifycalaccessrawdata.py:~40-90`, `reportcalaccessrawdata.py:~30-90`,
+  * tracking counters `models/tracking.py:~150-260`).
+  *
+  * Determinism rules (SURVEY §5.2): money is summed as DECIMAL (exact,
+  * order-independent); averages are derived from the exact decimal sum by
+  * one double division then a decimal cast, so partial-aggregation order
+  * can never change the hash. All aggregates get explicit output casts so
+  * Spark and DuckDB agree on types, not just values.
+  *
+  * Scale: hash aggregation with map-side partials means the shuffle moves
+  * |groups| rows, not |input| — these plans are 100 TB-safe as written.
+  */
+object AggQueries {
+
+  /** A1 COUNT(*): verify's per-table row count. */
+  val aggCount = GQuery(
+    "agg_count",
+    (s, d) =>
+      Tables.lineitem(s, d).groupBy().agg(count(lit(1)).as("cnt")),
+    Some("SELECT COUNT(*) AS cnt FROM lineitem"))
+
+  /** A2 grouped counts + sums: records per file/version analog. */
+  val aggGroup = GQuery(
+    "agg_group",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(14, 2)))
+            .cast(DecimalType(38, 2)).as("sum_value"))
+        .orderBy("event_type"),
+    Some("""
+      SELECT event_type, COUNT(*) AS cnt,
+             CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DECIMAL(38,2)) AS sum_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """))
+
+  /** A4 MIN/MAX: latest release / max amend_id per filing analog. */
+  val aggMinmax = GQuery(
+    "agg_minmax",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          min(col("o_orderdate")).as("first_date"),
+          max(col("o_orderdate")).as("last_date"),
+          min(col("o_totalprice").cast(DecimalType(14, 2)))
+            .cast(DecimalType(14, 2)).as("min_price"),
+          max(col("o_totalprice").cast(DecimalType(14, 2)))
+            .cast(DecimalType(14, 2)).as("max_price"))
+        .orderBy("o_orderstatus"),
+    Some("""
+      SELECT o_orderstatus,
+             MIN(o_orderdate) AS first_date, MAX(o_orderdate) AS last_date,
+             CAST(MIN(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS min_price,
+             CAST(MAX(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS max_price
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """))
+
+  /** A5 COUNT DISTINCT (exact): distinct filers/forms analog. */
+  val aggDistinct = GQuery(
+    "agg_distinct",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag,
+             COUNT(DISTINCT l_partkey) AS n_parts,
+             COUNT(DISTINCT l_suppkey) AS n_supps
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """))
+
+  /** A5b approximate COUNT DISTINCT — the 100 TB cardinality path
+    * (HyperLogLog++, one pass, fixed memory). No exact oracle by nature →
+    * rows-only check; `agg_distinct` above is the exact cross-check. */
+  val aggApproxDistinct = GQuery(
+    "agg_approx_distinct",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+        .orderBy("l_returnflag"),
+    None)
+
+  /** A6 AVG via exact-sum-then-divide (hash-stable; see object doc). */
+  val aggAvg = GQuery(
+    "agg_avg",
+    (s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).as("raw_sum"),
+          count(lit(1)).as("cnt"))
+        .select(
+          col("c_mktsegment"),
+          col("cnt"),
+          (col("raw_sum").cast(DoubleType) / col("cnt"))
+            .cast(DecimalType(38, 6)).as("avg_bal"))
+        .orderBy("c_mktsegment"),
+    Some("""
+      SELECT c_mktsegment, COUNT(*) AS cnt,
+             CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DECIMAL(38,6)) AS avg_bal
+      FROM customer
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment
+    """))
+
+  /** A7 ROLLUP: per-version / per-file / grand-total report structure
+    * (`models/tracking.py:~150`). Rolled-up NULL keys are coalesced to a
+    * sentinel so ordering semantics can't diverge between engines. */
+  val aggRollup = GQuery(
+    "agg_rollup",
+    (s, d) =>
+      Tables.customer(s, d)
+        .rollup(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2)))
+            .cast(DecimalType(38, 2)).as("sum_bal"))
+        .select(
+          coalesce(col("c_mktsegment"), lit("<ALL>")).as("seg"),
+          coalesce(col("c_nationkey").cast(StringType), lit("<ALL>")).as("nk"),
+          col("cnt"), col("sum_bal"))
+        .orderBy("seg", "nk"),
+    Some("""
+      SELECT COALESCE(c_mktsegment, '<ALL>') AS seg,
+             COALESCE(CAST(c_nationkey AS VARCHAR), '<ALL>') AS nk,
+             COUNT(*) AS cnt,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_bal
+      FROM customer
+      GROUP BY ROLLUP(c_mktsegment, c_nationkey)
+      ORDER BY seg, nk
+    """))
+
+  /** A7b CUBE: all grouping-set combinations in one pass. */
+  val aggCube = GQuery(
+    "agg_cube",
+    (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("<ALL>")).as("status"),
+          coalesce(col("o_orderpriority"), lit("<ALL>")).as("priority"),
+          col("cnt"))
+        .orderBy("status", "priority"),
+    Some("""
+      SELECT COALESCE(o_orderstatus, '<ALL>') AS status,
+             COALESCE(o_orderpriority, '<ALL>') AS priority,
+             COUNT(*) AS cnt
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY status, priority
+    """))
+
+  /** A8 filtered/conditional aggregation: error_count vs clean_count in one
+    * pass (`models/tracking.py:~230`). */
+  val aggConditional = GQuery(
+    "agg_conditional",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .cast(LongType).as("n_errors"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .cast(LongType).as("n_purchases"),
+          count(lit(1)).as("n_total"))
+        .orderBy("user_id"),
+    Some("""
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+             COUNT(*) AS n_total
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id
+    """))
+
+  def all: Seq[GQuery] = Seq(aggCount, aggGroup, aggMinmax, aggDistinct,
+    aggApproxDistinct, aggAvg, aggRollup, aggCube, aggConditional)
+}

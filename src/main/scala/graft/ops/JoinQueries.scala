@@ -1,0 +1,157 @@
+package graft.ops
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.3 joins. All reference joins are soft-FK equi-joins
+  * (`models/tracking.py:~120`, `models/common.py:~200`); Spark's
+  * sort-merge/broadcast-hash machinery plus AQE covers every one.
+  *
+  * Scale notes: dimension sides (nation/region/supplier, ≙ the reference's
+  * lookup-code tables `models/inactive.py:~400`) are explicitly
+  * `broadcast()` — at 100 TB the fact side never shuffles for those. The
+  * fact⋈fact joins (lineitem⋈orders) shuffle on the join key once and AQE
+  * handles skew.
+  */
+object JoinQueries {
+
+  /** J1 FK inner equi-join: filings↔filers ≙ orders↔customer. */
+  val joinInner = GQuery(
+    "join_inner",
+    (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+          col("o_orderstatus"))
+        .orderBy("o_orderkey"),
+    Some("""
+      SELECT o_orderkey, c_custkey, c_name, o_orderstatus
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_orderkey
+    """))
+
+  /** J2 broadcast dimension decode: fact column ↔ tiny code table
+    * (`LookupCodesCd`). The `broadcast` hint pins the hash side so no
+    * shuffle of the fact table ever happens. */
+  val joinBroadcast = GQuery(
+    "join_broadcast",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DecimalType(38, 2)).as("sum_price"))
+        .orderBy("n_name"),
+    Some("""
+      SELECT n_name, COUNT(*) AS cnt,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name
+    """))
+
+  /** J3 left outer: filings with/without summary rows (`SmryCd` optional)
+    * ≙ customers with/without orders; COUNT(o_orderkey) counts matches
+    * only, so order-less customers report 0. */
+  val joinLeft = GQuery(
+    "join_left",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(col("o_totalprice").cast(DecimalType(18, 2))),
+            lit(0).cast(DecimalType(18, 2)))
+            .cast(DecimalType(38, 2)).as("sum_spend"))
+        .orderBy("c_custkey"),
+    Some("""
+      SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+             CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(38,2)) AS sum_spend
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_name
+      ORDER BY c_custkey
+    """))
+
+  /** J4 semi join: "files that have at least one error row"
+    * (`verifycalaccessrawdata.py:~40-90`) ≙ customers with a big order.
+    * left_semi never duplicates or widens the left side. */
+  val joinSemi = GQuery(
+    "join_semi",
+    (s, d) => {
+      val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 150000.0)
+      Tables.customer(s, d)
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)
+      ORDER BY c_custkey
+    """))
+
+  /** J5 anti join: expected-minus-loaded verification
+    * (`verifycalaccessrawdata.py:~40-90`) ≙ customers without orders. */
+  val joinAnti = GQuery(
+    "join_anti",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+    Some("""
+      SELECT c_custkey, c_name
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey
+    """))
+
+  /** J6 multi-way star join: filing → filer → itemizations canonical query
+    * ≙ lineitem⋈orders⋈customer⋈nation⋈region revenue rollup. Dimensions
+    * broadcast; the single fact⋈fact join shuffles once; AQE may reorder. */
+  val joinStar = GQuery(
+    "join_star",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 4))).cast(DecimalType(38, 4))
+            .as("revenue"))
+        .orderBy("r_name"),
+    Some("""
+      SELECT r_name, COUNT(*) AS cnt,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name
+      ORDER BY r_name
+    """))
+
+  def all: Seq[GQuery] =
+    Seq(joinInner, joinBroadcast, joinLeft, joinSemi, joinAnti, joinStar)
+}

@@ -1,0 +1,178 @@
+package graft.ops
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.8 scalar function families ≙ the reference's clean-layer string work
+  * (`cleancalaccessrawdata.py:~80-160`), display-name concat
+  * (`models/campaign.py:~1870`), admin search (`admin.py:~30-80`),
+  * tracking durations (`models/tracking.py:~160-200`), plus the JSON/array
+  * extension families the testdata mandates.
+  *
+  * All pure codegen'd `functions._` — no UDFs anywhere (SURVEY §2.11).
+  */
+object ScalarQueries {
+
+  /** F1–F3, F8: case, trim, concat_ws display-name, substring prefix
+    * grouping, length, round. */
+  val strFuncs = GQuery(
+    "str_funcs",
+    (s, d) =>
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("name_upper"),
+          lower(col("c_mktsegment")).as("seg_lower"),
+          concat_ws(", ", col("c_name"), col("c_mktsegment")).as("display"),
+          substring(col("c_name"), 1, 8).as("name_prefix"),
+          length(col("c_name")).cast(LongType).as("name_len"))
+        .orderBy("c_custkey"),
+    Some("""
+      SELECT c_custkey,
+             UPPER(c_name) AS name_upper,
+             LOWER(c_mktsegment) AS seg_lower,
+             concat_ws(', ', c_name, c_mktsegment) AS display,
+             substr(c_name, 1, 8) AS name_prefix,
+             CAST(length(c_name) AS BIGINT) AS name_len
+      FROM customer
+      ORDER BY c_custkey
+    """))
+
+  /** F4 LIKE/contains search (admin `search_fields` → icontains). */
+  val strSearch = GQuery(
+    "str_search",
+    (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("text").contains("merge"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang"),
+    Some("""
+      SELECT lang, COUNT(*) AS n_docs
+      FROM documents
+      WHERE text LIKE '%merge%'
+      GROUP BY lang
+      ORDER BY lang
+    """))
+
+  /** F6 date_trunc/extract: per-day event counts (≙ per-month release
+    * grouping, `models/tracking.py:~140`). */
+  val dateTruncAgg = GQuery(
+    "date_trunc_agg",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("day", "event_type"),
+    Some("""
+      SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS cnt
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY day, event_type
+    """))
+
+  /** F6b extract parts: year/month order histogram. */
+  val dateParts = GQuery(
+    "date_parts",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(
+          year(col("o_orderdate")).cast(LongType).as("yr"),
+          month(col("o_orderdate")).cast(LongType).as("mo"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("yr", "mo"),
+    Some("""
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(month(o_orderdate) AS BIGINT) AS mo,
+             COUNT(*) AS cnt
+      FROM orders
+      GROUP BY 1, 2
+      ORDER BY yr, mo
+    """))
+
+  /** F7 date arithmetic: customer activity span in days
+    * (≙ download_start→finish durations). */
+  val dateDiff = GQuery(
+    "date_diff",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(
+          datediff(max(to_date(col("o_orderdate"))),
+            min(to_date(col("o_orderdate"))))
+            .cast(LongType).as("span_days"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_custkey"),
+    Some("""
+      SELECT o_custkey,
+             CAST(date_diff('day', MIN(CAST(o_orderdate AS DATE)), MAX(CAST(o_orderdate AS DATE))) AS BIGINT) AS span_days,
+             COUNT(*) AS n_orders
+      FROM orders
+      GROUP BY o_custkey
+      ORDER BY o_custkey
+    """))
+
+  /** F9 JSON extract (events.props) — extension; reference has no JSON. */
+  val jsonExtract = GQuery(
+    "json_extract",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k_val"))
+        .orderBy("event_id"),
+    Some("""
+      SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+      FROM events
+      ORDER BY event_id
+    """))
+
+  /** F9b JSON extracted value used relationally: group by parity of k. */
+  val jsonAgg = GQuery(
+    "json_agg",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          (get_json_object(col("props"), "$.k").cast(LongType) % 2)
+            .as("k_parity"))
+        .groupBy("event_type", "k_parity")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("event_type", "k_parity"),
+    Some("""
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 AS k_parity,
+             COUNT(*) AS cnt
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY event_type, k_parity
+    """))
+
+  /** F10 array higher-order ops: per-document token array stats — no
+    * explode, pure array expressions (transform/filter/aggregate analog).
+    */
+  val arrayOps = GQuery(
+    "array_ops",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast(LongType).as("n_toks"),
+          size(array_distinct(col("toks"))).cast(LongType).as("n_uniq"),
+          size(filter(col("toks"), t => length(t) > 5)).cast(LongType)
+            .as("n_long"),
+          element_at(array_sort(col("toks")), 1).as("first_tok"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS n_toks,
+             CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS n_uniq,
+             CAST(len(list_filter(str_split(text, ' '), t -> length(t) > 5)) AS BIGINT) AS n_long,
+             list_sort(str_split(text, ' '))[1] AS first_tok
+      FROM documents
+      ORDER BY doc_id
+    """))
+
+  def all: Seq[GQuery] = Seq(strFuncs, strSearch, dateTruncAgg, dateParts,
+    dateDiff, jsonExtract, jsonAgg, arrayOps)
+}

@@ -1,0 +1,119 @@
+package graft.ops
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.9 streaming-shaped operators, batch form (oracle-checkable). The
+  * reference is batch-only (monthly snapshots, `models/tracking.py:~130`);
+  * these are the extension surface. The same expressions run unchanged
+  * under Structured Streaming (`readStream` + watermark) — see
+  * `graft.streaming.StreamRunner` for the streaming wrappers; here they
+  * execute on the static events table so DuckDB can verify them.
+  */
+object StreamQueries {
+
+  /** T1 tumbling window: 1-hour buckets per event type. `window()` emits
+    * epoch-aligned buckets, identical to date_trunc('hour'). */
+  val streamTumbling = GQuery(
+    "stream_tumbling",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+        .orderBy("ws", "event_type"),
+    Some("""
+      SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS cnt
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY ws, event_type
+    """))
+
+  /** T2 sliding window: 1 hour every 30 minutes — each event lands in two
+    * epoch-aligned buckets; the oracle materializes the same assignment as
+    * a two-way UNION ALL of shifted 30-min buckets. */
+  val streamSliding = GQuery(
+    "stream_sliding",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("ws"), col("cnt"))
+        .orderBy("ws"),
+    Some("""
+      SELECT ws, COUNT(*) AS cnt
+      FROM (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS ws FROM events)
+      GROUP BY ws
+      ORDER BY ws
+    """))
+
+  /** T3 session window: 30-minute-gap sessions per user. The oracle is the
+    * classic gaps-and-islands rewrite (lag → new-session flag → running
+    * sum → group), which is exactly what `session_window` computes.
+    * session end = last event + gap, matching Spark's definition. */
+  val streamSession = GQuery(
+    "stream_session",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start"),
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL '30 minutes' OR
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+      islands AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged)
+      SELECT user_id, MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL '30 minutes' AS session_end,
+             COUNT(*) AS n_events
+      FROM islands
+      GROUP BY user_id, sid
+      ORDER BY user_id, session_start
+    """))
+
+  /** T5 stateful-dedup batch analog: first event per (user, minute) —
+    * watermarked `dropDuplicates` in the streaming wrapper. */
+  val streamDedup = GQuery(
+    "stream_dedup",
+    (s, d) => {
+      val w = Window
+        .partitionBy(col("user_id"), date_trunc("minute", col("ts")))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"),
+          date_trunc("minute", col("ts")).as("minute"),
+          col("event_id"))
+        .orderBy("user_id", "minute")
+    },
+    Some("""
+      SELECT user_id, minute, event_id
+      FROM (SELECT user_id, date_trunc('minute', ts) AS minute, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('minute', ts)
+                                      ORDER BY ts, event_id) AS rn
+            FROM events)
+      WHERE rn = 1
+      ORDER BY user_id, minute
+    """))
+
+  def all: Seq[GQuery] =
+    Seq(streamTumbling, streamSliding, streamSession, streamDedup)
+}

@@ -1,0 +1,256 @@
+package graft.ops
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.10 X2/X4 + the training-data-pipeline text layer: tokenization,
+  * term frequencies, quality scoring, language heuristics, fingerprinting,
+  * exact and near (Jaccard) dedup. All over `documents`.
+  *
+  * Scale: tokenize→explode→count is the map-side-combinable word-count
+  * shape; pairwise Jaccard is restricted to an LSH-style candidate subset
+  * (here: a bounded id range — the MinHash banding path is in
+  * `graft.ops.MinHashDedup` for the 100 TB form).
+  */
+object TextQueries {
+
+  /** X4 tokenize + explode (the Generator/UDTF surface) → top-5 terms per
+    * language, window top-k, fully deterministic tiebreaks. */
+  val textTokens = GQuery(
+    "text_tokens",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("lang", "token")
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("token"))
+      toks.withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= 5)
+        .select("lang", "token", "cnt", "rn")
+        .orderBy("lang", "rn")
+    },
+    Some("""
+      SELECT lang, token, cnt, rn
+      FROM (SELECT lang, token, cnt,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS BIGINT) AS rn
+            FROM (SELECT lang, token, COUNT(*) AS cnt
+                  FROM (SELECT lang, unnest(str_split(text, ' ')) AS token FROM documents)
+                  GROUP BY 1, 2))
+      WHERE rn <= 5
+      ORDER BY lang, rn
+    """))
+
+  /** Token counting: whitespace tokenizer + a BPE-ish regex sub-token
+    * count (runs of letters / digits / single other chars). */
+  val tokenCount = GQuery(
+    "token_count",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(split(col("text"), "\\s+")).cast(LongType).as("n_ws_tokens"),
+          regexp_count(col("text"), lit("[aeiou]+")).cast(LongType)
+            .as("n_sub_tokens"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS n_sub_tokens
+      FROM documents
+      ORDER BY doc_id
+    """))
+
+  /** Quality scoring: length, token stats, stopword ratio — the standard
+    * pretraining-corpus filters, all codegen'd expressions. */
+  val textQuality = GQuery(
+    "text_quality",
+    (s, d) => {
+      val toks = split(col("text"), " ")
+      val stop = array(lit("the"), lit("a"), lit("of"), lit("and"), lit("in"))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          size(toks).cast(LongType).as("n_tokens"),
+          (length(col("text")).cast(DoubleType) / size(toks))
+            .cast(DecimalType(38, 6)).as("avg_tok_len"),
+          (size(filter(toks, t => array_contains(stop, t)))
+            .cast(DoubleType) / size(toks))
+            .cast(DecimalType(38, 6)).as("stop_ratio"),
+          (size(array_distinct(toks)).cast(DoubleType) / size(toks))
+            .cast(DecimalType(38, 6)).as("uniq_ratio"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, n_chars,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(CAST(length(text) AS DOUBLE) / len(str_split(text, ' ')) AS DECIMAL(38,6)) AS avg_tok_len,
+             CAST(CAST(len(list_filter(str_split(text, ' '),
+                    t -> list_contains(['the','a','of','and','in'], t))) AS DOUBLE)
+                  / len(str_split(text, ' ')) AS DECIMAL(38,6)) AS stop_ratio,
+             CAST(CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+                  / len(str_split(text, ' ')) AS DECIMAL(38,6)) AS uniq_ratio
+      FROM documents
+      ORDER BY doc_id
+    """))
+
+  /** Language-ID heuristic: marker-token votes per language family (the
+    * n-gram-heuristic shape; real marker lists would be swapped in for a
+    * natural corpus). Deterministic scoring, ties broken lexically. */
+  val langId = GQuery(
+    "lang_id",
+    (s, d) => {
+      val toks = split(col("text"), " ")
+      def score(words: Seq[String]) = {
+        val arr = array(words.map(lit): _*)
+        size(filter(toks, t => array_contains(arr, t))).cast(LongType)
+      }
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"), col("lang"),
+          score(Seq("the", "a", "of")).as("score_en"),
+          score(Seq("data", "table", "row")).as("score_t1"),
+          score(Seq("join", "merge", "hash")).as("score_t2"))
+        .withColumn("guess",
+          when(col("score_en") >= col("score_t1") &&
+            col("score_en") >= col("score_t2"), lit("en"))
+            .when(col("score_t1") >= col("score_t2"), lit("t1"))
+            .otherwise(lit("t2")))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(str_split(text, ' '), t -> list_contains(['the','a','of'], t))) AS BIGINT) AS score_en,
+               CAST(len(list_filter(str_split(text, ' '), t -> list_contains(['data','table','row'], t))) AS BIGINT) AS score_t1,
+               CAST(len(list_filter(str_split(text, ' '), t -> list_contains(['join','merge','hash'], t))) AS BIGINT) AS score_t2
+        FROM documents)
+      SELECT doc_id, lang, score_en, score_t1, score_t2,
+             CASE WHEN score_en >= score_t1 AND score_en >= score_t2 THEN 'en'
+                  WHEN score_t1 >= score_t2 THEN 't1'
+                  ELSE 't2' END AS guess
+      FROM scored
+      ORDER BY doc_id
+    """))
+
+  /** Document fingerprinting: md5 over whitespace-normalized lowercase
+    * text — the exact-dedup key (rolling/content-defined hashing reduces
+    * to this same group-by shape at scale). */
+  val docFingerprint = GQuery(
+    "doc_fingerprint",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(lower(regexp_replace(col("text"), "\\s+", " ")))
+            .as("fingerprint"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+      ORDER BY doc_id
+    """))
+
+  /** X1-for-text: exact dedup by content fingerprint — group on the hash,
+    * keep min doc_id (deterministic survivor), report group size. */
+  val dedupExact = GQuery(
+    "dedup_exact",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
+        .groupBy("fp")
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy("keeper"),
+    Some("""
+      SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+             CAST(MIN(doc_id) AS BIGINT) AS keeper, COUNT(*) AS n_copies
+      FROM documents
+      GROUP BY 1
+      ORDER BY keeper
+    """))
+
+  /** X2 near-dup: token-set Jaccard over a bounded candidate block
+    * (doc_id < 30 ≙ one LSH bucket). intersect/union on distinct token
+    * sets; similarity emitted as a decimal from one double division. */
+  val dedupJaccard = GQuery(
+    "dedup_jaccard",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") < 30)
+        .select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("toks"))
+      val a = docs.select(col("doc_id").as("ida"), col("toks").as("ta"))
+      val b = docs.select(col("doc_id").as("idb"), col("toks").as("tb"))
+      a.join(b, col("ida") < col("idb"))
+        .select(
+          col("ida"), col("idb"),
+          size(array_intersect(col("ta"), col("tb"))).cast(LongType)
+            .as("n_common"),
+          (size(array_intersect(col("ta"), col("tb"))).cast(DoubleType) /
+            (size(col("ta")) + size(col("tb")) -
+              size(array_intersect(col("ta"), col("tb")))))
+            .cast(DecimalType(38, 6)).as("jaccard"))
+        .orderBy("ida", "idb")
+    },
+    Some("""
+      WITH dtoks AS (
+        SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id < 30),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM dtoks GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS i
+        FROM dtoks a JOIN dtoks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT ida, idb, CAST(i AS BIGINT) AS n_common,
+             CAST(CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS DECIMAL(38,6)) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = ida
+      JOIN sizes sb ON sb.doc_id = idb
+      ORDER BY ida, idb
+    """))
+
+  /** N-gram (bigram) frequency: posexplode + lead — the shingling
+    * primitive under MinHash; top-3 bigrams per language. */
+  val textBigrams = GQuery(
+    "text_bigrams",
+    (s, d) => {
+      val posTok = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val bigrams = posTok
+        .withColumn("nxt", lead(col("tok"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("lang"),
+          concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(count(lit(1)).as("cnt"))
+      val wr = Window.partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("bigram"))
+      bigrams.withColumn("rn", row_number().over(wr).cast(LongType))
+        .filter(col("rn") <= 3)
+        .select("lang", "bigram", "cnt", "rn")
+        .orderBy("lang", "rn")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang, str_split(text, ' ') AS t FROM documents),
+      bigrams AS (
+        SELECT lang, t[i] || ' ' || t[i+1] AS bigram
+        FROM toks, UNNEST(range(1, len(t))) AS r(i)),
+      counts AS (
+        SELECT lang, bigram, COUNT(*) AS cnt FROM bigrams GROUP BY 1, 2)
+      SELECT lang, bigram, cnt, rn
+      FROM (SELECT lang, bigram, cnt,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS BIGINT) AS rn
+            FROM counts)
+      WHERE rn <= 3
+      ORDER BY lang, rn
+    """))
+
+  def all: Seq[GQuery] = Seq(textTokens, tokenCount, textQuality, langId,
+    docFingerprint, dedupExact, dedupJaccard, textBigrams)
+}

@@ -1,0 +1,145 @@
+package graft.ops
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Column
+
+/** §2.10 X3 + similarity-search extension over `embeddings`
+  * (list<float>, dim=64).
+  *
+  * Dot products / norms are pure higher-order array expressions
+  * (`aggregate` over `zip_with`) — no UDFs, stays inside codegen. Floats
+  * are cast to double element-wise before multiply/accumulate so both
+  * engines fold identical doubles in identical order; emitted similarity
+  * values are rounded into decimals to absorb any last-ulp divergence.
+  *
+  * Scale path: brute-force top-k is O(N·k) per probe — fine for one probe
+  * vector; for all-pairs at 100 TB the LSH-bucketed variant
+  * (`simBucketed` below) does candidate generation on a coarse signature
+  * first, turning the cross join into a bucket-equi-join.
+  */
+object VectorQueries {
+
+  /** Element-wise double-cast squared-norm accumulation. */
+  private def sumSq(c: Column): Column =
+    aggregate(transform(c, x => x.cast(DoubleType) * x.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** F10/X3 vector norms + dimensionality audit per label. */
+  val vecNorm = GQuery(
+    "vec_norm",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          size(col("embedding")).cast(LongType).as("dim"),
+          round(sqrt(sumSq(col("embedding"))), 3)
+            .cast(DecimalType(38, 3)).as("l2_norm"))
+        .orderBy("vec_id"),
+    Some("""
+      SELECT vec_id, label,
+             CAST(len(embedding) AS BIGINT) AS dim,
+             CAST(round(sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 3) AS DECIMAL(38,3)) AS l2_norm
+      FROM embeddings
+      ORDER BY vec_id
+    """))
+
+  /** X3 brute-force cosine top-k: 5 nearest neighbors of vec_id 0. The
+    * probe row broadcasts; similarity ordering is computed on full
+    * precision, output carries only integer ids/ranks so the hash can
+    * never wobble on float ulps. */
+  val simTopk = GQuery(
+    "sim_topk",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe_emb"))
+      val sims = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id").as("neighbor_id"),
+          (dot(col("embedding"), col("probe_emb")) /
+            (sqrt(sumSq(col("embedding"))) * sqrt(sumSq(col("probe_emb")))))
+            .as("sim"))
+      val w = Window.orderBy(col("sim").desc, col("neighbor_id"))
+      sims.withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter(col("rnk") <= 5)
+        .select("rnk", "neighbor_id")
+        .orderBy("rnk")
+    },
+    Some("""
+      WITH probe AS (SELECT embedding AS probe_emb FROM embeddings WHERE vec_id = 0),
+      sims AS (
+        SELECT e.vec_id AS neighbor_id,
+               list_cosine_similarity(e.embedding, p.probe_emb) AS sim
+        FROM embeddings e, probe p
+        WHERE e.vec_id <> 0)
+      SELECT rnk, neighbor_id
+      FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk,
+                   neighbor_id
+            FROM sims)
+      WHERE rnk <= 5
+      ORDER BY rnk
+    """))
+
+  /** Scale path for all-pairs similarity: sign-LSH bucketing. Signature =
+    * sign pattern of the first 8 components (a fixed, deterministic
+    * hyperplane set); same-bucket pairs are the candidates. Emits bucket
+    * population stats — candidate-set sizing is the tuning metric for IVF/
+    * LSH at 100 TB. */
+  val simBucketed = GQuery(
+    "sim_buckets",
+    (s, d) => {
+      val sig = array_join(
+        transform(slice(col("embedding"), 1, 8),
+          x => when(x >= 0f, lit("1")).otherwise(lit("0"))),
+        "")
+      Tables.embeddings(s, d)
+        .select(sig.as("bucket"), col("vec_id"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("vec_id")).as("min_vec"))
+        .orderBy("bucket")
+    },
+    Some("""
+      SELECT array_to_string(list_transform(embedding[1:8],
+               x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket,
+             COUNT(*) AS n_vecs, CAST(MIN(vec_id) AS BIGINT) AS min_vec
+      FROM embeddings
+      GROUP BY 1
+      ORDER BY bucket
+    """))
+
+  /** Pairwise cosine within one small label group — the verification-scale
+    * exact form of near-dup-by-embedding. Ids only, same rationale as
+    * simTopk. */
+  val simPairs = GQuery(
+    "sim_pairs",
+    (s, d) => {
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 40)
+        .select(col("vec_id"), col("embedding"))
+      val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("idb"), col("embedding").as("eb"))
+      a.join(b, col("ida") < col("idb"))
+        .select(col("ida"), col("idb"),
+          (dot(col("ea"), col("eb")) /
+            (sqrt(sumSq(col("ea"))) * sqrt(sumSq(col("eb"))))).as("sim"))
+        .filter(col("sim") > 0.2)
+        .select("ida", "idb")
+        .orderBy("ida", "idb")
+    },
+    Some("""
+      SELECT a.vec_id AS ida, b.vec_id AS idb
+      FROM embeddings a JOIN embeddings b
+        ON a.vec_id < b.vec_id AND a.vec_id < 40 AND b.vec_id < 40
+      WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.2
+      ORDER BY ida, idb
+    """))
+
+  def all: Seq[GQuery] = Seq(vecNorm, simTopk, simBucketed, simPairs)
+}

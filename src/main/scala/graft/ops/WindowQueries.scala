@@ -1,0 +1,134 @@
+package graft.ops
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.5 window functions — the canonical form of two documented CAL-ACCESS
+  * semantics: latest-amendment-wins (`FilerFilingsCd.filing_sequence`,
+  * `models/common.py:~200-260`) and stored running totals
+  * (`RcptCd.cum_ytd`, `models/campaign.py:~1850`).
+  *
+  * Every window is partitioned by a key (user_id / brand) — at scale the
+  * sort happens within hash partitions, never globally. Orderings always
+  * end in a unique tiebreaker column so results are deterministic.
+  */
+object WindowQueries {
+
+  /** W1 latest-amendment-wins: per filing keep max AMEND_ID ≙ per user
+    * keep the latest event. row_number (not rank) + unique tiebreak. */
+  val winLatest = GQuery(
+    "win_latest",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event"),
+          col("ts").as("last_ts"), col("event_type").as("last_type"))
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id, event_id AS last_event, ts AS last_ts, event_type AS last_type
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1
+      ORDER BY user_id
+    """))
+
+  /** W2 ranking: top contributors per candidate ≙ top parts per brand.
+    * rank() keeps ties (deterministic); output limited to top 5/brand. */
+  val winRank = GQuery(
+    "win_rank",
+    (s, d) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      Tables.part(s, d)
+        .withColumn("rnk", rank().over(w).cast(LongType))
+        .filter(col("rnk") <= 5)
+        .select("p_brand", "p_partkey", "p_retailprice", "rnk")
+        .orderBy(col("p_brand"), col("rnk"), col("p_partkey"))
+    },
+    Some("""
+      SELECT p_brand, p_partkey, p_retailprice, rnk
+      FROM (SELECT p_brand, p_partkey, p_retailprice,
+                   CAST(RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rnk
+            FROM part)
+      WHERE rnk <= 5
+      ORDER BY p_brand, rnk, p_partkey
+    """))
+
+  /** W3 running total: recompute CUM_YTD — frame agg over ordered rows.
+    * Decimal accumulation: both engines fold in the same row order, so
+    * the running value is exact and hash-stable. */
+  val winCumsum = GQuery(
+    "win_cumsum",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          sum(col("value").cast(DecimalType(14, 2))).over(w)
+            .cast(DecimalType(38, 2)).as("running_value"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""
+      SELECT user_id, event_id, ts,
+             CAST(SUM(CAST(value AS DECIMAL(14,2)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_value
+      FROM events
+      ORDER BY user_id, event_id
+    """))
+
+  /** W4 lag/lead delta: change-feed diffs (`LobbyingChgLogCd`) ≙
+    * inter-event gap per user in microseconds (integer math only). */
+  val winLag = GQuery(
+    "win_lag",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+            .cast(LongType).as("gap_us"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""
+      SELECT user_id, event_id,
+             CAST(epoch_us(ts) - LAG(epoch_us(ts), 1)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS gap_us
+      FROM events
+      ORDER BY user_id, event_id
+    """))
+
+  /** O3 top-k per group without a global sort: window row_number ≤ k —
+    * the scale-safe form of "top contributors per candidate". */
+  val topkGroup = GQuery(
+    "topk_group",
+    (s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"), col("l_linestatus"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= 5)
+        .select("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber",
+          "l_extendedprice", "rn")
+        .orderBy("l_returnflag", "l_linestatus", "rn")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_extendedprice, rn
+      FROM (SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_extendedprice,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+                        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS BIGINT) AS rn
+            FROM lineitem)
+      WHERE rn <= 5
+      ORDER BY l_returnflag, l_linestatus, rn
+    """))
+
+  def all: Seq[GQuery] = Seq(winLatest, winRank, winCumsum, winLag, topkGroup)
+}
