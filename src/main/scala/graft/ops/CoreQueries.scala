@@ -185,6 +185,54 @@ object CoreQueries {
       ORDER BY doc_id
     """))
 
+  /** S3+S4+P1–P7 end-to-end: the full clean→load pipeline
+    * (`updatecalaccessrawdata.py` stages 5–6) driven through
+    * `graft.ingest.{Clean,Load}`. Raw TSV lines are synthesized from the
+    * events table (1-in-97 rows deliberately malformed with an extra
+    * field); the oracle computes the same result independently from the
+    * typed source — so the whole split/scrub/parse/cast path is verified,
+    * not just replayed. */
+  val ingestPipeline = GQuery(
+    "ingest_pipeline",
+    (s, d) => {
+      import graft.ingest.{Clean, Load}
+      import graft.schemas.Schemas.TableDef
+      val tdef = TableDef(
+        name = "events_raw",
+        schema = StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("ev_date", DateType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DecimalType(14, 2)),
+          StructField("props", StringType))),
+        uniqueKey = Seq("event_id"),
+        dateFields = Seq("ev_date"))
+      val line = concat_ws("\t",
+        col("event_id"), date_format(col("ts"), "M/d/yyyy"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      val lines = Tables.events(s, d).select(
+        when(col("event_id") % 97 === 0, concat(line, lit("\textra")))
+          .otherwise(line).as("value"))
+      val cleaned = Clean.clean(tdef, lines)
+      val typed = Load.load(tdef, cleaned.good)
+      typed.agg(
+        count(lit(1)).as("n_good"),
+        sum(col("value")).cast(DecimalType(38, 2)).as("sum_value"),
+        min(col("ev_date")).as("min_date"),
+        max(col("ev_date")).as("max_date"))
+        .crossJoin(cleaned.bad.agg(count(lit(1)).as("n_bad")))
+    },
+    Some("""
+      SELECT CAST(COUNT(*) FILTER (WHERE event_id % 97 <> 0) AS BIGINT) AS n_good,
+             CAST(SUM(CAST(value AS DECIMAL(14,2))) FILTER (WHERE event_id % 97 <> 0) AS DECIMAL(38,2)) AS sum_value,
+             MIN(CAST(ts AS DATE)) FILTER (WHERE event_id % 97 <> 0) AS min_date,
+             MAX(CAST(ts AS DATE)) FILTER (WHERE event_id % 97 <> 0) AS max_date,
+             CAST(COUNT(*) FILTER (WHERE event_id % 97 = 0) AS BIGINT) AS n_bad
+      FROM events
+    """))
+
   def all: Seq[GQuery] = Seq(q1Pricing, filterPred, loadTyped, decimalCast,
-    cleanSplitGood, cleanSplitBad, strClean)
+    cleanSplitGood, cleanSplitBad, strClean, ingestPipeline)
 }
+

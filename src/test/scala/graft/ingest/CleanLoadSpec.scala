@@ -1,0 +1,93 @@
+package graft.ingest
+
+import graft.SparkTestBase
+import graft.meta.Tracking
+import graft.schemas.Schemas
+import org.apache.spark.sql.functions._
+
+/** Clean+load over the CAL-ACCESS-shaped fixture (FIXTURES.md §B):
+  * amendment chains, bad dates, garbage decimals, ''→NULL, short and long
+  * rows — the behaviors of `cleancalaccessrawdata.py` /
+  * `loadcalaccessrawdata.py` the engine must reproduce. */
+class CleanLoadSpec extends SparkTestBase {
+
+  private lazy val table = Schemas.rcptCd
+  private lazy val cleaned =
+    Clean.cleanFile(spark, table, resource("rcpt_cd_sample.tsv"))
+  private lazy val typed = Load.load(table, cleaned.good)
+
+  test("field-count split routes short and long rows to errs") {
+    assert(cleaned.good.count() === 6)
+    assert(cleaned.bad.count() === 2) // one 2-field row, one 18-field row
+    val badCounts = cleaned.bad.select("n_fields")
+      .collect().map(_.getInt(0)).sorted
+    assert(badCounts === Array(2, 18))
+  }
+
+  test("good and bad partition is disjoint and exhaustive") {
+    val totalData = spark.read.text(resource("rcpt_cd_sample.tsv")).count() - 1
+    assert(cleaned.good.count() + cleaned.bad.count() === totalData)
+  }
+
+  test("load types columns per declared schema") {
+    assert(typed.schema === table.schema)
+  }
+
+  test("bad date 2/30/2014 coerces to NULL, good dates parse M/d/yyyy") {
+    val t2 = typed.filter(col("tran_id") === "T2").head()
+    assert(t2.isNullAt(t2.fieldIndex("rcpt_date"))) // 2/30/2014 invalid
+    val t3 = typed.filter(col("tran_id") === "T3")
+      .select("rcpt_date").head().getDate(0).toString
+    assert(t3 === "2014-03-01")
+    val d1003 = typed.filter(col("filing_id") === 1003)
+      .select("rcpt_date").head().getDate(0).toString
+    assert(d1003 === "2013-12-31")
+    val d1001 = typed.filter(col("filing_id") === 1001)
+      .select("rcpt_date").head().getDate(0).toString
+    assert(d1001 === "2014-01-15")
+  }
+
+  test("garbage decimal coerces to NULL; valid decimals keep scale 2") {
+    val row = typed.filter(col("tran_id") === "T3").head()
+    assert(row.isNullAt(row.fieldIndex("amount")))
+    assert(row.getDecimal(row.fieldIndex("cum_ytd")).toPlainString === "50.00")
+    val neg = typed.filter(col("tran_id") === "T4").head()
+    assert(neg.getDecimal(neg.fieldIndex("amount")).toPlainString === "-42.42")
+  }
+
+  test("empty string coerces to NULL") {
+    val row = typed.filter(col("tran_id") === "T1")
+      .filter(col("amend_id") === 0).head()
+    assert(row.isNullAt(row.fieldIndex("memo_code")))
+    val t4 = typed.filter(col("tran_id") === "T4").head()
+    assert(t4.isNullAt(t4.fieldIndex("cmte_id")))
+  }
+
+  test("latest-amendment-wins keeps max amend_id per logical record") {
+    val latest = Load.latestAmendment(table, typed)
+    val f1001 = latest.filter(col("filing_id") === 1001).collect()
+    assert(f1001.length === 1)
+    assert(f1001.head.getLong(f1001.head.fieldIndex("amend_id")) === 2L)
+    assert(f1001.head.getDecimal(f1001.head.fieldIndex("amount"))
+      .toPlainString === "175.50")
+    // 4 logical records: 1001-line1 (3 amendments collapsed), the two
+    // 1002 lines, and 1003 (the long 1004 row was routed to errs)
+    assert(latest.count() === 4)
+  }
+
+  test("tracking metrics satisfy the verify invariants") {
+    val m = Tracking.forTable("rcpt_cd", cleaned, typed)
+    assert(m.consistent)
+    assert(m.downloadRecords === 8)
+    assert(m.cleanRecords === 6)
+    assert(m.errorRecords === 2)
+  }
+
+  test("NUL bytes and stray CRs are scrubbed before parsing") {
+    import spark.implicits._
+    val dirty = Seq("1\u0000001\ta\rbc").toDF("value")
+    val out = dirty.select(
+      Clean.scrub(col("value")).as("clean")).head().getString(0)
+    assert(out === "1001\tabc")
+  }
+}

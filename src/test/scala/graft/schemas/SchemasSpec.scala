@@ -1,0 +1,45 @@
+package graft.schemas
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Doc-completeness analog of the reference's `tests/test_models.py`
+  * (SURVEY §5.1): every field documented, every UNIQUE_KEY resolvable,
+  * every declared date field present and date-typed. */
+class SchemasSpec extends AnyFunSuite {
+
+  test("every field carries non-empty help_text metadata") {
+    for (t <- Schemas.all; f <- t.schema.fields) {
+      assert(f.metadata.contains("help_text"),
+        s"${t.name}.${f.name} missing help_text")
+      assert(f.metadata.getString("help_text").nonEmpty,
+        s"${t.name}.${f.name} empty help_text")
+    }
+  }
+
+  test("every table declares a UNIQUE_KEY whose columns exist") {
+    for (t <- Schemas.all) {
+      assert(t.uniqueKey.nonEmpty, s"${t.name} missing UNIQUE_KEY")
+      val cols = t.schema.fieldNames.toSet
+      for (k <- t.uniqueKey)
+        assert(cols.contains(k), s"${t.name} UNIQUE_KEY column $k not in schema")
+    }
+  }
+
+  test("date/datetime field lists reference real columns of the right type") {
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    for (t <- Schemas.all) {
+      for (dcol <- t.dateFields)
+        assert(t.schema(dcol).dataType == DateType, s"${t.name}.$dcol not DateType")
+      for (tcol <- t.datetimeFields)
+        assert(t.schema(tcol).dataType == TimestampType, s"${t.name}.$tcol not TimestampType")
+    }
+  }
+
+  test("rawSchema uppercases every column and strings every type") {
+    import org.apache.spark.sql.types.StringType
+    for (t <- Schemas.all; f <- t.rawSchema.fields) {
+      assert(f.name == f.name.toUpperCase)
+      assert(f.dataType == StringType)
+    }
+  }
+}
