@@ -1,0 +1,140 @@
+package graft.ops
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.10 X2 at scale: MinHash + LSH banding and SimHash near-dup — the
+  * LLM-corpus dedup path (shingle → minhash → band → bucket-join).
+  *
+  * The MinHash permutation family is md5-based (`md5(seed || ':' || tok)`)
+  * rather than the usual random-affine family so the DuckDB oracle can
+  * compute the *identical* signatures — the full pipeline (signatures,
+  * banding, bucket join, candidate pairs) is hash-verified, not just
+  * row-counted. md5-as-permutation is public folklore (a hash function is
+  * a fixed random permutation of its input space for dedup purposes).
+  *
+  * Scale shape: tokenize→explode→min-groupBy is map-side combinable;
+  * banding turns the quadratic all-pairs problem into an equi-join on
+  * (band_idx, band_key) — the only shuffle keys. No cross join anywhere.
+  * SimHash uses xxhash64 (Spark-builtin, codegen'd) — no DuckDB
+  * equivalent, so its query is rows-only checked.
+  */
+object DedupQueries {
+
+  private val NumHashes = 8
+  private val BandRows = 2 // 4 bands × 2 rows
+
+  /** doc_id → distinct-token rows, the shingle base. */
+  private def docTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+
+  /** MinHash signature matrix: one min-md5 per permutation seed. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val aggs = (0 until NumHashes).map(i =>
+      min(md5(concat(lit(i.toString), lit(":"), col("tok")))).as(s"sig_$i"))
+    docTokens(docs).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: band key = md5 over the band's signature rows. Output is
+    * one row per (doc, band). */
+  def minhashBands(sigs: DataFrame): DataFrame = {
+    val bands = (0 until NumHashes / BandRows).map { b =>
+      val cols = (0 until BandRows).map(r => col(s"sig_${b * BandRows + r}"))
+      struct(lit(b).as("band_idx"), md5(concat(cols: _*)).as("band_key"))
+    }
+    sigs.select(col("doc_id"), explode(array(bands: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx").as("band_idx"),
+        col("band.band_key").as("band_key"))
+  }
+
+  /** Candidate pairs: docs sharing any band bucket (equi-join, distinct). */
+  def minhashCandidates(docs: DataFrame): DataFrame = {
+    val bands = minhashBands(minhashSignatures(docs))
+    val a = bands.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("ida"))
+    val b = bands.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("idb"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
+  }
+
+  /** X2 minhash signatures, oracle-verified end-to-end. */
+  val dedupMinhashSig = GQuery(
+    "dedup_minhash_sig",
+    (s, d) =>
+      minhashSignatures(Tables.documents(s, d).filter(col("doc_id") < 100))
+        .select(col("doc_id"), col("sig_0"), col("sig_1"), col("sig_7"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             MIN(md5('0:' || tok)) AS sig_0,
+             MIN(md5('1:' || tok)) AS sig_1,
+             MIN(md5('7:' || tok)) AS sig_7
+      FROM (SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS tok
+            FROM documents WHERE doc_id < 100)
+      GROUP BY doc_id
+      ORDER BY doc_id
+    """))
+
+  /** X2 LSH candidate pairs from band buckets, oracle-verified. */
+  val dedupMinhashLsh = GQuery(
+    "dedup_minhash_lsh",
+    (s, d) =>
+      minhashCandidates(Tables.documents(s, d).filter(col("doc_id") < 100))
+        .orderBy("ida", "idb"),
+    Some("""
+      WITH dtoks AS (
+        SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id < 100),
+      sigs AS (
+        SELECT doc_id,
+               MIN(md5('0:' || tok)) AS s0, MIN(md5('1:' || tok)) AS s1,
+               MIN(md5('2:' || tok)) AS s2, MIN(md5('3:' || tok)) AS s3,
+               MIN(md5('4:' || tok)) AS s4, MIN(md5('5:' || tok)) AS s5,
+               MIN(md5('6:' || tok)) AS s6, MIN(md5('7:' || tok)) AS s7
+        FROM dtoks GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 0 AS band_idx, md5(s0 || s1) AS band_key FROM sigs
+        UNION ALL SELECT doc_id, 1, md5(s2 || s3) FROM sigs
+        UNION ALL SELECT doc_id, 2, md5(s4 || s5) FROM sigs
+        UNION ALL SELECT doc_id, 3, md5(s6 || s7) FROM sigs)
+      SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+      ORDER BY ida, idb
+    """))
+
+  /** SimHash: 64-bit signature from per-token xxhash64 bit votes. */
+  def simhash(tokens: Column): Column = {
+    val bits = (0 until 64).map { b =>
+      // vote for bit b: +1 if set, -1 if clear, summed over tokens
+      val vote = aggregate(tokens,
+        lit(0L),
+        (acc, t) => acc +
+          when(shiftright(xxhash64(t), b).bitwiseAND(1) === 1, 1L)
+            .otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** SimHash signatures + bucket prefix (rows-only: xxhash64 has no
+    * DuckDB twin; determinism is still exercised cross-run). */
+  val dedupSimhash = GQuery(
+    "dedup_simhash",
+    (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          simhash(array_distinct(split(col("text"), " "))).as("simhash"))
+        .withColumn("bucket", shiftright(col("simhash"), 48))
+        .orderBy("doc_id"),
+    None)
+
+  def all: Seq[GQuery] = Seq(dedupMinhashSig, dedupMinhashLsh, dedupSimhash)
+}
