@@ -1,0 +1,31 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints the formatted physical plan for selected queries
+  * so scan pushdown, broadcast choices, and codegen spans can be reviewed
+  * (SURVEY §4 — "verify with explain() in tests").
+  *
+  * Usage: runMain graft.tools.ExplainAudit [sfDir] [query ...]
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("filter_pred", "join_broadcast", "join_star", "q1_pricing",
+        "topk", "topk_group", "win_latest", "dedup_minhash_lsh")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (n <- names) {
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan regression guards (SURVEY §4: "rely on defaults; verify
+  * with explain() in tests"). These are the scale properties the engine
+  * depends on at 100 TB — if a refactor breaks pushdown or flips a
+  * broadcast into a shuffle, this fails before any benchmark does. */
+class PlanSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("filter_pred pushes every predicate into the parquet scan") {
+    val p = plan("filter_pred")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(p.contains("In(l_linestatus"), p)
+  }
+
+  test("q1_pricing prunes the scan to referenced columns only") {
+    val p = plan("q1_pricing")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_partkey"), readSchema)
+    assert(!readSchema.contains("l_tax"), readSchema)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+  }
+
+  test("dimension joins broadcast — the fact side never shuffles") {
+    for (q <- Seq("join_broadcast", "join_star")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: $p")
+      assert(!p.contains("SortMergeJoin"), s"$q unexpectedly sort-merges")
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+  }
+
+  test("global top-k compiles to TakeOrderedAndProject, not a full sort") {
+    assert(plan("topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("grouped top-k pushes WindowGroupLimit below the shuffle") {
+    assert(plan("topk_group").contains("WindowGroupLimit"))
+  }
+
+  test("partial (map-side) aggregation precedes the shuffle in group-bys") {
+    val p = plan("agg_group")
+    // two HashAggregate nodes (partial + final) around one Exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("minhash LSH candidates come from an equi-join, not a cross join") {
+    val p = plan("dedup_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
