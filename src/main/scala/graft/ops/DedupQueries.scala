@@ -124,17 +124,52 @@ object DedupQueries {
   }
 
   /** SimHash signatures + bucket prefix (rows-only: xxhash64 has no
-    * DuckDB twin; determinism is still exercised cross-run). */
+    * DuckDB twin; determinism is still exercised cross-run). Uses the
+    * native one-pass `SimHash64` expression — SimHashSpec pins it equal
+    * to the 64-aggregate `simhash` composition kept above. */
   val dedupSimhash = GQuery(
     "dedup_simhash",
     (s, d) =>
       Tables.documents(s, d)
         .filter(col("doc_id") < 100)
         .select(col("doc_id"),
-          simhash(array_distinct(split(col("text"), " "))).as("simhash"))
+          graft.functions.SimHash64.simhash64(
+            array_distinct(split(col("text"), " "))).as("simhash"))
         .withColumn("bucket", shiftright(col("simhash"), 48))
         .orderBy("doc_id"),
     None)
 
-  def all: Seq[GQuery] = Seq(dedupMinhashSig, dedupMinhashLsh, dedupSimhash)
+  /** Shuffle-free MinHash: the signature computed per-row with
+    * higher-order array expressions (`array_min` over `transform`) —
+    * identical values to `minhashSignatures` but with NO explode and NO
+    * groupBy shuffle. At 100 TB this is the form that matters: signature
+    * computation becomes a narrow map fused into the scan; only the tiny
+    * (doc → band-key) frame ever shuffles, in the banding join. */
+  def minhashSignaturesFast(docs: DataFrame): DataFrame = {
+    val toks = array_distinct(split(col("text"), " "))
+    val sigs = (0 until NumHashes).map(i =>
+      array_min(transform(toks,
+        t => md5(concat(lit(i.toString), lit(":"), t)))).as(s"sig_$i"))
+    docs.select(col("doc_id") +: sigs: _*)
+  }
+
+  /** Same oracle as dedup_minhash_sig — proves the shuffle-free plan
+    * computes identical signatures. */
+  val dedupMinhashFast = GQuery(
+    "dedup_minhash_fast",
+    (s, d) =>
+      minhashSignaturesFast(Tables.documents(s, d).filter(col("doc_id") < 100))
+        .select(col("doc_id"), col("sig_0"), col("sig_1"), col("sig_7"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             list_aggregate(list_transform(list_distinct(str_split(text, ' ')), t -> md5('0:' || t)), 'min') AS sig_0,
+             list_aggregate(list_transform(list_distinct(str_split(text, ' ')), t -> md5('1:' || t)), 'min') AS sig_1,
+             list_aggregate(list_transform(list_distinct(str_split(text, ' ')), t -> md5('7:' || t)), 'min') AS sig_7
+      FROM documents WHERE doc_id < 100
+      ORDER BY doc_id
+    """))
+
+  def all: Seq[GQuery] =
+    Seq(dedupMinhashSig, dedupMinhashLsh, dedupSimhash, dedupMinhashFast)
 }

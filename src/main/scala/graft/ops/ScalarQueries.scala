@@ -173,6 +173,39 @@ object ScalarQueries {
       ORDER BY doc_id
     """))
 
+  /** `choices=` enum decode (`models/campaign.py:~1900`,
+    * `annotations/__init__.py:~60`): closed code set → documented meaning.
+    * Inline `when().otherwise()` for tiny enums — constant-folded into the
+    * scan, zero joins; `join_broadcast` covers the table-driven form. */
+  val decodeEnum = GQuery(
+    "decode_enum",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_returnflag") === "A", "ACCEPTED")
+            .when(col("l_returnflag") === "R", "RETURNED")
+            .when(col("l_returnflag") === "N", "NONE")
+            .otherwise("UNKNOWN").as("flag_desc"),
+          when(col("l_linestatus") === "F", "FILED")
+            .when(col("l_linestatus") === "O", "OPEN")
+            .otherwise("UNKNOWN").as("status_desc"))
+        .groupBy("flag_desc", "status_desc")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("flag_desc", "status_desc"),
+    Some("""
+      SELECT CASE l_returnflag WHEN 'A' THEN 'ACCEPTED'
+                               WHEN 'R' THEN 'RETURNED'
+                               WHEN 'N' THEN 'NONE'
+                               ELSE 'UNKNOWN' END AS flag_desc,
+             CASE l_linestatus WHEN 'F' THEN 'FILED'
+                               WHEN 'O' THEN 'OPEN'
+                               ELSE 'UNKNOWN' END AS status_desc,
+             COUNT(*) AS cnt
+      FROM lineitem
+      GROUP BY 1, 2
+      ORDER BY flag_desc, status_desc
+    """))
+
   def all: Seq[GQuery] = Seq(strFuncs, strSearch, dateTruncAgg, dateParts,
-    dateDiff, jsonExtract, jsonAgg, arrayOps)
+    dateDiff, jsonExtract, jsonAgg, arrayOps, decodeEnum)
 }

@@ -138,6 +138,28 @@ object SortSetQueries {
       ORDER BY user_id, event_type
     """))
 
+  /** O2 LIMIT/OFFSET pagination (admin changelist page 2): offset has no
+    * distributed-safe direct form — the scale idiom is row_number over the
+    * paging order, then a range filter. */
+  val pageOffset = GQuery(
+    "page_offset",
+    (s, d) => {
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") > 20 && col("rn") <= 40)
+        .select("rn", "o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("rn")
+    },
+    Some("""
+      SELECT rn, o_orderkey, o_custkey, o_totalprice
+      FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+                   o_orderkey, o_custkey, o_totalprice
+            FROM orders)
+      WHERE rn > 20 AND rn <= 40
+      ORDER BY rn
+    """))
+
   def all: Seq[GQuery] = Seq(sortMulti, topk, setUnion, setExcept,
-    setIntersect, distinctVals, dedupKey)
+    setIntersect, distinctVals, dedupKey, pageOffset)
 }

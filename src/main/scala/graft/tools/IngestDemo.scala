@@ -27,24 +27,23 @@ object IngestDemo {
     spark.sparkContext.setLogLevel("ERROR")
     val table = Schemas.rcptCd
 
-    val (good, badCount) =
-      if (csvMode) {
-        val res = CsvSource.scan(spark, table, path)
-        (res.good, res.bad.count())
-      } else {
-        val res = Clean.cleanFile(spark, table, path)
-        (res.good, res.bad.count())
-      }
-    val typed = Load.load(table, good)
-    val latest = Load.latestAmendment(table, typed)
-
-    println(s"[ingest] mode=${if (csvMode) "csv-source" else "line-clean"}")
-    println(s"[ingest] good=${good.count()} bad=$badCount " +
-      s"typed=${typed.count()} latest=${latest.count()}")
-    val m = Tracking.forTable(table.name, Clean.cleanFile(spark, table, path),
-      typed)
-    println(s"[ingest] metrics=$m consistent=${m.consistent}")
-    latest.orderBy("filing_id", "line_item").show(truncate = false)
+    if (csvMode) {
+      val res = CsvSource.scan(spark, table, path)
+      val typed = Load.load(table, res.good)
+      println(s"[ingest] mode=csv-source good=${res.good.count()} " +
+        s"bad=${res.bad.count()} typed=${typed.count()}")
+    } else {
+      // the orchestrated path: clean → load → parquet sink → verified
+      // metrics, exactly what a full update run does per table
+      val outDir = java.nio.file.Files
+        .createTempDirectory("ingest_demo").toString
+      val result = graft.Pipeline.updateTable(spark, table, path, outDir)
+      val latest = Load.latestAmendment(table, result.typed)
+      println(s"[ingest] mode=pipeline out=$outDir")
+      println(s"[ingest] metrics=${result.metrics} " +
+        s"consistent=${result.metrics.consistent} latest=${latest.count()}")
+      latest.orderBy("filing_id", "line_item").show(truncate = false)
+    }
     spark.stop()
   }
 }

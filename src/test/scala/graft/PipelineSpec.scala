@@ -1,0 +1,79 @@
+package graft
+
+import graft.schemas.Schemas
+import graft.sources.Archive
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+/** Full pipeline cycle ≙ the reference's end-to-end test strategy
+  * (SURVEY §5.1): zip → extract → clean → load → parquet → verify, over
+  * the sampled fixture, asserting every model loads and counts match. */
+class PipelineSpec extends SparkTestBase {
+
+  private def mkZip(entries: (String, String)*): String = {
+    val zipPath = Files.createTempFile("export", ".zip").toString
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(zipPath))
+    for ((name, content) <- entries) {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    zos.close()
+    zipPath
+  }
+
+  test("zip extract flattens and filters entries like the reference") {
+    val zip = mkZip(
+      "CalAccess/DATA/LOOKUP_CODES_CD.TSV" -> "CODE_TYPE\tCODE_ID\tCODE_DESC\n1\t100\tIndividual\n",
+      "CalAccess/DATA/README.txt" -> "not a tsv",
+      "CalAccess/other/NESTED_CD.TSV" -> "A\tB\tC\n")
+    val outDir = Files.createTempDirectory("tsv").toString
+    val extracted = Archive.unzip(zip, outDir)
+    val names = extracted.map(p => new java.io.File(p).getName).sorted
+    assert(names === Seq("LOOKUP_CODES_CD.TSV", "NESTED_CD.TSV"))
+  }
+
+  test("full update: zip → extract → clean → load → parquet → verify") {
+    val header = "CODE_TYPE\tCODE_ID\tCODE_DESC"
+    val zip = mkZip("CalAccess/DATA/LOOKUP_CODES_CD.TSV" ->
+      s"$header\n1\t100\tIndividual\n1\t200\tCommittee\nbroken row\n2\t\tEmpty id\n")
+    val tsvDir = Files.createTempDirectory("tsv").toString
+    val outDir = Files.createTempDirectory("loaded").toString
+    val Seq(tsv) = Archive.unzip(zip, tsvDir)
+
+    val results = Pipeline.update(spark,
+      Seq(Schemas.lookupCodesCd -> tsv), outDir)
+    assert(Pipeline.verify(results))
+
+    val m = results.head.metrics
+    assert(m.downloadRecords === 4)
+    assert(m.cleanRecords === 3) // "broken row" has 2 fields, not 3
+    assert(m.errorRecords === 1)
+    assert(m.loadRecords === 3)
+
+    val loaded = spark.read.parquet(s"$outDir/lookup_codes_cd.parquet")
+    assert(loaded.schema === Schemas.lookupCodesCd.schema)
+    // '' → NULL typed load visible through the sink round-trip
+    assert(loaded.filter(col("code_id").isNull).count() === 1)
+    // gzip error side-channel written
+    val errs = spark.read.option("header", "true")
+      .csv(s"$outDir/lookup_codes_cd.errs.csv")
+    assert(errs.count() === 1)
+  }
+
+  test("multi-table update runs tables concurrently and all verify") {
+    val header = "CODE_TYPE\tCODE_ID\tCODE_DESC"
+    val dir = Files.createTempDirectory("multi").toString
+    val paths = (1 to 3).map { i =>
+      val p = s"$dir/t$i.tsv"
+      Files.writeString(java.nio.file.Paths.get(p),
+        s"$header\n$i\t${i * 100}\tDesc $i\n")
+      Schemas.lookupCodesCd.copy(name = s"t$i") -> p
+    }
+    val out = Files.createTempDirectory("multiout").toString
+    val results = Pipeline.update(spark, paths, out)
+    assert(results.size === 3)
+    assert(Pipeline.verify(results))
+  }
+}
