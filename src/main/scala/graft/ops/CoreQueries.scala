@@ -232,7 +232,40 @@ object CoreQueries {
       FROM events
     """))
 
+  /** §3.3 read path: the reference's consumers speak SQL (ORM → SQL →
+    * RDBMS); here the same ANSI text runs through spark.sql over
+    * registered views — CTE + window + join through the SQL frontend,
+    * verbatim-shared with the DuckDB oracle. */
+  val sqlSurface = GQuery(
+    "sql_surface",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("sql_surface_orders")
+      Tables.customer(s, d).createOrReplaceTempView("sql_surface_customer")
+      s.sql("""
+        WITH ranked AS (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+          FROM sql_surface_orders)
+        SELECT c_custkey, c_name, o_orderkey AS best_order, o_totalprice
+        FROM ranked JOIN sql_surface_customer ON o_custkey = c_custkey
+        WHERE rn = 1
+        ORDER BY c_custkey
+      """)
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        FROM orders)
+      SELECT c_custkey, c_name, o_orderkey AS best_order, o_totalprice
+      FROM ranked JOIN customer ON o_custkey = c_custkey
+      WHERE rn = 1
+      ORDER BY c_custkey
+    """))
+
   def all: Seq[GQuery] = Seq(q1Pricing, filterPred, loadTyped, decimalCast,
-    cleanSplitGood, cleanSplitBad, strClean, ingestPipeline)
+    cleanSplitGood, cleanSplitBad, strClean, ingestPipeline, sqlSurface)
 }
 
