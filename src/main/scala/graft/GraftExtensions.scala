@@ -1,0 +1,27 @@
+package graft
+
+import graft.functions.SimHash64
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension point: installs graft's native functions into any
+  * session built with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)` — the deployment-grade
+  * alternative to per-session `SimHash64.register`.
+  *
+  * A custom optimizer `Rule`/`SparkStrategy` slot is deliberately empty:
+  * every §2 operator plans well with Catalyst defaults (SURVEY §4's
+  * "custom Catalyst work needed: none" decision, re-validated by
+  * PlanSpec), so the extension surface carries only expressions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+  }
+}

