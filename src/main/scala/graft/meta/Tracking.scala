@@ -39,4 +39,31 @@ object Tracking {
     import spark.implicits._
     rows.toDF()
   }
+
+  /** ≙ RawDataVersion (`models/tracking.py:~130`): one row per export
+    * snapshot — release identity plus stage timings. Appended to a
+    * parquet run log so version history accumulates across updates. */
+  final case class RunVersion(
+      releaseDatetime: java.sql.Timestamp,
+      expectedSize: Long,
+      cleanStart: java.sql.Timestamp,
+      cleanFinish: java.sql.Timestamp,
+      loadRecords: Long,
+      errorRecords: Long)
+
+  def appendRunLog(spark: SparkSession, logPath: String,
+      version: RunVersion): Unit = {
+    import spark.implicits._
+    Seq(version).toDF().write.mode("append").parquet(logPath)
+  }
+
+  /** Latest version ≙ RawDataVersion.objects.latest('release_datetime'). */
+  def latestVersion(spark: SparkSession, logPath: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.orderBy(col("releaseDatetime").desc)
+    spark.read.parquet(logPath)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
 }
