@@ -173,6 +173,33 @@ object ScalarQueries {
       ORDER BY doc_id
     """))
 
+  /** F1–F3 extended family: padding, translate, replace, reverse,
+    * repeat, position — the remaining clean-layer string toolbox. */
+  val strFuncs2 = GQuery(
+    "str_funcs2",
+    (s, d) =>
+      Tables.nation(s, d)
+        .select(
+          col("n_nationkey"),
+          lpad(col("n_name"), 12, ".").as("padded"),
+          translate(col("n_name"), "AEIOU", "aeiou").as("translated"),
+          regexp_replace(col("n_name"), "A", "@").as("replaced"),
+          reverse(col("n_name")).as("reversed"),
+          repeat(substring(col("n_name"), 1, 2), 2).as("repeated"),
+          instr(col("n_name"), "A").cast(LongType).as("a_pos"))
+        .orderBy("n_nationkey"),
+    Some("""
+      SELECT n_nationkey,
+             lpad(n_name, 12, '.') AS padded,
+             translate(n_name, 'AEIOU', 'aeiou') AS translated,
+             replace(n_name, 'A', '@') AS replaced,
+             reverse(n_name) AS reversed,
+             repeat(substr(n_name, 1, 2), 2) AS repeated,
+             CAST(strpos(n_name, 'A') AS BIGINT) AS a_pos
+      FROM nation
+      ORDER BY n_nationkey
+    """))
+
   /** `choices=` enum decode (`models/campaign.py:~1900`,
     * `annotations/__init__.py:~60`): closed code set → documented meaning.
     * Inline `when().otherwise()` for tiny enums — constant-folded into the
@@ -206,6 +233,6 @@ object ScalarQueries {
       ORDER BY flag_desc, status_desc
     """))
 
-  def all: Seq[GQuery] = Seq(strFuncs, strSearch, dateTruncAgg, dateParts,
-    dateDiff, jsonExtract, jsonAgg, arrayOps, decodeEnum)
+  def all: Seq[GQuery] = Seq(strFuncs, strFuncs2, strSearch, dateTruncAgg,
+    dateParts, dateDiff, jsonExtract, jsonAgg, arrayOps, decodeEnum)
 }

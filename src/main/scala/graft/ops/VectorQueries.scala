@@ -141,5 +141,19 @@ object VectorQueries {
       ORDER BY ida, idb
     """))
 
-  def all: Seq[GQuery] = Seq(vecNorm, simTopk, simBucketed, simPairs)
+  /** X3 scale path, driver-visible: IVF search (8 cells, probe 3) for
+    * the neighbors of vec_id 0. Rows-only (IVF recall is approximate by
+    * construction); AnnSkewSpec pins full-probe == brute-force and this
+    * entry proves the index+query path runs end-to-end. */
+  val simIvf = GQuery(
+    "sim_ivf",
+    (s, d) => {
+      val index = Ann.build(Tables.embeddings(s, d), k = 8)
+      Ann.query(index, probeId = 0, topK = 5, nProbe = 3)
+        .select(col("rank"), col("neighbor_id"))
+        .orderBy("rank")
+    },
+    None)
+
+  def all: Seq[GQuery] = Seq(vecNorm, simTopk, simBucketed, simPairs, simIvf)
 }
