@@ -117,7 +117,83 @@ object Schemas {
         doc("Code description")))),
     uniqueKey = Seq("code_type", "code_id"))
 
-  val all: Seq[TableDef] = Seq(rcptCd, filerFilingsCd, lookupCodesCd)
+  /** ≙ SMRY_CD — per-filing summary totals (`models/common.py:~500`). */
+  val smryCd: TableDef = TableDef(
+    name = "smry_cd",
+    schema = StructType(Seq(
+      StructField("filing_id", LongType, nullable = true,
+        doc("Unique filing identification number")),
+      StructField("amend_id", LongType, nullable = true,
+        doc("Amendment identification number; 0 is the original")),
+      StructField("line_item", StringType, nullable = true,
+        doc("Line item number of this record")),
+      StructField("rec_type", StringType, nullable = true,
+        doc("Record type, always SMRY")),
+      StructField("form_type", StringType, nullable = true,
+        doc("Name of the summarized form or schedule")),
+      StructField("amount_a", DecimalType(16, 2), nullable = true,
+        doc("Summary amount from column A")),
+      StructField("amount_b", DecimalType(16, 2), nullable = true,
+        doc("Summary amount from column B")),
+      StructField("amount_c", DecimalType(16, 2), nullable = true,
+        doc("Summary amount from column C")))),
+    uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type",
+      "form_type"))
+
+  /** ≙ FILERNAME_CD — the filer directory (`models/common.py`), carries a
+    * datetime column exercising the P5 `M/d/yyyy h:mm:ss a` coercion. */
+  val filernameCd: TableDef = TableDef(
+    name = "filername_cd",
+    schema = StructType(Seq(
+      StructField("xref_filer_id", StringType, nullable = true,
+        doc("Crossreference filer identification number")),
+      StructField("filer_id", LongType, nullable = true,
+        doc("Filer unique identification number")),
+      StructField("filer_type", StringType, nullable = true,
+        doc("Type of the filer entity")),
+      StructField("status", StringType, nullable = true,
+        doc("Filer status (A active, …)")),
+      StructField("naml", StringType, nullable = true,
+        doc("Last name or full organization name")),
+      StructField("namf", StringType, nullable = true,
+        doc("First name")),
+      StructField("effect_dt", TimestampType, nullable = true,
+        doc("Effective datetime of the name record, " +
+          "M/D/YYYY H:MM:SS AM in the raw file")))),
+    uniqueKey = Seq("filer_id", "naml", "effect_dt"),
+    datetimeFields = Seq("effect_dt"))
+
+  /** ≙ EXPN_CD — itemized expenditures (`models/campaign.py`), the second
+    * big fact table; same shape class as rcpt_cd. */
+  val expnCd: TableDef = TableDef(
+    name = "expn_cd",
+    schema = StructType(Seq(
+      StructField("filing_id", LongType, nullable = true,
+        doc("Unique filing identification number")),
+      StructField("amend_id", LongType, nullable = true,
+        doc("Amendment identification number; 0 is the original")),
+      StructField("line_item", LongType, nullable = true,
+        doc("Line item number of this record")),
+      StructField("rec_type", StringType, nullable = true,
+        doc("Record type, always EXPN")),
+      StructField("form_type", StringType, nullable = true,
+        doc("Schedule of the form on which the expense is reported")),
+      StructField("payee_naml", StringType, nullable = true,
+        doc("Payee last name or organization name")),
+      StructField("payee_city", StringType, nullable = true,
+        doc("Payee city")),
+      StructField("expn_date", DateType, nullable = true,
+        doc("Date of the expenditure, M/D/YYYY in the raw file")),
+      StructField("amount", DecimalType(14, 2), nullable = true,
+        doc("Amount paid to the payee")),
+      StructField("expn_code", StringType, nullable = true,
+        doc("Expense code from the lookup-code domain")))),
+    uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type",
+      "form_type"),
+    dateFields = Seq("expn_date"))
+
+  val all: Seq[TableDef] =
+    Seq(rcptCd, filerFilingsCd, lookupCodesCd, smryCd, filernameCd, expnCd)
 
   def byName(name: String): TableDef =
     all.find(_.name == name).getOrElse(
