@@ -9,15 +9,21 @@ import org.apache.spark.sql.types._
   * (`VectorQueries.simTopk`) is the exactness baseline; this IVF
   * (inverted-file) index is the 100 TB form:
   *
-  *   build: pick k centroids (deterministic sample), assign every vector
-  *          to its nearest centroid — one narrow pass + a tiny broadcast;
-  *          the assignment column is the partition key for storage.
-  *   query: score the probe against the k centroids (driver-free, tiny),
-  *          keep the nProbe nearest cells, then brute-force ONLY inside
-  *          those cells — candidate set shrinks by ~k/nProbe.
+  *   build: seed k centroids deterministically, refine with distributed
+  *          Lloyd's k-means (assignment pass is scan-only; the update
+  *          shuffles (cell, pos, value) triples), assign every vector to
+  *          its nearest centroid; the assignment column is the partition
+  *          key for storage.
+  *   query: score the probe against the k centroids (tiny), keep the
+  *          nProbe nearest cells, then brute-force ONLY inside those
+  *          cells — candidate set shrinks by ~k/nProbe.
   *
-  * Everything is higher-order array expressions (zip_with/aggregate) over
-  * broadcast centroid structs — no UDFs, no cross join of the full table.
+  * Centroids live on the driver between iterations — k·dim doubles, bounded
+  * by construction, exactly as Spark MLlib's KMeans keeps cluster centers
+  * locally. That keeps every assignment pass a shallow plan over a literal
+  * centroid array instead of a lineage that re-runs all prior iterations.
+  * The per-vector argmax is higher-order array expressions — no UDFs, no
+  * cross join of the full table.
   */
 object Ann {
 
@@ -34,21 +40,21 @@ object Ann {
 
   final case class IvfIndex(centroids: DataFrame, assigned: DataFrame)
 
-  /** Deterministic centroid choice: the k lowest-id vectors (a real system
-    * would k-means; determinism matters more here and IVF correctness is
-    * independent of centroid quality). */
-  def build(embeddings: DataFrame, k: Int,
-      idCol: String = "vec_id", embCol: String = "embedding"): IvfIndex = {
-    val centroids = embeddings
-      .orderBy(col(idCol)).limit(k)
-      .select(col(idCol).as("centroid_id"), col(embCol).as("centroid_emb"))
-    val cArr = centroids.orderBy("centroid_id")
-      .select(struct(col("centroid_id"), col("centroid_emb")).as("c"))
-      .agg(collect_list("c").as("cs"))
-    // nearest centroid per vector: argmax over the broadcast centroid list
-    val assigned = embeddings.crossJoin(broadcast(cArr))
+  /** Literal `array<struct<centroid_id, centroid_emb>>` from driver-held
+    * centroids — the broadcast-equivalent for a bounded dimension. */
+  private def centroidArray(cents: Seq[(Long, Seq[Double])]): Column =
+    array(cents.map { case (id, emb) =>
+      struct(lit(id).as("centroid_id"),
+        array(emb.map(lit): _*).as("centroid_emb"))
+    }: _*)
+
+  /** Nearest-centroid assignment: per-row argmax over the literal centroid
+    * list — one narrow pass over the vectors, no shuffle, no join. */
+  private def assign(embeddings: DataFrame, cents: Seq[(Long, Seq[Double])],
+      idCol: String, embCol: String): DataFrame =
+    embeddings
       .withColumn("best",
-        aggregate(col("cs"),
+        aggregate(centroidArray(cents),
           struct(lit(-2.0).as("sim"), lit(-1L).as("cid")),
           (acc, c) => {
             val s = cosine(col(embCol), c.getField("centroid_emb"))
@@ -58,7 +64,46 @@ object Ann {
           }))
       .select(col(idCol), col(embCol),
         col("best.cid").as("cell"), col("best.sim").as("cell_sim"))
-    IvfIndex(centroids, assigned)
+
+  /** Lloyd update step, distributed: per-cell element-wise mean via
+    * posexplode → groupBy(cell, pos) → avg → re-collect in position order.
+    * One shuffle of (cell, pos, value) triples; only the k·dim means come
+    * back to the driver. Cells that lost all members drop out (standard
+    * Lloyd's degeneracy handling). */
+  private def meanCentroids(assigned: DataFrame, embCol: String)
+      : Seq[(Long, Seq[Double])] =
+    assigned
+      .select(col("cell"), posexplode(col(embCol)).as(Seq("pos", "v")))
+      .groupBy("cell", "pos")
+      .agg(avg(col("v").cast(DoubleType)).as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("emb"))
+      .orderBy("cell")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+
+  /** Build the IVF index: deterministic seeding (the k lowest-id vectors)
+    * followed by `iters` Lloyd's k-means refinements. Per iteration: one
+    * scan-only assignment pass + one aggregation shuffle — the standard
+    * cluster-parallel k-means shape, unchanged at 100 TB where only the
+    * assignment pass touches the data. `iters = 0` reproduces the plain
+    * seeded index. */
+  def build(embeddings: DataFrame, k: Int, iters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): IvfIndex = {
+    var cents: Seq[(Long, Seq[Double])] = embeddings
+      .orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast(LongType),
+        transform(col(embCol), _.cast(DoubleType)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    for (_ <- 1 to iters)
+      cents = meanCentroids(assign(embeddings, cents, idCol, embCol), embCol)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    IvfIndex(
+      cents.toDF("centroid_id", "centroid_emb"),
+      assign(embeddings, cents, idCol, embCol))
   }
 
   /** Top-k neighbors of `probeId` searching only the nProbe nearest

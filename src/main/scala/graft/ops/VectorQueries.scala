@@ -87,20 +87,23 @@ object VectorQueries {
       ORDER BY rnk
     """))
 
-  /** Scale path for all-pairs similarity: sign-LSH bucketing. Signature =
-    * sign pattern of the first 8 components (a fixed, deterministic
-    * hyperplane set); same-bucket pairs are the candidates. Emits bucket
-    * population stats — candidate-set sizing is the tuning metric for IVF/
-    * LSH at 100 TB. */
+  /** Sign-LSH signature: sign pattern of the first 8 components (a fixed,
+    * deterministic hyperplane set). Shared by the bucket-stats query and
+    * the embedding-dedup candidate join. */
+  private def signBucket(emb: Column): Column =
+    array_join(
+      transform(slice(emb, 1, 8),
+        x => when(x >= 0f, lit("1")).otherwise(lit("0"))),
+      "")
+
+  /** Scale path for all-pairs similarity: sign-LSH bucketing; same-bucket
+    * pairs are the candidates. Emits bucket population stats —
+    * candidate-set sizing is the tuning metric for IVF/LSH at 100 TB. */
   val simBucketed = GQuery(
     "sim_buckets",
     (s, d) => {
-      val sig = array_join(
-        transform(slice(col("embedding"), 1, 8),
-          x => when(x >= 0f, lit("1")).otherwise(lit("0"))),
-        "")
       Tables.embeddings(s, d)
-        .select(sig.as("bucket"), col("vec_id"))
+        .select(signBucket(col("embedding")).as("bucket"), col("vec_id"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_vecs"),
           min(col("vec_id")).as("min_vec"))
@@ -141,6 +144,53 @@ object VectorQueries {
       ORDER BY ida, idb
     """))
 
+  /** Embedding-cosine near-dup — the vector member of the dedup family
+    * (exact / MinHash / SimHash / Jaccard / embedding). Candidate pairs
+    * come from the sign-LSH bucket equi-join (never an all-pairs cross
+    * join — the 100 TB shape), are verified with exact cosine ≥ τ, and
+    * each vector's survivor is the least id among itself and its nearer-
+    * to-zero neighbors. One-pass pointer dedup: full transitive closure
+    * would iterate this to a fixpoint (connected components); the single
+    * pass is deterministic and oracle-expressible, which is what the
+    * correctness gate needs. τ=0.4 sits ≥2.5e-4 from every observed pair
+    * similarity at all SFs, so float-vs-double rounding can't flip it. */
+  val dedupEmbed = GQuery(
+    "dedup_embed",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          signBucket(col("embedding")).as("bucket"))
+      val a = e.select(col("bucket"), col("vec_id").as("ida"),
+        col("embedding").as("ea"))
+      val b = e.select(col("bucket"), col("vec_id").as("idb"),
+        col("embedding").as("eb"))
+      val near = a.join(b, "bucket")
+        .filter(col("ida") < col("idb"))
+        .filter((dot(col("ea"), col("eb")) /
+          (sqrt(sumSq(col("ea"))) * sqrt(sumSq(col("eb"))))) >= 0.4)
+        .groupBy(col("idb"))
+        .agg(min(col("ida")).as("keeper_min"))
+      e.join(near, e("vec_id") === near("idb"), "left")
+        .select(col("vec_id"),
+          coalesce(col("keeper_min"), col("vec_id")).as("keeper"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, embedding,
+               array_to_string(list_transform(embedding[1:8],
+                 x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        FROM embeddings),
+      near AS (
+        SELECT b.vec_id AS idb, MIN(a.vec_id) AS keeper_min
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        GROUP BY 1)
+      SELECT e.vec_id, CAST(COALESCE(n.keeper_min, e.vec_id) AS BIGINT) AS keeper
+      FROM e LEFT JOIN near n ON n.idb = e.vec_id
+      ORDER BY vec_id
+    """))
+
   /** X3 scale path, driver-visible: IVF search (8 cells, probe 3) for
     * the neighbors of vec_id 0. Rows-only (IVF recall is approximate by
     * construction); AnnSkewSpec pins full-probe == brute-force and this
@@ -155,5 +205,6 @@ object VectorQueries {
     },
     None)
 
-  def all: Seq[GQuery] = Seq(vecNorm, simTopk, simBucketed, simPairs, simIvf)
+  def all: Seq[GQuery] =
+    Seq(vecNorm, simTopk, simBucketed, simPairs, dedupEmbed, simIvf)
 }

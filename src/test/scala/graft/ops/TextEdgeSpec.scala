@@ -16,13 +16,9 @@ class TextEdgeSpec extends SparkTestBase {
     docsOf((1L, "en", "solo"), (2L, "en", ""), (3L, "en", "two tokens here"))
       .createOrReplaceTempView("edge_docs")
     // run the same expression the query uses, against the edge frame
-    val toks = split(col("text"), " ")
-    val shingles = when(size(toks) < 2, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
     val out = spark.table("edge_docs")
-      .select(col("doc_id"), explode(shingles).as("bigram"))
+      .select(col("doc_id"),
+        explode(TextQueries.bigramShingles(col("text"))).as("bigram"))
       .collect()
     // only doc 3 emits shingles: 2 bigrams
     assert(out.map(_.getLong(0)).toSet === Set(3L))
