@@ -265,7 +265,37 @@ object CoreQueries {
       ORDER BY c_custkey
     """))
 
+  /** Correlated scalar subquery through the SQL frontend — Catalyst's
+    * RewriteCorrelatedScalarSubquery decorrelates it into an aggregate +
+    * join (SURVEY §4), so the executed plan is the same shuffle-agg +
+    * broadcast-join shape we'd write by hand; the query proves the
+    * frontend surface, not a new physical operator. Safe on doubles here:
+    * the closest price-to-brand-mean gap in the data is ~9e-3, far above
+    * any summation-order ulp. */
+  val subqueryCorr = GQuery(
+    "subquery_corr",
+    (s, d) => {
+      Tables.part(s, d).createOrReplaceTempView("subq_part")
+      s.sql("""
+        SELECT p_partkey, p_brand, p_retailprice
+        FROM subq_part p
+        WHERE p_retailprice > (SELECT AVG(p2.p_retailprice)
+                               FROM subq_part p2
+                               WHERE p2.p_brand = p.p_brand)
+        ORDER BY p_partkey
+      """)
+    },
+    Some("""
+      SELECT p_partkey, p_brand, p_retailprice
+      FROM part p
+      WHERE p_retailprice > (SELECT AVG(p2.p_retailprice)
+                             FROM part p2
+                             WHERE p2.p_brand = p.p_brand)
+      ORDER BY p_partkey
+    """))
+
   def all: Seq[GQuery] = Seq(q1Pricing, filterPred, loadTyped, decimalCast,
-    cleanSplitGood, cleanSplitBad, strClean, ingestPipeline, sqlSurface)
+    cleanSplitGood, cleanSplitBad, strClean, ingestPipeline, sqlSurface,
+    subqueryCorr)
 }
 

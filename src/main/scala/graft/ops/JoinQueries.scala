@@ -152,6 +152,50 @@ object JoinQueries {
       ORDER BY r_name
     """))
 
+  /** As-of join (extension — the reference has only equi-joins, but a
+    * temporal training pipeline needs this constantly): for every purchase
+    * event, the most recent click by the same user at or before it.
+    *
+    * Not implemented as a range join (quadratic candidates) — the
+    * union-then-running-max form shuffles once on user_id and computes the
+    * as-of match with a RANGE-frame window, so equal-timestamp matches are
+    * included deterministically regardless of row order. At 100 TB this is
+    * the canonical shape: one exchange, no per-row probing. */
+  val joinAsof = GQuery(
+    "join_asof",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).filter(col("user_id") < 50)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("last_click_ts",
+          max(when(col("event_type") === "click", col("ts"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"),
+          col("last_click_ts"),
+          (unix_micros(col("ts")) - unix_micros(col("last_click_ts")))
+            .cast(LongType).as("gap_us"))
+        .orderBy("user_id", "purchase_ts")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, ts, event_type FROM events WHERE user_id < 50),
+      m AS (
+        SELECT user_id, ts, event_type,
+               MAX(CASE WHEN event_type = 'click' THEN ts END) OVER
+                 (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS last_click_ts
+        FROM ev)
+      SELECT user_id, ts AS purchase_ts, last_click_ts,
+             CAST(epoch_us(ts) - epoch_us(last_click_ts) AS BIGINT) AS gap_us
+      FROM m
+      WHERE event_type = 'purchase'
+      ORDER BY user_id, purchase_ts
+    """))
+
   def all: Seq[GQuery] =
-    Seq(joinInner, joinBroadcast, joinLeft, joinSemi, joinAnti, joinStar)
+    Seq(joinInner, joinBroadcast, joinLeft, joinSemi, joinAnti, joinStar,
+      joinAsof)
 }
