@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** §2.9 Structured Streaming wrappers (T1–T5). The reference is
   * batch-only; these give its aggregation semantics a streaming form.
@@ -52,4 +53,55 @@ object StreamRunner {
     events
       .withWatermark("ts", watermark)
       .dropDuplicates("event_id")
+
+  /** Custom keyed state through `KeyValueGroupedDataset
+    * .flatMapGroupsWithState` — the surface the built-in window aggs can't
+    * express: an arbitrary per-key accumulator with explicit timeout-driven
+    * eviction. Emits each user's updated running (count, value-total) on
+    * every batch that touches the user; state for a user evicts one hour
+    * of event time after their last event passes the watermark, so state
+    * size stays bounded by the set of users active in the watermark
+    * horizon — the property that keeps this runnable on an unbounded
+    * stream. Works identically on a static Dataset (one batch, one update
+    * per user), which is how the spec cross-checks it. */
+  def runningUserTotals(events: Dataset[StreamRunner.UserEvent],
+      watermark: String = "1 hour"): Dataset[StreamRunner.UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, evs: Iterator[StreamRunner.UserEvent],
+            state: GroupState[StreamRunner.UserTotals]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption
+              .getOrElse(StreamRunner.UserTotals(uid, 0L, 0.0))
+            var n = prev.n_events
+            var tot = prev.total_value
+            var maxTs = Long.MinValue
+            evs.foreach { e =>
+              n += 1; tot += e.value
+              maxTs = math.max(maxTs, e.ts.getTime)
+            }
+            val next = StreamRunner.UserTotals(uid, n, tot)
+            state.update(next)
+            if (maxTs > Long.MinValue)
+              state.setTimeoutTimestamp(maxTs + 3600000L)
+            Iterator.single(next)
+          }
+        })
+  }
+
+  /** Typed event row for the custom-state path (object-nested so Spark
+    * can derive its Encoder — no outer instance). */
+  final case class UserEvent(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+
+  /** Per-user accumulator state = emitted update record. */
+  final case class UserTotals(user_id: Long, n_events: Long,
+      total_value: Double)
 }

@@ -57,6 +57,40 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.toSeq === static.toSeq)
   }
 
+  test("flatMapGroupsWithState accumulates per-user totals across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[Ev]
+    val sink = s"state_sink_${System.nanoTime()}"
+    val typed = (df: org.apache.spark.sql.DataFrame) =>
+      StreamRunner.runningUserTotals(
+        df.as[StreamRunner.UserEvent])
+    val q = typed(source.toDF())
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("update").start()
+    val (first, second) = mkEvents.splitAt(120)
+    source.addData(first: _*)
+    q.processAllAvailable()
+    source.addData(second: _*)
+    q.processAllAvailable()
+    q.stop()
+    // last update per user = final accumulated state
+    val finalTotals = spark.table(sink)
+      .groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("total_value")).as("total_value"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val expected = mkEvents.groupBy(_.user_id).map { case (u, evs) =>
+      u -> (evs.size.toLong, evs.map(_.value).sum)
+    }
+    assert(finalTotals.keySet === expected.keySet)
+    for ((u, (n, tot)) <- expected) {
+      assert(finalTotals(u)._1 === n, s"count for user $u")
+      assert(math.abs(finalTotals(u)._2 - tot) < 1e-6, s"total for user $u")
+    }
+  }
+
   test("stateful dedup drops replayed event_ids across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
