@@ -194,6 +194,34 @@ object AggQueries {
       ORDER BY user_id
     """))
 
+  /** PIVOT: events per day × event_type as a wide report. Pivot values
+    * are declared explicitly — at scale that skips the extra
+    * distinct-discovery job Spark otherwise runs, keeps the output schema
+    * static, and bounds the column fan-out; it compiles to one pass of
+    * conditional aggregation (the same plan as A8). */
+  val aggPivot = GQuery(
+    "agg_pivot",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("event_type"))
+        .groupBy("day")
+        .pivot("event_type",
+          Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .na.fill(0L)
+        .orderBy("day"),
+    Some("""
+      SELECT CAST(ts AS DATE) AS day,
+             COUNT(*) FILTER (event_type = 'click') AS click,
+             COUNT(*) FILTER (event_type = 'view') AS view,
+             COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+             COUNT(*) FILTER (event_type = 'signup') AS signup,
+             COUNT(*) FILTER (event_type = 'error') AS error
+      FROM events
+      GROUP BY 1
+      ORDER BY day
+    """))
+
   def all: Seq[GQuery] = Seq(aggCount, aggGroup, aggMinmax, aggDistinct,
-    aggApproxDistinct, aggAvg, aggRollup, aggCube, aggConditional)
+    aggApproxDistinct, aggAvg, aggRollup, aggCube, aggConditional, aggPivot)
 }
