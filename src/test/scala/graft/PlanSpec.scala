@@ -57,4 +57,34 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("embedding dedup candidates come from the bucket equi-join") {
+    val p = plan("dedup_embed")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("correlated scalar subquery decorrelates into aggregate + join") {
+    val p = plan("subquery_corr")
+    // no per-row subquery survives optimization
+    assert(!p.toLowerCase.contains("scalarsubquery"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("as-of join is one exchange, no range-join nested loop") {
+    val p = plan("join_asof")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly two exchanges: hash by user for the window + range for the
+    // final presentation sort — the as-of logic itself shuffles once
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size === 2, p)
+  }
+
+  test("pivot with declared values reads the data once — no discovery job") {
+    val p = plan("agg_pivot")
+    // one scan; the two-level pivot aggregation (group by (day,type),
+    // then pivot-first per day) is plan-internal, not an extra data pass
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size === 1, p)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 3, p)
+  }
 }
