@@ -170,6 +170,75 @@ object DedupQueries {
       ORDER BY doc_id
     """))
 
+  /** End-to-end MinHash dedup: LSH candidates → exact-Jaccard verify
+    * (≥ 0.5) → least-id survivor per doc. This is the full LLM-corpus
+    * near-dup pipeline in one query — candidate generation by band
+    * equi-join (never all-pairs), verification only on candidates, and a
+    * deterministic keeper. The Jaccard value is a single division of
+    * exact small integers, so Spark and DuckDB produce bit-identical
+    * doubles and the ≥ τ cut can't diverge even on exact ties. */
+  val dedupMinhashVerify = GQuery(
+    "dedup_minhash_verify",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+      val toksOf = docs.select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+      val inter = size(array_intersect(col("ta"), col("tb")))
+      val verified = minhashCandidates(docs)
+        .join(toksOf.select(col("doc_id").as("ida"), col("toks").as("ta")),
+          "ida")
+        .join(toksOf.select(col("doc_id").as("idb"), col("toks").as("tb")),
+          "idb")
+        .filter((inter.cast(DoubleType) /
+          (size(col("ta")) + size(col("tb")) - inter)) >= 0.5)
+        .groupBy(col("idb"))
+        .agg(min(col("ida")).as("keeper_min"))
+      docs.select(col("doc_id"))
+        .join(verified, col("doc_id") === col("idb"), "left")
+        .select(col("doc_id"),
+          coalesce(col("keeper_min"), col("doc_id")).as("keeper"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH dtoks AS (
+        SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id < 100),
+      sigs AS (
+        SELECT doc_id,
+               MIN(md5('0:' || tok)) AS s0, MIN(md5('1:' || tok)) AS s1,
+               MIN(md5('2:' || tok)) AS s2, MIN(md5('3:' || tok)) AS s3,
+               MIN(md5('4:' || tok)) AS s4, MIN(md5('5:' || tok)) AS s5,
+               MIN(md5('6:' || tok)) AS s6, MIN(md5('7:' || tok)) AS s7
+        FROM dtoks GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 0 AS band_idx, md5(s0 || s1) AS band_key FROM sigs
+        UNION ALL SELECT doc_id, 1, md5(s2 || s3) FROM sigs
+        UNION ALL SELECT doc_id, 2, md5(s4 || s5) FROM sigs
+        UNION ALL SELECT doc_id, 3, md5(s6 || s7) FROM sigs),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id),
+      tsets AS (
+        SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks
+        FROM documents WHERE doc_id < 100),
+      ver AS (
+        SELECT idb, MIN(ida) AS keeper_min
+        FROM cand
+        JOIN tsets ta ON ta.doc_id = ida
+        JOIN tsets tb ON tb.doc_id = idb
+        WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
+              (len(ta.toks) + len(tb.toks)
+               - len(list_intersect(ta.toks, tb.toks))) >= 0.5
+        GROUP BY 1)
+      SELECT d.doc_id, CAST(COALESCE(v.keeper_min, d.doc_id) AS BIGINT) AS keeper
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
+      LEFT JOIN ver v ON v.idb = d.doc_id
+      ORDER BY doc_id
+    """))
+
   def all: Seq[GQuery] =
-    Seq(dedupMinhashSig, dedupMinhashLsh, dedupSimhash, dedupMinhashFast)
+    Seq(dedupMinhashSig, dedupMinhashLsh, dedupSimhash, dedupMinhashFast,
+      dedupMinhashVerify)
 }
