@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.SimHash64
+import graft.functions.{MinHash64, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -23,5 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("minhash64"),
+      new ExpressionInfo(classOf[MinHash64].getName, "minhash64"),
+      (exprs: Seq[Expression]) => MinHash64(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int])))
   }
 }
