@@ -21,4 +21,19 @@ class GraftExtensionsSpec extends SparkTestBase {
       .select(graft.functions.SimHash64.simhash64(col("t"))).head().getLong(0)
     assert(out === viaColumn)
   }
+
+  test("extension injects minhash64; SQL and Column paths agree") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    graft.functions.MinHash64.register(spark)
+    val viaSql = spark.sql(
+      "SELECT minhash64(array('a','b','c'), 4) AS sig").head().getSeq[Long](0)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val viaColumn = Seq(Seq("a", "b", "c")).toDF("t")
+      .select(graft.functions.MinHash64.minhash64(col("t"), 4))
+      .head().getSeq[Long](0)
+    assert(viaSql.length === 4)
+    assert(viaSql === viaColumn)
+  }
 }
