@@ -106,6 +106,24 @@ object Ann {
       assign(embeddings, cents, idCol, embCol))
   }
 
+  /** Persist the index with the inverted lists as partition directories:
+    * `assigned` partitioned by cell, centroids as a tiny side table. A
+    * probe that keeps nProbe cells then touches only those directories —
+    * on the loaded index the cell restriction becomes (dynamic) partition
+    * pruning, so at 100 TB a query reads nProbe/k of the data no matter
+    * how large the corpus grows. */
+  def save(index: IvfIndex, path: String): Unit = {
+    index.assigned.write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$path/assigned")
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a saved index; `query` on it prunes to the probed cells. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
+    IvfIndex(
+      spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/assigned"))
+
   /** Top-k neighbors of `probeId` searching only the nProbe nearest
     * cells. Returns (neighbor_id, sim, rank). */
   def query(index: IvfIndex, probeId: Long, topK: Int, nProbe: Int,

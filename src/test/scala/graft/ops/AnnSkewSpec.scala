@@ -37,6 +37,20 @@ class AnnSkewSpec extends SparkTestBase {
     assigned.unpersist()
   }
 
+  test("saved IVF index prunes to the probed cell partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    Ann.save(Ann.build(emb, k = 8), dir)
+    val loaded = Ann.load(spark, dir)
+    val q = Ann.query(loaded, probeId = 0, topK = 5, nProbe = 3)
+    // correctness: results exist and ranks are 1..n
+    val ranks = q.select("rank").collect().map(_.getLong(0)).sorted
+    assert(ranks.nonEmpty && ranks.head === 1L)
+    // the cell restriction reaches the scan as partition pruning
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.toLowerCase.contains("dynamicpruning"), plan)
+  }
+
   test("salted aggregate equals plain aggregate") {
     val li = graft.Tables.lineitem(spark, sf)
     val salted = Skew.saltedAggregate(li, Seq("l_returnflag"), salts = 8,
