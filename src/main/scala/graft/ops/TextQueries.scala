@@ -263,6 +263,33 @@ object TextQueries {
       ORDER BY lang, rn
     """))
 
+  /** Reproducible train/val/test assignment by content-key hash — the
+    * standard split mechanism for a training corpus at scale: no RNG
+    * state, no shuffle, stable under re-runs, appends, and repartitioning
+    * (a doc's split depends only on its id). First md5 byte partitions
+    * the space ~80/10/10 ('cc'=204, 'e6'=230 of 256); the hex-string
+    * comparison is equivalent to the numeric one and identical in both
+    * engines, so the split is oracle-exact. */
+  val splitHash = GQuery(
+    "split_hash",
+    (s, d) => {
+      val b = substring(md5(col("doc_id").cast(StringType)), 1, 2)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          when(b < "cc", lit("train"))
+            .when(b < "e6", lit("val"))
+            .otherwise(lit("test")).as("split"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, lang,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+      ORDER BY doc_id
+    """))
+
   def all: Seq[GQuery] = Seq(textTokens, tokenCount, textQuality, langId,
-    docFingerprint, dedupExact, dedupJaccard, textBigrams)
+    docFingerprint, dedupExact, dedupJaccard, textBigrams, splitHash)
 }
