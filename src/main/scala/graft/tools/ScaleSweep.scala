@@ -39,7 +39,9 @@ object ScaleSweep {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_pricing", "filter_pred", "agg_group", "join_star",
         "topk_group", "win_latest", "dedup_exact", "text_bigrams",
-        "dedup_minhash_lsh", "dedup_embed", "sim_topk", "stream_session")
+        "dedup_minhash_lsh", "dedup_embed", "sim_topk", "stream_session",
+        "join_asof", "subquery_corr", "agg_pivot", "dedup_minhash_verify",
+        "split_hash")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
