@@ -3,43 +3,36 @@
 
 Usage: python3 scripts/selfcheck.py <sfDir> <verifyOutDir>
 
-Reads each <verifyOutDir>/<name>/ parquet (Spark output), runs the matching
-oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB (views named after
-the testdata tables over <sfDir>/*.parquet), and compares:
-  - row count
-  - column names (sorted)
-  - values: rows sorted by all columns, cell-by-cell (exact; floats via repr)
-Exit code 0 iff every query matches.
+Emulates the driver's compare pipeline as closely as we can observe it:
+  - Spark side read with pandas/pyarrow (pd.read_parquet) — decimals come
+    back as decimal.Decimal objects, timestamps keep their parquet unit.
+  - Oracle side read with duckdb .df() — DECIMAL becomes float64.
+  - Columns sorted by name, every cell stringified, rows sorted, compared.
+This catches the dtype-level drift the old DuckDB-level compare missed
+(e.g. Decimal('12.30') vs 12.3 stringify differently → driver hash
+mismatch).  Rows-only queries (no oracle) are still sorted+hashed to prove
+the driver can process them (arrays/structs in cells would crash it).
+Exit code 0 iff every query matches and every rows-only dump is hashable.
 """
 import json
-import math
 import sys
 from pathlib import Path
 
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(v):
-    if v is None:
-        return "\x00NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    if isinstance(v, list):
-        return "[" + ",".join(canon(x) for x in v) + "]"
-    return str(v)
-
-
-def frame_key(names, rows):
-    order = sorted(range(len(names)), key=lambda i: names[i])
-    out = []
-    for r in rows:
-        out.append("|".join(canon(r[i]) for i in order))
-    return sorted(out)
+def frame_key(df):
+    """Driver-style canonical form: columns sorted by name, cells
+    stringified, rows sorted."""
+    df = df[sorted(df.columns)]
+    if len(df) == 0:
+        return []
+    rows = df.astype(str).apply(lambda r: "|".join(r), axis=1).tolist()
+    return sorted(rows)
 
 
 def main():
@@ -56,39 +49,42 @@ def main():
         if not qdir.is_dir():
             continue
         name = qdir.name
-        spark_rel = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
-        s_names = list(spark_rel.columns)
-        s_types = [str(t) for t in spark_rel.types]
-        s_rows = spark_rel.fetchall()
+        sdf = pd.read_parquet(qdir)
         if name not in oracles:
-            print(f"[rows-only] {name}: {len(s_rows)} rows (no oracle)")
+            # still prove the driver can sort/hash it (no array cells etc.)
+            try:
+                frame_key(sdf)
+                print(f"[rows-only] {name}: {len(sdf)} rows (no oracle)")
+            except Exception as e:
+                failures.append((name, f"rows-only dump not hashable: {e}"))
             continue
         n_checked += 1
         try:
-            orel = con.sql(oracles[name])
-            o_names = list(orel.columns)
-            o_types = [str(t) for t in orel.types]
-            o_rows = orel.fetchall()
+            odf = con.sql(oracles[name]).df()
         except Exception as e:
             failures.append((name, f"oracle SQL error: {e}"))
             continue
-        if sorted(s_names) != sorted(o_names):
-            failures.append((name, f"columns differ: spark={sorted(s_names)} oracle={sorted(o_names)}"))
+        if sorted(sdf.columns) != sorted(odf.columns):
+            failures.append((name, f"columns differ: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"))
             continue
-        st = dict(zip(s_names, s_types))
-        ot = dict(zip(o_names, o_types))
-        tdiff = {c: (st[c], ot[c]) for c in st if st[c] != ot[c]}
+        sd = {c: str(sdf[c].dtype) for c in sdf.columns}
+        od = {c: str(odf[c].dtype) for c in odf.columns}
+        tdiff = {c: (sd[c], od[c]) for c in sd if sd[c] != od[c]}
         if tdiff:
-            print(f"[type-warn] {name}: {tdiff}")
-        if len(s_rows) != len(o_rows):
-            failures.append((name, f"row count: spark={len(s_rows)} oracle={len(o_rows)}"))
+            print(f"[dtype-warn] {name}: {tdiff}")
+        if len(sdf) != len(odf):
+            failures.append((name, f"row count: spark={len(sdf)} oracle={len(odf)}"))
             continue
-        sk, ok = frame_key(s_names, s_rows), frame_key(o_names, o_rows)
+        try:
+            sk, ok = frame_key(sdf), frame_key(odf)
+        except Exception as e:
+            failures.append((name, f"not hashable: {e}"))
+            continue
         if sk != ok:
             bad = next((i, a, b) for i, (a, b) in enumerate(zip(sk, ok)) if a != b)
             failures.append((name, f"value mismatch at sorted row {bad[0]}:\n  spark : {bad[1][:300]}\n  oracle: {bad[2][:300]}"))
             continue
-        print(f"[OK] {name}: {len(s_rows)} rows")
+        print(f"[OK] {name}: {len(sdf)} rows")
     print(f"\n{n_checked} oracle-checked, {len(failures)} failures")
     for name, msg in failures:
         print(f"[FAIL] {name}: {msg}")

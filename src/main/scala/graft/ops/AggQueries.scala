@@ -10,9 +10,13 @@ import org.apache.spark.sql.types._
   *
   * Determinism rules (SURVEY §5.2): money is summed as DECIMAL (exact,
   * order-independent); averages are derived from the exact decimal sum by
-  * one double division then a decimal cast, so partial-aggregation order
-  * can never change the hash. All aggregates get explicit output casts so
-  * Spark and DuckDB agree on types, not just values.
+  * one double division, so partial-aggregation order can never change the
+  * hash. The FINAL projection casts decimal results to DOUBLE on both
+  * sides: pyarrow renders parquet decimals as `Decimal('12.30')` (trailing
+  * zeros) while DuckDB's pandas bridge renders DECIMAL as float64
+  * (`12.3`), so a decimal output column hash-mismatches whenever any value
+  * has a trailing zero at its scale. The exact decimal is identical in
+  * both engines, hence its nearest-double is bit-identical too.
   *
   * Scale: hash aggregation with map-side partials means the shuffle moves
   * |groups| rows, not |input| — these plans are 100 TB-safe as written.
@@ -35,11 +39,11 @@ object AggQueries {
         .agg(
           count(lit(1)).as("cnt"),
           sum(col("value").cast(DecimalType(14, 2)))
-            .cast(DecimalType(38, 2)).as("sum_value"))
+            .cast(DecimalType(38, 2)).cast(DoubleType).as("sum_value"))
         .orderBy("event_type"),
     Some("""
       SELECT event_type, COUNT(*) AS cnt,
-             CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DECIMAL(38,2)) AS sum_value
+             CAST(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
       FROM events
       GROUP BY event_type
       ORDER BY event_type
@@ -55,15 +59,15 @@ object AggQueries {
           min(col("o_orderdate")).as("first_date"),
           max(col("o_orderdate")).as("last_date"),
           min(col("o_totalprice").cast(DecimalType(14, 2)))
-            .cast(DecimalType(14, 2)).as("min_price"),
+            .cast(DoubleType).as("min_price"),
           max(col("o_totalprice").cast(DecimalType(14, 2)))
-            .cast(DecimalType(14, 2)).as("max_price"))
+            .cast(DoubleType).as("max_price"))
         .orderBy("o_orderstatus"),
     Some("""
       SELECT o_orderstatus,
              MIN(o_orderdate) AS first_date, MAX(o_orderdate) AS last_date,
-             CAST(MIN(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS min_price,
-             CAST(MAX(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS max_price
+             CAST(MIN(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS min_price,
+             CAST(MAX(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS max_price
       FROM orders
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus
@@ -112,12 +116,11 @@ object AggQueries {
         .select(
           col("c_mktsegment"),
           col("cnt"),
-          (col("raw_sum").cast(DoubleType) / col("cnt"))
-            .cast(DecimalType(38, 6)).as("avg_bal"))
+          (col("raw_sum").cast(DoubleType) / col("cnt")).as("avg_bal"))
         .orderBy("c_mktsegment"),
     Some("""
       SELECT c_mktsegment, COUNT(*) AS cnt,
-             CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DECIMAL(38,6)) AS avg_bal
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
       FROM customer
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment
@@ -133,7 +136,7 @@ object AggQueries {
         .rollup(col("c_mktsegment"), col("c_nationkey"))
         .agg(count(lit(1)).as("cnt"),
           sum(col("c_acctbal").cast(DecimalType(18, 2)))
-            .cast(DecimalType(38, 2)).as("sum_bal"))
+            .cast(DecimalType(38, 2)).cast(DoubleType).as("sum_bal"))
         .select(
           coalesce(col("c_mktsegment"), lit("<ALL>")).as("seg"),
           coalesce(col("c_nationkey").cast(StringType), lit("<ALL>")).as("nk"),
@@ -143,7 +146,7 @@ object AggQueries {
       SELECT COALESCE(c_mktsegment, '<ALL>') AS seg,
              COALESCE(CAST(c_nationkey AS VARCHAR), '<ALL>') AS nk,
              COUNT(*) AS cnt,
-             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_bal
+             CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_bal
       FROM customer
       GROUP BY ROLLUP(c_mktsegment, c_nationkey)
       ORDER BY seg, nk

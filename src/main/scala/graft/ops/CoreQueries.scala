@@ -36,20 +36,19 @@ object CoreQueries {
           count(lit(1)).as("cnt"))
         .select(
           col("l_returnflag"), col("l_linestatus"),
-          col("raw_qty").cast(DecimalType(38, 2)).as("sum_qty"),
-          col("raw_base").cast(DecimalType(38, 2)).as("sum_base"),
-          col("raw_disc").cast(DecimalType(38, 4)).as("sum_disc"),
-          (col("raw_qty").cast(DoubleType) / col("cnt"))
-            .cast(DecimalType(38, 6)).as("avg_qty"),
+          col("raw_qty").cast(DoubleType).as("sum_qty"),
+          col("raw_base").cast(DoubleType).as("sum_base"),
+          col("raw_disc").cast(DoubleType).as("sum_disc"),
+          (col("raw_qty").cast(DoubleType) / col("cnt")).as("avg_qty"),
           col("cnt"))
         .orderBy("l_returnflag", "l_linestatus")
     },
     Some("""
       SELECT l_returnflag, l_linestatus,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base,
-             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc,
-             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DECIMAL(38,6)) AS avg_qty,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
              COUNT(*) AS cnt
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -92,7 +91,8 @@ object CoreQueries {
         .select(
           col("event_id"),
           col("ts").cast(DateType).as("event_date"),
-          col("value").cast(DecimalType(14, 2)).as("value_dec"),
+          col("value").cast(DecimalType(14, 2)).cast(DoubleType)
+            .as("value_dec"),
           when(trim(col("event_type")) === "", lit(null))
             .otherwise(col("event_type")).as("etype"),
           col("user_id").cast(LongType).as("uid"))
@@ -100,7 +100,7 @@ object CoreQueries {
     Some("""
       SELECT event_id,
              CAST(ts AS DATE) AS event_date,
-             CAST(value AS DECIMAL(14,2)) AS value_dec,
+             CAST(CAST(value AS DECIMAL(14,2)) AS DOUBLE) AS value_dec,
              NULLIF(TRIM(event_type), '') AS etype,
              CAST(user_id AS BIGINT) AS uid
       FROM events
@@ -116,13 +116,13 @@ object CoreQueries {
         .select(col("l_returnflag"),
           col("l_extendedprice").cast(DecimalType(14, 2)).as("price"))
         .groupBy("l_returnflag")
-        .agg(sum(col("price")).cast(DecimalType(38, 2)).as("sum_price"),
-          max(col("price")).cast(DecimalType(14, 2)).as("max_price"))
+        .agg(sum(col("price")).cast(DoubleType).as("sum_price"),
+          max(col("price")).cast(DoubleType).as("max_price"))
         .orderBy("l_returnflag"),
     Some("""
       SELECT l_returnflag,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(38,2)) AS sum_price,
-             CAST(MAX(CAST(l_extendedprice AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS max_price
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price,
+             CAST(MAX(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS max_price
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag
@@ -218,14 +218,14 @@ object CoreQueries {
       val typed = Load.load(tdef, cleaned.good)
       typed.agg(
         count(lit(1)).as("n_good"),
-        sum(col("value")).cast(DecimalType(38, 2)).as("sum_value"),
+        sum(col("value")).cast(DoubleType).as("sum_value"),
         min(col("ev_date")).as("min_date"),
         max(col("ev_date")).as("max_date"))
         .crossJoin(cleaned.bad.agg(count(lit(1)).as("n_bad")))
     },
     Some("""
       SELECT CAST(COUNT(*) FILTER (WHERE event_id % 97 <> 0) AS BIGINT) AS n_good,
-             CAST(SUM(CAST(value AS DECIMAL(14,2))) FILTER (WHERE event_id % 97 <> 0) AS DECIMAL(38,2)) AS sum_value,
+             CAST(SUM(CAST(value AS DECIMAL(14,2))) FILTER (WHERE event_id % 97 <> 0) AS DOUBLE) AS sum_value,
              MIN(CAST(ts AS DATE)) FILTER (WHERE event_id % 97 <> 0) AS min_date,
              MAX(CAST(ts AS DATE)) FILTER (WHERE event_id % 97 <> 0) AS max_date,
              CAST(COUNT(*) FILTER (WHERE event_id % 97 = 0) AS BIGINT) AS n_bad

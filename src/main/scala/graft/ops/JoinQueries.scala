@@ -47,11 +47,11 @@ object JoinQueries {
         .agg(
           count(lit(1)).as("cnt"),
           sum(col("l_extendedprice").cast(DecimalType(18, 2)))
-            .cast(DecimalType(38, 2)).as("sum_price"))
+            .cast(DecimalType(38, 2)).cast(DoubleType).as("sum_price"))
         .orderBy("n_name"),
     Some("""
       SELECT n_name, COUNT(*) AS cnt,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation ON s_nationkey = n_nationkey
@@ -73,11 +73,11 @@ object JoinQueries {
           count(col("o_orderkey")).as("n_orders"),
           coalesce(sum(col("o_totalprice").cast(DecimalType(18, 2))),
             lit(0).cast(DecimalType(18, 2)))
-            .cast(DecimalType(38, 2)).as("sum_spend"))
+            .cast(DecimalType(38, 2)).cast(DoubleType).as("sum_spend"))
         .orderBy("c_custkey"),
     Some("""
       SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
-             CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(38,2)) AS sum_spend
+             CAST(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(38,2)) AS DOUBLE) AS sum_spend
       FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
       GROUP BY c_custkey, c_name
       ORDER BY c_custkey
@@ -138,11 +138,12 @@ object JoinQueries {
           count(lit(1)).as("cnt"),
           sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .cast(DecimalType(18, 4))).cast(DecimalType(38, 4))
+            .cast(DoubleType)
             .as("revenue"))
         .orderBy("r_name"),
     Some("""
       SELECT r_name, COUNT(*) AS cnt,
-             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+             CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey

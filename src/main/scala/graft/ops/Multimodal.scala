@@ -106,13 +106,21 @@ object Multimodal {
     """))
 
   /** Rows-only: the full binary → mapPartitions decode path (stub kernel
-    * has no SQL twin, but the plumbing runs for real). */
+    * has no SQL twin, but the plumbing runs for real). The dumped frame is
+    * scalar-only — the float[] feature is projected to a rounded string
+    * fingerprint, because the driver's verifier sorts/hashes every output
+    * and array cells break that even for rows-only checks. */
   val multimodalDecode = GQuery(
     "multimodal_decode",
     (s, d) => {
       val media = toMedia(Tables.documents(s, d).filter(col("doc_id") < 50),
         "doc_id", "text", "text/plain")
-      decodeFeatures(s, media).orderBy("media_id")
+      decodeFeatures(s, media)
+        .select(col("media_id"), col("n_bytes"), col("n_frames"),
+          array_join(transform(col("feature"),
+            x => format_number(x.cast(DoubleType), 3)), ",")
+            .as("feature_fp"))
+        .orderBy("media_id")
     },
     None)
 

@@ -76,23 +76,23 @@ object TextQueries {
           col("n_chars"),
           size(toks).cast(LongType).as("n_tokens"),
           (length(col("text")).cast(DoubleType) / size(toks))
-            .cast(DecimalType(38, 6)).as("avg_tok_len"),
+            .cast(DecimalType(38, 6)).cast(DoubleType).as("avg_tok_len"),
           (size(filter(toks, t => array_contains(stop, t)))
             .cast(DoubleType) / size(toks))
-            .cast(DecimalType(38, 6)).as("stop_ratio"),
+            .cast(DecimalType(38, 6)).cast(DoubleType).as("stop_ratio"),
           (size(array_distinct(toks)).cast(DoubleType) / size(toks))
-            .cast(DecimalType(38, 6)).as("uniq_ratio"))
+            .cast(DecimalType(38, 6)).cast(DoubleType).as("uniq_ratio"))
         .orderBy("doc_id")
     },
     Some("""
       SELECT doc_id, n_chars,
              CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
-             CAST(CAST(length(text) AS DOUBLE) / len(str_split(text, ' ')) AS DECIMAL(38,6)) AS avg_tok_len,
-             CAST(CAST(len(list_filter(str_split(text, ' '),
+             CAST(CAST(CAST(length(text) AS DOUBLE) / len(str_split(text, ' ')) AS DECIMAL(38,6)) AS DOUBLE) AS avg_tok_len,
+             CAST(CAST(CAST(len(list_filter(str_split(text, ' '),
                     t -> list_contains(['the','a','of','and','in'], t))) AS DOUBLE)
-                  / len(str_split(text, ' ')) AS DECIMAL(38,6)) AS stop_ratio,
-             CAST(CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
-                  / len(str_split(text, ' ')) AS DECIMAL(38,6)) AS uniq_ratio
+                  / len(str_split(text, ' ')) AS DECIMAL(38,6)) AS DOUBLE) AS stop_ratio,
+             CAST(CAST(CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+                  / len(str_split(text, ' ')) AS DECIMAL(38,6)) AS DOUBLE) AS uniq_ratio
       FROM documents
       ORDER BY doc_id
     """))
@@ -192,7 +192,7 @@ object TextQueries {
           (size(array_intersect(col("ta"), col("tb"))).cast(DoubleType) /
             (size(col("ta")) + size(col("tb")) -
               size(array_intersect(col("ta"), col("tb")))))
-            .cast(DecimalType(38, 6)).as("jaccard"))
+            .cast(DecimalType(38, 6)).cast(DoubleType).as("jaccard"))
         .orderBy("ida", "idb")
     },
     Some("""
@@ -205,7 +205,7 @@ object TextQueries {
         FROM dtoks a JOIN dtoks b ON a.tok = b.tok AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
       SELECT ida, idb, CAST(i AS BIGINT) AS n_common,
-             CAST(CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS DECIMAL(38,6)) AS jaccard
+             CAST(CAST(CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS DECIMAL(38,6)) AS DOUBLE) AS jaccard
       FROM inter
       JOIN sizes sa ON sa.doc_id = ida
       JOIN sizes sb ON sb.doc_id = idb

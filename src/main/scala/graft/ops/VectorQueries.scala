@@ -39,13 +39,13 @@ object VectorQueries {
         .select(col("vec_id"), col("label"),
           size(col("embedding")).cast(LongType).as("dim"),
           round(sqrt(sumSq(col("embedding"))), 3)
-            .cast(DecimalType(38, 3)).as("l2_norm"))
+            .cast(DecimalType(38, 3)).cast(DoubleType).as("l2_norm"))
         .orderBy("vec_id"),
     Some("""
       SELECT vec_id, label,
              CAST(len(embedding) AS BIGINT) AS dim,
-             CAST(round(sqrt(list_sum(list_transform(embedding,
-                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 3) AS DECIMAL(38,3)) AS l2_norm
+             CAST(CAST(round(sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 3) AS DECIMAL(38,3)) AS DOUBLE) AS l2_norm
       FROM embeddings
       ORDER BY vec_id
     """))

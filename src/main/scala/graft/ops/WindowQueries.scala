@@ -72,14 +72,14 @@ object WindowQueries {
       Tables.events(s, d)
         .select(col("user_id"), col("event_id"), col("ts"),
           sum(col("value").cast(DecimalType(14, 2))).over(w)
-            .cast(DecimalType(38, 2)).as("running_value"))
+            .cast(DecimalType(38, 2)).cast(DoubleType).as("running_value"))
         .orderBy("user_id", "event_id")
     },
     Some("""
       SELECT user_id, event_id, ts,
-             CAST(SUM(CAST(value AS DECIMAL(14,2)))
+             CAST(CAST(SUM(CAST(value AS DECIMAL(14,2)))
                   OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_value
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS DOUBLE) AS running_value
       FROM events
       ORDER BY user_id, event_id
     """))
