@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -10,20 +10,21 @@ import org.apache.spark.sql.types._
   * (inverted-file) index is the 100 TB form:
   *
   *   build: seed k centroids deterministically, refine with distributed
-  *          Lloyd's k-means (assignment pass is scan-only; the update
-  *          shuffles (cell, pos, value) triples), assign every vector to
-  *          its nearest centroid; the assignment column is the partition
-  *          key for storage.
-  *   query: score the probe against the k centroids (tiny), keep the
-  *          nProbe nearest cells, then brute-force ONLY inside those
-  *          cells — candidate set shrinks by ~k/nProbe.
+  *          Lloyd's k-means (assignment pass is scan-only; the update is
+  *          one groupBy(cell) with per-position AVG aggregates), assign
+  *          every vector to its nearest centroid; the assignment column is
+  *          the partition key for storage.
+  *   query: rank the k centroids against the probe ON THE DRIVER (k·dim
+  *          doubles — no Spark job), keep the nProbe nearest cells, then
+  *          brute-force ONLY inside those cells — candidate set shrinks by
+  *          ~k/nProbe and the whole search is a single TakeOrdered job.
   *
-  * Centroids live on the driver between iterations — k·dim doubles, bounded
-  * by construction, exactly as Spark MLlib's KMeans keeps cluster centers
-  * locally. That keeps every assignment pass a shallow plan over a literal
-  * centroid array instead of a lineage that re-runs all prior iterations.
-  * The per-vector argmax is higher-order array expressions — no UDFs, no
-  * cross join of the full table.
+  * Centroids live on the driver — k·dim doubles, bounded by construction,
+  * exactly as Spark MLlib's KMeans keeps cluster centers locally. That
+  * keeps every assignment pass a shallow plan over a literal centroid
+  * array instead of a lineage that re-runs all prior iterations, and makes
+  * cell ranking at query time free. The per-vector argmax is higher-order
+  * array expressions — no UDFs, no cross join of the full table.
   */
 object Ann {
 
@@ -38,14 +39,29 @@ object Ann {
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
-  final case class IvfIndex(centroids: DataFrame, assigned: DataFrame)
+  /** Literal array<double> column from a driver-held vector — the same
+    * left-to-right fold order as the `aggregate` expressions, so driver
+    * and executor math agree bit-for-bit. */
+  private def litVec(v: Seq[Double]): Column = array(v.map(lit): _*)
+
+  private def localNorm(v: Seq[Double]): Double =
+    math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x))
+
+  private def localCosine(a: Seq[Double], b: Seq[Double]): Double = {
+    val d = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    d / (localNorm(a) * localNorm(b))
+  }
+
+  /** Driver-held inverted-file index: bounded centroid table + the
+    * cell-assigned vectors (lazy plan or loaded partitioned parquet). */
+  final case class IvfIndex(centroids: Seq[(Long, Seq[Double])],
+      assigned: DataFrame)
 
   /** Literal `array<struct<centroid_id, centroid_emb>>` from driver-held
     * centroids — the broadcast-equivalent for a bounded dimension. */
   private def centroidArray(cents: Seq[(Long, Seq[Double])]): Column =
     array(cents.map { case (id, emb) =>
-      struct(lit(id).as("centroid_id"),
-        array(emb.map(lit): _*).as("centroid_emb"))
+      struct(lit(id).as("centroid_id"), litVec(emb).as("centroid_emb"))
     }: _*)
 
   /** Nearest-centroid assignment: per-row argmax over the literal centroid
@@ -65,27 +81,27 @@ object Ann {
       .select(col(idCol), col(embCol),
         col("best.cid").as("cell"), col("best.sim").as("cell_sim"))
 
-  /** Lloyd update step, distributed: per-cell element-wise mean via
-    * posexplode → groupBy(cell, pos) → avg → re-collect in position order.
-    * One shuffle of (cell, pos, value) triples; only the k·dim means come
-    * back to the driver. Cells that lost all members drop out (standard
-    * Lloyd's degeneracy handling). */
-  private def meanCentroids(assigned: DataFrame, embCol: String)
-      : Seq[(Long, Seq[Double])] =
-    assigned
-      .select(col("cell"), posexplode(col(embCol)).as(Seq("pos", "v")))
-      .groupBy("cell", "pos")
-      .agg(avg(col("v").cast(DoubleType)).as("m"))
-      .groupBy("cell")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("emb"))
+  /** Lloyd update step, distributed: per-cell element-wise mean as `dim`
+    * position-indexed AVG aggregates in ONE groupBy — the shuffle carries
+    * |cells|·(dim+1) values total, versus the row-explosion a
+    * posexplode-based mean pays (|rows|·dim shuffle input). Only the
+    * k·dim means come back to the driver. Cells that lost all members
+    * drop out (standard Lloyd's degeneracy handling). */
+  private def meanCentroids(assigned: DataFrame, embCol: String, dim: Int)
+      : Seq[(Long, Seq[Double])] = {
+    val posAvgs = (1 to dim).map(i =>
+      avg(element_at(col(embCol), i).cast(DoubleType)).as(s"m$i"))
+    assigned.groupBy("cell")
+      .agg(posAvgs.head, posAvgs.tail: _*)
       .orderBy("cell")
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+      .map(r => (r.getLong(0), (1 to dim).map(i => r.getDouble(i)).toSeq))
+      .toSeq
+  }
 
   /** Build the IVF index: deterministic seeding (the k lowest-id vectors)
     * followed by `iters` Lloyd's k-means refinements. Per iteration: one
-    * scan-only assignment pass + one aggregation shuffle — the standard
+    * scan + one aggregation shuffle in a single job — the standard
     * cluster-parallel k-means shape, unchanged at 100 TB where only the
     * assignment pass touches the data. `iters = 0` reproduces the plain
     * seeded index. */
@@ -97,56 +113,65 @@ object Ann {
         transform(col(embCol), _.cast(DoubleType)))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    val dim = cents.head._2.length
     for (_ <- 1 to iters)
-      cents = meanCentroids(assign(embeddings, cents, idCol, embCol), embCol)
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    IvfIndex(
-      cents.toDF("centroid_id", "centroid_emb"),
-      assign(embeddings, cents, idCol, embCol))
+      cents = meanCentroids(assign(embeddings, cents, idCol, embCol),
+        embCol, dim)
+    IvfIndex(cents, assign(embeddings, cents, idCol, embCol))
   }
 
   /** Persist the index with the inverted lists as partition directories:
     * `assigned` partitioned by cell, centroids as a tiny side table. A
     * probe that keeps nProbe cells then touches only those directories —
-    * on the loaded index the cell restriction becomes (dynamic) partition
-    * pruning, so at 100 TB a query reads nProbe/k of the data no matter
-    * how large the corpus grows. */
+    * on the loaded index the cell restriction becomes partition pruning,
+    * so at 100 TB a query reads nProbe/k of the data no matter how large
+    * the corpus grows. */
   def save(index: IvfIndex, path: String): Unit = {
     index.assigned.write.mode("overwrite")
       .partitionBy("cell").parquet(s"$path/assigned")
-    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.toDF("centroid_id", "centroid_emb")
+      .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
   /** Load a saved index; `query` on it prunes to the probed cells. */
-  def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
+  def load(spark: SparkSession, path: String): IvfIndex =
     IvfIndex(
-      spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/centroids")
+        .select(col("centroid_id").cast(LongType), col("centroid_emb"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq,
       spark.read.parquet(s"$path/assigned"))
 
   /** Top-k neighbors of `probeId` searching only the nProbe nearest
-    * cells. Returns (neighbor_id, sim, rank). */
+    * cells. Cell ranking happens on the driver (centroids are local);
+    * the probe embedding is inlined as a literal, so the search is one
+    * probe-row lookup plus one TakeOrdered pass over the probed cells —
+    * no joins, no shuffles. Returns (neighbor_id, sim, rank). */
   def query(index: IvfIndex, probeId: Long, topK: Int, nProbe: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val probe = index.assigned.filter(col(idCol) === probeId)
-      .select(col(embCol).as("probe_emb"))
-    // rank cells by centroid similarity to the probe, keep nProbe
-    val cells = index.centroids.crossJoin(broadcast(probe))
-      .select(col("centroid_id"),
-        cosine(col("centroid_emb"), col("probe_emb")).as("csim"))
-      .orderBy(col("csim").desc, col("centroid_id"))
-      .limit(nProbe)
-      .select(col("centroid_id").as("cell"))
-    // brute force inside the selected cells only
-    val candidates = index.assigned
-      .join(broadcast(cells), "cell")
+    val probe: Seq[Double] = index.assigned
+      .filter(col(idCol) === probeId)
+      .select(transform(col(embCol), _.cast(DoubleType)))
+      .head().getSeq[Double](0).toSeq
+    val cells: Seq[Long] = index.centroids
+      .map { case (cid, cemb) => (cid, localCosine(cemb, probe)) }
+      .sortBy { case (cid, csim) => (-csim, cid) }
+      .take(nProbe)
+      .map(_._1)
+    val pnorm = localNorm(probe)
+    index.assigned
+      .filter(col("cell").isin(cells: _*))
       .filter(col(idCol) =!= probeId)
-      .crossJoin(broadcast(probe))
       .select(col(idCol).as("neighbor_id"),
-        cosine(col(embCol), col("probe_emb")).as("sim"))
-    val w = Window.orderBy(col("sim").desc, col("neighbor_id"))
-    candidates.withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= topK)
+        (dot(col(embCol), litVec(probe)) / (norm(col(embCol)) * lit(pnorm)))
+          .as("sim"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+      .limit(topK)
+      .select(col("neighbor_id"), col("sim"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("sim").desc, col("neighbor_id"))).cast(LongType)
+          .as("rank"))
   }
 }

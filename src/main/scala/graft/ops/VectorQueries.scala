@@ -51,25 +51,33 @@ object VectorQueries {
     """))
 
   /** X3 brute-force cosine top-k: 5 nearest neighbors of vec_id 0. The
-    * probe row broadcasts; similarity ordering is computed on full
-    * precision, output carries only integer ids/ranks so the hash can
-    * never wobble on float ulps. */
+    * probe vector is collected once (one tiny lookup job) and inlined as
+    * a LITERAL array with its norm pre-folded on the driver in the same
+    * left-to-right order the executor-side `aggregate` uses — bit-identical
+    * doubles, but the scan needs no broadcast join stage. Top-5 goes
+    * through orderBy+limit (TakeOrderedAndProject: per-partition heaps,
+    * no shuffle) instead of a single-partition global window; ordering and
+    * tie-breaks are unchanged. Output carries only integer ids/ranks so
+    * the hash can never wobble on float ulps. */
   val simTopk = GQuery(
     "sim_topk",
     (s, d) => {
       val e = Tables.embeddings(s, d)
-      val probe = e.filter(col("vec_id") === 0)
-        .select(col("embedding").as("probe_emb"))
-      val sims = e.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(probe))
+      val probe: Seq[Double] = e.filter(col("vec_id") === 0)
+        .select(transform(col("embedding"), _.cast(DoubleType)))
+        .head().getSeq[Double](0).toSeq
+      val pnorm = math.sqrt(probe.foldLeft(0.0)((acc, x) => acc + x * x))
+      val litProbe = array(probe.map(lit): _*)
+      e.filter(col("vec_id") =!= 0)
         .select(col("vec_id").as("neighbor_id"),
-          (dot(col("embedding"), col("probe_emb")) /
-            (sqrt(sumSq(col("embedding"))) * sqrt(sumSq(col("probe_emb")))))
-            .as("sim"))
-      val w = Window.orderBy(col("sim").desc, col("neighbor_id"))
-      sims.withColumn("rnk", row_number().over(w).cast(LongType))
-        .filter(col("rnk") <= 5)
-        .select("rnk", "neighbor_id")
+          (dot(col("embedding"), litProbe) /
+            (sqrt(sumSq(col("embedding"))) * lit(pnorm))).as("sim"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+        .limit(5)
+        .select(row_number().over(
+          Window.orderBy(col("sim").desc, col("neighbor_id")))
+          .cast(LongType).as("rnk"),
+          col("neighbor_id"))
         .orderBy("rnk")
     },
     Some("""

@@ -34,10 +34,8 @@ class DedupEmbedSpec extends SparkTestBase {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val refined = Ann.build(emb, k = 8, iters = 2)
     assert(refined.assigned.count() === emb.count())
-    assert(refined.centroids.count() <= 8)
+    assert(refined.centroids.size <= 8)
     // every refined centroid is a full-dimension mean vector
-    val dims = refined.centroids
-      .select(size(col("centroid_emb")).as("d")).distinct().collect()
-    assert(dims.map(_.getInt(0)).toSeq === Seq(64))
+    assert(refined.centroids.map(_._2.length).distinct === Seq(64))
   }
 }
