@@ -27,8 +27,20 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def frame_key(df):
     """Driver-style canonical form: columns sorted by name, cells
-    stringified, rows sorted."""
+    stringified, rows sorted.  Explicitly rejects nested cells
+    (np.ndarray/list/dict/set): astype(str) would happily stringify them,
+    but the real driver sorts RAW cells and crashes — so the probe must
+    raise, not silently succeed."""
     df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype == object:
+            bad = df[c].map(
+                lambda v: isinstance(v, (list, dict, set, tuple))
+                or type(v).__module__ == "numpy" and getattr(v, "ndim", 0) > 0)
+            if bad.any():
+                raise TypeError(
+                    f"column {c!r} contains nested (array/struct) cells — "
+                    "the driver's sort/hash would crash on these")
     if len(df) == 0:
         return []
     rows = df.astype(str).apply(lambda r: "|".join(r), axis=1).tolist()

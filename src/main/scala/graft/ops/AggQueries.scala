@@ -16,7 +16,13 @@ import org.apache.spark.sql.types._
   * zeros) while DuckDB's pandas bridge renders DECIMAL as float64
   * (`12.3`), so a decimal output column hash-mismatches whenever any value
   * has a trailing zero at its scale. The exact decimal is identical in
-  * both engines, hence its nearest-double is bit-identical too.
+  * both engines; the double cast agrees PROVIDED the decimal's scaled
+  * integer fits in ~2^53 — beyond that, DuckDB's int128→double→÷10^scale
+  * (two roundings) can drift 1 ulp from Spark's correctly-rounded
+  * BigDecimal.doubleValue. All tested aggregates stay far inside that
+  * bound (`DecimalBoundSpec` pins it at sf0.1); at true 100 TB scale,
+  * keep sums in bounded DECIMAL and render to fixed-scale strings for
+  * cross-engine comparison instead of relying on the double cast.
   *
   * Scale: hash aggregation with map-side partials means the shuffle moves
   * |groups| rows, not |input| — these plans are 100 TB-safe as written.

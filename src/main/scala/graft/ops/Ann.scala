@@ -39,6 +39,15 @@ object Ann {
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine with both norms supplied — lets callers hoist the row norm out
+    * of per-centroid folds (computed once per row, not once per centroid)
+    * and pass driver-precomputed centroid norms as literals. Same operand
+    * order as `cosine` (dot / (normA * normB)) so results are
+    * bit-identical. */
+  private def cosinePrenormed(a: Column, b: Column, normA: Column,
+      normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
   /** Literal array<double> column from a driver-held vector — the same
     * left-to-right fold order as the `aggregate` expressions, so driver
     * and executor math agree bit-for-bit. */
@@ -57,23 +66,32 @@ object Ann {
   final case class IvfIndex(centroids: Seq[(Long, Seq[Double])],
       assigned: DataFrame)
 
-  /** Literal `array<struct<centroid_id, centroid_emb>>` from driver-held
-    * centroids — the broadcast-equivalent for a bounded dimension. */
+  /** Literal `array<struct<centroid_id, centroid_emb, centroid_norm>>`
+    * from driver-held centroids — the broadcast-equivalent for a bounded
+    * dimension. Norms are precomputed on the driver (same fold order as
+    * the executor-side `norm`, so values agree bit-for-bit). */
   private def centroidArray(cents: Seq[(Long, Seq[Double])]): Column =
     array(cents.map { case (id, emb) =>
-      struct(lit(id).as("centroid_id"), litVec(emb).as("centroid_emb"))
+      struct(lit(id).as("centroid_id"), litVec(emb).as("centroid_emb"),
+        lit(localNorm(emb)).as("centroid_norm"))
     }: _*)
 
   /** Nearest-centroid assignment: per-row argmax over the literal centroid
-    * list — one narrow pass over the vectors, no shuffle, no join. */
+    * list — one narrow pass over the vectors, no shuffle, no join. The row
+    * norm is hoisted into a prior projection (computed once per row, not
+    * once per centroid) and centroid norms arrive as driver-computed
+    * literals, so the fold body is one dot product + one divide per
+    * centroid. */
   private def assign(embeddings: DataFrame, cents: Seq[(Long, Seq[Double])],
       idCol: String, embCol: String): DataFrame =
     embeddings
+      .withColumn("_row_norm", norm(col(embCol)))
       .withColumn("best",
         aggregate(centroidArray(cents),
           struct(lit(-2.0).as("sim"), lit(-1L).as("cid")),
           (acc, c) => {
-            val s = cosine(col(embCol), c.getField("centroid_emb"))
+            val s = cosinePrenormed(col(embCol), c.getField("centroid_emb"),
+              col("_row_norm"), c.getField("centroid_norm"))
             when(s > acc.getField("sim"),
               struct(s.as("sim"), c.getField("centroid_id").as("cid")))
               .otherwise(acc)
@@ -113,6 +131,8 @@ object Ann {
         transform(col(embCol), _.cast(DoubleType)))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    require(cents.nonEmpty,
+      s"Ann.build: input has no rows — cannot seed $k centroids")
     val dim = cents.head._2.length
     for (_ <- 1 to iters)
       cents = meanCentroids(assign(embeddings, cents, idCol, embCol),
@@ -154,7 +174,11 @@ object Ann {
     val probe: Seq[Double] = index.assigned
       .filter(col(idCol) === probeId)
       .select(transform(col(embCol), _.cast(DoubleType)))
-      .head().getSeq[Double](0).toSeq
+      .take(1) match {
+        case Array(r) => r.getSeq[Double](0).toSeq
+        case _ => throw new IllegalArgumentException(
+          s"Ann.query: probe id $probeId not found in the index")
+      }
     val cells: Seq[Long] = index.centroids
       .map { case (cid, cemb) => (cid, localCosine(cemb, probe)) }
       .sortBy { case (cid, csim) => (-csim, cid) }

@@ -107,6 +107,42 @@ object CoreQueries {
       ORDER BY event_id
     """))
 
+  /** P5 DATETIME_FIELDS coercion (`loadcalaccessrawdata.py:~130-170`):
+    * `M/d/yyyy h:mm:ss a` strings → TIMESTAMP through the SAME
+    * `Load.load` projection full ingest uses (an inline TableDef with a
+    * datetimeFields entry), garbage → NULL via try_to_timestamp. The raw
+    * frame is built by formatting events.ts into the reference's
+    * datetime shape, with every 97th row replaced by unparseable text to
+    * pin NULL-on-garbage. Oracle: DuckDB strftime→strptime round-trip
+    * with a CASE for the garbage rows. */
+  val loadDatetime = GQuery(
+    "load_datetime",
+    (s, d) => {
+      import graft.schemas.Schemas.TableDef
+      val dtTable = TableDef(
+        name = "events_dt",
+        schema = StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("event_dt", TimestampType))),
+        uniqueKey = Seq("event_id"),
+        datetimeFields = Seq("event_dt"))
+      val raw = Tables.events(s, d).select(
+        col("event_id").cast(StringType).as("EVENT_ID"),
+        when(col("event_id") % 97 === 0, lit("not a timestamp"))
+          .otherwise(date_format(col("ts"), "M/d/yyyy h:mm:ss a"))
+          .as("EVENT_DT"))
+      graft.ingest.Load.load(dtTable, raw).orderBy("event_id")
+    },
+    Some("""
+      SELECT CAST(event_id AS BIGINT) AS event_id,
+             CASE WHEN event_id % 97 = 0 THEN NULL
+                  ELSE strptime(strftime(ts, '%-m/%-d/%Y %-I:%M:%S %p'),
+                                '%-m/%-d/%Y %-I:%M:%S %p')
+             END AS event_dt
+      FROM events
+      ORDER BY event_id
+    """))
+
   /** P6 decimal coercion on money columns, summed per group
     * (≙ `AMOUNT`/`CUM_YTD` NUMERIC(14,2) load casts, `fields.py:~65`). */
   val decimalCast = GQuery(
@@ -294,8 +330,8 @@ object CoreQueries {
       ORDER BY p_partkey
     """))
 
-  def all: Seq[GQuery] = Seq(q1Pricing, filterPred, loadTyped, decimalCast,
-    cleanSplitGood, cleanSplitBad, strClean, ingestPipeline, sqlSurface,
-    subqueryCorr)
+  def all: Seq[GQuery] = Seq(q1Pricing, filterPred, loadTyped, loadDatetime,
+    decimalCast, cleanSplitGood, cleanSplitBad, strClean, ingestPipeline,
+    sqlSurface, subqueryCorr)
 }
 

@@ -12,12 +12,13 @@ import org.apache.spark.sql.types._
   * Spark-side design (all real and tested): binary payloads travel as
   * `BinaryType` columns; cheap metadata (byte length, content hash,
   * magic-byte sniff) is pure codegen'd expressions; expensive decode /
-  * feature extraction runs as a `mapPartitions` batch stage so a real
-  * decoder would amortize model/codec init per partition — the Scala
-  * analog of `mapInPandas` batch shape. The decode kernel itself is a
-  * clearly-marked deterministic STUB (this container ships no image/audio
-  * codecs); swap `decodeKernel` for a real decoder without touching the
-  * plumbing.
+  * feature extraction runs as a `mapPartitions` batch stage so the
+  * decoder amortizes codec init per partition — the Scala analog of
+  * `mapInPandas` batch shape. The decode kernel is REAL for images (JDK
+  * `javax.imageio`: PNG/JPEG/GIF/BMP dimensions, channels, luminance
+  * histogram — no external codec needed); audio/video payloads, whose
+  * codecs the JDK genuinely lacks, fall back to a documented
+  * deterministic fingerprint so the batch shape is uniform across types.
   */
 object Multimodal {
 
@@ -44,21 +45,51 @@ object Multimodal {
         sha2(col(binCol).cast(BinaryType), 256).as("sha")).as("meta"))
 
   final case class MediaFeatures(
-      media_id: Long, n_bytes: Long, n_frames: Int, feature: Array[Float])
+      media_id: Long, n_bytes: Long, n_frames: Int,
+      width: Int, height: Int, channels: Int, feature: Array[Float])
 
-  /** STUB decode kernel — deterministic fake standing in for a real
-    * image/audio decoder (none available in this container). Produces a
-    * fixed-dim "feature" from payload bytes and a fake frame count.
-    * Replace with the real codec; the batch shape stays. */
-  private[ops] def decodeKernel(payload: Array[Byte]): (Int, Array[Float]) = {
-    val nFrames = 1 + (if (payload.isEmpty) 0 else payload.length % 7)
-    val feat = new Array[Float](8)
-    var i = 0
-    while (i < payload.length) {
-      feat(i % 8) += (payload(i) & 0xff) / 255.0f
-      i += 1
+  /** Decode kernel. Image payloads (PNG/JPEG/GIF/BMP) get a REAL decode
+    * through the JDK's built-in `javax.imageio` — no external codec
+    * needed: dimensions, channel count, and a normalized 8-bin luminance
+    * histogram as the feature vector. Non-image payloads (audio/video —
+    * codecs the JDK genuinely lacks) fall back to a deterministic
+    * byte-fingerprint stand-in with width/height/channels = 0, keeping the
+    * batch shape identical for every media type. */
+  private[ops] def decodeKernel(payload: Array[Byte])
+      : (Int, Int, Int, Int, Array[Float]) = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img != null) {
+      val w = img.getWidth; val h = img.getHeight
+      val ch = img.getColorModel.getNumComponents
+      val hist = new Array[Float](8)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          hist(math.min(lum * 8 / 256, 7)) += 1.0f
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toFloat
+      var i = 0
+      while (i < 8) { hist(i) /= n; i += 1 }
+      (1, w, h, ch, hist)
+    } else {
+      val nFrames = 1 + (if (payload.isEmpty) 0 else payload.length % 7)
+      val feat = new Array[Float](8)
+      var i = 0
+      while (i < payload.length) {
+        feat(i % 8) += (payload(i) & 0xff) / 255.0f
+        i += 1
+      }
+      (nFrames, 0, 0, 0, feat)
     }
-    (nFrames, feat)
   }
 
   /** Batch decode/feature-extract: one kernel init per partition, rows
@@ -68,10 +99,11 @@ object Multimodal {
     import spark.implicits._
     media.select("media_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition init would happen here (codec handle, model, …)
+        // per-partition codec init: keep ImageIO off its disk scratch cache
+        javax.imageio.ImageIO.setUseCache(false)
         rows.map { case (id, payload) =>
-          val (frames, feat) = decodeKernel(payload)
-          MediaFeatures(id, payload.length.toLong, frames, feat)
+          val (frames, w, h, ch, feat) = decodeKernel(payload)
+          MediaFeatures(id, payload.length.toLong, frames, w, h, ch, feat)
         }
       }.toDF()
   }
@@ -105,8 +137,9 @@ object Multimodal {
       ORDER BY doc_id
     """))
 
-  /** Rows-only: the full binary → mapPartitions decode path (stub kernel
-    * has no SQL twin, but the plumbing runs for real). The dumped frame is
+  /** Rows-only: the full binary → mapPartitions decode path (the decode
+    * kernel has no SQL twin, but the plumbing runs for real — text
+    * payloads take the non-image fallback branch). The dumped frame is
     * scalar-only — the float[] feature is projected to a rounded string
     * fingerprint, because the driver's verifier sorts/hashes every output
     * and array cells break that even for rows-only checks. */
@@ -117,8 +150,9 @@ object Multimodal {
         "doc_id", "text", "text/plain")
       decodeFeatures(s, media)
         .select(col("media_id"), col("n_bytes"), col("n_frames"),
+          col("width"), col("height"), col("channels"),
           array_join(transform(col("feature"),
-            x => format_number(x.cast(DoubleType), 3)), ",")
+            x => format_string("%.3f", x.cast(DoubleType))), ",")
             .as("feature_fp"))
         .orderBy("media_id")
     },

@@ -13,11 +13,15 @@ import org.apache.spark.sql.types._
   * date/datetime field lists driving load-time coercion
   * (`models/base.py:~35-36`), and docs carried in `Metadata`.
   *
-  * Only representative tables are registered (the shape class, per SURVEY
-  * §1.3): the biggest fact (`rcpt_cd` ≙ `RcptCd`, `models/campaign.py:
-  * ~1800`), the link table (`filer_filings_cd` ≙ `FilerFilingsCd`,
-  * `models/common.py:~200`), and a lookup dimension (`lookup_codes_cd` ≙
-  * `LookupCodesCd`, `models/inactive.py:~400`).
+  * The registry covers two tiers (SURVEY §1.3): the shape classes — the
+  * biggest fact (`rcpt_cd` ≙ `RcptCd`, `models/campaign.py:~1800`), the
+  * link table (`filer_filings_cd` ≙ `FilerFilingsCd`, `models/common.py:
+  * ~200`), a lookup dimension (`lookup_codes_cd` ≙ `LookupCodesCd`,
+  * `models/inactive.py:~400`) — plus the next tier of high-traffic
+  * campaign/lobbying tables (cover pages, loans, debts, late reports,
+  * lobbying payments/expenses, filer links). Each is a column subset of
+  * its ~50-column original; widening a TableDef is additive and needs no
+  * engine change.
   */
 object Schemas {
 
@@ -192,8 +196,300 @@ object Schemas {
       "form_type"),
     dateFields = Seq("expn_date"))
 
+  /** ≙ CVR_SO_CD — statement-of-organization cover page
+    * (`models/campaign.py`): one row per filing describing the committee. */
+  val cvrSoCd: TableDef = TableDef(
+    name = "cvr_so_cd",
+    schema = StructType(Seq(
+      StructField("filing_id", LongType, nullable = true,
+        doc("Unique filing identification number")),
+      StructField("amend_id", LongType, nullable = true,
+        doc("Amendment identification number; 0 is the original")),
+      StructField("rec_type", StringType, nullable = true,
+        doc("Record type of the cover page, always CVR")),
+      StructField("form_type", StringType, nullable = true,
+        doc("Statement form type (400, 402, 410, ...)")),
+      StructField("filer_id", LongType, nullable = true,
+        doc("Filer unique identification number")),
+      StructField("filer_naml", StringType, nullable = true,
+        doc("Filer last name or committee name")),
+      StructField("city", StringType, nullable = true,
+        doc("Committee city")),
+      StructField("st", StringType, nullable = true,
+        doc("Committee state")),
+      StructField("zip4", StringType, nullable = true,
+        doc("Committee ZIP+4")),
+      StructField("qualfy_dt", DateType, nullable = true,
+        doc("Date the committee qualified, M/D/YYYY in the raw file")))),
+    uniqueKey = Seq("filing_id", "amend_id", "rec_type", "form_type"),
+    dateFields = Seq("qualfy_dt"))
+
+  /** ≙ LOAN_CD — itemized loans received/made (`models/campaign.py`). */
+  val loanCd: TableDef = TableDef(
+    name = "loan_cd",
+    schema = StructType(Seq(
+      StructField("filing_id", LongType, nullable = true,
+        doc("Unique filing identification number")),
+      StructField("amend_id", LongType, nullable = true,
+        doc("Amendment identification number; 0 is the original")),
+      StructField("line_item", LongType, nullable = true,
+        doc("Line item number of this record")),
+      StructField("rec_type", StringType, nullable = true,
+        doc("Record type of the transaction, always LOAN")),
+      StructField("form_type", StringType, nullable = true,
+        doc("Schedule of the form on which the loan is reported")),
+      StructField("tran_id", StringType, nullable = true,
+        doc("Permanent value unique within the filing")),
+      StructField("lndr_naml", StringType, nullable = true,
+        doc("Lender last name or organization name")),
+      StructField("loan_amt1", DecimalType(14, 2), nullable = true,
+        doc("Amount of the loan received/made this period")),
+      StructField("loan_amt2", DecimalType(14, 2), nullable = true,
+        doc("Outstanding balance of the loan")),
+      StructField("loan_date1", DateType, nullable = true,
+        doc("Date the loan was made, M/D/YYYY in the raw file")),
+      StructField("loan_date2", DateType, nullable = true,
+        doc("Date the loan is due, M/D/YYYY in the raw file")),
+      StructField("loan_rate", StringType, nullable = true,
+        doc("Interest rate of the loan, free text")))),
+    uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type",
+      "form_type"),
+    dateFields = Seq("loan_date1", "loan_date2"))
+
+  /** ≙ DEBT_CD — accrued expenses / unpaid bills (`models/campaign.py`). */
+  val debtCd: TableDef = TableDef(
+    name = "debt_cd",
+    schema = StructType(Seq(
+      StructField("filing_id", LongType, nullable = true,
+        doc("Unique filing identification number")),
+      StructField("amend_id", LongType, nullable = true,
+        doc("Amendment identification number; 0 is the original")),
+      StructField("line_item", LongType, nullable = true,
+        doc("Line item number of this record")),
+      StructField("rec_type", StringType, nullable = true,
+        doc("Record type of the transaction, always DEBT")),
+      StructField("form_type", StringType, nullable = true,
+        doc("Schedule of the form on which the debt is reported")),
+      StructField("tran_id", StringType, nullable = true,
+        doc("Permanent value unique within the filing")),
+      StructField("payee_naml", StringType, nullable = true,
+        doc("Creditor last name or organization name")),
+      StructField("amt_incur", DecimalType(14, 2), nullable = true,
+        doc("Amount incurred this period")),
+      StructField("amt_paid", DecimalType(14, 2), nullable = true,
+        doc("Amount paid this period")),
+      StructField("beg_bal", DecimalType(14, 2), nullable = true,
+        doc("Outstanding balance at the beginning of the period")),
+      StructField("end_bal", DecimalType(14, 2), nullable = true,
+        doc("Outstanding balance at the end of the period")))),
+    uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type",
+      "form_type"))
+
+  /** ≙ S497_CD — late-contribution (24-hour) reports
+    * (`models/campaign.py`). */
+  val s497Cd: TableDef = TableDef(
+    name = "s497_cd",
+    schema = StructType(Seq(
+      StructField("filing_id", LongType, nullable = true,
+        doc("Unique filing identification number")),
+      StructField("amend_id", LongType, nullable = true,
+        doc("Amendment identification number; 0 is the original")),
+      StructField("line_item", LongType, nullable = true,
+        doc("Line item number of this record")),
+      StructField("rec_type", StringType, nullable = true,
+        doc("Record type of the transaction, always S497")),
+      StructField("form_type", StringType, nullable = true,
+        doc("Part of the 497 form the record belongs to (F497P1/F497P2)")),
+      StructField("tran_id", StringType, nullable = true,
+        doc("Permanent value unique within the filing")),
+      StructField("entity_cd", StringType, nullable = true,
+        doc("Entity code of the contributor/recipient")),
+      StructField("enty_naml", StringType, nullable = true,
+        doc("Entity last name or organization name")),
+      StructField("enty_city", StringType, nullable = true,
+        doc("Entity city")),
+      StructField("elec_date", DateType, nullable = true,
+        doc("Date of the election, M/D/YYYY in the raw file")),
+      StructField("ctrib_date", DateType, nullable = true,
+        doc("Date the contribution was received, M/D/YYYY in the raw file")),
+      StructField("amount", DecimalType(16, 2), nullable = true,
+        doc("Amount received or contributed")))),
+    uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type",
+      "form_type"),
+    dateFields = Seq("elec_date", "ctrib_date"))
+
+  /** ≙ LATT_CD — lobbyist contribution attachments
+    * (`models/lobbying.py`). */
+  val lattCd: TableDef = TableDef(
+    name = "latt_cd",
+    schema = StructType(Seq(
+      StructField("filing_id", LongType, nullable = true,
+        doc("Unique filing identification number")),
+      StructField("amend_id", LongType, nullable = true,
+        doc("Amendment identification number; 0 is the original")),
+      StructField("line_item", LongType, nullable = true,
+        doc("Line item number of this record")),
+      StructField("rec_type", StringType, nullable = true,
+        doc("Record type of the transaction, always LATT")),
+      StructField("form_type", StringType, nullable = true,
+        doc("Schedule of the attachment (S630, S635-C, S640, ...)")),
+      StructField("recip_naml", StringType, nullable = true,
+        doc("Recipient last name or organization name")),
+      StructField("pmt_date", DateType, nullable = true,
+        doc("Date of the payment, M/D/YYYY in the raw file")),
+      StructField("amount", DecimalType(14, 2), nullable = true,
+        doc("Amount of the payment")),
+      StructField("cum_amt", DecimalType(14, 2), nullable = true,
+        doc("Cumulative amount paid to date")))),
+    uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type",
+      "form_type"),
+    dateFields = Seq("pmt_date"))
+
+  /** ≙ LEXP_CD — lobbying activity expenses (`models/lobbying.py`). */
+  val lexpCd: TableDef = TableDef(
+    name = "lexp_cd",
+    schema = StructType(Seq(
+      StructField("filing_id", LongType, nullable = true,
+        doc("Unique filing identification number")),
+      StructField("amend_id", LongType, nullable = true,
+        doc("Amendment identification number; 0 is the original")),
+      StructField("line_item", LongType, nullable = true,
+        doc("Line item number of this record")),
+      StructField("rec_type", StringType, nullable = true,
+        doc("Record type of the transaction, always LEXP")),
+      StructField("form_type", StringType, nullable = true,
+        doc("Schedule of the form on which the expense is reported")),
+      StructField("tran_id", StringType, nullable = true,
+        doc("Permanent value unique within the filing")),
+      StructField("payee_naml", StringType, nullable = true,
+        doc("Payee last name or organization name")),
+      StructField("bene_name", StringType, nullable = true,
+        doc("Name of the official benefiting from the expense")),
+      StructField("expn_date", DateType, nullable = true,
+        doc("Date of the expense, M/D/YYYY in the raw file")),
+      StructField("amount", DecimalType(14, 2), nullable = true,
+        doc("Amount of the activity expense")),
+      StructField("expn_dscr", StringType, nullable = true,
+        doc("Description of the expense")))),
+    uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type",
+      "form_type"),
+    dateFields = Seq("expn_date"))
+
+  /** ≙ LPAY_CD — payments made to/received by lobbying firms
+    * (`models/lobbying.py`). */
+  val lpayCd: TableDef = TableDef(
+    name = "lpay_cd",
+    schema = StructType(Seq(
+      StructField("filing_id", LongType, nullable = true,
+        doc("Unique filing identification number")),
+      StructField("amend_id", LongType, nullable = true,
+        doc("Amendment identification number; 0 is the original")),
+      StructField("line_item", LongType, nullable = true,
+        doc("Line item number of this record")),
+      StructField("rec_type", StringType, nullable = true,
+        doc("Record type of the transaction, always LPAY")),
+      StructField("form_type", StringType, nullable = true,
+        doc("Schedule of the form on which the payment is reported")),
+      StructField("tran_id", StringType, nullable = true,
+        doc("Permanent value unique within the filing")),
+      StructField("emplr_naml", StringType, nullable = true,
+        doc("Employer last name or organization name")),
+      StructField("fees_amt", DecimalType(14, 2), nullable = true,
+        doc("Fees and retainers paid this period")),
+      StructField("reimb_amt", DecimalType(14, 2), nullable = true,
+        doc("Reimbursements for expenses paid this period")),
+      StructField("advan_amt", DecimalType(14, 2), nullable = true,
+        doc("Advances and other payments this period")),
+      StructField("per_total", DecimalType(14, 2), nullable = true,
+        doc("Total payments for the period")),
+      StructField("cum_total", DecimalType(14, 2), nullable = true,
+        doc("Cumulative total payments to date")))),
+    uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type",
+      "form_type"))
+
+  /** ≙ CVR_CAMPAIGN_DISCLOSURE_CD — campaign-disclosure cover page
+    * (`models/campaign.py`): reporting-period and election dates. */
+  val cvrCampaignDisclosureCd: TableDef = TableDef(
+    name = "cvr_campaign_disclosure_cd",
+    schema = StructType(Seq(
+      StructField("filing_id", LongType, nullable = true,
+        doc("Unique filing identification number")),
+      StructField("amend_id", LongType, nullable = true,
+        doc("Amendment identification number; 0 is the original")),
+      StructField("rec_type", StringType, nullable = true,
+        doc("Record type of the cover page, always CVR")),
+      StructField("form_type", StringType, nullable = true,
+        doc("Form filed (F450, F460, F461, ...)")),
+      StructField("filer_id", LongType, nullable = true,
+        doc("Filer unique identification number")),
+      StructField("filer_naml", StringType, nullable = true,
+        doc("Filer last name or committee name")),
+      StructField("rpt_date", DateType, nullable = true,
+        doc("Date the report was prepared, M/D/YYYY in the raw file")),
+      StructField("from_date", DateType, nullable = true,
+        doc("Reporting period start date, M/D/YYYY in the raw file")),
+      StructField("thru_date", DateType, nullable = true,
+        doc("Reporting period end date, M/D/YYYY in the raw file")),
+      StructField("elect_date", DateType, nullable = true,
+        doc("Date of the election, M/D/YYYY in the raw file")))),
+    uniqueKey = Seq("filing_id", "amend_id", "rec_type", "form_type"),
+    dateFields = Seq("rpt_date", "from_date", "thru_date", "elect_date"))
+
+  /** ≙ FILER_LINKS_CD — relationships between filer entities
+    * (`models/common.py`): the graph edge table. */
+  val filerLinksCd: TableDef = TableDef(
+    name = "filer_links_cd",
+    schema = StructType(Seq(
+      StructField("filer_id_a", LongType, nullable = true,
+        doc("Unique identification number of the first filer")),
+      StructField("filer_id_b", LongType, nullable = true,
+        doc("Unique identification number of the second filer")),
+      StructField("active_flg", StringType, nullable = true,
+        doc("Is the link active? (Y/N)")),
+      StructField("session_id", LongType, nullable = true,
+        doc("Legislative session the link applies to")),
+      StructField("link_type", LongType, nullable = true,
+        doc("Denotes the type of the link")),
+      StructField("link_desc", StringType, nullable = true,
+        doc("Description of the link")),
+      StructField("effect_dt", DateType, nullable = true,
+        doc("Effective date of the link, M/D/YYYY in the raw file")))),
+    uniqueKey = Seq("filer_id_a", "filer_id_b", "session_id", "link_type",
+      "effect_dt"),
+    dateFields = Seq("effect_dt"))
+
+  /** ≙ CVR_LOBBY_DISCLOSURE_CD — lobbying-disclosure cover page
+    * (`models/lobbying.py`), carries a signing datetime exercising P5. */
+  val cvrLobbyDisclosureCd: TableDef = TableDef(
+    name = "cvr_lobby_disclosure_cd",
+    schema = StructType(Seq(
+      StructField("filing_id", LongType, nullable = true,
+        doc("Unique filing identification number")),
+      StructField("amend_id", LongType, nullable = true,
+        doc("Amendment identification number; 0 is the original")),
+      StructField("rec_type", StringType, nullable = true,
+        doc("Record type of the cover page, always CVR")),
+      StructField("form_type", StringType, nullable = true,
+        doc("Form filed (F615, F625, F635, F645, ...)")),
+      StructField("filer_id", LongType, nullable = true,
+        doc("Filer unique identification number")),
+      StructField("filer_naml", StringType, nullable = true,
+        doc("Filer last name or organization name")),
+      StructField("from_date", DateType, nullable = true,
+        doc("Reporting period start date, M/D/YYYY in the raw file")),
+      StructField("thru_date", DateType, nullable = true,
+        doc("Reporting period end date, M/D/YYYY in the raw file")),
+      StructField("sig_date", TimestampType, nullable = true,
+        doc("Datetime the filing was signed, " +
+          "M/D/YYYY H:MM:SS AM in the raw file")))),
+    uniqueKey = Seq("filing_id", "amend_id", "rec_type", "form_type"),
+    dateFields = Seq("from_date", "thru_date"),
+    datetimeFields = Seq("sig_date"))
+
   val all: Seq[TableDef] =
-    Seq(rcptCd, filerFilingsCd, lookupCodesCd, smryCd, filernameCd, expnCd)
+    Seq(rcptCd, filerFilingsCd, lookupCodesCd, smryCd, filernameCd, expnCd,
+      cvrSoCd, loanCd, debtCd, s497Cd, lattCd, lexpCd, lpayCd,
+      cvrCampaignDisclosureCd, filerLinksCd, cvrLobbyDisclosureCd)
 
   def byName(name: String): TableDef =
     all.find(_.name == name).getOrElse(

@@ -45,10 +45,12 @@ class AnnSkewSpec extends SparkTestBase {
     // correctness: results exist and ranks are 1..n
     val ranks = q.select("rank").collect().map(_.getLong(0)).sorted
     assert(ranks.nonEmpty && ranks.head === 1L)
-    // the cell restriction reaches the scan as partition pruning
+    // the cell restriction reaches the scan as STATIC partition pruning —
+    // cells are ranked on the driver, so the filter is a literal IN list
+    // decided at plan time (no dynamic-pruning subquery exchange needed)
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") &&
-      plan.toLowerCase.contains("dynamicpruning"), plan)
+    assert(plan.contains("PartitionFilters: [cell"), plan)
+    assert(plan.contains(" IN "), plan)
   }
 
   test("salted aggregate equals plain aggregate") {

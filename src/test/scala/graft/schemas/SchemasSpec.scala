@@ -7,6 +7,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * every declared date field present and date-typed. */
 class SchemasSpec extends AnyFunSuite {
 
+  test("registry spans both tiers: >= 15 uniquely-named tables") {
+    assert(Schemas.all.size >= 15, s"only ${Schemas.all.size} tables")
+    val names = Schemas.all.map(_.name)
+    assert(names.distinct.size === names.size, "duplicate table names")
+    // every table is reachable through the byName lookup
+    for (t <- Schemas.all) assert(Schemas.byName(t.name) eq t)
+  }
+
   test("every field carries non-empty help_text metadata") {
     for (t <- Schemas.all; f <- t.schema.fields) {
       assert(f.metadata.contains("help_text"),
