@@ -9,6 +9,14 @@ import org.apache.spark.sql.SparkSession
   * comparable across rounds. A small warm-up action runs first so the
   * initial timed query doesn't absorb session/codegen startup — the
   * timings measure the queries, not JVM boot.
+  *
+  * Each query is driven through a `noop`-format write, not `count()`:
+  * under count() Catalyst prunes every projection the count doesn't
+  * need, so projection-heavy queries (string funcs, vector math) would
+  * time only their scan. The noop sink materializes every output column
+  * end-to-end and discards rows at the sink — the honest per-query cost.
+  * (bench_ref.json was re-baselined in the same commit; cross-round
+  * per-query diffs remain valid from that point.)
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -26,7 +34,8 @@ object Bench {
       .groupBy("r_name").count().collect()
     val results = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()
-      try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -23,8 +23,18 @@ import org.apache.spark.sql.types._
   */
 object DedupQueries {
 
-  private val NumHashes = 8
-  private val BandRows = 2 // 4 bands × 2 rows
+  /** Registry default widths: 8 hashes in 4 bands × 2 rows. The oracle
+    * SQL below is written against these, so the `queries()` entries pin
+    * them; every public function takes the widths as parameters for
+    * corpus-sized tuning. Width math (standard LSH S-curve): a pair with
+    * Jaccard s becomes a candidate with P = 1 − (1 − s^r)^b for b bands
+    * of r rows. Growing b (more hashes, same r) raises recall; growing r
+    * sharpens the threshold t ≈ (1/b)^(1/r) and CUTS candidate volume —
+    * at 100 TB corpora run wider (e.g. 128 hashes, 16 bands × 8 rows) so
+    * per-bucket populations, and hence the O(Σ bucket²) candidate join,
+    * stay bounded as N grows. `LshWidthSpec` measures the effect. */
+  val DefaultNumHashes = 8
+  val DefaultBandRows = 2
 
   /** doc_id → distinct-token rows, the shingle base. */
   private def docTokens(docs: DataFrame): DataFrame =
@@ -32,17 +42,21 @@ object DedupQueries {
       explode(array_distinct(split(col("text"), " "))).as("tok"))
 
   /** MinHash signature matrix: one min-md5 per permutation seed. */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val aggs = (0 until NumHashes).map(i =>
+  def minhashSignatures(docs: DataFrame,
+      numHashes: Int = DefaultNumHashes): DataFrame = {
+    val aggs = (0 until numHashes).map(i =>
       min(md5(concat(lit(i.toString), lit(":"), col("tok")))).as(s"sig_$i"))
     docTokens(docs).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: band key = md5 over the band's signature rows. Output is
     * one row per (doc, band). */
-  def minhashBands(sigs: DataFrame): DataFrame = {
-    val bands = (0 until NumHashes / BandRows).map { b =>
-      val cols = (0 until BandRows).map(r => col(s"sig_${b * BandRows + r}"))
+  def minhashBands(sigs: DataFrame, numHashes: Int = DefaultNumHashes,
+      bandRows: Int = DefaultBandRows): DataFrame = {
+    require(numHashes % bandRows == 0,
+      s"numHashes=$numHashes must divide into bands of bandRows=$bandRows")
+    val bands = (0 until numHashes / bandRows).map { b =>
+      val cols = (0 until bandRows).map(r => col(s"sig_${b * bandRows + r}"))
       struct(lit(b).as("band_idx"), md5(concat(cols: _*)).as("band_key"))
     }
     sigs.select(col("doc_id"), explode(array(bands: _*)).as("band"))
@@ -51,8 +65,11 @@ object DedupQueries {
   }
 
   /** Candidate pairs: docs sharing any band bucket (equi-join, distinct). */
-  def minhashCandidates(docs: DataFrame): DataFrame = {
-    val bands = minhashBands(minhashSignatures(docs))
+  def minhashCandidates(docs: DataFrame,
+      numHashes: Int = DefaultNumHashes,
+      bandRows: Int = DefaultBandRows): DataFrame = {
+    val bands = minhashBands(minhashSignatures(docs, numHashes),
+      numHashes, bandRows)
     val a = bands.select(col("band_idx"), col("band_key"),
       col("doc_id").as("ida"))
     val b = bands.select(col("band_idx"), col("band_key"),
@@ -145,9 +162,10 @@ object DedupQueries {
     * groupBy shuffle. At 100 TB this is the form that matters: signature
     * computation becomes a narrow map fused into the scan; only the tiny
     * (doc → band-key) frame ever shuffles, in the banding join. */
-  def minhashSignaturesFast(docs: DataFrame): DataFrame = {
+  def minhashSignaturesFast(docs: DataFrame,
+      numHashes: Int = DefaultNumHashes): DataFrame = {
     val toks = array_distinct(split(col("text"), " "))
-    val sigs = (0 until NumHashes).map(i =>
+    val sigs = (0 until numHashes).map(i =>
       array_min(transform(toks,
         t => md5(concat(lit(i.toString), lit(":"), t)))).as(s"sig_$i"))
     docs.select(col("doc_id") +: sigs: _*)

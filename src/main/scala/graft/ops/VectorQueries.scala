@@ -95,12 +95,23 @@ object VectorQueries {
       ORDER BY rnk
     """))
 
-  /** Sign-LSH signature: sign pattern of the first 8 components (a fixed,
-    * deterministic hyperplane set). Shared by the bucket-stats query and
-    * the embedding-dedup candidate join. */
-  private def signBucket(emb: Column): Column =
+  /** Registry default sign-LSH width. The oracle SQL is written against
+    * 8 bits (256 buckets), so the `queries()` entries pin it; callers
+    * size `bits` to the corpus instead. Within-bucket pairing is
+    * O(Σ bucket²), so buckets must stay bounded as N grows: pick
+    * bits ≈ log2(N / targetBucketSize) — e.g. 10^9 vectors at ~4k per
+    * bucket → 18 bits. `LshWidthSpec` measures candidate-count vs width. */
+  val DefaultSignBits = 8
+
+  /** Sign-LSH signature: sign pattern of the first `bits` components (a
+    * fixed, deterministic hyperplane set — axis-aligned hyperplanes are
+    * valid sign-LSH because embedding components are uncorrelated; a
+    * random-projection matrix would slot in here for correlated data).
+    * Shared by the bucket-stats query and the embedding-dedup candidate
+    * join. */
+  def signBucket(emb: Column, bits: Int = DefaultSignBits): Column =
     array_join(
-      transform(slice(emb, 1, 8),
+      transform(slice(emb, 1, bits),
         x => when(x >= 0f, lit("1")).otherwise(lit("0"))),
       "")
 
