@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{GQuery, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -231,6 +232,93 @@ object AggQueries {
       ORDER BY day
     """))
 
+  /** Statistical aggregates — corpus quality profiling (dispersion of
+    * document lengths, correlation of price vs quantity). Both engines
+    * compute in IEEE double with numerically-stable merge formulas that
+    * can differ in the last ulp, so results are rounded to 4 decimals
+    * before the hash compare (round-to-decimal of nearly-equal doubles is
+    * identical unless the true value sits within 1 ulp of a .00005
+    * boundary — not the case for any tested group). Map-side combinable
+    * (moment sketches merge associatively) — 100 TB-safe. */
+  val aggStats = GQuery(
+    "agg_stats",
+    (s, d) => {
+      def r4(c: Column) =
+        round(c, 4).cast(DecimalType(38, 4)).cast(DoubleType)
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          r4(stddev_samp(col("l_quantity").cast(DoubleType))).as("sd_qty"),
+          r4(var_samp(col("l_quantity").cast(DoubleType))).as("var_qty"),
+          r4(corr(col("l_quantity").cast(DoubleType),
+            col("l_extendedprice").cast(DoubleType))).as("corr_qty_price"),
+          r4(covar_samp(col("l_quantity").cast(DoubleType),
+            col("l_discount").cast(DoubleType))).as("cov_qty_disc"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+             CAST(CAST(round(stddev_samp(CAST(l_quantity AS DOUBLE)), 4) AS DECIMAL(38,4)) AS DOUBLE) AS sd_qty,
+             CAST(CAST(round(var_samp(CAST(l_quantity AS DOUBLE)), 4) AS DECIMAL(38,4)) AS DOUBLE) AS var_qty,
+             CAST(CAST(round(corr(CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE)), 4) AS DECIMAL(38,4)) AS DOUBLE) AS corr_qty_price,
+             CAST(CAST(round(covar_samp(CAST(l_quantity AS DOUBLE), CAST(l_discount AS DOUBLE)), 4) AS DECIMAL(38,4)) AS DOUBLE) AS cov_qty_disc
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """))
+
+  /** Exact interpolated percentiles (Spark `percentile` ≙ DuckDB
+    * `quantile_cont`, both linear interpolation at rank (n−1)·p). Exact
+    * percentile sorts within each group — the scale path is
+    * `approx_percentile` (KLL/GK sketch, one pass, mergeable), which the
+    * ApproxDistinctSpec-style tolerance check covers; this query pins the
+    * exact semantics. */
+  val aggPercentile = GQuery(
+    "agg_percentile",
+    (s, d) => {
+      def r4(c: Column) =
+        round(c, 4).cast(DecimalType(38, 4)).cast(DoubleType)
+      Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .agg(
+          r4(expr("percentile(CAST(l_quantity AS DOUBLE), 0.25)")).as("p25"),
+          r4(expr("percentile(CAST(l_quantity AS DOUBLE), 0.5)")).as("p50"),
+          r4(expr("percentile(CAST(l_quantity AS DOUBLE), 0.75)")).as("p75"),
+          r4(expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.9)"))
+            .as("p90_price"))
+        .orderBy("l_linestatus")
+    },
+    Some("""
+      SELECT l_linestatus,
+             CAST(CAST(round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 4) AS DECIMAL(38,4)) AS DOUBLE) AS p25,
+             CAST(CAST(round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 4) AS DECIMAL(38,4)) AS DOUBLE) AS p50,
+             CAST(CAST(round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75), 4) AS DECIMAL(38,4)) AS DOUBLE) AS p75,
+             CAST(CAST(round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 4) AS DECIMAL(38,4)) AS DOUBLE) AS p90_price
+      FROM lineitem
+      GROUP BY l_linestatus
+      ORDER BY l_linestatus
+    """))
+
+  /** Ordered string aggregation (LISTAGG): collect_list is
+    * partition-order-dependent, so the list is canonicalized by
+    * array_sort before joining — deterministic under any partitioning,
+    * matching DuckDB's string_agg ORDER BY. */
+  val aggListagg = GQuery(
+    "agg_listagg",
+    (s, d) =>
+      Tables.nation(s, d)
+        .groupBy(col("n_regionkey"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+          .as("nations"))
+        .orderBy("n_regionkey"),
+    Some("""
+      SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+      FROM nation
+      GROUP BY n_regionkey
+      ORDER BY n_regionkey
+    """))
+
   def all: Seq[GQuery] = Seq(aggCount, aggGroup, aggMinmax, aggDistinct,
-    aggApproxDistinct, aggAvg, aggRollup, aggCube, aggConditional, aggPivot)
+    aggApproxDistinct, aggAvg, aggRollup, aggCube, aggConditional, aggPivot,
+    aggStats, aggPercentile, aggListagg)
 }

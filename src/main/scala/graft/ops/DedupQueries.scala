@@ -18,8 +18,10 @@ import org.apache.spark.sql.types._
   * Scale shape: tokenize→explode→min-groupBy is map-side combinable;
   * banding turns the quadratic all-pairs problem into an equi-join on
   * (band_idx, band_key) — the only shuffle keys. No cross join anywhere.
-  * SimHash uses xxhash64 (Spark-builtin, codegen'd) — no DuckDB
-  * equivalent, so its query is rows-only checked.
+  * SimHash has two forms: the xxhash64 fast path (Spark-builtin,
+  * codegen'd — no DuckDB equivalent, rows-only checked) and a portable
+  * md5-derived 32-bit form whose pigeonhole-banded Hamming join IS
+  * hash-verified against a brute-force DuckDB oracle.
   */
 object DedupQueries {
 
@@ -156,6 +158,92 @@ object DedupQueries {
         .orderBy("doc_id"),
     None)
 
+  /** Portable 32-bit SimHash built from md5 nibble votes — unlike the
+    * xxhash64-based `simhash`/`SimHash64` (the fast path), every step here
+    * has an exact DuckDB twin, so the WHOLE near-dup join is
+    * hash-verified. Per token: value = first 8 hex digits of md5 parsed
+    * as a 32-bit int; per bit: sum of ±1 votes across tokens; sig bit set
+    * iff the vote is positive. Votes are order-independent sums, so
+    * tokenization order can never change the signature. */
+  def simhash32Portable(tokens: Column): Column = {
+    val hashes = transform(tokens,
+      t => conv(substring(md5(t), 1, 8), 16, 10).cast(LongType))
+    val bits = (0 until 32).map { b =>
+      val vote = aggregate(hashes, lit(0),
+        (acc, v) => acc +
+          when(shiftright(v, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** Hamming near-dup join by pigeonhole banding: split the 32-bit sig
+    * into 4 disjoint 8-bit bands; any pair within hamming distance 3 has
+    * at most 3 differing bands, so AT LEAST one band matches exactly —
+    * candidate generation is a plain equi-join on (band_idx, band_val)
+    * with FULL recall at d ≤ bands−1 (the classic multi-index Hamming
+    * join). Never an all-pairs comparison: at 100 TB the only shuffle is
+    * the 4-rows-per-doc band frame keyed by one byte + band index, and
+    * the exact `bit_count(xor)` check runs on candidates only. The
+    * DuckDB oracle brute-forces all pairs at the same threshold — equal
+    * results prove the banding loses nothing. */
+  val dedupSimhashJoin = GQuery(
+    "dedup_simhash_join",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+      val sigs = docs.select(col("doc_id"),
+        simhash32Portable(array_distinct(split(col("text"), " "))).as("sig"))
+      val bands = sigs.select(col("doc_id"), col("sig"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("band_idx"),
+            shiftright(col("sig"), 8 * i).bitwiseAND(255)
+              .as("band_val"))): _*)).as("band"))
+        .select(col("doc_id"), col("sig"),
+          col("band.band_idx"), col("band.band_val"))
+      val a = bands.select(col("band_idx"), col("band_val"),
+        col("doc_id").as("ida"), col("sig").as("siga"))
+      val b = bands.select(col("band_idx"), col("band_val"),
+        col("doc_id").as("idb"), col("sig").as("sigb"))
+      a.join(b, Seq("band_idx", "band_val"))
+        .filter(col("ida") < col("idb"))
+        .select(col("ida"), col("idb"),
+          bit_count(col("siga").bitwiseXOR(col("sigb")))
+            .cast(LongType).as("hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct()
+        .orderBy("ida", "idb")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS tok
+        FROM documents WHERE doc_id < 100),
+      hv AS (
+        SELECT doc_id,
+               (CAST(strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1 AS BIGINT) << 28)
+             + ((strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) << 24)
+             + ((strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) << 20)
+             + ((strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1) << 16)
+             + ((strpos('0123456789abcdef', substr(md5(tok), 5, 1)) - 1) << 12)
+             + ((strpos('0123456789abcdef', substr(md5(tok), 6, 1)) - 1) << 8)
+             + ((strpos('0123456789abcdef', substr(md5(tok), 7, 1)) - 1) << 4)
+             +  (strpos('0123456789abcdef', substr(md5(tok), 8, 1)) - 1) AS v
+        FROM toks),
+      votes AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN ((v >> b) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+        FROM hv CROSS JOIN (SELECT unnest(range(32)) AS b) bb
+        GROUP BY 1, 2),
+      sigs AS (
+        SELECT doc_id,
+               SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sig
+        FROM votes GROUP BY 1)
+      SELECT a.doc_id AS ida, b2.doc_id AS idb,
+             CAST(bit_count(xor(a.sig, b2.sig)) AS BIGINT) AS hamming
+      FROM sigs a JOIN sigs b2 ON a.doc_id < b2.doc_id
+      WHERE bit_count(xor(a.sig, b2.sig)) <= 3
+      ORDER BY ida, idb
+    """))
+
   /** Shuffle-free MinHash: the signature computed per-row with
     * higher-order array expressions (`array_min` over `transform`) —
     * identical values to `minhashSignatures` but with NO explode and NO
@@ -257,6 +345,6 @@ object DedupQueries {
     """))
 
   def all: Seq[GQuery] =
-    Seq(dedupMinhashSig, dedupMinhashLsh, dedupSimhash, dedupMinhashFast,
-      dedupMinhashVerify)
+    Seq(dedupMinhashSig, dedupMinhashLsh, dedupSimhash, dedupSimhashJoin,
+      dedupMinhashFast, dedupMinhashVerify)
 }

@@ -196,7 +196,44 @@ object JoinQueries {
       ORDER BY user_id, purchase_ts
     """))
 
+  /** Non-equi range (band) join: price → price-band dimension. There is
+    * no equi key, so Spark plans BroadcastNestedLoopJoin — which is the
+    * CORRECT 100 TB shape for a small band table (each partition streams
+    * once past the handful of broadcast bands; no shuffle of the fact).
+    * For a LARGE range side the rewrite is binning: assign each fact row
+    * to bucket floor(price/step) and equi-join on the bucket — turning
+    * the range join back into a shuffle-hash join. The band dimension is
+    * inlined literally on both engines. */
+  val joinRange = GQuery(
+    "join_range",
+    (s, d) => {
+      import s.implicits._
+      val bands = Seq(("budget", 0.0, 1100.0), ("mid", 1100.0, 1500.0),
+        ("premium", 1500.0, 1800.0), ("luxury", 1800.0, 2200.0))
+        .toDF("band", "lo", "hi")
+      Tables.part(s, d)
+        .join(broadcast(bands),
+          col("p_retailprice") >= col("lo") &&
+            col("p_retailprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("p_retailprice").cast(DecimalType(18, 2)))
+            .cast(DecimalType(38, 2)).cast(DoubleType).as("sum_price"))
+        .orderBy("band")
+    },
+    Some("""
+      SELECT band, COUNT(*) AS cnt,
+             CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price
+      FROM part
+      JOIN (VALUES ('budget', 0.0, 1100.0), ('mid', 1100.0, 1500.0),
+                   ('premium', 1500.0, 1800.0), ('luxury', 1800.0, 2200.0))
+           AS bands(band, lo, hi)
+        ON p_retailprice >= lo AND p_retailprice < hi
+      GROUP BY band
+      ORDER BY band
+    """))
+
   def all: Seq[GQuery] =
     Seq(joinInner, joinBroadcast, joinLeft, joinSemi, joinAnti, joinStar,
-      joinAsof)
+      joinAsof, joinRange)
 }

@@ -233,6 +233,44 @@ object ScalarQueries {
       ORDER BY flag_desc, status_desc
     """))
 
+  /** F1–F8 widening: pad/translate/split_part/left/right/repeat/reverse +
+    * regexp_extract_all — the remaining portable string surface. The
+    * extract-all array is canonicalized to a '|'-joined string so the
+    * hash compare stays on scalars. */
+  val strFuncs3 = GQuery(
+    "str_funcs3",
+    (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_partkey") <= 100)
+        .select(col("p_partkey"),
+          lpad(col("p_brand"), 12, "*").as("brand_lpad"),
+          rpad(col("p_brand"), 12, "-").as("brand_rpad"),
+          translate(col("p_type"), " ", "_").as("type_us"),
+          expr("split_part(p_type, ' ', 2)").as("type_mid"),
+          expr("left(p_name, 5)").as("name_l5"),
+          expr("right(p_name, 5)").as("name_r5"),
+          repeat(lit("ab"), 3).as("rep"),
+          reverse(col("p_brand")).as("brand_rev"),
+          array_join(expr("regexp_extract_all(p_name, '[a-z]+', 0)"), "|")
+            .as("name_words"))
+        .orderBy("p_partkey"),
+    Some("""
+      SELECT p_partkey,
+             lpad(p_brand, 12, '*') AS brand_lpad,
+             rpad(p_brand, 12, '-') AS brand_rpad,
+             translate(p_type, ' ', '_') AS type_us,
+             split_part(p_type, ' ', 2) AS type_mid,
+             left(p_name, 5) AS name_l5,
+             right(p_name, 5) AS name_r5,
+             repeat('ab', 3) AS rep,
+             reverse(p_brand) AS brand_rev,
+             array_to_string(regexp_extract_all(p_name, '[a-z]+'), '|') AS name_words
+      FROM part
+      WHERE p_partkey <= 100
+      ORDER BY p_partkey
+    """))
+
   def all: Seq[GQuery] = Seq(strFuncs, strFuncs2, strSearch, dateTruncAgg,
-    dateParts, dateDiff, jsonExtract, jsonAgg, arrayOps, decodeEnum)
+    dateParts, dateDiff, jsonExtract, jsonAgg, arrayOps, decodeEnum,
+    strFuncs3)
 }

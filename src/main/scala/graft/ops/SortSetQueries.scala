@@ -160,6 +160,44 @@ object SortSetQueries {
       ORDER BY rn
     """))
 
+  /** Wide→long reshape (UNPIVOT/melt): the inverse of agg_pivot. Spark's
+    * `unpivot` is a zero-shuffle narrow op (each row expands to one row
+    * per value column in place); the oracle spells it as UNION ALL, the
+    * other public way to express it. Values share one double type, the
+    * UNPIVOT contract in both engines. */
+  val unpivotMelt = GQuery(
+    "unpivot_melt",
+    (s, d) => {
+      val wide = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DecimalType(38, 2)).cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DecimalType(38, 2)).cast(DoubleType).as("sum_price"),
+          count(lit(1)).cast(DoubleType).as("n_rows"))
+      wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("n_rows")),
+        "metric", "value")
+        .orderBy("l_returnflag", "metric")
+    },
+    Some("""
+      WITH wide AS (
+        SELECT l_returnflag,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price,
+               CAST(COUNT(*) AS DOUBLE) AS n_rows
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, metric, value FROM (
+        SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'n_rows', n_rows FROM wide)
+      ORDER BY l_returnflag, metric
+    """))
+
   def all: Seq[GQuery] = Seq(sortMulti, topk, setUnion, setExcept,
-    setIntersect, distinctVals, dedupKey, pageOffset)
+    setIntersect, distinctVals, dedupKey, pageOffset, unpivotMelt)
 }

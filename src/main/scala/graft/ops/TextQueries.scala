@@ -290,6 +290,81 @@ object TextQueries {
       ORDER BY doc_id
     """))
 
+  /** Stratified deterministic sampling: per-language rates (en 25%, rest
+    * 50%) by the first hex digit of md5(doc_id) — the corpus-rebalancing
+    * primitive (downsample the dominant language). Like split_hash it is
+    * RNG-free and stable under appends/repartition, and being a pure
+    * per-row predicate it pushes into the scan (a 100 TB sample never
+    * shuffles). Hex-digit compare ≡ numeric compare in both engines. */
+  val sampleStratified = GQuery(
+    "sample_stratified",
+    (s, d) => {
+      val h = substring(md5(col("doc_id").cast(StringType)), 1, 1)
+      Tables.documents(s, d)
+        .filter(when(col("lang") === "en", h < "4").otherwise(h < "8"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, lang
+      FROM documents
+      WHERE CASE WHEN lang = 'en'
+                 THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+                 ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' END
+      ORDER BY doc_id
+    """))
+
+  /** TF-IDF: term frequency × ln(N/df), top-3 terms per document — the
+    * classic relevance/keyword-extraction primitive. Shape: word-count
+    * explode (map-side combinable) for tf; the df table is |vocab| rows
+    * and joins back broadcast-style; N is a literal computed once. ln()
+    * can differ in the last ulp across libms, so scores are rounded to 4
+    * decimals for the cross-engine hash. */
+  val textTfidf = GQuery(
+    "text_tfidf",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 50)
+      val n = docs.count()
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = toks.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("tok"))
+      tf.join(broadcast(df), "tok")
+        .withColumn("tfidf",
+          round(col("tf") * log(lit(n.toDouble) / col("df")), 4)
+            .cast(DecimalType(38, 4)).cast(DoubleType))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("tok"), col("tfidf"))
+        .orderBy("doc_id", "rn")
+    },
+    Some("""
+      WITH docs AS (SELECT * FROM documents WHERE doc_id < 50),
+      n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM docs),
+      toks AS (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM docs),
+      tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      df AS (
+        SELECT tok, COUNT(*) AS df
+        FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY 1),
+      scored AS (
+        SELECT tf.doc_id, tf.tok,
+               CAST(CAST(round(tf.tf * ln(n.n / df.df), 4) AS DECIMAL(38,4)) AS DOUBLE) AS tfidf
+        FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n)
+      SELECT doc_id, rn, tok, tfidf FROM (
+        SELECT doc_id, tok, tfidf,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, tok) AS BIGINT) AS rn
+        FROM scored)
+      WHERE rn <= 3
+      ORDER BY doc_id, rn
+    """))
+
   def all: Seq[GQuery] = Seq(textTokens, tokenCount, textQuality, langId,
-    docFingerprint, dedupExact, dedupJaccard, textBigrams, splitHash)
+    docFingerprint, dedupExact, dedupJaccard, textBigrams, splitHash,
+    sampleStratified, textTfidf)
 }

@@ -224,6 +224,41 @@ object VectorQueries {
     },
     None)
 
+  /** Int8 max-abs quantization — the storage-compression pass an
+    * embedding corpus runs before ANN serving (4× smaller than float32,
+    * 8× smaller than the double intermediates). Pure narrow map over the
+    * scan: per vector, scale by 127/max|x| and round half-away-from-zero
+    * (the shared Spark/DuckDB rounding). The int list is emitted as a
+    * ','-joined string so the hash compare stays scalar; the scale
+    * factor is rounded into a decimal to absorb float-division ulps. */
+  val embedQuantize = GQuery(
+    "embed_quantize",
+    (s, d) => {
+      val absd = transform(col("embedding"), x => abs(x.cast(DoubleType)))
+      val maxabs = array_max(absd)
+      val q = transform(col("embedding"),
+        x => round(x.cast(DoubleType) * 127.0 / maxabs).cast(LongType))
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") < 50)
+        .select(col("vec_id"),
+          round(maxabs / 127.0, 6).cast(DecimalType(38, 6))
+            .cast(DoubleType).as("scale"),
+          array_join(transform(q, _.cast(StringType)), ",").as("qvec"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      SELECT vec_id,
+             CAST(CAST(round(list_max(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE)))) / 127.0, 6) AS DECIMAL(38,6)) AS DOUBLE) AS scale,
+             array_to_string(list_transform(embedding,
+               x -> CAST(CAST(round(CAST(x AS DOUBLE) * 127.0 /
+                 list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))) AS BIGINT) AS VARCHAR)), ',') AS qvec
+      FROM embeddings
+      WHERE vec_id < 50
+      ORDER BY vec_id
+    """))
+
   def all: Seq[GQuery] =
-    Seq(vecNorm, simTopk, simBucketed, simPairs, dedupEmbed, simIvf)
+    Seq(vecNorm, simTopk, simBucketed, simPairs, dedupEmbed, simIvf,
+      embedQuantize)
 }

@@ -130,5 +130,65 @@ object WindowQueries {
       ORDER BY l_returnflag, l_linestatus, rn
     """))
 
-  def all: Seq[GQuery] = Seq(winLatest, winRank, winCumsum, winLag, topkGroup)
+  /** W5 distribution ranks: ntile / percent_rank / cume_dist. The
+    * ordering ends in the unique o_orderkey so there are no ties and the
+    * rank-derived ratios are exact small-integer divisions — identical
+    * IEEE doubles in both engines, no rounding needed. */
+  val winNtile = GQuery(
+    "win_ntile",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") <= 10000)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          ntile(4).over(w).cast(LongType).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    },
+    Some("""
+      SELECT o_orderpriority, o_orderkey,
+             CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             percent_rank() OVER w AS pct_rank,
+             cume_dist() OVER w AS cume
+      FROM orders
+      WHERE o_orderkey <= 10000
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey)
+      ORDER BY o_orderpriority, o_orderkey
+    """))
+
+  /** W6 explicit frames: first/last/nth over an unbounded frame — the
+    * "compare each row to its group's extremes" report shape. last_value
+    * needs the full frame spelled out (the default frame stops at
+    * CURRENT ROW in both engines). */
+  val winFrames = GQuery(
+    "win_frames",
+    (s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .filter(col("event_id") <= 5000)
+        .select(col("event_type"), col("event_id"),
+          first(col("event_id")).over(w).as("first_id"),
+          last(col("event_id")).over(w).as("last_id"),
+          nth_value(col("event_id"), 2).over(w).as("second_id"))
+        .orderBy("event_type", "event_id")
+    },
+    Some("""
+      SELECT event_type, event_id,
+             first_value(event_id) OVER w AS first_id,
+             last_value(event_id) OVER w AS last_id,
+             nth_value(event_id, 2) OVER w AS second_id
+      FROM events
+      WHERE event_id <= 5000
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY event_type, event_id
+    """))
+
+  def all: Seq[GQuery] = Seq(winLatest, winRank, winCumsum, winLag, topkGroup,
+    winNtile, winFrames)
 }
