@@ -13,13 +13,17 @@ import org.apache.spark.sql.types._
   * date/datetime field lists driving load-time coercion
   * (`models/base.py:~35-36`), and docs carried in `Metadata`.
   *
-  * The registry covers two tiers (SURVEY §1.3): the shape classes — the
+  * The registry covers three tiers (SURVEY §1.3): the shape classes — the
   * biggest fact (`rcpt_cd` ≙ `RcptCd`, `models/campaign.py:~1800`), the
   * link table (`filer_filings_cd` ≙ `FilerFilingsCd`, `models/common.py:
   * ~200`), a lookup dimension (`lookup_codes_cd` ≙ `LookupCodesCd`,
   * `models/inactive.py:~400`) — plus the next tier of high-traffic
   * campaign/lobbying tables (cover pages, loans, debts, late reports,
-  * lobbying payments/expenses, filer links). Each is a column subset of
+  * lobbying payments/expenses, filer links) — plus a third tier: the
+  * filings backbone (`filings_cd`, `hdr_cd`, `text_memo_cd`), schedule
+  * itemizations (S401/S496/S498/splits), lobbying registration, lookup
+  * dimensions, and the tracking/lineage star (`raw_data_version`,
+  * `raw_data_file` ≙ `models/tracking.py`). Each is a column subset of
   * its ~50-column original; widening a TableDef is additive and needs no
   * engine change.
   */
@@ -486,10 +490,379 @@ object Schemas {
     dateFields = Seq("from_date", "thru_date"),
     datetimeFields = Seq("sig_date"))
 
+  // ── Tier 3: filings backbone, schedule tables, registration,
+  //    dimensions, and the tracking/lineage star (SURVEY §1.3) ──────────
+
+  /** ≙ FILINGS_CD — the master filings directory (`models/common.py`). */
+  val filingsCd: TableDef = TableDef(
+    name = "filings_cd",
+    schema = StructType(Seq(
+      StructField("filing_id", LongType, nullable = true,
+        doc("Unique filing identification number")),
+      StructField("filing_type", LongType, nullable = true,
+        doc("Numeric code of the filing type, decoded via lookup codes")))),
+    uniqueKey = Seq("filing_id", "filing_type"))
+
+  /** ≙ HDR_CD — electronic-filing header record (`models/common.py`). */
+  val hdrCd: TableDef = TableDef(
+    name = "hdr_cd",
+    schema = StructType(Seq(
+      StructField("filing_id", LongType, nullable = true,
+        doc("Unique filing identification number")),
+      StructField("amend_id", LongType, nullable = true,
+        doc("Amendment identification number; 0 is the original")),
+      StructField("rec_type", StringType, nullable = true,
+        doc("Record type of the header, always HDR")),
+      StructField("cal_ver", StringType, nullable = true,
+        doc("CAL format version of the electronic filing")),
+      StructField("soft_name", StringType, nullable = true,
+        doc("Name of the software that produced the filing")),
+      StructField("soft_ver", StringType, nullable = true,
+        doc("Version of the software that produced the filing")),
+      StructField("state_cd", StringType, nullable = true,
+        doc("State code of the filing, always CA")))),
+    uniqueKey = Seq("filing_id", "amend_id"))
+
+  /** ≙ TEXT_MEMO_CD — free-text memo lines referenced by itemization
+    * records across forms (`models/common.py`). */
+  val textMemoCd: TableDef = TableDef(
+    name = "text_memo_cd",
+    schema = StructType(Seq(
+      StructField("filing_id", LongType, nullable = true,
+        doc("Unique filing identification number")),
+      StructField("amend_id", LongType, nullable = true,
+        doc("Amendment identification number; 0 is the original")),
+      StructField("line_item", LongType, nullable = true,
+        doc("Line item number of this record")),
+      StructField("rec_type", StringType, nullable = true,
+        doc("Record type of the memo, always TEXT")),
+      StructField("form_type", StringType, nullable = true,
+        doc("Form or schedule the memo annotates")),
+      StructField("ref_no", StringType, nullable = true,
+        doc("Reference number linking the memo to its itemization line")),
+      StructField("text4000", StringType, nullable = true,
+        doc("Memo text, up to 4000 characters")))),
+    uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type"))
+
+  /** ≙ CVR2_SO_CD — statement-of-organization additional names/officers
+    * page (`models/campaign.py`). */
+  val cvr2SoCd: TableDef = TableDef(
+    name = "cvr2_so_cd",
+    schema = StructType(Seq(
+      StructField("filing_id", LongType, nullable = true,
+        doc("Unique filing identification number")),
+      StructField("amend_id", LongType, nullable = true,
+        doc("Amendment identification number; 0 is the original")),
+      StructField("line_item", LongType, nullable = true,
+        doc("Line item number of this record")),
+      StructField("rec_type", StringType, nullable = true,
+        doc("Record type of the page, always CVR2")),
+      StructField("form_type", StringType, nullable = true,
+        doc("Statement form type (400, 402, 410, ...)")),
+      StructField("tran_id", StringType, nullable = true,
+        doc("Permanent value unique within the filing")),
+      StructField("entity_cd", StringType, nullable = true,
+        doc("Entity code of the named person/organization")),
+      StructField("enty_naml", StringType, nullable = true,
+        doc("Entity last name or organization name")),
+      StructField("item_cd", StringType, nullable = true,
+        doc("Section of the statement the entity is itemized under")))),
+    uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type",
+      "form_type"))
+
+  /** ≙ S401_CD — Form 401 (slate-mailer) itemizations
+    * (`models/campaign.py`). */
+  val s401Cd: TableDef = TableDef(
+    name = "s401_cd",
+    schema = StructType(Seq(
+      StructField("filing_id", LongType, nullable = true,
+        doc("Unique filing identification number")),
+      StructField("amend_id", LongType, nullable = true,
+        doc("Amendment identification number; 0 is the original")),
+      StructField("line_item", LongType, nullable = true,
+        doc("Line item number of this record")),
+      StructField("rec_type", StringType, nullable = true,
+        doc("Record type of the transaction, always S401")),
+      StructField("form_type", StringType, nullable = true,
+        doc("Schedule of Form 401 the payment is reported on")),
+      StructField("tran_id", StringType, nullable = true,
+        doc("Permanent value unique within the filing")),
+      StructField("agent_naml", StringType, nullable = true,
+        doc("Agent or independent contractor last name")),
+      StructField("payee_naml", StringType, nullable = true,
+        doc("Payee last name or organization name")),
+      StructField("amount", DecimalType(14, 2), nullable = true,
+        doc("Amount paid or received this period")),
+      StructField("aggregate", DecimalType(14, 2), nullable = true,
+        doc("Cumulative amount for the calendar year")))),
+    uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type",
+      "form_type"))
+
+  /** ≙ S496_CD — Form 496 late independent expenditures
+    * (`models/campaign.py`). */
+  val s496Cd: TableDef = TableDef(
+    name = "s496_cd",
+    schema = StructType(Seq(
+      StructField("filing_id", LongType, nullable = true,
+        doc("Unique filing identification number")),
+      StructField("amend_id", LongType, nullable = true,
+        doc("Amendment identification number; 0 is the original")),
+      StructField("line_item", LongType, nullable = true,
+        doc("Line item number of this record")),
+      StructField("rec_type", StringType, nullable = true,
+        doc("Record type of the transaction, always S496")),
+      StructField("form_type", StringType, nullable = true,
+        doc("Form type, always F496")),
+      StructField("tran_id", StringType, nullable = true,
+        doc("Permanent value unique within the filing")),
+      StructField("amount", DecimalType(14, 2), nullable = true,
+        doc("Amount of the independent expenditure")),
+      StructField("exp_date", DateType, nullable = true,
+        doc("Date of the expenditure, M/D/YYYY in the raw file")),
+      StructField("expn_dscr", StringType, nullable = true,
+        doc("Description of the expenditure")))),
+    uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type",
+      "form_type"),
+    dateFields = Seq("exp_date"))
+
+  /** ≙ S498_CD — Form 498 late payments received by slate mailers
+    * (`models/campaign.py`). */
+  val s498Cd: TableDef = TableDef(
+    name = "s498_cd",
+    schema = StructType(Seq(
+      StructField("filing_id", LongType, nullable = true,
+        doc("Unique filing identification number")),
+      StructField("amend_id", LongType, nullable = true,
+        doc("Amendment identification number; 0 is the original")),
+      StructField("line_item", LongType, nullable = true,
+        doc("Line item number of this record")),
+      StructField("rec_type", StringType, nullable = true,
+        doc("Record type of the transaction, always S498")),
+      StructField("form_type", StringType, nullable = true,
+        doc("Form type, always F498")),
+      StructField("tran_id", StringType, nullable = true,
+        doc("Permanent value unique within the filing")),
+      StructField("payor_naml", StringType, nullable = true,
+        doc("Payor last name or organization name")),
+      StructField("amt_rcvd", DecimalType(14, 2), nullable = true,
+        doc("Amount received from the payor")),
+      StructField("date_rcvd", DateType, nullable = true,
+        doc("Date received, M/D/YYYY in the raw file")))),
+    uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type",
+      "form_type"),
+    dateFields = Seq("date_rcvd"))
+
+  /** ≙ SPLT_CD — per-candidate/measure allocation splits of transactions
+    * (`models/campaign.py`). */
+  val spltCd: TableDef = TableDef(
+    name = "splt_cd",
+    schema = StructType(Seq(
+      StructField("filing_id", LongType, nullable = true,
+        doc("Unique filing identification number")),
+      StructField("amend_id", LongType, nullable = true,
+        doc("Amendment identification number; 0 is the original")),
+      StructField("line_item", LongType, nullable = true,
+        doc("Line item number of this record")),
+      StructField("pform_type", StringType, nullable = true,
+        doc("Parent schedule the split transaction belongs to")),
+      StructField("ptran_id", StringType, nullable = true,
+        doc("Parent transaction id the split applies to")),
+      StructField("elec_amount", DecimalType(14, 2), nullable = true,
+        doc("Amount allocated to the election")),
+      StructField("elec_code", StringType, nullable = true,
+        doc("Election code of the allocation")),
+      StructField("elec_date", DateType, nullable = true,
+        doc("Date of the election, M/D/YYYY in the raw file")))),
+    uniqueKey = Seq("filing_id", "amend_id", "line_item", "pform_type"),
+    dateFields = Seq("elec_date"))
+
+  /** ≙ CVR_REGISTRATION_CD — lobbyist/firm registration cover page
+    * (`models/lobbying.py`). */
+  val cvrRegistrationCd: TableDef = TableDef(
+    name = "cvr_registration_cd",
+    schema = StructType(Seq(
+      StructField("filing_id", LongType, nullable = true,
+        doc("Unique filing identification number")),
+      StructField("amend_id", LongType, nullable = true,
+        doc("Amendment identification number; 0 is the original")),
+      StructField("rec_type", StringType, nullable = true,
+        doc("Record type of the cover page, always CVR")),
+      StructField("form_type", StringType, nullable = true,
+        doc("Registration form (F601, F602, F603, F604, ...)")),
+      StructField("filer_id", LongType, nullable = true,
+        doc("Filer unique identification number")),
+      StructField("filer_naml", StringType, nullable = true,
+        doc("Filer last name or organization name")),
+      StructField("ls_beg_yr", LongType, nullable = true,
+        doc("Legislative session beginning year")),
+      StructField("ls_end_yr", LongType, nullable = true,
+        doc("Legislative session ending year")),
+      StructField("qual_date", DateType, nullable = true,
+        doc("Date qualified, M/D/YYYY in the raw file")),
+      StructField("eff_date", DateType, nullable = true,
+        doc("Effective date of the registration, M/D/YYYY in the raw file")))),
+    uniqueKey = Seq("filing_id", "amend_id", "rec_type", "form_type"),
+    dateFields = Seq("qual_date", "eff_date"))
+
+  /** ≙ LCCM_CD — lobbying campaign contributions made/arranged
+    * (`models/lobbying.py`). */
+  val lccmCd: TableDef = TableDef(
+    name = "lccm_cd",
+    schema = StructType(Seq(
+      StructField("filing_id", LongType, nullable = true,
+        doc("Unique filing identification number")),
+      StructField("amend_id", LongType, nullable = true,
+        doc("Amendment identification number; 0 is the original")),
+      StructField("line_item", LongType, nullable = true,
+        doc("Line item number of this record")),
+      StructField("rec_type", StringType, nullable = true,
+        doc("Record type of the transaction, always LCCM")),
+      StructField("form_type", StringType, nullable = true,
+        doc("Schedule of the lobbying form the contribution is on")),
+      StructField("tran_id", StringType, nullable = true,
+        doc("Permanent value unique within the filing")),
+      StructField("recip_naml", StringType, nullable = true,
+        doc("Recipient committee or candidate last name")),
+      StructField("amount", DecimalType(14, 2), nullable = true,
+        doc("Amount of the contribution")),
+      StructField("ctrib_date", DateType, nullable = true,
+        doc("Date of the contribution, M/D/YYYY in the raw file")))),
+    uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type",
+      "form_type"),
+    dateFields = Seq("ctrib_date"))
+
+  /** ≙ LEMP_CD — lobbyist employers / subcontracted clients
+    * (`models/lobbying.py`). */
+  val lempCd: TableDef = TableDef(
+    name = "lemp_cd",
+    schema = StructType(Seq(
+      StructField("filing_id", LongType, nullable = true,
+        doc("Unique filing identification number")),
+      StructField("amend_id", LongType, nullable = true,
+        doc("Amendment identification number; 0 is the original")),
+      StructField("line_item", LongType, nullable = true,
+        doc("Line item number of this record")),
+      StructField("rec_type", StringType, nullable = true,
+        doc("Record type of the record, always LEMP")),
+      StructField("form_type", StringType, nullable = true,
+        doc("Part of Form 601 the employer is listed under")),
+      StructField("cli_naml", StringType, nullable = true,
+        doc("Client last name or organization name")),
+      StructField("eff_date", DateType, nullable = true,
+        doc("Effective date of the agreement, M/D/YYYY in the raw file")),
+      StructField("con_period", StringType, nullable = true,
+        doc("Contract period of the agreement, free text")))),
+    uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type"),
+    dateFields = Seq("eff_date"))
+
+  /** ≙ LOTH_CD — payments made to lobbying coalitions / other payments
+    * (`models/lobbying.py`). */
+  val lothCd: TableDef = TableDef(
+    name = "loth_cd",
+    schema = StructType(Seq(
+      StructField("filing_id", LongType, nullable = true,
+        doc("Unique filing identification number")),
+      StructField("amend_id", LongType, nullable = true,
+        doc("Amendment identification number; 0 is the original")),
+      StructField("line_item", LongType, nullable = true,
+        doc("Line item number of this record")),
+      StructField("rec_type", StringType, nullable = true,
+        doc("Record type of the transaction, always LOTH")),
+      StructField("form_type", StringType, nullable = true,
+        doc("Form type, always F625P3B")),
+      StructField("firm_name", StringType, nullable = true,
+        doc("Name of the firm paid or paying")),
+      StructField("amt_this_per", DecimalType(14, 2), nullable = true,
+        doc("Amount paid this reporting period")),
+      StructField("pmt_date", DateType, nullable = true,
+        doc("Date of the payment, M/D/YYYY in the raw file")))),
+    uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type"),
+    dateFields = Seq("pmt_date"))
+
+  /** ≙ FILER_TYPES_CD — filer-type dimension (`models/inactive.py`). */
+  val filerTypesCd: TableDef = TableDef(
+    name = "filer_types_cd",
+    schema = StructType(Seq(
+      StructField("filer_type", LongType, nullable = true,
+        doc("Numeric filer-type code")),
+      StructField("description", StringType, nullable = true,
+        doc("Description of the filer type")),
+      StructField("grp_type", LongType, nullable = true,
+        doc("Group-type code the filer type belongs to")),
+      StructField("calc_use", StringType, nullable = true,
+        doc("Calculation-use flag")),
+      StructField("grace_period", StringType, nullable = true,
+        doc("Filing grace period, free text")))),
+    uniqueKey = Seq("filer_type"))
+
+  /** ≙ LEGISLATIVE_SESSIONS_CD — session dimension
+    * (`models/inactive.py`). */
+  val legislativeSessionsCd: TableDef = TableDef(
+    name = "legislative_sessions_cd",
+    schema = StructType(Seq(
+      StructField("session_id", LongType, nullable = true,
+        doc("Legislative session identification number")),
+      StructField("begin_date", DateType, nullable = true,
+        doc("Session start date, M/D/YYYY in the raw file")),
+      StructField("end_date", DateType, nullable = true,
+        doc("Session end date, M/D/YYYY in the raw file")))),
+    uniqueKey = Seq("session_id"),
+    dateFields = Seq("begin_date", "end_date"))
+
+  /** ≙ RawDataVersion (`models/tracking.py`) — one row per monthly
+    * export: the pipeline's run-level lineage record. In this engine it
+    * is the metrics row `graft.Pipeline` emits per run. */
+  val rawDataVersion: TableDef = TableDef(
+    name = "raw_data_version",
+    schema = StructType(Seq(
+      StructField("release_datetime", TimestampType, nullable = true,
+        doc("Datetime the CAL-ACCESS snapshot was released; unique")),
+      StructField("expected_size", LongType, nullable = true,
+        doc("Expected byte size of the downloaded archive")),
+      StructField("download_start", TimestampType, nullable = true,
+        doc("Datetime the download phase started")),
+      StructField("download_finish", TimestampType, nullable = true,
+        doc("Datetime the download phase finished")),
+      StructField("clean_start", TimestampType, nullable = true,
+        doc("Datetime the clean phase started")),
+      StructField("clean_finish", TimestampType, nullable = true,
+        doc("Datetime the clean phase finished")),
+      StructField("load_start", TimestampType, nullable = true,
+        doc("Datetime the load phase started")),
+      StructField("load_finish", TimestampType, nullable = true,
+        doc("Datetime the load phase finished")))),
+    uniqueKey = Seq("release_datetime"),
+    datetimeFields = Seq("release_datetime", "download_start",
+      "download_finish", "clean_start", "clean_finish", "load_start",
+      "load_finish"))
+
+  /** ≙ RawDataFile (`models/tracking.py`) — per-table per-version
+    * download/clean/load record counts: the file-level lineage star. */
+  val rawDataFile: TableDef = TableDef(
+    name = "raw_data_file",
+    schema = StructType(Seq(
+      StructField("version_release_datetime", TimestampType, nullable = true,
+        doc("Release datetime of the version this file belongs to")),
+      StructField("file_name", StringType, nullable = true,
+        doc("Name of the raw TSV file, e.g. RCPT_CD")),
+      StructField("download_records_count", LongType, nullable = true,
+        doc("Row count of the raw downloaded TSV")),
+      StructField("clean_records_count", LongType, nullable = true,
+        doc("Row count after the clean phase")),
+      StructField("load_records_count", LongType, nullable = true,
+        doc("Row count loaded into the queryable store")),
+      StructField("error_count", LongType, nullable = true,
+        doc("Rows diverted to the error side-channel during clean")))),
+    uniqueKey = Seq("version_release_datetime", "file_name"),
+    datetimeFields = Seq("version_release_datetime"))
+
   val all: Seq[TableDef] =
     Seq(rcptCd, filerFilingsCd, lookupCodesCd, smryCd, filernameCd, expnCd,
       cvrSoCd, loanCd, debtCd, s497Cd, lattCd, lexpCd, lpayCd,
-      cvrCampaignDisclosureCd, filerLinksCd, cvrLobbyDisclosureCd)
+      cvrCampaignDisclosureCd, filerLinksCd, cvrLobbyDisclosureCd,
+      filingsCd, hdrCd, textMemoCd, cvr2SoCd, s401Cd, s496Cd, s498Cd,
+      spltCd, cvrRegistrationCd, lccmCd, lempCd, lothCd, filerTypesCd,
+      legislativeSessionsCd, rawDataVersion, rawDataFile)
 
   def byName(name: String): TableDef =
     all.find(_.name == name).getOrElse(
