@@ -165,17 +165,37 @@ object DedupQueries {
     * as a 32-bit int; per bit: sum of ±1 votes across tokens; sig bit set
     * iff the vote is positive. Votes are order-independent sums, so
     * tokenization order can never change the signature. */
-  def simhash32Portable(tokens: Column): Column = {
-    val hashes = transform(tokens,
+  /** Token array → per-token 32-bit hash values (one md5 each). Kept as
+    * a separate projection so the 32 per-bit vote aggregates below read
+    * the MATERIALIZED hash array instead of each re-evaluating the md5
+    * transform (inlining it made the query ~30× more md5 work). */
+  def tokenHashes32(tokens: Column): Column =
+    transform(tokens,
       t => conv(substring(md5(t), 1, 8), 16, 10).cast(LongType))
+
+  /** Per-token 32-bit hash values → SimHash signature (votes over bits).
+    * Apply to a column produced by [[tokenHashes32]]. ONE aggregate pass
+    * with a 32-int vote-array accumulator (zip_with against the bit
+    * index sequence), not 32 separate aggregates — 32 aggregates codegen
+    * to a ~30× larger method (≈2 s of Janino compile per plan, and real
+    * JIT pressure on a wide cluster's first stage); this form compiles
+    * in milliseconds and reads each token hash once. */
+  def simhash32FromHashes(hashes: Column): Column = {
+    val bitIdx = sequence(lit(0), lit(31))
+    val votes = aggregate(hashes,
+      array_repeat(lit(0), 32),
+      (acc, v) => zip_with(acc, bitIdx, (a, b) =>
+        a + when(call_function("shiftright", v, b)
+          .bitwiseAND(1) === 1, 1).otherwise(-1)))
     val bits = (0 until 32).map { b =>
-      val vote = aggregate(hashes, lit(0),
-        (acc, v) => acc +
-          when(shiftright(v, b).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+      when(element_at(votes, b + 1) > 0, shiftleft(lit(1L), b))
+        .otherwise(lit(0L))
     }
     bits.reduce(_ bitwiseOR _)
   }
+
+  def simhash32Portable(tokens: Column): Column =
+    simhash32FromHashes(tokenHashes32(tokens))
 
   /** Hamming near-dup join by pigeonhole banding: split the 32-bit sig
     * into 4 disjoint 8-bit bands; any pair within hamming distance 3 has
@@ -191,8 +211,10 @@ object DedupQueries {
     "dedup_simhash_join",
     (s, d) => {
       val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
-      val sigs = docs.select(col("doc_id"),
-        simhash32Portable(array_distinct(split(col("text"), " "))).as("sig"))
+      val sigs = docs
+        .select(col("doc_id"),
+          tokenHashes32(array_distinct(split(col("text"), " "))).as("hvs"))
+        .select(col("doc_id"), simhash32FromHashes(col("hvs")).as("sig"))
       val bands = sigs.select(col("doc_id"), col("sig"),
         explode(array((0 until 4).map(i =>
           struct(lit(i).as("band_idx"),
