@@ -318,7 +318,63 @@ object AggQueries {
       ORDER BY n_regionkey
     """))
 
+  /** ARGMAX/ARGMIN (max_by/min_by): "which event carried the largest
+    * value per type" — the latest-amendment pattern as one single-pass
+    * aggregate instead of a window. Tie-proof: the ordering key is
+    * struct(value, event_id), total because event_id is unique, so the
+    * chosen row can never depend on partitioning. DuckDB's arg_max has
+    * no composite-key form, so the oracle spells the same semantics via
+    * a window max + id tiebreak. */
+  val aggArgmax = GQuery(
+    "agg_argmax",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          max_by(col("event_id"),
+            struct(col("value"), col("event_id"))).as("max_value_event"),
+          min_by(col("event_id"),
+            struct(col("value"), col("event_id"))).as("min_value_event"))
+        .orderBy("event_type"),
+    Some("""
+      SELECT event_type,
+             MAX(CASE WHEN value = mx THEN event_id END) AS max_value_event,
+             MIN(CASE WHEN value = mn THEN event_id END) AS min_value_event
+      FROM (SELECT event_type, event_id, value,
+                   MAX(value) OVER (PARTITION BY event_type) AS mx,
+                   MIN(value) OVER (PARTITION BY event_type) AS mn
+            FROM events)
+      GROUP BY event_type
+      ORDER BY event_type
+    """))
+
+  /** Explicit GROUPING SETS with grouping_id — the generalized form of
+    * ROLLUP/CUBE: exactly the named combinations, one pass. */
+  val aggGroupingSets = GQuery(
+    "agg_grouping_sets",
+    (s, d) =>
+      Tables.customer(s, d)
+        .groupingSets(
+          Seq(Seq(col("c_mktsegment")), Seq(col("c_nationkey")), Seq()),
+          col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("cnt"),
+          grouping_id().cast(LongType).as("gid"))
+        .select(
+          coalesce(col("c_mktsegment"), lit("<ALL>")).as("seg"),
+          coalesce(col("c_nationkey").cast(StringType), lit("<ALL>")).as("nk"),
+          col("cnt"), col("gid"))
+        .orderBy("seg", "nk"),
+    Some("""
+      SELECT COALESCE(c_mktsegment, '<ALL>') AS seg,
+             COALESCE(CAST(c_nationkey AS VARCHAR), '<ALL>') AS nk,
+             COUNT(*) AS cnt,
+             CAST(GROUPING(c_mktsegment, c_nationkey) AS BIGINT) AS gid
+      FROM customer
+      GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+      ORDER BY seg, nk
+    """))
+
   def all: Seq[GQuery] = Seq(aggCount, aggGroup, aggMinmax, aggDistinct,
     aggApproxDistinct, aggAvg, aggRollup, aggCube, aggConditional, aggPivot,
-    aggStats, aggPercentile, aggListagg)
+    aggStats, aggPercentile, aggListagg, aggArgmax, aggGroupingSets)
 }

@@ -233,7 +233,43 @@ object JoinQueries {
       ORDER BY band
     """))
 
+  /** Full outer join: reconcile two per-key summaries keeping keys
+    * present on either side — the "compare download counts vs load
+    * counts" lineage audit shape. NULL-key coalescing keeps the output
+    * deterministic and the join stays a plain shuffle hash/merge join on
+    * the key. */
+  val joinFull = GQuery(
+    "join_full",
+    (s, d) => {
+      val bought = Tables.orders(s, d).filter(col("o_orderkey") <= 5000)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      val balance = Tables.customer(s, d).filter(col("c_custkey") <= 400)
+        .select(col("c_custkey").as("custkey"),
+          col("c_acctbal").cast(DecimalType(18, 2))
+            .cast(DoubleType).as("acctbal"))
+      bought.join(balance, Seq("custkey"), "full_outer")
+        .select(col("custkey"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("acctbal"), lit(0.0)).as("acctbal"))
+        .orderBy("custkey")
+    },
+    Some("""
+      WITH bought AS (
+        SELECT o_custkey AS custkey, COUNT(*) AS n_orders
+        FROM orders WHERE o_orderkey <= 5000 GROUP BY 1),
+      balance AS (
+        SELECT c_custkey AS custkey,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+        FROM customer WHERE c_custkey <= 400)
+      SELECT COALESCE(b.custkey, bal.custkey) AS custkey,
+             COALESCE(b.n_orders, 0) AS n_orders,
+             COALESCE(bal.acctbal, 0.0) AS acctbal
+      FROM bought b FULL OUTER JOIN balance bal ON b.custkey = bal.custkey
+      ORDER BY custkey
+    """))
+
   def all: Seq[GQuery] =
     Seq(joinInner, joinBroadcast, joinLeft, joinSemi, joinAnti, joinStar,
-      joinAsof, joinRange)
+      joinAsof, joinRange, joinFull)
 }
