@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{MinHash64, SimHash64}
+import graft.functions.{MinHash64, SimHash64, VecDot, VecNormSq}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -28,5 +28,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHash64].getName, "minhash64"),
       (exprs: Seq[Expression]) => MinHash64(exprs.head,
         exprs(1).eval(null).asInstanceOf[Int])))
+    e.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("vec_norm_sq"),
+      new ExpressionInfo(classOf[VecNormSq].getName, "vec_norm_sq"),
+      (exprs: Seq[Expression]) => VecNormSq(exprs.head)))
   }
 }

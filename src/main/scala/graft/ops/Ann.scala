@@ -28,13 +28,14 @@ import org.apache.spark.sql.types._
   */
 object Ann {
 
+  // Native fused-loop kernels (graft.functions.VecMath) — bit-identical
+  // to the aggregate(zip_with(...)) composition they replaced
+  // (VecMathSpec pins it), so index assignment can never flip.
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VecMath.vecDot(a, b)
 
   private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x))
+    sqrt(graft.functions.VecMath.vecNormSq(a))
 
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))

@@ -364,7 +364,95 @@ object TextQueries {
       ORDER BY doc_id, rn
     """))
 
+  /** Word 5-gram shingles: the standard unit for training-data
+    * decontamination. Column-start `slice` inside one `transform` (the
+    * zip_with trick doesn't nest to n=5 cleanly); guarded because Spark's
+    * `sequence(1, n-4)` DESCENDS when n < 5 instead of being empty. */
+  def fiveGramShingles(textCol: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val toks = split(textCol, " ")
+    val n = size(toks)
+    when(n >= 5,
+      transform(sequence(lit(1), n - 4),
+        i => array_join(slice(toks, i, lit(5)), " ")))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Training-sequence packing: order docs by a deterministic content
+    * hash (the RNG-free "global shuffle"), then assign each doc to the
+    * training sequence its exclusive running token count falls in
+    * (budget 512). Packing is per-language — the window sorts within
+    * hash partitions, never globally, so the op scales; a 100 TB corpus
+    * packs each shard independently by construction. */
+  val packSequences = GQuery(
+    "pack_sequences",
+    (s, d) => {
+      val nTok = size(split(col("text"), " ")).cast(LongType)
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast(StringType)))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), nTok.as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          floor((col("cum") - col("n_tok")) / 512.0).cast(LongType)
+            .as("seq_id"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, lang,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok,
+               SUM(CAST(len(str_split(text, ' ')) AS BIGINT)) OVER (
+                 PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR))
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM documents)
+      SELECT doc_id, lang, n_tok,
+             CAST(FLOOR((cum - n_tok) / 512.0) AS BIGINT) AS seq_id
+      FROM base
+      ORDER BY doc_id
+    """))
+
+  /** Benchmark decontamination: flag training docs sharing any word
+    * 5-gram with the held-out benchmark set (here: doc_id < 50), with
+    * the shared-shingle count as evidence. Scale shape: the benchmark
+    * suite is small by nature, so its shingle set BROADCASTS and the
+    * train side streams past it once — no shuffle of the corpus; the
+    * per-doc distinct count is a map-side-combinable hash agg. */
+  val decontaminate = GQuery(
+    "decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val trainSh = docs.filter(col("doc_id") >= 50)
+        .select(col("doc_id"),
+          explode(array_distinct(fiveGramShingles(col("text"))))
+            .as("shingle"))
+      val evalSh = docs.filter(col("doc_id") < 50)
+        .select(explode(fiveGramShingles(col("text"))).as("shingle"))
+        .distinct()
+      trainSh.join(broadcast(evalSh), "shingle")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(1, len(str_split(text, ' ')) - 3),
+                 i -> array_to_string(str_split(text, ' ')[i:i+4], ' '))))
+                 AS shingle
+        FROM documents),
+      ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 50)
+      SELECT s.doc_id, COUNT(*) AS n_shared
+      FROM sh s JOIN ev ON s.shingle = ev.shingle
+      WHERE s.doc_id >= 50
+      GROUP BY s.doc_id
+      ORDER BY s.doc_id
+    """))
+
   def all: Seq[GQuery] = Seq(textTokens, tokenCount, textQuality, langId,
     docFingerprint, dedupExact, dedupJaccard, textBigrams, splitHash,
-    sampleStratified, textTfidf)
+    sampleStratified, textTfidf, packSequences, decontaminate)
 }

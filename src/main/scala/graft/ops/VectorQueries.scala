@@ -22,14 +22,17 @@ import org.apache.spark.sql.Column
   */
 object VectorQueries {
 
-  /** Element-wise double-cast squared-norm accumulation. */
+  /** Squared norm / dot product: the native fused-loop expressions
+    * (`graft.functions.VecMath`), bit-identical to the HOF composition
+    * `aggregate(zip_with(a,b,_*_),0d,_+_)` they replaced (same widening,
+    * same left-to-right IEEE order — pinned in VecMathSpec), so every
+    * oracle below is unchanged; they just skip the per-row intermediate
+    * product array the HOF form materializes. */
   private def sumSq(c: Column): Column =
-    aggregate(transform(c, x => x.cast(DoubleType) * x.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VecMath.vecNormSq(c)
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VecMath.vecDot(a, b)
 
   /** F10/X3 vector norms + dimensionality audit per label. */
   val vecNorm = GQuery(
