@@ -114,6 +114,44 @@ object StreamQueries {
       ORDER BY user_id, minute
     """))
 
+  /** T7 interval (stream-stream) join, batch form: per purchase, count
+    * the same user's clicks in the preceding 10 minutes — the
+    * attribution join. Equi key (user_id) + time-range predicate plans
+    * as one shuffle on user_id with the range as a join filter; the
+    * streaming form (`StreamRunner.clicksBeforePurchase`) runs the same
+    * condition with watermarks bounding both state stores. LEFT join so
+    * zero-click purchases keep a row. */
+  val streamJoin = GQuery(
+    "stream_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      purchases
+        .join(clicks,
+          col("c_user") === col("user_id") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+            col("c_ts") < col("p_ts"),
+          "left")
+        .groupBy(col("purchase_id"))
+        .agg(count(col("c_user")).as("n_recent_clicks"))
+        .orderBy("purchase_id")
+    },
+    Some("""
+      SELECT p.event_id AS purchase_id,
+             COUNT(c.user_id) AS n_recent_clicks
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON c.user_id = p.user_id
+           AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+      GROUP BY 1
+      ORDER BY 1
+    """))
+
   def all: Seq[GQuery] =
-    Seq(streamTumbling, streamSliding, streamSession, streamDedup)
+    Seq(streamTumbling, streamSliding, streamSession, streamDedup,
+      streamJoin)
 }

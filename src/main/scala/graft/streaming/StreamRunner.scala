@@ -54,6 +54,34 @@ object StreamRunner {
       .withWatermark("ts", watermark)
       .dropDuplicates("event_id")
 
+  /** T7: stream-stream interval join — purchases matched to the same
+    * user's clicks in the preceding 10 minutes. Both sides are
+    * watermarked and the join condition carries the time bound, which is
+    * what lets Spark EVICT joined state: a buffered click can only match
+    * purchases within 10 minutes of event time, so once the purchase
+    * watermark passes c_ts + 10min the click row is dropped from the
+    * state store. Without the range bound, stream-stream inner-join
+    * state grows forever — the bound IS the 100 TB/day feasibility
+    * condition. Inner join here (streaming left-outer additionally
+    * requires the watermark delay to emit unmatched rows). On static
+    * inputs this equals the batch `stream_join` query pre-aggregation,
+    * which is how StreamingSpec cross-checks it. */
+  def clicksBeforePurchase(clicks: DataFrame, purchases: DataFrame,
+      watermark: String = "1 hour",
+      interval: String = "10 minutes"): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val p = purchases
+      .withWatermark("ts", watermark)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    p.join(c,
+      col("c_user") === col("user_id") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $interval") &&
+        col("c_ts") < col("p_ts"))
+  }
+
   /** Custom keyed state through `KeyValueGroupedDataset
     * .flatMapGroupsWithState` — the surface the built-in window aggs can't
     * express: an arbitrary per-key accumulator with explicit timeout-driven

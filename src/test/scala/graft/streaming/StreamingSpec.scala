@@ -57,6 +57,23 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.toSeq === static.toSeq)
   }
 
+  test("streamed interval join equals the static computation") {
+    import spark.implicits._
+    // 25-minute window: in the fixture (type = i%3, user = i%7) the
+    // nearest same-user click precedes a purchase by 14 events ≈ 22.6
+    // min, so the default 10 minutes would match nothing
+    val tf = (df: org.apache.spark.sql.DataFrame) =>
+      StreamRunner.clicksBeforePurchase(
+        df.filter(col("event_type") === "click"),
+        df.filter(col("event_type") === "purchase"),
+        interval = "25 minutes")
+    val streamed = runStream(tf, "append")
+      .orderBy("purchase_id", "c_ts").collect()
+    val static = tf(mkEvents.toDF())
+      .orderBy("purchase_id", "c_ts").collect()
+    assert(streamed.nonEmpty && streamed.toSeq === static.toSeq)
+  }
+
   test("flatMapGroupsWithState accumulates per-user totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
