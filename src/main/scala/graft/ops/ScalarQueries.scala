@@ -270,7 +270,44 @@ object ScalarQueries {
       ORDER BY p_partkey
     """))
 
+  /** Date-spine densification: generate every day in the observed range
+    * (explode over `sequence`, the generator surface) and left-join the
+    * per-day activity so gaps appear as explicit zero rows — the
+    * time-series gap-fill every reporting layer needs. The spine is
+    * |days| rows, so at 100 TB it broadcasts and the fact side never
+    * reshuffles for the join. */
+  val dateSpine = GQuery(
+    "date_spine",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val range = ev.agg(
+        to_date(min(col("ts"))).as("lo"), to_date(max(col("ts"))).as("hi"))
+      val spine = range
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val daily = ev
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day").cast(StringType).as("day"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH r AS (
+        SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+        FROM events),
+      spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+        FROM r),
+      daily AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+        FROM events GROUP BY 1)
+      SELECT CAST(s.day AS VARCHAR) AS day, COALESCE(d.cnt, 0) AS cnt
+      FROM spine s LEFT JOIN daily d ON s.day = d.day
+      ORDER BY day
+    """))
+
   def all: Seq[GQuery] = Seq(strFuncs, strFuncs2, strSearch, dateTruncAgg,
     dateParts, dateDiff, jsonExtract, jsonAgg, arrayOps, decodeEnum,
-    strFuncs3)
+    strFuncs3, dateSpine)
 }

@@ -189,6 +189,38 @@ object WindowQueries {
       ORDER BY event_type, event_id
     """))
 
+  /** W7 bounded sliding frame: 7-row trailing moving average/max per
+    * user — the smoothing window. Bounded ROWS frames keep O(frame)
+    * state per row; the decimal-sum-then-divide form keeps the average
+    * bit-stable across partition orders (same discipline as agg_avg). */
+  val winMoving = GQuery(
+    "win_moving",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-6, Window.currentRow)
+      Tables.events(s, d)
+        .filter(col("event_id") <= 5000)
+        .select(col("user_id"), col("event_id"),
+          (sum(col("value").cast(DecimalType(18, 2))).over(w)
+            .cast(DoubleType) /
+            count(lit(1)).over(w)).as("mavg_7"),
+          max(col("value").cast(DecimalType(18, 2)))
+            .over(w).cast(DoubleType).as("mmax_7"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""
+      SELECT user_id, event_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS mavg_7,
+             CAST(MAX(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS mmax_7
+      FROM events
+      WHERE event_id <= 5000
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id
+    """))
+
   def all: Seq[GQuery] = Seq(winLatest, winRank, winCumsum, winLag, topkGroup,
-    winNtile, winFrames)
+    winNtile, winFrames, winMoving)
 }
