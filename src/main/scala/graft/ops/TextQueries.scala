@@ -384,21 +384,27 @@ object TextQueries {
     * (budget 512). Packing is per-language — the window sorts within
     * hash partitions, never globally, so the op scales; a 100 TB corpus
     * packs each shard independently by construction. */
+  /** Packing logic over any documents-shaped frame — separated from the
+    * registry query so specs can feed repartitioned/reordered inputs and
+    * pin that the assignment is partitioning-invariant. */
+  def packSequencesOf(docs: org.apache.spark.sql.DataFrame,
+      budget: Int = 512): org.apache.spark.sql.DataFrame = {
+    val nTok = size(split(col("text"), " ")).cast(LongType)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast(StringType)))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("lang"), nTok.as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        floor((col("cum") - col("n_tok")) / (budget * 1.0)).cast(LongType)
+          .as("seq_id"))
+      .orderBy("doc_id")
+  }
+
   val packSequences = GQuery(
     "pack_sequences",
-    (s, d) => {
-      val nTok = size(split(col("text"), " ")).cast(LongType)
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(md5(col("doc_id").cast(StringType)))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), nTok.as("n_tok"))
-        .withColumn("cum", sum(col("n_tok")).over(w))
-        .select(col("doc_id"), col("lang"), col("n_tok"),
-          floor((col("cum") - col("n_tok")) / 512.0).cast(LongType)
-            .as("seq_id"))
-        .orderBy("doc_id")
-    },
+    (s, d) => packSequencesOf(Tables.documents(s, d)),
     Some("""
       WITH base AS (
         SELECT doc_id, lang,

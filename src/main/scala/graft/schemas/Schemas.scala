@@ -13,7 +13,7 @@ import org.apache.spark.sql.types._
   * date/datetime field lists driving load-time coercion
   * (`models/base.py:~35-36`), and docs carried in `Metadata`.
   *
-  * The registry covers three tiers (SURVEY §1.3): the shape classes — the
+  * The registry covers four tiers (SURVEY §1.3): the shape classes — the
   * biggest fact (`rcpt_cd` ≙ `RcptCd`, `models/campaign.py:~1800`), the
   * link table (`filer_filings_cd` ≙ `FilerFilingsCd`, `models/common.py:
   * ~200`), a lookup dimension (`lookup_codes_cd` ≙ `LookupCodesCd`,
@@ -23,9 +23,11 @@ import org.apache.spark.sql.types._
   * filings backbone (`filings_cd`, `hdr_cd`, `text_memo_cd`), schedule
   * itemizations (S401/S496/S498/splits), lobbying registration, lookup
   * dimensions, and the tracking/lineage star (`raw_data_version`,
-  * `raw_data_file` ≙ `models/tracking.py`). Each is a column subset of
-  * its ~50-column original; widening a TableDef is additive and needs no
-  * engine change.
+  * `raw_data_file` ≙ `models/tracking.py`) — and a fourth: candidate
+  * filings (F501/502), CVR2 continuation pages, the lobbyist directory
+  * family, cross-reference/address/name directories, and remaining
+  * dimensions. Each is a column subset of its ~50-column original;
+  * widening a TableDef is additive and needs no engine change.
   */
 object Schemas {
 
@@ -856,13 +858,259 @@ object Schemas {
     uniqueKey = Seq("version_release_datetime", "file_name"),
     datetimeFields = Seq("version_release_datetime"))
 
+  // ── Tier 4: lobbyist directory itemizations, candidate filings,
+  //    cross-reference and dimension tables (SURVEY §1.3) ──────────────
+
+  /** ≙ F501_502_CD — candidate intention / bank account statements
+    * (`models/campaign.py`). */
+  val f501502Cd: TableDef = TableDef(
+    name = "f501_502_cd",
+    schema = StructType(Seq(
+      StructField("filing_id", LongType, nullable = true,
+        doc("Unique filing identification number")),
+      StructField("amend_id", LongType, nullable = true,
+        doc("Amendment identification number; 0 is the original")),
+      StructField("rec_type", StringType, nullable = true,
+        doc("Record type, always CVR")),
+      StructField("form_type", StringType, nullable = true,
+        doc("Form filed: F501 (intention) or F502 (bank account)")),
+      StructField("filer_id", StringType, nullable = true,
+        doc("Filer unique identification number, free text in this form")),
+      StructField("cand_naml", StringType, nullable = true,
+        doc("Candidate last name")),
+      StructField("office_cd", StringType, nullable = true,
+        doc("Office sought code")),
+      StructField("district_cd", LongType, nullable = true,
+        doc("District number of the office sought")),
+      StructField("elec_year", LongType, nullable = true,
+        doc("Election year")),
+      StructField("rpt_date", DateType, nullable = true,
+        doc("Date of the report, M/D/YYYY in the raw file")))),
+    uniqueKey = Seq("filing_id", "amend_id", "rec_type", "form_type"),
+    dateFields = Seq("rpt_date"))
+
+  /** ≙ CVR2_CAMPAIGN_DISCLOSURE_CD — campaign-disclosure additional
+    * names page (`models/campaign.py`). */
+  val cvr2CampaignDisclosureCd: TableDef = TableDef(
+    name = "cvr2_campaign_disclosure_cd",
+    schema = StructType(Seq(
+      StructField("filing_id", LongType, nullable = true,
+        doc("Unique filing identification number")),
+      StructField("amend_id", LongType, nullable = true,
+        doc("Amendment identification number; 0 is the original")),
+      StructField("line_item", LongType, nullable = true,
+        doc("Line item number of this record")),
+      StructField("rec_type", StringType, nullable = true,
+        doc("Record type of the page, always CVR2")),
+      StructField("form_type", StringType, nullable = true,
+        doc("Form the page extends (F450, F460, F461, ...)")),
+      StructField("tran_id", StringType, nullable = true,
+        doc("Permanent value unique within the filing")),
+      StructField("entity_cd", StringType, nullable = true,
+        doc("Entity code of the named committee/treasurer/officer")),
+      StructField("enty_naml", StringType, nullable = true,
+        doc("Entity last name or organization name")),
+      StructField("cmte_id", StringType, nullable = true,
+        doc("Committee identification number, when the entity is one")))),
+    uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type",
+      "form_type"))
+
+  /** ≙ CVR2_LOBBY_DISCLOSURE_CD — lobbying-disclosure additional names
+    * page (`models/lobbying.py`). */
+  val cvr2LobbyDisclosureCd: TableDef = TableDef(
+    name = "cvr2_lobby_disclosure_cd",
+    schema = StructType(Seq(
+      StructField("filing_id", LongType, nullable = true,
+        doc("Unique filing identification number")),
+      StructField("amend_id", LongType, nullable = true,
+        doc("Amendment identification number; 0 is the original")),
+      StructField("line_item", LongType, nullable = true,
+        doc("Line item number of this record")),
+      StructField("rec_type", StringType, nullable = true,
+        doc("Record type of the page, always CVR2")),
+      StructField("form_type", StringType, nullable = true,
+        doc("Form the page extends (F615, F625, F635, F645, ...)")),
+      StructField("entity_cd", StringType, nullable = true,
+        doc("Entity code of the named person/organization")),
+      StructField("enty_naml", StringType, nullable = true,
+        doc("Entity last name or organization name")),
+      StructField("enty_title", StringType, nullable = true,
+        doc("Title of the named person")))),
+    uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type"))
+
+  /** ≙ LOBBYIST_FIRM1_CD (directory family) — lobbying-firm directory
+    * year snapshot (`models/lobbying.py`). */
+  val lobbyistFirm1Cd: TableDef = TableDef(
+    name = "lobbyist_firm1_cd",
+    schema = StructType(Seq(
+      StructField("firm_id", LongType, nullable = true,
+        doc("Lobbying firm identification number")),
+      StructField("firm_name", StringType, nullable = true,
+        doc("Name of the lobbying firm")),
+      StructField("current_qtr_amt", DecimalType(14, 2), nullable = true,
+        doc("Payments received in the current quarter")),
+      StructField("session_total_amt", DecimalType(14, 2), nullable = true,
+        doc("Payments received across the legislative session")),
+      StructField("session_yr_1", LongType, nullable = true,
+        doc("First year of the legislative session")),
+      StructField("session_yr_2", LongType, nullable = true,
+        doc("Second year of the legislative session")))),
+    uniqueKey = Seq("firm_id", "session_yr_1"))
+
+  /** ≙ LOBBYIST_EMPLOYER1_CD — lobbyist-employer directory year
+    * snapshot (`models/lobbying.py`). */
+  val lobbyistEmployer1Cd: TableDef = TableDef(
+    name = "lobbyist_employer1_cd",
+    schema = StructType(Seq(
+      StructField("employer_id", LongType, nullable = true,
+        doc("Lobbyist employer identification number")),
+      StructField("employer_name", StringType, nullable = true,
+        doc("Name of the employer")),
+      StructField("current_qtr_amt", DecimalType(14, 2), nullable = true,
+        doc("Payments made in the current quarter")),
+      StructField("session_total_amt", DecimalType(14, 2), nullable = true,
+        doc("Payments made across the legislative session")),
+      StructField("interest_cd", LongType, nullable = true,
+        doc("Industry interest code, decoded via lookup codes")),
+      StructField("session_yr_1", LongType, nullable = true,
+        doc("First year of the legislative session")),
+      StructField("session_yr_2", LongType, nullable = true,
+        doc("Second year of the legislative session")))),
+    uniqueKey = Seq("employer_id", "session_yr_1"))
+
+  /** ≙ LOBBYIST_CONTRIBUTIONS1_CD — lobbyist campaign-contribution
+    * directory rows (`models/lobbying.py`). */
+  val lobbyistContributions1Cd: TableDef = TableDef(
+    name = "lobbyist_contributions1_cd",
+    schema = StructType(Seq(
+      StructField("filer_id", LongType, nullable = true,
+        doc("Contributing lobbyist filer identification number")),
+      StructField("filing_period_start_dt", DateType, nullable = true,
+        doc("Start date of the filing period, M/D/YYYY in the raw file")),
+      StructField("filing_period_end_dt", DateType, nullable = true,
+        doc("End date of the filing period, M/D/YYYY in the raw file")),
+      StructField("contribution_dt", StringType, nullable = true,
+        doc("Date of the contribution, free text in the raw file")),
+      StructField("recipient_name", StringType, nullable = true,
+        doc("Name of the recipient committee")),
+      StructField("recipient_id", LongType, nullable = true,
+        doc("Recipient committee identification number")),
+      StructField("amount", DecimalType(14, 2), nullable = true,
+        doc("Amount of the contribution")))),
+    uniqueKey = Seq("filer_id", "filing_period_start_dt",
+      "recipient_name"),
+    dateFields = Seq("filing_period_start_dt", "filing_period_end_dt"))
+
+  /** ≙ FILER_XREF_CD — filer id cross-reference (legacy ↔ current)
+    * (`models/common.py`). */
+  val filerXrefCd: TableDef = TableDef(
+    name = "filer_xref_cd",
+    schema = StructType(Seq(
+      StructField("filer_id", LongType, nullable = true,
+        doc("Current filer identification number")),
+      StructField("xref_id", StringType, nullable = true,
+        doc("Crossed-referenced legacy filer identification value")),
+      StructField("effect_dt", DateType, nullable = true,
+        doc("Effective date of the cross reference, M/D/YYYY")),
+      StructField("migration_source", StringType, nullable = true,
+        doc("System the cross reference was migrated from")))),
+    uniqueKey = Seq("filer_id", "xref_id"),
+    dateFields = Seq("effect_dt"))
+
+  /** ≙ FILER_ADDRESS_CD — filer ↔ address link (`models/common.py`). */
+  val filerAddressCd: TableDef = TableDef(
+    name = "filer_address_cd",
+    schema = StructType(Seq(
+      StructField("filer_id", LongType, nullable = true,
+        doc("Filer unique identification number")),
+      StructField("adrid", LongType, nullable = true,
+        doc("Address record identification number")),
+      StructField("effect_dt", DateType, nullable = true,
+        doc("Date the address took effect, M/D/YYYY in the raw file")),
+      StructField("add_type", LongType, nullable = true,
+        doc("Address type code, decoded via lookup codes")))),
+    uniqueKey = Seq("filer_id", "adrid"),
+    dateFields = Seq("effect_dt"))
+
+  /** ≙ NAMES_CD — the normalized name directory (`models/common.py`). */
+  val namesCd: TableDef = TableDef(
+    name = "names_cd",
+    schema = StructType(Seq(
+      StructField("namid", LongType, nullable = true,
+        doc("Name record identification number")),
+      StructField("naml", StringType, nullable = true,
+        doc("Last name or organization name")),
+      StructField("namf", StringType, nullable = true,
+        doc("First name")),
+      StructField("namt", StringType, nullable = true,
+        doc("Name title or prefix")),
+      StructField("nams", StringType, nullable = true,
+        doc("Name suffix")),
+      StructField("moniker", StringType, nullable = true,
+        doc("Informal moniker")))),
+    uniqueKey = Seq("namid"))
+
+  /** ≙ BALLOT_MEASURES_CD — ballot-measure dimension
+    * (`models/common.py`). */
+  val ballotMeasuresCd: TableDef = TableDef(
+    name = "ballot_measures_cd",
+    schema = StructType(Seq(
+      StructField("measure_no", StringType, nullable = true,
+        doc("Ballot measure number as it appears on the ballot")),
+      StructField("measure_name", StringType, nullable = true,
+        doc("Name of the ballot measure")),
+      StructField("measure_short_name", StringType, nullable = true,
+        doc("Abbreviated measure name")),
+      StructField("election_date", DateType, nullable = true,
+        doc("Date of the election, M/D/YYYY in the raw file")),
+      StructField("jurisdiction", StringType, nullable = true,
+        doc("Jurisdiction the measure appears in")))),
+    uniqueKey = Seq("measure_no", "election_date"),
+    dateFields = Seq("election_date"))
+
+  /** ≙ RECEIVED_FILINGS_CD — paper-filing receipt log
+    * (`models/inactive.py`). */
+  val receivedFilingsCd: TableDef = TableDef(
+    name = "received_filings_cd",
+    schema = StructType(Seq(
+      StructField("filing_id", LongType, nullable = true,
+        doc("Unique filing identification number")),
+      StructField("filer_id", LongType, nullable = true,
+        doc("Filer unique identification number")),
+      StructField("form_id", StringType, nullable = true,
+        doc("Form type of the received filing")),
+      StructField("received_date", DateType, nullable = true,
+        doc("Date the filing was received, M/D/YYYY in the raw file")),
+      StructField("filing_directory", StringType, nullable = true,
+        doc("Archive directory the scanned filing is stored in")))),
+    uniqueKey = Seq("filing_id", "form_id"),
+    dateFields = Seq("received_date"))
+
+  /** ≙ GROUP_TYPES_CD — filer-group dimension (`models/inactive.py`). */
+  val groupTypesCd: TableDef = TableDef(
+    name = "group_types_cd",
+    schema = StructType(Seq(
+      StructField("grp_id", LongType, nullable = true,
+        doc("Group identification number")),
+      StructField("grp_name", StringType, nullable = true,
+        doc("Name of the group")),
+      StructField("grp_desc", StringType, nullable = true,
+        doc("Description of the group")),
+      StructField("grp_type", LongType, nullable = true,
+        doc("Group type code")))),
+    uniqueKey = Seq("grp_id"))
+
   val all: Seq[TableDef] =
     Seq(rcptCd, filerFilingsCd, lookupCodesCd, smryCd, filernameCd, expnCd,
       cvrSoCd, loanCd, debtCd, s497Cd, lattCd, lexpCd, lpayCd,
       cvrCampaignDisclosureCd, filerLinksCd, cvrLobbyDisclosureCd,
       filingsCd, hdrCd, textMemoCd, cvr2SoCd, s401Cd, s496Cd, s498Cd,
       spltCd, cvrRegistrationCd, lccmCd, lempCd, lothCd, filerTypesCd,
-      legislativeSessionsCd, rawDataVersion, rawDataFile)
+      legislativeSessionsCd, rawDataVersion, rawDataFile,
+      f501502Cd, cvr2CampaignDisclosureCd, cvr2LobbyDisclosureCd,
+      lobbyistFirm1Cd, lobbyistEmployer1Cd, lobbyistContributions1Cd,
+      filerXrefCd, filerAddressCd, namesCd, ballotMeasuresCd,
+      receivedFilingsCd, groupTypesCd)
 
   def byName(name: String): TableDef =
     all.find(_.name == name).getOrElse(

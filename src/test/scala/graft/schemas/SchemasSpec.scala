@@ -7,8 +7,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * every declared date field present and date-typed. */
 class SchemasSpec extends AnyFunSuite {
 
-  test("registry spans all three tiers: >= 30 uniquely-named tables") {
-    assert(Schemas.all.size >= 30, s"only ${Schemas.all.size} tables")
+  test("registry spans all four tiers: >= 40 uniquely-named tables") {
+    assert(Schemas.all.size >= 40, s"only ${Schemas.all.size} tables")
     val names = Schemas.all.map(_.name)
     assert(names.distinct.size === names.size, "duplicate table names")
     // every table is reachable through the byName lookup
