@@ -80,6 +80,44 @@ class PlanSpec extends SparkTestBase {
     assert("\\(\\d+\\) Exchange".r.findAllIn(p).size === 2, p)
   }
 
+  test("decontaminate broadcasts the benchmark shingle set") {
+    val p = plan("decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"eval side must broadcast, not shuffle the corpus: $p")
+  }
+
+  test("stream_join is a keyed join with a range filter — never cartesian") {
+    val p = plan("stream_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("join_range deliberately nested-loops over the broadcast band dim") {
+    // the INTENDED plan for a handful of bands: fact streams once past
+    // the broadcast literals; a shuffle here would be a regression
+    val p = plan("join_range")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("tfidf joins document frequencies broadcast-style") {
+    val p = plan("text_tfidf")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("simhash hamming candidates come from the band equi-join") {
+    val p = plan("dedup_simhash_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("sample_stratified's predicate reaches the scan — zero exchanges") {
+    val p = plan("sample_stratified")
+    // global orderBy adds its range exchange; nothing else may shuffle
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1, p)
+  }
+
   test("pivot with declared values reads the data once — no discovery job") {
     val p = plan("agg_pivot")
     // one scan; the two-level pivot aggregation (group by (day,type),
