@@ -324,7 +324,10 @@ object TextQueries {
     "text_tfidf",
     (s, d) => {
       val docs = Tables.documents(s, d).filter(col("doc_id") < 50)
-      val n = docs.count()
+      // corpus size as a broadcast 1-row frame, not a driver-side
+      // count(): keeps the whole query one lazy plan (no blocking job at
+      // construction time) — same pattern as the oracle's CTE
+      val nDf = docs.agg(count(lit(1)).cast(DoubleType).as("n_docs"))
       val toks = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("tok"))
       val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
@@ -333,8 +336,9 @@ object TextQueries {
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("tok"))
       tf.join(broadcast(df), "tok")
+        .crossJoin(broadcast(nDf))
         .withColumn("tfidf",
-          round(col("tf") * log(lit(n.toDouble) / col("df")), 4)
+          round(col("tf") * log(col("n_docs") / col("df")), 4)
             .cast(DecimalType(38, 4)).cast(DoubleType))
         .withColumn("rn", row_number().over(w).cast(LongType))
         .filter(col("rn") <= 3)
