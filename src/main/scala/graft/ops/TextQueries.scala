@@ -462,7 +462,57 @@ object TextQueries {
       ORDER BY s.doc_id
     """))
 
+  /** Intra-document repetition ratio — the Gopher-style quality filter
+    * (fraction of duplicated word 3-grams inside a document; boilerplate
+    * and crawler loops score high). Pure narrow map over the scan: the
+    * shingle list and its distinct count are per-row array expressions,
+    * no explode, no shuffle except the presentation sort — the filter
+    * predicate form (`dup_ratio > τ`) pushes to the scan at 100 TB. */
+  val textRepetition = GQuery(
+    "text_repetition",
+    (s, d) => {
+      val toks = split(col("text"), " ")
+      val n = size(toks)
+      val grams = when(n >= 3,
+        transform(sequence(lit(1), n - 2),
+          i => array_join(slice(toks, i, lit(3)), " ")))
+        .otherwise(array().cast(ArrayType(StringType)))
+      Tables.documents(s, d)
+        .select(col("doc_id"), grams.as("g"))
+        .select(col("doc_id"),
+          size(col("g")).cast(LongType).as("n_grams"),
+          size(array_distinct(col("g"))).cast(LongType).as("n_distinct"))
+        .withColumn("dup_ratio",
+          when(col("n_grams") === 0, lit(0.0))
+            .otherwise(round(
+              (col("n_grams") - col("n_distinct")) /
+                col("n_grams").cast(DoubleType), 4)
+              .cast(DecimalType(38, 4)).cast(DoubleType)))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH g AS (
+        SELECT doc_id,
+               CASE WHEN len(str_split(text, ' ')) >= 3
+                    THEN list_transform(
+                      range(1, len(str_split(text, ' ')) - 1),
+                      i -> array_to_string(str_split(text, ' ')[i:i+2], ' '))
+                    ELSE [] END AS grams
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(grams) AS BIGINT) AS n_grams,
+             CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+             CASE WHEN len(grams) = 0 THEN 0.0
+                  ELSE CAST(CAST(round(
+                    (len(grams) - len(list_distinct(grams)))
+                      / CAST(len(grams) AS DOUBLE), 4) AS DECIMAL(38,4)) AS DOUBLE)
+             END AS dup_ratio
+      FROM g
+      ORDER BY doc_id
+    """))
+
   def all: Seq[GQuery] = Seq(textTokens, tokenCount, textQuality, langId,
     docFingerprint, dedupExact, dedupJaccard, textBigrams, splitHash,
-    sampleStratified, textTfidf, packSequences, decontaminate)
+    sampleStratified, textTfidf, packSequences, decontaminate,
+    textRepetition)
 }

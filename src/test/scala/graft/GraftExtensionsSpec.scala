@@ -36,4 +36,20 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(viaSql.length === 4)
     assert(viaSql === viaColumn)
   }
+
+  test("extension injects vec_dot/vec_norm_sq; SQL and Column paths agree") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    graft.functions.VecMathSpecHelper.register(spark)
+    val viaSql = spark.sql(
+      "SELECT vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d, " +
+        "vec_norm_sq(array(3.0F, 4.0F)) AS n").head()
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val viaColumn = Seq((Seq(1f, 2f), Seq(3f, 4f))).toDF("a", "b")
+      .select(graft.functions.VecMath.vecDot(col("a"), col("b")),
+        graft.functions.VecMath.vecNormSq(col("b"))).head()
+    assert(viaSql.getDouble(0) === 11.0 && viaSql.getDouble(1) === 25.0)
+    assert(viaColumn.getDouble(0) === 11.0 && viaColumn.getDouble(1) === 25.0)
+  }
 }
