@@ -374,7 +374,33 @@ object AggQueries {
       ORDER BY seg, nk
     """))
 
+  /** Two-phase salted aggregation through `Skew.saltedAggregate`,
+    * oracle-checked against the plain GROUP BY: proof at the value level
+    * that the skew remedy is a pure plan rewrite. The salt is random
+    * per row, so ONLY associative-decomposable aggs survive it — count
+    * decomposes to sum-of-counts, sum to sum-of-sums; the salt can never
+    * change the result, which is exactly what the oracle asserts. */
+  val aggSalted = GQuery(
+    "agg_salted",
+    (s, d) =>
+      Skew.saltedAggregate(
+        Tables.lineitem(s, d), Seq("l_returnflag"), salts = 8,
+        partials = Seq(count(lit(1)).as("c"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).as("q")),
+        finals = Seq(sum(col("c")).cast(LongType).as("cnt"),
+          sum(col("q")).cast(DecimalType(38, 2)).cast(DoubleType)
+            .as("sum_qty")))
+        .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag, COUNT(*) AS cnt,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """))
+
   def all: Seq[GQuery] = Seq(aggCount, aggGroup, aggMinmax, aggDistinct,
     aggApproxDistinct, aggAvg, aggRollup, aggCube, aggConditional, aggPivot,
-    aggStats, aggPercentile, aggListagg, aggArgmax, aggGroupingSets)
+    aggStats, aggPercentile, aggListagg, aggArgmax, aggGroupingSets,
+    aggSalted)
 }
