@@ -261,7 +261,52 @@ object VectorQueries {
       ORDER BY vec_id
     """))
 
+  /** Batched ANN serving shape: top-3 neighbors for EACH of 5 probe
+    * vectors in one query. The probe set broadcasts (a query batch is
+    * small by nature), every candidate partition scores all probes in
+    * one pass, and the per-probe top-k goes through a rank-filtered
+    * window — WindowGroupLimit prunes to k rows per probe BELOW the
+    * shuffle, so the exchange moves O(|probes|·k·partitions) rows, not
+    * the scored cross product. Output is ids/ranks only (hash can't
+    * wobble on float ulps). */
+  val simTopkBatch = GQuery(
+    "sim_topk_batch",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pemb"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      e.filter(col("vec_id") >= 5)
+        .crossJoin(broadcast(probes))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          (dot(col("embedding"), col("pemb")) /
+            (sqrt(sumSq(col("embedding"))) * sqrt(sumSq(col("pemb")))))
+            .as("sim"))
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter(col("rnk") <= 3)
+        .select(col("probe_id"), col("rnk"), col("neighbor_id"))
+        .orderBy("probe_id", "rnk")
+    },
+    Some("""
+      WITH probes AS (
+        SELECT vec_id AS probe_id, embedding AS pemb
+        FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT p.probe_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(e.embedding, p.pemb) AS sim
+        FROM embeddings e CROSS JOIN probes p
+        WHERE e.vec_id >= 5)
+      SELECT probe_id, rnk, neighbor_id FROM (
+        SELECT probe_id, neighbor_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                 ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+        FROM scored)
+      WHERE rnk <= 3
+      ORDER BY probe_id, rnk
+    """))
+
   def all: Seq[GQuery] =
     Seq(vecNorm, simTopk, simBucketed, simPairs, dedupEmbed, simIvf,
-      embedQuantize)
+      embedQuantize, simTopkBatch)
 }
