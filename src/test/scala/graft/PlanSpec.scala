@@ -118,6 +118,14 @@ class PlanSpec extends SparkTestBase {
     assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1, p)
   }
 
+  test("batched top-k prunes per probe below the shuffle") {
+    val p = plan("sim_topk_batch")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"probe batch must broadcast: $p")
+  }
+
   test("pivot with declared values reads the data once — no discovery job") {
     val p = plan("agg_pivot")
     // one scan; the two-level pivot aggregation (group by (day,type),
