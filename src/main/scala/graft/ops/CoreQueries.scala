@@ -330,8 +330,46 @@ object CoreQueries {
       ORDER BY p_partkey
     """))
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): hierarchy traversal —
+    * depth of every node in the forest parent(c) = c div 10 over
+    * customer keys, seeded at the single-digit roots. Each iteration is
+    * one join + union all planned like any other batch step; recursion
+    * depth is the chain length (~log10 of the key space), so the plan
+    * is |depth| joins of shrinking frontiers — the transitive-closure
+    * shape (org charts, amendment chains, BOM explosions) that plain
+    * joins can't express at unknown depth. */
+  val recursiveCte = GQuery(
+    "recursive_cte",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("rec_customer")
+      s.sql("""
+        WITH RECURSIVE anc(custkey, depth) AS (
+          SELECT c_custkey, CAST(0 AS BIGINT) FROM rec_customer
+          WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, a.depth + 1
+          FROM rec_customer c JOIN anc a ON c.c_custkey DIV 10 = a.custkey
+          WHERE c.c_custkey >= 10)
+        SELECT custkey, depth FROM anc
+        WHERE custkey <= 2000
+        ORDER BY custkey
+      """)
+    },
+    Some("""
+      WITH RECURSIVE anc(custkey, depth) AS (
+        SELECT c_custkey, CAST(0 AS BIGINT) FROM customer
+        WHERE c_custkey < 10
+        UNION ALL
+        SELECT c.c_custkey, a.depth + 1
+        FROM customer c JOIN anc a ON c.c_custkey // 10 = a.custkey
+        WHERE c.c_custkey >= 10)
+      SELECT custkey, depth FROM anc
+      WHERE custkey <= 2000
+      ORDER BY custkey
+    """))
+
   def all: Seq[GQuery] = Seq(q1Pricing, filterPred, loadTyped, loadDatetime,
     decimalCast, cleanSplitGood, cleanSplitBad, strClean, ingestPipeline,
-    sqlSurface, subqueryCorr)
+    sqlSurface, subqueryCorr, recursiveCte)
 }
 
