@@ -33,4 +33,17 @@ class RegistrySpec extends SparkTestBase {
       assert(n > 0, s"$name returned no rows")
     }
   }
+
+  test("EVERY registry query plans and executes at sf0.001") {
+    // zero rows is legitimate (anti joins, except); errors are not —
+    // this catches analysis/runtime breaks in entries no other spec
+    // exercises, before the driver's verify pass would
+    val sf = "/root/testdata/sf0.001"
+    val failures = SparkEntry.registry.flatMap { q =>
+      try { q.fn(spark, sf).count(); None }
+      catch { case e: Throwable =>
+        Some(s"${q.name}: ${e.getMessage.take(120)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
 }
