@@ -62,13 +62,17 @@ object StreamRunner {
     * watermark passes c_ts + 10min the click row is dropped from the
     * state store. Without the range bound, stream-stream inner-join
     * state grows forever — the bound IS the 100 TB/day feasibility
-    * condition. Inner join here (streaming left-outer additionally
-    * requires the watermark delay to emit unmatched rows). On static
-    * inputs this equals the batch `stream_join` query pre-aggregation,
-    * which is how StreamingSpec cross-checks it. */
+    * condition. With `joinType = "leftOuter"` unmatched purchases also
+    * emit (click columns null) — but only once the watermark proves no
+    * matching click can still arrive, so null-emission lags by the
+    * watermark delay and purchases newer than the horizon stay buffered
+    * until the stream advances. On static inputs this equals the batch
+    * `stream_join` query pre-aggregation, which is how StreamingSpec
+    * cross-checks both forms. */
   def clicksBeforePurchase(clicks: DataFrame, purchases: DataFrame,
       watermark: String = "1 hour",
-      interval: String = "10 minutes"): DataFrame = {
+      interval: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val c = clicks
       .withWatermark("ts", watermark)
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
@@ -79,7 +83,8 @@ object StreamRunner {
     p.join(c,
       col("c_user") === col("user_id") &&
         col("c_ts") >= col("p_ts") - expr(s"INTERVAL $interval") &&
-        col("c_ts") < col("p_ts"))
+        col("c_ts") < col("p_ts"),
+      joinType)
   }
 
   /** Custom keyed state through `KeyValueGroupedDataset

@@ -74,6 +74,33 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty && streamed.toSeq === static.toSeq)
   }
 
+  test("streamed left-outer interval join: matches exact, nulls watermark-gated") {
+    import spark.implicits._
+    val tf = (df: org.apache.spark.sql.DataFrame) =>
+      StreamRunner.clicksBeforePurchase(
+        df.filter(col("event_type") === "click"),
+        df.filter(col("event_type") === "purchase"),
+        watermark = "30 minutes", interval = "25 minutes",
+        joinType = "leftOuter")
+    val streamed = runStream(tf, "append").collect()
+    val static = tf(mkEvents.toDF()).collect()
+    // output columns: purchase_id, user_id, p_ts, c_user, c_ts
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getTimestamp(4).getTime)
+    val streamedMatched = streamed.filter(!_.isNullAt(4)).map(key).toSet
+    val staticMatched = static.filter(!_.isNullAt(4)).map(key).toSet
+    // matched rows are exact — inner results never wait on the watermark
+    assert(streamedMatched == staticMatched)
+    // null (unmatched) rows: only for purchases the watermark cleared,
+    // so a subset of the static unmatched set — and the old region of
+    // the fixture must actually have emitted some
+    val streamedNulls = streamed.filter(_.isNullAt(4)).map(_.getLong(0)).toSet
+    val staticNulls = static.filter(_.isNullAt(4)).map(_.getLong(0)).toSet
+    assert(streamedNulls.subsetOf(staticNulls), streamedNulls -- staticNulls)
+    assert(streamedNulls.nonEmpty,
+      "watermark should have cleared some unmatched purchases")
+  }
+
   test("flatMapGroupsWithState accumulates per-user totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
