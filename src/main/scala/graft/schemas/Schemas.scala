@@ -1100,6 +1100,181 @@ object Schemas {
         doc("Group type code")))),
     uniqueKey = Seq("grp_id"))
 
+  /** ≙ CVR_E530_CD — Form E530 issue-advocacy report cover
+    * (`models/common.py`). */
+  val cvrE530Cd: TableDef = TableDef(
+    name = "cvr_e530_cd",
+    schema = StructType(Seq(
+      StructField("filing_id", LongType, nullable = true,
+        doc("Unique filing identification number")),
+      StructField("amend_id", LongType, nullable = true,
+        doc("Amendment identification number; 0 is the original")),
+      StructField("rec_type", StringType, nullable = true,
+        doc("Record type of the cover page, always CVR")),
+      StructField("form_type", StringType, nullable = true,
+        doc("Form type, always E530")),
+      StructField("filer_id", LongType, nullable = true,
+        doc("Filer unique identification number")),
+      StructField("cand_naml", StringType, nullable = true,
+        doc("Candidate last name the communication concerns")),
+      StructField("pmnt_amount", DecimalType(14, 2), nullable = true,
+        doc("Amount of the payment reported")),
+      StructField("pmnt_dt", DateType, nullable = true,
+        doc("Date of the payment, M/D/YYYY in the raw file")))),
+    uniqueKey = Seq("filing_id", "amend_id"),
+    dateFields = Seq("pmnt_dt"))
+
+  /** ≙ F495P2_CD — Form 495 supplemental pre-election statement part 2
+    * (`models/campaign.py`). */
+  val f495P2Cd: TableDef = TableDef(
+    name = "f495p2_cd",
+    schema = StructType(Seq(
+      StructField("filing_id", LongType, nullable = true,
+        doc("Unique filing identification number")),
+      StructField("amend_id", LongType, nullable = true,
+        doc("Amendment identification number; 0 is the original")),
+      StructField("line_item", LongType, nullable = true,
+        doc("Line item number of this record")),
+      StructField("rec_type", StringType, nullable = true,
+        doc("Record type, always F495")),
+      StructField("form_type", StringType, nullable = true,
+        doc("Form the supplement attaches to (F450 or F460)")),
+      StructField("elect_date", DateType, nullable = true,
+        doc("Date of the election, M/D/YYYY in the raw file")),
+      StructField("electjuris", StringType, nullable = true,
+        doc("Jurisdiction of the election")),
+      StructField("contribamt", DecimalType(14, 2), nullable = true,
+        doc("Contributions received in the supplemental period")))),
+    uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type"),
+    dateFields = Seq("elect_date"))
+
+  /** ≙ CVR2_REGISTRATION_CD — lobbying-registration additional names
+    * page (`models/lobbying.py`). */
+  val cvr2RegistrationCd: TableDef = TableDef(
+    name = "cvr2_registration_cd",
+    schema = StructType(Seq(
+      StructField("filing_id", LongType, nullable = true,
+        doc("Unique filing identification number")),
+      StructField("amend_id", LongType, nullable = true,
+        doc("Amendment identification number; 0 is the original")),
+      StructField("line_item", LongType, nullable = true,
+        doc("Line item number of this record")),
+      StructField("rec_type", StringType, nullable = true,
+        doc("Record type of the page, always CVR2")),
+      StructField("form_type", StringType, nullable = true,
+        doc("Registration form the page extends (F601, F602, ...)")),
+      StructField("tran_id", StringType, nullable = true,
+        doc("Permanent value unique within the filing")),
+      StructField("entity_cd", StringType, nullable = true,
+        doc("Entity code of the named person/organization")),
+      StructField("enty_naml", StringType, nullable = true,
+        doc("Entity last name or organization name")))),
+    uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type"))
+
+  /** ≙ CVR3_VERIFICATION_INFO_CD — verification/signature page
+    * (`models/campaign.py`). */
+  val cvr3VerificationInfoCd: TableDef = TableDef(
+    name = "cvr3_verification_info_cd",
+    schema = StructType(Seq(
+      StructField("filing_id", LongType, nullable = true,
+        doc("Unique filing identification number")),
+      StructField("amend_id", LongType, nullable = true,
+        doc("Amendment identification number; 0 is the original")),
+      StructField("line_item", LongType, nullable = true,
+        doc("Line item number of this record")),
+      StructField("rec_type", StringType, nullable = true,
+        doc("Record type of the page, always CVR3")),
+      StructField("form_type", StringType, nullable = true,
+        doc("Form being verified")),
+      StructField("tran_id", StringType, nullable = true,
+        doc("Permanent value unique within the filing")),
+      StructField("sig_date", DateType, nullable = true,
+        doc("Date the verification was signed, M/D/YYYY in the raw file")),
+      StructField("sig_naml", StringType, nullable = true,
+        doc("Signer last name")))),
+    uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type"),
+    dateFields = Seq("sig_date"))
+
+  /** ≙ LOBBY_AMENDMENTS_CD — lobbying registration amendment log
+    * (`models/lobbying.py`). */
+  val lobbyAmendmentsCd: TableDef = TableDef(
+    name = "lobby_amendments_cd",
+    schema = StructType(Seq(
+      StructField("filing_id", LongType, nullable = true,
+        doc("Unique filing identification number")),
+      StructField("amend_id", LongType, nullable = true,
+        doc("Amendment identification number; 0 is the original")),
+      StructField("rec_type", StringType, nullable = true,
+        doc("Record type, always F605")),
+      StructField("form_type", StringType, nullable = true,
+        doc("Form type, always F605")),
+      StructField("exec_date", DateType, nullable = true,
+        doc("Date the amendment was executed, M/D/YYYY in the raw file")),
+      StructField("from_date", DateType, nullable = true,
+        doc("Amended effective period start, M/D/YYYY in the raw file")),
+      StructField("thru_date", DateType, nullable = true,
+        doc("Amended effective period end, M/D/YYYY in the raw file")))),
+    uniqueKey = Seq("filing_id", "amend_id"),
+    dateFields = Seq("exec_date", "from_date", "thru_date"))
+
+  /** ≙ LOBBYING_CHG_LOG_CD — lobbying registry change log
+    * (`models/lobbying.py`). */
+  val lobbyingChgLogCd: TableDef = TableDef(
+    name = "lobbying_chg_log_cd",
+    schema = StructType(Seq(
+      StructField("filer_id", LongType, nullable = true,
+        doc("Filer unique identification number")),
+      StructField("change_no", LongType, nullable = true,
+        doc("Sequential change number for the filer")),
+      StructField("session_id", LongType, nullable = true,
+        doc("Legislative session the change applies to")),
+      StructField("log_dt", DateType, nullable = true,
+        doc("Date the change was logged, M/D/YYYY in the raw file")),
+      StructField("filer_type", LongType, nullable = true,
+        doc("Filer type code at the time of the change")),
+      StructField("correction_flag", StringType, nullable = true,
+        doc("Y when the entry corrects an earlier one")))),
+    uniqueKey = Seq("filer_id", "change_no"),
+    dateFields = Seq("log_dt"))
+
+  /** ≙ FILING_PERIOD_CD — filing-period dimension
+    * (`models/inactive.py`). */
+  val filingPeriodCd: TableDef = TableDef(
+    name = "filing_period_cd",
+    schema = StructType(Seq(
+      StructField("period_id", LongType, nullable = true,
+        doc("Filing period identification number")),
+      StructField("start_date", DateType, nullable = true,
+        doc("Period start date, M/D/YYYY in the raw file")),
+      StructField("end_date", DateType, nullable = true,
+        doc("Period end date, M/D/YYYY in the raw file")),
+      StructField("period_type", LongType, nullable = true,
+        doc("Period type code, decoded via lookup codes")),
+      StructField("per_grp_type", LongType, nullable = true,
+        doc("Period group type code")),
+      StructField("period_desc", StringType, nullable = true,
+        doc("Description of the period")))),
+    uniqueKey = Seq("period_id"),
+    dateFields = Seq("start_date", "end_date"))
+
+  /** ≙ IMAGE_LINKS_CD — scanned-image link table
+    * (`models/inactive.py`). */
+  val imageLinksCd: TableDef = TableDef(
+    name = "image_links_cd",
+    schema = StructType(Seq(
+      StructField("img_link_id", LongType, nullable = true,
+        doc("Image link identification number")),
+      StructField("img_link_type", LongType, nullable = true,
+        doc("Image link type code")),
+      StructField("img_id", LongType, nullable = true,
+        doc("Image identification number")),
+      StructField("img_type", LongType, nullable = true,
+        doc("Image type code")),
+      StructField("img_dt", DateType, nullable = true,
+        doc("Date of the image, M/D/YYYY in the raw file")))),
+    uniqueKey = Seq("img_link_id", "img_id"),
+    dateFields = Seq("img_dt"))
+
   val all: Seq[TableDef] =
     Seq(rcptCd, filerFilingsCd, lookupCodesCd, smryCd, filernameCd, expnCd,
       cvrSoCd, loanCd, debtCd, s497Cd, lattCd, lexpCd, lpayCd,
@@ -1110,7 +1285,9 @@ object Schemas {
       f501502Cd, cvr2CampaignDisclosureCd, cvr2LobbyDisclosureCd,
       lobbyistFirm1Cd, lobbyistEmployer1Cd, lobbyistContributions1Cd,
       filerXrefCd, filerAddressCd, namesCd, ballotMeasuresCd,
-      receivedFilingsCd, groupTypesCd)
+      receivedFilingsCd, groupTypesCd,
+      cvrE530Cd, f495P2Cd, cvr2RegistrationCd, cvr3VerificationInfoCd,
+      lobbyAmendmentsCd, lobbyingChgLogCd, filingPeriodCd, imageLinksCd)
 
   def byName(name: String): TableDef =
     all.find(_.name == name).getOrElse(
