@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session construction for the graft engine.
+  *
+  * Every conf the library's loaders depend on lives HERE, at session
+  * build time — table loaders (`Tables`) are pure reads with no runtime
+  * conf mutation, so using graft as a library can never change the
+  * behavior of unrelated queries in a shared session.
+  *
+  * Confs and why:
+  *  - `spark.sql.legacy.parquet.nanosAsLong=true`: the driver's
+  *    events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses to
+  *    read as a timestamp; reading it as a raw long lets
+  *    `Tables.events` truncate to microseconds exactly the way DuckDB
+  *    does on read, so oracle comparisons align (see FIXTURES.md).
+  *  - `spark.sql.session.timeZone=UTC`: date/timestamp functions must
+  *    fold identically to the DuckDB oracle regardless of host zone.
+  *  - shuffle partitions sized to the local core count, not the 200
+  *    default — on a real cluster this is the knob sized to the data
+  *    (SURVEY §4); locally 200 tiny partitions just add scheduler drag.
+  */
+object GraftSession {
+
+  /** Builder pre-loaded with the graft confs; callers add master/app
+    * specifics and `getOrCreate()`. */
+  def builder(shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** The standard local session the mains use. */
+  def local(cores: Int, appName: String): SparkSession = {
+    val s = builder(cores).master(s"local[$cores]").appName(appName)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

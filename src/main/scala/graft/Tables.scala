@@ -29,13 +29,22 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * as a timestamp. Read it as a raw long (legacy conf) and truncate to
-    * microseconds with integer division — exactly what DuckDB 1.0 does on
-    * read, so oracle comparisons align (see FIXTURES.md). Plain `/ 1000`
-    * would route through double and lose precision at ~1.7e18 ns.
+    * as a timestamp. Read it as a raw long (legacy conf, set at session
+    * construction — see [[GraftSession]]) and truncate to microseconds
+    * with integer division — exactly what DuckDB 1.0 does on read, so
+    * oracle comparisons align (see FIXTURES.md). Plain `/ 1000` would
+    * route through double and lose precision at ~1.7e18 ns.
+    *
+    * The loader is PURE — it never mutates session conf (a library read
+    * must not change unrelated queries' behavior); it just fails fast
+    * with the fix when the session was built without the conf.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+        .contains("true"),
+      "events.parquet is TIMESTAMP(NANOS): build the session with " +
+        "spark.sql.legacy.parquet.nanosAsLong=true (see graft.GraftSession)")
     apply(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr(
         "timestamp_micros(ts div 1000)"))

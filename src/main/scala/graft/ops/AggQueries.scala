@@ -324,11 +324,17 @@ object AggQueries {
     * struct(value, event_id), total because event_id is unique, so the
     * chosen row can never depend on partitioning. DuckDB's arg_max has
     * no composite-key form, so the oracle spells the same semantics via
-    * a window max + id tiebreak. */
+    * a window max + id tiebreak. NULL values are filtered on BOTH
+    * engines first: in a struct ordering key Spark sorts a NULL field
+    * smallest (min_by could pick a NULL-value row) while the oracle's
+    * MIN/MAX OVER ignores NULLs — the explicit filter makes the two
+    * semantics identical instead of relying on the fixture having no
+    * NULL values. */
   val aggArgmax = GQuery(
     "agg_argmax",
     (s, d) =>
       Tables.events(s, d)
+        .filter(col("value").isNotNull)
         .groupBy(col("event_type"))
         .agg(
           max_by(col("event_id"),
@@ -343,7 +349,7 @@ object AggQueries {
       FROM (SELECT event_type, event_id, value,
                    MAX(value) OVER (PARTITION BY event_type) AS mx,
                    MIN(value) OVER (PARTITION BY event_type) AS mn
-            FROM events)
+            FROM events WHERE value IS NOT NULL)
       GROUP BY event_type
       ORDER BY event_type
     """))

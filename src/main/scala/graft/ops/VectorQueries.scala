@@ -233,14 +233,21 @@ object VectorQueries {
     * scan: per vector, scale by 127/max|x| and round half-away-from-zero
     * (the shared Spark/DuckDB rounding). The int list is emitted as a
     * ','-joined string so the hash compare stays scalar; the scale
-    * factor is rounded into a decimal to absorb float-division ulps. */
+    * factor is rounded into a decimal to absorb float-division ulps.
+    * Degenerate all-zero vectors (maxabs = 0) quantize to 0 explicitly
+    * on BOTH engines — without the guard Spark folds round(0/0)=NaN
+    * silently to 0 on the Long cast while DuckDB raises on
+    * CAST(NaN AS BIGINT), so a single zero vector would fail the whole
+    * oracle query. */
   val embedQuantize = GQuery(
     "embed_quantize",
     (s, d) => {
       val absd = transform(col("embedding"), x => abs(x.cast(DoubleType)))
       val maxabs = array_max(absd)
       val q = transform(col("embedding"),
-        x => round(x.cast(DoubleType) * 127.0 / maxabs).cast(LongType))
+        x => when(maxabs === 0d, lit(0L))
+          .otherwise(round(x.cast(DoubleType) * 127.0 / maxabs)
+            .cast(LongType)))
       Tables.embeddings(s, d)
         .filter(col("vec_id") < 50)
         .select(col("vec_id"),
@@ -254,8 +261,11 @@ object VectorQueries {
              CAST(CAST(round(list_max(list_transform(embedding,
                     x -> abs(CAST(x AS DOUBLE)))) / 127.0, 6) AS DECIMAL(38,6)) AS DOUBLE) AS scale,
              array_to_string(list_transform(embedding,
-               x -> CAST(CAST(round(CAST(x AS DOUBLE) * 127.0 /
-                 list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))) AS BIGINT) AS VARCHAR)), ',') AS qvec
+               x -> CASE WHEN list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) = 0
+                    THEN '0'
+                    ELSE CAST(CAST(round(CAST(x AS DOUBLE) * 127.0 /
+                      list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))) AS BIGINT) AS VARCHAR)
+                    END), ',') AS qvec
       FROM embeddings
       WHERE vec_id < 50
       ORDER BY vec_id

@@ -42,19 +42,10 @@ object ScaleSweep {
         "dedup_minhash_lsh", "dedup_embed", "sim_topk", "stream_session",
         "join_asof", "subquery_corr", "agg_pivot", "dedup_minhash_verify",
         "split_hash")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.GraftSession.local(4, "graft-scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
     val src = "/root/testdata/sf0.1"
-    // events.ts is parquet TIMESTAMP(NANOS): read it as a raw long (same
-    // as Tables.events); the replicated copy round-trips as plain INT64,
-    // which Tables.events' `ts div 1000` handles identically.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val factShifts: Map[String, Seq[String]] = Map(
       "lineitem" -> Seq("l_orderkey"),
       "orders" -> Seq("o_orderkey"),
