@@ -298,27 +298,39 @@ object DedupQueries {
       ORDER BY doc_id
     """))
 
+  /** LSH candidates verified by exact Jaccard ≥ τ — the EDGE set of the
+    * near-dup graph, shared by the one-pass keeper (`dedup_minhash_verify`)
+    * and the full transitive closure (`dedup_cluster`). Candidate
+    * generation is the band equi-join (never all-pairs); the exact
+    * verification runs on candidates only. The Jaccard value is a single
+    * division of exact small integers, so Spark and DuckDB produce
+    * bit-identical doubles and the ≥ τ cut can't diverge even on exact
+    * ties. Returns (ida, idb) with ida < idb. */
+  def verifiedNearDupEdges(docs: DataFrame, tau: Double = 0.5,
+      numHashes: Int = DefaultNumHashes,
+      bandRows: Int = DefaultBandRows): DataFrame = {
+    val toksOf = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("toks"))
+    val inter = size(array_intersect(col("ta"), col("tb")))
+    minhashCandidates(docs, numHashes, bandRows)
+      .join(toksOf.select(col("doc_id").as("ida"), col("toks").as("ta")),
+        "ida")
+      .join(toksOf.select(col("doc_id").as("idb"), col("toks").as("tb")),
+        "idb")
+      .filter((inter.cast(DoubleType) /
+        (size(col("ta")) + size(col("tb")) - inter)) >= tau)
+      .select(col("ida"), col("idb"))
+  }
+
   /** End-to-end MinHash dedup: LSH candidates → exact-Jaccard verify
     * (≥ 0.5) → least-id survivor per doc. This is the full LLM-corpus
-    * near-dup pipeline in one query — candidate generation by band
-    * equi-join (never all-pairs), verification only on candidates, and a
-    * deterministic keeper. The Jaccard value is a single division of
-    * exact small integers, so Spark and DuckDB produce bit-identical
-    * doubles and the ≥ τ cut can't diverge even on exact ties. */
+    * near-dup pipeline in one query — one-pass keeper pointers
+    * (`dedup_cluster` below is the transitive-closure form). */
   val dedupMinhashVerify = GQuery(
     "dedup_minhash_verify",
     (s, d) => {
       val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
-      val toksOf = docs.select(col("doc_id"),
-        array_distinct(split(col("text"), " ")).as("toks"))
-      val inter = size(array_intersect(col("ta"), col("tb")))
-      val verified = minhashCandidates(docs)
-        .join(toksOf.select(col("doc_id").as("ida"), col("toks").as("ta")),
-          "ida")
-        .join(toksOf.select(col("doc_id").as("idb"), col("toks").as("tb")),
-          "idb")
-        .filter((inter.cast(DoubleType) /
-          (size(col("ta")) + size(col("tb")) - inter)) >= 0.5)
+      val verified = verifiedNearDupEdges(docs)
         .groupBy(col("idb"))
         .agg(min(col("ida")).as("keeper_min"))
       docs.select(col("doc_id"))
@@ -366,7 +378,77 @@ object DedupQueries {
       ORDER BY doc_id
     """))
 
+  /** Transitive-closure dedup: the near-dup graph's verified edges
+    * (same LSH-candidate → exact-Jaccard ≥ 0.5 set as
+    * `dedup_minhash_verify`) collapsed into connected components, keeper
+    * = CLUSTER-MIN over the full closure. This is what corpus dedup
+    * actually ships: a chain a~b~c (where a~c was never a candidate
+    * pair) must still collapse to one survivor, which the one-pass
+    * keeper-pointer form cannot do. Components come from
+    * `Components.connected` — iterated min-label propagation with
+    * pointer jumping, O(log diameter) rounds of linear-cost equi-joins
+    * (the 100 TB shape; see Components.scala). The DuckDB oracle
+    * computes the exact same closure by recursive reachability
+    * enumeration — tractable at oracle scale, and equal output proves
+    * the distributed fixpoint loses nothing. */
+  val dedupCluster = GQuery(
+    "dedup_cluster",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+      Components.connected(
+        docs.select(col("doc_id")),
+        verifiedNearDupEdges(docs))
+        .select(col("id").as("doc_id"), col("component").as("keeper"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH RECURSIVE dtoks AS (
+        SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id < 100),
+      sigs AS (
+        SELECT doc_id,
+               MIN(md5('0:' || tok)) AS s0, MIN(md5('1:' || tok)) AS s1,
+               MIN(md5('2:' || tok)) AS s2, MIN(md5('3:' || tok)) AS s3,
+               MIN(md5('4:' || tok)) AS s4, MIN(md5('5:' || tok)) AS s5,
+               MIN(md5('6:' || tok)) AS s6, MIN(md5('7:' || tok)) AS s7
+        FROM dtoks GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 0 AS band_idx, md5(s0 || s1) AS band_key FROM sigs
+        UNION ALL SELECT doc_id, 1, md5(s2 || s3) FROM sigs
+        UNION ALL SELECT doc_id, 2, md5(s4 || s5) FROM sigs
+        UNION ALL SELECT doc_id, 3, md5(s6 || s7) FROM sigs),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id),
+      tsets AS (
+        SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks
+        FROM documents WHERE doc_id < 100),
+      edges AS (
+        SELECT ida, idb
+        FROM cand
+        JOIN tsets ta ON ta.doc_id = ida
+        JOIN tsets tb ON tb.doc_id = idb
+        WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
+              (len(ta.toks) + len(tb.toks)
+               - len(list_intersect(ta.toks, tb.toks))) >= 0.5),
+      esym AS (
+        SELECT ida AS src, idb AS dst FROM edges
+        UNION ALL
+        SELECT idb AS src, ida AS dst FROM edges),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents WHERE doc_id < 100
+        UNION
+        SELECT e.dst, reach.r
+        FROM reach JOIN esym e ON e.src = reach.id)
+      SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS keeper
+      FROM reach
+      GROUP BY id
+      ORDER BY doc_id
+    """))
+
   def all: Seq[GQuery] =
     Seq(dedupMinhashSig, dedupMinhashLsh, dedupSimhash, dedupSimhashJoin,
-      dedupMinhashFast, dedupMinhashVerify)
+      dedupMinhashFast, dedupMinhashVerify, dedupCluster)
 }
