@@ -299,6 +299,32 @@ object AggQueries {
       ORDER BY l_linestatus
     """))
 
+  /** A5-adjacent scale path for percentiles, driver-visible: Spark's
+    * approx_percentile (Greenwald–Khanna summaries — bounded memory per
+    * group, mergeable partials, ONE pass) versus the exact sort-based
+    * `percentile` in `agg_percentile` above, which buffers each group.
+    * At 100 TB the exact form is the correctness pin and THIS is what
+    * runs. Rows-only by design (summary merge order is not part of any
+    * SQL standard; DuckDB has no twin) — `ApproxPercentileSpec` pins the
+    * values within ±1 quantity unit of exact, and at this accuracy
+    * (1e4 > distinct value count) the sketch degenerates to exact, so
+    * the output is deterministic run-to-run. Scalar columns only, so the
+    * rows-only harness can hash them. */
+  val aggApproxPercentile = GQuery(
+    "agg_approx_percentile",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .agg(
+          expr("approx_percentile(CAST(l_quantity AS DOUBLE), 0.25, 10000)")
+            .as("p25"),
+          expr("approx_percentile(CAST(l_quantity AS DOUBLE), 0.5, 10000)")
+            .as("p50"),
+          expr("approx_percentile(CAST(l_quantity AS DOUBLE), 0.75, 10000)")
+            .as("p75"))
+        .orderBy("l_linestatus"),
+    None)
+
   /** Ordered string aggregation (LISTAGG): collect_list is
     * partition-order-dependent, so the list is canonicalized by
     * array_sort before joining — deterministic under any partitioning,
@@ -407,6 +433,6 @@ object AggQueries {
 
   def all: Seq[GQuery] = Seq(aggCount, aggGroup, aggMinmax, aggDistinct,
     aggApproxDistinct, aggAvg, aggRollup, aggCube, aggConditional, aggPivot,
-    aggStats, aggPercentile, aggListagg, aggArgmax, aggGroupingSets,
-    aggSalted)
+    aggStats, aggPercentile, aggApproxPercentile, aggListagg, aggArgmax,
+    aggGroupingSets, aggSalted)
 }

@@ -38,17 +38,49 @@ object DedupQueries {
   val DefaultNumHashes = 8
   val DefaultBandRows = 2
 
+  /** Corpus-sized MinHash banding width: keeps the BAND COUNT (recall
+    * knob) fixed and grows ROWS-PER-BAND (the threshold/volume knob)
+    * with the corpus, r = max(2, ⌈log2(N / targetBucket) / 2⌉) — the
+    * rule the `LshWidthSpec` sweep calibrates: its data shows the (8,2)
+    * default going super-linear on candidate volume at 10× corpus while
+    * (16,4) stays bounded, and with the defaults here this chooser picks
+    * exactly those widths at those sizes. Sharper bands raise the
+    * S-curve threshold t ≈ (1/b)^(1/r), so a caller who needs a LOW
+    * Jaccard threshold on a huge corpus must add bands (recall) rather
+    * than rely on the default four.
+    * @return (numHashes, bandRows) to pass to `minhashCandidates` */
+  def minhashWidthFor(corpusSize: Long, targetBucket: Long = 64,
+      bands: Int = 4): (Int, Int) = {
+    require(corpusSize > 0 && targetBucket > 0 && bands > 0,
+      s"minhashWidthFor: corpusSize=$corpusSize targetBucket=$targetBucket " +
+        s"bands=$bands must be positive")
+    val raw = math.ceil(math.log(
+      math.max(corpusSize.toDouble / targetBucket, 1.0)) / math.log(2) / 2)
+      .toInt
+    val rows = math.max(2, raw)
+    (bands * rows, rows)
+  }
+
+  /** Default token unit: distinct words. On a TINY vocabulary every doc
+    * overlaps every doc and true near-dup pairs are intrinsically
+    * quadratic — pass shingles (e.g.
+    * `array_distinct(TextQueries.bigramShingles(col("text")))`) to
+    * explode the key space; `AutoWidthSpec` shows word-unigrams on a
+    * 31-token vocab defeating any banding width while shingles restore
+    * linear candidate volume. */
+  def unigramTokens: Column = array_distinct(split(col("text"), " "))
+
   /** doc_id → distinct-token rows, the shingle base. */
-  private def docTokens(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      explode(array_distinct(split(col("text"), " "))).as("tok"))
+  private def docTokens(docs: DataFrame, tokens: Column): DataFrame =
+    docs.select(col("doc_id"), explode(tokens).as("tok"))
 
   /** MinHash signature matrix: one min-md5 per permutation seed. */
   def minhashSignatures(docs: DataFrame,
-      numHashes: Int = DefaultNumHashes): DataFrame = {
+      numHashes: Int = DefaultNumHashes,
+      tokens: Column = unigramTokens): DataFrame = {
     val aggs = (0 until numHashes).map(i =>
       min(md5(concat(lit(i.toString), lit(":"), col("tok")))).as(s"sig_$i"))
-    docTokens(docs).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    docTokens(docs, tokens).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: band key = md5 over the band's signature rows. Output is
@@ -69,8 +101,9 @@ object DedupQueries {
   /** Candidate pairs: docs sharing any band bucket (equi-join, distinct). */
   def minhashCandidates(docs: DataFrame,
       numHashes: Int = DefaultNumHashes,
-      bandRows: Int = DefaultBandRows): DataFrame = {
-    val bands = minhashBands(minhashSignatures(docs, numHashes),
+      bandRows: Int = DefaultBandRows,
+      tokens: Column = unigramTokens): DataFrame = {
+    val bands = minhashBands(minhashSignatures(docs, numHashes, tokens),
       numHashes, bandRows)
     val a = bands.select(col("band_idx"), col("band_key"),
       col("doc_id").as("ida"))

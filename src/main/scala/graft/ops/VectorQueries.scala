@@ -106,6 +106,24 @@ object VectorQueries {
     * bucket → 18 bits. `LshWidthSpec` measures candidate-count vs width. */
   val DefaultSignBits = 8
 
+  /** Corpus-sized sign-LSH width: bits ≈ log2(N / targetBucket), clamped.
+    * Within-bucket pairing costs O(Σ bucket²), so expected bucket
+    * population N / 2^bits must stay ≈ targetBucket as N grows — this
+    * chooser closes the loop on the sizing rule the width sweep
+    * (`LshWidthSpec`) measures, so a caller scaling up the corpus picks
+    * up the wider signature automatically instead of shipping the pinned
+    * 8-bit registry default to a billion-vector corpus. maxBits caps at
+    * the embedding dim (only `bits` leading components exist to sign). */
+  def signBitsFor(corpusSize: Long, targetBucket: Long = 1024,
+      minBits: Int = 4, maxBits: Int = 24): Int = {
+    require(corpusSize > 0 && targetBucket > 0,
+      s"signBitsFor: corpusSize=$corpusSize targetBucket=$targetBucket " +
+        "must be positive")
+    val raw = math.ceil(
+      math.log(corpusSize.toDouble / targetBucket) / math.log(2)).toInt
+    math.max(minBits, math.min(maxBits, raw))
+  }
+
   /** Sign-LSH signature: sign pattern of the first `bits` components (a
     * fixed, deterministic hyperplane set — axis-aligned hyperplanes are
     * valid sign-LSH because embedding components are uncorrelated; a
@@ -227,6 +245,29 @@ object VectorQueries {
     },
     None)
 
+  /** The persisted-IVF serving path, driver-visible end-to-end: build →
+    * `Ann.save` (inverted lists as cell partition directories) →
+    * `Ann.load` → query. On the LOADED index the nProbe cell restriction
+    * is partition pruning against the parquet layout — at 100 TB a probe
+    * reads nProbe/k of the corpus no matter how large it grows, which is
+    * the whole point of persisting the index rather than rebuilding per
+    * query (what `sim_ivf` above does). Rows-only like sim_ivf (IVF
+    * recall is approximate by construction); `AnnSkewSpec` pins that the
+    * loaded-index probe plan reads ONLY the probed cell directories and
+    * that full probing equals brute force. The save path is fixed under
+    * java.io.tmpdir and overwritten per invocation, so repeated bench
+    * runs don't accumulate indexes. */
+  val simIvfLoaded = GQuery(
+    "sim_ivf_loaded",
+    (s, d) => {
+      val path = sys.props("java.io.tmpdir") + "/graft_ivf_registry"
+      Ann.save(Ann.build(Tables.embeddings(s, d), k = 8), path)
+      Ann.query(Ann.load(s, path), probeId = 0, topK = 5, nProbe = 3)
+        .select(col("rank"), col("neighbor_id"))
+        .orderBy("rank")
+    },
+    None)
+
   /** Int8 max-abs quantization — the storage-compression pass an
     * embedding corpus runs before ANN serving (4× smaller than float32,
     * 8× smaller than the double intermediates). Pure narrow map over the
@@ -318,5 +359,5 @@ object VectorQueries {
 
   def all: Seq[GQuery] =
     Seq(vecNorm, simTopk, simBucketed, simPairs, dedupEmbed, simIvf,
-      embedQuantize, simTopkBatch)
+      simIvfLoaded, embedQuantize, simTopkBatch)
 }
