@@ -233,6 +233,51 @@ object ScalarQueries {
       ORDER BY flag_desc, status_desc
     """))
 
+  /** The registry-driven twin of `decode_enum`: meanings come from the
+    * annotations layer (`graft.meta.Annotations`, ≙ the reference's
+    * `annotations/__init__.py` choices registry), not an inline literal
+    * map — the Spark side broadcast-joins the seeded `choice_codes`
+    * dimension and the oracle's VALUES list is GENERATED from the same
+    * registry (`Annotations.valuesSql`), so the two engines cannot
+    * disagree about a code's documented meaning. Broadcast left join +
+    * coalesce is the table-driven decode shape that scales past what a
+    * codegen'd CASE should carry. */
+  val decodeRegistry = GQuery(
+    "decode_registry",
+    (s, d) => {
+      val dims = graft.meta.Annotations.choicesDf(s)
+      def dim(column: String, as: String) = broadcast(
+        dims.filter(col("table_name") === "lineitem" &&
+            col("column_name") === column)
+          .select(col("code").as(s"${as}_code"),
+            col("meaning").as(s"${as}_meaning")))
+      Tables.lineitem(s, d)
+        .join(dim("l_returnflag", "f"),
+          col("l_returnflag") === col("f_code"), "left")
+        .join(dim("l_linestatus", "st"),
+          col("l_linestatus") === col("st_code"), "left")
+        .select(
+          coalesce(col("f_meaning"), lit("UNKNOWN")).as("flag_desc"),
+          coalesce(col("st_meaning"), lit("UNKNOWN")).as("status_desc"))
+        .groupBy("flag_desc", "status_desc")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("flag_desc", "status_desc")
+    },
+    Some(s"""
+      WITH flagd(code, meaning) AS (
+        VALUES ${graft.meta.Annotations.valuesSql("lineitem", "l_returnflag")}),
+      statd(code, meaning) AS (
+        VALUES ${graft.meta.Annotations.valuesSql("lineitem", "l_linestatus")})
+      SELECT COALESCE(f.meaning, 'UNKNOWN') AS flag_desc,
+             COALESCE(st.meaning, 'UNKNOWN') AS status_desc,
+             COUNT(*) AS cnt
+      FROM lineitem l
+      LEFT JOIN flagd f ON l.l_returnflag = f.code
+      LEFT JOIN statd st ON l.l_linestatus = st.code
+      GROUP BY 1, 2
+      ORDER BY flag_desc, status_desc
+    """))
+
   /** F1–F8 widening: pad/translate/split_part/left/right/repeat/reverse +
     * regexp_extract_all — the remaining portable string surface. The
     * extract-all array is canonicalized to a '|'-joined string so the
@@ -309,5 +354,5 @@ object ScalarQueries {
 
   def all: Seq[GQuery] = Seq(strFuncs, strFuncs2, strSearch, dateTruncAgg,
     dateParts, dateDiff, jsonExtract, jsonAgg, arrayOps, decodeEnum,
-    strFuncs3, dateSpine)
+    strFuncs3, dateSpine, decodeRegistry)
 }

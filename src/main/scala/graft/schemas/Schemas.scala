@@ -1275,6 +1275,352 @@ object Schemas {
     uniqueKey = Seq("img_link_id", "img_id"),
     dateFields = Seq("img_dt"))
 
+  // ——— tier 5: the remaining lobbyist directory + inactive dimensions,
+  // completing the ~80-table catalog (`models/lobbying.py`,
+  // `models/inactive.py`) ———
+
+  /** The LOBBYIST_*1/2/3_CD directory tables are successive refresh
+    * snapshots with IDENTICAL layouts in the reference (each `…2Cd`/
+    * `…3Cd` model re-declares the `…1Cd` columns verbatim); the registry
+    * derives the later snapshots from the first's schema so the layouts
+    * can never drift apart. */
+  private def snapshot(base: TableDef, n: Int): TableDef =
+    base.copy(name = base.name.replace("1_cd", s"${n}_cd"))
+
+  val lobbyistFirm2Cd: TableDef = snapshot(lobbyistFirm1Cd, 2)
+  val lobbyistFirm3Cd: TableDef = snapshot(lobbyistFirm1Cd, 3)
+  val lobbyistEmployer2Cd: TableDef = snapshot(lobbyistEmployer1Cd, 2)
+  val lobbyistEmployer3Cd: TableDef = snapshot(lobbyistEmployer1Cd, 3)
+  val lobbyistContributions2Cd: TableDef =
+    snapshot(lobbyistContributions1Cd, 2)
+  val lobbyistContributions3Cd: TableDef =
+    snapshot(lobbyistContributions1Cd, 3)
+
+  /** ≙ LOBBYIST_EMP_LOBBYIST1_CD — employer ↔ lobbyist link directory
+    * (`models/lobbying.py`). */
+  val lobbyistEmpLobbyist1Cd: TableDef = TableDef(
+    name = "lobbyist_emp_lobbyist1_cd",
+    schema = StructType(Seq(
+      StructField("employer_id", LongType, nullable = true,
+        doc("Lobbyist employer identification number")),
+      StructField("lobbyist_id", LongType, nullable = true,
+        doc("Lobbyist identification number")),
+      StructField("lobbyist_last_name", StringType, nullable = true,
+        doc("Last name of the lobbyist")),
+      StructField("lobbyist_first_name", StringType, nullable = true,
+        doc("First name of the lobbyist")),
+      StructField("session_id", LongType, nullable = true,
+        doc("Legislative session identification number")))),
+    uniqueKey = Seq("employer_id", "lobbyist_id", "session_id"))
+  val lobbyistEmpLobbyist2Cd: TableDef = snapshot(lobbyistEmpLobbyist1Cd, 2)
+
+  /** ≙ LOBBYIST_FIRM_EMPLOYER1_CD — firm ↔ employer engagement rows
+    * with per-period and cumulative fees (`models/lobbying.py`). */
+  val lobbyistFirmEmployer1Cd: TableDef = TableDef(
+    name = "lobbyist_firm_employer1_cd",
+    schema = StructType(Seq(
+      StructField("firm_id", LongType, nullable = true,
+        doc("Lobbying firm identification number")),
+      StructField("filing_id", LongType, nullable = true,
+        doc("Unique filing identification number")),
+      StructField("filing_sequence", LongType, nullable = true,
+        doc("Amendment sequence; 0 is the original filing")),
+      StructField("firm_name", StringType, nullable = true,
+        doc("Name of the lobbying firm")),
+      StructField("employer_name", StringType, nullable = true,
+        doc("Name of the employer engaging the firm")),
+      StructField("rpt_start", DateType, nullable = true,
+        doc("Start date of the reporting period, M/D/YYYY in the raw file")),
+      StructField("rpt_end", DateType, nullable = true,
+        doc("End date of the reporting period, M/D/YYYY in the raw file")),
+      StructField("per_total", DecimalType(14, 2), nullable = true,
+        doc("Fees received from the employer this period")),
+      StructField("cum_total", DecimalType(14, 2), nullable = true,
+        doc("Cumulative fees received from the employer")))),
+    uniqueKey = Seq("firm_id", "filing_id", "filing_sequence",
+      "employer_name"),
+    dateFields = Seq("rpt_start", "rpt_end"))
+  val lobbyistFirmEmployer2Cd: TableDef =
+    snapshot(lobbyistFirmEmployer1Cd, 2)
+
+  /** ≙ LOBBYIST_FIRM_LOBBYIST1_CD — firm ↔ lobbyist link directory
+    * (`models/lobbying.py`). */
+  val lobbyistFirmLobbyist1Cd: TableDef = TableDef(
+    name = "lobbyist_firm_lobbyist1_cd",
+    schema = StructType(Seq(
+      StructField("firm_id", LongType, nullable = true,
+        doc("Lobbying firm identification number")),
+      StructField("lobbyist_id", LongType, nullable = true,
+        doc("Lobbyist identification number")),
+      StructField("lobbyist_last_name", StringType, nullable = true,
+        doc("Last name of the lobbyist")),
+      StructField("lobbyist_first_name", StringType, nullable = true,
+        doc("First name of the lobbyist")),
+      StructField("session_id", LongType, nullable = true,
+        doc("Legislative session identification number")))),
+    uniqueKey = Seq("firm_id", "lobbyist_id", "session_id"))
+  val lobbyistFirmLobbyist2Cd: TableDef =
+    snapshot(lobbyistFirmLobbyist1Cd, 2)
+
+  /** ≙ LOBBYIST_EMPLOYER_FIRMS1_CD — employer ↔ engaged-firm directory
+    * (`models/lobbying.py`). */
+  val lobbyistEmployerFirms1Cd: TableDef = TableDef(
+    name = "lobbyist_employer_firms1_cd",
+    schema = StructType(Seq(
+      StructField("employer_id", LongType, nullable = true,
+        doc("Lobbyist employer identification number")),
+      StructField("firm_id", LongType, nullable = true,
+        doc("Engaged lobbying firm identification number")),
+      StructField("firm_name", StringType, nullable = true,
+        doc("Name of the engaged lobbying firm")),
+      StructField("session_id", LongType, nullable = true,
+        doc("Legislative session identification number")),
+      StructField("termination_dt", StringType, nullable = true,
+        doc("Date the engagement terminated, free text in the raw file")))),
+    uniqueKey = Seq("employer_id", "firm_id", "session_id"))
+  val lobbyistEmployerFirms2Cd: TableDef =
+    snapshot(lobbyistEmployerFirms1Cd, 2)
+
+  /** ≙ LOBBYIST_EMPLOYER_HISTORY_CD — employer payment history rollup
+    * (`models/lobbying.py`). */
+  val lobbyistEmployerHistoryCd: TableDef = TableDef(
+    name = "lobbyist_employer_history_cd",
+    schema = StructType(Seq(
+      StructField("contributor_id", LongType, nullable = true,
+        doc("Contributor identification number of the employer")),
+      StructField("employer_id", LongType, nullable = true,
+        doc("Lobbyist employer identification number")),
+      StructField("employer_name", StringType, nullable = true,
+        doc("Name of the employer")),
+      StructField("session_id", LongType, nullable = true,
+        doc("Legislative session identification number")),
+      StructField("current_qtr_amt", DecimalType(14, 2), nullable = true,
+        doc("Payments made in the current quarter")),
+      StructField("session_total_amt", DecimalType(14, 2), nullable = true,
+        doc("Payments made across the legislative session")),
+      StructField("interest_cd", LongType, nullable = true,
+        doc("Industry interest code, decoded via lookup codes")))),
+    uniqueKey = Seq("employer_id", "session_id"))
+
+  /** ≙ LOBBYIST_FIRM_HISTORY_CD — firm payment history rollup
+    * (`models/lobbying.py`). */
+  val lobbyistFirmHistoryCd: TableDef = TableDef(
+    name = "lobbyist_firm_history_cd",
+    schema = StructType(Seq(
+      StructField("contributor_id", LongType, nullable = true,
+        doc("Contributor identification number of the firm")),
+      StructField("firm_id", LongType, nullable = true,
+        doc("Lobbying firm identification number")),
+      StructField("firm_name", StringType, nullable = true,
+        doc("Name of the lobbying firm")),
+      StructField("session_id", LongType, nullable = true,
+        doc("Legislative session identification number")),
+      StructField("current_qtr_amt", DecimalType(14, 2), nullable = true,
+        doc("Payments received in the current quarter")),
+      StructField("session_total_amt", DecimalType(14, 2), nullable = true,
+        doc("Payments received across the legislative session")))),
+    uniqueKey = Seq("firm_id", "session_id"))
+
+  /** ≙ F690P2_CD — amendment to lobbying disclosure report
+    * (`models/lobbying.py`). */
+  val f690P2Cd: TableDef = TableDef(
+    name = "f690p2_cd",
+    schema = StructType(Seq(
+      StructField("filing_id", LongType, nullable = true,
+        doc("Unique filing identification number")),
+      StructField("amend_id", LongType, nullable = true,
+        doc("Amendment identification number; 0 is the original")),
+      StructField("line_item", LongType, nullable = true,
+        doc("Line item number of this record")),
+      StructField("rec_type", StringType, nullable = true,
+        doc("Record type of the transaction, always F690")),
+      StructField("form_type", StringType, nullable = true,
+        doc("Name of the source filing form or schedule")),
+      StructField("exec_date", DateType, nullable = true,
+        doc("Date the amendment was executed, M/D/YYYY in the raw file")),
+      StructField("from_date", DateType, nullable = true,
+        doc("Start of the period the amendment covers")),
+      StructField("thru_date", DateType, nullable = true,
+        doc("End of the period the amendment covers")),
+      StructField("chg_parts", StringType, nullable = true,
+        doc("Amended into parts, e.g. 1, 2")),
+      StructField("amend_txt1", StringType, nullable = true,
+        doc("Description of the amendment")))),
+    uniqueKey = Seq("filing_id", "amend_id", "line_item"),
+    dateFields = Seq("exec_date", "from_date", "thru_date"))
+
+  /** ≙ ACRONYMS_CD — acronym glossary dimension (`models/inactive.py`). */
+  val acronymsCd: TableDef = TableDef(
+    name = "acronyms_cd",
+    schema = StructType(Seq(
+      StructField("acronym", StringType, nullable = true,
+        doc("Acronym text, the lookup key")),
+      StructField("stands_for", StringType, nullable = true,
+        doc("What the acronym stands for")),
+      StructField("effect_dt", DateType, nullable = true,
+        doc("Date the acronym took effect, M/D/YYYY in the raw file")),
+      StructField("a_desc", StringType, nullable = true,
+        doc("Description of the acronym")))),
+    uniqueKey = Seq("acronym"),
+    dateFields = Seq("effect_dt"))
+
+  /** ≙ ADDRESS_CD — shared address directory (`models/inactive.py`). */
+  val addressCd: TableDef = TableDef(
+    name = "address_cd",
+    schema = StructType(Seq(
+      StructField("adrid", LongType, nullable = true,
+        doc("Address identification number, the lookup key")),
+      StructField("city", StringType, nullable = true,
+        doc("Address city")),
+      StructField("st", StringType, nullable = true,
+        doc("Address state")),
+      StructField("zip4", StringType, nullable = true,
+        doc("Address ZIP+4")),
+      StructField("phon", StringType, nullable = true,
+        doc("Address phone number")),
+      StructField("fax", StringType, nullable = true,
+        doc("Address fax number")),
+      StructField("email", StringType, nullable = true,
+        doc("Address email")))),
+    uniqueKey = Seq("adrid"))
+
+  /** ≙ FILERS_CD — the bare filer id spine every filer_* dimension
+    * hangs off (`models/inactive.py`). */
+  val filersCd: TableDef = TableDef(
+    name = "filers_cd",
+    schema = StructType(Seq(
+      StructField("filer_id", LongType, nullable = true,
+        doc("Filer identification number, the registry spine")))),
+    uniqueKey = Seq("filer_id"))
+
+  /** ≙ FILER_ACRONYMS_CD — filer ↔ acronym link (`models/inactive.py`). */
+  val filerAcronymsCd: TableDef = TableDef(
+    name = "filer_acronyms_cd",
+    schema = StructType(Seq(
+      StructField("acronym", StringType, nullable = true,
+        doc("Acronym used by the filer")),
+      StructField("filer_id", LongType, nullable = true,
+        doc("Filer identification number")))),
+    uniqueKey = Seq("acronym", "filer_id"))
+
+  /** ≙ FILER_ETHICS_CLASS_CD — filer ethics-training record
+    * (`models/inactive.py`). */
+  val filerEthicsClassCd: TableDef = TableDef(
+    name = "filer_ethics_class_cd",
+    schema = StructType(Seq(
+      StructField("filer_id", LongType, nullable = true,
+        doc("Filer identification number")),
+      StructField("session_id", LongType, nullable = true,
+        doc("Legislative session identification number")),
+      StructField("ethics_date", DateType, nullable = true,
+        doc("Date the ethics training was completed"))),
+    ),
+    uniqueKey = Seq("filer_id", "session_id"),
+    dateFields = Seq("ethics_date"))
+
+  /** ≙ FILER_INTERESTS_CD — filer industry-interest record
+    * (`models/inactive.py`). */
+  val filerInterestsCd: TableDef = TableDef(
+    name = "filer_interests_cd",
+    schema = StructType(Seq(
+      StructField("filer_id", LongType, nullable = true,
+        doc("Filer identification number")),
+      StructField("session_id", LongType, nullable = true,
+        doc("Legislative session identification number")),
+      StructField("interest_cd", LongType, nullable = true,
+        doc("Industry interest code, decoded via lookup codes")),
+      StructField("effect_date", DateType, nullable = true,
+        doc("Date the interest declaration took effect")))),
+    uniqueKey = Seq("filer_id", "session_id", "interest_cd"),
+    dateFields = Seq("effect_date"))
+
+  /** ≙ FILER_STATUS_TYPES_CD — filer status code dimension
+    * (`models/inactive.py`). */
+  val filerStatusTypesCd: TableDef = TableDef(
+    name = "filer_status_types_cd",
+    schema = StructType(Seq(
+      StructField("status_type", StringType, nullable = true,
+        doc("Status code, the lookup key (A, ACTIVE, INACTIVE, ...)")),
+      StructField("status_desc", StringType, nullable = true,
+        doc("Documented meaning of the status code")))),
+    uniqueKey = Seq("status_type"))
+
+  /** ≙ FILER_TO_FILER_TYPE_CD — filer ↔ filer-type assignment with
+    * effective-date ranges (`models/inactive.py`). */
+  val filerToFilerTypeCd: TableDef = TableDef(
+    name = "filer_to_filer_type_cd",
+    schema = StructType(Seq(
+      StructField("filer_id", LongType, nullable = true,
+        doc("Filer identification number")),
+      StructField("filer_type", LongType, nullable = true,
+        doc("Filer type code, decoded via filer_types_cd")),
+      StructField("active", StringType, nullable = true,
+        doc("Whether the assignment is active (Y/N)")),
+      StructField("session_id", LongType, nullable = true,
+        doc("Legislative session identification number")),
+      StructField("category", LongType, nullable = true,
+        doc("Filer category code")),
+      StructField("effect_dt", DateType, nullable = true,
+        doc("Date the assignment took effect, M/D/YYYY in the raw file")),
+      StructField("nyq_dt", DateType, nullable = true,
+        doc("Next-year qualification date")))),
+    uniqueKey = Seq("filer_id", "filer_type", "session_id", "effect_dt"),
+    dateFields = Seq("effect_dt", "nyq_dt"))
+
+  /** ≙ FILER_TYPE_PERIODS_CD — filing-period assignment per filer type
+    * and election type (`models/inactive.py`). */
+  val filerTypePeriodsCd: TableDef = TableDef(
+    name = "filer_type_periods_cd",
+    schema = StructType(Seq(
+      StructField("election_type", LongType, nullable = true,
+        doc("Election type code")),
+      StructField("filer_type", LongType, nullable = true,
+        doc("Filer type code, decoded via filer_types_cd")),
+      StructField("period_id", LongType, nullable = true,
+        doc("Filing period identification number")))),
+    uniqueKey = Seq("election_type", "filer_type", "period_id"))
+
+  /** ≙ EFS_FILING_LOG_CD — electronic-filing-system intake log
+    * (`models/inactive.py`). */
+  val efsFilingLogCd: TableDef = TableDef(
+    name = "efs_filing_log_cd",
+    schema = StructType(Seq(
+      StructField("filing_dt", DateType, nullable = true,
+        doc("Date the filing was received, M/D/YYYY in the raw file")),
+      StructField("filingstatus", LongType, nullable = true,
+        doc("Status code of the intake attempt")),
+      StructField("vendor", StringType, nullable = true,
+        doc("Software vendor that produced the filing")),
+      StructField("filer_id", StringType, nullable = true,
+        doc("Filer identification number as filed, free text")),
+      StructField("form_type", StringType, nullable = true,
+        doc("Name of the source filing form")))),
+    uniqueKey = Seq("filing_dt", "filer_id", "form_type"),
+    dateFields = Seq("filing_dt"))
+
+  /** ≙ HEADER_CD — form section layout metadata used to render filings
+    * (`models/inactive.py`). */
+  val headerCd: TableDef = TableDef(
+    name = "header_cd",
+    schema = StructType(Seq(
+      StructField("line_number", LongType, nullable = true,
+        doc("Line number of the header row")),
+      StructField("form_id", StringType, nullable = true,
+        doc("Form identification name the header belongs to")),
+      StructField("rec_type", StringType, nullable = true,
+        doc("Record type of the header row")),
+      StructField("section_label", StringType, nullable = true,
+        doc("Label of the form section")),
+      StructField("comments1", StringType, nullable = true,
+        doc("First comment line of the section")),
+      StructField("comments2", StringType, nullable = true,
+        doc("Second comment line of the section")),
+      StructField("label", StringType, nullable = true,
+        doc("Display label of the header")),
+      StructField("title", StringType, nullable = true,
+        doc("Display title of the header")))),
+    uniqueKey = Seq("form_id", "line_number", "rec_type"))
+
   val all: Seq[TableDef] =
     Seq(rcptCd, filerFilingsCd, lookupCodesCd, smryCd, filernameCd, expnCd,
       cvrSoCd, loanCd, debtCd, s497Cd, lattCd, lexpCd, lpayCd,
@@ -1287,7 +1633,18 @@ object Schemas {
       filerXrefCd, filerAddressCd, namesCd, ballotMeasuresCd,
       receivedFilingsCd, groupTypesCd,
       cvrE530Cd, f495P2Cd, cvr2RegistrationCd, cvr3VerificationInfoCd,
-      lobbyAmendmentsCd, lobbyingChgLogCd, filingPeriodCd, imageLinksCd)
+      lobbyAmendmentsCd, lobbyingChgLogCd, filingPeriodCd, imageLinksCd,
+      lobbyistFirm2Cd, lobbyistFirm3Cd, lobbyistEmployer2Cd,
+      lobbyistEmployer3Cd, lobbyistContributions2Cd,
+      lobbyistContributions3Cd, lobbyistEmpLobbyist1Cd,
+      lobbyistEmpLobbyist2Cd, lobbyistFirmEmployer1Cd,
+      lobbyistFirmEmployer2Cd, lobbyistFirmLobbyist1Cd,
+      lobbyistFirmLobbyist2Cd, lobbyistEmployerFirms1Cd,
+      lobbyistEmployerFirms2Cd, lobbyistEmployerHistoryCd,
+      lobbyistFirmHistoryCd, f690P2Cd, acronymsCd, addressCd, filersCd,
+      filerAcronymsCd, filerEthicsClassCd, filerInterestsCd,
+      filerStatusTypesCd, filerToFilerTypeCd, filerTypePeriodsCd,
+      efsFilingLogCd, headerCd)
 
   def byName(name: String): TableDef =
     all.find(_.name == name).getOrElse(

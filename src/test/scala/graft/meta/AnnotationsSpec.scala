@@ -1,0 +1,58 @@
+package graft.meta
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The annotations registry (≙ the reference's documented-choices +
+  * filing-form layer): registry integrity, the seeded dimension's
+  * declared schema, and the equivalence of the two decode shapes. */
+class AnnotationsSpec extends SparkTestBase {
+
+  test("choice lists are non-empty, code-unique, and sorted access works") {
+    for (((t, c), cs) <- Annotations.choices) {
+      assert(cs.nonEmpty, s"$t.$c empty")
+      assert(cs.map(_.code).distinct.size === cs.size, s"$t.$c dup codes")
+      val sorted = Annotations.sortedChoices(t, c)
+      assert(sorted.map(_.code) === sorted.map(_.code).sorted)
+    }
+    intercept[IllegalArgumentException] {
+      Annotations.sortedChoices("nope", "nothing")
+    }
+  }
+
+  test("filing-form directory has unique ids and non-empty titles") {
+    val ids = Annotations.filingForms.map(_.id)
+    assert(ids.distinct.size === ids.size)
+    assert(Annotations.filingForms.forall(_.title.nonEmpty))
+    assert(Annotations.formById("F460").title
+      .contains("Recipient Committee Campaign Statement"))
+    intercept[IllegalArgumentException] { Annotations.formById("F999") }
+  }
+
+  test("choicesDf rows match the registry and the declared TableDef schema") {
+    val df = Annotations.choicesDf(spark)
+    assert(df.columns.toSeq ===
+      Annotations.choiceCodesDef.schema.fieldNames.toSeq)
+    assert(df.count() === Annotations.choices.values.map(_.size).sum)
+    // unique on the declared key
+    assert(df.select(Annotations.choiceCodesDef.uniqueKey.map(col): _*)
+      .distinct().count() === df.count())
+  }
+
+  test("when-chain decode equals broadcast-join decode") {
+    val sf = "/root/testdata/sf0.001"
+    val li = graft.Tables.lineitem(spark, sf)
+    val viaExpr = li.select(
+      Annotations.decodeExpr("lineitem", "l_returnflag",
+        col("l_returnflag")).as("m"))
+      .groupBy("m").count().orderBy("m").collect().toSeq
+    val dim = broadcast(Annotations.choicesDf(spark)
+      .filter(col("table_name") === "lineitem" &&
+        col("column_name") === "l_returnflag")
+      .select(col("code"), col("meaning")))
+    val viaJoin = li.join(dim, col("l_returnflag") === col("code"), "left")
+      .select(coalesce(col("meaning"), lit("UNKNOWN")).as("m"))
+      .groupBy("m").count().orderBy("m").collect().toSeq
+    assert(viaExpr === viaJoin)
+  }
+}

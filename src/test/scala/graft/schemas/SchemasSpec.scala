@@ -7,8 +7,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * every declared date field present and date-typed. */
 class SchemasSpec extends AnyFunSuite {
 
-  test("registry spans all four tiers: >= 40 uniquely-named tables") {
-    assert(Schemas.all.size >= 40, s"only ${Schemas.all.size} tables")
+  test("registry carries the complete 80-table catalog, uniquely named") {
+    assert(Schemas.all.size === 80, s"${Schemas.all.size} tables != 80")
     val names = Schemas.all.map(_.name)
     assert(names.distinct.size === names.size, "duplicate table names")
     // every table is reachable through the byName lookup
