@@ -14,7 +14,8 @@ object SparkEntry {
     ops.CoreQueries.all ++ ops.JoinQueries.all ++ ops.AggQueries.all ++
       ops.WindowQueries.all ++ ops.SortSetQueries.all ++
       ops.ScalarQueries.all ++ ops.StreamQueries.all ++
-      ops.TextQueries.all ++ ops.VectorQueries.all ++
+      ops.TextQueries.all ++ ops.CorpusQueries.all ++
+      ops.VectorQueries.all ++
       ops.DedupQueries.all ++ ops.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

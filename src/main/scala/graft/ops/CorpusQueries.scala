@@ -1,0 +1,278 @@
+package graft.ops
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-corpus curation layer on top of the §2.10 text ops: PII
+  * scrubbing, corpus-frequency chunk dedup (the CCNet/RefinedWeb
+  * "remove boilerplate lines seen across many pages" pass), token-length
+  * profiling, per-column data profiling, and the end-to-end clean
+  * pipeline that composes quality → exact-dedup → decontaminate → split.
+  *
+  * Scale notes: every per-doc op here is a narrow codegen'd projection
+  * that fuses into the scan; the only shuffles are the chunk-frequency
+  * hash-agg (map-side combinable) and its join back — both keyed on the
+  * chunk text, the same shape as word-count. Nothing touches the driver.
+  */
+object CorpusQueries {
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+?\\d[\\d-]{7,}\\d"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Mask emails, phone numbers, and IPv4 addresses in a text column.
+    * Replacement order matters: emails first (so the phone pattern never
+    * eats an address's digit run), then IPs, then phones. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** PII scrub over documents. The synthetic corpus carries no PII, so
+    * the query first derives a deterministic PII-bearing form of each doc
+    * from its id (same derivation in the oracle) — the scrubber
+    * demonstrably fires on every row and the output stays hash-exact.
+    * Pure per-row regex projection: fuses into the scan, no shuffle. */
+  val piiScrub = GQuery(
+    "pii_scrub",
+    (s, d) => {
+      val raw = concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast(StringType),
+        lit("@example.com or +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast(StringType), 4, "0"),
+        lit(" ip 10.0."), pmod(col("doc_id"), lit(256)).cast(StringType),
+        lit(".1"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), raw.as("raw"))
+        .select(
+          col("doc_id"),
+          regexp_count(col("raw"), lit(EmailRe)).cast(LongType)
+            .as("n_emails"),
+          regexp_count(col("raw"), lit(Ipv4Re)).cast(LongType)
+            .as("n_ips"),
+          scrubPii(col("raw")).as("scrubbed"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH raw AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+               '@example.com or +1-555-' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+               ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS raw
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(raw, '$EmailRe')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(raw, '$Ipv4Re')) AS BIGINT) AS n_ips,
+             regexp_replace(regexp_replace(regexp_replace(raw,
+               '$EmailRe', '<EMAIL>', 'g'),
+               '$Ipv4Re', '<IP>', 'g'),
+               '$PhoneRe', '<PHONE>', 'g') AS scrubbed
+      FROM raw
+      ORDER BY doc_id
+    """))
+
+  /** Corpus-frequency chunk dedup (CCNet-style boilerplate removal):
+    * split each doc into consecutive 3-token chunks, count each chunk's
+    * document frequency across the corpus, drop chunks seen in more than
+    * 2 distinct docs, and reassemble the surviving text in order.
+    *
+    * 100 TB shape: chunking is a narrow map; the frequency table is a
+    * map-side-combinable hash-agg keyed on chunk text; the join back is
+    * a plain equi-join on the same key (co-partitioned with the agg
+    * output, so AQE plans it shuffle-free on the reused exchange); the
+    * reassembly is one more hash-agg on doc_id. Never all-pairs, never
+    * driver-side. */
+  val lineDedup = GQuery(
+    "line_dedup",
+    (s, d) => {
+      val toks = split(col("text"), " ")
+      val nChunks = ceil(size(toks) / lit(3.0)).cast(IntegerType)
+      val chunks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), nChunks - 1),
+            i => array_join(slice(toks, i * 3 + 1, lit(3)), " "))))
+        .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+          col("col").as("chunk"))
+      val freq = chunks.groupBy("chunk")
+        .agg(count_distinct(col("doc_id")).as("df"))
+      val kept = chunks.join(freq.filter(col("df") <= 2), "chunk")
+      val tot = chunks.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"))
+      val agg = kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("chunk")))),
+            x => x("chunk")), " ").as("clean_text"))
+      tot.join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+      chunks AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(t[(i*3+1):(i*3+3)], ' ') AS chunk
+        FROM toks, UNNEST(range(CAST(ceil(len(t)/3.0) AS BIGINT))) AS u(i)),
+      freq AS (SELECT chunk, COUNT(DISTINCT doc_id) AS df
+               FROM chunks GROUP BY 1),
+      kept AS (SELECT c.doc_id, c.pos, c.chunk
+               FROM chunks c JOIN freq f USING (chunk) WHERE f.df <= 2),
+      tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+              FROM chunks GROUP BY 1),
+      agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                     string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+              FROM kept GROUP BY 1)
+      SELECT d.doc_id, t.n_chunks, COALESCE(a.n_kept, 0) AS n_kept,
+             COALESCE(a.clean_text, '') AS clean_text
+      FROM documents d JOIN tot t USING (doc_id) LEFT JOIN agg a USING (doc_id)
+      ORDER BY d.doc_id
+    """))
+
+  /** Token-length histogram in buckets of 25 — the length-distribution
+    * profile every corpus build starts with. One map-side-combinable
+    * hash-agg over a scan-fused projection. */
+  val tokenHistogram = GQuery(
+    "token_histogram",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select((floor(size(split(col("text"), " ")) / lit(25)) * 25)
+          .cast(LongType).as("bucket_lo"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+        .groupBy("bucket_lo")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_tok")).as("min_toks"),
+          max(col("n_tok")).as("max_toks"))
+        .orderBy("bucket_lo"),
+    Some("""
+      SELECT CAST(FLOOR(n_tok / 25) * 25 AS BIGINT) AS bucket_lo,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(MIN(n_tok) AS BIGINT) AS min_toks,
+             CAST(MAX(n_tok) AS BIGINT) AS max_toks
+      FROM (SELECT len(str_split(text, ' ')) AS n_tok FROM documents)
+      GROUP BY 1
+      ORDER BY 1
+    """))
+
+  /** Per-column data profile (row count, nulls, distincts, min/max as
+    * strings) ≙ the reference's post-load verification report
+    * (`verifycalaccessrawfile.py:~30-80` row-count + field sanity). The
+    * stack() unpivot keeps it ONE scan for all profiled columns — at
+    * 100 TB the naive one-aggregate-per-column form re-reads the table
+    * k times; this reads it once and hash-aggs (col_name, val). */
+  val profileStats = GQuery(
+    "profile_stats",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(expr(
+          "stack(3, 'lang', lang, 'source', source, " +
+            "'n_chars', cast(n_chars as string)) as (col_name, val)"))
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("val").isNull, 1L).otherwise(0L)).as("n_nulls"),
+          count_distinct(col("val")).as("n_distinct"),
+          min(col("val")).as("min_val"),
+          max(col("val")).as("max_val"))
+        .orderBy("col_name"),
+    Some("""
+      WITH u AS (
+        SELECT 'lang' AS col_name, lang AS val FROM documents
+        UNION ALL
+        SELECT 'source', source FROM documents
+        UNION ALL
+        SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents)
+      SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+             CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct,
+             MIN(val) AS min_val, MAX(val) AS max_val
+      FROM u
+      GROUP BY 1
+      ORDER BY 1
+    """))
+
+  /** End-to-end corpus clean — the composition a real training-data
+    * build runs as one job: length-quality filter → exact dedup (md5
+    * fingerprint, min-doc_id survivor) → decontaminate (drop docs
+    * sharing any word 5-gram with the eval set, doc_id < 50) →
+    * deterministic hash split. Every stage reuses a registry operator's
+    * exact semantics (text_quality / dedup_exact / decontaminate /
+    * split_hash), so this also pins that the pieces compose.
+    *
+    * Scale: quality + split are scan-fused projections; dedup is one
+    * hash-agg window on the fingerprint; the eval shingle set is small
+    * by nature so it BROADCASTS and the corpus anti-joins past it
+    * without shuffling. */
+  val corpusClean = GQuery(
+    "corpus_clean",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast(LongType))
+        .filter(col("n_tok") >= 30)
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val deduped = docs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      val evalSh = Tables.documents(s, d).filter(col("doc_id") < 50)
+        .select(explode(TextQueries.fiveGramShingles(col("text")))
+          .as("shingle"))
+        .distinct()
+      val contaminated = deduped.filter(col("doc_id") >= 50)
+        .select(col("doc_id"),
+          explode(array_distinct(
+            TextQueries.fiveGramShingles(col("text")))).as("shingle"))
+        .join(broadcast(evalSh), "shingle")
+        .select("doc_id").distinct()
+      val b = substring(md5(col("doc_id").cast(StringType)), 1, 2)
+      deduped.filter(col("doc_id") >= 50)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          when(b < "cc", lit("train"))
+            .when(b < "e6", lit("val"))
+            .otherwise(lit("test")).as("split"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH q AS (
+        SELECT doc_id, lang, text,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+        WHERE len(str_split(text, ' ')) >= 30),
+      deduped AS (
+        SELECT * FROM (
+          SELECT q.*, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                         ORDER BY doc_id) AS rn
+          FROM q) WHERE rn = 1),
+      sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(1, len(str_split(text, ' ')) - 3),
+                 i -> array_to_string(str_split(text, ' ')[i:i+4], ' '))))
+                 AS shingle
+        FROM documents),
+      ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 50),
+      contaminated AS (
+        SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (shingle)
+        WHERE s.doc_id >= 50)
+      SELECT doc_id, lang, n_tok,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM deduped
+      WHERE doc_id >= 50
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+      ORDER BY doc_id
+    """))
+
+  def all: Seq[GQuery] =
+    Seq(piiScrub, lineDedup, tokenHistogram, profileStats, corpusClean)
+}

@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Invariants for the corpus-curation layer beyond the DuckDB hash gate:
+  * the scrubber actually fires and leaves no PII behind, the chunk-dedup
+  * filter removes something and preserves per-doc structure, and the
+  * end-to-end clean pipeline only emits docs every stage admits. */
+class CorpusQueriesSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("pii_scrub fires on every row and leaves no PII behind") {
+    val out = CorpusQueries.piiScrub.fn(spark, sf).cache()
+    val n = out.count()
+    assert(n > 0)
+    // every row had exactly one synthesized email and one IP
+    assert(out.filter(col("n_emails") =!= 1 || col("n_ips") =!= 1)
+      .count() === 0)
+    // nothing matching any PII pattern survives the scrub
+    val residue = out.filter(
+      col("scrubbed").rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}") ||
+        col("scrubbed").rlike("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b") ||
+        col("scrubbed").rlike("\\+?\\d[\\d-]{7,}\\d"))
+    assert(residue.count() === 0)
+    // and the masks are present
+    assert(out.filter(!col("scrubbed").contains("<EMAIL>")).count() === 0)
+    out.unpersist()
+  }
+
+  test("line_dedup keeps per-doc structure and the filter fires") {
+    val out = CorpusQueries.lineDedup.fn(spark, sf).cache()
+    assert(out.filter(col("n_kept") > col("n_chunks")).count() === 0)
+    // surviving text has exactly n_kept chunks' worth of separators:
+    // rebuilt clean_text token groups == n_kept (empty text ⇒ 0)
+    val bad = out.filter(col("n_kept") > 0 &&
+      size(split(col("clean_text"), " ")) < col("n_kept"))
+    assert(bad.count() === 0)
+    // corpus-frequency filter must actually drop something at this SF
+    val sums = out.agg(sum("n_chunks"), sum("n_kept")).head()
+    assert(sums.getLong(1) < sums.getLong(0))
+    out.unpersist()
+  }
+
+  test("token_histogram buckets partition the length range") {
+    val rows = CorpusQueries.tokenHistogram.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, mn, mx) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(mn >= lo && mx < lo + 25 && mn <= mx)
+    }
+  }
+
+  test("profile_stats sees every row of every profiled column") {
+    val rows = CorpusQueries.profileStats.fn(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet === Set("lang", "source", "n_chars"))
+    val counts = rows.map(_.getLong(1)).toSet
+    assert(counts.size === 1) // one scan, same row count per column
+  }
+
+  test("corpus_clean emits only docs every stage admits") {
+    val out = CorpusQueries.corpusClean.fn(spark, sf).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("doc_id") < 50).count() === 0)
+    assert(out.filter(col("n_tok") < 30).count() === 0)
+    assert(out.filter(!col("split").isin("train", "val", "test"))
+      .count() === 0)
+    // deterministic: a second run is identical
+    val again = CorpusQueries.corpusClean.fn(spark, sf)
+    assert(out.exceptAll(again).count() === 0 &&
+      again.exceptAll(out).count() === 0)
+    out.unpersist()
+  }
+}
