@@ -269,7 +269,57 @@ object JoinQueries {
       ORDER BY custkey
     """))
 
+  /** S5 driver-visible: bucketed-layout join. Both sides are written as
+    * bucketed+sorted external tables on the join key (8 buckets,
+    * `PartitionedSink.writeBucketed` — files under /tmp, catalog entries
+    * session-local), then sort-merge-joined via the `merge` hint (a hint,
+    * not a session-conf mutation, so tiny test data can't silently take
+    * the broadcast path instead). With co-bucketed layout the SMJ plans
+    * with ZERO exchanges — `BucketedJoinSpec` pins that plan shape; this
+    * entry pins that the exchange-free result is value-identical to the
+    * oracle's plain join. At 100 TB bucketing the fact tables once on
+    * the FK is what removes the per-query fact-side shuffle entirely. */
+  val bucketedJoin = GQuery(
+    "bucketed_join",
+    (s, d) => {
+      val base = s"/tmp/graft_bq_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      s.sql("DROP TABLE IF EXISTS graft_bq_lineitem")
+      s.sql("DROP TABLE IF EXISTS graft_bq_orders")
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/lineitem")
+        .format("parquet").saveAsTable("graft_bq_lineitem")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/orders")
+        .format("parquet").saveAsTable("graft_bq_orders")
+      s.table("graft_bq_lineitem").hint("merge")
+        .join(s.table("graft_bq_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"))
+        .select(col("o_year").cast(IntegerType).as("o_year"),
+          col("n_lines"),
+          col("sum_qty").cast(DecimalType(18, 2)).cast(DoubleType)
+            .as("sum_qty"))
+        .orderBy("o_year")
+    },
+    Some("""
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1
+      ORDER BY 1
+    """))
+
   def all: Seq[GQuery] =
     Seq(joinInner, joinBroadcast, joinLeft, joinSemi, joinAnti, joinStar,
-      joinAsof, joinRange, joinFull)
+      joinAsof, joinRange, joinFull, bucketedJoin)
 }
