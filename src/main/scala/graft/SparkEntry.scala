@@ -14,6 +14,7 @@ object SparkEntry {
     ops.CoreQueries.all ++ ops.JoinQueries.all ++ ops.AggQueries.all ++
       ops.WindowQueries.all ++ ops.SortSetQueries.all ++
       ops.ScalarQueries.all ++ ops.StreamQueries.all ++
+      ops.FunnelQueries.all ++
       ops.TextQueries.all ++ ops.CorpusQueries.all ++
       ops.VectorQueries.all ++
       ops.DedupQueries.all ++ ops.Multimodal.all

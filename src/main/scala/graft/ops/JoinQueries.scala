@@ -319,7 +319,37 @@ object JoinQueries {
       ORDER BY 1
     """))
 
+  /** Skew-handling join, driver-visible (the join twin of `agg_salted`):
+    * lineitem ⋈ supplier through `Skew.saltedJoin` — the big side gets a
+    * random salt, the small side is exploded ×8 so every (key, salt)
+    * partner exists — then aggregated per nation. Salting never changes
+    * inner-join semantics (each big-side row still meets its partners
+    * exactly once), which the plain-join oracle proves value-exactly.
+    * This is the remedy when a hot key floods one task and the small
+    * side is too big to broadcast but fine to duplicate ×salts. */
+  val joinSalted = GQuery(
+    "join_salted",
+    (s, d) =>
+      Skew.saltedJoin(
+        Tables.lineitem(s, d).select("l_suppkey", "l_quantity"),
+        Tables.supplier(s, d)
+          .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey")),
+        "l_suppkey", salts = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DecimalType(38, 2)).cast(DoubleType).as("sum_qty"))
+        .orderBy("s_nationkey"),
+    Some("""
+      SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+               AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1
+      ORDER BY 1
+    """))
+
   def all: Seq[GQuery] =
     Seq(joinInner, joinBroadcast, joinLeft, joinSemi, joinAnti, joinStar,
-      joinAsof, joinRange, joinFull, bucketedJoin)
+      joinAsof, joinRange, joinFull, bucketedJoin, joinSalted)
 }
