@@ -368,8 +368,84 @@ object CoreQueries {
       ORDER BY custkey
     """))
 
+  /** MERGE/SCD2 snapshot maintenance — the warehouse-side analog of the
+    * reference's amendment chain (latest-amendment-wins, `win_latest`):
+    * instead of discarding superseded rows, close them out and version
+    * the replacement. The update batch is derived deterministically from
+    * the snapshot (keys %7 == 0 get a doubled balance; keys %13 == 0
+    * re-enter as inserts under key+900000) so the oracle sees the same
+    * batch.
+    *
+    * Shape: ONE full outer join snapshot↔batch, then each joined row
+    * expands to its SCD2 output rows via a per-row array + explode — no
+    * second pass, no union of three scans. At 100 TB the join shuffles
+    * each side once on the key; everything after is narrow. */
+  val scd2Merge = GQuery(
+    "scd2_merge",
+    (s, d) => {
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey").as("k"),
+          col("c_acctbal").cast(DecimalType(18, 2)).as("bal"))
+      val updates = Tables.customer(s, d)
+        .filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("k"),
+          (col("c_acctbal").cast(DecimalType(18, 2)) * 2)
+            .cast(DecimalType(18, 2)).as("new_bal"))
+        .union(Tables.customer(s, d)
+          .filter(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + 900000).as("k"),
+            col("c_acctbal").cast(DecimalType(18, 2)).as("new_bal")))
+      val joined = base.join(updates, Seq("k"), "full_outer")
+      val rows = joined.select(col("k"), explode(
+        when(col("bal").isNotNull && col("new_bal").isNotNull,
+          array(
+            struct(col("bal").as("bal"), lit(1).as("version"),
+              lit(false).as("is_current")),
+            struct(col("new_bal").as("bal"), lit(2).as("version"),
+              lit(true).as("is_current"))))
+          .when(col("bal").isNotNull, // untouched
+            array(struct(col("bal").as("bal"), lit(1).as("version"),
+              lit(true).as("is_current"))))
+          .otherwise( // insert
+            array(struct(col("new_bal").as("bal"), lit(1).as("version"),
+              lit(true).as("is_current"))))).as("r"))
+      rows.select(col("k"),
+        col("r.bal").cast(DecimalType(18, 2)).cast(DoubleType).as("bal"),
+        col("r.version").cast(LongType).as("version"),
+        col("r.is_current"))
+        .orderBy("k", "version")
+    },
+    Some("""
+      WITH base AS (
+        SELECT c_custkey AS k, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        FROM customer),
+      updates AS (
+        SELECT c_custkey AS k,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2))
+                 AS new_bal
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey + 900000,
+               CAST(c_acctbal AS DECIMAL(18,2))
+        FROM customer WHERE c_custkey % 13 = 0),
+      j AS (
+        SELECT COALESCE(b.k, u.k) AS k, b.bal, u.new_bal
+        FROM base b FULL OUTER JOIN updates u ON b.k = u.k)
+      SELECT k, CAST(bal AS DOUBLE) AS bal,
+             CAST(1 AS BIGINT) AS version,
+             (new_bal IS NULL) AS is_current
+      FROM j WHERE bal IS NOT NULL
+      UNION ALL
+      SELECT k, CAST(new_bal AS DOUBLE), CAST(2 AS BIGINT), TRUE
+      FROM j WHERE bal IS NOT NULL AND new_bal IS NOT NULL
+      UNION ALL
+      SELECT k, CAST(new_bal AS DOUBLE), CAST(1 AS BIGINT), TRUE
+      FROM j WHERE bal IS NULL
+      ORDER BY k, version
+    """))
+
   def all: Seq[GQuery] = Seq(q1Pricing, filterPred, loadTyped, loadDatetime,
     decimalCast, cleanSplitGood, cleanSplitBad, strClean, ingestPipeline,
-    sqlSurface, subqueryCorr, recursiveCte)
+    sqlSurface, subqueryCorr, recursiveCte, scd2Merge)
 }
 

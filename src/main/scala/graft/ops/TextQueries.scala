@@ -518,8 +518,39 @@ object TextQueries {
       ORDER BY doc_id
     """))
 
+  /** Corpus heavy hitters: tokens whose frequency exceeds 1/200 of the
+    * total token count — the exact form of the frequent-items question
+    * (the sketch answer is `agg_approx_distinct`'s cousin; here the
+    * corpus vocabulary is small enough that exact is the right call,
+    * and at 100 TB the shape still holds: a map-side-combinable word
+    * count whose result is |vocab| rows, plus a broadcast 1-row total).
+    */
+  val heavyHitters = GQuery(
+    "heavy_hitters",
+    (s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      val tot = tf.agg(sum(col("cnt")).cast(DoubleType).as("total"))
+      tf.crossJoin(broadcast(tot))
+        .filter(col("cnt") > col("total") / 200)
+        .select(col("token"), col("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+    },
+    Some("""
+      WITH tf AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+        GROUP BY 1),
+      tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM tf)
+      SELECT token, cnt
+      FROM tf, tot
+      WHERE cnt > total / 200
+      ORDER BY cnt DESC, token
+    """))
+
   def all: Seq[GQuery] = Seq(textTokens, tokenCount, textQuality, langId,
     docFingerprint, dedupExact, dedupJaccard, textBigrams, splitHash,
     sampleStratified, textTfidf, packSequences, decontaminate,
-    textRepetition)
+    textRepetition, heavyHitters)
 }
