@@ -349,7 +349,58 @@ object JoinQueries {
       ORDER BY 1
     """))
 
+  /** Entity-resolution fuzzy join — THE downstream task on
+    * campaign-finance rosters (contributor/committee name dedup, cf. the
+    * reference's filer tables): candidate pairs by a cheap BLOCKING key
+    * (here: the name's last 6 chars), verified by Levenshtein ≤ 2. The
+    * roster is the customer list plus a deterministically typo'd variant
+    * for every 10th key (same derivation in the oracle), so the matcher
+    * demonstrably finds exactly those pairs.
+    *
+    * Scale shape: the self-join is an equi-join on the blocking key —
+    * candidate volume is sum of block sizes squared, bounded by block
+    * granularity (the LSH-banding idea applied to names), and the edit
+    * distance only runs inside blocks. NEVER an all-pairs name compare. */
+  val fuzzyMatch = GQuery(
+    "fuzzy_match",
+    (s, d) => {
+      val base = Tables.customer(s, d)
+        .select((col("c_custkey") * 2).as("id"), col("c_name").as("name"))
+      val typod = Tables.customer(s, d)
+        .filter(col("c_custkey") % 10 === 0)
+        .select((col("c_custkey") * 2 + 1).as("id"),
+          regexp_replace(col("c_name"), "Customer#", "Custmer#").as("name"))
+      val roster = base.union(typod)
+        .withColumn("block", expr("right(name, 6)"))
+      val a = roster.select(col("block"), col("id").as("id_a"),
+        col("name").as("name_a"))
+      val b = roster.select(col("block"), col("id").as("id_b"),
+        col("name").as("name_b"))
+      a.join(b, "block")
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 2)
+        .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+          col("dist").cast(LongType).as("dist"))
+        .orderBy("id_a", "id_b")
+    },
+    Some("""
+      WITH roster AS (
+        SELECT c_custkey * 2 AS id, c_name AS name FROM customer
+        UNION ALL
+        SELECT c_custkey * 2 + 1, replace(c_name, 'Customer#', 'Custmer#')
+        FROM customer WHERE c_custkey % 10 = 0),
+      blocked AS (SELECT id, name, right(name, 6) AS block FROM roster)
+      SELECT a.id AS id_a, b.id AS id_b,
+             a.name AS name_a, b.name AS name_b,
+             CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+      FROM blocked a JOIN blocked b
+        ON a.block = b.block AND a.id < b.id
+      WHERE levenshtein(a.name, b.name) <= 2
+      ORDER BY id_a, id_b
+    """))
+
   def all: Seq[GQuery] =
     Seq(joinInner, joinBroadcast, joinLeft, joinSemi, joinAnti, joinStar,
-      joinAsof, joinRange, joinFull, bucketedJoin, joinSalted)
+      joinAsof, joinRange, joinFull, bucketedJoin, joinSalted, fuzzyMatch)
 }

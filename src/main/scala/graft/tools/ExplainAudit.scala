@@ -13,7 +13,9 @@ object ExplainAudit {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("filter_pred", "join_broadcast", "join_star", "q1_pricing",
-        "topk", "topk_group", "win_latest", "dedup_minhash_lsh")
+        "topk", "topk_group", "win_latest", "dedup_minhash_lsh",
+        "bucketed_join", "line_dedup", "corpus_clean", "fuzzy_match",
+        "scd2_merge", "funnel")
     val spark = graft.GraftSession.local(4, "graft-explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
     for (n <- names) {

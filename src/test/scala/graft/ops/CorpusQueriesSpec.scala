@@ -29,6 +29,21 @@ class CorpusQueriesSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("scrubPii is idempotent — masks never re-match a PII pattern") {
+    import spark.implicits._
+    val dirty = Seq(
+      "mail a.b_c%x@sub.domain.org now",
+      "call +1-555-0100-99 or 555-123-4567",
+      "host 192.168.0.1 and 10.0.255.3",
+      "mixed bob@x.co at 8.8.8.8 tel 555-000-1111",
+      "clean text with no pii at all")
+      .toDF("t")
+    val once = dirty.select(CorpusQueries.scrubPii(col("t")).as("s"))
+    val twice = once.select(CorpusQueries.scrubPii(col("s")).as("s"))
+    assert(once.collect().map(_.getString(0)).toSeq ===
+      twice.collect().map(_.getString(0)).toSeq)
+  }
+
   test("line_dedup keeps per-doc structure and the filter fires") {
     val out = CorpusQueries.lineDedup.fn(spark, sf).cache()
     assert(out.filter(col("n_kept") > col("n_chunks")).count() === 0)
