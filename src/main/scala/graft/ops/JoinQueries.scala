@@ -400,7 +400,40 @@ object JoinQueries {
       ORDER BY id_a, id_b
     """))
 
+  /** S5's other half, driver-visible: hive-style PARTITIONED sink →
+    * partition-pruned scan. Documents are written partitioned by lang
+    * (`PartitionedSink.writePartitioned`), read back, and filtered on
+    * the partition column — the filter becomes a directory skip
+    * (PartitionFilters, pinned in `AnnSkewSpec`'s sibling check here via
+    * the oracle equivalence), so at 100 TB a one-language query reads
+    * one directory, not the corpus. The oracle runs the same filter over
+    * the unpartitioned original — equal output proves the layout round-
+    * trips losslessly. */
+  val partitionedScan = GQuery(
+    "partitioned_scan",
+    (s, d) => {
+      val base =
+        s"/tmp/graft_part_${d.replaceAll("[^A-Za-z0-9]", "_")}/documents"
+      graft.sinks.PartitionedSink.writePartitioned(
+        Tables.documents(s, d), base, Seq("lang"))
+      graft.sinks.PartitionedSink.readPartitioned(s, base)
+        .filter(col("lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast(LongType).as("total_chars"))
+        .orderBy("source")
+    },
+    Some("""
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM documents
+      WHERE lang = 'en'
+      GROUP BY 1
+      ORDER BY 1
+    """))
+
   def all: Seq[GQuery] =
     Seq(joinInner, joinBroadcast, joinLeft, joinSemi, joinAnti, joinStar,
-      joinAsof, joinRange, joinFull, bucketedJoin, joinSalted, fuzzyMatch)
+      joinAsof, joinRange, joinFull, bucketedJoin, joinSalted, fuzzyMatch,
+      partitionedScan)
 }
