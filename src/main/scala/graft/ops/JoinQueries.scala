@@ -376,10 +376,13 @@ object JoinQueries {
         col("name").as("name_a"))
       val b = roster.select(col("block"), col("id").as("id_b"),
         col("name").as("name_b"))
+      // threshold form = banded DP (O(k·n) per pair, not O(n²)) and
+      // returns -1 above the band, so the <= 2 filter is unchanged
       a.join(b, "block")
         .filter(col("id_a") < col("id_b"))
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-        .filter(col("dist") <= 2)
+        .withColumn("dist",
+          levenshtein(col("name_a"), col("name_b"), 2))
+        .filter(col("dist") >= 0 && col("dist") <= 2)
         .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
           col("dist").cast(LongType).as("dist"))
         .orderBy("id_a", "id_b")
