@@ -41,7 +41,8 @@ object ScaleSweep {
         "topk_group", "win_latest", "dedup_exact", "text_bigrams",
         "dedup_minhash_lsh", "dedup_embed", "sim_topk", "stream_session",
         "join_asof", "subquery_corr", "agg_pivot", "dedup_minhash_verify",
-        "split_hash")
+        "split_hash", "line_dedup", "corpus_clean", "fuzzy_match",
+        "funnel", "dedup_embed_cluster")
     val spark = graft.GraftSession.local(4, "graft-scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
