@@ -221,6 +221,67 @@ object WindowQueries {
       ORDER BY user_id, event_id
     """))
 
+  /** Percent-of-total (ratio-to-report): each order's share of its
+    * customer's total spend — the contribution-share reporting shape
+    * (≙ "this receipt as a fraction of the committee's cycle total").
+    * Decimal sum for exactness, ONE double division at the edge, 4-dp
+    * rounding for the cross-engine hash. Partitioned window — the sort
+    * is within customer hash partitions, never global. */
+  val winShare = GQuery(
+    "win_share",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("p"))
+        .withColumn("share",
+          round(col("p").cast(DoubleType) /
+            sum(col("p")).over(w).cast(DoubleType), 4))
+        .select(col("o_orderkey"), col("o_custkey"), col("share"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey,
+             round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) /
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        OVER (PARTITION BY o_custkey) AS DOUBLE), 4)
+               AS share
+      FROM orders
+      ORDER BY o_orderkey
+    """))
+
+  /** Z-score outlier detection per event type — the standard numeric
+    * data-cleaning primitive (flag values > 2.5σ from the group mean).
+    * Group stats come from ONE map-side-combinable aggregate joined
+    * back broadcast-style (|event types| rows), not a per-row window —
+    * at 100 TB the stats table is tiny and the corpus streams past it. */
+  val outlierZscore = GQuery(
+    "outlier_zscore",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .filter(col("value").isNotNull)
+      val stats = ev.groupBy("event_type")
+        .agg(avg(col("value")).as("mu"),
+          stddev_samp(col("value")).as("sigma"))
+      ev.join(broadcast(stats), "event_type")
+        .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+        .filter(abs(col("z")) > 2.5)
+        .select(col("event_id"), col("event_type"),
+          round(col("z"), 4).as("z"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH stats AS (
+        SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+        FROM events WHERE value IS NOT NULL GROUP BY 1)
+      SELECT event_id, e.event_type,
+             round((value - mu) / sigma, 4) AS z
+      FROM events e JOIN stats USING (event_type)
+      WHERE value IS NOT NULL AND abs((value - mu) / sigma) > 2.5
+      ORDER BY event_id
+    """))
+
   def all: Seq[GQuery] = Seq(winLatest, winRank, winCumsum, winLag, topkGroup,
-    winNtile, winFrames, winMoving)
+    winNtile, winFrames, winMoving, winShare, outlierZscore)
 }
