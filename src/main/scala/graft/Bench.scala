@@ -17,10 +17,18 @@ package graft
   * Robustness of the artifact (cross-round diffs kept crying wolf on
   * host contention): each query is timed SPARK_GRAFT_REPS times
   * (default 3) and the MEDIAN is reported, so one contended run can't
-  * spike a query's number. A query that throws is reported as its
-  * NEGATED time-to-failure and listed under `"errors"` — a broken query
-  * can never masquerade as a fast success. `value` sums medians of
-  * successful queries only.
+  * spike a query's number. Reps stop at the FIRST failing attempt — a
+  * known-broken query shouldn't burn the remaining timed reps — and the
+  * failure is reported as its NEGATED time-to-failure plus an `"errors"`
+  * entry, so a broken query can never masquerade as a fast success.
+  * `value` sums medians of successful queries only.
+  *
+  * The line is kept COMPACT (millisecond precision): the driver captures
+  * a bounded tail of the process output, and a long-precision line over
+  * a 120+-query registry overflowed that window in round 4 (the recorded
+  * artifact had `parsed: null` with the JSON's head truncated away).
+  * 3 decimals ≈ 1 KB saved — well inside the window, and sub-ms digits
+  * were pure noise anyway.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,24 +39,27 @@ object Bench {
     // warm-up: exercise scan + shuffle + codegen machinery once
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().collect()
-    // (secs, error message if the last attempt failed)
+    // (secs — negative = time-to-failure, error message of that attempt)
     val results: Seq[(String, Double, Option[String])] =
       SparkEntry.registry.map { q =>
-        val runs = (1 to reps).map { _ =>
+        var times = List.empty[Double]
+        var failure: Option[(Double, String)] = None
+        var i = 0
+        while (i < reps && failure.isEmpty) {
           val t0 = System.nanoTime()
-          val err =
-            try {
-              q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-              None
-            } catch { case e: Throwable =>
-              Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
-            }
-          ((System.nanoTime() - t0) / 1e9, err)
+          try {
+            q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            times ::= (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            failure = Some(((System.nanoTime() - t0) / 1e9,
+              s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+          }
+          i += 1
         }
-        runs.find(_._2.isDefined) match {
-          case Some((t, err)) => (q.name, -t, err) // negative = failed
+        failure match {
+          case Some((t, err)) => (q.name, -t, Some(err))
           case None =>
-            val sorted = runs.map(_._1).sorted
+            val sorted = times.sorted
             (q.name, sorted(sorted.length / 2), None)
         }
       }
@@ -59,13 +70,15 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
+    def jnum(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v, _) => jstr(k) + ":" + jnum(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
       jstr(k) + ":" + jstr(e.take(200))
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -43,4 +43,17 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Per-process scratch root for registry queries that materialize an
+    * on-disk layout (bucketed tables, partitioned sinks, saved indexes).
+    * Keyed by pid so two graft processes on the same machine — e.g. a
+    * bench and a verify over the same sf dir — can never race on
+    * DROP/overwrite of each other's files. Catalog entries are already
+    * session-local; this makes the FILE paths process-local too. */
+  lazy val scratchDir: String = {
+    val d = s"${System.getProperty("java.io.tmpdir")}/graft-scratch-" +
+      ProcessHandle.current().pid()
+    new java.io.File(d).mkdirs()
+    d
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components over an edge list — the transitive-
@@ -25,10 +26,20 @@ import org.apache.spark.sql.functions._
   * Convergence detection is a single cheap aggregate, not a join: labels
   * are non-negative and MONOTONICALLY non-increasing per node, so
   * sum(labels) is strictly decreasing until the fixpoint — an unchanged
-  * sum proves an unchanged table. Each round ends in `localCheckpoint`,
+  * sum proves an unchanged table. Each round ends in a checkpoint,
   * truncating lineage so round N is a shallow plan over round N−1's
   * materialized blocks instead of a 2^N-deep recompute tree (same
-  * driver-held-state discipline as `Ann.build`'s k-means loop).
+  * driver-held-state discipline as `Ann.build`'s k-means loop). Once a
+  * round's checkpoint has materialized, the PREVIOUS round's blocks are
+  * explicitly unpersisted — executor storage holds at most two label
+  * snapshots regardless of round count, instead of growing linearly.
+  *
+  * Checkpoint durability: by default rounds use `localCheckpoint`
+  * (executor-local blocks — fast, but an executor loss mid-job forces a
+  * rerun, which local[n] can't hit). When the SparkContext has a
+  * checkpoint dir configured (`sc.setCheckpointDir`, typically on HDFS/
+  * object storage for a real cluster), rounds automatically use RELIABLE
+  * checkpoints instead, so a 100 TB run survives executor churn.
   *
   * Scale: per round the work is one shuffle of the edge list keyed by dst
   * plus one shuffle of the label table keyed by label — both linear in
@@ -62,9 +73,8 @@ object Components {
     val sym = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-    var labels = nodes
-      .select(col(idCol).as("id"), col(idCol).as("component"))
-      .localCheckpoint()
+    var (labels, labelsRdd) = materialize(nodes
+      .select(col(idCol).as("id"), col(idCol).as("component")))
     var prevSum = checksum(labels)
     var round = 0
     var converged = false
@@ -86,16 +96,36 @@ object Components {
       // 2. path compression: component ← component(component)
       val ptr = propagated
         .select(col("id").as("pid"), col("component").as("pcomp"))
-      val compressed = propagated
+      val (compressed, compressedRdd) = materialize(propagated
         .join(ptr, propagated("component") === ptr("pid"))
-        .select(propagated("id"), col("pcomp").as("component"))
-        .localCheckpoint()
-      val s = checksum(compressed)
+        .select(propagated("id"), col("pcomp").as("component")))
+      val s = checksum(compressed) // action: materializes this round
+      // this round's blocks now exist; the previous round's labels can
+      // never be read again — drop them so storage stays O(1) in rounds
+      labelsRdd.unpersist(blocking = false)
       converged = s == prevSum
       prevSum = s
       labels = compressed
+      labelsRdd = compressedRdd
     }
     labels
+  }
+
+  /** Checkpoint a label table, returning both the lineage-truncated frame
+    * and the underlying RDD handle (kept so the caller can `unpersist`
+    * the blocks once the round is superseded — `Dataset.localCheckpoint`
+    * alone gives no handle to free them). Reliable checkpointing is used
+    * when the context has a checkpoint dir (cluster runs); local blocks
+    * otherwise. */
+  private def materialize(df: DataFrame): (DataFrame, RDD[Row]) = {
+    val rdd = df.rdd
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      rdd.persist() // checkpoint recomputes unless cached first
+      rdd.checkpoint()
+    } else {
+      rdd.localCheckpoint()
+    }
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
   }
 
   /** sum(component) — monotone under label updates, so equality across

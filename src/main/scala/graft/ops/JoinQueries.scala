@@ -271,8 +271,9 @@ object JoinQueries {
 
   /** S5 driver-visible: bucketed-layout join. Both sides are written as
     * bucketed+sorted external tables on the join key (8 buckets,
-    * `PartitionedSink.writeBucketed` — files under /tmp, catalog entries
-    * session-local), then sort-merge-joined via the `merge` hint (a hint,
+    * `PartitionedSink.writeBucketed` — files under the per-process
+    * scratch dir, catalog entries session-local), then sort-merge-joined
+    * via the `merge` hint (a hint,
     * not a session-conf mutation, so tiny test data can't silently take
     * the broadcast path instead). With co-bucketed layout the SMJ plans
     * with ZERO exchanges — `BucketedJoinSpec` pins that plan shape; this
@@ -282,7 +283,8 @@ object JoinQueries {
   val bucketedJoin = GQuery(
     "bucketed_join",
     (s, d) => {
-      val base = s"/tmp/graft_bq_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val base = s"${graft.GraftSession.scratchDir}/bq_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
       s.sql("DROP TABLE IF EXISTS graft_bq_lineitem")
       s.sql("DROP TABLE IF EXISTS graft_bq_orders")
       Tables.lineitem(s, d)
@@ -415,8 +417,8 @@ object JoinQueries {
   val partitionedScan = GQuery(
     "partitioned_scan",
     (s, d) => {
-      val base =
-        s"/tmp/graft_part_${d.replaceAll("[^A-Za-z0-9]", "_")}/documents"
+      val base = s"${graft.GraftSession.scratchDir}/part_" +
+        d.replaceAll("[^A-Za-z0-9]", "_") + "/documents"
       graft.sinks.PartitionedSink.writePartitioned(
         Tables.documents(s, d), base, Seq("lang"))
       graft.sinks.PartitionedSink.readPartitioned(s, base)

@@ -522,17 +522,23 @@ object TextQueries {
     * total token count — the exact form of the frequent-items question
     * (the sketch answer is `agg_approx_distinct`'s cousin; here the
     * corpus vocabulary is small enough that exact is the right call,
-    * and at 100 TB the shape still holds: a map-side-combinable word
-    * count whose result is |vocab| rows, plus a broadcast 1-row total).
-    */
+    * and at 100 TB the shape still holds: ONE map-side-combinable word
+    * count — the corpus is scanned and aggregated exactly once — then
+    * the grand total comes from an unpartitioned window over the
+    * resulting |vocab|-row table, which costs one |vocab|-row exchange,
+    * never a second corpus pass). */
   val heavyHitters = GQuery(
     "heavy_hitters",
     (s, d) => {
       val tf = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt"))
-      val tot = tf.agg(sum(col("cnt")).cast(DoubleType).as("total"))
-      tf.crossJoin(broadcast(tot))
+      // lit(0) partition key = "one global partition", same as the bare
+      // unpartitioned window but without Spark's perf warning; safe
+      // because the input is the aggregated vocab, not the corpus
+      tf.withColumn("total",
+          sum(col("cnt")).over(Window.partitionBy(lit(0)))
+            .cast(DoubleType))
         .filter(col("cnt") > col("total") / 200)
         .select(col("token"), col("cnt"))
         .orderBy(col("cnt").desc, col("token"))

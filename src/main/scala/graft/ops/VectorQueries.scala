@@ -307,13 +307,14 @@ object VectorQueries {
     * query (what `sim_ivf` above does). Rows-only like sim_ivf (IVF
     * recall is approximate by construction); `AnnSkewSpec` pins that the
     * loaded-index probe plan reads ONLY the probed cell directories and
-    * that full probing equals brute force. The save path is fixed under
-    * java.io.tmpdir and overwritten per invocation, so repeated bench
-    * runs don't accumulate indexes. */
+    * that full probing equals brute force. The save path lives under the
+    * per-process scratch dir ([[graft.GraftSession.scratchDir]]) and is
+    * overwritten per invocation, so repeated bench runs don't accumulate
+    * indexes and concurrent graft processes can't race on it. */
   val simIvfLoaded = GQuery(
     "sim_ivf_loaded",
     (s, d) => {
-      val path = sys.props("java.io.tmpdir") + "/graft_ivf_registry"
+      val path = s"${graft.GraftSession.scratchDir}/ivf_registry"
       Ann.save(Ann.build(Tables.embeddings(s, d), k = 8), path)
       Ann.query(Ann.load(s, path), probeId = 0, topK = 5, nProbe = 3)
         .select(col("rank"), col("neighbor_id"))

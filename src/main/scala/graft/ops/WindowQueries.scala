@@ -261,9 +261,16 @@ object WindowQueries {
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("value"))
         .filter(col("value").isNotNull)
+      // sigma > 0 guard: a constant-valued group divides 0/0 — Spark's
+      // double division yields NULL (row silently dropped) while DuckDB
+      // yields NaN, which it ORDERS above everything so abs(z) > 2.5
+      // passes — the engines would disagree. Excluding zero-variance
+      // groups explicitly on BOTH sides makes the semantics identical
+      // (and is the right call anyway: z-scores are undefined there).
       val stats = ev.groupBy("event_type")
         .agg(avg(col("value")).as("mu"),
           stddev_samp(col("value")).as("sigma"))
+        .filter(col("sigma") > 0)
       ev.join(broadcast(stats), "event_type")
         .withColumn("z", (col("value") - col("mu")) / col("sigma"))
         .filter(abs(col("z")) > 2.5)
@@ -278,7 +285,8 @@ object WindowQueries {
       SELECT event_id, e.event_type,
              round((value - mu) / sigma, 4) AS z
       FROM events e JOIN stats USING (event_type)
-      WHERE value IS NOT NULL AND abs((value - mu) / sigma) > 2.5
+      WHERE value IS NOT NULL AND sigma > 0
+        AND abs((value - mu) / sigma) > 2.5
       ORDER BY event_id
     """))
 
