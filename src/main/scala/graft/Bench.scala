@@ -57,7 +57,9 @@ object Bench {
           i += 1
         }
         failure match {
-          case Some((t, err)) => (q.name, -t, Some(err))
+          // clamp: a sub-ms failure must not format to "-0.000", which
+          // parses equal to 0.0 and loses the negative-time convention
+          case Some((t, err)) => (q.name, -math.max(t, 0.001), Some(err))
           case None =>
             val sorted = times.sorted
             (q.name, sorted(sorted.length / 2), None)

@@ -54,6 +54,16 @@ object GraftSession {
     val d = s"${System.getProperty("java.io.tmpdir")}/graft-scratch-" +
       ProcessHandle.current().pid()
     new java.io.File(d).mkdirs()
+    // lifecycle: the dir is process-private by construction, so the
+    // process is also the only safe place to reap it — delete on exit
+    // rather than letting bench/verify runs accumulate dirs in tmp
+    sys.addShutdownHook(deleteRecursively(new java.io.File(d)))
     d
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
   }
 }

@@ -1,8 +1,11 @@
 package graft.ops
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Distributed connected components over an edge list — the transitive-
   * closure step that turns pairwise near-dup matches into whole duplicate
@@ -39,7 +42,13 @@ import org.apache.spark.sql.functions._
   * rerun, which local[n] can't hit). When the SparkContext has a
   * checkpoint dir configured (`sc.setCheckpointDir`, typically on HDFS/
   * object storage for a real cluster), rounds automatically use RELIABLE
-  * checkpoints instead, so a 100 TB run survives executor churn.
+  * checkpoints instead, so a 100 TB run survives executor churn. On the
+  * reliable path each round's files are deleted as soon as the NEXT
+  * round's checkpoint has materialized (Spark only auto-cleans with
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` plus a GC,
+  * which a tight loop can't rely on), so checkpoint-dir storage holds at
+  * most two label snapshots regardless of round count; only the final
+  * fixpoint's files survive, and they back the returned frame.
   *
   * Scale: per round the work is one shuffle of the edge list keyed by dst
   * plus one shuffle of the label table keyed by label — both linear in
@@ -99,10 +108,11 @@ object Components {
       val (compressed, compressedRdd) = materialize(propagated
         .join(ptr, propagated("component") === ptr("pid"))
         .select(propagated("id"), col("pcomp").as("component")))
-      val s = checksum(compressed) // action: materializes this round
-      // this round's blocks now exist; the previous round's labels can
-      // never be read again — drop them so storage stays O(1) in rounds
-      labelsRdd.unpersist(blocking = false)
+      val s = checksum(compressed)
+      // this round's checkpoint now exists; the previous round's labels
+      // can never be read again — drop the blocks AND (reliable path)
+      // the files, so storage stays O(1) in rounds on both tiers
+      release(labels, labelsRdd)
       converged = s == prevSum
       prevSum = s
       labels = compressed
@@ -111,21 +121,48 @@ object Components {
     labels
   }
 
-  /** Checkpoint a label table, returning both the lineage-truncated frame
-    * and the underlying RDD handle (kept so the caller can `unpersist`
-    * the blocks once the round is superseded — `Dataset.localCheckpoint`
-    * alone gives no handle to free them). Reliable checkpointing is used
-    * when the context has a checkpoint dir (cluster runs); local blocks
-    * otherwise. */
-  private def materialize(df: DataFrame): (DataFrame, RDD[Row]) = {
-    val rdd = df.rdd
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
-      rdd.persist() // checkpoint recomputes unless cached first
-      rdd.checkpoint()
-    } else {
-      rdd.localCheckpoint()
+  /** Checkpoint a label table, returning the lineage-truncated frame and
+    * the internal checkpointed RDD handle (kept so the caller can free
+    * blocks/files once the round is superseded — `Dataset.checkpoint`
+    * alone gives no handle). Works on the internal-row RDD via
+    * `Dataset.checkpoint`/`localCheckpoint`, NOT `df.rdd` — the external
+    * `Row` round-trip would deserialize and re-encode every row every
+    * round, a pure serialization tax on the hot loop. Reliable
+    * checkpointing is used when the context has a checkpoint dir
+    * (cluster runs); executor-local blocks otherwise. On the reliable
+    * path the frame is cached MEMORY_AND_DISK first so the
+    * checkpoint-write job reads cached blocks instead of recomputing the
+    * full join lineage (and disk-backed so eviction can't silently
+    * reintroduce that recompute); the cache is dropped as soon as the
+    * files are durable. */
+  private def materialize(df: DataFrame): (DataFrame, RDD[_]) = {
+    val reliable =
+      df.sparkSession.sparkContext.getCheckpointDir.isDefined
+    val cp = if (reliable) {
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      val out = df.checkpoint(eager = true)
+      df.unpersist(blocking = false) // files are durable; cache is dead
+      out
+    } else df.localCheckpoint(eager = true)
+    val rdd = cp.queryExecution.analyzed.collectFirst {
+      case l: LogicalRDD => l.rdd
+    }.getOrElse(throw new IllegalStateException(
+      "checkpointed plan is not a LogicalRDD")) // can't happen
+    (cp, rdd)
+  }
+
+  /** Free a superseded round: unpersist its blocks (the local-checkpoint
+    * storage) and delete its reliable checkpoint files if any. Only
+    * called once the NEXT round's checkpoint has materialized, so the
+    * data is provably unreachable. */
+  private def release(df: DataFrame, rdd: RDD[_]): Unit = {
+    rdd.unpersist(blocking = false)
+    rdd.getCheckpointFile.foreach { f =>
+      val p = new Path(f)
+      val fs = p.getFileSystem(
+        df.sparkSession.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
     }
-    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
   }
 
   /** sum(component) — monotone under label updates, so equality across

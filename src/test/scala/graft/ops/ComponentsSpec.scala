@@ -3,6 +3,8 @@ package graft.ops
 import graft.SparkTestBase
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** Connected components (the dedup transitive-closure primitive):
   * correctness on known graphs, log-round convergence on a long chain,
   * and equivalence to a brute-force closure on a random graph. */
@@ -57,5 +59,27 @@ class ComponentsSpec extends SparkTestBase {
   test("empty edge list leaves every node its own component") {
     val got = run(5, Seq.empty)
     assert(got === (0L until 5L).map(i => i -> i).toMap)
+  }
+
+  test("reliable checkpoints reap superseded rounds, keep the fixpoint") {
+    // with a checkpoint dir set the loop must (a) still converge, and
+    // (b) delete each round's files once the next round materializes —
+    // exactly ONE rdd-* dir (the returned fixpoint's) may survive
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      val got = run(16, (0L until 15L).map(i => (i, i + 1)))
+      assert(got.values.toSet === Set(0L))
+      val rddDirs = java.nio.file.Files.walk(dir).iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("rdd-"))
+        .toList
+      assert(rddDirs.size === 1,
+        s"superseded checkpoint dirs not reaped: $rddDirs")
+    } finally {
+      // Option(null).map → None: resets the context to no-checkpoint-dir
+      // so later suites keep exercising the localCheckpoint path
+      spark.sparkContext.setCheckpointDir(null)
+    }
   }
 }
