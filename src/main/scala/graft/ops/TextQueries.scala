@@ -524,21 +524,20 @@ object TextQueries {
     * corpus vocabulary is small enough that exact is the right call,
     * and at 100 TB the shape still holds: ONE map-side-combinable word
     * count — the corpus is scanned and aggregated exactly once — then
-    * the grand total comes from an unpartitioned window over the
-    * resulting |vocab|-row table, which costs one |vocab|-row exchange,
-    * never a second corpus pass). */
+    * the grand total is a 1-row aggregate of the vocab table broadcast
+    * back onto it. The vocab exchange is built once and REUSED by both
+    * consumers (pinned in PlanSpec), so neither the corpus nor the
+    * vocab is read twice; unlike a `Window.partitionBy(lit(0))` total,
+    * no step funnels the whole |vocab| through a single partition —
+    * the filter stays fully parallel even at a billion-token vocab). */
   val heavyHitters = GQuery(
     "heavy_hitters",
     (s, d) => {
       val tf = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt"))
-      // lit(0) partition key = "one global partition", same as the bare
-      // unpartitioned window but without Spark's perf warning; safe
-      // because the input is the aggregated vocab, not the corpus
-      tf.withColumn("total",
-          sum(col("cnt")).over(Window.partitionBy(lit(0)))
-            .cast(DoubleType))
+      val total = tf.agg(sum(col("cnt")).cast(DoubleType).as("total"))
+      tf.crossJoin(broadcast(total))
         .filter(col("cnt") > col("total") / 200)
         .select(col("token"), col("cnt"))
         .orderBy(col("cnt").desc, col("token"))

@@ -133,4 +133,21 @@ class PlanSpec extends SparkTestBase {
     assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size === 1, p)
     assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 3, p)
   }
+
+  test("heavy_hitters reuses the vocab exchange; no one-partition window") {
+    val df = SparkEntry.queries("heavy_hitters")(spark, sf)
+    // no Window node at all: the grand total is a 1-row agg broadcast
+    // back onto the vocab, so nothing funnels |vocab| rows into a
+    // single partition
+    val init = df.queryExecution.explainString(
+      ExplainMode.fromString("formatted"))
+    assert(!init.contains("Window"), init)
+    // collect() (not a writer, which plans a separate QueryExecution)
+    // so THIS df's adaptive plan finalizes and exposes runtime reuse
+    assert(df.collect().nonEmpty)
+    // the total branch must serve from the SAME shuffle the filter
+    // branch built — one corpus pass, one vocab exchange, reused
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("ReusedExchange"), fin)
+  }
 }
