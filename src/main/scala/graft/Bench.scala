@@ -16,12 +16,22 @@ package graft
   *
   * Robustness of the artifact (cross-round diffs kept crying wolf on
   * host contention): each query is timed SPARK_GRAFT_REPS times
-  * (default 3) and the MEDIAN is reported, so one contended run can't
-  * spike a query's number. Reps stop at the FIRST failing attempt — a
-  * known-broken query shouldn't burn the remaining timed reps — and the
-  * failure is reported as its NEGATED time-to-failure plus an `"errors"`
-  * entry, so a broken query can never masquerade as a fast success.
-  * `value` sums medians of successful queries only.
+  * (default 3) and the MIN is reported. Back-to-back medians proved
+  * contention-fragile in round 6 — a multi-second contended window on
+  * the host poisoned ALL reps of a contiguous block of queries and the
+  * median passed it through, fabricating a 3–15× "regression" that a
+  * re-run reproduced at baseline. Two structural fixes: (a) reps are
+  * INTERLEAVED round-robin across the whole registry (rep 1 of every
+  * query, then rep 2, …) so a contended minute smears across many
+  * queries' single reps instead of clustering on one block's full rep
+  * set; (b) the MIN of reps is reported — still an honest end-to-end
+  * wall time (every rep does the full scan + shuffle + sink), and the
+  * statistic least corruptible by one-sided contention noise.
+  * A query stops repping at its FIRST failing attempt — a known-broken
+  * query shouldn't burn the remaining timed reps — and the failure is
+  * reported as its NEGATED time-to-failure plus an `"errors"` entry, so
+  * a broken query can never masquerade as a fast success. `value` sums
+  * mins of successful queries only.
   *
   * The line is kept COMPACT (millisecond precision): the driver captures
   * a bounded tail of the process output, and a long-precision line over
@@ -39,30 +49,31 @@ object Bench {
     // warm-up: exercise scan + shuffle + codegen machinery once
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().collect()
+    // Interleaved reps: rep r of every query before rep r+1 of any, so
+    // a contended host window degrades one rep of many queries (min
+    // discards it) rather than every rep of a contiguous block.
+    val registry = SparkEntry.registry
+    val times = Array.fill(registry.size)(List.empty[Double])
+    val failures = Array.fill[Option[(Double, String)]](registry.size)(None)
+    for (_ <- 0 until reps; (q, idx) <- registry.zipWithIndex
+         if failures(idx).isEmpty) {
+      val t0 = System.nanoTime()
+      try {
+        q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        times(idx) ::= (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        failures(idx) = Some(((System.nanoTime() - t0) / 1e9,
+          s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+      }
+    }
     // (secs — negative = time-to-failure, error message of that attempt)
     val results: Seq[(String, Double, Option[String])] =
-      SparkEntry.registry.map { q =>
-        var times = List.empty[Double]
-        var failure: Option[(Double, String)] = None
-        var i = 0
-        while (i < reps && failure.isEmpty) {
-          val t0 = System.nanoTime()
-          try {
-            q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            times ::= (System.nanoTime() - t0) / 1e9
-          } catch { case e: Throwable =>
-            failure = Some(((System.nanoTime() - t0) / 1e9,
-              s"${e.getClass.getSimpleName}: ${e.getMessage}"))
-          }
-          i += 1
-        }
-        failure match {
+      registry.zipWithIndex.map { case (q, idx) =>
+        failures(idx) match {
           // clamp: a sub-ms failure must not format to "-0.000", which
           // parses equal to 0.0 and loses the negative-time convention
           case Some((t, err)) => (q.name, -math.max(t, 0.001), Some(err))
-          case None =>
-            val sorted = times.sorted
-            (q.name, sorted(sorted.length / 2), None)
+          case None => (q.name, times(idx).min, None)
         }
       }
     def jstr(s: String): String =

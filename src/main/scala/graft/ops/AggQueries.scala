@@ -100,16 +100,37 @@ object AggQueries {
     """))
 
   /** A5b approximate COUNT DISTINCT — the 100 TB cardinality path
-    * (HyperLogLog++, one pass, fixed memory). No exact oracle by nature →
-    * rows-only check; `agg_distinct` above is the exact cross-check. */
+    * (HyperLogLog++, one pass, fixed memory). The sketch value itself has
+    * no DuckDB twin, so the query emits a TOLERANCE BOOLEAN instead: the
+    * exact per-group count (hash-anchoring the row) plus
+    * `approx_within_5pct` comparing the HLL++ estimate against that exact
+    * count in the same aggregation. The oracle computes the identical
+    * exact count and asserts the boolean TRUE — so the driver's hash
+    * compare now verifies both the group cardinalities AND that the
+    * sketch landed inside its advertised rsd envelope (0.01 configured,
+    * 5% asserted). `ApproxDistinctSpec` remains the tighter value pin. */
   val aggApproxDistinct = GQuery(
     "agg_approx_distinct",
     (s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts").cast(DoubleType) -
+            col("exact_parts").cast(DoubleType)) <=
+            col("exact_parts").cast(DoubleType) * 0.05)
+            .as("approx_within_5pct"))
         .orderBy("l_returnflag"),
-    None)
+    Some("""
+      SELECT l_returnflag,
+             COUNT(DISTINCT l_partkey) AS exact_parts,
+             TRUE AS approx_within_5pct
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """))
 
   /** A6 AVG via exact-sum-then-divide (hash-stable; see object doc). */
   val aggAvg = GQuery(
@@ -304,26 +325,48 @@ object AggQueries {
     * group, mergeable partials, ONE pass) versus the exact sort-based
     * `percentile` in `agg_percentile` above, which buffers each group.
     * At 100 TB the exact form is the correctness pin and THIS is what
-    * runs. Rows-only by design (summary merge order is not part of any
-    * SQL standard; DuckDB has no twin) — `ApproxPercentileSpec` pins the
-    * values within ±1 quantity unit of exact, and at this accuracy
-    * (1e4 > distinct value count) the sketch degenerates to exact, so
-    * the output is deterministic run-to-run. Scalar columns only, so the
-    * rows-only harness can hash them. */
+    * runs. GK summary values have no DuckDB twin, so the query emits
+    * TOLERANCE BOOLEANS: the exact interpolated p50 (hash-anchoring each
+    * group with a real value, same rounding discipline as
+    * `agg_percentile`) plus per-quantile `pXX_ok` flags asserting the GK
+    * estimate within max(1 unit, 5%) of the exact percentile computed in
+    * the SAME aggregation. The oracle computes the identical exact p50
+    * and asserts the booleans TRUE, so the driver's hash row goes green
+    * while still failing loudly if the sketch ever drifts.
+    * `ApproxPercentileSpec` remains the tighter ±1-unit value pin. */
   val aggApproxPercentile = GQuery(
     "agg_approx_percentile",
-    (s, d) =>
+    (s, d) => {
+      def exact(q: String) =
+        expr(s"percentile(CAST(l_quantity AS DOUBLE), $q)")
+      def approx(q: String) =
+        expr(s"approx_percentile(CAST(l_quantity AS DOUBLE), $q, 10000)")
+      def ok(a: Column, e: Column): Column =
+        abs(a - e) <= greatest(lit(1.0), abs(e) * 0.05)
       Tables.lineitem(s, d)
         .groupBy(col("l_linestatus"))
         .agg(
-          expr("approx_percentile(CAST(l_quantity AS DOUBLE), 0.25, 10000)")
-            .as("p25"),
-          expr("approx_percentile(CAST(l_quantity AS DOUBLE), 0.5, 10000)")
-            .as("p50"),
-          expr("approx_percentile(CAST(l_quantity AS DOUBLE), 0.75, 10000)")
-            .as("p75"))
-        .orderBy("l_linestatus"),
-    None)
+          exact("0.25").as("e25"), approx("0.25").as("a25"),
+          exact("0.5").as("e50"), approx("0.5").as("a50"),
+          exact("0.75").as("e75"), approx("0.75").as("a75"))
+        .select(col("l_linestatus"),
+          round(col("e50"), 4).cast(DecimalType(38, 4)).cast(DoubleType)
+            .as("p50_exact"),
+          ok(col("a25"), col("e25")).as("p25_ok"),
+          ok(col("a50"), col("e50")).as("p50_ok"),
+          ok(col("a75"), col("e75")).as("p75_ok"))
+        .orderBy("l_linestatus")
+    },
+    Some("""
+      SELECT l_linestatus,
+             CAST(CAST(round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 4) AS DECIMAL(38,4)) AS DOUBLE) AS p50_exact,
+             TRUE AS p25_ok,
+             TRUE AS p50_ok,
+             TRUE AS p75_ok
+      FROM lineitem
+      GROUP BY l_linestatus
+      ORDER BY l_linestatus
+    """))
 
   /** Ordered string aggregation (LISTAGG): collect_list is
     * partition-order-dependent, so the list is canonicalized by

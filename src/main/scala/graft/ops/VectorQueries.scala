@@ -284,43 +284,107 @@ object VectorQueries {
       ORDER BY vec_id
     """))
 
+  /** Shared output shape for the two IVF registry entries: the DRIVER-
+    * VERIFIABLE brute-force top-`topK` of vec_id 0 (exactly `sim_topk`'s
+    * hash-stable id/rank form — DuckDB recomputes it with
+    * list_cosine_similarity) plus a `recall_ok` TOLERANCE BOOLEAN: the
+    * IVF probe's top-`topK` must hit ≥ `minHits` of the brute-force set
+    * (recall@5 ≥ 0.6, the `AnnSkewSpec` pin promoted into the driver
+    * gate — the oracle asserts the boolean TRUE). The recall join is a
+    * broadcast of a ≤topK-row IVF result against a ≤topK-row brute
+    * result, then a 1-row aggregate broadcast back onto the output —
+    * bounded regardless of corpus size. */
+  private def ivfWithRecall(s: org.apache.spark.sql.SparkSession, d: String,
+      index: Ann.IvfIndex, topK: Int = 5, nProbe: Int = 3,
+      minHits: Int = 3): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val probe: Seq[Double] = e.filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), _.cast(DoubleType)))
+      .head().getSeq[Double](0).toSeq
+    val pnorm = math.sqrt(probe.foldLeft(0.0)((acc, x) => acc + x * x))
+    val litProbe = array(probe.map(lit): _*)
+    val brute = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id").as("neighbor_id"),
+        (dot(col("embedding"), litProbe) /
+          (sqrt(sumSq(col("embedding"))) * lit(pnorm))).as("sim"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+      .limit(topK)
+      .select(row_number().over(
+        Window.orderBy(col("sim").desc, col("neighbor_id")))
+        .cast(LongType).as("rnk"),
+        col("neighbor_id"))
+    val ivf = Ann.query(index, probeId = 0, topK = topK, nProbe = nProbe)
+      .select(col("neighbor_id"), lit(1L).as("hit"))
+    val recall = brute.join(broadcast(ivf), Seq("neighbor_id"), "left")
+      .agg((sum(coalesce(col("hit"), lit(0L))) >= minHits).as("recall_ok"))
+    brute.crossJoin(broadcast(recall))
+      .select(col("rnk"), col("neighbor_id"), col("recall_ok"))
+      .orderBy("rnk")
+  }
+
+  /** DuckDB twin of [[ivfWithRecall]]: the same brute-force top-5 (the
+    * hash anchor) with the recall boolean asserted TRUE. */
+  private val ivfRecallOracle = """
+      WITH probe AS (SELECT embedding AS probe_emb FROM embeddings WHERE vec_id = 0),
+      sims AS (
+        SELECT e.vec_id AS neighbor_id,
+               list_cosine_similarity(e.embedding, p.probe_emb) AS sim
+        FROM embeddings e, probe p
+        WHERE e.vec_id <> 0)
+      SELECT rnk, neighbor_id, TRUE AS recall_ok
+      FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk,
+                   neighbor_id
+            FROM sims)
+      WHERE rnk <= 5
+      ORDER BY rnk
+    """
+
   /** X3 scale path, driver-visible: IVF search (8 cells, probe 3) for
-    * the neighbors of vec_id 0. Rows-only (IVF recall is approximate by
-    * construction); AnnSkewSpec pins full-probe == brute-force and this
-    * entry proves the index+query path runs end-to-end. */
+    * the neighbors of vec_id 0, emitted with the brute-force top-5 and a
+    * `recall_ok` ≥ 0.6 boolean so the driver's oracle verifies the probe
+    * (see [[ivfWithRecall]]). Builds the index per invocation — this
+    * entry IS the build-path timing; `sim_ivf_loaded` below is the
+    * serving-path timing. `AnnSkewSpec` pins full-probe == brute-force. */
   val simIvf = GQuery(
     "sim_ivf",
-    (s, d) => {
-      val index = Ann.build(Tables.embeddings(s, d), k = 8)
-      Ann.query(index, probeId = 0, topK = 5, nProbe = 3)
-        .select(col("rank"), col("neighbor_id"))
-        .orderBy("rank")
-    },
-    None)
+    (s, d) => ivfWithRecall(s, d, Ann.build(Tables.embeddings(s, d), k = 8)),
+    Some(ivfRecallOracle))
+
+  /** Saved-index path per (sfDir, k), built at most once per process —
+    * the bench reps (and any spec reuse) then measure the SERVING path
+    * (load + partition-pruned probe), which is the claim `sim_ivf_loaded`
+    * exists to demonstrate; `sim_ivf` above keeps paying the build per
+    * invocation so the build path stays timed. Lives under the
+    * per-process scratch dir ([[graft.GraftSession.scratchDir]]), so
+    * concurrent graft processes can't race and shutdown reaping removes
+    * it. */
+  private val ivfSaved =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), String]
+
+  private def savedIvfPath(s: org.apache.spark.sql.SparkSession, d: String,
+      k: Int): String =
+    ivfSaved.getOrElseUpdate((d, k), {
+      val path = s"${graft.GraftSession.scratchDir}/ivf_" +
+        d.replaceAll("[^A-Za-z0-9]", "_") + s"_k$k"
+      Ann.save(Ann.build(Tables.embeddings(s, d), k = k), path)
+      path
+    })
 
   /** The persisted-IVF serving path, driver-visible end-to-end: build →
-    * `Ann.save` (inverted lists as cell partition directories) →
-    * `Ann.load` → query. On the LOADED index the nProbe cell restriction
-    * is partition pruning against the parquet layout — at 100 TB a probe
-    * reads nProbe/k of the corpus no matter how large it grows, which is
-    * the whole point of persisting the index rather than rebuilding per
-    * query (what `sim_ivf` above does). Rows-only like sim_ivf (IVF
-    * recall is approximate by construction); `AnnSkewSpec` pins that the
-    * loaded-index probe plan reads ONLY the probed cell directories and
-    * that full probing equals brute force. The save path lives under the
-    * per-process scratch dir ([[graft.GraftSession.scratchDir]]) and is
-    * overwritten per invocation, so repeated bench runs don't accumulate
-    * indexes and concurrent graft processes can't race on it. */
+    * `Ann.save` (inverted lists as cell partition directories, ONCE per
+    * process via [[savedIvfPath]]) → `Ann.load` → query. On the LOADED
+    * index the nProbe cell restriction is partition pruning against the
+    * parquet layout — at 100 TB a probe reads nProbe/k of the corpus no
+    * matter how large it grows, which is the whole point of persisting
+    * the index rather than rebuilding per query (what `sim_ivf` above
+    * does). Same driver-verified recall output as `sim_ivf`
+    * ([[ivfWithRecall]]); `AnnSkewSpec` pins that the loaded-index probe
+    * plan reads ONLY the probed cell directories and that full probing
+    * equals brute force. */
   val simIvfLoaded = GQuery(
     "sim_ivf_loaded",
-    (s, d) => {
-      val path = s"${graft.GraftSession.scratchDir}/ivf_registry"
-      Ann.save(Ann.build(Tables.embeddings(s, d), k = 8), path)
-      Ann.query(Ann.load(s, path), probeId = 0, topK = 5, nProbe = 3)
-        .select(col("rank"), col("neighbor_id"))
-        .orderBy("rank")
-    },
-    None)
+    (s, d) => ivfWithRecall(s, d, Ann.load(s, savedIvfPath(s, d, k = 8))),
+    Some(ivfRecallOracle))
 
   /** Int8 max-abs quantization — the storage-compression pass an
     * embedding corpus runs before ANN serving (4× smaller than float32,
