@@ -16,25 +16,34 @@ import org.apache.spark.sql.types._
   *
   *  - header rename UPPER → lower_snake (P7, mapping dict at `~90-120`)
   *  - '' → NULL (P3, `~120-150`)
-  *  - `DATE_FIELDS` parsed M/d/yyyy, garbage → NULL (P4, try_to_date)
-  *  - `DATETIME_FIELDS` parsed M/d/yyyy h:mm:ss a (P5)
+  *  - `DATE_FIELDS` parsed M/d/yyyy with ISO yyyy-MM-dd fallback,
+  *    garbage → NULL (P4, coalesced try_to_timestamp — real CAL-ACCESS
+  *    exports mix both formats across vintages, SURVEY §2.11)
+  *  - `DATETIME_FIELDS` parsed M/d/yyyy h:mm:ss a, ISO fallback (P5)
   *  - int/decimal casts with NULL-on-garbage try_cast semantics (P6)
   */
 object Load {
 
-  private val DateFmt = "M/d/yyyy"
-  private val DatetimeFmt = "M/d/yyyy h:mm:ss a"
+  /** Per-vintage formats, first match wins. Order matters only for
+    * strings both formats accept — there are none: M/d/yyyy rejects
+    * `-`-separated dates and yyyy-MM-dd rejects `/`-separated ones, so
+    * the coalesce is unambiguous. Each try_to_timestamp is a codegen'd
+    * built-in; the coalesce stays one narrow projection (no UDF). */
+  private val DateFmts = Seq("M/d/yyyy", "yyyy-MM-dd")
+  private val DatetimeFmts = Seq("M/d/yyyy h:mm:ss a", "yyyy-MM-dd HH:mm:ss")
 
   /** ''→NULL then type coercion for one field — the per-column cast the
     * reference's generated INSERT…SELECT performs inside PostgreSQL. */
   private def coerce(table: TableDef, f: StructField): Column = {
     val raw = col(f.name.toUpperCase)
     val nulled = when(trim(raw) === "", lit(null)).otherwise(trim(raw))
+    def multiFmt(fmts: Seq[String]): Column =
+      coalesce(fmts.map(fmt => try_to_timestamp(nulled, lit(fmt))): _*)
     val typed = f.dataType match {
       case DateType if table.dateFields.contains(f.name) =>
-        try_to_timestamp(nulled, lit(DateFmt)).cast(DateType)
+        multiFmt(DateFmts).cast(DateType)
       case TimestampType if table.datetimeFields.contains(f.name) =>
-        try_to_timestamp(nulled, lit(DatetimeFmt))
+        multiFmt(DatetimeFmts)
       case dt => nulled.try_cast(dt)
     }
     // keep help_text metadata on the loaded column (self-documentation is

@@ -268,6 +268,74 @@ object CoreQueries {
       FROM events
     """))
 
+  /** W1 end-to-end over a CAL-ACCESS-shaped frame: the reference's single
+    * most documented consumption pattern — latest-amendment-wins on
+    * UNIQUE_KEY minus the amendment counter (`models/common.py:~200-260`)
+    * — driven through `Load.latestAmendment` with the real `rcpt_cd`
+    * TableDef, so the declared-uniqueKey wiring (not a hand-built window)
+    * is what the oracle verifies. Amendment chains are synthesized from
+    * lineitem: logical receipts are the distinct (l_orderkey,
+    * l_linenumber) keys — the synthetic generator emits duplicate keys,
+    * so a deterministic min-aggregate collapses them first — each
+    * exploding into amend_id 0..(partkey mod 3), each amendment revising
+    * the amount; the winner must be the max amend_id with its revised
+    * amount. Scale shape: one hash-agg then one window shuffle, both on
+    * the logical key — identical to `win_latest`; amend chains are short
+    * (≤ a few dozen in real data) so no skew. */
+  val amendLatest = GQuery(
+    "amend_latest",
+    (s, d) => {
+      import graft.ingest.Load
+      import graft.schemas.Schemas
+      val amended = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 2000)
+        .groupBy(col("l_orderkey").as("filing_id"),
+          col("l_linenumber").cast(LongType).as("line_item"))
+        .agg(min(col("l_partkey")).as("pk"),
+          min(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .as("base_amount"))
+        .select(
+          col("filing_id"), col("line_item"),
+          lit("RCPT").as("rec_type"),
+          lit("A").as("form_type"),
+          concat(lit("T"), col("pk")).as("tran_id"),
+          col("base_amount"),
+          explode(sequence(lit(0L), col("pk") % 3)).as("amend_id"))
+      val withAmount = amended
+        .withColumn("amount",
+          (col("base_amount") * (lit(1) + col("amend_id")))
+            .cast(DecimalType(18, 2)))
+        .drop("base_amount")
+      Load.latestAmendment(Schemas.rcptCd, withAmount)
+        .select(col("filing_id"), col("line_item"), col("amend_id"),
+          col("tran_id"), col("amount").cast(DoubleType).as("amount"))
+        .orderBy("filing_id", "line_item")
+    },
+    Some("""
+      WITH receipts AS (
+        SELECT l_orderkey AS filing_id,
+               CAST(l_linenumber AS BIGINT) AS line_item,
+               MIN(l_partkey) AS pk,
+               MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS base_amount
+        FROM lineitem
+        WHERE l_orderkey <= 2000
+        GROUP BY 1, 2),
+      amended AS (
+        SELECT filing_id, line_item,
+               t.amend_id AS amend_id,
+               'T' || CAST(pk AS VARCHAR) AS tran_id,
+               CAST(base_amount * (1 + t.amend_id) AS DECIMAL(18,2)) AS amount
+        FROM receipts, unnest(generate_series(0, pk % 3)) AS t(amend_id)),
+      latest AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY filing_id, line_item
+                    ORDER BY amend_id DESC) AS rn
+        FROM amended)
+      SELECT filing_id, line_item, amend_id, tran_id,
+             CAST(amount AS DOUBLE) AS amount
+      FROM latest WHERE rn = 1
+      ORDER BY filing_id, line_item
+    """))
+
   /** §3.3 read path: the reference's consumers speak SQL (ORM → SQL →
     * RDBMS); here the same ANSI text runs through spark.sql over
     * registered views — CTE + window + join through the SQL frontend,
@@ -446,6 +514,6 @@ object CoreQueries {
 
   def all: Seq[GQuery] = Seq(q1Pricing, filterPred, loadTyped, loadDatetime,
     decimalCast, cleanSplitGood, cleanSplitBad, strClean, ingestPipeline,
-    sqlSurface, subqueryCorr, recursiveCte, scd2Merge)
+    amendLatest, sqlSurface, subqueryCorr, recursiveCte, scd2Merge)
 }
 

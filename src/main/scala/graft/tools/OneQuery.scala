@@ -1,0 +1,35 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+
+/** Dev loop helper: run ONE registry query by name and dump its result
+  * parquet + oracle_sql.json in the Verify layout, so
+  * `scripts/selfcheck.py` can gate a single query without paying the
+  * full 120-query Verify pass.
+  *
+  * Usage: runMain graft.tools.OneQuery <name> <sfDir> <outDir>
+  */
+object OneQuery {
+  def main(args: Array[String]): Unit = {
+    val Array(name, sfDir, outDir) = args
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, s"graft-one-$name")
+    new java.io.File(outDir).mkdirs()
+    SparkEntry.queries(name)(spark, sfDir)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val oracle = SparkEntry.oracleSql.get(name)
+      .map(sql => s"${q(name)}: ${q(sql.trim)}").mkString("{", "", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), oracle)
+    spark.stop()
+  }
+}
