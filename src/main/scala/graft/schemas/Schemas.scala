@@ -26,8 +26,12 @@ import org.apache.spark.sql.types._
   * `raw_data_file` ≙ `models/tracking.py`) — and a fourth: candidate
   * filings (F501/502), CVR2 continuation pages, the lobbyist directory
   * family, cross-reference/address/name directories, and remaining
-  * dimensions. Each is a column subset of its ~50-column original;
-  * widening a TableDef is additive and needs no engine change.
+  * dimensions. The four headline tables (`rcpt_cd`, `expn_cd`,
+  * `cvr_campaign_disclosure_cd`, `filer_filings_cd`) carry their FULL
+  * declared column sets in raw-TSV order, so any real reference query
+  * resolves; the remaining tiers are column subsets of their ~50-column
+  * originals — widening a TableDef is additive and needs no engine
+  * change.
   */
 object Schemas {
 
@@ -47,72 +51,117 @@ object Schemas {
   private def doc(s: String): Metadata =
     new MetadataBuilder().putString("help_text", s).build()
 
+  // Compact field constructors for the full-width headline tables (the
+  // reference declares every TSV column with help_text; these keep that
+  // declaration one line per field).
+  private def str(n: String, d: String): StructField =
+    StructField(n, StringType, nullable = true, doc(d))
+  private def lng(n: String, d: String): StructField =
+    StructField(n, LongType, nullable = true, doc(d))
+  private def date(n: String, d: String): StructField =
+    StructField(n, DateType, nullable = true, doc(d))
+  private def money(n: String, d: String): StructField =
+    StructField(n, DecimalType(14, 2), nullable = true, doc(d))
+
   /** ≙ RCPT_CD — itemized receipts, the biggest CAL-ACCESS table
-    * (~10M rows; `models/campaign.py:~1800`). Subset of the ~50 columns. */
+    * (~10M rows; `models/campaign.py:~1800`). FULL declared column set in
+    * raw-TSV order, reconstructed from the public CAL-ACCESS file
+    * documentation (the on-disk reference is empty — SURVEY §0), so a
+    * real query against any `RcptCd` field (`tran_id`, `intr_naml`, …)
+    * resolves here exactly as it does in the reference. */
   val rcptCd: TableDef = TableDef(
     name = "rcpt_cd",
     schema = StructType(Seq(
-      StructField("filing_id", LongType, nullable = true,
-        doc("Unique filing identification number")),
-      StructField("amend_id", LongType, nullable = true,
-        doc("Amendment identification number; 0 is the original")),
-      StructField("line_item", LongType, nullable = true,
-        doc("Line item number of this record")),
-      StructField("rec_type", StringType, nullable = true,
-        doc("Record type of the transaction, always RCPT")),
-      StructField("form_type", StringType, nullable = true,
-        doc("Schedule of the form on which the receipt is reported")),
-      StructField("tran_id", StringType, nullable = true,
-        doc("Permanent value unique within the filing")),
-      StructField("entity_cd", StringType, nullable = true,
-        doc("Entity code of the contributor (IND, COM, OTH, PTY, SCC)")),
-      StructField("ctrib_naml", StringType, nullable = true,
-        doc("Contributor last name")),
-      StructField("ctrib_namf", StringType, nullable = true,
-        doc("Contributor first name")),
-      StructField("ctrib_city", StringType, nullable = true,
-        doc("Contributor city")),
-      StructField("ctrib_st", StringType, nullable = true,
-        doc("Contributor state")),
-      StructField("ctrib_zip4", StringType, nullable = true,
-        doc("Contributor ZIP+4")),
-      StructField("rcpt_date", DateType, nullable = true,
-        doc("Date the receipt was received, M/D/YYYY in the raw file")),
-      StructField("amount", DecimalType(14, 2), nullable = true,
-        doc("Amount received")),
-      StructField("cum_ytd", DecimalType(14, 2), nullable = true,
-        doc("Cumulative year-to-date amount")),
-      StructField("memo_code", StringType, nullable = true,
-        doc("Memo amount flag")),
-      StructField("cmte_id", StringType, nullable = true,
-        doc("Committee identification number")))),
+      lng("filing_id", "Unique filing identification number"),
+      lng("amend_id", "Amendment identification number; 0 is the original"),
+      lng("line_item", "Line item number of this record"),
+      str("rec_type", "Record type of the transaction, always RCPT"),
+      str("form_type", "Schedule of the form on which the receipt is reported"),
+      str("tran_id", "Permanent transaction id, unique within the filing"),
+      str("entity_cd", "Entity code of the contributor (IND, COM, OTH, PTY, SCC)"),
+      str("ctrib_naml", "Contributor last name or organization name"),
+      str("ctrib_namf", "Contributor first name"),
+      str("ctrib_namt", "Contributor name title or prefix"),
+      str("ctrib_nams", "Contributor name suffix"),
+      str("ctrib_city", "Contributor city"),
+      str("ctrib_st", "Contributor state"),
+      str("ctrib_zip4", "Contributor ZIP+4"),
+      str("ctrib_emp", "Contributor employer"),
+      str("ctrib_occ", "Contributor occupation"),
+      str("ctrib_self", "Is the contributor self-employed? (y/n)"),
+      str("tran_type", "Transaction type (T return, F forgiven loan, ...)"),
+      date("rcpt_date", "Date the receipt was received, M/D/YYYY in the raw file"),
+      date("date_thru", "End of date range the receipt was received, M/D/YYYY"),
+      money("amount", "Amount received in the period of the statement"),
+      money("cum_ytd", "Cumulative year-to-date amount from this contributor"),
+      money("cum_oth", "Cumulative other (F401 second total) amount"),
+      str("ctrib_dscr", "Description of a non-monetary contribution"),
+      str("cmte_id", "Committee identification number of the recipient"),
+      str("tres_naml", "Treasurer or responsible officer last name"),
+      str("tres_namf", "Treasurer or responsible officer first name"),
+      str("tres_namt", "Treasurer or responsible officer name title"),
+      str("tres_nams", "Treasurer or responsible officer name suffix"),
+      str("tres_city", "Treasurer or responsible officer city"),
+      str("tres_st", "Treasurer or responsible officer state"),
+      str("tres_zip4", "Treasurer or responsible officer ZIP+4"),
+      str("intr_naml", "Intermediary last name or organization name"),
+      str("intr_namf", "Intermediary first name"),
+      str("intr_namt", "Intermediary name title or prefix"),
+      str("intr_nams", "Intermediary name suffix"),
+      str("intr_city", "Intermediary city"),
+      str("intr_st", "Intermediary state"),
+      str("intr_zip4", "Intermediary ZIP+4"),
+      str("intr_emp", "Intermediary employer"),
+      str("intr_occ", "Intermediary occupation"),
+      str("intr_self", "Is the intermediary self-employed? (y/n)"),
+      str("intr_cmteid", "Committee id of the intermediary"),
+      str("memo_code", "Memo amount flag"),
+      str("memo_refno", "Reference number to a text memo (TEXT_MEMO_CD)"),
+      str("bal_name", "Ballot measure name"),
+      str("bal_num", "Ballot measure number or letter"),
+      str("bal_juris", "Ballot measure jurisdiction"),
+      str("sup_opp_cd", "Support or opposition code (S/O)"),
+      str("cand_naml", "Candidate last name"),
+      str("cand_namf", "Candidate first name"),
+      str("cand_namt", "Candidate name title or prefix"),
+      str("cand_nams", "Candidate name suffix"),
+      str("office_cd", "Office sought code"),
+      str("offic_dscr", "Office sought description"),
+      str("juris_cd", "Office jurisdiction code"),
+      str("juris_dscr", "Office jurisdiction description"),
+      str("dist_no", "Office district number"),
+      str("off_s_h_cd", "Office is sought or held code"),
+      str("bakref_tid", "Back-reference to a transaction id in a parent record"),
+      str("xref_schnm", "Related record is on the referenced schedule"),
+      str("xref_match", "Related record is included on the referenced schedule (x)"),
+      str("int_rate", "Interest rate of a loan"))),
     uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type",
       "form_type"),
-    dateFields = Seq("rcpt_date"))
+    dateFields = Seq("rcpt_date", "date_thru"))
 
   /** ≙ FILER_FILINGS_CD — filer↔filing link with amendment sequence
     * (`models/common.py:~200`). */
   val filerFilingsCd: TableDef = TableDef(
     name = "filer_filings_cd",
     schema = StructType(Seq(
-      StructField("filer_id", LongType, nullable = true,
-        doc("Filer unique identification number")),
-      StructField("filing_id", LongType, nullable = true,
-        doc("Unique filing identification number")),
-      StructField("period_id", LongType, nullable = true,
-        doc("Identifies the period the filing covers")),
-      StructField("form_id", StringType, nullable = true,
-        doc("Form identification code")),
-      StructField("filing_sequence", LongType, nullable = true,
-        doc("Amendment number; 0 original, 1+ amendments")),
-      StructField("filing_date", DateType, nullable = true,
-        doc("Date the filing was filed, M/D/YYYY in the raw file")),
-      StructField("stmnt_type", LongType, nullable = true,
-        doc("Statement type")),
-      StructField("session_id", LongType, nullable = true,
-        doc("Legislative session the filing applies to")))),
-    uniqueKey = Seq("filer_id", "filing_id", "filing_sequence"),
-    dateFields = Seq("filing_date"))
+      lng("filer_id", "Filer unique identification number"),
+      lng("filing_id", "Unique filing identification number"),
+      lng("period_id", "Identifies the period the filing covers"),
+      str("form_id", "Form identification code of the filed form"),
+      lng("filing_sequence", "Amendment number; 0 original, 1+ amendments"),
+      date("filing_date", "Date the filing was filed, M/D/YYYY in the raw file"),
+      lng("stmnt_type", "Statement type of the filing"),
+      lng("stmnt_status", "Status of the statement (accepted, rejected, ...)"),
+      lng("session_id", "Legislative session the filing applies to"),
+      str("user_id", "User id of the person who entered the filing"),
+      lng("special_audit", "Denotes whether the filing underwent a special audit"),
+      lng("fine_audit", "Denotes whether a fine audit was performed"),
+      date("rpt_start", "Start date of the period the report covers, M/D/YYYY"),
+      date("rpt_end", "End date of the period the report covers, M/D/YYYY"),
+      date("rpt_date", "Date the report was filed, M/D/YYYY in the raw file"),
+      lng("filing_type", "Type code of the filing"))),
+    uniqueKey = Seq("filer_id", "filing_id", "form_id", "filing_sequence"),
+    dateFields = Seq("filing_date", "rpt_start", "rpt_end", "rpt_date"))
 
   /** ≙ LOOKUP_CODES_CD — the dimension/decode table
     * (`models/inactive.py:~400`). */
@@ -174,30 +223,64 @@ object Schemas {
     datetimeFields = Seq("effect_dt"))
 
   /** ≙ EXPN_CD — itemized expenditures (`models/campaign.py`), the second
-    * big fact table; same shape class as rcpt_cd. */
+    * big fact table; same shape class as rcpt_cd. FULL declared column
+    * set in raw-TSV order (public CAL-ACCESS file documentation). */
   val expnCd: TableDef = TableDef(
     name = "expn_cd",
     schema = StructType(Seq(
-      StructField("filing_id", LongType, nullable = true,
-        doc("Unique filing identification number")),
-      StructField("amend_id", LongType, nullable = true,
-        doc("Amendment identification number; 0 is the original")),
-      StructField("line_item", LongType, nullable = true,
-        doc("Line item number of this record")),
-      StructField("rec_type", StringType, nullable = true,
-        doc("Record type, always EXPN")),
-      StructField("form_type", StringType, nullable = true,
-        doc("Schedule of the form on which the expense is reported")),
-      StructField("payee_naml", StringType, nullable = true,
-        doc("Payee last name or organization name")),
-      StructField("payee_city", StringType, nullable = true,
-        doc("Payee city")),
-      StructField("expn_date", DateType, nullable = true,
-        doc("Date of the expenditure, M/D/YYYY in the raw file")),
-      StructField("amount", DecimalType(14, 2), nullable = true,
-        doc("Amount paid to the payee")),
-      StructField("expn_code", StringType, nullable = true,
-        doc("Expense code from the lookup-code domain")))),
+      lng("filing_id", "Unique filing identification number"),
+      lng("amend_id", "Amendment identification number; 0 is the original"),
+      lng("line_item", "Line item number of this record"),
+      str("rec_type", "Record type, always EXPN"),
+      str("form_type", "Schedule of the form on which the expense is reported"),
+      str("tran_id", "Permanent transaction id, unique within the filing"),
+      str("payee_naml", "Payee last name or organization name"),
+      str("payee_namf", "Payee first name"),
+      str("payee_namt", "Payee name title or prefix"),
+      str("payee_nams", "Payee name suffix"),
+      str("payee_city", "Payee city"),
+      str("payee_st", "Payee state"),
+      str("payee_zip4", "Payee ZIP+4"),
+      str("entity_cd", "Entity code of the payee (IND, COM, OTH, PTY, SCC)"),
+      date("expn_date", "Date of the expenditure, M/D/YYYY in the raw file"),
+      money("amount", "Amount paid to the payee in the period of the statement"),
+      money("cum_ytd", "Cumulative year-to-date amount paid to this payee"),
+      money("cum_oth", "Cumulative other (F401 second total) amount"),
+      str("expn_chkno", "Check number of the expenditure"),
+      str("expn_code", "Expense code from the lookup-code domain"),
+      str("expn_dscr", "Purpose of the expense beyond the standard code"),
+      str("agent_naml", "Agent or independent contractor last name"),
+      str("agent_namf", "Agent or independent contractor first name"),
+      str("agent_namt", "Agent or independent contractor name title"),
+      str("agent_nams", "Agent or independent contractor name suffix"),
+      str("cmte_id", "Committee identification number of the payee committee"),
+      str("tres_naml", "Treasurer or responsible officer last name"),
+      str("tres_namf", "Treasurer or responsible officer first name"),
+      str("tres_namt", "Treasurer or responsible officer name title"),
+      str("tres_nams", "Treasurer or responsible officer name suffix"),
+      str("tres_city", "Treasurer or responsible officer city"),
+      str("tres_st", "Treasurer or responsible officer state"),
+      str("tres_zip4", "Treasurer or responsible officer ZIP+4"),
+      str("memo_code", "Memo amount flag"),
+      str("memo_refno", "Reference number to a text memo (TEXT_MEMO_CD)"),
+      str("bal_name", "Ballot measure name"),
+      str("bal_num", "Ballot measure number or letter"),
+      str("bal_juris", "Ballot measure jurisdiction"),
+      str("sup_opp_cd", "Support or opposition code (S/O)"),
+      str("cand_naml", "Candidate last name"),
+      str("cand_namf", "Candidate first name"),
+      str("cand_namt", "Candidate name title or prefix"),
+      str("cand_nams", "Candidate name suffix"),
+      str("office_cd", "Office sought code"),
+      str("offic_dscr", "Office sought description"),
+      str("juris_cd", "Office jurisdiction code"),
+      str("juris_dscr", "Office jurisdiction description"),
+      str("dist_no", "Office district number"),
+      str("off_s_h_cd", "Office is sought or held code"),
+      str("g_from_e_f", "Back-reference from Schedule G to Schedule E or F"),
+      str("xref_schnm", "Related record is on the referenced schedule"),
+      str("xref_match", "Related record is included on the referenced schedule (x)"),
+      str("bakref_tid", "Back-reference to a transaction id in a parent record"))),
     uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type",
       "form_type"),
     dateFields = Seq("expn_date"))
@@ -414,32 +497,112 @@ object Schemas {
       "form_type"))
 
   /** ≙ CVR_CAMPAIGN_DISCLOSURE_CD — campaign-disclosure cover page
-    * (`models/campaign.py`): reporting-period and election dates. */
+    * (`models/campaign.py`). FULL declared column set in raw-TSV order
+    * (public CAL-ACCESS file documentation): filer/candidate/treasurer
+    * identity+address blocks, reporting-period and election dates, and
+    * the F461/F465 business-interest fields. */
   val cvrCampaignDisclosureCd: TableDef = TableDef(
     name = "cvr_campaign_disclosure_cd",
     schema = StructType(Seq(
-      StructField("filing_id", LongType, nullable = true,
-        doc("Unique filing identification number")),
-      StructField("amend_id", LongType, nullable = true,
-        doc("Amendment identification number; 0 is the original")),
-      StructField("rec_type", StringType, nullable = true,
-        doc("Record type of the cover page, always CVR")),
-      StructField("form_type", StringType, nullable = true,
-        doc("Form filed (F450, F460, F461, ...)")),
-      StructField("filer_id", LongType, nullable = true,
-        doc("Filer unique identification number")),
-      StructField("filer_naml", StringType, nullable = true,
-        doc("Filer last name or committee name")),
-      StructField("rpt_date", DateType, nullable = true,
-        doc("Date the report was prepared, M/D/YYYY in the raw file")),
-      StructField("from_date", DateType, nullable = true,
-        doc("Reporting period start date, M/D/YYYY in the raw file")),
-      StructField("thru_date", DateType, nullable = true,
-        doc("Reporting period end date, M/D/YYYY in the raw file")),
-      StructField("elect_date", DateType, nullable = true,
-        doc("Date of the election, M/D/YYYY in the raw file")))),
+      lng("filing_id", "Unique filing identification number"),
+      lng("amend_id", "Amendment identification number; 0 is the original"),
+      str("rec_type", "Record type of the cover page, always CVR"),
+      str("form_type", "Form filed (F450, F460, F461, ...)"),
+      lng("filer_id", "Filer unique identification number"),
+      str("entity_cd", "Entity code of the filer"),
+      str("filer_naml", "Filer last name or committee name"),
+      str("filer_namf", "Filer first name"),
+      str("filer_namt", "Filer name title or prefix"),
+      str("filer_nams", "Filer name suffix"),
+      str("filer_adr1", "Filer street address line 1"),
+      str("filer_adr2", "Filer street address line 2"),
+      str("filer_city", "Filer city"),
+      str("filer_st", "Filer state"),
+      str("filer_zip4", "Filer ZIP+4"),
+      str("filer_phon", "Filer phone number"),
+      str("filer_fax", "Filer fax number"),
+      str("file_email", "Filer email address"),
+      date("rpt_date", "Date the report was prepared, M/D/YYYY in the raw file"),
+      date("from_date", "Reporting period start date, M/D/YYYY in the raw file"),
+      date("thru_date", "Reporting period end date, M/D/YYYY in the raw file"),
+      date("elect_date", "Date of the election, M/D/YYYY in the raw file"),
+      date("rptfromdt", "Attached-report period start date, M/D/YYYY"),
+      date("rptthrudt", "Attached-report period end date, M/D/YYYY"),
+      str("late_rptno", "Identifying number of a late report"),
+      str("report_num", "Report number; 000 original, 001+ amendments"),
+      str("reportname", "Name of the attached report (450, 460, 461, ...)"),
+      str("stmt_type", "Type of statement (PE pre-election, QT quarterly, ...)"),
+      str("amendexp_1", "Amendment explanation line 1"),
+      str("amendexp_2", "Amendment explanation line 2"),
+      str("amendexp_3", "Amendment explanation line 3"),
+      str("cmtte_id", "Committee id of a recipient committee"),
+      str("cmtte_type", "Committee type (C candidate controlled, ...)"),
+      str("control_yn", "Is the committee candidate-controlled? (y/n)"),
+      str("sponsor_yn", "Is the committee sponsored? (y/n)"),
+      str("primfrm_yn", "Is this the primarily-formed committee? (y/n)"),
+      str("brdbase_yn", "Is the committee broad-based? (y/n)"),
+      lng("cand_id", "Candidate identification number"),
+      str("cand_naml", "Candidate last name"),
+      str("cand_namf", "Candidate first name"),
+      str("cand_namt", "Candidate name title or prefix"),
+      str("cand_nams", "Candidate name suffix"),
+      str("cand_adr1", "Candidate street address line 1"),
+      str("cand_adr2", "Candidate street address line 2"),
+      str("cand_city", "Candidate city"),
+      str("cand_st", "Candidate state"),
+      str("cand_zip4", "Candidate ZIP+4"),
+      str("cand_phon", "Candidate phone number"),
+      str("cand_fax", "Candidate fax number"),
+      str("cand_email", "Candidate email address"),
+      str("office_cd", "Office sought code"),
+      str("offic_dscr", "Office sought description"),
+      str("juris_cd", "Office jurisdiction code"),
+      str("juris_dscr", "Office jurisdiction description"),
+      str("dist_no", "Office district number"),
+      str("off_s_h_cd", "Office is sought or held code"),
+      str("sup_opp_cd", "Support or opposition code (S/O)"),
+      str("bal_name", "Ballot measure name"),
+      str("bal_num", "Ballot measure number or letter"),
+      str("bal_id", "Ballot measure identification number"),
+      str("bal_juris", "Ballot measure jurisdiction"),
+      str("tres_naml", "Treasurer last name"),
+      str("tres_namf", "Treasurer first name"),
+      str("tres_namt", "Treasurer name title or prefix"),
+      str("tres_nams", "Treasurer name suffix"),
+      str("tres_adr1", "Treasurer street address line 1"),
+      str("tres_adr2", "Treasurer street address line 2"),
+      str("tres_city", "Treasurer city"),
+      str("tres_st", "Treasurer state"),
+      str("tres_zip4", "Treasurer ZIP+4"),
+      str("tres_phon", "Treasurer phone number"),
+      str("tres_fax", "Treasurer fax number"),
+      str("tres_email", "Treasurer email address"),
+      str("occupation", "Occupation of the filer (F461, F465)"),
+      str("employer", "Employer of the filer (F461, F465)"),
+      str("selfemp_cb", "Is the filer self-employed? checkbox"),
+      str("bus_name", "Name of the filer's business (F461)"),
+      str("bus_adr1", "Business street address line 1"),
+      str("bus_adr2", "Business street address line 2"),
+      str("bus_city", "Business city"),
+      str("bus_st", "Business state"),
+      str("bus_zip4", "Business ZIP+4"),
+      str("bus_inter", "Business interest of the filer"),
+      str("busact_cb", "Business activity checkbox"),
+      str("busactvity", "Description of the business activity"),
+      str("assoc_cb", "Association interests checkbox"),
+      str("assoc_int", "Description of the association interests"),
+      str("other_cb", "Other interests checkbox"),
+      str("other_int", "Description of the other interests"),
+      str("emplbus_cb", "Employer or business checkbox"),
+      str("rpt_att_cb", "Checkbox: a report is attached"),
+      str("mail_adr1", "Mailing street address line 1"),
+      str("mail_adr2", "Mailing street address line 2"),
+      str("mail_city", "Mailing address city"),
+      str("mail_st", "Mailing address state"),
+      str("mail_zip4", "Mailing address ZIP+4"))),
     uniqueKey = Seq("filing_id", "amend_id", "rec_type", "form_type"),
-    dateFields = Seq("rpt_date", "from_date", "thru_date", "elect_date"))
+    dateFields = Seq("rpt_date", "from_date", "thru_date", "elect_date",
+      "rptfromdt", "rptthrudt"))
 
   /** ≙ FILER_LINKS_CD — relationships between filer entities
     * (`models/common.py`): the graph edge table. */

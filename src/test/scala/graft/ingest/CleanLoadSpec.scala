@@ -18,10 +18,10 @@ class CleanLoadSpec extends SparkTestBase {
 
   test("field-count split routes short and long rows to errs") {
     assert(cleaned.good.count() === 6)
-    assert(cleaned.bad.count() === 2) // one 2-field row, one 18-field row
+    assert(cleaned.bad.count() === 2) // one 2-field row, one 64-field row
     val badCounts = cleaned.bad.select("n_fields")
       .collect().map(_.getInt(0)).sorted
-    assert(badCounts === Array(2, 18))
+    assert(badCounts === Array(2, 64))
   }
 
   test("good and bad partition is disjoint and exhaustive") {
