@@ -341,11 +341,11 @@ object DedupQueries {
     * ties. Returns (ida, idb) with ida < idb. */
   def verifiedNearDupEdges(docs: DataFrame, tau: Double = 0.5,
       numHashes: Int = DefaultNumHashes,
-      bandRows: Int = DefaultBandRows): DataFrame = {
-    val toksOf = docs.select(col("doc_id"),
-      array_distinct(split(col("text"), " ")).as("toks"))
+      bandRows: Int = DefaultBandRows,
+      tokens: Column = unigramTokens): DataFrame = {
+    val toksOf = docs.select(col("doc_id"), tokens.as("toks"))
     val inter = size(array_intersect(col("ta"), col("tb")))
-    minhashCandidates(docs, numHashes, bandRows)
+    minhashCandidates(docs, numHashes, bandRows, tokens)
       .join(toksOf.select(col("doc_id").as("ida"), col("toks").as("ta")),
         "ida")
       .join(toksOf.select(col("doc_id").as("idb"), col("toks").as("tb")),
