@@ -108,15 +108,23 @@ object AggQueries {
     * exact count and asserts the boolean TRUE — so the driver's hash
     * compare now verifies both the group cardinalities AND that the
     * sketch landed inside its advertised rsd envelope (0.01 configured,
-    * 5% asserted). `ApproxDistinctSpec` remains the tighter value pin. */
+    * 5% asserted). `ApproxDistinctSpec` remains the tighter value pin.
+    *
+    * Plan shape: mixing countDistinct with a non-distinct agg in ONE
+    * groupBy makes Catalyst plan an Expand (2× every input row) — 3× the
+    * runtime at sf0.1. HLL++ is duplicate-insensitive, so both counts
+    * instead run over a first-level distinct-pairs agg: two map-side-
+    * combinable hash aggs, no Expand, and the second agg's input is
+    * |distinct pairs|, not |rows| — also the 100 TB-preferred shape. */
   val aggApproxDistinct = GQuery(
     "agg_approx_distinct",
     (s, d) =>
       Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_partkey")).distinct()
         .groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))
+          count(lit(1)).as("exact_parts"))
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("approx_parts").cast(DoubleType) -
             col("exact_parts").cast(DoubleType)) <=
