@@ -134,6 +134,25 @@ class PlanSpec extends SparkTestBase {
     assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 3, p)
   }
 
+  test("agg_approx_distinct plans no Expand — the distinct pre-agg form") {
+    // mixing countDistinct with a non-distinct agg in one groupBy makes
+    // Catalyst plan an Expand (2x every input row, 3x runtime at sf0.1);
+    // the query avoids it by pre-aggregating distinct pairs, so both
+    // counts run Expand-free and map-side-combinable
+    val p = plan("agg_approx_distinct")
+    assert(!p.contains("Expand"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p) // 2x partial+final
+  }
+
+  test("amend_latest: one agg shuffle + one window shuffle, no cartesian") {
+    val p = plan("amend_latest")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p) // latestAmendment's declared-key window
+    // exchanges: pre-agg keys, window keys, and the final orderBy range
+    // partitioning — anything beyond that means a lost co-partitioning
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 3, p)
+  }
+
   test("heavy_hitters reuses the vocab exchange; no one-partition window") {
     val df = SparkEntry.queries("heavy_hitters")(spark, sf)
     // no Window node at all: the grand total is a 1-row agg broadcast
