@@ -54,6 +54,39 @@ object StreamRunner {
       .withWatermark("ts", watermark)
       .dropDuplicates("event_id")
 
+  /** X2 in-flight: streaming NEAR-dup filter for a document stream —
+    * continuous-ingestion dedup for a training-data pipeline, where
+    * re-crawled boilerplate should be dropped before it ever lands.
+    *
+    * Per-row MinHash signature (`array_min` over `transform` — the same
+    * shuffle-free expressions as `DedupQueries.minhashSignaturesFast`, a
+    * narrow map fused into the source scan, so the ONLY stateful node is
+    * the dedup itself), one LSH band key over `bandRows` signature rows,
+    * then `dropDuplicatesWithinWatermark` on that key: first-seen doc
+    * passes, later band-colliders are dropped while their key is inside
+    * the watermark horizon — which also bounds the state store, the
+    * unbounded-stream feasibility condition.
+    *
+    * Approximation semantics (documented, not hidden): one band catches
+    * a near-dup pair of Jaccard s with probability s^bandRows (s=0.9,
+    * r=2 → 81%; exact dups always collide). Batch-side `dedup_cluster`
+    * remains the exhaustive form; production recall stacks by running b
+    * band-keyed passes (the batch S-curve math in `minhashWidthFor`).
+    * The window the watermark sets is the dedup horizon — re-crawls
+    * separated by more than it intentionally pass (corpus refresh). */
+  def nearDupFilter(docs: DataFrame, watermark: String = "1 hour",
+      bandRows: Int = 2): DataFrame = {
+    val toks = array_distinct(split(col("text"), " "))
+    val sigRows = (0 until bandRows).map(i =>
+      array_min(transform(toks,
+        t => md5(concat(lit(i.toString), lit(":"), t)))))
+    docs
+      .withColumn("band_key", md5(concat(sigRows: _*)))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("band_key")
+      .drop("band_key")
+  }
+
   /** T7: stream-stream interval join — purchases matched to the same
     * user's clicks in the preceding 10 minutes. Both sides are
     * watermarked and the join condition carries the time bound, which is

@@ -135,6 +135,34 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming near-dup filter drops band-colliding docs, passes distinct") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[StreamingSpec.Doc]
+    val sink = s"neardup_sink_${System.nanoTime()}"
+    val q = StreamRunner.nearDupFilter(source.toDF())
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def doc(id: Long, offSec: Int, text: String) =
+      StreamingSpec.Doc(id, new Timestamp(base + offSec * 1000L), text)
+    // batch 1: two distinct docs
+    source.addData(
+      doc(1, 0, "the quick brown fox jumps over the lazy dog"),
+      doc(2, 1, "entirely different words about spark streaming state"))
+    q.processAllAvailable()
+    // batch 2: an exact dup of doc 1 (same tokens → same signature →
+    // same band key → dropped) and one more distinct doc
+    source.addData(
+      doc(3, 2, "quick brown fox jumps over the lazy dog the"),
+      doc(4, 3, "yet another unrelated document with fresh vocabulary"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table(sink).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept === Array(1L, 2L, 4L), kept.mkString(","))
+  }
+
   test("stateful dedup drops replayed event_ids across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -157,4 +185,5 @@ object StreamingSpec {
   // top-level so Spark can derive an Encoder (inner classes can't)
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
+  case class Doc(doc_id: Long, ts: Timestamp, text: String)
 }
