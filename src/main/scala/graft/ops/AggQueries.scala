@@ -120,6 +120,10 @@ object AggQueries {
     "agg_approx_distinct",
     (s, d) =>
       Tables.lineitem(s, d)
+        // NULL partkeys would count as a distinct pair here but are
+        // excluded by the oracle's COUNT(DISTINCT) — drop them so both
+        // sides agree on any data shape
+        .where(col("l_partkey").isNotNull)
         .select(col("l_returnflag"), col("l_partkey")).distinct()
         .groupBy(col("l_returnflag"))
         .agg(

@@ -289,12 +289,16 @@ object JoinQueries {
 
   /** Write the two bucketed tables at most once per (process, sfDir);
     * returns the (lineitem, orders) catalog table names. Names embed the
-    * sanitized sfDir so two data dirs in one JVM (specs + bench) can't
-    * read each other's layout. */
+    * sanitized sfDir plus its hash — the sanitization alone is lossy
+    * ("/sf0.1" and "/sf0_1" collide), and a collision would silently
+    * cross-wire two dirs' tables — so two data dirs in one JVM (specs +
+    * bench) can't read each other's layout. Assumes the dir's parquet is
+    * immutable for the process lifetime (true of the testdata dirs). */
   private def ensureBucketed(s: org.apache.spark.sql.SparkSession,
       d: String): (String, String) =
     bucketedWritten.getOrElseUpdate(d, {
-      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + (d.hashCode.toLong & 0xffffffffL).toHexString
       val base = s"${graft.GraftSession.scratchDir}/bq_$tag"
       val (tl, to) = (s"graft_bq_lineitem_$tag", s"graft_bq_orders_$tag")
       s.sql(s"DROP TABLE IF EXISTS $tl")

@@ -53,36 +53,43 @@ object VectorQueries {
       ORDER BY vec_id
     """))
 
-  /** X3 brute-force cosine top-k: 5 nearest neighbors of vec_id 0. The
-    * probe vector is collected once (one tiny lookup job) and inlined as
-    * a LITERAL array with its norm pre-folded on the driver in the same
-    * left-to-right order the executor-side `aggregate` uses — bit-identical
-    * doubles, but the scan needs no broadcast join stage. Top-5 goes
-    * through orderBy+limit (TakeOrderedAndProject: per-partition heaps,
-    * no shuffle) instead of a single-partition global window; ordering and
-    * tie-breaks are unchanged. Output carries only integer ids/ranks so
-    * the hash can never wobble on float ulps. */
+  /** Brute-force cosine top-`topK` neighbors of vec_id 0 as
+    * (rnk, neighbor_id) — the ONE implementation of the exact form,
+    * shared by `sim_topk` and the IVF entries' hash anchor so a
+    * tie-break or rounding change can never diverge them. The probe
+    * vector is collected once (one tiny lookup job) and inlined as a
+    * LITERAL array with its norm pre-folded on the driver in the same
+    * left-to-right order the executor-side `aggregate` uses —
+    * bit-identical doubles, but the scan needs no broadcast join stage.
+    * Top-K goes through orderBy+limit (TakeOrderedAndProject:
+    * per-partition heaps, no shuffle) instead of a single-partition
+    * global window. Output carries only integer ids/ranks so the hash
+    * can never wobble on float ulps. */
+  private def bruteTopK(s: org.apache.spark.sql.SparkSession, d: String,
+      topK: Int): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val probe: Seq[Double] = e.filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), _.cast(DoubleType)))
+      .head().getSeq[Double](0).toSeq
+    val pnorm = math.sqrt(probe.foldLeft(0.0)((acc, x) => acc + x * x))
+    val litProbe = array(probe.map(lit): _*)
+    e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id").as("neighbor_id"),
+        (dot(col("embedding"), litProbe) /
+          (sqrt(sumSq(col("embedding"))) * lit(pnorm))).as("sim"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+      .limit(topK)
+      .select(row_number().over(
+        Window.orderBy(col("sim").desc, col("neighbor_id")))
+        .cast(LongType).as("rnk"),
+        col("neighbor_id"))
+  }
+
+  /** X3 brute-force cosine top-k: 5 nearest neighbors of vec_id 0 via
+    * [[bruteTopK]]. */
   val simTopk = GQuery(
     "sim_topk",
-    (s, d) => {
-      val e = Tables.embeddings(s, d)
-      val probe: Seq[Double] = e.filter(col("vec_id") === 0)
-        .select(transform(col("embedding"), _.cast(DoubleType)))
-        .head().getSeq[Double](0).toSeq
-      val pnorm = math.sqrt(probe.foldLeft(0.0)((acc, x) => acc + x * x))
-      val litProbe = array(probe.map(lit): _*)
-      e.filter(col("vec_id") =!= 0)
-        .select(col("vec_id").as("neighbor_id"),
-          (dot(col("embedding"), litProbe) /
-            (sqrt(sumSq(col("embedding"))) * lit(pnorm))).as("sim"))
-        .orderBy(col("sim").desc, col("neighbor_id"))
-        .limit(5)
-        .select(row_number().over(
-          Window.orderBy(col("sim").desc, col("neighbor_id")))
-          .cast(LongType).as("rnk"),
-          col("neighbor_id"))
-        .orderBy("rnk")
-    },
+    (s, d) => bruteTopK(s, d, topK = 5).orderBy("rnk"),
     Some("""
       WITH probe AS (SELECT embedding AS probe_emb FROM embeddings WHERE vec_id = 0),
       sims AS (
@@ -290,41 +297,31 @@ object VectorQueries {
     * list_cosine_similarity) plus a `recall_ok` TOLERANCE BOOLEAN: the
     * IVF probe's top-`topK` must hit ≥ `minHits` of the brute-force set
     * (recall@5 ≥ 0.6, the `AnnSkewSpec` pin promoted into the driver
-    * gate — the oracle asserts the boolean TRUE). The recall join is a
-    * broadcast of a ≤topK-row IVF result against a ≤topK-row brute
-    * result, then a 1-row aggregate broadcast back onto the output —
-    * bounded regardless of corpus size. */
+    * gate — the oracle asserts the boolean TRUE). The recall flag is a
+    * windowed sum over the ≤topK joined rows (bounded single partition
+    * by construction), so the corpus-scanning brute top-K evaluates
+    * exactly ONCE per invocation. */
   private def ivfWithRecall(s: org.apache.spark.sql.SparkSession, d: String,
-      index: Ann.IvfIndex, topK: Int = 5, nProbe: Int = 3,
+      index: Ann.IvfIndex, topK: Int = IvfTopK, nProbe: Int = 3,
       minHits: Int = 3): org.apache.spark.sql.DataFrame = {
-    val e = Tables.embeddings(s, d)
-    val probe: Seq[Double] = e.filter(col("vec_id") === 0)
-      .select(transform(col("embedding"), _.cast(DoubleType)))
-      .head().getSeq[Double](0).toSeq
-    val pnorm = math.sqrt(probe.foldLeft(0.0)((acc, x) => acc + x * x))
-    val litProbe = array(probe.map(lit): _*)
-    val brute = e.filter(col("vec_id") =!= 0)
-      .select(col("vec_id").as("neighbor_id"),
-        (dot(col("embedding"), litProbe) /
-          (sqrt(sumSq(col("embedding"))) * lit(pnorm))).as("sim"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-      .limit(topK)
-      .select(row_number().over(
-        Window.orderBy(col("sim").desc, col("neighbor_id")))
-        .cast(LongType).as("rnk"),
-        col("neighbor_id"))
+    val brute = bruteTopK(s, d, topK)
     val ivf = Ann.query(index, probeId = 0, topK = topK, nProbe = nProbe)
       .select(col("neighbor_id"), lit(1L).as("hit"))
-    val recall = brute.join(broadcast(ivf), Seq("neighbor_id"), "left")
-      .agg((sum(coalesce(col("hit"), lit(0L))) >= minHits).as("recall_ok"))
-    brute.crossJoin(broadcast(recall))
-      .select(col("rnk"), col("neighbor_id"), col("recall_ok"))
+    brute.join(broadcast(ivf), Seq("neighbor_id"), "left")
+      .select(col("rnk"), col("neighbor_id"),
+        (sum(coalesce(col("hit"), lit(0L)))
+          .over(Window.partitionBy()) >= minHits).as("recall_ok"))
       .orderBy("rnk")
   }
 
-  /** DuckDB twin of [[ivfWithRecall]]: the same brute-force top-5 (the
-    * hash anchor) with the recall boolean asserted TRUE. */
-  private val ivfRecallOracle = """
+  /** topK shared by [[ivfWithRecall]] and [[ivfRecallOracle]] so the
+    * Spark form and its DuckDB twin can't drift apart on row count. */
+  private val IvfTopK = 5
+
+  /** DuckDB twin of [[ivfWithRecall]] at the same `topK`: the same
+    * brute-force top-K (the hash anchor) with the recall boolean
+    * asserted TRUE. */
+  private val ivfRecallOracle = s"""
       WITH probe AS (SELECT embedding AS probe_emb FROM embeddings WHERE vec_id = 0),
       sims AS (
         SELECT e.vec_id AS neighbor_id,
@@ -335,7 +332,7 @@ object VectorQueries {
       FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk,
                    neighbor_id
             FROM sims)
-      WHERE rnk <= 5
+      WHERE rnk <= $IvfTopK
       ORDER BY rnk
     """
 

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -73,18 +73,30 @@ object StreamRunner {
     * remains the exhaustive form; production recall stacks by running b
     * band-keyed passes (the batch S-curve math in `minhashWidthFor`).
     * The window the watermark sets is the dedup horizon — re-crawls
-    * separated by more than it intentionally pass (corpus refresh). */
+    * separated by more than it intentionally pass (corpus refresh).
+    *
+    * NULL/empty text carries no dup evidence, and dropDuplicates treats
+    * NULL keys as equal — without the split below, every null-text doc
+    * after the first would be silently discarded. Such docs bypass the
+    * dedup state entirely (union of two filters on one source — no
+    * extra scan of a streaming source).
+    *
+    * `tokens` is the token unit (default word unigrams, same caveat as
+    * the batch path: pass shingles on small-vocabulary corpora —
+    * `DedupQueries.unigramTokens` doc, `AutoWidthSpec`). */
   def nearDupFilter(docs: DataFrame, watermark: String = "1 hour",
-      bandRows: Int = 2): DataFrame = {
-    val toks = array_distinct(split(col("text"), " "))
+      bandRows: Int = 2,
+      tokens: Column = graft.ops.DedupQueries.unigramTokens): DataFrame = {
     val sigRows = (0 until bandRows).map(i =>
-      array_min(transform(toks,
+      array_min(transform(tokens,
         t => md5(concat(lit(i.toString), lit(":"), t)))))
-    docs
+    val hasText = col("text").isNotNull && trim(col("text")) =!= ""
+    val deduped = docs.filter(hasText)
       .withColumn("band_key", md5(concat(sigRows: _*)))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("band_key")
       .drop("band_key")
+    deduped.unionByName(docs.filter(!hasText))
   }
 
   /** T7: stream-stream interval join — purchases matched to the same

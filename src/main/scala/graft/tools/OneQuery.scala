@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.{GraftSession, SparkEntry}
+import graft.{GraftSession, SparkEntry, Verify}
 
 /** Dev loop helper: run ONE registry query by name and dump its result
   * parquet + oracle_sql.json in the Verify layout, so
@@ -17,17 +17,9 @@ object OneQuery {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries(name)(spark, sfDir)
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val oracle = SparkEntry.oracleSql.get(name)
-      .map(sql => s"${q(name)}: ${q(sql.trim)}").mkString("{", "", "}")
+      .map(sql => s"${Verify.jsonStr(name)}: ${Verify.jsonStr(sql.trim)}")
+      .mkString("{", "", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), oracle)
     spark.stop()

@@ -152,15 +152,19 @@ class StreamingSpec extends SparkTestBase {
       doc(2, 1, "entirely different words about spark streaming state"))
     q.processAllAvailable()
     // batch 2: an exact dup of doc 1 (same tokens → same signature →
-    // same band key → dropped) and one more distinct doc
+    // same band key → dropped), one more distinct doc, and two
+    // null/empty-text docs (no dup evidence — must BOTH pass, not
+    // collide on a null band key)
     source.addData(
       doc(3, 2, "quick brown fox jumps over the lazy dog the"),
-      doc(4, 3, "yet another unrelated document with fresh vocabulary"))
+      doc(4, 3, "yet another unrelated document with fresh vocabulary"),
+      doc(5, 4, null),
+      doc(6, 5, ""))
     q.processAllAvailable()
     q.stop()
     val kept = spark.table(sink).select("doc_id")
       .collect().map(_.getLong(0)).sorted
-    assert(kept === Array(1L, 2L, 4L), kept.mkString(","))
+    assert(kept === Array(1L, 2L, 4L, 5L, 6L), kept.mkString(","))
   }
 
   test("stateful dedup drops replayed event_ids across batches") {
