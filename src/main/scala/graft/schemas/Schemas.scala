@@ -62,6 +62,8 @@ object Schemas {
     StructField(n, DateType, nullable = true, doc(d))
   private def money(n: String, d: String): StructField =
     StructField(n, DecimalType(14, 2), nullable = true, doc(d))
+  private def money16(n: String, d: String): StructField =
+    StructField(n, DecimalType(16, 2), nullable = true, doc(d))
 
   /** ≙ RCPT_CD — itemized receipts, the biggest CAL-ACCESS table
     * (~10M rows; `models/campaign.py:~1800`). FULL declared column set in
@@ -379,33 +381,49 @@ object Schemas {
   val s497Cd: TableDef = TableDef(
     name = "s497_cd",
     schema = StructType(Seq(
-      StructField("filing_id", LongType, nullable = true,
-        doc("Unique filing identification number")),
-      StructField("amend_id", LongType, nullable = true,
-        doc("Amendment identification number; 0 is the original")),
-      StructField("line_item", LongType, nullable = true,
-        doc("Line item number of this record")),
-      StructField("rec_type", StringType, nullable = true,
-        doc("Record type of the transaction, always S497")),
-      StructField("form_type", StringType, nullable = true,
-        doc("Part of the 497 form the record belongs to (F497P1/F497P2)")),
-      StructField("tran_id", StringType, nullable = true,
-        doc("Permanent value unique within the filing")),
-      StructField("entity_cd", StringType, nullable = true,
-        doc("Entity code of the contributor/recipient")),
-      StructField("enty_naml", StringType, nullable = true,
-        doc("Entity last name or organization name")),
-      StructField("enty_city", StringType, nullable = true,
-        doc("Entity city")),
-      StructField("elec_date", DateType, nullable = true,
-        doc("Date of the election, M/D/YYYY in the raw file")),
-      StructField("ctrib_date", DateType, nullable = true,
-        doc("Date the contribution was received, M/D/YYYY in the raw file")),
-      StructField("amount", DecimalType(16, 2), nullable = true,
-        doc("Amount received or contributed")))),
+      lng("filing_id", "Unique filing identification number"),
+      lng("amend_id", "Amendment identification number; 0 is the original"),
+      lng("line_item", "Line item number of this record"),
+      str("rec_type", "Record type of the transaction, always S497"),
+      str("form_type", "Part of the 497 form the record belongs to (F497P1/F497P2)"),
+      str("tran_id", "Permanent transaction id, unique within the filing"),
+      str("entity_cd", "Entity code of the contributor/recipient"),
+      str("enty_naml", "Entity last name or organization name"),
+      str("enty_namf", "Entity first name"),
+      str("enty_namt", "Entity name title or prefix"),
+      str("enty_nams", "Entity name suffix"),
+      str("enty_city", "Entity city"),
+      str("enty_st", "Entity state"),
+      str("enty_zip4", "Entity ZIP+4"),
+      str("ctrib_emp", "Contributor employer"),
+      str("ctrib_occ", "Contributor occupation"),
+      str("ctrib_self", "Is the contributor self-employed? (y/n)"),
+      date("elec_date", "Date of the election, M/D/YYYY in the raw file"),
+      date("ctrib_date", "Date the contribution was received, M/D/YYYY in the raw file"),
+      date("date_thru", "End of date range the contribution was received, M/D/YYYY"),
+      money16("amount", "Amount received or contributed"),
+      str("cmte_id", "Committee identification number"),
+      lng("cand_id", "Candidate identification number"),
+      str("cand_naml", "Candidate last name"),
+      str("cand_namf", "Candidate first name"),
+      str("cand_namt", "Candidate name title or prefix"),
+      str("cand_nams", "Candidate name suffix"),
+      str("office_cd", "Office sought code"),
+      str("offic_dscr", "Office sought description"),
+      str("juris_cd", "Office jurisdiction code"),
+      str("juris_dscr", "Office jurisdiction description"),
+      str("dist_no", "Office district number"),
+      str("off_s_h_cd", "Office is sought or held code"),
+      str("bal_id", "Ballot measure identification number"),
+      str("bal_name", "Ballot measure name"),
+      str("bal_num", "Ballot measure number or letter"),
+      str("bal_juris", "Ballot measure jurisdiction"),
+      str("sup_opp_cd", "Support or opposition code (S/O)"),
+      str("memo_code", "Memo amount flag"),
+      str("memo_refno", "Reference number to a text memo (TEXT_MEMO_CD)"))),
     uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type",
       "form_type"),
-    dateFields = Seq("elec_date", "ctrib_date"))
+    dateFields = Seq("elec_date", "ctrib_date", "date_thru"))
 
   /** ≙ LATT_CD — lobbyist contribution attachments
     * (`models/lobbying.py`). */
@@ -785,10 +803,16 @@ object Schemas {
       StructField("exp_date", DateType, nullable = true,
         doc("Date of the expenditure, M/D/YYYY in the raw file")),
       StructField("expn_dscr", StringType, nullable = true,
-        doc("Description of the expenditure")))),
+        doc("Description of the expenditure")),
+      StructField("date_thru", DateType, nullable = true,
+        doc("End of date range the expenditure was made, M/D/YYYY")),
+      StructField("memo_code", StringType, nullable = true,
+        doc("Memo amount flag")),
+      StructField("memo_refno", StringType, nullable = true,
+        doc("Reference number to a text memo (TEXT_MEMO_CD)")))),
     uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type",
       "form_type"),
-    dateFields = Seq("exp_date"))
+    dateFields = Seq("exp_date", "date_thru"))
 
   /** ≙ S498_CD — Form 498 late payments received by slate mailers
     * (`models/campaign.py`). */

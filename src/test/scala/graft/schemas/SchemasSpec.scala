@@ -31,6 +31,12 @@ class SchemasSpec extends AnyFunSuite {
     val expn = Schemas.expnCd.schema.fieldNames.toSet
     for (c <- Seq("agent_naml", "g_from_e_f", "expn_chkno", "cum_oth"))
       assert(expn.contains(c), s"expn_cd.$c missing")
+    // second tier: the late-filing schedules at full width
+    assert(Schemas.s497Cd.schema.length === 40)
+    assert(Schemas.s496Cd.schema.length === 12)
+    val s497 = Schemas.s497Cd.schema.fieldNames.toSet
+    for (c <- Seq("ctrib_occ", "date_thru", "bal_juris", "memo_refno"))
+      assert(s497.contains(c), s"s497_cd.$c missing")
   }
 
   test("every field carries non-empty help_text metadata") {
