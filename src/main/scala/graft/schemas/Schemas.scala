@@ -319,30 +319,61 @@ object Schemas {
   val loanCd: TableDef = TableDef(
     name = "loan_cd",
     schema = StructType(Seq(
-      StructField("filing_id", LongType, nullable = true,
-        doc("Unique filing identification number")),
-      StructField("amend_id", LongType, nullable = true,
-        doc("Amendment identification number; 0 is the original")),
-      StructField("line_item", LongType, nullable = true,
-        doc("Line item number of this record")),
-      StructField("rec_type", StringType, nullable = true,
-        doc("Record type of the transaction, always LOAN")),
-      StructField("form_type", StringType, nullable = true,
-        doc("Schedule of the form on which the loan is reported")),
-      StructField("tran_id", StringType, nullable = true,
-        doc("Permanent value unique within the filing")),
-      StructField("lndr_naml", StringType, nullable = true,
-        doc("Lender last name or organization name")),
-      StructField("loan_amt1", DecimalType(14, 2), nullable = true,
-        doc("Amount of the loan received/made this period")),
-      StructField("loan_amt2", DecimalType(14, 2), nullable = true,
-        doc("Outstanding balance of the loan")),
-      StructField("loan_date1", DateType, nullable = true,
-        doc("Date the loan was made, M/D/YYYY in the raw file")),
-      StructField("loan_date2", DateType, nullable = true,
-        doc("Date the loan is due, M/D/YYYY in the raw file")),
-      StructField("loan_rate", StringType, nullable = true,
-        doc("Interest rate of the loan, free text")))),
+      lng("filing_id", "Unique filing identification number"),
+      lng("amend_id", "Amendment identification number; 0 is the original"),
+      lng("line_item", "Line item number of this record"),
+      str("rec_type", "Record type of the transaction, always LOAN"),
+      str("form_type", "Schedule of the form on which the loan is reported (B1/B2/H...)"),
+      str("tran_id", "Permanent transaction id, unique within the filing"),
+      str("loan_type", "Type of loan"),
+      str("entity_cd", "Entity code of the lender (IND, COM, OTH, PTY, SCC)"),
+      str("lndr_naml", "Lender last name or organization name"),
+      str("lndr_namf", "Lender first name"),
+      str("lndr_namt", "Lender name title or prefix"),
+      str("lndr_nams", "Lender name suffix"),
+      str("loan_adr1", "Lender street address line 1"),
+      str("loan_adr2", "Lender street address line 2"),
+      str("loan_city", "Lender city"),
+      str("loan_st", "Lender state"),
+      str("loan_zip4", "Lender ZIP+4"),
+      str("loan_emp", "Lender employer"),
+      str("loan_occ", "Lender occupation"),
+      str("loan_self", "Is the lender self-employed? (y/n)"),
+      date("loan_date1", "Date the loan was made or received, M/D/YYYY in the raw file"),
+      date("loan_date2", "Date the loan is due, M/D/YYYY in the raw file"),
+      money("loan_amt1", "Amount of the loan received/made this period"),
+      money("loan_amt2", "Outstanding balance of the loan"),
+      money("loan_amt3", "Cumulative amount to date"),
+      money("loan_amt4", "Outstanding balance at the beginning of the period"),
+      money("loan_amt5", "Amount paid this period"),
+      money("loan_amt6", "Amount forgiven this period"),
+      money("loan_amt7", "Amount of interest paid this period"),
+      money("loan_amt8", "Original amount of the loan"),
+      str("loan_rate", "Interest rate of the loan, free text"),
+      str("intr_naml", "Intermediary last name or organization name"),
+      str("intr_namf", "Intermediary first name"),
+      str("intr_namt", "Intermediary name title or prefix"),
+      str("intr_nams", "Intermediary name suffix"),
+      str("intr_adr1", "Intermediary street address line 1"),
+      str("intr_adr2", "Intermediary street address line 2"),
+      str("intr_city", "Intermediary city"),
+      str("intr_st", "Intermediary state"),
+      str("intr_zip4", "Intermediary ZIP+4"),
+      str("cmte_id", "Committee identification number of the lender committee"),
+      str("tres_naml", "Treasurer last name"),
+      str("tres_namf", "Treasurer first name"),
+      str("tres_namt", "Treasurer name title or prefix"),
+      str("tres_nams", "Treasurer name suffix"),
+      str("tres_adr1", "Treasurer street address line 1"),
+      str("tres_adr2", "Treasurer street address line 2"),
+      str("tres_city", "Treasurer city"),
+      str("tres_st", "Treasurer state"),
+      str("tres_zip4", "Treasurer ZIP+4"),
+      str("memo_code", "Memo amount flag"),
+      str("memo_refno", "Reference number to a text memo (TEXT_MEMO_CD)"),
+      str("bakref_tid", "Back-reference to a transaction id in a parent record"),
+      str("xref_schnm", "Related record is on the referenced schedule"),
+      str("xref_match", "Related record is included on the referenced schedule (x)"))),
     uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type",
       "form_type"),
     dateFields = Seq("loan_date1", "loan_date2"))

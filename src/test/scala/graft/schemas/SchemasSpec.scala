@@ -31,12 +31,17 @@ class SchemasSpec extends AnyFunSuite {
     val expn = Schemas.expnCd.schema.fieldNames.toSet
     for (c <- Seq("agent_naml", "g_from_e_f", "expn_chkno", "cum_oth"))
       assert(expn.contains(c), s"expn_cd.$c missing")
-    // second tier: the late-filing schedules at full width
+    // second tier: the late-filing schedules + Schedule B loans at
+    // full width
     assert(Schemas.s497Cd.schema.length === 40)
     assert(Schemas.s496Cd.schema.length === 12)
+    assert(Schemas.loanCd.schema.length === 55)
     val s497 = Schemas.s497Cd.schema.fieldNames.toSet
     for (c <- Seq("ctrib_occ", "date_thru", "bal_juris", "memo_refno"))
       assert(s497.contains(c), s"s497_cd.$c missing")
+    val loan = Schemas.loanCd.schema.fieldNames.toSet
+    for (c <- Seq("loan_amt8", "intr_naml", "xref_match", "loan_rate"))
+      assert(loan.contains(c), s"loan_cd.$c missing")
   }
 
   test("every field carries non-empty help_text metadata") {
