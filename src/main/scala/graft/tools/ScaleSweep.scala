@@ -58,6 +58,25 @@ object ScaleSweep {
         DedupQueries.verifiedNearDupEdges(docs, tau = 0.5,
           numHashes = numHashes, bandRows = bandRows, tokens = toks))
         .select(col("id"), col("component"))
+    }),
+    // The IVF build over the replica dirs alone is overhead-bound (20k
+    // vectors at R=10 — too small to register); this probe amplifies the
+    // corpus ×16 with replica-perturbed vectors so the k-means build's
+    // growth curve is actually measurable: R=1 → 32k vectors, R=10 →
+    // 320k. The perturbation is an APPENDED 65th coordinate (array_append
+    // keeps the replica column out of any HOF lambda — an outer-attribute
+    // reference inside `transform` fails binding in some plan shapes);
+    // vectors stay distinct across replicas so Lloyd's does real work,
+    // and ids shift so vec_id 0 still exists exactly once.
+    "ivf_sweep" -> ((s, dir) => {
+      val mult = 16
+      val big = graft.Tables.embeddings(s, dir)
+        .crossJoin(broadcast(s.range(mult).select(col("id").as("m"))))
+        .select((col("vec_id") * mult + col("m")).as("vec_id"),
+          array_append(col("embedding"),
+            (col("m") % 7).cast("float") * lit(0.01f)).as("embedding"))
+      val idx = graft.ops.Ann.build(big, k = 8)
+      graft.ops.Ann.query(idx, probeId = 0, topK = 5, nProbe = 3)
     }))
 
   private def replicate(df: DataFrame, r: Int, shiftCols: Seq[String]): DataFrame =
