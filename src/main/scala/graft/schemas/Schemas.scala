@@ -197,9 +197,12 @@ object Schemas {
       StructField("amount_b", DecimalType(16, 2), nullable = true,
         doc("Summary amount from column B")),
       StructField("amount_c", DecimalType(16, 2), nullable = true,
-        doc("Summary amount from column C")))),
+        doc("Summary amount from column C")),
+      StructField("elec_dt", DateType, nullable = true,
+        doc("Date of the election, M/D/YYYY in the raw file")))),
     uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type",
-      "form_type"))
+      "form_type"),
+    dateFields = Seq("elec_dt"))
 
   /** ≙ FILERNAME_CD — the filer directory (`models/common.py`), carries a
     * datetime column exercising the P5 `M/d/yyyy h:mm:ss a` coercion. */
@@ -382,28 +385,39 @@ object Schemas {
   val debtCd: TableDef = TableDef(
     name = "debt_cd",
     schema = StructType(Seq(
-      StructField("filing_id", LongType, nullable = true,
-        doc("Unique filing identification number")),
-      StructField("amend_id", LongType, nullable = true,
-        doc("Amendment identification number; 0 is the original")),
-      StructField("line_item", LongType, nullable = true,
-        doc("Line item number of this record")),
-      StructField("rec_type", StringType, nullable = true,
-        doc("Record type of the transaction, always DEBT")),
-      StructField("form_type", StringType, nullable = true,
-        doc("Schedule of the form on which the debt is reported")),
-      StructField("tran_id", StringType, nullable = true,
-        doc("Permanent value unique within the filing")),
-      StructField("payee_naml", StringType, nullable = true,
-        doc("Creditor last name or organization name")),
-      StructField("amt_incur", DecimalType(14, 2), nullable = true,
-        doc("Amount incurred this period")),
-      StructField("amt_paid", DecimalType(14, 2), nullable = true,
-        doc("Amount paid this period")),
-      StructField("beg_bal", DecimalType(14, 2), nullable = true,
-        doc("Outstanding balance at the beginning of the period")),
-      StructField("end_bal", DecimalType(14, 2), nullable = true,
-        doc("Outstanding balance at the end of the period")))),
+      lng("filing_id", "Unique filing identification number"),
+      lng("amend_id", "Amendment identification number; 0 is the original"),
+      lng("line_item", "Line item number of this record"),
+      str("rec_type", "Record type of the transaction, always DEBT"),
+      str("form_type", "Schedule of the form on which the debt is reported, always F"),
+      str("tran_id", "Permanent transaction id, unique within the filing"),
+      str("entity_cd", "Entity code of the creditor (IND, COM, OTH, PTY, SCC)"),
+      str("payee_naml", "Creditor last name or organization name"),
+      str("payee_namf", "Creditor first name"),
+      str("payee_namt", "Creditor name title or prefix"),
+      str("payee_nams", "Creditor name suffix"),
+      str("payee_city", "Creditor city"),
+      str("payee_st", "Creditor state"),
+      str("payee_zip4", "Creditor ZIP+4"),
+      money("amt_incur", "Amount incurred this period"),
+      money("amt_paid", "Amount paid this period"),
+      money("beg_bal", "Outstanding balance at the beginning of the period"),
+      money("end_bal", "Outstanding balance at the end of the period"),
+      str("expn_code", "Expense code from the lookup-code domain"),
+      str("expn_dscr", "Purpose of the debt beyond the standard code"),
+      str("cmte_id", "Committee identification number of the creditor committee"),
+      str("tres_naml", "Treasurer last name"),
+      str("tres_namf", "Treasurer first name"),
+      str("tres_namt", "Treasurer name title or prefix"),
+      str("tres_nams", "Treasurer name suffix"),
+      str("tres_city", "Treasurer city"),
+      str("tres_st", "Treasurer state"),
+      str("tres_zip4", "Treasurer ZIP+4"),
+      str("memo_code", "Memo amount flag"),
+      str("memo_refno", "Reference number to a text memo (TEXT_MEMO_CD)"),
+      str("bakref_tid", "Back-reference to a transaction id in a parent record"),
+      str("xref_schnm", "Related record is on the referenced schedule"),
+      str("xref_match", "Related record is included on the referenced schedule (x)"))),
     uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type",
       "form_type"))
 

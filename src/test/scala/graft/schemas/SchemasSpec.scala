@@ -42,6 +42,8 @@ class SchemasSpec extends AnyFunSuite {
     val loan = Schemas.loanCd.schema.fieldNames.toSet
     for (c <- Seq("loan_amt8", "intr_naml", "xref_match", "loan_rate"))
       assert(loan.contains(c), s"loan_cd.$c missing")
+    assert(Schemas.debtCd.schema.length === 33)
+    assert(Schemas.smryCd.schema.length === 9) // full SMRY_CD incl. elec_dt
   }
 
   test("every field carries non-empty help_text metadata") {
