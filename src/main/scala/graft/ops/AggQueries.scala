@@ -332,6 +332,57 @@ object AggQueries {
       ORDER BY l_linestatus
     """))
 
+  /** EXACT percentiles via a value HISTOGRAM — the 100 TB exact form for
+    * LOW-CARDINALITY value domains (quantities, scores, ages: here
+    * l_quantity has ~50 distinct values). `agg_percentile` above buffers
+    * every row into its group's sort buffer — exact but
+    * memory-proportional to the group. This query instead shuffles only
+    * the (group, value, count) histogram (map-side combined: the shuffle
+    * carries |groups|·|distinct values| rows, ~150 here, regardless of
+    * row count), then interpolates the continuous rank r = (n−1)·p
+    * inside each value's cumulative span — bit-identical results to
+    * percentile()/quantile_cont by construction, same oracle. The
+    * precondition is the documented contract: for unbounded-cardinality
+    * doubles use `agg_approx_percentile` below instead. */
+  val aggPercentileHist = GQuery(
+    "agg_percentile_hist",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      def r4(c: Column) =
+        round(c, 4).cast(DecimalType(38, 4)).cast(DoubleType)
+      val hist = Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus").as("g"),
+          col("l_quantity").cast(DoubleType).as("v"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("g").orderBy("v")
+      val spans = hist
+        .withColumn("cum_end", sum(col("c")).over(w) - 1)
+        .withColumn("cum_start", col("cum_end") - col("c") + 1)
+        .join(hist.groupBy("g").agg(sum(col("c")).as("n")), "g")
+      def interp(p: Double): Column = {
+        val r = (col("n") - 1) * lit(p)
+        val vf = max(when(floor(r).between(col("cum_start"), col("cum_end")),
+          col("v")))
+        val vc = max(when(ceil(r).between(col("cum_start"), col("cum_end")),
+          col("v")))
+        val rq = max(r)
+        vf + (rq - floor(rq)) * (vc - vf)
+      }
+      spans.groupBy(col("g").as("l_linestatus"))
+        .agg(r4(interp(0.25)).as("p25"), r4(interp(0.5)).as("p50"),
+          r4(interp(0.75)).as("p75"))
+        .orderBy("l_linestatus")
+    },
+    Some("""
+      SELECT l_linestatus,
+             CAST(CAST(round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 4) AS DECIMAL(38,4)) AS DOUBLE) AS p25,
+             CAST(CAST(round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 4) AS DECIMAL(38,4)) AS DOUBLE) AS p50,
+             CAST(CAST(round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75), 4) AS DECIMAL(38,4)) AS DOUBLE) AS p75
+      FROM lineitem
+      GROUP BY l_linestatus
+      ORDER BY l_linestatus
+    """))
+
   /** A5-adjacent scale path for percentiles, driver-visible: Spark's
     * approx_percentile (Greenwald–Khanna summaries — bounded memory per
     * group, mergeable partials, ONE pass) versus the exact sort-based
@@ -488,6 +539,6 @@ object AggQueries {
 
   def all: Seq[GQuery] = Seq(aggCount, aggGroup, aggMinmax, aggDistinct,
     aggApproxDistinct, aggAvg, aggRollup, aggCube, aggConditional, aggPivot,
-    aggStats, aggPercentile, aggApproxPercentile, aggListagg, aggArgmax,
-    aggGroupingSets, aggSalted)
+    aggStats, aggPercentile, aggPercentileHist, aggApproxPercentile,
+    aggListagg, aggArgmax, aggGroupingSets, aggSalted)
 }
