@@ -1,7 +1,11 @@
 package graft
 
 /** Benchmark main: runs every registry query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line with total + per-query seconds.
+  * prints the full JSON line with total + per-query seconds, writes the
+  * same line to SPARK_GRAFT_BENCH_FULL (default
+  * /root/repo/bench_full_latest.json — archivable per round), and ends
+  * stdout with a compact {"total_s",…} summary line that survives the
+  * driver's bounded tail capture.
   *
   * Queries run in registry (declaration) order so per-query timings are
   * comparable across rounds. A small warm-up action runs first so the
@@ -91,7 +95,24 @@ object Bench {
       jstr(k) + ":" + jstr(e.take(200))
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(full)
+    // Truncation-proofing (round-7 verdict): the driver archives a bounded
+    // TAIL of stdout, so on a long registry the full line's HEAD — which
+    // carried the total — could be cut. Two belts: (a) the complete JSON
+    // is also written to a repo file the round can archive; (b) a compact
+    // summary is printed as the LAST stdout line, nearest the preserved
+    // tail end, so the headline numbers always survive capture.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "/root/repo/bench_full_latest.json")
+    try {
+      val w = new java.io.PrintWriter(fullPath, "UTF-8")
+      try w.println(full) finally w.close()
+    } catch { case e: Throwable =>
+      println(s"""{"warn":"bench full-json write failed","err":${jstr(e.getMessage.take(120))}}""")
+    }
+    val nErr = results.count(_._3.isDefined)
+    println(s"""{"total_s":${jnum(total)},"n":${results.size},"errors_n":$nErr,"reps":$reps,"full":${jstr(fullPath)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

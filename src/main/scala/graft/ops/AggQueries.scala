@@ -351,6 +351,11 @@ object AggQueries {
       def r4(c: Column) =
         round(c, 4).cast(DecimalType(38, 4)).cast(DoubleType)
       val hist = Tables.lineitem(s, d)
+        // quantile_cont ignores NULLs; without this filter a NULL value
+        // would become a histogram row (NULLS FIRST in the window) that
+        // shifts every cumulative span and inflates n. TPC-H l_quantity
+        // is never null, but the operator must not depend on that.
+        .where(col("l_quantity").isNotNull)
         .groupBy(col("l_linestatus").as("g"),
           col("l_quantity").cast(DoubleType).as("v"))
         .agg(count(lit(1)).as("c"))

@@ -268,6 +268,80 @@ object CoreQueries {
       FROM events
     """))
 
+  /** §3 verify/lineage stage end-to-end, driver-visible
+    * (`verifycalaccessrawdata.py:~30-90` + `models/tracking.py:~150-260`):
+    * two table loads are synthesized from the events table (split by
+    * user_id parity; 1-in-97 rows malformed, same trick as
+    * `ingest_pipeline`), driven through Clean→Load→`Tracking.forTable`,
+    * and the resulting RawDataFile-star metrics rows
+    * (download/clean/load/error counts) are emitted with the verify
+    * step's `consistent` invariant recomputed in-frame
+    * (download = clean + error AND load = clean). The oracle recomputes
+    * every count independently from the typed source and asserts
+    * consistent TRUE, so a mis-routed row on either side of the split
+    * fails the hash loudly. The counts are distributed aggregations; the
+    * driver holds one metrics row per table — the cardinality of the
+    * reference's RawDataFile table, not of the data. */
+  val trackingVerify = GQuery(
+    "tracking_verify",
+    (s, d) => {
+      import graft.ingest.{Clean, Load}
+      import graft.meta.Tracking
+      import graft.schemas.Schemas.TableDef
+      val tdef = TableDef(
+        name = "events_raw",
+        schema = StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("ev_date", DateType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DecimalType(14, 2)),
+          StructField("props", StringType))),
+        uniqueKey = Seq("event_id"),
+        dateFields = Seq("ev_date"))
+      val line = concat_ws("\t",
+        col("event_id"), date_format(col("ts"), "M/d/yyyy"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      def loadSplit(name: String, parity: Int): Tracking.FileMetrics = {
+        val lines = Tables.events(s, d)
+          .filter(col("user_id") % 2 === parity)
+          .select(when(col("event_id") % 97 === 0,
+            concat(line, lit("\textra"))).otherwise(line).as("value"))
+        val cleaned = Clean.clean(tdef, lines)
+        Tracking.forTable(name, cleaned, Load.load(tdef, cleaned.good))
+      }
+      Tracking.toDf(s,
+          Seq(loadSplit("events_even", 0), loadSplit("events_odd", 1)))
+        .select(col("tableName").as("table_name"),
+          col("downloadRecords").as("download_records"),
+          col("cleanRecords").as("clean_records"),
+          col("loadRecords").as("load_records"),
+          col("errorRecords").as("error_records"))
+        .withColumn("consistent",
+          col("download_records") ===
+            col("clean_records") + col("error_records") &&
+            col("load_records") === col("clean_records"))
+        .orderBy("table_name")
+    },
+    Some("""
+      SELECT 'events_even' AS table_name,
+             CAST(COUNT(*) AS BIGINT) AS download_records,
+             CAST(COUNT(*) FILTER (WHERE event_id % 97 <> 0) AS BIGINT) AS clean_records,
+             CAST(COUNT(*) FILTER (WHERE event_id % 97 <> 0) AS BIGINT) AS load_records,
+             CAST(COUNT(*) FILTER (WHERE event_id % 97 = 0) AS BIGINT) AS error_records,
+             TRUE AS consistent
+      FROM events WHERE user_id % 2 = 0
+      UNION ALL
+      SELECT 'events_odd',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) FILTER (WHERE event_id % 97 <> 0) AS BIGINT),
+             CAST(COUNT(*) FILTER (WHERE event_id % 97 <> 0) AS BIGINT),
+             CAST(COUNT(*) FILTER (WHERE event_id % 97 = 0) AS BIGINT),
+             TRUE
+      FROM events WHERE user_id % 2 = 1
+      ORDER BY table_name
+    """))
+
   /** W1 end-to-end over a CAL-ACCESS-shaped frame: the reference's single
     * most documented consumption pattern — latest-amendment-wins on
     * UNIQUE_KEY minus the amendment counter (`models/common.py:~200-260`)
@@ -514,6 +588,7 @@ object CoreQueries {
 
   def all: Seq[GQuery] = Seq(q1Pricing, filterPred, loadTyped, loadDatetime,
     decimalCast, cleanSplitGood, cleanSplitBad, strClean, ingestPipeline,
-    amendLatest, sqlSurface, subqueryCorr, recursiveCte, scd2Merge)
+    trackingVerify, amendLatest, sqlSurface, subqueryCorr, recursiveCte,
+    scd2Merge)
 }
 

@@ -295,7 +295,16 @@ object JoinQueries {
     * bench) can't read each other's layout. Assumes the dir's parquet is
     * immutable for the process lifetime (true of the testdata dirs). */
   private def ensureBucketed(s: org.apache.spark.sql.SparkSession,
-      d: String): (String, String) =
+      d: String): (String, String) = {
+    // The memo caches CATALOG names, but saveAsTable entries live in the
+    // SparkContext-scoped in-memory catalog: a stopped-and-recreated
+    // session in the same JVM (specs do this) would get cached names for
+    // tables that no longer exist. Validate against the live catalog and
+    // rebuild on a miss rather than fail with TABLE_OR_VIEW_NOT_FOUND.
+    bucketedWritten.get(d).foreach { case (tl, to) =>
+      if (!s.catalog.tableExists(tl) || !s.catalog.tableExists(to))
+        bucketedWritten.remove(d)
+    }
     bucketedWritten.getOrElseUpdate(d, {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_") +
         "_" + (d.hashCode.toLong & 0xffffffffL).toHexString
@@ -317,6 +326,7 @@ object JoinQueries {
         .format("parquet").saveAsTable(to)
       (tl, to)
     })
+  }
 
   val bucketedJoin = GQuery(
     "bucketed_join",

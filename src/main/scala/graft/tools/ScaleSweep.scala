@@ -102,8 +102,9 @@ object ScaleSweep {
         // the iterative/index paths (judge r06 #8): connected-components
         // rounds and the k-means IVF build are the last unmeasured
         // 100 TB claims — both must stay ~linear in R. cluster_sweep is
-        // the unbounded probe form of dedup_cluster (see `probes`).
-        "cluster_sweep", "sim_ivf")
+        // the unbounded probe form of dedup_cluster, ivf_sweep the
+        // ×16-amplified IVF build (see `probes`).
+        "cluster_sweep", "sim_ivf", "ivf_sweep")
     val spark = graft.GraftSession.local(4, "graft-scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -122,9 +123,20 @@ object ScaleSweep {
       .groupBy("r_name").count().collect()
 
     val scales = Seq(1, 4, maxR).distinct.filter(_ <= maxR)
+    // The done-marker is VERSIONED by the replica recipe (source dir +
+    // fact/shift set + dim set): a stale /tmp/graft_scale survivor from a
+    // sweep built with a different table set must force regeneration, not
+    // silently serve old data to the new probe.
+    val recipe = {
+      val desc = src + "|" +
+        factShifts.toSeq.sortBy(_._1)
+          .map { case (t, cs) => t + ":" + cs.mkString(",") }
+          .mkString(";") + "|" + dims.sorted.mkString(",")
+      (desc.hashCode.toLong & 0xffffffffL).toHexString
+    }
     for (r <- scales) {
       val dir = s"/tmp/graft_scale/r$r"
-      val done = new java.io.File(s"$dir/_SWEEP_DONE")
+      val done = new java.io.File(s"$dir/_SWEEP_DONE_$recipe")
       if (!done.exists()) {
         for ((t, shifts) <- factShifts) {
           val df = spark.read.parquet(s"$src/$t.parquet")
