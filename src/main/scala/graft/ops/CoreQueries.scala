@@ -410,6 +410,90 @@ object CoreQueries {
       ORDER BY filing_id, line_item
     """))
 
+  /** The lobbying side's consumption semantics, end-to-end
+    * (`models/lobbying.py:~900` LobbyingChgLogCd): the registry CHANGE
+    * FEED — one row per (filer, change_no), latest change wins — versus
+    * the campaign side's amendment chains above. The feed is synthesized
+    * from customer keys (each filer gets 1–4 sequential changes with an
+    * evolving filer_type and a correction flag every third change),
+    * rendered as a raw header-cased all-string frame and driven through
+    * `Load.load` with the real `lobbying_chg_log_cd` TableDef — so the
+    * M/d/yyyy date parse, ''→NULL on the correction flag, and long
+    * coercion are what the oracle verifies, not a hand-typed frame.
+    * Consumption = one window per filer ordered by change_no: previous
+    * type (lag), days since the previous change (lag delta), and the
+    * latest-state resolution (is_current on max change_no). Shape: one
+    * narrow synthesis map + ONE window shuffle on filer_id — change
+    * chains are short (≤ dozens in real data), no skew. */
+  val lobbyingChg = GQuery(
+    "lobbying_chg",
+    (s, d) => {
+      import graft.ingest.Load
+      import graft.schemas.Schemas
+      import org.apache.spark.sql.expressions.Window
+      val feed = Tables.customer(s, d)
+        .filter(col("c_custkey") <= 1500)
+        .select(col("c_custkey").cast(LongType).as("filer_id"),
+          explode(sequence(lit(1L),
+            col("c_custkey").cast(LongType) % 4 + 1)).as("change_no"),
+          col("c_nationkey").cast(LongType).as("nk"))
+        .select(
+          col("filer_id").cast(StringType).as("FILER_ID"),
+          col("change_no").cast(StringType).as("CHANGE_NO"),
+          lit("2015").as("SESSION_ID"),
+          date_format(date_add(lit("2015-01-01").cast(DateType),
+            (col("filer_id") % 300 + col("change_no") * 45)
+              .cast(IntegerType)), "M/d/yyyy").as("LOG_DT"),
+          ((col("nk") + col("change_no")) % 5 + 1).cast(StringType)
+            .as("FILER_TYPE"),
+          when(col("change_no") % 3 === 0, lit("Y")).otherwise(lit(""))
+            .as("CORRECTION_FLAG"))
+      val typed = Load.load(Schemas.lobbyingChgLogCd, feed)
+      val w = Window.partitionBy("filer_id").orderBy("change_no")
+      typed
+        .withColumn("prev_type", lag(col("filer_type"), 1).over(w))
+        .withColumn("days_since_prev",
+          datediff(col("log_dt"), lag(col("log_dt"), 1).over(w))
+            .cast(LongType))
+        .withColumn("is_current",
+          col("change_no") === max(col("change_no"))
+            .over(Window.partitionBy("filer_id")))
+        .select(col("filer_id"), col("change_no"), col("log_dt"),
+          col("filer_type"), col("prev_type"), col("days_since_prev"),
+          col("correction_flag"), col("is_current"))
+        .orderBy("filer_id", "change_no")
+    },
+    Some("""
+      WITH feed AS (
+        SELECT CAST(c_custkey AS BIGINT) AS filer_id,
+               CAST(t.change_no AS BIGINT) AS change_no,
+               CAST(c_nationkey AS BIGINT) AS nk
+        FROM customer,
+             unnest(generate_series(1, CAST(c_custkey AS BIGINT) % 4 + 1))
+               AS t(change_no)
+        WHERE c_custkey <= 1500),
+      typed AS (
+        SELECT filer_id, change_no,
+               DATE '2015-01-01'
+                 + CAST(filer_id % 300 + change_no * 45 AS INTEGER)
+                 AS log_dt,
+               CAST((nk + change_no) % 5 + 1 AS BIGINT) AS filer_type,
+               CASE WHEN change_no % 3 = 0 THEN 'Y' ELSE NULL END
+                 AS correction_flag
+        FROM feed)
+      SELECT filer_id, change_no, log_dt, filer_type,
+             LAG(filer_type) OVER (PARTITION BY filer_id
+                                   ORDER BY change_no) AS prev_type,
+             CAST(datediff('day',
+               LAG(log_dt) OVER (PARTITION BY filer_id ORDER BY change_no),
+               log_dt) AS BIGINT) AS days_since_prev,
+             correction_flag,
+             change_no = MAX(change_no) OVER (PARTITION BY filer_id)
+               AS is_current
+      FROM typed
+      ORDER BY filer_id, change_no
+    """))
+
   /** §3.3 read path: the reference's consumers speak SQL (ORM → SQL →
     * RDBMS); here the same ANSI text runs through spark.sql over
     * registered views — CTE + window + join through the SQL frontend,
@@ -588,7 +672,7 @@ object CoreQueries {
 
   def all: Seq[GQuery] = Seq(q1Pricing, filterPred, loadTyped, loadDatetime,
     decimalCast, cleanSplitGood, cleanSplitBad, strClean, ingestPipeline,
-    trackingVerify, amendLatest, sqlSurface, subqueryCorr, recursiveCte,
-    scd2Merge)
+    trackingVerify, amendLatest, lobbyingChg, sqlSurface, subqueryCorr,
+    recursiveCte, scd2Merge)
 }
 

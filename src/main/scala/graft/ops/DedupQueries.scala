@@ -74,6 +74,17 @@ object DedupQueries {
   private def docTokens(docs: DataFrame, tokens: Column): DataFrame =
     docs.select(col("doc_id"), explode(tokens).as("tok"))
 
+  /** ONE per-row LSH band key over the first `bandRows` signature rows —
+    * the shuffle-free expression shared by the streaming
+    * `StreamRunner.nearDupFilter` and its batch twin `neardup_filter`
+    * below (array_min over transform: no explode, no groupBy; fuses into
+    * the source scan). Same md5-permutation family as
+    * `minhashSignatures`, so DuckDB can recompute it exactly. */
+  def lshBandKey(tokens: Column, bandRows: Int): Column =
+    md5(concat((0 until bandRows).map(i =>
+      array_min(transform(tokens,
+        t => md5(concat(lit(i.toString), lit(":"), t))))): _*))
+
   /** MinHash signature matrix: one min-md5 per permutation seed. */
   def minhashSignatures(docs: DataFrame,
       numHashes: Int = DefaultNumHashes,
@@ -481,7 +492,63 @@ object DedupQueries {
       ORDER BY doc_id
     """))
 
+  /** The streaming near-dup filter's BATCH twin, driver-visible (the
+    * stream side stays spec-pinned in `StreamingSpec`): one LSH band key
+    * per doc (bandRows=2 signature rows via `lshBandKey`), deterministic
+    * keep-FIRST per band bucket (row_number on doc_id — batch
+    * dropDuplicates' keep is nondeterministic, so the analog pins the
+    * order the stream gets from arrival time), null/empty-text docs pass
+    * through unharmed exactly as in `nearDupFilter` (no dup evidence →
+    * bypass the dedup key, where NULLs would all collide). Shape: one
+    * narrow map fused into the scan + one window shuffle on band_key —
+    * the same hash-partitioned form the streaming state store uses, so
+    * the batch and stream paths scale identically.
+    *
+    * Keep-rate caveat: on THIS synthetic corpus (~31-word vocabulary)
+    * the word-unigram band key collapses most docs into few buckets —
+    * the documented unigram pathology (`unigramTokens` doc,
+    * `AutoWidthSpec`), not an engine property; the query keeps the
+    * stream twin's default token unit so the two paths stay
+    * bit-comparable. Production corpora pass shingles via the `tokens`
+    * parameter on both paths. */
+  val nearDupFilterBatch = GQuery(
+    "neardup_filter",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val hasText = col("text").isNotNull && trim(col("text")) =!= ""
+      val w = Window.partitionBy("band_key").orderBy("doc_id")
+      docs.filter(hasText)
+        .withColumn("band_key", lshBandKey(unigramTokens, 2))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"))
+        .unionByName(docs.filter(!hasText).select(col("doc_id")))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH dtoks AS (
+        SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS tok
+        FROM documents
+        WHERE text IS NOT NULL AND trim(text) <> ''),
+      sigs AS (
+        SELECT doc_id,
+               MIN(md5('0:' || tok)) AS s0, MIN(md5('1:' || tok)) AS s1
+        FROM dtoks GROUP BY doc_id),
+      ranked AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (PARTITION BY md5(s0 || s1)
+                                  ORDER BY doc_id) AS rn
+        FROM sigs)
+      SELECT doc_id FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT doc_id FROM documents
+      WHERE text IS NULL OR trim(text) = ''
+      ORDER BY doc_id
+    """))
+
   def all: Seq[GQuery] =
     Seq(dedupMinhashSig, dedupMinhashLsh, dedupSimhash, dedupSimhashJoin,
-      dedupMinhashFast, dedupMinhashVerify, dedupCluster)
+      dedupMinhashFast, dedupMinhashVerify, dedupCluster,
+      nearDupFilterBatch)
 }

@@ -87,12 +87,10 @@ object StreamRunner {
   def nearDupFilter(docs: DataFrame, watermark: String = "1 hour",
       bandRows: Int = 2,
       tokens: Column = graft.ops.DedupQueries.unigramTokens): DataFrame = {
-    val sigRows = (0 until bandRows).map(i =>
-      array_min(transform(tokens,
-        t => md5(concat(lit(i.toString), lit(":"), t)))))
     val hasText = col("text").isNotNull && trim(col("text")) =!= ""
     val deduped = docs.filter(hasText)
-      .withColumn("band_key", md5(concat(sigRows: _*)))
+      .withColumn("band_key",
+        graft.ops.DedupQueries.lshBandKey(tokens, bandRows))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("band_key")
       .drop("band_key")
