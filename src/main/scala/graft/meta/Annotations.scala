@@ -36,22 +36,138 @@ object Annotations {
   final case class FilingForm(id: String, title: String,
       sections: Seq[String] = Nil)
 
+  // ——— shared documented code sets (≙ the reference's choices
+  // constants, reused across every model that carries the column; all
+  // from the public CAL-ACCESS documentation) ———
+
+  /** Campaign-side ENTITY_CD — who the itemized party is. */
+  private val campaignEntity = Seq(
+    Choice("BNM", "Ballot measure's name or title"),
+    Choice("CAO", "Candidate or officeholder"),
+    Choice("COM", "Committee"),
+    Choice("CTL", "Controlled committee"),
+    Choice("IND", "Individual"),
+    Choice("MDI", "Major donor or independent expenditure committee"),
+    Choice("OFF", "Officer"),
+    Choice("OTH", "Other"),
+    Choice("PTY", "Political party"),
+    Choice("RCP", "Recipient committee"),
+    Choice("SCC", "Small contributor committee"),
+    Choice("SMO", "Slate-mailer organization"))
+
+  /** Lobbying-side ENTITY_CD. */
+  private val lobbyEntity = Seq(
+    Choice("FRM", "Lobbying firm"),
+    Choice("IND", "Individual"),
+    Choice("LBY", "Lobbyist"),
+    Choice("LCO", "Lobbying coalition"),
+    Choice("LEM", "Lobbyist employer"),
+    Choice("OTH", "Other"))
+
+  private val supOpp = Seq(
+    Choice("O", "Opposition"),
+    Choice("S", "Support"))
+
+  private val offSoughtHeld = Seq(
+    Choice("H", "Office held"),
+    Choice("S", "Office sought"))
+
+  private val memoCode = Seq(
+    Choice("X", "Memo amount (not included in totals)"))
+
+  /** JURIS_CD — jurisdiction of the office or measure. */
+  private val jurisCodes = Seq(
+    Choice("ASM", "Assembly district"),
+    Choice("BOE", "Board of Equalization district"),
+    Choice("CIT", "City"),
+    Choice("CTY", "County"),
+    Choice("LOC", "Local"),
+    Choice("OTH", "Other"),
+    Choice("SEN", "Senate district"),
+    Choice("STW", "Statewide"))
+
+  /** OFFICE_CD — the statewide offices plus the common local set (the
+    * reference documents the same directory; this is the
+    * consumption-critical core). */
+  private val officeCodes = Seq(
+    Choice("APP", "State Appellate Court Justice"),
+    Choice("ASM", "State Assembly Person"),
+    Choice("ASR", "Assessor"),
+    Choice("ATT", "Attorney General"),
+    Choice("BED", "Board of Education"),
+    Choice("BOE", "Board of Equalization Member"),
+    Choice("CAT", "City Attorney"),
+    Choice("CCM", "City Council Member"),
+    Choice("CON", "State Controller"),
+    Choice("COU", "County Counsel"),
+    Choice("DAT", "District Attorney"),
+    Choice("GOV", "Governor"),
+    Choice("INS", "Insurance Commissioner"),
+    Choice("LTG", "Lieutenant Governor"),
+    Choice("MAY", "Mayor"),
+    Choice("OTH", "Other"),
+    Choice("SCJ", "Superior Court Judge"),
+    Choice("SEN", "State Senator"),
+    Choice("SHC", "Sheriff-Coroner"),
+    Choice("SOS", "Secretary of State"),
+    Choice("SPM", "Supreme Court Justice"),
+    Choice("SUP", "Superintendent of Public Instruction"),
+    Choice("TRE", "State Treasurer"))
+
+  /** RCPT_CD TRAN_TYPE — receipt transaction subtypes. */
+  private val tranType = Seq(
+    Choice("F", "Forgiven loan"),
+    Choice("I", "Intermediary"),
+    Choice("R", "Returned"),
+    Choice("T", "Third-party repayment"),
+    Choice("X", "Transfer"))
+
+  private val actvtyLvl = Seq(
+    Choice("CI", "City"),
+    Choice("CO", "County"),
+    Choice("ST", "State"))
+
+  /** The fifteen full-width tables (SchemasSpec pins their widths) — the
+    * scope the shared sets below are seeded against, and the scope the
+    * completeness test in AnnotationsSpec checks. */
+  val fullWidthTables: Seq[TableDef] = {
+    import graft.schemas.Schemas._
+    Seq(rcptCd, expnCd, cvrCampaignDisclosureCd, filerFilingsCd, s497Cd,
+      s496Cd, loanCd, debtCd, smryCd, cvrSoCd, s401Cd, s498Cd, lexpCd,
+      lpayCd, lccmCd)
+  }
+
+  /** Seed `cs` for every listed table that actually declares `colName` —
+    * existence-filtered so a documented code can never point at a
+    * column its schema lacks (the invariant AnnotationsSpec pins). */
+  private def shared(colName: String, cs: Seq[Choice],
+      tables: Seq[TableDef]): Seq[((String, String), Seq[Choice])] =
+    tables.filter(_.schema.fieldNames.contains(colName))
+      .map(t => (t.name, colName) -> cs)
+
+  private val lobbyTables = {
+    import graft.schemas.Schemas._
+    Seq(lexpCd, lpayCd, lccmCd)
+  }
+  private val campaignTables =
+    fullWidthTables.filterNot(lobbyTables.contains)
+
+  /** REC_TYPE is a single documented constant per table. */
+  private val recTypes: Seq[((String, String), Seq[Choice])] = {
+    import graft.schemas.Schemas._
+    Seq(rcptCd -> "RCPT", expnCd -> "EXPN", loanCd -> "LOAN",
+      debtCd -> "DEBT", s496Cd -> "S496", s497Cd -> "S497",
+      s498Cd -> "S498", s401Cd -> "S401", smryCd -> "SMRY",
+      cvrSoCd -> "CVR", cvrCampaignDisclosureCd -> "CVR",
+      lexpCd -> "LEXP", lpayCd -> "LPAY", lccmCd -> "LCCM")
+      .filter(_._1.schema.fieldNames.contains("rec_type"))
+      .map { case (t, v) =>
+        (t.name, "rec_type") -> Seq(Choice(v, s"Record type, always $v"))
+      }
+  }
+
   /** (table, column) → documented choices. */
   val choices: Map[(String, String), Seq[Choice]] = Map(
-    // ≙ models/campaign.py entity_cd choices, shared by every
-    // itemization table
-    ("rcpt_cd", "entity_cd") -> Seq(
-      Choice("COM", "Committee"),
-      Choice("IND", "Individual"),
-      Choice("OTH", "Other"),
-      Choice("PTY", "Political party"),
-      Choice("SCC", "Small contributor committee")),
-    ("expn_cd", "entity_cd") -> Seq(
-      Choice("COM", "Committee"),
-      Choice("IND", "Individual"),
-      Choice("OTH", "Other"),
-      Choice("PTY", "Political party"),
-      Choice("SCC", "Small contributor committee")),
     ("filer_to_filer_type_cd", "active") -> Seq(
       Choice("N", "No"),
       Choice("Y", "Yes")),
@@ -69,7 +185,23 @@ object Annotations {
       Choice("R", "RETURNED")),
     ("lineitem", "l_linestatus") -> Seq(
       Choice("F", "FILED"),
-      Choice("O", "OPEN")))
+      Choice("O", "OPEN")),
+    ("orders", "o_orderstatus") -> Seq(
+      Choice("F", "FULFILLED"),
+      Choice("O", "OPEN"),
+      Choice("P", "PARTIAL"))) ++
+    shared("entity_cd", campaignEntity, campaignTables) ++
+    shared("entity_cd", lobbyEntity, lobbyTables) ++
+    shared("sup_opp_cd", supOpp, fullWidthTables) ++
+    shared("off_s_h_cd", offSoughtHeld, fullWidthTables) ++
+    shared("memo_code", memoCode, fullWidthTables) ++
+    shared("juris_cd", jurisCodes, fullWidthTables) ++
+    shared("office_cd", officeCodes, fullWidthTables) ++
+    shared("tran_type", tranType,
+      Seq(graft.schemas.Schemas.rcptCd)) ++
+    shared("actvty_lvl", actvtyLvl,
+      Seq(graft.schemas.Schemas.cvrSoCd)) ++
+    recTypes
 
   /** Choices for one column, sorted by code — ≙ `get_sorted_choices`
     * (the reference sorts so docs and admin render deterministically). */
@@ -82,9 +214,12 @@ object Annotations {
   /** The filing-form directory (≙ `annotations/filing_forms.py`): id,
     * title, and the itemization sections the form carries. */
   val filingForms: Seq[FilingForm] = Seq(
+    FilingForm("E530", "Issue Advocacy Report"),
     FilingForm("F400", "Statement of Organization (Slate Mailer Organization)"),
     FilingForm("F401", "Slate Mailer Organization Campaign Statement",
       Seq("A", "B", "C", "D")),
+    FilingForm("F402",
+      "Statement of Termination (Slate Mailer Organization)"),
     FilingForm("F410", "Statement of Organization Recipient Committee"),
     FilingForm("F425", "Semi-Annual Statement of No Activity"),
     FilingForm("F450",
@@ -96,9 +231,15 @@ object Annotations {
       "Independent Expenditure Committee & Major Donor Committee Campaign Statement",
       Seq("P5")),
     FilingForm("F465", "Supplemental Independent Expenditure Report"),
+    FilingForm("F470",
+      "Officeholder and Candidate Campaign Statement, Short Form"),
+    FilingForm("F495", "Supplemental Preelection Campaign Statement",
+      Seq("P2")),
     FilingForm("F496", "Late Independent Expenditure Report"),
     FilingForm("F497", "Late Contribution Report", Seq("P1", "P2")),
     FilingForm("F498", "Slate Mailer Late Payment Report"),
+    FilingForm("F501", "Candidate Intention Statement"),
+    FilingForm("F502", "Campaign Bank Account Statement"),
     FilingForm("F601", "Lobbying Firm Registration Statement"),
     FilingForm("F602", "Lobbying Firm Activity Authorization"),
     FilingForm("F603",

@@ -278,6 +278,38 @@ object ScalarQueries {
       ORDER BY flag_desc, status_desc
     """))
 
+  /** `decode_registry` extended to a SECOND table: the identical
+    * annotations-driven broadcast decode over orders.o_orderstatus —
+    * proving the registry mechanism is per-(table, column) data, not a
+    * lineitem special case (the oracle VALUES list again derives from
+    * `Annotations.valuesSql`, so the engines share one source of
+    * truth). Same scale shape: broadcast dim, left join folded into the
+    * scan, one |groups|-row shuffle for the aggregate. */
+  val decodeRegistry2 = GQuery(
+    "decode_registry2",
+    (s, d) => {
+      val dim = broadcast(graft.meta.Annotations.choicesDf(s)
+        .filter(col("table_name") === "orders" &&
+          col("column_name") === "o_orderstatus")
+        .select(col("code"), col("meaning")))
+      Tables.orders(s, d)
+        .join(dim, col("o_orderstatus") === col("code"), "left")
+        .select(coalesce(col("meaning"), lit("UNKNOWN")).as("status_desc"))
+        .groupBy("status_desc")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("status_desc")
+    },
+    Some(s"""
+      WITH statd(code, meaning) AS (
+        VALUES ${graft.meta.Annotations.valuesSql("orders", "o_orderstatus")})
+      SELECT COALESCE(st.meaning, 'UNKNOWN') AS status_desc,
+             COUNT(*) AS cnt
+      FROM orders o
+      LEFT JOIN statd st ON o.o_orderstatus = st.code
+      GROUP BY 1
+      ORDER BY status_desc
+    """))
+
   /** F1–F8 widening: pad/translate/split_part/left/right/repeat/reverse +
     * regexp_extract_all — the remaining portable string surface. The
     * extract-all array is canonicalized to a '|'-joined string so the
@@ -354,5 +386,5 @@ object ScalarQueries {
 
   def all: Seq[GQuery] = Seq(strFuncs, strFuncs2, strSearch, dateTruncAgg,
     dateParts, dateDiff, jsonExtract, jsonAgg, arrayOps, decodeEnum,
-    strFuncs3, dateSpine, decodeRegistry)
+    strFuncs3, dateSpine, decodeRegistry, decodeRegistry2)
 }

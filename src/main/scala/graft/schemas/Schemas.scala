@@ -291,32 +291,71 @@ object Schemas {
     dateFields = Seq("expn_date"))
 
   /** ≙ CVR_SO_CD — statement-of-organization cover page
-    * (`models/campaign.py`): one row per filing describing the committee. */
+    * (`models/campaign.py`): one row per filing describing the committee.
+    * FULL declared column set (public CAL-ACCESS file documentation):
+    * committee identity + street/mailing blocks, treasurer block,
+    * financial-institution block, the committee-type check boxes, the
+    * 82013 cross-reference, and the qualification/termination dates. */
   val cvrSoCd: TableDef = TableDef(
     name = "cvr_so_cd",
     schema = StructType(Seq(
-      StructField("filing_id", LongType, nullable = true,
-        doc("Unique filing identification number")),
-      StructField("amend_id", LongType, nullable = true,
-        doc("Amendment identification number; 0 is the original")),
-      StructField("rec_type", StringType, nullable = true,
-        doc("Record type of the cover page, always CVR")),
-      StructField("form_type", StringType, nullable = true,
-        doc("Statement form type (400, 402, 410, ...)")),
-      StructField("filer_id", LongType, nullable = true,
-        doc("Filer unique identification number")),
-      StructField("filer_naml", StringType, nullable = true,
-        doc("Filer last name or committee name")),
-      StructField("city", StringType, nullable = true,
-        doc("Committee city")),
-      StructField("st", StringType, nullable = true,
-        doc("Committee state")),
-      StructField("zip4", StringType, nullable = true,
-        doc("Committee ZIP+4")),
-      StructField("qualfy_dt", DateType, nullable = true,
-        doc("Date the committee qualified, M/D/YYYY in the raw file")))),
+      lng("filing_id", "Unique filing identification number"),
+      lng("amend_id", "Amendment identification number; 0 is the original"),
+      str("rec_type", "Record type of the cover page, always CVR"),
+      str("form_type", "Statement form type (F400, F402, F410)"),
+      lng("filer_id", "Filer unique identification number"),
+      str("entity_cd", "Entity code of the filer (COM, CTL, RCP, SMO, ...)"),
+      str("filer_naml", "Filer last name or committee name"),
+      str("filer_namf", "Filer first name"),
+      str("filer_namt", "Filer name title or prefix"),
+      str("filer_nams", "Filer name suffix"),
+      str("city", "Committee street address city"),
+      str("st", "Committee street address state"),
+      str("zip4", "Committee street address ZIP+4"),
+      str("phone", "Committee phone number"),
+      str("mail_city", "Committee mailing address city"),
+      str("mail_st", "Committee mailing address state"),
+      str("mail_zip4", "Committee mailing address ZIP+4"),
+      str("cmte_email", "Committee email address"),
+      str("cmte_fax", "Committee fax number"),
+      date("rpt_date", "Date of the statement, M/D/YYYY in the raw file"),
+      date("qualfy_dt", "Date the committee qualified, M/D/YYYY in the raw file"),
+      date("smcont_qualdt", "Date small-contributor committee status was qualified"),
+      date("acct_opendt", "Date the committee bank account was opened"),
+      date("term_date", "Date the committee terminated"),
+      str("report_num", "Report number; 000 original, 001-999 amendments"),
+      str("actvty_lvl", "Activity level of the committee (CI city, CO county, ST state)"),
+      str("county_act", "County of main activity for a local committee"),
+      str("county_res", "County of residence or domicile"),
+      str("qual_cb", "Qualified-committee check box (X or blank)"),
+      str("sponsor_cb", "Sponsored-committee check box (X or blank)"),
+      str("primfc_cb", "Primarily-formed committee check box (X or blank)"),
+      str("genpurp_cb", "General-purpose committee check box (X or blank)"),
+      str("gpc_descr", "Description of a general-purpose committee's activity"),
+      str("control_cb", "Controlled-committee check box (X or blank)"),
+      str("brdbase_cb", "Broad-based committee check box (X or blank)"),
+      str("surplusdsp", "Disposition of surplus funds on termination"),
+      str("com82013yn", "Is the committee a Government Code 82013 committee? (y/n)"),
+      str("com82013id", "Filer id of the existing 82013 committee"),
+      str("com82013nm", "Name of the existing 82013 committee"),
+      str("bank_nam", "Name of the committee's financial institution"),
+      str("bank_adr1", "Financial institution street address, line 1"),
+      str("bank_adr2", "Financial institution street address, line 2"),
+      str("bank_city", "Financial institution city"),
+      str("bank_st", "Financial institution state"),
+      str("bank_zip4", "Financial institution ZIP+4"),
+      str("bank_phon", "Financial institution phone number"),
+      str("tres_naml", "Treasurer last name"),
+      str("tres_namf", "Treasurer first name"),
+      str("tres_namt", "Treasurer name title or prefix"),
+      str("tres_nams", "Treasurer name suffix"),
+      str("tres_city", "Treasurer city"),
+      str("tres_st", "Treasurer state"),
+      str("tres_zip4", "Treasurer ZIP+4"),
+      str("tres_phon", "Treasurer phone number"))),
     uniqueKey = Seq("filing_id", "amend_id", "rec_type", "form_type"),
-    dateFields = Seq("qualfy_dt"))
+    dateFields = Seq("rpt_date", "qualfy_dt", "smcont_qualdt",
+      "acct_opendt", "term_date"))
 
   /** ≙ LOAN_CD — itemized loans received/made (`models/campaign.py`). */
   val loanCd: TableDef = TableDef(
@@ -497,65 +536,78 @@ object Schemas {
       "form_type"),
     dateFields = Seq("pmt_date"))
 
-  /** ≙ LEXP_CD — lobbying activity expenses (`models/lobbying.py`). */
+  /** ≙ LEXP_CD — lobbying activity expenses (`models/lobbying.py:~400-900`).
+    * FULL declared column set (public CAL-ACCESS file documentation):
+    * payee name/address block, expense date/amount/description, the
+    * beneficiary block, and the memo/back-reference tail shared by the
+    * itemization tables. `bene_amt` stays text — it is free-form in the
+    * raw data and the reference declares it as a character field. */
   val lexpCd: TableDef = TableDef(
     name = "lexp_cd",
     schema = StructType(Seq(
-      StructField("filing_id", LongType, nullable = true,
-        doc("Unique filing identification number")),
-      StructField("amend_id", LongType, nullable = true,
-        doc("Amendment identification number; 0 is the original")),
-      StructField("line_item", LongType, nullable = true,
-        doc("Line item number of this record")),
-      StructField("rec_type", StringType, nullable = true,
-        doc("Record type of the transaction, always LEXP")),
-      StructField("form_type", StringType, nullable = true,
-        doc("Schedule of the form on which the expense is reported")),
-      StructField("tran_id", StringType, nullable = true,
-        doc("Permanent value unique within the filing")),
-      StructField("payee_naml", StringType, nullable = true,
-        doc("Payee last name or organization name")),
-      StructField("bene_name", StringType, nullable = true,
-        doc("Name of the official benefiting from the expense")),
-      StructField("expn_date", DateType, nullable = true,
-        doc("Date of the expense, M/D/YYYY in the raw file")),
-      StructField("amount", DecimalType(14, 2), nullable = true,
-        doc("Amount of the activity expense")),
-      StructField("expn_dscr", StringType, nullable = true,
-        doc("Description of the expense")))),
+      lng("filing_id", "Unique filing identification number"),
+      lng("amend_id", "Amendment identification number; 0 is the original"),
+      lng("line_item", "Line item number of this record"),
+      str("rec_type", "Record type of the transaction, always LEXP"),
+      str("form_type", "Schedule of the form on which the expense is reported"),
+      str("tran_id", "Permanent transaction id, unique within the filing"),
+      str("entity_cd", "Entity code of the payee"),
+      str("payee_naml", "Payee last name or organization name"),
+      str("payee_namf", "Payee first name"),
+      str("payee_namt", "Payee name title or prefix"),
+      str("payee_nams", "Payee name suffix"),
+      str("payee_city", "Payee city"),
+      str("payee_st", "Payee state"),
+      str("payee_zip4", "Payee ZIP+4"),
+      date("expn_date", "Date of the expense, M/D/YYYY in the raw file"),
+      money("amount", "Amount of the activity expense"),
+      str("expn_dscr", "Description of the expense"),
+      str("bene_name", "Name of the official benefiting from the expense"),
+      str("bene_posit", "Official position of the beneficiary"),
+      str("bene_amt", "Amount of the benefit; free-form text in the raw data"),
+      str("credcardco", "Name of the credit card company, if paid by card"),
+      str("recsubtype", "Record subtype (1 Form 615, 2 attachment)"),
+      str("memo_code", "Memo amount flag"),
+      str("memo_refno", "Reference number to a text memo (TEXT_MEMO_CD)"),
+      str("bakref_tid", "Back-reference to a transaction id in a parent record"))),
     uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type",
       "form_type"),
     dateFields = Seq("expn_date"))
 
   /** ≙ LPAY_CD — payments made to/received by lobbying firms
-    * (`models/lobbying.py`). */
+    * (`models/lobbying.py:~400-900`). FULL declared column set (public
+    * CAL-ACCESS file documentation): employer name/address/id block, the
+    * fee/reimbursement/advance amounts with the period and cumulative
+    * totals, and the lobbying-activity description. */
   val lpayCd: TableDef = TableDef(
     name = "lpay_cd",
     schema = StructType(Seq(
-      StructField("filing_id", LongType, nullable = true,
-        doc("Unique filing identification number")),
-      StructField("amend_id", LongType, nullable = true,
-        doc("Amendment identification number; 0 is the original")),
-      StructField("line_item", LongType, nullable = true,
-        doc("Line item number of this record")),
-      StructField("rec_type", StringType, nullable = true,
-        doc("Record type of the transaction, always LPAY")),
-      StructField("form_type", StringType, nullable = true,
-        doc("Schedule of the form on which the payment is reported")),
-      StructField("tran_id", StringType, nullable = true,
-        doc("Permanent value unique within the filing")),
-      StructField("emplr_naml", StringType, nullable = true,
-        doc("Employer last name or organization name")),
-      StructField("fees_amt", DecimalType(14, 2), nullable = true,
-        doc("Fees and retainers paid this period")),
-      StructField("reimb_amt", DecimalType(14, 2), nullable = true,
-        doc("Reimbursements for expenses paid this period")),
-      StructField("advan_amt", DecimalType(14, 2), nullable = true,
-        doc("Advances and other payments this period")),
-      StructField("per_total", DecimalType(14, 2), nullable = true,
-        doc("Total payments for the period")),
-      StructField("cum_total", DecimalType(14, 2), nullable = true,
-        doc("Cumulative total payments to date")))),
+      lng("filing_id", "Unique filing identification number"),
+      lng("amend_id", "Amendment identification number; 0 is the original"),
+      lng("line_item", "Line item number of this record"),
+      str("rec_type", "Record type of the transaction, always LPAY"),
+      str("form_type", "Schedule of the form on which the payment is reported"),
+      str("tran_id", "Permanent transaction id, unique within the filing"),
+      str("entity_cd", "Entity code of the employer"),
+      str("emplr_naml", "Employer last name or organization name"),
+      str("emplr_namf", "Employer first name"),
+      str("emplr_namt", "Employer name title or prefix"),
+      str("emplr_nams", "Employer name suffix"),
+      str("emplr_city", "Employer city"),
+      str("emplr_st", "Employer state"),
+      str("emplr_zip4", "Employer ZIP+4"),
+      str("emplr_phon", "Employer phone number"),
+      str("emplr_id", "Filer id of the employer, if a filer"),
+      money("fees_amt", "Fees and retainers paid this period"),
+      money("reimb_amt", "Reimbursements for expenses paid this period"),
+      money("advan_amt", "Advances and other payments this period"),
+      str("advan_dscr", "Description of the advance or other payment"),
+      money("per_total", "Total payments for the period"),
+      money("cum_total", "Cumulative total payments to date"),
+      str("lby_actvty", "Description of the lobbying activity performed"),
+      str("memo_code", "Memo amount flag"),
+      str("memo_refno", "Reference number to a text memo (TEXT_MEMO_CD)"),
+      str("bakref_tid", "Back-reference to a transaction id in a parent record"))),
     uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type",
       "form_type"))
 
@@ -799,30 +851,50 @@ object Schemas {
       "form_type"))
 
   /** ≙ S401_CD — Form 401 (slate-mailer) itemizations
-    * (`models/campaign.py`). */
+    * (`models/campaign.py`). FULL declared column set (public CAL-ACCESS
+    * file documentation): agent + payee name/address blocks, amounts,
+    * and the candidate/measure identification block shared with the
+    * other campaign itemizations. */
   val s401Cd: TableDef = TableDef(
     name = "s401_cd",
     schema = StructType(Seq(
-      StructField("filing_id", LongType, nullable = true,
-        doc("Unique filing identification number")),
-      StructField("amend_id", LongType, nullable = true,
-        doc("Amendment identification number; 0 is the original")),
-      StructField("line_item", LongType, nullable = true,
-        doc("Line item number of this record")),
-      StructField("rec_type", StringType, nullable = true,
-        doc("Record type of the transaction, always S401")),
-      StructField("form_type", StringType, nullable = true,
-        doc("Schedule of Form 401 the payment is reported on")),
-      StructField("tran_id", StringType, nullable = true,
-        doc("Permanent value unique within the filing")),
-      StructField("agent_naml", StringType, nullable = true,
-        doc("Agent or independent contractor last name")),
-      StructField("payee_naml", StringType, nullable = true,
-        doc("Payee last name or organization name")),
-      StructField("amount", DecimalType(14, 2), nullable = true,
-        doc("Amount paid or received this period")),
-      StructField("aggregate", DecimalType(14, 2), nullable = true,
-        doc("Cumulative amount for the calendar year")))),
+      lng("filing_id", "Unique filing identification number"),
+      lng("amend_id", "Amendment identification number; 0 is the original"),
+      lng("line_item", "Line item number of this record"),
+      str("rec_type", "Record type of the transaction, always S401"),
+      str("form_type", "Schedule of Form 401 the payment is reported on"),
+      str("tran_id", "Permanent transaction id, unique within the filing"),
+      str("agent_naml", "Agent or independent contractor last name"),
+      str("agent_namf", "Agent or independent contractor first name"),
+      str("agent_namt", "Agent or independent contractor name title or prefix"),
+      str("agent_nams", "Agent or independent contractor name suffix"),
+      str("payee_naml", "Payee last name or organization name"),
+      str("payee_namf", "Payee first name"),
+      str("payee_namt", "Payee name title or prefix"),
+      str("payee_nams", "Payee name suffix"),
+      str("payee_city", "Payee city"),
+      str("payee_st", "Payee state"),
+      str("payee_zip4", "Payee ZIP+4"),
+      money("amount", "Amount paid or received this period"),
+      money("aggregate", "Cumulative amount for the calendar year"),
+      str("expn_dscr", "Description of the payment"),
+      str("cand_naml", "Candidate last name"),
+      str("cand_namf", "Candidate first name"),
+      str("cand_namt", "Candidate name title or prefix"),
+      str("cand_nams", "Candidate name suffix"),
+      str("office_cd", "Office sought code"),
+      str("offic_dscr", "Office sought description"),
+      str("juris_cd", "Office jurisdiction code"),
+      str("juris_dscr", "Office jurisdiction description"),
+      str("dist_no", "Office district number"),
+      str("off_s_h_cd", "Office is sought or held code"),
+      str("bal_name", "Ballot measure name"),
+      str("bal_num", "Ballot measure number or letter"),
+      str("bal_juris", "Ballot measure jurisdiction"),
+      str("sup_opp_cd", "Support or opposition code (S/O)"),
+      str("memo_code", "Memo amount flag"),
+      str("memo_refno", "Reference number to a text memo (TEXT_MEMO_CD)"),
+      str("bakref_tid", "Back-reference to a transaction id in a parent record"))),
     uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type",
       "form_type"))
 
@@ -860,28 +932,47 @@ object Schemas {
     dateFields = Seq("exp_date", "date_thru"))
 
   /** ≙ S498_CD — Form 498 late payments received by slate mailers
-    * (`models/campaign.py`). */
+    * (`models/campaign.py`). FULL declared column set (public CAL-ACCESS
+    * file documentation): payor name/address block, receipt
+    * date/amount, the candidate/measure identification block, and the
+    * per-candidate attribution amount. */
   val s498Cd: TableDef = TableDef(
     name = "s498_cd",
     schema = StructType(Seq(
-      StructField("filing_id", LongType, nullable = true,
-        doc("Unique filing identification number")),
-      StructField("amend_id", LongType, nullable = true,
-        doc("Amendment identification number; 0 is the original")),
-      StructField("line_item", LongType, nullable = true,
-        doc("Line item number of this record")),
-      StructField("rec_type", StringType, nullable = true,
-        doc("Record type of the transaction, always S498")),
-      StructField("form_type", StringType, nullable = true,
-        doc("Form type, always F498")),
-      StructField("tran_id", StringType, nullable = true,
-        doc("Permanent value unique within the filing")),
-      StructField("payor_naml", StringType, nullable = true,
-        doc("Payor last name or organization name")),
-      StructField("amt_rcvd", DecimalType(14, 2), nullable = true,
-        doc("Amount received from the payor")),
-      StructField("date_rcvd", DateType, nullable = true,
-        doc("Date received, M/D/YYYY in the raw file")))),
+      lng("filing_id", "Unique filing identification number"),
+      lng("amend_id", "Amendment identification number; 0 is the original"),
+      lng("line_item", "Line item number of this record"),
+      str("rec_type", "Record type of the transaction, always S498"),
+      str("form_type", "Schedule of Form 498 the payment is reported on"),
+      str("tran_id", "Permanent transaction id, unique within the filing"),
+      str("entity_cd", "Entity code of the payor (IND, COM, OTH, PTY, SCC)"),
+      str("cmte_id", "Committee identification number of the payor"),
+      str("payor_naml", "Payor last name or organization name"),
+      str("payor_namf", "Payor first name"),
+      str("payor_namt", "Payor name title or prefix"),
+      str("payor_nams", "Payor name suffix"),
+      str("payor_city", "Payor city"),
+      str("payor_st", "Payor state"),
+      str("payor_zip4", "Payor ZIP+4"),
+      date("date_rcvd", "Date received, M/D/YYYY in the raw file"),
+      money("amt_rcvd", "Amount received from the payor"),
+      str("cand_naml", "Candidate last name"),
+      str("cand_namf", "Candidate first name"),
+      str("cand_namt", "Candidate name title or prefix"),
+      str("cand_nams", "Candidate name suffix"),
+      str("office_cd", "Office sought code"),
+      str("offic_dscr", "Office sought description"),
+      str("juris_cd", "Office jurisdiction code"),
+      str("juris_dscr", "Office jurisdiction description"),
+      str("dist_no", "Office district number"),
+      str("off_s_h_cd", "Office is sought or held code"),
+      str("bal_name", "Ballot measure name"),
+      str("bal_num", "Ballot measure number or letter"),
+      str("bal_juris", "Ballot measure jurisdiction"),
+      str("sup_opp_cd", "Support or opposition code (S/O)"),
+      money("amt_attrib", "Amount attributed to the candidate or measure"),
+      str("memo_code", "Memo amount flag"),
+      str("memo_refno", "Reference number to a text memo (TEXT_MEMO_CD)"))),
     uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type",
       "form_type"),
     dateFields = Seq("date_rcvd"))
@@ -939,28 +1030,41 @@ object Schemas {
     dateFields = Seq("qual_date", "eff_date"))
 
   /** ≙ LCCM_CD — lobbying campaign contributions made/arranged
-    * (`models/lobbying.py`). */
+    * (`models/lobbying.py:~400-900`). FULL declared column set (public
+    * CAL-ACCESS file documentation): contributor and recipient
+    * name/address blocks, contribution date/amount, and the
+    * account-name/memo/back-reference tail. */
   val lccmCd: TableDef = TableDef(
     name = "lccm_cd",
     schema = StructType(Seq(
-      StructField("filing_id", LongType, nullable = true,
-        doc("Unique filing identification number")),
-      StructField("amend_id", LongType, nullable = true,
-        doc("Amendment identification number; 0 is the original")),
-      StructField("line_item", LongType, nullable = true,
-        doc("Line item number of this record")),
-      StructField("rec_type", StringType, nullable = true,
-        doc("Record type of the transaction, always LCCM")),
-      StructField("form_type", StringType, nullable = true,
-        doc("Schedule of the lobbying form the contribution is on")),
-      StructField("tran_id", StringType, nullable = true,
-        doc("Permanent value unique within the filing")),
-      StructField("recip_naml", StringType, nullable = true,
-        doc("Recipient committee or candidate last name")),
-      StructField("amount", DecimalType(14, 2), nullable = true,
-        doc("Amount of the contribution")),
-      StructField("ctrib_date", DateType, nullable = true,
-        doc("Date of the contribution, M/D/YYYY in the raw file")))),
+      lng("filing_id", "Unique filing identification number"),
+      lng("amend_id", "Amendment identification number; 0 is the original"),
+      lng("line_item", "Line item number of this record"),
+      str("rec_type", "Record type of the transaction, always LCCM"),
+      str("form_type", "Schedule of the lobbying form the contribution is on"),
+      str("tran_id", "Permanent transaction id, unique within the filing"),
+      str("entity_cd", "Entity code of the contributor"),
+      str("ctrib_naml", "Contributor last name or organization name"),
+      str("ctrib_namf", "Contributor first name"),
+      str("ctrib_namt", "Contributor name title or prefix"),
+      str("ctrib_nams", "Contributor name suffix"),
+      str("ctrib_city", "Contributor city"),
+      str("ctrib_st", "Contributor state"),
+      str("ctrib_zip4", "Contributor ZIP+4"),
+      date("ctrib_date", "Date of the contribution, M/D/YYYY in the raw file"),
+      money("amount", "Amount of the contribution"),
+      str("recip_naml", "Recipient committee or candidate last name"),
+      str("recip_namf", "Recipient first name"),
+      str("recip_namt", "Recipient name title or prefix"),
+      str("recip_nams", "Recipient name suffix"),
+      str("recip_city", "Recipient city"),
+      str("recip_st", "Recipient state"),
+      str("recip_zip4", "Recipient ZIP+4"),
+      str("recip_id", "Committee identification number of the recipient"),
+      str("acct_name", "Name of the bank account the contribution was made from"),
+      str("memo_code", "Memo amount flag"),
+      str("memo_refno", "Reference number to a text memo (TEXT_MEMO_CD)"),
+      str("bakref_tid", "Back-reference to a transaction id in a parent record"))),
     uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type",
       "form_type"),
     dateFields = Seq("ctrib_date"))

@@ -29,6 +29,37 @@ class AnnotationsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Annotations.formById("F999") }
   }
 
+  test("every CAL-ACCESS choices key points at a real column of its schema") {
+    // ≙ tests/test_models.py direction 1: a documented code's column
+    // must exist on the model it claims to annotate. (Testdata analogs
+    // like lineitem/orders aren't in the CAL-ACCESS catalog and are
+    // covered by the correctness gate instead.)
+    val catalog = graft.schemas.Schemas.all.map(t => t.name -> t).toMap
+    for (((t, c), _) <- Annotations.choices; tdef <- catalog.get(t))
+      assert(tdef.schema.fieldNames.contains(c),
+        s"choices key $t.$c references a column absent from the schema")
+  }
+
+  test("every choices-bearing column of the full-width tables is documented") {
+    // ≙ tests/test_models.py direction 2: the closed-set columns of the
+    // fifteen full-width tables must each carry ≥1 documented code.
+    val bearing = Set("rec_type", "entity_cd", "sup_opp_cd", "off_s_h_cd",
+      "memo_code", "juris_cd", "office_cd", "tran_type", "actvty_lvl")
+    assert(Annotations.fullWidthTables.size === 15)
+    for (t <- Annotations.fullWidthTables; f <- t.schema.fieldNames
+         if bearing(f)) {
+      assert(Annotations.choices.contains((t.name, f)),
+        s"${t.name}.$f has no documented choices")
+      assert(Annotations.choices((t.name, f)).nonEmpty,
+        s"${t.name}.$f documented but empty")
+    }
+    // the shared sets landed where expected
+    assert(Annotations.choices(("rcpt_cd", "entity_cd")).size === 12)
+    assert(Annotations.choices(("lpay_cd", "entity_cd")).map(_.code)
+      .contains("FRM"))
+    assert(Annotations.choices(("cvr_so_cd", "rec_type")).head.code === "CVR")
+  }
+
   test("choicesDf rows match the registry and the declared TableDef schema") {
     val df = Annotations.choicesDf(spark)
     assert(df.columns.toSeq ===
