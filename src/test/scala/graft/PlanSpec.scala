@@ -153,6 +153,33 @@ class PlanSpec extends SparkTestBase {
     assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 3, p)
   }
 
+  test("neardup_filter: keep-first is a group-limit on one band-key shuffle") {
+    val p = plan("neardup_filter")
+    assert(!p.contains("CartesianProduct"), p)
+    // rn == 1 on a row_number window must compile to WindowGroupLimit
+    // (per-partition early pruning) — at 100 TB the non-survivors never
+    // reach the window buffer
+    assert(p.contains("WindowGroupLimit"), p)
+    // one hash exchange on band_key; the null-text branch is scan-only
+    // and the final orderBy is range partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("decode_registry2 broadcasts the codes dimension") {
+    val p = plan("decode_registry2")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("lobbying_chg: both windows share one filer_id exchange") {
+    val p = plan("lobbying_chg")
+    assert(!p.contains("CartesianProduct"), p)
+    // lag(change_no-ordered) and max(unordered) both partition on
+    // filer_id — the planner must reuse a single hash exchange; a
+    // second one means the window specs stopped aligning
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
+  }
+
   test("heavy_hitters reuses the vocab exchange; no one-partition window") {
     val df = SparkEntry.queries("heavy_hitters")(spark, sf)
     // no Window node at all: the grand total is a 1-row agg broadcast
