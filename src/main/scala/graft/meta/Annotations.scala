@@ -127,14 +127,17 @@ object Annotations {
     Choice("CO", "County"),
     Choice("ST", "State"))
 
-  /** The fifteen full-width tables (SchemasSpec pins their widths) — the
-    * scope the shared sets below are seeded against, and the scope the
-    * completeness test in AnnotationsSpec checks. */
+  /** The sixteen full-width tables that carry closed-set columns
+    * (SchemasSpec pins their widths) — the scope the shared sets below
+    * are seeded against, and the scope the completeness test in
+    * AnnotationsSpec checks. (filername_cd / filer_links_cd /
+    * text_memo_cd are also full-width but carry no choices-bearing
+    * columns.) */
   val fullWidthTables: Seq[TableDef] = {
     import graft.schemas.Schemas._
     Seq(rcptCd, expnCd, cvrCampaignDisclosureCd, filerFilingsCd, s497Cd,
       s496Cd, loanCd, debtCd, smryCd, cvrSoCd, s401Cd, s498Cd, lexpCd,
-      lpayCd, lccmCd)
+      lpayCd, lccmCd, cvr2SoCd)
   }
 
   /** Seed `cs` for every listed table that actually declares `colName` —
@@ -159,6 +162,7 @@ object Annotations {
       debtCd -> "DEBT", s496Cd -> "S496", s497Cd -> "S497",
       s498Cd -> "S498", s401Cd -> "S401", smryCd -> "SMRY",
       cvrSoCd -> "CVR", cvrCampaignDisclosureCd -> "CVR",
+      cvr2SoCd -> "CVR2",
       lexpCd -> "LEXP", lpayCd -> "LPAY", lccmCd -> "LCCM")
       .filter(_._1.schema.fieldNames.contains("rec_type"))
       .map { case (t, v) =>

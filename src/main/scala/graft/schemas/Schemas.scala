@@ -221,6 +221,16 @@ object Schemas {
         doc("Last name or full organization name")),
       StructField("namf", StringType, nullable = true,
         doc("First name")),
+      str("namt", "Name title or prefix"),
+      str("nams", "Name suffix"),
+      str("adr1", "Street address, line 1"),
+      str("adr2", "Street address, line 2"),
+      str("city", "City"),
+      str("st", "State"),
+      str("zip4", "ZIP+4"),
+      str("phon", "Phone number"),
+      str("fax", "Fax number"),
+      str("email", "Email address"),
       StructField("effect_dt", TimestampType, nullable = true,
         doc("Effective datetime of the name record, " +
           "M/D/YYYY H:MM:SS AM in the raw file")))),
@@ -737,10 +747,14 @@ object Schemas {
       StructField("link_desc", StringType, nullable = true,
         doc("Description of the link")),
       StructField("effect_dt", DateType, nullable = true,
-        doc("Effective date of the link, M/D/YYYY in the raw file")))),
+        doc("Effective date of the link, M/D/YYYY in the raw file")),
+      StructField("dominate_filer", StringType, nullable = true,
+        doc("Is the first filer the dominant one in the link? (Y/N)")),
+      StructField("termination_dt", DateType, nullable = true,
+        doc("Termination date of the link, M/D/YYYY in the raw file")))),
     uniqueKey = Seq("filer_id_a", "filer_id_b", "session_id", "link_type",
       "effect_dt"),
-    dateFields = Seq("effect_dt"))
+    dateFields = Seq("effect_dt", "termination_dt"))
 
   /** ≙ CVR_LOBBY_DISCLOSURE_CD — lobbying-disclosure cover page
     * (`models/lobbying.py`), carries a signing datetime exercising P5. */
@@ -825,7 +839,10 @@ object Schemas {
     uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type"))
 
   /** ≙ CVR2_SO_CD — statement-of-organization additional names/officers
-    * page (`models/campaign.py`). */
+    * page (`models/campaign.py`). FULL declared column set (public
+    * CAL-ACCESS file documentation): the named entity's name/address/
+    * contact block, the affiliation fields, and the office/measure
+    * identification block shared with the itemizations. */
   val cvr2SoCd: TableDef = TableDef(
     name = "cvr2_so_cd",
     schema = StructType(Seq(
@@ -843,10 +860,33 @@ object Schemas {
         doc("Permanent value unique within the filing")),
       StructField("entity_cd", StringType, nullable = true,
         doc("Entity code of the named person/organization")),
-      StructField("enty_naml", StringType, nullable = true,
-        doc("Entity last name or organization name")),
-      StructField("item_cd", StringType, nullable = true,
-        doc("Section of the statement the entity is itemized under")))),
+      str("enty_naml", "Entity last name or organization name"),
+      str("enty_namf", "Entity first name"),
+      str("enty_namt", "Entity name title or prefix"),
+      str("enty_nams", "Entity name suffix"),
+      str("item_cd", "Section of the statement the entity is itemized under"),
+      str("mail_city", "Entity mailing address city"),
+      str("mail_st", "Entity mailing address state"),
+      str("mail_zip4", "Entity mailing address ZIP+4"),
+      str("day_phone", "Entity daytime phone number"),
+      str("fax_phone", "Entity fax number"),
+      str("email_adr", "Entity email address"),
+      str("cmte_id", "Committee identification number of the entity"),
+      str("ind_group", "Industry group or affiliation of the entity"),
+      str("office_cd", "Office sought code"),
+      str("offic_dscr", "Office sought description"),
+      str("juris_cd", "Office jurisdiction code"),
+      str("juris_dscr", "Office jurisdiction description"),
+      str("dist_no", "Office district number"),
+      str("off_s_h_cd", "Office is sought or held code"),
+      str("non_pty_cb", "Non-partisan office check box"),
+      str("party_name", "Political party name, if partisan"),
+      str("bal_name", "Ballot measure name"),
+      str("bal_num", "Ballot measure number or letter"),
+      str("bal_juris", "Ballot measure jurisdiction"),
+      str("sup_opp_cd", "Support or opposition code (S/O)"),
+      str("year_elect", "Year of the election"),
+      str("pof_title", "Position or title of the principal officer"))),
     uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type",
       "form_type"))
 

@@ -33,6 +33,46 @@ class CleanLoadSpec extends SparkTestBase {
     assert(typed.schema === table.schema)
   }
 
+  test("every catalog table round-trips raw → typed with its declared schema") {
+    // Whole-catalog integrity sweep: for each of the 80 TableDefs,
+    // synthesize one all-empty raw row (the rawSchema shape the TSV scan
+    // produces) and one representative-values row, drive them through
+    // Load.load, and check the result carries exactly the declared
+    // schema with every empty string nulled. This is what catches a
+    // widened table whose dateFields list names a renamed column, or a
+    // column whose declared type try_cast can't target — per-table
+    // fixtures can't cover 80 tables, the sweep can.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    for (t <- Schemas.all) {
+      val raw = t.rawSchema
+      def sample(f: StructField): String = t.schema(f.name.toLowerCase)
+        .dataType match {
+          case LongType | IntegerType => "42"
+          case _: DecimalType => "12.34"
+          case DateType => "1/15/2014"
+          case TimestampType => "1/15/2014 3:04:05 PM"
+          case _ => "x"
+        }
+      val rows = java.util.Arrays.asList(
+        Row.fromSeq(raw.fields.map(_ => "").toSeq),
+        Row.fromSeq(raw.fields.map(sample).toSeq))
+      val typed = Load.load(t, spark.createDataFrame(rows, raw))
+      assert(typed.schema === t.schema, s"${t.name} schema drift")
+      val got = typed.collect()
+      assert(got.length === 2)
+      // the all-empty row must be all-NULL (''→NULL on every column)
+      assert(got.exists(r => (0 until r.length).forall(r.isNullAt)),
+        s"${t.name}: empty raw row not fully nulled")
+      // the representative row must coerce every column non-NULL —
+      // a NULL here means a type/format mismatch in the declaration
+      val full = got.find(r => !(0 until r.length).forall(r.isNullAt)).get
+      for (i <- 0 until full.length)
+        assert(!full.isNullAt(i),
+          s"${t.name}.${t.schema.fields(i).name} failed to coerce")
+    }
+  }
+
   test("bad date 2/30/2014 coerces to NULL, good dates parse M/d/yyyy") {
     val t2 = typed.filter(col("tran_id") === "T2").head()
     assert(t2.isNullAt(t2.fieldIndex("rcpt_date"))) // 2/30/2014 invalid

@@ -9,14 +9,31 @@ import org.apache.spark.sql.functions._
   * semantics; real exports mix vintages, SURVEY §2.11). */
 class DatetimeLoadSpec extends SparkTestBase {
 
+  // Build raw filername_cd lines positionally from the declared schema
+  // so the tests survive schema widening: every field empty except the
+  // ones set.
+  private def fnLine(xref: String, filerId: String, naml: String,
+      effectDt: String): String = {
+    val table = Schemas.filernameCd
+    val idx = table.schema.fieldNames.zipWithIndex.toMap
+    val fields = Array.fill(table.schema.length)("")
+    fields(idx("xref_filer_id")) = xref
+    fields(idx("filer_id")) = filerId
+    fields(idx("filer_type")) = "COM"
+    fields(idx("status")) = "A"
+    fields(idx("naml")) = naml
+    fields(idx("effect_dt")) = effectDt
+    fields.mkString("\t")
+  }
+
   test("M/d/yyyy h:mm:ss a datetimes parse; garbage coerces to NULL") {
     import spark.implicits._
     val table = Schemas.filernameCd
     val lines = Seq(
-      "X1\t100\tCAND\tA\tDOE\tJANE\t1/15/2014 9:30:00 AM",
-      "X2\t200\tCOM\tA\tPAC TWO\t\t12/31/2013 11:59:59 PM",
-      "X3\t300\tCOM\tA\tBAD TS\t\tnot a timestamp",
-      "X4\t400\tCOM\tA\tEMPTY TS\t\t").toDF("value")
+      fnLine("X1", "100", "DOE", "1/15/2014 9:30:00 AM"),
+      fnLine("X2", "200", "PAC TWO", "12/31/2013 11:59:59 PM"),
+      fnLine("X3", "300", "BAD TS", "not a timestamp"),
+      fnLine("X4", "400", "EMPTY TS", "")).toDF("value")
     val typed = Load.load(table, Clean.clean(table, lines).good)
     val rows = typed.orderBy("filer_id")
       .select(col("filer_id"), col("effect_dt").cast("string"))
@@ -32,10 +49,10 @@ class DatetimeLoadSpec extends SparkTestBase {
     import spark.implicits._
     val table = Schemas.filernameCd
     val lines = Seq(
-      "Y1\t100\tCAND\tA\tUS VINTAGE\t\t1/15/2014 9:30:00 AM",
-      "Y2\t200\tCOM\tA\tISO VINTAGE\t\t2014-01-15 09:30:00",
-      "Y3\t300\tCOM\tA\tISO MIDNIGHT\t\t2013-12-31 00:00:00",
-      "Y4\t400\tCOM\tA\tHALF ISO\t\t2014-01-15").toDF("value")
+      fnLine("Y1", "100", "US VINTAGE", "1/15/2014 9:30:00 AM"),
+      fnLine("Y2", "200", "ISO VINTAGE", "2014-01-15 09:30:00"),
+      fnLine("Y3", "300", "ISO MIDNIGHT", "2013-12-31 00:00:00"),
+      fnLine("Y4", "400", "HALF ISO", "2014-01-15")).toDF("value")
     val typed = Load.load(table, Clean.clean(table, lines).good)
     val rows = typed.orderBy("filer_id")
       .select(col("filer_id"), col("effect_dt").cast("string"))

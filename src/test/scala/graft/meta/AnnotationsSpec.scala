@@ -42,10 +42,10 @@ class AnnotationsSpec extends SparkTestBase {
 
   test("every choices-bearing column of the full-width tables is documented") {
     // ≙ tests/test_models.py direction 2: the closed-set columns of the
-    // fifteen full-width tables must each carry ≥1 documented code.
+    // full-width tables must each carry ≥1 documented code.
     val bearing = Set("rec_type", "entity_cd", "sup_opp_cd", "off_s_h_cd",
       "memo_code", "juris_cd", "office_cd", "tran_type", "actvty_lvl")
-    assert(Annotations.fullWidthTables.size === 15)
+    assert(Annotations.fullWidthTables.size === 16)
     for (t <- Annotations.fullWidthTables; f <- t.schema.fieldNames
          if bearing(f)) {
       assert(Annotations.choices.contains((t.name, f)),

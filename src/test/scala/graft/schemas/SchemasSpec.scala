@@ -53,6 +53,9 @@ class SchemasSpec extends AnyFunSuite {
     assert(Schemas.lexpCd.schema.length === 25)
     assert(Schemas.lpayCd.schema.length === 26)
     assert(Schemas.lccmCd.schema.length === 28)
+    assert(Schemas.cvr2SoCd.schema.length === 34)
+    assert(Schemas.filernameCd.schema.length === 17)
+    assert(Schemas.filerLinksCd.schema.length === 9)
     val cvrSo = Schemas.cvrSoCd.schema.fieldNames.toSet
     for (c <- Seq("tres_naml", "bank_nam", "com82013yn", "surplusdsp",
         "actvty_lvl", "term_date"))
