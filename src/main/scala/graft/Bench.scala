@@ -109,7 +109,9 @@ object Bench {
       val w = new java.io.PrintWriter(fullPath, "UTF-8")
       try w.println(full) finally w.close()
     } catch { case e: Throwable =>
-      println(s"""{"warn":"bench full-json write failed","err":${jstr(e.getMessage.take(120))}}""")
+      // e.toString, not getMessage: a null message here would NPE inside
+      // the catch and kill the compact tail line this block protects
+      println(s"""{"warn":"bench full-json write failed","err":${jstr(e.toString.take(120))}}""")
     }
     val nErr = results.count(_._3.isDefined)
     println(s"""{"total_s":${jnum(total)},"n":${results.size},"errors_n":$nErr,"reps":$reps,"full":${jstr(fullPath)},"sf":"$sfDir"}""")

@@ -228,29 +228,41 @@ object CoreQueries {
     * field); the oracle computes the same result independently from the
     * typed source — so the whole split/scrub/parse/cast path is verified,
     * not just replayed. */
+  /** Shared raw-TSV synthesis for the lifecycle queries
+    * (`ingest_pipeline`, `tracking_verify`): a declared 6-column
+    * events_raw schema plus the events table rendered as tab-joined
+    * lines with every 97th row malformed by an extra field. ONE
+    * definition so the two oracle-checked queries (and their oracles'
+    * shared `% 97` convention) can never de-synchronize. */
+  private lazy val eventsRawTdef: graft.schemas.Schemas.TableDef =
+    graft.schemas.Schemas.TableDef(
+      name = "events_raw",
+      schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ev_date", DateType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DecimalType(14, 2)),
+        StructField("props", StringType))),
+      uniqueKey = Seq("event_id"),
+      dateFields = Seq("ev_date"))
+
+  private def eventsRawLines(
+      events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val line = concat_ws("\t",
+      col("event_id"), date_format(col("ts"), "M/d/yyyy"),
+      col("user_id"), col("event_type"), col("value"), col("props"))
+    events.select(
+      when(col("event_id") % 97 === 0, concat(line, lit("\textra")))
+        .otherwise(line).as("value"))
+  }
+
   val ingestPipeline = GQuery(
     "ingest_pipeline",
     (s, d) => {
       import graft.ingest.{Clean, Load}
-      import graft.schemas.Schemas.TableDef
-      val tdef = TableDef(
-        name = "events_raw",
-        schema = StructType(Seq(
-          StructField("event_id", LongType),
-          StructField("ev_date", DateType),
-          StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DecimalType(14, 2)),
-          StructField("props", StringType))),
-        uniqueKey = Seq("event_id"),
-        dateFields = Seq("ev_date"))
-      val line = concat_ws("\t",
-        col("event_id"), date_format(col("ts"), "M/d/yyyy"),
-        col("user_id"), col("event_type"), col("value"), col("props"))
-      val lines = Tables.events(s, d).select(
-        when(col("event_id") % 97 === 0, concat(line, lit("\textra")))
-          .otherwise(line).as("value"))
-      val cleaned = Clean.clean(tdef, lines)
+      val tdef = eventsRawTdef
+      val cleaned = Clean.clean(tdef, eventsRawLines(Tables.events(s, d)))
       val typed = Load.load(tdef, cleaned.good)
       typed.agg(
         count(lit(1)).as("n_good"),
@@ -287,28 +299,19 @@ object CoreQueries {
     (s, d) => {
       import graft.ingest.{Clean, Load}
       import graft.meta.Tracking
-      import graft.schemas.Schemas.TableDef
-      val tdef = TableDef(
-        name = "events_raw",
-        schema = StructType(Seq(
-          StructField("event_id", LongType),
-          StructField("ev_date", DateType),
-          StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DecimalType(14, 2)),
-          StructField("props", StringType))),
-        uniqueKey = Seq("event_id"),
-        dateFields = Seq("ev_date"))
-      val line = concat_ws("\t",
-        col("event_id"), date_format(col("ts"), "M/d/yyyy"),
-        col("user_id"), col("event_type"), col("value"), col("props"))
+      val tdef = eventsRawTdef
       def loadSplit(name: String, parity: Int): Tracking.FileMetrics = {
-        val lines = Tables.events(s, d)
-          .filter(col("user_id") % 2 === parity)
-          .select(when(col("event_id") % 97 === 0,
-            concat(line, lit("\textra"))).otherwise(line).as("value"))
-        val cleaned = Clean.clean(tdef, lines)
-        Tracking.forTable(name, cleaned, Load.load(tdef, cleaned.good))
+        // Persist the rendered lines = the reference's staging table:
+        // its verify step counts download/clean/load against the staged
+        // text, so the three counts here are three cheap passes over one
+        // materialization instead of three full source scans. Counts are
+        // collected into the metrics row before the cache is dropped.
+        val lines = eventsRawLines(Tables.events(s, d)
+          .filter(col("user_id") % 2 === parity)).persist()
+        try {
+          val cleaned = Clean.clean(tdef, lines)
+          Tracking.forTable(name, cleaned, Load.load(tdef, cleaned.good))
+        } finally lines.unpersist(blocking = false)
       }
       Tracking.toDf(s,
           Seq(loadSplit("events_even", 0), loadSplit("events_odd", 1)))

@@ -80,7 +80,7 @@ object Schemas {
       str("rec_type", "Record type of the transaction, always RCPT"),
       str("form_type", "Schedule of the form on which the receipt is reported"),
       str("tran_id", "Permanent transaction id, unique within the filing"),
-      str("entity_cd", "Entity code of the contributor (IND, COM, OTH, PTY, SCC)"),
+      str("entity_cd", "Entity code of the contributor (documented set in meta.Annotations: BNM, CAO, COM, CTL, IND, MDI, OFF, OTH, PTY, RCP, SCC, SMO)"),
       str("ctrib_naml", "Contributor last name or organization name"),
       str("ctrib_namf", "Contributor first name"),
       str("ctrib_namt", "Contributor name title or prefix"),
@@ -256,7 +256,7 @@ object Schemas {
       str("payee_city", "Payee city"),
       str("payee_st", "Payee state"),
       str("payee_zip4", "Payee ZIP+4"),
-      str("entity_cd", "Entity code of the payee (IND, COM, OTH, PTY, SCC)"),
+      str("entity_cd", "Entity code of the payee (documented set in meta.Annotations: BNM, CAO, COM, CTL, IND, MDI, OFF, OTH, PTY, RCP, SCC, SMO)"),
       date("expn_date", "Date of the expenditure, M/D/YYYY in the raw file"),
       money("amount", "Amount paid to the payee in the period of the statement"),
       money("cum_ytd", "Cumulative year-to-date amount paid to this payee"),
@@ -378,7 +378,7 @@ object Schemas {
       str("form_type", "Schedule of the form on which the loan is reported (B1/B2/H...)"),
       str("tran_id", "Permanent transaction id, unique within the filing"),
       str("loan_type", "Type of loan"),
-      str("entity_cd", "Entity code of the lender (IND, COM, OTH, PTY, SCC)"),
+      str("entity_cd", "Entity code of the lender (documented set in meta.Annotations: BNM, CAO, COM, CTL, IND, MDI, OFF, OTH, PTY, RCP, SCC, SMO)"),
       str("lndr_naml", "Lender last name or organization name"),
       str("lndr_namf", "Lender first name"),
       str("lndr_namt", "Lender name title or prefix"),
@@ -440,7 +440,7 @@ object Schemas {
       str("rec_type", "Record type of the transaction, always DEBT"),
       str("form_type", "Schedule of the form on which the debt is reported, always F"),
       str("tran_id", "Permanent transaction id, unique within the filing"),
-      str("entity_cd", "Entity code of the creditor (IND, COM, OTH, PTY, SCC)"),
+      str("entity_cd", "Entity code of the creditor (documented set in meta.Annotations: BNM, CAO, COM, CTL, IND, MDI, OFF, OTH, PTY, RCP, SCC, SMO)"),
       str("payee_naml", "Creditor last name or organization name"),
       str("payee_namf", "Creditor first name"),
       str("payee_namt", "Creditor name title or prefix"),
@@ -985,7 +985,7 @@ object Schemas {
       str("rec_type", "Record type of the transaction, always S498"),
       str("form_type", "Schedule of Form 498 the payment is reported on"),
       str("tran_id", "Permanent transaction id, unique within the filing"),
-      str("entity_cd", "Entity code of the payor (IND, COM, OTH, PTY, SCC)"),
+      str("entity_cd", "Entity code of the payor (documented set in meta.Annotations: BNM, CAO, COM, CTL, IND, MDI, OFF, OTH, PTY, RCP, SCC, SMO)"),
       str("cmte_id", "Committee identification number of the payor"),
       str("payor_naml", "Payor last name or organization name"),
       str("payor_namf", "Payor first name"),

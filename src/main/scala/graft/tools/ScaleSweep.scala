@@ -138,6 +138,13 @@ object ScaleSweep {
       val dir = s"/tmp/graft_scale/r$r"
       val done = new java.io.File(s"$dir/_SWEEP_DONE_$recipe")
       if (!done.exists()) {
+        // drop any OTHER recipe's marker first: replicas are about to be
+        // overwritten, and a surviving old marker would resurrect if its
+        // recipe is ever used again — serving these (new) replicas as if
+        // they were its own
+        Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith("_SWEEP_DONE"))
+          .foreach(_.delete())
         for ((t, shifts) <- factShifts) {
           val df = spark.read.parquet(s"$src/$t.parquet")
           replicate(df, r, shifts)

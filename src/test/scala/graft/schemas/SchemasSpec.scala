@@ -56,6 +56,7 @@ class SchemasSpec extends AnyFunSuite {
     assert(Schemas.cvr2SoCd.schema.length === 34)
     assert(Schemas.filernameCd.schema.length === 17)
     assert(Schemas.filerLinksCd.schema.length === 9)
+    assert(Schemas.textMemoCd.schema.length === 7)
     val cvrSo = Schemas.cvrSoCd.schema.fieldNames.toSet
     for (c <- Seq("tres_naml", "bank_nam", "com82013yn", "surplusdsp",
         "actvty_lvl", "term_date"))
