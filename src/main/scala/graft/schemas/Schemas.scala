@@ -520,7 +520,8 @@ object Schemas {
     dateFields = Seq("elec_date", "ctrib_date", "date_thru"))
 
   /** ≙ LATT_CD — lobbyist contribution attachments
-    * (`models/lobbying.py`). */
+    * (`models/lobbying.py`). FULL declared column set (public CAL-ACCESS
+    * file documentation). */
   val lattCd: TableDef = TableDef(
     name = "latt_cd",
     schema = StructType(Seq(
@@ -534,14 +535,24 @@ object Schemas {
         doc("Record type of the transaction, always LATT")),
       StructField("form_type", StringType, nullable = true,
         doc("Schedule of the attachment (S630, S635-C, S640, ...)")),
+      str("tran_id", "Permanent transaction id, unique within the filing"),
+      str("entity_cd", "Entity code of the recipient"),
       StructField("recip_naml", StringType, nullable = true,
         doc("Recipient last name or organization name")),
+      str("recip_namf", "Recipient first name"),
+      str("recip_namt", "Recipient name title or prefix"),
+      str("recip_nams", "Recipient name suffix"),
+      str("recip_city", "Recipient city"),
+      str("recip_st", "Recipient state"),
+      str("recip_zip4", "Recipient ZIP+4"),
       StructField("pmt_date", DateType, nullable = true,
         doc("Date of the payment, M/D/YYYY in the raw file")),
       StructField("amount", DecimalType(14, 2), nullable = true,
         doc("Amount of the payment")),
       StructField("cum_amt", DecimalType(14, 2), nullable = true,
-        doc("Cumulative amount paid to date")))),
+        doc("Cumulative amount paid to date")),
+      str("memo_code", "Memo amount flag"),
+      str("memo_refno", "Reference number to a text memo (TEXT_MEMO_CD)"))),
     uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type",
       "form_type"),
     dateFields = Seq("pmt_date"))
@@ -797,7 +808,8 @@ object Schemas {
         doc("Numeric code of the filing type, decoded via lookup codes")))),
     uniqueKey = Seq("filing_id", "filing_type"))
 
-  /** ≙ HDR_CD — electronic-filing header record (`models/common.py`). */
+  /** ≙ HDR_CD — electronic-filing header record (`models/common.py`).
+    * FULL declared column set (public CAL-ACCESS file documentation). */
   val hdrCd: TableDef = TableDef(
     name = "hdr_cd",
     schema = StructType(Seq(
@@ -814,7 +826,9 @@ object Schemas {
       StructField("soft_ver", StringType, nullable = true,
         doc("Version of the software that produced the filing")),
       StructField("state_cd", StringType, nullable = true,
-        doc("State code of the filing, always CA")))),
+        doc("State code of the filing, always CA")),
+      str("ef_type", "Electronic filing type, always F"),
+      str("hdr_comment", "Filer or vendor comment on the header record"))),
     uniqueKey = Seq("filing_id", "amend_id"))
 
   /** ≙ TEXT_MEMO_CD — free-text memo lines referenced by itemization
@@ -1110,7 +1124,8 @@ object Schemas {
     dateFields = Seq("ctrib_date"))
 
   /** ≙ LEMP_CD — lobbyist employers / subcontracted clients
-    * (`models/lobbying.py`). */
+    * (`models/lobbying.py`). FULL declared column set (public CAL-ACCESS
+    * file documentation). */
   val lempCd: TableDef = TableDef(
     name = "lemp_cd",
     schema = StructType(Seq(
@@ -1124,17 +1139,33 @@ object Schemas {
         doc("Record type of the record, always LEMP")),
       StructField("form_type", StringType, nullable = true,
         doc("Part of Form 601 the employer is listed under")),
+      str("agencylist", "Agencies the employer lobbies, free text"),
       StructField("cli_naml", StringType, nullable = true,
         doc("Client last name or organization name")),
+      str("cli_namf", "Client first name"),
+      str("cli_namt", "Client name title or prefix"),
+      str("cli_nams", "Client name suffix"),
+      str("cli_city", "Client city"),
+      str("cli_st", "Client state"),
+      str("cli_zip4", "Client ZIP+4"),
+      str("cli_phon", "Client phone number"),
+      lng("client_id", "Identification number of the client, if a filer"),
+      str("descrip", "Description of the client's business interests"),
       StructField("eff_date", DateType, nullable = true,
         doc("Effective date of the agreement, M/D/YYYY in the raw file")),
       StructField("con_period", StringType, nullable = true,
-        doc("Contract period of the agreement, free text")))),
+        doc("Contract period of the agreement, free text")),
+      str("sub_name", "Name of the subcontracting firm, if subcontracted"),
+      str("sub_city", "Subcontracting firm city"),
+      str("sub_st", "Subcontracting firm state"),
+      str("sub_zip4", "Subcontracting firm ZIP+4"),
+      str("sub_phon", "Subcontracting firm phone number"))),
     uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type"),
     dateFields = Seq("eff_date"))
 
   /** ≙ LOTH_CD — payments made to lobbying coalitions / other payments
-    * (`models/lobbying.py`). */
+    * (`models/lobbying.py`). FULL declared column set (public CAL-ACCESS
+    * file documentation). */
   val lothCd: TableDef = TableDef(
     name = "loth_cd",
     schema = StructType(Seq(
@@ -1148,12 +1179,26 @@ object Schemas {
         doc("Record type of the transaction, always LOTH")),
       StructField("form_type", StringType, nullable = true,
         doc("Form type, always F625P3B")),
+      str("tran_id", "Permanent transaction id, unique within the filing"),
+      str("entity_cd", "Entity code of the party paid"),
       StructField("firm_name", StringType, nullable = true,
         doc("Name of the firm paid or paying")),
+      str("firm_city", "Firm city"),
+      str("firm_st", "Firm state"),
+      str("firm_zip4", "Firm ZIP+4"),
+      str("firm_phon", "Firm phone number"),
+      str("subj_naml", "Last name of the lobbyist the payment concerns"),
+      str("subj_namf", "First name of the lobbyist the payment concerns"),
+      str("subj_namt", "Name title of the lobbyist the payment concerns"),
+      str("subj_nams", "Name suffix of the lobbyist the payment concerns"),
       StructField("amt_this_per", DecimalType(14, 2), nullable = true,
         doc("Amount paid this reporting period")),
+      money("cum_amt", "Cumulative amount paid to date"),
       StructField("pmt_date", DateType, nullable = true,
-        doc("Date of the payment, M/D/YYYY in the raw file")))),
+        doc("Date of the payment, M/D/YYYY in the raw file")),
+      str("memo_code", "Memo amount flag"),
+      str("memo_refno", "Reference number to a text memo (TEXT_MEMO_CD)"),
+      str("bakref_tid", "Back-reference to a transaction id in a parent record"))),
     uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type"),
     dateFields = Seq("pmt_date"))
 
@@ -1408,7 +1453,8 @@ object Schemas {
     uniqueKey = Seq("filer_id", "adrid"),
     dateFields = Seq("effect_dt"))
 
-  /** ≙ NAMES_CD — the normalized name directory (`models/common.py`). */
+  /** ≙ NAMES_CD — the normalized name directory (`models/common.py`).
+    * FULL declared column set (public CAL-ACCESS file documentation). */
   val namesCd: TableDef = TableDef(
     name = "names_cd",
     schema = StructType(Seq(
@@ -1423,7 +1469,11 @@ object Schemas {
       StructField("nams", StringType, nullable = true,
         doc("Name suffix")),
       StructField("moniker", StringType, nullable = true,
-        doc("Informal moniker")))),
+        doc("Informal moniker")),
+      str("moniker_pos", "Position of the moniker within the name"),
+      str("namm", "Middle name"),
+      str("fullname", "Assembled full name"),
+      str("naml_search", "Normalized last name used for searching"))),
     uniqueKey = Seq("namid"))
 
   /** ≙ BALLOT_MEASURES_CD — ballot-measure dimension
@@ -1440,7 +1490,8 @@ object Schemas {
       StructField("election_date", DateType, nullable = true,
         doc("Date of the election, M/D/YYYY in the raw file")),
       StructField("jurisdiction", StringType, nullable = true,
-        doc("Jurisdiction the measure appears in")))),
+        doc("Jurisdiction the measure appears in")),
+      lng("filer_id", "Filer id of the committee formed for the measure"))),
     uniqueKey = Seq("measure_no", "election_date"),
     dateFields = Seq("election_date"))
 
@@ -1458,7 +1509,10 @@ object Schemas {
       StructField("received_date", DateType, nullable = true,
         doc("Date the filing was received, M/D/YYYY in the raw file")),
       StructField("filing_directory", StringType, nullable = true,
-        doc("Archive directory the scanned filing is stored in")))),
+        doc("Archive directory the scanned filing is stored in")),
+      str("filing_file_name", "File name of the scanned filing"),
+      str("receive_comment", "Comment recorded at receipt"),
+      str("filing_type", "Type code of the received filing"))),
     uniqueKey = Seq("filing_id", "form_id"),
     dateFields = Seq("received_date"))
 

@@ -57,6 +57,15 @@ class SchemasSpec extends AnyFunSuite {
     assert(Schemas.filernameCd.schema.length === 17)
     assert(Schemas.filerLinksCd.schema.length === 9)
     assert(Schemas.textMemoCd.schema.length === 7)
+    // fourth tier: lobbying attachments/other-payments/employers, the
+    // filing header, and the name/measure/receipt dims at full width
+    assert(Schemas.lattCd.schema.length === 19)
+    assert(Schemas.lothCd.schema.length === 22)
+    assert(Schemas.lempCd.schema.length === 23)
+    assert(Schemas.hdrCd.schema.length === 9)
+    assert(Schemas.namesCd.schema.length === 10)
+    assert(Schemas.ballotMeasuresCd.schema.length === 6)
+    assert(Schemas.receivedFilingsCd.schema.length === 8)
     val cvrSo = Schemas.cvrSoCd.schema.fieldNames.toSet
     for (c <- Seq("tres_naml", "bank_nam", "com82013yn", "surplusdsp",
         "actvty_lvl", "term_date"))
