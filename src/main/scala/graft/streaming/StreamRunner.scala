@@ -97,6 +97,23 @@ object StreamRunner {
     deduped.unionByName(docs.filter(!hasText))
   }
 
+  /** §3 lifecycle in streaming form: CONTINUOUS clean→load. The
+    * reference's update loop is a periodic batch download→clean→load; at
+    * 100 TB/day the same contract runs as a file stream — raw text lands,
+    * every micro-batch is width-checked, scrubbed, typed, and appended to
+    * the typed table, with rejects routed to the error side-channel.
+    * Clean.clean and Load.load are pure narrow projections, so the
+    * streaming plan is STATELESS — no watermark, no state store, nothing
+    * buffered; exactly-once delivery comes from the file sink's commit
+    * log (FileSinkSpec). Returns (typed stream, bad-row side-channel
+    * stream); both work identically on a static frame, which is how
+    * StreamingSpec cross-checks them against the batch path. */
+  def cleanLoadStream(table: graft.schemas.Schemas.TableDef,
+      lines: DataFrame): (DataFrame, DataFrame) = {
+    val cleaned = graft.ingest.Clean.clean(table, lines)
+    (graft.ingest.Load.load(table, cleaned.good), cleaned.bad)
+  }
+
   /** T7: stream-stream interval join — purchases matched to the same
     * user's clicks in the preceding 10 minutes. Both sides are
     * watermarked and the join condition carries the time bound, which is

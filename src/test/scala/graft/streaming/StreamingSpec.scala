@@ -167,6 +167,56 @@ class StreamingSpec extends SparkTestBase {
     assert(kept === Array(1L, 2L, 4L, 5L, 6L), kept.mkString(","))
   }
 
+  test("continuous clean→load: streaming micro-batches equal the batch path") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.schemas.Schemas
+    import org.apache.spark.sql.types._
+    // a small declared schema exercising the width check, date parse,
+    // decimal cast, and ''→NULL — the full Clean→Load surface
+    val tdef = Schemas.TableDef(
+      name = "stream_raw",
+      schema = StructType(Seq(
+        StructField("rec_id", LongType),
+        StructField("eff_date", DateType),
+        StructField("amount", DecimalType(14, 2)),
+        StructField("label", StringType))),
+      uniqueKey = Seq("rec_id"),
+      dateFields = Seq("eff_date"))
+    val lines = Seq(
+      "1\t1/15/2014\t12.34\talpha",
+      "2\t2/30/2014\tgarbage\t",      // bad date + bad decimal + ''→NULL
+      "3\t12/31/2013\t0.01\tbeta",
+      "too\tfew",                      // width reject → side-channel
+      "4\t1/1/2014\t5.00\tgamma\textra") // too wide → side-channel
+    val source = MemoryStream[String]
+    val (typed, bad) = StreamRunner.cleanLoadStream(tdef,
+      source.toDF().select(col("value")))
+    val goodSink = s"clean_good_${System.nanoTime()}"
+    val badSink = s"clean_bad_${System.nanoTime()}"
+    val qg = typed.writeStream.format("memory").queryName(goodSink)
+      .outputMode("append").start()
+    val qb = bad.writeStream.format("memory").queryName(badSink)
+      .outputMode("append").start()
+    // two micro-batches to prove incremental append semantics
+    val (b1, b2) = lines.splitAt(2)
+    source.addData(b1: _*); qg.processAllAvailable(); qb.processAllAvailable()
+    source.addData(b2: _*); qg.processAllAvailable(); qb.processAllAvailable()
+    qg.stop(); qb.stop()
+    // streamed result == the batch path over the same lines
+    val (batchTyped, batchBad) = StreamRunner.cleanLoadStream(tdef,
+      Seq(lines: _*).toDF("value"))
+    val streamed = spark.table(goodSink).orderBy("rec_id").collect().toSeq
+    assert(streamed === batchTyped.orderBy("rec_id").collect().toSeq)
+    assert(spark.table(badSink).count() === batchBad.count())
+    assert(spark.table(badSink).count() === 2)
+    // spot-check the typed semantics survived the stream boundary
+    val r2 = streamed.find(_.getLong(0) == 2L).get
+    assert(r2.isNullAt(r2.fieldIndex("eff_date")))  // 2/30 invalid
+    assert(r2.isNullAt(r2.fieldIndex("amount")))    // garbage decimal
+    assert(r2.isNullAt(r2.fieldIndex("label")))     // '' → NULL
+  }
+
   test("stateful dedup drops replayed event_ids across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
