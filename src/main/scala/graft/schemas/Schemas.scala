@@ -1618,10 +1618,15 @@ object Schemas {
         doc("Form being verified")),
       StructField("tran_id", StringType, nullable = true,
         doc("Permanent value unique within the filing")),
+      str("entity_cd", "Entity code of the signer"),
       StructField("sig_date", DateType, nullable = true,
         doc("Date the verification was signed, M/D/YYYY in the raw file")),
+      str("sig_loc", "City and state where the verification was signed"),
       StructField("sig_naml", StringType, nullable = true,
-        doc("Signer last name")))),
+        doc("Signer last name")),
+      str("sig_namf", "Signer first name"),
+      str("sig_namt", "Signer name title or prefix"),
+      str("sig_nams", "Signer name suffix"))),
     uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type"),
     dateFields = Seq("sig_date"))
 

@@ -66,6 +66,7 @@ class SchemasSpec extends AnyFunSuite {
     assert(Schemas.namesCd.schema.length === 10)
     assert(Schemas.ballotMeasuresCd.schema.length === 6)
     assert(Schemas.receivedFilingsCd.schema.length === 8)
+    assert(Schemas.cvr3VerificationInfoCd.schema.length === 13)
     val cvrSo = Schemas.cvrSoCd.schema.fieldNames.toSet
     for (c <- Seq("tres_naml", "bank_nam", "com82013yn", "surplusdsp",
         "actvty_lvl", "term_date"))
