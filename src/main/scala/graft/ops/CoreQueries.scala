@@ -221,13 +221,6 @@ object CoreQueries {
       ORDER BY doc_id
     """))
 
-  /** S3+S4+P1–P7 end-to-end: the full clean→load pipeline
-    * (`updatecalaccessrawdata.py` stages 5–6) driven through
-    * `graft.ingest.{Clean,Load}`. Raw TSV lines are synthesized from the
-    * events table (1-in-97 rows deliberately malformed with an extra
-    * field); the oracle computes the same result independently from the
-    * typed source — so the whole split/scrub/parse/cast path is verified,
-    * not just replayed. */
   /** Shared raw-TSV synthesis for the lifecycle queries
     * (`ingest_pipeline`, `tracking_verify`): a declared 6-column
     * events_raw schema plus the events table rendered as tab-joined
@@ -257,6 +250,13 @@ object CoreQueries {
         .otherwise(line).as("value"))
   }
 
+  /** S3+S4+P1–P7 end-to-end: the full clean→load pipeline
+    * (`updatecalaccessrawdata.py` stages 5–6) driven through
+    * `graft.ingest.{Clean,Load}`. Raw TSV lines are synthesized from the
+    * events table (1-in-97 rows deliberately malformed with an extra
+    * field); the oracle computes the same result independently from the
+    * typed source — so the whole split/scrub/parse/cast path is verified,
+    * not just replayed. */
   val ingestPipeline = GQuery(
     "ingest_pipeline",
     (s, d) => {

@@ -205,7 +205,7 @@ class StreamingSpec extends SparkTestBase {
     qg.stop(); qb.stop()
     // streamed result == the batch path over the same lines
     val (batchTyped, batchBad) = StreamRunner.cleanLoadStream(tdef,
-      Seq(lines: _*).toDF("value"))
+      lines.toDF("value"))
     val streamed = spark.table(goodSink).orderBy("rec_id").collect().toSeq
     assert(streamed === batchTyped.orderBy("rec_id").collect().toSeq)
     assert(spark.table(badSink).count() === batchBad.count())
