@@ -244,6 +244,7 @@ object Annotations {
     FilingForm("F498", "Slate Mailer Late Payment Report"),
     FilingForm("F501", "Candidate Intention Statement"),
     FilingForm("F502", "Campaign Bank Account Statement"),
+    FilingForm("F511", "Paid Spokesperson Report"),
     FilingForm("F601", "Lobbying Firm Registration Statement"),
     FilingForm("F602", "Lobbying Firm Activity Authorization"),
     FilingForm("F603",
