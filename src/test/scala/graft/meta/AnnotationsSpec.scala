@@ -23,10 +23,23 @@ class AnnotationsSpec extends SparkTestBase {
   test("filing-form directory has unique ids and non-empty titles") {
     val ids = Annotations.filingForms.map(_.id)
     assert(ids.distinct.size === ids.size)
+    assert(ids.size === 29) // the documented breadth as of round 8
     assert(Annotations.filingForms.forall(_.title.nonEmpty))
     assert(Annotations.formById("F460").title
       .contains("Recipient Committee Campaign Statement"))
     intercept[IllegalArgumentException] { Annotations.formById("F999") }
+  }
+
+  test("decodeExpr over the campaign entity set resolves every documented code") {
+    import spark.implicits._
+    val codes = Annotations.sortedChoices("rcpt_cd", "entity_cd")
+    val df = (codes.map(_.code) :+ "ZZZ").toDF("entity_cd")
+      .select(col("entity_cd"),
+        Annotations.decodeExpr("rcpt_cd", "entity_cd",
+          col("entity_cd")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for (c <- codes) assert(df(c.code) === c.meaning)
+    assert(df("ZZZ") === "UNKNOWN")
   }
 
   test("every CAL-ACCESS choices key points at a real column of its schema") {
