@@ -166,7 +166,8 @@ object Schemas {
     dateFields = Seq("filing_date", "rpt_start", "rpt_end", "rpt_date"))
 
   /** ≙ LOOKUP_CODES_CD — the dimension/decode table
-    * (`models/inactive.py:~400`). */
+    * (`models/inactive.py:~400`). FULL declared column set — the raw
+    * table carries exactly these three columns. */
   val lookupCodesCd: TableDef = TableDef(
     name = "lookup_codes_cd",
     schema = StructType(Seq(
@@ -798,7 +799,9 @@ object Schemas {
   // ── Tier 3: filings backbone, schedule tables, registration,
   //    dimensions, and the tracking/lineage star (SURVEY §1.3) ──────────
 
-  /** ≙ FILINGS_CD — the master filings directory (`models/common.py`). */
+  /** ≙ FILINGS_CD — the master filings directory (`models/common.py`).
+    * FULL declared column set — the raw table carries exactly these two
+    * columns. */
   val filingsCd: TableDef = TableDef(
     name = "filings_cd",
     schema = StructType(Seq(
@@ -1422,7 +1425,8 @@ object Schemas {
       "recipient_name"),
     dateFields = Seq("filing_period_start_dt", "filing_period_end_dt"))
 
-  /** ≙ FILER_XREF_CD — filer id cross-reference (legacy ↔ current)
+  /** ≙ FILER_XREF_CD — filer id cross-reference (legacy ↔ current).
+    * FULL declared column set (public CAL-ACCESS file documentation)
     * (`models/common.py`). */
   val filerXrefCd: TableDef = TableDef(
     name = "filer_xref_cd",
@@ -1672,7 +1676,8 @@ object Schemas {
     uniqueKey = Seq("filer_id", "change_no"),
     dateFields = Seq("log_dt"))
 
-  /** ≙ FILING_PERIOD_CD — filing-period dimension
+  /** ≙ FILING_PERIOD_CD — filing-period dimension, FULL declared
+    * column set
     * (`models/inactive.py`). */
   val filingPeriodCd: TableDef = TableDef(
     name = "filing_period_cd",

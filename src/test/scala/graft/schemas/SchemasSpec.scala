@@ -67,6 +67,12 @@ class SchemasSpec extends AnyFunSuite {
     assert(Schemas.ballotMeasuresCd.schema.length === 6)
     assert(Schemas.receivedFilingsCd.schema.length === 8)
     assert(Schemas.cvr3VerificationInfoCd.schema.length === 13)
+    // small dims whose raw layouts are exactly this wide — pinned so the
+    // full-width claim in COVERAGE stays honest
+    assert(Schemas.filingsCd.schema.length === 2)
+    assert(Schemas.lookupCodesCd.schema.length === 3)
+    assert(Schemas.filerXrefCd.schema.length === 4)
+    assert(Schemas.filingPeriodCd.schema.length === 6)
     val cvrSo = Schemas.cvrSoCd.schema.fieldNames.toSet
     for (c <- Seq("tres_naml", "bank_nam", "com82013yn", "surplusdsp",
         "actvty_lvl", "term_date"))
