@@ -32,9 +32,13 @@ object Annotations {
   /** One documented code → meaning pair (≙ a Django `choices` tuple). */
   final case class Choice(code: String, meaning: String)
 
+  /** One documented section (schedule/part) of a filing form
+    * (≙ `annotations/filing_forms.py` FilingFormSection). */
+  final case class FormSection(id: String, title: String)
+
   /** One filing form (≙ `annotations/filing_forms.py` FilingForm). */
   final case class FilingForm(id: String, title: String,
-      sections: Seq[String] = Nil)
+      sections: Seq[FormSection] = Nil)
 
   // ——— shared documented code sets (≙ the reference's choices
   // constants, reused across every model that carries the column; all
@@ -127,7 +131,7 @@ object Annotations {
     Choice("CO", "County"),
     Choice("ST", "State"))
 
-  /** The sixteen full-width tables that carry closed-set columns
+  /** The eighteen full-width tables that carry closed-set columns
     * (SchemasSpec pins their widths) — the scope the shared sets below
     * are seeded against, and the scope the completeness test in
     * AnnotationsSpec checks. (filername_cd / filer_links_cd /
@@ -137,7 +141,7 @@ object Annotations {
     import graft.schemas.Schemas._
     Seq(rcptCd, expnCd, cvrCampaignDisclosureCd, filerFilingsCd, s497Cd,
       s496Cd, loanCd, debtCd, smryCd, cvrSoCd, s401Cd, s498Cd, lexpCd,
-      lpayCd, lccmCd, cvr2SoCd)
+      lpayCd, lccmCd, cvr2SoCd, cvrLobbyDisclosureCd, cvrRegistrationCd)
   }
 
   /** Seed `cs` for every listed table that actually declares `colName` —
@@ -150,7 +154,7 @@ object Annotations {
 
   private val lobbyTables = {
     import graft.schemas.Schemas._
-    Seq(lexpCd, lpayCd, lccmCd)
+    Seq(lexpCd, lpayCd, lccmCd, cvrLobbyDisclosureCd, cvrRegistrationCd)
   }
   private val campaignTables =
     fullWidthTables.filterNot(lobbyTables.contains)
@@ -163,11 +167,117 @@ object Annotations {
       s498Cd -> "S498", s401Cd -> "S401", smryCd -> "SMRY",
       cvrSoCd -> "CVR", cvrCampaignDisclosureCd -> "CVR",
       cvr2SoCd -> "CVR2",
+      cvrLobbyDisclosureCd -> "CVR", cvrRegistrationCd -> "CVR",
       lexpCd -> "LEXP", lpayCd -> "LPAY", lccmCd -> "LCCM")
       .filter(_._1.schema.fieldNames.contains("rec_type"))
       .map { case (t, v) =>
         (t.name, "rec_type") -> Seq(Choice(v, s"Record type, always $v"))
       }
+  }
+
+  /** FORM_TYPE — which form/schedule an itemized record was filed on.
+    * Per-table closed sets from the public CAL-ACCESS documentation;
+    * the schedule/part meanings double as the S-schedule descriptions
+    * of `annotations/filing_forms.py`. Tables whose documented sets are
+    * less certain from public memory (e.g. SMRY_CD, which mixes form
+    * ids with bare schedule letters) are deliberately left unseeded
+    * rather than guessed. */
+  private val formTypes: Seq[((String, String), Seq[Choice])] = {
+    import graft.schemas.Schemas._
+    Seq(
+      rcptCd -> Seq(
+        Choice("A", "Schedule A: Monetary Contributions Received"),
+        Choice("C", "Schedule C: Nonmonetary Contributions Received"),
+        Choice("I", "Schedule I: Miscellaneous Increases to Cash"),
+        Choice("F496P3",
+          "Form 496 Part 3: Contributions of $100 or More Received")),
+      expnCd -> Seq(
+        Choice("D", "Schedule D: Summary of Expenditures Supporting/" +
+          "Opposing Other Candidates, Measures and Committees"),
+        Choice("E", "Schedule E: Payments Made"),
+        Choice("G",
+          "Schedule G: Payments Made by an Agent or Independent Contractor"),
+        Choice("F450P5", "Form 450 Part 5: Payments Made"),
+        Choice("F461P5",
+          "Form 461 Part 5: Contributions and Expenditures Made"),
+        Choice("F465P3", "Form 465 Part 3: Independent Expenditures Made"),
+        Choice("F900", "Form 900: Public Employee's Retirement Board " +
+          "Candidate Campaign Statement")),
+      loanCd -> Seq(
+        Choice("B1", "Schedule B Part 1: Loans Received"),
+        Choice("B2", "Schedule B Part 2: Loan Guarantors"),
+        Choice("H", "Schedule H: Loans Made to Others")),
+      debtCd -> Seq(
+        Choice("F", "Schedule F: Accrued Expenses (Unpaid Bills)")),
+      s496Cd -> Seq(
+        Choice("F496", "Form 496: Late Independent Expenditure Report")),
+      s497Cd -> Seq(
+        Choice("F497P1", "Form 497 Part 1: Contributions Received"),
+        Choice("F497P2", "Form 497 Part 2: Contributions Made")),
+      s498Cd -> Seq(
+        Choice("F498-A", "Form 498 Part A: Late Payment(s) Received"),
+        Choice("F498-R", "Form 498 Part R: Late Payment(s) Returned")),
+      s401Cd -> Seq(
+        Choice("F401A", "Form 401 Schedule A: Payments Received"),
+        Choice("F401B", "Form 401 Schedule B: Payments Made"),
+        Choice("F401C",
+          "Form 401 Schedule C: Persons Receiving $1,000 or More"),
+        Choice("F401D", "Form 401 Schedule D: Candidates and Measures " +
+          "Not Listed on Schedule A")),
+      cvrSoCd -> Seq(
+        Choice("F400", "Statement of Organization " +
+          "(Slate Mailer Organization)"),
+        Choice("F402", "Statement of Termination " +
+          "(Slate Mailer Organization)"),
+        Choice("F410", "Statement of Organization Recipient Committee")),
+      cvr2SoCd -> Seq(
+        Choice("F400", "Statement of Organization " +
+          "(Slate Mailer Organization)"),
+        Choice("F410", "Statement of Organization Recipient Committee")),
+      cvrCampaignDisclosureCd -> Seq(
+        Choice("F401", "Slate Mailer Organization Campaign Statement"),
+        Choice("F425", "Semi-Annual Statement of No Activity"),
+        Choice("F450", "Recipient Committee Campaign Disclosure " +
+          "Statement - Short Form"),
+        Choice("F460", "Recipient Committee Campaign Statement"),
+        Choice("F461", "Independent Expenditure Committee & Major Donor " +
+          "Committee Campaign Statement"),
+        Choice("F465", "Supplemental Independent Expenditure Report"),
+        Choice("F496", "Late Independent Expenditure Report"),
+        Choice("F497", "Late Contribution Report"),
+        Choice("F498", "Slate Mailer Late Payment Report")),
+      cvrLobbyDisclosureCd -> Seq(
+        Choice("F615", "Lobbyist Report"),
+        Choice("F625", "Report of Lobbying Firm"),
+        Choice("F635", "Report of Lobbyist Employer and Report of " +
+          "Lobbying Coalition"),
+        Choice("F645", "Report of Person Spending $5,000 or More")),
+      // F605 amendments arrive as AMEND_ID increments on the original
+      // form, not as an F605 FORM_TYPE — deliberately absent here.
+      cvrRegistrationCd -> Seq(
+        Choice("F601", "Lobbying Firm Registration Statement"),
+        Choice("F602", "Lobbying Firm Activity Authorization"),
+        Choice("F603", "Lobbyist Employer/Lobbying Coalition " +
+          "Registration Statement"),
+        Choice("F604", "Lobbyist Certification Statement"),
+        Choice("F606", "Notice of Termination"),
+        Choice("F607", "Notice of Withdrawal")),
+      lexpCd -> Seq(
+        Choice("F615P1", "Form 615 Part 1: Activity Expenses"),
+        Choice("F625P3A", "Form 625 Part 3A: Activity Expenses"),
+        Choice("F635P3C", "Form 635 Part 3C: Activity Expenses"),
+        Choice("F645P2A", "Form 645 Part 2A: Activity Expenses")),
+      lpayCd -> Seq(
+        Choice("F625P2", "Form 625 Part 2: Payments Received in " +
+          "Connection with Lobbying Activity"),
+        Choice("F635P3B", "Form 635 Part 3B: Payments to Lobbying Firms")),
+      // the F625/F635/F645 contribution part codes are less certain
+      // from public memory — only the confident F615 part is seeded.
+      lccmCd -> Seq(
+        Choice("F615P2",
+          "Form 615 Part 2: Campaign Contributions Made or Delivered")))
+      .filter(_._1.schema.fieldNames.contains("form_type"))
+      .map { case (t, cs) => (t.name, "form_type") -> cs }
   }
 
   /** (table, column) → documented choices. */
@@ -205,7 +315,7 @@ object Annotations {
       Seq(graft.schemas.Schemas.rcptCd)) ++
     shared("actvty_lvl", actvtyLvl,
       Seq(graft.schemas.Schemas.cvrSoCd)) ++
-    recTypes
+    recTypes ++ formTypes
 
   /** Choices for one column, sorted by code — ≙ `get_sorted_choices`
     * (the reference sorts so docs and admin render deterministically). */
@@ -216,36 +326,68 @@ object Annotations {
       .sortBy(_.code)
 
   /** The filing-form directory (≙ `annotations/filing_forms.py`): id,
-    * title, and the itemization sections the form carries. */
+    * title, and the itemization sections (schedules/parts) the form
+    * carries, each with its documented description. Breadth covers
+    * every form the CAL-ACCESS tables reference by FORM_TYPE plus the
+    * lobbying attachments; sections are the stable public FPPC
+    * schedule facts. */
   val filingForms: Seq[FilingForm] = Seq(
     FilingForm("E530", "Issue Advocacy Report"),
     FilingForm("F400", "Statement of Organization (Slate Mailer Organization)"),
-    FilingForm("F401", "Slate Mailer Organization Campaign Statement",
-      Seq("A", "B", "C", "D")),
+    FilingForm("F401", "Slate Mailer Organization Campaign Statement", Seq(
+      FormSection("A", "Payments Received"),
+      FormSection("A-1",
+        "Payments Received on Behalf of the Slate Mailer Organization"),
+      FormSection("B", "Payments Made"),
+      FormSection("B-1",
+        "Payments Made by an Agent or Independent Contractor"),
+      FormSection("C", "Persons Receiving $1,000 or More"),
+      FormSection("D", "Candidates and Measures Not Listed on Schedule A"))),
     FilingForm("F402",
       "Statement of Termination (Slate Mailer Organization)"),
     FilingForm("F410", "Statement of Organization Recipient Committee"),
     FilingForm("F425", "Semi-Annual Statement of No Activity"),
     FilingForm("F450",
       "Recipient Committee Campaign Disclosure Statement - Short Form",
-      Seq("P")),
-    FilingForm("F460", "Recipient Committee Campaign Statement",
-      Seq("A", "B1", "C", "D", "E", "F", "G", "H", "I")),
+      Seq(FormSection("P5", "Payments Made"))),
+    FilingForm("F460", "Recipient Committee Campaign Statement", Seq(
+      FormSection("A", "Monetary Contributions Received"),
+      FormSection("B1", "Loans Received"),
+      FormSection("B2", "Loan Guarantors"),
+      FormSection("C", "Nonmonetary Contributions Received"),
+      FormSection("D", "Summary of Expenditures Supporting/Opposing " +
+        "Other Candidates, Measures and Committees"),
+      FormSection("E", "Payments Made"),
+      FormSection("F", "Accrued Expenses (Unpaid Bills)"),
+      FormSection("G",
+        "Payments Made by an Agent or Independent Contractor"),
+      FormSection("H", "Loans Made to Others"),
+      FormSection("I", "Miscellaneous Increases to Cash"))),
     FilingForm("F461",
       "Independent Expenditure Committee & Major Donor Committee Campaign Statement",
-      Seq("P5")),
-    FilingForm("F465", "Supplemental Independent Expenditure Report"),
+      Seq(FormSection("P5", "Contributions and Expenditures Made"))),
+    FilingForm("F465", "Supplemental Independent Expenditure Report",
+      Seq(FormSection("P3", "Independent Expenditures Made"))),
     FilingForm("F470",
       "Officeholder and Candidate Campaign Statement, Short Form"),
+    FilingForm("F470S",
+      "Officeholder and Candidate Campaign Statement Supplement"),
     FilingForm("F495", "Supplemental Preelection Campaign Statement",
-      Seq("P2")),
-    FilingForm("F496", "Late Independent Expenditure Report"),
-    FilingForm("F497", "Late Contribution Report", Seq("P1", "P2")),
-    FilingForm("F498", "Slate Mailer Late Payment Report"),
+      Seq(FormSection("P2", "Contributions Received"))),
+    FilingForm("F496", "Late Independent Expenditure Report",
+      Seq(FormSection("P3", "Contributions of $100 or More Received"))),
+    FilingForm("F497", "Late Contribution Report", Seq(
+      FormSection("P1", "Contributions Received"),
+      FormSection("P2", "Contributions Made"))),
+    FilingForm("F498", "Slate Mailer Late Payment Report", Seq(
+      FormSection("A", "Late Payment(s) Received"),
+      FormSection("R", "Late Payment(s) Returned"))),
     FilingForm("F501", "Candidate Intention Statement"),
     FilingForm("F502", "Campaign Bank Account Statement"),
     FilingForm("F511", "Paid Spokesperson Report"),
-    FilingForm("F601", "Lobbying Firm Registration Statement"),
+    FilingForm("F601", "Lobbying Firm Registration Statement", Seq(
+      FormSection("P2A", "Lobbyist Employers"),
+      FormSection("P2B", "Subcontracted Clients"))),
     FilingForm("F602", "Lobbying Firm Activity Authorization"),
     FilingForm("F603",
       "Lobbyist Employer/Lobbying Coalition Registration Statement"),
@@ -254,11 +396,34 @@ object Annotations {
       "Amendment to Registration, Lobbying Firm, Lobbyist Employer, Lobbying Coalition"),
     FilingForm("F606", "Notice of Termination"),
     FilingForm("F607", "Notice of Withdrawal"),
-    FilingForm("F615", "Lobbyist Report"),
-    FilingForm("F625", "Report of Lobbying Firm"),
+    FilingForm("F615", "Lobbyist Report", Seq(
+      FormSection("P1", "Activity Expenses Paid, Incurred, Arranged or " +
+        "Provided by the Lobbyist"),
+      FormSection("P2", "Campaign Contributions Made or Delivered"))),
+    FilingForm("F625", "Report of Lobbying Firm", Seq(
+      FormSection("P2",
+        "Payments Received in Connection with Lobbying Activity"),
+      FormSection("P3A", "Activity Expenses"),
+      FormSection("P3B", "Payments Made to Other Lobbying Firms"))),
+    FilingForm("F630", "Payments Made to Lobbying Coalitions"),
     FilingForm("F635",
-      "Report of Lobbyist Employer and Report of Lobbying Coalition"),
-    FilingForm("F645", "Report of Person Spending $5,000 or More"))
+      "Report of Lobbyist Employer and Report of Lobbying Coalition", Seq(
+      FormSection("P3A", "Payments to In-House Employee Lobbyists"),
+      FormSection("P3B", "Payments to Lobbying Firms"),
+      FormSection("P3C", "Activity Expenses"),
+      FormSection("P3D", "Other Payments to Influence Legislative or " +
+        "Administrative Action"))),
+    FilingForm("F635C", "Payments Received by Lobbying Coalitions"),
+    FilingForm("F640",
+      "Governmental Agencies Reporting (Attachment to Form 635 or Form 645)"),
+    FilingForm("F645", "Report of Person Spending $5,000 or More", Seq(
+      FormSection("P2A", "Activity Expenses"),
+      FormSection("P2B", "Other Payments to Influence Legislative or " +
+        "Administrative Action"),
+      FormSection("P3", "Campaign Contributions Made"))),
+    FilingForm("F690", "Amendment to Lobbying Disclosure Report"),
+    FilingForm("F900",
+      "Public Employee's Retirement Board Candidate Campaign Statement"))
 
   def formById(id: String): FilingForm =
     filingForms.find(_.id == id).getOrElse(
@@ -296,12 +461,22 @@ object Annotations {
       .toDF("table_name", "column_name", "code", "meaning")
   }
 
-  /** Filing-form directory → DataFrame (sections joined for scalar
+  /** Filing-form directory → DataFrame (section ids joined for scalar
     * hashing). */
   def formsDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    filingForms.map(f => (f.id, f.title, f.sections.mkString(",")))
-      .toDF("form_id", "title", "sections")
+    filingForms.map(f =>
+        (f.id, f.title, f.sections.map(_.id).mkString(","), f.sections.size))
+      .toDF("form_id", "title", "sections", "n_sections")
+  }
+
+  /** Base form id of a FORM_TYPE code: `F496P3` → `F496`, `F498-A` →
+    * `F498`, bare schedule letters (`A`, `B1`, `F`) → None. The spec
+    * uses this to assert every form-referencing FORM_TYPE choice
+    * resolves in [[filingForms]]. */
+  def baseFormId(formType: String): Option[String] = {
+    val m = "^([EF]\\d+)".r.findFirstIn(formType)
+    m
   }
 
   /** Join-free decode: when() chain from the registry, ELSE `fallback`.

@@ -242,9 +242,14 @@ object CoreQueries {
 
   private def eventsRawLines(
       events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val line = concat_ws("\t",
+    // concat_ws silently DROPS null arguments, which would shorten the
+    // rendered line and desynchronize the field-count gate from the
+    // oracle — coalesce each field so a NULL renders as an empty field
+    // and the line keeps a fixed width.
+    val line = concat_ws("\t", Seq(
       col("event_id"), date_format(col("ts"), "M/d/yyyy"),
       col("user_id"), col("event_type"), col("value"), col("props"))
+      .map(c => coalesce(c.cast(StringType), lit(""))): _*)
     events.select(
       when(col("event_id") % 97 === 0, concat(line, lit("\textra")))
         .otherwise(line).as("value"))

@@ -769,31 +769,74 @@ object Schemas {
     dateFields = Seq("effect_dt", "termination_dt"))
 
   /** ≙ CVR_LOBBY_DISCLOSURE_CD — lobbying-disclosure cover page
-    * (`models/lobbying.py`), carries a signing datetime exercising P5. */
+    * (`models/lobbying.py:~100-400`). FULL declared column set,
+    * reconstructed from the public CAL-ACCESS CVR record layout shared by
+    * the F615/F625/F635/F645 disclosure forms: filer identity, reporting
+    * period, firm and mailing-address blocks, the signature and
+    * printed-name blocks, the part-1/part-2 participation checkboxes, the
+    * F635 major-donor name block, and the recipient committee. Street
+    * address lines (ADR1/ADR2) are excluded throughout the catalog,
+    * mirroring the reference's deliberate omission. `sig_date` stays a
+    * datetime (P5 coercion surface). */
   val cvrLobbyDisclosureCd: TableDef = TableDef(
     name = "cvr_lobby_disclosure_cd",
     schema = StructType(Seq(
-      StructField("filing_id", LongType, nullable = true,
-        doc("Unique filing identification number")),
-      StructField("amend_id", LongType, nullable = true,
-        doc("Amendment identification number; 0 is the original")),
-      StructField("rec_type", StringType, nullable = true,
-        doc("Record type of the cover page, always CVR")),
-      StructField("form_type", StringType, nullable = true,
-        doc("Form filed (F615, F625, F635, F645, ...)")),
-      StructField("filer_id", LongType, nullable = true,
-        doc("Filer unique identification number")),
-      StructField("filer_naml", StringType, nullable = true,
-        doc("Filer last name or organization name")),
-      StructField("from_date", DateType, nullable = true,
-        doc("Reporting period start date, M/D/YYYY in the raw file")),
-      StructField("thru_date", DateType, nullable = true,
-        doc("Reporting period end date, M/D/YYYY in the raw file")),
+      lng("filing_id", "Unique filing identification number"),
+      lng("amend_id", "Amendment identification number; 0 is the original"),
+      str("rec_type", "Record type of the cover page, always CVR"),
+      str("form_type", "Form filed (F615, F625, F635, F645, ...)"),
+      str("sender_id", "Filer id of the submitter (lobbying firm or employer)"),
+      lng("filer_id", "Filer unique identification number"),
+      str("entity_cd", "Entity code of the filer (FRM, LBY, LEM, LCO, IND)"),
+      str("filer_naml", "Filer last name or organization name"),
+      str("filer_namf", "Filer first name"),
+      str("filer_namt", "Filer name title or prefix"),
+      str("filer_nams", "Filer name suffix"),
+      str("report_num", "Report number; 000 is the original, amendments count up"),
+      date("rpt_date", "Date the report was filed, M/D/YYYY in the raw file"),
+      date("from_date", "Reporting period start date, M/D/YYYY in the raw file"),
+      date("thru_date", "Reporting period end date, M/D/YYYY in the raw file"),
+      date("cum_beg_dt", "Cumulative period beginning date"),
+      str("firm_id", "Identification number of the lobbying firm"),
+      str("firm_name", "Name of the lobbying firm or employer"),
+      str("firm_city", "Firm business address city"),
+      str("firm_st", "Firm business address state"),
+      str("firm_zip4", "Firm business address ZIP+4"),
+      str("firm_phon", "Firm business phone number"),
+      str("mail_city", "Filer mailing address city"),
+      str("mail_st", "Filer mailing address state"),
+      str("mail_zip4", "Filer mailing address ZIP+4"),
+      str("mail_phon", "Filer mailing address phone number"),
       StructField("sig_date", TimestampType, nullable = true,
         doc("Datetime the filing was signed, " +
-          "M/D/YYYY H:MM:SS AM in the raw file")))),
+          "M/D/YYYY H:MM:SS AM in the raw file")),
+      str("sig_loc", "City and state where the filing was signed"),
+      str("sig_naml", "Signer last name"),
+      str("sig_namf", "Signer first name"),
+      str("sig_namt", "Signer name title or prefix"),
+      str("sig_nams", "Signer name suffix"),
+      str("prn_naml", "Printed signer last name"),
+      str("prn_namf", "Printed signer first name"),
+      str("prn_namt", "Printed signer name title or prefix"),
+      str("prn_nams", "Printed signer name suffix"),
+      str("sig_title", "Title of the signer"),
+      str("nopart1_cb", "Checkbox: no part 1 activity to report (X or blank)"),
+      str("nopart2_cb", "Checkbox: no part 2 activity to report (X or blank)"),
+      str("part1_1_cb", "Checkbox: part 1 section 1 completed (X or blank)"),
+      str("part1_2_cb", "Checkbox: part 1 section 2 completed (X or blank)"),
+      str("ctrib_n_cb", "Checkbox: no campaign contributions made (X or blank)"),
+      str("ctrib_y_cb", "Checkbox: campaign contributions made (X or blank)"),
+      str("lby_actvty", "Description of the lobbying activity"),
+      str("lobby_n_cb", "Checkbox: no activity in the period (X or blank)"),
+      str("lobby_y_cb", "Checkbox: activity in the period (X or blank)"),
+      str("major_naml", "Major donor last name or organization name (F635)"),
+      str("major_namf", "Major donor first name (F635)"),
+      str("major_namt", "Major donor name title or prefix (F635)"),
+      str("major_nams", "Major donor name suffix (F635)"),
+      str("rcpcmte_nm", "Name of the recipient committee"),
+      str("rcpcmte_id", "Identification number of the recipient committee"))),
     uniqueKey = Seq("filing_id", "amend_id", "rec_type", "form_type"),
-    dateFields = Seq("from_date", "thru_date"),
+    dateFields = Seq("rpt_date", "from_date", "thru_date", "cum_beg_dt"),
     datetimeFields = Seq("sig_date"))
 
   // ── Tier 3: filings backbone, schedule tables, registration,
@@ -1058,33 +1101,97 @@ object Schemas {
     uniqueKey = Seq("filing_id", "amend_id", "line_item", "pform_type"),
     dateFields = Seq("elec_date"))
 
-  /** ≙ CVR_REGISTRATION_CD — lobbyist/firm registration cover page
-    * (`models/lobbying.py`). */
+  /** ≙ CVR_REGISTRATION_CD — lobbyist/firm/employer registration cover
+    * page (`models/lobbying.py:~100-400`). Widened to the documented
+    * form-field blocks of the F601–F607 registration family: filer
+    * identity, legislative session, the agency-or-business and
+    * authorizing-entity name blocks (F602/F603), industry/business
+    * classification, firm and mailing-address blocks, the
+    * new/renewal certification checkboxes, lobbying-interest
+    * descriptions, qualification/effective/completion dates, and the
+    * signature and printed-name blocks. A handful of auxiliary raw
+    * columns whose exact names are less certain from public memory
+    * (e.g. the business fax/email pair and the duplicate QUALFY_DT
+    * rendering of the qualification date) are deliberately omitted
+    * rather than guessed; street address lines (ADR1/ADR2) are excluded
+    * throughout the catalog, mirroring the reference. */
   val cvrRegistrationCd: TableDef = TableDef(
     name = "cvr_registration_cd",
     schema = StructType(Seq(
-      StructField("filing_id", LongType, nullable = true,
-        doc("Unique filing identification number")),
-      StructField("amend_id", LongType, nullable = true,
-        doc("Amendment identification number; 0 is the original")),
-      StructField("rec_type", StringType, nullable = true,
-        doc("Record type of the cover page, always CVR")),
-      StructField("form_type", StringType, nullable = true,
-        doc("Registration form (F601, F602, F603, F604, ...)")),
-      StructField("filer_id", LongType, nullable = true,
-        doc("Filer unique identification number")),
-      StructField("filer_naml", StringType, nullable = true,
-        doc("Filer last name or organization name")),
-      StructField("ls_beg_yr", LongType, nullable = true,
-        doc("Legislative session beginning year")),
-      StructField("ls_end_yr", LongType, nullable = true,
-        doc("Legislative session ending year")),
-      StructField("qual_date", DateType, nullable = true,
-        doc("Date qualified, M/D/YYYY in the raw file")),
-      StructField("eff_date", DateType, nullable = true,
-        doc("Effective date of the registration, M/D/YYYY in the raw file")))),
+      lng("filing_id", "Unique filing identification number"),
+      lng("amend_id", "Amendment identification number; 0 is the original"),
+      str("rec_type", "Record type of the cover page, always CVR"),
+      str("form_type", "Registration form (F601, F602, F603, F604, ...)"),
+      str("sender_id", "Filer id of the submitter"),
+      lng("filer_id", "Filer unique identification number"),
+      str("entity_cd", "Entity code of the registrant (FRM, LBY, LEM, LCO)"),
+      str("filer_naml", "Filer last name or organization name"),
+      str("filer_namf", "Filer first name"),
+      str("filer_namt", "Filer name title or prefix"),
+      str("filer_nams", "Filer name suffix"),
+      str("report_num", "Report number; 000 is the original"),
+      date("rpt_date", "Date the registration was filed, M/D/YYYY"),
+      lng("ls_beg_yr", "Legislative session beginning year"),
+      lng("ls_end_yr", "Legislative session ending year"),
+      str("a_b_name", "Agency or business name the lobbyist works for"),
+      str("a_b_city", "Agency or business address city"),
+      str("a_b_st", "Agency or business address state"),
+      str("a_b_zip4", "Agency or business address ZIP+4"),
+      str("auth_name", "Name of the entity authorizing the registration"),
+      str("auth_city", "Authorizing entity address city"),
+      str("auth_st", "Authorizing entity address state"),
+      str("auth_zip4", "Authorizing entity address ZIP+4"),
+      str("bus_cb", "Checkbox: registrant is a business entity (X or blank)"),
+      str("bus_class", "Classification code of the business (CIV, EDU, ...)"),
+      str("bus_descr", "Description of the business when class is OTH"),
+      str("bus_city", "Business address city"),
+      str("bus_st", "Business address state"),
+      str("bus_zip4", "Business address ZIP+4"),
+      str("bus_phon", "Business phone number"),
+      str("ind_cb", "Checkbox: registrant is an individual (X or blank)"),
+      str("ind_class", "Classification code of the individual's industry"),
+      str("ind_descr", "Description of the industry when class is OTH"),
+      str("trade_cb", "Checkbox: trade association (X or blank)"),
+      str("oth_cb", "Checkbox: other registrant type (X or blank)"),
+      str("firm_name", "Name of the lobbying firm"),
+      str("firm_city", "Firm business address city"),
+      str("firm_st", "Firm business address state"),
+      str("firm_zip4", "Firm business address ZIP+4"),
+      str("firm_phon", "Firm business phone number"),
+      str("mail_city", "Registrant mailing address city"),
+      str("mail_st", "Registrant mailing address state"),
+      str("mail_zip4", "Registrant mailing address ZIP+4"),
+      str("mail_phon", "Registrant mailing address phone number"),
+      str("l_firm_cb", "Checkbox: registrant is a lobbying firm (X or blank)"),
+      str("lby_604_cb", "Checkbox: lobbyist filing a Form 604 (X or blank)"),
+      str("lby_reg_cb", "Checkbox: lobbyist registration (X or blank)"),
+      str("newcert_cb", "Checkbox: new certification (X or blank)"),
+      str("rencert_cb", "Checkbox: renewal certification (X or blank)"),
+      str("influen_yn", "Will the registrant attempt to influence state " +
+        "legislative or administrative action? (Y/N)"),
+      str("st_leg_yn", "Will the registrant lobby the state legislature? (Y/N)"),
+      str("st_agency", "State agencies the registrant will lobby"),
+      str("stmt_firm", "Statement of the responsible officer of the firm"),
+      str("descrip_1", "Description of the lobbying interests, line 1"),
+      str("descrip_2", "Description of the lobbying interests, line 2"),
+      str("lobby_int", "Description of the registrant's lobbying interests"),
+      date("qual_date", "Date qualified, M/D/YYYY in the raw file"),
+      date("eff_date", "Effective date of the registration, M/D/YYYY"),
+      date("complet_dt", "Date the ethics course was completed (F604/F606)"),
+      date("sig_date", "Date the registration was signed, M/D/YYYY"),
+      str("sig_loc", "City and state where the registration was signed"),
+      str("sig_naml", "Signer last name"),
+      str("sig_namf", "Signer first name"),
+      str("sig_namt", "Signer name title or prefix"),
+      str("sig_nams", "Signer name suffix"),
+      str("sig_title", "Title of the signer"),
+      str("prn_naml", "Printed signer last name"),
+      str("prn_namf", "Printed signer first name"),
+      str("prn_namt", "Printed signer name title or prefix"),
+      str("prn_nams", "Printed signer name suffix"))),
     uniqueKey = Seq("filing_id", "amend_id", "rec_type", "form_type"),
-    dateFields = Seq("qual_date", "eff_date"))
+    dateFields = Seq("rpt_date", "qual_date", "eff_date", "complet_dt",
+      "sig_date"))
 
   /** ≙ LCCM_CD — lobbying campaign contributions made/arranged
     * (`models/lobbying.py:~400-900`). FULL declared column set (public

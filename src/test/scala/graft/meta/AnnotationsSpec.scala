@@ -23,11 +23,45 @@ class AnnotationsSpec extends SparkTestBase {
   test("filing-form directory has unique ids and non-empty titles") {
     val ids = Annotations.filingForms.map(_.id)
     assert(ids.distinct.size === ids.size)
-    assert(ids.size === 29) // the documented breadth as of round 8
+    assert(ids.size === 35) // the documented breadth as of round 9
     assert(Annotations.filingForms.forall(_.title.nonEmpty))
     assert(Annotations.formById("F460").title
       .contains("Recipient Committee Campaign Statement"))
     intercept[IllegalArgumentException] { Annotations.formById("F999") }
+  }
+
+  test("form sections carry unique ids and documented descriptions") {
+    val sections = Annotations.filingForms.flatMap(f =>
+      f.sections.map(s => (f.id, s.id)))
+    assert(sections.distinct.size === sections.size)
+    assert(sections.size === 39) // schedule/part breadth as of round 9
+    assert(Annotations.filingForms.forall(_.sections.forall(_.title.nonEmpty)))
+    // the F460 schedule letters are the canonical public set
+    assert(Annotations.formById("F460").sections.map(_.id) ===
+      Seq("A", "B1", "B2", "C", "D", "E", "F", "G", "H", "I"))
+  }
+
+  test("every form-referencing FORM_TYPE choice resolves in the directory") {
+    // ≙ the reference's forms↔models cross-links: a documented FORM_TYPE
+    // code like F496P3 or F498-A must lead back to a filing form the
+    // directory knows; bare schedule letters (A, B1, F, ...) resolve as
+    // sections of the form family instead and carry no base id.
+    val formTypeChoices = Annotations.choices.collect {
+      case ((t, "form_type"), cs) => t -> cs
+    }
+    assert(formTypeChoices.size === 16) // full-width minus smry_cd (mixed
+    // form/schedule set, deliberately unseeded) and filer_filings_cd
+    // (carries form_id, not form_type)
+    for ((t, cs) <- formTypeChoices; c <- cs;
+         base <- Annotations.baseFormId(c.code)) {
+      assert(Annotations.filingForms.exists(_.id == base),
+        s"$t.form_type code ${c.code} references unknown form $base")
+    }
+    // spot checks on the base-id extraction itself
+    assert(Annotations.baseFormId("F496P3") === Some("F496"))
+    assert(Annotations.baseFormId("F498-A") === Some("F498"))
+    assert(Annotations.baseFormId("E530") === Some("E530"))
+    assert(Annotations.baseFormId("B1") === None)
   }
 
   test("decodeExpr over the campaign entity set resolves every documented code") {
@@ -58,7 +92,7 @@ class AnnotationsSpec extends SparkTestBase {
     // full-width tables must each carry ≥1 documented code.
     val bearing = Set("rec_type", "entity_cd", "sup_opp_cd", "off_s_h_cd",
       "memo_code", "juris_cd", "office_cd", "tran_type", "actvty_lvl")
-    assert(Annotations.fullWidthTables.size === 16)
+    assert(Annotations.fullWidthTables.size === 18)
     for (t <- Annotations.fullWidthTables; f <- t.schema.fieldNames
          if bearing(f)) {
       assert(Annotations.choices.contains((t.name, f)),
