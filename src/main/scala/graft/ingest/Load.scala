@@ -69,4 +69,41 @@ object Load {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** The skew-proof twin of [[latestAmendment]], for the mega-filer
+    * pattern (real CAL-ACCESS committees carry 10³–10⁴ amendments on a
+    * single filing while the median chain is ≤3): the window form
+    * funnels every amendment of the hot key through ONE task's sort
+    * buffer, whereas this form never co-locates a whole chain —
+    * `Skew.saltedAggregate` splits each logical key across `salts`
+    * partial max/count aggregates (map-side combinable), and the
+    * winners frame (one row per logical key) is broadcast back onto the
+    * unshuffled input to select the max-amend_id rows. Result carries
+    * an extra `n_amendments` lineage column (chain length — free in the
+    * same pass). Semantics match [[latestAmendment]] given unique
+    * (keys, amendCol) rows, which the declared UNIQUE_KEY guarantees;
+    * on a tie the window form keeps one arbitrary row, this form keeps
+    * all tied rows.
+    *
+    * `broadcastWinners` — true (default) when the latest pass runs over
+    * a filer/filing subset, so one-row-per-key fits a broadcast and the
+    * big side never shuffles at all. For a WHOLE-table pass at 10⁷+
+    * logical keys pass false: the join-back becomes a shuffle join and
+    * AQE's skew-join split handles the hot key's oversized partition at
+    * runtime. */
+  def latestAmendmentSalted(table: TableDef, typed: DataFrame,
+      amendCol: String = "amend_id", salts: Int = 8,
+      broadcastWinners: Boolean = true): DataFrame = {
+    val keys = table.uniqueKey.filterNot(_ == amendCol)
+    val winners = graft.ops.Skew.saltedAggregate(typed, keys, salts,
+      partials = Seq(max(col(amendCol)).as("__pmax"),
+        count(lit(1)).as("__pcnt")),
+      finals = Seq(max(col("__pmax")).as("__max_amend"),
+        sum(col("__pcnt")).as("n_amendments")))
+    typed.join(if (broadcastWinners) broadcast(winners) else winners, keys)
+      .filter(col(amendCol) === col("__max_amend"))
+      // usingColumns moved the keys first; restore the input's column
+      // order so this is a drop-in twin of latestAmendment
+      .select((typed.columns.map(col) :+ col("n_amendments")).toSeq: _*)
+  }
 }

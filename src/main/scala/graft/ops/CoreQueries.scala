@@ -418,6 +418,88 @@ object CoreQueries {
       ORDER BY filing_id, line_item
     """))
 
+  /** `amend_latest` under the REAL CAL-ACCESS skew shape: one mega-filer
+    * filing carrying 10⁴ amendments (the committee-1380124 pattern)
+    * while every other chain is ≤3 — the distribution that makes the
+    * window form's per-key sort buffer a single-task hotspot at scale.
+    * Resolution runs through `Load.latestAmendmentSalted`: a two-phase
+    * salted max/count aggregate (`Skew.saltedAggregate` splits the hot
+    * key across 8 partial aggregates, map-side combinable) and a
+    * broadcast join-back that selects the winning rows without ever
+    * co-locating a whole chain. No Window node anywhere in the plan —
+    * PlanSpec pins the salted exchange, the broadcast join-back, and
+    * the absence of a window. The oracle resolves the same winners via
+    * MAX-groupby + join, and also verifies the `n_amendments` lineage
+    * column the salted pass emits for free. */
+  val amendLatestSkew = GQuery(
+    "amend_latest_skew",
+    (s, d) => {
+      import graft.ingest.Load
+      import graft.schemas.Schemas
+      val base = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 500)
+        .groupBy(col("l_orderkey").as("filing_id"),
+          col("l_linenumber").cast(LongType).as("line_item"))
+        .agg(min(col("l_partkey")).as("pk"),
+          min(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .as("base_amount"))
+        .select(
+          col("filing_id"), col("line_item"),
+          lit("RCPT").as("rec_type"), lit("A").as("form_type"),
+          concat(lit("T"), col("pk")).as("tran_id"),
+          col("base_amount"),
+          explode(sequence(lit(0L), col("pk") % 3)).as("amend_id"))
+      val mega = s.range(1).select(
+        lit(999999L).as("filing_id"), lit(1L).as("line_item"),
+        lit("RCPT").as("rec_type"), lit("A").as("form_type"),
+        lit("TMEGA").as("tran_id"),
+        lit(BigDecimal("0.01")).cast(DecimalType(18, 2)).as("base_amount"),
+        explode(sequence(lit(0L), lit(9999L))).as("amend_id"))
+      val amended = base.unionAll(mega)
+        .withColumn("amount",
+          (col("base_amount") * (lit(1) + col("amend_id")))
+            .cast(DecimalType(18, 2)))
+        .drop("base_amount")
+      Load.latestAmendmentSalted(Schemas.rcptCd, amended)
+        .select(col("filing_id"), col("line_item"), col("amend_id"),
+          col("n_amendments"), col("tran_id"),
+          col("amount").cast(DoubleType).as("amount"))
+        .orderBy("filing_id", "line_item")
+    },
+    Some("""
+      WITH receipts AS (
+        SELECT l_orderkey AS filing_id,
+               CAST(l_linenumber AS BIGINT) AS line_item,
+               MIN(l_partkey) AS pk,
+               MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS base_amount
+        FROM lineitem
+        WHERE l_orderkey <= 500
+        GROUP BY 1, 2),
+      amended AS (
+        SELECT filing_id, line_item,
+               'T' || CAST(pk AS VARCHAR) AS tran_id,
+               t.amend_id AS amend_id,
+               CAST(base_amount * (1 + t.amend_id) AS DECIMAL(18,2)) AS amount
+        FROM receipts, unnest(generate_series(0, pk % 3)) AS t(amend_id)
+        UNION ALL
+        SELECT CAST(999999 AS BIGINT), CAST(1 AS BIGINT), 'TMEGA',
+               t.amend_id,
+               CAST(CAST(0.01 AS DECIMAL(18,2)) * (1 + t.amend_id)
+                 AS DECIMAL(18,2))
+        FROM unnest(generate_series(0, 9999)) AS t(amend_id)),
+      winners AS (
+        SELECT filing_id, line_item, MAX(amend_id) AS max_amend,
+               CAST(COUNT(*) AS BIGINT) AS n_amendments
+        FROM amended GROUP BY 1, 2)
+      SELECT a.filing_id, a.line_item, a.amend_id, w.n_amendments,
+             a.tran_id, CAST(a.amount AS DOUBLE) AS amount
+      FROM amended a
+      JOIN winners w ON a.filing_id = w.filing_id
+                    AND a.line_item = w.line_item
+                    AND a.amend_id = w.max_amend
+      ORDER BY a.filing_id, a.line_item
+    """))
+
   /** The lobbying side's consumption semantics, end-to-end
     * (`models/lobbying.py:~900` LobbyingChgLogCd): the registry CHANGE
     * FEED — one row per (filer, change_no), latest change wins — versus
@@ -680,7 +762,8 @@ object CoreQueries {
 
   def all: Seq[GQuery] = Seq(q1Pricing, filterPred, loadTyped, loadDatetime,
     decimalCast, cleanSplitGood, cleanSplitBad, strClean, ingestPipeline,
-    trackingVerify, amendLatest, lobbyingChg, sqlSurface, subqueryCorr,
+    trackingVerify, amendLatest, amendLatestSkew, lobbyingChg,
+    sqlSurface, subqueryCorr,
     recursiveCte, scd2Merge)
 }
 

@@ -310,6 +310,90 @@ object ScalarQueries {
       ORDER BY status_desc
     """))
 
+  /** The annotations layer verifying ITSELF (≙ the reference's
+    * documented-choices completeness reporting — `get_sorted_choices`
+    * feeding the per-form docs pipeline): for every testdata-analog
+    * (table, column) the registry documents, how many codes are
+    * documented, how many distinct codes actually occur in the data,
+    * and whether every occurring code is documented. The oracle's
+    * VALUES list is generated from the same registry
+    * (`Annotations.sortedChoices`), making the annotations content
+    * hash-verified by the driver, not just spec-pinned.
+    *
+    * Scale shape: per-column DISTINCT is a map-side-combinable hash
+    * aggregate over a low-cardinality code column (output rows =
+    * |codes|, never |table|); the registry side is a driver-seeded
+    * dimension broadcast to both joins. */
+  val metaCoverage = GQuery(
+    "meta_coverage",
+    (s, d) => {
+      import graft.meta.Annotations
+      val analogPairs = Seq(
+        ("lineitem", "l_returnflag"), ("lineitem", "l_linestatus"),
+        ("orders", "o_orderstatus"))
+      def present(df: org.apache.spark.sql.DataFrame, t: String, c: String) =
+        df.select(col(c).as("code")).distinct()
+          .select(lit(t).as("table_name"), lit(c).as("column_name"),
+            col("code"))
+      val pres =
+        present(Tables.lineitem(s, d), "lineitem", "l_returnflag")
+          .unionAll(present(Tables.lineitem(s, d), "lineitem", "l_linestatus"))
+          .unionAll(present(Tables.orders(s, d), "orders", "o_orderstatus"))
+      val reg = Annotations.choicesDf(s)
+        .filter(analogPairs.map { case (t, c) =>
+          col("table_name") === t && col("column_name") === c
+        }.reduce(_ || _))
+      val doc = reg.groupBy("table_name", "column_name")
+        .agg(count(lit(1)).as("n_documented"))
+      pres
+        .join(broadcast(reg.select(col("table_name"), col("column_name"),
+          col("code"), lit(1).as("documented"))),
+          Seq("table_name", "column_name", "code"), "left")
+        .groupBy("table_name", "column_name")
+        .agg(count(lit(1)).as("n_present"),
+          count(col("documented")).as("n_covered"))
+        .join(broadcast(doc), Seq("table_name", "column_name"))
+        .select(col("table_name"), col("column_name"), col("n_documented"),
+          col("n_present"), col("n_covered"),
+          (col("n_present") === col("n_covered")).as("full_coverage"))
+        .orderBy("table_name", "column_name")
+    },
+    Some {
+      import graft.meta.Annotations
+      val regValues = Seq(
+        ("lineitem", "l_returnflag"), ("lineitem", "l_linestatus"),
+        ("orders", "o_orderstatus"))
+        .flatMap { case (t, c) => Annotations.sortedChoices(t, c)
+          .map(ch => s"('$t', '$c', '${ch.code}')") }
+        .mkString(", ")
+      s"""
+      WITH reg(table_name, column_name, code) AS (VALUES $regValues),
+      present AS (
+        SELECT 'lineitem' AS table_name, 'l_returnflag' AS column_name,
+               l_returnflag AS code FROM lineitem GROUP BY 3
+        UNION ALL
+        SELECT 'lineitem', 'l_linestatus', l_linestatus
+        FROM lineitem GROUP BY 3
+        UNION ALL
+        SELECT 'orders', 'o_orderstatus', o_orderstatus
+        FROM orders GROUP BY 3),
+      doc AS (
+        SELECT table_name, column_name, COUNT(*) AS n_documented
+        FROM reg GROUP BY 1, 2)
+      SELECT p.table_name, p.column_name, d.n_documented,
+             CAST(COUNT(*) AS BIGINT) AS n_present,
+             CAST(COUNT(r.code) AS BIGINT) AS n_covered,
+             (COUNT(*) = COUNT(r.code)) AS full_coverage
+      FROM present p
+      JOIN doc d ON p.table_name = d.table_name
+                AND p.column_name = d.column_name
+      LEFT JOIN reg r ON p.table_name = r.table_name
+                     AND p.column_name = r.column_name AND p.code = r.code
+      GROUP BY 1, 2, 3
+      ORDER BY 1, 2
+      """
+    })
+
   /** F1–F8 widening: pad/translate/split_part/left/right/repeat/reverse +
     * regexp_extract_all — the remaining portable string surface. The
     * extract-all array is canonicalized to a '|'-joined string so the
@@ -386,5 +470,5 @@ object ScalarQueries {
 
   def all: Seq[GQuery] = Seq(strFuncs, strFuncs2, strSearch, dateTruncAgg,
     dateParts, dateDiff, jsonExtract, jsonAgg, arrayOps, decodeEnum,
-    strFuncs3, dateSpine, decodeRegistry, decodeRegistry2)
+    strFuncs3, dateSpine, decodeRegistry, decodeRegistry2, metaCoverage)
 }

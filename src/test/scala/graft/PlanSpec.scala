@@ -153,6 +153,21 @@ class PlanSpec extends SparkTestBase {
     assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 3, p)
   }
 
+  test("amend_latest_skew: salted agg + broadcast join-back, no window") {
+    val p = plan("amend_latest_skew")
+    // the whole point: the 10⁴-amendment hot key must never funnel
+    // through a single task — no per-key window sort buffer at all
+    assert(!p.contains(" Window "), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // phase 1 of the salted aggregate exchanges on (keys, __salt), so
+    // the hot key splits across 8 partial aggregates
+    assert(p.contains("__salt"), p)
+    // the winners frame joins back as a broadcast — the amended side
+    // (the big side at scale) never shuffles for the join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("neardup_filter: keep-first is a group-limit on one band-key shuffle") {
     val p = plan("neardup_filter")
     assert(!p.contains("CartesianProduct"), p)

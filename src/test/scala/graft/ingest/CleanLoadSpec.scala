@@ -115,6 +115,23 @@ class CleanLoadSpec extends SparkTestBase {
     assert(latest.count() === 4)
   }
 
+  test("salted latest-amendment matches the window form and counts chains") {
+    val window = Load.latestAmendment(table, typed)
+    val salted = Load.latestAmendmentSalted(table, typed)
+    // same winners (typed has no amend_id ties, so both forms are
+    // deterministic); the salted form adds the n_amendments column
+    val cols = window.columns.toSeq
+    assert(salted.columns.toSeq === cols :+ "n_amendments")
+    assert(salted.select(cols.map(col): _*).collect().toSet ===
+      window.collect().toSet)
+    val f1001 = salted.filter(col("filing_id") === 1001).head()
+    assert(f1001.getLong(f1001.fieldIndex("n_amendments")) === 3L)
+    // both join-back strategies resolve identically
+    val shuffled = Load.latestAmendmentSalted(table, typed,
+      broadcastWinners = false)
+    assert(shuffled.collect().toSet === salted.collect().toSet)
+  }
+
   test("tracking metrics satisfy the verify invariants") {
     val m = Tracking.forTable("rcpt_cd", cleaned, typed)
     assert(m.consistent)
