@@ -217,6 +217,63 @@ class StreamingSpec extends SparkTestBase {
     assert(r2.isNullAt(r2.fieldIndex("label")))     // '' → NULL
   }
 
+  test("per-micro-batch tracking metrics drain to the batch totals") {
+    // the lineage layer riding the stream (≙ tracking_verify's
+    // RawDataFile counts, per micro-batch): foreachBatch runs the same
+    // Clean→Load on each batch and emits a Tracking.FileMetrics row;
+    // every row must satisfy the verify invariants, and the drained
+    // sums must equal the one batch-path row over the same lines —
+    // closing the streaming↔lineage seam.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ingest.{Clean, Load}
+    import graft.meta.Tracking
+    import graft.schemas.Schemas
+    import org.apache.spark.sql.types._
+    val tdef = Schemas.TableDef(
+      name = "stream_raw",
+      schema = StructType(Seq(
+        StructField("rec_id", LongType),
+        StructField("eff_date", DateType),
+        StructField("amount", DecimalType(14, 2)),
+        StructField("label", StringType))),
+      uniqueKey = Seq("rec_id"),
+      dateFields = Seq("eff_date"))
+    val lines = Seq(
+      "1\t1/15/2014\t12.34\talpha",
+      "2\t2/30/2014\tgarbage\t",
+      "3\t12/31/2013\t0.01\tbeta",
+      "too\tfew",
+      "4\t1/1/2014\t5.00\tgamma\textra")
+    val source = MemoryStream[String]
+    val metrics = scala.collection.mutable.ArrayBuffer.empty[Tracking.FileMetrics]
+    val q = source.toDF().select(col("value")).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val cleaned = Clean.clean(tdef, batch)
+        val typed = Load.load(tdef, cleaned.good)
+        metrics.synchronized {
+          metrics += Tracking.forTable(s"stream_raw_b$id", cleaned, typed)
+        }
+        ()
+      }
+      .start()
+    val (b1, b2) = lines.splitAt(2)
+    source.addData(b1: _*); q.processAllAvailable()
+    source.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    assert(metrics.size === 2)
+    assert(metrics.forall(_.consistent),
+      metrics.filterNot(_.consistent).mkString(", "))
+    val batchCleaned = Clean.clean(tdef, lines.toDF("value"))
+    val batchM = Tracking.forTable("stream_raw", batchCleaned,
+      Load.load(tdef, batchCleaned.good))
+    assert(metrics.map(_.downloadRecords).sum === batchM.downloadRecords)
+    assert(metrics.map(_.cleanRecords).sum === batchM.cleanRecords)
+    assert(metrics.map(_.loadRecords).sum === batchM.loadRecords)
+    assert(metrics.map(_.errorRecords).sum === batchM.errorRecords)
+    assert(batchM.errorRecords === 2) // the width rejects
+  }
+
   test("stateful dedup drops replayed event_ids across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
