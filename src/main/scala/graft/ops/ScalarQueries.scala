@@ -394,6 +394,65 @@ object ScalarQueries {
       """
     })
 
+  /** The filing-form directory verifying itself (the forms side of
+    * `meta_coverage`; ≙ `annotations/filing_forms.py` feeding the docs
+    * build): every form with its section count, joined against the
+    * number of catalog tables whose FORM_TYPE choices reference it.
+    * The oracle re-derives the form↔table cross-links INDEPENDENTLY —
+    * raw registry rows enter as VALUES and DuckDB's own regexp
+    * extracts the base form id — so both the directory content and the
+    * `baseFormId` linking rule are hash-verified, not just spec-pinned.
+    * Shape: two driver-seeded dimensions, one broadcast join — no data
+    * tables involved, constant work at any corpus size. */
+  val metaForms = GQuery(
+    "meta_forms",
+    (s, _) => {
+      import s.implicits._
+      import graft.meta.Annotations
+      val forms = Annotations.formsDf(s)
+      val refs = Annotations.choices.toSeq
+        .collect { case ((t, "form_type"), cs) => cs.map(ch => (t, ch.code)) }
+        .flatten.toDF("table_name", "code")
+        .select(col("table_name"),
+          regexp_extract(col("code"), "^([EF]\\d+)", 1).as("base_id"))
+        .filter(col("base_id") =!= "")
+        .groupBy("base_id")
+        .agg(countDistinct(col("table_name")).as("n_reffing_tables"))
+      forms.join(broadcast(refs), col("form_id") === col("base_id"), "left")
+        .select(col("form_id"), col("title"),
+          col("n_sections").cast(LongType).as("n_sections"),
+          coalesce(col("n_reffing_tables"), lit(0L)).as("n_reffing_tables"))
+        .orderBy("form_id")
+    },
+    Some {
+      import graft.meta.Annotations
+      def q(v: String) = v.replace("'", "''")
+      val formVals = Annotations.filingForms
+        .map(f => s"('${q(f.id)}', '${q(f.title)}', ${f.sections.size})")
+        .mkString(", ")
+      val refVals = Annotations.choices.toSeq
+        .collect { case ((t, "form_type"), cs) =>
+          cs.map(ch => s"('${q(t)}', '${q(ch.code)}')") }
+        .flatten.mkString(", ")
+      s"""
+      WITH forms(form_id, title, n_sections) AS (VALUES $formVals),
+      refs(table_name, code) AS (VALUES $refVals),
+      agg AS (
+        SELECT regexp_extract(code, '^([EF]\\d+)', 1) AS base_id,
+               CAST(COUNT(DISTINCT table_name) AS BIGINT)
+                 AS n_reffing_tables
+        FROM refs
+        WHERE regexp_extract(code, '^([EF]\\d+)', 1) <> ''
+        GROUP BY 1)
+      SELECT f.form_id, f.title,
+             CAST(f.n_sections AS BIGINT) AS n_sections,
+             COALESCE(a.n_reffing_tables, CAST(0 AS BIGINT))
+               AS n_reffing_tables
+      FROM forms f LEFT JOIN agg a ON f.form_id = a.base_id
+      ORDER BY f.form_id
+      """
+    })
+
   /** F1–F8 widening: pad/translate/split_part/left/right/repeat/reverse +
     * regexp_extract_all — the remaining portable string surface. The
     * extract-all array is canonicalized to a '|'-joined string so the
@@ -470,5 +529,6 @@ object ScalarQueries {
 
   def all: Seq[GQuery] = Seq(strFuncs, strFuncs2, strSearch, dateTruncAgg,
     dateParts, dateDiff, jsonExtract, jsonAgg, arrayOps, decodeEnum,
-    strFuncs3, dateSpine, decodeRegistry, decodeRegistry2, metaCoverage)
+    strFuncs3, dateSpine, decodeRegistry, decodeRegistry2, metaCoverage,
+    metaForms)
 }

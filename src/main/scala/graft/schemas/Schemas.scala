@@ -1421,7 +1421,13 @@ object Schemas {
     dateFields = Seq("rpt_date"))
 
   /** ≙ CVR2_CAMPAIGN_DISCLOSURE_CD — campaign-disclosure additional
-    * names page (`models/campaign.py`). */
+    * names page (`models/campaign.py:~400-900`): the committees,
+    * officers, treasurers, candidates and ballot measures a cover page
+    * continues onto. Widened to the documented blocks (entity name +
+    * address, committee id/control, F460 part, office/jurisdiction,
+    * ballot-measure triple, mailing address); any remaining auxiliary
+    * raw columns whose names are less certain from public memory are
+    * deliberately omitted rather than guessed. */
   val cvr2CampaignDisclosureCd: TableDef = TableDef(
     name = "cvr2_campaign_disclosure_cd",
     schema = StructType(Seq(
@@ -1439,15 +1445,41 @@ object Schemas {
         doc("Permanent value unique within the filing")),
       StructField("entity_cd", StringType, nullable = true,
         doc("Entity code of the named committee/treasurer/officer")),
-      StructField("enty_naml", StringType, nullable = true,
-        doc("Entity last name or organization name")),
-      StructField("cmte_id", StringType, nullable = true,
-        doc("Committee identification number, when the entity is one")))),
+      str("enty_naml", "Entity last name or organization name"),
+      str("enty_namf", "Entity first name"),
+      str("enty_namt", "Entity name title or prefix"),
+      str("enty_nams", "Entity name suffix"),
+      str("enty_city", "Entity address city"),
+      str("enty_st", "Entity address state"),
+      str("enty_zip4", "Entity address ZIP+4"),
+      str("enty_phon", "Entity phone number"),
+      str("cmte_id", "Committee identification number, when the entity " +
+        "is one"),
+      str("control_yn", "Is the committee controlled by the candidate? " +
+        "(Y/N)"),
+      str("f460_part", "Part of the Form 460 the name belongs to"),
+      str("office_cd", "Office sought or held by the named candidate"),
+      str("offic_dscr", "Office description when office_cd is OTH"),
+      str("juris_cd", "Jurisdiction of the office"),
+      str("juris_dscr", "Jurisdiction description when juris_cd is OTH"),
+      str("dist_no", "District number of the office"),
+      str("off_s_h_cd", "Office sought/held code"),
+      str("sup_opp_cd", "Support or opposition code"),
+      str("title", "Title of the named officer/treasurer"),
+      str("bal_name", "Name of the ballot measure, when the entity is one"),
+      str("bal_num", "Number or letter of the ballot measure"),
+      str("bal_juris", "Jurisdiction of the ballot measure"),
+      str("mail_city", "Entity mailing address city"),
+      str("mail_st", "Entity mailing address state"),
+      str("mail_zip4", "Entity mailing address ZIP+4"))),
     uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type",
       "form_type"))
 
   /** ≙ CVR2_LOBBY_DISCLOSURE_CD — lobbying-disclosure additional names
-    * page (`models/lobbying.py`). */
+    * page (`models/lobbying.py:~100-400`): the partners, owners and
+    * employers a disclosure cover page continues onto. Widened to the
+    * documented CVR2 record blocks (tran id, entity code/id, full name
+    * parts, title). */
   val cvr2LobbyDisclosureCd: TableDef = TableDef(
     name = "cvr2_lobby_disclosure_cd",
     schema = StructType(Seq(
@@ -1461,12 +1493,14 @@ object Schemas {
         doc("Record type of the page, always CVR2")),
       StructField("form_type", StringType, nullable = true,
         doc("Form the page extends (F615, F625, F635, F645, ...)")),
-      StructField("entity_cd", StringType, nullable = true,
-        doc("Entity code of the named person/organization")),
-      StructField("enty_naml", StringType, nullable = true,
-        doc("Entity last name or organization name")),
-      StructField("enty_title", StringType, nullable = true,
-        doc("Title of the named person")))),
+      str("tran_id", "Permanent value unique within the filing"),
+      str("entity_cd", "Entity code of the named person/organization"),
+      str("entity_id", "Filer id of the named entity, when registered"),
+      str("enty_naml", "Entity last name or organization name"),
+      str("enty_namf", "Entity first name"),
+      str("enty_namt", "Entity name title or prefix"),
+      str("enty_nams", "Entity name suffix"),
+      str("enty_title", "Title of the named person"))),
     uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type"))
 
   /** ≙ LOBBYIST_FIRM1_CD (directory family) — lobbying-firm directory
@@ -1690,7 +1724,10 @@ object Schemas {
     dateFields = Seq("elect_date"))
 
   /** ≙ CVR2_REGISTRATION_CD — lobbying-registration additional names
-    * page (`models/lobbying.py`). */
+    * page (`models/lobbying.py:~100-400`): the partners, owners and
+    * officers a registration cover page continues onto. Widened to the
+    * documented CVR2 record blocks (tran id, entity code/id, full name
+    * parts). */
   val cvr2RegistrationCd: TableDef = TableDef(
     name = "cvr2_registration_cd",
     schema = StructType(Seq(
@@ -1706,10 +1743,12 @@ object Schemas {
         doc("Registration form the page extends (F601, F602, ...)")),
       StructField("tran_id", StringType, nullable = true,
         doc("Permanent value unique within the filing")),
-      StructField("entity_cd", StringType, nullable = true,
-        doc("Entity code of the named person/organization")),
-      StructField("enty_naml", StringType, nullable = true,
-        doc("Entity last name or organization name")))),
+      str("entity_cd", "Entity code of the named person/organization"),
+      str("entity_id", "Filer id of the named entity, when registered"),
+      str("enty_naml", "Entity last name or organization name"),
+      str("enty_namf", "Entity first name"),
+      str("enty_namt", "Entity name title or prefix"),
+      str("enty_nams", "Entity name suffix"))),
     uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type"))
 
   /** ≙ CVR3_VERIFICATION_INFO_CD — verification/signature page

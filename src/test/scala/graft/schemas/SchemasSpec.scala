@@ -72,6 +72,16 @@ class SchemasSpec extends AnyFunSuite {
     // F635/F645 and F601–F607 form-field blocks
     assert(Schemas.cvrLobbyDisclosureCd.schema.length === 52)
     assert(Schemas.cvrRegistrationCd.schema.length === 70)
+    // the CVR2 additional-names pages, widened to the documented record
+    // blocks (entity identity + name parts; campaign adds office/
+    // jurisdiction/ballot/mailing blocks)
+    assert(Schemas.cvr2CampaignDisclosureCd.schema.length === 32)
+    assert(Schemas.cvr2LobbyDisclosureCd.schema.length === 13)
+    assert(Schemas.cvr2RegistrationCd.schema.length === 12)
+    val cvr2C = Schemas.cvr2CampaignDisclosureCd.schema.fieldNames.toSet
+    for (c <- Seq("f460_part", "control_yn", "bal_num", "enty_phon",
+        "mail_zip4"))
+      assert(cvr2C.contains(c), s"cvr2_campaign_disclosure_cd.$c missing")
     val cvrLob = Schemas.cvrLobbyDisclosureCd.schema.fieldNames.toSet
     for (c <- Seq("sender_id", "cum_beg_dt", "firm_id", "mail_city",
         "sig_title", "nopart1_cb", "lby_actvty", "major_naml",
