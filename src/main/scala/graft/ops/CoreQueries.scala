@@ -500,6 +500,84 @@ object CoreQueries {
       ORDER BY a.filing_id, a.line_item
     """))
 
+  /** The round-9 widened registration cover page exercised END-TO-END:
+    * 70-column raw CVR_REGISTRATION_CD lines (rendered positionally
+    * from the declared schema — field order comes from the TableDef,
+    * not a hand-built literal) through Clean→Load (width gate, M/d/yyyy
+    * qual_date parse, ''→NULL on the 60+ unpopulated columns),
+    * latest-amendment resolution on the declared UNIQUE_KEY, and a
+    * registry decode of FORM_TYPE to the documented F601–F607 form
+    * titles (oracle VALUES from `Annotations.valuesSql` — shared source
+    * of truth). The oracle recomputes the aggregate independently from
+    * the typed customer source. Shape: narrow synthesis map fused into
+    * the scan, one window shuffle on the logical key, constant-folded
+    * decode, |forms|-row aggregate. */
+  val registrationLatest = GQuery(
+    "registration_latest",
+    (s, d) => {
+      import graft.ingest.{Clean, Load}
+      import graft.meta.Annotations
+      import graft.schemas.Schemas
+      val tdef = Schemas.cvrRegistrationCd
+      val src = Tables.customer(s, d)
+        .filter(col("c_custkey") <= 2000)
+        .select(col("c_custkey").as("k"), col("c_name").as("nm"))
+        .select(col("k"), col("nm"),
+          (col("k") + 100000L).as("filing_id"),
+          element_at(
+            array(lit("F601"), lit("F602"), lit("F603"), lit("F604"),
+              lit("F606"), lit("F607")),
+            (pmod(col("k"), lit(6)) + 1).cast(IntegerType)).as("form_type"),
+          date_format(
+            date_add(lit("2015-01-01").cast(DateType),
+              pmod(col("k"), lit(365)).cast(IntegerType)),
+            "M/d/yyyy").as("qual_raw"),
+          explode(sequence(lit(0L), pmod(col("k"), lit(3)))).as("amend_id"))
+      val fieldVals: Map[String, org.apache.spark.sql.Column] = Map(
+        "filing_id" -> col("filing_id"), "amend_id" -> col("amend_id"),
+        "rec_type" -> lit("CVR"), "form_type" -> col("form_type"),
+        "filer_id" -> col("k"), "filer_naml" -> col("nm"),
+        "qual_date" -> col("qual_raw"))
+      val line = concat_ws("\t", tdef.schema.fieldNames.toSeq
+        .map(n => fieldVals.getOrElse(n, lit(""))): _*)
+      val cleaned = Clean.clean(tdef, src.select(line.as("value")))
+      val typed = Load.load(tdef, cleaned.good)
+      Load.latestAmendment(tdef, typed)
+        .select(
+          Annotations.decodeExpr("cvr_registration_cd", "form_type",
+            col("form_type")).as("form_desc"),
+          col("amend_id"), col("qual_date"))
+        .groupBy("form_desc")
+        .agg(count(lit(1)).as("n_filings"),
+          sum(col("amend_id")).as("sum_latest_amend"),
+          min(col("qual_date")).as("min_qual"),
+          max(col("qual_date")).as("max_qual"))
+        .orderBy("form_desc")
+    },
+    Some(s"""
+      WITH regd(code, meaning) AS (
+        VALUES ${graft.meta.Annotations
+          .valuesSql("cvr_registration_cd", "form_type")}),
+      base AS (
+        SELECT c_custkey AS k,
+               CASE c_custkey % 6
+                 WHEN 0 THEN 'F601' WHEN 1 THEN 'F602' WHEN 2 THEN 'F603'
+                 WHEN 3 THEN 'F604' WHEN 4 THEN 'F606' ELSE 'F607'
+               END AS form_type,
+               DATE '2015-01-01' + CAST(c_custkey % 365 AS INTEGER)
+                 AS qual_date,
+               c_custkey % 3 AS latest_amend
+        FROM customer WHERE c_custkey <= 2000)
+      SELECT r.meaning AS form_desc,
+             CAST(COUNT(*) AS BIGINT) AS n_filings,
+             CAST(SUM(latest_amend) AS BIGINT) AS sum_latest_amend,
+             MIN(qual_date) AS min_qual,
+             MAX(qual_date) AS max_qual
+      FROM base b JOIN regd r ON b.form_type = r.code
+      GROUP BY 1
+      ORDER BY form_desc
+    """))
+
   /** The lobbying side's consumption semantics, end-to-end
     * (`models/lobbying.py:~900` LobbyingChgLogCd): the registry CHANGE
     * FEED — one row per (filer, change_no), latest change wins — versus
@@ -763,7 +841,7 @@ object CoreQueries {
   def all: Seq[GQuery] = Seq(q1Pricing, filterPred, loadTyped, loadDatetime,
     decimalCast, cleanSplitGood, cleanSplitBad, strClean, ingestPipeline,
     trackingVerify, amendLatest, amendLatestSkew, lobbyingChg,
-    sqlSurface, subqueryCorr,
+    registrationLatest, sqlSurface, subqueryCorr,
     recursiveCte, scd2Merge)
 }
 
