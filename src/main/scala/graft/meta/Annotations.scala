@@ -168,6 +168,8 @@ object Annotations {
       cvrSoCd -> "CVR", cvrCampaignDisclosureCd -> "CVR",
       cvr2SoCd -> "CVR2",
       cvrLobbyDisclosureCd -> "CVR", cvrRegistrationCd -> "CVR",
+      cvr2CampaignDisclosureCd -> "CVR2", cvr2LobbyDisclosureCd -> "CVR2",
+      cvr2RegistrationCd -> "CVR2",
       lexpCd -> "LEXP", lpayCd -> "LPAY", lccmCd -> "LCCM")
       .filter(_._1.schema.fieldNames.contains("rec_type"))
       .map { case (t, v) =>
@@ -275,7 +277,28 @@ object Annotations {
       // from public memory — only the confident F615 part is seeded.
       lccmCd -> Seq(
         Choice("F615P2",
-          "Form 615 Part 2: Campaign Contributions Made or Delivered")))
+          "Form 615 Part 2: Campaign Contributions Made or Delivered")),
+      // CVR2 continuation pages: the forms they extend. The campaign
+      // page serves the committee-statement family; the registration
+      // page's F602/F604 applicability is less certain, so only the
+      // firm/employer registrations are seeded.
+      cvr2CampaignDisclosureCd -> Seq(
+        Choice("F450", "Recipient Committee Campaign Disclosure " +
+          "Statement - Short Form"),
+        Choice("F460", "Recipient Committee Campaign Statement"),
+        Choice("F461", "Independent Expenditure Committee & Major Donor " +
+          "Committee Campaign Statement"),
+        Choice("F465", "Supplemental Independent Expenditure Report")),
+      cvr2LobbyDisclosureCd -> Seq(
+        Choice("F615", "Lobbyist Report"),
+        Choice("F625", "Report of Lobbying Firm"),
+        Choice("F635", "Report of Lobbyist Employer and Report of " +
+          "Lobbying Coalition"),
+        Choice("F645", "Report of Person Spending $5,000 or More")),
+      cvr2RegistrationCd -> Seq(
+        Choice("F601", "Lobbying Firm Registration Statement"),
+        Choice("F603", "Lobbyist Employer/Lobbying Coalition " +
+          "Registration Statement")))
       .filter(_._1.schema.fieldNames.contains("form_type"))
       .map { case (t, cs) => (t.name, "form_type") -> cs }
   }

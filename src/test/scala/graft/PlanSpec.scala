@@ -168,6 +168,16 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("registration_latest: scan-fused decode, group-limited window") {
+    val p = plan("registration_latest")
+    assert(!p.contains("CartesianProduct"), p)
+    // the registry decode is a constant-folded CASE, not a join
+    assert(!p.contains("SortMergeJoin"), p)
+    // rn == 1 latest-amendment compiles to WindowGroupLimit — losing
+    // amendments prune per-partition before the window buffer
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("neardup_filter: keep-first is a group-limit on one band-key shuffle") {
     val p = plan("neardup_filter")
     assert(!p.contains("CartesianProduct"), p)

@@ -49,9 +49,10 @@ class AnnotationsSpec extends SparkTestBase {
     val formTypeChoices = Annotations.choices.collect {
       case ((t, "form_type"), cs) => t -> cs
     }
-    assert(formTypeChoices.size === 16) // full-width minus smry_cd (mixed
+    assert(formTypeChoices.size === 19) // full-width minus smry_cd (mixed
     // form/schedule set, deliberately unseeded) and filer_filings_cd
-    // (carries form_id, not form_type)
+    // (carries form_id, not form_type), plus the three CVR2
+    // continuation pages
     for ((t, cs) <- formTypeChoices; c <- cs;
          base <- Annotations.baseFormId(c.code)) {
       assert(Annotations.filingForms.exists(_.id == base),
