@@ -329,11 +329,18 @@ object Annotations {
       Choice("P", "PARTIAL"))) ++
     shared("entity_cd", campaignEntity, campaignTables) ++
     shared("entity_cd", lobbyEntity, lobbyTables) ++
-    shared("sup_opp_cd", supOpp, fullWidthTables) ++
-    shared("off_s_h_cd", offSoughtHeld, fullWidthTables) ++
+    // the CVR2 campaign continuation page shares the universal office/
+    // jurisdiction/support-oppose sets (its ENTITY_CD family differs —
+    // officer/treasurer codes — and stays deliberately unseeded)
+    shared("sup_opp_cd", supOpp,
+      fullWidthTables :+ graft.schemas.Schemas.cvr2CampaignDisclosureCd) ++
+    shared("off_s_h_cd", offSoughtHeld,
+      fullWidthTables :+ graft.schemas.Schemas.cvr2CampaignDisclosureCd) ++
     shared("memo_code", memoCode, fullWidthTables) ++
-    shared("juris_cd", jurisCodes, fullWidthTables) ++
-    shared("office_cd", officeCodes, fullWidthTables) ++
+    shared("juris_cd", jurisCodes,
+      fullWidthTables :+ graft.schemas.Schemas.cvr2CampaignDisclosureCd) ++
+    shared("office_cd", officeCodes,
+      fullWidthTables :+ graft.schemas.Schemas.cvr2CampaignDisclosureCd) ++
     shared("tran_type", tranType,
       Seq(graft.schemas.Schemas.rcptCd)) ++
     shared("actvty_lvl", actvtyLvl,
@@ -497,10 +504,8 @@ object Annotations {
     * `F498`, bare schedule letters (`A`, `B1`, `F`) → None. The spec
     * uses this to assert every form-referencing FORM_TYPE choice
     * resolves in [[filingForms]]. */
-  def baseFormId(formType: String): Option[String] = {
-    val m = "^([EF]\\d+)".r.findFirstIn(formType)
-    m
-  }
+  def baseFormId(formType: String): Option[String] =
+    "^([EF]\\d+)".r.findFirstIn(formType)
 
   /** Join-free decode: when() chain from the registry, ELSE `fallback`.
     * Constant-folded into the scan — the right shape for closed sets of

@@ -27,6 +27,22 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Deterministic salt: hash of the non-`keys` columns, mod `salts`.
+    * A rand()-based salt marks the stage INDETERMINATE — a lost map
+    * output then forces whole-stage rollback (and any mixed old/new
+    * fetch corrupts exact aggregates), exactly the failure mode salting
+    * exists to survive at 1000-executor scale. Hashing the row content
+    * instead makes every recomputed task assign identical salts, so
+    * single-task retry stays safe. Rows of a hot key still spread
+    * because their non-key values differ; fully-duplicate rows
+    * co-locate, which no salt scheme can split meaningfully anyway. */
+  private def contentSalt(df: DataFrame, keys: Seq[String],
+      salts: Int): Column = {
+    val nonKey = df.columns.filterNot(keys.contains)
+    if (nonKey.isEmpty) lit(0)
+    else pmod(hash(nonKey.map(col).toSeq: _*), lit(salts))
+  }
+
   /** Two-phase salted aggregation.
     * @param partials aggregations for phase 1 (must be associative-
     *                 decomposable with `finals`, e.g. count→sum)
@@ -34,8 +50,7 @@ object Skew {
     */
   def saltedAggregate(df: DataFrame, keys: Seq[String], salts: Int,
       partials: Seq[Column], finals: Seq[Column]): DataFrame = {
-    val salted = df.withColumn("__salt",
-      (rand(seed = 42) * salts).cast("int"))
+    val salted = df.withColumn("__salt", contentSalt(df, keys, salts))
     val phase1 = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(partials.head, partials.tail: _*)
@@ -49,7 +64,7 @@ object Skew {
   def saltedJoin(skewed: DataFrame, small: DataFrame, key: String,
       salts: Int, joinType: String = "inner"): DataFrame = {
     val saltedBig = skewed.withColumn("__salt",
-      (rand(seed = 42) * salts).cast("int"))
+      contentSalt(skewed, Seq(key), salts))
     val explodedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1)).cast("array<int>")))
     saltedBig.join(explodedSmall, Seq(key, "__salt"), joinType)

@@ -31,6 +31,17 @@ class DocsGenSpec extends AnyFunSuite {
     }
   }
 
+  test("committed CATALOG.md matches the registries it claims to render") {
+    // the staleness gate: a schema or annotations edit that lands
+    // without regenerating (`sbt "runMain graft.tools.DocsGen"`) fails
+    // here instead of shipping a dictionary that contradicts the code
+    val committed = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("CATALOG.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(committed === doc,
+      "CATALOG.md is stale — regenerate with runMain graft.tools.DocsGen")
+  }
+
   test("help_text coverage: every full-width column documents itself") {
     for (t <- graft.meta.Annotations.fullWidthTables; f <- t.schema.fields)
       assert(f.metadata.contains("help_text") &&
