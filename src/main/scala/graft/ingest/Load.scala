@@ -99,7 +99,10 @@ object Load {
       partials = Seq(max(col(amendCol)).as("__pmax"),
         count(lit(1)).as("__pcnt")),
       finals = Seq(max(col("__pmax")).as("__max_amend"),
-        sum(col("__pcnt")).as("n_amendments")))
+        sum(col("__pcnt")).as("n_amendments")),
+      // the amendment counter is unique within a chain — a perfect
+      // deterministic salt that the aggregate already reads
+      saltOn = Seq(col(amendCol)))
     typed.join(if (broadcastWinners) broadcast(winners) else winners, keys)
       .filter(col(amendCol) === col("__max_amend"))
       // usingColumns moved the keys first; restore the input's column

@@ -519,8 +519,9 @@ object AggQueries {
 
   /** Two-phase salted aggregation through `Skew.saltedAggregate`,
     * oracle-checked against the plain GROUP BY: proof at the value level
-    * that the skew remedy is a pure plan rewrite. The salt is random
-    * per row, so ONLY associative-decomposable aggs survive it — count
+    * that the skew remedy is a pure plan rewrite. The salt assignment
+    * can vary per row (here: hash of a column the aggregate already
+    * scans), so ONLY associative-decomposable aggs survive it — count
     * decomposes to sum-of-counts, sum to sum-of-sums; the salt can never
     * change the result, which is exactly what the oracle asserts. */
   val aggSalted = GQuery(
@@ -532,7 +533,10 @@ object AggQueries {
           sum(col("l_quantity").cast(DecimalType(18, 2))).as("q")),
         finals = Seq(sum(col("c")).cast(LongType).as("cnt"),
           sum(col("q")).cast(DecimalType(38, 2)).cast(DoubleType)
-            .as("sum_qty")))
+            .as("sum_qty")),
+        // salt on a column the aggregate already reads — no extra
+        // scan width, deterministic across task retries
+        saltOn = Seq(col("l_quantity")))
         .orderBy("l_returnflag"),
     Some("""
       SELECT l_returnflag, COUNT(*) AS cnt,
