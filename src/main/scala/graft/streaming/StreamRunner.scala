@@ -189,6 +189,45 @@ object StreamRunner {
         })
   }
 
+  /** The streaming form of W1 latest-amendment-wins (the reference's
+    * single most documented consumption pattern, as an always-current
+    * VIEW): each micro-batch of typed amendment rows updates a per-key
+    * winner, and the new winner is emitted whenever it changes
+    * (update-mode sink = an upserted "latest filings" table). Keys come
+    * from the declared UNIQUE_KEY minus the amendment counter, exactly
+    * like the batch `Load.latestAmendment` — on a static input the
+    * emitted set IS the batch result, which is how StreamingSpec
+    * cross-checks the two. Late/replayed amendments are handled by the
+    * max-compare: an amendment older than the current winner updates
+    * nothing and is emitted as the unchanged winner.
+    *
+    * Scale/state bound: ONE row per logical key — the same cardinality
+    * as the batch output; no watermark needed because the state is the
+    * product, not a buffer (the reference keeps the same "table of
+    * latest filings" forever). Schema-generic via `Encoders.row`, so
+    * any TableDef works without a case class per table. */
+  def latestAmendmentStream(table: graft.schemas.Schemas.TableDef,
+      typed: DataFrame, amendCol: String = "amend_id"): Dataset[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val keys = table.uniqueKey.filterNot(_ == amendCol)
+    val schema = typed.schema
+    val amendIdx = schema.fieldIndex(amendCol)
+    implicit val rowEnc = Encoders.row(schema)
+    implicit val keyStr = Encoders.STRING
+    def amendOf(r: Row): Long =
+      if (r.isNullAt(amendIdx)) Long.MinValue else r.getLong(amendIdx)
+    typed
+      .groupByKey(r =>
+        keys.map(k => String.valueOf(r.getAs[Any](k))).mkString(""))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (_: String, rows: Iterator[Row], state: GroupState[Row]) => {
+          val winner = (rows ++ state.getOption.iterator)
+            .maxBy(amendOf)
+          state.update(winner)
+          winner
+        })
+  }
+
   /** Typed event row for the custom-state path (object-nested so Spark
     * can derive its Encoder — no outer instance). */
   final case class UserEvent(event_id: Long, ts: java.sql.Timestamp,

@@ -115,6 +115,35 @@ class CleanLoadSpec extends SparkTestBase {
     assert(latest.count() === 4)
   }
 
+  test("salted latest-amendment matches the window form on random chains") {
+    // property: for ANY chain-length distribution — including length-1
+    // chains, long mega chains, and multiple logical keys — the salted
+    // form selects the same winners as the window form and counts every
+    // amendment. (Fixed seed; scalacheck-free loop keeps it cheap.)
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val chains = (1 to 40).map { k =>
+      val len = if (k == 7) 500 else 1 + rng.nextInt(4) // one hot chain
+      (k.toLong, len)
+    }
+    val rows = chains.flatMap { case (k, len) =>
+      (0 until len).map(a =>
+        (k, a.toLong, 1L, "RCPT", "A", s"T$k", BigDecimal(a * 10 + k)))
+    }
+    val typed = rows.toDF("filing_id", "amend_id", "line_item",
+      "rec_type", "form_type", "tran_id", "amount")
+    val window = Load.latestAmendment(Schemas.rcptCd, typed)
+      .orderBy("filing_id").collect().toSeq
+    val salted = Load.latestAmendmentSalted(Schemas.rcptCd, typed)
+      .orderBy("filing_id")
+    val saltedRows = salted.drop("n_amendments").collect().toSeq
+    assert(saltedRows === window)
+    // and every chain's length is reported exactly
+    val counts = salted.select("filing_id", "n_amendments").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((k, len) <- chains) assert(counts(k) === len.toLong, s"chain $k")
+  }
+
   test("salted latest-amendment matches the window form and counts chains") {
     val window = Load.latestAmendment(table, typed)
     val salted = Load.latestAmendmentSalted(table, typed)

@@ -274,6 +274,57 @@ class StreamingSpec extends SparkTestBase {
     assert(batchM.errorRecords === 2) // the width rejects
   }
 
+  test("streaming latest-amendment view converges to the batch result") {
+    // W1 as an always-current view: amendments arrive out of order
+    // across micro-batches; after the stream drains, the last emitted
+    // winner per logical key must equal Load.latestAmendment over the
+    // same rows. Also proves the late-amendment semantics: a replayed
+    // OLD amendment must not displace a newer winner.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.schemas.Schemas
+    val tdef = Schemas.TableDef(
+      name = "amend_stream",
+      schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("filing_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("amend_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("amount",
+          org.apache.spark.sql.types.DoubleType))),
+      uniqueKey = Seq("filing_id", "amend_id"))
+    val source = MemoryStream[(Long, Long, Double)]
+    val sink = s"amend_view_${System.nanoTime()}"
+    val q = StreamRunner.latestAmendmentStream(tdef,
+        source.toDF().toDF("filing_id", "amend_id", "amount"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("update").start()
+    // batch 1: originals + one amendment
+    source.addData((1L, 0L, 10.0), (2L, 0L, 20.0), (1L, 1L, 11.0))
+    q.processAllAvailable()
+    // batch 2: new filing, newer amendment for 2, REPLAYED old row for 1
+    source.addData((3L, 0L, 30.0), (2L, 2L, 22.0), (1L, 0L, 10.0))
+    q.processAllAvailable()
+    q.stop()
+    // last update per key wins in the memory sink
+    val finalView = spark.table(sink)
+      .withColumn("__ord", monotonically_increasing_id())
+      .orderBy(col("__ord").desc).drop("__ord")
+      .collect().toSeq
+      .groupBy(_.getLong(0)).map { case (_, rs) => rs.head }
+      .toSeq.sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val batch = graft.ingest.Load.latestAmendment(tdef,
+        Seq((1L, 0L, 10.0), (2L, 0L, 20.0), (1L, 1L, 11.0),
+          (3L, 0L, 30.0), (2L, 2L, 22.0), (1L, 0L, 10.0))
+          .toDF("filing_id", "amend_id", "amount"))
+      .collect().toSeq.sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(finalView === batch)
+    assert(finalView === Seq((1L, 1L, 11.0), (2L, 2L, 22.0),
+      (3L, 0L, 30.0)))
+  }
+
   test("stateful dedup drops replayed event_ids across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
