@@ -578,6 +578,88 @@ object CoreQueries {
       ORDER BY form_desc
     """))
 
+  /** `registration_latest`'s disclosure-side twin over the OTHER widened
+    * cover page: 52-column CVR_LOBBY_DISCLOSURE_CD raw lines (again
+    * rendered positionally from the declared schema) through
+    * Clean→Load — this one additionally exercising the P5 DATETIME
+    * coercion (`sig_date`, "M/d/yyyy h:mm:ss a") and the reporting
+    * period dates through the raw-text path — then latest-amendment and
+    * the F615/F625/F635/F645 registry decode. Same shapes as its twin:
+    * scan-fused synthesis, one window shuffle, constant-folded decode. */
+  val lobbyDisclosureLatest = GQuery(
+    "lobby_disclosure_latest",
+    (s, d) => {
+      import graft.ingest.{Clean, Load}
+      import graft.meta.Annotations
+      import graft.schemas.Schemas
+      val tdef = Schemas.cvrLobbyDisclosureCd
+      val src = Tables.customer(s, d)
+        .filter(col("c_custkey") <= 1500)
+        .select(col("c_custkey").as("k"), col("c_name").as("nm"))
+        .select(col("k"), col("nm"),
+          (col("k") + 200000L).as("filing_id"),
+          element_at(
+            array(lit("F615"), lit("F625"), lit("F635"), lit("F645")),
+            (pmod(col("k"), lit(4)) + 1).cast(IntegerType)).as("form_type"),
+          date_add(lit("2015-01-01").cast(DateType),
+            pmod(col("k"), lit(90)).cast(IntegerType)).as("from_dt"),
+          explode(sequence(lit(0L), pmod(col("k"), lit(2)))).as("amend_id"))
+        .withColumn("thru_dt", date_add(col("from_dt"), 89))
+        .withColumn("from_raw", date_format(col("from_dt"), "M/d/yyyy"))
+        .withColumn("thru_raw", date_format(col("thru_dt"), "M/d/yyyy"))
+        .withColumn("sig_raw",
+          concat(date_format(date_add(col("thru_dt"), 5), "M/d/yyyy"),
+            lit(" 10:30:00 AM")))
+      val fieldVals: Map[String, org.apache.spark.sql.Column] = Map(
+        "filing_id" -> col("filing_id"), "amend_id" -> col("amend_id"),
+        "rec_type" -> lit("CVR"), "form_type" -> col("form_type"),
+        "filer_id" -> col("k"), "filer_naml" -> col("nm"),
+        "from_date" -> col("from_raw"), "thru_date" -> col("thru_raw"),
+        "sig_date" -> col("sig_raw"))
+      val line = concat_ws("\t", tdef.schema.fieldNames.toSeq
+        .map(n => fieldVals.getOrElse(n, lit(""))): _*)
+      val cleaned = Clean.clean(tdef, src.select(line.as("value")))
+      val typed = Load.load(tdef, cleaned.good)
+      Load.latestAmendment(tdef, typed)
+        .select(
+          Annotations.decodeExpr("cvr_lobby_disclosure_cd", "form_type",
+            col("form_type")).as("form_desc"),
+          col("amend_id"), col("from_date"), col("thru_date"),
+          col("sig_date"))
+        .groupBy("form_desc")
+        .agg(count(lit(1)).as("n_filings"),
+          sum(col("amend_id")).as("sum_latest_amend"),
+          min(col("from_date")).as("min_from"),
+          max(col("thru_date")).as("max_thru"),
+          max(col("sig_date")).as("max_sig"))
+        .orderBy("form_desc")
+    },
+    Some(s"""
+      WITH regd(code, meaning) AS (
+        VALUES ${graft.meta.Annotations
+          .valuesSql("cvr_lobby_disclosure_cd", "form_type")}),
+      base AS (
+        SELECT c_custkey AS k,
+               CASE c_custkey % 4
+                 WHEN 0 THEN 'F615' WHEN 1 THEN 'F625'
+                 WHEN 2 THEN 'F635' ELSE 'F645'
+               END AS form_type,
+               DATE '2015-01-01' + CAST(c_custkey % 90 AS INTEGER)
+                 AS from_date,
+               c_custkey % 2 AS latest_amend
+        FROM customer WHERE c_custkey <= 1500)
+      SELECT r.meaning AS form_desc,
+             CAST(COUNT(*) AS BIGINT) AS n_filings,
+             CAST(SUM(latest_amend) AS BIGINT) AS sum_latest_amend,
+             MIN(from_date) AS min_from,
+             MAX(from_date + 89) AS max_thru,
+             MAX(CAST(from_date + 94 AS TIMESTAMP)
+               + INTERVAL 630 MINUTE) AS max_sig
+      FROM base b JOIN regd r ON b.form_type = r.code
+      GROUP BY 1
+      ORDER BY form_desc
+    """))
+
   /** The lobbying side's consumption semantics, end-to-end
     * (`models/lobbying.py:~900` LobbyingChgLogCd): the registry CHANGE
     * FEED — one row per (filer, change_no), latest change wins — versus
@@ -841,7 +923,7 @@ object CoreQueries {
   def all: Seq[GQuery] = Seq(q1Pricing, filterPred, loadTyped, loadDatetime,
     decimalCast, cleanSplitGood, cleanSplitBad, strClean, ingestPipeline,
     trackingVerify, amendLatest, amendLatestSkew, lobbyingChg,
-    registrationLatest, sqlSurface, subqueryCorr,
+    registrationLatest, lobbyDisclosureLatest, sqlSurface, subqueryCorr,
     recursiveCte, scd2Merge)
 }
 
