@@ -43,7 +43,16 @@ def frame_key(df):
                     "the driver's sort/hash would crash on these")
     if len(df) == 0:
         return []
-    rows = df.astype(str).apply(lambda r: "|".join(r), axis=1).tolist()
+    # Stringify COLUMN BY COLUMN, not df.astype(str): pandas formats
+    # datetimes per consolidated block, so a whole-frame astype renders
+    # an all-midnight DATE column with " 00:00:00" whenever ANY datetime
+    # column in the frame carries a time — but only on the side where
+    # the date arrived as datetime64 (duckdb .df()), not where it stayed
+    # datetime.date (pd.read_parquet of date32). That false-diffed
+    # lobby_disclosure_latest (driver hash: pass). Per-column astype
+    # keeps the all-midnight date-only rendering both sides agree on.
+    cols = [df[c].astype(str) for c in df.columns]
+    rows = ["|".join(vals) for vals in zip(*cols)]
     return sorted(rows)
 
 

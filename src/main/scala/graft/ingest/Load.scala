@@ -83,7 +83,12 @@ object Load {
     * same pass). Semantics match [[latestAmendment]] given unique
     * (keys, amendCol) rows, which the declared UNIQUE_KEY guarantees;
     * on a tie the window form keeps one arbitrary row, this form keeps
-    * all tied rows.
+    * all tied rows. NULL amend_id sorts LOWEST in both forms (the
+    * window's desc order puts nulls last; here NULL is coalesced to a
+    * Long.MinValue sentinel in both the aggregate and the join-back
+    * filter, so an all-NULL chain survives instead of vanishing through
+    * a null-rejecting equality) — the sentinel never collides with a
+    * real counter because CAL-ACCESS AMEND_IDs are small non-negatives.
     *
     * `broadcastWinners` — true (default) when the latest pass runs over
     * a filer/filing subset, so one-row-per-key fits a broadcast and the
@@ -95,8 +100,13 @@ object Load {
       amendCol: String = "amend_id", salts: Int = 8,
       broadcastWinners: Boolean = true): DataFrame = {
     val keys = table.uniqueKey.filterNot(_ == amendCol)
+    // max() ignores NULLs and === rejects them, so an un-coalesced
+    // all-NULL chain would vanish; the sentinel keeps NULL as "lowest"
+    // on both sides, matching the window form's nulls-last desc order.
+    val amendKey = coalesce(col(amendCol).cast(LongType),
+      lit(Long.MinValue))
     val winners = graft.ops.Skew.saltedAggregate(typed, keys, salts,
-      partials = Seq(max(col(amendCol)).as("__pmax"),
+      partials = Seq(max(amendKey).as("__pmax"),
         count(lit(1)).as("__pcnt")),
       finals = Seq(max(col("__pmax")).as("__max_amend"),
         sum(col("__pcnt")).as("n_amendments")),
@@ -104,7 +114,7 @@ object Load {
       // deterministic salt that the aggregate already reads
       saltOn = Seq(col(amendCol)))
     typed.join(if (broadcastWinners) broadcast(winners) else winners, keys)
-      .filter(col(amendCol) === col("__max_amend"))
+      .filter(amendKey === col("__max_amend"))
       // usingColumns moved the keys first; restore the input's column
       // order so this is a drop-in twin of latestAmendment
       .select((typed.columns.map(col) :+ col("n_amendments")).toSeq: _*)

@@ -27,39 +27,40 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic salt: hash of `saltOn` (or, when empty, a
-    * per-partition row counter), mod `salts`. A rand()-based salt marks
-    * the stage INDETERMINATE — a lost map output then forces
-    * whole-stage rollback (and any mixed old/new fetch corrupts exact
-    * aggregates), exactly the failure mode salting exists to survive at
-    * 1000-executor scale. A deterministic salt makes every recomputed
-    * task assign identical values, so single-task retry stays safe.
-    * `saltOn` should be a FEW columns that vary within a hot key (a
-    * line number, a transaction id) — hashing every column would both
-    * pay per-row hash cost and drag unused columns through the scan,
-    * defeating column pruning. The counter fallback
-    * (monotonically_increasing_id, partition-local and
-    * order-independent mod salts... strictly: stable only when input
-    * partitioning is stable, which holds for file scans; callers with
-    * a shuffled input should pass explicit saltOn) spreads even
-    * fully-duplicate rows. */
-  private def saltExpr(saltOn: Seq[Column], salts: Int): Column =
-    if (saltOn.isEmpty)
-      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int")
-    else pmod(hash(saltOn: _*), lit(salts))
+  /** Deterministic salt: hash of `saltOn` (or, when empty, of EVERY
+    * input column), mod `salts`. A rand()-based salt marks the stage
+    * INDETERMINATE — a lost map output then forces whole-stage rollback
+    * (and any mixed old/new fetch corrupts exact aggregates), exactly
+    * the failure mode salting exists to survive at 1000-executor scale;
+    * a partition-counter salt (monotonically_increasing_id) is only
+    * deterministic while the input partitioning is stable, which a
+    * caller-supplied shuffled frame silently violates. Hashing is
+    * deterministic row-by-row no matter how the input arrives. Prefer
+    * explicit `saltOn`: a FEW columns that vary within a hot key (a
+    * line number, a transaction id) — the all-columns fallback pays
+    * per-row hash width and, on a frame wider than the query needs,
+    * drags unpruned columns through the scan. Trade-off of the
+    * fallback: fully-duplicate rows share one salt bucket (correct,
+    * just unspread — pass saltOn to split those). */
+  private def saltExpr(saltOn: Seq[Column], salts: Int,
+      allColumns: => Seq[Column]): Column = {
+    val basis = if (saltOn.isEmpty) allColumns else saltOn
+    pmod(hash(basis: _*), lit(salts))
+  }
 
   /** Two-phase salted aggregation.
     * @param partials aggregations for phase 1 (must be associative-
     *                 decomposable with `finals`, e.g. count→sum)
     * @param finals   phase-2 recombination of the partial columns
     * @param saltOn   columns whose hash assigns the salt — pick a few
-    *                 that vary within a hot key; empty → a stable
-    *                 per-partition counter
+    *                 that vary within a hot key; empty → hash of every
+    *                 input column (deterministic, see [[saltExpr]])
     */
   def saltedAggregate(df: DataFrame, keys: Seq[String], salts: Int,
       partials: Seq[Column], finals: Seq[Column],
       saltOn: Seq[Column] = Nil): DataFrame = {
-    val salted = df.withColumn("__salt", saltExpr(saltOn, salts))
+    val salted = df.withColumn("__salt",
+      saltExpr(saltOn, salts, df.columns.toSeq.map(col)))
     val phase1 = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(partials.head, partials.tail: _*)
@@ -73,7 +74,8 @@ object Skew {
   def saltedJoin(skewed: DataFrame, small: DataFrame, key: String,
       salts: Int, joinType: String = "inner",
       saltOn: Seq[Column] = Nil): DataFrame = {
-    val saltedBig = skewed.withColumn("__salt", saltExpr(saltOn, salts))
+    val saltedBig = skewed.withColumn("__salt",
+      saltExpr(saltOn, salts, skewed.columns.toSeq.map(col)))
     val explodedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1)).cast("array<int>")))
     saltedBig.join(explodedSmall, Seq(key, "__salt"), joinType)

@@ -216,9 +216,17 @@ object StreamRunner {
     implicit val keyStr = Encoders.STRING
     def amendOf(r: Row): Long =
       if (r.isNullAt(amendIdx)) Long.MinValue else r.getLong(amendIdx)
+    // Injective composite-key encoding: each part is length-prefixed
+    // ("<len>:<value>"), NULL → a bare "n". A separator-free concat
+    // collapses ("A","BC") with ("AB","C"); a separator is still
+    // ambiguous when a value contains it or when NULL renders as the
+    // literal string "null". The length prefix is collision-free for
+    // ANY values (StreamingSpec pins the collision pairs).
+    def keyPart(v: Any): String =
+      if (v == null) "n"
+      else { val s = String.valueOf(v); s"${s.length}:$s" }
     typed
-      .groupByKey(r =>
-        keys.map(k => String.valueOf(r.getAs[Any](k))).mkString(""))
+      .groupByKey(r => keys.map(k => keyPart(r.getAs[Any](k))).mkString)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
         (_: String, rows: Iterator[Row], state: GroupState[Row]) => {
           val winner = (rows ++ state.getOption.iterator)

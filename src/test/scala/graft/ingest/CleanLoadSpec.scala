@@ -161,6 +161,38 @@ class CleanLoadSpec extends SparkTestBase {
     assert(shuffled.collect().toSet === salted.collect().toSet)
   }
 
+  test("salted latest-amendment handles NULL amend_ids like the window form") {
+    // Regression: max() ignores NULLs and === null-rejects, so without
+    // the sentinel an all-NULL chain vanished from the salted form and
+    // NULL rows could never win. NULL must sort LOWEST in both forms
+    // (the window's desc order is nulls-last): a NULL+non-NULL chain
+    // keeps the non-NULL max, an all-NULL singleton chain survives.
+    import spark.implicits._
+    val typed = Seq[(java.lang.Long, java.lang.Long, java.lang.Long,
+        String, String, String, String)](
+      (10L, null, 1L, "RCPT", "A", "T10", "100.00"), // NULL loses…
+      (10L, 2L, 1L, "RCPT", "A", "T10", "120.00"), // …to the real max
+      (11L, null, 1L, "RCPT", "A", "T11", "300.00")) // all-NULL chain
+      .toDF("filing_id", "amend_id", "line_item", "rec_type",
+        "form_type", "tran_id", "amount")
+      .withColumn("amount", col("amount").cast("decimal(14,2)"))
+    val window = Load.latestAmendment(Schemas.rcptCd, typed)
+      .orderBy("filing_id").collect().toSeq
+    for (broadcastWinners <- Seq(true, false)) {
+      val salted = Load.latestAmendmentSalted(Schemas.rcptCd, typed,
+          broadcastWinners = broadcastWinners)
+        .orderBy("filing_id")
+      assert(salted.drop("n_amendments").collect().toSeq === window,
+        s"broadcastWinners=$broadcastWinners")
+      val counts = salted.select("filing_id", "n_amendments").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(counts === Map(10L -> 2L, 11L -> 1L))
+    }
+    val winners = window.map(r => (r.getLong(r.fieldIndex("filing_id")),
+      Option(r.get(r.fieldIndex("amend_id")))))
+    assert(winners === Seq((10L, Some(2L)), (11L, None)))
+  }
+
   test("tracking metrics satisfy the verify invariants") {
     val m = Tracking.forTable("rcpt_cd", cleaned, typed)
     assert(m.consistent)

@@ -325,6 +325,60 @@ class StreamingSpec extends SparkTestBase {
       (3L, 0L, 30.0)))
   }
 
+  test("latest-amendment state keys keep collision-prone tuples separate") {
+    // Regression for the composite-state-key encoding: with a naive
+    // concat (or any plain separator) the multi-string keys ("A","BC")
+    // and ("AB","C") collapse into one state cell and a NULL key part
+    // collides with the literal string "null" — the later amendment
+    // would then silently supersede an UNRELATED logical record. The
+    // length-prefixed encoding must keep all four logical records
+    // distinct and each must converge to its own winner.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.schemas.Schemas
+    val tdef = Schemas.TableDef(
+      name = "amend_collide",
+      schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rec_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("form_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("amend_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("amount",
+          org.apache.spark.sql.types.DoubleType))),
+      uniqueKey = Seq("rec_type", "form_type", "amend_id"))
+    val source = MemoryStream[(String, String, Long, Double)]
+    val sink = s"amend_collide_${System.nanoTime()}"
+    val q = StreamRunner.latestAmendmentStream(tdef,
+        source.toDF().toDF("rec_type", "form_type", "amend_id", "amount"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("update").start()
+    source.addData(
+      ("A", "BC", 0L, 1.0), ("AB", "C", 0L, 2.0), // concat-colliding pair
+      ("null", "X", 0L, 3.0), (null, "X", 0L, 4.0)) // null vs "null"
+    q.processAllAvailable()
+    source.addData(
+      ("A", "BC", 5L, 10.0), // amends ONLY ("A","BC")
+      (null, "X", 7L, 40.0)) // amends ONLY the null-keyed record
+    q.processAllAvailable()
+    q.stop()
+    val finalView = spark.table(sink)
+      .withColumn("__ord", monotonically_increasing_id())
+      .orderBy(col("__ord").desc).drop("__ord")
+      .collect().toSeq
+      .groupBy(r => (r.getString(0), r.getString(1)))
+      .map { case (_, rs) => rs.head }
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+      .toSet
+    assert(finalView === Set(
+      ("A", "BC", 5L, 10.0), // amended
+      ("AB", "C", 0L, 2.0), // must NOT have been displaced by ("A","BC")
+      ("null", "X", 0L, 3.0), // must NOT have been displaced by the null key
+      (null, "X", 7L, 40.0))) // amended
+  }
+
   test("stateful dedup drops replayed event_ids across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
