@@ -363,6 +363,8 @@ object Annotations {
     * schedule facts. */
   val filingForms: Seq[FilingForm] = Seq(
     FilingForm("E530", "Issue Advocacy Report"),
+    FilingForm("F405", "Amendment to Campaign Disclosure Statement"),
+    FilingForm("F419", "Ballot Measure Committee Campaign Statement"),
     FilingForm("F400", "Statement of Organization (Slate Mailer Organization)"),
     FilingForm("F401", "Slate Mailer Organization Campaign Statement", Seq(
       FormSection("A", "Payments Received"),
@@ -452,8 +454,22 @@ object Annotations {
         "Administrative Action"),
       FormSection("P3", "Campaign Contributions Made"))),
     FilingForm("F690", "Amendment to Lobbying Disclosure Report"),
+    FilingForm("F700", "Statement of Economic Interests"),
     FilingForm("F900",
       "Public Employee's Retirement Board Candidate Campaign Statement"))
+
+  /** Legacy FORM_ID values attested in public CAL-ACCESS filing data
+    * (paper-era campaign forms superseded around the 2000 online-filing
+    * transition) whose official titles we deliberately do NOT reproduce
+    * from uncertain memory — the same no-fabrication discipline as the
+    * schema-widening tiers. A user hitting one of these ids in
+    * FILER_FILINGS gets an "attested but undocumented" answer instead
+    * of a silently wrong title; promoting one to [[filingForms]] is a
+    * one-line change once its title is confirmed against the official
+    * form directory. AnnotationsSpec pins that this tier never overlaps
+    * the documented directory. */
+  val attestedUndocumentedFormIds: Seq[String] =
+    Seq("F415", "F416", "F420", "F421", "F430", "F440", "F490")
 
   def formById(id: String): FilingForm =
     filingForms.find(_.id == id).getOrElse(

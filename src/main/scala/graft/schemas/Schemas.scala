@@ -1393,7 +1393,12 @@ object Schemas {
   //    cross-reference and dimension tables (SURVEY §1.3) ──────────────
 
   /** ≙ F501_502_CD — candidate intention / bank account statements
-    * (`models/campaign.py`). */
+    * (`models/campaign.py`). Widened round 10 to the documented blocks:
+    * committee/report identity, the candidate name quad + address, the
+    * office/jurisdiction block, and the expenditure-limit flag. The
+    * F502 bank-account detail block (bank name/address/account fields)
+    * is attested but its exact raw column names are less certain from
+    * memory — deliberately omitted rather than guessed. */
   val f501502Cd: TableDef = TableDef(
     name = "f501_502_cd",
     schema = StructType(Seq(
@@ -1407,18 +1412,38 @@ object Schemas {
         doc("Form filed: F501 (intention) or F502 (bank account)")),
       StructField("filer_id", StringType, nullable = true,
         doc("Filer unique identification number, free text in this form")),
+      str("committee_id", "Committee identification number"),
+      str("entity_cd", "Entity code of the filer"),
+      str("report_num", "Report number; 000 is the original"),
       StructField("cand_naml", StringType, nullable = true,
         doc("Candidate last name")),
+      str("cand_namf", "Candidate first name"),
+      str("cand_namt", "Candidate name title or prefix"),
+      str("cand_nams", "Candidate name suffix"),
+      str("cand_city", "Candidate address city"),
+      str("cand_st", "Candidate address state"),
+      str("cand_zip4", "Candidate address ZIP+4"),
+      str("cand_phon", "Candidate phone number"),
+      str("cand_email", "Candidate email address"),
+      str("fin_limit_yn", "Accepts the voluntary expenditure " +
+        "ceiling? (Y/N)"),
       StructField("office_cd", StringType, nullable = true,
         doc("Office sought code")),
+      str("offic_dscr", "Office description when OFFICE_CD is OTH"),
+      str("agency_nam", "Name of the agency the office belongs to"),
+      str("juris_cd", "Office jurisdiction code"),
+      str("juris_dscr", "Jurisdiction description when JURIS_CD is OTH"),
       StructField("district_cd", LongType, nullable = true,
         doc("District number of the office sought")),
       StructField("elec_year", LongType, nullable = true,
         doc("Election year")),
       StructField("rpt_date", DateType, nullable = true,
-        doc("Date of the report, M/D/YYYY in the raw file")))),
+        doc("Date of the report, M/D/YYYY in the raw file")),
+      StructField("execute_dt", DateType, nullable = true,
+        doc("Date the statement was executed (signed), M/D/YYYY " +
+          "in the raw file")))),
     uniqueKey = Seq("filing_id", "amend_id", "rec_type", "form_type"),
-    dateFields = Seq("rpt_date"))
+    dateFields = Seq("rpt_date", "execute_dt"))
 
   /** ≙ CVR2_CAMPAIGN_DISCLOSURE_CD — campaign-disclosure additional
     * names page (`models/campaign.py:~400-900`): the committees,
@@ -1677,6 +1702,13 @@ object Schemas {
 
   /** ≙ CVR_E530_CD — Form E530 issue-advocacy report cover
     * (`models/common.py`). */
+  /** Widened round 10 to the documented blocks: filer identity + name
+    * quad + address, report identity, occupation/employer, the candidate
+    * name quad and office/jurisdiction block the issue-advocacy payment
+    * concerns, and the payment itself. The communication-type flag block
+    * (literature/radio/TV/billboards...) is attested in the public docs
+    * but its exact raw column names are less certain from memory —
+    * deliberately omitted rather than guessed. */
   val cvrE530Cd: TableDef = TableDef(
     name = "cvr_e530_cd",
     schema = StructType(Seq(
@@ -1688,16 +1720,38 @@ object Schemas {
         doc("Record type of the cover page, always CVR")),
       StructField("form_type", StringType, nullable = true,
         doc("Form type, always E530")),
+      StructField("entity_cd", StringType, nullable = true,
+        doc("Entity code of the filer")),
       StructField("filer_id", LongType, nullable = true,
         doc("Filer unique identification number")),
+      str("filer_naml", "Filer last name or organization name"),
+      str("filer_namf", "Filer first name"),
+      str("filer_namt", "Filer name title or prefix"),
+      str("filer_nams", "Filer name suffix"),
+      str("report_num", "Report number; 000 is the original"),
+      StructField("rpt_date", DateType, nullable = true,
+        doc("Date of the report, M/D/YYYY in the raw file")),
+      str("filer_city", "Filer address city"),
+      str("filer_st", "Filer address state"),
+      str("filer_zip4", "Filer address ZIP+4"),
+      str("occupation", "Filer occupation"),
+      str("employer", "Filer employer"),
       StructField("cand_naml", StringType, nullable = true,
         doc("Candidate last name the communication concerns")),
+      str("cand_namf", "Candidate first name"),
+      str("cand_namt", "Candidate name title or prefix"),
+      str("cand_nams", "Candidate name suffix"),
+      str("office_cd", "Office sought or held code"),
+      str("offic_dscr", "Office description when OFFICE_CD is OTH"),
+      str("juris_cd", "Office jurisdiction code"),
+      str("juris_dscr", "Jurisdiction description when JURIS_CD is OTH"),
+      str("dist_no", "District number for the office, when applicable"),
       StructField("pmnt_amount", DecimalType(14, 2), nullable = true,
         doc("Amount of the payment reported")),
       StructField("pmnt_dt", DateType, nullable = true,
         doc("Date of the payment, M/D/YYYY in the raw file")))),
     uniqueKey = Seq("filing_id", "amend_id"),
-    dateFields = Seq("pmnt_dt"))
+    dateFields = Seq("pmnt_dt", "rpt_date"))
 
   /** ≙ F495P2_CD — Form 495 supplemental pre-election statement part 2
     * (`models/campaign.py`). */

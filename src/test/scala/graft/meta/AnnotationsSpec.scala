@@ -23,11 +23,25 @@ class AnnotationsSpec extends SparkTestBase {
   test("filing-form directory has unique ids and non-empty titles") {
     val ids = Annotations.filingForms.map(_.id)
     assert(ids.distinct.size === ids.size)
-    assert(ids.size === 35) // the documented breadth as of round 9
+    assert(ids.size === 38) // the documented breadth as of round 10
     assert(Annotations.filingForms.forall(_.title.nonEmpty))
     assert(Annotations.formById("F460").title
       .contains("Recipient Committee Campaign Statement"))
     intercept[IllegalArgumentException] { Annotations.formById("F999") }
+  }
+
+  test("attested-but-undocumented form ids never shadow the directory") {
+    // The no-fabrication tier: legacy FORM_IDs known to occur in public
+    // filing data but whose titles aren't confidently sourced. They must
+    // stay disjoint from the documented directory (promotion = move the
+    // id over WITH a confirmed title) and look like form ids.
+    val attested = Annotations.attestedUndocumentedFormIds
+    assert(attested.nonEmpty)
+    assert(attested.distinct.size === attested.size)
+    assert(attested.forall(_.matches("^[EF]\\d+$")))
+    val documented = Annotations.filingForms.map(_.id).toSet
+    assert(attested.forall(id => !documented.contains(id)),
+      attested.filter(documented.contains).mkString(", "))
   }
 
   test("form sections carry unique ids and documented descriptions") {
