@@ -93,9 +93,10 @@ object Load {
     * `broadcastWinners` — true (default) when the latest pass runs over
     * a filer/filing subset, so one-row-per-key fits a broadcast and the
     * big side never shuffles at all. For a WHOLE-table pass at 10⁷+
-    * logical keys pass false: the join-back becomes a shuffle join and
-    * AQE's skew-join split handles the hot key's oversized partition at
-    * runtime. */
+    * logical keys pass false: the join-back becomes a shuffle join that
+    * hashes on (keys, amend counter) — the winner filter is pushed into
+    * the join condition — so even a mega-chain spreads uniformly and no
+    * single task ever holds a whole chain (see the join comment). */
   def latestAmendmentSalted(table: TableDef, typed: DataFrame,
       amendCol: String = "amend_id", salts: Int = 8,
       broadcastWinners: Boolean = true): DataFrame = {
@@ -113,6 +114,16 @@ object Load {
       // the amendment counter is unique within a chain — a perfect
       // deterministic salt that the aggregate already reads
       saltOn = Seq(col(amendCol)))
+    // The winner-selection filter sits directly above the join, so
+    // Catalyst pushes it INTO the join condition and it becomes an
+    // extra equi-join key (keys..., amendKey=__max_amend). That makes
+    // the non-broadcast join-back inherently skew-immune: the shuffle
+    // hashes on (keys, amend counter), and the counter is unique within
+    // a chain, so a 10⁴-amendment mega-chain spreads uniformly across
+    // partitions instead of funneling into one task — losers hash to
+    // partitions where no winner row exists and are dropped in place.
+    // No AQE skew split is needed (none fires: there is no oversized
+    // partition to split); AqeSkewJoinSpec pins the join-key shape.
     typed.join(if (broadcastWinners) broadcast(winners) else winners, keys)
       .filter(amendKey === col("__max_amend"))
       // usingColumns moved the keys first; restore the input's column
