@@ -40,6 +40,27 @@ object Tracking {
     rows.toDF()
   }
 
+  /** ≙ the RawDataVersion↔RawDataFile star rollup
+    * (`models/tracking.py:~130-260`): fold the per-file metrics frame up
+    * to ONE row per release — file count, the four count totals, and the
+    * verify invariant recomputed at the release grain (a release is
+    * consistent iff its file totals are). Input is the [[toDf]] frame
+    * plus a `release` column; output cardinality is the number of
+    * releases — driver-safe at any data scale, the counts inside were
+    * distributed aggregations already. */
+  def versionRollup(files: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    files.groupBy(col("release"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("downloadRecords")).as("download_total"),
+        sum(col("cleanRecords")).as("clean_total"),
+        sum(col("loadRecords")).as("load_total"),
+        sum(col("errorRecords")).as("error_total"))
+      .withColumn("consistent",
+        col("download_total") === col("clean_total") + col("error_total") &&
+          col("load_total") === col("clean_total"))
+  }
+
   /** ≙ RawDataVersion (`models/tracking.py:~130`): one row per export
     * snapshot — release identity plus stage timings. Appended to a
     * parquet run log so version history accumulates across updates. */

@@ -350,6 +350,72 @@ object CoreQueries {
       ORDER BY table_name
     """))
 
+  /** The release-grain half of the tracking star, driver-visible
+    * (`models/tracking.py:~130-260` RawDataVersion ← RawDataFile):
+    * `tracking_verify` proves the per-file metrics; this rolls them up
+    * to ONE row per release via `Tracking.versionRollup` — file count,
+    * the four count totals, and the verify invariant recomputed at the
+    * release grain. Two releases are synthesized from the events table
+    * (split by event_id parity), each carrying two files (split by
+    * user_id parity, 1-in-97 rows malformed — the same conventions as
+    * `tracking_verify`), driven through the REAL Clean→Load→
+    * `Tracking.forTable` lifecycle. The oracle recomputes every total
+    * independently from the typed source, so a row mis-routed between
+    * releases or files fails the hash. Scale shape: the counts are
+    * distributed aggregations; the rollup input is one row per file —
+    * the reference's RawDataFile cardinality, never the data's. */
+  val trackingVersion = GQuery(
+    "tracking_version",
+    (s, d) => {
+      import graft.ingest.{Clean, Load}
+      import graft.meta.Tracking
+      val tdef = eventsRawTdef
+      def fileMetrics(release: String, evParity: Int,
+          userParity: Int): (String, Tracking.FileMetrics) = {
+        val lines = eventsRawLines(Tables.events(s, d)
+          .filter(col("event_id") % 2 === evParity &&
+            col("user_id") % 2 === userParity)).persist()
+        try {
+          val cleaned = Clean.clean(tdef, lines)
+          release -> Tracking.forTable(s"ev${evParity}_u$userParity",
+            cleaned, Load.load(tdef, cleaned.good))
+        } finally lines.unpersist(blocking = false)
+      }
+      val files = Seq(
+        fileMetrics("r_even", 0, 0), fileMetrics("r_even", 0, 1),
+        fileMetrics("r_odd", 1, 0), fileMetrics("r_odd", 1, 1))
+      import s.implicits._
+      val filesDf = files.map { case (rel, m) =>
+        (rel, m.tableName, m.downloadRecords, m.cleanRecords,
+          m.loadRecords, m.errorRecords) }
+        .toDF("release", "tableName", "downloadRecords", "cleanRecords",
+          "loadRecords", "errorRecords")
+      Tracking.versionRollup(filesDf).orderBy("release")
+    },
+    Some("""
+      SELECT 'r_even' AS release,
+             CAST(2 AS BIGINT) AS n_files,
+             CAST(COUNT(*) AS BIGINT) AS download_total,
+             CAST(COUNT(*) FILTER (WHERE event_id % 97 <> 0) AS BIGINT)
+               AS clean_total,
+             CAST(COUNT(*) FILTER (WHERE event_id % 97 <> 0) AS BIGINT)
+               AS load_total,
+             CAST(COUNT(*) FILTER (WHERE event_id % 97 = 0) AS BIGINT)
+               AS error_total,
+             TRUE AS consistent
+      FROM events WHERE event_id % 2 = 0
+      UNION ALL
+      SELECT 'r_odd',
+             CAST(2 AS BIGINT),
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) FILTER (WHERE event_id % 97 <> 0) AS BIGINT),
+             CAST(COUNT(*) FILTER (WHERE event_id % 97 <> 0) AS BIGINT),
+             CAST(COUNT(*) FILTER (WHERE event_id % 97 = 0) AS BIGINT),
+             TRUE
+      FROM events WHERE event_id % 2 = 1
+      ORDER BY release
+    """))
+
   /** W1 end-to-end over a CAL-ACCESS-shaped frame: the reference's single
     * most documented consumption pattern — latest-amendment-wins on
     * UNIQUE_KEY minus the amendment counter (`models/common.py:~200-260`)
@@ -922,7 +988,7 @@ object CoreQueries {
 
   def all: Seq[GQuery] = Seq(q1Pricing, filterPred, loadTyped, loadDatetime,
     decimalCast, cleanSplitGood, cleanSplitBad, strClean, ingestPipeline,
-    trackingVerify, amendLatest, amendLatestSkew, lobbyingChg,
+    trackingVerify, trackingVersion, amendLatest, amendLatestSkew, lobbyingChg,
     registrationLatest, lobbyDisclosureLatest, sqlSurface, subqueryCorr,
     recursiveCte, scd2Merge)
 }
