@@ -1619,7 +1619,9 @@ object Schemas {
       StructField("effect_dt", DateType, nullable = true,
         doc("Date the address took effect, M/D/YYYY in the raw file")),
       StructField("add_type", LongType, nullable = true,
-        doc("Address type code, decoded via lookup codes")))),
+        doc("Address type code, decoded via lookup codes")),
+      StructField("session_id", LongType, nullable = true,
+        doc("Legislative session the address applies to")))),
     uniqueKey = Seq("filer_id", "adrid"),
     dateFields = Seq("effect_dt"))
 
@@ -2186,7 +2188,10 @@ object Schemas {
     uniqueKey = Seq("status_type"))
 
   /** ≙ FILER_TO_FILER_TYPE_CD — filer ↔ filer-type assignment with
-    * effective-date ranges (`models/inactive.py`). */
+    * effective-date ranges (`models/inactive.py`). Widened round 10 to
+    * the FULL documented column set: the category/sub-category triple
+    * (with their _TYPE partners), election type, race, and the
+    * party/county/district residency codes. */
   val filerToFilerTypeCd: TableDef = TableDef(
     name = "filer_to_filer_type_cd",
     schema = StructType(Seq(
@@ -2196,14 +2201,33 @@ object Schemas {
         doc("Filer type code, decoded via filer_types_cd")),
       StructField("active", StringType, nullable = true,
         doc("Whether the assignment is active (Y/N)")),
+      StructField("race", LongType, nullable = true,
+        doc("Race (contest) identification number, when the filer " +
+          "type is tied to one")),
       StructField("session_id", LongType, nullable = true,
         doc("Legislative session identification number")),
       StructField("category", LongType, nullable = true,
         doc("Filer category code")),
+      StructField("category_type", LongType, nullable = true,
+        doc("Filer category type code")),
+      StructField("sub_category", LongType, nullable = true,
+        doc("Filer sub-category code")),
+      StructField("sub_category_type", LongType, nullable = true,
+        doc("Filer sub-category type code")),
+      StructField("sub_category_a", StringType, nullable = true,
+        doc("Sub-category qualifier")),
+      StructField("election_type", LongType, nullable = true,
+        doc("Election type code")),
       StructField("effect_dt", DateType, nullable = true,
         doc("Date the assignment took effect, M/D/YYYY in the raw file")),
       StructField("nyq_dt", DateType, nullable = true,
-        doc("Next-year qualification date")))),
+        doc("Next-year qualification date")),
+      StructField("party_cd", LongType, nullable = true,
+        doc("Political party code of the filer")),
+      StructField("county_cd", LongType, nullable = true,
+        doc("County code of the filer's residence")),
+      StructField("district_cd", LongType, nullable = true,
+        doc("District code of the filer's residence")))),
     uniqueKey = Seq("filer_id", "filer_type", "session_id", "effect_dt"),
     dateFields = Seq("effect_dt", "nyq_dt"))
 
