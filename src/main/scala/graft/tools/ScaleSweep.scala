@@ -104,7 +104,11 @@ object ScaleSweep {
         // 100 TB claims — both must stay ~linear in R. cluster_sweep is
         // the unbounded probe form of dedup_cluster, ivf_sweep the
         // ×16-amplified IVF build (see `probes`).
-        "cluster_sweep", "sim_ivf", "ivf_sweep")
+        "cluster_sweep", "sim_ivf", "ivf_sweep",
+        // round 10: the full clean→load→track lifecycle over the
+        // replicated events table — the counts and narrow projections
+        // must scale ~linearly for the 100 TB update-loop claim
+        "tracking_version")
     val spark = graft.GraftSession.local(4, "graft-scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
