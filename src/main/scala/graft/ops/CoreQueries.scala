@@ -350,6 +350,92 @@ object CoreQueries {
       ORDER BY table_name
     """))
 
+  /** Point-in-time (as-of) resolution over the effective-dated filer
+    * dimension (`models/inactive.py` FILER_TO_FILER_TYPE_CD, round-10
+    * full 16-column width): "which filer type was filer X at date D" —
+    * the canonical consumption of CAL-ACCESS's effective-date ranges.
+    * Assignments are synthesized from customer keys (1–3 per filer,
+    * 400-day spacing, rotating type codes), rendered positionally from
+    * the declared 16-column schema and driven through the REAL
+    * Clean→Load lifecycle (M/d/yyyy effect_dt coercion included), so
+    * the oracle verifies the parse as well as the resolution. Facts are
+    * orders at their order dates; each resolves to the assignment with
+    * the greatest effect_dt ≤ date, inner-asof semantics (orders before
+    * a filer's first assignment drop).
+    *
+    * Scale shape (same as `join_asof`, SURVEY §2.4): NOT a range join —
+    * fan-out-then-prune candidates grow |orders|×|assignments per key|.
+    * Instead dimension and facts union, shuffle ONCE on filer_id, and a
+    * RANGE-frame running max of struct(effect_dt, filer_type) carries
+    * the current assignment forward — one exchange, no per-row probing,
+    * equal-date assignments included deterministically. The oracle uses
+    * DuckDB's native ASOF JOIN — a different mechanism entirely, so the
+    * cross-check is genuinely independent. */
+  val filerTypeAsof = GQuery(
+    "filer_type_asof",
+    (s, d) => {
+      import graft.ingest.{Clean, Load}
+      import graft.schemas.Schemas
+      import org.apache.spark.sql.expressions.Window
+      val tdef = Schemas.filerToFilerTypeCd
+      val base = Tables.customer(s, d).filter(col("c_custkey") <= 300)
+        .select(col("c_custkey").as("k"))
+        .select(col("k"),
+          explode(sequence(lit(0L), col("k") % 3)).as("seq"))
+        .select(col("k"), col("seq"),
+          ((col("k") + col("seq")) % 5).as("ftype"),
+          date_add(lit("1992-01-01").cast(DateType),
+            (col("k") % 200 + col("seq") * 400).cast(IntegerType))
+            .as("eff"))
+      val fieldVals: Map[String, org.apache.spark.sql.Column] = Map(
+        "filer_id" -> col("k"), "filer_type" -> col("ftype"),
+        "active" -> lit("Y"), "session_id" -> (col("seq") + 1),
+        "effect_dt" -> date_format(col("eff"), "M/d/yyyy"))
+      val line = concat_ws("\t", tdef.schema.fieldNames.toSeq
+        .map(n => fieldVals.getOrElse(n, lit(""))): _*)
+      val cleaned = Clean.clean(tdef, base.select(line.as("value")))
+      val assigns = Load.load(tdef, cleaned.good)
+        .select(col("filer_id"), col("effect_dt"), col("filer_type"))
+      val facts = Tables.orders(s, d).filter(col("o_custkey") <= 300)
+        .select(col("o_custkey").as("filer_id"),
+          col("o_orderdate").as("at_date"),
+          col("o_orderkey").as("order_id"))
+      val unioned = assigns
+        .select(col("filer_id"), col("effect_dt").as("at_date"),
+          lit(null).cast(LongType).as("order_id"),
+          struct(col("effect_dt"), col("filer_type")).as("asg"))
+        .unionByName(facts.withColumn("asg",
+          lit(null).cast("struct<effect_dt:date,filer_type:bigint>")))
+      val w = Window.partitionBy(col("filer_id")).orderBy(col("at_date"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      unioned.withColumn("res", max(col("asg")).over(w))
+        .filter(col("order_id").isNotNull && col("res").isNotNull)
+        .select(col("filer_id"), col("order_id"), col("at_date"),
+          col("res.filer_type").as("filer_type_asof"),
+          col("res.effect_dt").as("type_effective_since"))
+        .orderBy("filer_id", "order_id")
+    },
+    Some("""
+      WITH assigns AS (
+        SELECT c_custkey AS filer_id,
+               CAST((c_custkey + t.seq) % 5 AS BIGINT) AS filer_type,
+               DATE '1992-01-01' +
+                 CAST(c_custkey % 200 + t.seq * 400 AS INTEGER)
+                 AS effect_dt
+        FROM customer, unnest(generate_series(0, c_custkey % 3)) AS t(seq)
+        WHERE c_custkey <= 300),
+      facts AS (
+        SELECT o_custkey AS filer_id, o_orderdate AS at_date,
+               o_orderkey AS order_id
+        FROM orders WHERE o_custkey <= 300)
+      SELECT f.filer_id, f.order_id, f.at_date,
+             a.filer_type AS filer_type_asof,
+             a.effect_dt AS type_effective_since
+      FROM facts f ASOF JOIN assigns a
+        ON f.filer_id = a.filer_id AND f.at_date >= a.effect_dt
+      ORDER BY f.filer_id, f.order_id
+    """))
+
   /** The release-grain half of the tracking star, driver-visible
     * (`models/tracking.py:~130-260` RawDataVersion ← RawDataFile):
     * `tracking_verify` proves the per-file metrics; this rolls them up
@@ -988,7 +1074,8 @@ object CoreQueries {
 
   def all: Seq[GQuery] = Seq(q1Pricing, filterPred, loadTyped, loadDatetime,
     decimalCast, cleanSplitGood, cleanSplitBad, strClean, ingestPipeline,
-    trackingVerify, trackingVersion, amendLatest, amendLatestSkew, lobbyingChg,
+    trackingVerify, trackingVersion, filerTypeAsof,
+    amendLatest, amendLatestSkew, lobbyingChg,
     registrationLatest, lobbyDisclosureLatest, sqlSurface, subqueryCorr,
     recursiveCte, scd2Merge)
 }

@@ -190,6 +190,19 @@ class PlanSpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
   }
 
+  test("filer_type_asof: one filer_id exchange, no range-join fanout") {
+    val p = plan("filer_type_asof")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the point-in-time resolution is the union+running-max shape:
+    // dimension and facts meet in ONE hashpartitioning exchange on
+    // filer_id (the final orderBy is range partitioning); a second hash
+    // exchange or a join node would mean the fan-out-then-prune range
+    // join crept back in
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("decode_registry2 broadcasts the codes dimension") {
     val p = plan("decode_registry2")
     assert(p.contains("BroadcastHashJoin"), p)
