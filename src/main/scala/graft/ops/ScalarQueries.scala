@@ -409,7 +409,15 @@ object ScalarQueries {
     (s, _) => {
       import s.implicits._
       import graft.meta.Annotations
+      // the attested-but-undocumented tier rides along with a sentinel
+      // title; its n_reffing_tables is COMPUTED here but HARD-CODED to 0
+      // in the oracle, so a documented FORM_TYPE choice referencing an
+      // attested-only id (= an id overdue for promotion) fails the hash
       val forms = Annotations.formsDf(s)
+        .select(col("form_id"), col("title"), col("n_sections"))
+        .unionByName(Annotations.attestedUndocumentedFormIds
+          .map(id => (id, "(attested; title undocumented)", 0))
+          .toDF("form_id", "title", "n_sections"))
       val refs = Annotations.choices.toSeq
         .collect { case ((t, "form_type"), cs) => cs.map(ch => (t, ch.code)) }
         .flatten.toDF("table_name", "code")
@@ -434,9 +442,12 @@ object ScalarQueries {
         .collect { case ((t, "form_type"), cs) =>
           cs.map(ch => s"('${q(t)}', '${q(ch.code)}')") }
         .flatten.mkString(", ")
+      val attestedVals = Annotations.attestedUndocumentedFormIds
+        .map(id => s"('${q(id)}')").mkString(", ")
       s"""
       WITH forms(form_id, title, n_sections) AS (VALUES $formVals),
       refs(table_name, code) AS (VALUES $refVals),
+      attested(form_id) AS (VALUES $attestedVals),
       agg AS (
         SELECT regexp_extract(code, '^([EF]\\d+)', 1) AS base_id,
                CAST(COUNT(DISTINCT table_name) AS BIGINT)
@@ -444,12 +455,19 @@ object ScalarQueries {
         FROM refs
         WHERE regexp_extract(code, '^([EF]\\d+)', 1) <> ''
         GROUP BY 1)
-      SELECT f.form_id, f.title,
-             CAST(f.n_sections AS BIGINT) AS n_sections,
-             COALESCE(a.n_reffing_tables, CAST(0 AS BIGINT))
-               AS n_reffing_tables
-      FROM forms f LEFT JOIN agg a ON f.form_id = a.base_id
-      ORDER BY f.form_id
+      SELECT * FROM (
+        SELECT f.form_id, f.title,
+               CAST(f.n_sections AS BIGINT) AS n_sections,
+               COALESCE(a.n_reffing_tables, CAST(0 AS BIGINT))
+                 AS n_reffing_tables
+        FROM forms f LEFT JOIN agg a ON f.form_id = a.base_id
+        UNION ALL
+        -- the invariant: attested ids must be UNREFERENCED (0 here is
+        -- asserted, not computed — the Spark side computes it)
+        SELECT t.form_id, '(attested; title undocumented)',
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM attested t)
+      ORDER BY form_id
       """
     })
 
