@@ -416,7 +416,7 @@ object ScalarQueries {
       val forms = Annotations.formsDf(s)
         .select(col("form_id"), col("title"), col("n_sections"))
         .unionByName(Annotations.attestedUndocumentedFormIds
-          .map(id => (id, "(attested; title undocumented)", 0))
+          .map(id => (id, "(attested: title undocumented)", 0))
           .toDF("form_id", "title", "n_sections"))
       val refs = Annotations.choices.toSeq
         .collect { case ((t, "form_type"), cs) => cs.map(ch => (t, ch.code)) }
@@ -464,7 +464,7 @@ object ScalarQueries {
         UNION ALL
         -- the invariant: attested ids must be UNREFERENCED (0 here is
         -- asserted, not computed — the Spark side computes it)
-        SELECT t.form_id, '(attested; title undocumented)',
+        SELECT t.form_id, '(attested: title undocumented)',
                CAST(0 AS BIGINT), CAST(0 AS BIGINT)
         FROM attested t)
       ORDER BY form_id

@@ -86,6 +86,103 @@ class MultimodalSpec extends SparkTestBase {
     assert(f(out(2), "width") === 0 && out(2).getSeq[Float](fIdx).length === 8)
   }
 
+  /** Encode `n` frames of 16-bit mono PCM at the given rate through the
+    * JDK's own WAV writer — a genuine RIFF/WAVE byte stream in memory. */
+  private def wavBytes(rate: Float, nFrames: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) { // deterministic ramp
+      val v = (i * 257 % 65536 - 32768).toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("decodeFeatures performs a real WAV decode on audio payloads") {
+    import spark.implicits._
+    val media = Seq(
+      (20L, wavBytes(8000f, 1000)),
+      (21L, wavBytes(44100f, 441)),
+      (22L, "definitely not audio".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val out = Multimodal.decodeFeatures(spark, media)
+      .orderBy("media_id").collect()
+    def f(r: org.apache.spark.sql.Row, c: String) = r.getInt(r.fieldIndex(c))
+    // real container metadata: sample rate, channel count, frame count
+    assert(f(out(0), "sample_rate") === 8000)
+    assert(f(out(0), "channels") === 1)
+    assert(f(out(0), "n_frames") === 1000)
+    assert(f(out(1), "sample_rate") === 44100)
+    assert(f(out(1), "n_frames") === 441)
+    // audio is dimensionless; non-audio text stays on the fallback branch
+    assert(f(out(0), "width") === 0 && f(out(0), "height") === 0)
+    assert(f(out(2), "sample_rate") === 0)
+    // amplitude histogram is normalized over the decoded PCM bytes
+    val fIdx = out.head.fieldIndex("feature")
+    val hist = out(0).getSeq[Float](fIdx)
+    assert(math.abs(hist.sum - 1.0f) < 1e-5)
+  }
+
+  test("resizeImages scales the longest side down, never up, and " +
+    "passes non-images through") {
+    import spark.implicits._
+    val media = Seq(
+      (30L, imageBytes(16, 9, 0x808080, "png")),  // downscale 16x9 -> 8x5
+      (31L, imageBytes(4, 4, 0x112233, "png")),   // already small: kept
+      (32L, "not an image".getBytes("UTF-8")))    // passthrough
+      .toDF("media_id", "payload")
+    val out = Multimodal.resizeImages(spark, media, maxDim = 8)
+      .orderBy("media_id").collect()
+    def f(r: org.apache.spark.sql.Row, c: String) = r.getInt(r.fieldIndex(c))
+    assert((f(out(0), "width"), f(out(0), "height")) === (8, 5))
+    assert((f(out(1), "width"), f(out(1), "height")) === (4, 4))
+    assert(out(0).getBoolean(out(0).fieldIndex("decoded")))
+    assert(!out(2).getBoolean(out(2).fieldIndex("decoded")))
+    val pIdx = out.head.fieldIndex("payload")
+    // the un-resized image and the non-image keep their exact bytes
+    assert(out(1).getAs[Array[Byte]](pIdx).toSeq ===
+      media.filter(col("media_id") === 31L).head().getAs[Array[Byte]](1).toSeq)
+    assert(out(2).getAs[Array[Byte]](pIdx).toSeq ===
+      "not an image".getBytes("UTF-8").toSeq)
+    // the resized payload is a VALID image of the claimed dimensions
+    val redecoded = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(0).getAs[Array[Byte]](pIdx)))
+    assert(redecoded.getWidth === 8 && redecoded.getHeight === 5)
+  }
+
+  test("sampleFrames chunks across the 76-char MIME seam and strips " +
+    "the trailing empty") {
+    import spark.implicits._
+    def mediaOf(id: Long, text: String) = Multimodal.toMedia(
+      Seq((id, text)).toDF("doc_id", "text"), "doc_id", "text", "text/plain")
+    // 100 bytes → canonical b64 is 136 chars (past Spark base64's 76-char
+    // MIME wrap) → 4 full 32-char chunks + one 8-char remainder
+    val frames = Multimodal.sampleFrames(mediaOf(1L, "x" * 100), 1)
+      .orderBy("frame_idx").collect()
+    assert(frames.length === 5)
+    assert(frames.forall(!_.getString(2).contains("\r")))
+    assert(frames.take(4).forall(_.getString(2).length === 32))
+    assert(frames.last.getString(2).length === 8)
+    // the frames reassemble to a valid encoding of the original payload
+    val joined = frames.map(_.getString(2)).mkString
+    assert(new String(java.util.Base64.getDecoder.decode(joined),
+      "UTF-8") === "x" * 100)
+    // 24-byte payload → b64 exactly 32 chars → one chunk, no trailing ""
+    val exact = Multimodal.sampleFrames(mediaOf(2L, "y" * 24), 1).collect()
+    assert(exact.length === 1 && exact.head.getString(2).length === 32)
+    // empty payload still yields its idx-0 frame
+    val empty = Multimodal.sampleFrames(mediaOf(3L, ""), 1).collect()
+    assert(empty.length === 1 && empty.head.getString(2) === "")
+  }
+
   test("sampleFrames emits every k-th chunk with positions") {
     val media = Multimodal.toMedia(docs, "doc_id", "text", "text/plain")
     val frames = Multimodal.sampleFrames(media, 2)
