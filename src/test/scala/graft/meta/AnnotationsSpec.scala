@@ -42,6 +42,18 @@ class AnnotationsSpec extends SparkTestBase {
     val documented = Annotations.filingForms.map(_.id).toSet
     assert(attested.forall(id => !documented.contains(id)),
       attested.filter(documented.contains).mkString(", "))
+    // the meta_forms oracle HARD-CODES n_reffing_tables = 0 for this
+    // tier; enforce the same invariant at test time so a FORM_TYPE
+    // choice referencing an attested-only id fails here, not in the
+    // driver's hash compare (promotion pressure with a fast signal)
+    val referenced = Annotations.choices.toSeq
+      .collect { case ((_, "form_type"), cs) => cs.map(_.code) }
+      .flatten
+      .flatMap("^([EF]\\d+)".r.findFirstIn(_))
+      .toSet
+    assert(attested.forall(id => !referenced.contains(id)),
+      s"attested ids referenced by documented FORM_TYPE choices " +
+        s"(promote them): ${attested.filter(referenced.contains).mkString(", ")}")
   }
 
   test("form sections carry unique ids and documented descriptions") {
