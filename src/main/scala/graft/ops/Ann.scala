@@ -199,4 +199,43 @@ object Ann {
           .orderBy(col("sim").desc, col("neighbor_id"))).cast(LongType)
           .as("rank"))
   }
+
+  /** Serve a bounded BATCH of probe vectors in ONE distributed pass —
+    * the online-retrieval shape (a streaming micro-batch or an API
+    * request batch of queries against an index built over 100 TB).
+    * Cell routing runs on the driver exactly like [[query]] (centroids
+    * are k·dim local; the probe batch is bounded by construction), the
+    * routed probes broadcast into the inverted lists, and top-k per
+    * probe is one WindowGroupLimit pass. The INDEX side never moves to
+    * the driver and never re-shuffles: the only wide exchange is the
+    * per-probe window, sized by candidates (≈ batch · n/k · nProbe),
+    * not by the index. Cell ranking and the sim expression share
+    * [[query]]'s exact tie-breaks, so a single-probe batch reproduces
+    * `query(probeId, ...)` row for row (pinned in AnnServeSpec). */
+  def serveBatch(index: IvfIndex, probes: Seq[(Long, Seq[Double])],
+      topK: Int, nProbe: Int, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(probes.nonEmpty, "Ann.serveBatch: empty probe batch")
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val routes = probes.flatMap { case (pid, pvec) =>
+      index.centroids
+        .map { case (cid, cemb) => (cid, localCosine(cemb, pvec)) }
+        .sortBy { case (cid, csim) => (-csim, cid) }
+        .take(nProbe)
+        .map { case (cid, _) => (pid, cid, pvec, localNorm(pvec)) }
+    }
+    val routesDf = routes.toDF("probe_id", "cell", "probe_emb", "probe_norm")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    index.assigned
+      .join(broadcast(routesDf), Seq("cell"))
+      .filter(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol).as("neighbor_id"),
+        (dot(col(embCol), col("probe_emb")) /
+          (norm(col(embCol)) * col("probe_norm"))).as("sim"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= topK)
+  }
 }

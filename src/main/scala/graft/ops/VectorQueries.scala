@@ -383,6 +383,67 @@ object VectorQueries {
     (s, d) => ivfWithRecall(s, d, Ann.load(s, savedIvfPath(s, d, k = 8))),
     Some(ivfRecallOracle))
 
+  /** Online batched ANN serving, driver-visible end-to-end: load the
+    * persisted index ([[savedIvfPath]] — the build is paid once per
+    * process), collect the 3-probe request batch (bounded by nature —
+    * this is the serving contract, not a data collect), answer all of
+    * them in ONE distributed `Ann.serveBatch` pass, and emit each
+    * probe's brute-force top-`IvfTopK` as the hash anchor plus a
+    * PER-PROBE `recall_ok` tolerance boolean (the served top-K must
+    * hit ≥ 3 of that probe's brute top-K — recall@5 ≥ 0.6, the same
+    * gate as `sim_ivf`) which the oracle asserts TRUE. This is exactly
+    * the micro-batch body `StreamRunner.annServeStream` runs per
+    * trigger, so the streaming serving path inherits this driver
+    * verification (AnnServeSpec pins stream ≡ batch ≡ per-probe
+    * `Ann.query`). */
+  val simServe = GQuery(
+    "sim_serve",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val batch: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").cast(LongType),
+          transform(col("embedding"), _.cast(DoubleType)))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+      val served = Ann.serveBatch(Ann.load(s, savedIvfPath(s, d, k = 8)),
+        batch, topK = IvfTopK, nProbe = 3)
+        .select(col("probe_id"), col("neighbor_id"), lit(1L).as("hit"))
+      val probes = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pemb"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          (dot(col("embedding"), col("pemb")) /
+            (sqrt(sumSq(col("embedding"))) * sqrt(sumSq(col("pemb")))))
+            .as("sim"))
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter(col("rnk") <= IvfTopK)
+        .join(broadcast(served), Seq("probe_id", "neighbor_id"), "left")
+        .select(col("probe_id"), col("rnk"), col("neighbor_id"),
+          (sum(coalesce(col("hit"), lit(0L)))
+            .over(Window.partitionBy(col("probe_id"))) >= 3).as("recall_ok"))
+        .orderBy("probe_id", "rnk")
+    },
+    Some(s"""
+      WITH probes AS (
+        SELECT vec_id AS probe_id, embedding AS pemb
+        FROM embeddings WHERE vec_id < 3),
+      scored AS (
+        SELECT p.probe_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(e.embedding, p.pemb) AS sim
+        FROM embeddings e CROSS JOIN probes p
+        WHERE e.vec_id <> p.probe_id)
+      SELECT probe_id, rnk, neighbor_id, TRUE AS recall_ok FROM (
+        SELECT probe_id, neighbor_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                 ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk
+        FROM scored)
+      WHERE rnk <= $IvfTopK
+      ORDER BY probe_id, rnk
+    """))
+
   /** Int8 max-abs quantization — the storage-compression pass an
     * embedding corpus runs before ANN serving (4× smaller than float32,
     * 8× smaller than the double intermediates). Pure narrow map over the
@@ -474,6 +535,6 @@ object VectorQueries {
 
   def all: Seq[GQuery] =
     Seq(vecNorm, simTopk, simBucketed, simPairs, dedupEmbed,
-      dedupEmbedCluster, simIvf, simIvfLoaded, embedQuantize,
+      dedupEmbedCluster, simIvf, simIvfLoaded, simServe, embedQuantize,
       simTopkBatch)
 }

@@ -236,6 +236,30 @@ object StreamRunner {
         })
   }
 
+  /** Online ANN serving: each micro-batch of probe vectors is served
+    * against a (static, arbitrarily large) IVF index in one distributed
+    * `Ann.serveBatch` pass, and the per-probe top-k hands off to
+    * `emit` (append a results table, answer a request queue...). The
+    * probe batch is collected for driver-side cell routing — bounded by
+    * the micro-batch interval, the same contract as any serving request
+    * batch; the index side never moves and never re-shuffles. Expects
+    * `probes` streaming columns (probe_id: long, embedding:
+    * array<numeric>); emits (probe_id, neighbor_id, sim, rank). */
+  def annServeStream(index: graft.ops.Ann.IvfIndex, probes: DataFrame,
+      topK: Int, nProbe: Int)(emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    probes.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val collected = batch
+          .select(col("probe_id").cast("long"),
+            col("embedding").cast("array<double>"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+        if (collected.nonEmpty)
+          emit(graft.ops.Ann.serveBatch(index, collected, topK, nProbe))
+      }
+      .start()
+
   /** Typed event row for the custom-state path (object-nested so Spark
     * can derive its Encoder — no outer instance). */
   final case class UserEvent(event_id: Long, ts: java.sql.Timestamp,
