@@ -1,0 +1,192 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Product quantization — the memory-compression half of large-scale ANN
+  * (SURVEY §2.10 X3 scale path; the reference's similarity surface has no
+  * compressed-index form, this is the 100 TB extension). Where the IVF
+  * index ([[Ann]]) prunes WHICH vectors a probe scores, PQ shrinks WHAT
+  * each scored vector costs: an encoded vector is `m` small codes
+  * (one byte each at 256 codes/subspace) instead of `dim` floats — a
+  * 16–32× footprint cut, which at 100 TB is the difference between an
+  * index that fits hot storage and one that doesn't.
+  *
+  *   train:  split each (unit-normalized) vector into `m` contiguous
+  *           subvectors; per subspace, run the same distributed Lloyd's
+  *           loop as [[Ann.build]] (assignment is a narrow scan against
+  *           literal centroids, the update one groupBy with per-position
+  *           AVG) to learn a tiny codebook. Codebooks live on the driver
+  *           — m · codes · dsub doubles, bounded by construction.
+  *   encode: per row, per subspace argmin-L2 against the literal
+  *           codebook → `codes` array<int>. One narrow map fused into
+  *           the scan; nothing shuffles.
+  *   search: ADC (asymmetric distance computation) — the probe stays
+  *           un-quantized; the driver precomputes one lookup table per
+  *           subspace (distance from the probe's subvector to every
+  *           centroid), scoring a row is `m` literal-array lookups + a
+  *           sum (codegen-friendly static expressions, no HOF fold), and
+  *           the ADC shortlist is one TakeOrdered. The shortlist then
+  *           re-ranks EXACTLY on the true embeddings it already carries,
+  *           so the final top-k is exact-within-shortlist — recall is
+  *           governed by the shortlist size, the standard IVF-PQ serving
+  *           contract.
+  *
+  * Vectors are unit-normalized before encoding, so L2 ordering and
+  * cosine ordering agree (||a-b||² = 2 - 2·cos on the unit sphere) and
+  * the exact re-rank emits true cosine — the same output contract as
+  * [[Ann.query]], letting `sim_pq` share the IVF recall oracle.
+  */
+object Pq {
+
+  private def norm(a: Column): Column =
+    sqrt(graft.functions.VecMath.vecNormSq(a))
+
+  /** Unit-normalize (zero vectors pass through unscaled — they match
+    * nothing under cosine anyway and dividing by 0 would NaN the row). */
+  private def unit(a: Column): Column = {
+    val n = norm(a)
+    when(n === 0d, transform(a, x => x.cast(DoubleType)))
+      .otherwise(transform(a, x => x.cast(DoubleType) / n))
+  }
+
+  private def localUnit(v: Seq[Double]): Seq[Double] = {
+    val n = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x))
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  /** Driver-held product codebooks + the encoded corpus. `encoded`
+    * keeps the raw embedding column alongside the codes: the ADC
+    * shortlist re-ranks on it, and at rest it is the column a real
+    * deployment would keep in cold storage while `codes` serves. */
+  final case class PqIndex(m: Int, dsub: Int,
+      books: Seq[Seq[Seq[Double]]], // books(sub)(code) = centroid
+      encoded: DataFrame)
+
+  /** Literal array<array<double>> of one subspace's codebook. */
+  private def bookArray(book: Seq[Seq[Double]]): Column =
+    array(book.map(c => array(c.map(lit): _*)): _*)
+
+  /** Squared-L2 argmin of `sub` against the literal codebook — the
+    * shared assignment expression for training and encoding. Distances
+    * drop the row's own ||sub||² (constant per row): per centroid the
+    * fold computes ||c||² − 2⟨sub,c⟩, strict `<` keeps the LOWEST code
+    * on ties so assignment is deterministic. */
+  private def argminCode(sub: Column, book: Seq[Seq[Double]]): Column = {
+    val scored = book.zipWithIndex.map { case (cent, code) =>
+      val centArr = array(cent.map(lit): _*)
+      val cn2 = cent.foldLeft(0.0)((acc, x) => acc + x * x)
+      struct((lit(cn2) - lit(2.0) * graft.functions.VecMath.vecDot(sub, centArr))
+        .as("d"), lit(code).as("code"))
+    }
+    aggregate(array(scored: _*),
+      struct(lit(Double.MaxValue).as("d"), lit(-1).as("code")),
+      (acc, c) => when(c.getField("d") < acc.getField("d"), c).otherwise(acc))
+      .getField("code")
+  }
+
+  /** 1-based contiguous subvector `i` (0-based) of a unit-normalized
+    * embedding column. */
+  private def subvec(emb: Column, i: Int, dsub: Int): Column =
+    slice(emb, i * dsub + 1, dsub)
+
+  /** Train `m` codebooks of `codes` centroids each with `iters` Lloyd
+    * refinements, then encode every vector. Seeding is deterministic
+    * (the `codes` lowest-id vectors' subvectors, the same convention as
+    * [[Ann.build]]). Each iteration is ONE scan + ONE aggregation
+    * shuffle covering ALL m subspaces at once — the update groupBy runs
+    * per subspace code column with per-position AVGs, so training cost
+    * is independent of corpus width beyond the scan itself. */
+  def build(embeddings: DataFrame, m: Int, codes: Int, iters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): PqIndex = {
+    val unitDf = embeddings
+      .select(col(idCol), col(embCol), unit(col(embCol)).as("_unit"))
+    val dim = unitDf.select(size(col("_unit"))).head().getInt(0)
+    require(dim % m == 0, s"Pq.build: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+
+    // deterministic seeds: subvectors of the `codes` lowest-id rows
+    var books: Seq[Seq[Seq[Double]]] = {
+      val seedRows = unitDf.orderBy(col(idCol)).limit(codes)
+        .select(col("_unit")).collect()
+        .map(_.getSeq[Double](0).toSeq).toSeq
+      require(seedRows.nonEmpty, "Pq.build: input has no rows")
+      (0 until m).map(i => seedRows.map(v => v.slice(i * dsub, i * dsub + dsub)))
+    }
+
+    for (_ <- 1 to iters) {
+      // one pass assigns every subspace; one groupBy per subspace over
+      // the SAME cached-narrow projection updates its codebook
+      val assignedAll = unitDf.select(
+        (0 until m).map(i =>
+          argminCode(subvec(col("_unit"), i, dsub), books(i)).as(s"_c$i")) ++
+        (0 until m).flatMap(i => (0 until dsub).map(j =>
+          element_at(col("_unit"), i * dsub + j + 1).as(s"_v${i}_$j"))): _*)
+      books = (0 until m).map { i =>
+        val means = assignedAll.groupBy(col(s"_c$i"))
+          .agg(avg(col(s"_v${i}_0")).as("m0"),
+            (1 until dsub).map(j => avg(col(s"_v${i}_$j")).as(s"m$j")): _*)
+          .orderBy(s"_c$i")
+          .collect()
+          .map(r => (r.getInt(0), (0 until dsub).map(j => r.getDouble(j + 1)).toSeq))
+        // keep un-emptied cells' old centroid (standard Lloyd degeneracy)
+        val updated = means.toMap
+        books(i).zipWithIndex.map { case (old, code) =>
+          updated.getOrElse(code, old)
+        }
+      }
+    }
+
+    val withCodes = unitDf.select(col(idCol), col(embCol),
+      array((0 until m).map(i =>
+        argminCode(subvec(col("_unit"), i, dsub), books(i))): _*).as("codes"))
+    PqIndex(m, dsub, books, withCodes)
+  }
+
+  /** ADC top-`topK` neighbors of `probeId`: score every encoded row with
+    * the driver-computed per-subspace lookup tables (m literal-array
+    * lookups + a sum per row — no joins, no shuffle), TakeOrdered the
+    * `shortlist` best, then re-rank the shortlist EXACTLY on its true
+    * embeddings. Output is (neighbor_id, sim, rank) with true cosine —
+    * the same contract as [[Ann.query]], so the two scale paths are
+    * interchangeable downstream. */
+  def search(index: PqIndex, probeId: Long, topK: Int, shortlist: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val probe: Seq[Double] = index.encoded
+      .filter(col(idCol) === probeId)
+      .select(transform(col(embCol), _.cast(DoubleType)))
+      .take(1) match {
+        case Array(r) => localUnit(r.getSeq[Double](0).toSeq)
+        case _ => throw new IllegalArgumentException(
+          s"Pq.search: probe id $probeId not found in the index")
+      }
+    // LUT(i)(c) = ||p_i - c||² over the probe's subvector — ADC distance
+    val luts: Seq[Seq[Double]] = (0 until index.m).map { i =>
+      val p = probe.slice(i * index.dsub, (i + 1) * index.dsub)
+      index.books(i).map { c =>
+        p.zip(c).foldLeft(0.0) { case (acc, (x, y)) =>
+          acc + (x - y) * (x - y) }
+      }
+    }
+    val adc = luts.zipWithIndex.map { case (lut, i) =>
+      element_at(array(lut.map(lit): _*), element_at(col("codes"), i + 1) + 1)
+    }.reduce(_ + _)
+    val litProbe = array(probe.map(lit): _*)
+    index.encoded
+      .filter(col(idCol) =!= probeId)
+      .withColumn("_adc", adc)
+      .orderBy(col("_adc").asc, col(idCol))
+      .limit(shortlist)
+      .select(col(idCol).as("neighbor_id"),
+        (graft.functions.VecMath.vecDot(
+          transform(col(embCol), _.cast(DoubleType)), litProbe) /
+          norm(col(embCol))).as("sim")) // probe is unit-norm: /1 implicit
+      .orderBy(col("sim").desc, col("neighbor_id"))
+      .limit(topK)
+      .select(col("neighbor_id"), col("sim"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("sim").desc, col("neighbor_id"))).cast(LongType)
+          .as("rank"))
+  }
+}

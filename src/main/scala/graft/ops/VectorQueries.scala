@@ -301,18 +301,24 @@ object VectorQueries {
     * windowed sum over the ≤topK joined rows (bounded single partition
     * by construction), so the corpus-scanning brute top-K evaluates
     * exactly ONCE per invocation. */
-  private def ivfWithRecall(s: org.apache.spark.sql.SparkSession, d: String,
-      index: Ann.IvfIndex, topK: Int = IvfTopK, nProbe: Int = 3,
-      minHits: Int = 3): org.apache.spark.sql.DataFrame = {
+  private def recallAnchored(s: org.apache.spark.sql.SparkSession, d: String,
+      approxTop: org.apache.spark.sql.DataFrame, topK: Int,
+      minHits: Int): org.apache.spark.sql.DataFrame = {
     val brute = bruteTopK(s, d, topK)
-    val ivf = Ann.query(index, probeId = 0, topK = topK, nProbe = nProbe)
-      .select(col("neighbor_id"), lit(1L).as("hit"))
-    brute.join(broadcast(ivf), Seq("neighbor_id"), "left")
+    val hits = approxTop.select(col("neighbor_id"), lit(1L).as("hit"))
+    brute.join(broadcast(hits), Seq("neighbor_id"), "left")
       .select(col("rnk"), col("neighbor_id"),
         (sum(coalesce(col("hit"), lit(0L)))
           .over(Window.partitionBy()) >= minHits).as("recall_ok"))
       .orderBy("rnk")
   }
+
+  private def ivfWithRecall(s: org.apache.spark.sql.SparkSession, d: String,
+      index: Ann.IvfIndex, topK: Int = IvfTopK, nProbe: Int = 3,
+      minHits: Int = 3): org.apache.spark.sql.DataFrame =
+    recallAnchored(s, d,
+      Ann.query(index, probeId = 0, topK = topK, nProbe = nProbe),
+      topK, minHits)
 
   /** topK shared by [[ivfWithRecall]] and [[ivfRecallOracle]] so the
     * Spark form and its DuckDB twin can't drift apart on row count. */
@@ -444,6 +450,24 @@ object VectorQueries {
       ORDER BY probe_id, rnk
     """))
 
+  /** Product-quantized ANN ([[Pq]]), driver-visible end-to-end: train
+    * m=4 subspace codebooks of 16 codes (distributed Lloyd's, same
+    * seeding convention as the IVF build), encode the corpus to 4-code
+    * arrays (a 16–32× footprint cut — the compressed-index half of
+    * IVF-PQ serving at 100 TB), ADC-score probe 0 with driver-computed
+    * lookup tables, and exact-rerank the 50-row shortlist to the final
+    * top-5. Emits the shared brute-force hash anchor + `recall_ok`
+    * (recall@5 ≥ 0.6 against exact, same gate as `sim_ivf`) asserted by
+    * the same oracle. Like `sim_ivf`, each invocation pays
+    * train + encode — this entry IS the build-path timing. */
+  val simPq = GQuery(
+    "sim_pq",
+    (s, d) => recallAnchored(s, d,
+      Pq.search(Pq.build(Tables.embeddings(s, d), m = 4, codes = 16),
+        probeId = 0, topK = IvfTopK, shortlist = 50),
+      topK = IvfTopK, minHits = 3),
+    Some(ivfRecallOracle))
+
   /** Int8 max-abs quantization — the storage-compression pass an
     * embedding corpus runs before ANN serving (4× smaller than float32,
     * 8× smaller than the double intermediates). Pure narrow map over the
@@ -535,6 +559,6 @@ object VectorQueries {
 
   def all: Seq[GQuery] =
     Seq(vecNorm, simTopk, simBucketed, simPairs, dedupEmbed,
-      dedupEmbedCluster, simIvf, simIvfLoaded, simServe, embedQuantize,
-      simTopkBatch)
+      dedupEmbedCluster, simIvf, simIvfLoaded, simServe, simPq,
+      embedQuantize, simTopkBatch)
 }
