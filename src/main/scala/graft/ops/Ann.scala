@@ -57,7 +57,7 @@ object Ann {
   private def localNorm(v: Seq[Double]): Double =
     math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x))
 
-  private def localCosine(a: Seq[Double], b: Seq[Double]): Double = {
+  private[ops] def localCosine(a: Seq[Double], b: Seq[Double]): Double = {
     val d = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
     d / (localNorm(a) * localNorm(b))
   }

@@ -45,13 +45,13 @@ object Pq {
 
   /** Unit-normalize (zero vectors pass through unscaled — they match
     * nothing under cosine anyway and dividing by 0 would NaN the row). */
-  private def unit(a: Column): Column = {
+  private[ops] def unit(a: Column): Column = {
     val n = norm(a)
     when(n === 0d, transform(a, x => x.cast(DoubleType)))
       .otherwise(transform(a, x => x.cast(DoubleType) / n))
   }
 
-  private def localUnit(v: Seq[Double]): Seq[Double] = {
+  private[ops] def localUnit(v: Seq[Double]): Seq[Double] = {
     val n = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x))
     if (n == 0.0) v else v.map(_ / n)
   }
@@ -91,19 +91,49 @@ object Pq {
   private def subvec(emb: Column, i: Int, dsub: Int): Column =
     slice(emb, i * dsub + 1, dsub)
 
+  /** Per-subspace code array for a unit-normalized embedding column —
+    * the shared encode expression ([[build]] and [[Ivfpq.build]] both
+    * fuse it into their scans as one narrow map). */
+  private[ops] def codesExpr(books: Seq[Seq[Seq[Double]]], dsub: Int,
+      unitEmb: Column): Column =
+    array(books.zipWithIndex.map { case (book, i) =>
+      argminCode(subvec(unitEmb, i, dsub), book)
+    }: _*)
+
+  /** Driver-computed ADC lookup tables for one (unit-normalized) probe:
+    * LUT(i)(c) = squared L2 from the probe's i-th subvector to code c's
+    * centroid. m · codes doubles — bounded by construction. */
+  private[ops] def lutsFor(books: Seq[Seq[Seq[Double]]], dsub: Int,
+      probeUnit: Seq[Double]): Seq[Seq[Double]] =
+    books.zipWithIndex.map { case (book, i) =>
+      val p = probeUnit.slice(i * dsub, (i + 1) * dsub)
+      book.map { c =>
+        p.zip(c).foldLeft(0.0) { case (acc, (x, y)) =>
+          acc + (x - y) * (x - y) }
+      }
+    }
+
+  /** ADC distance of a codes column under the probe's lookup tables —
+    * m literal-array lookups + a sum per row; no joins, no shuffle. */
+  private[ops] def adcExpr(luts: Seq[Seq[Double]], codesCol: Column): Column =
+    luts.zipWithIndex.map { case (lut, i) =>
+      element_at(array(lut.map(lit): _*), element_at(codesCol, i + 1) + 1)
+    }.reduce(_ + _)
+
   /** Train `m` codebooks of `codes` centroids each with `iters` Lloyd
-    * refinements, then encode every vector. Seeding is deterministic
-    * (the `codes` lowest-id vectors' subvectors, the same convention as
-    * [[Ann.build]]). Each iteration is ONE scan + ONE aggregation
-    * shuffle covering ALL m subspaces at once — the update groupBy runs
-    * per subspace code column with per-position AVGs, so training cost
-    * is independent of corpus width beyond the scan itself. */
-  def build(embeddings: DataFrame, m: Int, codes: Int, iters: Int = 2,
-      idCol: String = "vec_id", embCol: String = "embedding"): PqIndex = {
+    * refinements. Seeding is deterministic (the `codes` lowest-id
+    * vectors' subvectors, the same convention as [[Ann.build]]). Each
+    * iteration is ONE scan + ONE aggregation shuffle covering ALL m
+    * subspaces at once — the update groupBy runs per subspace code
+    * column with per-position AVGs, so training cost is independent of
+    * corpus width beyond the scan itself. Returns (books, dsub). */
+  private[ops] def train(embeddings: DataFrame, m: Int, codes: Int,
+      iters: Int = 2, idCol: String = "vec_id", embCol: String = "embedding")
+      : (Seq[Seq[Seq[Double]]], Int) = {
     val unitDf = embeddings
       .select(col(idCol), col(embCol), unit(col(embCol)).as("_unit"))
     val dim = unitDf.select(size(col("_unit"))).head().getInt(0)
-    require(dim % m == 0, s"Pq.build: dim $dim not divisible by m=$m")
+    require(dim % m == 0, s"Pq.train: dim $dim not divisible by m=$m")
     val dsub = dim / m
 
     // deterministic seeds: subvectors of the `codes` lowest-id rows
@@ -138,9 +168,16 @@ object Pq {
       }
     }
 
-    val withCodes = unitDf.select(col(idCol), col(embCol),
-      array((0 until m).map(i =>
-        argminCode(subvec(col("_unit"), i, dsub), books(i))): _*).as("codes"))
+    (books, dsub)
+  }
+
+  /** Train + encode: the codebooks plus the corpus with its `codes`
+    * array (one narrow map fused into the scan; nothing shuffles). */
+  def build(embeddings: DataFrame, m: Int, codes: Int, iters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): PqIndex = {
+    val (books, dsub) = train(embeddings, m, codes, iters, idCol, embCol)
+    val withCodes = embeddings.select(col(idCol), col(embCol),
+      codesExpr(books, dsub, unit(col(embCol))).as("codes"))
     PqIndex(m, dsub, books, withCodes)
   }
 
@@ -161,17 +198,7 @@ object Pq {
         case _ => throw new IllegalArgumentException(
           s"Pq.search: probe id $probeId not found in the index")
       }
-    // LUT(i)(c) = ||p_i - c||² over the probe's subvector — ADC distance
-    val luts: Seq[Seq[Double]] = (0 until index.m).map { i =>
-      val p = probe.slice(i * index.dsub, (i + 1) * index.dsub)
-      index.books(i).map { c =>
-        p.zip(c).foldLeft(0.0) { case (acc, (x, y)) =>
-          acc + (x - y) * (x - y) }
-      }
-    }
-    val adc = luts.zipWithIndex.map { case (lut, i) =>
-      element_at(array(lut.map(lit): _*), element_at(col("codes"), i + 1) + 1)
-    }.reduce(_ + _)
+    val adc = adcExpr(lutsFor(index.books, index.dsub, probe), col("codes"))
     val litProbe = array(probe.map(lit): _*)
     index.encoded
       .filter(col(idCol) =!= probeId)

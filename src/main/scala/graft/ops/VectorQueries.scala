@@ -468,6 +468,55 @@ object VectorQueries {
       topK = IvfTopK, minHits = 3),
     Some(ivfRecallOracle))
 
+  /** IVF-PQ ([[Ivfpq]]) — the COMPOSED 100 TB serving index, driver-
+    * visible end-to-end: coarse k=8 cells prune WHICH rows get scored
+    * (nProbe 3), product codes (m=4 × 16) compress WHAT scoring costs,
+    * ADC shortlists 50 candidates reading ONLY (id, codes), and the
+    * exact re-rank reads true embeddings for just those rows. Build
+    * (both trainings) is paid per invocation — this entry times the
+    * build path; `sim_ivfpq_loaded` times the persisted serving path.
+    * Same hash anchor + recall@5 ≥ 0.6 oracle as `sim_ivf`. */
+  val simIvfpq = GQuery(
+    "sim_ivfpq",
+    (s, d) => recallAnchored(s, d,
+      Ivfpq.search(Ivfpq.build(Tables.embeddings(s, d), k = 8, m = 4,
+        codes = 16), probeId = 0, topK = IvfTopK, nProbe = 3,
+        shortlist = 50),
+      topK = IvfTopK, minHits = 3),
+    Some(ivfRecallOracle))
+
+  /** Saved IVF-PQ index per (sfDir, k, m), built at most once per
+    * process — same contract as [[savedIvfPath]]: bench reps measure
+    * the SERVING path (load → pruned compressed probe), which is the
+    * claim this entry exists to demonstrate. */
+  private val ivfpqSaved =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), String]
+
+  private def savedIvfpqPath(s: org.apache.spark.sql.SparkSession,
+      d: String, k: Int, m: Int): String =
+    ivfpqSaved.getOrElseUpdate((d, k, m), {
+      val path = s"${graft.GraftSession.scratchDir}/ivfpq_" +
+        d.replaceAll("[^A-Za-z0-9]", "_") + s"_k${k}_m$m"
+      Ivfpq.save(Ivfpq.build(Tables.embeddings(s, d), k = k, m = m,
+        codes = 16), path)
+      path
+    })
+
+  /** The persisted IVF-PQ serving path: build → `Ivfpq.save` (inverted
+    * lists as cell partition directories, ONCE per process) → load →
+    * two-phase search. On the loaded index the cell restriction is
+    * partition pruning AND the ADC phase's scan reads only the codes
+    * column (both plan-pinned in `IvfpqSpec`) — at 100 TB a probe reads
+    * `nProbe/k` of the rows at `m` bytes each instead of the full
+    * float corpus. Same driver-verified recall output as `sim_ivf`. */
+  val simIvfpqLoaded = GQuery(
+    "sim_ivfpq_loaded",
+    (s, d) => recallAnchored(s, d,
+      Ivfpq.search(Ivfpq.load(s, savedIvfpqPath(s, d, k = 8, m = 4)),
+        probeId = 0, topK = IvfTopK, nProbe = 3, shortlist = 50),
+      topK = IvfTopK, minHits = 3),
+    Some(ivfRecallOracle))
+
   /** Int8 max-abs quantization — the storage-compression pass an
     * embedding corpus runs before ANN serving (4× smaller than float32,
     * 8× smaller than the double intermediates). Pure narrow map over the
@@ -560,5 +609,5 @@ object VectorQueries {
   def all: Seq[GQuery] =
     Seq(vecNorm, simTopk, simBucketed, simPairs, dedupEmbed,
       dedupEmbedCluster, simIvf, simIvfLoaded, simServe, simPq,
-      embedQuantize, simTopkBatch)
+      simIvfpq, simIvfpqLoaded, embedQuantize, simTopkBatch)
 }
