@@ -200,6 +200,49 @@ object Ann {
           .as("rank"))
   }
 
+  /** kNN JOIN — top-`topK` index neighbors for EVERY row of an
+    * UNBOUNDED probe table, the two-big-sides retrieval shape (semantic
+    * decontamination of a whole corpus against a reference set,
+    * corpus-to-corpus linking, embedding-join feature building). Where
+    * [[query]] takes one probe and [[serveBatch]] broadcasts a bounded
+    * request batch, here NEITHER side can move to the driver or
+    * broadcast: each probe row ranks the k centroids itself (the same
+    * higher-order fold the index build uses — sorted (−sim, cid), the
+    * EXACT tie-breaks of the driver-side ranking in [[query]], pinned
+    * by the single-probe equivalence in KnnJoinSpec), explodes to its
+    * nProbe cells, and meets the inverted lists in a plain equi-JOIN ON
+    * cell — both sides shuffle-partition by cell, candidates are
+    * |probes| · nProbe · (n/k) instead of |probes| · n, and per-probe
+    * top-k is one WindowGroupLimit pass. A popular cell is ordinary
+    * join skew handled by AQE's skew-join split (plain SMJ over bare
+    * shuffles — the pattern OptimizeSkewedJoin matches). */
+  def knnJoin(index: IvfIndex, probes: DataFrame, topK: Int, nProbe: Int,
+      probeIdCol: String = "probe_id", probeEmbCol: String = "probe_emb",
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    // per-row cell ranking: lexicographic sort of (−sim, cid) structs ≡
+    // the driver's sortBy { case (cid, csim) => (-csim, cid) }
+    val ranked = sort_array(transform(centroidArray(index.centroids), c =>
+      struct((lit(-1.0) * cosinePrenormed(col(probeEmbCol),
+        c.getField("centroid_emb"), col("_probe_norm"),
+        c.getField("centroid_norm"))).as("negsim"),
+        c.getField("centroid_id").as("cid"))))
+    val routed = probes
+      .withColumn("_probe_norm", norm(col(probeEmbCol)))
+      .withColumn("_cells", slice(ranked, 1, nProbe).getField("cid"))
+      .select(col(probeIdCol), col(probeEmbCol), col("_probe_norm"),
+        explode(col("_cells")).as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(probeIdCol))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    index.assigned.join(routed, Seq("cell"))
+      .filter(col(idCol) =!= col(probeIdCol))
+      .select(col(probeIdCol), col(idCol).as("neighbor_id"),
+        (dot(col(embCol), col(probeEmbCol)) /
+          (norm(col(embCol)) * col("_probe_norm"))).as("sim"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= topK)
+  }
+
   /** Serve a bounded BATCH of probe vectors in ONE distributed pass —
     * the online-retrieval shape (a streaming micro-batch or an API
     * request batch of queries against an index built over 100 TB).

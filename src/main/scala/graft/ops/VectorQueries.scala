@@ -413,26 +413,45 @@ object VectorQueries {
         .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
       val served = Ann.serveBatch(Ann.load(s, savedIvfPath(s, d, k = 8)),
         batch, topK = IvfTopK, nProbe = 3)
-        .select(col("probe_id"), col("neighbor_id"), lit(1L).as("hit"))
-      val probes = e.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pemb"))
-      val w = Window.partitionBy(col("probe_id"))
-        .orderBy(col("sim").desc, col("neighbor_id"))
-      e.crossJoin(broadcast(probes))
-        .filter(col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-          (dot(col("embedding"), col("pemb")) /
-            (sqrt(sumSq(col("embedding"))) * sqrt(sumSq(col("pemb")))))
-            .as("sim"))
-        .withColumn("rnk", row_number().over(w).cast(LongType))
-        .filter(col("rnk") <= IvfTopK)
-        .join(broadcast(served), Seq("probe_id", "neighbor_id"), "left")
-        .select(col("probe_id"), col("rnk"), col("neighbor_id"),
-          (sum(coalesce(col("hit"), lit(0L)))
-            .over(Window.partitionBy(col("probe_id"))) >= 3).as("recall_ok"))
-        .orderBy("probe_id", "rnk")
+      perProbeRecallAnchored(s, d, served)
     },
-    Some(s"""
+    Some(serveRecallOracle))
+
+  /** Per-probe twin of [[recallAnchored]], shared by `sim_serve` and
+    * `knn_join`: anchor on the brute-force top-`IvfTopK` of the probes
+    * with vec_id < 3 (bounded — broadcastable by construction) and
+    * attach a PER-PROBE `recall_ok` (≥ 3 of that probe's exact top-K
+    * present in `served`, i.e. recall@5 ≥ 0.6). `served` may carry
+    * answers for MORE probes (knn_join answers the whole corpus); only
+    * the anchored slice is emitted, the mechanism still ran unbounded. */
+  private def perProbeRecallAnchored(s: org.apache.spark.sql.SparkSession,
+      d: String, served: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val hits = served.select(col("probe_id"), col("neighbor_id"),
+      lit(1L).as("hit"))
+    val probes = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pemb"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("embedding"), col("pemb")) /
+          (sqrt(sumSq(col("embedding"))) * sqrt(sumSq(col("pemb")))))
+          .as("sim"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= IvfTopK)
+      .join(broadcast(hits), Seq("probe_id", "neighbor_id"), "left")
+      .select(col("probe_id"), col("rnk"), col("neighbor_id"),
+        (sum(coalesce(col("hit"), lit(0L)))
+          .over(Window.partitionBy(col("probe_id"))) >= 3).as("recall_ok"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** DuckDB twin of [[perProbeRecallAnchored]]. Lazy: referenced by
+    * `simServe`, which initializes earlier in this object. */
+  private lazy val serveRecallOracle = s"""
       WITH probes AS (
         SELECT vec_id AS probe_id, embedding AS pemb
         FROM embeddings WHERE vec_id < 3),
@@ -448,7 +467,30 @@ object VectorQueries {
         FROM scored)
       WHERE rnk <= $IvfTopK
       ORDER BY probe_id, rnk
-    """))
+    """
+
+  /** kNN JOIN ([[Ann.knnJoin]]) — every corpus row retrieves its top-K
+    * index neighbors through the shared-cell equi-join (NEITHER side
+    * broadcast or collected: probes rank cells row-side, explode to
+    * nProbe cells, and meet the inverted lists in a join ON cell — the
+    * two-big-sides shape of corpus-scale semantic decontamination).
+    * The mechanism answers ALL probes; the driver-verified output is
+    * the vec_id < 3 anchored slice with per-probe recall booleans
+    * (same oracle as `sim_serve`). KnnJoinSpec pins single-probe ≡
+    * `Ann.query` (identical routing tie-breaks) and cartesian-free
+    * plans. */
+  val knnJoin = GQuery(
+    "knn_join",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val index = Ann.load(s, savedIvfPath(s, d, k = 8))
+      val served = Ann.knnJoin(index,
+        e.select(col("vec_id").as("probe_id"),
+          col("embedding").as("probe_emb")),
+        topK = IvfTopK, nProbe = 3)
+      perProbeRecallAnchored(s, d, served)
+    },
+    Some(serveRecallOracle))
 
   /** Product-quantized ANN ([[Pq]]), driver-visible end-to-end: train
     * m=4 subspace codebooks of 16 codes (distributed Lloyd's, same
@@ -609,5 +651,5 @@ object VectorQueries {
   def all: Seq[GQuery] =
     Seq(vecNorm, simTopk, simBucketed, simPairs, dedupEmbed,
       dedupEmbedCluster, simIvf, simIvfLoaded, simServe, simPq,
-      simIvfpq, simIvfpqLoaded, embedQuantize, simTopkBatch)
+      simIvfpq, simIvfpqLoaded, knnJoin, embedQuantize, simTopkBatch)
 }
