@@ -124,9 +124,10 @@ object Pq {
     * refinements. Seeding is deterministic (the `codes` lowest-id
     * vectors' subvectors, the same convention as [[Ann.build]]). Each
     * iteration is ONE scan + ONE aggregation shuffle covering ALL m
-    * subspaces at once — the update groupBy runs per subspace code
-    * column with per-position AVGs, so training cost is independent of
-    * corpus width beyond the scan itself. Returns (books, dsub). */
+    * subspaces at once — rows explode to (sub, code, subvector) and a
+    * single groupBy(sub, code) updates every codebook's per-position
+    * means together, so training cost is one assignment pass per
+    * iteration regardless of m. Returns (books, dsub). */
   private[ops] def train(embeddings: DataFrame, m: Int, codes: Int,
       iters: Int = 2, idCol: String = "vec_id", embCol: String = "embedding")
       : (Seq[Seq[Seq[Double]]], Int) = {
@@ -141,29 +142,34 @@ object Pq {
       val seedRows = unitDf.orderBy(col(idCol)).limit(codes)
         .select(col("_unit")).collect()
         .map(_.getSeq[Double](0).toSeq).toSeq
-      require(seedRows.nonEmpty, "Pq.build: input has no rows")
+      require(seedRows.nonEmpty, "Pq.train: input has no rows")
       (0 until m).map(i => seedRows.map(v => v.slice(i * dsub, i * dsub + dsub)))
     }
 
     for (_ <- 1 to iters) {
-      // one pass assigns every subspace; one groupBy per subspace over
-      // the SAME cached-narrow projection updates its codebook
-      val assignedAll = unitDf.select(
-        (0 until m).map(i =>
-          argminCode(subvec(col("_unit"), i, dsub), books(i)).as(s"_c$i")) ++
-        (0 until m).flatMap(i => (0 until dsub).map(j =>
-          element_at(col("_unit"), i * dsub + j + 1).as(s"_v${i}_$j"))): _*)
-      books = (0 until m).map { i =>
-        val means = assignedAll.groupBy(col(s"_c$i"))
-          .agg(avg(col(s"_v${i}_0")).as("m0"),
-            (1 until dsub).map(j => avg(col(s"_v${i}_$j")).as(s"m$j")): _*)
-          .orderBy(s"_c$i")
-          .collect()
-          .map(r => (r.getInt(0), (0 until dsub).map(j => r.getDouble(j + 1)).toSeq))
-        // keep un-emptied cells' old centroid (standard Lloyd degeneracy)
-        val updated = means.toMap
-        books(i).zipWithIndex.map { case (old, code) =>
-          updated.getOrElse(code, old)
+      // ONE job per iteration: each row explodes to m (sub, code,
+      // subvector) entries and a single groupBy(sub, code) computes all
+      // codebooks' per-position means at once. AVG partials map-side
+      // combine, so the shuffle carries ~partitions · m · codes rows
+      // out, not n · m; only m · codes · dsub means reach the driver.
+      val exploded = unitDf.select(explode(array((0 until m).map(i =>
+        struct(lit(i).as("sub"),
+          argminCode(subvec(col("_unit"), i, dsub), books(i)).as("code"),
+          subvec(col("_unit"), i, dsub).as("vals"))): _*)).as("e"))
+        .select(col("e.sub").as("sub"), col("e.code").as("code"),
+          col("e.vals").as("vals"))
+      val posAvgs = (0 until dsub).map(j =>
+        avg(element_at(col("vals"), j + 1)).as(s"m$j"))
+      val means = exploded.groupBy(col("sub"), col("code"))
+        .agg(posAvgs.head, posAvgs.tail: _*)
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)),
+          (0 until dsub).map(j => r.getDouble(j + 2)).toSeq))
+        .toMap
+      // keep un-emptied cells' old centroid (standard Lloyd degeneracy)
+      books = books.zipWithIndex.map { case (book, i) =>
+        book.zipWithIndex.map { case (old, code) =>
+          means.getOrElse((i, code), old)
         }
       }
     }

@@ -77,6 +77,24 @@ object ScaleSweep {
             (col("m") % 7).cast("float") * lit(0.01f)).as("embedding"))
       val idx = graft.ops.Ann.build(big, k = 8)
       graft.ops.Ann.query(idx, probeId = 0, topK = 5, nProbe = 3)
+    }),
+    // The registry knn_join keeps k=8 for oracle tractability, but at a
+    // FIXED k cell size grows with the corpus and the all-probes join
+    // would be quadratic by construction. The deployment contract is
+    // k ∝ n (constant cell size — what a 100 TB index does): per-probe
+    // candidates stay constant, total candidates ∝ n. Routing cost per
+    // row is k·dim (the centroid array constant-folds to one literal),
+    // an n·k flop term that stays negligible until ~10⁵ cells, where a
+    // two-level coarse quantizer would take over.
+    "knnjoin_sweep" -> ((s, dir) => {
+      val e = graft.Tables.embeddings(s, dir)
+      val k = math.max(8, (e.count() / 250).toInt)
+      val idx = graft.ops.Ann.build(e, k = k)
+      graft.ops.Ann.knnJoin(idx,
+        e.select(col("vec_id").as("probe_id"),
+          col("embedding").as("probe_emb")),
+        topK = 5, nProbe = 3)
+        .groupBy().agg(count(lit(1)).as("n"), sum(col("sim")).as("sim_sum"))
     }))
 
   private def replicate(df: DataFrame, r: Int, shiftCols: Seq[String]): DataFrame =
@@ -108,7 +126,11 @@ object ScaleSweep {
         // round 10: the full clean→load→track lifecycle over the
         // replicated events table — the counts and narrow projections
         // must scale ~linearly for the 100 TB update-loop claim
-        "tracking_version")
+        "tracking_version",
+        // round 10 late: PQ train+encode+ADC are all ∝ n (registry form
+        // is already unbounded — sweep it directly); the kNN join needs
+        // the k ∝ n probe form (see `probes`)
+        "sim_pq", "knnjoin_sweep")
     val spark = graft.GraftSession.local(4, "graft-scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
