@@ -340,7 +340,10 @@ object Annotations {
     shared("juris_cd", jurisCodes,
       fullWidthTables :+ graft.schemas.Schemas.cvr2CampaignDisclosureCd) ++
     shared("office_cd", officeCodes,
-      fullWidthTables :+ graft.schemas.Schemas.cvr2CampaignDisclosureCd) ++
+      fullWidthTables ++ Seq(graft.schemas.Schemas.cvr2CampaignDisclosureCd,
+        // the E530 cover page declares the universal office set for the
+        // candidate the late report concerns
+        graft.schemas.Schemas.cvrE530Cd)) ++
     shared("tran_type", tranType,
       Seq(graft.schemas.Schemas.rcptCd)) ++
     shared("actvty_lvl", actvtyLvl,

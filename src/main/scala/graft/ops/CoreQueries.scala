@@ -812,6 +812,96 @@ object CoreQueries {
       ORDER BY form_desc
     """))
 
+  /** The campaign-side tail of the widened-cover-page trilogy: the
+    * round-10 widened 29-column CVR_E530_CD (electronic Form E-530
+    * late independent-expenditure report) exercised END-TO-END — raw
+    * lines rendered positionally from the declared schema through
+    * Clean→Load (width gate, ''→NULL, M/d/yyyy coercion of BOTH date
+    * fields, P6 decimal try-cast of `pmnt_amount` through the raw-text
+    * path), latest-amendment on the (filing_id, amend_id) UNIQUE_KEY —
+    * each amendment revising the reported payment, so the DECIMAL money
+    * column must carry the winner's revision — and a registry decode of
+    * the universal OFFICE_CD set. The oracle recomputes everything from
+    * the typed customer source with the decode VALUES from
+    * `Annotations.valuesSql` (shared source of truth). Shape: scan-fused
+    * synthesis, one window shuffle on filing_id, constant-folded decode,
+    * |offices|-row aggregate. */
+  val e530Latest = GQuery(
+    "e530_latest",
+    (s, d) => {
+      import graft.ingest.{Clean, Load}
+      import graft.meta.Annotations
+      import graft.schemas.Schemas
+      val tdef = Schemas.cvrE530Cd
+      val src = Tables.customer(s, d)
+        .filter(col("c_custkey") <= 2000)
+        .select(col("c_custkey").as("k"), col("c_name").as("nm"))
+        .select(col("k"), col("nm"),
+          (col("k") + 530000L).as("filing_id"),
+          element_at(
+            array(lit("ASM"), lit("GOV"), lit("MAY"), lit("CCM"),
+              lit("ATT"), lit("INS")),
+            (pmod(col("k"), lit(6)) + 1).cast(IntegerType)).as("office_cd"),
+          date_format(
+            date_add(lit("2014-06-01").cast(DateType),
+              pmod(col("k"), lit(200)).cast(IntegerType)),
+            "M/d/yyyy").as("rpt_raw"),
+          date_format(
+            date_add(lit("2014-05-01").cast(DateType),
+              pmod(col("k"), lit(100)).cast(IntegerType)),
+            "M/d/yyyy").as("pmnt_raw"),
+          (pmod(col("k"), lit(1000)) + lit(0.25)).cast(DecimalType(14, 2))
+            .as("base_amount"),
+          explode(sequence(lit(0L), pmod(col("k"), lit(3)))).as("amend_id"))
+      val fieldVals: Map[String, org.apache.spark.sql.Column] = Map(
+        "filing_id" -> col("filing_id"), "amend_id" -> col("amend_id"),
+        "rec_type" -> lit("CVR"), "form_type" -> lit("E530"),
+        "filer_id" -> col("k"), "filer_naml" -> col("nm"),
+        "cand_naml" -> col("nm"), "office_cd" -> col("office_cd"),
+        "rpt_date" -> col("rpt_raw"), "pmnt_dt" -> col("pmnt_raw"),
+        "pmnt_amount" -> (col("base_amount") * (lit(1) + col("amend_id")))
+          .cast(DecimalType(14, 2)).cast(StringType))
+      val line = concat_ws("\t", tdef.schema.fieldNames.toSeq
+        .map(n => fieldVals.getOrElse(n, lit(""))): _*)
+      val cleaned = Clean.clean(tdef, src.select(line.as("value")))
+      val typed = Load.load(tdef, cleaned.good)
+      Load.latestAmendment(tdef, typed)
+        .select(
+          Annotations.decodeExpr("cvr_e530_cd", "office_cd",
+            col("office_cd")).as("office_desc"),
+          col("amend_id"), col("pmnt_amount"), col("pmnt_dt"))
+        .groupBy("office_desc")
+        .agg(count(lit(1)).as("n_filings"),
+          sum(col("pmnt_amount")).cast(DoubleType).as("sum_latest_pmnt"),
+          min(col("pmnt_dt")).as("min_pmnt"),
+          max(col("pmnt_dt")).as("max_pmnt"))
+        .orderBy("office_desc")
+    },
+    Some(s"""
+      WITH offd(code, meaning) AS (
+        VALUES ${graft.meta.Annotations
+          .valuesSql("cvr_e530_cd", "office_cd")}),
+      base AS (
+        SELECT c_custkey AS k,
+               CASE c_custkey % 6
+                 WHEN 0 THEN 'ASM' WHEN 1 THEN 'GOV' WHEN 2 THEN 'MAY'
+                 WHEN 3 THEN 'CCM' WHEN 4 THEN 'ATT' ELSE 'INS'
+               END AS office_cd,
+               DATE '2014-05-01' + CAST(c_custkey % 100 AS INTEGER)
+                 AS pmnt_dt,
+               CAST(CAST(c_custkey % 1000 + 0.25 AS DECIMAL(14,2))
+                 * (1 + c_custkey % 3) AS DECIMAL(14,2)) AS latest_pmnt
+        FROM customer WHERE c_custkey <= 2000)
+      SELECT o.meaning AS office_desc,
+             CAST(COUNT(*) AS BIGINT) AS n_filings,
+             CAST(SUM(latest_pmnt) AS DOUBLE) AS sum_latest_pmnt,
+             MIN(pmnt_dt) AS min_pmnt,
+             MAX(pmnt_dt) AS max_pmnt
+      FROM base b JOIN offd o ON b.office_cd = o.code
+      GROUP BY 1
+      ORDER BY office_desc
+    """))
+
   /** The lobbying side's consumption semantics, end-to-end
     * (`models/lobbying.py:~900` LobbyingChgLogCd): the registry CHANGE
     * FEED — one row per (filer, change_no), latest change wins — versus
@@ -1076,7 +1166,8 @@ object CoreQueries {
     decimalCast, cleanSplitGood, cleanSplitBad, strClean, ingestPipeline,
     trackingVerify, trackingVersion, filerTypeAsof,
     amendLatest, amendLatestSkew, lobbyingChg,
-    registrationLatest, lobbyDisclosureLatest, sqlSurface, subqueryCorr,
+    registrationLatest, lobbyDisclosureLatest, e530Latest, sqlSurface,
+    subqueryCorr,
     recursiveCte, scd2Merge)
 }
 
