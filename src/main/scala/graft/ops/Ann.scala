@@ -156,6 +156,29 @@ object Ann {
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Append a batch of NEW vectors to a persisted index WITHOUT
+    * rebuilding — the operational path that keeps a 100 TB index
+    * current between (rare, expensive) retrains: load only the bounded
+    * centroid side table, assign the new batch against the FROZEN
+    * centroids (the same narrow literal-fold scan the build uses — no
+    * shuffle, no contact with the existing lists), and append-mode
+    * write into the same cell-partitioned layout, so the new files land
+    * INSIDE the existing cell directories and the next `load` serves
+    * the union with identical pruning. Because the coarse quantizer is
+    * frozen, the result is bit-identical to having assigned old∪new in
+    * one pass with these centroids (pinned in AnnAppendSpec) — recall
+    * on drifted content degrades only as the data outgrows the
+    * centroids, which is the standard retrain-cadence contract. */
+  def append(spark: SparkSession, path: String, newVectors: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("centroid_id").cast(LongType), col("centroid_emb"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    assign(newVectors, cents, idCol, embCol)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
+  }
+
   /** Load a saved index; `query` on it prunes to the probed cells. */
   def load(spark: SparkSession, path: String): IvfIndex =
     IvfIndex(

@@ -389,6 +389,41 @@ object VectorQueries {
     (s, d) => ivfWithRecall(s, d, Ann.load(s, savedIvfPath(s, d, k = 8))),
     Some(ivfRecallOracle))
 
+  /** Grow-by-append path per (sfDir, k), built at most once per
+    * process: the index is TRAINED AND SAVED on only the even-id half
+    * of the corpus, then the odd-id half arrives later via
+    * `Ann.append` — frozen-centroid assignment, append-mode write into
+    * the same cell directories, never touching the existing lists. */
+  private val ivfAppended =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), String]
+
+  private def appendedIvfPath(s: org.apache.spark.sql.SparkSession,
+      d: String, k: Int): String =
+    ivfAppended.getOrElseUpdate((d, k), {
+      val path = s"${graft.GraftSession.scratchDir}/ivf_app_" +
+        d.replaceAll("[^A-Za-z0-9]", "_") + s"_k$k"
+      val e = Tables.embeddings(s, d)
+      Ann.save(Ann.build(e.filter(pmod(col("vec_id"), lit(2)) === 0),
+        k = k), path)
+      Ann.append(s, path, e.filter(pmod(col("vec_id"), lit(2)) === 1))
+      path
+    })
+
+  /** Incremental index maintenance, driver-visible end-to-end: the
+    * persisted IVF index is built on HALF the corpus, the other half is
+    * `Ann.append`ed against the frozen centroids (ONCE per process via
+    * [[appendedIvfPath]]), and the probe then searches the merged
+    * layout — same partition pruning, same recall gate as `sim_ivf`,
+    * except the index was never rebuilt. This is the operational 100 TB
+    * loop (continuous corpus growth between retrains); AnnAppendSpec
+    * pins append ≡ one-pass assignment with the same centroids and that
+    * no new cell directories appear. */
+  val simIvfAppend = GQuery(
+    "sim_ivf_append",
+    (s, d) => ivfWithRecall(s, d,
+      Ann.load(s, appendedIvfPath(s, d, k = 8))),
+    Some(ivfRecallOracle))
+
   /** Online batched ANN serving, driver-visible end-to-end: load the
     * persisted index ([[savedIvfPath]] — the build is paid once per
     * process), collect the 3-probe request batch (bounded by nature —
@@ -650,6 +685,7 @@ object VectorQueries {
 
   def all: Seq[GQuery] =
     Seq(vecNorm, simTopk, simBucketed, simPairs, dedupEmbed,
-      dedupEmbedCluster, simIvf, simIvfLoaded, simServe, simPq,
-      simIvfpq, simIvfpqLoaded, knnJoin, embedQuantize, simTopkBatch)
+      dedupEmbedCluster, simIvf, simIvfLoaded, simIvfAppend, simServe,
+      simPq, simIvfpq, simIvfpqLoaded, knnJoin, embedQuantize,
+      simTopkBatch)
 }
