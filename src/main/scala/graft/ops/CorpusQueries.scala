@@ -273,6 +273,78 @@ object CorpusQueries {
       ORDER BY doc_id
     """))
 
+  /** Domain-mixture reweighting — the static data-mixing pass a
+    * training run applies before packing (DoReMi/LLaMA-style domain
+    * weights): each domain gets an epoch multiplier, docs materialize
+    * floor(w) full copies plus one more with probability frac(w),
+    * decided DETERMINISTICALLY per content key (two md5 hex chars — a
+    * 256-bucket draw, same RNG-free convention as `split_hash` /
+    * `sample_stratified`, so reruns and backfills emit the identical
+    * mixture). The copy explosion is the actual mechanism (training
+    * epochs are materialized rows); the verified output is the per-
+    * domain mixture ledger: total docs, surviving docs, emitted rows,
+    * and the realized effective weight, which the oracle recomputes
+    * without exploding (SUM(mult) must equal the exploded row count).
+    * Scale shape: the multiplier is a constant-folded when-chain fused
+    * into the scan, the explode is a narrow generator (output ∝
+    * Σ mult), and the ledger is a low-cardinality hash aggregate plus
+    * one broadcast join of |domains| totals — nothing wide. */
+  val sampleMixture = GQuery(
+    "sample_mixture",
+    (s, d) => {
+      // (domain, base copies, fractional-draw threshold): en 0.5×,
+      // de 2.25×, es 1.0×, fr 3.5×, zh 1.75× — thresholds are
+      // frac·256 as two lowercase hex chars
+      val base = when(col("lang") === "de", 2)
+        .when(col("lang") === "en", 0)
+        .when(col("lang") === "es", 1)
+        .when(col("lang") === "fr", 3)
+        .when(col("lang") === "zh", 1).otherwise(0)
+      val thr = when(col("lang") === "de", "40")
+        .when(col("lang") === "en", "80")
+        .when(col("lang") === "es", "00")
+        .when(col("lang") === "fr", "80")
+        .when(col("lang") === "zh", "c0").otherwise("00")
+      val h2 = substring(md5(col("doc_id").cast(StringType)), 1, 2)
+      val docs = Tables.documents(s, d)
+      val mult = (base + when(h2 < thr, 1).otherwise(0)).as("mult")
+      val emitted = docs.select(col("doc_id"), col("lang"), mult)
+        .filter(col("mult") > 0)
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(1), col("mult"))).as("copy_no"))
+      val totals = docs.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+      emitted.groupBy("lang")
+        .agg(countDistinct(col("doc_id")).as("n_sampled_docs"),
+          count(lit(1)).as("n_emitted"))
+        .join(broadcast(totals), Seq("lang"))
+        .select(col("lang"), col("n_docs"), col("n_sampled_docs"),
+          col("n_emitted"),
+          round(col("n_emitted").cast(DoubleType) / col("n_docs"), 4)
+            .as("eff_weight"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH w(lang, base, thr) AS (
+        VALUES ('de', 2, '40'), ('en', 0, '80'), ('es', 1, '00'),
+               ('fr', 3, '80'), ('zh', 1, 'c0')),
+      m AS (
+        SELECT doc_id, d.lang AS lang,
+               base + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                             < thr THEN 1 ELSE 0 END AS mult
+        FROM documents d JOIN w ON d.lang = w.lang),
+      totals AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+      SELECT m.lang, CAST(t.n_docs AS BIGINT) AS n_docs,
+             CAST(COUNT(*) FILTER (WHERE mult > 0) AS BIGINT)
+               AS n_sampled_docs,
+             CAST(SUM(mult) AS BIGINT) AS n_emitted,
+             ROUND(CAST(SUM(mult) AS DOUBLE) / t.n_docs, 4) AS eff_weight
+      FROM m JOIN totals t ON m.lang = t.lang
+      GROUP BY m.lang, t.n_docs
+      ORDER BY m.lang
+    """))
+
   def all: Seq[GQuery] =
-    Seq(piiScrub, lineDedup, tokenHistogram, profileStats, corpusClean)
+    Seq(piiScrub, lineDedup, tokenHistogram, profileStats, corpusClean,
+      sampleMixture)
 }
