@@ -139,13 +139,22 @@ object SortSetQueries {
     """))
 
   /** O2 LIMIT/OFFSET pagination (admin changelist page 2): offset has no
-    * distributed-safe direct form — the scale idiom is row_number over the
-    * paging order, then a range filter. */
+    * distributed-safe direct form — the scale idiom is top-(offset +
+    * pageSize) via `orderBy().limit()` (TakeOrderedAndProject: each
+    * partition keeps its local top-40, only those reach the driver-side
+    * merge — no global sort, no single-partition window over the table),
+    * then row_number over the ≤40-row page buffer (bounded single
+    * partition by construction) and a range filter. Deep paging (offset
+    * ∝ table size) stays an anti-pattern at any engine — real admin
+    * pagination switches to keyset (WHERE sortkey < last_seen) beyond
+    * the first pages. */
   val pageOffset = GQuery(
     "page_offset",
     (s, d) => {
       val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
       Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(40)
         .withColumn("rn", row_number().over(w).cast(LongType))
         .filter(col("rn") > 20 && col("rn") <= 40)
         .select("rn", "o_orderkey", "o_custkey", "o_totalprice")

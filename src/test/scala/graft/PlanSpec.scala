@@ -42,6 +42,15 @@ class PlanSpec extends SparkTestBase {
     assert(plan("topk").contains("TakeOrderedAndProject"))
   }
 
+  test("offset pagination bounds the page buffer before its window") {
+    // the table must reach the row_number only through the distributed
+    // top-(offset+pageSize) — TakeOrdered feeds the window, so the
+    // single-partition window sees ≤40 rows, never the table
+    val p = plan("page_offset")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.indexOf("TakeOrderedAndProject") > p.indexOf("Window"), p)
+  }
+
   test("grouped top-k pushes WindowGroupLimit below the shuffle") {
     assert(plan("topk_group").contains("WindowGroupLimit"))
   }
