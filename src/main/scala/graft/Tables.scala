@@ -28,26 +28,49 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * as a timestamp. Read it as a raw long (legacy conf, set at session
-    * construction — see [[GraftSession]]) and truncate to microseconds
-    * with integer division — exactly what DuckDB 1.0 does on read, so
-    * oracle comparisons align (see FIXTURES.md). Plain `/ 1000` would
-    * route through double and lose precision at ~1.7e18 ns.
+  /** events.ts has shipped as two physical parquet types across testdata
+    * generations, and this loader normalizes BOTH to session-zoned
+    * TimestampType at microsecond precision — the single shape every
+    * downstream query and oracle assumes:
+    *
+    *  - TIMESTAMP(NANOS): Spark 4 refuses to read it as a timestamp;
+    *    with `spark.sql.legacy.parquet.nanosAsLong=true` (set at session
+    *    construction — see [[GraftSession]]) it arrives as a raw long,
+    *    truncated here to micros with integer division — exactly what
+    *    DuckDB does on read, so oracle comparisons align (FIXTURES.md).
+    *    Plain `/ 1000` would route through double and lose precision at
+    *    ~1.7e18 ns.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *    TIMESTAMP_NTZ; the session timezone is pinned UTC
+    *    ([[GraftSession]]), so the cast to TimestampType preserves the
+    *    wall-clock fields DuckDB reads from the same file.
     *
     * The loader is PURE — it never mutates session conf (a library read
-    * must not change unrelated queries' behavior); it just fails fast
-    * with the fix when the session was built without the conf.
+    * must not change unrelated queries' behavior); it dispatches on the
+    * footer schema and fails fast with the fix when a nanos file is read
+    * without the legacy conf.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(
-      s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-        .contains("true"),
-      "events.parquet is TIMESTAMP(NANOS): build the session with " +
-        "spark.sql.legacy.parquet.nanosAsLong=true (see graft.GraftSession)")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
+    val raw =
+      try apply(s, d, "events")
+      catch {
+        case e: Exception if String.valueOf(e.getMessage).contains("NANOS") =>
+          throw new IllegalStateException(
+            "events.parquet is TIMESTAMP(NANOS): build the session with " +
+              "spark.sql.legacy.parquet.nanosAsLong=true " +
+              "(see graft.GraftSession)", e)
+      }
+    raw.schema("ts").dataType match {
+      case LongType => // nanos read as long under the legacy conf
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => // native micros, timezone-naive
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: unexpected parquet type ${other.simpleString}")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

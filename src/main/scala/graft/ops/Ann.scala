@@ -67,6 +67,23 @@ object Ann {
   final case class IvfIndex(centroids: Seq[(Long, Seq[Double])],
       assigned: DataFrame)
 
+  /** Cosine of a corpus row against a probe whose norm is already
+    * computed, GUARDED for zero-norm corpus rows: a zero vector has no
+    * direction, so its cosine is undefined — unguarded division yields
+    * NaN, and Spark sorts NaN ABOVE every real value in a descending
+    * sort, so a single zero-norm row would claim the top rank of every
+    * search. The guard pins such rows to sim = −1 (below any real
+    * cosine), i.e. "matches nothing", which is the documented contract
+    * ([[Pq.unit]]) — now enforced at scoring time in every search path
+    * (query / knnJoin / serveBatch here, and the re-ranks in
+    * [[Pq.search]] / [[Ivfpq.search]]). */
+  private[ops] def guardedSim(emb: Column, probeEmb: Column,
+      probeNorm: Column): Column = {
+    val n = norm(emb)
+    when(n === 0d || probeNorm === 0d, lit(-1.0))
+      .otherwise(dot(emb, probeEmb) / (n * probeNorm))
+  }
+
   /** Literal `array<struct<centroid_id, centroid_emb, centroid_norm>>`
     * from driver-held centroids — the broadcast-equivalent for a bounded
     * dimension. Norms are precomputed on the driver (same fold order as
@@ -91,8 +108,16 @@ object Ann {
         aggregate(centroidArray(cents),
           struct(lit(-2.0).as("sim"), lit(-1L).as("cid")),
           (acc, c) => {
-            val s = cosinePrenormed(col(embCol), c.getField("centroid_emb"),
-              col("_row_norm"), c.getField("centroid_norm"))
+            // zero-norm guard: ANSI mode turns 0/0 into a hard error, so
+            // a single zero vector would kill the whole assignment pass;
+            // pin its sim to −1 — it lands deterministically in the
+            // first listed cell (beats only the −2 seed) and scoring
+            // time re-pins it to −1 via guardedSim anyway
+            val s = when(col("_row_norm") === 0d ||
+                c.getField("centroid_norm") === 0d, lit(-1.0))
+              .otherwise(cosinePrenormed(col(embCol),
+                c.getField("centroid_emb"),
+                col("_row_norm"), c.getField("centroid_norm")))
             when(s > acc.getField("sim"),
               struct(s.as("sim"), c.getField("centroid_id").as("cid")))
               .otherwise(acc)
@@ -171,6 +196,35 @@ object Ann {
     * centroids, which is the standard retrain-cadence contract. */
   def append(spark: SparkSession, path: String, newVectors: DataFrame,
       idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    // Schema gate BEFORE the append-mode write: a batch whose id or
+    // embedding type differs from the persisted layout (float vs double
+    // elements, mis-named columns) would land mixed-schema parquet files
+    // inside the cell directories that only fail — or silently mis-merge
+    // — at the NEXT load. Fail fast here instead, naming the mismatch.
+    // A freshly initialized layout with no data files yet has nothing to
+    // conflict with (schema inference finds no footers) — skip the gate.
+    // simpleString comparison is nullability-insensitive on purpose:
+    // parquet round-trips may flip containsNull without changing bytes.
+    scala.util.Try(spark.read.parquet(s"$path/assigned").schema)
+      .foreach { saved =>
+        for ((name, role) <- Seq(idCol -> "id", embCol -> "embedding")) {
+          val savedField = saved.find(_.name == name).getOrElse(
+            throw new IllegalArgumentException(
+              s"Ann.append: persisted index at $path has no '$name' " +
+                s"column ($role) — columns: " +
+                saved.fieldNames.mkString(", ")))
+          val newField = newVectors.schema.find(_.name == name).getOrElse(
+            throw new IllegalArgumentException(
+              s"Ann.append: batch has no '$name' column ($role)"))
+          require(
+            newField.dataType.simpleString ==
+              savedField.dataType.simpleString,
+            s"Ann.append: '$name' type ${newField.dataType.simpleString} " +
+              s"does not match the persisted " +
+              s"${savedField.dataType.simpleString} — cast the batch " +
+              "explicitly before appending")
+        }
+      }
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("centroid_id").cast(LongType), col("centroid_emb"))
       .collect()
@@ -213,8 +267,7 @@ object Ann {
       .filter(col("cell").isin(cells: _*))
       .filter(col(idCol) =!= probeId)
       .select(col(idCol).as("neighbor_id"),
-        (dot(col(embCol), litVec(probe)) / (norm(col(embCol)) * lit(pnorm)))
-          .as("sim"))
+        guardedSim(col(embCol), litVec(probe), lit(pnorm)).as("sim"))
       .orderBy(col("sim").desc, col("neighbor_id"))
       .limit(topK)
       .select(col("neighbor_id"), col("sim"),
@@ -238,16 +291,30 @@ object Ann {
     * |probes| · nProbe · (n/k) instead of |probes| · n, and per-probe
     * top-k is one WindowGroupLimit pass. A popular cell is ordinary
     * join skew handled by AQE's skew-join split (plain SMJ over bare
-    * shuffles — the pattern OptimizeSkewedJoin matches). */
+    * shuffles — the pattern OptimizeSkewedJoin matches).
+    *
+    * `excludeSelf` (default true) drops candidates whose index id equals
+    * the probe id — correct when the probes ARE index residents (the
+    * all-corpus self-retrieval above). When the probe id space is
+    * UNRELATED to the index ids (corpus-to-corpus linking, external
+    * request ids), pass `excludeSelf = false`: with it on, a coincidental
+    * id collision would silently drop a valid neighbor. */
   def knnJoin(index: IvfIndex, probes: DataFrame, topK: Int, nProbe: Int,
       probeIdCol: String = "probe_id", probeEmbCol: String = "probe_emb",
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
     // per-row cell ranking: lexicographic sort of (−sim, cid) structs ≡
     // the driver's sortBy { case (cid, csim) => (-csim, cid) }
+    // zero-norm probe guard mirrors assign's: ANSI would error on 0/0,
+    // and a directionless probe ranks every cell equally (−1) — its
+    // neighbors all score −1 via guardedSim below, the "matches
+    // nothing" contract
     val ranked = sort_array(transform(centroidArray(index.centroids), c =>
-      struct((lit(-1.0) * cosinePrenormed(col(probeEmbCol),
-        c.getField("centroid_emb"), col("_probe_norm"),
-        c.getField("centroid_norm"))).as("negsim"),
+      struct((lit(-1.0) * when(col("_probe_norm") === 0d ||
+          c.getField("centroid_norm") === 0d, lit(-1.0))
+        .otherwise(cosinePrenormed(col(probeEmbCol),
+          c.getField("centroid_emb"), col("_probe_norm"),
+          c.getField("centroid_norm")))).as("negsim"),
         c.getField("centroid_id").as("cid"))))
     val routed = probes
       .withColumn("_probe_norm", norm(col(probeEmbCol)))
@@ -257,11 +324,12 @@ object Ann {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(probeIdCol))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    index.assigned.join(routed, Seq("cell"))
-      .filter(col(idCol) =!= col(probeIdCol))
+    val joined = index.assigned.join(routed, Seq("cell"))
+    (if (excludeSelf) joined.filter(col(idCol) =!= col(probeIdCol))
+     else joined)
       .select(col(probeIdCol), col(idCol).as("neighbor_id"),
-        (dot(col(embCol), col(probeEmbCol)) /
-          (norm(col(embCol)) * col("_probe_norm"))).as("sim"))
+        guardedSim(col(embCol), col(probeEmbCol), col("_probe_norm"))
+          .as("sim"))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= topK)
   }
@@ -277,10 +345,13 @@ object Ann {
     * per-probe window, sized by candidates (≈ batch · n/k · nProbe),
     * not by the index. Cell ranking and the sim expression share
     * [[query]]'s exact tie-breaks, so a single-probe batch reproduces
-    * `query(probeId, ...)` row for row (pinned in AnnServeSpec). */
+    * `query(probeId, ...)` row for row (pinned in AnnServeSpec).
+    * `excludeSelf` as on [[knnJoin]]: default true for resident probes;
+    * pass false when request ids don't share the index id space. */
   def serveBatch(index: IvfIndex, probes: Seq[(Long, Seq[Double])],
       topK: Int, nProbe: Int, idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding", excludeSelf: Boolean = true)
+      : DataFrame = {
     require(probes.nonEmpty, "Ann.serveBatch: empty probe batch")
     val spark = index.assigned.sparkSession
     import spark.implicits._
@@ -295,12 +366,12 @@ object Ann {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    index.assigned
-      .join(broadcast(routesDf), Seq("cell"))
-      .filter(col(idCol) =!= col("probe_id"))
+    val joined = index.assigned.join(broadcast(routesDf), Seq("cell"))
+    (if (excludeSelf) joined.filter(col(idCol) =!= col("probe_id"))
+     else joined)
       .select(col("probe_id"), col(idCol).as("neighbor_id"),
-        (dot(col(embCol), col("probe_emb")) /
-          (norm(col(embCol)) * col("probe_norm"))).as("sim"))
+        guardedSim(col(embCol), col("probe_emb"), col("probe_norm"))
+          .as("sim"))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= topK)
   }

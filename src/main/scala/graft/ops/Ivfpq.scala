@@ -128,10 +128,10 @@ object Ivfpq {
     val litProbe = array(probeUnit.map(lit): _*)
     probed.join(broadcast(short), Seq(idCol))
       .select(col(idCol).as("neighbor_id"),
-        (graft.functions.VecMath.vecDot(
-          transform(col(embCol), _.cast(DoubleType)), litProbe) /
-          sqrt(graft.functions.VecMath.vecNormSq(col(embCol))))
-          .as("sim")) // probe is unit-norm: /1 implicit
+        // probe is unit-norm: /1 implicit; Ann.guardedSim pins zero-norm
+        // rows to −1 (NaN would sort ABOVE every real sim desc)
+        Ann.guardedSim(transform(col(embCol), _.cast(DoubleType)), litProbe,
+          lit(1.0)).as("sim"))
       .orderBy(col("sim").desc, col("neighbor_id"))
       .limit(topK)
       .select(col("neighbor_id"), col("sim"),

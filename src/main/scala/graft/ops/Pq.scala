@@ -212,9 +212,10 @@ object Pq {
       .orderBy(col("_adc").asc, col(idCol))
       .limit(shortlist)
       .select(col(idCol).as("neighbor_id"),
-        (graft.functions.VecMath.vecDot(
-          transform(col(embCol), _.cast(DoubleType)), litProbe) /
-          norm(col(embCol))).as("sim")) // probe is unit-norm: /1 implicit
+        // probe is unit-norm: /1 implicit; Ann.guardedSim pins zero-norm
+        // rows to −1 (NaN would sort ABOVE every real sim desc)
+        Ann.guardedSim(transform(col(embCol), _.cast(DoubleType)), litProbe,
+          lit(1.0)).as("sim"))
       .orderBy(col("sim").desc, col("neighbor_id"))
       .limit(topK)
       .select(col("neighbor_id"), col("sim"),

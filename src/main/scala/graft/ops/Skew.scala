@@ -39,9 +39,12 @@ object Skew {
     * explicit `saltOn`: a FEW columns that vary within a hot key (a
     * line number, a transaction id) — the all-columns fallback pays
     * per-row hash width and, on a frame wider than the query needs,
-    * drags unpruned columns through the scan. Trade-off of the
+    * drags unpruned columns through the scan. Trade-offs of the
     * fallback: fully-duplicate rows share one salt bucket (correct,
-    * just unspread — pass saltOn to split those). */
+    * just unspread — pass saltOn to split those), and it fails
+    * analysis on frames carrying an unhashable column type (MapType is
+    * not hashable in Spark) — both are reasons the fallback is a
+    * convenience, not the recommended path: pass explicit saltOn. */
   private def saltExpr(saltOn: Seq[Column], salts: Int,
       allColumns: => Seq[Column]): Column = {
     val basis = if (saltOn.isEmpty) allColumns else saltOn

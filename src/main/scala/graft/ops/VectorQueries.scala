@@ -463,8 +463,12 @@ object VectorQueries {
       d: String, served: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val e = Tables.embeddings(s, d)
-    val hits = served.select(col("probe_id"), col("neighbor_id"),
-      lit(1L).as("hit"))
+    // Slice BEFORE the broadcast: for knn_join `served` is |corpus|·topK
+    // rows, and only the anchored probes (vec_id < 3) are emitted — an
+    // unfiltered broadcast would grow driver memory linearly with the
+    // corpus for rows the join can never match.
+    val hits = served.filter(col("probe_id") < 3)
+      .select(col("probe_id"), col("neighbor_id"), lit(1L).as("hit"))
     val probes = e.filter(col("vec_id") < 3)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pemb"))
     val w = Window.partitionBy(col("probe_id"))

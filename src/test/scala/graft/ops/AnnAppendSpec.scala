@@ -49,6 +49,26 @@ class AnnAppendSpec extends SparkTestBase {
     assert(cells.subsetOf(built.centroids.map(_._1).toSet))
   }
 
+  test("append rejects a batch whose schema mismatches the saved layout") {
+    val path = s"${graft.GraftSession.scratchDir}/ann_append_schema"
+    Ann.save(Ann.build(emb.filter(col("vec_id") < 50), k = 4), path)
+    // element type drift: float embeddings persisted, double batch
+    val doubled = emb.filter(col("vec_id") >= 50)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("embedding"))
+    val e1 = intercept[IllegalArgumentException] {
+      Ann.append(spark, path, doubled)
+    }
+    assert(e1.getMessage.contains("does not match"))
+    // mis-named column
+    val misnamed = emb.filter(col("vec_id") >= 50)
+      .select(col("vec_id"), col("embedding").as("emb"))
+    val e2 = intercept[IllegalArgumentException] {
+      Ann.append(spark, path, misnamed)
+    }
+    assert(e2.getMessage.contains("no 'embedding' column"))
+  }
+
   test("query on the appended index surfaces appended (odd) vectors") {
     val even = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
     val odd = emb.filter(pmod(col("vec_id"), lit(2)) === 1)

@@ -43,6 +43,20 @@ class KnnJoinSpec extends SparkTestBase {
     assert(joined === exact)
   }
 
+  test("excludeSelf=false keeps an id-colliding neighbor (external ids)") {
+    // probe id 0 collides with index id 0; with exclusion off the row's
+    // own vector is a valid neighbor (sim = 1) — the external-id-space
+    // contract where a collision must NOT silently drop a candidate
+    val kept = Ann.knnJoin(index, probesOf(0L), topK = 5, nProbe = 3,
+        excludeSelf = false)
+      .filter(col("neighbor_id") === 0L).collect()
+    assert(kept.length === 1)
+    assert(kept.head.getAs[Long]("rank") === 1L)
+    val dropped = Ann.knnJoin(index, probesOf(0L), topK = 5, nProbe = 3)
+      .filter(col("neighbor_id") === 0L).count()
+    assert(dropped === 0L)
+  }
+
   test("kNN join plan is cartesian-free and joins on cell") {
     val plan = Ann.knnJoin(index, probesOf(0L, 1L), topK = 5, nProbe = 3)
       .queryExecution.executedPlan.toString
