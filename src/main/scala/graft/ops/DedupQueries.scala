@@ -186,21 +186,83 @@ object DedupQueries {
     bits.reduce(_ bitwiseOR _)
   }
 
-  /** SimHash signatures + bucket prefix (rows-only: xxhash64 has no
-    * DuckDB twin; determinism is still exercised cross-run). Uses the
-    * native one-pass `SimHash64` expression — SimHashSpec pins it equal
-    * to the 64-aggregate `simhash` composition kept above. */
+  /** SimHash fast path, DRIVER-VERIFIED via the anchor+invariant
+    * pattern. xxhash64 has no DuckDB twin, so the raw `SimHash64` value
+    * can't be hash-compared — instead the query emits columns the
+    * oracle CAN recompute exactly plus a boolean it asserts TRUE:
+    *
+    *  - `sig32`: the portable md5-derived 32-bit SimHash
+    *    ([[simhash32Portable]]) on the same token sets — every md5 step
+    *    has an exact DuckDB twin, so this column hash-verifies the
+    *    whole tokenize→vote→assemble pipeline.
+    *  - `setgrp`: min doc_id among docs with an IDENTICAL distinct-token
+    *    set (the corpus carries real multi-doc groups), recomputed
+    *    exactly by the oracle.
+    *  - `sim_consistent`: TRUE iff every doc in the token-set group got
+    *    the SAME `SimHash64` value. SimHash is a vote-sum over the token
+    *    SET, so equal sets MUST hash equal regardless of token order or
+    *    partitioning — if the native expression ever became
+    *    order-/partition-dependent, the multi-doc groups flip this FALSE
+    *    and the driver's hash compare fails. The 64-bit signature is
+    *    still computed per row, so the fast path stays exercised;
+    *    `SimHashSpec` additionally pins it bit-equal to the
+    *    64-aggregate composition above. */
   val dedupSimhash = GQuery(
     "dedup_simhash",
-    (s, d) =>
-      Tables.documents(s, d)
+    (s, d) => {
+      val base = Tables.documents(s, d)
         .filter(col("doc_id") < 100)
         .select(col("doc_id"),
-          graft.functions.SimHash64.simhash64(
-            array_distinct(split(col("text"), " "))).as("simhash"))
-        .withColumn("bucket", shiftright(col("simhash"), 48))
-        .orderBy("doc_id"),
-    None)
+          array_distinct(split(col("text"), " ")).as("toks"))
+      // setkey joins SORTED tokens — injective for space-split tokens
+      // (they cannot contain the separator), and only ever compared
+      // within one engine, so each engine's own sort collation suffices
+      val sigs = base.select(col("doc_id"),
+        graft.functions.SimHash64.simhash64(col("toks")).as("sim64"),
+        simhash32Portable(col("toks")).as("sig32"),
+        array_join(array_sort(col("toks")), " ").as("setkey"))
+      val grp = sigs.groupBy("setkey").agg(
+        min(col("doc_id")).as("setgrp"),
+        (min(col("sim64")) === max(col("sim64"))).as("sim_consistent"))
+      sigs.join(grp, "setkey")
+        .select(col("doc_id"), col("sig32"), col("setgrp"),
+          col("sim_consistent"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks
+        FROM documents WHERE doc_id < 100),
+      hv AS (
+        SELECT doc_id,
+               (CAST(strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1 AS BIGINT) << 28)
+             + ((strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) << 24)
+             + ((strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) << 20)
+             + ((strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1) << 16)
+             + ((strpos('0123456789abcdef', substr(md5(tok), 5, 1)) - 1) << 12)
+             + ((strpos('0123456789abcdef', substr(md5(tok), 6, 1)) - 1) << 8)
+             + ((strpos('0123456789abcdef', substr(md5(tok), 7, 1)) - 1) << 4)
+             +  (strpos('0123456789abcdef', substr(md5(tok), 8, 1)) - 1) AS v
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)),
+      votes AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN ((v >> b) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+        FROM hv CROSS JOIN (SELECT unnest(range(32)) AS b) bb
+        GROUP BY 1, 2),
+      sigs AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig32
+        FROM votes GROUP BY 1),
+      setg AS (
+        SELECT doc_id, array_to_string(list_sort(toks), ' ') AS setkey
+        FROM toks),
+      grp AS (
+        SELECT setkey, CAST(MIN(doc_id) AS BIGINT) AS setgrp
+        FROM setg GROUP BY setkey)
+      SELECT t.doc_id, s.sig32, g.setgrp, TRUE AS sim_consistent
+      FROM setg t JOIN sigs s USING (doc_id) JOIN grp g USING (setkey)
+      ORDER BY doc_id
+    """))
 
   /** Portable 32-bit SimHash built from md5 nibble votes — unlike the
     * xxhash64-based `simhash`/`SimHash64` (the fast path), every step here

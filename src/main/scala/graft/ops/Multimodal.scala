@@ -213,6 +213,54 @@ object Multimodal {
       .filter(col("frame_idx") % everyK === 0)
       .filter(col("frame_b64") =!= "" || col("frame_idx") === 0)
 
+  /** Render a deterministic w×h RGB PNG whose pixels are seeded from
+    * the text's SHA-256 — a REAL image with KNOWN dimensions, the
+    * fixture half of the anchor+tolerance pattern: the decode queries
+    * emit what the JDK codec actually parsed, and the oracle recomputes
+    * the expected dims from the id arithmetic alone. */
+  private[ops] def renderPng(text: String, w: Int, h: Int): Array[Byte] = {
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(Option(text).getOrElse("").getBytes("UTF-8"))
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val b = sha((y * w + x) % 32) & 0xff
+        img.setRGB(x, y, (b << 16) | (b << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Minimal PCM16 little-endian WAV container with exact header
+    * fields — a REAL audio payload `javax.sound.sampled` parses, whose
+    * sample rate / channel count / frame count are KNOWN by
+    * construction (the audio half of the decode fixture). Sample bytes
+    * are seeded from the text's SHA-256, deterministic. */
+  private[ops] def renderWav(text: String, sampleRate: Int, channels: Int,
+      frames: Int): Array[Byte] = {
+    val dataSize = frames * channels * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putShort(channels.toShort)
+      .putInt(sampleRate).putInt(sampleRate * channels * 2)
+      .putShort((channels * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(Option(text).getOrElse("").getBytes("UTF-8"))
+    var i = 0
+    while (i < dataSize) { buf.put(sha(i % 32)); i += 1 }
+    buf.array()
+  }
+
   /** Oracle-checked metadata query: binary length + hashes over a
     * binary-ified text column (the codegen'd metadata path). */
   val multimodalMeta = GQuery(
@@ -234,26 +282,68 @@ object Multimodal {
       ORDER BY doc_id
     """))
 
-  /** Rows-only: the full binary → mapPartitions decode path (the decode
-    * kernel has no SQL twin, but the plumbing runs for real — text
-    * payloads take the non-image fallback branch). The dumped frame is
-    * scalar-only — the float[] feature is projected to a rounded string
-    * fingerprint, because the driver's verifier sorts/hashes every output
-    * and array cells break that even for rows-only checks. */
+  /** The full binary → mapPartitions decode path, DRIVER-VERIFIED via
+    * the known-fixture anchor pattern: each doc renders into a payload
+    * whose decodable properties are KNOWN from the id arithmetic alone —
+    * id%3==0 a real PNG ([[renderPng]], dims 8+id%16 × 6+id%10), id%3==1
+    * a real WAV ([[renderWav]], rate 8000+100·(id%5), channels 1+id%2,
+    * frames 64+id%32), id%3==2 raw UTF-8 text (the documented
+    * no-codec fallback: n_frames = 1 + n_bytes%7, dims zero). The query
+    * emits exactly what `javax.imageio` / `javax.sound` actually parsed
+    * back out of the bytes, and the DuckDB oracle recomputes every
+    * column from doc_id + text — a wrong dimension, rate, channel count
+    * or frame count from any decode branch hash-mismatches. n_bytes is
+    * emitted only for the text rows (PNG/WAV encoder byte counts are
+    * JDK-version-dependent; −1 sentinel elsewhere). */
   val multimodalDecode = GQuery(
     "multimodal_decode",
     (s, d) => {
-      val media = toMedia(Tables.documents(s, d).filter(col("doc_id") < 50),
-        "doc_id", "text", "text/plain")
+      import s.implicits._
+      val media = Tables.documents(s, d).filter(col("doc_id") < 50)
+        .select("doc_id", "text").as[(Long, String)]
+        .mapPartitions { rows =>
+          javax.imageio.ImageIO.setUseCache(false)
+          rows.map { case (id, text) =>
+            val payload = (id % 3) match {
+              case 0 => renderPng(text, (8 + id % 16).toInt,
+                (6 + id % 10).toInt)
+              case 1 => renderWav(text, (8000 + 100 * (id % 5)).toInt,
+                (1 + id % 2).toInt, (64 + id % 32).toInt)
+              case _ => Option(text).getOrElse("").getBytes("UTF-8")
+            }
+            (id, payload)
+          }
+        }.toDF("media_id", "payload")
       decodeFeatures(s, media)
-        .select(col("media_id"), col("n_bytes"), col("n_frames"),
-          col("width"), col("height"), col("channels"), col("sample_rate"),
-          array_join(transform(col("feature"),
-            x => format_string("%.3f", x.cast(DoubleType))), ",")
-            .as("feature_fp"))
+        .select(col("media_id"),
+          col("n_frames").cast(LongType).as("n_frames"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          col("channels").cast(LongType).as("channels"),
+          col("sample_rate").cast(LongType).as("sample_rate"),
+          when(col("media_id") % 3 === 2, col("n_bytes"))
+            .otherwise(lit(-1L)).as("n_bytes_text"))
         .orderBy("media_id")
     },
-    None)
+    Some("""
+      SELECT doc_id AS media_id,
+             CAST(CASE doc_id % 3
+               WHEN 0 THEN 1
+               WHEN 1 THEN 64 + doc_id % 32
+               ELSE 1 + (octet_length(encode(COALESCE(text, ''))) % 7)
+             END AS BIGINT) AS n_frames,
+             CAST(CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 16 ELSE 0 END AS BIGINT) AS width,
+             CAST(CASE WHEN doc_id % 3 = 0 THEN 6 + doc_id % 10 ELSE 0 END AS BIGINT) AS height,
+             CAST(CASE doc_id % 3
+               WHEN 0 THEN 3
+               WHEN 1 THEN 1 + doc_id % 2
+               ELSE 0
+             END AS BIGINT) AS channels,
+             CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 + 100 * (doc_id % 5) ELSE 0 END AS BIGINT) AS sample_rate,
+             CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(COALESCE(text, ''))) ELSE -1 END AS BIGINT) AS n_bytes_text
+      FROM documents WHERE doc_id < 50
+      ORDER BY media_id
+    """))
 
   /** Frame sampling as an oracle-checked query: chunk each payload's
     * base64 form into fixed 32-char "frames", keep every 4th — the
@@ -285,14 +375,18 @@ object Multimodal {
       ORDER BY media_id, frame_idx
     """))
 
-  /** Rows-only: the real image-resize batch path. Each doc's text is
-    * rendered into a genuine 16x10 PNG (pixels seeded from the text's
-    * SHA-256 — deterministic), pushed through [[resizeImages]] (bilinear
-    * scale to longest-side 8, PNG re-encode), and the output payload is
-    * RE-decoded to prove the resized bytes are a valid image of the
-    * claimed dimensions. No SQL twin exists for the AWT kernel; the
-    * scalar dump carries only dimensions and the re-decode verdict
-    * (encoder byte counts vary by JDK, so payload sizes stay out). */
+  /** The real image-resize batch path, DRIVER-VERIFIED via the
+    * known-fixture anchor pattern: even ids render a genuine 16×10 PNG
+    * ([[renderPng]]) that [[resizeImages]] must bilinear-scale to
+    * exactly 8×5 and PNG re-encode; odd ids render 6×4 — already within
+    * maxDim, so the pass-through branch must keep the original bytes
+    * and dims. The emitted dims come from RE-decoding the output
+    * payload (proving the resized bytes are a valid image of the
+    * claimed size), `redecode_ok` cross-checks decode against claim,
+    * and the DuckDB oracle recomputes every column from doc_id
+    * arithmetic — a wrong scale factor, a broken re-encode, or an
+    * upscaled small image all hash-mismatch. Encoder byte counts vary
+    * by JDK, so payload sizes stay out of the dump. */
   val multimodalResize = GQuery(
     "multimodal_resize",
     (s, d) => {
@@ -302,29 +396,16 @@ object Multimodal {
         .mapPartitions { rows =>
           javax.imageio.ImageIO.setUseCache(false)
           rows.map { case (id, text) =>
-            val sha = java.security.MessageDigest.getInstance("SHA-256")
-              .digest(Option(text).getOrElse("").getBytes("UTF-8"))
-            val img = new java.awt.image.BufferedImage(
-              16, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            var y = 0
-            while (y < 10) {
-              var x = 0
-              while (x < 16) {
-                val b = sha((y * 16 + x) % 32) & 0xff
-                img.setRGB(x, y, (b << 16) | (b << 8) | b)
-                x += 1
-              }
-              y += 1
-            }
-            val out = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", out)
-            (id, out.toByteArray)
+            val (w, h) = if (id % 2 == 0) (16, 10) else (6, 4)
+            (id, renderPng(text, w, h))
           }
         }.toDF("media_id", "payload")
       val resized = resizeImages(s, rendered, maxDim = 8)
       decodeFeatures(s, resized)
-        .select(col("media_id"), col("width"), col("height"),
-          col("channels"))
+        .select(col("media_id"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          col("channels").cast(LongType).as("channels"))
         .join(resized.select(col("media_id"),
           col("width").as("claimed_w"), col("height").as("claimed_h"),
           col("decoded")), "media_id")
@@ -334,7 +415,16 @@ object Multimodal {
             col("height") === col("claimed_h")).as("redecode_ok"))
         .orderBy("media_id")
     },
-    None)
+    Some("""
+      SELECT doc_id AS media_id,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 6 END AS BIGINT) AS width,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 5 ELSE 4 END AS BIGINT) AS height,
+             CAST(3 AS BIGINT) AS channels,
+             TRUE AS decoded,
+             TRUE AS redecode_ok
+      FROM documents WHERE doc_id < 50
+      ORDER BY media_id
+    """))
 
   def all: Seq[GQuery] = Seq(multimodalMeta, multimodalDecode,
     multimodalFrames, multimodalResize)
