@@ -813,7 +813,7 @@ object CoreQueries {
     """))
 
   /** The campaign-side tail of the widened-cover-page trilogy: the
-    * round-10 widened 29-column CVR_E530_CD (electronic Form E-530
+    * widened 36-column CVR_E530_CD (electronic Form E-530
     * late independent-expenditure report) exercised END-TO-END — raw
     * lines rendered positionally from the declared schema through
     * Clean→Load (width gate, ''→NULL, M/d/yyyy coercion of BOTH date
@@ -860,7 +860,12 @@ object CoreQueries {
         "cand_naml" -> col("nm"), "office_cd" -> col("office_cd"),
         "rpt_date" -> col("rpt_raw"), "pmnt_dt" -> col("pmnt_raw"),
         "pmnt_amount" -> (col("base_amount") * (lit(1) + col("amend_id")))
-          .cast(DecimalType(14, 2)).cast(StringType))
+          .cast(DecimalType(14, 2)).cast(StringType),
+        // round-11 communication-type block: TV vs radio split by key
+        // parity — a LongType flag pair that must survive the raw-text
+        // round trip (P6 long try-cast) and the amendment window
+        "type_tv" -> pmod(col("k"), lit(2)),
+        "type_radio" -> (lit(1) - pmod(col("k"), lit(2))))
       val line = concat_ws("\t", tdef.schema.fieldNames.toSeq
         .map(n => fieldVals.getOrElse(n, lit(""))): _*)
       val cleaned = Clean.clean(tdef, src.select(line.as("value")))
@@ -869,12 +874,14 @@ object CoreQueries {
         .select(
           Annotations.decodeExpr("cvr_e530_cd", "office_cd",
             col("office_cd")).as("office_desc"),
-          col("amend_id"), col("pmnt_amount"), col("pmnt_dt"))
+          col("amend_id"), col("pmnt_amount"), col("pmnt_dt"),
+          col("type_tv"))
         .groupBy("office_desc")
         .agg(count(lit(1)).as("n_filings"),
           sum(col("pmnt_amount")).cast(DoubleType).as("sum_latest_pmnt"),
           min(col("pmnt_dt")).as("min_pmnt"),
-          max(col("pmnt_dt")).as("max_pmnt"))
+          max(col("pmnt_dt")).as("max_pmnt"),
+          sum(col("type_tv")).as("n_tv"))
         .orderBy("office_desc")
     },
     Some(s"""
@@ -890,13 +897,15 @@ object CoreQueries {
                DATE '2014-05-01' + CAST(c_custkey % 100 AS INTEGER)
                  AS pmnt_dt,
                CAST(CAST(c_custkey % 1000 + 0.25 AS DECIMAL(14,2))
-                 * (1 + c_custkey % 3) AS DECIMAL(14,2)) AS latest_pmnt
+                 * (1 + c_custkey % 3) AS DECIMAL(14,2)) AS latest_pmnt,
+               c_custkey % 2 AS tv
         FROM customer WHERE c_custkey <= 2000)
       SELECT o.meaning AS office_desc,
              CAST(COUNT(*) AS BIGINT) AS n_filings,
              CAST(SUM(latest_pmnt) AS DOUBLE) AS sum_latest_pmnt,
              MIN(pmnt_dt) AS min_pmnt,
-             MAX(pmnt_dt) AS max_pmnt
+             MAX(pmnt_dt) AS max_pmnt,
+             CAST(SUM(tv) AS BIGINT) AS n_tv
       FROM base b JOIN offd o ON b.office_cd = o.code
       GROUP BY 1
       ORDER BY office_desc

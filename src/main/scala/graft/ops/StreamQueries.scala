@@ -88,6 +88,70 @@ object StreamQueries {
       ORDER BY user_id, session_start
     """))
 
+  /** T4 watermark/late-data batch analog, driver-verified: simulates
+    * Structured Streaming's watermark drop rule — an event is LATE and
+    * dropped iff its event time precedes the watermark in force when it
+    * ARRIVES — on the static table so DuckDB can assert the exact
+    * accept/drop split. Arrival order is event_id with a deterministic
+    * delay on one residue class (id%10==7 arrives 300 positions late —
+    * far past the 10-minute allowance, the way a straggling partition
+    * delivers stale rows), giving the corpus real late data. The
+    * watermark advances at arrival-epoch granularity (1000 arrivals per
+    * epoch): wm(e) = max event time over epochs < e, minus 10 minutes —
+    * exactly how streaming engines advance watermarks per micro-batch
+    * rather than per row. Scale shape: per-epoch maxima are one
+    * map-side-combinable groupBy; the only ordered scan runs on the
+    * TINY epoch frame (|arrivals|/1000 rows); events meet their epoch's
+    * watermark through a broadcast equi-join — no global row-level
+    * window anywhere. Output: per tumbling hour, accepted vs dropped
+    * counts. The true streaming form is `withWatermark("ts", "10
+    * minutes")` (StreamRunner); StreamingSpec pins its drop behavior. */
+  val streamLate = GQuery(
+    "stream_late",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("arr", col("event_id") +
+          when(col("event_id") % 10 === 7, lit(300L)).otherwise(lit(0L)))
+        .withColumn("epoch", expr("arr DIV 1000"))
+        .select("epoch", "ts")
+      val wm = ev.groupBy("epoch").agg(max(col("ts")).as("emax"))
+        .withColumn("wm",
+          max(col("emax")).over(Window.orderBy(col("epoch"))
+            .rowsBetween(Window.unboundedPreceding, -1)) -
+            expr("INTERVAL '10' MINUTE"))
+        .select("epoch", "wm")
+      ev.join(broadcast(wm), "epoch")
+        .withColumn("late", col("wm").isNotNull && col("ts") < col("wm"))
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(sum(when(col("late"), 0L).otherwise(1L)).as("cnt_accepted"),
+          sum(when(col("late"), 1L).otherwise(0L)).as("cnt_late"))
+        .select(col("window.start").as("ws"),
+          col("cnt_accepted"), col("cnt_late"))
+        .orderBy("ws")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT (event_id + CASE WHEN event_id % 10 = 7 THEN 300 ELSE 0 END) // 1000 AS epoch,
+               ts
+        FROM events),
+      ep AS (SELECT epoch, MAX(ts) AS emax FROM ev GROUP BY epoch),
+      wmt AS (
+        SELECT epoch,
+               MAX(emax) OVER (ORDER BY epoch
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 - INTERVAL '10 minutes' AS wm
+        FROM ep),
+      j AS (
+        SELECT e.ts, (w.wm IS NOT NULL AND e.ts < w.wm) AS late
+        FROM ev e JOIN wmt w USING (epoch))
+      SELECT date_trunc('hour', ts) AS ws,
+             CAST(SUM(CASE WHEN late THEN 0 ELSE 1 END) AS BIGINT) AS cnt_accepted,
+             CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS cnt_late
+      FROM j
+      GROUP BY 1
+      ORDER BY ws
+    """))
+
   /** T5 stateful-dedup batch analog: first event per (user, minute) —
     * watermarked `dropDuplicates` in the streaming wrapper. */
   val streamDedup = GQuery(
@@ -152,6 +216,6 @@ object StreamQueries {
     """))
 
   def all: Seq[GQuery] =
-    Seq(streamTumbling, streamSliding, streamSession, streamDedup,
-      streamJoin)
+    Seq(streamTumbling, streamSliding, streamSession, streamLate,
+      streamDedup, streamJoin)
 }

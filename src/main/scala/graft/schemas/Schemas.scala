@@ -1395,10 +1395,12 @@ object Schemas {
   /** ≙ F501_502_CD — candidate intention / bank account statements
     * (`models/campaign.py`). Widened round 10 to the documented blocks:
     * committee/report identity, the candidate name quad + address, the
-    * office/jurisdiction block, and the expenditure-limit flag. The
-    * F502 bank-account detail block (bank name/address/account fields)
-    * is attested but its exact raw column names are less certain from
-    * memory — deliberately omitted rather than guessed. */
+    * office/jurisdiction block, and the expenditure-limit flag. Round
+    * 11 adds the F502 financial-institution block from the public
+    * model — the FIN_* name quad + address the bank-account statement
+    * identifies (institution name parts, city/state/ZIP, phone). Any
+    * remaining auxiliary account-date columns whose raw names are less
+    * certain stay omitted rather than guessed. */
   val f501502Cd: TableDef = TableDef(
     name = "f501_502_cd",
     schema = StructType(Seq(
@@ -1441,7 +1443,17 @@ object Schemas {
         doc("Date of the report, M/D/YYYY in the raw file")),
       StructField("execute_dt", DateType, nullable = true,
         doc("Date the statement was executed (signed), M/D/YYYY " +
-          "in the raw file")))),
+          "in the raw file")),
+      StructField("fin_naml", StringType, nullable = true,
+        doc("Financial institution name (last name when an " +
+          "individual holds the account)")),
+      str("fin_namf", "Financial institution name, first-name part"),
+      str("fin_namt", "Financial institution name title or prefix"),
+      str("fin_nams", "Financial institution name suffix"),
+      str("fin_city", "Financial institution address city"),
+      str("fin_st", "Financial institution address state"),
+      str("fin_zip4", "Financial institution address ZIP+4"),
+      str("fin_phon", "Financial institution phone number"))),
     uniqueKey = Seq("filing_id", "amend_id", "rec_type", "form_type"),
     dateFields = Seq("rpt_date", "execute_dt"))
 
@@ -1707,10 +1719,11 @@ object Schemas {
   /** Widened round 10 to the documented blocks: filer identity + name
     * quad + address, report identity, occupation/employer, the candidate
     * name quad and office/jurisdiction block the issue-advocacy payment
-    * concerns, and the payment itself. The communication-type flag block
-    * (literature/radio/TV/billboards...) is attested in the public docs
-    * but its exact raw column names are less certain from memory —
-    * deliberately omitted rather than guessed. */
+    * concerns, and the payment itself. Round 11 adds the
+    * communication-type flag block from the public model — one 1/0 flag
+    * per medium the E-530 paper form enumerates (literature, print ads,
+    * radio, TV, information technology, billboards, other) plus the
+    * free-text description accompanying the `other` flag. */
   val cvrE530Cd: TableDef = TableDef(
     name = "cvr_e530_cd",
     schema = StructType(Seq(
@@ -1751,7 +1764,24 @@ object Schemas {
       StructField("pmnt_amount", DecimalType(14, 2), nullable = true,
         doc("Amount of the payment reported")),
       StructField("pmnt_dt", DateType, nullable = true,
-        doc("Date of the payment, M/D/YYYY in the raw file")))),
+        doc("Date of the payment, M/D/YYYY in the raw file")),
+      StructField("type_literature", LongType, nullable = true,
+        doc("Communication type is literature (1/0)")),
+      StructField("type_printads", LongType, nullable = true,
+        doc("Communication type is print advertisements (1/0)")),
+      StructField("type_radio", LongType, nullable = true,
+        doc("Communication type is radio (1/0)")),
+      StructField("type_tv", LongType, nullable = true,
+        doc("Communication type is television (1/0)")),
+      StructField("type_it", LongType, nullable = true,
+        doc("Communication type is information technology " +
+          "(web sites, email) (1/0)")),
+      StructField("type_billboards", LongType, nullable = true,
+        doc("Communication type is billboards (1/0)")),
+      StructField("type_other", LongType, nullable = true,
+        doc("Communication type is other (1/0)")),
+      str("other_desc", "Description of the communication when " +
+        "TYPE_OTHER is set"))),
     uniqueKey = Seq("filing_id", "amend_id"),
     dateFields = Seq("pmnt_dt", "rpt_date"))
 
