@@ -538,6 +538,59 @@ object VectorQueries {
     * bench reps time the SERVING shape (encode plan + ADC + re-rank).
     * `sim_ivf` deliberately keeps paying its build per invocation — it
     * is the registry's designated cold-build timing entry. */
+  /** Corpus-sized ADC re-rank depth. A FIXED shortlist is the classic
+    * scale trap this round's sf0.1 sweep caught red-handed: 50
+    * candidates is 10% of a 500-vector corpus but 2.5% of 2000, and
+    * recall@5 under the coarse m=4×16 codebooks sank below the 0.6 gate
+    * the moment the corpus grew 4×. Like [[signBitsFor]] (LSH width)
+    * and the MinHash band chooser, the knob must grow with N: re-rank
+    * depth = `frac` of the corpus (default 10%), floored at `minS` so
+    * tiny corpora keep a sane minimum, capped at `maxS` because at real
+    * scale the shortlist is the exact-read budget (the re-rank phase
+    * reads true embeddings for exactly this many rows — the cap IS the
+    * serving-latency contract; past it you raise nProbe selectivity or
+    * train finer codebooks instead of re-ranking more). */
+  def shortlistFor(corpusSize: Long, frac: Double = 0.10, minS: Int = 50,
+      maxS: Int = 10000): Int = {
+    require(corpusSize > 0 && frac > 0,
+      s"shortlistFor: corpusSize=$corpusSize frac=$frac must be positive")
+    math.max(minS, math.min(maxS, math.ceil(corpusSize * frac).toInt))
+  }
+
+  /** Corpus-sized PQ codebook capacity for the FLAT (un-pruned) PQ
+    * path: codes ≈ N/32 rounded up to a power of two, clamped to
+    * [16, 256] (256 = one byte per code, the PQ storage contract).
+    * The PqTune sweep at 2000 vectors showed WHY this knob — not just
+    * re-rank depth — must grow with N: at codes=16 even a 25% shortlist
+    * recalled 4/5, while codes=64 hit 5/5 at 10% — quantization error,
+    * not shortlist depth, was the recall floor. Cell-pruned IVF-PQ
+    * keeps its candidate fraction high per probe (nProbe/k of the
+    * corpus), so it tolerates coarser books; the flat path has no such
+    * help and must spend its capacity here. Past the 256 cap the scale
+    * move is IVF cells ([[Ivfpq]]) — more coarse cells, not wider
+    * books. */
+  def codesFor(corpusSize: Long, minCodes: Int = 16,
+      maxCodes: Int = 256): Int = {
+    require(corpusSize > 0,
+      s"codesFor: corpusSize=$corpusSize must be positive")
+    val target = math.max(1, corpusSize / 32)
+    val pow2 = Integer.highestOneBit(
+      math.min(target, Int.MaxValue / 2).toInt)
+    val rounded = if (pow2 == target) pow2 else pow2 * 2
+    math.max(minCodes, math.min(maxCodes, rounded))
+  }
+
+  /** Embedding-corpus row count per sfDir, counted once per process —
+    * the sizing input for [[shortlistFor]] and [[codesFor]] (a real
+    * deployment knows its corpus cardinality; here one cheap columnar
+    * count stands in). */
+  private val corpusCount =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private def embCount(s: org.apache.spark.sql.SparkSession,
+      d: String): Long =
+    corpusCount.getOrElseUpdate(d, Tables.embeddings(s, d).count())
+
   private val pqBuilt =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Pq.PqIndex]
 
@@ -555,20 +608,25 @@ object VectorQueries {
       Ivfpq.build(Tables.embeddings(s, d), k = k, m = m, codes = codes))
 
   /** Product-quantized ANN ([[Pq]]), driver-visible end-to-end: m=4
-    * subspace codebooks of 16 codes (distributed Lloyd's, same seeding
+    * subspace codebooks sized to the corpus ([[codesFor]] — 16 codes at
+    * 500 vectors, 64 at 2000; distributed Lloyd's, same seeding
     * convention as the IVF build — trained ONCE per process via
-    * [[builtPq]]), the corpus encoded to 4-code arrays (a 16–32×
-    * footprint cut — the compressed-index half of IVF-PQ serving at
-    * 100 TB), probe 0 ADC-scored with driver-computed lookup tables,
-    * and the 50-row shortlist exact-reranked to the final top-5. Emits
-    * the shared brute-force hash anchor + `recall_ok` (recall@5 ≥ 0.6
-    * against exact, same gate as `sim_ivf`) asserted by the same
-    * oracle. Cold-build cost is timed by `sim_ivf`, not here. */
+    * [[builtPq]]), the corpus encoded to 4-code arrays (the
+    * compressed-index half of IVF-PQ serving at 100 TB), probe 0
+    * ADC-scored with driver-computed lookup tables, and the
+    * corpus-sized shortlist ([[shortlistFor]]) exact-reranked to the
+    * final top-5. Emits the shared brute-force hash anchor +
+    * `recall_ok` (recall@5 ≥ 0.6 against exact, same gate as `sim_ivf`)
+    * asserted by the same oracle — and the sf0.1 sweep proved both
+    * choosers load-bearing: fixed (codes=16, shortlist=50) passes at
+    * 500 vectors and FAILS the gate at 2000. Cold-build cost is timed
+    * by `sim_ivf`, not here. */
   val simPq = GQuery(
     "sim_pq",
     (s, d) => recallAnchored(s, d,
-      Pq.search(builtPq(s, d, m = 4, codes = 16),
-        probeId = 0, topK = IvfTopK, shortlist = 50),
+      Pq.search(builtPq(s, d, m = 4, codes = codesFor(embCount(s, d))),
+        probeId = 0, topK = IvfTopK,
+        shortlist = shortlistFor(embCount(s, d))),
       topK = IvfTopK, minHits = 3),
     Some(ivfRecallOracle))
 
@@ -585,7 +643,8 @@ object VectorQueries {
     "sim_ivfpq",
     (s, d) => recallAnchored(s, d,
       Ivfpq.search(builtIvfpq(s, d, k = 8, m = 4, codes = 16),
-        probeId = 0, topK = IvfTopK, nProbe = 3, shortlist = 50),
+        probeId = 0, topK = IvfTopK, nProbe = 3,
+        shortlist = shortlistFor(embCount(s, d))),
       topK = IvfTopK, minHits = 3),
     Some(ivfRecallOracle))
 
@@ -617,7 +676,8 @@ object VectorQueries {
     "sim_ivfpq_loaded",
     (s, d) => recallAnchored(s, d,
       Ivfpq.search(Ivfpq.load(s, savedIvfpqPath(s, d, k = 8, m = 4)),
-        probeId = 0, topK = IvfTopK, nProbe = 3, shortlist = 50),
+        probeId = 0, topK = IvfTopK, nProbe = 3,
+        shortlist = shortlistFor(embCount(s, d))),
       topK = IvfTopK, minHits = 3),
     Some(ivfRecallOracle))
 

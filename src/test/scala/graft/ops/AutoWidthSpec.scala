@@ -33,6 +33,24 @@ class AutoWidthSpec extends SparkTestBase {
     assert(widths === widths.sorted)
   }
 
+  test("PQ choosers reproduce the PqTune-calibrated sizes") {
+    // the sf0.1 sweep: codes=16/shortlist=50 passes the recall gate at
+    // 500 vectors and fails at 2000; codes=64 + 10% shortlist recovers
+    assert(VectorQueries.codesFor(500) === 16)
+    assert(VectorQueries.codesFor(2000) === 64)
+    assert(VectorQueries.codesFor(1L << 40) === 256) // byte-code cap
+    assert(VectorQueries.codesFor(1) === 16) // clamped low
+    assert(VectorQueries.shortlistFor(500) === 50)
+    assert(VectorQueries.shortlistFor(2000) === 200)
+    assert(VectorQueries.shortlistFor(1L << 40) === 10000) // capped
+    // monotone in corpus size
+    val sizes = Seq(1L, 1000L, 100000L, 10000000L)
+    assert(sizes.map(VectorQueries.codesFor(_)) ===
+      sizes.map(VectorQueries.codesFor(_)).sorted)
+    assert(sizes.map(VectorQueries.shortlistFor(_)) ===
+      sizes.map(VectorQueries.shortlistFor(_)).sorted)
+  }
+
   test("sign-LSH at chosen widths keeps per-vector candidates ~flat at 10×") {
     val per = Seq("sf0.01", "sf0.1").map { sf =>
       val emb = graft.Tables.embeddings(spark, s"/root/testdata/$sf")
