@@ -609,8 +609,73 @@ object DedupQueries {
       ORDER BY doc_id
     """))
 
+  /** Incremental exact dedup against a history corpus via a Bloom
+    * pre-filter ([[graft.functions.BloomProbe]]) — the "have we seen
+    * this content before?" gate every continuously-ingesting training
+    * pipeline runs, shaped so the HISTORY is never re-joined at batch
+    * width. History = even doc_ids, batch = odd doc_ids (the
+    * deterministic stand-in for yesterday's corpus vs today's crawl).
+    *
+    * Plan: (1) one distributed pass builds the bit array over
+    * `xxhash64(text)` of the history (`stat.bloomFilter` — treeAggregate
+    * bit-OR merge, driver holds only the bits); (2) the batch scan
+    * probes the bits map-side (codegen'd predicate, no shuffle); (3)
+    * ONLY bloom-positive rows — true dups plus ~fpp false positives —
+    * enter the exact text semi-join. No false negatives is a Bloom
+    * guarantee, so step (3)'s output is exactly the batch∩history dup
+    * set; the oracle recomputes that set with a full exact join and the
+    * hash compare fails if the bloom path ever dropped one. `fp_rate_ok`
+    * additionally bounds the wasted verification work (excess candidates
+    * ≤ max(5, 5% of batch) at fpp=1%).
+    *
+    * 100 TB: the history never moves — its sketch does (~1.2 GB per 10⁹
+    * distinct items). The batch-side probe is scan-speed; the exact join
+    * right side is the history's (hash-bucketed) text column but its
+    * LEFT side shrank to dups+fpp — at a 1% dup rate that's a ~50×
+    * smaller shuffle than the bloom-less join. */
+  val dedupBloom = GQuery(
+    "dedup_bloom",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val hist = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+      val nHist = math.max(hist.count(), 1L)
+      val bloom = graft.functions.BloomProbe.serialize(
+        hist.filter(col("text").isNotNull)
+          .select(xxhash64(col("text")).as("h"))
+          .stat.bloomFilter("h", nHist, 0.01))
+      val probed = batch.select(col("text"),
+        coalesce(graft.functions.BloomProbe.mightContain(bloom,
+          xxhash64(col("text"))), lit(false)).as("maybe"))
+      val nExact = probed.filter(col("maybe"))
+        .join(hist.select(col("text")).distinct(), Seq("text"), "left_semi")
+        .agg(count(lit(1)).as("n_exact_dup"))
+      probed
+        .agg(count(lit(1)).as("n_batch"),
+          sum(col("maybe").cast(LongType)).as("n_bloom_pos"))
+        .crossJoin(broadcast(nExact))
+        .select(col("n_batch"), col("n_exact_dup"),
+          (col("n_batch") - col("n_exact_dup")).as("n_new"),
+          (col("n_bloom_pos") - col("n_exact_dup") <=
+            greatest(lit(5L), col("n_batch") / 20)).as("fp_rate_ok"))
+    },
+    Some("""
+      WITH hist AS (
+        SELECT DISTINCT text FROM documents
+        WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+      batch AS (
+        SELECT text FROM documents WHERE doc_id % 2 = 1)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_batch,
+             CAST(SUM(CASE WHEN h.text IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_exact_dup,
+             CAST(SUM(CASE WHEN h.text IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_new,
+             TRUE AS fp_rate_ok
+      FROM batch b LEFT JOIN hist h ON b.text = h.text
+    """))
+
   def all: Seq[GQuery] =
     Seq(dedupMinhashSig, dedupMinhashLsh, dedupSimhash, dedupSimhashJoin,
       dedupMinhashFast, dedupMinhashVerify, dedupCluster,
-      nearDupFilterBatch)
+      nearDupFilterBatch, dedupBloom)
 }

@@ -554,8 +554,74 @@ object TextQueries {
       ORDER BY cnt DESC, token
     """))
 
+  /** Hashed-feature linear model scoring — the fastText-style quality
+    * classifier pass a corpus pipeline runs to keep/drop documents. Each
+    * token hashes into one of 256 feature buckets (the md5-derived
+    * 32-bit family [[DedupQueries.tokenHashes32]], so DuckDB recomputes
+    * the identical features); the "trained" weight vector is a closed
+    * form over the bucket id — a deterministic stand-in with the same
+    * plan shape as a broadcast weight array. The score stays in INTEGER
+    * space end-to-end (weights ∈ [−500, 500], score = exact Long sum),
+    * so no float summation-order drift can ever split the engines; the
+    * keep/review/drop decision is thresholded from it.
+    *
+    * Scale: tokenize → hash → fold is one narrow codegen'd map over the
+    * scan — no shuffle, no explode (the per-token weights fold inside an
+    * `aggregate` HOF), no driver round-trip. At 100 TB this is
+    * scan-bound, which is the point: model-based filtering must ride
+    * the same pass that already reads the text. A real model swaps the
+    * closed-form weight for `element_at(weights_lit, bucket+1)` over a
+    * broadcast literal array — identical plan. */
+  val modelScore = GQuery(
+    "model_score",
+    (s, d) => {
+      val toks = array_remove(
+        split(lower(coalesce(col("text"), lit(""))), "[^a-z0-9]+"), "")
+      val weights = transform(DedupQueries.tokenHashes32(toks),
+        v => (((v % 256) * 37 + 11) % 1001) - 500)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(toks).cast(LongType).as("n_toks"),
+          aggregate(weights, lit(0L), (acc, w) => acc + w).as("score"))
+        .withColumn("label",
+          when(col("score") > 200, "keep")
+            .when(col("score") > -200, "review").otherwise("drop"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                           '[^a-z0-9]+'), t -> t <> '') AS toks
+        FROM documents),
+      flat AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+      hv AS (
+        SELECT doc_id,
+               (CAST(strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1 AS BIGINT) << 28)
+             + ((strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) << 24)
+             + ((strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) << 20)
+             + ((strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1) << 16)
+             + ((strpos('0123456789abcdef', substr(md5(tok), 5, 1)) - 1) << 12)
+             + ((strpos('0123456789abcdef', substr(md5(tok), 6, 1)) - 1) << 8)
+             + ((strpos('0123456789abcdef', substr(md5(tok), 7, 1)) - 1) << 4)
+             +  (strpos('0123456789abcdef', substr(md5(tok), 8, 1)) - 1) AS v
+        FROM flat),
+      sc AS (
+        SELECT doc_id,
+               SUM((((v % 256) * 37 + 11) % 1001) - 500) AS score
+        FROM hv GROUP BY 1)
+      SELECT t.doc_id,
+             CAST(len(t.toks) AS BIGINT) AS n_toks,
+             CAST(COALESCE(sc.score, 0) AS BIGINT) AS score,
+             CASE WHEN COALESCE(sc.score, 0) > 200 THEN 'keep'
+                  WHEN COALESCE(sc.score, 0) > -200 THEN 'review'
+                  ELSE 'drop' END AS label
+      FROM toks t LEFT JOIN sc USING (doc_id)
+      ORDER BY doc_id
+    """))
+
   def all: Seq[GQuery] = Seq(textTokens, tokenCount, textQuality, langId,
     docFingerprint, dedupExact, dedupJaccard, textBigrams, splitHash,
     sampleStratified, textTfidf, packSequences, decontaminate,
-    textRepetition, heavyHitters)
+    textRepetition, heavyHitters, modelScore)
 }

@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.functions.BloomProbe
+import org.apache.spark.sql.functions._
+
+/** Pins the Bloom pre-filter contract `dedup_bloom` leans on: the
+  * build-side hash convention (`xxhash64` longs via `stat.bloomFilter`)
+  * and the probe-side `BloomFilterMightContain` read the same bits, so
+  * members are NEVER missed (exactness of the pre-filtered join), and
+  * the false-positive rate on disjoint content stays near the requested
+  * fpp (the verification join's left side actually shrinks). */
+class BloomDedupSpec extends SparkTestBase {
+
+  private def bits(texts: Seq[String], fpp: Double = 0.01): Array[Byte] = {
+    import spark.implicits._
+    BloomProbe.serialize(
+      texts.toDF("text").select(xxhash64(col("text")).as("h"))
+        .stat.bloomFilter("h", texts.size.toLong, fpp))
+  }
+
+  test("no false negatives: every inserted text probes true") {
+    import spark.implicits._
+    val texts = (0 until 500).map(i => s"doc body number $i with words")
+    val b = bits(texts)
+    val missed = texts.toDF("text")
+      .filter(!BloomProbe.mightContain(b, xxhash64(col("text"))))
+      .count()
+    assert(missed === 0L)
+  }
+
+  test("false-positive rate on disjoint content is near fpp") {
+    import spark.implicits._
+    val b = bits((0 until 500).map(i => s"history entry $i"))
+    val hits = (0 until 2000).map(i => s"unseen entry $i").toDF("text")
+      .filter(BloomProbe.mightContain(b, xxhash64(col("text"))))
+      .count()
+    // fpp=0.01 over 2000 probes → expect ~20; generous ceiling for the
+    // small-filter regime
+    assert(hits <= 100L, s"fp rate too high: $hits / 2000")
+  }
+
+  test("null probe value yields null, coalesced false in the query") {
+    import spark.implicits._
+    val b = bits(Seq("x"))
+    val out = Seq(Some("x"), None).toDF("text")
+      .select(coalesce(
+        BloomProbe.mightContain(b, xxhash64(col("text"))),
+        lit(false)).as("maybe"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(out === Seq(true, false))
+  }
+
+  test("dedup_bloom counts match the exact-join ground truth at sf0.001") {
+    val row = DedupQueries.dedupBloom.fn(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val hist = docs.filter(col("doc_id") % 2 === 0)
+      .filter(col("text").isNotNull).select("text").distinct()
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val nBatch = batch.count()
+    val nDup = batch.join(hist, Seq("text"), "left_semi").count()
+    assert(row.getAs[Long]("n_batch") === nBatch)
+    assert(row.getAs[Long]("n_exact_dup") === nDup)
+    assert(row.getAs[Long]("n_new") === nBatch - nDup)
+    assert(row.getAs[Boolean]("fp_rate_ok"))
+  }
+}
