@@ -594,10 +594,23 @@ object VectorQueries {
   private val pqBuilt =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Pq.PqIndex]
 
+  /** Build once per process AND materialize the encoded corpus to
+    * scratch parquet — `PqIndex.encoded` is otherwise a lazy frame, so
+    * every serving query would re-run the argmin encode (m · codes
+    * literal-centroid folds per row, a multi-second Janino method at
+    * corpus-sized codebooks) instead of scanning codes at rest. The
+    * parquet roundtrip is the deployment shape: codes are written once
+    * at index build and SERVED from storage. Cold build+encode cost
+    * stays visible in `sim_ivf` (per-invocation by design). */
   private def builtPq(s: org.apache.spark.sql.SparkSession, d: String,
       m: Int, codes: Int): Pq.PqIndex =
-    pqBuilt.getOrElseUpdate((d, m, codes),
-      Pq.build(Tables.embeddings(s, d), m = m, codes = codes))
+    pqBuilt.getOrElseUpdate((d, m, codes), {
+      val idx = Pq.build(Tables.embeddings(s, d), m = m, codes = codes)
+      val path = s"${graft.GraftSession.scratchDir}/pq_" +
+        d.replaceAll("[^A-Za-z0-9]", "_") + s"_m${m}_c$codes"
+      idx.encoded.write.mode("overwrite").parquet(path)
+      idx.copy(encoded = s.read.parquet(path))
+    })
 
   private val ivfpqBuilt = scala.collection.concurrent.TrieMap
     .empty[(String, Int, Int, Int), Ivfpq.IvfPqIndex]

@@ -130,7 +130,13 @@ object ScaleSweep {
         // round 10 late: PQ train+encode+ADC are all ∝ n (registry form
         // is already unbounded — sweep it directly); the kNN join needs
         // the k ∝ n probe form (see `probes`)
-        "sim_pq", "knnjoin_sweep")
+        "sim_pq", "knnjoin_sweep",
+        // round 11: the composed IVF-PQ path (corpus-sized codebooks +
+        // shortlist via codesFor/shortlistFor — both grow with R, so
+        // this sweeps the sizing choosers too), the Bloom history
+        // pre-filter (build treeAggregate + map-side probe, both ∝ n),
+        // and the scan-bound model-scoring fold
+        "sim_ivfpq", "dedup_bloom", "model_score")
     val spark = graft.GraftSession.local(4, "graft-scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
