@@ -53,7 +53,8 @@ object Ivfpq {
     val ivf = Ann.build(embeddings, k, iters, idCol, embCol)
     val (books, dsub) = Pq.train(embeddings, m, codes, iters, idCol, embCol)
     val encoded = ivf.assigned.select(col(idCol), col(embCol), col("cell"),
-      Pq.codesExpr(books, dsub, Pq.unit(col(embCol))).as("codes"))
+      graft.functions.PqEncode.pqEncode(Pq.unit(col(embCol)), books)
+        .as("codes"))
     IvfPqIndex(ivf.centroids, m, dsub, books, encoded)
   }
 

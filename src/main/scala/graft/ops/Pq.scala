@@ -91,9 +91,12 @@ object Pq {
   private def subvec(emb: Column, i: Int, dsub: Int): Column =
     slice(emb, i * dsub + 1, dsub)
 
-  /** Per-subspace code array for a unit-normalized embedding column —
-    * the shared encode expression ([[build]] and [[Ivfpq.build]] both
-    * fuse it into their scans as one narrow map). */
+  /** Per-subspace code array for a unit-normalized embedding column,
+    * composed from built-ins. This is the REFERENCE form: production
+    * encode runs through the [[graft.functions.PqEncode]] kernel
+    * (bit-equal, pinned in `PqEncodeSpec`) because this composition's
+    * generated code grows with m · codes · dsub literals and falls out
+    * of whole-stage codegen at corpus-scaled codebook sizes. */
   private[ops] def codesExpr(books: Seq[Seq[Seq[Double]]], dsub: Int,
       unitEmb: Column): Column =
     array(books.zipWithIndex.map { case (book, i) =>
@@ -152,9 +155,15 @@ object Pq {
       // codebooks' per-position means at once. AVG partials map-side
       // combine, so the shuffle carries ~partitions · m · codes rows
       // out, not n · m; only m · codes · dsub means reach the driver.
-      val exploded = unitDf.select(explode(array((0 until m).map(i =>
+      // Assignment runs through the PqEncode kernel (all m argmins in
+      // one reference-object pass) — the literal-fold [[argminCode]]
+      // form falls out of whole-stage codegen at corpus-scaled
+      // codebook sizes (see PqEncode's scaladoc).
+      val assigned = unitDf.withColumn("_codes",
+        graft.functions.PqEncode.pqEncode(col("_unit"), books))
+      val exploded = assigned.select(explode(array((0 until m).map(i =>
         struct(lit(i).as("sub"),
-          argminCode(subvec(col("_unit"), i, dsub), books(i)).as("code"),
+          element_at(col("_codes"), i + 1).as("code"),
           subvec(col("_unit"), i, dsub).as("vals"))): _*)).as("e"))
         .select(col("e.sub").as("sub"), col("e.code").as("code"),
           col("e.vals").as("vals"))
@@ -183,7 +192,8 @@ object Pq {
       idCol: String = "vec_id", embCol: String = "embedding"): PqIndex = {
     val (books, dsub) = train(embeddings, m, codes, iters, idCol, embCol)
     val withCodes = embeddings.select(col(idCol), col(embCol),
-      codesExpr(books, dsub, unit(col(embCol))).as("codes"))
+      graft.functions.PqEncode.pqEncode(unit(col(embCol)), books)
+        .as("codes"))
     PqIndex(m, dsub, books, withCodes)
   }
 
