@@ -17,7 +17,7 @@ object SparkEntry {
       ops.FunnelQueries.all ++
       ops.TextQueries.all ++ ops.CorpusQueries.all ++
       ops.VectorQueries.all ++
-      ops.DedupQueries.all ++ ops.Multimodal.all
+      ops.DedupQueries.all ++ ops.Multimodal.all ++ ops.IncrQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

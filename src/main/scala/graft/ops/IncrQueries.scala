@@ -1,0 +1,232 @@
+package graft.ops
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incremental snapshot maintenance + data-layout clustering.
+  *
+  * The reference's pipeline is a FULL monthly reload: every
+  * `updatecalaccessrawdata` run (`management/commands/
+  * updatecalaccessrawdata.py:~100-200`) re-downloads the complete
+  * CAL-ACCESS export and rebuilds every table, and the verify/report
+  * layer (`verifycalaccessrawdata.py:~40-90`) recomputes its counts from
+  * scratch each time. That is affordable at ~10 GB; at 100 TB a full
+  * rescan per refresh is the single biggest cost in the system. This
+  * module adds the two standard industrial fixes, expressed so the
+  * driver's hash gate PROVES them equivalent to the full recompute:
+  *
+  *  - ALGEBRAIC AGG STATE ([[incrAgg]]): per-group (count, decimal-sum)
+  *    partials are mergeable — `state(old) ⊎ partial(delta)` re-aggregated
+  *    equals the full-scan aggregate exactly. The oracle IS the full
+  *    recompute over all rows, so a hash match is a proof of the merge
+  *    identity, not a spot check.
+  *  - SKETCH STATE ([[incrDistinct]]): COUNT(DISTINCT) is NOT algebraic —
+  *    exact incrementality would mean persisting every key ever seen.
+  *    The mergeable substitute is an HLL sketch per group
+  *    (`hll_sketch_agg` → `hll_union_agg`, Apache DataSketches, fixed
+  *    bytes per group); verified with the exact-anchor + tolerance-boolean
+  *    pattern established by `agg_approx_distinct`.
+  *
+  * [[zorderLayout]] is the read-side counterpart: once a table is
+  * maintained in place rather than rebuilt, its FILE LAYOUT is the main
+  * remaining lever. Z-order interleaving maps a 2-D predicate space onto
+  * the 1-D range-partitioning key so parquet min/max footer stats prune
+  * on BOTH dimensions at once — the standard layout optimization for
+  * multi-dimensional point/range lookups at warehouse scale.
+  *
+  * Scale notes: every query here shuffles |groups| rows (the partials /
+  * sketches), never |input|; the delta scan prunes to the delta partition
+  * by predicate pushdown; no driver-side state beyond the plan.
+  */
+object IncrQueries {
+
+  private def money(c: Column): Column = c.cast(DecimalType(14, 2))
+
+  /** Snapshot split: the already-loaded history vs. the fresh delta.
+    * Year-based so DuckDB applies the identical predicate; in production
+    * this is the load-version partition column (`models/tracking.py:~150`
+    * release grain). */
+  private val splitYear = 1999
+
+  /** Incremental algebraic aggregate maintenance: merged per-group
+    * (count, sum) state over [history ⊎ delta] == full recompute.
+    *
+    * `state` stands in for the persisted per-group partials of the last
+    * run (in production: a tiny parquet table keyed by group); `deltaPart`
+    * scans ONLY delta rows — the filter pushes into the parquet scan, so
+    * a refresh touches new data + |groups| state rows, never the history.
+    * The merge is a unionByName of two |groups|-sized frames and one hash
+    * aggregation — free at any scale.
+    *
+    * Decimal discipline per AggQueries: partial sums are DECIMAL(38,2)
+    * (exact, order-independent, overflow-safe through the second SUM);
+    * the double cast and the sum/count division happen once in the final
+    * projection, matching the oracle's arithmetic exactly. */
+  val incrAgg = GQuery(
+    "incr_agg",
+    (s, d) => {
+      val orders = Tables.orders(s, d)
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(money(col("o_totalprice")))
+              .cast(DecimalType(38, 2)).as("sum_dec"))
+      val state = partial(orders.where(year(col("o_orderdate")) < splitYear))
+      val deltaPart =
+        partial(orders.where(year(col("o_orderdate")) >= splitYear))
+      state.unionByName(deltaPart)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(col("cnt")).as("cnt"),
+          sum(col("sum_dec")).cast(DecimalType(38, 2)).as("sum_dec"))
+        .select(
+          col("o_orderpriority"),
+          col("cnt"),
+          col("sum_dec").cast(DoubleType).as("sum_total"),
+          (col("sum_dec").cast(DoubleType) / col("cnt").cast(DoubleType))
+            .as("avg_total"))
+        .orderBy("o_orderpriority")
+    },
+    // The oracle is the FULL-SCAN aggregate — a hash match proves the
+    // incremental merge reproduces it bit-for-bit.
+    Some("""
+      SELECT o_orderpriority,
+             COUNT(*) AS cnt,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_total,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(38,2)) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_total
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """))
+
+  /** Incremental COUNT DISTINCT via mergeable HLL sketch state.
+    *
+    * History and delta each aggregate to one DataSketches HLL sketch per
+    * group (`hll_sketch_agg`, lgConfigK=14 → ~0.8% rsd, 16 KB cap per
+    * group); the refresh unions the two |groups|-row sketch frames and
+    * merges with `hll_union_agg` — the persisted-state shape that makes
+    * distinct-cardinality maintenance O(groups), not O(keys ever seen).
+    *
+    * Verification follows the `agg_approx_distinct` anchor pattern: the
+    * row is hash-anchored by the exact per-group distinct count (which the
+    * oracle recomputes), and the merged-sketch estimate is asserted into
+    * a tolerance boolean the oracle pins TRUE. The exact side runs over
+    * distinct (group, user) pairs — two map-side-combinable hash aggs, no
+    * Expand (see AggQueries A5b plan note). */
+  val incrDistinct = GQuery(
+    "incr_distinct",
+    (s, d) => {
+      val ev = Tables.events(s, d).where(col("user_id").isNotNull)
+      def sketch(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("event_type"))
+          .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      val stateSk = sketch(ev.where(dayofmonth(col("ts")) < 16))
+      val deltaSk = sketch(ev.where(dayofmonth(col("ts")) >= 16))
+      val merged = stateSk.unionByName(deltaSk)
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("est_users"))
+      val exact = ev.select(col("event_type"), col("user_id")).distinct()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("exact_users"))
+      exact.join(merged, Seq("event_type"))
+        .select(
+          col("event_type"),
+          col("exact_users"),
+          (abs(col("est_users").cast(DoubleType) -
+            col("exact_users").cast(DoubleType)) <=
+            col("exact_users").cast(DoubleType) * 0.05)
+            .as("approx_within_5pct"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type,
+             COUNT(DISTINCT user_id) AS exact_users,
+             TRUE AS approx_within_5pct
+      FROM events
+      WHERE user_id IS NOT NULL
+      GROUP BY event_type
+      ORDER BY event_type
+    """))
+
+  /** Bits per dimension for the z-curve; 8+8 → a 16-bit z-value whose
+    * high byte identifies a 16×16 tile of the (x, y) plane. */
+  private val zBits = 8
+
+  /** Z-value: bit-interleave two `zBits`-bit dimensions, x in the odd
+    * positions, y in the even — composed entirely from codegen'd builtin
+    * shifts/masks (constant-folded per bit), so the whole computation
+    * stays inside WholeStageCodegen and is portable to the oracle as the
+    * identical 2·zBits-term integer expression. */
+  private[ops] def zvalue(x: Column, y: Column): Column =
+    (0 until zBits).map { b =>
+      shiftleft(shiftright(x, b).bitwiseAND(lit(1)), 2 * b + 1)
+        .bitwiseOR(
+          shiftleft(shiftright(y, b).bitwiseAND(lit(1)), 2 * b))
+    }.reduce(_ bitwiseOR _)
+
+  /** The same z-value as ANSI SQL for the DuckDB oracle — generated from
+    * the same bit list so the two sides can never drift. */
+  private[ops] def zvalueSql(x: String, y: String): String =
+    (0 until zBits).map { b =>
+      s"(((($x >> $b) & 1) << ${2 * b + 1}) | ((($y >> $b) & 1) << ${2 * b}))"
+    }.mkString("(", " | ", ")")
+
+  /** Z-order layout clustering: map (customer, order-age) onto the
+    * z-curve and report the bounding box of every 16×16 z-tile.
+    *
+    * The 100 TB story: a table range-partitioned/sorted by `z` gives each
+    * parquet file a CONTIGUOUS z-range, and a contiguous z-range covers a
+    * small axis-aligned region of the (x, y) plane — so the file's
+    * min/max footer stats are tight on BOTH x and y, and a predicate on
+    * either dimension (or both) skips all but a few files. A single-column
+    * sort gives tight stats on one dimension and useless full-span stats
+    * on the other. The query output makes the property driver-checkable:
+    * every tile's x/y span is ≤ 15 (tile width 16), which the oracle
+    * verifies by recomputing the identical interleave arithmetic.
+    * `ZOrderSpec` additionally pins the physical claim at the partition
+    * level: after repartitionByRange(z), per-partition x/y spans stay
+    * tile-sized while a hash layout's span the full domain. */
+  val zorderLayout = GQuery(
+    "zorder_layout",
+    (s, d) => {
+      val orders = Tables.orders(s, d)
+      val x = pmod(col("o_custkey"), lit(1 << zBits)).cast(IntegerType)
+      // order age in ~10-day resolution: 1995..2001 → 0..~240, inside 8 bits
+      val y = floor(
+        datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01")))
+          / 10).cast(IntegerType)
+      orders
+        .select(x.as("x"), y.as("y"))
+        .select(col("x"), col("y"),
+          shiftright(zvalue(col("x"), col("y")), zBits).as("ztile"))
+        .groupBy(col("ztile"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy("ztile")
+    },
+    Some(s"""
+      WITH pts AS (
+        SELECT CAST(o_custkey % ${1 << zBits} AS INTEGER) AS x,
+               CAST(FLOOR(date_diff('day', DATE '1995-01-01',
+                 CAST(o_orderdate AS DATE)) / 10) AS INTEGER) AS y
+        FROM orders
+      ), zv AS (
+        SELECT x, y, ${zvalueSql("x", "y")} >> $zBits AS ztile FROM pts
+      )
+      SELECT ztile, COUNT(*) AS cnt,
+             MIN(x) AS min_x, MAX(x) AS max_x,
+             MIN(y) AS min_y, MAX(y) AS max_y
+      FROM zv
+      GROUP BY ztile
+      ORDER BY ztile
+    """))
+
+  val all: Seq[GQuery] = Seq(incrAgg, incrDistinct, zorderLayout)
+}
