@@ -153,6 +153,73 @@ object IncrQueries {
       ORDER BY event_type
     """))
 
+  /** Rolling 7-day active users from per-day sketch state — the
+    * incremental form of the classic WAU report.
+    *
+    * The exact computation needs, for every day, the distinct users over
+    * a 7-day span — at scale that is either a 7× re-scan per day or a
+    * range join of every event against every covering day. The sketch
+    * form reduces the corpus ONCE to |days| HLL sketches (the persisted
+    * per-day state — each new day appends one row), then merges 7
+    * sketches per output row with `hll_union_agg` over a ROWS window.
+    * Refresh cost: scan of the new day only; report cost: |days| rows.
+    * The global (unpartitioned) window runs over the per-day STATE frame,
+    * not the events — |days| rows by construction (36.5k rows for a
+    * century), so the single-partition sort is intentional and bounded;
+    * at larger day-grain cardinalities partition by calendar year and
+    * seed each year with the prior year's last 6 sketches.
+    *
+    * Verification: the exact WAU anchors each row, computed with the
+    * scale-safe shape (distinct (day, user) pairs range-joined against a
+    * BROADCAST |days|-row calendar — the bounded side is broadcast, never
+    * the pairs); the sketch estimate folds into the established tolerance
+    * boolean, which the oracle (computing the identical exact range join)
+    * pins TRUE. */
+  val rollingWau = GQuery(
+    "rolling_wau",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val perDay = ev.groupBy(col("day"))
+        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      val rolled = perDay.withColumn(
+        "est_wau",
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))
+          .over(Window.orderBy("day").rowsBetween(-6, 0))))
+      val pairs = ev.distinct()
+      val days = perDay.select(col("day").as("anchor_day"))
+      val exact = pairs
+        .join(broadcast(days),
+          col("day").between(date_sub(col("anchor_day"), 6),
+            col("anchor_day")))
+        .groupBy(col("anchor_day"))
+        .agg(countDistinct(col("user_id")).as("exact_wau"))
+        .withColumnRenamed("anchor_day", "day")
+      exact.join(rolled.select(col("day"), col("est_wau")), Seq("day"))
+        .select(
+          col("day"),
+          col("exact_wau"),
+          (abs(col("est_wau").cast(DoubleType) -
+            col("exact_wau").cast(DoubleType)) <=
+            col("exact_wau").cast(DoubleType) * 0.05)
+            .as("approx_within_5pct"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH days AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS anchor_day FROM events
+      )
+      SELECT d.anchor_day AS day,
+             COUNT(DISTINCT e.user_id) AS exact_wau,
+             TRUE AS approx_within_5pct
+      FROM days d
+      JOIN events e
+        ON CAST(e.ts AS DATE) BETWEEN d.anchor_day - 6 AND d.anchor_day
+      GROUP BY d.anchor_day
+      ORDER BY day
+    """))
+
   /** Bits per dimension for the z-curve; 8+8 → a 16-bit z-value whose
     * high byte identifies a 16×16 tile of the (x, y) plane. */
   private val zBits = 8
@@ -228,5 +295,6 @@ object IncrQueries {
       ORDER BY ztile
     """))
 
-  val all: Seq[GQuery] = Seq(incrAgg, incrDistinct, zorderLayout)
+  val all: Seq[GQuery] =
+    Seq(incrAgg, incrDistinct, rollingWau, zorderLayout)
 }

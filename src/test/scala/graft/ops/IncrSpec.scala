@@ -37,6 +37,29 @@ class IncrSpec extends SparkTestBase {
         "the persisted-state path is not lossless vs one-shot")
   }
 
+  test("windowed 7-day sketch merge equals the direct 7-day sketch") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val rolled = ev.groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      .select(col("day"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))
+          .over(Window.orderBy("day").rowsBetween(-6, 0))).as("est"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // direct: one sketch straight over each day's trailing-7 raw span
+    val days = rolled.keys.toSeq.sorted
+    days.foreach { d =>
+      val direct = ev.where(col("day")
+        .between(date_sub(lit(d), 6), lit(d)))
+        .agg(hll_sketch_estimate(
+          hll_sketch_agg(col("user_id"), lit(14))).as("est"))
+        .collect()(0).getLong(0)
+      assert(rolled(d) === direct,
+        s"day $d: windowed state-merge $rolled(d) != direct $direct")
+    }
+  }
+
   test("incr_agg delta predicate reaches the parquet scan") {
     val plan = Tables.orders(spark, sf)
       .where(year(col("o_orderdate")) >= 1999)
