@@ -344,7 +344,105 @@ object CorpusQueries {
       ORDER BY m.lang
     """))
 
+  /** Corpus-LM perplexity filter: score every document against a bigram
+    * language model trained on the corpus itself, and keep the
+    * low-perplexity head — the CCNet-style "does this read like the
+    * corpus" quality pass (CCNet trains a KenLM 5-gram on Wikipedia and
+    * buckets Common Crawl by perplexity; the mechanism is identical at
+    * bigram order, and bigram keeps the count table V²-bounded).
+    *
+    * Model: add-α smoothing, P(w2|w1) = (c(w1 w2) + 0.5) / (c(w1) + 0.5V).
+    * Score: avg_nll = −(Σ ln P)/n over the doc's bigrams; keep iff below
+    * a fixed threshold (3.42 ≈ the corpus p75 — CCNet's head+middle cut).
+    *
+    * Determinism discipline (the float-summation trap): each ln-term is
+    * rounded to 4 decimals and cast DECIMAL(38,4) BEFORE the per-doc sum
+    * — the sum is then exact and partial-aggregation order can never
+    * change the hash (ln itself is within-1-ulp engine-specific; the
+    * per-term round absorbs it — `text_tfidf` precedent). The per-doc
+    * average is then ONE unrounded double division of that exact sum —
+    * the identical IEEE op both sides, so it needs (and gets) no final
+    * round: a round-to-4 here once flipped a .xxxx5-boundary doc between
+    * the engines' rounding implementations.
+    *
+    * Scale: the unigram table is vocab-bounded (broadcast); the bigram
+    * count table is V²-bounded worst case so it joins as a plain
+    * equi-join on the bigram key (AQE broadcasts it when it is in fact
+    * small); per-doc aggregation is a map-side-combinable hash agg.
+    * Nothing touches the driver; no all-pairs anywhere. */
+  val lmPerplexity = GQuery(
+    "lm_perplexity",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .where(size(split(col("text"), " ")) >= 2)
+        .select(col("doc_id"), col("text"))
+      val big = docs.select(col("doc_id"),
+        explode(TextQueries.ngramShingles(col("text"), 2)).as("bg"))
+      // context count = bigrams STARTING with w1 (not the raw unigram
+      // count: a doc-final token has no successor, and normalizing by
+      // raw occurrences would leak its mass — the distribution must sum
+      // to exactly 1 over the V-word outcome space, which the spec pins)
+      val uni = big
+        .select(element_at(split(col("bg"), " "), 1).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("c1"))
+      // V = the full token vocabulary (the smoothing outcome space)
+      val vDf = docs
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .agg(count_distinct(col("tok")).cast(DoubleType).as("v"))
+      val bc = big.groupBy("bg").agg(count(lit(1)).as("c12"))
+      val scored = big
+        .join(bc, "bg")
+        .withColumn("w1", element_at(split(col("bg"), " "), 1))
+        .join(broadcast(uni), "w1")
+        .crossJoin(broadcast(vDf))
+        .withColumn("lp",
+          round(log((col("c12") + lit(0.5)) /
+            (col("c1") + lit(0.5) * col("v"))), 4)
+            .cast(DecimalType(38, 4)))
+      scored.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+        .select(
+          col("doc_id"),
+          col("n_bigrams"),
+          (-col("slp").cast(DoubleType) /
+            col("n_bigrams").cast(DoubleType)).as("avg_nll"))
+        .withColumn("lm_keep", col("avg_nll") < 3.42)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, str_split(text, ' ') AS l FROM documents
+        WHERE len(str_split(text, ' ')) >= 2),
+      big AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(l)),
+                 i -> l[i] || ' ' || l[i+1])) AS bg
+        FROM docs),
+      uni AS (
+        SELECT str_split(bg, ' ')[1] AS w1, COUNT(*) AS c1
+        FROM big GROUP BY 1),
+      v AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v
+            FROM (SELECT unnest(l) AS tok FROM docs)),
+      bc AS (SELECT bg, COUNT(*) AS c12 FROM big GROUP BY 1),
+      scored AS (
+        SELECT b.doc_id,
+               CAST(round(ln((bc.c12 + 0.5) / (u.c1 + 0.5 * v.v)), 4)
+                 AS DECIMAL(38,4)) AS lp
+        FROM big b
+        JOIN bc USING (bg)
+        JOIN uni u ON str_split(b.bg, ' ')[1] = u.w1
+        CROSS JOIN v),
+      per AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               -(CAST(SUM(lp) AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE)
+                 AS avg_nll
+        FROM scored GROUP BY 1)
+      SELECT doc_id, n_bigrams, avg_nll, avg_nll < 3.42 AS lm_keep
+      FROM per
+      ORDER BY doc_id
+    """))
+
   def all: Seq[GQuery] =
     Seq(piiScrub, lineDedup, tokenHistogram, profileStats, corpusClean,
-      sampleMixture)
+      sampleMixture, lmPerplexity)
 }

@@ -74,6 +74,40 @@ class CorpusQueriesSpec extends SparkTestBase {
     assert(counts.size === 1) // one scan, same row count per column
   }
 
+  test("lm_perplexity's smoothed model is a proper distribution; the cut splits") {
+    import org.apache.spark.sql.types.DoubleType
+    val docs = graft.Tables.documents(spark, sf)
+      .where(size(split(col("text"), " ")) >= 2)
+    val bc = docs.select(
+      explode(TextQueries.ngramShingles(col("text"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val allToks = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .select("tok").distinct().collect().map(_.getString(0))
+    val v = allToks.length.toDouble
+    // context counts from bigram starts, as the query derives them
+    val vocab = bc.toSeq
+      .groupBy { case (bg, _) => bg.split(" ")(0) }
+      .map { case (w1, gs) => w1 -> gs.map(_._2).sum }.toSeq
+    // For each context w1: sum over ALL w2 in vocab of
+    // (c12 + 0.5)/(c1 + 0.5V) must be exactly 1 (observed mass +
+    // smoothing mass) — the add-alpha model is a true distribution,
+    // so avg_nll is a real cross-entropy, not an ad-hoc score.
+    vocab.take(10).foreach { case (w1, c1) =>
+      val mass = allToks.map { w2 =>
+        (bc.getOrElse(s"$w1 $w2", 0L) + 0.5) / (c1 + 0.5 * v)
+      }.sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"context $w1: mass $mass")
+    }
+    val out = CorpusQueries.lmPerplexity.fn(spark, sf)
+      .agg(sum(when(col("lm_keep"), 1).otherwise(0)).as("kept"),
+        count(lit(1)).as("n"))
+      .collect()(0)
+    val (kept, n) = (out.getLong(0), out.getLong(1))
+    assert(kept > 0 && kept < n,
+      s"perplexity cut must split the corpus: kept=$kept of $n")
+  }
+
   test("corpus_clean emits only docs every stage admits") {
     val out = CorpusQueries.corpusClean.fn(spark, sf).cache()
     assert(out.count() > 0)
