@@ -442,7 +442,148 @@ object CorpusQueries {
       ORDER BY doc_id
     """))
 
+  /** Declarative data-quality constraint suite — the generalized form of
+    * the reference's verify step (`verifycalaccessrawdata.py:~40-90`
+    * checks counts; real deployments also assert uniqueness,
+    * completeness, domains, and referential integrity — the
+    * deequ/dbt-test shape). Emits one long-format row per constraint:
+    * (constraint, metric = violation count, ok).
+    *
+    * Plan shape is the part that matters at 100 TB: the five row-local
+    * constraints evaluate in ONE map-side-combinable pass over orders
+    * (conditional aggregates folded into a single 1-row agg, then
+    * stack()-unpivoted into the report — the `profile_stats`
+    * discipline). Exact PK uniqueness inherently needs per-key counts,
+    * so it is a DEDICATED two-level agg (partials shrink the shuffle to
+    * one row per locally-distinct key) rather than a count_distinct
+    * folded into the shared agg — that would Expand-double every
+    * scanned row for all constraints. The referential check is a
+    * broadcast anti-join against the dim. Driver holds |constraints|
+    * rows. */
+  /** The reusable constraint engine behind `constraint_check`: evaluate
+    * the orders-table constraint suite over any frame with the orders
+    * schema and return the long-format (constraint, metric, ok) report.
+    * See the GQuery scaladoc for the plan-shape contract. */
+  private[ops] def constraintReport(
+      orders: org.apache.spark.sql.DataFrame,
+      customer: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val one = orders.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_custkey").isNull, 1).otherwise(0))
+        .as("custkey_nulls"),
+      sum(when(col("o_totalprice") < 0, 1).otherwise(0))
+        .as("negative_price"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1)
+        .otherwise(0)).as("bad_status"),
+      sum(when(year(col("o_orderdate")).between(1990, 2010), 0)
+        .otherwise(1)).as("date_out_of_range"))
+    val single = one.select(expr(
+      """stack(5,
+         'o_custkey_complete',    custkey_nulls,
+         'o_orderdate_in_range',  date_out_of_range,
+         'o_orderstatus_domain',  bad_status,
+         'o_totalprice_nonneg',   negative_price,
+         'row_count_positive',    cast(n = 0 as bigint)
+         ) AS (`constraint`, metric)"""))
+    val pk = orders.groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") - 1), lit(0L)).as("metric"))
+      .select(lit("o_orderkey_unique").as("constraint"), col("metric"))
+    // NULL custkeys are the completeness constraint's business — and
+    // the engines disagree on them here (anti-join keeps a null key,
+    // SQL NOT IN drops it), so the FK check is explicitly non-null.
+    val fk = orders.where(col("o_custkey").isNotNull)
+      .join(
+        broadcast(customer.select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("metric"))
+      .select(lit("fk_orders_customer").as("constraint"), col("metric"))
+    single.unionByName(pk).unionByName(fk)
+      .select(col("constraint"), col("metric"),
+        (col("metric") === 0).as("ok"))
+      .orderBy("constraint")
+  }
+
+  val constraintCheck = GQuery(
+    "constraint_check",
+    (s, d) => {
+      val clean = Tables.orders(s, d)
+      // The testdata is clean, so a report over it is all-zeros — which
+      // would never show the checks FIRE. Derive a deterministic dirty
+      // frame (the pii_scrub/fuzzy_match discipline): from every 997th
+      // order, inject one row per violation class, each tripping exactly
+      // one constraint (key offsets keep the injections PK-unique except
+      // the verbatim re-insert, which IS the dupe). The oracle performs
+      // the identical injection, so every metric is exact and nonzero.
+      val base = clean.where(pmod(col("o_orderkey"), lit(997)) === 0)
+      def off(k: Long) = base.withColumn("o_orderkey",
+        col("o_orderkey") + lit(k))
+      val dirty = clean
+        .unionByName(base) // duplicate PKs
+        .unionByName(off(20000000L)
+          .withColumn("o_totalprice", -col("o_totalprice") - lit(1.0)))
+        .unionByName(off(30000000L)
+          .withColumn("o_custkey", lit(null).cast(LongType)))
+        .unionByName(off(40000000L)
+          .withColumn("o_orderstatus", lit("X")))
+        .unionByName(off(50000000L)
+          .withColumn("o_orderdate",
+            to_timestamp(lit("1888-01-01 00:00:00"))))
+        .unionByName(off(60000000L)
+          .withColumn("o_custkey", lit(-12345L)))
+      constraintReport(dirty, Tables.customer(s, d))
+    },
+    Some("""
+      WITH base AS (
+        SELECT * FROM orders WHERE o_orderkey % 997 = 0),
+      dirty AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority FROM orders
+        UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice, o_orderdate, o_orderpriority FROM base
+        UNION ALL SELECT o_orderkey + 20000000, o_custkey, o_orderstatus,
+               -o_totalprice - 1.0, o_orderdate, o_orderpriority FROM base
+        UNION ALL SELECT o_orderkey + 30000000, NULL, o_orderstatus,
+               o_totalprice, o_orderdate, o_orderpriority FROM base
+        UNION ALL SELECT o_orderkey + 40000000, o_custkey, 'X',
+               o_totalprice, o_orderdate, o_orderpriority FROM base
+        UNION ALL SELECT o_orderkey + 50000000, o_custkey, o_orderstatus,
+               o_totalprice, TIMESTAMP '1888-01-01 00:00:00',
+               o_orderpriority FROM base
+        UNION ALL SELECT o_orderkey + 60000000, -12345, o_orderstatus,
+               o_totalprice, o_orderdate, o_orderpriority FROM base),
+      agg AS (
+        SELECT COUNT(*) AS n,
+               COUNT(*) FILTER (WHERE o_custkey IS NULL) AS custkey_nulls,
+               COUNT(*) FILTER (WHERE o_totalprice < 0) AS negative_price,
+               COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P'))
+                 AS bad_status,
+               COUNT(*) FILTER (WHERE year(o_orderdate) NOT BETWEEN 1990 AND 2010)
+                 AS date_out_of_range
+        FROM dirty),
+      rows_ AS (
+        SELECT 'o_custkey_complete' AS "constraint",
+               CAST(custkey_nulls AS BIGINT) AS metric FROM agg
+        UNION ALL SELECT 'o_orderdate_in_range', date_out_of_range FROM agg
+        UNION ALL SELECT 'o_orderstatus_domain', bad_status FROM agg
+        UNION ALL SELECT 'o_totalprice_nonneg', negative_price FROM agg
+        UNION ALL SELECT 'row_count_positive', CAST(n = 0 AS BIGINT) FROM agg
+        UNION ALL
+        SELECT 'o_orderkey_unique',
+               (SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) FROM
+                 (SELECT COUNT(*) AS c FROM dirty GROUP BY o_orderkey))
+        UNION ALL
+        SELECT 'fk_orders_customer',
+               (SELECT COUNT(*) FROM dirty o
+                WHERE o.o_custkey IS NOT NULL AND o.o_custkey NOT IN
+                  (SELECT c_custkey FROM customer)))
+      SELECT "constraint", metric, metric = 0 AS ok
+      FROM rows_
+      ORDER BY "constraint"
+    """))
+
   def all: Seq[GQuery] =
     Seq(piiScrub, lineDedup, tokenHistogram, profileStats, corpusClean,
-      sampleMixture, lmPerplexity)
+      sampleMixture, lmPerplexity, constraintCheck)
 }

@@ -108,6 +108,28 @@ class CorpusQueriesSpec extends SparkTestBase {
       s"perplexity cut must split the corpus: kept=$kept of $n")
   }
 
+  test("constraint suite: clean data all-green; each injection trips its one check") {
+    val report = CorpusQueries.constraintReport(
+        graft.Tables.orders(spark, sf), graft.Tables.customer(spark, sf))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(report.size === 7)
+    report.foreach { case (c, (m, ok)) =>
+      assert(m === 0L && ok, s"clean data must satisfy $c (metric=$m)")
+    }
+    val dirty = CorpusQueries.constraintCheck.fn(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    val nBase = graft.Tables.orders(spark, sf)
+      .where(pmod(col("o_orderkey"), lit(997)) === 0).count()
+    assert(nBase > 0)
+    dirty.foreach { case (c, (m, ok)) =>
+      if (c == "row_count_positive") assert(m === 0L && ok)
+      else assert(m === nBase && !ok,
+        s"$c must fire exactly once per injected row: metric=$m vs $nBase")
+    }
+  }
+
   test("corpus_clean emits only docs every stage admits") {
     val out = CorpusQueries.corpusClean.fn(spark, sf).cache()
     assert(out.count() > 0)
