@@ -136,7 +136,15 @@ object ScaleSweep {
         // this sweeps the sizing choosers too), the Bloom history
         // pre-filter (build treeAggregate + map-side probe, both ∝ n),
         // and the scan-bound model-scoring fold
-        "sim_ivfpq", "dedup_bloom", "model_score")
+        "sim_ivfpq", "dedup_bloom", "model_score",
+        // round 11 late: the incremental-maintenance tier (state-merge
+        // aggs, per-day sketch build, z-interleave + tile agg — all
+        // single-pass ∝ n with |groups|/|days|/|tiles|-bounded outputs),
+        // the corpus-LM scoring join (count tables vocab-bounded, the
+        // per-bigram join ∝ n), and the constraint suite (one map-side
+        // pass + per-key uniqueness agg + broadcast anti-join)
+        "incr_agg", "incr_distinct", "rolling_wau", "zorder_layout",
+        "lm_perplexity", "constraint_check")
     val spark = graft.GraftSession.local(4, "graft-scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
