@@ -247,8 +247,19 @@ object Ann {
     * the probe embedding is inlined as a literal, so the search is one
     * probe-row lookup plus one TakeOrdered pass over the probed cells —
     * no joins, no shuffles. Returns (neighbor_id, sim, rank). */
+  /** `candidateFilter`: optional predicate over the index's `assigned`
+    * columns applied to candidates AFTER cell pruning and BEFORE
+    * ranking — query-time filtered search (the "metadata filter" of a
+    * vector store; payload columns carried alongside id/embedding/cell
+    * are in scope). Filtering candidates, not results, keeps top-k
+    * semantics: the k best MATCHING vectors, not matching rows of the
+    * unfiltered top-k. Selective filters thin the probed cells, so
+    * recall against a filtered brute-force baseline needs nProbe sized
+    * for the post-filter candidate count (`sim_filtered` verifies at
+    * nProbe=3 against its filtered anchor). */
   def query(index: IvfIndex, probeId: Long, topK: Int, nProbe: Int,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      candidateFilter: Option[Column] = None): DataFrame = {
     val probe: Seq[Double] = index.assigned
       .filter(col(idCol) === probeId)
       .select(transform(col(embCol), _.cast(DoubleType)))
@@ -263,9 +274,10 @@ object Ann {
       .take(nProbe)
       .map(_._1)
     val pnorm = localNorm(probe)
-    index.assigned
-      .filter(col("cell").isin(cells: _*))
-      .filter(col(idCol) =!= probeId)
+    candidateFilter.foldLeft(
+        index.assigned
+          .filter(col("cell").isin(cells: _*))
+          .filter(col(idCol) =!= probeId))((df, p) => df.filter(p))
       .select(col(idCol).as("neighbor_id"),
         guardedSim(col(embCol), litVec(probe), lit(pnorm)).as("sim"))
       .orderBy(col("sim").desc, col("neighbor_id"))

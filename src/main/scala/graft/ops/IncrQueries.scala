@@ -229,7 +229,7 @@ object IncrQueries {
     * shifts/masks (constant-folded per bit), so the whole computation
     * stays inside WholeStageCodegen and is portable to the oracle as the
     * identical 2·zBits-term integer expression. */
-  private[ops] def zvalue(x: Column, y: Column): Column =
+  def zvalue(x: Column, y: Column): Column =
     (0 until zBits).map { b =>
       shiftleft(shiftright(x, b).bitwiseAND(lit(1)), 2 * b + 1)
         .bitwiseOR(

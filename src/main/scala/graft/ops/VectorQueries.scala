@@ -66,14 +66,17 @@ object VectorQueries {
     * global window. Output carries only integer ids/ranks so the hash
     * can never wobble on float ulps. */
   private def bruteTopK(s: org.apache.spark.sql.SparkSession, d: String,
-      topK: Int): org.apache.spark.sql.DataFrame = {
+      topK: Int,
+      extraFilter: Option[org.apache.spark.sql.Column] = None)
+      : org.apache.spark.sql.DataFrame = {
     val e = Tables.embeddings(s, d)
     val probe: Seq[Double] = e.filter(col("vec_id") === 0)
       .select(transform(col("embedding"), _.cast(DoubleType)))
       .head().getSeq[Double](0).toSeq
     val pnorm = math.sqrt(probe.foldLeft(0.0)((acc, x) => acc + x * x))
     val litProbe = array(probe.map(lit): _*)
-    e.filter(col("vec_id") =!= 0)
+    extraFilter.foldLeft(e.filter(col("vec_id") =!= 0))(
+        (df, p) => df.filter(p))
       .select(col("vec_id").as("neighbor_id"),
         (dot(col("embedding"), litProbe) /
           (sqrt(sumSq(col("embedding"))) * lit(pnorm))).as("sim"))
@@ -303,8 +306,10 @@ object VectorQueries {
     * exactly ONCE per invocation. */
   private def recallAnchored(s: org.apache.spark.sql.SparkSession, d: String,
       approxTop: org.apache.spark.sql.DataFrame, topK: Int,
-      minHits: Int): org.apache.spark.sql.DataFrame = {
-    val brute = bruteTopK(s, d, topK)
+      minHits: Int,
+      extraFilter: Option[org.apache.spark.sql.Column] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val brute = bruteTopK(s, d, topK, extraFilter)
     val hits = approxTop.select(col("neighbor_id"), lit(1L).as("hit"))
     brute.join(broadcast(hits), Seq("neighbor_id"), "left")
       .select(col("rnk"), col("neighbor_id"),
@@ -388,6 +393,42 @@ object VectorQueries {
     "sim_ivf_loaded",
     (s, d) => ivfWithRecall(s, d, Ann.load(s, savedIvfPath(s, d, k = 8))),
     Some(ivfRecallOracle))
+
+  /** Query-time FILTERED search on the persisted index — the vector
+    * store "metadata filter" (retrieve the top-k among rows matching a
+    * payload predicate, here id-parity standing in for a payload
+    * column). The predicate applies to CANDIDATES after cell pruning
+    * and before ranking ([[Ann.query]]'s `candidateFilter`), so the
+    * result is the k best matching vectors — not the matching subset of
+    * the unfiltered top-k, which is the classic filtered-search bug
+    * (post-filtering can return < k rows and misses matches outside the
+    * unfiltered shortlist). Anchored against the FILTERED brute-force
+    * top-5 with the usual recall tolerance; `AnnFilteredSpec` pins
+    * exactness under full probing and the candidate-set semantics. */
+  val simFiltered = GQuery(
+    "sim_filtered",
+    (s, d) => {
+      val pred = pmod(col("vec_id"), lit(3)) === 0
+      recallAnchored(s, d,
+        Ann.query(Ann.load(s, savedIvfPath(s, d, k = 8)),
+          probeId = 0, topK = IvfTopK, nProbe = 3,
+          candidateFilter = Some(pred)),
+        IvfTopK, minHits = 3, extraFilter = Some(pred))
+    },
+    Some(s"""
+      WITH probe AS (SELECT embedding AS probe_emb FROM embeddings WHERE vec_id = 0),
+      sims AS (
+        SELECT e.vec_id AS neighbor_id,
+               list_cosine_similarity(e.embedding, p.probe_emb) AS sim
+        FROM embeddings e, probe p
+        WHERE e.vec_id <> 0 AND e.vec_id % 3 = 0)
+      SELECT rnk, neighbor_id, TRUE AS recall_ok
+      FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk,
+                   neighbor_id
+            FROM sims)
+      WHERE rnk <= $IvfTopK
+      ORDER BY rnk
+    """))
 
   /** Grow-by-append path per (sfDir, k), built at most once per
     * process: the index is TRAINED AND SAVED on only the even-id half
@@ -785,7 +826,8 @@ object VectorQueries {
 
   def all: Seq[GQuery] =
     Seq(vecNorm, simTopk, simBucketed, simPairs, dedupEmbed,
-      dedupEmbedCluster, simIvf, simIvfLoaded, simIvfAppend, simServe,
+      dedupEmbedCluster, simIvf, simIvfLoaded, simFiltered, simIvfAppend,
+      simServe,
       simPq, simIvfpq, simIvfpqLoaded, knnJoin, embedQuantize,
       simTopkBatch)
 }
