@@ -74,6 +74,22 @@ class IncrSpec extends SparkTestBase {
       s"expected scan-side Filter under the Exchange in:\n$plan")
   }
 
+  test("warehouse_refresh gate: clean delta passes, dirty delta fails") {
+    val clean = graft.SparkEntry.queries("warehouse_refresh")(spark, sf)
+      .collect()
+    assert(clean.nonEmpty && clean.forall(_.getBoolean(3)),
+      "clean delta must publish with gate_ok=true")
+    // poison one delta row (duplicate PK) and re-run the gate alone
+    val orders = Tables.orders(spark, sf)
+    val delta = orders.where(year(col("o_orderdate")) >= 1999)
+    val dirty = delta.unionByName(delta.limit(1))
+    val gate = CorpusQueries
+      .constraintReport(dirty, Tables.customer(spark, sf))
+      .agg(sum(when(col("ok"), 0).otherwise(1)).as("violations"))
+      .collect()(0).getLong(0)
+    assert(gate > 0, "a duplicated delta PK must trip the gate")
+  }
+
   test("incr_agg output equals the monolithic groupBy frame exactly") {
     val incr = graft.SparkEntry.queries("incr_agg")(spark, sf)
       .collect().map(_.toSeq).toSeq
