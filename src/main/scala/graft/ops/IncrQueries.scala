@@ -220,6 +220,51 @@ object IncrQueries {
       ORDER BY day
     """))
 
+  /** Incremental TOP-K maintenance — the third mergeable state kind
+    * after algebraic sums ([[incrAgg]]) and sketches ([[incrDistinct]]):
+    * a per-group top-k list is a monoid (merge = concat → re-rank →
+    * truncate), so the refresh keeps k rows per group as state and
+    * folds in the delta's top-k without ever rescanning history. The
+    * identity is EXACT (unlike sketches): top-k(old ⊎ delta) =
+    * top-k(top-k(old) ⊎ top-k(delta)), because a row outside its
+    * side's top-k cannot enter the merged top-k. The oracle recomputes
+    * the full-scan top-k, so the hash match proves that identity.
+    *
+    * Per-side top-k goes through a partitioned window (WindowGroupLimit
+    * pushes the limit into the sort — no global sort); the merge ranks
+    * 2k rows per group. Ties break on the PK so the result is total. */
+  val incrTopk = GQuery(
+    "incr_topk",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val orders = Tables.orders(s, d)
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      def topk(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("o_orderpriority"), col("o_orderkey"),
+            col("o_totalprice"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 5).drop("rn")
+      val state = topk(orders.where(year(col("o_orderdate")) < splitYear))
+      val delta = topk(orders.where(year(col("o_orderdate")) >= splitYear))
+      state.unionByName(delta)
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .where(col("rnk") <= 5)
+        .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy("o_orderpriority", "rnk")
+    },
+    Some("""
+      SELECT o_orderpriority, rnk, o_orderkey, o_totalprice
+      FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+        FROM orders)
+      WHERE rnk <= 5
+      ORDER BY o_orderpriority, rnk
+    """))
+
   /** Audience overlap between every pair of event types from SKETCH
     * ALGEBRA: |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B), with the union
     * estimated by `hll_union` of the two per-group sketches — the
@@ -413,6 +458,6 @@ object IncrQueries {
     """))
 
   val all: Seq[GQuery] =
-    Seq(incrAgg, incrDistinct, rollingWau, overlapSketch, zorderLayout,
-      warehouseRefresh)
+    Seq(incrAgg, incrDistinct, incrTopk, rollingWau, overlapSketch,
+      zorderLayout, warehouseRefresh)
 }

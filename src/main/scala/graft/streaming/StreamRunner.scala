@@ -48,6 +48,21 @@ object StreamRunner {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Streaming daily actives — the streaming form of the incremental
+    * distinct tier (`incr_distinct` / `rolling_wau`): per-day DISTINCT
+    * users maintained by the HLL++ sketch INSIDE the streaming state
+    * store (`approx_count_distinct` is an incremental aggregate, so
+    * each micro-batch folds into fixed-size per-window state — exact
+    * distinct would grow state by every key ever seen, which the
+    * watermark could never bound). StreamingSpec pins stream ≡ static. */
+  def dailyActives(events: DataFrame,
+      watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("active_users"))
+      .select(col("window.start").as("day"), col("active_users"))
+
   /** T5: watermarked stateful dedup on event_id. */
   def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events

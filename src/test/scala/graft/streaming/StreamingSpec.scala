@@ -48,6 +48,18 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.toSeq === static.toSeq)
   }
 
+  test("streamed daily actives (sketch state) equal the static computation") {
+    import spark.implicits._
+    val streamed = runStream(StreamRunner.dailyActives(_), "complete")
+      .orderBy("day").collect()
+    val static = StreamRunner.dailyActives(mkEvents.toDF())
+      .orderBy("day").collect()
+    assert(streamed.toSeq === static.toSeq)
+    // the 200-event fixture spans 7 distinct users in one day — the
+    // rsd=0.01 sketch must be exact at this cardinality
+    assert(streamed.map(_.getLong(1)).toSeq === Seq(7L))
+  }
+
   test("streamed session windows equal the static computation") {
     import spark.implicits._
     val streamed = runStream(StreamRunner.sessionCounts(_), "complete")
