@@ -144,7 +144,12 @@ object ScaleSweep {
         // per-bigram join ∝ n), and the constraint suite (one map-side
         // pass + per-key uniqueness agg + broadcast anti-join)
         "incr_agg", "incr_distinct", "rolling_wau", "zorder_layout",
-        "lm_perplexity", "constraint_check")
+        "lm_perplexity", "constraint_check",
+        // round 11 latest: the exact top-k monoid merge, the sketch-
+        // algebra pair report, the composed gate→merge→publish refresh,
+        // and the filtered ANN serving path
+        "incr_topk", "overlap_sketch", "warehouse_refresh",
+        "sim_filtered")
     val spark = graft.GraftSession.local(4, "graft-scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
