@@ -153,6 +153,58 @@ object JoinQueries {
       ORDER BY r_name
     """))
 
+  /** TPC-H Q5 shape — the 6-table "local supplier volume" report:
+    * revenue per nation for orders in a date window where the customer
+    * and the line's supplier share a nation inside one region. Beyond
+    * [[joinStar]] this adds the cross-fact CORRELATION (c_nationkey =
+    * s_nationkey — an extra equi-condition between two dimension
+    * branches of the same fact row), selective dim + date filters that
+    * must reach the scans, and the revenue-ordered output. Join
+    * strategy: facts shuffle on their keys; all four dims broadcast;
+    * the region filter prunes nation before it ever reaches the fact
+    * side. Revenue follows the joinStar decimal discipline (per-row
+    * product cast DECIMAL(18,4), exact order-free sum, double at the
+    * edge). */
+  val q5LocalSupplier = GQuery(
+    "q5_local_supplier",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d)
+            .where(year(col("o_orderdate")).between(1996, 1997)),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)
+            .where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 4))).cast(DecimalType(38, 4))
+            .cast(DoubleType)
+            .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name")),
+    Some("""
+      SELECT n_name,
+             CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+       AND year(o_orderdate) BETWEEN 1996 AND 1997
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+       AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name
+    """))
+
   /** As-of join (extension — the reference has only equi-joins, but a
     * temporal training pipeline needs this constantly): for every purchase
     * event, the most recent click by the same user at or before it.
@@ -472,6 +524,6 @@ object JoinQueries {
 
   def all: Seq[GQuery] =
     Seq(joinInner, joinBroadcast, joinLeft, joinSemi, joinAnti, joinStar,
-      joinAsof, joinRange, joinFull, bucketedJoin, joinSalted, fuzzyMatch,
-      partitionedScan)
+      q5LocalSupplier, joinAsof, joinRange, joinFull, bucketedJoin,
+      joinSalted, fuzzyMatch, partitionedScan)
 }

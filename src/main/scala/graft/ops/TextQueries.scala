@@ -314,6 +314,38 @@ object TextQueries {
       ORDER BY doc_id
     """))
 
+  /** Exact-k per-group sampling: exactly 20 documents per language,
+    * chosen by md5 rank — the eval-set construction shape ("give me
+    * exactly k examples per stratum"), complementing the rate-based
+    * [[sampleStratified]]. Rank-by-hash makes it RNG-free and
+    * deterministic, and near-append-stable (one new doc displaces at
+    * most one sampled doc in its stratum). Plan: the rank ≤ k window
+    * compiles to WindowGroupLimit — per-partition group-local top-k
+    * heaps, no global sort, so the pass is one shuffle on lang with
+    * k-bounded output per group at any corpus size. */
+  val sampleExactK = GQuery(
+    "sample_exact_k",
+    (s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .where(col("rk") <= 20)
+        .orderBy("lang", "rk")
+    },
+    Some("""
+      SELECT lang, doc_id, rk
+      FROM (
+        SELECT lang, doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+                 AS rk
+        FROM documents)
+      WHERE rk <= 20
+      ORDER BY lang, rk
+    """))
+
   /** TF-IDF: term frequency × ln(N/df), top-3 terms per document — the
     * classic relevance/keyword-extraction primitive. Shape: word-count
     * explode (map-side combinable) for tf; the df table is |vocab| rows
@@ -622,6 +654,6 @@ object TextQueries {
 
   def all: Seq[GQuery] = Seq(textTokens, tokenCount, textQuality, langId,
     docFingerprint, dedupExact, dedupJaccard, textBigrams, splitHash,
-    sampleStratified, textTfidf, packSequences, decontaminate,
+    sampleStratified, sampleExactK, textTfidf, packSequences, decontaminate,
     textRepetition, heavyHitters, modelScore)
 }

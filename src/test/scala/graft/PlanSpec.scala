@@ -38,6 +38,20 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q5: all four dims broadcast, filters reach the scans, no cartesian") {
+    val p = plan("q5_local_supplier")
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the region filter is applied dim-side, never against the fact rows
+    assert(p.contains("EqualTo(r_name,ASIA)") || p.contains("r_name = ASIA")
+      || p.contains("(r_name#"), p)
+  }
+
+  test("sample_exact_k prunes per group below the shuffle") {
+    assert(plan("sample_exact_k").contains("WindowGroupLimit"))
+  }
+
   test("global top-k compiles to TakeOrderedAndProject, not a full sort") {
     assert(plan("topk").contains("TakeOrderedAndProject"))
   }
