@@ -149,7 +149,10 @@ object ScaleSweep {
         // algebra pair report, the composed gate→merge→publish refresh,
         // and the filtered ANN serving path
         "incr_topk", "overlap_sketch", "warehouse_refresh",
-        "sim_filtered")
+        "sim_filtered",
+        // the six-table correlated star (facts shuffle, dims broadcast)
+        // and the WindowGroupLimit-bounded exact-k sampler
+        "q5_local_supplier", "sample_exact_k")
     val spark = graft.GraftSession.local(4, "graft-scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
