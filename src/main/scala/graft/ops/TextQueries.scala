@@ -586,6 +586,83 @@ object TextQueries {
       ORDER BY cnt DESC, token
     """))
 
+  /** Tree-ensemble (GBDT-style) inference compiled to pure expressions —
+    * the other half of model-based corpus filtering after the linear
+    * [[modelScore]]: each tree is its root-to-leaf decision structure
+    * as nested `when/otherwise` over per-document features, the
+    * ensemble score is the sum of leaf values, and the whole thing
+    * fuses into the scan's codegen (no UDF, no shuffle, no model
+    * server) — the operator-fusion shape for ML inference inside the
+    * SQL engine. Features (char length, token count, integer avg word
+    * length, digit-token count) are integer-exact so the engines can
+    * never diverge on a threshold comparison; leaf values are integers
+    * so the ensemble sum is exact.
+    *
+    * A trained GBDT exports to exactly this form (each tree a CASE
+    * cascade); depth-3 × 3 trees here keeps the oracle legible. Scale:
+    * one narrow projection over the scan — the same scan-bound contract
+    * as `model_score`. */
+  val treeScore = GQuery(
+    "tree_score",
+    (s, d) => {
+      val toks = split(coalesce(col("text"), lit("")), " ")
+      val base = Tables.documents(s, d).select(
+        col("doc_id"),
+        length(coalesce(col("text"), lit("")))
+          .cast(LongType).as("n_chars_f"),
+        size(toks).cast(LongType).as("n_toks"),
+        size(filter(toks, t => t.rlike("^[0-9]+$")))
+          .cast(LongType).as("n_digit"))
+        // integer (div) not float (/) division: exact and identical in
+        // both engines, so a threshold comparison can never split them
+        .withColumn("avg_wlen",
+          expr("(n_chars_f - (n_toks - 1)) div n_toks"))
+      val t1 = when(col("n_toks") < 40,
+        when(col("n_chars_f") < 150, -30).otherwise(-10))
+        .otherwise(when(col("n_toks") < 90, 15).otherwise(25))
+      val t2 = when(col("avg_wlen") < 4,
+        when(col("n_digit") > 5, -20).otherwise(5))
+        .otherwise(when(col("avg_wlen") < 6, 10).otherwise(-5))
+      val t3 = when(col("n_digit") === 0,
+        when(col("n_toks") < 60, 0).otherwise(10))
+        .otherwise(when(col("n_digit") < 3, 5).otherwise(-15))
+      base.select(col("doc_id"), col("n_toks"),
+          (lit(0L) + t1 + t2 + t3).as("tree_score"))
+        .withColumn("tree_keep", col("tree_score") >= 20)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id,
+               CAST(len(coalesce(text, '')) AS BIGINT) AS n_chars_f,
+               CAST(len(str_split(coalesce(text, ''), ' ')) AS BIGINT)
+                 AS n_toks,
+               CAST(len(list_filter(str_split(coalesce(text, ''), ' '),
+                 t -> regexp_full_match(t, '[0-9]+'))) AS BIGINT) AS n_digit
+        FROM documents),
+      feats AS (
+        SELECT doc_id, n_chars_f, n_toks, n_digit,
+               (n_chars_f - (n_toks - 1)) // n_toks AS avg_wlen
+        FROM f),
+      scored AS (
+        SELECT doc_id, n_toks,
+          (CASE WHEN n_toks < 40
+                THEN CASE WHEN n_chars_f < 150 THEN -30 ELSE -10 END
+                ELSE CASE WHEN n_toks < 90 THEN 15 ELSE 25 END END)
+        + (CASE WHEN avg_wlen < 4
+                THEN CASE WHEN n_digit > 5 THEN -20 ELSE 5 END
+                ELSE CASE WHEN avg_wlen < 6 THEN 10 ELSE -5 END END)
+        + (CASE WHEN n_digit = 0
+                THEN CASE WHEN n_toks < 60 THEN 0 ELSE 10 END
+                ELSE CASE WHEN n_digit < 3 THEN 5 ELSE -15 END END)
+          AS tree_score
+        FROM feats)
+      SELECT doc_id, n_toks, CAST(tree_score AS BIGINT) AS tree_score,
+             tree_score >= 20 AS tree_keep
+      FROM scored
+      ORDER BY doc_id
+    """))
+
   /** Hashed-feature linear model scoring — the fastText-style quality
     * classifier pass a corpus pipeline runs to keep/drop documents. Each
     * token hashes into one of 256 feature buckets (the md5-derived
@@ -655,5 +732,5 @@ object TextQueries {
   def all: Seq[GQuery] = Seq(textTokens, tokenCount, textQuality, langId,
     docFingerprint, dedupExact, dedupJaccard, textBigrams, splitHash,
     sampleStratified, sampleExactK, textTfidf, packSequences, decontaminate,
-    textRepetition, heavyHitters, modelScore)
+    textRepetition, heavyHitters, modelScore, treeScore)
 }
