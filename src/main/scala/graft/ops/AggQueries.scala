@@ -546,8 +546,76 @@ object AggQueries {
       ORDER BY l_returnflag
     """))
 
+  /** Join-key skew diagnosis — the report you run BEFORE deciding to
+    * salt (`ops/Skew`): per-key frequency profile of a join/agg key,
+    * the top hot keys with their share of all rows, and a skew verdict
+    * (hot count > 10× the mean per-key count). At 100 TB this is one
+    * map-side-combinable count per key (the shuffle moves |keys| rows)
+    * plus a top-k over the |keys|-sized count frame — diagnosis costs
+    * one cheap pass, which is why it should run routinely.
+    *
+    * The testdata's key distribution is deliberately uniform, so the
+    * query injects a deterministic hot key first (every order of
+    * customer 7 replicated ×40 — the `constraint_check` injection
+    * discipline, identically derivable in the oracle): the verdict
+    * provably FIRES on the hot key and stays false on the organic
+    * ones. */
+  val skewReport = GQuery(
+    "skew_report",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val orders = Tables.orders(s, d)
+      val dirty = orders.unionByName(
+        orders.where(col("o_custkey") === 7)
+          .withColumn("_rep", explode(sequence(lit(1), lit(40))))
+          .drop("_rep"))
+      val perKey = dirty.groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("c"))
+      val totals = perKey.agg(
+        sum(col("c")).as("n_rows"),
+        count(lit(1)).as("n_keys"))
+      val w = Window.orderBy(col("c").desc, col("k"))
+      perKey
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .where(col("rnk") <= 3)
+        .crossJoin(broadcast(totals))
+        .select(
+          col("rnk"), col("k").as("hot_key"), col("c").as("cnt"),
+          col("n_rows"), col("n_keys"),
+          (col("c").cast(DoubleType) * 100d /
+            col("n_rows").cast(DoubleType)).as("share_pct"),
+          (col("c").cast(DoubleType) >
+            lit(10d) * col("n_rows").cast(DoubleType) /
+              col("n_keys").cast(DoubleType)).as("skewed"))
+        .orderBy("rnk")
+    },
+    Some("""
+      WITH dirty AS (
+        SELECT o_custkey FROM orders
+        UNION ALL
+        SELECT o_custkey
+        FROM orders, unnest(generate_series(1, 40)) AS t(i)
+        WHERE o_custkey = 7),
+      kc AS (SELECT o_custkey AS k, COUNT(*) AS c FROM dirty GROUP BY 1),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+                     COUNT(*) AS n_keys FROM kc),
+      ranked AS (
+        SELECT k, c,
+               CAST(ROW_NUMBER() OVER (ORDER BY c DESC, k) AS BIGINT)
+                 AS rnk
+        FROM kc)
+      SELECT rnk, k AS hot_key, c AS cnt, n_rows, n_keys,
+             CAST(c AS DOUBLE) * 100 / CAST(n_rows AS DOUBLE) AS share_pct,
+             CAST(c AS DOUBLE) >
+               10 * CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)
+               AS skewed
+      FROM ranked, tot
+      WHERE rnk <= 3
+      ORDER BY rnk
+    """))
+
   def all: Seq[GQuery] = Seq(aggCount, aggGroup, aggMinmax, aggDistinct,
     aggApproxDistinct, aggAvg, aggRollup, aggCube, aggConditional, aggPivot,
     aggStats, aggPercentile, aggPercentileHist, aggApproxPercentile,
-    aggListagg, aggArgmax, aggGroupingSets, aggSalted)
+    aggListagg, aggArgmax, aggGroupingSets, aggSalted, skewReport)
 }
