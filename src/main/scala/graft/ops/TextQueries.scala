@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{GQuery, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -586,6 +587,63 @@ object TextQueries {
       ORDER BY cnt DESC, token
     """))
 
+  /** Quantile binning (feature discretization): assign every document
+    * its length QUARTILE and report the bin histogram — the
+    * equal-frequency binning a feature pipeline applies before bucketed
+    * embeddings / monotonic models, and the curriculum-bucketing step of
+    * a training mix. Two-phase at scale: ONE aggregation computes the
+    * 3 cutpoints (exact percentile here; swap `approx_percentile` at
+    * 100 TB — same plan shape), broadcast as a 1-row frame; the binning
+    * itself is a map-side fold of the value against the cutpoint array
+    * fused into the scan. Cutpoints are rounded to 4 decimals through
+    * DECIMAL(38,4) on BOTH engines before comparison (the
+    * `agg_percentile` ulp discipline), so boundary membership can never
+    * split the engines. */
+  val quantileBins = GQuery(
+    "quantile_bins",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+      def r4(c: Column) =
+        round(c, 4).cast(DecimalType(38, 4)).cast(DoubleType)
+      val cuts = docs.agg(array(
+        r4(expr("percentile(CAST(n_chars AS DOUBLE), 0.25)")),
+        r4(expr("percentile(CAST(n_chars AS DOUBLE), 0.5)")),
+        r4(expr("percentile(CAST(n_chars AS DOUBLE), 0.75)")))
+        .as("cuts"))
+      docs.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("n_chars"),
+          (aggregate(col("cuts"), lit(0),
+            (acc, c) => acc +
+              when(col("n_chars").cast(DoubleType) > c, 1).otherwise(0))
+            + 1).cast(LongType).as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+        .orderBy("bin")
+    },
+    Some("""
+      WITH cuts AS (
+        SELECT
+          CAST(CAST(round(quantile_cont(CAST(n_chars AS DOUBLE), 0.25), 4) AS DECIMAL(38,4)) AS DOUBLE) AS c1,
+          CAST(CAST(round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4) AS DECIMAL(38,4)) AS DOUBLE) AS c2,
+          CAST(CAST(round(quantile_cont(CAST(n_chars AS DOUBLE), 0.75), 4) AS DECIMAL(38,4)) AS DOUBLE) AS c3
+        FROM documents),
+      binned AS (
+        SELECT doc_id, n_chars,
+               CAST(1
+                 + CASE WHEN CAST(n_chars AS DOUBLE) > c1 THEN 1 ELSE 0 END
+                 + CASE WHEN CAST(n_chars AS DOUBLE) > c2 THEN 1 ELSE 0 END
+                 + CASE WHEN CAST(n_chars AS DOUBLE) > c3 THEN 1 ELSE 0 END
+                 AS BIGINT) AS bin
+        FROM documents, cuts)
+      SELECT bin, COUNT(*) AS cnt,
+             MIN(n_chars) AS lo, MAX(n_chars) AS hi
+      FROM binned
+      GROUP BY bin
+      ORDER BY bin
+    """))
+
   /** Tree-ensemble (GBDT-style) inference compiled to pure expressions —
     * the other half of model-based corpus filtering after the linear
     * [[modelScore]]: each tree is its root-to-leaf decision structure
@@ -732,5 +790,5 @@ object TextQueries {
   def all: Seq[GQuery] = Seq(textTokens, tokenCount, textQuality, langId,
     docFingerprint, dedupExact, dedupJaccard, textBigrams, splitHash,
     sampleStratified, sampleExactK, textTfidf, packSequences, decontaminate,
-    textRepetition, heavyHitters, modelScore, treeScore)
+    textRepetition, heavyHitters, modelScore, treeScore, quantileBins)
 }
