@@ -152,7 +152,10 @@ object ScaleSweep {
         "sim_filtered",
         // the six-table correlated star (facts shuffle, dims broadcast)
         // and the WindowGroupLimit-bounded exact-k sampler
-        "q5_local_supplier", "sample_exact_k")
+        "q5_local_supplier", "sample_exact_k",
+        // scan-fused model inference, key-skew diagnosis (|keys|-row
+        // shuffle), and two-phase quantile binning
+        "tree_score", "skew_report", "quantile_bins")
     val spark = graft.GraftSession.local(4, "graft-scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
