@@ -476,8 +476,11 @@ object CorpusQueries {
         .as("negative_price"),
       sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1)
         .otherwise(0)).as("bad_status"),
-      sum(when(year(col("o_orderdate")).between(1990, 2010), 0)
-        .otherwise(1)).as("date_out_of_range"))
+      // when(VIOLATION, 1).otherwise(0), NOT the inverted form: a NULL
+      // date must count as 0 here (completeness checks own nulls) to
+      // match the oracle's COUNT(*) FILTER, which skips NULL predicates
+      sum(when(not(year(col("o_orderdate")).between(1990, 2010)), 1)
+        .otherwise(0)).as("date_out_of_range"))
     val single = one.select(expr(
       """stack(5,
          'o_custkey_complete',    custkey_nulls,

@@ -50,6 +50,28 @@ object IncrQueries {
     * release grain). */
   private val splitYear = 1999
 
+  /** The shared algebraic state shape of [[incrAgg]] and
+    * [[warehouseRefresh]]: per-priority (count, exact decimal sum)
+    * partials, and their state ⊎ delta merge — ONE definition so the
+    * two registry entries that both claim "merge ≡ full recompute"
+    * can never drift apart on the decimal discipline or group key. */
+  private def priorityPartial(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(money(col("o_totalprice")))
+          .cast(DecimalType(38, 2)).as("sum_dec"))
+
+  private def mergeState(state: org.apache.spark.sql.DataFrame,
+      delta: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    state.unionByName(delta)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(col("cnt")).as("cnt"),
+        sum(col("sum_dec")).cast(DecimalType(38, 2)).as("sum_dec"))
+
   /** Incremental algebraic aggregate maintenance: merged per-group
     * (count, sum) state over [history ⊎ delta] == full recompute.
     *
@@ -68,20 +90,9 @@ object IncrQueries {
     "incr_agg",
     (s, d) => {
       val orders = Tables.orders(s, d)
-      def partial(df: org.apache.spark.sql.DataFrame) =
-        df.groupBy(col("o_orderpriority"))
-          .agg(
-            count(lit(1)).as("cnt"),
-            sum(money(col("o_totalprice")))
-              .cast(DecimalType(38, 2)).as("sum_dec"))
-      val state = partial(orders.where(year(col("o_orderdate")) < splitYear))
-      val deltaPart =
-        partial(orders.where(year(col("o_orderdate")) >= splitYear))
-      state.unionByName(deltaPart)
-        .groupBy(col("o_orderpriority"))
-        .agg(
-          sum(col("cnt")).as("cnt"),
-          sum(col("sum_dec")).cast(DecimalType(38, 2)).as("sum_dec"))
+      mergeState(
+        priorityPartial(orders.where(year(col("o_orderdate")) < splitYear)),
+        priorityPartial(orders.where(year(col("o_orderdate")) >= splitYear)))
         .select(
           col("o_orderpriority"),
           col("cnt"),
@@ -183,10 +194,17 @@ object IncrQueries {
         .select(to_date(col("ts")).as("day"), col("user_id"))
       val perDay = ev.groupBy(col("day"))
         .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
-      val rolled = perDay.withColumn(
-        "est_wau",
-        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))
-          .over(Window.orderBy("day").rowsBetween(-6, 0))))
+      // RANGE frame over the epoch-day NUMBER, not ROWS over state rows:
+      // with a gap day in the calendar, rowsBetween(-6, 0) would merge
+      // the 7 most recent PRESENT days (reaching back 8+ calendar days)
+      // and silently diverge from the trailing-7-CALENDAR-day contract
+      // the exact anchor and the oracle compute.
+      val rolled = perDay
+        .withColumn("day_num", unix_date(col("day")))
+        .withColumn(
+          "est_wau",
+          hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))
+            .over(Window.orderBy(col("day_num")).rangeBetween(-6, 0))))
       val pairs = ev.distinct()
       val days = perDay.select(col("day").as("anchor_day"))
       val exact = pairs
@@ -427,18 +445,9 @@ object IncrQueries {
       val gateOk = CorpusQueries
         .constraintReport(delta, Tables.customer(s, d))
         .agg((sum(when(col("ok"), 0).otherwise(1)) === 0).as("gate_ok"))
-      def partial(df: org.apache.spark.sql.DataFrame) =
-        df.groupBy(col("o_orderpriority"))
-          .agg(
-            count(lit(1)).as("cnt"),
-            sum(money(col("o_totalprice")))
-              .cast(DecimalType(38, 2)).as("sum_dec"))
-      partial(orders.where(year(col("o_orderdate")) < splitYear))
-        .unionByName(partial(delta))
-        .groupBy(col("o_orderpriority"))
-        .agg(
-          sum(col("cnt")).as("cnt"),
-          sum(col("sum_dec")).cast(DecimalType(38, 2)).as("sum_dec"))
+      mergeState(
+        priorityPartial(orders.where(year(col("o_orderdate")) < splitYear)),
+        priorityPartial(delta))
         .crossJoin(broadcast(gateOk))
         .select(
           col("o_orderpriority"),

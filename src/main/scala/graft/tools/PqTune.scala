@@ -19,14 +19,18 @@ object PqTune {
     val brute = graft.SparkEntry.queries("sim_topk")(spark, sfDir)
       .select("neighbor_id").collect().map(_.getLong(0)).toSet
     println(s"[pqtune] corpus=$n brute top5=${brute.toSeq.sorted}")
-    for (m <- Seq(4, 8); codes <- Seq(16, 64);
-         shortlist <- Seq(50, 200, 500)) {
+    // the index depends only on (m, codes) — build once per pair, not
+    // once per shortlist, or the sweep pays Lloyd's training 3× over
+    for (m <- Seq(4, 8); codes <- Seq(16, 64)) {
       val idx = Pq.build(e, m = m, codes = codes)
-      val got = Pq.search(idx, probeId = 0, topK = 5, shortlist = shortlist)
-        .select("neighbor_id").collect().map(_.getLong(0)).toSet
-      val hits = got.intersect(brute).size
-      println(s"[pqtune] m=$m codes=$codes shortlist=$shortlist " +
-        s"recall@5=$hits/5")
+      for (shortlist <- Seq(50, 200, 500)) {
+        val got = Pq.search(idx, probeId = 0, topK = 5,
+            shortlist = shortlist)
+          .select("neighbor_id").collect().map(_.getLong(0)).toSet
+        val hits = got.intersect(brute).size
+        println(s"[pqtune] m=$m codes=$codes shortlist=$shortlist " +
+          s"recall@5=$hits/5")
+      }
     }
     spark.stop()
   }

@@ -40,8 +40,11 @@ class PlanSpec extends SparkTestBase {
 
   test("q5: all four dims broadcast, filters reach the scans, no cartesian") {
     val p = plan("q5_local_supplier")
-    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
-      p)
+    // count, don't just detect: one BroadcastHashJoin per dim branch
+    // (customer, supplier, nation, region) — a single surviving BHJ
+    // must not mask three regressed SortMergeJoins
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 4, s"expected >= 4 broadcast joins, got $bhj:\n$p")
     assert(!p.contains("CartesianProduct"), p)
     // the region filter is applied dim-side, never against the fact rows
     assert(p.contains("EqualTo(r_name,ASIA)") || p.contains("r_name = ASIA")

@@ -43,9 +43,11 @@ class IncrSpec extends SparkTestBase {
       .select(to_date(col("ts")).as("day"), col("user_id"))
     val rolled = ev.groupBy(col("day"))
       .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      .withColumn("day_num", unix_date(col("day")))
       .select(col("day"),
         hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))
-          .over(Window.orderBy("day").rowsBetween(-6, 0))).as("est"))
+          .over(Window.orderBy(col("day_num")).rangeBetween(-6, 0)))
+          .as("est"))
       .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
     // direct: one sketch straight over each day's trailing-7 raw span
     val days = rolled.keys.toSeq.sorted
@@ -58,6 +60,28 @@ class IncrSpec extends SparkTestBase {
       assert(rolled(d) === direct,
         s"day $d: windowed state-merge $rolled(d) != direct $direct")
     }
+  }
+
+  test("rolling window is calendar-correct across gap days") {
+    import spark.implicits._
+    // days 1, 2, then a 7-day gap, then day 10: the trailing-7-day
+    // window at day 10 covers days 4..10 = ONLY day 10. A ROWS(-6,0)
+    // window would merge the three present days and claim 3 users.
+    val ev = Seq(("2024-01-01", 1L), ("2024-01-02", 2L),
+        ("2024-01-10", 3L))
+      .toDF("d", "user_id")
+      .select(to_date(col("d")).as("day"), col("user_id"))
+    val est = ev.groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      .withColumn("day_num", unix_date(col("day")))
+      .select(col("day").cast("string").as("day"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))
+          .over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("day_num")).rangeBetween(-6, 0))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("2024-01-10") === 1L,
+      "gap-day window must cover calendar days, not state rows")
+    assert(est("2024-01-02") === 2L)
   }
 
   test("incr_agg delta predicate reaches the parquet scan") {
