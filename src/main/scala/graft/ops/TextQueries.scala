@@ -587,6 +587,46 @@ object TextQueries {
       ORDER BY cnt DESC, token
     """))
 
+  /** Inverted-index build: term → (document frequency, ordered posting
+    * list) — the retrieval-side structure a corpus pipeline materializes
+    * for BM25/keyword search next to the ANN index. One explode +
+    * distinct + groupBy (the word-count shape, map-side combinable);
+    * the posting list is canonicalized by sorting doc ids and rendered
+    * as a joined string because the driver's hash gate rejects nested
+    * array cells. Restricted to terms with df ≤ 40 so every emitted
+    * list is bounded — exactly the discipline a 100 TB index needs
+    * anyway: hot terms get CHUNKED posting segments (doc-id-range
+    * sharded), never one unbounded row; the df histogram for choosing
+    * that cutoff is `heavy_hitters`. */
+  val postings = GQuery(
+    "postings",
+    (s, d) => {
+      val pairs = Tables.documents(s, d)
+        .where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        .distinct()
+      pairs.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          concat_ws(",",
+            transform(array_sort(collect_list(col("doc_id"))),
+              _.cast(StringType))).as("posting"))
+        .where(col("df") <= 40)
+        .orderBy("term")
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS term
+        FROM documents WHERE doc_id < 200)
+      SELECT term, COUNT(*) AS df,
+             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+               AS posting
+      FROM pairs
+      GROUP BY term
+      HAVING COUNT(*) <= 40
+      ORDER BY term
+    """))
+
   /** Quantile binning (feature discretization): assign every document
     * its length QUARTILE and report the bin histogram — the
     * equal-frequency binning a feature pipeline applies before bucketed
@@ -790,5 +830,5 @@ object TextQueries {
   def all: Seq[GQuery] = Seq(textTokens, tokenCount, textQuality, langId,
     docFingerprint, dedupExact, dedupJaccard, textBigrams, splitHash,
     sampleStratified, sampleExactK, textTfidf, packSequences, decontaminate,
-    textRepetition, heavyHitters, modelScore, treeScore, quantileBins)
+    textRepetition, heavyHitters, modelScore, treeScore, quantileBins, postings)
 }
