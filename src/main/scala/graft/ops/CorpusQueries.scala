@@ -365,11 +365,14 @@ object CorpusQueries {
     * round: a round-to-4 here once flipped a .xxxx5-boundary doc between
     * the engines' rounding implementations.
     *
-    * Scale: the unigram table is vocab-bounded (broadcast); the bigram
-    * count table is V²-bounded worst case so it joins as a plain
-    * equi-join on the bigram key (AQE broadcasts it when it is in fact
-    * small); per-doc aggregation is a map-side-combinable hash agg.
-    * Nothing touches the driver; no all-pairs anywhere. */
+    * Scale: BOTH count-table joins are plain equi-joins that AQE
+    * upgrades to broadcast when the table is in fact small — no forced
+    * hint on either: the unigram table is vocab-bounded, but a 100 TB
+    * web corpus's token vocabulary reaches hundreds of millions of
+    * rows, where a hard broadcast hint would OOM the driver; the bigram
+    * table is V²-bounded worst case. Per-doc aggregation is a
+    * map-side-combinable hash agg. Nothing touches the driver; no
+    * all-pairs anywhere. */
   val lmPerplexity = GQuery(
     "lm_perplexity",
     (s, d) => {
@@ -393,7 +396,7 @@ object CorpusQueries {
       val scored = big
         .join(bc, "bg")
         .withColumn("w1", element_at(split(col("bg"), " "), 1))
-        .join(broadcast(uni), "w1")
+        .join(uni, "w1")
         .crossJoin(broadcast(vDf))
         .withColumn("lp",
           round(log((col("c12") + lit(0.5)) /

@@ -172,7 +172,9 @@ object IncrQueries {
     * range join of every event against every covering day. The sketch
     * form reduces the corpus ONCE to |days| HLL sketches (the persisted
     * per-day state — each new day appends one row), then merges 7
-    * sketches per output row with `hll_union_agg` over a ROWS window.
+    * sketches per output row with `hll_union_agg` over a RANGE frame on
+    * the epoch-day number (calendar-correct across gap days — see the
+    * inline note).
     * Refresh cost: scan of the new day only; report cost: |days| rows.
     * The global (unpartitioned) window runs over the per-day STATE frame,
     * not the events — |days| rows by construction (36.5k rows for a
@@ -346,8 +348,10 @@ object IncrQueries {
     """))
 
   /** Bits per dimension for the z-curve; 8+8 → a 16-bit z-value whose
-    * high byte identifies a 16×16 tile of the (x, y) plane. */
-  private val zBits = 8
+    * high byte identifies a 16×16 tile of the (x, y) plane. Public so
+    * [[graft.sinks.PartitionedSink.compactZOrdered]] can enforce the
+    * [0, 2^zBits) input domain its guard documents. */
+  val zBits = 8
 
   /** Z-value: bit-interleave two `zBits`-bit dimensions, x in the odd
     * positions, y in the even — composed entirely from codegen'd builtin

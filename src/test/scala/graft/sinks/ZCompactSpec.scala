@@ -74,4 +74,27 @@ class ZCompactSpec extends SparkTestBase {
     assert(zSpan < ctrlSpan / 2,
       s"z-compacted files not tighter: $zSpan vs control $ctrlSpan")
   }
+
+  test("out-of-domain dimensions are refused by name") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-zguard").toString
+    // o_orderkey un-bucketized: values far beyond the 8-bit z domain
+    val raw = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey").cast("int").as("x"),
+        pmod(col("o_custkey"), lit(256)).cast("int").as("y"))
+    val e = intercept[IllegalArgumentException] {
+      PartitionedSink.compactZOrdered(raw, s"$dir/z", "x", "y", 1000L)
+    }
+    assert(e.getMessage.contains("'x'") &&
+      e.getMessage.contains("z-curve domain"))
+  }
+
+  test("a pre-existing internal z column is refused, not clobbered") {
+    val withClash = pts.withColumn("__graft_z", lit(0))
+    val e = intercept[IllegalArgumentException] {
+      PartitionedSink.compactZOrdered(withClash, "/tmp/never", "x", "y",
+        1000L)
+    }
+    assert(e.getMessage.contains("__graft_z"))
+  }
 }
