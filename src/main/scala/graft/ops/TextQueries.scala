@@ -627,6 +627,106 @@ object TextQueries {
       ORDER BY term
     """))
 
+  /** BM25 top-k keyword retrieval — the QUERY side of the inverted
+    * index [[postings]] builds (build-but-never-query was the r11 gap;
+    * this is the text twin of `sim_serve`). For a bounded query-term
+    * set, score every matching document with Okapi BM25 (k1 = 1.2,
+    * b = 0.75; the +1-inside-ln IDF variant, positive for any df) and
+    * return the top 10.
+    *
+    * Plan = the retrieval shape, not a corpus scan ranking: the term
+    * filter applies BEFORE any grouping, so only matched terms' posting
+    * entries (term, doc, tf, dl) materialize — at 100 TB this stage IS
+    * a lookup of |q| pre-built posting lists from the [[postings]]
+    * layout (df ≤ cutoff lists bounded; hot terms chunked), not the
+    * tokenizer re-run; the tokenize-on-read form here keeps the oracle
+    * self-contained. Everything joined onto candidates is bounded and
+    * broadcast: the |q|-row df table and the 1-row corpus stats
+    * (N, avgdl). Top-10 is TakeOrdered — no global sort.
+    *
+    * Determinism discipline (`lm_perplexity` precedent): each per-term
+    * score is rounded to 4 decimals and cast DECIMAL(38,4) BEFORE the
+    * per-doc sum — ln is within-1-ulp engine-specific, the per-term
+    * round absorbs it, and the decimal sum is exact and
+    * order-independent; the final score is one exact decimal→double
+    * cast, so ordering and hashing can never split the engines. */
+  val bm25Search = GQuery(
+    "bm25_search",
+    (s, d) => {
+      val qTerms = Seq("spark", "merge", "filter")
+      val docs = Tables.documents(s, d)
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast(LongType).as("dl"))
+      val stats = docs.agg(count(lit(1)).cast(DoubleType).as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+      // postings-with-tf, restricted to the query terms before grouping
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .where(col("term").isin(qTerms: _*))
+        .groupBy(col("term"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).cast(DoubleType).as("tf"))
+      val dfs = tf.groupBy(col("term"))
+        .agg(count(lit(1)).cast(DoubleType).as("df"))
+      val scored = tf
+        .join(broadcast(dfs), "term")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          round(
+            log(lit(1.0) +
+              (col("n_docs") - col("df") + lit(0.5)) /
+                (col("df") + lit(0.5))) *
+              (col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) *
+                (lit(0.25) + lit(0.75) *
+                  (col("dl").cast(DoubleType) / col("avgdl")))), 4)
+            .cast(DecimalType(38, 4)).as("score_term"))
+      scored.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("score_term")).as("score_dec"))
+        .select(col("doc_id"), col("n_terms"),
+          col("score_dec").cast(DoubleType).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+        .select(
+          row_number().over(Window.orderBy(col("score").desc,
+            col("doc_id"))).cast(LongType).as("rnk"),
+          col("doc_id"), col("n_terms"), col("score"))
+        .orderBy("rnk")
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, str_split(text, ' ') AS toks,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents WHERE text IS NOT NULL),
+      stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+        FROM docs),
+      tf AS (
+        SELECT term, doc_id, dl, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+        WHERE term IN ('spark', 'merge', 'filter')
+        GROUP BY 1, 2, 3),
+      dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT tf.doc_id,
+               CAST(round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / s.avgdl))),
+                 4) AS DECIMAL(38,4)) AS score_term
+        FROM tf JOIN dfs d USING (term) CROSS JOIN stats s),
+      agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(score_term) AS DOUBLE) AS score
+        FROM scored GROUP BY 1)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+             doc_id, n_terms, score
+      FROM agg
+      ORDER BY score DESC, doc_id
+      LIMIT 10
+    """))
+
   /** Quantile binning (feature discretization): assign every document
     * its length QUARTILE and report the bin histogram — the
     * equal-frequency binning a feature pipeline applies before bucketed
@@ -830,5 +930,6 @@ object TextQueries {
   def all: Seq[GQuery] = Seq(textTokens, tokenCount, textQuality, langId,
     docFingerprint, dedupExact, dedupJaccard, textBigrams, splitHash,
     sampleStratified, sampleExactK, textTfidf, packSequences, decontaminate,
-    textRepetition, heavyHitters, modelScore, treeScore, quantileBins, postings)
+    textRepetition, heavyHitters, modelScore, treeScore, quantileBins,
+    postings, bm25Search)
 }
