@@ -311,28 +311,44 @@ object Ann {
     * UNRELATED to the index ids (corpus-to-corpus linking, external
     * request ids), pass `excludeSelf = false`: with it on, a coincidental
     * id collision would silently drop a valid neighbor. */
-  def knnJoin(index: IvfIndex, probes: DataFrame, topK: Int, nProbe: Int,
-      probeIdCol: String = "probe_id", probeEmbCol: String = "probe_emb",
-      idCol: String = "vec_id", embCol: String = "embedding",
-      excludeSelf: Boolean = true): DataFrame = {
-    // per-row cell ranking: lexicographic sort of (−sim, cid) structs ≡
-    // the driver's sortBy { case (cid, csim) => (-csim, cid) }
-    // zero-norm probe guard mirrors assign's: ANSI would error on 0/0,
-    // and a directionless probe ranks every cell equally (−1) — its
-    // neighbors all score −1 via guardedSim below, the "matches
-    // nothing" contract
-    val ranked = sort_array(transform(centroidArray(index.centroids), c =>
+  /** Row-side cell routing shared by [[knnJoin]] and [[Ivfpq.knnJoin]]:
+    * every probe row ranks the literal centroid list itself and explodes
+    * to its nProbe cells. Adds `_probe_norm` and `cell`, PRESERVES every
+    * other probe column (so callers can precompute per-probe scoring
+    * state — e.g. the ADC lookup table — before routing and have it ride
+    * along; Catalyst prunes whatever goes unused).
+    *
+    * Cell ranking is the lexicographic sort of (−sim, cid) structs ≡ the
+    * driver's sortBy { case (cid, csim) => (-csim, cid) } in [[query]] —
+    * the EXACT tie-breaks, pinned by the single-probe equivalences in
+    * KnnJoinSpec/KnnJoinPqSpec. Zero-norm probe guard mirrors assign's:
+    * ANSI would error on 0/0, and a directionless probe ranks every cell
+    * equally (−1) — its neighbors all score −1 via guardedSim in the
+    * callers, the "matches nothing" contract. */
+  private[ops] def routeProbes(probes: DataFrame,
+      cents: Seq[(Long, Seq[Double])], probeEmbCol: String,
+      nProbe: Int): DataFrame = {
+    val ranked = sort_array(transform(centroidArray(cents), c =>
       struct((lit(-1.0) * when(col("_probe_norm") === 0d ||
           c.getField("centroid_norm") === 0d, lit(-1.0))
         .otherwise(cosinePrenormed(col(probeEmbCol),
           c.getField("centroid_emb"), col("_probe_norm"),
           c.getField("centroid_norm")))).as("negsim"),
         c.getField("centroid_id").as("cid"))))
-    val routed = probes
+    probes
       .withColumn("_probe_norm", norm(col(probeEmbCol)))
       .withColumn("_cells", slice(ranked, 1, nProbe).getField("cid"))
+      .withColumn("cell", explode(col("_cells")))
+      .drop("_cells")
+  }
+
+  def knnJoin(index: IvfIndex, probes: DataFrame, topK: Int, nProbe: Int,
+      probeIdCol: String = "probe_id", probeEmbCol: String = "probe_emb",
+      idCol: String = "vec_id", embCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
+    val routed = routeProbes(probes, index.centroids, probeEmbCol, nProbe)
       .select(col(probeIdCol), col(probeEmbCol), col("_probe_norm"),
-        explode(col("_cells")).as("cell"))
+        col("cell"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(probeIdCol))
       .orderBy(col("sim").desc, col("neighbor_id"))

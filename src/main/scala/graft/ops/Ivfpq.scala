@@ -140,4 +140,107 @@ object Ivfpq {
           .orderBy(col("sim").desc, col("neighbor_id"))).cast(LongType)
           .as("rank"))
   }
+
+  /** Per-probe ADC lookup table computed ON THE EXECUTORS from a
+    * unit-normalized probe COLUMN — the row-side twin of the
+    * driver-side [[Pq.lutsFor]] (which serves bounded probe batches):
+    * LUT(i)(c) = squared L2 from the probe's i-th subvector to code c's
+    * centroid, laid out as array<array<double>> so scoring a candidate
+    * is still m lookups + a sum. Identical left-to-right fold order as
+    * lutsFor's foldLeft, so the two paths produce bit-identical ADC
+    * values (the KnnJoinPqSpec single-probe equivalence rests on it).
+    * Like [[Pq.codesExpr]], the generated code carries m·codes·dsub
+    * literals — at corpus-scaled codebooks a production deployment
+    * would fold this into a reference-object kernel the way
+    * [[graft.functions.PqEncode]] does for the encode side; the m=4
+    * serving books here stay comfortably inside codegen. */
+  private def lutExpr(books: Seq[Seq[Seq[Double]]], dsub: Int,
+      unitCol: Column): Column =
+    array(books.zipWithIndex.map { case (book, i) =>
+      array(book.map { cword =>
+        cword.zipWithIndex.map { case (cv, j) =>
+          val dlt = element_at(unitCol, i * dsub + j + 1) - lit(cv)
+          dlt * dlt
+        }.reduceLeft[Column](_ + _)
+      }: _*)
+    }: _*)
+
+  /** ADC-scored kNN JOIN — [[Ann.knnJoin]]'s two-big-sides retrieval
+    * shape composed with the PQ serving discipline: top-`topK` index
+    * neighbors for EVERY row of an UNBOUNDED probe table, where the
+    * candidate-scoring phase reads ONLY (id, cell, codes) — m bytes per
+    * candidate instead of dim floats. THIS is the genuine 100 TB
+    * corpus-to-corpus retrieval shape (semantic decontamination of a
+    * whole corpus against a compressed reference index): at that scale
+    * the raw embedding column of the index is cold storage, and an
+    * uncompressed knnJoin would re-read `dim·4` bytes per candidate
+    * where this reads `m`.
+    *
+    * Neither side collects or broadcasts:
+    *   phase 0 — each probe row unit-normalizes itself, computes its
+    *     OWN ADC lookup table ([[lutExpr]] — the executor-side twin of
+    *     the driver LUTs [[search]] uses), ranks the k centroids with
+    *     [[Ann.routeProbes]] (the exact [[Ann.query]] tie-breaks), and
+    *     explodes to its nProbe cells.
+    *   phase 1 (ADC) — plain equi-join ON cell against the codes-only
+    *     projection of the inverted lists; per-candidate score is m
+    *     array lookups + a sum; per-probe shortlist is one
+    *     WindowGroupLimit pass ordered (adc asc, id) — the same order
+    *     as [[search]]'s TakeOrdered, so a single-probe join reproduces
+    *     it row for row (KnnJoinPqSpec).
+    *   phase 2 (re-rank) — the ≤|probes|·shortlist survivors equi-join
+    *     the TRUE embedding column by id for exact cosine, then
+    *     per-probe top-k. Exact-within-shortlist: recall is governed by
+    *     (nProbe, shortlist), and full probe + full shortlist
+    *     degenerates to [[Ann.knnJoin]]'s exact semantics.
+    *
+    * The probe's unit vector and norm ride the phase-1 shuffle so the
+    * re-rank needs no second probe-side scan (same trade as
+    * [[Ann.knnJoin]] carrying probe_emb; the LUT itself is consumed by
+    * the pre-shuffle ADC projection and pruned from the exchange). A
+    * popular cell is ordinary join skew — AQE's skew-join split
+    * applies. `excludeSelf` exactly as on [[Ann.knnJoin]]. */
+  def knnJoin(index: IvfPqIndex, probes: DataFrame, topK: Int,
+      nProbe: Int, shortlist: Int, probeIdCol: String = "probe_id",
+      probeEmbCol: String = "probe_emb", idCol: String = "vec_id",
+      embCol: String = "embedding", excludeSelf: Boolean = true)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val routed = Ann.routeProbes(
+      probes
+        .withColumn("_unit", Pq.unit(col(probeEmbCol)))
+        .withColumn("_lut", lutExpr(index.books, index.dsub, col("_unit"))),
+      index.centroids, probeEmbCol, nProbe)
+    // same structure as Pq.adcExpr: m lookups, left-assoc sum
+    val adc = (1 to index.m).map(i =>
+      element_at(element_at(col("_lut"), i),
+        element_at(col("codes"), i) + 1))
+      .reduce(_ + _)
+    val cand = index.encoded.select(col(idCol), col("cell"), col("codes"))
+      .join(routed, Seq("cell"))
+    val candX =
+      if (excludeSelf) cand.filter(col(idCol) =!= col(probeIdCol))
+      else cand
+    val wShort = Window.partitionBy(col(probeIdCol))
+      .orderBy(col("_adc").asc, col(idCol))
+    val short = candX
+      .withColumn("_adc", adc)
+      .withColumn("_srn", row_number().over(wShort))
+      .filter(col("_srn") <= shortlist)
+      .select(col(probeIdCol), col(idCol), col("_unit"), col("_probe_norm"))
+    val wTop = Window.partitionBy(col(probeIdCol))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    short
+      .join(index.encoded.select(col(idCol), col(embCol)), Seq(idCol))
+      .select(col(probeIdCol), col(idCol).as("neighbor_id"),
+        // probe side is unit-norm (/1), except a zero-norm probe whose
+        // unit passthrough must still pin every sim to −1 via the
+        // probeNorm=0 branch of guardedSim — Ann.knnJoin's contract
+        Ann.guardedSim(transform(col(embCol), _.cast(DoubleType)),
+          col("_unit"),
+          when(col("_probe_norm") === 0d, lit(0.0)).otherwise(lit(1.0)))
+          .as("sim"))
+      .withColumn("rank", row_number().over(wTop).cast(LongType))
+      .filter(col("rank") <= topK)
+  }
 }

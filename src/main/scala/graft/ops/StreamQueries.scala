@@ -215,7 +215,54 @@ object StreamQueries {
       ORDER BY 1
     """))
 
+  /** T6 custom keyed state, driver-verified: the SAME
+    * `flatMapGroupsWithState` accumulator the streaming path runs
+    * (`StreamRunner.runningUserTotals` — arbitrary per-key state with
+    * timeout-driven eviction, the surface windowed aggs can't express)
+    * executed on the STATIC events table, where one batch = one update
+    * per user = the final accumulated state. The batch twin recomputes
+    * per-user (count, value-total) with plain aggregates and every row
+    * carries `state_ok` — counts exactly equal AND totals within 1e-6
+    * (the stateful path sums doubles in iterator order, the agg in
+    * partial-merge order; the bound absorbs the reordering ulps) —
+    * which the oracle pins TRUE. Stream ≡ static across real
+    * micro-batch splits is pinned in `StreamingSpec`; this entry makes
+    * the equivalence driver-visible.
+    *
+    * Scale: the stateful operator shuffles once on user_id (identical
+    * to the agg), state is one record per key, and the streaming form
+    * bounds resident state by the watermark horizon — the property
+    * that keeps it runnable on an unbounded stream. */
+  val streamState = GQuery(
+    "stream_state",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val typed = ev
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[graft.streaming.StreamRunner.UserEvent]
+      val stateSide = graft.streaming.StreamRunner
+        .runningUserTotals(typed).toDF()
+        .select(col("user_id"), col("n_events").as("s_n"),
+          col("total_value").as("s_total"))
+      val batchSide = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("b_total"))
+      batchSide.join(stateSide, Seq("user_id"))
+        .select(col("user_id"), col("n_events"),
+          (col("s_n") === col("n_events") &&
+            abs(col("s_total") - col("b_total")) < lit(1e-6))
+            .as("state_ok"))
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id, COUNT(*) AS n_events, TRUE AS state_ok
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id
+    """))
+
   def all: Seq[GQuery] =
     Seq(streamTumbling, streamSliding, streamSession, streamLate,
-      streamDedup, streamJoin)
+      streamDedup, streamJoin, streamState)
 }

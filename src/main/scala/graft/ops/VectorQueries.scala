@@ -572,6 +572,36 @@ object VectorQueries {
     },
     Some(serveRecallOracle))
 
+  /** ADC-scored kNN JOIN ([[Ivfpq.knnJoin]]) — `knn_join`'s
+    * two-big-sides mechanism composed with the PQ serving discipline:
+    * every corpus row retrieves its top-K neighbors through the
+    * shared-cell equi-join, but candidate scoring reads ONLY the
+    * persisted (id, cell, codes) projection (m bytes/candidate, the
+    * codes-only ReadSchema pinned in KnnJoinPqSpec) and the true
+    * embeddings are touched just for the per-probe shortlist's exact
+    * re-rank — the genuine 100 TB corpus-to-corpus retrieval shape.
+    * Probes compute their OWN ADC lookup tables row-side (no driver
+    * LUTs, no broadcast), the index is the persisted cell-partitioned
+    * IVF-PQ layout ([[savedIvfpqPath]], built once per process), and
+    * the driver-verified output is the vec_id < 3 anchored slice with
+    * per-probe recall booleans — the same oracle as `knn_join` /
+    * `sim_serve`. KnnJoinPqSpec pins single-probe ≡ `Ivfpq.search`
+    * (bit-identical ADC via the shared fold order) and cartesian-free
+    * plans. */
+  val knnJoinPq = GQuery(
+    "knn_join_pq",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val index = Ivfpq.load(s, savedIvfpqPath(s, d, k = 8, m = 4))
+      val served = Ivfpq.knnJoin(index,
+        e.select(col("vec_id").as("probe_id"),
+          col("embedding").as("probe_emb")),
+        topK = IvfTopK, nProbe = 3,
+        shortlist = shortlistFor(embCount(s, d)))
+      perProbeRecallAnchored(s, d, served)
+    },
+    Some(serveRecallOracle))
+
   /** Codebooks trained at most once per process per (sfDir, params) —
     * the [[savedIvfPath]] build-once discipline applied to the PQ and
     * IVF-PQ entries: training is driver-coordinated Lloyd's whose cost
@@ -828,6 +858,6 @@ object VectorQueries {
     Seq(vecNorm, simTopk, simBucketed, simPairs, dedupEmbed,
       dedupEmbedCluster, simIvf, simIvfLoaded, simFiltered, simIvfAppend,
       simServe,
-      simPq, simIvfpq, simIvfpqLoaded, knnJoin, embedQuantize,
+      simPq, simIvfpq, simIvfpqLoaded, knnJoin, knnJoinPq, embedQuantize,
       simTopkBatch)
 }

@@ -95,6 +95,25 @@ object ScaleSweep {
           col("embedding").as("probe_emb")),
         topK = 5, nProbe = 3)
         .groupBy().agg(count(lit(1)).as("n"), sum(col("sim")).as("sim_sum"))
+    }),
+    // ADC-scored kNN join under the same deployment contract as
+    // knnjoin_sweep (k ∝ n → constant cell size) PLUS the PQ serving
+    // knobs held at their per-probe budgets: the ADC shortlist is the
+    // per-probe exact-read allowance (constant — the registry form
+    // grows it via shortlistFor only to hold the recall gate on tiny
+    // corpora), so phase-1 candidates ∝ n·(nProbe/k)·|cell| ∝ n and
+    // the phase-2 re-rank join ∝ n·shortlist — both linear in R.
+    "knnjoinpq_sweep" -> ((s, dir) => {
+      val e = graft.Tables.embeddings(s, dir)
+      val n = e.count()
+      val k = math.max(8, (n / 250).toInt)
+      val idx = graft.ops.Ivfpq.build(e, k = k, m = 4,
+        codes = graft.ops.VectorQueries.codesFor(n))
+      graft.ops.Ivfpq.knnJoin(idx,
+        e.select(col("vec_id").as("probe_id"),
+          col("embedding").as("probe_emb")),
+        topK = 5, nProbe = 3, shortlist = 50)
+        .groupBy().agg(count(lit(1)).as("n"), sum(col("sim")).as("sim_sum"))
     }))
 
   private def replicate(df: DataFrame, r: Int, shiftCols: Seq[String]): DataFrame =
@@ -155,7 +174,11 @@ object ScaleSweep {
         "q5_local_supplier", "sample_exact_k",
         // scan-fused model inference, key-skew diagnosis (|keys|-row
         // shuffle), and two-phase quantile binning
-        "tree_score", "skew_report", "quantile_bins")
+        "tree_score", "skew_report", "quantile_bins",
+        // round 12: BM25 retrieval (term-filtered posting build ∝ n,
+        // bounded df/stats broadcasts) and the ADC-scored kNN join
+        // under its k ∝ n + constant-shortlist contract (see `probes`)
+        "bm25_search", "knnjoinpq_sweep")
     val spark = graft.GraftSession.local(4, "graft-scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
