@@ -470,7 +470,74 @@ object IncrQueries {
       ORDER BY o_orderpriority
     """))
 
+  /** The composed incremental pipeline with REDELIVERY — what
+    * [[warehouseRefresh]] becomes once the delta arrives over an
+    * at-least-once transport (a crawler re-sending, a queue replaying):
+    * the batch driver-verified form of the per-micro-batch body
+    * `graft.streaming.StreamRunner.incrRefreshStream` runs (same three
+    * stages, same order; the streaming form adds the batch-id-keyed
+    * idempotent state write, restart-pinned in `IncrPipelineSpec`).
+    *
+    *   1. BLOOM DEDUP: the delta is the true delta PLUS a 1-in-7
+    *      re-delivery of history rows. History PKs build one bit array
+    *      (driver-held, `dedup_bloom` shape); every delta row probes it
+    *      map-side; ONLY bloom-positives pay the exact anti-join
+    *      against history keys. No false negatives (Bloom guarantee) →
+    *      every redelivered row drops; exact verify of positives →
+    *      no fresh row is lost to an fpp collision.
+    *   2. GATE: the deduped delta passes the declarative constraint
+    *      suite; the verdict rides every row.
+    *   3. MERGE: per-group algebraic state ⊎ deduped-delta partials.
+    *
+    * The oracle is the FULL-SCAN aggregate over the clean table — so
+    * the hash match PROVES the dedup dropped exactly the redelivered
+    * set (one missed redelivery double-counts a group; one false-drop
+    * under-counts it; either flips the hash). Scale shape: history
+    * never rescanned at batch width — its bit array broadcasts, its
+    * key column joins only the ~|redelivered| + fpp positives. */
+  val incrPipeline = GQuery(
+    "incr_pipeline",
+    (s, d) => {
+      val orders = Tables.orders(s, d)
+      val history = orders.where(year(col("o_orderdate")) < splitYear)
+      val freshDelta = orders.where(year(col("o_orderdate")) >= splitYear)
+      val redelivered = history.where(col("o_orderkey") % 7 === 0)
+      val delta = freshDelta.unionByName(redelivered)
+      val nHist = math.max(history.count(), 1L)
+      val bloom = graft.functions.BloomProbe.serialize(
+        history.select(xxhash64(col("o_orderkey")).as("h"))
+          .stat.bloomFilter("h", nHist, 0.01))
+      val probed = delta.withColumn("_maybe", coalesce(
+        graft.functions.BloomProbe.mightContain(bloom,
+          xxhash64(col("o_orderkey"))), lit(false)))
+      val fresh = probed.filter(!col("_maybe"))
+        .unionByName(probed.filter(col("_maybe"))
+          .join(history.select(col("o_orderkey")), Seq("o_orderkey"),
+            "left_anti"))
+        .drop("_maybe")
+      val gateOk = CorpusQueries
+        .constraintReport(fresh, Tables.customer(s, d))
+        .agg((sum(when(col("ok"), 0).otherwise(1)) === 0).as("gate_ok"))
+      mergeState(priorityPartial(history), priorityPartial(fresh))
+        .crossJoin(broadcast(gateOk))
+        .select(
+          col("o_orderpriority"),
+          col("cnt"),
+          col("sum_dec").cast(DoubleType).as("sum_total"),
+          col("gate_ok"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority,
+             COUNT(*) AS cnt,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_total,
+             TRUE AS gate_ok
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """))
+
   val all: Seq[GQuery] =
     Seq(incrAgg, incrDistinct, incrTopk, rollingWau, overlapSketch,
-      zorderLayout, warehouseRefresh)
+      zorderLayout, warehouseRefresh, incrPipeline)
 }

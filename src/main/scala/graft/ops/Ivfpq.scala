@@ -149,12 +149,15 @@ object Ivfpq {
     * is still m lookups + a sum. Identical left-to-right fold order as
     * lutsFor's foldLeft, so the two paths produce bit-identical ADC
     * values (the KnnJoinPqSpec single-probe equivalence rests on it).
-    * Like [[Pq.codesExpr]], the generated code carries m·codes·dsub
-    * literals — at corpus-scaled codebooks a production deployment
-    * would fold this into a reference-object kernel the way
-    * [[graft.functions.PqEncode]] does for the encode side; the m=4
-    * serving books here stay comfortably inside codegen. */
-  private def lutExpr(books: Seq[Seq[Seq[Double]]], dsub: Int,
+    * This literal composition is the REFERENCE form only: its generated
+    * code carries m·codes·dsub literal subtrees, and at the
+    * corpus-scaled codebooks `codesFor` picks it does not just fall out
+    * of whole-stage codegen — Janino FAILS the compile outright (caught
+    * by knnjoinpq_sweep at R=4, codes=256). Production path is the
+    * [[graft.functions.PqLut]] reference-object kernel (bit-equal,
+    * pinned in KnnJoinPqSpec), exactly the [[graft.functions.PqEncode]]
+    * discipline on the query side. */
+  private[ops] def lutExpr(books: Seq[Seq[Seq[Double]]], dsub: Int,
       unitCol: Column): Column =
     array(books.zipWithIndex.map { case (book, i) =>
       array(book.map { cword =>
@@ -178,8 +181,10 @@ object Ivfpq {
     *
     * Neither side collects or broadcasts:
     *   phase 0 — each probe row unit-normalizes itself, computes its
-    *     OWN ADC lookup table ([[lutExpr]] — the executor-side twin of
-    *     the driver LUTs [[search]] uses), ranks the k centroids with
+    *     OWN ADC lookup table ([[graft.functions.PqLut]] — the
+    *     executor-side twin of the driver LUTs [[search]] uses, a
+    *     codegen'd kernel so codebook size never breaks codegen), ranks
+    *     the k centroids with
     *     [[Ann.routeProbes]] (the exact [[Ann.query]] tie-breaks), and
     *     explodes to its nProbe cells.
     *   phase 1 (ADC) — plain equi-join ON cell against the codes-only
@@ -209,7 +214,8 @@ object Ivfpq {
     val routed = Ann.routeProbes(
       probes
         .withColumn("_unit", Pq.unit(col(probeEmbCol)))
-        .withColumn("_lut", lutExpr(index.books, index.dsub, col("_unit"))),
+        .withColumn("_lut",
+          graft.functions.PqLut.pqLut(col("_unit"), index.books)),
       index.centroids, probeEmbCol, nProbe)
     // same structure as Pq.adcExpr: m lookups, left-assoc sum
     val adc = (1 to index.m).map(i =>

@@ -129,6 +129,90 @@ object StreamRunner {
     (graft.ingest.Load.load(table, cleaned.good), cleaned.bad)
   }
 
+  /** The COMPOSED exactly-once incremental refresh — the streaming form
+    * of the `incr_pipeline` / `warehouse_refresh` lifecycle, wiring the
+    * incremental tier's three gates into one per-micro-batch body:
+    *
+    *   1. BLOOM DEDUP (the `dedup_bloom` discipline): each batch row's
+    *      dedup key probes a driver-broadcast bit array over the
+    *      history; only bloom-POSITIVES (true redeliveries + ~fpp false
+    *      positives) pay the exact anti-join against the history keys,
+    *      so redelivered rows are dropped exactly (no false negatives —
+    *      Bloom guarantee) and fresh rows never re-join history at
+    *      batch width.
+    *   2. DQ GATE (the `constraint_check` discipline): the caller's
+    *      constraint suite runs on the surviving rows; the AND-of-`ok`
+    *      verdict is a bounded |constraints|-row driver read and rides
+    *      every emitted partial as `gate_ok` — publish stays a read-time
+    *      decision, a dirty batch is visible, never silently merged.
+    *   3. ALGEBRAIC PARTIALS (the `incr_agg` discipline): the batch
+    *      reduces to per-group mergeable state via the caller's
+    *      `partial`; merged state ⊎ history ≡ full recompute.
+    *
+    * EXACTLY-ONCE comes from idempotent re-execution, the foreachBatch
+    * contract: partials land in a `batch_id=<id>` partition directory
+    * with DYNAMIC partition overwrite, so a batch replayed after a
+    * crash/restart (same checkpoint → same batch id over the same
+    * offsets) OVERWRITES ITS OWN partition instead of appending a
+    * second copy — no double count, pinned by the restart test in
+    * `IncrPipelineSpec`. Reading the state is one scan of the partition
+    * tree + the |groups|-sized merge.
+    *
+    * `typedDelta` is any streaming frame of typed rows — compose with
+    * [[cleanLoadStream]] for the full lines→clean→load→refresh path.
+    * `historyKeys` must be the single dedup-key column of the history
+    * (bounded columns move: the bloom's bits broadcast, the key frame
+    * joins only bloom-positives). */
+  def incrRefreshStream(
+      typedDelta: DataFrame,
+      historyBloom: Array[Byte],
+      historyKeys: DataFrame,
+      keyExpr: Column,
+      partial: DataFrame => DataFrame,
+      gate: DataFrame => DataFrame,
+      stateDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    typedDelta.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        refreshBatch(batch, batchId, historyBloom, historyKeys, keyExpr,
+          partial, gate, stateDir)
+      }
+      .start()
+
+  /** The per-batch body of [[incrRefreshStream]], factored out so the
+    * exactly-once mechanism is DIRECTLY testable: running the same
+    * `batchId` twice (the crash-replay case — a batch re-executed
+    * against the same checkpointed offsets) must leave exactly ONE copy
+    * of that batch's partials in the state, because the write
+    * dynamically overwrites only its own `batch_id` partition
+    * (IncrPipelineSpec replays it verbatim and asserts the totals). */
+  def refreshBatch(batch: DataFrame, batchId: Long,
+      historyBloom: Array[Byte], historyKeys: DataFrame, keyExpr: Column,
+      partial: DataFrame => DataFrame, gate: DataFrame => DataFrame,
+      stateDir: String): Unit = {
+    val hk = historyKeys.toDF("_key").distinct()
+    val probed = batch
+      .withColumn("_key", keyExpr)
+      .withColumn("_maybe", coalesce(
+        graft.functions.BloomProbe.mightContain(historyBloom,
+          xxhash64(col("_key"))), lit(false)))
+    val fresh = probed.filter(!col("_maybe"))
+      .unionByName(
+        probed.filter(col("_maybe")).join(hk, Seq("_key"), "left_anti"))
+      .drop("_maybe", "_key")
+    val gateOk = gate(fresh)
+      .agg((sum(when(col("ok"), 0).otherwise(1)) === 0).as("g"))
+      .head().getBoolean(0)
+    partial(fresh)
+      .withColumn("gate_ok", lit(gateOk))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(stateDir)
+  }
+
   /** T7: stream-stream interval join — purchases matched to the same
     * user's clicks in the preceding 10 minutes. Both sides are
     * watermarked and the join condition carries the time bound, which is

@@ -60,6 +60,33 @@ class KnnJoinPqSpec extends SparkTestBase {
     assert(joined === exact)
   }
 
+  test("PqLut kernel is bit-equal to the literal composition AND lutsFor") {
+    import org.apache.spark.sql.functions.col
+    val unitDf = emb.limit(32)
+      .select(col("vec_id"),
+        graft.ops.Pq.unit(col("embedding")).as("_unit"))
+    val viaKernel = unitDf
+      .select(col("vec_id"),
+        graft.functions.PqLut.pqLut(col("_unit"), index.books).as("lut"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[scala.collection.Seq[Double]](1).map(_.toSeq).toSeq)
+      .toMap
+    val viaLiteral = unitDf
+      .select(col("vec_id"),
+        Ivfpq.lutExpr(index.books, index.dsub, col("_unit")).as("lut"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[scala.collection.Seq[Double]](1).map(_.toSeq).toSeq)
+      .toMap
+    assert(viaKernel === viaLiteral) // bit-equal: no tolerance
+    // and both equal the driver-side lutsFor on a spot row
+    val unit0 = unitDf.filter(col("vec_id") === 0)
+      .select(col("_unit")).head().getSeq[Double](0).toSeq
+    val driver = graft.ops.Pq.lutsFor(index.books, index.dsub, unit0)
+    assert(viaKernel(0L) === driver.map(_.toSeq))
+  }
+
   test("phase-1 candidate scan reads codes, never the embedding column") {
     val path = s"${graft.GraftSession.scratchDir}/knnjoinpq_spec_plan"
     Ivfpq.save(index, path)
