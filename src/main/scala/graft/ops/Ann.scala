@@ -288,29 +288,21 @@ object Ann {
           .as("rank"))
   }
 
-  /** kNN JOIN — top-`topK` index neighbors for EVERY row of an
-    * UNBOUNDED probe table, the two-big-sides retrieval shape (semantic
-    * decontamination of a whole corpus against a reference set,
-    * corpus-to-corpus linking, embedding-join feature building). Where
-    * [[query]] takes one probe and [[serveBatch]] broadcasts a bounded
-    * request batch, here NEITHER side can move to the driver or
-    * broadcast: each probe row ranks the k centroids itself (the same
-    * higher-order fold the index build uses — sorted (−sim, cid), the
-    * EXACT tie-breaks of the driver-side ranking in [[query]], pinned
-    * by the single-probe equivalence in KnnJoinSpec), explodes to its
-    * nProbe cells, and meets the inverted lists in a plain equi-JOIN ON
-    * cell — both sides shuffle-partition by cell, candidates are
-    * |probes| · nProbe · (n/k) instead of |probes| · n, and per-probe
-    * top-k is one WindowGroupLimit pass. A popular cell is ordinary
-    * join skew handled by AQE's skew-join split (plain SMJ over bare
-    * shuffles — the pattern OptimizeSkewedJoin matches).
-    *
-    * `excludeSelf` (default true) drops candidates whose index id equals
-    * the probe id — correct when the probes ARE index residents (the
-    * all-corpus self-retrieval above). When the probe id space is
-    * UNRELATED to the index ids (corpus-to-corpus linking, external
-    * request ids), pass `excludeSelf = false`: with it on, a coincidental
-    * id collision would silently drop a valid neighbor. */
+  /** Refuse probe/index column-name collisions BEFORE the cell
+    * equi-join puts both schemas in scope — a probe id or embedding
+    * column named like an index-side column would otherwise surface as
+    * an AMBIGUOUS_REFERENCE AnalysisException from the middle of the
+    * joined plan. (Extra probe columns are no hazard: both kNN joins
+    * project the routed side down to exactly what they consume.) */
+  private[ops] def probeNameGuard(probeIdCol: String, probeEmbCol: String,
+      indexSide: Seq[String]): Unit = {
+    val clash = Seq(probeIdCol, probeEmbCol).filter(indexSide.contains)
+    require(clash.isEmpty,
+      s"knnJoin: probe column(s) ${clash.mkString(", ")} collide with " +
+        "index-side column names — rename the probe columns " +
+        "(e.g. probe_id / probe_emb)")
+  }
+
   /** Row-side cell routing shared by [[knnJoin]] and [[Ivfpq.knnJoin]]:
     * every probe row ranks the literal centroid list itself and explodes
     * to its nProbe cells. Adds `_probe_norm` and `cell`, PRESERVES every
@@ -342,10 +334,41 @@ object Ann {
       .drop("_cells")
   }
 
+  /** kNN JOIN — top-`topK` index neighbors for EVERY row of an
+    * UNBOUNDED probe table, the two-big-sides retrieval shape (semantic
+    * decontamination of a whole corpus against a reference set,
+    * corpus-to-corpus linking, embedding-join feature building). Where
+    * [[query]] takes one probe and [[serveBatch]] broadcasts a bounded
+    * request batch, here NEITHER side can move to the driver or
+    * broadcast: each probe row ranks the k centroids itself
+    * ([[routeProbes]] — the EXACT tie-breaks of the driver-side ranking
+    * in [[query]], pinned by the single-probe equivalence in
+    * KnnJoinSpec), explodes to its nProbe cells, and meets the inverted
+    * lists in a plain equi-JOIN ON cell — both sides shuffle-partition
+    * by cell, candidates are |probes| · nProbe · (n/k) instead of
+    * |probes| · n, and per-probe top-k is one WindowGroupLimit pass. A
+    * popular cell is ordinary join skew handled by AQE's skew-join
+    * split (plain SMJ over bare shuffles — the pattern
+    * OptimizeSkewedJoin matches).
+    *
+    * `excludeSelf` (default true) drops candidates whose index id equals
+    * the probe id — correct when the probes ARE index residents (the
+    * all-corpus self-retrieval above). When the probe id space is
+    * UNRELATED to the index ids (corpus-to-corpus linking, external
+    * request ids), pass `excludeSelf = false`: with it on, a coincidental
+    * id collision would silently drop a valid neighbor.
+    *
+    * Probe column names must not collide with the index side: the cell
+    * equi-join puts both schemas in scope, so a probe frame still
+    * carrying a column named like `idCol`/`embCol` would make the
+    * post-join references ambiguous — [[probeNameGuard]] refuses that
+    * by name up front instead of surfacing an AnalysisException from
+    * the middle of the plan. */
   def knnJoin(index: IvfIndex, probes: DataFrame, topK: Int, nProbe: Int,
       probeIdCol: String = "probe_id", probeEmbCol: String = "probe_emb",
       idCol: String = "vec_id", embCol: String = "embedding",
       excludeSelf: Boolean = true): DataFrame = {
+    probeNameGuard(probeIdCol, probeEmbCol, Seq(idCol, embCol, "cell"))
     val routed = routeProbes(probes, index.centroids, probeEmbCol, nProbe)
       .select(col(probeIdCol), col(probeEmbCol), col("_probe_norm"),
         col("cell"))

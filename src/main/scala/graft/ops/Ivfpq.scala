@@ -211,12 +211,19 @@ object Ivfpq {
       embCol: String = "embedding", excludeSelf: Boolean = true)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    Ann.probeNameGuard(probeIdCol, probeEmbCol,
+      Seq(idCol, embCol, "cell", "codes"))
     val routed = Ann.routeProbes(
       probes
         .withColumn("_unit", Pq.unit(col(probeEmbCol)))
         .withColumn("_lut",
           graft.functions.PqLut.pqLut(col("_unit"), index.books)),
       index.centroids, probeEmbCol, nProbe)
+      // project to exactly what the two phases consume: any OTHER probe
+      // column (including one named like the index side) drops here
+      // instead of riding into the cell join and going ambiguous
+      .select(col(probeIdCol), col("_probe_norm"), col("_unit"),
+        col("_lut"), col("cell"))
     // same structure as Pq.adcExpr: m lookups, left-assoc sum
     val adc = (1 to index.m).map(i =>
       element_at(element_at(col("_lut"), i),

@@ -201,16 +201,27 @@ object StreamRunner {
       .unionByName(
         probed.filter(col("_maybe")).join(hk, Seq("_key"), "left_anti"))
       .drop("_maybe", "_key")
-    val gateOk = gate(fresh)
-      .agg((sum(when(col("ok"), 0).otherwise(1)) === 0).as("g"))
-      .head().getBoolean(0)
-    partial(fresh)
-      .withColumn("gate_ok", lit(gateOk))
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(stateDir)
+    // two actions consume `fresh` (gate verdict, partial write) — cache
+    // so the dedup's probe + anti-join runs ONCE per batch, not per
+    // action; unpersist before returning so state never outlives the
+    // batch
+    fresh.persist()
+    try {
+      // a gate returning ZERO rows (e.g. a filter-shaped report on a
+      // clean batch) asserts nothing → vacuously passes; the coalesce
+      // keeps the NULL sum from poisoning the verdict read
+      val gateOk = gate(fresh)
+        .agg((coalesce(sum(when(col("ok"), 0).otherwise(1)), lit(0L))
+          === 0).as("g"))
+        .head().getBoolean(0)
+      partial(fresh)
+        .withColumn("gate_ok", lit(gateOk))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(stateDir)
+    } finally fresh.unpersist()
   }
 
   /** T7: stream-stream interval join — purchases matched to the same

@@ -29,8 +29,13 @@ object TimeQuery {
       t
     }
     val sorted = times.sorted
+    // true median: average the two middle reps on even counts (indexing
+    // reps/2 alone would report the UPPER middle — at reps=2, the max)
+    val med =
+      if (reps % 2 == 1) sorted(reps / 2)
+      else (sorted(reps / 2 - 1) + sorted(reps / 2)) / 2.0
     println(f"[time] $name  min=${sorted.head}%.3f  " +
-      f"med=${sorted(reps / 2)}%.3f  max=${sorted.last}%.3f  reps=$reps")
+      f"med=$med%.3f  max=${sorted.last}%.3f  reps=$reps")
     spark.stop()
   }
 }

@@ -60,6 +60,24 @@ class KnnJoinPqSpec extends SparkTestBase {
     assert(joined === exact)
   }
 
+  test("index-side probe column names are refused by name, extras dropped") {
+    // param collision: probe id named like the index id column
+    val e = intercept[IllegalArgumentException] {
+      Ivfpq.knnJoin(index,
+        emb.select(col("vec_id"), col("embedding").as("probe_emb")),
+        topK = 5, nProbe = 3, shortlist = 50, probeIdCol = "vec_id")
+    }
+    assert(e.getMessage.contains("vec_id"))
+    // extra colliding columns on the probe FRAME are projected away
+    val wide = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("probe_id"),
+        col("embedding").as("probe_emb"),
+        col("vec_id"), col("embedding")) // riders named like the index
+    val served = Ivfpq.knnJoin(index, wide, topK = 5, nProbe = 3,
+      shortlist = 50)
+    assert(served.count() === 5)
+  }
+
   test("PqLut kernel is bit-equal to the literal composition AND lutsFor") {
     import org.apache.spark.sql.functions.col
     val unitDf = emb.limit(32)
