@@ -650,10 +650,51 @@ object TextQueries {
     * round absorbs it, and the decimal sum is exact and
     * order-independent; the final score is one exact decimal→double
     * cast, so ordering and hashing can never split the engines. */
+  /** The query-term set shared by [[bm25Search]] and [[bm25Serve]] —
+    * one definition so the two forms (and their shared oracle) can
+    * never drift. */
+  private val bm25Terms = Seq("spark", "merge", "filter")
+
+  /** Shared BM25 scoring tail: per-(term, doc) posting rows + the
+    * bounded df and 1-row corpus-stats frames → decimal-rounded
+    * per-term scores, exact per-doc sum, top-10 with rank. ONE
+    * definition behind both the tokenize-on-read form and the
+    * persisted-index serving form, so their arithmetic (and therefore
+    * the shared oracle hash) cannot drift. */
+  private def bm25TopK(tf: org.apache.spark.sql.DataFrame,
+      dfs: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val scored = tf
+      .join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(
+          log(lit(1.0) +
+            (col("n_docs") - col("df") + lit(0.5)) /
+              (col("df") + lit(0.5))) *
+            (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) *
+              (lit(0.25) + lit(0.75) *
+                (col("dl").cast(DoubleType) / col("avgdl")))), 4)
+          .cast(DecimalType(38, 4)).as("score_term"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("score_term")).as("score_dec"))
+      .select(col("doc_id"), col("n_terms"),
+        col("score_dec").cast(DoubleType).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+      .select(
+        row_number().over(Window.orderBy(col("score").desc,
+          col("doc_id"))).cast(LongType).as("rnk"),
+        col("doc_id"), col("n_terms"), col("score"))
+      .orderBy("rnk")
+  }
+
   val bm25Search = GQuery(
     "bm25_search",
     (s, d) => {
-      val qTerms = Seq("spark", "merge", "filter")
       val docs = Tables.documents(s, d)
         .where(col("text").isNotNull)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -664,37 +705,109 @@ object TextQueries {
       // postings-with-tf, restricted to the query terms before grouping
       val tf = docs
         .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-        .where(col("term").isin(qTerms: _*))
+        .where(col("term").isin(bm25Terms: _*))
         .groupBy(col("term"), col("doc_id"), col("dl"))
         .agg(count(lit(1)).cast(DoubleType).as("tf"))
       val dfs = tf.groupBy(col("term"))
         .agg(count(lit(1)).cast(DoubleType).as("df"))
-      val scored = tf
-        .join(broadcast(dfs), "term")
-        .crossJoin(broadcast(stats))
-        .select(col("doc_id"),
-          round(
-            log(lit(1.0) +
-              (col("n_docs") - col("df") + lit(0.5)) /
-                (col("df") + lit(0.5))) *
-              (col("tf") * lit(2.2)) /
-              (col("tf") + lit(1.2) *
-                (lit(0.25) + lit(0.75) *
-                  (col("dl").cast(DoubleType) / col("avgdl")))), 4)
-            .cast(DecimalType(38, 4)).as("score_term"))
-      scored.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_terms"),
-          sum(col("score_term")).as("score_dec"))
-        .select(col("doc_id"), col("n_terms"),
-          col("score_dec").cast(DoubleType).as("score"))
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(10)
-        .select(
-          row_number().over(Window.orderBy(col("score").desc,
-            col("doc_id"))).cast(LongType).as("rnk"),
-          col("doc_id"), col("n_terms"), col("score"))
-        .orderBy("rnk")
+      bm25TopK(tf, dfs, stats)
     },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, str_split(text, ' ') AS toks,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents WHERE text IS NOT NULL),
+      stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+        FROM docs),
+      tf AS (
+        SELECT term, doc_id, dl, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+        WHERE term IN ('spark', 'merge', 'filter')
+        GROUP BY 1, 2, 3),
+      dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT tf.doc_id,
+               CAST(round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / s.avgdl))),
+                 4) AS DECIMAL(38,4)) AS score_term
+        FROM tf JOIN dfs d USING (term) CROSS JOIN stats s),
+      agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(score_term) AS DOUBLE) AS score
+        FROM scored GROUP BY 1)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+             doc_id, n_terms, score
+      FROM agg
+      ORDER BY score DESC, doc_id
+      LIMIT 10
+    """))
+
+  /** Persisted inverted index per sfDir, built once per process — the
+    * `savedIvfPath` discipline applied to the TEXT index: the posting
+    * lists (term, doc_id, tf, dl) land range-partitioned AND sorted on
+    * term, so parquet row-group min/max stats make a query's term
+    * restriction a pushed-down `In` filter that skips everything but
+    * the matched terms' row groups; df and the 1-row corpus stats are
+    * tiny side tables. This is what `postings` builds conceptually,
+    * persisted in the layout retrieval actually reads. */
+  private val postingsSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedPostingsPath(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    postingsSaved.getOrElseUpdate(d, {
+      val path = s"${graft.GraftSession.scratchDir}/postings_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = Tables.documents(s, d)
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast(LongType).as("dl"))
+      val lists = docs
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .groupBy(col("term"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).cast(DoubleType).as("tf"))
+      lists.repartitionByRange(8, col("term"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(s"$path/lists")
+      lists.groupBy(col("term"))
+        .agg(count(lit(1)).cast(DoubleType).as("df"))
+        .write.mode("overwrite").parquet(s"$path/df")
+      docs.agg(count(lit(1)).cast(DoubleType).as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+        .write.mode("overwrite").parquet(s"$path/stats")
+      path
+    })
+
+  /** BM25 over the PERSISTED inverted index — the serving path
+    * ([[bm25Search]]'s `sim_ivfpq_loaded` twin): build → save (posting
+    * lists term-range-partitioned + term-sorted, ONCE per process via
+    * [[savedPostingsPath]]) → query. On the saved layout the term
+    * restriction is a PUSHED parquet filter (`In(term, …)` in the
+    * scan's PushedFilters, pinned in `Bm25ServeSpec`) against
+    * term-sorted row groups — at 100 TB a query reads the matched
+    * terms' row groups, not the corpus, and never re-tokenizes
+    * anything. df arrives df-complete from the side table (computed at
+    * index build over ALL terms, not just the queried ones — the
+    * at-rest df a real index serves). Scoring is the shared
+    * [[bm25TopK]] tail, so this MUST reproduce `bm25_search` row for
+    * row — both entries assert the same oracle, making the
+    * build→persist→serve roundtrip itself hash-verified. */
+  val bm25Serve = GQuery(
+    "bm25_serve",
+    (s, d) => {
+      val path = savedPostingsPath(s, d)
+      val lists = s.read.parquet(s"$path/lists")
+        .where(col("term").isin(bm25Terms: _*))
+      val dfs = s.read.parquet(s"$path/df")
+        .where(col("term").isin(bm25Terms: _*))
+      val stats = s.read.parquet(s"$path/stats")
+      bm25TopK(lists, dfs, stats)
+    },
+    // identical oracle to bm25_search: the persisted index must serve
+    // the same answer the tokenize-on-read form computes
     Some("""
       WITH docs AS (
         SELECT doc_id, str_split(text, ' ') AS toks,
@@ -931,5 +1044,5 @@ object TextQueries {
     docFingerprint, dedupExact, dedupJaccard, textBigrams, splitHash,
     sampleStratified, sampleExactK, textTfidf, packSequences, decontaminate,
     textRepetition, heavyHitters, modelScore, treeScore, quantileBins,
-    postings, bm25Search)
+    postings, bm25Search, bm25Serve)
 }
