@@ -602,6 +602,81 @@ object VectorQueries {
     },
     Some(serveRecallOracle))
 
+  /** Reference-set IVF index per sfDir for [[deconSemantic]], built once
+    * per process (the benchmark side of a decontamination run is static
+    * state, not per-query work). */
+  private val deconIndex =
+    scala.collection.concurrent.TrieMap.empty[String, Ann.IvfIndex]
+
+  private def deconIndexFor(s: org.apache.spark.sql.SparkSession,
+      d: String): Ann.IvfIndex =
+    deconIndex.getOrElseUpdate(d,
+      Ann.build(Tables.embeddings(s, d)
+        .filter(pmod(col("vec_id"), lit(5)) === 0), k = 8))
+
+  /** SEMANTIC decontamination — the composition `knn_join` exists for,
+    * driver-verified end-to-end: every corpus document retrieves its
+    * nearest neighbor IN A SEPARATE REFERENCE SET (the held-out
+    * eval-benchmark embeddings — here the vec_id % 5 == 0 slice stands
+    * in) through the unbounded kNN join, and a document whose nearest
+    * benchmark neighbor is too similar is a contamination hit. This is
+    * the embedding-space sibling of the 5-gram `decontaminate` entry:
+    * n-gram matching catches verbatim leakage, the semantic form
+    * catches paraphrase.
+    *
+    * Mechanism vs verification: the join side is [[Ann.knnJoin]]
+    * against the reference index (different id spaces →
+    * `excludeSelf = false`, the external-id contract the spec warns
+    * about — driver-exercised here) with topK = 1 and nProbe = k, i.e.
+    * FULL probing: the cartesian-free join mechanism runs end to end,
+    * and because the re-rank is exact and no cell is pruned, its top-1
+    * sim IS each document's true max cosine — so the whole output
+    * (max sim rounded through DECIMAL(38,4) + the threshold flag
+    * computed FROM the rounded value, so an engine ulp can never flip
+    * it) hash-verifies against the oracle's brute-force recompute with
+    * no tolerance boolean. On THIS corpus (near-uniform random
+    * cosines) a pruned probe has no margin to hide a miss in, so the
+    * exact configuration is the honest one; the pruned-recall serving
+    * trade-off is `knn_join` / `knn_join_pq`'s demonstrated claim, and
+    * a production decontamination run tunes nProbe against exactly
+    * their recall gate. */
+  val deconSemantic = GQuery(
+    "decon_semantic",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val corpus = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val ann = Ann.knnJoin(deconIndexFor(s, d),
+        corpus.select(col("vec_id").as("probe_id"),
+          col("embedding").as("probe_emb")),
+        topK = 1, nProbe = 8, excludeSelf = false)
+      ann.select(col("probe_id"),
+          round(col("sim"), 4).cast(DecimalType(38, 4))
+            .cast(DoubleType).as("max_sim"))
+        .select(col("probe_id"), col("max_sim"),
+          (col("max_sim") >= lit(0.2)).as("contaminated"))
+        .orderBy("probe_id")
+    },
+    Some("""
+      WITH refs AS (
+        SELECT embedding AS ref_emb FROM embeddings WHERE vec_id % 5 = 0),
+      corpus AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+      mx AS (
+        -- DOUBLE[] casts matter: on FLOAT[] inputs DuckDB accumulates the
+        -- cosine in float (~1e-4 off the Spark side's double fold), which
+        -- round-to-4 cannot absorb; in double both engines agree to ulps
+        SELECT c.vec_id AS probe_id,
+               CAST(CAST(round(MAX(list_cosine_similarity(
+                   CAST(c.embedding AS DOUBLE[]),
+                   CAST(r.ref_emb AS DOUBLE[]))), 4)
+                 AS DECIMAL(38,4)) AS DOUBLE) AS max_sim
+        FROM corpus c CROSS JOIN refs r
+        GROUP BY 1)
+      SELECT probe_id, max_sim, max_sim >= 0.2 AS contaminated
+      FROM mx
+      ORDER BY probe_id
+    """))
+
   /** Codebooks trained at most once per process per (sfDir, params) —
     * the [[savedIvfPath]] build-once discipline applied to the PQ and
     * IVF-PQ entries: training is driver-coordinated Lloyd's whose cost
@@ -858,6 +933,6 @@ object VectorQueries {
     Seq(vecNorm, simTopk, simBucketed, simPairs, dedupEmbed,
       dedupEmbedCluster, simIvf, simIvfLoaded, simFiltered, simIvfAppend,
       simServe,
-      simPq, simIvfpq, simIvfpqLoaded, knnJoin, knnJoinPq, embedQuantize,
-      simTopkBatch)
+      simPq, simIvfpq, simIvfpqLoaded, knnJoin, knnJoinPq, deconSemantic,
+      embedQuantize, simTopkBatch)
 }
