@@ -655,6 +655,21 @@ object TextQueries {
     * never drift. */
   private val bm25Terms = Seq("spark", "merge", "filter")
 
+  /** The Okapi BM25 per-(term, doc) score expression (k1 = 1.2,
+    * b = 0.75, +1-inside-ln IDF), decimal-rounded per the lm_perplexity
+    * ln discipline — ONE definition behind the single-query forms and
+    * the batched serving path. */
+  private def bm25ScoreTerm: Column =
+    round(
+      log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) *
+        (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) *
+          (lit(0.25) + lit(0.75) *
+            (col("dl").cast(DoubleType) / col("avgdl")))), 4)
+      .cast(DecimalType(38, 4))
+
   /** Shared BM25 scoring tail: per-(term, doc) posting rows + the
     * bounded df and 1-row corpus-stats frames → decimal-rounded
     * per-term scores, exact per-doc sum, top-10 with rank. ONE
@@ -668,16 +683,7 @@ object TextQueries {
     val scored = tf
       .join(broadcast(dfs), "term")
       .crossJoin(broadcast(stats))
-      .select(col("doc_id"),
-        round(
-          log(lit(1.0) +
-            (col("n_docs") - col("df") + lit(0.5)) /
-              (col("df") + lit(0.5))) *
-            (col("tf") * lit(2.2)) /
-            (col("tf") + lit(1.2) *
-              (lit(0.25) + lit(0.75) *
-                (col("dl").cast(DoubleType) / col("avgdl")))), 4)
-          .cast(DecimalType(38, 4)).as("score_term"))
+      .select(col("doc_id"), bm25ScoreTerm.as("score_term"))
     scored.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"),
         sum(col("score_term")).as("score_dec"))
@@ -780,6 +786,54 @@ object TextQueries {
         .write.mode("overwrite").parquet(s"$path/stats")
       path
     })
+
+  /** Serve a bounded BATCH of keyword queries against the persisted
+    * index in ONE distributed pass — [[Ann.serveBatch]]'s text twin and
+    * the micro-batch body of
+    * `graft.streaming.StreamRunner.keywordServeStream`. The batch's
+    * term union restricts the posting-list scan (pushed `In` filter on
+    * the term-sorted layout, same as [[bm25Serve]]); the exploded
+    * (query_id, term) request pairs BROADCAST onto the matched lists
+    * (bounded by the request batch, never by the corpus); scoring is
+    * the shared [[bm25ScoreTerm]] expression grouped by
+    * (query_id, doc_id); top-`topK` per query is one WindowGroupLimit
+    * pass. The index side never moves to the driver and never
+    * re-shuffles beyond the per-query window, sized by candidates, not
+    * the corpus. A single-query batch reproduces [[bm25Serve]] row for
+    * row (pinned in `Bm25ServeSpec`). */
+  def bm25ServeBatch(s: org.apache.spark.sql.SparkSession, d: String,
+      queries: Seq[(Long, Seq[String])], topK: Int = 10)
+      : org.apache.spark.sql.DataFrame = {
+    require(queries.nonEmpty, "bm25ServeBatch: empty query batch")
+    val path = savedPostingsPath(s, d)
+    val allTerms = queries.flatMap(_._2).distinct
+    val lists = s.read.parquet(s"$path/lists")
+      .where(col("term").isin(allTerms: _*))
+    val dfs = s.read.parquet(s"$path/df")
+      .where(col("term").isin(allTerms: _*))
+    val stats = s.read.parquet(s"$path/stats")
+    import s.implicits._
+    val qterms = queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    lists
+      .join(broadcast(qterms), "term")
+      .join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        bm25ScoreTerm.as("score_term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("score_term")).as("score_dec"))
+      .select(col("query_id"), col("doc_id"), col("n_terms"),
+        col("score_dec").cast(DoubleType).as("score"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("n_terms"),
+        col("score"))
+  }
 
   /** BM25 over the PERSISTED inverted index — the serving path
     * ([[bm25Search]]'s `sim_ivfpq_loaded` twin): build → save (posting

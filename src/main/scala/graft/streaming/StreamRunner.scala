@@ -370,6 +370,31 @@ object StreamRunner {
       }
       .start()
 
+  /** Online keyword retrieval — [[annServeStream]]'s text twin: each
+    * micro-batch of keyword queries is served against the persisted
+    * BM25 inverted index in one distributed
+    * `TextQueries.bm25ServeBatch` pass, and the per-query top-k hands
+    * off to `emit`. The query batch is collected for request routing —
+    * bounded by the micro-batch interval, the serving contract; the
+    * index side never moves. Expects streaming columns (query_id:
+    * long, terms: array<string>); emits (query_id, rnk, doc_id,
+    * n_terms, score). Stream ≡ batch pinned in `Bm25ServeSpec`. */
+  def keywordServeStream(sfDir: String, queries: DataFrame,
+      topK: Int = 10)(emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val collected = batch
+          .select(col("query_id").cast("long"),
+            col("terms").cast("array<string>"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[String](1).toSeq)).toSeq
+        if (collected.nonEmpty)
+          emit(graft.ops.TextQueries.bm25ServeBatch(
+            batch.sparkSession, sfDir, collected, topK))
+      }
+      .start()
+
   /** Typed event row for the custom-state path (object-nested so Spark
     * can derive its Encoder — no outer instance). */
   final case class UserEvent(event_id: Long, ts: java.sql.Timestamp,

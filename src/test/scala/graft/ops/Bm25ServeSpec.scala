@@ -23,6 +23,47 @@ class Bm25ServeSpec extends SparkTestBase {
     assert(rows("bm25_serve") === rows("bm25_search"))
   }
 
+  test("a single-query serve batch reproduces bm25_serve row for row") {
+    val batch = TextQueries.bm25ServeBatch(spark, sf,
+      Seq(7L -> Seq("spark", "merge", "filter")))
+      .collect()
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_terms"), r.getAs[Double]("score")))
+      .sortBy(_._1).toSeq
+    assert(batch === rows("bm25_serve"))
+  }
+
+  test("streaming keyword serve equals the batch path across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val source = MemoryStream[(Long, Seq[String])]
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long)]
+    val q = graft.streaming.StreamRunner.keywordServeStream(sf,
+      source.toDF().toDF("query_id", "terms"), topK = 5) { out =>
+      results.synchronized {
+        results ++= out.collect().map(r => (r.getAs[Long]("query_id"),
+          r.getAs[Long]("rnk"), r.getAs[Long]("doc_id")))
+      }
+    }
+    source.addData(1L -> Seq("spark", "merge"))
+    q.processAllAvailable()
+    source.addData(2L -> Seq("filter"), 3L -> Seq("spark"))
+    q.processAllAvailable()
+    q.stop()
+    val expected = (Seq(
+      TextQueries.bm25ServeBatch(spark, sf, Seq(1L -> Seq("spark", "merge")),
+        topK = 5),
+      TextQueries.bm25ServeBatch(spark, sf,
+        Seq(2L -> Seq("filter"), 3L -> Seq("spark")), topK = 5))
+      .flatMap(_.collect())
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("doc_id"))))
+      .sortBy(t => (t._1, t._2))
+    assert(results.sortBy(t => (t._1, t._2)).toSeq === expected)
+  }
+
   test("term restriction is pushed into the posting-list scan") {
     val path = TextQueries.savedPostingsPath(spark, sf)
     val plan = spark.read.parquet(s"$path/lists")
