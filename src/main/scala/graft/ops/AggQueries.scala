@@ -614,8 +614,49 @@ object AggQueries {
       ORDER BY rnk
     """))
 
+  /** Statistics-only scan: COUNT / MIN / MAX answered from parquet
+    * FOOTER metadata instead of row data — at 100 TB the difference
+    * between a metadata pass (one footer read per file) and a full
+    * column scan for the profile/verify queries a warehouse runs
+    * constantly (the reference's `verifycalaccessrawdata.py:~40-90`
+    * count checks are exactly this shape).
+    *
+    * Mechanics: parquet aggregate pushdown is a DataSource V2 feature,
+    * so the read goes through a CHILD SparkSession (`newSession` —
+    * shared SparkContext, isolated conf: the v1-list override and the
+    * pushdown flag must not leak into other queries' plans) with
+    * `spark.sql.parquet.aggregatePushdown=true`. The scan node then
+    * carries `PushedAggregation: [COUNT(*), MIN(...), MAX(...)]`
+    * (pinned in `AggPushdownSpec`) and emits pre-aggregated footer
+    * rows; no WHERE clause and no row-group filtering, the conditions
+    * under which footer stats are exact. Values are plain
+    * integer/double min/max/count — exact on both engines, no rounding
+    * discipline needed. */
+  val aggPushdown = GQuery(
+    "agg_pushdown",
+    (s, d) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.sources.useV1SourceList", "")
+      s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      Tables.orders(s2, d)
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+    },
+    Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(o_orderkey) AS min_key,
+             MAX(o_orderkey) AS max_key,
+             MIN(o_totalprice) AS min_price,
+             MAX(o_totalprice) AS max_price
+      FROM orders
+    """))
+
   def all: Seq[GQuery] = Seq(aggCount, aggGroup, aggMinmax, aggDistinct,
     aggApproxDistinct, aggAvg, aggRollup, aggCube, aggConditional, aggPivot,
     aggStats, aggPercentile, aggPercentileHist, aggApproxPercentile,
-    aggListagg, aggArgmax, aggGroupingSets, aggSalted, skewReport)
+    aggListagg, aggArgmax, aggGroupingSets, aggSalted, skewReport,
+    aggPushdown)
 }
