@@ -664,7 +664,7 @@ object VectorQueries {
       mx AS (
         -- DOUBLE[] casts matter: on FLOAT[] inputs DuckDB accumulates the
         -- cosine in float (~1e-4 off the Spark side's double fold), which
-        -- round-to-4 cannot absorb; in double both engines agree to ulps
+        -- round-to-4 cannot absorb -- in double both engines agree to ulps
         SELECT c.vec_id AS probe_id,
                CAST(CAST(round(MAX(list_cosine_similarity(
                    CAST(c.embedding AS DOUBLE[]),
