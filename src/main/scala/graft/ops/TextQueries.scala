@@ -894,6 +894,64 @@ object TextQueries {
       LIMIT 10
     """))
 
+  /** The multi-query serving path, driver-verified: a 3-request
+    * keyword batch answered in ONE [[bm25ServeBatch]] pass against the
+    * persisted index — the registry face of
+    * `StreamRunner.keywordServeStream`'s micro-batch body (stream ≡
+    * batch pinned in `Bm25ServeSpec`; this entry hash-verifies the
+    * per-query grouping, df-complete side-table semantics, and
+    * per-query top-k that the single-query `bm25_serve` cannot see).
+    * The oracle recomputes every query from the corpus with the
+    * request batch as a VALUES table — identical arithmetic, identical
+    * decimal discipline. */
+  val bm25Multi = GQuery(
+    "bm25_multi",
+    (s, d) => bm25ServeBatch(s, d, Seq(
+        1L -> Seq("spark", "merge"),
+        2L -> Seq("filter"),
+        3L -> Seq("spark", "filter", "query")), topK = 5)
+      .orderBy("query_id", "rnk"),
+    Some("""
+      WITH q(query_id, term) AS (VALUES
+        (CAST(1 AS BIGINT), 'spark'), (1, 'merge'),
+        (2, 'filter'),
+        (3, 'spark'), (3, 'filter'), (3, 'query')),
+      docs AS (
+        SELECT doc_id, str_split(text, ' ') AS toks,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents WHERE text IS NOT NULL),
+      stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+        FROM docs),
+      tf AS (
+        SELECT term, doc_id, dl, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+        WHERE term IN (SELECT term FROM q)
+        GROUP BY 1, 2, 3),
+      dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT q.query_id, tf.doc_id,
+               CAST(round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / s.avgdl))),
+                 4) AS DECIMAL(38,4)) AS score_term
+        FROM tf
+        JOIN q ON q.term = tf.term
+        JOIN dfs d ON d.term = tf.term
+        CROSS JOIN stats s),
+      agg AS (
+        SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(score_term) AS DOUBLE) AS score
+        FROM scored GROUP BY 1, 2)
+      SELECT query_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+             doc_id, n_terms, score
+      FROM agg
+      QUALIFY rnk <= 5
+      ORDER BY query_id, rnk
+    """))
+
   /** Quantile binning (feature discretization): assign every document
     * its length QUARTILE and report the bin histogram — the
     * equal-frequency binning a feature pipeline applies before bucketed
@@ -1098,5 +1156,5 @@ object TextQueries {
     docFingerprint, dedupExact, dedupJaccard, textBigrams, splitHash,
     sampleStratified, sampleExactK, textTfidf, packSequences, decontaminate,
     textRepetition, heavyHitters, modelScore, treeScore, quantileBins,
-    postings, bm25Search, bm25Serve)
+    postings, bm25Search, bm25Serve, bm25Multi)
 }

@@ -178,7 +178,18 @@ object ScaleSweep {
         // round 12: BM25 retrieval (term-filtered posting build ∝ n,
         // bounded df/stats broadcasts) and the ADC-scored kNN join
         // under its k ∝ n + constant-shortlist contract (see `probes`)
-        "bm25_search", "knnjoinpq_sweep")
+        "bm25_search", "knnjoinpq_sweep",
+        // round 12 late: the persisted-index BM25 serve (index build ∝ n
+        // once per process, the serve itself reads matched row groups),
+        // the composed exactly-once refresh (bloom build + probes +
+        // anti-join all ∝ n, state |groups|-bounded), the keyed-state
+        // accumulator (one shuffle on user_id, one record per key), and
+        // the footer-aggregate scan (metadata pass — should stay FLAT,
+        // the strongest curve in the list). decon_semantic is NOT swept:
+        // its registry form full-probes a reference set that the replica
+        // model also multiplies (quadratic by construction); the pruned
+        // production form is exactly knnjoin(-pq)_sweep's contract.
+        "bm25_serve", "incr_pipeline", "stream_state", "agg_pushdown")
     val spark = graft.GraftSession.local(4, "graft-scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
