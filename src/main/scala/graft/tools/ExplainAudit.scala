@@ -15,7 +15,12 @@ object ExplainAudit {
       else Seq("filter_pred", "join_broadcast", "join_star", "q1_pricing",
         "topk", "topk_group", "win_latest", "dedup_minhash_lsh",
         "bucketed_join", "line_dedup", "corpus_clean", "fuzzy_match",
-        "scd2_merge", "funnel")
+        "scd2_merge", "funnel",
+        // round 12: the retrieval/serving tier — bm25_serve must show
+        // the pushed In(term) filter, knn_join_pq the codes-only scan,
+        // agg_pushdown the PushedAggregation metadata pass
+        "bm25_search", "bm25_serve", "knn_join_pq", "agg_pushdown",
+        "incr_pipeline")
     val spark = graft.GraftSession.local(4, "graft-explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
     for (n <- names) {
