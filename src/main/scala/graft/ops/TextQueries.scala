@@ -587,6 +587,53 @@ object TextQueries {
       ORDER BY cnt DESC, token
     """))
 
+  /** Heavy hitters via the SINGLE-PASS bounded-memory sketch
+    * (`stat.freqItems` — Spark's implementation of the Karp/
+    * Misra–Gries counter algorithm): the scale path [[heavyHitters]]'s
+    * exact form lacks when the key domain is UNBOUNDED (URLs, user
+    * ids, raw n-grams at web scale), where the exact groupBy's state is
+    * O(|distinct keys|) but the sketch holds ≤ 1/support counters per
+    * partition and merges them — one scan, bounded memory, no shuffle
+    * proportional to the key domain.
+    *
+    * Verification leans on the sketch's ONE hard guarantee — no false
+    * negatives: every item with frequency > support IS in the returned
+    * candidate set (false positives allowed; a real pipeline runs the
+    * cheap exact count over just the bounded candidates to trim them,
+    * which is what the in-query join demonstrates). The driver-hashed
+    * rows are the EXACT heavy hitters (same threshold and tie-order as
+    * `heavy_hitters`, so the anchor is deterministic), each carrying
+    * `in_sketch` — membership in the freqItems candidates — which the
+    * oracle pins TRUE: a sketch that ever dropped a true heavy hitter
+    * fails the gate. The candidate set itself is driver-held and
+    * bounded by construction (≤ 1/support items). */
+  val heavyHittersSketch = GQuery(
+    "heavy_hitters_sketch",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+      val cand = toks.stat.freqItems(Seq("token"), 0.005)
+        .head().getSeq[String](0)
+      val tf = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = tf.agg(sum(col("cnt")).cast(DoubleType).as("total"))
+      tf.crossJoin(broadcast(total))
+        .filter(col("cnt") > col("total") / 200)
+        .select(col("token"), col("cnt"),
+          col("token").isin(cand: _*).as("in_sketch"))
+        .orderBy(col("cnt").desc, col("token"))
+    },
+    Some("""
+      WITH tf AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+        GROUP BY 1),
+      tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM tf)
+      SELECT token, cnt, TRUE AS in_sketch
+      FROM tf, tot
+      WHERE cnt > total / 200
+      ORDER BY cnt DESC, token
+    """))
+
   /** Inverted-index build: term → (document frequency, ordered posting
     * list) — the retrieval-side structure a corpus pipeline materializes
     * for BM25/keyword search next to the ANN index. One explode +
@@ -1156,5 +1203,5 @@ object TextQueries {
     docFingerprint, dedupExact, dedupJaccard, textBigrams, splitHash,
     sampleStratified, sampleExactK, textTfidf, packSequences, decontaminate,
     textRepetition, heavyHitters, modelScore, treeScore, quantileBins,
-    postings, bm25Search, bm25Serve, bm25Multi)
+    postings, bm25Search, bm25Serve, bm25Multi, heavyHittersSketch)
 }
