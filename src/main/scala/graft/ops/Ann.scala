@@ -292,15 +292,27 @@ object Ann {
     * equi-join puts both schemas in scope — a probe id or embedding
     * column named like an index-side column would otherwise surface as
     * an AMBIGUOUS_REFERENCE AnalysisException from the middle of the
-    * joined plan. (Extra probe columns are no hazard: both kNN joins
+    * joined plan, and one named like an INTERNAL working column
+    * (`_probe_norm`, `_unit`, `_lut`, …) would be silently clobbered by
+    * the `withColumn` that materializes it (garbage grouping, not an
+    * error). Output names (`sim`, `neighbor_id`, `rank`) are refused for
+    * the same reason: the final projection would shadow them. (Extra
+    * probe columns outside these sets are no hazard: both kNN joins
     * project the routed side down to exactly what they consume.) */
+  private[ops] val reservedProbeNames: Set[String] = Set(
+    // internal working columns materialized onto the probe side
+    "_probe_norm", "_row_norm", "_srn", "_cells", "_unit", "_lut", "_adc",
+    // output columns of every kNN-join/search form
+    "sim", "neighbor_id", "rank")
+
   private[ops] def probeNameGuard(probeIdCol: String, probeEmbCol: String,
       indexSide: Seq[String]): Unit = {
-    val clash = Seq(probeIdCol, probeEmbCol).filter(indexSide.contains)
+    val clash = Seq(probeIdCol, probeEmbCol)
+      .filter(c => indexSide.contains(c) || reservedProbeNames.contains(c))
     require(clash.isEmpty,
       s"knnJoin: probe column(s) ${clash.mkString(", ")} collide with " +
-        "index-side column names — rename the probe columns " +
-        "(e.g. probe_id / probe_emb)")
+        "index-side, internal working, or output column names — rename " +
+        "the probe columns (e.g. probe_id / probe_emb)")
   }
 
   /** Row-side cell routing shared by [[knnJoin]] and [[Ivfpq.knnJoin]]:

@@ -448,7 +448,8 @@ object IncrQueries {
       val delta = orders.where(year(col("o_orderdate")) >= splitYear)
       val gateOk = CorpusQueries
         .constraintReport(delta, Tables.customer(s, d))
-        .agg((sum(when(col("ok"), 0).otherwise(1)) === 0).as("gate_ok"))
+        .agg((coalesce(sum(when(col("ok"), 0).otherwise(1)), lit(0L))
+          === 0).as("gate_ok"))
       mergeState(
         priorityPartial(orders.where(year(col("o_orderdate")) < splitYear)),
         priorityPartial(delta))
@@ -531,7 +532,8 @@ object IncrQueries {
         .drop("_maybe")
       val gateOk = CorpusQueries
         .constraintReport(fresh, Tables.customer(s, d))
-        .agg((sum(when(col("ok"), 0).otherwise(1)) === 0).as("gate_ok"))
+        .agg((coalesce(sum(when(col("ok"), 0).otherwise(1)), lit(0L))
+          === 0).as("gate_ok"))
       mergeState(priorityPartial(history), priorityPartial(fresh))
         .crossJoin(broadcast(gateOk))
         .select(

@@ -109,6 +109,7 @@ object Ivfpq {
           s"Ivfpq.search: probe id $probeId not found in the index")
       }
     val probeUnit = Pq.localUnit(probe)
+    val pnorm = math.sqrt(probe.map(x => x * x).sum)
     val cells: Seq[Long] = index.centroids
       .map { case (cid, cemb) => (cid, Ann.localCosine(cemb, probe)) }
       .sortBy { case (cid, csim) => (-csim, cid) }
@@ -130,9 +131,13 @@ object Ivfpq {
     probed.join(broadcast(short), Seq(idCol))
       .select(col(idCol).as("neighbor_id"),
         // probe is unit-norm: /1 implicit; Ann.guardedSim pins zero-norm
-        // rows to −1 (NaN would sort ABOVE every real sim desc)
+        // rows to −1 (NaN would sort ABOVE every real sim desc). A
+        // zero-norm PROBE passes norm 0 so guardedSim pins every
+        // neighbor to −1 too — the same "matches nothing" contract as
+        // [[knnJoin]]/[[Ann.query]] (single-probe equivalence holds for
+        // degenerate probes as well).
         Ann.guardedSim(transform(col(embCol), _.cast(DoubleType)), litProbe,
-          lit(1.0)).as("sim"))
+          lit(if (pnorm == 0.0) 0.0 else 1.0)).as("sim"))
       .orderBy(col("sim").desc, col("neighbor_id"))
       .limit(topK)
       .select(col("neighbor_id"), col("sim"),
@@ -199,10 +204,17 @@ object Ivfpq {
     *     (nProbe, shortlist), and full probe + full shortlist
     *     degenerates to [[Ann.knnJoin]]'s exact semantics.
     *
-    * The probe's unit vector and norm ride the phase-1 shuffle so the
-    * re-rank needs no second probe-side scan (same trade as
-    * [[Ann.knnJoin]] carrying probe_emb; the LUT itself is consumed by
-    * the pre-shuffle ADC projection and pruned from the exchange). A
+    * The probe's unit vector, norm AND ADC lookup table ride the
+    * phase-1 cell-join shuffle: `_adc` scores `codes` from the INDEX
+    * side, so the LUT can only be consumed after the equi-join — it
+    * crosses the cell-join exchange (m·codes doubles ≈ 8 KB at
+    * codes=256 per routed row, duplicated nProbe times by the cell
+    * explode) and is pruned only from the later per-probe window
+    * exchange. That is the deliberate trade vs re-deriving the LUT
+    * post-join from the unit vector: m·codes·8 B of shuffle per routed
+    * row buys computing the m·codes·dsub-flop table once per probe row
+    * instead of once per candidate. (Same shape as [[Ann.knnJoin]]
+    * carrying probe_emb across its cell join.) A
     * popular cell is ordinary join skew — AQE's skew-join split
     * applies. `excludeSelf` exactly as on [[Ann.knnJoin]]. */
   def knnJoin(index: IvfPqIndex, probes: DataFrame, topK: Int,

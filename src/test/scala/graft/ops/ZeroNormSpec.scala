@@ -59,4 +59,34 @@ class ZeroNormSpec extends SparkTestBase {
     assert(zero._3 === out.map(_._3).max)
     assert(out.forall(t => !t._2.isNaN))
   }
+
+  test("Ivfpq.search with a zero-norm PROBE pins every neighbor to -1 " +
+      "(matches knnJoin's contract)") {
+    // a directionless probe matches nothing: BOTH the single-probe
+    // search and the joined form must score every neighbor −1, so the
+    // single-probe-reproduces-search equivalence holds for degenerate
+    // probes too (round-12 ADVICE: search used to pass probeNorm 1.0
+    // and emit sim 0.0 here, diverging from knnJoin's −1)
+    val index = Ivfpq.build(vecs, k = 2, m = 2, codes = 2, iters = 1)
+    val out = Ivfpq.search(index, probeId = 7, topK = 7,
+      nProbe = index.centroids.length, shortlist = 10)
+      .collect().map(r => r.getAs[Double]("sim"))
+    assert(out.nonEmpty)
+    assert(out.forall(_ === -1.0))
+  }
+
+  test("probeNameGuard refuses internal working and output column names") {
+    for (bad <- Seq("_probe_norm", "_unit", "_lut", "_adc", "sim",
+        "neighbor_id", "rank")) {
+      val e = intercept[IllegalArgumentException] {
+        Ann.probeNameGuard(bad, "probe_emb", Seq("vec_id", "embedding"))
+      }
+      assert(e.getMessage.contains(bad))
+    }
+    // and still refuses index-side clashes, still accepts clean names
+    intercept[IllegalArgumentException] {
+      Ann.probeNameGuard("vec_id", "probe_emb", Seq("vec_id", "embedding"))
+    }
+    Ann.probeNameGuard("probe_id", "probe_emb", Seq("vec_id", "embedding"))
+  }
 }
