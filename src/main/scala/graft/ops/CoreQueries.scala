@@ -948,8 +948,15 @@ object CoreQueries {
           ((col("nk") + col("change_no")) % 5 + 1).cast(StringType)
             .as("FILER_TYPE"),
           when(col("change_no") % 3 === 0, lit("Y")).otherwise(lit(""))
-            .as("CORRECTION_FLAG"))
-      val typed = Load.load(Schemas.lobbyingChgLogCd, feed)
+            .as("CORRECTION_FLG"))
+      // the synthesized feed populates the columns the consumption
+      // window reads; the remaining raw-file columns of the full-width
+      // table arrive empty (→ NULL at load), as real partial change
+      // rows do
+      val tdef = Schemas.lobbyingChgLogCd
+      val fullFeed = tdef.rawSchema.fieldNames.foldLeft(feed)((df, c) =>
+        if (df.columns.contains(c)) df else df.withColumn(c, lit("")))
+      val typed = Load.load(tdef, fullFeed)
       val w = Window.partitionBy("filer_id").orderBy("change_no")
       typed
         .withColumn("prev_type", lag(col("filer_type"), 1).over(w))
@@ -961,7 +968,9 @@ object CoreQueries {
             .over(Window.partitionBy("filer_id")))
         .select(col("filer_id"), col("change_no"), col("log_dt"),
           col("filer_type"), col("prev_type"), col("days_since_prev"),
-          col("correction_flag"), col("is_current"))
+          // raw-file name is CORRECTION_FLG; keep the query's output
+          // name stable across the registry history
+          col("correction_flg").as("correction_flag"), col("is_current"))
         .orderBy("filer_id", "change_no")
     },
     Some("""

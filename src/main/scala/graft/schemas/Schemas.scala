@@ -1542,22 +1542,38 @@ object Schemas {
 
   /** ≙ LOBBYIST_FIRM1_CD (directory family) — lobbying-firm directory
     * year snapshot (`models/lobbying.py`). */
+  /** Per-quarter payment columns shared by the LOBBYIST_*1/2/3 ranking
+    * and *_HISTORY rollup tables (the raw files carry eight QTR_n
+    * amounts per row — one per quarter of the two-year session). */
+  private def qtrFields(what: String): Seq[StructField] =
+    (1 to 8).map(q => money16(s"qtr_$q",
+      s"$what in quarter $q of the legislative session"))
+
   val lobbyistFirm1Cd: TableDef = TableDef(
     name = "lobbyist_firm1_cd",
     schema = StructType(Seq(
       StructField("firm_id", LongType, nullable = true,
         doc("Lobbying firm identification number")),
+      StructField("session_id", LongType, nullable = true,
+        doc("Legislative session identification number")),
       StructField("firm_name", StringType, nullable = true,
         doc("Name of the lobbying firm")),
-      StructField("current_qtr_amt", DecimalType(14, 2), nullable = true,
+      StructField("current_qtr_amt", DecimalType(16, 2), nullable = true,
         doc("Payments received in the current quarter")),
-      StructField("session_total_amt", DecimalType(14, 2), nullable = true,
+      StructField("session_total_amt", DecimalType(16, 2), nullable = true,
         doc("Payments received across the legislative session")),
+      StructField("contributor_id", LongType, nullable = true,
+        doc("Contributor identification number of the firm")),
       StructField("session_yr_1", LongType, nullable = true,
         doc("First year of the legislative session")),
       StructField("session_yr_2", LongType, nullable = true,
-        doc("Second year of the legislative session")))),
-    uniqueKey = Seq("firm_id", "session_yr_1"))
+        doc("Second year of the legislative session")),
+      money16("yr_1_ytd_amt",
+        "Year-to-date payments received in the session's first year"),
+      money16("yr_2_ytd_amt",
+        "Year-to-date payments received in the session's second year"))
+      ++ qtrFields("Payments received")),
+    uniqueKey = Seq("firm_id", "session_id"))
 
   /** ≙ LOBBYIST_EMPLOYER1_CD — lobbyist-employer directory year
     * snapshot (`models/lobbying.py`). */
@@ -1566,19 +1582,30 @@ object Schemas {
     schema = StructType(Seq(
       StructField("employer_id", LongType, nullable = true,
         doc("Lobbyist employer identification number")),
+      StructField("session_id", LongType, nullable = true,
+        doc("Legislative session identification number")),
       StructField("employer_name", StringType, nullable = true,
         doc("Name of the employer")),
-      StructField("current_qtr_amt", DecimalType(14, 2), nullable = true,
+      StructField("current_qtr_amt", DecimalType(16, 2), nullable = true,
         doc("Payments made in the current quarter")),
-      StructField("session_total_amt", DecimalType(14, 2), nullable = true,
+      StructField("session_total_amt", DecimalType(16, 2), nullable = true,
         doc("Payments made across the legislative session")),
+      StructField("contributor_id", LongType, nullable = true,
+        doc("Contributor identification number of the employer")),
       StructField("interest_cd", LongType, nullable = true,
         doc("Industry interest code, decoded via lookup codes")),
+      StructField("interest_name", StringType, nullable = true,
+        doc("Name of the industry interest category")),
       StructField("session_yr_1", LongType, nullable = true,
         doc("First year of the legislative session")),
       StructField("session_yr_2", LongType, nullable = true,
-        doc("Second year of the legislative session")))),
-    uniqueKey = Seq("employer_id", "session_yr_1"))
+        doc("Second year of the legislative session")),
+      money16("yr_1_ytd_amt",
+        "Year-to-date payments made in the session's first year"),
+      money16("yr_2_ytd_amt",
+        "Year-to-date payments made in the session's second year"))
+      ++ qtrFields("Payments made")),
+    uniqueKey = Seq("employer_id", "session_id"))
 
   /** ≙ LOBBYIST_CONTRIBUTIONS1_CD — lobbyist campaign-contribution
     * directory rows (`models/lobbying.py`). */
@@ -1884,9 +1911,47 @@ object Schemas {
       StructField("from_date", DateType, nullable = true,
         doc("Amended effective period start, M/D/YYYY in the raw file")),
       StructField("thru_date", DateType, nullable = true,
-        doc("Amended effective period end, M/D/YYYY in the raw file")))),
+        doc("Amended effective period end, M/D/YYYY in the raw file")),
+      // the three add/delete blocks of Form 605: lobbyists (L),
+      // lobbying employers (LE), and subcontracted firms (LF) — each a
+      // checkbox, an effective date, and the party's name fields
+      str("add_l_cb", "Checkbox: the amendment adds a lobbyist"),
+      date("add_l_eff", "Effective date of the added lobbyist, M/D/YYYY"),
+      str("a_l_naml", "Added lobbyist last name"),
+      str("a_l_namf", "Added lobbyist first name"),
+      str("a_l_namt", "Added lobbyist name title or prefix"),
+      str("a_l_nams", "Added lobbyist name suffix"),
+      str("del_l_cb", "Checkbox: the amendment deletes a lobbyist"),
+      date("del_l_eff", "Effective date of the deleted lobbyist, M/D/YYYY"),
+      str("d_l_naml", "Deleted lobbyist last name"),
+      str("d_l_namf", "Deleted lobbyist first name"),
+      str("d_l_namt", "Deleted lobbyist name title or prefix"),
+      str("d_l_nams", "Deleted lobbyist name suffix"),
+      str("add_le_cb", "Checkbox: the amendment adds a lobbying employer"),
+      date("add_le_eff",
+        "Effective date of the added lobbying employer, M/D/YYYY"),
+      str("a_le_naml", "Added lobbying employer last name or organization"),
+      str("a_le_namf", "Added lobbying employer first name"),
+      str("a_le_namt", "Added lobbying employer name title or prefix"),
+      str("a_le_nams", "Added lobbying employer name suffix"),
+      str("del_le_cb", "Checkbox: the amendment deletes a lobbying employer"),
+      date("del_le_eff",
+        "Effective date of the deleted lobbying employer, M/D/YYYY"),
+      str("d_le_naml", "Deleted lobbying employer last name or organization"),
+      str("d_le_namf", "Deleted lobbying employer first name"),
+      str("d_le_namt", "Deleted lobbying employer name title or prefix"),
+      str("d_le_nams", "Deleted lobbying employer name suffix"),
+      str("add_lf_cb", "Checkbox: the amendment adds a subcontracted firm"),
+      date("add_lf_eff",
+        "Effective date of the added subcontracted firm, M/D/YYYY"),
+      str("a_lf_name", "Added subcontracted firm name"),
+      str("del_lf_cb", "Checkbox: the amendment deletes a subcontracted firm"),
+      date("del_lf_eff",
+        "Effective date of the deleted subcontracted firm, M/D/YYYY"),
+      str("d_lf_name", "Deleted subcontracted firm name"))),
     uniqueKey = Seq("filing_id", "amend_id"),
-    dateFields = Seq("exec_date", "from_date", "thru_date"))
+    dateFields = Seq("exec_date", "from_date", "thru_date", "add_l_eff",
+      "del_l_eff", "add_le_eff", "del_le_eff", "add_lf_eff", "del_lf_eff"))
 
   /** ≙ LOBBYING_CHG_LOG_CD — lobbying registry change log
     * (`models/lobbying.py`). */
@@ -1903,10 +1968,30 @@ object Schemas {
         doc("Date the change was logged, M/D/YYYY in the raw file")),
       StructField("filer_type", LongType, nullable = true,
         doc("Filer type code at the time of the change")),
-      StructField("correction_flag", StringType, nullable = true,
-        doc("Y when the entry corrects an earlier one")))),
+      StructField("correction_flg", StringType, nullable = true,
+        doc("Y when the entry corrects an earlier one")),
+      str("action", "Description of the change action taken"),
+      str("attribute_changed", "Name of the attribute the change modifies"),
+      date("ethics_dt",
+        "Date of the filer's ethics-course completion, M/D/YYYY"),
+      str("interests", "Industry interests of the filer, free text"),
+      str("filer_full_name", "Full name of the filer after the change"),
+      str("filer_city", "Filer city after the change"),
+      str("filer_st", "Filer state after the change"),
+      str("filer_zip4", "Filer ZIP+4 after the change"),
+      str("filer_phone", "Filer phone number after the change"),
+      lng("entity_type", "Type code of the related entity"),
+      str("entity_name", "Name of the related entity"),
+      str("entity_city", "Related entity city"),
+      str("entity_st", "Related entity state"),
+      str("entity_zip4", "Related entity ZIP+4"),
+      str("entity_phone", "Related entity phone number"),
+      lng("entity_id", "Identification number of the related entity"),
+      str("responsible_entity",
+        "Entity responsible for the change, free text"),
+      date("effect_dt", "Effective date of the change, M/D/YYYY"))),
     uniqueKey = Seq("filer_id", "change_no"),
-    dateFields = Seq("log_dt"))
+    dateFields = Seq("log_dt", "ethics_dt", "effect_dt"))
 
   /** ≙ FILING_PERIOD_CD — filing-period dimension, FULL declared
     * column set
@@ -1925,9 +2010,11 @@ object Schemas {
       StructField("per_grp_type", LongType, nullable = true,
         doc("Period group type code")),
       StructField("period_desc", StringType, nullable = true,
-        doc("Description of the period")))),
+        doc("Description of the period")),
+      StructField("deadline", DateType, nullable = true,
+        doc("Filing deadline of the period, M/D/YYYY in the raw file")))),
     uniqueKey = Seq("period_id"),
-    dateFields = Seq("start_date", "end_date"))
+    dateFields = Seq("start_date", "end_date", "deadline"))
 
   /** ≙ IMAGE_LINKS_CD — scanned-image link table
     * (`models/inactive.py`). */
@@ -2066,12 +2153,23 @@ object Schemas {
         doc("Name of the employer")),
       StructField("session_id", LongType, nullable = true,
         doc("Legislative session identification number")),
-      StructField("current_qtr_amt", DecimalType(14, 2), nullable = true,
+      StructField("current_qtr_amt", DecimalType(16, 2), nullable = true,
         doc("Payments made in the current quarter")),
-      StructField("session_total_amt", DecimalType(14, 2), nullable = true,
+      StructField("session_total_amt", DecimalType(16, 2), nullable = true,
         doc("Payments made across the legislative session")),
       StructField("interest_cd", LongType, nullable = true,
-        doc("Industry interest code, decoded via lookup codes")))),
+        doc("Industry interest code, decoded via lookup codes")),
+      StructField("interest_name", StringType, nullable = true,
+        doc("Name of the industry interest category")),
+      StructField("session_yr_1", LongType, nullable = true,
+        doc("First year of the legislative session")),
+      StructField("session_yr_2", LongType, nullable = true,
+        doc("Second year of the legislative session")),
+      money16("yr_1_ytd_amt",
+        "Year-to-date payments made in the session's first year"),
+      money16("yr_2_ytd_amt",
+        "Year-to-date payments made in the session's second year"))
+      ++ qtrFields("Payments made")),
     uniqueKey = Seq("employer_id", "session_id"))
 
   /** ≙ LOBBYIST_FIRM_HISTORY_CD — firm payment history rollup
@@ -2087,10 +2185,19 @@ object Schemas {
         doc("Name of the lobbying firm")),
       StructField("session_id", LongType, nullable = true,
         doc("Legislative session identification number")),
-      StructField("current_qtr_amt", DecimalType(14, 2), nullable = true,
+      StructField("current_qtr_amt", DecimalType(16, 2), nullable = true,
         doc("Payments received in the current quarter")),
-      StructField("session_total_amt", DecimalType(14, 2), nullable = true,
-        doc("Payments received across the legislative session")))),
+      StructField("session_total_amt", DecimalType(16, 2), nullable = true,
+        doc("Payments received across the legislative session")),
+      StructField("session_yr_1", LongType, nullable = true,
+        doc("First year of the legislative session")),
+      StructField("session_yr_2", LongType, nullable = true,
+        doc("Second year of the legislative session")),
+      money16("yr_1_ytd_amt",
+        "Year-to-date payments received in the session's first year"),
+      money16("yr_2_ytd_amt",
+        "Year-to-date payments received in the session's second year"))
+      ++ qtrFields("Payments received")),
     uniqueKey = Seq("firm_id", "session_id"))
 
   /** ≙ F690P2_CD — amendment to lobbying disclosure report
@@ -2288,7 +2395,9 @@ object Schemas {
       StructField("filer_id", StringType, nullable = true,
         doc("Filer identification number as filed, free text")),
       StructField("form_type", StringType, nullable = true,
-        doc("Name of the source filing form")))),
+        doc("Name of the source filing form")),
+      StructField("error_no", StringType, nullable = true,
+        doc("Intake error number; 0 or empty when the filing passed")))),
     uniqueKey = Seq("filing_dt", "filer_id", "form_type"),
     dateFields = Seq("filing_dt"))
 
@@ -2312,8 +2421,72 @@ object Schemas {
       StructField("label", StringType, nullable = true,
         doc("Display label of the header")),
       StructField("title", StringType, nullable = true,
-        doc("Display title of the header")))),
+        doc("Display title of the header")),
+      str("column_a", "Label rendered over amount column A"),
+      str("column_b", "Label rendered over amount column B"),
+      str("column_c", "Label rendered over amount column C"),
+      str("show_b", "Flag: render column B for this section"),
+      str("show_c", "Flag: render column C for this section"))),
     uniqueKey = Seq("form_id", "line_number", "rec_type"))
+
+  /** ≙ CVR_F470_CD — cover page of Form 470, the officeholder/candidate
+    * short-form campaign statement for filers under the expenditure
+    * ceiling (`models/inactive.py`; reconstructed from the public
+    * CAL-ACCESS file documentation — SURVEY §0). The standard cover-page
+    * shape: filer identity block, contact block, election/office block,
+    * plus the Part 5 date-of-$1000 trigger. */
+  val cvrF470Cd: TableDef = TableDef(
+    name = "cvr_f470_cd",
+    schema = StructType(Seq(
+      lng("filing_id", "Unique filing identification number"),
+      lng("amend_id", "Amendment identification number; 0 is the original"),
+      str("rec_type", "Record type of the cover page, always CVR"),
+      str("form_type", "Name of the source filing form, always F470"),
+      str("filer_id", "Filer identification number as filed"),
+      str("entity_cd",
+        "Entity code of the filer (documented set in meta.Annotations)"),
+      str("filer_naml", "Filer last name or organization name"),
+      str("filer_namf", "Filer first name"),
+      str("filer_namt", "Filer name title or prefix"),
+      str("filer_nams", "Filer name suffix"),
+      str("filer_city", "Filer city"),
+      str("filer_st", "Filer state"),
+      str("filer_zip4", "Filer ZIP+4"),
+      str("filer_phon", "Filer phone number"),
+      str("filer_fax", "Filer fax number"),
+      str("cmtte_id", "Identification number of the controlled committee"),
+      str("report_num",
+        "Report number; 000 for the original, 001+ for amendments"),
+      date("rpt_date", "Date the statement was filed, M/D/YYYY"),
+      date("elect_date", "Date of the election, M/D/YYYY"),
+      str("office_cd", "Office sought code"),
+      str("offic_dscr", "Office sought description"),
+      str("juris_cd", "Office jurisdiction code"),
+      str("juris_dscr", "Office jurisdiction description"),
+      str("dist_no", "Office district number"),
+      str("off_s_h_cd", "Office is sought or held code"),
+      date("date_1000",
+        "Date contributions or expenditures first exceeded $1,000, " +
+          "M/D/YYYY (triggers the Part 5 supplement)"))),
+    uniqueKey = Seq("filing_id", "amend_id", "rec_type", "form_type"),
+    dateFields = Seq("rpt_date", "elect_date", "date_1000"))
+
+  /** ≙ REPORTS_CD — the EFS report-catalog dimension (`models/
+    * inactive.py`): one row per canned report the secretary of state's
+    * filing system can render. Pure metadata, bounded at dozens of
+    * rows. */
+  val reportsCd: TableDef = TableDef(
+    name = "reports_cd",
+    schema = StructType(Seq(
+      lng("rpt_id", "Unique report identification number"),
+      str("rpt_name", "Name of the report"),
+      str("rpt_desc_field", "Description of the report"),
+      str("path", "Path to the report template"),
+      str("data_object", "Database object the report reads"),
+      str("parms_flg_y_n", "Flag: the report takes parameters (Y/N/X)"),
+      lng("rpt_type", "Report type code"),
+      str("parm_definition", "Parameter definition of the report"))),
+    uniqueKey = Seq("rpt_id"))
 
   val all: Seq[TableDef] =
     Seq(rcptCd, filerFilingsCd, lookupCodesCd, smryCd, filernameCd, expnCd,
@@ -2338,7 +2511,7 @@ object Schemas {
       lobbyistFirmHistoryCd, f690P2Cd, acronymsCd, addressCd, filersCd,
       filerAcronymsCd, filerEthicsClassCd, filerInterestsCd,
       filerStatusTypesCd, filerToFilerTypeCd, filerTypePeriodsCd,
-      efsFilingLogCd, headerCd)
+      efsFilingLogCd, headerCd, cvrF470Cd, reportsCd)
 
   def byName(name: String): TableDef =
     all.find(_.name == name).getOrElse(

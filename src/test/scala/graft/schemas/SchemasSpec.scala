@@ -7,12 +7,48 @@ import org.scalatest.funsuite.AnyFunSuite
   * every declared date field present and date-typed. */
 class SchemasSpec extends AnyFunSuite {
 
-  test("registry carries the complete 80-table catalog, uniquely named") {
-    assert(Schemas.all.size === 80, s"${Schemas.all.size} tables != 80")
+  test("registry carries the complete 82-table catalog, uniquely named") {
+    // 80 raw CAL-ACCESS export files (the full public inventory,
+    // including the round-13 additions CVR_F470_CD and REPORTS_CD) plus
+    // the two tracking/lineage tables (raw_data_version, raw_data_file)
+    assert(Schemas.all.size === 82, s"${Schemas.all.size} tables != 82")
     val names = Schemas.all.map(_.name)
     assert(names.distinct.size === names.size, "duplicate table names")
     // every table is reachable through the byName lookup
     for (t <- Schemas.all) assert(Schemas.byName(t.name) eq t)
+    // the complete raw-file inventory by name — a reference user's
+    // get_model_list() walk resolves every one of the 80 .TSV tables
+    val expectedRaw = Seq(
+      "acronyms_cd", "address_cd", "ballot_measures_cd",
+      "cvr2_campaign_disclosure_cd", "cvr2_lobby_disclosure_cd",
+      "cvr2_registration_cd", "cvr2_so_cd", "cvr3_verification_info_cd",
+      "cvr_campaign_disclosure_cd", "cvr_e530_cd", "cvr_f470_cd",
+      "cvr_lobby_disclosure_cd", "cvr_registration_cd", "cvr_so_cd",
+      "debt_cd", "efs_filing_log_cd", "expn_cd", "f495p2_cd",
+      "f501_502_cd", "f690p2_cd", "filername_cd", "filers_cd",
+      "filer_acronyms_cd", "filer_address_cd", "filer_ethics_class_cd",
+      "filer_filings_cd", "filer_interests_cd", "filer_links_cd",
+      "filer_status_types_cd", "filer_to_filer_type_cd", "filer_types_cd",
+      "filer_type_periods_cd", "filer_xref_cd", "filing_period_cd",
+      "filings_cd", "group_types_cd", "hdr_cd", "header_cd",
+      "image_links_cd", "latt_cd", "lccm_cd", "legislative_sessions_cd",
+      "lemp_cd", "lexp_cd", "loan_cd", "lobbying_chg_log_cd",
+      "lobbyist_contributions1_cd", "lobbyist_contributions2_cd",
+      "lobbyist_contributions3_cd", "lobbyist_employer1_cd",
+      "lobbyist_employer2_cd", "lobbyist_employer3_cd",
+      "lobbyist_employer_firms1_cd", "lobbyist_employer_firms2_cd",
+      "lobbyist_employer_history_cd", "lobbyist_emp_lobbyist1_cd",
+      "lobbyist_emp_lobbyist2_cd", "lobbyist_firm1_cd",
+      "lobbyist_firm2_cd", "lobbyist_firm3_cd",
+      "lobbyist_firm_employer1_cd", "lobbyist_firm_employer2_cd",
+      "lobbyist_firm_history_cd", "lobbyist_firm_lobbyist1_cd",
+      "lobbyist_firm_lobbyist2_cd", "lobby_amendments_cd",
+      "lookup_codes_cd", "loth_cd", "lpay_cd", "names_cd", "rcpt_cd",
+      "received_filings_cd", "reports_cd", "s401_cd", "s496_cd",
+      "s497_cd", "s498_cd", "smry_cd", "splt_cd", "text_memo_cd")
+    assert(expectedRaw.size === 80)
+    for (n <- expectedRaw)
+      assert(names.contains(n), s"raw table $n missing from registry")
   }
 
   test("headline tables carry their full declared column sets") {
@@ -97,7 +133,37 @@ class SchemasSpec extends AnyFunSuite {
     assert(Schemas.filingsCd.schema.length === 2)
     assert(Schemas.lookupCodesCd.schema.length === 3)
     assert(Schemas.filerXrefCd.schema.length === 4)
-    assert(Schemas.filingPeriodCd.schema.length === 6)
+    assert(Schemas.filingPeriodCd.schema.length === 7) // incl. deadline
+    // sixth tier (round 13): the lobbyist ranking directories and
+    // payment-history rollups at their full documented width (session
+    // identity + contributor + the eight per-quarter amount columns),
+    // the 37-column Form 605 add/delete blocks, the full registry
+    // change log, and the two previously-missing models
+    assert(Schemas.lobbyistFirm1Cd.schema.length === 18)
+    assert(Schemas.lobbyistEmployer1Cd.schema.length === 20)
+    assert(Schemas.lobbyistFirmHistoryCd.schema.length === 18)
+    assert(Schemas.lobbyistEmployerHistoryCd.schema.length === 20)
+    assert(Schemas.lobbyAmendmentsCd.schema.length === 37)
+    assert(Schemas.lobbyingChgLogCd.schema.length === 24)
+    assert(Schemas.headerCd.schema.length === 13)
+    assert(Schemas.efsFilingLogCd.schema.length === 6)
+    assert(Schemas.cvrF470Cd.schema.length === 26)
+    assert(Schemas.reportsCd.schema.length === 8)
+    // snapshot tables share the widened layout (can never drift)
+    assert(Schemas.lobbyistFirm3Cd.schema === Schemas.lobbyistFirm1Cd.schema)
+    assert(Schemas.lobbyistEmployer2Cd.schema ===
+      Schemas.lobbyistEmployer1Cd.schema)
+    for (c <- Seq("qtr_1", "qtr_8", "yr_1_ytd_amt", "contributor_id",
+        "session_id"))
+      assert(Schemas.lobbyistFirm1Cd.schema.fieldNames.contains(c),
+        s"lobbyist_firm1_cd.$c missing")
+    for (c <- Seq("add_l_cb", "d_le_nams", "a_lf_name", "del_lf_eff"))
+      assert(Schemas.lobbyAmendmentsCd.schema.fieldNames.contains(c),
+        s"lobby_amendments_cd.$c missing")
+    for (c <- Seq("correction_flg", "attribute_changed", "ethics_dt",
+        "responsible_entity", "entity_id"))
+      assert(Schemas.lobbyingChgLogCd.schema.fieldNames.contains(c),
+        s"lobbying_chg_log_cd.$c missing")
     val cvrSo = Schemas.cvrSoCd.schema.fieldNames.toSet
     for (c <- Seq("tres_naml", "bank_nam", "com82013yn", "surplusdsp",
         "actvty_lvl", "term_date"))
