@@ -545,8 +545,71 @@ object ScalarQueries {
       ORDER BY day
     """))
 
+  /** The schema registry reporting ITSELF (the model-inventory side of
+    * `meta_coverage`/`meta_forms`; ≙ the reference's
+    * `get_model_list()` + `tests/test_models.py` doc-completeness
+    * walk): one row per catalog table with its width, coercion-list
+    * sizes, UNIQUE_KEY arity, and an md5 fingerprint of the ORDERED
+    * column-name list. The oracle receives one VALUES row PER COLUMN
+    * (~1.6k rows across the 82 tables) and re-aggregates the counts
+    * and the fingerprint with DuckDB's own ordered string_agg — so
+    * every column name of every table, in declaration order, rides
+    * through the driver hash: a dropped/renamed/reordered column in
+    * any TableDef breaks `schema_catalog`, making the full-width
+    * catalog claim driver-verified rather than spec-pinned.
+    *
+    * Scale shape: a driver-seeded dimension of |tables| rows —
+    * constant work at any corpus size. */
+  val schemaCatalog = GQuery(
+    "schema_catalog",
+    (s, _) => {
+      import s.implicits._
+      import graft.schemas.Schemas
+      Schemas.all.map { t =>
+        (t.name, t.schema.length.toLong, t.dateFields.size.toLong,
+          t.datetimeFields.size.toLong, t.uniqueKey.size.toLong,
+          t.uniqueKey.head, t.schema.fieldNames.mkString(","))
+      }.toDF("table_name", "n_columns", "n_date_cols", "n_datetime_cols",
+          "key_arity", "key_head", "cols_csv")
+        .select(col("table_name"), col("n_columns"), col("n_date_cols"),
+          col("n_datetime_cols"), col("key_arity"), col("key_head"),
+          md5(col("cols_csv")).as("cols_md5"))
+        .orderBy("table_name")
+    },
+    Some {
+      import graft.schemas.Schemas
+      val colVals = Schemas.all.flatMap { t =>
+        t.schema.fieldNames.zipWithIndex.map { case (c, i) =>
+          s"('${t.name}', ${i + 1}, '$c', " +
+            s"${t.dateFields.contains(c)}, ${t.datetimeFields.contains(c)})"
+        }
+      }.mkString(", ")
+      val keyVals = Schemas.all.map(t =>
+        s"('${t.name}', ${t.uniqueKey.size}, '${t.uniqueKey.head}')")
+        .mkString(", ")
+      s"""
+      WITH cols(table_name, ord, column_name, is_date, is_datetime) AS
+        (VALUES $colVals),
+      keys(table_name, key_arity, key_head) AS (VALUES $keyVals),
+      agg AS (
+        SELECT table_name,
+               CAST(COUNT(*) AS BIGINT) AS n_columns,
+               CAST(SUM(CASE WHEN is_date THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_date_cols,
+               CAST(SUM(CASE WHEN is_datetime THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_datetime_cols,
+               md5(string_agg(column_name, ',' ORDER BY ord)) AS cols_md5
+        FROM cols GROUP BY 1)
+      SELECT a.table_name, a.n_columns, a.n_date_cols, a.n_datetime_cols,
+             CAST(k.key_arity AS BIGINT) AS key_arity, k.key_head,
+             a.cols_md5
+      FROM agg a JOIN keys k ON a.table_name = k.table_name
+      ORDER BY a.table_name
+      """
+    })
+
   def all: Seq[GQuery] = Seq(strFuncs, strFuncs2, strSearch, dateTruncAgg,
     dateParts, dateDiff, jsonExtract, jsonAgg, arrayOps, decodeEnum,
     strFuncs3, dateSpine, decodeRegistry, decodeRegistry2, metaCoverage,
-    metaForms)
+    metaForms, schemaCatalog)
 }
