@@ -808,29 +808,150 @@ object TextQueries {
   private val postingsSaved =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** (doc_id, toks, dl) projection shared by the index build and
+    * append paths — ONE tokenization rule so an appended segment can
+    * never disagree with the built index about what a term or a
+    * document length is. */
+  private def docProjection(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.where(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast(LongType).as("dl"))
+
+  /** Per-(term, doc) posting rows of one document set. tf and dl are
+    * PER-DOCUMENT state only — no cross-document dependency — which is
+    * exactly what makes the inverted index append-friendly: a new
+    * segment's rows are identical to what a full rebuild would compute
+    * for those documents. */
+  private def postingRows(proj: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    proj.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast(DoubleType).as("tf"))
+
+  /** Corpus stats with EXACT accumulators: alongside the served
+    * (n_docs, avgdl) doubles, sum_dl/n_docs_l are kept as longs so an
+    * append can merge them exactly (long addition) and re-derive
+    * avgdl = sum_dl / n_docs bit-identically to a full rebuild — dl
+    * sums sit far below 2^53, so the double division is the only
+    * rounding on either path. */
+  private def statsFrame(proj: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    proj.agg(count(lit(1)).as("n_docs_l"), sum(col("dl")).as("sum_dl"))
+      .select(col("n_docs_l").cast(DoubleType).as("n_docs"),
+        (col("sum_dl").cast(DoubleType) /
+          col("n_docs_l").cast(DoubleType)).as("avgdl"),
+        col("sum_dl"), col("n_docs_l"))
+
+  /** Materialize the full index layout at `path` from `docs`
+    * (doc_id, text): term-range-partitioned + term-sorted posting
+    * lists, the df side table, and the exact-accumulator corpus
+    * stats. */
+  private[ops] def buildPostings(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    val proj = docProjection(docs)
+    val lists = postingRows(proj)
+    lists.repartitionByRange(8, col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$path/lists")
+    lists.groupBy(col("term"))
+      .agg(count(lit(1)).cast(DoubleType).as("df"))
+      .write.mode("overwrite").parquet(s"$path/df")
+    statsFrame(proj).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Swap-replace a side-table directory: stage the merged frame next
+    * to it, then delete + rename — the source directory is never read
+    * and overwritten in the same job (Spark refuses exactly that), and
+    * a reader mid-swap sees either the old or the new table, never a
+    * half-written one. */
+  private def replaceDir(s: org.apache.spark.sql.SparkSession,
+      merged: org.apache.spark.sql.DataFrame, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val stage = s"${dir}__stage"
+    merged.write.mode("overwrite").parquet(stage)
+    val fs = new Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(dir), true)
+    require(fs.rename(new Path(stage), new Path(dir)),
+      s"postingsAppend: swap of $dir failed")
+  }
+
+  /** Incremental maintenance of a persisted BM25 index — the text twin
+    * of `Ann.append` (grow between retrains), replacing the
+    * reference's full-reload habit (`updatecalaccessrawdata.py:
+    * ~100-200`) with segment append + algebraic side-table merges:
+    *
+    *  - posting lists: the new documents' (term, doc_id, dl, tf) rows
+    *    land as NEW term-sorted parquet files in append mode — the
+    *    existing segment files are never rewritten (no-rebuild pinned
+    *    in `Bm25AppendSpec` by file identity), and because each
+    *    appended file is itself term-range-partitioned + sorted, its
+    *    row-group min/max stats prune under the same pushed
+    *    `In(term, …)` filter the built segment serves.
+    *  - df: old table ⊎ new partial counts, summed per term — integer
+    *    counts in doubles, exact; equals the full-rebuild df.
+    *  - stats: exact long accumulators added, avgdl re-derived —
+    *    bit-identical to the full-rebuild stats.
+    *
+    * At 100 TB this is the difference between an index refresh that
+    * touches |new docs| and one that re-tokenizes the corpus; a
+    * compaction pass (the `compactZOrdered` discipline) can fold small
+    * appended segments together offline without changing any of this.
+    * tf/dl carry no cross-document state, so served scores over the
+    * appended index are IDENTICAL to a full rebuild's — `bm25_serve_
+    * append` asserts the full-corpus oracle on a half-built,
+    * half-appended index. */
+  def postingsAppend(s: org.apache.spark.sql.SparkSession,
+      newDocs: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    val proj = docProjection(newDocs)
+    val lists = postingRows(proj)
+    lists.repartitionByRange(8, col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("append").parquet(s"$path/lists")
+    val dfNew = lists.groupBy(col("term"))
+      .agg(count(lit(1)).cast(DoubleType).as("df"))
+    val dfMerged = s.read.parquet(s"$path/df").unionByName(dfNew)
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    replaceDir(s, dfMerged, s"$path/df")
+    // both sides bounded by construction: 1 row each
+    val old = s.read.parquet(s"$path/stats")
+      .select(col("sum_dl"), col("n_docs_l")).head()
+    val nw = proj.agg(count(lit(1)).as("n"), sum(col("dl")).as("sd")).head()
+    val sumDl = old.getLong(0) + nw.getLong(1)
+    val nDocs = old.getLong(1) + nw.getLong(0)
+    import s.implicits._
+    replaceDir(s,
+      Seq((nDocs.toDouble, sumDl.toDouble / nDocs.toDouble, sumDl, nDocs))
+        .toDF("n_docs", "avgdl", "sum_dl", "n_docs_l"),
+      s"$path/stats")
+  }
+
   private[ops] def savedPostingsPath(s: org.apache.spark.sql.SparkSession,
       d: String): String =
     postingsSaved.getOrElseUpdate(d, {
       val path = s"${graft.GraftSession.scratchDir}/postings_" +
         d.replaceAll("[^A-Za-z0-9]", "_")
+      buildPostings(s, Tables.documents(s, d), path)
+      path
+    })
+
+  /** Per-process index built on HALF the corpus then grown to the
+    * whole of it through [[postingsAppend]] — the layout
+    * `bm25_serve_append` serves. Doc-id parity is the split: stable,
+    * engine-independent, and roughly even. */
+  private val postingsAppendSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedPostingsAppendPath(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    postingsAppendSaved.getOrElseUpdate(d, {
+      val path = s"${graft.GraftSession.scratchDir}/postings_app_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
       val docs = Tables.documents(s, d)
-        .where(col("text").isNotNull)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), col("toks"),
-          size(col("toks")).cast(LongType).as("dl"))
-      val lists = docs
-        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-        .groupBy(col("term"), col("doc_id"), col("dl"))
-        .agg(count(lit(1)).cast(DoubleType).as("tf"))
-      lists.repartitionByRange(8, col("term"))
-        .sortWithinPartitions("term")
-        .write.mode("overwrite").parquet(s"$path/lists")
-      lists.groupBy(col("term"))
-        .agg(count(lit(1)).cast(DoubleType).as("df"))
-        .write.mode("overwrite").parquet(s"$path/df")
-      docs.agg(count(lit(1)).cast(DoubleType).as("n_docs"),
-        avg(col("dl")).as("avgdl"))
-        .write.mode("overwrite").parquet(s"$path/stats")
+      buildPostings(s, docs.where(col("doc_id") % 2 === 0), path)
+      postingsAppend(s, docs.where(col("doc_id") % 2 === 1), path)
       path
     })
 
@@ -909,6 +1030,65 @@ object TextQueries {
     },
     // identical oracle to bm25_search: the persisted index must serve
     // the same answer the tokenize-on-read form computes
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, str_split(text, ' ') AS toks,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents WHERE text IS NOT NULL),
+      stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+        FROM docs),
+      tf AS (
+        SELECT term, doc_id, dl, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+        WHERE term IN ('spark', 'merge', 'filter')
+        GROUP BY 1, 2, 3),
+      dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT tf.doc_id,
+               CAST(round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / s.avgdl))),
+                 4) AS DECIMAL(38,4)) AS score_term
+        FROM tf JOIN dfs d USING (term) CROSS JOIN stats s),
+      agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(score_term) AS DOUBLE) AS score
+        FROM scored GROUP BY 1)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+             doc_id, n_terms, score
+      FROM agg
+      ORDER BY score DESC, doc_id
+      LIMIT 10
+    """))
+
+  /** Incremental index maintenance, driver-verified: BM25 served off an
+    * index built on HALF the corpus (even doc ids) and grown to the
+    * whole of it with [[postingsAppend]] — no rebuild, new term-sorted
+    * segment files + algebraically merged df/stats (X5's incremental
+    * discipline applied to the text index; replaces the reference's
+    * full-reload `updatecalaccessrawdata.py:~100-200`). The oracle is
+    * `bm25_serve`'s full-corpus SQL verbatim: posting rows carry no
+    * cross-document state and the side-table merges are exact, so the
+    * appended index MUST serve answers bit-identical to an index built
+    * over everything at once — the append path itself is what the hash
+    * verifies. Plan shape is identical to `bm25_serve`: pushed
+    * `In(term, …)` against term-sorted row groups (appended segments
+    * included — each new file is itself term-range-partitioned and
+    * sorted), bounded broadcast side tables, TakeOrdered tail. */
+  val bm25ServeAppend = GQuery(
+    "bm25_serve_append",
+    (s, d) => {
+      val path = savedPostingsAppendPath(s, d)
+      val lists = s.read.parquet(s"$path/lists")
+        .where(col("term").isin(bm25Terms: _*))
+      val dfs = s.read.parquet(s"$path/df")
+        .where(col("term").isin(bm25Terms: _*))
+      val stats = s.read.parquet(s"$path/stats")
+      bm25TopK(lists, dfs, stats)
+    },
+    // identical oracle to bm25_serve: build-half + append-half must
+    // serve exactly what a full build serves
     Some("""
       WITH docs AS (
         SELECT doc_id, str_split(text, ' ') AS toks,
@@ -1203,5 +1383,6 @@ object TextQueries {
     docFingerprint, dedupExact, dedupJaccard, textBigrams, splitHash,
     sampleStratified, sampleExactK, textTfidf, packSequences, decontaminate,
     textRepetition, heavyHitters, modelScore, treeScore, quantileBins,
-    postings, bm25Search, bm25Serve, bm25Multi, heavyHittersSketch)
+    postings, bm25Search, bm25Serve, bm25ServeAppend, bm25Multi,
+    heavyHittersSketch)
 }

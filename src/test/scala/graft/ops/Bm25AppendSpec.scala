@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Incremental postings maintenance pins (round-13 ADVICE item 2):
+  * growing a persisted BM25 index with [[TextQueries.postingsAppend]]
+  * must (a) never rewrite existing posting-list segment files — append
+  * is append, not rebuild; (b) merge the df/stats side tables to
+  * EXACTLY what a full rebuild computes; (c) keep the pushed
+  * `In(term, …)` parquet filter intact over the mixed built+appended
+  * layout; and (d) serve scores row-identical to a full rebuild. */
+class Bm25AppendSpec extends SparkTestBase {
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val half1 = Seq(
+    0L -> "spark merge filter spark",
+    2L -> "merge merge window",
+    4L -> "filter scan spark",
+    6L -> "window scan scan")
+  private val half2 = Seq(
+    1L -> "spark filter",
+    3L -> "merge filter filter spark",
+    5L -> "scan window merge",
+    7L -> "spark spark spark")
+
+  private def listFiles(path: String): Map[String, Long] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$path/lists")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+      .map(st => st.getPath.getName -> st.getLen).toMap
+  }
+
+  test("append adds segment files without touching the built ones, " +
+      "and df/stats merge equals a full rebuild exactly") {
+    val base = java.nio.file.Files
+      .createTempDirectory("bm25append").toString
+    val appended = s"$base/appended"
+    val rebuilt = s"$base/rebuilt"
+    TextQueries.buildPostings(spark, docsDf(half1), appended)
+    val before = listFiles(appended)
+    TextQueries.postingsAppend(spark, docsDf(half2), appended)
+    val after = listFiles(appended)
+    // no-rebuild: every pre-append file survives byte-for-byte in
+    // name+length, and the append strictly added files
+    for ((name, len) <- before)
+      assert(after.get(name).contains(len),
+        s"append rewrote existing segment file $name")
+    assert(after.size > before.size, "append added no segment files")
+
+    TextQueries.buildPostings(spark, docsDf(half1 ++ half2), rebuilt)
+    def sortedRows(p: String, cols: String*) =
+      spark.read.parquet(p).select(cols.map(col): _*)
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(sortedRows(s"$appended/df", "term", "df") ===
+      sortedRows(s"$rebuilt/df", "term", "df"))
+    assert(sortedRows(s"$appended/stats", "n_docs", "avgdl", "sum_dl",
+      "n_docs_l") ===
+      sortedRows(s"$rebuilt/stats", "n_docs", "avgdl", "sum_dl",
+        "n_docs_l"))
+    // the posting ROWS (files differ, content must not): same multiset
+    assert(sortedRows(s"$appended/lists", "term", "doc_id", "dl", "tf") ===
+      sortedRows(s"$rebuilt/lists", "term", "doc_id", "dl", "tf"))
+  }
+
+  test("term restriction stays a pushed parquet filter on the " +
+      "built+appended layout") {
+    val path = TextQueries.savedPostingsAppendPath(spark,
+      "/root/testdata/sf0.001")
+    val plan = spark.read.parquet(s"$path/lists")
+      .where(col("term").isin("spark", "merge", "filter"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      plan)
+  }
+
+  test("served BM25 over the appended index equals bm25_serve and " +
+      "bm25_search row for row") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(name: String) =
+      graft.SparkEntry.queries(name)(spark, sf)
+        .collect()
+        .map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("n_terms"), r.getAs[Double]("score")))
+        .sortBy(_._1).toSeq
+    assert(rows("bm25_serve_append") === rows("bm25_search"))
+    assert(rows("bm25_serve_append") === rows("bm25_serve"))
+  }
+}
