@@ -55,4 +55,121 @@ object BloomProbe {
     Bridge.column(BloomFilterMightContain(
       Literal.create(bloomBytes, BinaryType), Bridge.expression(value)))
   }
+
+  /** A history sketch as hash-range shards: shard `i` holds exactly the
+    * keys with `pmod(hash, nShards) == i`, each shard's bit array
+    * bounded by the `maxShardBytes` the build was given. Same membership
+    * semantics as one big filter — no false negatives per shard, ~fpp
+    * false positives — but no single allocation ever exceeds the shard
+    * bound: not on the build tasks (each reduce task materializes only
+    * its own shards, vs the monolithic `stat.bloomFilter` treeAggregate
+    * where EVERY task allocates the full array), not in the plan (each
+    * probe branch carries one shard literal). */
+  final case class ShardedBloom(nShards: Int, shards: Seq[Array[Byte]]) {
+    require(shards.length == nShards && nShards >= 1)
+    def totalBytes: Long = shards.map(_.length.toLong).sum
+    def maxShardByteLen: Int = shards.map(_.length).max
+  }
+
+  /** Standard Bloom sizing: bits = −n·ln(p)/ln²2 (the formula behind
+    * `BloomFilter.create`). */
+  private def optimalBits(n: Long, fpp: Double): Long =
+    math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+
+  /** Shard count so each shard's optimal bit array fits
+    * `maxShardBytes`. */
+  def shardsFor(expectedItems: Long, fpp: Double,
+      maxShardBytes: Long): Int =
+    math.max(1L,
+      (optimalBits(math.max(expectedItems, 1L), fpp) +
+        8 * maxShardBytes - 1) / (8 * maxShardBytes)).toInt
+
+  /** Build a [[ShardedBloom]] over a LongType hash column in ONE
+    * distributed pass with BOUNDED task memory: rows shuffle to their
+    * hash-range shard (16 B/row — the same order as any history scan),
+    * and each task builds filters only for the shards it owns, so peak
+    * per-task sketch memory is ~`maxShardBytes`, not the full array.
+    * With `nShards == 1` this degenerates to the monolithic filter
+    * (bit-identical membership to `stat.bloomFilter` — same putLong
+    * inserts).
+    *
+    * The driver still collects all shards (`totalBytes` ≈ the
+    * monolithic size) — sharding bounds the ALLOCATION UNITS, not the
+    * sketch's information content; past a total-size ceiling the
+    * caller should not sketch at all (see [[shardedOrNone]]). */
+  def buildSharded(hashes: org.apache.spark.sql.DataFrame,
+      hashCol: String, expectedItems: Long, fpp: Double,
+      maxShardBytes: Long): ShardedBloom = {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val n = shardsFor(expectedItems, fpp, maxShardBytes)
+    // exact ceiling division: with n == 1 the shard is sized precisely
+    // like the monolithic filter, so the degenerate case is
+    // bit-identical to `stat.bloomFilter` (same size, same inserts)
+    val perShard = math.max((expectedItems + n - 1) / n, 1L)
+    val parts = hashes
+      .select(pmod(col(hashCol), lit(n.toLong)).cast(
+        org.apache.spark.sql.types.IntegerType).as("__shard"),
+        col(hashCol).cast(org.apache.spark.sql.types.LongType).as("__h"))
+      .repartition(n, col("__shard"))
+      .rdd.mapPartitions { it =>
+        val local = scala.collection.mutable.Map.empty[Int, BloomFilter]
+        it.foreach { r =>
+          if (!r.isNullAt(0))
+            local.getOrElseUpdate(r.getInt(0),
+              BloomFilter.create(perShard, fpp)).putLong(r.getLong(1))
+        }
+        local.iterator.map { case (s, bf) => (s, serialize(bf)) }
+      }.collect()
+    // hash-partitioner collisions can land two shards in one partition
+    // and (in theory) one shard in two; merge by shard id, fill gaps
+    // with empty filters so probe branches always have bits to read
+    val byShard = parts.groupBy(_._1).map { case (s, bs) =>
+      s -> bs.map(_._2).reduce { (a, b) =>
+        val fa = BloomFilter.readFrom(new java.io.ByteArrayInputStream(a))
+        fa.mergeInPlace(
+          BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
+        serialize(fa)
+      }
+    }
+    ShardedBloom(n, (0 until n).map(i =>
+      byShard.getOrElse(i, serialize(BloomFilter.create(perShard, fpp)))))
+  }
+
+  /** Membership probe against a [[ShardedBloom]]: route the value to
+    * its hash-range shard, test that shard's bits. One `pmod` + a
+    * `CASE` over `nShards` branches, each a codegen'd
+    * [[BloomFilterMightContain]] holding ONLY its shard's literal.
+    * NULL value → NULL, same as the monolithic probe (callers coalesce
+    * to false). */
+  def mightContainSharded(sb: ShardedBloom, value: Column): Column = {
+    import org.apache.spark.sql.functions.{lit, pmod, when}
+    if (sb.nShards == 1) mightContain(sb.shards.head, value)
+    else {
+      val shard = pmod(value, lit(sb.nShards.toLong))
+      sb.shards.zipWithIndex.tail.foldLeft(
+        when(shard === 0L, mightContain(sb.shards.head, value))) {
+        case (acc, (bits, i)) =>
+          acc.when(shard === i.toLong, mightContain(bits, value))
+      }
+    }
+  }
+
+  /** The documented size ceiling with automatic fallback: sketch the
+    * history only while the TOTAL bit-array budget holds (at ~9.6
+    * bits/key and 1% fpp, `maxTotalBytes` of 1 GiB covers ~8×10⁸ keys;
+    * a 10¹⁰–10¹²-key history would demand a 12 GB–1 TB driver object —
+    * the round-12 verdict's ceiling). Past it, return None and let the
+    * caller send EVERY row through the exact anti-join (`lit(true)` as
+    * the probe): identical results — the Bloom was only ever a
+    * work-shrinking pre-filter — at the cost of the full-width exact
+    * join the sketch normally avoids. The scale-out alternative past
+    * this ceiling is a storage-resident filter joined by key range,
+    * which stops being a broadcast-shaped sketch at all. */
+  def shardedOrNone(hashes: org.apache.spark.sql.DataFrame,
+      hashCol: String, expectedItems: Long, fpp: Double,
+      maxShardBytes: Long, maxTotalBytes: Long): Option[ShardedBloom] =
+    if (optimalBits(math.max(expectedItems, 1L), fpp) > 8 * maxTotalBytes)
+      None
+    else Some(buildSharded(hashes, hashCol, expectedItems, fpp,
+      maxShardBytes))
 }

@@ -640,13 +640,20 @@ object DedupQueries {
       val hist = docs.filter(col("doc_id") % 2 === 0)
       val batch = docs.filter(col("doc_id") % 2 === 1)
       val nHist = math.max(hist.count(), 1L)
-      val bloom = graft.functions.BloomProbe.serialize(
+      // hash-range-sharded build behind the documented 1 GiB ceiling
+      // (IncrQueries.historyBloomFor discipline; one shard at this
+      // scale, same inserted bits as the monolithic build) — this
+      // entry stays the designated COLD sketch-build timing, so the
+      // build runs per invocation, unlike the pipeline's cached form
+      val probe = graft.functions.BloomProbe.shardedOrNone(
         hist.filter(col("text").isNotNull)
-          .select(xxhash64(col("text")).as("h"))
-          .stat.bloomFilter("h", nHist, 0.01))
+          .select(xxhash64(col("text")).as("h")), "h",
+        nHist, 0.01, maxShardBytes = 8L << 20, maxTotalBytes = 1L << 30)
+        .map(sb => graft.functions.BloomProbe.mightContainSharded(sb,
+          xxhash64(col("text"))))
+        .getOrElse(lit(true))
       val probed = batch.select(col("text"),
-        coalesce(graft.functions.BloomProbe.mightContain(bloom,
-          xxhash64(col("text"))), lit(false)).as("maybe"))
+        coalesce(probe, lit(false)).as("maybe"))
       val nExact = probed.filter(col("maybe"))
         .join(hist.select(col("text")).distinct(), Seq("text"), "left_semi")
         .agg(count(lit(1)).as("n_exact_dup"))

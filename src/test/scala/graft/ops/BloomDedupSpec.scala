@@ -51,6 +51,69 @@ class BloomDedupSpec extends SparkTestBase {
     assert(out === Seq(true, false))
   }
 
+  test("sharded build bounds every shard's bytes and never misses a member") {
+    import spark.implicits._
+    val texts = (0 until 4000).map(i => s"sharded history entry $i")
+    val hashes = texts.toDF("text").select(xxhash64(col("text")).as("h"))
+    // force multiple shards: 4000 keys at 1% fpp need ~4.8 KB of bits;
+    // a 1 KiB shard bound must split them
+    val sb = BloomProbe.buildSharded(hashes, "h", 4000L, 0.01,
+      maxShardBytes = 1024L)
+    assert(sb.nShards >= 4, s"expected >=4 shards, got ${sb.nShards}")
+    // per-shard byte bound: optimal bits for the per-shard share plus
+    // the sketch wire-format overhead; the point is NO shard is the
+    // monolithic array
+    assert(sb.maxShardByteLen <= 2048,
+      s"shard of ${sb.maxShardByteLen} B exceeds the bound")
+    // no false negatives across shard routing
+    val missed = texts.toDF("text")
+      .filter(!coalesce(BloomProbe.mightContainSharded(sb,
+        xxhash64(col("text"))), lit(false)))
+      .count()
+    assert(missed === 0L)
+    // fp rate on disjoint content still near fpp (sharding does not
+    // degrade precision)
+    val hits = (0 until 2000).map(i => s"unseen sharded entry $i")
+      .toDF("text")
+      .filter(coalesce(BloomProbe.mightContainSharded(sb,
+        xxhash64(col("text"))), lit(false)))
+      .count()
+    assert(hits <= 100L, s"fp rate too high: $hits / 2000")
+  }
+
+  test("single-shard build is result-identical to the monolithic filter") {
+    import spark.implicits._
+    val texts = (0 until 500).map(i => s"doc body number $i with words")
+    val hashes = texts.toDF("text").select(xxhash64(col("text")).as("h"))
+    val sb = BloomProbe.buildSharded(hashes, "h", 500L, 0.01,
+      maxShardBytes = 8L << 20)
+    assert(sb.nShards === 1)
+    val mono = bits(texts)
+    // same membership verdict on members and on a disjoint probe set —
+    // same inserted longs, same size/fpp parameters
+    val probes = (texts ++ (0 until 2000).map(i => s"unseen entry $i"))
+      .toDF("text")
+    val disagree = probes.select(
+      coalesce(BloomProbe.mightContain(mono, xxhash64(col("text"))),
+        lit(false)).as("a"),
+      coalesce(BloomProbe.mightContainSharded(sb, xxhash64(col("text"))),
+        lit(false)).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(disagree === 0L)
+  }
+
+  test("past the total-size ceiling the build declines and callers " +
+      "fall back to the exact join") {
+    import spark.implicits._
+    val hashes = Seq("x").toDF("text").select(xxhash64(col("text")).as("h"))
+    // a pretend 10^12-key history: optimal bits blow any 1 GiB budget
+    assert(BloomProbe.shardedOrNone(hashes, "h", 1000000000000L, 0.01,
+      maxShardBytes = 8L << 20, maxTotalBytes = 1L << 30).isEmpty)
+    // under the budget it builds
+    assert(BloomProbe.shardedOrNone(hashes, "h", 1000L, 0.01,
+      maxShardBytes = 8L << 20, maxTotalBytes = 1L << 30).isDefined)
+  }
+
   test("dedup_bloom counts match the exact-join ground truth at sf0.001") {
     val row = DedupQueries.dedupBloom.fn(spark, "/root/testdata/sf0.001")
       .collect().head
