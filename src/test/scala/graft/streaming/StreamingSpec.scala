@@ -147,6 +147,37 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("stream_state's relative tolerance holds at large magnitudes " +
+      "where an absolute epsilon cannot") {
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // per-user totals around 1e12: double sums in different orders
+    // disagree by ~1e-4 absolute here (>> the old 1e-6 absolute bound)
+    // while agreeing to ~1 ulp relative
+    val big = (0 until 300).map { i =>
+      Ev(i.toLong, new Timestamp(base + i * 1000L), i % 5L, "click",
+        1.0e10 + i * 1.23456789e7)
+    }
+    val typed = big.toDF()
+      .as[StreamRunner.UserEvent]
+    val stateSide = StreamRunner.runningUserTotals(typed).toDF()
+      .select(col("user_id"), col("n_events").as("s_n"),
+        col("total_value").as("s_total"))
+    val batchSide = big.toDF().groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("b_total"))
+    val rows = batchSide.join(stateSide, Seq("user_id"))
+      .select(col("user_id"),
+        (col("s_n") === col("n_events") &&
+          abs(col("s_total") - col("b_total")) <=
+            lit(1e-9) * greatest(abs(col("s_total")),
+              abs(col("b_total")), lit(1.0))).as("rel_ok"))
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(1)),
+      rows.filterNot(_.getBoolean(1)).mkString(","))
+  }
+
   test("streaming near-dup filter drops band-colliding docs, passes distinct") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
