@@ -285,6 +285,68 @@ object CoreQueries {
       FROM events
     """))
 
+  /** S2+S4+S6 end-to-end, driver-visible (previously library-only): the
+    * archive lifecycle `extractcalaccessrawdata.py` + the `.gz`
+    * `FileField` sinks (`cleancalaccessrawdata.py:~200-240`,
+    * `models/tracking.py:~200-260`) as one hash-verified roundtrip.
+    * Raw lines (the `ingest_pipeline` synthesis, 1-in-97 malformed) are
+    * cleaned and written through the real gzip CSV + errs sinks
+    * (`Clean.writeCleaned`); the good-side gzip members are bundled
+    * into an export-shaped zip (`dbwebexport.zip` analog), extracted
+    * flat with `Archive.unzip`, read back through the native gzip CSV
+    * scan, and driven through `Load.load`. The oracle recomputes every
+    * figure from the typed source — equality proves NO row and NO field
+    * was lost or altered across sink → zip → extract → scan → load.
+    *
+    * Scale shape: the sinks and the read-back scan are distributed
+    * (gzip members parallelize per file); only the zip bundle/extract
+    * is driver-side, exactly as in the reference (zip is not a
+    * splittable format — documented on [[graft.sources.Archive]]). */
+  val archiveRoundtrip = GQuery(
+    "archive_roundtrip",
+    (s, d) => {
+      import graft.ingest.{Clean, Load}
+      import graft.sources.Archive
+      import org.apache.hadoop.fs.Path
+      val tdef = eventsRawTdef
+      val cleaned = Clean.clean(tdef, eventsRawLines(Tables.events(s, d)))
+      val base = s"${graft.GraftSession.scratchDir}/archive_rt_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      Clean.writeCleaned(cleaned, base, "events")
+      val goodParts = new java.io.File(s"$base/events.csv")
+        .listFiles().filter(_.getName.endsWith(".csv.gz"))
+        .map(_.getPath).sorted.toSeq
+      val zipPath = s"$base/export.zip"
+      Archive.zip(goodParts, zipPath)
+      val tsvDir = s"$base/extracted"
+      // clear stale extractions so the read-back sees exactly this
+      // roundtrip's members
+      new Path(tsvDir).getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new Path(tsvDir), true)
+      val extracted = Archive.unzip(zipPath, tsvDir,
+        _.endsWith(".csv.gz"))
+      val typed = Load.load(tdef,
+        s.read.option("header", "true").csv(extracted: _*))
+      val errs = s.read.option("header", "true")
+        .csv(s"$base/events.errs.csv")
+      typed.agg(
+        count(lit(1)).as("n_good"),
+        sum(col("value")).cast(DoubleType).as("sum_value"),
+        min(col("ev_date")).as("min_date"),
+        max(col("ev_date")).as("max_date"))
+        .crossJoin(errs.agg(count(lit(1)).as("n_bad")))
+    },
+    // identical oracle to ingest_pipeline: the archive roundtrip must
+    // be lossless against the typed source
+    Some("""
+      SELECT CAST(COUNT(*) FILTER (WHERE event_id % 97 <> 0) AS BIGINT) AS n_good,
+             CAST(SUM(CAST(value AS DECIMAL(14,2))) FILTER (WHERE event_id % 97 <> 0) AS DOUBLE) AS sum_value,
+             MIN(CAST(ts AS DATE)) FILTER (WHERE event_id % 97 <> 0) AS min_date,
+             MAX(CAST(ts AS DATE)) FILTER (WHERE event_id % 97 <> 0) AS max_date,
+             CAST(COUNT(*) FILTER (WHERE event_id % 97 = 0) AS BIGINT) AS n_bad
+      FROM events
+    """))
+
   /** §3 verify/lineage stage end-to-end, driver-visible
     * (`verifycalaccessrawdata.py:~30-90` + `models/tracking.py:~150-260`):
     * two table loads are synthesized from the events table (split by
@@ -1182,7 +1244,7 @@ object CoreQueries {
 
   def all: Seq[GQuery] = Seq(q1Pricing, filterPred, loadTyped, loadDatetime,
     decimalCast, cleanSplitGood, cleanSplitBad, strClean, ingestPipeline,
-    trackingVerify, trackingVersion, filerTypeAsof,
+    archiveRoundtrip, trackingVerify, trackingVersion, filerTypeAsof,
     amendLatest, amendLatestSkew, lobbyingChg,
     registrationLatest, lobbyDisclosureLatest, e530Latest, sqlSurface,
     subqueryCorr,

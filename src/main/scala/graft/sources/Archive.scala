@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.io.{BufferedOutputStream, FileOutputStream}
-import java.util.zip.{ZipEntry, ZipInputStream}
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
 
 /** §2.1 S2/S6: archive handling ≙ `extractcalaccessrawdata.py` (unzip the
   * export, flatten the `CalAccess/DATA/` TSV names) and the gzip archival
@@ -45,6 +45,29 @@ object Archive {
       }
     } finally zin.close()
     out.result()
+  }
+
+  /** Bundle files into one zip archive under their basenames — the
+    * inverse of [[unzip]], used to produce an export-shaped artifact
+    * (`dbwebexport.zip` analog) from archived sink output so the
+    * extract path can be driven end-to-end (`archive_roundtrip`).
+    * Driver-side for the same reason extraction is: zip is not a
+    * splittable Spark format. */
+  def zip(files: Seq[String], zipPath: String): Unit = {
+    val zos = new ZipOutputStream(
+      new BufferedOutputStream(new FileOutputStream(zipPath)))
+    try files.foreach { f =>
+      val file = new java.io.File(f)
+      zos.putNextEntry(new ZipEntry(file.getName))
+      val in = new java.io.BufferedInputStream(
+        new java.io.FileInputStream(file))
+      try {
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { zos.write(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+      zos.closeEntry()
+    } finally zos.close()
   }
 
   /** Gzip text reads are native: this is just the documented entry point

@@ -34,6 +34,28 @@ class PipelineSpec extends SparkTestBase {
     assert(names === Seq("LOOKUP_CODES_CD.TSV", "NESTED_CD.TSV"))
   }
 
+  test("Archive.zip → unzip roundtrips content byte-for-byte") {
+    val dir = Files.createTempDirectory("zipsrc")
+    val contents = Map("a.csv.gz" -> "alpha,1\nbeta,2\n",
+      "b.csv.gz" -> "gamma,3\n")
+    val files = contents.map { case (n, c) =>
+      val p = dir.resolve(n)
+      Files.write(p, c.getBytes("UTF-8"))
+      p.toString
+    }.toSeq.sorted
+    val zipPath = dir.resolve("export.zip").toString
+    Archive.zip(files, zipPath)
+    val outDir = Files.createTempDirectory("zipdst").toString
+    val extracted = Archive.unzip(zipPath, outDir, _.endsWith(".csv.gz"))
+    assert(extracted.map(p => new java.io.File(p).getName).sorted ===
+      contents.keys.toSeq.sorted)
+    for (p <- extracted) {
+      val name = new java.io.File(p).getName
+      assert(new String(Files.readAllBytes(java.nio.file.Paths.get(p)),
+        "UTF-8") === contents(name))
+    }
+  }
+
   test("full update: zip → extract → clean → load → parquet → verify") {
     val header = "CODE_TYPE\tCODE_ID\tCODE_DESC"
     val zip = mkZip("CalAccess/DATA/LOOKUP_CODES_CD.TSV" ->
