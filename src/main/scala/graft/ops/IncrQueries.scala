@@ -514,12 +514,12 @@ object IncrQueries {
 
   private def historyBloomFor(history: org.apache.spark.sql.DataFrame,
       d: String): Option[graft.functions.BloomProbe.ShardedBloom] =
-    histBloom.getOrElseUpdate(d, {
+    graft.BuildOnce.memo(histBloom, d) {
       val nHist = math.max(history.count(), 1L)
       graft.functions.BloomProbe.shardedOrNone(
         history.select(xxhash64(col("o_orderkey")).as("h")), "h",
         nHist, 0.01, maxShardBytes = 8L << 20, maxTotalBytes = 1L << 30)
-    })
+    }
 
   val incrPipeline = GQuery(
     "incr_pipeline",

@@ -357,7 +357,7 @@ object JoinQueries {
       if (!s.catalog.tableExists(tl) || !s.catalog.tableExists(to))
         bucketedWritten.remove(d)
     }
-    bucketedWritten.getOrElseUpdate(d, {
+    graft.BuildOnce.memo(bucketedWritten, d) {
       val tag = d.replaceAll("[^A-Za-z0-9]", "_") +
         "_" + (d.hashCode.toLong & 0xffffffffL).toHexString
       val base = s"${graft.GraftSession.scratchDir}/bq_$tag"
@@ -377,7 +377,7 @@ object JoinQueries {
         .option("path", s"$base/orders")
         .format("parquet").saveAsTable(to)
       (tl, to)
-    })
+    }
   }
 
   val bucketedJoin = GQuery(

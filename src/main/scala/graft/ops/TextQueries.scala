@@ -625,7 +625,7 @@ object TextQueries {
       val support = 0.005
       val toks = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("token"))
-      val cand = hhSketchCand.getOrElseUpdate((d, support),
+      val cand = graft.BuildOnce.memo(hhSketchCand, (d, support))(
         toks.stat.freqItems(Seq("token"), support)
           .head().getSeq[String](0))
       val tf = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
@@ -944,12 +944,12 @@ object TextQueries {
 
   private[ops] def savedPostingsPath(s: org.apache.spark.sql.SparkSession,
       d: String): String =
-    postingsSaved.getOrElseUpdate(d, {
+    graft.BuildOnce.memo(postingsSaved, d) {
       val path = s"${graft.GraftSession.scratchDir}/postings_" +
         d.replaceAll("[^A-Za-z0-9]", "_")
       buildPostings(s, Tables.documents(s, d), path)
       path
-    })
+    }
 
   /** Per-process index built on HALF the corpus then grown to the
     * whole of it through [[postingsAppend]] — the layout
@@ -960,14 +960,14 @@ object TextQueries {
 
   private[ops] def savedPostingsAppendPath(
       s: org.apache.spark.sql.SparkSession, d: String): String =
-    postingsAppendSaved.getOrElseUpdate(d, {
+    graft.BuildOnce.memo(postingsAppendSaved, d) {
       val path = s"${graft.GraftSession.scratchDir}/postings_app_" +
         d.replaceAll("[^A-Za-z0-9]", "_")
       val docs = Tables.documents(s, d)
       buildPostings(s, docs.where(col("doc_id") % 2 === 0), path)
       postingsAppend(s, docs.where(col("doc_id") % 2 === 1), path)
       path
-    })
+    }
 
   /** Serve a bounded BATCH of keyword queries against the persisted
     * index in ONE distributed pass — [[Ann.serveBatch]]'s text twin and

@@ -369,14 +369,14 @@ object VectorQueries {
   private val ivfSaved =
     scala.collection.concurrent.TrieMap.empty[(String, Int), String]
 
-  private def savedIvfPath(s: org.apache.spark.sql.SparkSession, d: String,
-      k: Int): String =
-    ivfSaved.getOrElseUpdate((d, k), {
+  private[ops] def savedIvfPath(s: org.apache.spark.sql.SparkSession,
+      d: String, k: Int): String =
+    graft.BuildOnce.memo(ivfSaved, (d, k)) {
       val path = s"${graft.GraftSession.scratchDir}/ivf_" +
         d.replaceAll("[^A-Za-z0-9]", "_") + s"_k$k"
       Ann.save(Ann.build(Tables.embeddings(s, d), k = k), path)
       path
-    })
+    }
 
   /** The persisted-IVF serving path, driver-visible end-to-end: build →
     * `Ann.save` (inverted lists as cell partition directories, ONCE per
@@ -440,7 +440,7 @@ object VectorQueries {
 
   private def appendedIvfPath(s: org.apache.spark.sql.SparkSession,
       d: String, k: Int): String =
-    ivfAppended.getOrElseUpdate((d, k), {
+    graft.BuildOnce.memo(ivfAppended, (d, k)) {
       val path = s"${graft.GraftSession.scratchDir}/ivf_app_" +
         d.replaceAll("[^A-Za-z0-9]", "_") + s"_k$k"
       val e = Tables.embeddings(s, d)
@@ -448,7 +448,7 @@ object VectorQueries {
         k = k), path)
       Ann.append(s, path, e.filter(pmod(col("vec_id"), lit(2)) === 1))
       path
-    })
+    }
 
   /** Incremental index maintenance, driver-visible end-to-end: the
     * persisted IVF index is built on HALF the corpus, the other half is
@@ -610,7 +610,7 @@ object VectorQueries {
 
   private def deconIndexFor(s: org.apache.spark.sql.SparkSession,
       d: String): Ann.IvfIndex =
-    deconIndex.getOrElseUpdate(d,
+    graft.BuildOnce.memo(deconIndex, d)(
       Ann.build(Tables.embeddings(s, d)
         .filter(pmod(col("vec_id"), lit(5)) === 0), k = 8))
 
@@ -735,7 +735,7 @@ object VectorQueries {
 
   private def embCount(s: org.apache.spark.sql.SparkSession,
       d: String): Long =
-    corpusCount.getOrElseUpdate(d, Tables.embeddings(s, d).count())
+    graft.BuildOnce.memo(corpusCount, d)(Tables.embeddings(s, d).count())
 
   private val pqBuilt =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Pq.PqIndex]
@@ -750,20 +750,20 @@ object VectorQueries {
     * stays visible in `sim_ivf` (per-invocation by design). */
   private def builtPq(s: org.apache.spark.sql.SparkSession, d: String,
       m: Int, codes: Int): Pq.PqIndex =
-    pqBuilt.getOrElseUpdate((d, m, codes), {
+    graft.BuildOnce.memo(pqBuilt, (d, m, codes)) {
       val idx = Pq.build(Tables.embeddings(s, d), m = m, codes = codes)
       val path = s"${graft.GraftSession.scratchDir}/pq_" +
         d.replaceAll("[^A-Za-z0-9]", "_") + s"_m${m}_c$codes"
       idx.encoded.write.mode("overwrite").parquet(path)
       idx.copy(encoded = s.read.parquet(path))
-    })
+    }
 
   private val ivfpqBuilt = scala.collection.concurrent.TrieMap
     .empty[(String, Int, Int, Int), Ivfpq.IvfPqIndex]
 
   private def builtIvfpq(s: org.apache.spark.sql.SparkSession, d: String,
       k: Int, m: Int, codes: Int): Ivfpq.IvfPqIndex =
-    ivfpqBuilt.getOrElseUpdate((d, k, m, codes),
+    graft.BuildOnce.memo(ivfpqBuilt, (d, k, m, codes))(
       Ivfpq.build(Tables.embeddings(s, d), k = k, m = m, codes = codes))
 
   /** Product-quantized ANN ([[Pq]]), driver-visible end-to-end: m=4
@@ -816,13 +816,13 @@ object VectorQueries {
 
   private def savedIvfpqPath(s: org.apache.spark.sql.SparkSession,
       d: String, k: Int, m: Int): String =
-    ivfpqSaved.getOrElseUpdate((d, k, m), {
+    graft.BuildOnce.memo(ivfpqSaved, (d, k, m)) {
       val path = s"${graft.GraftSession.scratchDir}/ivfpq_" +
         d.replaceAll("[^A-Za-z0-9]", "_") + s"_k${k}_m$m"
       Ivfpq.save(Ivfpq.build(Tables.embeddings(s, d), k = k, m = m,
         codes = 16), path)
       path
-    })
+    }
 
   /** The persisted IVF-PQ serving path: build → `Ivfpq.save` (inverted
     * lists as cell partition directories, ONCE per process) → load →
