@@ -100,7 +100,7 @@ object Ann {
     * once per centroid) and centroid norms arrive as driver-computed
     * literals, so the fold body is one dot product + one divide per
     * centroid. */
-  private def assign(embeddings: DataFrame, cents: Seq[(Long, Seq[Double])],
+  private[ops] def assign(embeddings: DataFrame, cents: Seq[(Long, Seq[Double])],
       idCol: String, embCol: String): DataFrame =
     embeddings
       .withColumn("_row_norm", norm(col(embCol)))

@@ -76,22 +76,81 @@ object Ivfpq {
       .write.mode("overwrite").parquet(s"$path/books")
   }
 
-  /** Load a saved index; [[search]] on it prunes to the probed cell
-    * directories and the ADC phase reads only the codes column. */
-  def load(spark: SparkSession, path: String): IvfPqIndex = {
-    val cents = spark.read.parquet(s"$path/centroids")
+  private def loadCentroids(spark: SparkSession,
+      path: String): Seq[(Long, Seq[Double])] =
+    spark.read.parquet(s"$path/centroids")
       .select(col("centroid_id").cast(LongType), col("centroid_emb"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
-    val books: Seq[Seq[Seq[Double]]] = spark.read.parquet(s"$path/books")
+
+  private def loadBooks(spark: SparkSession,
+      path: String): Seq[Seq[Seq[Double]]] =
+    spark.read.parquet(s"$path/books")
       .select(col("sub").cast(IntegerType), col("code").cast(IntegerType),
         col("centroid"))
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toSeq }
+
+  /** Load a saved index; [[search]] on it prunes to the probed cell
+    * directories and the ADC phase reads only the codes column. */
+  def load(spark: SparkSession, path: String): IvfPqIndex = {
+    val cents = loadCentroids(spark, path)
+    val books = loadBooks(spark, path)
     IvfPqIndex(cents, books.length, books.head.head.length, books,
       spark.read.parquet(s"$path/encoded"))
+  }
+
+  /** Incremental maintenance of a persisted IVF-PQ index — the
+    * compressed twin of [[Ann.append]] (grow between retrains): new
+    * vectors are cell-assigned against the FROZEN coarse centroids and
+    * PQ-encoded with the FROZEN codebooks ([[graft.functions.PqEncode]]
+    * — the identical kernel the build used, so an appended row's codes
+    * are bit-identical to what a build-time encode of that row would
+    * produce), landing as NEW files inside the existing cell partition
+    * directories in append mode. Neither side table changes — centroids
+    * and codebooks are immutable between retrains — so the serving
+    * plan over the appended layout is unchanged: same partition
+    * pruning, same codes-only ADC scan, same exact re-rank. Recall is
+    * governed by how stale the frozen quantizers are vs the new data;
+    * the exact re-rank absorbs code-quality drift for anything that
+    * reaches the shortlist, and `sim_ivfpq_append` drives the
+    * half-trained worst case through the standard recall gate.
+    *
+    * Same fail-fast schema gate as [[Ann.append]]: a batch whose id or
+    * embedding type differs from the persisted layout is refused BY
+    * NAME here, instead of landing mixed-schema files that only break
+    * the next load. */
+  def append(spark: SparkSession, path: String, newVectors: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    scala.util.Try(spark.read.parquet(s"$path/encoded").schema)
+      .foreach { saved =>
+        for ((name, role) <- Seq(idCol -> "id", embCol -> "embedding")) {
+          val savedField = saved.find(_.name == name).getOrElse(
+            throw new IllegalArgumentException(
+              s"Ivfpq.append: persisted index at $path has no '$name' " +
+                s"column ($role) — columns: " +
+                saved.fieldNames.mkString(", ")))
+          val newField = newVectors.schema.find(_.name == name).getOrElse(
+            throw new IllegalArgumentException(
+              s"Ivfpq.append: batch has no '$name' column ($role)"))
+          require(
+            newField.dataType.simpleString ==
+              savedField.dataType.simpleString,
+            s"Ivfpq.append: '$name' type " +
+              s"${newField.dataType.simpleString} does not match the " +
+              s"persisted ${savedField.dataType.simpleString} — cast " +
+              "the batch explicitly before appending")
+        }
+      }
+    val cents = loadCentroids(spark, path)
+    val books = loadBooks(spark, path)
+    Ann.assign(newVectors, cents, idCol, embCol)
+      .select(col(idCol), col(embCol), col("cell"),
+        graft.functions.PqEncode.pqEncode(Pq.unit(col(embCol)), books)
+          .as("codes"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/encoded")
   }
 
   /** Top-`topK` neighbors of `probeId`: driver-side cell routing (the

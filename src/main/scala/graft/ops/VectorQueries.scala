@@ -465,6 +465,46 @@ object VectorQueries {
       Ann.load(s, appendedIvfPath(s, d, k = 8))),
     Some(ivfRecallOracle))
 
+  private val ivfpqAppended =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), String]
+
+  private def appendedIvfpqPath(s: org.apache.spark.sql.SparkSession,
+      d: String, k: Int, m: Int): String =
+    graft.BuildOnce.memo(ivfpqAppended, (d, k, m)) {
+      val path = s"${graft.GraftSession.scratchDir}/ivfpq_app_" +
+        d.replaceAll("[^A-Za-z0-9]", "_") + s"_k${k}_m$m"
+      val e = Tables.embeddings(s, d)
+      Ivfpq.save(Ivfpq.build(e.filter(pmod(col("vec_id"), lit(2)) === 0),
+        k = k, m = m, codes = 16), path)
+      Ivfpq.append(s, path, e.filter(pmod(col("vec_id"), lit(2)) === 1))
+      path
+    }
+
+  /** Incremental maintenance of the COMPRESSED serving index,
+    * driver-visible end-to-end (`sim_ivf_append`'s IVF-PQ twin, the
+    * genuine 100 TB serving loop: the codes-only index grows between
+    * retrains without re-encoding the corpus): coarse centroids AND
+    * product codebooks are trained on HALF the corpus, the other half
+    * is `Ivfpq.append`ed against both frozen quantizers (cell-assign +
+    * PQ-encode of just the new batch, append-mode into the cell
+    * partition directories, ONCE per process), and the probe then
+    * runs the standard two-phase search over the merged layout — same
+    * partition pruning, same codes-only ADC scan, same recall gate as
+    * `sim_ivfpq`. This is deliberately the half-stale-quantizer WORST
+    * case; the exact re-rank absorbs code-quality drift for anything
+    * reaching the shortlist, which is precisely the property the
+    * recall boolean verifies. `IvfpqAppendSpec` pins append ≡
+    * build-time encode of the same rows (bit-identical codes, no new
+    * cells) and the schema fail-fast gate. */
+  val simIvfpqAppend = GQuery(
+    "sim_ivfpq_append",
+    (s, d) => recallAnchored(s, d,
+      Ivfpq.search(Ivfpq.load(s, appendedIvfpqPath(s, d, k = 8, m = 4)),
+        probeId = 0, topK = IvfTopK, nProbe = 3,
+        shortlist = shortlistFor(embCount(s, d))),
+      topK = IvfTopK, minHits = 3),
+    Some(ivfRecallOracle))
+
   /** Online batched ANN serving, driver-visible end-to-end: load the
     * persisted index ([[savedIvfPath]] — the build is paid once per
     * process), collect the 3-probe request batch (bounded by nature —
@@ -932,7 +972,7 @@ object VectorQueries {
   def all: Seq[GQuery] =
     Seq(vecNorm, simTopk, simBucketed, simPairs, dedupEmbed,
       dedupEmbedCluster, simIvf, simIvfLoaded, simFiltered, simIvfAppend,
-      simServe,
+      simIvfpqAppend, simServe,
       simPq, simIvfpq, simIvfpqLoaded, knnJoin, knnJoinPq, deconSemantic,
       embedQuantize, simTopkBatch)
 }
