@@ -942,6 +942,28 @@ object TextQueries {
       s"$path/stats")
   }
 
+  /** Offline compaction of an appended postings layout — the
+    * `compactZOrdered` discipline applied to the text index: each
+    * [[postingsAppend]] leaves new small term-sorted segment files next
+    * to the built ones, and after many appends the per-query footprint
+    * is (matched row groups) × (number of segments). Compaction reads
+    * the lists ONCE, re-range-partitions + re-sorts on term into
+    * `nFiles` segments, and swap-replaces the directory ([[replaceDir]]
+    * — a reader mid-swap sees the old or the new layout, never a
+    * half-written one). Row content is untouched (same multiset —
+    * pinned in `Bm25AppendSpec`), df/stats don't change, and the
+    * pushed `In(term, …)` restriction now hits ONE sorted run per
+    * term range instead of one per appended batch. Run it on the cold
+    * path (a maintenance window), exactly like parquet table
+    * compaction at warehouse scale. */
+  def postingsCompact(s: org.apache.spark.sql.SparkSession, path: String,
+      nFiles: Int = 8): Unit =
+    replaceDir(s,
+      s.read.parquet(s"$path/lists")
+        .repartitionByRange(nFiles, col("term"))
+        .sortWithinPartitions("term"),
+      s"$path/lists")
+
   private[ops] def savedPostingsPath(s: org.apache.spark.sql.SparkSession,
       d: String): String =
     graft.BuildOnce.memo(postingsSaved, d) {

@@ -68,6 +68,44 @@ class Bm25AppendSpec extends SparkTestBase {
       sortedRows(s"$rebuilt/lists", "term", "doc_id", "dl", "tf"))
   }
 
+  test("compaction folds appended segments into nFiles sorted runs " +
+      "without changing a single posting row") {
+    val base = java.nio.file.Files
+      .createTempDirectory("bm25compact").toString
+    val path = s"$base/idx"
+    TextQueries.buildPostings(spark, docsDf(half1), path)
+    TextQueries.postingsAppend(spark, docsDf(half2), path)
+    val before = listFiles(path)
+    def sortedRows(p: String) =
+      spark.read.parquet(p).select(col("term"), col("doc_id"), col("dl"),
+        col("tf")).collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val rowsBefore = sortedRows(s"$path/lists")
+    TextQueries.postingsCompact(spark, path, nFiles = 4)
+    val after = listFiles(path)
+    assert(after.size <= 4,
+      s"compaction left ${after.size} segment files")
+    assert(after.size < before.size, "compaction did not fold segments")
+    assert(sortedRows(s"$path/lists") === rowsBefore)
+    // the compacted layout still serves the pushed-filter plan
+    val plan = spark.read.parquet(s"$path/lists")
+      .where(col("term").isin("spark", "merge"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      plan)
+    // and each compacted file is term-sorted (min/max prunable): read
+    // per-file and check local ordering
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$path/lists")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (st <- fs.listStatus(p)
+        if st.getPath.getName.endsWith(".parquet")) {
+      val terms = spark.read.parquet(st.getPath.toString)
+        .select("term").collect().map(_.getString(0)).toSeq
+      assert(terms === terms.sorted,
+        s"file ${st.getPath.getName} not term-sorted after compaction")
+    }
+  }
+
   test("term restriction stays a pushed parquet filter on the " +
       "built+appended layout") {
     val path = TextQueries.savedPostingsAppendPath(spark,
