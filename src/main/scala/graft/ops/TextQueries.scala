@@ -862,7 +862,7 @@ object TextQueries {
     * (doc_id, text): term-range-partitioned + term-sorted posting
     * lists, the df side table, and the exact-accumulator corpus
     * stats. */
-  private[ops] def buildPostings(s: org.apache.spark.sql.SparkSession,
+  def buildPostings(s: org.apache.spark.sql.SparkSession,
       docs: org.apache.spark.sql.DataFrame, path: String): Unit = {
     val proj = docProjection(docs)
     val lists = postingRows(proj)

@@ -103,6 +103,46 @@ object ScaleSweep {
     // grows it via shortlistFor only to hold the recall gate on tiny
     // corpora), so phase-1 candidates ∝ n·(nProbe/k)·|cell| ∝ n and
     // the phase-2 re-rank join ∝ n·shortlist — both linear in R.
+    // Incremental text-index maintenance end-to-end: build on even doc
+    // ids, append the odd half (new segments + algebraic df/stats
+    // merges), compact back to 8 sorted runs, then answer one query
+    // from the result. Every phase is ∝ |docs touched| (explode +
+    // hash-agg + range-write; the merges are |vocab|-bounded), so the
+    // whole lifecycle must stay ~linear in R — the claim behind
+    // replacing the reference's full monthly reload.
+    "postingsappend_sweep" -> ((s, dir) => {
+      import graft.ops.TextQueries
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${graft.GraftSession.scratchDir}/sweep_postings_$tag"
+      val docs = graft.Tables.documents(s, dir)
+      TextQueries.buildPostings(s, docs.where(col("doc_id") % 2 === 0),
+        path)
+      TextQueries.postingsAppend(s, docs.where(col("doc_id") % 2 === 1),
+        path)
+      TextQueries.postingsCompact(s, path)
+      s.read.parquet(s"$path/lists")
+        .where(col("term").isin("spark", "merge", "filter"))
+        .groupBy().agg(count(lit(1)).as("n"), sum(col("tf")).as("tf_sum"))
+    }),
+    // Incremental compressed-index maintenance under the deployment
+    // contract (k ∝ n): IVF-PQ build on even vec ids, the odd half
+    // appended against the frozen quantizers (assign + encode of just
+    // the batch — the whole point is that this is ∝ |batch|, not
+    // ∝ |corpus|), then one standard two-phase search.
+    "ivfpqappend_sweep" -> ((s, dir) => {
+      val e = graft.Tables.embeddings(s, dir)
+      val n = e.count()
+      val k = math.max(8, (n / 250).toInt)
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${graft.GraftSession.scratchDir}/sweep_ivfpqapp_$tag"
+      graft.ops.Ivfpq.save(graft.ops.Ivfpq.build(
+        e.filter(pmod(col("vec_id"), lit(2)) === 0), k = k, m = 4,
+        codes = graft.ops.VectorQueries.codesFor(n)), path)
+      graft.ops.Ivfpq.append(s, path,
+        e.filter(pmod(col("vec_id"), lit(2)) === 1))
+      graft.ops.Ivfpq.search(graft.ops.Ivfpq.load(s, path), probeId = 0,
+        topK = 5, nProbe = 3, shortlist = 50)
+    }),
     "knnjoinpq_sweep" -> ((s, dir) => {
       val e = graft.Tables.embeddings(s, dir)
       val n = e.count()
@@ -189,7 +229,13 @@ object ScaleSweep {
         // its registry form full-probes a reference set that the replica
         // model also multiplies (quadratic by construction); the pruned
         // production form is exactly knnjoin(-pq)_sweep's contract.
-        "bm25_serve", "incr_pipeline", "stream_state", "agg_pushdown")
+        "bm25_serve", "incr_pipeline", "stream_state", "agg_pushdown",
+        // round 13: the two incremental-maintenance lifecycles — the
+        // text index (build-half → append-half → compact → serve) and
+        // the compressed ANN index (build-half → frozen-quantizer
+        // append → search) — both must stay ~linear in R for the
+        // grow-between-retrains claims
+        "postingsappend_sweep", "ivfpqappend_sweep")
     val spark = graft.GraftSession.local(4, "graft-scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
