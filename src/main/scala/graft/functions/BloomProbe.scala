@@ -106,6 +106,18 @@ object BloomProbe {
     // like the monolithic filter, so the degenerate case is
     // bit-identical to `stat.bloomFilter` (same size, same inserts)
     val perShard = math.max((expectedItems + n - 1) / n, 1L)
+    if (n == 1)
+      // Below the shard bound there is nothing to shard — use the
+      // treeAggregate builder directly: scan-parallel (the shuffle
+      // build's parallelism is nShards, which would be ONE task here),
+      // and its full-array-per-task allocation is exactly the shard
+      // bound when n == 1. Bit-identical output (same size, same
+      // putLong inserts — pinned in BloomDedupSpec).
+      return ShardedBloom(1, Seq(serialize(
+        hashes.stat.bloomFilter(hashCol, perShard, fpp))))
+    // n ≥ 2: shuffle (shard, hash) pairs so each reduce task holds only
+    // its own shards; build parallelism = nShards, which at the sizes
+    // that force sharding is large — size maxShardBytes accordingly.
     val parts = hashes
       .select(pmod(col(hashCol), lit(n.toLong)).cast(
         org.apache.spark.sql.types.IntegerType).as("__shard"),
