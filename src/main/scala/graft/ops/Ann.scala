@@ -194,37 +194,45 @@ object Ann {
     * one pass with these centroids (pinned in AnnAppendSpec) — recall
     * on drifted content degrades only as the data outgrows the
     * centroids, which is the standard retrain-cadence contract. */
-  def append(spark: SparkSession, path: String, newVectors: DataFrame,
-      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
-    // Schema gate BEFORE the append-mode write: a batch whose id or
-    // embedding type differs from the persisted layout (float vs double
-    // elements, mis-named columns) would land mixed-schema parquet files
-    // inside the cell directories that only fail — or silently mis-merge
-    // — at the NEXT load. Fail fast here instead, naming the mismatch.
-    // A freshly initialized layout with no data files yet has nothing to
-    // conflict with (schema inference finds no footers) — skip the gate.
-    // simpleString comparison is nullability-insensitive on purpose:
-    // parquet round-trips may flip containsNull without changing bytes.
-    scala.util.Try(spark.read.parquet(s"$path/assigned").schema)
+  /** Schema gate BEFORE an append-mode write into a persisted index
+    * layout (shared by [[append]] and [[Ivfpq.append]]): a batch whose
+    * id or embedding type differs from the persisted layout (float vs
+    * double elements, mis-named columns) would land mixed-schema
+    * parquet files inside the cell directories that only fail — or
+    * silently mis-merge — at the NEXT load. Fail fast here instead,
+    * naming the mismatch and the caller. A freshly initialized layout
+    * with no data files yet has nothing to conflict with (schema
+    * inference finds no footers) — skip the gate. simpleString
+    * comparison is nullability-insensitive on purpose: parquet
+    * round-trips may flip containsNull without changing bytes. */
+  private[ops] def appendSchemaGate(spark: SparkSession, dataDir: String,
+      newVectors: DataFrame, idCol: String, embCol: String,
+      caller: String): Unit =
+    scala.util.Try(spark.read.parquet(dataDir).schema)
       .foreach { saved =>
         for ((name, role) <- Seq(idCol -> "id", embCol -> "embedding")) {
           val savedField = saved.find(_.name == name).getOrElse(
             throw new IllegalArgumentException(
-              s"Ann.append: persisted index at $path has no '$name' " +
+              s"$caller: persisted index at $dataDir has no '$name' " +
                 s"column ($role) — columns: " +
                 saved.fieldNames.mkString(", ")))
           val newField = newVectors.schema.find(_.name == name).getOrElse(
             throw new IllegalArgumentException(
-              s"Ann.append: batch has no '$name' column ($role)"))
+              s"$caller: batch has no '$name' column ($role)"))
           require(
             newField.dataType.simpleString ==
               savedField.dataType.simpleString,
-            s"Ann.append: '$name' type ${newField.dataType.simpleString} " +
+            s"$caller: '$name' type ${newField.dataType.simpleString} " +
               s"does not match the persisted " +
               s"${savedField.dataType.simpleString} — cast the batch " +
               "explicitly before appending")
         }
       }
+
+  def append(spark: SparkSession, path: String, newVectors: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    appendSchemaGate(spark, s"$path/assigned", newVectors, idCol, embCol,
+      "Ann.append")
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("centroid_id").cast(LongType), col("centroid_emb"))
       .collect()

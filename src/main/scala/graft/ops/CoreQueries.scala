@@ -310,8 +310,16 @@ object CoreQueries {
       import org.apache.hadoop.fs.Path
       val tdef = eventsRawTdef
       val cleaned = Clean.clean(tdef, eventsRawLines(Tables.events(s, d)))
+      // per-INVOCATION scratch: the roundtrip mutates its whole tree
+      // (overwrite sinks, zip truncate, extract delete) and the
+      // returned frame reads the extracted members LAZILY, so a shared
+      // deterministic path would let one invocation delete files under
+      // another's in-flight scan (the BuildOnce corruption class).
+      // ~10 MB per invocation under the process scratch dir, reaped at
+      // shutdown — the cold-roundtrip cost is the entry's point.
       val base = s"${graft.GraftSession.scratchDir}/archive_rt_" +
-        d.replaceAll("[^A-Za-z0-9]", "_")
+        d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+        java.util.UUID.randomUUID.toString.take(8)
       Clean.writeCleaned(cleaned, base, "events")
       val goodParts = new java.io.File(s"$base/events.csv")
         .listFiles().filter(_.getName.endsWith(".csv.gz"))

@@ -118,32 +118,15 @@ object Ivfpq {
     * reaches the shortlist, and `sim_ivfpq_append` drives the
     * half-trained worst case through the standard recall gate.
     *
-    * Same fail-fast schema gate as [[Ann.append]]: a batch whose id or
-    * embedding type differs from the persisted layout is refused BY
-    * NAME here, instead of landing mixed-schema files that only break
-    * the next load. */
+    * Same fail-fast schema gate as [[Ann.append]] (the shared
+    * [[Ann.appendSchemaGate]]): a batch whose id or embedding type
+    * differs from the persisted layout is refused BY NAME here,
+    * instead of landing mixed-schema files that only break the next
+    * load. */
   def append(spark: SparkSession, path: String, newVectors: DataFrame,
       idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
-    scala.util.Try(spark.read.parquet(s"$path/encoded").schema)
-      .foreach { saved =>
-        for ((name, role) <- Seq(idCol -> "id", embCol -> "embedding")) {
-          val savedField = saved.find(_.name == name).getOrElse(
-            throw new IllegalArgumentException(
-              s"Ivfpq.append: persisted index at $path has no '$name' " +
-                s"column ($role) — columns: " +
-                saved.fieldNames.mkString(", ")))
-          val newField = newVectors.schema.find(_.name == name).getOrElse(
-            throw new IllegalArgumentException(
-              s"Ivfpq.append: batch has no '$name' column ($role)"))
-          require(
-            newField.dataType.simpleString ==
-              savedField.dataType.simpleString,
-            s"Ivfpq.append: '$name' type " +
-              s"${newField.dataType.simpleString} does not match the " +
-              s"persisted ${savedField.dataType.simpleString} — cast " +
-              "the batch explicitly before appending")
-        }
-      }
+    Ann.appendSchemaGate(spark, s"$path/encoded", newVectors, idCol,
+      embCol, "Ivfpq.append")
     val cents = loadCentroids(spark, path)
     val books = loadBooks(spark, path)
     Ann.assign(newVectors, cents, idCol, embCol)

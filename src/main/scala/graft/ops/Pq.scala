@@ -206,14 +206,16 @@ object Pq {
     * interchangeable downstream. */
   def search(index: PqIndex, probeId: Long, topK: Int, shortlist: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val probe: Seq[Double] = index.encoded
+    val raw: Seq[Double] = index.encoded
       .filter(col(idCol) === probeId)
       .select(transform(col(embCol), _.cast(DoubleType)))
       .take(1) match {
-        case Array(r) => localUnit(r.getSeq[Double](0).toSeq)
+        case Array(r) => r.getSeq[Double](0).toSeq
         case _ => throw new IllegalArgumentException(
           s"Pq.search: probe id $probeId not found in the index")
       }
+    val pnorm = math.sqrt(raw.map(x => x * x).sum)
+    val probe = localUnit(raw)
     val adc = adcExpr(lutsFor(index.books, index.dsub, probe), col("codes"))
     val litProbe = array(probe.map(lit): _*)
     index.encoded
@@ -223,9 +225,12 @@ object Pq {
       .limit(shortlist)
       .select(col(idCol).as("neighbor_id"),
         // probe is unit-norm: /1 implicit; Ann.guardedSim pins zero-norm
-        // rows to −1 (NaN would sort ABOVE every real sim desc)
+        // rows to −1 (NaN would sort ABOVE every real sim desc). A
+        // zero-norm PROBE passes norm 0 so every neighbor pins to −1
+        // too — the same "matches nothing" contract as Ann.query and
+        // Ivfpq.search (ZeroNormSpec).
         Ann.guardedSim(transform(col(embCol), _.cast(DoubleType)), litProbe,
-          lit(1.0)).as("sim"))
+          lit(if (pnorm == 0.0) 0.0 else 1.0)).as("sim"))
       .orderBy(col("sim").desc, col("neighbor_id"))
       .limit(topK)
       .select(col("neighbor_id"), col("sim"),

@@ -876,20 +876,34 @@ object TextQueries {
   }
 
   /** Swap-replace a side-table directory: stage the merged frame next
-    * to it, then delete + rename — the source directory is never read
-    * and overwritten in the same job (Spark refuses exactly that), and
-    * a reader mid-swap sees either the old or the new table, never a
-    * half-written one. */
+    * to it (so the source directory is never read and overwritten in
+    * the same job — Spark refuses exactly that), then swap with
+    * tombstone ordering: old → `__old`, stage → live, drop the
+    * tombstone. NO step rewrites data, so a crash at any point loses
+    * nothing — the complete table always exists as exactly one of
+    * {live, stage, tombstone}, and leftovers from a crashed prior swap
+    * are cleared up front. The swap is NOT atomic for concurrent
+    * readers (two renames; a reader can land in the gap and miss the
+    * path) — maintenance runs in a window without concurrent serving,
+    * exactly like parquet table compaction; [[postingsAppend]] and
+    * [[postingsCompact]] document the same contract. */
   private def replaceDir(s: org.apache.spark.sql.SparkSession,
       merged: org.apache.spark.sql.DataFrame, dir: String): Unit = {
     import org.apache.hadoop.fs.Path
-    val stage = s"${dir}__stage"
-    merged.write.mode("overwrite").parquet(stage)
-    val fs = new Path(dir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(dir), true)
-    require(fs.rename(new Path(stage), new Path(dir)),
-      s"postingsAppend: swap of $dir failed")
+    val live = new Path(dir)
+    val stage = new Path(s"${dir}__stage")
+    val old = new Path(s"${dir}__old")
+    val fs = live.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // recover from a crashed prior swap: a live dir wins over leftovers;
+    // a missing live dir with a tombstone means the crash hit between
+    // the renames — restore the tombstone before proceeding
+    if (!fs.exists(live) && fs.exists(old))
+      require(fs.rename(old, live), s"swap recovery of $dir failed")
+    fs.delete(old, true)
+    merged.write.mode("overwrite").parquet(stage.toString)
+    require(fs.rename(live, old), s"swap of $dir failed (old aside)")
+    require(fs.rename(stage, live), s"swap of $dir failed (stage in)")
+    fs.delete(old, true)
   }
 
   /** Incremental maintenance of a persisted BM25 index — the text twin
@@ -911,12 +925,24 @@ object TextQueries {
     *
     * At 100 TB this is the difference between an index refresh that
     * touches |new docs| and one that re-tokenizes the corpus; a
-    * compaction pass (the `compactZOrdered` discipline) can fold small
-    * appended segments together offline without changing any of this.
-    * tf/dl carry no cross-document state, so served scores over the
-    * appended index are IDENTICAL to a full rebuild's — `bm25_serve_
-    * append` asserts the full-corpus oracle on a half-built,
-    * half-appended index. */
+    * compaction pass ([[postingsCompact]], the `compactZOrdered`
+    * discipline) can fold small appended segments together offline
+    * without changing any of this. tf/dl carry no cross-document
+    * state, so served scores over the appended index are IDENTICAL to
+    * a full rebuild's — `bm25_serve_append` asserts the full-corpus
+    * oracle on a half-built, half-appended index.
+    *
+    * Consistency contract: this is an offline maintenance op, run in a
+    * window without concurrent serving (same as any table compaction —
+    * the side-table swaps are not atomic for in-flight readers, see
+    * [[replaceDir]]). It is a three-step mutation (lists append → df
+    * swap → stats swap), not crash-atomic as a unit: a crash
+    * mid-append leaves lists ahead of df/stats, and re-running the
+    * SAME batch would double its lists rows — so deployment drives it
+    * under the batch-id-keyed exactly-once discipline the incremental
+    * pipeline already uses (`StreamRunner.refreshBatch`): one append
+    * per committed batch id, retry only after restoring the layout
+    * from the last committed snapshot. */
   def postingsAppend(s: org.apache.spark.sql.SparkSession,
       newDocs: org.apache.spark.sql.DataFrame, path: String): Unit = {
     val proj = docProjection(newDocs)

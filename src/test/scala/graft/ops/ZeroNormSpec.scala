@@ -60,6 +60,14 @@ class ZeroNormSpec extends SparkTestBase {
     assert(out.forall(t => !t._2.isNaN))
   }
 
+  test("Pq.search with a zero-norm PROBE pins every neighbor to -1") {
+    val index = Pq.build(vecs, m = 2, codes = 2, iters = 1)
+    val out = Pq.search(index, probeId = 7, topK = 7, shortlist = 10)
+      .collect().map(r => r.getAs[Double]("sim"))
+    assert(out.nonEmpty)
+    assert(out.forall(_ === -1.0))
+  }
+
   test("Ivfpq.search with a zero-norm PROBE pins every neighbor to -1 " +
       "(matches knnJoin's contract)") {
     // a directionless probe matches nothing: BOTH the single-probe
