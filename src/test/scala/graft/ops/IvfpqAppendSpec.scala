@@ -70,6 +70,26 @@ class IvfpqAppendSpec extends SparkTestBase {
     assert(e2.getMessage.contains("no 'embedding' column"))
   }
 
+  test("search on the appended layout keeps cell partition pruning and " +
+      "the codes-only ADC scan") {
+    val even = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val odd = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val path = s"${graft.GraftSession.scratchDir}/ivfpq_append_plan"
+    Ivfpq.save(Ivfpq.build(even, k = 8, m = 4, codes = 16), path)
+    Ivfpq.append(spark, path, odd)
+    val plan = Ivfpq.search(Ivfpq.load(spark, path), probeId = 0,
+      topK = 5, nProbe = 3, shortlist = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      plan)
+    // the ADC phase's scan must read codes, never the raw embedding
+    assert(plan.contains("ReadSchema") &&
+      plan.split("ReadSchema").exists(seg =>
+        seg.contains("codes") && !seg.takeWhile(_ != '\n')
+          .contains("embedding")),
+      plan)
+  }
+
   test("full-probe full-shortlist search on the appended index equals " +
       "brute force over the whole corpus") {
     val even = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
