@@ -1017,6 +1017,26 @@ object TextQueries {
       path
     }
 
+  /** The append layout taken through the FULL maintenance lifecycle:
+    * build-half → append-half → [[postingsCompact]] back to 8 sorted
+    * runs — the layout `bm25_serve_compact` serves. Separate path from
+    * [[savedPostingsAppendPath]] so the un-compacted mixed layout stays
+    * independently served (and its pushed-filter spec meaningful). */
+  private val postingsCompactSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedPostingsCompactPath(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.BuildOnce.memo(postingsCompactSaved, d) {
+      val path = s"${graft.GraftSession.scratchDir}/postings_cpt_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = Tables.documents(s, d)
+      buildPostings(s, docs.where(col("doc_id") % 2 === 0), path)
+      postingsAppend(s, docs.where(col("doc_id") % 2 === 1), path)
+      postingsCompact(s, path)
+      path
+    }
+
   /** Serve a bounded BATCH of keyword queries against the persisted
     * index in ONE distributed pass — [[Ann.serveBatch]]'s text twin and
     * the micro-batch body of
@@ -1193,6 +1213,60 @@ object TextQueries {
     * The oracle recomputes every query from the corpus with the
     * request batch as a VALUES table — identical arithmetic, identical
     * decimal discipline. */
+  /** The complete index-maintenance lifecycle, driver-verified:
+    * build-half → append-half → [[postingsCompact]] → serve. The
+    * compaction rewrote every segment file (8 sorted runs replace the
+    * built+appended mix) yet the oracle is STILL `bm25_serve`'s
+    * full-corpus SQL verbatim — the hash proves compaction changed the
+    * layout without changing one posting row or one served score,
+    * which is the entire contract of a maintenance pass. Plan over the
+    * compacted layout: one pushed `In(term, …)` run per term range
+    * instead of one per appended batch. */
+  val bm25ServeCompact = GQuery(
+    "bm25_serve_compact",
+    (s, d) => {
+      val path = savedPostingsCompactPath(s, d)
+      val lists = s.read.parquet(s"$path/lists")
+        .where(col("term").isin(bm25Terms: _*))
+      val dfs = s.read.parquet(s"$path/df")
+        .where(col("term").isin(bm25Terms: _*))
+      val stats = s.read.parquet(s"$path/stats")
+      bm25TopK(lists, dfs, stats)
+    },
+    // identical oracle to bm25_serve: compaction must be invisible to
+    // every served score
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, str_split(text, ' ') AS toks,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents WHERE text IS NOT NULL),
+      stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+        FROM docs),
+      tf AS (
+        SELECT term, doc_id, dl, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+        WHERE term IN ('spark', 'merge', 'filter')
+        GROUP BY 1, 2, 3),
+      dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT tf.doc_id,
+               CAST(round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / s.avgdl))),
+                 4) AS DECIMAL(38,4)) AS score_term
+        FROM tf JOIN dfs d USING (term) CROSS JOIN stats s),
+      agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(score_term) AS DOUBLE) AS score
+        FROM scored GROUP BY 1)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+             doc_id, n_terms, score
+      FROM agg
+      ORDER BY score DESC, doc_id
+      LIMIT 10
+    """))
+
   val bm25Multi = GQuery(
     "bm25_multi",
     (s, d) => bm25ServeBatch(s, d, Seq(
@@ -1445,6 +1519,6 @@ object TextQueries {
     docFingerprint, dedupExact, dedupJaccard, textBigrams, splitHash,
     sampleStratified, sampleExactK, textTfidf, packSequences, decontaminate,
     textRepetition, heavyHitters, modelScore, treeScore, quantileBins,
-    postings, bm25Search, bm25Serve, bm25ServeAppend, bm25Multi,
-    heavyHittersSketch)
+    postings, bm25Search, bm25Serve, bm25ServeAppend, bm25ServeCompact,
+    bm25Multi, heavyHittersSketch)
 }
