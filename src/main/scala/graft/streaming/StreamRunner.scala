@@ -370,6 +370,32 @@ object StreamRunner {
       }
       .start()
 
+  /** Online serving against the COMPRESSED index — [[annServeStream]]'s
+    * IVF-PQ twin and the serving shape that holds at 100 TB request
+    * rates: each micro-batch of probe vectors meets the persisted
+    * codes-only inverted lists through `Ivfpq.knnJoin`, so unlike the
+    * float path the probe batch is NEVER collected — every probe row
+    * routes itself (cells + ADC lookup table computed on the
+    * executors), which removes the driver-width bound on the request
+    * batch entirely; the micro-batch interval is the only batch
+    * sizing, and the per-candidate read is m code bytes. Expects
+    * streaming columns (probe_id: long, probe_emb: array<float>);
+    * emits (probe_id, neighbor_id, sim, rank). `excludeSelf = false`:
+    * external requests live in their own id space. Stream ≡ the static
+    * `Ivfpq.knnJoin` pinned in `PqServeStreamSpec`. */
+  def pqServeStream(index: graft.ops.Ivfpq.IvfPqIndex, probes: DataFrame,
+      topK: Int, nProbe: Int, shortlist: Int)(emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    probes.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val typed = batch.select(col("probe_id").cast("long"),
+          col("probe_emb").cast("array<float>"))
+        if (!typed.isEmpty)
+          emit(graft.ops.Ivfpq.knnJoin(index, typed, topK, nProbe,
+            shortlist, excludeSelf = false))
+      }
+      .start()
+
   /** Online keyword retrieval — [[annServeStream]]'s text twin: each
     * micro-batch of keyword queries is served against the persisted
     * BM25 inverted index in one distributed
