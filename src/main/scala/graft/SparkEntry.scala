@@ -16,7 +16,7 @@ object SparkEntry {
       ops.ScalarQueries.all ++ ops.StreamQueries.all ++
       ops.FunnelQueries.all ++
       ops.TextQueries.all ++ ops.CorpusQueries.all ++
-      ops.VectorQueries.all ++
+      ops.VectorQueries.all ++ ops.HybridQueries.all ++
       ops.DedupQueries.all ++ ops.Multimodal.all ++ ops.IncrQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

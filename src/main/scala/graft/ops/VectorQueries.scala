@@ -65,7 +65,7 @@ object VectorQueries {
     * per-partition heaps, no shuffle) instead of a single-partition
     * global window. Output carries only integer ids/ranks so the hash
     * can never wobble on float ulps. */
-  private def bruteTopK(s: org.apache.spark.sql.SparkSession, d: String,
+  private[ops] def bruteTopK(s: org.apache.spark.sql.SparkSession, d: String,
       topK: Int,
       extraFilter: Option[org.apache.spark.sql.Column] = None)
       : org.apache.spark.sql.DataFrame = {
@@ -327,7 +327,7 @@ object VectorQueries {
 
   /** topK shared by [[ivfWithRecall]] and [[ivfRecallOracle]] so the
     * Spark form and its DuckDB twin can't drift apart on row count. */
-  private val IvfTopK = 5
+  private[ops] val IvfTopK = 5
 
   /** DuckDB twin of [[ivfWithRecall]] at the same `topK`: the same
     * brute-force top-K (the hash anchor) with the recall boolean

@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Hybrid-retrieval pins: the RRF fusion must be exactly the decimal
+  * round-sum of its member ranks, cover the union of both member lists,
+  * and the served entry's anchor must be byte-identical to the exact
+  * entry with its tolerance boolean true. */
+class HybridQueriesSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def fused(name: String) =
+    graft.SparkEntry.queries(name)(spark, sf).collect()
+
+  test("fusion covers the union of the member lists and nothing else") {
+    val rows = fused("hybrid_search")
+    val kwDocs = TextQueries.bm25Search.fn(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val vecDocs = VectorQueries.bruteTopK(spark, sf, 5)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet === (kwDocs ++ vecDocs))
+    // member ranks survive the join intact
+    rows.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      val kw = Option(r.get(r.fieldIndex("kw_rnk"))).map(_.asInstanceOf[Long])
+      val vec = Option(r.get(r.fieldIndex("vec_rnk"))).map(_.asInstanceOf[Long])
+      assert(kw.isDefined === kwDocs.contains(d))
+      assert(vec.isDefined === vecDocs.contains(d))
+    }
+  }
+
+  test("rrf is the decimal round-sum of 1/(60+rank) contributions") {
+    def contrib(r: Option[Long]): BigDecimal = r match {
+      case Some(v) => BigDecimal(1.0 / (60.0 + v))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      case None => BigDecimal(0)
+    }
+    val rows = fused("hybrid_search")
+    assert(rows.nonEmpty)
+    var last = Double.MaxValue
+    rows.sortBy(_.getAs[Long]("rnk")).foreach { r =>
+      val kw = Option(r.get(r.fieldIndex("kw_rnk"))).map(_.asInstanceOf[Long])
+      val vec = Option(r.get(r.fieldIndex("vec_rnk"))).map(_.asInstanceOf[Long])
+      val expect = (contrib(kw) + contrib(vec)).toDouble
+      assert(r.getAs[Double]("rrf") === expect)
+      assert(r.getAs[Double]("rrf") <= last)
+      last = r.getAs[Double]("rrf")
+    }
+  }
+
+  test("hybrid_serve anchors the exact fusion and its gate holds") {
+    val exact = fused("hybrid_search")
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("rrf"))).toSeq
+    val served = fused("hybrid_serve")
+    assert(served.forall(_.getAs[Boolean]("fuse_ok")))
+    assert(served.map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("doc_id"),
+      r.getAs[Double]("rrf"))).toSeq === exact)
+  }
+}
