@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.GQuery
+import graft.{GQuery, Tables}
 
 /** Hybrid retrieval — reciprocal-rank fusion (RRF) of the keyword tier
   * (BM25 over the inverted index, X10) and the vector tier (cosine ANN,
@@ -51,24 +51,31 @@ object HybridQueries {
     round(lit(1.0) / (lit(RrfK.toDouble) + rnk.cast(DoubleType)), 6)
       .cast(DecimalType(38, 6))
 
-  /** Fuse two ranked lists (doc_id, kw_rnk) ⋈ (doc_id, vec_rnk) into
-    * the RRF ranking. Emits EVERY fused doc (≤ kw_k + vec_k rows, the
-    * union), ordered by fused score desc then doc_id — the single-
-    * partition window is over a by-construction-bounded frame, the
-    * bm25TopK discipline. ONE definition behind the exact and served
-    * entries so their arithmetic cannot drift. */
-  private def rrfFuse(kw: DataFrame, vec: DataFrame): DataFrame = {
+  /** Fuse two ranked lists (…keys, doc_id, kw_rnk) ⋈ (…keys, doc_id,
+    * vec_rnk) into the RRF ranking, per key group. Emits EVERY fused
+    * doc (≤ kw_k + vec_k rows per group, the union), ranked by fused
+    * score desc then doc_id within each group. With no keys the window
+    * is the single-partition global one over a by-construction-bounded
+    * frame (the bm25TopK discipline); with `query_id` it is the
+    * per-request WindowGroupLimit shape of the batch serving path —
+    * sized by the request batch, never by the corpus. ONE definition
+    * behind the exact, served, and batched entries so their arithmetic
+    * cannot drift. */
+  private def rrfFuse(kw: DataFrame, vec: DataFrame,
+      keys: Seq[String] = Nil): DataFrame = {
     val zero = lit(BigDecimal(0)).cast(DecimalType(38, 6))
-    kw.join(vec, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"), col("kw_rnk"), col("vec_rnk"),
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("rrf").desc, col("doc_id"))
+    kw.join(vec, keys :+ "doc_id", "full_outer")
+      .select(keys.map(col) ++ Seq(col("doc_id"), col("kw_rnk"),
+        col("vec_rnk"),
         (coalesce(rrfTerm(col("kw_rnk")), zero) +
           coalesce(rrfTerm(col("vec_rnk")), zero))
-          .cast(DoubleType).as("rrf"))
-      .select(
-        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id")))
-          .cast(LongType).as("rnk"),
-        col("doc_id"), col("kw_rnk"), col("vec_rnk"), col("rrf"))
-      .orderBy("rnk")
+          .cast(DoubleType).as("rrf")): _*)
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .select(keys.map(col) ++ Seq(col("rnk"), col("doc_id"),
+        col("kw_rnk"), col("vec_rnk"), col("rrf")): _*)
+      .orderBy((keys :+ "rnk").map(col): _*)
   }
 
   /** The exact keyword list: BM25 top-10 (the oracle-verified
@@ -237,5 +244,155 @@ object HybridQueries {
       ORDER BY rnk
     """))
 
-  val all: Seq[GQuery] = Seq(hybridSearch, hybridServe)
+  /** The 3-request hybrid batch shared by [[hybridMulti]] and its
+    * oracle's VALUES table: query_id doubles as the probe embedding's
+    * vec_id (the `sim_serve` request discipline), term sets are
+    * `bm25_multi`'s (vocabulary already oracle-proven). */
+  private val multiRequests: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "merge"),
+    1L -> Seq("filter"),
+    2L -> Seq("spark", "filter", "query"))
+
+  /** Exact per-probe vector lists for the request batch, as
+    * (query_id, doc_id, vec_rnk) — the `perProbeRecallAnchored`
+    * brute-force shape: the bounded probe side broadcasts, the corpus
+    * side scans once, per-probe top-5 in one window pass. */
+  private def vecExactBatch(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VecMath
+    val e = Tables.embeddings(s, d)
+    val probes = e.filter(col("vec_id") < multiRequests.size)
+      .select(col("vec_id").as("query_id"), col("embedding").as("pemb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("doc_id"))
+    e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        (VecMath.vecDot(col("embedding"), col("pemb")) /
+          (sqrt(VecMath.vecNormSq(col("embedding"))) *
+            sqrt(VecMath.vecNormSq(col("pemb"))))).as("sim"))
+      .withColumn("vec_rnk", row_number().over(w).cast(LongType))
+      .filter(col("vec_rnk") <= VectorQueries.IvfTopK)
+      .select("query_id", "doc_id", "vec_rnk")
+  }
+
+  /** BATCHED hybrid serving, driver-verified: a 3-request batch — each
+    * request carrying its own term set AND its own probe embedding —
+    * answered in ONE distributed pass per tier against the persisted
+    * indexes (`bm25ServeBatch` over the postings layout ×
+    * `Ann.serveBatch` over the IVF layout), then RRF-fused per
+    * query_id. This is the registry face of fusing the two streaming
+    * serving bodies (`keywordServeStream` / `annServeStream` share
+    * these exact micro-batch pipelines): the term union restricts the
+    * postings scan, request pairs broadcast, per-query grouping and
+    * top-k are WindowGroupLimit passes sized by the batch — nothing
+    * anywhere scales with more than (batch × topK) beyond the two
+    * index probes themselves.
+    *
+    * Verification follows [[hybridServe]]'s discipline per query: the
+    * anchor is each request's EXACT fused ranking (served keyword list
+    * — exact by the `bm25_multi`-proven roundtrip — fused with the
+    * brute-force vector list), plus a per-query `fuse_ok` the oracle
+    * asserts TRUE: ≤2 anchor docs missing from that query's served
+    * fusion, implied by the per-probe recall ≥ 3/5 gate (`sim_serve`)
+    * and keyword-side exactness. */
+  val hybridMulti = GQuery(
+    "hybrid_multi",
+    (s, d) => {
+      val kwServed = TextQueries.bm25ServeBatch(s, d, multiRequests,
+        topK = KwTopK)
+        .select(col("query_id"), col("doc_id"), col("rnk").as("kw_rnk"))
+      val e = Tables.embeddings(s, d)
+      val probeBatch: Seq[(Long, Seq[Double])] =
+        e.filter(col("vec_id") < multiRequests.size)
+          .select(col("vec_id").cast(LongType),
+            transform(col("embedding"), _.cast(DoubleType)))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+      val vecServed = Ann.serveBatch(
+        Ann.load(s, VectorQueries.savedIvfPath(s, d, k = 8)),
+        probeBatch, topK = VectorQueries.IvfTopK, nProbe = 3)
+        .select(col("probe_id").as("query_id"),
+          col("neighbor_id").as("doc_id"), col("rank").as("vec_rnk"))
+      val servedIds = rrfFuse(kwServed, vecServed, Seq("query_id"))
+        .select(col("query_id"), col("doc_id"), lit(1L).as("hit"))
+      rrfFuse(kwServed, vecExactBatch(s, d), Seq("query_id"))
+        .join(broadcast(servedIds), Seq("query_id", "doc_id"), "left")
+        .select(col("query_id"), col("rnk"), col("doc_id"), col("kw_rnk"),
+          col("vec_rnk"), col("rrf"),
+          (sum(when(col("hit").isNull, lit(1L)).otherwise(lit(0L)))
+            .over(Window.partitionBy(col("query_id"))) <= 2).as("fuse_ok"))
+        .orderBy("query_id", "rnk")
+    },
+    Some(s"""
+      WITH q(query_id, term) AS (VALUES
+        (CAST(0 AS BIGINT), 'spark'), (0, 'merge'),
+        (1, 'filter'),
+        (2, 'spark'), (2, 'filter'), (2, 'query')),
+      docs AS (
+        SELECT doc_id, str_split(text, ' ') AS toks,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents WHERE text IS NOT NULL),
+      stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+        FROM docs),
+      tf AS (
+        SELECT term, doc_id, dl, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+        WHERE term IN (SELECT term FROM q)
+        GROUP BY 1, 2, 3),
+      dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT q.query_id, tf.doc_id,
+               CAST(round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / s.avgdl))),
+                 4) AS DECIMAL(38,4)) AS score_term
+        FROM tf
+        JOIN q ON q.term = tf.term
+        JOIN dfs d ON d.term = tf.term
+        CROSS JOIN stats s),
+      kwagg AS (
+        SELECT query_id, doc_id, CAST(SUM(score_term) AS DOUBLE) AS score
+        FROM scored GROUP BY 1, 2),
+      kw AS (
+        SELECT query_id, doc_id, kw_rnk FROM (
+          SELECT query_id, doc_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, doc_id) AS BIGINT) AS kw_rnk
+          FROM kwagg)
+        WHERE kw_rnk <= $KwTopK),
+      probes AS (
+        SELECT vec_id AS query_id, embedding AS pemb
+        FROM embeddings WHERE vec_id < 3),
+      vsims AS (
+        SELECT p.query_id, e.vec_id AS doc_id,
+               list_cosine_similarity(e.embedding, p.pemb) AS sim
+        FROM embeddings e CROSS JOIN probes p
+        WHERE e.vec_id <> p.query_id),
+      vec AS (
+        SELECT query_id, doc_id, vec_rnk FROM (
+          SELECT query_id, doc_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, doc_id) AS BIGINT) AS vec_rnk
+          FROM vsims)
+        WHERE vec_rnk <= ${VectorQueries.IvfTopK}),
+      fused AS (
+        SELECT COALESCE(kw.query_id, vec.query_id) AS query_id,
+               COALESCE(kw.doc_id, vec.doc_id) AS doc_id,
+               kw.kw_rnk, vec.vec_rnk,
+               CAST(COALESCE(CAST(round(1.0 / ($RrfK + kw.kw_rnk), 6) AS DECIMAL(38,6)),
+                             CAST(0 AS DECIMAL(38,6)))
+                  + COALESCE(CAST(round(1.0 / ($RrfK + vec.vec_rnk), 6) AS DECIMAL(38,6)),
+                             CAST(0 AS DECIMAL(38,6))) AS DOUBLE) AS rrf
+        FROM kw FULL OUTER JOIN vec
+          ON kw.query_id = vec.query_id AND kw.doc_id = vec.doc_id)
+      SELECT query_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk,
+             doc_id, kw_rnk, vec_rnk, rrf, TRUE AS fuse_ok
+      FROM fused
+      ORDER BY query_id, rnk
+    """))
+
+  val all: Seq[GQuery] = Seq(hybridSearch, hybridServe, hybridMulti)
 }

@@ -50,6 +50,45 @@ class HybridQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("hybrid_multi: per-query contiguous ranks, exact rrf, gates hold") {
+    def contrib(r: Option[Long]): BigDecimal = r match {
+      case Some(v) => BigDecimal(1.0 / (60.0 + v))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      case None => BigDecimal(0)
+    }
+    val rows = fused("hybrid_multi")
+    assert(rows.forall(_.getAs[Boolean]("fuse_ok")))
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet === Set(0L, 1L, 2L))
+    byQuery.foreach { case (_, qRows) =>
+      val ranks = qRows.map(_.getAs[Long]("rnk")).sorted
+      assert(ranks === (1L to qRows.length).toSeq)
+      qRows.foreach { r =>
+        val kw = Option(r.get(r.fieldIndex("kw_rnk")))
+          .map(_.asInstanceOf[Long])
+        val vec = Option(r.get(r.fieldIndex("vec_rnk")))
+          .map(_.asInstanceOf[Long])
+        assert(r.getAs[Double]("rrf") === (contrib(kw) + contrib(vec)).toDouble)
+      }
+    }
+  }
+
+  test("hybrid_multi's keyword member agrees with bm25_multi's ranking") {
+    // hybrid query 1 and bm25_multi query 2 share the term set 'filter';
+    // the fused frame's kw_rnk <= 5 docs must be bm25_multi's top-5.
+    val hybridKw = fused("hybrid_multi")
+      .filter(r => r.getAs[Long]("query_id") == 1L &&
+        Option(r.get(r.fieldIndex("kw_rnk"))).exists(_.asInstanceOf[Long] <= 5L))
+      .map(r => (r.get(r.fieldIndex("kw_rnk")).asInstanceOf[Long],
+        r.getAs[Long]("doc_id"))).sorted.toSeq
+    val bm25 = graft.SparkEntry.queries("bm25_multi")(spark, sf)
+      .filter(col("query_id") === 2L)
+      .collect()
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("doc_id")))
+      .sorted.toSeq
+    assert(hybridKw === bm25)
+  }
+
   test("hybrid_serve anchors the exact fusion and its gate holds") {
     val exact = fused("hybrid_search")
       .map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("doc_id"),
