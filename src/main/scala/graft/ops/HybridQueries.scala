@@ -275,18 +275,44 @@ object HybridQueries {
       .select("query_id", "doc_id", "vec_rnk")
   }
 
+  /** Serve a bounded BATCH of hybrid requests — each (query_id, terms,
+    * probe embedding) — against BOTH persisted indexes in one
+    * distributed pass per tier, RRF-fused per query_id: keyword lists
+    * from [[TextQueries.bm25ServeBatch]] over the term-sorted postings
+    * layout (pushed `In(term,…)` scan), vector lists from
+    * [[Ann.serveBatch]] over the cell-partitioned IVF layout (both
+    * built once per process), fused by the shared keyed [[rrfFuse]].
+    * This is the micro-batch body of
+    * `graft.streaming.StreamRunner.hybridServeStream` and the served
+    * member of [[hybridMulti]] — ONE pipeline behind the registry
+    * entry, the public API, and the stream, so none can drift. The
+    * term union restricts the postings scan, request pairs broadcast,
+    * per-query grouping and top-k are WindowGroupLimit passes sized by
+    * the batch — nothing beyond the two index probes scales with more
+    * than (batch × topK). `excludeSelf` as on `Ann.serveBatch`:
+    * default true for resident probe ids; pass false when request ids
+    * live outside the index id space. */
+  def hybridServeBatch(s: SparkSession, d: String,
+      requests: Seq[(Long, Seq[String], Seq[Double])],
+      kwTopK: Int = KwTopK, vecTopK: Int = VectorQueries.IvfTopK,
+      nProbe: Int = 3, excludeSelf: Boolean = true): DataFrame = {
+    require(requests.nonEmpty, "hybridServeBatch: empty request batch")
+    val kw = TextQueries.bm25ServeBatch(s, d,
+      requests.map(r => (r._1, r._2)), kwTopK)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("kw_rnk"))
+    val vec = Ann.serveBatch(
+      Ann.load(s, VectorQueries.savedIvfPath(s, d, k = 8)),
+      requests.map(r => (r._1, r._3)), vecTopK, nProbe,
+      excludeSelf = excludeSelf)
+      .select(col("probe_id").as("query_id"),
+        col("neighbor_id").as("doc_id"), col("rank").as("vec_rnk"))
+    rrfFuse(kw, vec, Seq("query_id"))
+  }
+
   /** BATCHED hybrid serving, driver-verified: a 3-request batch — each
     * request carrying its own term set AND its own probe embedding —
-    * answered in ONE distributed pass per tier against the persisted
-    * indexes (`bm25ServeBatch` over the postings layout ×
-    * `Ann.serveBatch` over the IVF layout), then RRF-fused per
-    * query_id. This is the registry face of fusing the two streaming
-    * serving bodies (`keywordServeStream` / `annServeStream` share
-    * these exact micro-batch pipelines): the term union restricts the
-    * postings scan, request pairs broadcast, per-query grouping and
-    * top-k are WindowGroupLimit passes sized by the batch — nothing
-    * anywhere scales with more than (batch × topK) beyond the two
-    * index probes themselves.
+    * answered in ONE [[hybridServeBatch]] pass (one distributed pass
+    * per tier against the persisted indexes, per-query fusion).
     *
     * Verification follows [[hybridServe]]'s discipline per query: the
     * anchor is each request's EXACT fused ranking (served keyword list
@@ -302,18 +328,15 @@ object HybridQueries {
         topK = KwTopK)
         .select(col("query_id"), col("doc_id"), col("rnk").as("kw_rnk"))
       val e = Tables.embeddings(s, d)
-      val probeBatch: Seq[(Long, Seq[Double])] =
+      val probeEmb: Map[Long, Seq[Double]] =
         e.filter(col("vec_id") < multiRequests.size)
           .select(col("vec_id").cast(LongType),
             transform(col("embedding"), _.cast(DoubleType)))
           .collect()
-          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
-      val vecServed = Ann.serveBatch(
-        Ann.load(s, VectorQueries.savedIvfPath(s, d, k = 8)),
-        probeBatch, topK = VectorQueries.IvfTopK, nProbe = 3)
-        .select(col("probe_id").as("query_id"),
-          col("neighbor_id").as("doc_id"), col("rank").as("vec_rnk"))
-      val servedIds = rrfFuse(kwServed, vecServed, Seq("query_id"))
+          .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+      val servedIds = hybridServeBatch(s, d,
+        multiRequests.map { case (qid, terms) =>
+          (qid, terms, probeEmb(qid)) })
         .select(col("query_id"), col("doc_id"), lit(1L).as("hit"))
       rrfFuse(kwServed, vecExactBatch(s, d), Seq("query_id"))
         .join(broadcast(servedIds), Seq("query_id", "doc_id"), "left")

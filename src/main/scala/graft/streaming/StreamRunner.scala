@@ -421,6 +421,39 @@ object StreamRunner {
       }
       .start()
 
+  /** Online HYBRID retrieval — [[keywordServeStream]] × [[annServeStream]]
+    * composed: each micro-batch of requests (query_id, terms,
+    * probe_emb) is answered in one `HybridQueries.hybridServeBatch`
+    * pass — keyword lists off the persisted postings layout, vector
+    * lists off the persisted IVF layout, reciprocal-rank-fused per
+    * query — and the fused per-query ranking hands off to `emit`. The
+    * request batch is collected for routing, bounded by the
+    * micro-batch interval (the serving contract); neither index side
+    * ever moves. Expects streaming columns (query_id: long, terms:
+    * array<string>, probe_emb: array<numeric>); emits (query_id, rnk,
+    * doc_id, kw_rnk, vec_rnk, rrf). `excludeSelf = false`: streamed
+    * requests live in their own id space. Stream ≡ the static batch
+    * pinned in `HybridQueriesSpec`. */
+  def hybridServeStream(sfDir: String, requests: DataFrame,
+      kwTopK: Int = 10, vecTopK: Int = 5, nProbe: Int = 3)(
+      emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    requests.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val collected = batch
+          .select(col("query_id").cast("long"),
+            col("terms").cast("array<string>"),
+            col("probe_emb").cast("array<double>"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[String](1).toSeq,
+            r.getSeq[Double](2).toSeq)).toSeq
+        if (collected.nonEmpty)
+          emit(graft.ops.HybridQueries.hybridServeBatch(
+            batch.sparkSession, sfDir, collected, kwTopK, vecTopK,
+            nProbe, excludeSelf = false))
+      }
+      .start()
+
   /** Typed event row for the custom-state path (object-nested so Spark
     * can derive its Encoder — no outer instance). */
   final case class UserEvent(event_id: Long, ts: java.sql.Timestamp,

@@ -89,6 +89,41 @@ class HybridQueriesSpec extends SparkTestBase {
     assert(hybridKw === bm25)
   }
 
+  test("streaming hybrid serve equals the batch path across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val emb: Map[Long, Seq[Double]] = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 3)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    val reqs = Seq(
+      (0L, Seq("spark", "merge"), emb(0L)),
+      (1L, Seq("filter"), emb(1L)),
+      (2L, Seq("spark", "filter", "query"), emb(2L)))
+    val source = MemoryStream[(Long, Seq[String], Seq[Double])]
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Double)]
+    val q = graft.streaming.StreamRunner.hybridServeStream(sf,
+      source.toDF().toDF("query_id", "terms", "probe_emb")) { out =>
+      results.synchronized {
+        results ++= out.collect().map(r => (r.getAs[Long]("query_id"),
+          r.getAs[Long]("rnk"), r.getAs[Long]("doc_id"),
+          r.getAs[Double]("rrf")))
+      }
+    }
+    source.addData(reqs.head)
+    q.processAllAvailable()
+    source.addData(reqs(1), reqs(2))
+    q.processAllAvailable()
+    q.stop()
+    val batch = HybridQueries.hybridServeBatch(spark, sf, reqs,
+      excludeSelf = false)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("rrf"))).toSeq
+    assert(results.sorted.toSeq === batch.sorted)
+  }
+
   test("hybrid_serve anchors the exact fusion and its gate holds") {
     val exact = fused("hybrid_search")
       .map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("doc_id"),
