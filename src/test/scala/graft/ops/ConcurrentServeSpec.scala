@@ -95,4 +95,37 @@ class ConcurrentServeSpec extends SparkTestBase {
       }
     } finally pool.shutdownNow()
   }
+
+  test("concurrent hybrid serve batches reproduce the serial fusion") {
+    val pool = Executors.newFixedThreadPool(6)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutor(pool)
+    try {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.DoubleType
+      val emb: Map[Long, Seq[Double]] = graft.Tables.embeddings(spark, sf)
+        .filter(col("vec_id") < 3)
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast(DoubleType)))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+      val reqs: Seq[(Long, Seq[String], Seq[Double])] = Seq(
+        (0L, Seq("spark", "merge"), emb(0L)),
+        (1L, Seq("filter"), emb(1L)),
+        (2L, Seq("spark", "filter", "query"), emb(2L)))
+      def rows(req: (Long, Seq[String], Seq[Double])) =
+        HybridQueries.hybridServeBatch(spark, sf, Seq(req))
+          .collect()
+          .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rnk"),
+            r.getAs[Long]("doc_id"), r.getAs[Double]("rrf")))
+          .sortBy(t => (t._1, t._2)).toSeq
+      // two concurrent waves over the 3 requests — both index caches
+      // race on first touch, fused answers must not wobble
+      val fs = (reqs ++ reqs).map(req => Future(req._1 -> rows(req)))
+      val got = Await.result(Future.sequence(fs), 300.seconds)
+      val serial = reqs.map(req => req._1 -> rows(req)).toMap
+      for ((qid, r) <- got)
+        assert(r === serial(qid),
+          s"hybrid query $qid diverged under contention")
+    } finally pool.shutdownNow()
+  }
 }
