@@ -235,7 +235,11 @@ object ScaleSweep {
         // the compressed ANN index (build-half → frozen-quantizer
         // append → search) — both must stay ~linear in R for the
         // grow-between-retrains claims
-        "postingsappend_sweep", "ivfpqappend_sweep")
+        "postingsappend_sweep", "ivfpqappend_sweep",
+        // round 13 late: the fused retrieval entry — its index probes
+        // and ∝ n exact anchor are each already-swept shapes; the probe
+        // pins that the per-query fusion stays batch-bounded on top
+        "hybrid_multi")
     val spark = graft.GraftSession.local(4, "graft-scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
