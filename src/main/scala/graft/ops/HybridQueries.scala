@@ -417,5 +417,126 @@ object HybridQueries {
       ORDER BY query_id, rnk
     """))
 
-  val all: Seq[GQuery] = Seq(hybridSearch, hybridServe, hybridMulti)
+  /** Re-ranking stage — the third leg of the modern retrieval stack
+    * (retrieve per tier → fuse → MODEL RE-RANK): the fused shortlist
+    * joins back to the documents table and is re-ordered by the
+    * hashed-feature linear model of `model_score` (integer-exact score
+    * — no float drift can reorder the engines), with the fusion score
+    * and doc_id as deterministic tie-breaks. Where a cross-encoder
+    * would sit in production, the stand-in keeps the exact plan shape:
+    * per-candidate feature extraction fused into the candidate read,
+    * no driver round-trip, no model server.
+    *
+    * Scale: the model touches ONLY the shortlist — the ≤15-row fused
+    * list broadcasts onto the documents scan (map-side join, no
+    * shuffle; Catalyst prunes the scan to doc_id+text). At serving
+    * scale the bounded id list would instead push down as an
+    * `In(doc_id,…)` point-lookup against doc-id-sorted row groups (the
+    * bm25Terms discipline); the registry form stays lazy — no eager
+    * collect inside the builder, the heavy_hitters_sketch lesson — and
+    * the oracle hash-verifies the re-ranked ordering either way. */
+  val hybridRerank = GQuery(
+    "hybrid_rerank",
+    (s, d) => {
+      val fusedList = rrfFuse(kwExact(s, d), vecExact(s, d))
+        .select(col("rnk").as("fuse_rnk"), col("doc_id"), col("rrf"))
+      val toks = array_remove(
+        split(lower(coalesce(col("text"), lit(""))), "[^a-z0-9]+"), "")
+      val weights = transform(DedupQueries.tokenHashes32(toks),
+        v => (((v % 256) * 37 + 11) % 1001) - 500)
+      Tables.documents(s, d)
+        .join(broadcast(fusedList), "doc_id")
+        .select(col("doc_id"), col("fuse_rnk"), col("rrf"),
+          aggregate(weights, lit(0L), (acc, w) => acc + w).as("score"))
+        .select(row_number().over(Window.orderBy(col("score").desc,
+            col("rrf").desc, col("doc_id"))).cast(LongType).as("rnk"),
+          col("doc_id"), col("fuse_rnk"), col("score"), col("rrf"))
+        .orderBy("rnk")
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, str_split(text, ' ') AS toks,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents WHERE text IS NOT NULL),
+      stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+        FROM docs),
+      tf AS (
+        SELECT term, doc_id, dl, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+        WHERE term IN ('spark', 'merge', 'filter')
+        GROUP BY 1, 2, 3),
+      dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT tf.doc_id,
+               CAST(round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / s.avgdl))),
+                 4) AS DECIMAL(38,4)) AS score_term
+        FROM tf JOIN dfs d USING (term) CROSS JOIN stats s),
+      kwagg AS (
+        SELECT doc_id, CAST(SUM(score_term) AS DOUBLE) AS score
+        FROM scored GROUP BY 1),
+      kw AS (
+        SELECT doc_id, kw_rnk FROM (
+          SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS kw_rnk
+          FROM kwagg)
+        WHERE kw_rnk <= $KwTopK),
+      probe AS (SELECT embedding AS probe_emb FROM embeddings WHERE vec_id = 0),
+      sims AS (
+        SELECT e.vec_id AS doc_id,
+               list_cosine_similarity(e.embedding, p.probe_emb) AS sim
+        FROM embeddings e, probe p
+        WHERE e.vec_id <> 0),
+      vec AS (
+        SELECT doc_id, vec_rnk FROM (
+          SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS vec_rnk
+          FROM sims)
+        WHERE vec_rnk <= ${VectorQueries.IvfTopK}),
+      fused AS (
+        SELECT COALESCE(kw.doc_id, vec.doc_id) AS doc_id,
+               CAST(COALESCE(CAST(round(1.0 / ($RrfK + kw.kw_rnk), 6) AS DECIMAL(38,6)),
+                             CAST(0 AS DECIMAL(38,6)))
+                  + COALESCE(CAST(round(1.0 / ($RrfK + vec.vec_rnk), 6) AS DECIMAL(38,6)),
+                             CAST(0 AS DECIMAL(38,6))) AS DOUBLE) AS rrf
+        FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id),
+      franked AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS fuse_rnk,
+               doc_id, rrf
+        FROM fused),
+      mtoks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                           '[^a-z0-9]+'), t -> t <> '') AS mtoks
+        FROM documents),
+      mflat AS (SELECT doc_id, unnest(mtoks) AS tok FROM mtoks),
+      mhv AS (
+        SELECT doc_id,
+               (CAST(strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1 AS BIGINT) << 28)
+             + ((strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) << 24)
+             + ((strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) << 20)
+             + ((strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1) << 16)
+             + ((strpos('0123456789abcdef', substr(md5(tok), 5, 1)) - 1) << 12)
+             + ((strpos('0123456789abcdef', substr(md5(tok), 6, 1)) - 1) << 8)
+             + ((strpos('0123456789abcdef', substr(md5(tok), 7, 1)) - 1) << 4)
+             +  (strpos('0123456789abcdef', substr(md5(tok), 8, 1)) - 1) AS v
+        FROM mflat),
+      msc AS (
+        SELECT doc_id,
+               SUM((((v % 256) * 37 + 11) % 1001) - 500) AS score
+        FROM mhv GROUP BY 1),
+      reranked AS (
+        SELECT f.doc_id, f.fuse_rnk, f.rrf,
+               CAST(COALESCE(m.score, 0) AS BIGINT) AS score
+        FROM franked f LEFT JOIN msc m USING (doc_id))
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, rrf DESC, doc_id) AS BIGINT) AS rnk,
+             doc_id, fuse_rnk, score, rrf
+      FROM reranked
+      ORDER BY rnk
+    """))
+
+  val all: Seq[GQuery] =
+    Seq(hybridSearch, hybridServe, hybridMulti, hybridRerank)
 }

@@ -89,6 +89,21 @@ class HybridQueriesSpec extends SparkTestBase {
     assert(hybridKw === bm25)
   }
 
+  test("hybrid_rerank permutes the fused shortlist by the model score") {
+    val fusedDocs = fused("hybrid_search").map(_.getAs[Long]("doc_id")).toSet
+    val rr = fused("hybrid_rerank")
+    assert(rr.map(_.getAs[Long]("doc_id")).toSet === fusedDocs)
+    // per-candidate scores are exactly model_score's for those docs
+    val modelScores = graft.SparkEntry.queries("model_score")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score")).toMap
+    rr.foreach { r =>
+      assert(r.getAs[Long]("score") === modelScores(r.getAs[Long]("doc_id")))
+    }
+    val ordered = rr.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("score"))
+    assert(ordered.zip(ordered.drop(1)).forall { case (a, b) => a >= b })
+  }
+
   test("streaming hybrid serve equals the batch path across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
