@@ -152,7 +152,23 @@ object BloomProbe {
     * `CASE` over `nShards` branches, each a codegen'd
     * [[BloomFilterMightContain]] holding ONLY its shard's literal.
     * NULL value → NULL, same as the monolithic probe (callers coalesce
-    * to false). */
+    * to false).
+    *
+    * Plan-size caveat: the CASE carries EVERY shard's byte array as a
+    * literal, so the probe plan (and each probing stage's serialized
+    * task binary) is still ~`totalBytes` — up to the [[shardedOrNone]]
+    * ceiling (1 GiB at the callers' setting). Sharding bounds the
+    * BUILD-side allocation units (per-task sketch memory), not the
+    * probe plan: the monolithic literal would be the same total bytes
+    * in one branch. Below the ceiling that is an accepted cost (the
+    * history sketch ships to probing stages exactly once per stage,
+    * like any broadcast of the same size); a deployment probing with a
+    * large `nShards` on many narrow stages should instead register the
+    * shard table as a `Broadcast[Array[Array[Byte]]]` consumed by a
+    * custom expression, trading the literal plan for a broadcast
+    * handle — not done here because every graft caller sits far below
+    * the ceiling and the literal form keeps the probe a stock codegen'd
+    * [[BloomFilterMightContain]]. */
   def mightContainSharded(sb: ShardedBloom, value: Column): Column = {
     import org.apache.spark.sql.functions.{lit, pmod, when}
     if (sb.nShards == 1) mightContain(sb.shards.head, value)

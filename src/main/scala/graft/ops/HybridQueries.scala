@@ -51,6 +51,26 @@ object HybridQueries {
     round(lit(1.0) / (lit(RrfK.toDouble) + rnk.cast(DoubleType)), 6)
       .cast(DecimalType(38, 6))
 
+  /** Hard ceiling on member-list depth accepted by [[rrfFuse]] — far
+    * above every tier's topK (≤ 10) yet small enough that the keyless
+    * form's single-partition global window stays trivially bounded. */
+  private[ops] val MaxFuseRank = 1000L
+
+  /** Mechanical enforcement of the ≤topK member-list contract: member
+    * ranks ARE list depths (each tier emits contiguous 1..topK ranks),
+    * so a rank beyond [[MaxFuseRank]] proves an unbounded input — fail
+    * the job with a named error the moment one streams past, BEFORE the
+    * join feeds the keyless form's single-partition window. In-bound
+    * rows pass through unchanged (same values, same hashes); the guard
+    * is one codegen'd conditional in the projection, free at runtime. */
+  private def boundedRank(rnk: org.apache.spark.sql.Column, side: String)
+      : org.apache.spark.sql.Column =
+    when(rnk > lit(MaxFuseRank), raise_error(concat(
+      lit(s"rrfFuse: $side list exceeds $MaxFuseRank rows (rank "),
+      rnk.cast(StringType),
+      lit(") — member tiers must emit bounded topK lists"))))
+      .otherwise(rnk)
+
   /** Fuse two ranked lists (…keys, doc_id, kw_rnk) ⋈ (…keys, doc_id,
     * vec_rnk) into the RRF ranking, per key group. Emits EVERY fused
     * doc (≤ kw_k + vec_k rows per group, the union), ranked by fused
@@ -60,13 +80,18 @@ object HybridQueries {
     * per-request WindowGroupLimit shape of the batch serving path —
     * sized by the request batch, never by the corpus. ONE definition
     * behind the exact, served, and batched entries so their arithmetic
-    * cannot drift. */
-  private def rrfFuse(kw: DataFrame, vec: DataFrame,
+    * cannot drift. The bound is MECHANICAL, not a comment: member ranks
+    * stream through [[boundedRank]], so an input list deeper than
+    * [[MaxFuseRank]] fails the job by name instead of silently feeding
+    * the keyless form's single-partition sort. */
+  private[ops] def rrfFuse(kw: DataFrame, vec: DataFrame,
       keys: Seq[String] = Nil): DataFrame = {
     val zero = lit(BigDecimal(0)).cast(DecimalType(38, 6))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("rrf").desc, col("doc_id"))
-    kw.join(vec, keys :+ "doc_id", "full_outer")
+    val kwB = kw.withColumn("kw_rnk", boundedRank(col("kw_rnk"), "keyword"))
+    val vecB = vec.withColumn("vec_rnk", boundedRank(col("vec_rnk"), "vector"))
+    kwB.join(vecB, keys :+ "doc_id", "full_outer")
       .select(keys.map(col) ++ Seq(col("doc_id"), col("kw_rnk"),
         col("vec_rnk"),
         (coalesce(rrfTerm(col("kw_rnk")), zero) +
@@ -444,10 +469,19 @@ object HybridQueries {
         split(lower(coalesce(col("text"), lit(""))), "[^a-z0-9]+"), "")
       val weights = transform(DedupQueries.tokenHashes32(toks),
         v => (((v % 256) * 37 + 11) % 1001) - 500)
-      Tables.documents(s, d)
-        .join(broadcast(fusedList), "doc_id")
+      // model scores only for shortlist docs: the ≤15-row id list
+      // broadcasts onto the documents scan (map-side inner join) — then
+      // the shortlist LEFT-joins the bounded score frame, mirroring the
+      // oracle's LEFT JOIN: a fused doc_id absent from documents (an id
+      // outside the documents id space) keeps its row at score 0 instead
+      // of silently dropping from the re-rank
+      val scores = Tables.documents(s, d)
+        .join(broadcast(fusedList.select(col("doc_id"))), "doc_id")
+        .select(col("doc_id"),
+          aggregate(weights, lit(0L), (acc, w) => acc + w).as("mscore"))
+      fusedList.join(broadcast(scores), Seq("doc_id"), "left")
         .select(col("doc_id"), col("fuse_rnk"), col("rrf"),
-          aggregate(weights, lit(0L), (acc, w) => acc + w).as("score"))
+          coalesce(col("mscore"), lit(0L)).as("score"))
         .select(row_number().over(Window.orderBy(col("score").desc,
             col("rrf").desc, col("doc_id"))).cast(LongType).as("rnk"),
           col("doc_id"), col("fuse_rnk"), col("score"), col("rrf"))

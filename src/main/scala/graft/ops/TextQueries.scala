@@ -946,6 +946,14 @@ object TextQueries {
   def postingsAppend(s: org.apache.spark.sql.SparkSession,
       newDocs: org.apache.spark.sql.DataFrame, path: String): Unit = {
     val proj = docProjection(newDocs)
+    // batch stats FIRST, before any mutation: an all-null/empty batch
+    // contributes nothing, and aggregating it after the lists append has
+    // already run would die on the NULL sum(dl) mid-lifecycle — the
+    // coalesce makes the aggregate total-safe and the early return skips
+    // the three-step mutation entirely for a no-op batch
+    val nw = proj.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("dl")), lit(0L)).as("sd")).head()
+    if (nw.getLong(0) == 0L) return
     val lists = postingRows(proj)
     lists.repartitionByRange(8, col("term"))
       .sortWithinPartitions("term")
@@ -958,7 +966,6 @@ object TextQueries {
     // both sides bounded by construction: 1 row each
     val old = s.read.parquet(s"$path/stats")
       .select(col("sum_dl"), col("n_docs_l")).head()
-    val nw = proj.agg(count(lit(1)).as("n"), sum(col("dl")).as("sd")).head()
     val sumDl = old.getLong(0) + nw.getLong(1)
     val nDocs = old.getLong(1) + nw.getLong(0)
     import s.implicits._

@@ -139,6 +139,27 @@ class HybridQueriesSpec extends SparkTestBase {
     assert(results.sorted.toSeq === batch.sorted)
   }
 
+  test("rrfFuse rejects a member list deeper than the documented bound") {
+    import spark.implicits._
+    // a "keyword list" violating the ≤topK contract: ranks run past
+    // MaxFuseRank, so the guard must fail the job by name instead of
+    // silently feeding the keyless single-partition window
+    val oversized = spark.range(1, HybridQueries.MaxFuseRank + 2)
+      .select(col("id").as("doc_id"), col("id").as("kw_rnk"))
+    val vec = Seq((1L, 1L)).toDF("doc_id", "vec_rnk")
+    val ex = intercept[Exception] {
+      HybridQueries.rrfFuse(oversized, vec).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("rrfFuse")))
+    // an in-bound list of the same shape fuses fine
+    val bounded = spark.range(1, 11)
+      .select(col("id").as("doc_id"), col("id").as("kw_rnk"))
+    assert(HybridQueries.rrfFuse(bounded, vec).count() === 10L)
+  }
+
   test("hybrid_serve anchors the exact fusion and its gate holds") {
     val exact = fused("hybrid_search")
       .map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("doc_id"),
