@@ -571,6 +571,351 @@ object HybridQueries {
       ORDER BY rnk
     """))
 
+  /** FILTERED hybrid retrieval — "search within a metadata predicate",
+    * the most common real serving request ("lang = 'en'" etc.; id
+    * residue stands in for the payload column, matching `sim_filtered`).
+    * The predicate composes into BOTH member tiers as a CANDIDATE
+    * filter — the k best MATCHING docs per tier, not the matching
+    * subset of the unfiltered top-k (the classic post-filter bug):
+    *
+    *  - keyword tier: the posting rows read from the persisted index
+    *    (pushed `In(term,…)` scan as ever) are filtered by the doc
+    *    predicate BEFORE scoring, while df and corpus stats stay
+    *    INDEX-WIDE — the at-rest statistics a real index serves; a
+    *    filter selects candidates, it does not re-weight IDF. Exact by
+    *    construction, like every keyword serving path.
+    *  - vector tier: [[Ann.query]]'s `candidateFilter` — the predicate
+    *    applies after cell pruning and before ranking (`sim_filtered`'s
+    *    proven shape), recall ≥ 3/5 against the FILTERED brute force.
+    *
+    * Fusion and verification follow [[hybridServe]]'s discipline: the
+    * hash anchor is the exact filtered fusion (filtered keyword list +
+    * filtered brute-force vector list), plus `fuse_ok` — ≤ 2 anchor
+    * docs missing from the served fusion, implied by keyword-side
+    * exactness + the filtered vector recall gate. */
+  val hybridFiltered = GQuery(
+    "hybrid_filtered",
+    (s, d) => {
+      val path = TextQueries.savedPostingsPath(s, d)
+      val lists = s.read.parquet(s"$path/lists")
+        .where(col("term").isin(TextQueries.bm25Terms: _*))
+      val dfs = s.read.parquet(s"$path/df")
+        .where(col("term").isin(TextQueries.bm25Terms: _*))
+      val stats = s.read.parquet(s"$path/stats")
+      val kwFiltered = TextQueries.bm25TopK(
+        lists.where(pmod(col("doc_id"), lit(3)) === 0), dfs, stats)
+        .select(col("doc_id"), col("rnk").as("kw_rnk"))
+      val vecPred = pmod(col("vec_id"), lit(3)) === 0
+      val vecServed = Ann.query(
+        Ann.load(s, VectorQueries.savedIvfPath(s, d, k = 8)),
+        probeId = 0, topK = VectorQueries.IvfTopK, nProbe = 3,
+        candidateFilter = Some(vecPred))
+        .select(col("neighbor_id").as("doc_id"), col("rank").as("vec_rnk"))
+      val vecExactFiltered = VectorQueries.bruteTopK(s, d,
+        VectorQueries.IvfTopK, Some(vecPred))
+        .select(col("neighbor_id").as("doc_id"), col("rnk").as("vec_rnk"))
+      val servedIds = rrfFuse(kwFiltered, vecServed)
+        .select(col("doc_id"), lit(1L).as("hit"))
+      rrfFuse(kwFiltered, vecExactFiltered)
+        .join(broadcast(servedIds), Seq("doc_id"), "left")
+        .select(col("rnk"), col("doc_id"), col("kw_rnk"), col("vec_rnk"),
+          col("rrf"),
+          (sum(when(col("hit").isNull, lit(1L)).otherwise(lit(0L)))
+            .over(Window.partitionBy()) <= 2).as("fuse_ok"))
+        .orderBy("rnk")
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, str_split(text, ' ') AS toks,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents WHERE text IS NOT NULL),
+      stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+        FROM docs),
+      tf AS (
+        SELECT term, doc_id, dl, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+        WHERE term IN ('spark', 'merge', 'filter')
+        GROUP BY 1, 2, 3),
+      dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT tf.doc_id,
+               CAST(round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / s.avgdl))),
+                 4) AS DECIMAL(38,4)) AS score_term
+        FROM tf JOIN dfs d USING (term) CROSS JOIN stats s
+        WHERE tf.doc_id % 3 = 0),
+      kwagg AS (
+        SELECT doc_id, CAST(SUM(score_term) AS DOUBLE) AS score
+        FROM scored GROUP BY 1),
+      kw AS (
+        SELECT doc_id, kw_rnk FROM (
+          SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS kw_rnk
+          FROM kwagg)
+        WHERE kw_rnk <= $KwTopK),
+      probe AS (SELECT embedding AS probe_emb FROM embeddings WHERE vec_id = 0),
+      sims AS (
+        SELECT e.vec_id AS doc_id,
+               list_cosine_similarity(e.embedding, p.probe_emb) AS sim
+        FROM embeddings e, probe p
+        WHERE e.vec_id <> 0 AND e.vec_id % 3 = 0),
+      vec AS (
+        SELECT doc_id, vec_rnk FROM (
+          SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS vec_rnk
+          FROM sims)
+        WHERE vec_rnk <= ${VectorQueries.IvfTopK}),
+      fused AS (
+        SELECT COALESCE(kw.doc_id, vec.doc_id) AS doc_id, kw.kw_rnk, vec.vec_rnk,
+               CAST(COALESCE(CAST(round(1.0 / ($RrfK + kw.kw_rnk), 6) AS DECIMAL(38,6)),
+                             CAST(0 AS DECIMAL(38,6)))
+                  + COALESCE(CAST(round(1.0 / ($RrfK + vec.vec_rnk), 6) AS DECIMAL(38,6)),
+                             CAST(0 AS DECIMAL(38,6))) AS DOUBLE) AS rrf
+        FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk,
+             doc_id, kw_rnk, vec_rnk, rrf, TRUE AS fuse_ok
+      FROM fused
+      ORDER BY rnk
+    """))
+
+  /** Hybrid serving under INDEX GROWTH — the composed-stack roundtrip
+    * the per-tier append entries (`bm25_serve_append`,
+    * `sim_ivf_append`) each prove alone: BOTH persisted indexes were
+    * built on the even-id half of the corpus and grown to the whole of
+    * it by their append paths (new term-sorted postings segments +
+    * algebraic df/stats merges; frozen-centroid assignment into the
+    * cell directories), and the hybrid query then serves against the
+    * two grown layouts. The hash anchor is the EXACT full-corpus
+    * fusion — `hybrid_search`'s oracle rows verbatim — plus the usual
+    * `fuse_ok` ≤ 2-missing gate: the appended keyword index is exact
+    * by the `bm25_serve_append` roundtrip, so every miss is a
+    * vec-only doc, and the appended IVF's recall ≥ 3/5 gate
+    * (`sim_ivf_append`) leaves at most 2 of those. */
+  val hybridServeAppend = GQuery(
+    "hybrid_serve_append",
+    (s, d) => {
+      val path = TextQueries.savedPostingsAppendPath(s, d)
+      val lists = s.read.parquet(s"$path/lists")
+        .where(col("term").isin(TextQueries.bm25Terms: _*))
+      val dfs = s.read.parquet(s"$path/df")
+        .where(col("term").isin(TextQueries.bm25Terms: _*))
+      val stats = s.read.parquet(s"$path/stats")
+      val kwServed = TextQueries.bm25TopK(lists, dfs, stats)
+        .select(col("doc_id"), col("rnk").as("kw_rnk"))
+      val vecServed = Ann.query(
+        Ann.load(s, VectorQueries.appendedIvfPath(s, d, k = 8)),
+        probeId = 0, topK = VectorQueries.IvfTopK, nProbe = 3)
+        .select(col("neighbor_id").as("doc_id"), col("rank").as("vec_rnk"))
+      val servedIds = rrfFuse(kwServed, vecServed)
+        .select(col("doc_id"), lit(1L).as("hit"))
+      rrfFuse(kwExact(s, d), vecExact(s, d))
+        .join(broadcast(servedIds), Seq("doc_id"), "left")
+        .select(col("rnk"), col("doc_id"), col("kw_rnk"), col("vec_rnk"),
+          col("rrf"),
+          (sum(when(col("hit").isNull, lit(1L)).otherwise(lit(0L)))
+            .over(Window.partitionBy()) <= 2).as("fuse_ok"))
+        .orderBy("rnk")
+    },
+    // hybrid_serve's oracle verbatim: the grown indexes must cover the
+    // exact full-corpus fusion within the same tolerance
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, str_split(text, ' ') AS toks,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents WHERE text IS NOT NULL),
+      stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+        FROM docs),
+      tf AS (
+        SELECT term, doc_id, dl, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+        WHERE term IN ('spark', 'merge', 'filter')
+        GROUP BY 1, 2, 3),
+      dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT tf.doc_id,
+               CAST(round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / s.avgdl))),
+                 4) AS DECIMAL(38,4)) AS score_term
+        FROM tf JOIN dfs d USING (term) CROSS JOIN stats s),
+      kwagg AS (
+        SELECT doc_id, CAST(SUM(score_term) AS DOUBLE) AS score
+        FROM scored GROUP BY 1),
+      kw AS (
+        SELECT doc_id, kw_rnk FROM (
+          SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS kw_rnk
+          FROM kwagg)
+        WHERE kw_rnk <= $KwTopK),
+      probe AS (SELECT embedding AS probe_emb FROM embeddings WHERE vec_id = 0),
+      sims AS (
+        SELECT e.vec_id AS doc_id,
+               list_cosine_similarity(e.embedding, p.probe_emb) AS sim
+        FROM embeddings e, probe p
+        WHERE e.vec_id <> 0),
+      vec AS (
+        SELECT doc_id, vec_rnk FROM (
+          SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS vec_rnk
+          FROM sims)
+        WHERE vec_rnk <= ${VectorQueries.IvfTopK}),
+      fused AS (
+        SELECT COALESCE(kw.doc_id, vec.doc_id) AS doc_id, kw.kw_rnk, vec.vec_rnk,
+               CAST(COALESCE(CAST(round(1.0 / ($RrfK + kw.kw_rnk), 6) AS DECIMAL(38,6)),
+                             CAST(0 AS DECIMAL(38,6)))
+                  + COALESCE(CAST(round(1.0 / ($RrfK + vec.vec_rnk), 6) AS DECIMAL(38,6)),
+                             CAST(0 AS DECIMAL(38,6))) AS DOUBLE) AS rrf
+        FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk,
+             doc_id, kw_rnk, vec_rnk, rrf, TRUE AS fuse_ok
+      FROM fused
+      ORDER BY rnk
+    """))
+
+  /** BATCHED re-ranking — [[hybridRerank]]'s per-query form, closing
+    * the batched stack (retrieve per tier → fuse per query → model
+    * re-rank per query, all in ONE pass): every request's fused
+    * shortlist is re-ordered by the same hashed-feature model, scored
+    * once per DISTINCT candidate doc (the deduped id set broadcasts
+    * onto the documents scan — a doc shared by two shortlists is
+    * scored once, not twice), then LEFT-joined back per shortlist row
+    * and re-ranked within each query_id by one WindowGroupLimit-shaped
+    * window pass. Nothing beyond the member tiers scales past
+    * (batch × topK) rows; at serving scale the bounded id set pushes
+    * down as an `In(doc_id,…)` point-lookup exactly as [[hybridRerank]]
+    * documents. */
+  val hybridMultiRerank = GQuery(
+    "hybrid_multi_rerank",
+    (s, d) => {
+      val kwServed = TextQueries.bm25ServeBatch(s, d, multiRequests,
+        topK = KwTopK)
+        .select(col("query_id"), col("doc_id"), col("rnk").as("kw_rnk"))
+      val fused = rrfFuse(kwServed, vecExactBatch(s, d), Seq("query_id"))
+        .select(col("query_id"), col("rnk").as("fuse_rnk"), col("doc_id"),
+          col("rrf"))
+      val toks = array_remove(
+        split(lower(coalesce(col("text"), lit(""))), "[^a-z0-9]+"), "")
+      val weights = transform(DedupQueries.tokenHashes32(toks),
+        v => (((v % 256) * 37 + 11) % 1001) - 500)
+      val scores = Tables.documents(s, d)
+        .join(broadcast(fused.select(col("doc_id")).distinct()), "doc_id")
+        .select(col("doc_id"),
+          aggregate(weights, lit(0L), (acc, w) => acc + w).as("mscore"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("rrf").desc, col("doc_id"))
+      fused.join(broadcast(scores), Seq("doc_id"), "left")
+        .select(col("query_id"), col("doc_id"), col("fuse_rnk"), col("rrf"),
+          coalesce(col("mscore"), lit(0L)).as("score"))
+        .withColumn("rnk", row_number().over(w).cast(LongType))
+        .select(col("query_id"), col("rnk"), col("doc_id"), col("fuse_rnk"),
+          col("score"), col("rrf"))
+        .orderBy("query_id", "rnk")
+    },
+    Some(s"""
+      WITH q(query_id, term) AS (VALUES
+        (CAST(0 AS BIGINT), 'spark'), (0, 'merge'),
+        (1, 'filter'),
+        (2, 'spark'), (2, 'filter'), (2, 'query')),
+      docs AS (
+        SELECT doc_id, str_split(text, ' ') AS toks,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents WHERE text IS NOT NULL),
+      stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+        FROM docs),
+      tf AS (
+        SELECT term, doc_id, dl, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+        WHERE term IN (SELECT term FROM q)
+        GROUP BY 1, 2, 3),
+      dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT q.query_id, tf.doc_id,
+               CAST(round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / s.avgdl))),
+                 4) AS DECIMAL(38,4)) AS score_term
+        FROM tf
+        JOIN q ON q.term = tf.term
+        JOIN dfs d ON d.term = tf.term
+        CROSS JOIN stats s),
+      kwagg AS (
+        SELECT query_id, doc_id, CAST(SUM(score_term) AS DOUBLE) AS score
+        FROM scored GROUP BY 1, 2),
+      kw AS (
+        SELECT query_id, doc_id, kw_rnk FROM (
+          SELECT query_id, doc_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, doc_id) AS BIGINT) AS kw_rnk
+          FROM kwagg)
+        WHERE kw_rnk <= $KwTopK),
+      probes AS (
+        SELECT vec_id AS query_id, embedding AS pemb
+        FROM embeddings WHERE vec_id < 3),
+      vsims AS (
+        SELECT p.query_id, e.vec_id AS doc_id,
+               list_cosine_similarity(e.embedding, p.pemb) AS sim
+        FROM embeddings e CROSS JOIN probes p
+        WHERE e.vec_id <> p.query_id),
+      vec AS (
+        SELECT query_id, doc_id, vec_rnk FROM (
+          SELECT query_id, doc_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, doc_id) AS BIGINT) AS vec_rnk
+          FROM vsims)
+        WHERE vec_rnk <= ${VectorQueries.IvfTopK}),
+      fused AS (
+        SELECT COALESCE(kw.query_id, vec.query_id) AS query_id,
+               COALESCE(kw.doc_id, vec.doc_id) AS doc_id,
+               CAST(COALESCE(CAST(round(1.0 / ($RrfK + kw.kw_rnk), 6) AS DECIMAL(38,6)),
+                             CAST(0 AS DECIMAL(38,6)))
+                  + COALESCE(CAST(round(1.0 / ($RrfK + vec.vec_rnk), 6) AS DECIMAL(38,6)),
+                             CAST(0 AS DECIMAL(38,6))) AS DOUBLE) AS rrf
+        FROM kw FULL OUTER JOIN vec
+          ON kw.query_id = vec.query_id AND kw.doc_id = vec.doc_id),
+      franked AS (
+        SELECT query_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY rrf DESC, doc_id) AS BIGINT) AS fuse_rnk,
+               doc_id, rrf
+        FROM fused),
+      mtoks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                           '[^a-z0-9]+'), t -> t <> '') AS mtoks
+        FROM documents),
+      mflat AS (SELECT doc_id, unnest(mtoks) AS tok FROM mtoks),
+      mhv AS (
+        SELECT doc_id,
+               (CAST(strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1 AS BIGINT) << 28)
+             + ((strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) << 24)
+             + ((strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) << 20)
+             + ((strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1) << 16)
+             + ((strpos('0123456789abcdef', substr(md5(tok), 5, 1)) - 1) << 12)
+             + ((strpos('0123456789abcdef', substr(md5(tok), 6, 1)) - 1) << 8)
+             + ((strpos('0123456789abcdef', substr(md5(tok), 7, 1)) - 1) << 4)
+             +  (strpos('0123456789abcdef', substr(md5(tok), 8, 1)) - 1) AS v
+        FROM mflat),
+      msc AS (
+        SELECT doc_id,
+               SUM((((v % 256) * 37 + 11) % 1001) - 500) AS score
+        FROM mhv GROUP BY 1),
+      reranked AS (
+        SELECT f.query_id, f.doc_id, f.fuse_rnk, f.rrf,
+               CAST(COALESCE(m.score, 0) AS BIGINT) AS score
+        FROM franked f LEFT JOIN msc m USING (doc_id))
+      SELECT query_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score DESC, rrf DESC, doc_id) AS BIGINT) AS rnk,
+             doc_id, fuse_rnk, score, rrf
+      FROM reranked
+      ORDER BY query_id, rnk
+    """))
+
   val all: Seq[GQuery] =
-    Seq(hybridSearch, hybridServe, hybridMulti, hybridRerank)
+    Seq(hybridSearch, hybridServe, hybridMulti, hybridRerank,
+      hybridFiltered, hybridServeAppend, hybridMultiRerank)
 }

@@ -714,7 +714,7 @@ object TextQueries {
   /** The query-term set shared by [[bm25Search]] and [[bm25Serve]] —
     * one definition so the two forms (and their shared oracle) can
     * never drift. */
-  private val bm25Terms = Seq("spark", "merge", "filter")
+  private[ops] val bm25Terms = Seq("spark", "merge", "filter")
 
   /** The Okapi BM25 per-(term, doc) score expression (k1 = 1.2,
     * b = 0.75, +1-inside-ln IDF), decimal-rounded per the lm_perplexity
@@ -737,7 +737,7 @@ object TextQueries {
     * definition behind both the tokenize-on-read form and the
     * persisted-index serving form, so their arithmetic (and therefore
     * the shared oracle hash) cannot drift. */
-  private def bm25TopK(tf: org.apache.spark.sql.DataFrame,
+  private[ops] def bm25TopK(tf: org.apache.spark.sql.DataFrame,
       dfs: org.apache.spark.sql.DataFrame,
       stats: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {

@@ -438,7 +438,7 @@ object VectorQueries {
   private val ivfAppended =
     scala.collection.concurrent.TrieMap.empty[(String, Int), String]
 
-  private def appendedIvfPath(s: org.apache.spark.sql.SparkSession,
+  private[ops] def appendedIvfPath(s: org.apache.spark.sql.SparkSession,
       d: String, k: Int): String =
     graft.BuildOnce.memo(ivfAppended, (d, k)) {
       val path = s"${graft.GraftSession.scratchDir}/ivf_app_" +

@@ -139,6 +139,57 @@ class HybridQueriesSpec extends SparkTestBase {
     assert(results.sorted.toSeq === batch.sorted)
   }
 
+  test("hybrid_filtered: every fused doc matches the predicate, gate holds") {
+    val rows = fused("hybrid_filtered")
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("doc_id") % 3 == 0))
+    assert(rows.forall(_.getAs[Boolean]("fuse_ok")))
+    // candidate-filter semantics, not post-filter: the filtered vector
+    // member is the brute-force top-5 AMONG matching ids — ranks are
+    // contiguous 1..5 even though most of the unfiltered top-5 is gone
+    val vecRanks = rows.flatMap(r =>
+      Option(r.get(r.fieldIndex("vec_rnk"))).map(_.asInstanceOf[Long]))
+      .sorted.toSeq
+    assert(vecRanks === (1L to vecRanks.length).toSeq)
+  }
+
+  test("hybrid_serve_append anchors the exact fusion and its gate holds") {
+    val exact = fused("hybrid_search")
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("rrf"))).toSeq
+    val served = fused("hybrid_serve_append")
+    assert(served.forall(_.getAs[Boolean]("fuse_ok")))
+    assert(served.map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("doc_id"),
+      r.getAs[Double]("rrf"))).toSeq === exact)
+  }
+
+  test("hybrid_multi_rerank permutes each query's fused shortlist") {
+    val fusedRows = fused("hybrid_multi")
+    val rr = fused("hybrid_multi_rerank")
+    val fusedByQ = fusedRows.groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_id")).toSet).toMap
+    val rrByQ = rr.groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_id")).toSet).toMap
+    assert(rrByQ === fusedByQ)
+    // per-candidate scores are exactly model_score's, ranks contiguous
+    // and ordered by (score desc, rrf desc) within each query
+    val modelScores = graft.SparkEntry.queries("model_score")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score")).toMap
+    rr.groupBy(_.getAs[Long]("query_id")).foreach { case (_, qRows) =>
+      val sorted = qRows.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq ===
+        (1L to sorted.length).toSeq)
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("score") ===
+          modelScores(r.getAs[Long]("doc_id")))
+      }
+      val keys = sorted.map(r =>
+        (-r.getAs[Long]("score"), -r.getAs[Double]("rrf")))
+      assert(keys === keys.sorted)
+    }
+  }
+
   test("rrfFuse rejects a member list deeper than the documented bound") {
     import spark.implicits._
     // a "keyword list" violating the ≤topK contract: ranks run past
