@@ -241,14 +241,79 @@ object Ann {
       .write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
   }
 
-  /** Load a saved index; `query` on it prunes to the probed cells. */
-  def load(spark: SparkSession, path: String): IvfIndex =
+  /** The delete-tombstone segment of a persisted IVF layout, if one
+    * exists — ids removed since the last [[compact]]. Bounded by
+    * construction: deletes accumulate only between compactions, so the
+    * segment stays broadcast-sized like the centroid table. */
+  private def tombstonesOpt(spark: SparkSession, path: String)
+      : Option[DataFrame] =
+    if (Layout.dirExists(spark, s"$path/tombstones"))
+      Some(spark.read.parquet(s"$path/tombstones"))
+    else None
+
+  /** DELETE from a persisted IVF index — `postingsDelete`'s vector twin,
+    * completing the maintenance lifecycle (build → append → DELETE →
+    * compact) for the ANN side. Tombstone design: the cell-partitioned
+    * lists — the corpus-scale part — are never touched; the doomed ids
+    * land in a `tombstones` side segment that [[load]] anti-joins out of
+    * every served plan (broadcast — bounded between compactions, and the
+    * cell partition-pruning still pushes below the join), and the next
+    * [[compact]] drops the rows physically. A takedown at 100 TB costs
+    * one bounded segment write, not an index rebuild — and unlike the
+    * text index there are no corpus statistics to adjust: cosine scores
+    * carry no cross-document state, so tombstoned serving is EXACTLY
+    * rebuild-over-survivors serving with these centroids (what
+    * `sim_ivf_delete` verifies against the filtered brute-force anchor).
+    * Already-tombstoned ids are excluded up front (re-delivered delete
+    * batches are no-ops); ids absent from the index are harmless. Same
+    * offline-maintenance window contract as [[append]]. */
+  def delete(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String = "vec_id"): Unit = {
+    val batch = ids.select(col(idCol).cast(LongType).as(idCol)).distinct()
+    // materialize before the segment write: the anti-join against the
+    // tombstone segment is lazy and must not re-read the segment after
+    // the new ids land in it (the postingsDelete discipline)
+    val fresh = tombstonesOpt(spark, path)
+      .map(t => batch.join(broadcast(t), Seq(idCol), "left_anti"))
+      .getOrElse(batch)
+      .localCheckpoint(true)
+    if (fresh.isEmpty) return
+    fresh.coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  /** Fold accumulated tombstones into the cell-partitioned layout for
+    * real: rewrite `assigned` minus the tombstoned ids (stage + swap —
+    * the shared [[Layout.replaceDir]] crash-recovery contract, cell
+    * partitioning preserved so pruning is unchanged), then drop the
+    * segment. Crash between swap and segment drop just re-runs an
+    * anti-join that matches nothing — idempotent. No-op when no
+    * tombstones exist. */
+  def compact(spark: SparkSession, path: String): Unit =
+    tombstonesOpt(spark, path).foreach { t =>
+      val assigned = spark.read.parquet(s"$path/assigned")
+      Layout.replaceDir(spark,
+        assigned.join(broadcast(t), t.columns.toSeq, "left_anti"),
+        s"$path/assigned", partitionCols = Seq("cell"))
+      Layout.deleteDir(spark, s"$path/tombstones")
+    }
+
+  /** Load a saved index; `query` on it prunes to the probed cells. When
+    * a delete-tombstone segment exists, the served rows anti-join it
+    * (broadcast; the cell restriction still pushes below the join), so
+    * every search path — query / knnJoin / serveBatch — observes the
+    * deletes without any of them knowing the segment exists. */
+  def load(spark: SparkSession, path: String): IvfIndex = {
+    val assigned = spark.read.parquet(s"$path/assigned")
+    val served = tombstonesOpt(spark, path)
+      .map(t => assigned.join(broadcast(t), t.columns.toSeq, "left_anti"))
+      .getOrElse(assigned)
     IvfIndex(
       spark.read.parquet(s"$path/centroids")
         .select(col("centroid_id").cast(LongType), col("centroid_emb"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq,
-      spark.read.parquet(s"$path/assigned"))
+      served)
+  }
 
   /** Top-k neighbors of `probeId` searching only the nProbe nearest
     * cells. Cell ranking happens on the driver (centroids are local);

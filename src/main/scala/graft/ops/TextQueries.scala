@@ -875,36 +875,13 @@ object TextQueries {
     statsFrame(proj).write.mode("overwrite").parquet(s"$path/stats")
   }
 
-  /** Swap-replace a side-table directory: stage the merged frame next
-    * to it (so the source directory is never read and overwritten in
-    * the same job — Spark refuses exactly that), then swap with
-    * tombstone ordering: old → `__old`, stage → live, drop the
-    * tombstone. NO step rewrites data, so a crash at any point loses
-    * nothing — the complete table always exists as exactly one of
-    * {live, stage, tombstone}, and leftovers from a crashed prior swap
-    * are cleared up front. The swap is NOT atomic for concurrent
-    * readers (two renames; a reader can land in the gap and miss the
-    * path) — maintenance runs in a window without concurrent serving,
-    * exactly like parquet table compaction; [[postingsAppend]] and
-    * [[postingsCompact]] document the same contract. */
+  /** Swap-replace a side-table directory — the shared [[Layout]]
+    * primitive (stage → tombstone-ordered rename swap, crash-recoverable
+    * at every step, non-atomic for concurrent readers: maintenance runs
+    * in a window without serving, like any parquet compaction). */
   private def replaceDir(s: org.apache.spark.sql.SparkSession,
-      merged: org.apache.spark.sql.DataFrame, dir: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val live = new Path(dir)
-    val stage = new Path(s"${dir}__stage")
-    val old = new Path(s"${dir}__old")
-    val fs = live.getFileSystem(s.sparkContext.hadoopConfiguration)
-    // recover from a crashed prior swap: a live dir wins over leftovers;
-    // a missing live dir with a tombstone means the crash hit between
-    // the renames — restore the tombstone before proceeding
-    if (!fs.exists(live) && fs.exists(old))
-      require(fs.rename(old, live), s"swap recovery of $dir failed")
-    fs.delete(old, true)
-    merged.write.mode("overwrite").parquet(stage.toString)
-    require(fs.rename(live, old), s"swap of $dir failed (old aside)")
-    require(fs.rename(stage, live), s"swap of $dir failed (stage in)")
-    fs.delete(old, true)
-  }
+      merged: org.apache.spark.sql.DataFrame, dir: String): Unit =
+    Layout.replaceDir(s, merged, dir)
 
   /** Incremental maintenance of a persisted BM25 index — the text twin
     * of `Ann.append` (grow between retrains), replacing the
@@ -990,12 +967,115 @@ object TextQueries {
     * path (a maintenance window), exactly like parquet table
     * compaction at warehouse scale. */
   def postingsCompact(s: org.apache.spark.sql.SparkSession, path: String,
-      nFiles: Int = 8): Unit =
+      nFiles: Int = 8): Unit = {
+    val lists = s.read.parquet(s"$path/lists")
+    val survivors = tombstonesOpt(s, path)
+      .map(t => lists.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      .getOrElse(lists)
     replaceDir(s,
-      s.read.parquet(s"$path/lists")
+      survivors
         .repartitionByRange(nFiles, col("term"))
         .sortWithinPartitions("term"),
       s"$path/lists")
+    // tombstoned postings are now physically gone — drop the segment
+    // AFTER the swap: a crash in between just re-runs the (idempotent)
+    // anti-join against rows that no longer match anything
+    Layout.deleteDir(s, s"$path/tombstones")
+  }
+
+  /** The delete-tombstone segment of a postings layout, if one exists —
+    * doc ids removed since the last compaction. Bounded by construction:
+    * deletes accumulate only between compactions, which fold them into
+    * the lists for real ([[postingsCompact]]), so the segment stays a
+    * broadcast-sized side table the way the df/stats tables do. */
+  private[ops] def tombstonesOpt(s: org.apache.spark.sql.SparkSession,
+      path: String): Option[org.apache.spark.sql.DataFrame] =
+    if (Layout.dirExists(s, s"$path/tombstones"))
+      Some(s.read.parquet(s"$path/tombstones"))
+    else None
+
+  /** The ONE posting-list read behind every serving path: pushed
+    * `In(term,…)` restriction against the term-sorted layout, then the
+    * tombstone anti-join when a delete segment exists (broadcast — the
+    * segment is bounded between compactions; Catalyst still pushes the
+    * term filter below the join, so the scan shape is unchanged). A
+    * layout that has never seen a delete pays only a directory-existence
+    * probe. */
+  private[ops] def servedLists(s: org.apache.spark.sql.SparkSession,
+      path: String, terms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val lists = s.read.parquet(s"$path/lists")
+      .where(col("term").isin(terms: _*))
+    tombstonesOpt(s, path)
+      .map(t => lists.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      .getOrElse(lists)
+  }
+
+  /** DELETE from a persisted BM25 index — the takedown/dedup-removal
+    * path that completes the maintenance lifecycle (build → append →
+    * compact → DELETE), replacing the full reload the reference leans
+    * on (`updatecalaccessrawdata.py:~100-200` handles deletes only by
+    * rebuilding everything). Tombstone design, not rewrite: the posting
+    * lists — the corpus-scale part of the layout — are NEVER touched at
+    * delete time; the doomed doc ids land in a `tombstones` side
+    * segment every serving path anti-joins ([[servedLists]]), and the
+    * next [[postingsCompact]] drops their rows physically and clears
+    * the segment. At 100 TB a takedown therefore costs one bounded
+    * segment write + two side-table swaps, not an index rebuild.
+    *
+    * The side tables ARE adjusted immediately, algebraically, from the
+    * matched posting rows (ONE lists scan restricted by the broadcast
+    * id batch): df loses each term's deleted-doc count (terms wholly
+    * owned by deleted docs leave the table, exactly as a rebuild would
+    * drop them), stats subtracts the deleted docs' exact long
+    * accumulators. Served scores over the tombstoned index are thus
+    * IDENTICAL to a from-scratch rebuild over the survivors — which is
+    * what `bm25_serve_delete`'s oracle hash-verifies.
+    *
+    * Ordering is takedown-first: tombstones commit BEFORE the df/stats
+    * swaps, so a crash mid-delete can leave slightly stale statistics
+    * but can never keep serving deleted content. Ids already tombstoned
+    * are excluded up front (re-delivery of a delete batch is a no-op —
+    * the df/stats subtraction can never double-fire), and ids absent
+    * from the index subtract nothing. Same offline-maintenance
+    * consistency contract as [[postingsAppend]]. */
+  def postingsDelete(s: org.apache.spark.sql.SparkSession,
+      docIds: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    val ids = docIds.select(col("doc_id").cast(LongType)).distinct()
+    // MATERIALIZE the fresh-id set before the tombstone write: the
+    // anti-join against the tombstone segment is lazy, so without the
+    // checkpoint the df/stats subtraction below would re-read the
+    // segment AFTER the new ids landed in it and see an empty batch
+    val freshIds = tombstonesOpt(s, path)
+      .map(t => ids.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      .getOrElse(ids)
+      .localCheckpoint(true)
+    val matched = s.read.parquet(s"$path/lists")
+      .join(broadcast(freshIds), Seq("doc_id"))
+    // batch aggregates FIRST (the append path's empty-batch discipline):
+    // a batch matching nothing mutates nothing
+    val docStats = matched.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("sd")).head()
+    if (docStats.getLong(0) == 0L) return
+    freshIds.coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+    val dfDel = matched.groupBy(col("term"))
+      .agg((-count(lit(1)).cast(DoubleType)).as("df"))
+    val dfMerged = s.read.parquet(s"$path/df").unionByName(dfDel)
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .where(col("df") > 0d)
+    replaceDir(s, dfMerged, s"$path/df")
+    val old = s.read.parquet(s"$path/stats")
+      .select(col("sum_dl"), col("n_docs_l")).head()
+    val sumDl = old.getLong(0) - docStats.getLong(1)
+    val nDocs = old.getLong(1) - docStats.getLong(0)
+    import s.implicits._
+    replaceDir(s,
+      Seq((nDocs.toDouble,
+        if (nDocs == 0L) 0.0 else sumDl.toDouble / nDocs.toDouble,
+        sumDl, nDocs))
+        .toDF("n_docs", "avgdl", "sum_dl", "n_docs_l"),
+      s"$path/stats")
+  }
 
   private[ops] def savedPostingsPath(s: org.apache.spark.sql.SparkSession,
       d: String): String =
@@ -1044,6 +1124,84 @@ object TextQueries {
       path
     }
 
+  /** Full index built then one delete batch tombstoned — the layout
+    * `bm25_serve_delete` serves. Doc-id residue 3 mod 7 is the doomed
+    * set: stable, engine-independent, ~1/7 of the corpus, and certain
+    * to intersect the scoring docs so the delete visibly reshapes
+    * df/stats AND the served ranking. */
+  private val postingsDeleteSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedPostingsDeletePath(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.BuildOnce.memo(postingsDeleteSaved, d) {
+      val path = s"${graft.GraftSession.scratchDir}/postings_del_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = Tables.documents(s, d)
+      buildPostings(s, docs, path)
+      postingsDelete(s,
+        docs.where(pmod(col("doc_id"), lit(7)) === 3).select("doc_id"),
+        path)
+      path
+    }
+
+  /** The DELETE leg of the maintenance lifecycle, driver-verified: BM25
+    * served off a full-corpus index from which ~1/7 of the documents
+    * were [[postingsDelete]]d — tombstone segment + algebraic df/stats
+    * subtraction, the posting lists never rewritten. The oracle is
+    * `bm25_serve`'s SQL over ONLY the surviving documents: every score
+    * ingredient (candidates, per-term df, n_docs, avgdl) must come out
+    * exactly as a from-scratch rebuild over the survivors would build
+    * it, so the hash match IS the proof that delete ≡ rebuild — the
+    * property the reference gets only by full reload. Plan shape: the
+    * pushed `In(term,…)` scan of `bm25_serve` plus one broadcast
+    * anti-join against the bounded tombstone segment
+    * (`Bm25DeleteSpec` pins the pushed filter survives the join and
+    * that compaction then makes the anti-join vacuous). */
+  val bm25ServeDelete = GQuery(
+    "bm25_serve_delete",
+    (s, d) => {
+      val path = savedPostingsDeletePath(s, d)
+      val lists = servedLists(s, path, bm25Terms)
+      val dfs = s.read.parquet(s"$path/df")
+        .where(col("term").isin(bm25Terms: _*))
+      val stats = s.read.parquet(s"$path/stats")
+      bm25TopK(lists, dfs, stats)
+    },
+    // bm25_serve's oracle restricted to the survivors: the tombstoned
+    // index must serve exactly what a rebuild over them would serve
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, str_split(text, ' ') AS toks,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents WHERE text IS NOT NULL AND doc_id % 7 <> 3),
+      stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+        FROM docs),
+      tf AS (
+        SELECT term, doc_id, dl, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+        WHERE term IN ('spark', 'merge', 'filter')
+        GROUP BY 1, 2, 3),
+      dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT tf.doc_id,
+               CAST(round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / s.avgdl))),
+                 4) AS DECIMAL(38,4)) AS score_term
+        FROM tf JOIN dfs d USING (term) CROSS JOIN stats s),
+      agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(score_term) AS DOUBLE) AS score
+        FROM scored GROUP BY 1)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+             doc_id, n_terms, score
+      FROM agg
+      ORDER BY score DESC, doc_id
+      LIMIT 10
+    """))
+
   /** Serve a bounded BATCH of keyword queries against the persisted
     * index in ONE distributed pass — [[Ann.serveBatch]]'s text twin and
     * the micro-batch body of
@@ -1064,8 +1222,7 @@ object TextQueries {
     require(queries.nonEmpty, "bm25ServeBatch: empty query batch")
     val path = savedPostingsPath(s, d)
     val allTerms = queries.flatMap(_._2).distinct
-    val lists = s.read.parquet(s"$path/lists")
-      .where(col("term").isin(allTerms: _*))
+    val lists = servedLists(s, path, allTerms)
     val dfs = s.read.parquet(s"$path/df")
       .where(col("term").isin(allTerms: _*))
     val stats = s.read.parquet(s"$path/stats")
@@ -1110,8 +1267,7 @@ object TextQueries {
     "bm25_serve",
     (s, d) => {
       val path = savedPostingsPath(s, d)
-      val lists = s.read.parquet(s"$path/lists")
-        .where(col("term").isin(bm25Terms: _*))
+      val lists = servedLists(s, path, bm25Terms)
       val dfs = s.read.parquet(s"$path/df")
         .where(col("term").isin(bm25Terms: _*))
       val stats = s.read.parquet(s"$path/stats")
@@ -1169,8 +1325,7 @@ object TextQueries {
     "bm25_serve_append",
     (s, d) => {
       val path = savedPostingsAppendPath(s, d)
-      val lists = s.read.parquet(s"$path/lists")
-        .where(col("term").isin(bm25Terms: _*))
+      val lists = servedLists(s, path, bm25Terms)
       val dfs = s.read.parquet(s"$path/df")
         .where(col("term").isin(bm25Terms: _*))
       val stats = s.read.parquet(s"$path/stats")
@@ -1233,8 +1388,7 @@ object TextQueries {
     "bm25_serve_compact",
     (s, d) => {
       val path = savedPostingsCompactPath(s, d)
-      val lists = s.read.parquet(s"$path/lists")
-        .where(col("term").isin(bm25Terms: _*))
+      val lists = servedLists(s, path, bm25Terms)
       val dfs = s.read.parquet(s"$path/df")
         .where(col("term").isin(bm25Terms: _*))
       val stats = s.read.parquet(s"$path/stats")
@@ -1527,5 +1681,5 @@ object TextQueries {
     sampleStratified, sampleExactK, textTfidf, packSequences, decontaminate,
     textRepetition, heavyHitters, modelScore, treeScore, quantileBins,
     postings, bm25Search, bm25Serve, bm25ServeAppend, bm25ServeCompact,
-    bm25Multi, heavyHittersSketch)
+    bm25ServeDelete, bm25Multi, heavyHittersSketch)
 }

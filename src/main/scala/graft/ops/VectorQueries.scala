@@ -465,6 +465,63 @@ object VectorQueries {
       Ann.load(s, appendedIvfPath(s, d, k = 8))),
     Some(ivfRecallOracle))
 
+  /** Tombstoned-delete path per (sfDir, k), built at most once per
+    * process: the full-corpus index is built and saved, then the
+    * vec_id ≡ 2 (mod 5) residue class (~1/5 of the corpus) is
+    * `Ann.delete`d — a bounded tombstone segment, the cell directories
+    * untouched. */
+  private val ivfDeleted =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), String]
+
+  private def deletedIvfPath(s: org.apache.spark.sql.SparkSession,
+      d: String, k: Int): String =
+    graft.BuildOnce.memo(ivfDeleted, (d, k)) {
+      val path = s"${graft.GraftSession.scratchDir}/ivf_del_" +
+        d.replaceAll("[^A-Za-z0-9]", "_") + s"_k$k"
+      val e = Tables.embeddings(s, d)
+      Ann.save(Ann.build(e, k = k), path)
+      Ann.delete(s, path,
+        e.where(pmod(col("vec_id"), lit(5)) === 2).select("vec_id"))
+      path
+    }
+
+  /** The DELETE leg of the ANN maintenance lifecycle, driver-verified
+    * (`bm25_serve_delete`'s vector twin): the persisted IVF index had
+    * ~1/5 of its residents tombstoned by `Ann.delete` — no rewrite of
+    * the cell directories, just the bounded segment every `Ann.load`
+    * anti-joins — and the probe then searches the survivors. Anchored
+    * against the brute-force top-5 OVER THE SURVIVORS (cosine carries
+    * no cross-document state, so tombstoned serving must equal
+    * rebuild-over-survivors serving with these centroids — exactness
+    * under full probing is pinned in `AnnDeleteSpec`), with the usual
+    * recall ≥ 3/5 tolerance at nProbe = 3. A deleted id can never
+    * surface: the anti-join removes it from every probed cell before
+    * ranking, which is the takedown guarantee the reference only gets
+    * by full reload. */
+  val simIvfDelete = GQuery(
+    "sim_ivf_delete",
+    (s, d) => {
+      val pred = pmod(col("vec_id"), lit(5)) =!= 2
+      recallAnchored(s, d,
+        Ann.query(Ann.load(s, deletedIvfPath(s, d, k = 8)),
+          probeId = 0, topK = IvfTopK, nProbe = 3),
+        IvfTopK, minHits = 3, extraFilter = Some(pred))
+    },
+    Some(s"""
+      WITH probe AS (SELECT embedding AS probe_emb FROM embeddings WHERE vec_id = 0),
+      sims AS (
+        SELECT e.vec_id AS neighbor_id,
+               list_cosine_similarity(e.embedding, p.probe_emb) AS sim
+        FROM embeddings e, probe p
+        WHERE e.vec_id <> 0 AND e.vec_id % 5 <> 2)
+      SELECT rnk, neighbor_id, TRUE AS recall_ok
+      FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk,
+                   neighbor_id
+            FROM sims)
+      WHERE rnk <= $IvfTopK
+      ORDER BY rnk
+    """))
+
   private val ivfpqAppended =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Int), String]
 
@@ -972,7 +1029,7 @@ object VectorQueries {
   def all: Seq[GQuery] =
     Seq(vecNorm, simTopk, simBucketed, simPairs, dedupEmbed,
       dedupEmbedCluster, simIvf, simIvfLoaded, simFiltered, simIvfAppend,
-      simIvfpqAppend, simServe,
+      simIvfDelete, simIvfpqAppend, simServe,
       simPq, simIvfpq, simIvfpqLoaded, knnJoin, knnJoinPq, deconSemantic,
       embedQuantize, simTopkBatch)
 }
