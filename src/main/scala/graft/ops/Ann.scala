@@ -297,6 +297,74 @@ object Ann {
       Layout.deleteDir(spark, s"$path/tombstones")
     }
 
+  /** Cell-occupancy skew statistic — max/mean resident count over the
+    * index's cells — the retrain trigger for a grown index:
+    * [[append]] assigns into FROZEN centroids, so as appended content
+    * drifts from the training distribution, vectors pile into the cells
+    * nearest the drift and probe cost (nProbe cells × occupancy) loses
+    * its n/k balance. A fresh balanced build sits near 1; the statistic
+    * grows as cells fatten. ONE count aggregation — only k counts reach
+    * the driver (the centroid-table discipline). Cells that lost every
+    * member count as 0 via the centroid list, so a degenerate index
+    * (all mass in few cells) reads high instead of hiding its empty
+    * cells. */
+  def cellSkew(index: IvfIndex): Double = {
+    // partition discovery may type `cell` as int on a loaded layout —
+    // normalize to long before the driver-side lookup
+    val counts = index.assigned
+      .groupBy(col("cell").cast(LongType).as("cell"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perCell = index.centroids.map { case (cid, _) =>
+      counts.getOrElse(cid, 0L) }
+    if (perCell.isEmpty || perCell.sum == 0L) 0.0
+    else perCell.max.toDouble / (perCell.sum.toDouble / perCell.length)
+  }
+
+  /** The retrain-cadence policy in one predicate: retrain when occupancy
+    * skew exceeds `maxSkew`. The threshold is a latency-SLO knob, not a
+    * correctness one — recall gates hold either way; what skew costs is
+    * probe latency on the fat cells. */
+  def needsRetrain(index: IvfIndex, maxSkew: Double): Boolean =
+    cellSkew(index) > maxSkew
+
+  /** RETRAIN a persisted index in place — the escape hatch [[append]]'s
+    * frozen-centroid contract assumes exists: re-run `iters` Lloyd
+    * refinements over the CURRENT residents starting from the saved
+    * centroids (warm start — the standard k-means restart; each
+    * iteration is the same one-scan + one-bounded-shuffle job as
+    * [[build]]'s), re-assign everything once, and swap both layout
+    * directories ([[Layout.replaceDir]] each — stage + rename, cell
+    * partitioning preserved). Tombstoned ids are EXCLUDED from the
+    * refit and from the rewritten layout (retrain subsumes [[compact]]),
+    * and the segment is cleared last.
+    *
+    * Consistency contract: the two swaps plus the segment drop are not
+    * atomic as a unit — a reader between them could pair new lists with
+    * old centroids — so retrain runs in a maintenance window without
+    * concurrent serving and retries from the last snapshot, exactly
+    * like [[postingsAppend]]'s documented discipline. At 100 TB this is
+    * the rare, expensive pass (one full re-assignment scan per Lloyd
+    * iteration) that [[append]] exists to amortize; [[cellSkew]] is the
+    * trigger that decides when the amortization has run out. */
+  def retrain(spark: SparkSession, path: String, iters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val idx = load(spark, path)   // tombstone-aware: refit the survivors
+    require(idx.centroids.nonEmpty, s"Ann.retrain: $path has no centroids")
+    val dim = idx.centroids.head._2.length
+    val resident = idx.assigned.select(col(idCol), col(embCol))
+    var cents = idx.centroids
+    for (_ <- 1 to iters)
+      cents = meanCentroids(assign(resident, cents, idCol, embCol),
+        embCol, dim)
+    Layout.replaceDir(spark, assign(resident, cents, idCol, embCol),
+      s"$path/assigned", partitionCols = Seq("cell"))
+    import spark.implicits._
+    Layout.replaceDir(spark, cents.toDF("centroid_id", "centroid_emb"),
+      s"$path/centroids")
+    Layout.deleteDir(spark, s"$path/tombstones")
+  }
+
   /** Load a saved index; `query` on it prunes to the probed cells. When
     * a delete-tombstone segment exists, the served rows anti-join it
     * (broadcast; the cell restriction still pushes below the join), so
