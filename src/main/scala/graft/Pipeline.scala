@@ -40,16 +40,68 @@ object Pipeline {
     TableResult(table.name, loadedBack, metrics)
   }
 
-  /** Full update run over many tables, concurrent job submission. */
+  /** Full update run over many tables: concurrent job submission on a
+    * BOUNDED pool with a per-table timeout and per-table failure
+    * capture. Three deliberate departures from the naive
+    * `Future.sequence` + `Await(Duration.Inf)` shape:
+    *
+    *  - fixed-size pool, not the global one: `parallelism` caps how
+    *    many table cycles hold Spark's scheduler concurrently — at the
+    *    full ~80-table catalog an unbounded fan-out just thrashes the
+    *    fair scheduler, and the global pool's size is an accident of
+    *    the host;
+    *  - per-table timeout, not an infinite await: one straggler table
+    *    (a wedged read, a pathological file) surfaces as a NAMED
+    *    timeout row instead of hanging the whole refresh invisibly —
+    *    its task is interrupted and the remaining tables still report;
+    *  - failures are DATA, not exceptions: a table whose cycle throws
+    *    lands in the result as a [[FileMetrics]] row with `failure`
+    *    set (and an empty frame), so [[verify]] fails mechanically and
+    *    the run log records WHICH table died of WHAT — the per-table
+    *    capture the reference gets by running tables one at a time.
+    *
+    * Each timeout is measured from when that table's result is awaited
+    * (awaits run in submission order, so a table's own work has had at
+    * least `perTableTimeout` on the clock by the time it is declared
+    * dead). */
   def update(spark: SparkSession, tables: Seq[(TableDef, String)],
-      outDir: String): Seq[TableResult] = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val futures = tables.map { case (t, path) =>
-      Future(updateTable(spark, t, path, outDir))
-    }
-    Await.result(Future.sequence(futures), Duration.Inf)
+      outDir: String, parallelism: Int = 8,
+      perTableTimeout: scala.concurrent.duration.FiniteDuration =
+        scala.concurrent.duration.DurationInt(30).minutes)
+      : Seq[TableResult] = {
+    import java.util.concurrent.{Callable, ExecutionException, Executors,
+      ThreadFactory, TimeoutException, TimeUnit}
+    require(parallelism >= 1, s"update: parallelism=$parallelism")
+    val pool = Executors.newFixedThreadPool(parallelism,
+      new ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger()
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-pipeline-${n.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      })
+    def failed(table: String, why: String): TableResult =
+      TableResult(table, spark.emptyDataFrame,
+        FileMetrics(table, 0L, 0L, 0L, 0L, Some(why)))
+    try {
+      val futures = tables.map { case (t, path) =>
+        t.name -> pool.submit(new Callable[TableResult] {
+          def call(): TableResult = updateTable(spark, t, path, outDir)
+        })
+      }
+      futures.map { case (name, f) =>
+        try f.get(perTableTimeout.toMillis, TimeUnit.MILLISECONDS)
+        catch {
+          case _: TimeoutException =>
+            f.cancel(true)
+            failed(name, s"timeout after $perTableTimeout")
+          case e: ExecutionException =>
+            failed(name,
+              Option(e.getCause).getOrElse(e).toString.take(500))
+        }
+      }
+    } finally pool.shutdownNow()
   }
 
   /** ≙ verifycalaccessrawdata: true iff every table's counts line up. */

@@ -14,14 +14,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tracking {
 
+  /** `failure` captures a table cycle that never produced counts at all
+    * (exception or timeout in `Pipeline.update`) — the reference's
+    * analog is a table left out of the RawDataFile rows entirely, which
+    * is exactly the invisible-failure mode this field exists to close:
+    * a failed table stays IN the metrics frame, named, with its cause,
+    * and fails `consistent` mechanically. */
   final case class FileMetrics(
       tableName: String,
       downloadRecords: Long,
       cleanRecords: Long,
       loadRecords: Long,
-      errorRecords: Long) {
+      errorRecords: Long,
+      failure: Option[String] = None) {
     def consistent: Boolean =
-      downloadRecords == cleanRecords + errorRecords &&
+      failure.isEmpty &&
+        downloadRecords == cleanRecords + errorRecords &&
         loadRecords == cleanRecords
   }
 

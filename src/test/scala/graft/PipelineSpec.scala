@@ -84,6 +84,47 @@ class PipelineSpec extends SparkTestBase {
     assert(errs.count() === 1)
   }
 
+  test("a failing table is captured as a named metrics row, the rest " +
+      "of the run still completes and verifies") {
+    val header = "CODE_TYPE\tCODE_ID\tCODE_DESC"
+    val dir = Files.createTempDirectory("failcap").toString
+    val goodPath = s"$dir/good.tsv"
+    Files.writeString(java.nio.file.Paths.get(goodPath),
+      s"$header\n1\t100\tFine\n")
+    val tables = Seq(
+      Schemas.lookupCodesCd.copy(name = "good") -> goodPath,
+      // nonexistent input: the cycle throws instead of producing counts
+      Schemas.lookupCodesCd.copy(name = "doomed") ->
+        s"$dir/does_not_exist.tsv")
+    val out = Files.createTempDirectory("failcapout").toString
+    val results = Pipeline.update(spark, tables, out)
+    assert(results.map(_.table) === Seq("good", "doomed"))
+    val byName = results.map(r => r.table -> r.metrics).toMap
+    assert(byName("good").consistent)
+    assert(byName("good").failure.isEmpty)
+    assert(byName("doomed").failure.isDefined)
+    assert(!byName("doomed").consistent)
+    // verify fails mechanically because ONE table failed — not silently
+    assert(!Pipeline.verify(results))
+  }
+
+  test("a straggler table surfaces as a named timeout row instead of " +
+      "hanging the refresh") {
+    import scala.concurrent.duration._
+    val header = "CODE_TYPE\tCODE_ID\tCODE_DESC"
+    val dir = Files.createTempDirectory("slowcap").toString
+    val p = s"$dir/slow.tsv"
+    Files.writeString(java.nio.file.Paths.get(p),
+      s"$header\n1\t100\tFine\n")
+    val out = Files.createTempDirectory("slowcapout").toString
+    // a 1 ns budget no real table cycle can meet: deterministic timeout
+    val results = Pipeline.update(spark,
+      Seq(Schemas.lookupCodesCd.copy(name = "slow") -> p), out,
+      perTableTimeout = 1.nanosecond)
+    assert(results.head.metrics.failure.exists(_.contains("timeout")))
+    assert(!Pipeline.verify(results))
+  }
+
   test("multi-table update runs tables concurrently and all verify") {
     val header = "CODE_TYPE\tCODE_ID\tCODE_DESC"
     val dir = Files.createTempDirectory("multi").toString
