@@ -94,13 +94,51 @@ object Ivfpq {
       .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toSeq }
 
   /** Load a saved index; [[search]] on it prunes to the probed cell
-    * directories and the ADC phase reads only the codes column. */
+    * directories and the ADC phase reads only the codes column. When a
+    * delete-tombstone segment exists ([[delete]]), the encoded rows
+    * anti-join it (broadcast; cell pruning and the codes-only column
+    * footprint push below the join), so both search phases — ADC scan
+    * and exact re-rank — observe the deletes without knowing the
+    * segment exists. */
   def load(spark: SparkSession, path: String): IvfPqIndex = {
     val cents = loadCentroids(spark, path)
     val books = loadBooks(spark, path)
-    IvfPqIndex(cents, books.length, books.head.head.length, books,
-      spark.read.parquet(s"$path/encoded"))
+    val encoded = spark.read.parquet(s"$path/encoded")
+    val served =
+      if (Layout.dirExists(spark, s"$path/tombstones")) {
+        val t = spark.read.parquet(s"$path/tombstones")
+        encoded.join(broadcast(t), t.columns.toSeq, "left_anti")
+      } else encoded
+    IvfPqIndex(cents, books.length, books.head.head.length, books, served)
   }
+
+  /** DELETE from a persisted IVF-PQ index — the same tombstone segment
+    * contract as [[Ann.delete]] (which manages only `$path/tombstones`
+    * and is layout-agnostic, so it IS the implementation): doomed ids
+    * land in the bounded side segment, the compressed cell directories
+    * are never touched, [[load]] anti-joins every served plan, and
+    * [[compact]] folds the rows out physically. Codebooks and centroids
+    * are per-corpus statistics only in the loose sense — they are
+    * frozen between retrains anyway — so, as with the plain IVF index,
+    * tombstoned serving is EXACTLY rebuild-over-survivors serving with
+    * these quantizers. Note: re-adding a previously deleted id via
+    * [[append]] requires a [[compact]] first — the tombstone would
+    * otherwise swallow the re-added row at load. */
+  def delete(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String = "vec_id"): Unit =
+    Ann.delete(spark, path, ids, idCol)
+
+  /** Fold accumulated tombstones into the compressed layout for real —
+    * [[Ann.compact]]'s IVF-PQ twin over the `encoded` directory. */
+  def compact(spark: SparkSession, path: String): Unit =
+    if (Layout.dirExists(spark, s"$path/tombstones")) {
+      val t = spark.read.parquet(s"$path/tombstones")
+      Layout.replaceDir(spark,
+        spark.read.parquet(s"$path/encoded")
+          .join(broadcast(t), t.columns.toSeq, "left_anti"),
+        s"$path/encoded", partitionCols = Seq("cell"))
+      Layout.deleteDir(spark, s"$path/tombstones")
+    }
 
   /** Incremental maintenance of a persisted IVF-PQ index — the
     * compressed twin of [[Ann.append]] (grow between retrains): new

@@ -640,6 +640,57 @@ object VectorQueries {
     * recall boolean verifies. `IvfpqAppendSpec` pins append ≡
     * build-time encode of the same rows (bit-identical codes, no new
     * cells) and the schema fail-fast gate. */
+  /** Tombstoned-delete path for the COMPRESSED index per (sfDir, k, m),
+    * built at most once per process: full build + save, then the
+    * vec_id ≡ 2 (mod 5) residue class tombstoned via `Ivfpq.delete` —
+    * the cell directories and both side tables untouched. */
+  private val ivfpqDeleted =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), String]
+
+  private def deletedIvfpqPath(s: org.apache.spark.sql.SparkSession,
+      d: String, k: Int, m: Int): String =
+    graft.BuildOnce.memo(ivfpqDeleted, (d, k, m)) {
+      val path = s"${graft.GraftSession.scratchDir}/ivfpq_del_" +
+        d.replaceAll("[^A-Za-z0-9]", "_") + s"_k${k}_m$m"
+      val e = Tables.embeddings(s, d)
+      Ivfpq.save(Ivfpq.build(e, k = k, m = m, codes = 16), path)
+      Ivfpq.delete(s, path,
+        e.where(pmod(col("vec_id"), lit(5)) === 2).select("vec_id"))
+      path
+    }
+
+  /** DELETE on the compressed serving index, driver-verified —
+    * `sim_ivf_delete`'s IVF-PQ twin, closing the delete lifecycle
+    * across every persisted index form (postings, IVF, IVF-PQ): ~1/5
+    * of the residents are tombstoned and the standard two-phase search
+    * (codes-only ADC scan → exact re-rank) then runs over the
+    * survivors — the tombstone anti-join sits below BOTH phases via
+    * `Ivfpq.load`, so a deleted id can neither reach the shortlist nor
+    * re-enter at re-rank. Anchored against the brute-force top-5 over
+    * the survivors with the usual recall ≥ 3/5 gate. */
+  val simIvfpqDelete = GQuery(
+    "sim_ivfpq_delete",
+    (s, d) => recallAnchored(s, d,
+      Ivfpq.search(Ivfpq.load(s, deletedIvfpqPath(s, d, k = 8, m = 4)),
+        probeId = 0, topK = IvfTopK, nProbe = 3,
+        shortlist = shortlistFor(embCount(s, d))),
+      topK = IvfTopK, minHits = 3,
+      extraFilter = Some(pmod(col("vec_id"), lit(5)) =!= 2)),
+    Some(s"""
+      WITH probe AS (SELECT embedding AS probe_emb FROM embeddings WHERE vec_id = 0),
+      sims AS (
+        SELECT e.vec_id AS neighbor_id,
+               list_cosine_similarity(e.embedding, p.probe_emb) AS sim
+        FROM embeddings e, probe p
+        WHERE e.vec_id <> 0 AND e.vec_id % 5 <> 2)
+      SELECT rnk, neighbor_id, TRUE AS recall_ok
+      FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk,
+                   neighbor_id
+            FROM sims)
+      WHERE rnk <= $IvfTopK
+      ORDER BY rnk
+    """))
+
   val simIvfpqAppend = GQuery(
     "sim_ivfpq_append",
     (s, d) => recallAnchored(s, d,
@@ -1116,7 +1167,7 @@ object VectorQueries {
   def all: Seq[GQuery] =
     Seq(vecNorm, simTopk, simBucketed, simPairs, dedupEmbed,
       dedupEmbedCluster, simIvf, simIvfLoaded, simFiltered, simIvfAppend,
-      simIvfDelete, simIvfRetrain, simIvfpqAppend, simServe,
+      simIvfDelete, simIvfRetrain, simIvfpqAppend, simIvfpqDelete, simServe,
       simPq, simIvfpq, simIvfpqLoaded, knnJoin, knnJoinPq, deconSemantic,
       embedQuantize, simTopkBatch)
 }
