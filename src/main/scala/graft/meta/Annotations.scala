@@ -32,13 +32,36 @@ object Annotations {
   /** One documented code → meaning pair (≙ a Django `choices` tuple). */
   final case class Choice(code: String, meaning: String)
 
+  /** A page-anchored reference into a published source document
+    * (≙ the reference's `annotations/__init__.py` DocumentCloud page
+    * references: each form/section cites the official documentation
+    * PDF pages that define it). `docId` is the hosting service's
+    * document identifier; `startPage`/`endPage` bound the cited range
+    * (endPage None = single page). The SEEDS are deliberately empty:
+    * the reference's ids name specific documents in the coalition's
+    * DocumentCloud account, and reproducing them from uncertain memory
+    * would violate the same no-fabrication discipline as
+    * [[attestedUndocumentedFormIds]] — attaching one is a one-line
+    * seed once confirmed against the published annotations. */
+  final case class DocRef(docId: String, startPage: Int,
+      endPage: Option[Int] = None) {
+    require(startPage >= 1 && endPage.forall(_ >= startPage),
+      s"DocRef: invalid page range $startPage..$endPage")
+    /** Canonical public page-anchored URL (the DocumentCloud URL
+      * scheme the reference's docs link through). */
+    def url: String =
+      s"https://www.documentcloud.org/documents/$docId/pages/$startPage"
+    def pages: Range.Inclusive = startPage to endPage.getOrElse(startPage)
+  }
+
   /** One documented section (schedule/part) of a filing form
     * (≙ `annotations/filing_forms.py` FilingFormSection). */
-  final case class FormSection(id: String, title: String)
+  final case class FormSection(id: String, title: String,
+      docRefs: Seq[DocRef] = Nil)
 
   /** One filing form (≙ `annotations/filing_forms.py` FilingForm). */
   final case class FilingForm(id: String, title: String,
-      sections: Seq[FormSection] = Nil)
+      sections: Seq[FormSection] = Nil, docRefs: Seq[DocRef] = Nil)
 
   // ——— shared documented code sets (≙ the reference's choices
   // constants, reused across every model that carries the column; all
@@ -517,6 +540,22 @@ object Annotations {
     filingForms.map(f =>
         (f.id, f.title, f.sections.map(_.id).mkString(","), f.sections.size))
       .toDF("form_id", "title", "sections", "n_sections")
+  }
+
+  /** Page-reference directory → DataFrame: one row per (form, section,
+    * ref) with the rendered public URL — the doc-link dimension the
+    * reference's annotation layer feeds its documentation site from.
+    * Empty until refs are seeded (see [[DocRef]]'s no-fabrication
+    * note); the schema and rendering are the stable surface. */
+  def docRefsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    filingForms.flatMap { f =>
+      f.docRefs.map(r => (f.id, None: Option[String], r.docId,
+        r.startPage, r.endPage, r.url)) ++
+        f.sections.flatMap(sec => sec.docRefs.map(r =>
+          (f.id, Some(sec.id), r.docId, r.startPage, r.endPage, r.url)))
+    }.toDF("form_id", "section_id", "doc_id", "start_page", "end_page",
+      "url")
   }
 
   /** Base form id of a FORM_TYPE code: `F496P3` → `F496`, `F498-A` →

@@ -20,6 +20,25 @@ class AnnotationsSpec extends SparkTestBase {
     }
   }
 
+  test("doc refs validate page ranges, render the public URL scheme, " +
+      "and the directory frame carries the declared columns") {
+    val r = Annotations.DocRef("0000000-example-doc", 8, Some(10))
+    assert(r.url ===
+      "https://www.documentcloud.org/documents/0000000-example-doc/pages/8")
+    assert(r.pages === (8 to 10))
+    assert(Annotations.DocRef("d", 3).pages === (3 to 3))
+    intercept[IllegalArgumentException] { Annotations.DocRef("d", 0) }
+    intercept[IllegalArgumentException] {
+      Annotations.DocRef("d", 5, Some(4))
+    }
+    val df = Annotations.docRefsDf(spark)
+    assert(df.columns.toSeq === Seq("form_id", "section_id", "doc_id",
+      "start_page", "end_page", "url"))
+    // seeds stay empty until confirmed against the published
+    // annotations — the no-fabrication discipline
+    assert(df.count() === 0)
+  }
+
   test("filing-form directory has unique ids and non-empty titles") {
     val ids = Annotations.filingForms.map(_.id)
     assert(ids.distinct.size === ids.size)
