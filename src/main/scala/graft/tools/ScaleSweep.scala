@@ -143,6 +143,47 @@ object ScaleSweep {
       graft.ops.Ivfpq.search(graft.ops.Ivfpq.load(s, path), probeId = 0,
         topK = 5, nProbe = 3, shortlist = 50)
     }),
+    // The DELETE lifecycle end-to-end (round 14): build the full text
+    // index, tombstone the 1-in-7 residue class (ONE matched-rows scan
+    // + algebraic side-table swaps — ∝ corpus once, never per query),
+    // serve through the tombstone anti-join, then compact the deletes
+    // out physically. Every phase is ∝ |rows touched|, so the whole
+    // takedown path must stay ~linear in R — the claim behind NOT
+    // doing the reference's full reload on every delete.
+    "postingsdelete_sweep" -> ((s, dir) => {
+      import graft.ops.TextQueries
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${graft.GraftSession.scratchDir}/sweep_postdel_$tag"
+      val docs = graft.Tables.documents(s, dir)
+      TextQueries.buildPostings(s, docs, path)
+      TextQueries.postingsDelete(s,
+        docs.where(pmod(col("doc_id"), lit(7)) === 3).select("doc_id"),
+        path)
+      TextQueries.postingsCompact(s, path)
+      s.read.parquet(s"$path/lists")
+        .where(col("term").isin("spark", "merge", "filter"))
+        .groupBy().agg(count(lit(1)).as("n"), sum(col("tf")).as("tf_sum"))
+    }),
+    // The RETRAIN lifecycle under the deployment contract (k ∝ n,
+    // round 14): worst-case warm-up (tiny seed slice) → frozen-centroid
+    // append of everything else → skew measurement (one bounded count
+    // agg) → warm-start retrain (per-iteration: one scan + one
+    // |cells|·(dim+1) agg shuffle — the sim_ivf build shape) → query.
+    // Must stay ~linear in R: retrain is the RARE expensive pass and
+    // even it carries no super-linear stage.
+    "ivfretrain_sweep" -> ((s, dir) => {
+      import graft.ops.Ann
+      val e = graft.Tables.embeddings(s, dir)
+      val n = e.count()
+      val k = math.max(8, (n / 250).toInt)
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${graft.GraftSession.scratchDir}/sweep_ivfrt_$tag"
+      Ann.save(Ann.build(e.where(col("vec_id") < 4L * k), k = k), path)
+      Ann.append(s, path, e.where(col("vec_id") >= 4L * k))
+      if (Ann.needsRetrain(Ann.load(s, path), maxSkew = 1.0))
+        Ann.retrain(s, path, iters = 2)
+      Ann.query(Ann.load(s, path), probeId = 0, topK = 5, nProbe = 3)
+    }),
     "knnjoinpq_sweep" -> ((s, dir) => {
       val e = graft.Tables.embeddings(s, dir)
       val n = e.count()
@@ -239,7 +280,11 @@ object ScaleSweep {
         // round 13 late: the fused retrieval entry — its index probes
         // and ∝ n exact anchor are each already-swept shapes; the probe
         // pins that the per-query fusion stays batch-bounded on top
-        "hybrid_multi")
+        "hybrid_multi",
+        // round 14: the DELETE and RETRAIN lifecycles (see `probes`) —
+        // the takedown path and the rare expensive refit both must
+        // stay ~linear in R
+        "postingsdelete_sweep", "ivfretrain_sweep")
     val spark = graft.GraftSession.local(4, "graft-scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
