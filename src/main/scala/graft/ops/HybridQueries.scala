@@ -597,8 +597,7 @@ object HybridQueries {
     "hybrid_filtered",
     (s, d) => {
       val path = TextQueries.savedPostingsPath(s, d)
-      val lists = s.read.parquet(s"$path/lists")
-        .where(col("term").isin(TextQueries.bm25Terms: _*))
+      val lists = TextQueries.servedLists(s, path, TextQueries.bm25Terms)
       val dfs = s.read.parquet(s"$path/df")
         .where(col("term").isin(TextQueries.bm25Terms: _*))
       val stats = s.read.parquet(s"$path/stats")
@@ -697,8 +696,7 @@ object HybridQueries {
     "hybrid_serve_append",
     (s, d) => {
       val path = TextQueries.savedPostingsAppendPath(s, d)
-      val lists = s.read.parquet(s"$path/lists")
-        .where(col("term").isin(TextQueries.bm25Terms: _*))
+      val lists = TextQueries.servedLists(s, path, TextQueries.bm25Terms)
       val dfs = s.read.parquet(s"$path/df")
         .where(col("term").isin(TextQueries.bm25Terms: _*))
       val stats = s.read.parquet(s"$path/stats")

@@ -1001,7 +1001,7 @@ object TextQueries {
     * term filter below the join, so the scan shape is unchanged). A
     * layout that has never seen a delete pays only a directory-existence
     * probe. */
-  private[ops] def servedLists(s: org.apache.spark.sql.SparkSession,
+  private[graft] def servedLists(s: org.apache.spark.sql.SparkSession,
       path: String, terms: Seq[String]): org.apache.spark.sql.DataFrame = {
     val lists = s.read.parquet(s"$path/lists")
       .where(col("term").isin(terms: _*))
@@ -1037,7 +1037,12 @@ object TextQueries {
     * are excluded up front (re-delivery of a delete batch is a no-op —
     * the df/stats subtraction can never double-fire), and ids absent
     * from the index subtract nothing. Same offline-maintenance
-    * consistency contract as [[postingsAppend]]. */
+    * consistency contract as [[postingsAppend]]. RE-ADDING a deleted
+    * doc id via [[postingsAppend]] requires a [[postingsCompact]]
+    * first: the append would land rows and count them into df/stats,
+    * but the live tombstone would still anti-join them out of every
+    * served plan — the same re-add contract as `Ivfpq.delete`
+    * documents. */
   def postingsDelete(s: org.apache.spark.sql.SparkSession,
       docIds: org.apache.spark.sql.DataFrame, path: String): Unit = {
     val ids = docIds.select(col("doc_id").cast(LongType)).distinct()

@@ -454,6 +454,40 @@ object StreamRunner {
       }
       .start()
 
+  /** Streaming TAKEDOWN worker — the operational face of the index
+    * DELETE lifecycle: each micro-batch of doomed doc ids drives
+    * `TextQueries.postingsDelete` on the persisted BM25 layout and
+    * (when `ivfPath` is given) `Ann.delete` on the persisted IVF
+    * layout, exactly how a takedown/dedup-removal queue is drained in
+    * production — a maintenance worker serializing delete batches, not
+    * an online mutation (the per-batch body inherits the offline
+    * maintenance-window contract the delete ops document: the
+    * side-table swaps are not atomic for concurrent readers).
+    *
+    * EXACTLY-ONCE needs no batch-id ledger here, unlike
+    * [[incrRefreshStream]]: the tombstone MUTATION IS the dedup state.
+    * Both delete ops exclude already-tombstoned ids up front, so a
+    * crash-replayed batch (same checkpointed offsets) re-deletes
+    * nothing — the df/stats subtraction can never double-fire and the
+    * segment never holds a duplicate — which is precisely the
+    * idempotent-re-execution property `Bm25DeleteSpec`/`AnnDeleteSpec`
+    * pin for re-delivered batches. Expects a streaming `doc_id: long`
+    * column; doc_id ≡ vec_id across the paired layouts (the corpus
+    * convention). */
+  def takedownStream(postingsPath: String, doomedIds: DataFrame,
+      ivfPath: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    doomedIds.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ids = batch.select(col("doc_id").cast("long").as("doc_id"))
+          .localCheckpoint(true)
+        graft.ops.TextQueries.postingsDelete(batch.sparkSession, ids,
+          postingsPath)
+        ivfPath.foreach(p => graft.ops.Ann.delete(batch.sparkSession, p,
+          ids.select(col("doc_id").as("vec_id"))))
+      }
+      .start()
+
   /** Typed event row for the custom-state path (object-nested so Spark
     * can derive its Encoder — no outer instance). */
   final case class UserEvent(event_id: Long, ts: java.sql.Timestamp,

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.ops.{Ann, TextQueries}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The streaming takedown worker: micro-batches of doomed ids must
+  * drive the tombstone DELETE path of both persisted indexes, with
+  * re-delivered ids across batches a no-op (the mutation is its own
+  * dedup state) and the final served answers equal to a from-scratch
+  * rebuild over the survivors. */
+class TakedownStreamSpec extends SparkTestBase {
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val corpus = Seq(
+    0L -> "spark merge filter spark",
+    1L -> "spark filter",
+    2L -> "merge merge window",
+    3L -> "merge filter filter spark",
+    4L -> "filter scan spark",
+    5L -> "scan window merge",
+    6L -> "window scan scan",
+    7L -> "spark spark spark")
+
+  test("streamed takedown batches tombstone both indexes, re-delivery " +
+      "is a no-op, and serving equals rebuild-over-survivors") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("takedown").toString
+    val postings = s"$base/postings"
+    val ivf = s"$base/ivf"
+    TextQueries.buildPostings(spark, docsDf(corpus), postings)
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    Ann.save(Ann.build(emb, k = 4), ivf)
+
+    val source = MemoryStream[Long]
+    val q = StreamRunner.takedownStream(postings,
+      source.toDF().toDF("doc_id"), ivfPath = Some(ivf))
+    source.addData(2L)
+    q.processAllAvailable()
+    // second batch re-delivers id 2 alongside the new id 5 — the
+    // replayed id must not double-subtract df/stats or duplicate its
+    // tombstone row
+    source.addData(2L, 5L)
+    q.processAllAvailable()
+    q.stop()
+
+    val rebuilt = s"$base/rebuilt"
+    TextQueries.buildPostings(spark,
+      docsDf(corpus.filterNot(r => Set(2L, 5L)(r._1))), rebuilt)
+    def rows(p: String, cols: String*) =
+      spark.read.parquet(p).select(cols.map(col): _*)
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(rows(s"$postings/df", "term", "df") ===
+      rows(s"$rebuilt/df", "term", "df"))
+    assert(rows(s"$postings/stats", "sum_dl", "n_docs_l") ===
+      rows(s"$rebuilt/stats", "sum_dl", "n_docs_l"))
+    assert(rows(s"$postings/tombstones", "doc_id") ===
+      Seq(Seq(2L), Seq(5L)))
+    val allTerms = corpus.flatMap(_._2.split(" ")).distinct
+    assert(TextQueries.servedLists(spark, postings, allTerms)
+      .select("term", "doc_id", "dl", "tf")
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq ===
+      rows(s"$rebuilt/lists", "term", "doc_id", "dl", "tf"))
+    // the paired IVF layout saw the same ids (doc_id ≡ vec_id)
+    val served = Ann.load(spark, ivf).assigned.select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!served(2L) && !served(5L))
+    assert(served.size === emb.count() - 2)
+  }
+}
