@@ -913,7 +913,111 @@ object HybridQueries {
       ORDER BY query_id, rnk
     """))
 
+  /** TAKEDOWN PROPAGATION through the composed stack — the compliance
+    * property the delete lifecycle exists for: the SAME doomed doc set
+    * (doc_id ≡ 3 mod 7) was tombstoned out of BOTH persisted indexes
+    * (`postingsDelete` on the postings layout; `Ann.delete` on an IVF
+    * twin built over the full corpus), and the hybrid query then serves
+    * against the two tombstoned layouts. A deleted doc must be
+    * unreachable through EITHER tier of the fused ranking — not merely
+    * demoted: the keyword tier's anti-join removes its posting rows
+    * (with df/stats already subtracted, so surviving scores equal a
+    * rebuild's), and the vector tier's anti-join removes it from every
+    * probed cell before ranking.
+    *
+    * Verification follows [[hybridServe]]'s discipline over the
+    * SURVIVOR corpus: the hash anchor is the exact fusion over the
+    * survivors (tombstoned keyword serving is exact-by-rebuild per
+    * `bm25_serve_delete`; vector side the filtered brute force), plus
+    * the `fuse_ok` ≤ 2-missing gate implied by keyword exactness +
+    * the tombstoned-IVF recall gate (`sim_ivf_delete`'s discipline at
+    * a milder 1-in-7 deletion). */
+  val hybridServeDelete = GQuery(
+    "hybrid_serve_delete",
+    (s, d) => {
+      val path = TextQueries.savedPostingsDeletePath(s, d)
+      val kwServed = TextQueries.bm25TopK(
+        TextQueries.servedLists(s, path, TextQueries.bm25Terms),
+        s.read.parquet(s"$path/df")
+          .where(col("term").isin(TextQueries.bm25Terms: _*)),
+        s.read.parquet(s"$path/stats"))
+        .select(col("doc_id"), col("rnk").as("kw_rnk"))
+      val vecServed = Ann.query(
+        Ann.load(s, VectorQueries.deletedIvfPath7(s, d, k = 8)),
+        probeId = 0, topK = VectorQueries.IvfTopK, nProbe = 3)
+        .select(col("neighbor_id").as("doc_id"), col("rank").as("vec_rnk"))
+      val vecExactSurvivors = VectorQueries.bruteTopK(s, d,
+        VectorQueries.IvfTopK, Some(pmod(col("vec_id"), lit(7)) =!= 3))
+        .select(col("neighbor_id").as("doc_id"), col("rnk").as("vec_rnk"))
+      val servedIds = rrfFuse(kwServed, vecServed)
+        .select(col("doc_id"), lit(1L).as("hit"))
+      rrfFuse(kwServed, vecExactSurvivors)
+        .join(broadcast(servedIds), Seq("doc_id"), "left")
+        .select(col("rnk"), col("doc_id"), col("kw_rnk"), col("vec_rnk"),
+          col("rrf"),
+          (sum(when(col("hit").isNull, lit(1L)).otherwise(lit(0L)))
+            .over(Window.partitionBy()) <= 2).as("fuse_ok"))
+        .orderBy("rnk")
+    },
+    // the hybrid_serve oracle over ONLY the survivors: one takedown,
+    // propagated through both tiers of the fused ranking
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, str_split(text, ' ') AS toks,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents WHERE text IS NOT NULL AND doc_id % 7 <> 3),
+      stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+        FROM docs),
+      tf AS (
+        SELECT term, doc_id, dl, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+        WHERE term IN ('spark', 'merge', 'filter')
+        GROUP BY 1, 2, 3),
+      dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT tf.doc_id,
+               CAST(round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / s.avgdl))),
+                 4) AS DECIMAL(38,4)) AS score_term
+        FROM tf JOIN dfs d USING (term) CROSS JOIN stats s),
+      kwagg AS (
+        SELECT doc_id, CAST(SUM(score_term) AS DOUBLE) AS score
+        FROM scored GROUP BY 1),
+      kw AS (
+        SELECT doc_id, kw_rnk FROM (
+          SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS kw_rnk
+          FROM kwagg)
+        WHERE kw_rnk <= $KwTopK),
+      probe AS (SELECT embedding AS probe_emb FROM embeddings WHERE vec_id = 0),
+      sims AS (
+        SELECT e.vec_id AS doc_id,
+               list_cosine_similarity(e.embedding, p.probe_emb) AS sim
+        FROM embeddings e, probe p
+        WHERE e.vec_id <> 0 AND e.vec_id % 7 <> 3),
+      vec AS (
+        SELECT doc_id, vec_rnk FROM (
+          SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS vec_rnk
+          FROM sims)
+        WHERE vec_rnk <= ${VectorQueries.IvfTopK}),
+      fused AS (
+        SELECT COALESCE(kw.doc_id, vec.doc_id) AS doc_id, kw.kw_rnk, vec.vec_rnk,
+               CAST(COALESCE(CAST(round(1.0 / ($RrfK + kw.kw_rnk), 6) AS DECIMAL(38,6)),
+                             CAST(0 AS DECIMAL(38,6)))
+                  + COALESCE(CAST(round(1.0 / ($RrfK + vec.vec_rnk), 6) AS DECIMAL(38,6)),
+                             CAST(0 AS DECIMAL(38,6))) AS DOUBLE) AS rrf
+        FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk,
+             doc_id, kw_rnk, vec_rnk, rrf, TRUE AS fuse_ok
+      FROM fused
+      ORDER BY rnk
+    """))
+
   val all: Seq[GQuery] =
     Seq(hybridSearch, hybridServe, hybridMulti, hybridRerank,
-      hybridFiltered, hybridServeAppend, hybridMultiRerank)
+      hybridFiltered, hybridServeAppend, hybridMultiRerank,
+      hybridServeDelete)
 }

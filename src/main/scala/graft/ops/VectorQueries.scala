@@ -522,6 +522,26 @@ object VectorQueries {
       ORDER BY rnk
     """))
 
+  /** Delete path aligned with the TEXT index's doomed set (doc_id ≡ 2
+    * ... 3 mod 7 — the `savedPostingsDeletePath` residue), so the
+    * composed hybrid entry can prove one takedown propagating through
+    * BOTH tiers. Separate from [[deletedIvfPath]] (mod-5) so each
+    * entry's oracle stays independently pinned. */
+  private val ivfDeleted7 =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), String]
+
+  private[ops] def deletedIvfPath7(s: org.apache.spark.sql.SparkSession,
+      d: String, k: Int): String =
+    graft.BuildOnce.memo(ivfDeleted7, (d, k)) {
+      val path = s"${graft.GraftSession.scratchDir}/ivf_del7_" +
+        d.replaceAll("[^A-Za-z0-9]", "_") + s"_k$k"
+      val e = Tables.embeddings(s, d)
+      Ann.save(Ann.build(e, k = k), path)
+      Ann.delete(s, path,
+        e.where(pmod(col("vec_id"), lit(7)) === 3).select("vec_id"))
+      path
+    }
+
   /** Retrain-policy roundtrip per (sfDir, k), built at most once per
     * process: the index is trained on a deliberately unrepresentative
     * slice (the 32 lowest-id vectors — the worst warm-up a production

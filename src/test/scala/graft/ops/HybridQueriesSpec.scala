@@ -190,6 +190,22 @@ class HybridQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("hybrid_serve_delete: no tombstoned doc is reachable through " +
+      "either tier of the fused ranking") {
+    val rows = fused("hybrid_serve_delete")
+    assert(rows.nonEmpty)
+    // the compliance property: the doomed residue class never appears,
+    // whether a doc would have arrived via the keyword or vector tier
+    assert(rows.forall(_.getAs[Long]("doc_id") % 7 != 3))
+    assert(rows.forall(_.getAs[Boolean]("fuse_ok")))
+    // the keyword member ranks are contiguous — tombstoned candidates
+    // were removed BEFORE ranking, not blanked out of a stale top-10
+    val kwRanks = rows.flatMap(r =>
+      Option(r.get(r.fieldIndex("kw_rnk"))).map(_.asInstanceOf[Long]))
+      .sorted.toSeq
+    assert(kwRanks === (1L to kwRanks.length).toSeq)
+  }
+
   test("rrfFuse rejects a member list deeper than the documented bound") {
     import spark.implicits._
     // a "keyword list" violating the ≤topK contract: ranks run past
