@@ -124,6 +124,33 @@ class Bm25DeleteSpec extends SparkTestBase {
       sortedRows(s"$rebuilt/lists", "term", "doc_id", "dl", "tf"))
   }
 
+  test("deleting every doc leaves a servable empty index: no posting " +
+      "survives the anti-join, df is empty, stats read zero") {
+    val base = java.nio.file.Files
+      .createTempDirectory("bm25deleteall").toString
+    val path = s"$base/idx"
+    TextQueries.buildPostings(spark, docsDf(corpus), path)
+    TextQueries.postingsDelete(spark, idsDf(corpus.map(_._1).toSet), path)
+    val allTerms = corpus.flatMap(_._2.split(" ")).distinct
+    assert(TextQueries.servedLists(spark, path, allTerms).count() === 0L)
+    assert(spark.read.parquet(s"$path/df").count() === 0L)
+    val st = spark.read.parquet(s"$path/stats")
+      .select("n_docs_l", "sum_dl").head()
+    assert(st.getLong(0) === 0L && st.getLong(1) === 0L)
+    // serving the empty index is well-formed: zero rows, right schema
+    val served = TextQueries.bm25TopK(
+      TextQueries.servedLists(spark, path, Seq("spark")),
+      spark.read.parquet(s"$path/df"),
+      spark.read.parquet(s"$path/stats"))
+    assert(served.columns.toSeq ===
+      Seq("rnk", "doc_id", "n_terms", "score"))
+    assert(served.count() === 0L)
+    // and compaction of the fully-deleted layout is clean
+    TextQueries.postingsCompact(spark, path)
+    assert(spark.read.parquet(s"$path/lists").count() === 0L)
+    assert(!Layout.dirExists(spark, s"$path/tombstones"))
+  }
+
   test("served top-k over the tombstoned sf0.001 layout matches a " +
       "rebuild over the survivors") {
     val d = "/root/testdata/sf0.001"
