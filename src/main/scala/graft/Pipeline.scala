@@ -61,9 +61,11 @@ object Pipeline {
     *    capture the reference gets by running tables one at a time.
     *
     * Each timeout is measured from when that table's result is awaited
-    * (awaits run in submission order, so a table's own work has had at
-    * least `perTableTimeout` on the clock by the time it is declared
-    * dead). */
+    * (awaits run in submission order). A table that never got a pool
+    * slot — e.g. every slot wedged in non-interruptible I/O that
+    * `cancel(true)` cannot free — is reported as "never started", not
+    * "timeout": the failure rows distinguish the wedged tables from
+    * the merely starved ones so the operator chases the right ones. */
   def update(spark: SparkSession, tables: Seq[(TableDef, String)],
       outDir: String, parallelism: Int = 8,
       perTableTimeout: scala.concurrent.duration.FiniteDuration =
@@ -86,16 +88,23 @@ object Pipeline {
         FileMetrics(table, 0L, 0L, 0L, 0L, Some(why)))
     try {
       val futures = tables.map { case (t, path) =>
-        t.name -> pool.submit(new Callable[TableResult] {
-          def call(): TableResult = updateTable(spark, t, path, outDir)
-        })
+        val started = new java.util.concurrent.atomic.AtomicBoolean(false)
+        (t.name, started, pool.submit(new Callable[TableResult] {
+          def call(): TableResult = {
+            started.set(true)
+            updateTable(spark, t, path, outDir)
+          }
+        }))
       }
-      futures.map { case (name, f) =>
+      futures.map { case (name, started, f) =>
         try f.get(perTableTimeout.toMillis, TimeUnit.MILLISECONDS)
         catch {
           case _: TimeoutException =>
             f.cancel(true)
-            failed(name, s"timeout after $perTableTimeout")
+            failed(name,
+              if (started.get) s"timeout after $perTableTimeout"
+              else s"never started within $perTableTimeout — pool " +
+                "slots held by earlier tables")
           case e: ExecutionException =>
             failed(name,
               Option(e.getCause).getOrElse(e).toString.take(500))

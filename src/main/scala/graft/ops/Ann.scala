@@ -233,6 +233,8 @@ object Ann {
       idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
     appendSchemaGate(spark, s"$path/assigned", newVectors, idCol, embCol,
       "Ann.append")
+    appendTombstoneGate(spark, path, newVectors.select(col(idCol)),
+      idCol, "Ann.append")
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("centroid_id").cast(LongType), col("centroid_emb"))
       .collect()
@@ -241,15 +243,25 @@ object Ann {
       .write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
   }
 
-  /** The delete-tombstone segment of a persisted IVF layout, if one
-    * exists — ids removed since the last [[compact]]. Bounded by
-    * construction: deletes accumulate only between compactions, so the
-    * segment stays broadcast-sized like the centroid table. */
-  private def tombstonesOpt(spark: SparkSession, path: String)
-      : Option[DataFrame] =
-    if (Layout.dirExists(spark, s"$path/tombstones"))
-      Some(spark.read.parquet(s"$path/tombstones"))
-    else None
+  /** Refuse an append batch that intersects the layout's live
+    * tombstones (shared by [[append]], [[Ivfpq.append]], and
+    * `postingsAppend`): re-adding a deleted id without compacting
+    * first would land rows (and, for the text index, count them into
+    * df/stats) that the tombstone anti-join silently removes from
+    * every served plan — statistics counting a document no query can
+    * return. The documented "compact first" contract is enforced
+    * mechanically here: the check is a bounded semi-join against the
+    * broadcast segment, and the error names the fix. */
+  private[ops] def appendTombstoneGate(spark: SparkSession, path: String,
+      batchIds: DataFrame, idCol: String, caller: String): Unit =
+    Layout.tombstonesOpt(spark, path).foreach { t =>
+      val clash = batchIds
+        .join(broadcast(t.toDF(idCol)), Seq(idCol), "left_semi")
+        .limit(1).count()
+      require(clash == 0L,
+        s"$caller: batch contains tombstoned ids — run the layout's " +
+          "compact to fold deletes in before re-adding deleted ids")
+    }
 
   /** DELETE from a persisted IVF index — `postingsDelete`'s vector twin,
     * completing the maintenance lifecycle (build → append → DELETE →
@@ -273,7 +285,7 @@ object Ann {
     // materialize before the segment write: the anti-join against the
     // tombstone segment is lazy and must not re-read the segment after
     // the new ids land in it (the postingsDelete discipline)
-    val fresh = tombstonesOpt(spark, path)
+    val fresh = Layout.tombstonesOpt(spark, path)
       .map(t => batch.join(broadcast(t), Seq(idCol), "left_anti"))
       .getOrElse(batch)
       .localCheckpoint(true)
@@ -282,20 +294,13 @@ object Ann {
   }
 
   /** Fold accumulated tombstones into the cell-partitioned layout for
-    * real: rewrite `assigned` minus the tombstoned ids (stage + swap —
-    * the shared [[Layout.replaceDir]] crash-recovery contract, cell
-    * partitioning preserved so pruning is unchanged), then drop the
-    * segment. Crash between swap and segment drop just re-runs an
-    * anti-join that matches nothing — idempotent. No-op when no
-    * tombstones exist. */
+    * real — the shared [[Layout.dropTombstoned]] contract (stage + swap
+    * with cell partitioning preserved, segment dropped LAST so a crash
+    * in between re-runs an idempotent no-match anti-join). No-op when
+    * no tombstones exist. */
   def compact(spark: SparkSession, path: String): Unit =
-    tombstonesOpt(spark, path).foreach { t =>
-      val assigned = spark.read.parquet(s"$path/assigned")
-      Layout.replaceDir(spark,
-        assigned.join(broadcast(t), t.columns.toSeq, "left_anti"),
-        s"$path/assigned", partitionCols = Seq("cell"))
-      Layout.deleteDir(spark, s"$path/tombstones")
-    }
+    Layout.dropTombstoned(spark, s"$path/assigned", path,
+      partitionCols = Seq("cell"))
 
   /** Cell-occupancy skew statistic — max/mean resident count over the
     * index's cells — the retrain trigger for a grown index:
@@ -367,21 +372,18 @@ object Ann {
 
   /** Load a saved index; `query` on it prunes to the probed cells. When
     * a delete-tombstone segment exists, the served rows anti-join it
-    * (broadcast; the cell restriction still pushes below the join), so
-    * every search path — query / knnJoin / serveBatch — observes the
-    * deletes without any of them knowing the segment exists. */
-  def load(spark: SparkSession, path: String): IvfIndex = {
-    val assigned = spark.read.parquet(s"$path/assigned")
-    val served = tombstonesOpt(spark, path)
-      .map(t => assigned.join(broadcast(t), t.columns.toSeq, "left_anti"))
-      .getOrElse(assigned)
+    * ([[Layout.minusTombstones]] — broadcast; the cell restriction
+    * still pushes below the join), so every search path — query /
+    * knnJoin / serveBatch — observes the deletes without any of them
+    * knowing the segment exists. */
+  def load(spark: SparkSession, path: String): IvfIndex =
     IvfIndex(
       spark.read.parquet(s"$path/centroids")
         .select(col("centroid_id").cast(LongType), col("centroid_emb"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq,
-      served)
-  }
+      Layout.minusTombstones(spark,
+        spark.read.parquet(s"$path/assigned"), path))
 
   /** Top-k neighbors of `probeId` searching only the nProbe nearest
     * cells. Cell ranking happens on the driver (centroids are local);

@@ -103,13 +103,9 @@ object Ivfpq {
   def load(spark: SparkSession, path: String): IvfPqIndex = {
     val cents = loadCentroids(spark, path)
     val books = loadBooks(spark, path)
-    val encoded = spark.read.parquet(s"$path/encoded")
-    val served =
-      if (Layout.dirExists(spark, s"$path/tombstones")) {
-        val t = spark.read.parquet(s"$path/tombstones")
-        encoded.join(broadcast(t), t.columns.toSeq, "left_anti")
-      } else encoded
-    IvfPqIndex(cents, books.length, books.head.head.length, books, served)
+    IvfPqIndex(cents, books.length, books.head.head.length, books,
+      Layout.minusTombstones(spark,
+        spark.read.parquet(s"$path/encoded"), path))
   }
 
   /** DELETE from a persisted IVF-PQ index — the same tombstone segment
@@ -129,16 +125,11 @@ object Ivfpq {
     Ann.delete(spark, path, ids, idCol)
 
   /** Fold accumulated tombstones into the compressed layout for real —
-    * [[Ann.compact]]'s IVF-PQ twin over the `encoded` directory. */
+    * [[Ann.compact]]'s IVF-PQ twin over the `encoded` directory (the
+    * shared [[Layout.dropTombstoned]] contract). */
   def compact(spark: SparkSession, path: String): Unit =
-    if (Layout.dirExists(spark, s"$path/tombstones")) {
-      val t = spark.read.parquet(s"$path/tombstones")
-      Layout.replaceDir(spark,
-        spark.read.parquet(s"$path/encoded")
-          .join(broadcast(t), t.columns.toSeq, "left_anti"),
-        s"$path/encoded", partitionCols = Seq("cell"))
-      Layout.deleteDir(spark, s"$path/tombstones")
-    }
+    Layout.dropTombstoned(spark, s"$path/encoded", path,
+      partitionCols = Seq("cell"))
 
   /** Incremental maintenance of a persisted IVF-PQ index — the
     * compressed twin of [[Ann.append]] (grow between retrains): new
@@ -165,6 +156,8 @@ object Ivfpq {
       idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
     Ann.appendSchemaGate(spark, s"$path/encoded", newVectors, idCol,
       embCol, "Ivfpq.append")
+    Ann.appendTombstoneGate(spark, path, newVectors.select(col(idCol)),
+      idCol, "Ivfpq.append")
     val cents = loadCentroids(spark, path)
     val books = loadBooks(spark, path)
     Ann.assign(newVectors, cents, idCol, embCol)

@@ -53,6 +53,45 @@ private[ops] object Layout {
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** The delete-tombstone segment of a persisted layout, if one exists
+    * — ids removed since the last compaction. Bounded by construction:
+    * deletes accumulate only between compactions, which fold them into
+    * the data for real, so the segment stays a broadcast-sized side
+    * table. ONE definition behind every index's serving path (postings,
+    * IVF, IVF-PQ) so the crash-recovery-sensitive pattern cannot fork. */
+  def tombstonesOpt(s: SparkSession, path: String): Option[DataFrame] =
+    if (dirExists(s, s"$path/tombstones"))
+      Some(s.read.parquet(s"$path/tombstones"))
+    else None
+
+  /** Serve `df` minus the layout's tombstoned ids: broadcast anti-join
+    * on the tombstone segment's own columns when one exists, `df`
+    * untouched otherwise (a never-deleted layout pays only the
+    * directory-existence probe). Pushed filters on `df`'s scan — term
+    * restrictions, cell partition pruning — stay below the join. */
+  def minusTombstones(s: SparkSession, df: DataFrame, path: String)
+      : DataFrame =
+    tombstonesOpt(s, path).map { t =>
+      import org.apache.spark.sql.functions.broadcast
+      df.join(broadcast(t), t.columns.toSeq, "left_anti")
+    }.getOrElse(df)
+
+  /** Fold accumulated tombstones into a layout's data directory for
+    * real: rewrite `dataDir` minus the tombstoned ids (stage + swap,
+    * partitioning preserved), then drop the segment LAST — a crash
+    * between the swap and the drop just re-runs an anti-join that
+    * matches nothing (idempotent). No-op when no tombstones exist. */
+  def dropTombstoned(s: SparkSession, dataDir: String, path: String,
+      partitionCols: Seq[String] = Nil): Unit =
+    tombstonesOpt(s, path).foreach { t =>
+      import org.apache.spark.sql.functions.broadcast
+      replaceDir(s,
+        s.read.parquet(dataDir)
+          .join(broadcast(t), t.columns.toSeq, "left_anti"),
+        dataDir, partitionCols)
+      deleteDir(s, s"$path/tombstones")
+    }
+
   /** Recursively drop a layout directory (tombstone segment cleanup
     * after a compaction folds the deletes in). */
   def deleteDir(s: SparkSession, dir: String): Unit = {

@@ -931,6 +931,11 @@ object TextQueries {
     val nw = proj.agg(count(lit(1)).as("n"),
       coalesce(sum(col("dl")), lit(0L)).as("sd")).head()
     if (nw.getLong(0) == 0L) return
+    // mechanical "compact first" contract: a batch re-adding a
+    // tombstoned doc id is refused by name — its rows would be counted
+    // into df/stats yet anti-joined out of every served plan
+    Ann.appendTombstoneGate(s, path, proj.select(col("doc_id")),
+      "doc_id", "postingsAppend")
     val lists = postingRows(proj)
     lists.repartitionByRange(8, col("term"))
       .sortWithinPartitions("term")
@@ -968,47 +973,58 @@ object TextQueries {
     * compaction at warehouse scale. */
   def postingsCompact(s: org.apache.spark.sql.SparkSession, path: String,
       nFiles: Int = 8): Unit = {
-    val lists = s.read.parquet(s"$path/lists")
-    val survivors = tombstonesOpt(s, path)
-      .map(t => lists.join(broadcast(t), Seq("doc_id"), "left_anti"))
-      .getOrElse(lists)
+    val survivors = Layout.minusTombstones(s,
+      s.read.parquet(s"$path/lists"), path)
     replaceDir(s,
       survivors
         .repartitionByRange(nFiles, col("term"))
         .sortWithinPartitions("term"),
       s"$path/lists")
+    // REPAIR path: recompute df/stats from the compacted lists rather
+    // than trusting the delete-time algebraic subtraction — a crash
+    // between a delete's tombstone commit and its side-table swaps
+    // leaves df/stats stale with NO replay (the re-delivered batch is
+    // a no-op precisely because the ids are already tombstoned), so
+    // compaction is where any such drift is healed from ground truth.
+    // Identical arithmetic to buildPostings' side tables (counts, and
+    // the same single double division for avgdl), so on an undrifted
+    // layout the rewrite is value-identical.
+    val compacted = s.read.parquet(s"$path/lists")
+    replaceDir(s, compacted.groupBy(col("term"))
+      .agg(count(lit(1)).cast(DoubleType).as("df")), s"$path/df")
+    val st = compacted.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("sd")).head()
+    val (n, sd) = (st.getLong(0), st.getLong(1))
+    import s.implicits._
+    replaceDir(s,
+      Seq((n.toDouble, if (n == 0L) 0.0 else sd.toDouble / n, sd, n))
+        .toDF("n_docs", "avgdl", "sum_dl", "n_docs_l"),
+      s"$path/stats")
     // tombstoned postings are now physically gone — drop the segment
-    // AFTER the swap: a crash in between just re-runs the (idempotent)
-    // anti-join against rows that no longer match anything
+    // LAST: a crash anywhere above just re-runs the (idempotent)
+    // anti-join + recompute on the next attempt
     Layout.deleteDir(s, s"$path/tombstones")
   }
 
-  /** The delete-tombstone segment of a postings layout, if one exists —
-    * doc ids removed since the last compaction. Bounded by construction:
-    * deletes accumulate only between compactions, which fold them into
-    * the lists for real ([[postingsCompact]]), so the segment stays a
-    * broadcast-sized side table the way the df/stats tables do. */
+  /** The delete-tombstone segment of a postings layout, if one exists
+    * — the shared [[Layout.tombstonesOpt]] contract. */
   private[ops] def tombstonesOpt(s: org.apache.spark.sql.SparkSession,
       path: String): Option[org.apache.spark.sql.DataFrame] =
-    if (Layout.dirExists(s, s"$path/tombstones"))
-      Some(s.read.parquet(s"$path/tombstones"))
-    else None
+    Layout.tombstonesOpt(s, path)
 
   /** The ONE posting-list read behind every serving path: pushed
     * `In(term,…)` restriction against the term-sorted layout, then the
-    * tombstone anti-join when a delete segment exists (broadcast — the
-    * segment is bounded between compactions; Catalyst still pushes the
-    * term filter below the join, so the scan shape is unchanged). A
-    * layout that has never seen a delete pays only a directory-existence
-    * probe. */
+    * tombstone anti-join when a delete segment exists
+    * ([[Layout.minusTombstones]] — broadcast, bounded between
+    * compactions; Catalyst still pushes the term filter below the
+    * join, so the scan shape is unchanged). A layout that has never
+    * seen a delete pays only a directory-existence probe. */
   private[graft] def servedLists(s: org.apache.spark.sql.SparkSession,
-      path: String, terms: Seq[String]): org.apache.spark.sql.DataFrame = {
-    val lists = s.read.parquet(s"$path/lists")
-      .where(col("term").isin(terms: _*))
-    tombstonesOpt(s, path)
-      .map(t => lists.join(broadcast(t), Seq("doc_id"), "left_anti"))
-      .getOrElse(lists)
-  }
+      path: String, terms: Seq[String]): org.apache.spark.sql.DataFrame =
+    Layout.minusTombstones(s,
+      s.read.parquet(s"$path/lists").where(col("term").isin(terms: _*)),
+      path)
 
   /** DELETE from a persisted BM25 index — the takedown/dedup-removal
     * path that completes the maintenance lifecycle (build → append →
@@ -1032,17 +1048,19 @@ object TextQueries {
     * what `bm25_serve_delete`'s oracle hash-verifies.
     *
     * Ordering is takedown-first: tombstones commit BEFORE the df/stats
-    * swaps, so a crash mid-delete can leave slightly stale statistics
-    * but can never keep serving deleted content. Ids already tombstoned
-    * are excluded up front (re-delivery of a delete batch is a no-op —
-    * the df/stats subtraction can never double-fire), and ids absent
-    * from the index subtract nothing. Same offline-maintenance
+    * swaps, so a crash mid-delete can leave stale statistics but can
+    * never keep serving deleted content. The stale-stats window is NOT
+    * healed by replay — a re-delivered batch is deliberately a no-op
+    * (ids already tombstoned ⇒ the subtraction can never double-fire)
+    * — it is healed by the NEXT [[postingsCompact]], which recomputes
+    * df/stats from the surviving lists as ground truth; a deployment
+    * that crashes mid-delete runs compact before resuming serving,
+    * exactly as it would after any interrupted maintenance op. Ids
+    * absent from the index subtract nothing. Same offline-maintenance
     * consistency contract as [[postingsAppend]]. RE-ADDING a deleted
     * doc id via [[postingsAppend]] requires a [[postingsCompact]]
-    * first: the append would land rows and count them into df/stats,
-    * but the live tombstone would still anti-join them out of every
-    * served plan — the same re-add contract as `Ivfpq.delete`
-    * documents. */
+    * first — enforced mechanically by the append paths' shared
+    * tombstone gate ([[Ann.appendTombstoneGate]]). */
   def postingsDelete(s: org.apache.spark.sql.SparkSession,
       docIds: org.apache.spark.sql.DataFrame, path: String): Unit = {
     val ids = docIds.select(col("doc_id").cast(LongType)).distinct()

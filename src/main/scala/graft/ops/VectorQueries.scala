@@ -568,6 +568,13 @@ object VectorQueries {
     * into few cells reads ≫ 1.5). */
   private[ops] val RetrainSkewCeiling = 1.5
 
+  /** The memo value's boolean is `refit_ok`: TRUE iff the trigger was
+    * honored AND, when it fired, the retrain VERIFIABLY rewrote the
+    * quantizer (the loaded centroid table changed) — an independent
+    * observation of the refit's effect, not a restatement of the
+    * trigger predicate, so a regression that drops the retrain call or
+    * mis-wires the threshold turns the entry's gate false instead of
+    * passing vacuously. */
   private def retrainedIvfPath(s: org.apache.spark.sql.SparkSession,
       d: String, k: Int): (String, Double, Double, Boolean) =
     graft.BuildOnce.memo(ivfRetrained, (d, k)) {
@@ -576,11 +583,14 @@ object VectorQueries {
       val e = Tables.embeddings(s, d)
       Ann.save(Ann.build(e.where(col("vec_id") < 32), k = k), path)
       Ann.append(s, path, e.where(col("vec_id") >= 32))
-      val pre = Ann.cellSkew(Ann.load(s, path))
-      val fired = pre > RetrainMaxSkew
+      val preIdx = Ann.load(s, path)
+      val pre = Ann.cellSkew(preIdx)
+      val fired = Ann.needsRetrain(preIdx, RetrainMaxSkew)
       if (fired) Ann.retrain(s, path, iters = 2)
-      val post = Ann.cellSkew(Ann.load(s, path))
-      (path, pre, post, fired)
+      val postIdx = Ann.load(s, path)
+      val post = Ann.cellSkew(postIdx)
+      val refitOk = !fired || postIdx.centroids != preIdx.centroids
+      (path, pre, post, refitOk)
     }
 
   /** The RETRAIN leg of the ANN maintenance lifecycle, driver-verified:
@@ -597,17 +607,18 @@ object VectorQueries {
     * Gate discipline: the hash anchor is the brute-force top-5
     * (retrain changes the index layout, never the true neighbors) with
     * the `recall_ok` ≥ 3/5 boolean proving the refit still serves, and
-    * one `skew_ok` boolean — the trigger fired whenever the measured
-    * skew demanded it AND post-retrain occupancy sits under
-    * [[RetrainSkewCeiling]] — which the oracle asserts TRUE. Both
-    * booleans are deterministic: occupancy is a pure function of the
-    * data and the seeded, tie-broken Lloyd path. */
+    * one `skew_ok` boolean the oracle asserts TRUE: when the trigger
+    * fired, the retrain VERIFIABLY rewrote the quantizer (the loaded
+    * centroid table changed — an independent observation, not a
+    * restatement of the trigger predicate), AND post-retrain occupancy
+    * sits under [[RetrainSkewCeiling]]. Both booleans are
+    * deterministic: occupancy is a pure function of the data and the
+    * seeded, tie-broken Lloyd path. */
   val simIvfRetrain = GQuery(
     "sim_ivf_retrain",
     (s, d) => {
-      val (path, pre, post, fired) = retrainedIvfPath(s, d, k = 8)
-      val skewOk = (!(pre > RetrainMaxSkew) || fired) &&
-        post < RetrainSkewCeiling
+      val (path, _, post, refitOk) = retrainedIvfPath(s, d, k = 8)
+      val skewOk = refitOk && post < RetrainSkewCeiling
       recallAnchored(s, d,
         Ann.query(Ann.load(s, path), probeId = 0, topK = IvfTopK,
           nProbe = 3),

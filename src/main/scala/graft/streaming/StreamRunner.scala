@@ -471,9 +471,15 @@ object StreamRunner {
     * nothing — the df/stats subtraction can never double-fire and the
     * segment never holds a duplicate — which is precisely the
     * idempotent-re-execution property `Bm25DeleteSpec`/`AnnDeleteSpec`
-    * pin for re-delivered batches. Expects a streaming `doc_id: long`
-    * column; doc_id ≡ vec_id across the paired layouts (the corpus
-    * convention). */
+    * pin for re-delivered batches. The flip side of replay-as-no-op:
+    * a worker crash BETWEEN a batch's tombstone commit and its
+    * df/stats swaps leaves the text index's statistics stale with no
+    * replay to fix them (content removal itself is already durable) —
+    * recovery is `postingsCompact`, which recomputes df/stats from the
+    * surviving lists as ground truth; run it before resuming serving
+    * after a mid-batch crash, as after any interrupted maintenance op.
+    * Expects a streaming `doc_id: long` column; doc_id ≡ vec_id across
+    * the paired layouts (the corpus convention). */
   def takedownStream(postingsPath: String, doomedIds: DataFrame,
       ivfPath: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =

@@ -7,9 +7,13 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
 import org.apache.spark.sql.execution.window.WindowExec
 
 /** Registry-wide mechanical plan audit: build EVERY registry query's
-  * physical plan (planning only — nothing executes) and flag the
-  * scale-killers a per-query eyeball audit can miss once the registry
-  * is large:
+  * physical plan and flag the scale-killers a per-query eyeball audit
+  * can miss once the registry is large. NOT free: entry BUILDERS run
+  * — the per-process memoized index builds, delete/retrain layouts,
+  * and bounded driver steps (`head()`/`collect()`) all execute while
+  * the frame is constructed, so a lint pass costs roughly one cold
+  * battery's build phase; run it at sf0.001 (the default), not at a
+  * bench scale. Only the FINAL query job is never submitted. Flags:
   *
   *  - [[CartesianProductExec]] — an unbounded cross join is never
   *    acceptable in this registry (the bounded 1-row crosses compile

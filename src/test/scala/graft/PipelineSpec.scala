@@ -121,7 +121,10 @@ class PipelineSpec extends SparkTestBase {
     val results = Pipeline.update(spark,
       Seq(Schemas.lookupCodesCd.copy(name = "slow") -> p), out,
       perTableTimeout = 1.nanosecond)
-    assert(results.head.metrics.failure.exists(_.contains("timeout")))
+    // either attribution is correct at a 1 ns budget: the task may or
+    // may not have claimed its pool slot before the await gave up
+    assert(results.head.metrics.failure.exists(m =>
+      m.contains("timeout") || m.contains("never started")))
     assert(!Pipeline.verify(results))
   }
 
