@@ -70,6 +70,20 @@ class AnnDeleteSpec extends SparkTestBase {
     assert(served.size === emb.count() - doomed.size)
   }
 
+  test("append refuses a batch that re-adds a tombstoned id until " +
+      "compact folds the delete in") {
+    val path = freshDeletedPath("readd")
+    val readd = emb.where(col("vec_id") === 2L) // 2 % 5 == 2: doomed
+    val e = intercept[IllegalArgumentException] {
+      Ann.append(spark, path, readd)
+    }
+    assert(e.getMessage.contains("tombstoned"))
+    Ann.compact(spark, path)
+    Ann.append(spark, path, readd)
+    assert(Ann.load(spark, path).assigned
+      .filter(col("vec_id") === 2L).count() === 1L)
+  }
+
   test("compact drops rows physically, clears the segment, and " +
       "preserves every served answer") {
     val path = freshDeletedPath("compact")

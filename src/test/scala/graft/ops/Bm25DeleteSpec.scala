@@ -124,6 +124,55 @@ class Bm25DeleteSpec extends SparkTestBase {
       sortedRows(s"$rebuilt/lists", "term", "doc_id", "dl", "tf"))
   }
 
+  test("append refuses a batch that re-adds a tombstoned doc id") {
+    val base = java.nio.file.Files
+      .createTempDirectory("bm25readd").toString
+    val path = s"$base/idx"
+    TextQueries.buildPostings(spark, docsDf(corpus), path)
+    TextQueries.postingsDelete(spark, idsDf(Set(2L)), path)
+    val e = intercept[IllegalArgumentException] {
+      TextQueries.postingsAppend(spark,
+        docsDf(Seq(2L -> "corrected text", 100L -> "fresh doc")), path)
+    }
+    assert(e.getMessage.contains("tombstoned"))
+    // after compaction the re-add is legal and lands normally
+    TextQueries.postingsCompact(spark, path)
+    TextQueries.postingsAppend(spark,
+      docsDf(Seq(2L -> "corrected text", 100L -> "fresh doc")), path)
+    val served = TextQueries.servedLists(spark, path, Seq("corrected"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(served === Set(2L))
+  }
+
+  test("compaction heals side-table drift from a crash between the " +
+      "tombstone commit and the df/stats swaps") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("bm25heal").toString
+    val path = s"$base/idx"
+    val rebuilt = s"$base/rebuilt"
+    TextQueries.buildPostings(spark, docsDf(corpus), path)
+    // simulate the crash window: the tombstones landed but the
+    // algebraic df/stats subtraction never ran (stale statistics, and
+    // a re-delivered delete of these ids is deliberately a no-op)
+    doomed.toSeq.toDF("doc_id").coalesce(1)
+      .write.mode("append").parquet(s"$path/tombstones")
+    TextQueries.postingsDelete(spark, idsDf(doomed), path) // replay no-op
+    assert(sortedRows(s"$path/stats", "n_docs_l").head.head ===
+      corpus.size.toLong) // still stale — replay healed nothing
+    // compaction recomputes from the surviving lists as ground truth
+    TextQueries.postingsCompact(spark, path)
+    TextQueries.buildPostings(spark, docsDf(survivors), rebuilt)
+    assert(sortedRows(s"$path/df", "term", "df") ===
+      sortedRows(s"$rebuilt/df", "term", "df"))
+    assert(sortedRows(s"$path/stats", "n_docs", "avgdl", "sum_dl",
+      "n_docs_l") ===
+      sortedRows(s"$rebuilt/stats", "n_docs", "avgdl", "sum_dl",
+        "n_docs_l"))
+    assert(sortedRows(s"$path/lists", "term", "doc_id", "dl", "tf") ===
+      sortedRows(s"$rebuilt/lists", "term", "doc_id", "dl", "tf"))
+  }
+
   test("deleting every doc leaves a servable empty index: no posting " +
       "survives the anti-join, df is empty, stats read zero") {
     val base = java.nio.file.Files
