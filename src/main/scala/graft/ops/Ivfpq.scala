@@ -131,6 +131,43 @@ object Ivfpq {
     Layout.dropTombstoned(spark, s"$path/encoded", path,
       partitionCols = Seq("cell"))
 
+  /** RETRAIN a persisted IVF-PQ index in place — the refit
+    * [[append]]'s frozen-quantizer contract assumes exists, completing
+    * the compressed index's lifecycle (append → delete → compact →
+    * RETRAIN). Unlike `Ann.retrain`'s warm start, BOTH quantizers are
+    * refit from scratch over the current residents ([[build]] verbatim
+    * — product codebooks have no meaningful warm start in this k-means
+    * form, and the coarse re-seed costs one extra Lloyd pass at most),
+    * every resident is re-encoded once, and all four layout pieces
+    * swap under the shared [[Layout.replaceDir]] contract (encoded,
+    * centroids, books; tombstones cleared LAST — retrain subsumes
+    * [[compact]]). Same maintenance-window consistency contract as
+    * `Ann.retrain`: the swaps are not atomic as a unit. k/m/codes are
+    * taken from the saved layout, so the serving plan shape is
+    * unchanged — only the quantizer quality is refreshed. */
+  def retrain(spark: SparkSession, path: String, iters: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val idx = load(spark, path)   // tombstone-aware: refit the survivors
+    require(idx.centroids.nonEmpty,
+      s"Ivfpq.retrain: $path has no centroids")
+    val fresh = build(idx.encoded.select(col(idCol), col(embCol)),
+      k = idx.centroids.length, m = idx.m,
+      codes = idx.books.head.length, iters = iters,
+      idCol = idCol, embCol = embCol)
+    Layout.replaceDir(spark, fresh.encoded, s"$path/encoded",
+      partitionCols = Seq("cell"))
+    import spark.implicits._
+    Layout.replaceDir(spark,
+      fresh.centroids.toDF("centroid_id", "centroid_emb"),
+      s"$path/centroids")
+    Layout.replaceDir(spark,
+      fresh.books.zipWithIndex.flatMap { case (book, sub) =>
+        book.zipWithIndex.map { case (cent, code) => (sub, code, cent) }
+      }.toDF("sub", "code", "centroid"),
+      s"$path/books")
+    Layout.deleteDir(spark, s"$path/tombstones")
+  }
+
   /** Incremental maintenance of a persisted IVF-PQ index — the
     * compressed twin of [[Ann.append]] (grow between retrains): new
     * vectors are cell-assigned against the FROZEN coarse centroids and

@@ -640,6 +640,76 @@ object VectorQueries {
       ORDER BY rnk
     """))
 
+  /** Retrain roundtrip for the COMPRESSED index per (sfDir, k, m) —
+    * `sim_ivf_retrain`'s IVF-PQ twin: worst warm-up (32 seed vectors
+    * train BOTH quantizers), everything else appended against the
+    * frozen pair, the same skew trigger, then `Ivfpq.retrain` refits
+    * coarse centroids AND product codebooks over the full residents.
+    * The memo boolean is refit_ok: the trigger honored and, when
+    * fired, the refit VERIFIABLY rewrote at least one quantizer
+    * (centroids or codebooks changed — independent observation, the
+    * `sim_ivf_retrain` discipline). */
+  private val ivfpqRetrained = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Int), (String, Double, Double, Boolean)]
+
+  private def retrainedIvfpqPath(s: org.apache.spark.sql.SparkSession,
+      d: String, k: Int, m: Int): (String, Double, Double, Boolean) =
+    graft.BuildOnce.memo(ivfpqRetrained, (d, k, m)) {
+      val path = s"${graft.GraftSession.scratchDir}/ivfpq_rt_" +
+        d.replaceAll("[^A-Za-z0-9]", "_") + s"_k${k}_m$m"
+      val e = Tables.embeddings(s, d)
+      Ivfpq.save(Ivfpq.build(e.where(col("vec_id") < 32), k = k, m = m,
+        codes = 16), path)
+      Ivfpq.append(s, path, e.where(col("vec_id") >= 32))
+      val preIdx = Ivfpq.load(s, path)
+      val pre = Ann.cellSkew(Ann.IvfIndex(preIdx.centroids,
+        preIdx.encoded))
+      val fired = pre > RetrainMaxSkew
+      if (fired) Ivfpq.retrain(s, path, iters = 2)
+      val postIdx = Ivfpq.load(s, path)
+      val post = Ann.cellSkew(Ann.IvfIndex(postIdx.centroids,
+        postIdx.encoded))
+      val refitOk = !fired || postIdx.centroids != preIdx.centroids ||
+        postIdx.books != preIdx.books
+      (path, pre, post, refitOk)
+    }
+
+  /** The RETRAIN leg for the compressed serving index, driver-verified
+    * — closes the maintenance lifecycle (append → delete → compact →
+    * retrain) across BOTH vector index forms: after growing from the
+    * worst warm-up, `Ivfpq.retrain` refits coarse centroids AND
+    * product codebooks over the residents and the probe then runs the
+    * standard two-phase search off the refit layout. Same gates as
+    * `sim_ivf_retrain`: brute-force hash anchor + recall ≥ 3/5, plus
+    * the deterministic `skew_ok` (refit verifiably happened when the
+    * trigger fired; post-refit occupancy under the ceiling). */
+  val simIvfpqRetrain = GQuery(
+    "sim_ivfpq_retrain",
+    (s, d) => {
+      val (path, _, post, refitOk) = retrainedIvfpqPath(s, d, k = 8, m = 4)
+      val skewOk = refitOk && post < RetrainSkewCeiling
+      recallAnchored(s, d,
+        Ivfpq.search(Ivfpq.load(s, path), probeId = 0,
+          topK = IvfTopK, nProbe = 3,
+          shortlist = shortlistFor(embCount(s, d))),
+        topK = IvfTopK, minHits = 3)
+        .withColumn("skew_ok", lit(skewOk))
+    },
+    Some(s"""
+      WITH probe AS (SELECT embedding AS probe_emb FROM embeddings WHERE vec_id = 0),
+      sims AS (
+        SELECT e.vec_id AS neighbor_id,
+               list_cosine_similarity(e.embedding, p.probe_emb) AS sim
+        FROM embeddings e, probe p
+        WHERE e.vec_id <> 0)
+      SELECT rnk, neighbor_id, TRUE AS recall_ok, TRUE AS skew_ok
+      FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk,
+                   neighbor_id
+            FROM sims)
+      WHERE rnk <= $IvfTopK
+      ORDER BY rnk
+    """))
+
   private val ivfpqAppended =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Int), String]
 
@@ -1198,7 +1268,8 @@ object VectorQueries {
   def all: Seq[GQuery] =
     Seq(vecNorm, simTopk, simBucketed, simPairs, dedupEmbed,
       dedupEmbedCluster, simIvf, simIvfLoaded, simFiltered, simIvfAppend,
-      simIvfDelete, simIvfRetrain, simIvfpqAppend, simIvfpqDelete, simServe,
+      simIvfDelete, simIvfRetrain, simIvfpqAppend, simIvfpqDelete,
+      simIvfpqRetrain, simServe,
       simPq, simIvfpq, simIvfpqLoaded, knnJoin, knnJoinPq, deconSemantic,
       embedQuantize, simTopkBatch)
 }

@@ -54,6 +54,39 @@ class AnnRetrainSpec extends SparkTestBase {
     assert(served.size === emb.count() - doomedIds.size)
   }
 
+  test("Ivfpq.retrain refits both quantizers, keeps full-probe " +
+      "full-shortlist exactness, and subsumes pending deletes") {
+    val path = s"${graft.GraftSession.scratchDir}/ivfpq_retrain_main"
+    Ivfpq.save(Ivfpq.build(emb.where(col("vec_id") < 32), k = 4, m = 4,
+      codes = 16), path)
+    Ivfpq.append(spark, path, emb.where(col("vec_id") >= 32))
+    val before = Ivfpq.load(spark, path)
+    val doomed = emb.where(pmod(col("vec_id"), lit(5)) === 2)
+    Ivfpq.delete(spark, path, doomed.select("vec_id"))
+    Ivfpq.retrain(spark, path, iters = 2)
+    assert(!Layout.dirExists(spark, s"$path/tombstones"))
+    val after = Ivfpq.load(spark, path)
+    // same layout parameters, refreshed quantizers
+    assert(after.m === before.m && after.dsub === before.dsub)
+    assert(after.books.length === before.books.length)
+    // tombstoned ids were refit away
+    val served = after.encoded.select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    val doomedIds = doomed.select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(served.intersect(doomedIds).isEmpty)
+    assert(served.size === emb.count() - doomedIds.size)
+    // exactness: full probe + full shortlist equals filtered brute
+    val full = Ivfpq.search(after, probeId = 0, topK = 5,
+      nProbe = after.centroids.length, shortlist = served.size)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSeq
+    val brute = VectorQueries.bruteTopK(spark, sf, 5,
+      Some(pmod(col("vec_id"), lit(5)) =!= 2))
+      .orderBy("rnk").select("neighbor_id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(full === brute)
+  }
+
   test("cellSkew counts empty cells and reads 1.0 on perfect balance") {
     import spark.implicits._
     val four = Seq(
