@@ -554,6 +554,99 @@ object DedupQueries {
       ORDER BY doc_id
     """))
 
+  /** Canonical-representative selection — the step AFTER clustering
+    * that corpus dedup actually ships: within each near-dup cluster
+    * keep the BEST document (here: longest `n_chars`, doc_id
+    * tie-break), not the arbitrary least-id one. Min-id survivorship
+    * (`dedup_cluster`) is the right label choice for the fixpoint loop
+    * but the wrong editorial choice for training data — near-dup
+    * clusters usually contain truncated/boilerplate variants of one
+    * good page, and quality-ranked selection keeps the good one.
+    *
+    * Shape: the transitive closure from [[graft.ops.Components]] (the
+    * scale path — LSH candidates, log-diameter label propagation), one
+    * doc_id join to pull the quality key, and a per-cluster `first`
+    * window ordered (quality desc, doc_id). The window partitions by
+    * cluster — cluster sizes are small by construction (near-dup
+    * groups), so no single-partition risk; at 100 TB this is one extra
+    * shuffle on the cluster label over rows already shuffled once by
+    * the components loop. The oracle recomputes the identical closure
+    * by recursive reachability plus the same FIRST_VALUE window, so
+    * the hash match pins both the clustering AND the argmax choice. */
+  val dedupKeepBest = GQuery(
+    "dedup_keep_best",
+    (s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+      val comp = Components.connected(
+          docs.select(col("doc_id")),
+          verifiedNearDupEdges(docs))
+        .select(col("id").as("doc_id"), col("component").as("cluster"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      comp.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+        .withColumn("keeper", first(col("doc_id")).over(w))
+        .select(col("doc_id"), col("cluster"), col("keeper"),
+          (col("doc_id") === col("keeper")).as("is_keeper"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH RECURSIVE dtoks AS (
+        SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id < 100),
+      sigs AS (
+        SELECT doc_id,
+               MIN(md5('0:' || tok)) AS s0, MIN(md5('1:' || tok)) AS s1,
+               MIN(md5('2:' || tok)) AS s2, MIN(md5('3:' || tok)) AS s3,
+               MIN(md5('4:' || tok)) AS s4, MIN(md5('5:' || tok)) AS s5,
+               MIN(md5('6:' || tok)) AS s6, MIN(md5('7:' || tok)) AS s7
+        FROM dtoks GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 0 AS band_idx, md5(s0 || s1) AS band_key FROM sigs
+        UNION ALL SELECT doc_id, 1, md5(s2 || s3) FROM sigs
+        UNION ALL SELECT doc_id, 2, md5(s4 || s5) FROM sigs
+        UNION ALL SELECT doc_id, 3, md5(s6 || s7) FROM sigs),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id),
+      tsets AS (
+        SELECT doc_id, list_distinct(str_split(text, ' ')) AS toks
+        FROM documents WHERE doc_id < 100),
+      edges AS (
+        SELECT ida, idb
+        FROM cand
+        JOIN tsets ta ON ta.doc_id = ida
+        JOIN tsets tb ON tb.doc_id = idb
+        WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
+              (len(ta.toks) + len(tb.toks)
+               - len(list_intersect(ta.toks, tb.toks))) >= 0.5),
+      esym AS (
+        SELECT ida AS src, idb AS dst FROM edges
+        UNION ALL
+        SELECT idb AS src, ida AS dst FROM edges),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents WHERE doc_id < 100
+        UNION
+        SELECT e.dst, reach.r
+        FROM reach JOIN esym e ON e.src = reach.id),
+      comp AS (
+        SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster
+        FROM reach
+        GROUP BY id)
+      SELECT c.doc_id, c.cluster,
+             FIRST_VALUE(c.doc_id) OVER (
+               PARTITION BY c.cluster
+               ORDER BY d.n_chars DESC, c.doc_id) AS keeper,
+             c.doc_id = FIRST_VALUE(c.doc_id) OVER (
+               PARTITION BY c.cluster
+               ORDER BY d.n_chars DESC, c.doc_id) AS is_keeper
+      FROM comp c
+      JOIN documents d ON d.doc_id = c.doc_id
+      ORDER BY c.doc_id
+    """))
+
   /** The streaming near-dup filter's BATCH twin, driver-visible (the
     * stream side stays spec-pinned in `StreamingSpec`): one LSH band key
     * per doc (bandRows=2 signature rows via `lshBandKey`), deterministic
@@ -683,6 +776,6 @@ object DedupQueries {
 
   def all: Seq[GQuery] =
     Seq(dedupMinhashSig, dedupMinhashLsh, dedupSimhash, dedupSimhashJoin,
-      dedupMinhashFast, dedupMinhashVerify, dedupCluster,
+      dedupMinhashFast, dedupMinhashVerify, dedupCluster, dedupKeepBest,
       nearDupFilterBatch, dedupBloom)
 }

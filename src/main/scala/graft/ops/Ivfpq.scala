@@ -207,9 +207,17 @@ object Ivfpq {
   /** Top-`topK` neighbors of `probeId`: driver-side cell routing (the
     * centroids are local, same tie-breaks as [[Ann.query]]), then the
     * two-phase pruned-compressed search described on the object. */
+  /** `candidateFilter`: optional predicate over the index's `encoded`
+    * columns, applied AFTER cell pruning and BEFORE the ADC shortlist —
+    * [[Ann.query]]'s filtered-search contract on the compressed index.
+    * Pre-filtering (not post-filtering the unfiltered top-k) means the
+    * result is the k best MATCHING vectors, and the ADC budget is spent
+    * only on rows the predicate admits. */
   def search(index: IvfPqIndex, probeId: Long, topK: Int, nProbe: Int,
       shortlist: Int, idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding",
+      candidateFilter: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     val probe: Seq[Double] = index.encoded
       .filter(col(idCol) === probeId)
       .select(transform(col(embCol), _.cast(DoubleType)))
@@ -225,9 +233,10 @@ object Ivfpq {
       .sortBy { case (cid, csim) => (-csim, cid) }
       .take(nProbe)
       .map(_._1)
-    val probed = index.encoded
-      .filter(col("cell").isin(cells: _*))
-      .filter(col(idCol) =!= probeId)
+    val probed = candidateFilter.foldLeft(
+      index.encoded
+        .filter(col("cell").isin(cells: _*))
+        .filter(col(idCol) =!= probeId))(_ filter _)
     // phase 1: compressed candidates — (id, codes) only
     val short = probed
       .select(col(idCol),

@@ -720,7 +720,7 @@ object TextQueries {
     * b = 0.75, +1-inside-ln IDF), decimal-rounded per the lm_perplexity
     * ln discipline — ONE definition behind the single-query forms and
     * the batched serving path. */
-  private def bm25ScoreTerm: Column =
+  private[ops] def bm25ScoreTerm: Column =
     round(
       log(lit(1.0) +
         (col("n_docs") - col("df") + lit(0.5)) /

@@ -1176,6 +1176,44 @@ object VectorQueries {
       topK = IvfTopK, minHits = 3),
     Some(ivfRecallOracle))
 
+  /** Query-time FILTERED search on the COMPRESSED index —
+    * `sim_filtered`'s semantics carried onto the IVF-PQ serving path,
+    * completing the (filter × {IVF, IVF-PQ}) matrix: the payload
+    * predicate applies after cell pruning and BEFORE the ADC shortlist
+    * ([[Ivfpq.search]]'s `candidateFilter`), so the compressed budget is
+    * spent only on matching rows and the result is the k best MATCHES —
+    * never the matching subset of an unfiltered shortlist (the classic
+    * filtered-ANN bug, same contract as the uncompressed path). The
+    * exact re-rank then reads true embeddings for ≤shortlist matching
+    * rows. Anchored against the FILTERED brute-force top-5 with the
+    * usual recall tolerance; `IvfpqSpec` pins the candidate-set
+    * semantics under full probing. */
+  val simIvfpqFiltered = GQuery(
+    "sim_ivfpq_filtered",
+    (s, d) => {
+      val pred = pmod(col("vec_id"), lit(3)) === 0
+      recallAnchored(s, d,
+        Ivfpq.search(Ivfpq.load(s, savedIvfpqPath(s, d, k = 8, m = 4)),
+          probeId = 0, topK = IvfTopK, nProbe = 3,
+          shortlist = shortlistFor(embCount(s, d)),
+          candidateFilter = Some(pred)),
+        IvfTopK, minHits = 3, extraFilter = Some(pred))
+    },
+    Some(s"""
+      WITH probe AS (SELECT embedding AS probe_emb FROM embeddings WHERE vec_id = 0),
+      sims AS (
+        SELECT e.vec_id AS neighbor_id,
+               list_cosine_similarity(e.embedding, p.probe_emb) AS sim
+        FROM embeddings e, probe p
+        WHERE e.vec_id <> 0 AND e.vec_id % 3 = 0)
+      SELECT rnk, neighbor_id, TRUE AS recall_ok
+      FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk,
+                   neighbor_id
+            FROM sims)
+      WHERE rnk <= $IvfTopK
+      ORDER BY rnk
+    """))
+
   /** Int8 max-abs quantization — the storage-compression pass an
     * embedding corpus runs before ANN serving (4× smaller than float32,
     * 8× smaller than the double intermediates). Pure narrow map over the
@@ -1270,6 +1308,7 @@ object VectorQueries {
       dedupEmbedCluster, simIvf, simIvfLoaded, simFiltered, simIvfAppend,
       simIvfDelete, simIvfRetrain, simIvfpqAppend, simIvfpqDelete,
       simIvfpqRetrain, simServe,
-      simPq, simIvfpq, simIvfpqLoaded, knnJoin, knnJoinPq, deconSemantic,
+      simPq, simIvfpq, simIvfpqLoaded, simIvfpqFiltered,
+      knnJoin, knnJoinPq, deconSemantic,
       embedQuantize, simTopkBatch)
 }

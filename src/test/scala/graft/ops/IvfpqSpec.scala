@@ -60,4 +60,39 @@ class IvfpqSpec extends SparkTestBase {
       s.contains("codes") && !s.contains("embedding")),
       s"no codes-only scan in:\n${readSchemas.mkString("\n")}")
   }
+
+  test("full-probe full-shortlist filtered search equals filtered brute") {
+    val index = Ivfpq.build(emb, k = 8, m = 4, codes = 16)
+    val pred = pmod(col("vec_id"), lit(3)) === 0
+    val filtered = Ivfpq.search(index, probeId = 0, topK = 10, nProbe = 8,
+        shortlist = n, candidateFilter = Some(pred))
+      .select("neighbor_id").collect().map(_.getLong(0)).toSeq
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), _.cast("double")))
+      .head().getSeq[Double](0).toSeq
+    val pnorm = math.sqrt(probe.map(x => x * x).sum)
+    val litProbe = array(probe.map(lit): _*)
+    val brute = emb.filter(col("vec_id") =!= 0).filter(pred)
+      .select(col("vec_id"),
+        (aggregate(zip_with(col("embedding"), litProbe,
+          (a, b) => a.cast("double") * b), lit(0.0), _ + _) /
+          (sqrt(aggregate(transform(col("embedding"),
+            x => x.cast("double") * x.cast("double")), lit(0.0), _ + _))
+            * lit(pnorm))).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10).select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(filtered === brute)
+  }
+
+  test("selective filters still return k matching results from ADC") {
+    // 1-in-50 predicate: the unfiltered shortlist would contain almost
+    // none of these ids — post-filtering would return ~0 rows
+    val index = Ivfpq.build(emb, k = 8, m = 4, codes = 16)
+    val pred = pmod(col("vec_id"), lit(50)) === 7
+    val out = Ivfpq.search(index, probeId = 0, topK = 5, nProbe = 8,
+        shortlist = n, candidateFilter = Some(pred))
+      .select("neighbor_id").collect().map(_.getLong(0)).toSeq
+    assert(out.size === 5)
+    out.foreach(id => assert(id % 50 === 7, s"non-matching id $id"))
+  }
 }
