@@ -1016,8 +1016,89 @@ object HybridQueries {
       ORDER BY rnk
     """))
 
+  /** PHRASE-constrained hybrid retrieval — the "quoted query plus
+    * semantic match" a real search box issues: the keyword tier is
+    * `phrase_rank` (only docs containing the exact phrase, BM25-ranked
+    * off the positional index — [[PhraseQueries]]), the vector tier is
+    * the cosine top-k, fused with the SAME [[rrfFuse]]. Phrase
+    * precision and semantic recall compose instead of competing: a doc
+    * with the exact phrase AND embedding proximity tops the fusion,
+    * while semantic-only matches still surface below it (full-outer
+    * fusion — the phrase constraint bounds the KEYWORD list, it does
+    * not censor the vector list). Both member lists are byte-identical
+    * to their own oracle-verified entries, so this entry hash-verifies
+    * exactly the fusion arithmetic over the phrase tier; corpus-scale
+    * work stays in the members (pushed positional reads, ANN pruning —
+    * fusion joins two ≤topK lists). */
+  val hybridPhrase = GQuery(
+    "hybrid_phrase",
+    (s, d) => rrfFuse(
+      PhraseQueries.phraseRank.fn(s, d)
+        .select(col("doc_id"), col("rnk").as("kw_rnk")),
+      vecExact(s, d)),
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, str_split(text, ' ') AS t,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents WHERE text IS NOT NULL),
+      stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+        FROM docs),
+      hits AS (
+        SELECT doc_id,
+               CAST(len(list_filter(range(1, len(t)), i ->
+                 t[i] = 'spark' AND t[i+1] = 'merge')) AS BIGINT) AS n_occ
+        FROM docs),
+      tf AS (
+        SELECT term, doc_id, dl, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(t) AS term FROM docs)
+        WHERE term IN ('spark', 'merge')
+        GROUP BY 1, 2, 3),
+      dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT tf.doc_id,
+               CAST(round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / s.avgdl))),
+                 4) AS DECIMAL(38,4)) AS score_term
+        FROM tf JOIN dfs d USING (term) CROSS JOIN stats s),
+      kwagg AS (
+        SELECT doc_id, CAST(SUM(score_term) AS DOUBLE) AS score
+        FROM scored GROUP BY 1),
+      kw AS (
+        SELECT doc_id, kw_rnk FROM (
+          SELECT a.doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY a.score DESC, a.doc_id) AS BIGINT) AS kw_rnk
+          FROM kwagg a JOIN hits h USING (doc_id)
+          WHERE h.n_occ > 0)
+        WHERE kw_rnk <= $KwTopK),
+      probe AS (SELECT embedding AS probe_emb FROM embeddings WHERE vec_id = 0),
+      sims AS (
+        SELECT e.vec_id AS doc_id,
+               list_cosine_similarity(e.embedding, p.probe_emb) AS sim
+        FROM embeddings e, probe p
+        WHERE e.vec_id <> 0),
+      vec AS (
+        SELECT doc_id, vec_rnk FROM (
+          SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS vec_rnk
+          FROM sims)
+        WHERE vec_rnk <= ${VectorQueries.IvfTopK}),
+      fused AS (
+        SELECT COALESCE(kw.doc_id, vec.doc_id) AS doc_id, kw.kw_rnk, vec.vec_rnk,
+               CAST(COALESCE(CAST(round(1.0 / ($RrfK + kw.kw_rnk), 6) AS DECIMAL(38,6)),
+                             CAST(0 AS DECIMAL(38,6)))
+                  + COALESCE(CAST(round(1.0 / ($RrfK + vec.vec_rnk), 6) AS DECIMAL(38,6)),
+                             CAST(0 AS DECIMAL(38,6))) AS DOUBLE) AS rrf
+        FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk,
+             doc_id, kw_rnk, vec_rnk, rrf
+      FROM fused
+      ORDER BY rnk
+    """))
+
   val all: Seq[GQuery] =
     Seq(hybridSearch, hybridServe, hybridMulti, hybridRerank,
       hybridFiltered, hybridServeAppend, hybridMultiRerank,
-      hybridServeDelete)
+      hybridServeDelete, hybridPhrase)
 }

@@ -104,6 +104,114 @@ object PhraseQueries {
     statsFrame(proj).write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** The ONE positional-list read behind every serving path: pushed
+    * `In(term, …)` restriction, then the tombstone anti-join when a
+    * delete segment exists ([[Layout.minusTombstones]] — the shared
+    * contract with the BM25/IVF layouts; a never-deleted layout pays
+    * only a directory-existence probe). */
+  private def servedPositional(s: SparkSession, path: String,
+      terms: Seq[String]): DataFrame =
+    Layout.minusTombstones(s,
+      s.read.parquet(s"$path/lists").where(col("term").isin(terms: _*)),
+      path)
+
+  /** Incremental growth of a positional index — the BM25 layout's
+    * append story inherited unchanged, because every posting field
+    * (dl, positions) is PER-DOCUMENT state: a new segment's rows are
+    * identical to a full rebuild's rows for those docs. New term-sorted
+    * files append next to the built ones; the exact long accumulators
+    * merge algebraically. Same offline-maintenance consistency contract
+    * and tombstone gate as `postingsAppend`. */
+  def positionalAppend(s: SparkSession, newDocs: DataFrame,
+      path: String): Unit = {
+    val proj = docProjection(newDocs)
+    val nw = proj.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("dl")), lit(0L)).as("sd")).head()
+    if (nw.getLong(0) == 0L) return
+    Ann.appendTombstoneGate(s, path, proj.select(col("doc_id")),
+      "doc_id", "positionalAppend")
+    positionalRows(proj)
+      .repartitionByRange(8, col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("append").parquet(s"$path/lists")
+    val old = s.read.parquet(s"$path/stats")
+      .select(col("sum_dl"), col("n_docs_l")).head()
+    val sumDl = old.getLong(0) + nw.getLong(1)
+    val nDocs = old.getLong(1) + nw.getLong(0)
+    import s.implicits._
+    Layout.replaceDir(s,
+      Seq((nDocs.toDouble, sumDl.toDouble / nDocs.toDouble, sumDl, nDocs))
+        .toDF("n_docs", "avgdl", "sum_dl", "n_docs_l"),
+      s"$path/stats")
+  }
+
+  /** DELETE from a positional index — `postingsDelete`'s contract on
+    * the positional layout: tombstone segment (takedown-first, commits
+    * before the stats swap), exact-accumulator stats subtraction from
+    * ONE matched-rows scan, lists never rewritten. No df side table
+    * exists here (df is derived from rows at query time), so the only
+    * algebraic adjustment is stats — everything else is the serving
+    * paths' anti-join. Re-delivered batches are no-ops by construction
+    * (already-tombstoned ids are excluded up front); re-adding a
+    * deleted id requires [[positionalCompact]] first (the shared
+    * tombstone gate). */
+  def positionalDelete(s: SparkSession, docIds: DataFrame,
+      path: String): Unit = {
+    val ids = docIds.select(col("doc_id").cast(LongType)).distinct()
+    // materialize before the tombstone write — the anti-join is lazy
+    // and would otherwise re-read the segment it is about to grow
+    val freshIds = Layout.tombstonesOpt(s, path)
+      .map(t => ids.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      .getOrElse(ids)
+      .localCheckpoint(true)
+    val matched = s.read.parquet(s"$path/lists")
+      .join(broadcast(freshIds), Seq("doc_id"))
+    val docStats = matched.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("sd")).head()
+    if (docStats.getLong(0) == 0L) return
+    freshIds.coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+    val old = s.read.parquet(s"$path/stats")
+      .select(col("sum_dl"), col("n_docs_l")).head()
+    val sumDl = old.getLong(0) - docStats.getLong(1)
+    val nDocs = old.getLong(1) - docStats.getLong(0)
+    import s.implicits._
+    Layout.replaceDir(s,
+      Seq((nDocs.toDouble,
+        if (nDocs == 0L) 0.0 else sumDl.toDouble / nDocs.toDouble,
+        sumDl, nDocs))
+        .toDF("n_docs", "avgdl", "sum_dl", "n_docs_l"),
+      s"$path/stats")
+  }
+
+  /** Offline compaction: re-sort appended segments into `nFiles`
+    * term-sorted runs, physically drop tombstoned rows, and heal
+    * stats from the surviving lists as ground truth (the
+    * `postingsCompact` repair discipline — a crash between a delete's
+    * tombstone commit and its stats swap is repaired here, since the
+    * no-op replay can never re-fire the subtraction). */
+  def positionalCompact(s: SparkSession, path: String,
+      nFiles: Int = 8): Unit = {
+    val survivors = Layout.minusTombstones(s,
+      s.read.parquet(s"$path/lists"), path)
+    Layout.replaceDir(s,
+      survivors
+        .repartitionByRange(nFiles, col("term"))
+        .sortWithinPartitions("term"),
+      s"$path/lists")
+    val st = s.read.parquet(s"$path/lists")
+      .select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("sd")).head()
+    val (n, sd) = (st.getLong(0), st.getLong(1))
+    import s.implicits._
+    Layout.replaceDir(s,
+      Seq((n.toDouble, if (n == 0L) 0.0 else sd.toDouble / n, sd, n))
+        .toDF("n_docs", "avgdl", "sum_dl", "n_docs_l"),
+      s"$path/stats")
+    Layout.deleteDir(s, s"$path/tombstones")
+  }
+
   private val positionalSaved =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -112,6 +220,43 @@ object PhraseQueries {
       val path = s"${graft.GraftSession.scratchDir}/positional_" +
         d.replaceAll("[^A-Za-z0-9]", "_")
       buildPositional(s, Tables.documents(s, d), path)
+      path
+    }
+
+  /** Half-built, half-appended layout (doc-id parity split) —
+    * `bm25_serve_append`'s positional twin, served by
+    * `phrase_serve_append` against the full-corpus oracle. */
+  private val positionalAppendSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedPositionalAppendPath(s: SparkSession,
+      d: String): String =
+    graft.BuildOnce.memo(positionalAppendSaved, d) {
+      val path = s"${graft.GraftSession.scratchDir}/positional_app_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = Tables.documents(s, d)
+      buildPositional(s, docs.where(col("doc_id") % 2 === 0), path)
+      positionalAppend(s, docs.where(col("doc_id") % 2 === 1), path)
+      path
+    }
+
+  /** Full build, then the doc_id ≡ 1 (mod 5) residue tombstoned —
+    * `bm25_serve_delete`'s positional twin; the residue intersects the
+    * phrase-match set at every SF so the delete visibly reshapes the
+    * served rows. */
+  private val positionalDeleteSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedPositionalDeletePath(s: SparkSession,
+      d: String): String =
+    graft.BuildOnce.memo(positionalDeleteSaved, d) {
+      val path = s"${graft.GraftSession.scratchDir}/positional_del_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = Tables.documents(s, d)
+      buildPositional(s, docs, path)
+      positionalDelete(s,
+        docs.where(pmod(col("doc_id"), lit(5)) === 1).select("doc_id"),
+        path)
       path
     }
 
@@ -188,11 +333,112 @@ object PhraseQueries {
     "phrase_serve",
     (s, d) => {
       val path = savedPositionalPath(s, d)
-      val rows = s.read.parquet(s"$path/lists")
-        .where(col("term").isin(phraseTerms: _*))
+      val rows = servedPositional(s, path, phraseTerms)
       phraseHits(phraseStarts(rows, phraseTerms))
     },
     Some(phraseOracle))
+
+  /** The positional index under GROWTH: built on the even-id half,
+    * [[positionalAppend]]ed the odd half, then phrase-served. The
+    * oracle is the FULL-corpus phrase SQL — per-document posting state
+    * means appended serving must equal full-rebuild serving exactly,
+    * and the hash match proves it (the `bm25_serve_append`
+    * discipline). */
+  val phraseServeAppend = GQuery(
+    "phrase_serve_append",
+    (s, d) => {
+      val path = savedPositionalAppendPath(s, d)
+      val rows = servedPositional(s, path, phraseTerms)
+      phraseHits(phraseStarts(rows, phraseTerms))
+    },
+    Some(phraseOracle))
+
+  /** The positional index under DELETE: full build, doc_id ≡ 1 (mod 5)
+    * tombstoned ([[positionalDelete]] — lists untouched, serving paths
+    * anti-join the bounded segment), then phrase-served. Oracle =
+    * the phrase SQL over ONLY the survivors, so the hash match is the
+    * delete ≡ rebuild-over-survivors proof; a deleted doc can never
+    * surface in a phrase result (the takedown guarantee, now on all
+    * FOUR persisted index forms). */
+  val phraseServeDelete = GQuery(
+    "phrase_serve_delete",
+    (s, d) => {
+      val path = savedPositionalDeletePath(s, d)
+      val rows = servedPositional(s, path, phraseTerms)
+      phraseHits(phraseStarts(rows, phraseTerms))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, str_split(text, ' ') AS t
+        FROM documents WHERE text IS NOT NULL AND doc_id % 5 <> 1),
+      hits AS (
+        SELECT doc_id,
+               list_filter(range(1, len(t)), i ->
+                 t[i] = 'spark' AND t[i+1] = 'merge') AS starts
+        FROM toks)
+      SELECT doc_id, CAST(len(starts) AS BIGINT) AS n_occ,
+             CAST(list_min(starts) - 1 AS BIGINT) AS first_pos
+      FROM hits
+      WHERE len(starts) > 0
+      ORDER BY doc_id
+    """))
+
+  /** Ordered proximity search — "t0 … t1 within W tokens", the NEAR
+    * operator positional postings exist to answer cheaply (exact phrase
+    * is its W=1 special case). A start position p matches iff t1 occurs
+    * at some q with p < q ≤ p+W; the check is a per-row `exists` over
+    * the two position arrays already in hand from the SAME pushed-`In`
+    * layout read as [[phraseStarts]] — no new index, no explode, no
+    * extra shuffle. Plan/cost shape identical to exact phrase:
+    * |posting rows of the query terms|, corpus-independent. */
+  private[ops] def nearStarts(rows: DataFrame, t0: String, t1: String,
+      window: Int): DataFrame = {
+    require(window >= 1, s"nearStarts: window $window < 1")
+    val legs = rows.where(col("term") === t0)
+      .select(col("doc_id"), col("positions").as("p0"))
+      .join(rows.where(col("term") === t1)
+        .select(col("doc_id"), col("positions").as("p1")), "doc_id")
+    legs.select(col("doc_id"),
+        filter(col("p0"), p =>
+          exists(col("p1"), q => q > p && q <= p + window)).as("starts"))
+      .where(size(col("starts")) > 0)
+  }
+
+  /** Proximity serving entry: the phrase pair within 3 tokens, ordered,
+    * off the persisted positional index. Same presentation as
+    * `phrase_serve`; the oracle re-derives both position lists from the
+    * token array and applies the identical window predicate. */
+  val phraseNear = GQuery(
+    "phrase_near",
+    (s, d) => {
+      val path = savedPositionalPath(s, d)
+      val rows = servedPositional(s, path, phraseTerms)
+      phraseHits(nearStarts(rows, phraseTerms(0), phraseTerms(1),
+        window = 3))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, str_split(text, ' ') AS t
+        FROM documents WHERE text IS NOT NULL),
+      pos AS (
+        SELECT doc_id,
+               list_transform(list_filter(range(1, len(t) + 1),
+                 i -> t[i] = 'spark'), i -> i - 1) AS p0,
+               list_transform(list_filter(range(1, len(t) + 1),
+                 i -> t[i] = 'merge'), i -> i - 1) AS p1
+        FROM toks),
+      hits AS (
+        SELECT doc_id,
+               list_filter(p0, p ->
+                 len(list_filter(p1, q -> q > p AND q <= p + 3)) > 0)
+                 AS starts
+        FROM pos)
+      SELECT doc_id, CAST(len(starts) AS BIGINT) AS n_occ,
+             CAST(list_min(starts) AS BIGINT) AS first_pos
+      FROM hits
+      WHERE len(starts) > 0
+      ORDER BY doc_id
+    """))
 
   /** Phrase-constrained BM25 ranking — the "quoted query" a search box
     * actually issues: candidates must contain the phrase EXACTLY, and
@@ -212,8 +458,7 @@ object PhraseQueries {
     "phrase_rank",
     (s, d) => {
       val path = savedPositionalPath(s, d)
-      val rows = s.read.parquet(s"$path/lists")
-        .where(col("term").isin(phraseTerms: _*))
+      val rows = servedPositional(s, path, phraseTerms)
       val stats = s.read.parquet(s"$path/stats")
         .select(col("n_docs"), col("avgdl"))
       val matches = phraseStarts(rows, phraseTerms)
@@ -277,5 +522,6 @@ object PhraseQueries {
       LIMIT 10
     """))
 
-  def all: Seq[GQuery] = Seq(phraseSearch, phraseServe, phraseRank)
+  def all: Seq[GQuery] = Seq(phraseSearch, phraseServe, phraseNear,
+    phraseRank, phraseServeAppend, phraseServeDelete)
 }

@@ -99,6 +99,91 @@ class PhraseSpec extends SparkTestBase {
     }
   }
 
+  test("proximity fold: ordered within-window semantics") {
+    import spark.implicits._
+    // slow(0) fast(2): in-window at W=2 and W=3, out at W=1;
+    // doc 2 has the reversed order only — never a match
+    val docs = Seq(
+      (1L, "slow big fast"),
+      (2L, "fast big slow"),
+      (3L, "slow big big big fast"))
+      .toDF("doc_id", "text")
+    val proj = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("dl"))
+    def near(w: Int) = PhraseQueries.nearStarts(
+        PhraseQueries.positionalRows(proj, Some(Seq("slow", "fast"))),
+        "slow", "fast", w)
+      .select(col("doc_id"), col("starts")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(near(1) === Map.empty)
+    assert(near(2) === Map(1L -> Seq(0L)))
+    assert(near(4) === Map(1L -> Seq(0L), 3L -> Seq(0L)))
+  }
+
+  test("delete lifecycle: tombstone serving, no-op replay, compact repair") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark merge a"), (2L, "spark merge b"),
+      (3L, "spark merge c"), (4L, "no match here"))
+      .toDF("doc_id", "text")
+    val path = s"${graft.GraftSession.scratchDir}/positional_spec_del"
+    PhraseQueries.buildPositional(spark, docs, path)
+    def servedIds = {
+      val rows = graft.ops.Layout.minusTombstones(spark,
+        spark.read.parquet(s"$path/lists")
+          .where(col("term").isin("spark", "merge")), path)
+      PhraseQueries.phraseStarts(rows, Seq("spark", "merge"))
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    }
+    assert(servedIds === Seq(1L, 2L, 3L))
+    PhraseQueries.positionalDelete(spark, Seq(2L).toDF("doc_id"), path)
+    assert(servedIds === Seq(1L, 3L))
+    val statsAfterDelete = spark.read.parquet(s"$path/stats")
+      .select("n_docs_l", "sum_dl").head()
+    assert(statsAfterDelete.getLong(0) === 3L)
+    // re-delivered batch is a no-op: already-tombstoned ids are
+    // excluded up front, so the stats subtraction cannot double-fire
+    PhraseQueries.positionalDelete(spark, Seq(2L).toDF("doc_id"), path)
+    assert(spark.read.parquet(s"$path/stats")
+      .select("n_docs_l").head().getLong(0) === 3L)
+    // re-adding a tombstoned id is refused by name before compaction
+    val err = intercept[IllegalArgumentException] {
+      PhraseQueries.positionalAppend(spark,
+        Seq((2L, "spark merge back")).toDF("doc_id", "text"), path)
+    }
+    assert(err.getMessage.contains("positionalAppend"))
+    // compaction drops the rows physically and clears the segment
+    PhraseQueries.positionalCompact(spark, path)
+    assert(!graft.ops.Layout.dirExists(spark, s"$path/tombstones"))
+    assert(spark.read.parquet(s"$path/lists")
+      .where(col("doc_id") === 2L).count() === 0L)
+    assert(servedIds === Seq(1L, 3L))
+  }
+
+  test("append then serve equals a from-scratch rebuild") {
+    import spark.implicits._
+    val first = Seq((1L, "spark merge a"), (2L, "x y z"))
+      .toDF("doc_id", "text")
+    val second = Seq((3L, "b spark merge"), (4L, "spark q merge"))
+      .toDF("doc_id", "text")
+    val appended = s"${graft.GraftSession.scratchDir}/positional_spec_app"
+    val rebuilt = s"${graft.GraftSession.scratchDir}/positional_spec_reb"
+    PhraseQueries.buildPositional(spark, first, appended)
+    PhraseQueries.positionalAppend(spark, second, appended)
+    PhraseQueries.buildPositional(spark, first.unionByName(second), rebuilt)
+    def rowsOf(p: String) =
+      spark.read.parquet(s"$p/lists")
+        .collect()
+        .map(r => (r.getAs[String]("term"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("dl"), r.getSeq[Long](3).toSeq))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(rowsOf(appended) === rowsOf(rebuilt))
+    assert(spark.read.parquet(s"$appended/stats").collect().toSeq ===
+      spark.read.parquet(s"$rebuilt/stats").collect().toSeq)
+  }
+
   test("term restriction is pushed into the positional lists scan") {
     val path = PhraseQueries.savedPositionalPath(spark, sf)
     val plan = spark.read.parquet(s"$path/lists")
