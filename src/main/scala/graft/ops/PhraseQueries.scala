@@ -522,6 +522,98 @@ object PhraseQueries {
       LIMIT 10
     """))
 
+  /** Serve a bounded BATCH of phrase queries against the positional
+    * index in ONE distributed pass — `bm25ServeBatch`'s positional twin.
+    * The batch's term union restricts the posting scan (one pushed
+    * `In(term, …)` read); the exploded (query_id, term, offset) request
+    * rows BROADCAST onto the matched lists; and the per-(query, doc)
+    * adjacency check becomes a grouped fold: each joined row shifts its
+    * positions back by the term's phrase offset, the group collects the
+    * ≤|phrase| shifted arrays, and `aggregate` intersects them — the
+    * same start-set arithmetic as [[phraseStarts]], expressed once per
+    * group instead of once per join leg (a k-way join can't serve
+    * heterogeneous phrases in one pass; the grouped fold can). Docs
+    * missing any phrase term never survive the `n_present = phrase_len`
+    * gate — countDistinct(offset) handles repeated phrase terms
+    * correctly (each offset is its own requirement). Index side never
+    * moves to the driver; work is |matched posting rows|, corpus-
+    * independent. A single-query batch reproduces [[phraseServe]] row
+    * for row (pinned in `PhraseSpec`). */
+  def phraseServeBatch(s: SparkSession, d: String,
+      queries: Seq[(Long, Seq[String])]): DataFrame = {
+    require(queries.nonEmpty, "phraseServeBatch: empty query batch")
+    queries.foreach { case (qid, ph) =>
+      require(ph.nonEmpty, s"phraseServeBatch: empty phrase for query $qid") }
+    val path = savedPositionalPath(s, d)
+    val allTerms = queries.flatMap(_._2).distinct
+    val rows = servedPositional(s, path, allTerms)
+    import s.implicits._
+    val qreq = queries
+      .flatMap { case (qid, ph) =>
+        ph.zipWithIndex.map { case (t, i) =>
+          (qid, t, i.toLong, ph.length.toLong) } }
+      .toDF("query_id", "term", "offset", "phrase_len")
+    rows.join(broadcast(qreq), "term")
+      .select(col("query_id"), col("doc_id"), col("phrase_len"),
+        col("offset"),
+        transform(col("positions"), p => p - col("offset")).as("shifted"))
+      .groupBy(col("query_id"), col("doc_id"), col("phrase_len"))
+      .agg(countDistinct(col("offset")).as("n_present"),
+        collect_list(col("shifted")).as("arrs"))
+      .where(col("n_present") === col("phrase_len"))
+      .select(col("query_id"), col("doc_id"),
+        aggregate(
+          slice(col("arrs"), lit(2),
+            greatest(size(col("arrs")) - 1, lit(0))),
+          element_at(col("arrs"), 1),
+          (acc, x) => array_intersect(acc, x)).as("starts"))
+      .where(size(col("starts")) > 0)
+      .select(col("query_id"), col("doc_id"),
+        size(col("starts")).cast(LongType).as("n_occ"),
+        array_min(col("starts")).as("first_pos"))
+      .orderBy("query_id", "doc_id")
+  }
+
+  /** The batched serving shape, driver-verified over three phrases
+    * (each selective at every SF). The oracle re-derives each phrase's
+    * start set independently and unions — a hash match proves the
+    * one-pass grouped fold loses nothing vs. per-query serving. */
+  val phraseMulti = GQuery(
+    "phrase_multi",
+    (s, d) => phraseServeBatch(s, d, Seq(
+      1L -> Seq("spark", "merge"),
+      2L -> Seq("table", "row"),
+      3L -> Seq("fast", "scan"))),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, str_split(text, ' ') AS t
+        FROM documents WHERE text IS NOT NULL),
+      h1 AS (
+        SELECT 1 AS query_id, doc_id,
+               list_filter(range(1, len(t)), i ->
+                 t[i] = 'spark' AND t[i+1] = 'merge') AS starts
+        FROM toks),
+      h2 AS (
+        SELECT 2 AS query_id, doc_id,
+               list_filter(range(1, len(t)), i ->
+                 t[i] = 'table' AND t[i+1] = 'row') AS starts
+        FROM toks),
+      h3 AS (
+        SELECT 3 AS query_id, doc_id,
+               list_filter(range(1, len(t)), i ->
+                 t[i] = 'fast' AND t[i+1] = 'scan') AS starts
+        FROM toks),
+      allh AS (
+        SELECT * FROM h1 UNION ALL SELECT * FROM h2
+        UNION ALL SELECT * FROM h3)
+      SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+             CAST(len(starts) AS BIGINT) AS n_occ,
+             CAST(list_min(starts) - 1 AS BIGINT) AS first_pos
+      FROM allh
+      WHERE len(starts) > 0
+      ORDER BY query_id, doc_id
+    """))
+
   def all: Seq[GQuery] = Seq(phraseSearch, phraseServe, phraseNear,
-    phraseRank, phraseServeAppend, phraseServeDelete)
+    phraseRank, phraseServeAppend, phraseServeDelete, phraseMulti)
 }

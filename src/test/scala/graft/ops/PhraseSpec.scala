@@ -184,6 +184,42 @@ class PhraseSpec extends SparkTestBase {
       spark.read.parquet(s"$rebuilt/stats").collect().toSeq)
   }
 
+  test("a single-query batch reproduces phrase_serve row for row") {
+    val batch = PhraseQueries.phraseServeBatch(spark, sf,
+      Seq(9L -> Seq("spark", "merge")))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_occ"),
+        r.getAs[Long]("first_pos")))
+      .sortBy(_._1).toSeq
+    val served = graft.SparkEntry.queries("phrase_serve")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_occ"),
+        r.getAs[Long]("first_pos")))
+      .sortBy(_._1).toSeq
+    assert(batch === served)
+  }
+
+  test("batch path handles repeated phrase terms via the offset gate") {
+    // "spark spark" through the GROUPED fold: one posting row joined at
+    // two offsets, countDistinct(offset) = 2 = phrase_len — must equal
+    // the k-way-join form on the same layout
+    val path = PhraseQueries.savedPositionalPath(spark, sf)
+    val rows = spark.read.parquet(s"$path/lists")
+      .where(col("term") === "spark")
+    val expected = PhraseQueries.phraseStarts(rows, Seq("spark", "spark"))
+      .select(col("doc_id"), col("starts")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).size.toLong,
+        r.getSeq[Long](1).min))
+      .sortBy(_._1).toSeq
+    val batch = PhraseQueries.phraseServeBatch(spark, sf,
+      Seq(1L -> Seq("spark", "spark")))
+      .select("doc_id", "n_occ", "first_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(batch === expected)
+    assert(batch.nonEmpty, "fixture SF should contain 'spark spark' docs")
+  }
+
   test("term restriction is pushed into the positional lists scan") {
     val path = PhraseQueries.savedPositionalPath(spark, sf)
     val plan = spark.read.parquet(s"$path/lists")
