@@ -284,7 +284,11 @@ object ScaleSweep {
         // round 14: the DELETE and RETRAIN lifecycles (see `probes`) —
         // the takedown path and the rare expensive refit both must
         // stay ~linear in R
-        "postingsdelete_sweep", "ivfretrain_sweep")
+        "postingsdelete_sweep", "ivfretrain_sweep",
+        // round 14 late: the positional tier — the per-dir layout build
+        // (posexplode + groupBy, ∝ n) plus the pushed-In phrase serve,
+        // and the batched grouped-fold serving shape on top of it
+        "phrase_serve", "phrase_multi")
     val spark = graft.GraftSession.local(4, "graft-scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
