@@ -292,6 +292,15 @@ object PhraseQueries {
         array_min(col("starts")).as("first_pos"))
       .orderBy("doc_id")
 
+  /** Phrase hits served from an ARBITRARY positional layout path —
+    * the public serving API behind the registry entries (which bind it
+    * to the per-process sfDir layouts): tombstone-aware pushed-`In`
+    * read, adjacency fold, (doc_id, n_occ, first_pos) presentation. */
+  def servePhrase(s: SparkSession, path: String,
+      phrase: Seq[String]): DataFrame =
+    phraseHits(phraseStarts(
+      servedPositional(s, path, phrase.distinct), phrase))
+
   /** The oracle shared by `phrase_search` and `phrase_serve`: DuckDB
     * re-derives the start set positionally from the token array (1-based
     * list indexing, hence the -1 on the emitted offset), so a hash match
@@ -331,11 +340,7 @@ object PhraseQueries {
     * build→persist→serve roundtrip is itself hash-verified. */
   val phraseServe = GQuery(
     "phrase_serve",
-    (s, d) => {
-      val path = savedPositionalPath(s, d)
-      val rows = servedPositional(s, path, phraseTerms)
-      phraseHits(phraseStarts(rows, phraseTerms))
-    },
+    (s, d) => servePhrase(s, savedPositionalPath(s, d), phraseTerms),
     Some(phraseOracle))
 
   /** The positional index under GROWTH: built on the even-id half,
@@ -346,11 +351,7 @@ object PhraseQueries {
     * discipline). */
   val phraseServeAppend = GQuery(
     "phrase_serve_append",
-    (s, d) => {
-      val path = savedPositionalAppendPath(s, d)
-      val rows = servedPositional(s, path, phraseTerms)
-      phraseHits(phraseStarts(rows, phraseTerms))
-    },
+    (s, d) => servePhrase(s, savedPositionalAppendPath(s, d), phraseTerms),
     Some(phraseOracle))
 
   /** The positional index under DELETE: full build, doc_id ≡ 1 (mod 5)
@@ -362,11 +363,7 @@ object PhraseQueries {
     * FOUR persisted index forms). */
   val phraseServeDelete = GQuery(
     "phrase_serve_delete",
-    (s, d) => {
-      val path = savedPositionalDeletePath(s, d)
-      val rows = servedPositional(s, path, phraseTerms)
-      phraseHits(phraseStarts(rows, phraseTerms))
-    },
+    (s, d) => servePhrase(s, savedPositionalDeletePath(s, d), phraseTerms),
     Some("""
       WITH toks AS (
         SELECT doc_id, str_split(text, ' ') AS t
@@ -539,20 +536,31 @@ object PhraseQueries {
     * moves to the driver; work is |matched posting rows|, corpus-
     * independent. A single-query batch reproduces [[phraseServe]] row
     * for row (pinned in `PhraseSpec`). */
-  def phraseServeBatch(s: SparkSession, d: String,
+  /** The exploded (query_id, term, offset, phrase_len) request frame of
+    * a bounded phrase-query batch — broadcast onto posting rows by both
+    * the batched serving path and the percolation stream. */
+  private def requestFrame(s: SparkSession,
       queries: Seq[(Long, Seq[String])]): DataFrame = {
-    require(queries.nonEmpty, "phraseServeBatch: empty query batch")
+    require(queries.nonEmpty, "phrase batch: empty query batch")
     queries.foreach { case (qid, ph) =>
-      require(ph.nonEmpty, s"phraseServeBatch: empty phrase for query $qid") }
-    val path = savedPositionalPath(s, d)
-    val allTerms = queries.flatMap(_._2).distinct
-    val rows = servedPositional(s, path, allTerms)
+      require(ph.nonEmpty, s"phrase batch: empty phrase for query $qid") }
     import s.implicits._
-    val qreq = queries
+    queries
       .flatMap { case (qid, ph) =>
         ph.zipWithIndex.map { case (t, i) =>
           (qid, t, i.toLong, ph.length.toLong) } }
       .toDF("query_id", "term", "offset", "phrase_len")
+  }
+
+  /** The grouped adjacency fold over (positional rows ⋈ request frame):
+    * each joined row shifts its positions back by the term's phrase
+    * offset, the (query, doc) group collects the ≤|phrase| shifted
+    * arrays, and `aggregate` intersects them — [[phraseStarts]]'s
+    * arithmetic expressed once per group, which is what lets ONE pass
+    * serve heterogeneous phrases. Docs missing any phrase term never
+    * survive the `n_present = phrase_len` gate (countDistinct(offset)
+    * — repeated phrase terms are each their own offset requirement). */
+  private def matchBatch(rows: DataFrame, qreq: DataFrame): DataFrame =
     rows.join(broadcast(qreq), "term")
       .select(col("query_id"), col("doc_id"), col("phrase_len"),
         col("offset"),
@@ -572,6 +580,33 @@ object PhraseQueries {
         size(col("starts")).cast(LongType).as("n_occ"),
         array_min(col("starts")).as("first_pos"))
       .orderBy("query_id", "doc_id")
+
+  def phraseServeBatch(s: SparkSession, d: String,
+      queries: Seq[(Long, Seq[String])]): DataFrame = {
+    val qreq = requestFrame(s, queries)
+    val path = savedPositionalPath(s, d)
+    val rows = servedPositional(s, path, queries.flatMap(_._2).distinct)
+    matchBatch(rows, qreq)
+  }
+
+  /** PERCOLATION — the standing-query direction: a bounded set of
+    * phrase queries is registered once, and each incoming DOCUMENT
+    * batch is matched against all of them in one pass (the public
+    * percolator pattern — alerting, routing, compliance filters). The
+    * routing is the exact inverse of [[phraseServeBatch]]: there the
+    * corpus-scale side is the persisted index and the query batch
+    * broadcasts; here the corpus-scale side is the document STREAM and
+    * the standing requests broadcast. Positional rows are built on the
+    * batch alone (restricted to the standing terms BEFORE grouping —
+    * the batch is never indexed or persisted), then the same
+    * [[matchBatch]] fold; documents never collect to the driver.
+    * Streaming face: `StreamRunner.phrasePercolateStream`. */
+  def percolateBatch(docs: DataFrame,
+      queries: Seq[(Long, Seq[String])]): DataFrame = {
+    val qreq = requestFrame(docs.sparkSession, queries)
+    val rows = positionalRows(docProjection(docs),
+      Some(queries.flatMap(_._2).distinct))
+    matchBatch(rows, qreq)
   }
 
   /** The batched serving shape, driver-verified over three phrases

@@ -454,6 +454,26 @@ object StreamRunner {
       }
       .start()
 
+  /** Streaming phrase PERCOLATION — the standing-query direction of
+    * the positional tier: a bounded set of phrase queries registers
+    * once, and every micro-batch of incoming documents is matched
+    * against ALL of them in one `PhraseQueries.percolateBatch` pass
+    * (the public percolator pattern — alerting/routing/compliance).
+    * Routing is the inverse of the serve streams: documents are the
+    * corpus-scale side and NEVER collect to the driver — only the
+    * standing request frame broadcasts. Emits (query_id, doc_id,
+    * n_occ, first_pos) alert rows per batch. Stream ≡ the static
+    * percolateBatch pinned in `PhraseSpec`. */
+  def phrasePercolateStream(standing: Seq[(Long, Seq[String])],
+      docs: DataFrame)(emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        emit(graft.ops.PhraseQueries.percolateBatch(
+          batch.select(col("doc_id").cast("long"), col("text")), standing))
+      }
+      .start()
+
   /** Streaming TAKEDOWN worker — the operational face of the index
     * DELETE lifecycle: each micro-batch of doomed doc ids drives
     * `TextQueries.postingsDelete` on the persisted BM25 layout and
@@ -481,7 +501,8 @@ object StreamRunner {
     * Expects a streaming `doc_id: long` column; doc_id ≡ vec_id across
     * the paired layouts (the corpus convention). */
   def takedownStream(postingsPath: String, doomedIds: DataFrame,
-      ivfPath: Option[String] = None)
+      ivfPath: Option[String] = None,
+      positionalPath: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     doomedIds.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -491,6 +512,10 @@ object StreamRunner {
           postingsPath)
         ivfPath.foreach(p => graft.ops.Ann.delete(batch.sparkSession, p,
           ids.select(col("doc_id").as("vec_id"))))
+        // the positional layout is the third text-side serving tier a
+        // takedown must reach; same tombstone idempotence contract
+        positionalPath.foreach(p => graft.ops.PhraseQueries
+          .positionalDelete(batch.sparkSession, ids, p))
       }
       .start()
 

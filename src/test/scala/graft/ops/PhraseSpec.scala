@@ -220,6 +220,42 @@ class PhraseSpec extends SparkTestBase {
     assert(batch.nonEmpty, "fixture SF should contain 'spark spark' docs")
   }
 
+  test("percolation stream alerts equal the static batch per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val standing = Seq(1L -> Seq("spark", "merge"), 2L -> Seq("big", "big"))
+    val source = MemoryStream[(Long, String)]
+    val alerts = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long)]
+    val q = graft.streaming.StreamRunner.phrasePercolateStream(standing,
+      source.toDF().toDF("doc_id", "text")) { out =>
+      alerts.synchronized {
+        alerts ++= out.collect().map(r => (r.getAs[Long]("query_id"),
+          r.getAs[Long]("doc_id"), r.getAs[Long]("n_occ"),
+          r.getAs[Long]("first_pos")))
+      }
+    }
+    val b1 = Seq(10L -> "a spark merge b", 11L -> "spark x merge")
+    val b2 = Seq(12L -> "big big big", 13L -> "spark merge spark merge")
+    source.addData(b1: _*)
+    q.processAllAvailable()
+    source.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val expected = Seq(b1, b2).flatMap(b =>
+      PhraseQueries.percolateBatch(b.toDF("doc_id", "text"), standing)
+        .collect().map(r => (r.getAs[Long]("query_id"),
+          r.getAs[Long]("doc_id"), r.getAs[Long]("n_occ"),
+          r.getAs[Long]("first_pos"))))
+      .sortBy(t => (t._1, t._2))
+    assert(alerts.sortBy(t => (t._1, t._2)).toSeq === expected)
+    // the fixture exercises both standing queries, incl. the
+    // repeated-term one and a multi-occurrence doc
+    assert(expected.map(_._1).distinct.sorted === Seq(1L, 2L))
+    assert(expected.exists(_._3 > 1L))
+  }
+
   test("term restriction is pushed into the positional lists scan") {
     val path = PhraseQueries.savedPositionalPath(spark, sf)
     val plan = spark.read.parquet(s"$path/lists")

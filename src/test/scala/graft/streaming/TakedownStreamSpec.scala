@@ -74,4 +74,36 @@ class TakedownStreamSpec extends SparkTestBase {
     assert(!served(2L) && !served(5L))
     assert(served.size === emb.count() - 2)
   }
+
+  test("takedown propagates to the positional layout too") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("takedown-pos").toString
+    val postings = s"$base/postings"
+    val positional = s"$base/positional"
+    TextQueries.buildPostings(spark, docsDf(corpus), postings)
+    graft.ops.PhraseQueries.buildPositional(spark, docsDf(corpus),
+      positional)
+    // doc 0 is the only "spark merge" phrase match in the corpus
+    def phraseDocs =
+      graft.ops.PhraseQueries.servePhrase(spark, positional,
+          Seq("spark", "merge"))
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(phraseDocs === Seq(0L))
+    val source = MemoryStream[Long]
+    val q = StreamRunner.takedownStream(postings,
+      source.toDF().toDF("doc_id"), positionalPath = Some(positional))
+    source.addData(0L)
+    q.processAllAvailable()
+    // re-delivery is a no-op on the positional stats as well
+    source.addData(0L)
+    q.processAllAvailable()
+    q.stop()
+    assert(phraseDocs === Seq.empty)
+    assert(spark.read.parquet(s"$positional/stats")
+      .select("n_docs_l").head().getLong(0) === corpus.size - 1L)
+    assert(spark.read.parquet(s"$positional/tombstones")
+      .collect().map(_.getLong(0)).toSeq === Seq(0L))
+  }
 }
