@@ -240,6 +240,26 @@ object PhraseQueries {
       path
     }
 
+  /** The append layout taken through the FULL lifecycle: build-half →
+    * append-half → [[positionalCompact]] back to 8 sorted runs — the
+    * layout `phrase_serve_compact` serves. Separate path from
+    * [[savedPositionalAppendPath]] so the un-compacted mixed layout
+    * stays independently served. */
+  private val positionalCompactSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedPositionalCompactPath(s: SparkSession,
+      d: String): String =
+    graft.BuildOnce.memo(positionalCompactSaved, d) {
+      val path = s"${graft.GraftSession.scratchDir}/positional_cpt_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = Tables.documents(s, d)
+      buildPositional(s, docs.where(col("doc_id") % 2 === 0), path)
+      positionalAppend(s, docs.where(col("doc_id") % 2 === 1), path)
+      positionalCompact(s, path)
+      path
+    }
+
   /** Full build, then the doc_id ≡ 1 (mod 5) residue tombstoned —
     * `bm25_serve_delete`'s positional twin; the residue intersects the
     * phrase-match set at every SF so the delete visibly reshapes the
@@ -352,6 +372,17 @@ object PhraseQueries {
   val phraseServeAppend = GQuery(
     "phrase_serve_append",
     (s, d) => servePhrase(s, savedPositionalAppendPath(s, d), phraseTerms),
+    Some(phraseOracle))
+
+  /** The full maintenance lifecycle, driver-verified: build-half →
+    * append-half → compact → phrase-serve. Compaction folds the
+    * appended segments into 8 term-sorted runs and heals stats from
+    * ground truth; row content is untouched, so the FULL-corpus oracle
+    * must still hash-match — compact ≡ no semantic change, on top of
+    * append ≡ rebuild. */
+  val phraseServeCompact = GQuery(
+    "phrase_serve_compact",
+    (s, d) => servePhrase(s, savedPositionalCompactPath(s, d), phraseTerms),
     Some(phraseOracle))
 
   /** The positional index under DELETE: full build, doc_id ≡ 1 (mod 5)
@@ -536,6 +567,57 @@ object PhraseQueries {
     * moves to the driver; work is |matched posting rows|, corpus-
     * independent. A single-query batch reproduces [[phraseServe]] row
     * for row (pinned in `PhraseSpec`). */
+  /** Match highlighting — the snippet a search result page shows:
+    * for each phrase match, the token window [first_pos−2, first_pos+
+    * |phrase|+1] of the ORIGINAL document, rejoined. The doc-store
+    * read this implies is the real serving shape: the positional index
+    * finds matches WITHOUT touching document text, then text is
+    * fetched for ONLY the matched docs (the match frame broadcasts
+    * onto the documents scan — bounded by match count, never a corpus
+    * join). Window arithmetic is per-row `slice` on the split tokens;
+    * clamping at both document edges is pinned in `PhraseSpec`. */
+  val phraseSnippet = GQuery(
+    "phrase_snippet",
+    (s, d) => {
+      val path = savedPositionalPath(s, d)
+      val matches = phraseStarts(
+        servedPositional(s, path, phraseTerms), phraseTerms)
+        .select(col("doc_id"),
+          size(col("starts")).cast(LongType).as("n_occ"),
+          array_min(col("starts")).as("first_pos"))
+      val ctx = 2
+      val winLen = phraseTerms.length + 2 * ctx
+      val toks = split(col("text"), " ")
+      val s0 = greatest(col("first_pos") - ctx, lit(0L))
+      val e0 = least(col("first_pos") + (phraseTerms.length + ctx - 1),
+        size(toks).cast(LongType) - 1)
+      Tables.documents(s, d)
+        .join(broadcast(matches), "doc_id")
+        .select(col("doc_id"), col("n_occ"), col("first_pos"),
+          array_join(slice(toks, (s0 + 1).cast(IntegerType),
+            (e0 - s0 + 1).cast(IntegerType)), " ").as("snippet"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, str_split(text, ' ') AS t
+        FROM documents WHERE text IS NOT NULL),
+      hits AS (
+        SELECT doc_id, t,
+               list_filter(range(1, len(t)), i ->
+                 t[i] = 'spark' AND t[i+1] = 'merge') AS starts
+        FROM toks)
+      SELECT doc_id,
+             CAST(len(starts) AS BIGINT) AS n_occ,
+             CAST(list_min(starts) - 1 AS BIGINT) AS first_pos,
+             array_to_string(
+               t[GREATEST(list_min(starts) - 2, 1):LEAST(list_min(starts) + 3, len(t))],
+               ' ') AS snippet
+      FROM hits
+      WHERE len(starts) > 0
+      ORDER BY doc_id
+    """))
+
   /** The exploded (query_id, term, offset, phrase_len) request frame of
     * a bounded phrase-query batch — broadcast onto posting rows by both
     * the batched serving path and the percolation stream. */
@@ -650,5 +732,6 @@ object PhraseQueries {
     """))
 
   def all: Seq[GQuery] = Seq(phraseSearch, phraseServe, phraseNear,
-    phraseRank, phraseServeAppend, phraseServeDelete, phraseMulti)
+    phraseRank, phraseSnippet, phraseServeAppend, phraseServeCompact,
+    phraseServeDelete, phraseMulti)
 }

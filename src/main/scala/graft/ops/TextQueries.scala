@@ -1699,10 +1699,60 @@ object TextQueries {
       ORDER BY doc_id
     """))
 
+  /** PREFIX term search over the persisted inverted index — the
+    * wildcard-expansion step (`s*`) a search box offers: the prefix
+    * restriction on the TERM-SORTED posting layout is a pushed
+    * `StringStartsWith` parquet filter, so row-group min/max stats
+    * prune to the contiguous term range (the whole reason the layout
+    * sorts on term — a prefix is a RANGE of the sort key), the matched
+    * terms' postings union per doc (n_terms = how many distinct
+    * expanded terms the doc contains, tf_total = their summed
+    * occurrences), and the top-10 ranks by (tf_total, doc_id). Served
+    * tombstone-aware like every other read of this layout. At 100 TB
+    * the scan cost is the expanded terms' row groups — identical
+    * discipline to the exact-term `In` pushdown, because the layout
+    * made prefix a range predicate. Pushed filter pinned in
+    * `Bm25ServeSpec`. */
+  val prefixSearch = GQuery(
+    "prefix_search",
+    (s, d) => {
+      val path = savedPostingsPath(s, d)
+      val lists = Layout.minusTombstones(s,
+        s.read.parquet(s"$path/lists")
+          .where(col("term").startsWith("s")),
+        path)
+      lists.groupBy(col("doc_id"))
+        .agg(countDistinct(col("term")).as("n_terms"),
+          sum(col("tf")).cast(LongType).as("tf_total"))
+        .orderBy(col("tf_total").desc, col("doc_id"))
+        .limit(10)
+        .select(
+          row_number().over(Window.orderBy(col("tf_total").desc,
+            col("doc_id"))).cast(LongType).as("rnk"),
+          col("doc_id"), col("n_terms"), col("tf_total"))
+        .orderBy("rnk")
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT doc_id, term FROM (
+          SELECT doc_id, unnest(str_split(text, ' ')) AS term
+          FROM documents WHERE text IS NOT NULL)
+        WHERE term LIKE 's%'),
+      agg AS (
+        SELECT doc_id, COUNT(DISTINCT term) AS n_terms,
+               CAST(COUNT(*) AS BIGINT) AS tf_total
+        FROM pairs GROUP BY 1)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY tf_total DESC, doc_id) AS BIGINT) AS rnk,
+             doc_id, n_terms, tf_total
+      FROM agg
+      ORDER BY tf_total DESC, doc_id
+      LIMIT 10
+    """))
+
   def all: Seq[GQuery] = Seq(textTokens, tokenCount, textQuality, langId,
     docFingerprint, dedupExact, dedupJaccard, textBigrams, splitHash,
     sampleStratified, sampleExactK, textTfidf, packSequences, decontaminate,
     textRepetition, heavyHitters, modelScore, treeScore, quantileBins,
     postings, bm25Search, bm25Serve, bm25ServeAppend, bm25ServeCompact,
-    bm25ServeDelete, bm25Multi, heavyHittersSketch)
+    bm25ServeDelete, bm25Multi, prefixSearch, heavyHittersSketch)
 }

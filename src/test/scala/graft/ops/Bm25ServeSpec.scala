@@ -72,4 +72,14 @@ class Bm25ServeSpec extends SparkTestBase {
     assert(plan.contains("PushedFilters") &&
       plan.contains("In(term"), plan)
   }
+
+  test("prefix restriction is pushed as StringStartsWith") {
+    // the term-sorted layout turns a prefix into a RANGE of the sort
+    // key — the predicate must reach the scan, not filter post-read
+    val path = TextQueries.savedPostingsPath(spark, sf)
+    val plan = spark.read.parquet(s"$path/lists")
+      .where(col("term").startsWith("s"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("StringStartsWith(term"), plan)
+  }
 }

@@ -220,6 +220,39 @@ class PhraseSpec extends SparkTestBase {
     assert(batch.nonEmpty, "fixture SF should contain 'spark spark' docs")
   }
 
+  test("snippet window clamps at both document edges") {
+    // replicate the entry's window arithmetic (ctx=2, phrase len 2) on
+    // hand-checked docs: a match at position 0 and a match flush with
+    // the document end must both clamp, a mid-doc match gets 2+2+2
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark merge tail1 tail2 tail3"),       // match at 0: no left ctx
+      (2L, "a b c spark merge"),                   // match at end: no right ctx
+      (3L, "a b spark merge c d e"))               // mid: full window
+      .toDF("doc_id", "text")
+    val ctx = 2
+    val toks = split(col("text"), " ")
+    val matches = PhraseQueries.phraseStarts(
+      PhraseQueries.positionalRows(
+        docs.select(col("doc_id"), toks.as("toks"))
+          .select(col("doc_id"), col("toks"),
+            size(col("toks")).cast("long").as("dl")),
+        Some(Seq("spark", "merge"))),
+      Seq("spark", "merge"))
+      .select(col("doc_id"), array_min(col("starts")).as("first_pos"))
+    val s0 = greatest(col("first_pos") - ctx, lit(0L))
+    val e0 = least(col("first_pos") + 3, size(toks).cast("long") - 1)
+    val out = docs.join(matches, "doc_id")
+      .select(col("doc_id"),
+        array_join(slice(toks, (s0 + 1).cast("int"),
+          (e0 - s0 + 1).cast("int")), " ").as("snippet"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(
+      1L -> "spark merge tail1 tail2",
+      2L -> "b c spark merge",
+      3L -> "a b spark merge c d"))
+  }
+
   test("percolation stream alerts equal the static batch per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
