@@ -1,0 +1,454 @@
+package graft.ops
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dedup-at-ingest SERVICE — a persisted MinHash-LSH near-dup index with
+  * the full maintenance lifecycle (build → serve → append → DELETE →
+  * compact), the missing persisted form of the dedup tier: the
+  * `dedup_minhash_*` family answers "find the near-dup pairs inside this
+  * frame" as a query, but what a 100 TB training-data pipeline actually
+  * deploys is the INCREMENTAL question — "is this incoming batch of
+  * documents a near-dup of anything already in the corpus?" — asked
+  * against an index that persists between batches, exactly like the BM25
+  * postings ([[TextQueries.buildPostings]]) and IVF cell directories
+  * ([[Ann]]) persist between queries. (Reference surface: the monthly
+  * full reload of `updatecalaccessrawdata.py:~100-200` re-derives all
+  * state from scratch each cycle; this layout is the incremental
+  * replacement for its dedup analogue.)
+  *
+  * Index layout at `path`:
+  *  - `bands/`: `(band_idx, band_key, doc_id)` — one row per (document,
+  *    LSH band), the bucket directory. Range-partitioned + sorted on
+  *    `band_key`, so a probe batch's bucket lookups arrive as a pushed
+  *    `In(band_key, …)` restriction and row-group min/max stats prune to
+  *    the touched buckets (the `bm25_serve` term-lookup discipline,
+  *    applied to hash buckets).
+  *  - `toks/`: `(doc_id, toks)` — each document's DISTINCT shingle set,
+  *    the exact-verification side table. Range-partitioned + sorted on
+  *    `doc_id` so the candidate ids read back as a pushed `In`.
+  *  - `tombstones/` (optional): deleted doc ids, anti-joined by every
+  *    serving read ([[Layout.minusTombstones]]), dropped physically by
+  *    the next [[neardupCompact]].
+  *
+  * Token unit is DISTINCT BIGRAM SHINGLES ([[TextQueries.bigramShingles]]
+  * — the `AutoWidthSpec` finding: on this corpus's small word vocabulary,
+  * unigram LSH collapses to a handful of mega-buckets and candidate
+  * volume goes quadratic, while shingles explode the key space and keep
+  * per-bucket populations bounded). Same md5 permutation family as
+  * [[DedupQueries.minhashSignatures]], so DuckDB recomputes the exact
+  * band keys and the oracle covers candidate generation, not just the
+  * verified output.
+  *
+  * The lifecycle is SIMPLER than the text index's: every indexed field
+  * (band keys, shingle sets) is per-document state — there are no corpus
+  * statistics to merge on append or subtract on delete, so append ≡
+  * rebuild holds by construction (the segment rows are literally what a
+  * rebuild would compute for those docs) and a delete is ONE bounded
+  * tombstone write. `neardup_serve_append` and `neardup_serve_delete`
+  * hash-verify both claims against from-scratch DuckDB recomputes.
+  *
+  * 100 TB shape: serving cost is |probe bands| bucket lookups +
+  * |candidates| verification reads — corpus size appears nowhere after
+  * the build. The two driver collects are request-batch-bounded (probe
+  * bands: 4 rows per probe; candidate ids: Σ bucket populations of the
+  * probe's buckets, bounded by the LSH width discipline —
+  * [[DedupQueries.minhashWidthFor]] grows rows-per-band with the corpus
+  * precisely to keep bucket populations flat), both guarded by explicit
+  * `require` ceilings so an oversized batch fails loudly instead of
+  * collecting unbounded state. `NearDupSpec` pins the pushed filters,
+  * append/serve equality, the delete→compact roundtrip, and the
+  * tombstone re-add gate.
+  */
+object NearDup {
+
+  /** Exact-Jaccard acceptance threshold shared by every entry and
+    * oracle. The value is a single division of exact small integers, so
+    * Spark and DuckDB produce bit-identical doubles and the ≥ τ cut
+    * cannot diverge even on exact ties (the `dedup_minhash_verify`
+    * argument). */
+  private[ops] val Tau = 0.5
+
+  /** Probe-batch ceiling: the serve path collects 4 band keys per probe
+    * onto the driver (the `sim_serve` bounded-request discipline). */
+  private[ops] val MaxProbes = 10000
+
+  /** Candidate-id ceiling, and the pushdown/broadcast switch point: up
+    * to [[MaxInPushdown]] candidate ids the verification read is a
+    * pushed `In(doc_id, …)` against the doc_id-sorted toks table (prunes
+    * row groups); beyond it the `In` literal list would bloat the plan
+    * (the PqEncode/Janino lesson), so the read falls back to a broadcast
+    * join — still candidate-bounded, just without scan pruning. */
+  private[ops] val MaxInPushdown = 10000
+  private[ops] val MaxCandidates = 200000
+
+  /** Distinct-bigram-shingle token set of a `text` column — ONE
+    * definition feeding the band computation, the toks side table, and
+    * (via the md5 family) the oracle SQL, so the three can never drift. */
+  private[ops] def shingleToks: Column =
+    array_distinct(TextQueries.bigramShingles(col("text")))
+
+  /** (doc_id, toks) projection — the verification side table's shape. A
+    * 0/1-token document keeps its (doc_id, empty array) row here but
+    * produces no shingles, hence no signature and no bands row: it is
+    * never a candidate and never a match, in both engines. */
+  private def docProjection(docs: DataFrame): DataFrame =
+    docs.where(col("text").isNotNull)
+      .select(col("doc_id"), shingleToks.as("toks"))
+
+  /** (doc_id, band_idx, band_key) LSH band rows — the registry's (8, 2)
+    * default widths over the shingle tokens, the exact family
+    * [[DedupQueries.minhashBands]] documents and DuckDB recomputes. */
+  private[ops] def bandRows(docs: DataFrame): DataFrame =
+    DedupQueries.minhashBands(
+      DedupQueries.minhashSignatures(
+        docs.where(col("text").isNotNull), tokens = shingleToks))
+
+  /** Materialize the index at `path` from `docs` (doc_id, text): the
+    * band bucket directory (band_key-sorted) and the shingle-set
+    * verification table (doc_id-sorted). */
+  def buildNearDup(s: SparkSession, docs: DataFrame, path: String): Unit = {
+    bandRows(docs)
+      .repartitionByRange(8, col("band_key"))
+      .sortWithinPartitions("band_key")
+      .write.mode("overwrite").parquet(s"$path/bands")
+    docProjection(docs)
+      .repartitionByRange(8, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(s"$path/toks")
+  }
+
+  /** Grow the index with a new document batch: band rows and shingle
+    * sets land as NEW sorted segment files (append mode — existing
+    * files never rewritten, the [[TextQueries.postingsAppend]]
+    * discipline), and because every field is per-document state there
+    * is NOTHING else to do — no df merge, no stats accumulators.
+    * Append ≡ rebuild by construction; `neardup_serve_append`
+    * hash-verifies it. Re-adding a tombstoned id is refused until a
+    * compact folds the delete in ([[Ann.appendTombstoneGate]] — the
+    * shared mechanical gate). Same offline-maintenance consistency
+    * contract as every other layout mutation here: run in a window
+    * without concurrent serving, one append per committed batch id. */
+  def neardupAppend(s: SparkSession, newDocs: DataFrame,
+      path: String): Unit = {
+    val proj = docProjection(newDocs)
+    if (proj.isEmpty) return
+    Ann.appendTombstoneGate(s, path, proj.select(col("doc_id")),
+      "doc_id", "neardupAppend")
+    bandRows(newDocs)
+      .repartitionByRange(8, col("band_key"))
+      .sortWithinPartitions("band_key")
+      .write.mode("append").parquet(s"$path/bands")
+    proj
+      .repartitionByRange(8, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("append").parquet(s"$path/toks")
+  }
+
+  /** DELETE documents from the index — the takedown path, and the
+    * simplest delete in the whole engine: the doomed ids land in the
+    * shared `tombstones` segment and that is ALL, because the layout
+    * carries no corpus-level statistics to adjust (contrast
+    * [[TextQueries.postingsDelete]]'s df/stats subtraction). Serving
+    * anti-joins the segment; the next [[neardupCompact]] drops the rows
+    * physically. Already-tombstoned ids are excluded up front so a
+    * re-delivered batch is a no-op by construction (the exactly-once
+    * discipline the streaming takedown face relies on); the fresh-id
+    * frame is materialized BEFORE the segment write — the lazy plan
+    * would otherwise re-read the segment it is about to grow. */
+  def neardupDelete(s: SparkSession, docIds: DataFrame,
+      path: String): Unit = {
+    val ids = docIds.select(col("doc_id").cast(LongType)).distinct()
+    val fresh = Layout.tombstonesOpt(s, path)
+      .map(t => ids.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      .getOrElse(ids)
+      .localCheckpoint(true)
+    if (fresh.isEmpty) return
+    fresh.coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  /** Offline compaction: rewrite both directories minus the tombstoned
+    * ids, re-range-partitioned + re-sorted into `nFiles` runs (folding
+    * the small appended segments back into full sorted runs, the
+    * [[TextQueries.postingsCompact]] shape), then drop the tombstone
+    * segment LAST — a crash anywhere above just re-runs an idempotent
+    * anti-join on the next attempt. Row content of the survivors is
+    * untouched, so serve-after-compact ≡ serve-before-compact
+    * (`neardup_serve_compact`'s oracle is the survivors rebuild). */
+  def neardupCompact(s: SparkSession, path: String,
+      nFiles: Int = 8): Unit = {
+    Layout.replaceDir(s,
+      Layout.minusTombstones(s, s.read.parquet(s"$path/bands"), path)
+        .repartitionByRange(nFiles, col("band_key"))
+        .sortWithinPartitions("band_key"),
+      s"$path/bands")
+    Layout.replaceDir(s,
+      Layout.minusTombstones(s, s.read.parquet(s"$path/toks"), path)
+        .repartitionByRange(nFiles, col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      s"$path/toks")
+    Layout.deleteDir(s, s"$path/tombstones")
+  }
+
+  /** Serve a probe batch against the persisted index: for each probe
+    * document (doc_id, text), every indexed document sharing an LSH
+    * bucket whose EXACT shingle Jaccard ≥ `tau` — self-matches excluded
+    * (the incoming doc may already be corpus-resident; its own row is
+    * not a dup verdict). Output (probe_id, match_id, jaccard).
+    *
+    * Plan shape, in order:
+    *  1. probe bands computed from the probe TEXT (the service receives
+    *     the document, not an id) and collected — 4 rows per probe,
+    *     [[MaxProbes]]-guarded;
+    *  2. bucket lookup: pushed `In(band_key, …)` scan of `bands/`,
+    *     tombstone anti-join above it, broadcast equi-join back to the
+    *     probe frame on (band_idx, band_key) → distinct candidate pairs,
+    *     materialized once ([[MaxCandidates]]-guarded);
+    *  3. verification: candidate ids read from `toks/` (pushed `In` up
+    *     to [[MaxInPushdown]] ids, broadcast join beyond), probe shingle
+    *     sets broadcast, exact Jaccard as one array_intersect division.
+    * Corpus size appears in none of the three steps. */
+  def serveNearDup(s: SparkSession, probes: DataFrame, path: String,
+      tau: Double = Tau): DataFrame = {
+    val probeToks = docProjection(probes)
+    val probeBands = bandRows(probes)
+      .select(col("doc_id").as("probe_id"), col("band_idx"),
+        col("band_key"))
+      .localCheckpoint(true)
+    val nBandRows = probeBands.count()
+    require(nBandRows <= MaxProbes * 4L,
+      s"serveNearDup: probe batch yields $nBandRows band rows " +
+        s"(> ${MaxProbes * 4} ceiling) — split the batch")
+    val keys = probeBands.select("band_key").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val bands = Layout.minusTombstones(s,
+      s.read.parquet(s"$path/bands")
+        .where(col("band_key").isin(keys: _*)),
+      path)
+    val cand = bands
+      .join(broadcast(probeBands), Seq("band_idx", "band_key"))
+      .where(col("doc_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("doc_id").as("match_id"))
+      .distinct()
+      .localCheckpoint(true)
+    val ids = cand.select("match_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    require(ids.length <= MaxCandidates,
+      s"serveNearDup: ${ids.length} candidate ids (> $MaxCandidates " +
+        "ceiling) — widen the LSH bands (minhashWidthFor) or split " +
+        "the probe batch")
+    val toksScan = s.read.parquet(s"$path/toks")
+    val matchToks = Layout.minusTombstones(s,
+      if (ids.length <= MaxInPushdown)
+        toksScan.where(col("doc_id").isin(ids: _*))
+      else toksScan,
+      path)
+      .select(col("doc_id").as("match_id"), col("toks").as("mtoks"))
+    val inter = size(array_intersect(col("ptoks"), col("mtoks")))
+    val jac = inter.cast(DoubleType) /
+      (size(col("ptoks")) + size(col("mtoks")) - inter)
+    matchToks
+      .join(broadcast(cand), Seq("match_id"))
+      .join(broadcast(probeToks
+        .select(col("doc_id").as("probe_id"), col("toks").as("ptoks"))),
+        Seq("probe_id"))
+      .select(col("probe_id"), col("match_id"), jac.as("jaccard"))
+      .where(col("jaccard") >= tau)
+      .orderBy("probe_id", "match_id")
+  }
+
+  /** The probe batch shared by every entry and oracle: doc_id ≡ 8
+    * (mod 62) — stable, engine-independent, ~1.6% of the corpus, and
+    * chosen to intersect the planted near-dup structure at every SF so
+    * the served output is non-trivially populated. */
+  private def probeDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).where(col("doc_id") % 62 === 8)
+
+  /** The delete residue: doc_id ≡ 0 (mod 5) — intersects the probe
+    * set's match ids at every SF, so the takedown visibly removes
+    * served matches (not just invisible candidates). */
+  private val deleteResidue = 5
+
+  private val fullSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val appendSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val deleteSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val compactSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def scratch(prefix: String, d: String): String =
+    s"${graft.GraftSession.scratchDir}/${prefix}_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+
+  private[ops] def savedFullPath(s: SparkSession, d: String): String =
+    graft.BuildOnce.memo(fullSaved, d) {
+      val path = scratch("neardup", d)
+      buildNearDup(s, Tables.documents(s, d), path)
+      path
+    }
+
+  /** Index built on the even half then grown to the whole corpus
+    * through [[neardupAppend]] — the layout `neardup_serve_append`
+    * serves against the FULL-corpus oracle. */
+  private[ops] def savedAppendPath(s: SparkSession, d: String): String =
+    graft.BuildOnce.memo(appendSaved, d) {
+      val path = scratch("neardup_app", d)
+      val docs = Tables.documents(s, d)
+      buildNearDup(s, docs.where(col("doc_id") % 2 === 0), path)
+      neardupAppend(s, docs.where(col("doc_id") % 2 === 1), path)
+      path
+    }
+
+  /** Full build then the delete residue tombstoned — the layout
+    * `neardup_serve_delete` serves; survivors-only oracle. */
+  private[ops] def savedDeletePath(s: SparkSession, d: String): String =
+    graft.BuildOnce.memo(deleteSaved, d) {
+      val path = scratch("neardup_del", d)
+      val docs = Tables.documents(s, d)
+      buildNearDup(s, docs, path)
+      neardupDelete(s,
+        docs.where(col("doc_id") % deleteResidue === 0).select("doc_id"),
+        path)
+      path
+    }
+
+  /** The FULL lifecycle in one chain: build-even → append-odd → delete
+    * residue → compact — the layout `neardup_serve_compact` serves.
+    * Compaction physically drops the tombstoned rows and folds the
+    * appended segments into 8 sorted runs - served output must still
+    * hash-match the survivors rebuild. */
+  private[ops] def savedCompactPath(s: SparkSession, d: String): String =
+    graft.BuildOnce.memo(compactSaved, d) {
+      val path = scratch("neardup_cpt", d)
+      val docs = Tables.documents(s, d)
+      buildNearDup(s, docs.where(col("doc_id") % 2 === 0), path)
+      neardupAppend(s, docs.where(col("doc_id") % 2 === 1), path)
+      neardupDelete(s,
+        docs.where(col("doc_id") % deleteResidue === 0).select("doc_id"),
+        path)
+      neardupCompact(s, path)
+      path
+    }
+
+  /** One oracle body, parameterized ONLY by the corpus filter, so the
+    * four lifecycle entries assert literally the same question against
+    * different layout histories. DuckDB recomputes the full pipeline
+    * from scratch: shingle sets → md5 MinHash signatures → band keys →
+    * bucket-join candidates → exact-Jaccard verification — so a hash
+    * match proves candidate generation AND verification AND the
+    * lifecycle identity (append ≡ rebuild, delete ≡ survivors rebuild),
+    * not merely the final arithmetic. */
+  private def oracleFor(corpusExtra: String): String = s"""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        WHERE text IS NOT NULL$corpusExtra),
+      sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(str_split(text, ' '))),
+                 i -> str_split(text, ' ')[i] || ' ' ||
+                      str_split(text, ' ')[i+1])) AS tok
+        FROM corpus),
+      sigs AS (
+        SELECT doc_id,
+               MIN(md5('0:' || tok)) AS s0, MIN(md5('1:' || tok)) AS s1,
+               MIN(md5('2:' || tok)) AS s2, MIN(md5('3:' || tok)) AS s3,
+               MIN(md5('4:' || tok)) AS s4, MIN(md5('5:' || tok)) AS s5,
+               MIN(md5('6:' || tok)) AS s6, MIN(md5('7:' || tok)) AS s7
+        FROM sh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 0 AS band_idx, md5(s0 || s1) AS band_key FROM sigs
+        UNION ALL SELECT doc_id, 1, md5(s2 || s3) FROM sigs
+        UNION ALL SELECT doc_id, 2, md5(s4 || s5) FROM sigs
+        UNION ALL SELECT doc_id, 3, md5(s6 || s7) FROM sigs),
+      probes AS (
+        SELECT doc_id, text FROM documents
+        WHERE text IS NOT NULL AND doc_id % 62 = 8),
+      psh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(str_split(text, ' '))),
+                 i -> str_split(text, ' ')[i] || ' ' ||
+                      str_split(text, ' ')[i+1])) AS tok
+        FROM probes),
+      psigs AS (
+        SELECT doc_id,
+               MIN(md5('0:' || tok)) AS s0, MIN(md5('1:' || tok)) AS s1,
+               MIN(md5('2:' || tok)) AS s2, MIN(md5('3:' || tok)) AS s3,
+               MIN(md5('4:' || tok)) AS s4, MIN(md5('5:' || tok)) AS s5,
+               MIN(md5('6:' || tok)) AS s6, MIN(md5('7:' || tok)) AS s7
+        FROM psh GROUP BY doc_id),
+      pbands AS (
+        SELECT doc_id, 0 AS band_idx, md5(s0 || s1) AS band_key FROM psigs
+        UNION ALL SELECT doc_id, 1, md5(s2 || s3) FROM psigs
+        UNION ALL SELECT doc_id, 2, md5(s4 || s5) FROM psigs
+        UNION ALL SELECT doc_id, 3, md5(s6 || s7) FROM psigs),
+      cand AS (
+        SELECT DISTINCT p.doc_id AS probe_id, b.doc_id AS match_id
+        FROM pbands p JOIN bands b
+          ON p.band_idx = b.band_idx AND p.band_key = b.band_key
+             AND p.doc_id <> b.doc_id),
+      tsets AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, len(str_split(text, ' '))),
+                 i -> str_split(text, ' ')[i] || ' ' ||
+                      str_split(text, ' ')[i+1])) AS toks
+        FROM corpus),
+      ptsets AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, len(str_split(text, ' '))),
+                 i -> str_split(text, ' ')[i] || ' ' ||
+                      str_split(text, ' ')[i+1])) AS toks
+        FROM probes)
+      SELECT probe_id, match_id,
+             CAST(len(list_intersect(pa.toks, mb.toks)) AS DOUBLE) /
+             (len(pa.toks) + len(mb.toks)
+              - len(list_intersect(pa.toks, mb.toks))) AS jaccard
+      FROM cand
+      JOIN ptsets pa ON pa.doc_id = probe_id
+      JOIN tsets mb ON mb.doc_id = match_id
+      WHERE CAST(len(list_intersect(pa.toks, mb.toks)) AS DOUBLE) /
+            (len(pa.toks) + len(mb.toks)
+             - len(list_intersect(pa.toks, mb.toks))) >= 0.5
+      ORDER BY probe_id, match_id
+    """
+
+  /** The dedup-at-ingest service, driver-verified end-to-end: a probe
+    * batch served against the full persisted index. */
+  val neardupServe = GQuery(
+    "neardup_serve",
+    (s, d) => serveNearDup(s, probeDocs(s, d), savedFullPath(s, d)),
+    Some(oracleFor("")))
+
+  /** append ≡ rebuild: half-built, half-appended index, FULL-corpus
+    * oracle — possible with no algebraic merges at all because the
+    * layout carries only per-document state. */
+  val neardupServeAppend = GQuery(
+    "neardup_serve_append",
+    (s, d) => serveNearDup(s, probeDocs(s, d), savedAppendPath(s, d)),
+    Some(oracleFor("")))
+
+  /** delete ≡ survivors rebuild: full index with the mod-5 residue
+    * tombstoned, oracle over only the surviving documents — the
+    * takedown verdict the reference gets only by full reload. */
+  val neardupServeDelete = GQuery(
+    "neardup_serve_delete",
+    (s, d) => serveNearDup(s, probeDocs(s, d), savedDeletePath(s, d)),
+    Some(oracleFor(s"\n          AND doc_id % $deleteResidue <> 0")))
+
+  /** The whole lifecycle compounded (build → append → delete → compact)
+    * still ≡ the survivors rebuild — compaction drops tombstoned rows
+    * physically and refolds segments without changing a single served
+    * value. */
+  val neardupServeCompact = GQuery(
+    "neardup_serve_compact",
+    (s, d) => serveNearDup(s, probeDocs(s, d), savedCompactPath(s, d)),
+    Some(oracleFor(s"\n          AND doc_id % $deleteResidue <> 0")))
+
+  def all: Seq[GQuery] = Seq(neardupServe, neardupServeAppend,
+    neardupServeDelete, neardupServeCompact)
+}
