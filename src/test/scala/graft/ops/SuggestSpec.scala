@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Deletion-neighborhood spell-correction pins: the SymSpell candidate
+  * set must be COMPLETE for edit distance ≤ 1 (index result ≡ brute
+  * levenshtein over the whole dictionary — the property the registry
+  * oracle also hashes), the two deletion-key rules (Scala request side,
+  * SQL index side) must agree, and the delkey lookup must reach the scan
+  * as a pushed filter. */
+class SuggestSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("delkey lookup is a pushed In filter") {
+    val path = Suggest.savedSuggestPath(spark, sf)
+    val plan = spark.read.parquet(s"$path/delnbr")
+      .where(col("delkey").isin("a", "b"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(delkey"),
+      plan)
+  }
+
+  test("index suggestion ≡ brute-force levenshtein over the dictionary") {
+    val path = Suggest.savedSuggestPath(spark, sf)
+    val dict = graft.Tables.documents(spark, sf)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // every dictionary term doubles as a probe: self-match at distance 0
+    // plus whatever distance-1 neighbors exist — brute truth per probe
+    val probes = dict.map(_._1).toSeq ++ Seq("spqrk", "nosuchterm")
+    val served = Suggest.suggestBatch(spark, path, probes, k = 100)
+      .collect()
+      .map(r => (r.getString(0), r.getString(2)))
+      .toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val truth = (for {
+      q <- probes
+      (t, _) <- dict if lev(q, t) <= 1
+    } yield (q, t)).toSet
+    assert(served === truth)
+  }
+
+  test("the Scala and SQL deletion-key rules agree on every term") {
+    val path = Suggest.savedSuggestPath(spark, sf)
+    val indexed = spark.read.parquet(s"$path/delnbr")
+      .groupBy("term").agg(sort_array(collect_set(col("delkey")))
+        .as("keys"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    indexed.foreach { case (term, keys) =>
+      assert(keys === Suggest.delNeighborhood(term).distinct.sorted,
+        s"delkey mismatch for $term")
+    }
+  }
+
+  test("a no-neighbor query contributes no rows") {
+    val path = Suggest.savedSuggestPath(spark, sf)
+    assert(Suggest.suggestBatch(spark, path, Seq("zzz")).count() === 0L)
+  }
+}
