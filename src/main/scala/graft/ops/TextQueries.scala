@@ -1749,10 +1749,178 @@ object TextQueries {
       LIMIT 10
     """))
 
+  /** The "doc values" side table faceted search reads: the facet
+    * columns (lang, source) keyed + sorted by doc_id, persisted ONCE
+    * next to the retrieval indexes — the search result page's facet
+    * counts come from here, never from re-reading the corpus table
+    * (the same reason Lucene stores doc values beside its postings, a
+    * public design). Kept a SEPARATE layout from the postings dir so
+    * the narrow posting rows stay narrow; at extreme scale the
+    * alternative is inlining facet columns into the posting rows,
+    * trading list width for zero joins. */
+  private val docMetaSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedDocMetaPath(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    graft.BuildOnce.memo(docMetaSaved, d) {
+      val path = s"${graft.GraftSession.scratchDir}/docmeta_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      Tables.documents(s, d)
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(path)
+      path
+    }
+
+  /** Faceted search — the counts column a search result page renders
+    * next to the hits: for the query's FULL match set (every doc
+    * containing any query term, not just the top-10 the ranking
+    * returns), per-facet-value document counts over two facet
+    * dimensions in ONE aggregation pass (GROUPING SETS — the
+    * `agg_grouping_sets` machinery applied to retrieval). Plan: match
+    * ids come from the postings layout under the usual pushed
+    * `In(term,…)` scan (tombstone-aware — facets must not count deleted
+    * docs), broadcast onto the doc-values side table
+    * ([[savedDocMetaPath]]), then one grouping-sets shuffle sized by
+    * |match set|, with grouping_id disambiguating the two facet
+    * dimensions. The corpus table is never touched at query time. */
+  val searchFacets = GQuery(
+    "search_facets",
+    (s, d) => {
+      val path = savedPostingsPath(s, d)
+      val matched = servedLists(s, path, bm25Terms)
+        .select("doc_id").distinct()
+      s.read.parquet(savedDocMetaPath(s, d))
+        .join(broadcast(matched), Seq("doc_id"))
+        .groupingSets(
+          Seq(Seq(col("lang")), Seq(col("source"))),
+          col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          grouping_id().as("gid"))
+        .select(
+          when(col("gid") === 1, lit("lang")).otherwise(lit("source"))
+            .as("facet"),
+          when(col("gid") === 1, col("lang")).otherwise(col("source"))
+            .as("value"),
+          col("n_docs"))
+        .orderBy("facet", "value")
+    },
+    Some("""
+      WITH m AS (
+        SELECT DISTINCT doc_id
+        FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS term
+              FROM documents WHERE text IS NOT NULL)
+        WHERE term IN ('spark', 'merge', 'filter')),
+      md AS (
+        SELECT d.lang, d.source
+        FROM documents d JOIN m ON m.doc_id = d.doc_id)
+      SELECT CASE WHEN GROUPING(lang, source) = 1 THEN 'lang'
+                  ELSE 'source' END AS facet,
+             CASE WHEN GROUPING(lang, source) = 1 THEN lang
+                  ELSE source END AS value,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM md
+      GROUP BY GROUPING SETS ((lang), (source))
+      ORDER BY facet, value
+    """))
+
+  /** The postings layout taken through an UPDATE (upsert): full build,
+    * then ~1/9 of the documents re-indexed with CHANGED text (two
+    * appended tokens — dl, tf, and the spark-term ranking all move).
+    * The recipe is the documented composition of the lifecycle legs —
+    * [[postingsDelete]] the stale versions, [[postingsCompact]] to fold
+    * the tombstones (the append paths' re-add gate demands it: an
+    * un-compacted tombstone would anti-join the NEW rows out of every
+    * served plan), then [[postingsAppend]] the new versions. A
+    * deployment batches updates into the same maintenance windows
+    * compaction already owns, amortizing the one lists rewrite; an
+    * update stream hotter than compaction windows allow would instead
+    * version the tombstones by segment generation (kill only
+    * generations ≤ the takedown's) — a layout change this engine
+    * documents but does not need at its refresh cadence. */
+  private val postingsUpdateSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedPostingsUpdatePath(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.BuildOnce.memo(postingsUpdateSaved, d) {
+      val path = s"${graft.GraftSession.scratchDir}/postings_upd_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = Tables.documents(s, d)
+      buildPostings(s, docs, path)
+      val stale = docs.where(pmod(col("doc_id"), lit(9)) === 2)
+      postingsDelete(s, stale.select("doc_id"), path)
+      postingsCompact(s, path)
+      postingsAppend(s,
+        stale.select(col("doc_id"),
+          concat(col("text"), lit(" spark spark")).as("text")),
+        path)
+      path
+    }
+
+  /** UPDATE ≡ rebuild — the last lifecycle identity: BM25 served off an
+    * index whose mod-9 residue was deleted, compacted, and re-appended
+    * with changed text must hash-match a from-scratch rebuild over the
+    * UPDATED corpus (the oracle rewrites the same residue's text
+    * inline). Every moving part moves: dl grows by 2, tf('spark') grows
+    * by 2, df is unchanged for re-added terms but the avgdl shift
+    * reprices every document — so the hash match certifies the full
+    * delete→compact→append composition, not just row plumbing. */
+  val bm25ServeUpdate = GQuery(
+    "bm25_serve_update",
+    (s, d) => {
+      val path = savedPostingsUpdatePath(s, d)
+      val lists = servedLists(s, path, bm25Terms)
+      val dfs = s.read.parquet(s"$path/df")
+        .where(col("term").isin(bm25Terms: _*))
+      val stats = s.read.parquet(s"$path/stats")
+      bm25TopK(lists, dfs, stats)
+    },
+    Some("""
+      WITH up AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 9 = 2 THEN text || ' spark spark'
+                    ELSE text END AS text
+        FROM documents WHERE text IS NOT NULL),
+      docs AS (
+        SELECT doc_id, str_split(text, ' ') AS toks,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS dl
+        FROM up),
+      stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+        FROM docs),
+      tf AS (
+        SELECT term, doc_id, dl, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+        WHERE term IN ('spark', 'merge', 'filter')
+        GROUP BY 1, 2, 3),
+      dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT tf.doc_id,
+               CAST(round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / s.avgdl))),
+                 4) AS DECIMAL(38,4)) AS score_term
+        FROM tf JOIN dfs d USING (term) CROSS JOIN stats s),
+      agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(score_term) AS DOUBLE) AS score
+        FROM scored GROUP BY 1)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+             doc_id, n_terms, score
+      FROM agg
+      ORDER BY score DESC, doc_id
+      LIMIT 10
+    """))
+
   def all: Seq[GQuery] = Seq(textTokens, tokenCount, textQuality, langId,
     docFingerprint, dedupExact, dedupJaccard, textBigrams, splitHash,
     sampleStratified, sampleExactK, textTfidf, packSequences, decontaminate,
     textRepetition, heavyHitters, modelScore, treeScore, quantileBins,
     postings, bm25Search, bm25Serve, bm25ServeAppend, bm25ServeCompact,
-    bm25ServeDelete, bm25Multi, prefixSearch, heavyHittersSketch)
+    bm25ServeDelete, bm25ServeUpdate, bm25Multi, prefixSearch,
+    searchFacets, heavyHittersSketch)
 }

