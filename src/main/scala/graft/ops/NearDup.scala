@@ -259,6 +259,78 @@ object NearDup {
       .orderBy("probe_id", "match_id")
   }
 
+  /** Per-document ingest VERDICTS for a candidate batch against the
+    * index — the decision frame the dedup-at-ingest gate emits: one row
+    * per batch document, `verdict` = "accept" (no indexed near-dup) or
+    * "reject", with the match count and the best (highest-Jaccard,
+    * least-id tie-break) indexed match. Pure read — the mutation side
+    * of ingest lives in [[ingestBatch]]. Missing-match columns are
+    * coalesced to (-1, 0.0) so the frame is driver-hashable with no
+    * nullable-numeric drift. */
+  def ingestVerdicts(s: SparkSession, batch: DataFrame, path: String,
+      tau: Double = Tau): DataFrame = {
+    val docs = batch.where(col("text").isNotNull)
+      .dropDuplicates("doc_id")
+    val matches = serveNearDup(s, docs, path, tau)
+    val best = matches.groupBy(col("probe_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        max(struct(col("jaccard").as("j"), (-col("match_id")).as("nm")))
+          .as("b"))
+      .select(col("doc_id"), col("n_matches"),
+        (-col("b.nm")).as("best_match_id"),
+        col("b.j").as("best_jaccard"))
+    docs.select("doc_id").join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("n_matches").isNull, lit("accept")).otherwise("reject")
+          .as("verdict"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("best_match_id"), lit(-1L)).as("best_match_id"),
+        coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"))
+      .orderBy("doc_id")
+  }
+
+  /** One ingest micro-batch, mutation included — the body of
+    * `StreamRunner.neardupIngestStream` and the full dedup-at-ingest
+    * contract: verdicts for every batch document, then the ACCEPTED
+    * ones appended to the index so the next batch (or the next
+    * document in the stream) deduplicates against them too — the index
+    * grows itself.
+    *
+    * Replay safety (the takedown stream's no-ledger discipline): a
+    * crash-replayed batch re-derives the SAME verdicts — an accepted
+    * doc is by then indexed, but self-matches are id-excluded, and a
+    * rejected doc's dup is still indexed — and appends NOTHING, because
+    * already-indexed and tombstoned ids are excluded from the append up
+    * front (the batch-bounded id lookup is a pushed `In` on the
+    * doc_id-sorted toks table). Verdicts are MATERIALIZED before the
+    * append (the lazy-segment trap: an un-checkpointed verdict frame
+    * re-evaluated after the append would see intra-batch accepted pairs
+    * as mutual dups — rejected AND indexed). Intra-batch near-dup pairs
+    * are both accepted by design — the gate checks the INDEX; in-flight
+    * self-dedup is `StreamRunner.nearDupFilter`'s job, composed
+    * upstream. */
+  def ingestBatch(s: SparkSession, batch: DataFrame, path: String,
+      tau: Double = Tau): DataFrame = {
+    val docs = batch.where(col("text").isNotNull)
+      .dropDuplicates("doc_id").localCheckpoint(true)
+    val verdicts = ingestVerdicts(s, docs, path, tau).localCheckpoint(true)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSeq
+    require(ids.length <= MaxProbes,
+      s"ingestBatch: ${ids.length} docs (> $MaxProbes ceiling)")
+    if (ids.nonEmpty) {
+      val already = s.read.parquet(s"$path/toks")
+        .where(col("doc_id").isin(ids: _*)).select("doc_id")
+      val doomed = Layout.tombstonesOpt(s, path)
+        .fold(already)(t => already.unionByName(t.select("doc_id")))
+      val fresh = docs
+        .join(broadcast(verdicts.where(col("verdict") === "accept")
+          .select("doc_id")), Seq("doc_id"))
+        .join(broadcast(doomed.distinct()), Seq("doc_id"), "left_anti")
+      neardupAppend(s, fresh, path)
+    }
+    verdicts
+  }
+
   /** The probe batch shared by every entry and oracle: doc_id ≡ 8
     * (mod 62) — stable, engine-independent, ~1.6% of the corpus, and
     * chosen to intersect the planted near-dup structure at every SF so
@@ -449,6 +521,123 @@ object NearDup {
     (s, d) => serveNearDup(s, probeDocs(s, d), savedCompactPath(s, d)),
     Some(oracleFor(s"\n          AND doc_id % $deleteResidue <> 0")))
 
+  /** Index over the NON-holdout corpus (doc_id ≢ 5 mod 10) — the
+    * pre-ingest state `neardup_ingest` gates its holdout batch
+    * against. Never mutated: the registry entry is the PURE verdict
+    * read ([[ingestVerdicts]]); the mutation composition is pinned in
+    * `NearDupSpec`'s streaming roundtrip. */
+  private val ingestSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedIngestPath(s: SparkSession, d: String): String =
+    graft.BuildOnce.memo(ingestSaved, d) {
+      val path = scratch("neardup_ing", d)
+      buildNearDup(s,
+        Tables.documents(s, d).where(col("doc_id") % 10 =!= 5), path)
+      path
+    }
+
+  /** The dedup-at-ingest GATE, driver-verified: a holdout slice of the
+    * corpus (doc_id ≡ 5 mod 10) arrives as an ingest batch against the
+    * index of everything else; each document gets an accept/reject
+    * verdict with its best indexed match. The holdout residue is chosen
+    * to straddle the planted near-dup structure, so both verdicts occur
+    * at every SF. Oracle = the full from-scratch recompute (bands,
+    * candidates, exact Jaccard, per-doc best-match argmax with the same
+    * deterministic tie-break). */
+  val neardupIngest = GQuery(
+    "neardup_ingest",
+    (s, d) => ingestVerdicts(s,
+      Tables.documents(s, d).where(col("doc_id") % 10 === 5)
+        .select(col("doc_id"), col("text")),
+      savedIngestPath(s, d)),
+    Some("""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        WHERE text IS NOT NULL AND doc_id % 10 <> 5),
+      sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(str_split(text, ' '))),
+                 i -> str_split(text, ' ')[i] || ' ' ||
+                      str_split(text, ' ')[i+1])) AS tok
+        FROM corpus),
+      sigs AS (
+        SELECT doc_id,
+               MIN(md5('0:' || tok)) AS s0, MIN(md5('1:' || tok)) AS s1,
+               MIN(md5('2:' || tok)) AS s2, MIN(md5('3:' || tok)) AS s3,
+               MIN(md5('4:' || tok)) AS s4, MIN(md5('5:' || tok)) AS s5,
+               MIN(md5('6:' || tok)) AS s6, MIN(md5('7:' || tok)) AS s7
+        FROM sh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 0 AS band_idx, md5(s0 || s1) AS band_key FROM sigs
+        UNION ALL SELECT doc_id, 1, md5(s2 || s3) FROM sigs
+        UNION ALL SELECT doc_id, 2, md5(s4 || s5) FROM sigs
+        UNION ALL SELECT doc_id, 3, md5(s6 || s7) FROM sigs),
+      probes AS (
+        SELECT doc_id, text FROM documents
+        WHERE text IS NOT NULL AND doc_id % 10 = 5),
+      psh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(str_split(text, ' '))),
+                 i -> str_split(text, ' ')[i] || ' ' ||
+                      str_split(text, ' ')[i+1])) AS tok
+        FROM probes),
+      psigs AS (
+        SELECT doc_id,
+               MIN(md5('0:' || tok)) AS s0, MIN(md5('1:' || tok)) AS s1,
+               MIN(md5('2:' || tok)) AS s2, MIN(md5('3:' || tok)) AS s3,
+               MIN(md5('4:' || tok)) AS s4, MIN(md5('5:' || tok)) AS s5,
+               MIN(md5('6:' || tok)) AS s6, MIN(md5('7:' || tok)) AS s7
+        FROM psh GROUP BY doc_id),
+      pbands AS (
+        SELECT doc_id, 0 AS band_idx, md5(s0 || s1) AS band_key FROM psigs
+        UNION ALL SELECT doc_id, 1, md5(s2 || s3) FROM psigs
+        UNION ALL SELECT doc_id, 2, md5(s4 || s5) FROM psigs
+        UNION ALL SELECT doc_id, 3, md5(s6 || s7) FROM psigs),
+      cand AS (
+        SELECT DISTINCT p.doc_id AS probe_id, b.doc_id AS match_id
+        FROM pbands p JOIN bands b
+          ON p.band_idx = b.band_idx AND p.band_key = b.band_key
+             AND p.doc_id <> b.doc_id),
+      tsets AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, len(str_split(text, ' '))),
+                 i -> str_split(text, ' ')[i] || ' ' ||
+                      str_split(text, ' ')[i+1])) AS toks
+        FROM corpus),
+      ptsets AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, len(str_split(text, ' '))),
+                 i -> str_split(text, ' ')[i] || ' ' ||
+                      str_split(text, ' ')[i+1])) AS toks
+        FROM probes),
+      ver AS (
+        SELECT probe_id, match_id,
+               CAST(len(list_intersect(pa.toks, mb.toks)) AS DOUBLE) /
+               (len(pa.toks) + len(mb.toks)
+                - len(list_intersect(pa.toks, mb.toks))) AS jac
+        FROM cand
+        JOIN ptsets pa ON pa.doc_id = probe_id
+        JOIN tsets mb ON mb.doc_id = match_id),
+      best AS (
+        SELECT probe_id AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_matches,
+               FIRST(match_id ORDER BY jac DESC, match_id)
+                 AS best_match_id,
+               FIRST(jac ORDER BY jac DESC, match_id) AS best_jaccard
+        FROM ver WHERE jac >= 0.5 GROUP BY probe_id)
+      SELECT p.doc_id,
+             CASE WHEN b.n_matches IS NULL THEN 'accept'
+                  ELSE 'reject' END AS verdict,
+             COALESCE(b.n_matches, 0) AS n_matches,
+             COALESCE(b.best_match_id, -1) AS best_match_id,
+             COALESCE(b.best_jaccard, 0.0) AS best_jaccard
+      FROM probes p LEFT JOIN best b ON b.doc_id = p.doc_id
+      ORDER BY p.doc_id
+    """))
+
   def all: Seq[GQuery] = Seq(neardupServe, neardupServeAppend,
-    neardupServeDelete, neardupServeCompact)
+    neardupServeDelete, neardupServeCompact, neardupIngest)
 }

@@ -519,6 +519,33 @@ object StreamRunner {
       }
       .start()
 
+  /** Streaming dedup-at-ingest GATE — the operational face of the
+    * persisted near-dup index: each micro-batch of (doc_id, text)
+    * documents is gated against the index (`NearDup.ingestVerdicts`),
+    * the per-document accept/reject verdicts are emitted, and the
+    * accepted documents are appended so the NEXT batch deduplicates
+    * against them too — the index grows itself as the corpus streams
+    * in, which is exactly how a training-data ingest pipeline runs its
+    * dedup stage at 100 TB (gate the delta, never rescan the corpus).
+    *
+    * EXACTLY-ONCE with no batch-id ledger (the takedown stream's
+    * discipline): `NearDup.ingestBatch` re-derives identical verdicts
+    * on a crash-replayed batch and appends nothing, because
+    * already-indexed and tombstoned ids are excluded from the append
+    * up front — replay is a no-op BY CONSTRUCTION. Pinned in
+    * `NearDupSpec`'s two-batch roundtrip (growth + replay). */
+  def neardupIngestStream(indexPath: String, docs: DataFrame)
+      (emit: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        emit(graft.ops.NearDup.ingestBatch(batch.sparkSession,
+          batch.select(col("doc_id").cast("long").as("doc_id"),
+            col("text")),
+          indexPath))
+      }
+      .start()
+
   /** Typed event row for the custom-state path (object-nested so Spark
     * can derive its Encoder — no outer instance). */
   final case class UserEvent(event_id: Long, ts: java.sql.Timestamp,

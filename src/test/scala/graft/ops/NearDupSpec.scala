@@ -86,6 +86,54 @@ class NearDupSpec extends SparkTestBase {
       .where(col("doc_id") === 6).count() === 1L)
   }
 
+  test("ingest stream: gate, self-growth, and replay-as-no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val path = s"${graft.GraftSession.scratchDir}/neardup_spec_ingest"
+    // controlled corpus: doc 1's text has a known near-copy incoming
+    NearDup.buildNearDup(spark, Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "k l m n o p q r s t")).toDF("doc_id", "text"), path)
+    val source = MemoryStream[(Long, String)]
+    val verdicts = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long)]
+    val q = graft.streaming.StreamRunner.neardupIngestStream(path,
+      source.toDF().toDF("doc_id", "text")) { out =>
+      verdicts.synchronized {
+        verdicts ++= out.collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[String]("verdict"), r.getAs[Long]("n_matches")))
+      }
+    }
+    // batch 1: a near-copy of corpus doc 1 (reject) + a fresh doc
+    // (accept → indexed)
+    source.addData(
+      101L -> "a b c d e f g h i z",
+      102L -> "u v w x y z aa bb cc dd")
+    q.processAllAvailable()
+    // batch 2: a near-copy of the doc batch 1 just ACCEPTED — the gate
+    // must reject it, proving the index grew mid-stream
+    source.addData(201L -> "u v w x y z aa bb cc ee")
+    q.processAllAvailable()
+    q.stop()
+    assert(verdicts.sortBy(_._1).toSeq === Seq(
+      (101L, "reject", 1L), (102L, "accept", 0L),
+      (201L, "reject", 1L)))
+    val indexed = spark.read.parquet(s"$path/toks")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(indexed === Set(1L, 2L, 102L))
+    // replay batch 1 (same content, as after a crash): identical
+    // verdicts — 102 now self-matches nothing (id-excluded) — and the
+    // index is untouched
+    val replay = NearDup.ingestBatch(spark, Seq(
+      (101L, "a b c d e f g h i z"),
+      (102L, "u v w x y z aa bb cc dd")).toDF("doc_id", "text"), path)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("verdict"))).sortBy(_._1).toSeq
+    assert(replay === Seq(101L -> "reject", 102L -> "accept"))
+    assert(spark.read.parquet(s"$path/toks").count() === 3L)
+  }
+
   test("a sub-shingle probe (one token) matches nothing, crashes nothing") {
     import spark.implicits._
     val path = NearDup.savedFullPath(spark, sf)
