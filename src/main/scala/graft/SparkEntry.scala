@@ -18,7 +18,7 @@ object SparkEntry {
       ops.TextQueries.all ++ ops.PhraseQueries.all ++ ops.Suggest.all ++
       ops.CorpusQueries.all ++
       ops.VectorQueries.all ++ ops.HybridQueries.all ++
-      ops.DedupQueries.all ++ ops.NearDup.all ++
+      ops.DedupQueries.all ++ ops.NearDup.all ++ ops.IndexStats.all ++
       ops.Multimodal.all ++ ops.IncrQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

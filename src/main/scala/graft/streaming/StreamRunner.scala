@@ -502,7 +502,8 @@ object StreamRunner {
     * the paired layouts (the corpus convention). */
   def takedownStream(postingsPath: String, doomedIds: DataFrame,
       ivfPath: Option[String] = None,
-      positionalPath: Option[String] = None)
+      positionalPath: Option[String] = None,
+      neardupPath: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     doomedIds.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -516,6 +517,11 @@ object StreamRunner {
         // takedown must reach; same tombstone idempotence contract
         positionalPath.foreach(p => graft.ops.PhraseQueries
           .positionalDelete(batch.sparkSession, ids, p))
+        // and the near-dup index — a taken-down document must stop
+        // gating future ingests, or its content survives as a REJECT
+        // verdict on every re-submission of similar text
+        neardupPath.foreach(p => graft.ops.NearDup
+          .neardupDelete(batch.sparkSession, ids, p))
       }
       .start()
 

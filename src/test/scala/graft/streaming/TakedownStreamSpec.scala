@@ -75,6 +75,35 @@ class TakedownStreamSpec extends SparkTestBase {
     assert(served.size === emb.count() - 2)
   }
 
+  test("takedown propagates to the near-dup index: a removed doc stops " +
+      "gating ingests") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("takedown-nd").toString
+    val postings = s"$base/postings"
+    val neardup = s"$base/neardup"
+    TextQueries.buildPostings(spark, docsDf(corpus), postings)
+    graft.ops.NearDup.buildNearDup(spark, Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "k l m n o p q r s t")).toDF("doc_id", "text"), neardup)
+    // pre-takedown: a near-copy of doc 1 is rejected at the gate
+    def verdictOf(text: String) =
+      graft.ops.NearDup.ingestVerdicts(spark,
+        Seq((900L, text)).toDF("doc_id", "text"), neardup)
+        .head().getAs[String]("verdict")
+    assert(verdictOf("a b c d e f g h i z") === "reject")
+    val source = MemoryStream[Long]
+    val q = StreamRunner.takedownStream(postings,
+      source.toDF().toDF("doc_id"), neardupPath = Some(neardup))
+    source.addData(1L)
+    q.processAllAvailable()
+    q.stop()
+    // the taken-down document no longer gates similar incoming text
+    assert(verdictOf("a b c d e f g h i z") === "accept")
+    assert(verdictOf("k l m n o p q r s z") === "reject")
+  }
+
   test("takedown propagates to the positional layout too") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
