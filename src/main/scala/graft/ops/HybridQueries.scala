@@ -1097,8 +1097,182 @@ object HybridQueries {
       ORDER BY rnk
     """))
 
+  /** MMR (maximal marginal relevance — the public Carbonell/Goldstein
+    * '98 formulation) diversity rerank of the hybrid shortlist: greedily
+    * pick k results maximizing λ·relevance − (1−λ)·max-similarity-to-
+    * already-picked, so a result page stops showing five copies of the
+    * same near-dup answer. λ = 0.5, k = 5, relevance = the fused RRF
+    * score, similarity = embedding cosine between SHORTLIST members
+    * (never corpus pairs).
+    *
+    * Shape: the corpus-scale work stays in the member tiers; MMR sees
+    * only the fused shortlist (≤ kw_k + vec_k rows by the [[rrfFuse]]
+    * bound). The pairwise similarity matrix is computed IN SPARK (a
+    * crossJoin of the ≤15-row candidate frame with itself through the
+    * same `VecMath` dot kernels + round-4-decimal discipline every
+    * vector oracle uses, so the sims are the engine's own bits), and
+    * only then does the ≤15-item greedy selection run on the driver —
+    * the one inherently sequential step, bounded by the shortlist
+    * contract like the probe-batch collects. Selection determinism:
+    * scores compare as identical doubles on both engines (rel is
+    * decimal-exact RRF, sims are round-4 decimals, λ-arithmetic is the
+    * same two IEEE ops), ties break on doc_id. Output is integer-only
+    * (rnk, doc_id) — the `sim_topk` no-float-hash discipline. The
+    * oracle recomputes fusion from scratch and UNROLLS the k = 5 greedy
+    * steps as chained CTEs (argmax via ORDER BY … LIMIT 1), so the hash
+    * match certifies every pick, not just the final set. Candidates
+    * are the fused docs with embeddings (doc_id ≡ vec_id, the corpus
+    * convention; the inner join is mirrored in the oracle). */
+  val hybridMmr = GQuery(
+    "hybrid_mmr",
+    (s, d) => {
+      val lambda = 0.5
+      val k = 5
+      val fusedList = rrfFuse(kwExact(s, d), vecExact(s, d))
+        .select(col("doc_id"), col("rrf").as("rel"))
+      val embs = Tables.embeddings(s, d)
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val cand = fusedList.join(embs, Seq("doc_id"))
+        .localCheckpoint(true)
+      val shortlist = cand.select("doc_id", "rel").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1))
+      require(shortlist.length <= 64,
+        s"hybrid_mmr: ${shortlist.length} candidates — the shortlist " +
+          "contract (≤ kw_k + vec_k) is broken upstream")
+      val a = cand.select(col("doc_id").as("ida"),
+        col("embedding").as("ea"))
+      val b = cand.select(col("doc_id").as("idb"),
+        col("embedding").as("eb"))
+      val cos = graft.functions.VecMath.vecDot(col("ea"), col("eb")) /
+        (sqrt(graft.functions.VecMath.vecNormSq(col("ea"))) *
+          sqrt(graft.functions.VecMath.vecNormSq(col("eb"))))
+      val sims = a.crossJoin(b).where(col("ida") =!= col("idb"))
+        .select(col("ida"), col("idb"),
+          round(cos, 4).cast(DecimalType(38, 4)).cast(DoubleType)
+            .as("sim"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val rels = shortlist.toMap
+      while (picked.length < k && picked.length < shortlist.length) {
+        val best = shortlist.iterator
+          .filterNot(c => picked.contains(c._1))
+          .map { case (id, rel) =>
+            val pen = if (picked.isEmpty) 0.0
+              else picked.map(p => sims((id, p))).max
+            (id, lambda * rel - (1.0 - lambda) * pen)
+          }
+          .reduceLeft((x, y) =>
+            if (y._2 > x._2 || (y._2 == x._2 && y._1 < x._1)) y else x)
+        picked += best._1
+      }
+      import s.implicits._
+      picked.zipWithIndex
+        .map { case (id, i) => ((i + 1).toLong, id) }
+        .toSeq.toDF("rnk", "doc_id")
+        .orderBy("rnk")
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, str_split(text, ' ') AS toks,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents WHERE text IS NOT NULL),
+      stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+        FROM docs),
+      tf AS (
+        SELECT term, doc_id, dl, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+        WHERE term IN ('spark', 'merge', 'filter')
+        GROUP BY 1, 2, 3),
+      dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT tf.doc_id,
+               CAST(round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / s.avgdl))),
+                 4) AS DECIMAL(38,4)) AS score_term
+        FROM tf JOIN dfs d USING (term) CROSS JOIN stats s),
+      kwagg AS (
+        SELECT doc_id, CAST(SUM(score_term) AS DOUBLE) AS score
+        FROM scored GROUP BY 1),
+      kw AS (
+        SELECT doc_id, kw_rnk FROM (
+          SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS kw_rnk
+          FROM kwagg)
+        WHERE kw_rnk <= $KwTopK),
+      probe AS (SELECT embedding AS probe_emb FROM embeddings WHERE vec_id = 0),
+      vsims AS (
+        SELECT e.vec_id AS doc_id,
+               list_cosine_similarity(e.embedding, p.probe_emb) AS sim
+        FROM embeddings e, probe p
+        WHERE e.vec_id <> 0),
+      vec AS (
+        SELECT doc_id, vec_rnk FROM (
+          SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS vec_rnk
+          FROM vsims)
+        WHERE vec_rnk <= ${VectorQueries.IvfTopK}),
+      fused AS (
+        SELECT COALESCE(kw.doc_id, vec.doc_id) AS doc_id,
+               CAST(COALESCE(CAST(round(1.0 / ($RrfK + kw.kw_rnk), 6) AS DECIMAL(38,6)),
+                             CAST(0 AS DECIMAL(38,6)))
+                  + COALESCE(CAST(round(1.0 / ($RrfK + vec.vec_rnk), 6) AS DECIMAL(38,6)),
+                             CAST(0 AS DECIMAL(38,6))) AS DOUBLE) AS rel
+        FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id),
+      cand AS (
+        SELECT f.doc_id, f.rel, CAST(e.embedding AS DOUBLE[]) AS emb
+        FROM fused f JOIN embeddings e ON e.vec_id = f.doc_id),
+      sims AS (
+        SELECT a.doc_id AS ida, b.doc_id AS idb,
+               CAST(CAST(round(list_cosine_similarity(a.emb, b.emb), 4)
+                 AS DECIMAL(38,4)) AS DOUBLE) AS sim
+        FROM cand a JOIN cand b ON a.doc_id <> b.doc_id),
+      p1 AS (SELECT doc_id, rel FROM cand ORDER BY rel DESC, doc_id LIMIT 1),
+      k1 AS (SELECT doc_id FROM p1),
+      p2 AS (
+        SELECT c.doc_id, c.rel FROM cand c
+        WHERE c.doc_id NOT IN (SELECT doc_id FROM k1)
+        ORDER BY 0.5 * c.rel - 0.5 * (SELECT MAX(s.sim) FROM sims s
+          WHERE s.ida = c.doc_id AND s.idb IN (SELECT doc_id FROM k1)) DESC,
+          c.doc_id
+        LIMIT 1),
+      k2 AS (SELECT doc_id FROM k1 UNION ALL SELECT doc_id FROM p2),
+      p3 AS (
+        SELECT c.doc_id, c.rel FROM cand c
+        WHERE c.doc_id NOT IN (SELECT doc_id FROM k2)
+        ORDER BY 0.5 * c.rel - 0.5 * (SELECT MAX(s.sim) FROM sims s
+          WHERE s.ida = c.doc_id AND s.idb IN (SELECT doc_id FROM k2)) DESC,
+          c.doc_id
+        LIMIT 1),
+      k3 AS (SELECT doc_id FROM k2 UNION ALL SELECT doc_id FROM p3),
+      p4 AS (
+        SELECT c.doc_id, c.rel FROM cand c
+        WHERE c.doc_id NOT IN (SELECT doc_id FROM k3)
+        ORDER BY 0.5 * c.rel - 0.5 * (SELECT MAX(s.sim) FROM sims s
+          WHERE s.ida = c.doc_id AND s.idb IN (SELECT doc_id FROM k3)) DESC,
+          c.doc_id
+        LIMIT 1),
+      k4 AS (SELECT doc_id FROM k3 UNION ALL SELECT doc_id FROM p4),
+      p5 AS (
+        SELECT c.doc_id, c.rel FROM cand c
+        WHERE c.doc_id NOT IN (SELECT doc_id FROM k4)
+        ORDER BY 0.5 * c.rel - 0.5 * (SELECT MAX(s.sim) FROM sims s
+          WHERE s.ida = c.doc_id AND s.idb IN (SELECT doc_id FROM k4)) DESC,
+          c.doc_id
+        LIMIT 1)
+      SELECT CAST(rnk AS BIGINT) AS rnk, doc_id FROM (
+        SELECT 1 AS rnk, doc_id FROM p1
+        UNION ALL SELECT 2, doc_id FROM p2
+        UNION ALL SELECT 3, doc_id FROM p3
+        UNION ALL SELECT 4, doc_id FROM p4
+        UNION ALL SELECT 5, doc_id FROM p5)
+      ORDER BY rnk
+    """))
+
   val all: Seq[GQuery] =
     Seq(hybridSearch, hybridServe, hybridMulti, hybridRerank,
       hybridFiltered, hybridServeAppend, hybridMultiRerank,
-      hybridServeDelete, hybridPhrase)
+      hybridServeDelete, hybridPhrase, hybridMmr)
 }

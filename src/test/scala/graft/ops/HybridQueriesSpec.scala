@@ -236,4 +236,23 @@ class HybridQueriesSpec extends SparkTestBase {
     assert(served.map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("doc_id"),
       r.getAs[Double]("rrf"))).toSeq === exact)
   }
+
+  test("hybrid_mmr: first pick is the relevance argmax, the tail " +
+      "diversifies, and every pick is a fused candidate") {
+    val fused = graft.SparkEntry.queries("hybrid_search")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("doc_id")))
+      .sortBy(_._1)
+    val mmr = graft.SparkEntry.queries("hybrid_mmr")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("doc_id")))
+      .sortBy(_._1)
+    assert(mmr.length === 5)
+    assert(mmr.map(_._1).toSeq === (1L to 5L))
+    // pick 1 = pure-relevance winner (empty penalty set)
+    assert(mmr.head._2 === fused.head._2)
+    // no duplicates, and every selection came from the fused shortlist
+    assert(mmr.map(_._2).distinct.length === 5)
+    assert(mmr.map(_._2).toSet.subsetOf(fused.map(_._2).toSet))
+  }
 }
