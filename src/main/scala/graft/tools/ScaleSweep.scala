@@ -184,6 +184,32 @@ object ScaleSweep {
         Ann.retrain(s, path, iters = 2)
       Ann.query(Ann.load(s, path), probeId = 0, topK = 5, nProbe = 3)
     }),
+    // The dedup-at-ingest lifecycle (round 14): near-dup index BUILD on
+    // the replica corpus (replica-disjoint token spaces — the
+    // cluster_sweep correction, so R× replicas model R× NEW content and
+    // bucket populations stay bounded), then a probe-batch SERVE whose
+    // batch size grows ∝ R (the realistic shape: more corpus, more
+    // ingest traffic). Build is two linear passes; serve is bucket
+    // lookups + candidate verification ∝ |batch| — the whole probe must
+    // stay ~linear in R or the "corpus size appears nowhere at serve
+    // time" claim is wrong.
+    "neardup_sweep" -> ((s, dir) => {
+      import graft.ops.NearDup
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${graft.GraftSession.scratchDir}/sweep_neardup_$tag"
+      val docs = graft.Tables.documents(s, dir)
+        .withColumn("text", regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("r"), (col("doc_id") / KeyShift).cast("long"),
+            lit("_$1"))))
+      NearDup.buildNearDup(s, docs, path)
+      NearDup.ingestVerdicts(s,
+        docs.where(pmod(col("doc_id"), lit(62)) === 8)
+          .select((col("doc_id") + lit(900000000L)).as("doc_id"),
+            col("text")),
+        path)
+        .groupBy().agg(count(lit(1)).as("n"),
+          sum(col("n_matches")).as("matches"))
+    }),
     "knnjoinpq_sweep" -> ((s, dir) => {
       val e = graft.Tables.embeddings(s, dir)
       val n = e.count()
