@@ -101,6 +101,38 @@ object Suggest {
       .orderBy("query", "rnk")
   }
 
+  /** Incremental growth of the suggest index: the new batch's partial
+    * dictionary (term, df) merges algebraically into the persisted
+    * delkey rows — matched terms' rows get their (denormalized) df
+    * summed, genuinely new terms contribute their freshly generated
+    * deletion keys — and the merged frame swap-replaces the directory
+    * ([[Layout.replaceDir]], the shared crash-recovery contract). The
+    * rewrite is ∝ |dictionary|, NOT corpus: dictionary-scale
+    * maintenance is the correct cost model for a term-level layout (at
+    * 100 TB the dictionary is millions of rows where the corpus is
+    * trillions), which is also why DELETE has no bespoke path here —
+    * a takedown flows through the postings lifecycle and the suggest
+    * layout rebuilds from the postings df side table at dictionary
+    * cost. df addition is exact (long counts), so append ≡ rebuild —
+    * `suggest_append` hash-verifies it against the full-corpus
+    * oracle. */
+  def suggestAppend(s: SparkSession, newDocs: DataFrame,
+      path: String): Unit = {
+    val partial = dictionary(newDocs)
+    if (partial.isEmpty) return
+    val merged = s.read.parquet(s"$path/delnbr")
+      .select(col("delkey"), col("term"), col("df"))
+      .unionByName(partial
+        .select(explode(delKeys(col("term"))).as("delkey"),
+          col("term"), col("df")))
+      .groupBy(col("delkey"), col("term"))
+      .agg(sum(col("df")).as("df"))
+    Layout.replaceDir(s,
+      merged.repartitionByRange(4, col("delkey"))
+        .sortWithinPartitions("delkey"),
+      s"$path/delnbr")
+  }
+
   /** The probe batch shared with the oracle: three misspellings with a
     * known correction each (substitution, trailing insertion, trailing
     * deletion) and one with no distance-1 neighbor at all. */
@@ -144,5 +176,31 @@ object Suggest {
       ORDER BY query, rnk
     """))
 
-  def all: Seq[GQuery] = Seq(termSuggest)
+  /** Suggest index built on the even half then grown to the whole
+    * corpus through [[suggestAppend]] — the layout `suggest_append`
+    * serves against the FULL-corpus oracle. */
+  private val appendSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedAppendPath(s: SparkSession, d: String): String =
+    graft.BuildOnce.memo(appendSaved, d) {
+      val path = s"${graft.GraftSession.scratchDir}/suggest_app_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = Tables.documents(s, d)
+      buildSuggest(s, docs.where(col("doc_id") % 2 === 0), path)
+      suggestAppend(s, docs.where(col("doc_id") % 2 === 1), path)
+      path
+    }
+
+  /** append ≡ rebuild for the dictionary layout: the half-built,
+    * half-appended index must serve the same suggestions, with the same
+    * df ranking, as the full build — exact long df addition makes the
+    * identity algebraic, and the hash match certifies it end to end
+    * (same oracle as [[termSuggest]]). */
+  val suggestAppendQ = GQuery(
+    "suggest_append",
+    (s, d) => suggestBatch(s, savedAppendPath(s, d), probeQueries),
+    termSuggest.oracle)
+
+  def all: Seq[GQuery] = Seq(termSuggest, suggestAppendQ)
 }

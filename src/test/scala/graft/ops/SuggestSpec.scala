@@ -65,6 +65,23 @@ class SuggestSpec extends SparkTestBase {
     }
   }
 
+  test("append ≡ rebuild: grown index serves identical suggestions") {
+    def served(path: String) =
+      Suggest.suggestBatch(spark, path, Suggest.probeQueries)
+        .collect()
+        .map(r => (r.getString(0), r.getAs[Long]("rnk"), r.getString(2),
+          r.getAs[Long]("df"))).sortBy(t => (t._1, t._2)).toSeq
+    assert(served(Suggest.savedAppendPath(spark, sf)) ===
+      served(Suggest.savedSuggestPath(spark, sf)))
+    // an empty batch mutates nothing
+    import spark.implicits._
+    val path = Suggest.savedAppendPath(spark, sf)
+    val before = spark.read.parquet(s"$path/delnbr").count()
+    Suggest.suggestAppend(spark,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), path)
+    assert(spark.read.parquet(s"$path/delnbr").count() === before)
+  }
+
   test("a no-neighbor query contributes no rows") {
     val path = Suggest.savedSuggestPath(spark, sf)
     assert(Suggest.suggestBatch(spark, path, Seq("zzz")).count() === 0L)
