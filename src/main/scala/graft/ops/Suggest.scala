@@ -202,5 +202,41 @@ object Suggest {
     (s, d) => suggestBatch(s, savedAppendPath(s, d), probeQueries),
     termSuggest.oracle)
 
-  def all: Seq[GQuery] = Seq(termSuggest, suggestAppendQ)
+  /** Autocomplete — the other search-box affordance, served off the
+    * SAME layout: every term's identity row (delkey = term) makes the
+    * delkey-sorted directory double as a term-sorted dictionary, so a
+    * prefix is a RANGE of the sort key (pushed `StringStartsWith`, the
+    * `prefix_search` discipline at TERM level) and completion is a
+    * row-group-pruned scan + top-5 by df. One layout, three query
+    * families (correct, complete, rank) — the Lucene FST dictionary
+    * trick re-expressed as a sorted columnar range. */
+  val termComplete = GQuery(
+    "term_complete",
+    (s, d) => {
+      val path = savedSuggestPath(s, d)
+      s.read.parquet(s"$path/delnbr")
+        .where(col("delkey").startsWith("s") &&
+          col("delkey") === col("term"))
+        .orderBy(col("df").desc, col("term"))
+        .limit(5)
+        .select(
+          row_number().over(Window.orderBy(col("df").desc, col("term")))
+            .cast(LongType).as("rnk"),
+          col("term"), col("df"))
+        .orderBy("rnk")
+    },
+    Some("""
+      WITH terms AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS term
+              FROM documents WHERE text IS NOT NULL)
+        GROUP BY term)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY df DESC, term) AS BIGINT) AS rnk,
+             term, df
+      FROM terms WHERE term LIKE 's%'
+      ORDER BY df DESC, term
+      LIMIT 5
+    """))
+
+  def all: Seq[GQuery] = Seq(termSuggest, suggestAppendQ, termComplete)
 }

@@ -82,6 +82,15 @@ class SuggestSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$path/delnbr").count() === before)
   }
 
+  test("completion prefix is pushed as StringStartsWith on delkey") {
+    val path = Suggest.savedSuggestPath(spark, sf)
+    val plan = spark.read.parquet(s"$path/delnbr")
+      .where(col("delkey").startsWith("s") &&
+        col("delkey") === col("term"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("StringStartsWith(delkey"), plan)
+  }
+
   test("a no-neighbor query contributes no rows") {
     val path = Suggest.savedSuggestPath(spark, sf)
     assert(Suggest.suggestBatch(spark, path, Seq("zzz")).count() === 0L)
