@@ -11,14 +11,18 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `.withExtensions(new GraftExtensions)` — the deployment-grade
   * alternative to per-session `SimHash64.register`.
   *
-  * A custom optimizer `Rule`/`SparkStrategy` slot is deliberately empty:
-  * every §2 operator plans well with Catalyst defaults (SURVEY §4's
-  * "custom Catalyst work needed: none" decision, re-validated by
-  * PlanSpec), so the extension surface carries only expressions.
+  * The custom-rule slot carries exactly ONE optimizer rule — the
+  * materialized-view rewrite ([[graft.plans.MatView.MvRewrite]]), the
+  * one beyond-§2 capability the built-in operators can't express
+  * (every §2 operator still plans well with Catalyst defaults —
+  * SURVEY §4's decision, re-validated by PlanSpec). The rule is inert
+  * unless a view is registered for the scanned path, so installing the
+  * extension changes no other plan.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(s => graft.plans.MatView.MvRewrite(s))
     e.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),

@@ -27,6 +27,10 @@ object GraftSession {
     * specifics and `getOrCreate()`. */
   def builder(shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
+      // the deployment-grade extension install: native expressions +
+      // the (registration-gated, otherwise inert) MV-rewrite rule run
+      // in every session the mains build, not just in specs
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -565,7 +565,70 @@ object IncrQueries {
       ORDER BY o_orderpriority
     """))
 
+  /** Dedicated base-table copy + registered materialized view for the
+    * rewrite entry — a COPY so no other registry query's plan can be
+    * touched by the registration (the rule keys on the scanned path).
+    * Built and registered once per process. */
+  private val mvSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedMvBasePath(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    graft.BuildOnce.memo(mvSaved, d) {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"${graft.GraftSession.scratchDir}/mv_base_$tag"
+      val mv = s"${graft.GraftSession.scratchDir}/mv_view_$tag"
+      Tables.lineitem(s, d)
+        .select("l_quantity", "l_returnflag", "l_linestatus")
+        .write.mode("overwrite").parquet(base)
+      s.read.parquet(base)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(DecimalType(38, 2)))
+          .as("sum_qty_p"),
+          count(lit(1)).as("cnt_p"))
+        .write.mode("overwrite").parquet(mv)
+      graft.plans.MatView.register(graft.plans.MatView.MvDef(base, mv,
+        Seq("l_returnflag", "l_linestatus"),
+        Seq(graft.plans.MatView.AggSpec("sum", "l_quantity",
+            Some(DecimalType(38, 2)), "sum_qty_p"),
+          graft.plans.MatView.AggSpec("count", "", None, "cnt_p"))))
+      base
+    }
+
+  /** Materialized-view rewrite, driver-verified: the query is WRITTEN
+    * against the base fact table, the custom Catalyst rule
+    * ([[graft.plans.MatView.MvRewrite]], installed via
+    * `spark.sql.extensions`) re-plans it onto the registered rollup
+    * view — `MatViewSpec` pins that the executed plan scans ONLY the
+    * view — and the oracle computes the same aggregate from the RAW
+    * table, so the hash match proves the rewrite is semantics-
+    * preserving (decimal partials make partial-of-partials exact).
+    * This is the warehouse dashboard-rollup path: at 100 TB the query
+    * reads |group cells| rows instead of the fact table. */
+  val mvRewrite = GQuery(
+    "mv_rewrite",
+    (s, d) => {
+      val base = savedMvBasePath(s, d)
+      s.read.parquet(base)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity").cast(DecimalType(38, 2)))
+          .as("sum_qty_dec"),
+          count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"),
+          col("sum_qty_dec").cast(DoubleType).as("sum_qty"),
+          col("n_rows"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """))
+
   val all: Seq[GQuery] =
     Seq(incrAgg, incrDistinct, incrTopk, rollingWau, overlapSketch,
-      zorderLayout, warehouseRefresh, incrPipeline)
+      zorderLayout, warehouseRefresh, incrPipeline, mvRewrite)
 }

@@ -1,0 +1,101 @@
+package graft.plans
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** MV-rewrite pins: a covered rollup aggregate is re-planned onto the
+  * view (the executed plan scans ONLY the view path) with results
+  * identical to the pre-registration run; shapes the view cannot answer
+  * — filters, uncovered aggregates, distinct — are left alone. */
+class MatViewSpec extends SparkTestBase {
+
+  private lazy val base = {
+    val p = s"${graft.GraftSession.scratchDir}/mvspec_base"
+    graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_quantity", "l_returnflag", "l_linestatus")
+      .write.mode("overwrite").parquet(p)
+    p
+  }
+
+  private def baseDf = spark.read.parquet(base)
+
+  private def query = baseDf
+    .groupBy(col("l_returnflag"))
+    .agg(sum(col("l_quantity").cast(DecimalType(38, 2))).as("sum_qty"),
+      count(lit(1)).as("n_rows"))
+
+  private def rows = query.collect()
+    .map(r => (r.getString(0), r.getDecimal(1).toPlainString,
+      r.getLong(2))).sortBy(_._1).toSeq
+
+  private def registerMv(): String = {
+    val mvPath = s"${graft.GraftSession.scratchDir}/mvspec_mv"
+    baseDf.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(DecimalType(38, 2))).as("sum_qty_p"),
+        count(lit(1)).as("cnt_p"))
+      .write.mode("overwrite").parquet(mvPath)
+    MatView.register(MatView.MvDef(base, mvPath,
+      Seq("l_returnflag", "l_linestatus"),
+      Seq(MatView.AggSpec("sum", "l_quantity",
+          Some(DecimalType(38, 2)), "sum_qty_p"),
+        MatView.AggSpec("count", "", None, "cnt_p"))))
+    mvPath
+  }
+
+  test("covered rollup rewrites onto the view with identical results") {
+    val truth = rows // pre-registration: scans the base
+    val basePlanned = query.queryExecution.executedPlan.toString
+    assert(basePlanned.contains("mvspec_base"))
+    val mvPath = registerMv()
+    try {
+      val plan = query.queryExecution.executedPlan.toString
+      assert(plan.contains("mvspec_mv"), plan)
+      assert(!plan.contains("mvspec_base"), plan)
+      assert(rows === truth)
+    } finally MatView.deregister(base)
+  }
+
+  test("filters, uncovered aggs, and distinct block the rewrite") {
+    registerMv()
+    try {
+      val filtered = baseDf.where(col("l_quantity") > 10)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity").cast(DecimalType(38, 2))).as("s"))
+      assert(filtered.queryExecution.executedPlan.toString
+        .contains("mvspec_base"))
+      val uncovered = baseDf.groupBy(col("l_returnflag"))
+        .agg(max(col("l_quantity")).as("m"))
+      assert(uncovered.queryExecution.executedPlan.toString
+        .contains("mvspec_base"))
+      val distinct = baseDf.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("d"))
+      assert(distinct.queryExecution.executedPlan.toString
+        .contains("mvspec_base"))
+      // a differently-cast sum is a DIFFERENT aggregate — not covered
+      val otherCast = baseDf.groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("s"))
+      assert(otherCast.queryExecution.executedPlan.toString
+        .contains("mvspec_base"))
+    } finally MatView.deregister(base)
+  }
+
+  test("exact-granularity query (no rollup) also serves from the view") {
+    registerMv()
+    try {
+      val q = baseDf
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+      assert(q.queryExecution.executedPlan.toString.contains("mvspec_mv"))
+      val got = q.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      MatView.deregister(base)
+      val truth = baseDf
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === truth)
+    } finally MatView.deregister(base)
+  }
+}
