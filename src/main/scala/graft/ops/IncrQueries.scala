@@ -628,7 +628,66 @@ object IncrQueries {
       ORDER BY l_returnflag
     """))
 
+  /** Base copy built on the EVEN half, view registered, then the odd
+    * half appended to the base AND merged into the view through
+    * [[graft.plans.MatView.refresh]] — the grown-warehouse state
+    * `mv_refresh` queries. */
+  private val mvRefreshSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedMvRefreshPath(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.BuildOnce.memo(mvRefreshSaved, d) {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"${graft.GraftSession.scratchDir}/mvr_base_$tag"
+      val mv = s"${graft.GraftSession.scratchDir}/mvr_view_$tag"
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_returnflag",
+          "l_linestatus")
+      li.where(col("l_orderkey") % 2 === 0)
+        .write.mode("overwrite").parquet(base)
+      s.read.parquet(base)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(DecimalType(38, 2)))
+          .as("sum_qty_p"),
+          count(lit(1)).as("cnt_p"))
+        .write.mode("overwrite").parquet(mv)
+      graft.plans.MatView.register(graft.plans.MatView.MvDef(base, mv,
+        Seq("l_returnflag", "l_linestatus"),
+        Seq(graft.plans.MatView.AggSpec("sum", "l_quantity",
+            Some(DecimalType(38, 2)), "sum_qty_p"),
+          graft.plans.MatView.AggSpec("count", "", None, "cnt_p"))))
+      val delta = li.where(col("l_orderkey") % 2 === 1)
+        .localCheckpoint(true)
+      delta.write.mode("append").parquet(base)
+      graft.plans.MatView.refresh(s, base, delta)
+      base
+    }
+
+  /** Incremental view maintenance, driver-verified end to end: the
+    * warehouse grows by a delta batch, the view merges the delta's
+    * partials algebraically (∝ |delta| — the base is never rescanned),
+    * and the rollup query — rewritten onto the REFRESHED view by the
+    * same Catalyst rule — must hash-match the from-scratch aggregate
+    * over the whole grown table. refresh ≡ rebuild, through the
+    * rewrite path, in one gate. */
+  val mvRefresh = GQuery(
+    "mv_refresh",
+    (s, d) => {
+      val base = savedMvRefreshPath(s, d)
+      s.read.parquet(base)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity").cast(DecimalType(38, 2)))
+          .as("sum_qty_dec"),
+          count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"),
+          col("sum_qty_dec").cast(DoubleType).as("sum_qty"),
+          col("n_rows"))
+        .orderBy("l_returnflag")
+    },
+    mvRewrite.oracle)
+
   val all: Seq[GQuery] =
     Seq(incrAgg, incrDistinct, incrTopk, rollingWau, overlapSketch,
-      zorderLayout, warehouseRefresh, incrPipeline, mvRewrite)
+      zorderLayout, warehouseRefresh, incrPipeline, mvRewrite, mvRefresh)
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Factored out of the postings maintenance path so the text and vector
   * indexes share ONE crash-recovery contract instead of two diverging
   * copies. */
-private[ops] object Layout {
+private[graft] object Layout {
 
   /** Swap-replace a layout directory: stage the merged frame next to it
     * (so the source directory is never read and overwritten in the same

@@ -74,6 +74,52 @@ object MatView {
   private[plans] def lookup(paths: Seq[String]): Option[MvDef] =
     paths.map(norm).flatMap(catalog.get).headOption
 
+  /** Incremental view maintenance: merge a DELTA batch of base rows
+    * into a registered view's partials — the view's own `incr_agg`
+    * story. The delta aggregates to view granularity (∝ |delta|, the
+    * base table is never rescanned), unions with the stored partials,
+    * and re-aggregates: decimal sums and long counts merge exactly, so
+    * refresh ≡ rebuild-over-grown-base algebraically — which is what
+    * `mv_refresh`'s oracle hash-verifies through the rewrite path. The
+    * directory swap is the shared [[graft.ops.Layout.replaceDir]]
+    * crash-recovery contract (same offline-maintenance window rules as
+    * every index mutation). Deletes follow the same algebra with
+    * negated partials; at MV granularity a count hitting 0 drops the
+    * cell — not needed at this engine's refresh cadence and therefore
+    * not implemented speculatively. */
+  def refresh(s: SparkSession, basePath: String,
+      delta: org.apache.spark.sql.DataFrame): Unit = {
+    val mv = catalog(norm(basePath))
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val partialCols = mv.aggs.map {
+      case AggSpec("sum", in, castTo, mvCol) =>
+        val base = col(in)
+        sum(castTo.fold(base)(base.cast)).as(mvCol)
+      case AggSpec("count", _, _, mvCol) =>
+        count(lit(1)).as(mvCol)
+      case sp => throw new IllegalArgumentException(
+        s"MatView.refresh: unsupported agg ${sp.func}")
+    }
+    val deltaPartials = delta
+      .groupBy(mv.groupCols.map(col): _*)
+      .agg(partialCols.head, partialCols.tail: _*)
+    if (deltaPartials.isEmpty) return
+    val merged = s.read.parquet(mv.mvPath)
+      .unionByName(deltaPartials)
+      .groupBy(mv.groupCols.map(col): _*)
+      .agg(mv.aggs.map(sp => sum(col(sp.mvCol)).as(sp.mvCol)).head,
+        mv.aggs.map(sp => sum(col(sp.mvCol)).as(sp.mvCol)).tail: _*)
+    // long counts re-aggregate through sum (long); cast back so the
+    // stored partial keeps its declared type across refreshes
+    val restored = mv.aggs.foldLeft(merged) { (df, sp) =>
+      if (sp.func == "count")
+        df.withColumn(sp.mvCol,
+          col(sp.mvCol).cast(org.apache.spark.sql.types.LongType))
+      else df
+    }
+    graft.ops.Layout.replaceDir(s, restored, mv.mvPath)
+  }
+
   /** The rewrite rule. One instance per session via
     * `injectOptimizerRule` — runs in the operator-optimization batch,
     * after resolution, so it sees typed attributes and can preserve
@@ -133,35 +179,57 @@ object MatView {
         }
         case _ => None
       }
+      // one covered AggregateExpression → its view re-aggregation,
+      // type-preserving (the Cast keeps decimal widths identical to
+      // the original so nothing above the node sees a schema change)
+      def rewriteAgg(ae: AggregateExpression): Option[Expression] =
+        if (ae.isDistinct || ae.filter.nonEmpty) None
+        else ae.aggregateFunction match {
+          case s: Sum =>
+            for {
+              spec <- coveredSum(s.child)
+              m <- mvAttr(spec.mvCol)
+              reagg = Sum(m).toAggregateExpression()
+            } yield if (reagg.dataType == ae.dataType) reagg
+              else Cast(reagg, ae.dataType)
+          case c: Count if c.children.forall(_.isInstanceOf[Literal]) =>
+            for {
+              spec <- mv.aggs.find(_.func == "count")
+              m <- mvAttr(spec.mvCol)
+            } yield Coalesce(Seq(Sum(m).toAggregateExpression(),
+              Literal(0L)))
+          case _ => None
+        }
+      val groupNames = groups.collect {
+        case g: AttributeReference => g.name
+      }.toSet
+      // an output may be a bare grouping attribute, a bare aliased
+      // aggregate, or — after CollapseProject folds a projection into
+      // the Aggregate — an arbitrary expression TREE over aggregates
+      // and grouping attributes (e.g. cast(sum(...) as double)).
+      // Rewrite the tree node-wise; any leftover reference to a base
+      // attribute means the view can't answer it → no rewrite.
       def rewriteOne(ne: NamedExpression): Option[NamedExpression] =
         ne match {
-          case a: AttributeReference if groups.exists {
-              case g: AttributeReference => g.exprId == a.exprId
-              case _ => false
-            } =>
+          case a: AttributeReference if groupNames.contains(a.name) =>
             mvAttr(a.name).map(m => Alias(m, a.name)(exprId = a.exprId))
-          case al @ Alias(ae: AggregateExpression, name)
-              if !ae.isDistinct && ae.filter.isEmpty =>
-            ae.aggregateFunction match {
-              case s: Sum =>
-                for {
-                  spec <- coveredSum(s.child)
-                  m <- mvAttr(spec.mvCol)
-                  reagg = Sum(m).toAggregateExpression()
-                } yield Alias(
-                  if (reagg.dataType == al.dataType) reagg
-                  else Cast(reagg, al.dataType),
-                  name)(exprId = al.exprId)
-              case c: Count if c.children.forall(_.isInstanceOf[Literal]) =>
-                for {
-                  spec <- mv.aggs.find(_.func == "count")
-                  m <- mvAttr(spec.mvCol)
-                } yield Alias(
-                  Coalesce(Seq(Sum(m).toAggregateExpression(),
-                    Literal(0L))),
-                  name)(exprId = al.exprId)
-              case _ => None
+          case al @ Alias(expr, name) =>
+            var ok = true
+            val t = expr.transformDown {
+              // the ownership guard stops re-entry: transformDown
+              // recurses into replacements, and an injected
+              // re-aggregation (references MV attrs) must not be
+              // mistaken for an uncovered base aggregate
+              case ae: AggregateExpression
+                  if ae.references.intersect(mvPlan.outputSet).isEmpty =>
+                rewriteAgg(ae).getOrElse { ok = false; ae }
+              case a: AttributeReference if groupNames.contains(a.name) &&
+                  mvAttr(a.name).isDefined =>
+                mvAttr(a.name).get
             }
+            if (ok && t.references.subsetOf(mvPlan.outputSet))
+              Some(Alias(t, name)(exprId = al.exprId))
+            else None
           case _ => None
         }
       for {

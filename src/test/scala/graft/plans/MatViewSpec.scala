@@ -80,6 +80,57 @@ class MatViewSpec extends SparkTestBase {
     } finally MatView.deregister(base)
   }
 
+  test("refresh merges a delta algebraically and still serves rewrites") {
+    val basePath = s"${graft.GraftSession.scratchDir}/mvspec_rbase"
+    val mvPath = s"${graft.GraftSession.scratchDir}/mvspec_rmv"
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_quantity", "l_returnflag", "l_linestatus")
+    li.where(col("l_orderkey") % 2 === 0)
+      .write.mode("overwrite").parquet(basePath)
+    spark.read.parquet(basePath)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(DecimalType(38, 2))).as("sum_qty_p"),
+        count(lit(1)).as("cnt_p"))
+      .write.mode("overwrite").parquet(mvPath)
+    MatView.register(MatView.MvDef(basePath, mvPath,
+      Seq("l_returnflag", "l_linestatus"),
+      Seq(MatView.AggSpec("sum", "l_quantity",
+          Some(DecimalType(38, 2)), "sum_qty_p"),
+        MatView.AggSpec("count", "", None, "cnt_p"))))
+    try {
+      val delta = li.where(col("l_orderkey") % 2 === 1)
+        .localCheckpoint(true)
+      delta.write.mode("append").parquet(basePath)
+      MatView.refresh(spark, basePath, delta)
+      val q = spark.read.parquet(basePath)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity").cast(DecimalType(38, 2))).as("s"),
+          count(lit(1)).as("n"))
+      assert(q.queryExecution.executedPlan.toString.contains("mvspec_rmv"))
+      val got = q.collect().map(r => (r.getString(0),
+        r.getDecimal(1).toPlainString, r.getLong(2))).sortBy(_._1).toSeq
+      MatView.deregister(basePath)
+      val truth = spark.read.parquet(basePath)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity").cast(DecimalType(38, 2))).as("s"),
+          count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0),
+          r.getDecimal(1).toPlainString, r.getLong(2))).sortBy(_._1).toSeq
+      assert(got === truth)
+      // empty delta is a no-op
+      MatView.register(MatView.MvDef(basePath, mvPath,
+        Seq("l_returnflag", "l_linestatus"),
+        Seq(MatView.AggSpec("sum", "l_quantity",
+            Some(DecimalType(38, 2)), "sum_qty_p"),
+          MatView.AggSpec("count", "", None, "cnt_p"))))
+      val before = spark.read.parquet(mvPath).collect()
+        .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      MatView.refresh(spark, basePath, li.limit(0))
+      assert(spark.read.parquet(mvPath).collect()
+        .map(_.toSeq).sortBy(_.mkString("|")).toSeq === before)
+    } finally MatView.deregister(basePath)
+  }
+
   test("exact-granularity query (no rollup) also serves from the view") {
     registerMv()
     try {
