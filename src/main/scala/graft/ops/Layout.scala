@@ -25,7 +25,8 @@ private[graft] object Layout {
     * `partitionCols` preserves a partitioned layout (the IVF cell
     * directories) through the rewrite. */
   def replaceDir(s: SparkSession, merged: DataFrame, dir: String,
-      partitionCols: Seq[String] = Nil): Unit = {
+      partitionCols: Seq[String] = Nil,
+      stageMarkers: Seq[String] = Nil): Unit = {
     import org.apache.hadoop.fs.Path
     val live = new Path(dir)
     val stage = new Path(s"${dir}__stage")
@@ -40,9 +41,28 @@ private[graft] object Layout {
     val writer = merged.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
      else writer).parquet(stage.toString)
+    // markers ride the STAGE directory, so they become visible in the
+    // same rename that makes the data visible — the atomicity that
+    // lets a replayed mutation detect "already applied" with no window
+    // where data landed but the marker did not (underscore-prefixed:
+    // parquet readers ignore them). Existing live markers carry over:
+    // the applied-history must survive subsequent swaps.
+    val carried = if (fs.exists(live))
+      fs.listStatus(live).map(_.getPath.getName)
+        .filter(_.startsWith("_applied_")).toSeq
+    else Seq.empty
+    (stageMarkers ++ carried).distinct.foreach(m =>
+      fs.create(new Path(stage, m), true).close())
     require(fs.rename(live, old), s"swap of $dir failed (old aside)")
     require(fs.rename(stage, live), s"swap of $dir failed (stage in)")
     fs.delete(old, true)
+  }
+
+  /** True iff `dir` carries marker file `name` (see `stageMarkers`). */
+  def hasMarker(s: SparkSession, dir: String, name: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir, name)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** True iff `dir` exists on the layout's filesystem — the cheap probe

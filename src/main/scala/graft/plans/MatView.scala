@@ -88,7 +88,8 @@ object MatView {
     * cell — not needed at this engine's refresh cadence and therefore
     * not implemented speculatively. */
   def refresh(s: SparkSession, basePath: String,
-      delta: org.apache.spark.sql.DataFrame): Unit = {
+      delta: org.apache.spark.sql.DataFrame,
+      stageMarkers: Seq[String] = Nil): Unit = {
     val mv = catalog(norm(basePath))
     import org.apache.spark.sql.functions.{col, count, lit, sum}
     val partialCols = mv.aggs.map {
@@ -117,7 +118,26 @@ object MatView {
           col(sp.mvCol).cast(org.apache.spark.sql.types.LongType))
       else df
     }
-    graft.ops.Layout.replaceDir(s, restored, mv.mvPath)
+    graft.ops.Layout.replaceDir(s, restored, mv.mvPath,
+      stageMarkers = stageMarkers)
+  }
+
+  /** EXACTLY-ONCE refresh for the streaming face: the batch id's
+    * applied-marker rides the staged directory, so it becomes visible
+    * in the SAME atomic rename that publishes the merged partials —
+    * there is no crash window where the data landed without its marker
+    * (or vice versa), which is what makes a replayed delta a true
+    * no-op rather than a double-add. (Contrast the tombstone layouts,
+    * which get replay safety for free because their mutation is
+    * idempotent; an algebraic merge is not, so it needs the ledger —
+    * same discipline as `StreamRunner.refreshBatch`, but the marker
+    * IS the swap here instead of a separate state store.) */
+  def refreshOnce(s: SparkSession, basePath: String,
+      delta: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+    val mv = catalog(norm(basePath))
+    val marker = s"_applied_$batchId"
+    if (graft.ops.Layout.hasMarker(s, mv.mvPath, marker)) return
+    refresh(s, basePath, delta, Seq(marker))
   }
 
   /** The rewrite rule. One instance per session via

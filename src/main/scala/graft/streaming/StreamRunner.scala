@@ -552,6 +552,31 @@ object StreamRunner {
       }
       .start()
 
+  /** Streaming MATERIALIZED-VIEW maintenance — each micro-batch of new
+    * base rows merges into the registered view's partials
+    * (`MatView.refreshOnce`), so every rollup query rewritten onto the
+    * view by the Catalyst rule serves the warehouse as of the last
+    * drained batch, with the base table never rescanned. EXACTLY-ONCE
+    * via the applied-marker-in-the-swap: the batch id's marker becomes
+    * visible in the same atomic rename as the merged data, so a
+    * crash-replayed batch (same checkpointed offsets, same batch id)
+    * is detected and skipped — no double-add, no lost batch, no
+    * separate ledger store. Pinned in `MatViewSpec`'s stream test
+    * (growth across batches + replay no-op). The caller appends the
+    * same batches to the base table downstream of `emitBase` (or
+    * treats the view as the only materialization). */
+  def mvRefreshStream(basePath: String, rows: DataFrame)
+      (emitBase: (DataFrame, Long) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.localCheckpoint(true)
+        graft.plans.MatView.refreshOnce(b.sparkSession, basePath, b,
+          batchId)
+        emitBase(b, batchId)
+      }
+      .start()
+
   /** Typed event row for the custom-state path (object-nested so Spark
     * can derive its Encoder — no outer instance). */
   final case class UserEvent(event_id: Long, ts: java.sql.Timestamp,

@@ -131,6 +131,59 @@ class MatViewSpec extends SparkTestBase {
     } finally MatView.deregister(basePath)
   }
 
+  test("streaming refresh: batches merge exactly-once, replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val basePath = s"${graft.GraftSession.scratchDir}/mvspec_sbase"
+    val mvPath = s"${graft.GraftSession.scratchDir}/mvspec_smv"
+    Seq(("A", "O", 1.0), ("B", "F", 2.0))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity")
+      .write.mode("overwrite").parquet(basePath)
+    spark.read.parquet(basePath)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(DecimalType(38, 2))).as("sum_qty_p"),
+        count(lit(1)).as("cnt_p"))
+      .write.mode("overwrite").parquet(mvPath)
+    MatView.register(MatView.MvDef(basePath, mvPath,
+      Seq("l_returnflag", "l_linestatus"),
+      Seq(MatView.AggSpec("sum", "l_quantity",
+          Some(DecimalType(38, 2)), "sum_qty_p"),
+        MatView.AggSpec("count", "", None, "cnt_p"))))
+    try {
+      val source = MemoryStream[(String, String, Double)]
+      val q = graft.streaming.StreamRunner.mvRefreshStream(basePath,
+        source.toDF().toDF("l_returnflag", "l_linestatus",
+          "l_quantity"))()
+      source.addData(("A", "O", 10.0), ("C", "O", 5.0))
+      q.processAllAvailable()
+      source.addData(("A", "O", 100.0))
+      q.processAllAvailable()
+      q.stop()
+      def cells = spark.read.parquet(mvPath).collect()
+        .map(r => (r.getString(0), r.getString(1),
+          r.getDecimal(2).toPlainString, r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val after = cells
+      assert(after === Seq(
+        ("A", "O", "111.00", 3L), ("B", "F", "2.00", 1L),
+        ("C", "O", "5.00", 1L)))
+      // crash-replay of batch 0: same batch id → marker detected, the
+      // algebraic merge must NOT double-fire
+      MatView.refreshOnce(spark, basePath,
+        Seq(("A", "O", 10.0), ("C", "O", 5.0))
+          .toDF("l_returnflag", "l_linestatus", "l_quantity"),
+        batchId = 0L)
+      assert(cells === after)
+      // a genuinely new batch id still applies
+      MatView.refreshOnce(spark, basePath,
+        Seq(("B", "F", 1.0))
+          .toDF("l_returnflag", "l_linestatus", "l_quantity"),
+        batchId = 7L)
+      assert(cells.find(_._1 == "B").get._3 === "3.00")
+    } finally MatView.deregister(basePath)
+  }
+
   test("exact-granularity query (no rollup) also serves from the view") {
     registerMv()
     try {
