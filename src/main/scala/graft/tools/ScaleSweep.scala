@@ -210,6 +210,36 @@ object ScaleSweep {
         .groupBy().agg(count(lit(1)).as("n"),
           sum(col("n_matches")).as("matches"))
     }),
+    // The MV-rewrite payoff curve (round 14): base fact copy grows ∝ R,
+    // the rollup query is re-planned onto the registered view by the
+    // Catalyst rule — the one-time view BUILD is ∝ n, but the QUERY
+    // reads |group cells| rows (constant in R), so total probe time
+    // must track the linear build with a flat query tail. This probe
+    // times build + registered query together; the flat-query claim is
+    // the gap between its curve and a raw-aggregate curve.
+    "mvrewrite_sweep" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"${graft.GraftSession.scratchDir}/sweep_mv_base_$tag"
+      val mv = s"${graft.GraftSession.scratchDir}/sweep_mv_view_$tag"
+      graft.Tables.lineitem(s, dir)
+        .select("l_quantity", "l_returnflag", "l_linestatus")
+        .write.mode("overwrite").parquet(base)
+      s.read.parquet(base)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(DecimalType(38, 2)))
+          .as("sum_qty_p"), count(lit(1)).as("cnt_p"))
+        .write.mode("overwrite").parquet(mv)
+      graft.plans.MatView.register(graft.plans.MatView.MvDef(base, mv,
+        Seq("l_returnflag", "l_linestatus"),
+        Seq(graft.plans.MatView.AggSpec("sum", "l_quantity",
+            Some(DecimalType(38, 2)), "sum_qty_p"),
+          graft.plans.MatView.AggSpec("count", "", None, "cnt_p"))))
+      s.read.parquet(base)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity").cast(DecimalType(38, 2))).as("s"),
+          count(lit(1)).as("n"))
+    }),
     "knnjoinpq_sweep" -> ((s, dir) => {
       val e = graft.Tables.embeddings(s, dir)
       val n = e.count()
