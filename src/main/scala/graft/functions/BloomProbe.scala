@@ -182,6 +182,33 @@ object BloomProbe {
     }
   }
 
+  /** The broadcast-handle probe — the scale form the
+    * [[mightContainSharded]] caveat describes, now implemented: the
+    * shard table ships once per executor as a Spark broadcast and the
+    * plan carries only the handle (one [[BloomProbeShards]] call,
+    * codegen'd via the PqLut reference-object discipline), so probe
+    * plans stay O(1) bytes at ANY shard count — the form a deployment
+    * probing a near-ceiling sketch from many narrow stages uses.
+    * Identical membership answers to the literal CASE form
+    * (`BloomDedupSpec` pins equality); the literal form remains the
+    * default for the in-repo callers because their sketches sit far
+    * below the ceiling and it keeps the probe a stock
+    * [[BloomFilterMightContain]]. Reuse the returned broadcast across
+    * queries — each call to the ShardedBloom overload broadcasts
+    * afresh. */
+  def mightContainShardedBroadcast(
+      bcast: org.apache.spark.broadcast.Broadcast[Array[Array[Byte]]],
+      value: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(
+      BloomProbeShards(Bridge.expression(value), bcast))
+  }
+
+  def mightContainShardedBroadcast(s: org.apache.spark.sql.SparkSession,
+      sb: ShardedBloom, value: Column): Column =
+    mightContainShardedBroadcast(
+      s.sparkContext.broadcast(sb.shards.toArray), value)
+
   /** The documented size ceiling with automatic fallback: sketch the
     * history only while the TOTAL bit-array budget holds (at ~9.6
     * bits/key and 1% fpp, `maxTotalBytes` of 1 GiB covers ~8×10⁸ keys;

@@ -81,6 +81,39 @@ class BloomDedupSpec extends SparkTestBase {
     assert(hits <= 100L, s"fp rate too high: $hits / 2000")
   }
 
+  test("broadcast-handle probe ≡ literal CASE probe on the same shards") {
+    import spark.implicits._
+    val texts = (0 until 4000).map(i => s"bcast history entry $i")
+    val hashes = texts.toDF("text").select(xxhash64(col("text")).as("h"))
+    val sb = BloomProbe.buildSharded(hashes, "h", 4000L, 0.01,
+      maxShardBytes = 1024L)
+    assert(sb.nShards >= 4)
+    val bcast = spark.sparkContext.broadcast(sb.shards.toArray)
+    // members + disjoint probes, both forms, row for row — including
+    // null routing (null in → null out → coalesced false)
+    val probes = (texts ++ (0 until 2000).map(i => s"unseen bcast $i"))
+      .toDF("text")
+      .select(col("text"), xxhash64(col("text")).as("h"))
+    val both = probes.select(
+      coalesce(BloomProbe.mightContainSharded(sb, col("h")), lit(false))
+        .as("lit_ans"),
+      coalesce(BloomProbe.mightContainShardedBroadcast(bcast, col("h")),
+        lit(false)).as("bc_ans"))
+    assert(both.filter(col("lit_ans") =!= col("bc_ans")).count() === 0L)
+    // the broadcast form still never misses a member
+    assert(texts.toDF("text")
+      .filter(!coalesce(BloomProbe.mightContainShardedBroadcast(bcast,
+        xxhash64(col("text"))), lit(false)))
+      .count() === 0L)
+    // and the probe plan carries the handle, not the shard bytes: its
+    // string form stays tiny at any sketch size
+    val planLen = probes
+      .filter(coalesce(BloomProbe.mightContainShardedBroadcast(bcast,
+        col("h")), lit(false)))
+      .queryExecution.executedPlan.toString.length
+    assert(planLen < 20000, s"plan unexpectedly large: $planLen chars")
+  }
+
   test("single-shard build is result-identical to the monolithic filter") {
     import spark.implicits._
     val texts = (0 until 500).map(i => s"doc body number $i with words")
