@@ -585,13 +585,19 @@ object IncrQueries {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity").cast(DecimalType(38, 2)))
           .as("sum_qty_p"),
-          count(lit(1)).as("cnt_p"))
+          count(lit(1)).as("cnt_p"),
+          min(col("l_quantity")).as("min_qty_p"),
+          max(col("l_quantity")).as("max_qty_p"))
         .write.mode("overwrite").parquet(mv)
       graft.plans.MatView.register(graft.plans.MatView.MvDef(base, mv,
         Seq("l_returnflag", "l_linestatus"),
         Seq(graft.plans.MatView.AggSpec("sum", "l_quantity",
             Some(DecimalType(38, 2)), "sum_qty_p"),
-          graft.plans.MatView.AggSpec("count", "", None, "cnt_p"))))
+          graft.plans.MatView.AggSpec("count", "", None, "cnt_p"),
+          graft.plans.MatView.AggSpec("min", "l_quantity", None,
+            "min_qty_p"),
+          graft.plans.MatView.AggSpec("max", "l_quantity", None,
+            "max_qty_p"))))
       base
     }
 
@@ -613,16 +619,20 @@ object IncrQueries {
         .groupBy(col("l_returnflag"))
         .agg(sum(col("l_quantity").cast(DecimalType(38, 2)))
           .as("sum_qty_dec"),
-          count(lit(1)).as("n_rows"))
+          count(lit(1)).as("n_rows"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
         .select(col("l_returnflag"),
           col("sum_qty_dec").cast(DoubleType).as("sum_qty"),
-          col("n_rows"))
+          col("n_rows"), col("min_qty"), col("max_qty"))
         .orderBy("l_returnflag")
     },
     Some("""
       SELECT l_returnflag,
              CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty,
-             CAST(COUNT(*) AS BIGINT) AS n_rows
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(l_quantity) AS min_qty,
+             MAX(l_quantity) AS max_qty
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag
@@ -650,13 +660,19 @@ object IncrQueries {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity").cast(DecimalType(38, 2)))
           .as("sum_qty_p"),
-          count(lit(1)).as("cnt_p"))
+          count(lit(1)).as("cnt_p"),
+          min(col("l_quantity")).as("min_qty_p"),
+          max(col("l_quantity")).as("max_qty_p"))
         .write.mode("overwrite").parquet(mv)
       graft.plans.MatView.register(graft.plans.MatView.MvDef(base, mv,
         Seq("l_returnflag", "l_linestatus"),
         Seq(graft.plans.MatView.AggSpec("sum", "l_quantity",
             Some(DecimalType(38, 2)), "sum_qty_p"),
-          graft.plans.MatView.AggSpec("count", "", None, "cnt_p"))))
+          graft.plans.MatView.AggSpec("count", "", None, "cnt_p"),
+          graft.plans.MatView.AggSpec("min", "l_quantity", None,
+            "min_qty_p"),
+          graft.plans.MatView.AggSpec("max", "l_quantity", None,
+            "max_qty_p"))))
       val delta = li.where(col("l_orderkey") % 2 === 1)
         .localCheckpoint(true)
       delta.write.mode("append").parquet(base)
@@ -679,10 +695,12 @@ object IncrQueries {
         .groupBy(col("l_returnflag"))
         .agg(sum(col("l_quantity").cast(DecimalType(38, 2)))
           .as("sum_qty_dec"),
-          count(lit(1)).as("n_rows"))
+          count(lit(1)).as("n_rows"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
         .select(col("l_returnflag"),
           col("sum_qty_dec").cast(DoubleType).as("sum_qty"),
-          col("n_rows"))
+          col("n_rows"), col("min_qty"), col("max_qty"))
         .orderBy("l_returnflag")
     },
     mvRewrite.oracle)

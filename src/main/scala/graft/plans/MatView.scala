@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
   Cast, Coalesce, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Count, Sum}
+  AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan,
   Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -98,6 +98,12 @@ object MatView {
         sum(castTo.fold(base)(base.cast)).as(mvCol)
       case AggSpec("count", _, _, mvCol) =>
         count(lit(1)).as(mvCol)
+      case AggSpec("min", in, castTo, mvCol) =>
+        org.apache.spark.sql.functions.min(
+          castTo.fold(col(in))(col(in).cast)).as(mvCol)
+      case AggSpec("max", in, castTo, mvCol) =>
+        org.apache.spark.sql.functions.max(
+          castTo.fold(col(in))(col(in).cast)).as(mvCol)
       case sp => throw new IllegalArgumentException(
         s"MatView.refresh: unsupported agg ${sp.func}")
     }
@@ -105,11 +111,21 @@ object MatView {
       .groupBy(mv.groupCols.map(col): _*)
       .agg(partialCols.head, partialCols.tail: _*)
     if (deltaPartials.isEmpty) return
+    // each partial merges under its own algebra: sums and counts add,
+    // min-of-mins / max-of-maxes re-extremize (appends only — a delete
+    // would invalidate min/max partials, which is the documented reason
+    // delete support stops at the sum/count algebra)
+    def mergeCol(sp: AggSpec) = sp.func match {
+      case "min" => org.apache.spark.sql.functions.min(col(sp.mvCol))
+        .as(sp.mvCol)
+      case "max" => org.apache.spark.sql.functions.max(col(sp.mvCol))
+        .as(sp.mvCol)
+      case _ => sum(col(sp.mvCol)).as(sp.mvCol)
+    }
     val merged = s.read.parquet(mv.mvPath)
       .unionByName(deltaPartials)
       .groupBy(mv.groupCols.map(col): _*)
-      .agg(mv.aggs.map(sp => sum(col(sp.mvCol)).as(sp.mvCol)).head,
-        mv.aggs.map(sp => sum(col(sp.mvCol)).as(sp.mvCol)).tail: _*)
+      .agg(mergeCol(mv.aggs.head), mv.aggs.tail.map(mergeCol): _*)
     // long counts re-aggregate through sum (long); cast back so the
     // stored partial keeps its declared type across refreshes
     val restored = mv.aggs.foldLeft(merged) { (df, sp) =>
@@ -188,12 +204,12 @@ object MatView {
             acc.flatMap(s => mvAttr(g.name).map(s :+ _))
           case _ => None
         }
-      def coveredSum(c: Expression): Option[AggSpec] = c match {
+      def covered(func: String, c: Expression): Option[AggSpec] = c match {
         case a: AttributeReference => mv.aggs.find(sp =>
-          sp.func == "sum" && sp.inputCol == a.name && sp.castTo.isEmpty)
+          sp.func == func && sp.inputCol == a.name && sp.castTo.isEmpty)
         case cast: Cast => cast.child match {
           case a: AttributeReference => mv.aggs.find(sp =>
-            sp.func == "sum" && sp.inputCol == a.name &&
+            sp.func == func && sp.inputCol == a.name &&
               sp.castTo.contains(cast.dataType))
           case _ => None
         }
@@ -207,11 +223,21 @@ object MatView {
         else ae.aggregateFunction match {
           case s: Sum =>
             for {
-              spec <- coveredSum(s.child)
+              spec <- covered("sum", s.child)
               m <- mvAttr(spec.mvCol)
               reagg = Sum(m).toAggregateExpression()
             } yield if (reagg.dataType == ae.dataType) reagg
               else Cast(reagg, ae.dataType)
+          case mn: Min =>
+            for {
+              spec <- covered("min", mn.child)
+              m <- mvAttr(spec.mvCol)
+            } yield Min(m).toAggregateExpression()
+          case mx: Max =>
+            for {
+              spec <- covered("max", mx.child)
+              m <- mvAttr(spec.mvCol)
+            } yield Max(m).toAggregateExpression()
           case c: Count if c.children.forall(_.isInstanceOf[Literal]) =>
             for {
               spec <- mv.aggs.find(_.func == "count")
