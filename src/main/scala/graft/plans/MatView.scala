@@ -61,7 +61,7 @@ object MatView {
   final case class MvDef(basePath: String, mvPath: String,
       groupCols: Seq[String], aggs: Seq[AggSpec])
 
-  private val catalog = TrieMap.empty[String, MvDef]
+  private val catalog = TrieMap.empty[String, Vector[MvDef]]
 
   /** Scheme-normalized path key: a file index reports its root paths
     * with the URI scheme (`file:/tmp/...`) while callers register the
@@ -69,10 +69,22 @@ object MatView {
   private def norm(p: String): String =
     p.stripPrefix("file:").stripSuffix("/")
 
-  def register(d: MvDef): Unit = catalog.put(norm(d.basePath), d)
+  /** A base table may carry SEVERAL views at different granularities;
+    * registration replaces any prior definition stored at the same
+    * view path. */
+  def register(d: MvDef): Unit = catalog.synchronized {
+    val k = norm(d.basePath)
+    catalog.put(k, catalog.getOrElse(k, Vector.empty)
+      .filterNot(_.mvPath == d.mvPath) :+ d)
+  }
   def deregister(basePath: String): Unit = catalog.remove(norm(basePath))
-  private[plans] def lookup(paths: Seq[String]): Option[MvDef] =
-    paths.map(norm).flatMap(catalog.get).headOption
+  /** Candidate views for a scanned path, COARSEST first (fewest group
+    * columns = fewest view rows = cheapest covering answer; mvPath
+    * tie-break keeps selection deterministic). The rewrite tries them
+    * in this order and takes the first that covers the query. */
+  private[plans] def lookup(paths: Seq[String]): Seq[MvDef] =
+    paths.map(norm).flatMap(p => catalog.getOrElse(p, Vector.empty))
+      .sortBy(d => (d.groupCols.size, d.mvPath))
 
   /** Incremental view maintenance: merge a DELTA batch of base rows
     * into a registered view's partials — the view's own `incr_agg`
@@ -89,8 +101,13 @@ object MatView {
     * not implemented speculatively. */
   def refresh(s: SparkSession, basePath: String,
       delta: org.apache.spark.sql.DataFrame,
-      stageMarkers: Seq[String] = Nil): Unit = {
-    val mv = catalog(norm(basePath))
+      stageMarkers: Seq[String] = Nil): Unit =
+    catalog.getOrElse(norm(basePath), Vector.empty)
+      .foreach(mv => refreshView(s, mv, delta, stageMarkers))
+
+  private def refreshView(s: SparkSession, mv: MvDef,
+      delta: org.apache.spark.sql.DataFrame,
+      stageMarkers: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.{col, count, lit, sum}
     val partialCols = mv.aggs.map {
       case AggSpec("sum", in, castTo, mvCol) =>
@@ -150,10 +167,14 @@ object MatView {
     * IS the swap here instead of a separate state store.) */
   def refreshOnce(s: SparkSession, basePath: String,
       delta: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
-    val mv = catalog(norm(basePath))
     val marker = s"_applied_$batchId"
-    if (graft.ops.Layout.hasMarker(s, mv.mvPath, marker)) return
-    refresh(s, basePath, delta, Seq(marker))
+    // per-VIEW markers: a crash between two views' swaps replays the
+    // batch, skips the already-marked view, and applies the rest —
+    // each view is exactly-once independently
+    catalog.getOrElse(norm(basePath), Vector.empty).foreach { mv =>
+      if (!graft.ops.Layout.hasMarker(s, mv.mvPath, marker))
+        refreshView(s, mv, delta, Seq(marker))
+    }
   }
 
   /** The rewrite rule. One instance per session via
@@ -166,11 +187,9 @@ object MatView {
 
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
       case agg @ Aggregate(groups, out, child, _) =>
-        (for {
-          paths <- scanPaths(child)
-          mv <- lookup(paths)
-          rewritten <- rewrite(groups, out, mv)
-        } yield rewritten).getOrElse(agg)
+        scanPaths(child).toSeq.flatMap(lookup)
+          .view.flatMap(mv => rewrite(groups, out, mv))
+          .headOption.getOrElse(agg)
     }
 
     /** Root paths of a bare file scan (or attribute-only Project over

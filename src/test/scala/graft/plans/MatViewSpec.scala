@@ -184,6 +184,48 @@ class MatViewSpec extends SparkTestBase {
     } finally MatView.deregister(basePath)
   }
 
+  test("multi-view selection: the coarsest covering view wins") {
+    val basePath = s"${graft.GraftSession.scratchDir}/mvspec_mbase"
+    val fine = s"${graft.GraftSession.scratchDir}/mvspec_mfine"
+    val coarse = s"${graft.GraftSession.scratchDir}/mvspec_mcoarse"
+    graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_quantity", "l_returnflag", "l_linestatus")
+      .write.mode("overwrite").parquet(basePath)
+    def buildView(path: String, groups: Seq[String]): Unit = {
+      spark.read.parquet(basePath)
+        .groupBy(groups.map(col): _*)
+        .agg(count(lit(1)).as("cnt_p"))
+        .write.mode("overwrite").parquet(path)
+      MatView.register(MatView.MvDef(basePath, path, groups,
+        Seq(MatView.AggSpec("count", "", None, "cnt_p"))))
+    }
+    buildView(fine, Seq("l_returnflag", "l_linestatus"))
+    buildView(coarse, Seq("l_returnflag"))
+    try {
+      // a returnflag-only rollup is answerable by BOTH — the coarser
+      // (fewer rows) view must be chosen
+      val byFlag = spark.read.parquet(basePath)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      assert(byFlag.queryExecution.executedPlan.toString
+        .contains("mvspec_mcoarse"))
+      // the two-key query is only answerable by the fine view
+      val byBoth = spark.read.parquet(basePath)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+      assert(byBoth.queryExecution.executedPlan.toString
+        .contains("mvspec_mfine"))
+      // and refresh reaches EVERY view of the base
+      import spark.implicits._
+      MatView.refresh(spark, basePath,
+        Seq((1.0, "Z", "Z")).toDF("l_quantity", "l_returnflag",
+          "l_linestatus"))
+      assert(spark.read.parquet(coarse)
+        .where(col("l_returnflag") === "Z").count() === 1L)
+      assert(spark.read.parquet(fine)
+        .where(col("l_returnflag") === "Z").count() === 1L)
+    } finally MatView.deregister(basePath)
+  }
+
   test("exact-granularity query (no rollup) also serves from the view") {
     registerMv()
     try {
