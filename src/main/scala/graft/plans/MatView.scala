@@ -7,8 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
   Cast, Coalesce, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan,
-  Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
+  LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   LogicalRelation}
@@ -187,28 +187,37 @@ object MatView {
 
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
       case agg @ Aggregate(groups, out, child, _) =>
-        scanPaths(child).toSeq.flatMap(lookup)
-          .view.flatMap(mv => rewrite(groups, out, mv))
-          .headOption.getOrElse(agg)
+        scanInfo(child).toSeq.flatMap { case (paths, conds) =>
+          lookup(paths).flatMap(mv => rewrite(groups, out, conds, mv))
+        }.headOption.getOrElse(agg)
     }
 
-    /** Root paths of a bare file scan (or attribute-only Project over
-      * one). Anything else — Filter, computed Project, joins — is not
-      * answerable from the view and blocks the rewrite. */
-    private def scanPaths(p: LogicalPlan): Option[Seq[String]] = p match {
+    /** Root paths + collected filter conditions of a file scan reached
+      * through attribute-only Projects and deterministic Filters.
+      * Filters are NOT an automatic block: a predicate over GROUPING
+      * columns only partitions whole groups, so it commutes with the
+      * aggregation and can apply to the VIEW instead (`rewrite` checks
+      * column coverage and substitutes); a predicate touching any
+      * non-group column needs row-level data the view doesn't have and
+      * blocks there. Computed Projects and joins block here. */
+    private def scanInfo(p: LogicalPlan)
+        : Option[(Seq[String], Seq[Expression])] = p match {
       case Project(projList, rel)
           if projList.forall(_.isInstanceOf[AttributeReference]) =>
-        scanPaths(rel)
+        scanInfo(rel)
+      case Filter(cond, rel) if cond.deterministic =>
+        scanInfo(rel).map { case (ps, cs) => (ps, cond +: cs) }
       case l: LogicalRelation => l.relation match {
         case fs: HadoopFsRelation =>
-          Some(fs.location.rootPaths.map(_.toString))
+          Some((fs.location.rootPaths.map(_.toString), Seq.empty))
         case _ => None
       }
       case _ => None
     }
 
     private def rewrite(groups: Seq[Expression],
-        out: Seq[NamedExpression], mv: MvDef): Option[LogicalPlan] = {
+        out: Seq[NamedExpression], conds: Seq[Expression],
+        mv: MvDef): Option[LogicalPlan] = {
       // a FRESH analyzed relation per rewrite: reusing one plan across
       // queries would collide attribute ids
       val mvPlan = session.read.parquet(mv.mvPath).queryExecution.analyzed
@@ -297,12 +306,32 @@ object MatView {
             else None
           case _ => None
         }
+      // filter conditions must reference ONLY view grouping columns
+      // (they then select whole groups — aggregation-commuting); each
+      // base attribute substitutes for its view attribute
+      def rewriteCond(c: Expression): Option[Expression] = {
+        var ok = true
+        val t = c.transformDown {
+          case a: AttributeReference =>
+            if (mv.groupCols.contains(a.name) && mvAttr(a.name).isDefined)
+              mvAttr(a.name).get
+            else { ok = false; a }
+        }
+        if (ok) Some(t) else None
+      }
       for {
         ga <- groupAttrs
+        newConds <- conds.foldLeft(Option(Seq.empty[Expression])) {
+          (acc, c) => acc.flatMap(s => rewriteCond(c).map(s :+ _))
+        }
         newOut <- out.foldLeft(Option(Seq.empty[NamedExpression])) {
           (acc, ne) => acc.flatMap(s => rewriteOne(ne).map(s :+ _))
         }
-      } yield Aggregate(ga, newOut, mvPlan, None)
+      } yield Aggregate(ga, newOut,
+        if (newConds.isEmpty) mvPlan
+        else Filter(newConds.reduce(
+          org.apache.spark.sql.catalyst.expressions.And(_, _)), mvPlan),
+        None)
     }
   }
 }

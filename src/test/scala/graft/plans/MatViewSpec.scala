@@ -56,6 +56,26 @@ class MatViewSpec extends SparkTestBase {
     } finally MatView.deregister(base)
   }
 
+  test("a GROUP-COLUMN filter serves from the view; a row-level one " +
+      "does not") {
+    registerMv()
+    try {
+      // predicate over a grouping column selects whole groups — the
+      // view answers it, filter applied to the view rows
+      val q = baseDf.where(col("l_returnflag") === "A")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"))
+      assert(q.queryExecution.executedPlan.toString.contains("mvspec_mv"))
+      val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      MatView.deregister(base)
+      val truth = baseDf.where(col("l_returnflag") === "A")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got === truth)
+    } finally MatView.deregister(base)
+  }
+
   test("filters, uncovered aggs, and distinct block the rewrite") {
     registerMv()
     try {
