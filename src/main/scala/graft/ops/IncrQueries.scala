@@ -705,7 +705,40 @@ object IncrQueries {
     },
     mvRewrite.oracle)
 
+  /** The dashboard shape with a WHERE clause: a grouping-column
+    * predicate only selects whole groups, so it commutes with the
+    * aggregation and the Catalyst rule serves it from the VIEW with the
+    * filter applied to view rows (row-level predicates correctly fall
+    * back to the base scan — `MatViewSpec` pins both directions). The
+    * oracle recomputes from the raw table with the same predicate, so
+    * the hash match certifies the filter-through-view algebra. */
+  val mvRewriteFiltered = GQuery(
+    "mv_rewrite_filtered",
+    (s, d) => {
+      val base = savedMvBasePath(s, d)
+      s.read.parquet(base)
+        .where(col("l_returnflag").isin("A", "N"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity").cast(DecimalType(38, 2)))
+          .as("sum_qty_dec"),
+          count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"),
+          col("sum_qty_dec").cast(DoubleType).as("sum_qty"),
+          col("n_rows"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem
+      WHERE l_returnflag IN ('A', 'N')
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """))
+
   val all: Seq[GQuery] =
     Seq(incrAgg, incrDistinct, incrTopk, rollingWau, overlapSketch,
-      zorderLayout, warehouseRefresh, incrPipeline, mvRewrite, mvRefresh)
+      zorderLayout, warehouseRefresh, incrPipeline, mvRewrite,
+      mvRewriteFiltered, mvRefresh)
 }

@@ -283,6 +283,9 @@ object ScaleSweep {
         // replicated events table — the counts and narrow projections
         // must scale ~linearly for the 100 TB update-loop claim
         "tracking_version",
+        // round 14 late: the dedup-at-ingest lifecycle and the
+        // MV-rewrite payoff curve (see `probes`)
+        "neardup_sweep", "mvrewrite_sweep",
         // round 10 late: PQ train+encode+ADC are all ∝ n (registry form
         // is already unbounded — sweep it directly); the kNN join needs
         // the k ∝ n probe form (see `probes`)
