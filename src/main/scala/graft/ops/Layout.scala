@@ -47,10 +47,18 @@ private[graft] object Layout {
     // where data landed but the marker did not (underscore-prefixed:
     // parquet readers ignore them). Existing live markers carry over:
     // the applied-history must survive subsequent swaps.
-    val carried = if (fs.exists(live))
+    // cap the carried history: Structured Streaming only ever replays
+    // the most recent uncommitted batch per checkpoint, so markers far
+    // older than the newest can never be re-asked — keep the 128
+    // highest batch ids instead of accumulating one empty file per
+    // batch forever
+    val carried = (if (fs.exists(live))
       fs.listStatus(live).map(_.getPath.getName)
         .filter(_.startsWith("_applied_")).toSeq
-    else Seq.empty
+    else Seq.empty)
+      .sortBy(m => m.stripPrefix("_applied_").toLongOption
+        .getOrElse(Long.MaxValue))
+      .takeRight(128)
     (stageMarkers ++ carried).distinct.foreach(m =>
       fs.create(new Path(stage, m), true).close())
     require(fs.rename(live, old), s"swap of $dir failed (old aside)")

@@ -313,10 +313,14 @@ object NearDup {
       tau: Double = Tau): DataFrame = {
     val docs = batch.where(col("text").isNotNull)
       .dropDuplicates("doc_id").localCheckpoint(true)
+    // bound BEFORE any driver materialization (a sub-shingle doc has
+    // no band rows, so serveNearDup's band ceiling alone would not
+    // stop an oversized batch of short docs reaching the id collect)
+    val nDocs = docs.count()
+    require(nDocs <= MaxProbes,
+      s"ingestBatch: $nDocs docs (> $MaxProbes ceiling) — split the batch")
     val verdicts = ingestVerdicts(s, docs, path, tau).localCheckpoint(true)
     val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSeq
-    require(ids.length <= MaxProbes,
-      s"ingestBatch: ${ids.length} docs (> $MaxProbes ceiling)")
     if (ids.nonEmpty) {
       val already = s.read.parquet(s"$path/toks")
         .where(col("doc_id").isin(ids: _*)).select("doc_id")

@@ -1793,8 +1793,12 @@ object TextQueries {
       val path = savedPostingsPath(s, d)
       val matched = servedLists(s, path, bm25Terms)
         .select("doc_id").distinct()
+      // no broadcast hint: a COMMON term's match set grows with the
+      // corpus, so the join strategy is AQE's call (broadcast when the
+      // matched-id frame is small, shuffle join on the doc_id-sorted
+      // side table when it is not)
       s.read.parquet(savedDocMetaPath(s, d))
-        .join(broadcast(matched), Seq("doc_id"))
+        .join(matched, Seq("doc_id"))
         .groupingSets(
           Seq(Seq(col("lang")), Seq(col("source"))),
           col("lang"), col("source"))

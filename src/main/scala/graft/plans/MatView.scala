@@ -218,6 +218,17 @@ object MatView {
     private def rewrite(groups: Seq[Expression],
         out: Seq[NamedExpression], conds: Seq[Expression],
         mv: MvDef): Option[LogicalPlan] = {
+      // NAME-BASED pre-checks before any IO: the optimizer batch runs
+      // to fixed point, so a registered-base query the view CANNOT
+      // answer (row-level filter, foreign grouping) would otherwise
+      // re-read the view's parquet footer on every iteration
+      val coveredGroups = groups.forall {
+        case g: AttributeReference => mv.groupCols.contains(g.name)
+        case _ => false
+      }
+      val coveredConds = conds.forall(_.references.toSeq.forall(a =>
+        mv.groupCols.contains(a.name)))
+      if (!coveredGroups || !coveredConds) return None
       // a FRESH analyzed relation per rewrite: reusing one plan across
       // queries would collide attribute ids
       val mvPlan = session.read.parquet(mv.mvPath).queryExecution.analyzed
