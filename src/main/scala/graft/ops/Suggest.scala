@@ -133,6 +133,104 @@ object Suggest {
       s"$path/delnbr")
   }
 
+  /** Depth-2 deletion keys: the depth-1 rule applied to its own output
+    * (nested HOF lambdas — still zero UDFs), distinct-folded. Includes
+    * depths 0 and 1, so one index serves distance ≤ 2 lookups. */
+  private def delKeys2(term: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    array_distinct(flatten(transform(delKeys(term), k => delKeys(k))))
+
+  private[ops] def delNeighborhood2(q: String): Seq[String] =
+    delNeighborhood(q).flatMap(delNeighborhood).distinct
+
+  /** The distance-2 index: one (delkey, term, df) row per DEPTH-≤2
+    * deletion key — Σ(1 + |t| + |t|(|t|−1)/2) rows per dictionary term,
+    * still dictionary-scale. Kept a separate layout from the
+    * distance-1 directory so each entry's scan cost matches its edit
+    * budget (classic SymSpell ships maxEdit as a build parameter for
+    * exactly this reason). */
+  def buildSuggest2(s: SparkSession, docs: DataFrame, path: String): Unit =
+    dictionary(docs)
+      .select(explode(delKeys2(col("term"))).as("delkey"),
+        col("term"), col("df"))
+      .repartitionByRange(4, col("delkey"))
+      .sortWithinPartitions("delkey")
+      .write.mode("overwrite").parquet(s"$path/delnbr2")
+
+  /** Distance-2 serving with the CLASSIC SymSpell ranking — closest
+    * edit distance first, then df, then term: an exact or distance-1
+    * hit must outrank a popular distance-2 one. Same pushed-`In`
+    * candidate lookup (|q|²/2-ish keys per query — still a bounded
+    * request frame), exact `levenshtein ≤ 2` verification, per-query
+    * partitioned window. */
+  def suggestBatch2(s: SparkSession, path: String, queries: Seq[String],
+      k: Int = 3): DataFrame = {
+    require(queries.nonEmpty && queries.size <= 1000,
+      s"suggestBatch2: ${queries.size} queries (bounded request batch)")
+    import s.implicits._
+    val requests = queries.distinct
+      .flatMap(q => delNeighborhood2(q).map(q -> _))
+      .toDF("query", "delkey")
+    val keys = requests.select("delkey").as[String].collect().distinct
+    val cand = s.read.parquet(s"$path/delnbr2")
+      .where(col("delkey").isin(keys.toSeq: _*))
+      .join(broadcast(requests), Seq("delkey"))
+      .select(col("query"), col("term"), col("df"))
+      .distinct()
+      .withColumn("dist",
+        levenshtein(col("query"), col("term")).cast(LongType))
+      .where(col("dist") <= 2)
+    val w = Window.partitionBy(col("query"))
+      .orderBy(col("dist"), col("df").desc, col("term"))
+    cand.withColumn("rnk", row_number().over(w).cast(LongType))
+      .where(col("rnk") <= k)
+      .select(col("query"), col("rnk"), col("term"), col("dist"),
+        col("df"))
+      .orderBy("query", "rnk")
+  }
+
+  private val suggest2Saved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedSuggest2Path(s: SparkSession, d: String): String =
+    graft.BuildOnce.memo(suggest2Saved, d) {
+      val path = s"${graft.GraftSession.scratchDir}/suggest2_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      buildSuggest2(s, Tables.documents(s, d), path)
+      path
+    }
+
+  /** Distance-2 spell correction, driver-verified against the brute
+    * levenshtein scan (completeness: the depth-2 deletion intersection
+    * catches every distance-≤2 term; precision: the exact verify cut) —
+    * with the distance-first ranking hashed too, so a distance-1 hit
+    * outranking a more frequent distance-2 hit is part of the proof.
+    * Probes: one distance-1, one distance-2 (two substitutions), one
+    * double-insertion, one hopeless. */
+  val termSuggest2 = GQuery(
+    "term_suggest2",
+    (s, d) => suggestBatch2(s, savedSuggest2Path(s, d),
+      Seq("spqrk", "spxxk", "wind", "zzz")),
+    Some("""
+      WITH terms AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS term
+              FROM documents WHERE text IS NOT NULL)
+        GROUP BY term),
+      q AS (SELECT unnest(['spqrk', 'spxxk', 'wind', 'zzz']) AS query),
+      hits AS (
+        SELECT q.query, t.term,
+               CAST(levenshtein(q.query, t.term) AS BIGINT) AS dist,
+               t.df,
+               ROW_NUMBER() OVER (PARTITION BY q.query
+                 ORDER BY levenshtein(q.query, t.term), t.df DESC,
+                          t.term) AS rnk
+        FROM q JOIN terms t ON levenshtein(q.query, t.term) <= 2)
+      SELECT query, CAST(rnk AS BIGINT) AS rnk, term, dist, df
+      FROM hits WHERE rnk <= 3
+      ORDER BY query, rnk
+    """))
+
   /** The probe batch shared with the oracle: three misspellings with a
     * known correction each (substitution, trailing insertion, trailing
     * deletion) and one with no distance-1 neighbor at all. */
@@ -238,5 +336,5 @@ object Suggest {
       LIMIT 5
     """))
 
-  def all: Seq[GQuery] = Seq(termSuggest, suggestAppendQ, termComplete)
+  def all: Seq[GQuery] = Seq(termSuggest, termSuggest2, suggestAppendQ, termComplete)
 }

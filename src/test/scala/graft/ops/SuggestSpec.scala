@@ -65,6 +65,44 @@ class SuggestSpec extends SparkTestBase {
     }
   }
 
+  test("distance-2 index ≡ brute levenshtein ≤ 2 over the dictionary") {
+    val path = Suggest.savedSuggest2Path(spark, sf)
+    val dict = graft.Tables.documents(spark, sf)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      .collect().map(r => r.getString(0))
+    val probes = dict.toSeq ++ Seq("spxxk", "wind", "nosuchterm")
+    val served = Suggest.suggestBatch2(spark, path, probes, k = 1000)
+      .collect().map(r => (r.getString(0), r.getString(2))).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val truth = (for {
+      q <- probes; t <- dict if lev(q, t) <= 2
+    } yield (q, t)).toSet
+    assert(served === truth)
+  }
+
+  test("the Scala and SQL depth-2 deletion-key rules agree") {
+    val path = Suggest.savedSuggest2Path(spark, sf)
+    val indexed = spark.read.parquet(s"$path/delnbr2")
+      .groupBy("term")
+      .agg(sort_array(collect_set(col("delkey"))).as("keys"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    indexed.foreach { case (term, keys) =>
+      assert(keys === Suggest.delNeighborhood2(term).sorted,
+        s"depth-2 delkey mismatch for $term")
+    }
+  }
+
   test("append ≡ rebuild: grown index serves identical suggestions") {
     def served(path: String) =
       Suggest.suggestBatch(spark, path, Suggest.probeQueries)
