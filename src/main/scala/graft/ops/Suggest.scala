@@ -43,6 +43,12 @@ object Suggest {
   private def dictionary(docs: DataFrame): DataFrame =
     docs.where(col("text").isNotNull)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      // consecutive separators split to empty tokens; an empty term is
+      // not a word AND would break the deletion arithmetic (Spark's
+      // sequence(1, 0) descends instead of emptying), so it is dropped
+      // here and in every suggest oracle's terms CTE — one rule, both
+      // engines
+      .where(col("term") =!= "")
       .groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
 
@@ -216,6 +222,7 @@ object Suggest {
         SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
         FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS term
               FROM documents WHERE text IS NOT NULL)
+        WHERE term <> ''
         GROUP BY term),
       q AS (SELECT unnest(['spqrk', 'spxxk', 'wind', 'zzz']) AS query),
       hits AS (
@@ -262,6 +269,7 @@ object Suggest {
         SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
         FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS term
               FROM documents WHERE text IS NOT NULL)
+        WHERE term <> ''
         GROUP BY term),
       q AS (SELECT unnest(['spqrk', 'mergee', 'rows', 'zzz']) AS query),
       hits AS (
@@ -328,6 +336,7 @@ object Suggest {
         SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
         FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS term
               FROM documents WHERE text IS NOT NULL)
+        WHERE term <> ''
         GROUP BY term)
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY df DESC, term) AS BIGINT) AS rnk,
              term, df
