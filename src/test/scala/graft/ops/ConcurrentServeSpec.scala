@@ -96,6 +96,49 @@ class ConcurrentServeSpec extends SparkTestBase {
     } finally pool.shutdownNow()
   }
 
+  test("concurrent near-dup + suggest serving reproduces serial answers") {
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutor(pool)
+    try {
+      import org.apache.spark.sql.functions._
+      def ndRows() =
+        NearDup.serveNearDup(spark,
+          graft.Tables.documents(spark, sf)
+            .where(col("doc_id") % 62 === 8),
+          NearDup.savedFullPath(spark, sf))
+          .collect()
+          .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("match_id")))
+          .sortBy(identity).toSeq
+      def sgRows(qs: Seq[String]) =
+        Suggest.suggestBatch(spark, Suggest.savedSuggestPath(spark, sf), qs)
+          .collect()
+          .map(r => (r.getString(0), r.getAs[Long]("rnk"), r.getString(2)))
+          .sortBy(t => (t._1, t._2)).toSeq
+      def sg2Rows(qs: Seq[String]) =
+        Suggest.suggestBatch2(spark, Suggest.savedSuggest2Path(spark, sf),
+          qs)
+          .collect()
+          .map(r => (r.getString(0), r.getAs[Long]("rnk"), r.getString(2)))
+          .sortBy(t => (t._1, t._2)).toSeq
+      val sgBatches = Seq(Seq("spqrk"), Seq("mergee", "rows"))
+      // first touch races the three BuildOnce layouts on one session
+      val ndFs = Seq(Future(ndRows()), Future(ndRows()))
+      val sgFs = sgBatches.map(b => Future(b -> sgRows(b)))
+      val sg2Fs = sgBatches.map(b => Future(b -> sg2Rows(b)))
+      val ndGot = Await.result(Future.sequence(ndFs), 300.seconds)
+      val sgGot = Await.result(Future.sequence(sgFs), 300.seconds)
+      val sg2Got = Await.result(Future.sequence(sg2Fs), 300.seconds)
+      val serialNd = ndRows()
+      ndGot.foreach(rows => assert(rows === serialNd,
+        "near-dup serve diverged under contention"))
+      sgGot.foreach { case (b, rows) => assert(rows === sgRows(b),
+        s"suggest batch $b diverged under contention") }
+      sg2Got.foreach { case (b, rows) => assert(rows === sg2Rows(b),
+        s"suggest2 batch $b diverged under contention") }
+    } finally pool.shutdownNow()
+  }
+
   test("concurrent hybrid serve batches reproduce the serial fusion") {
     val pool = Executors.newFixedThreadPool(6)
     implicit val ec: ExecutionContext =
