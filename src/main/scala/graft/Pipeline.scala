@@ -50,10 +50,15 @@ object Pipeline {
     *    full ~80-table catalog an unbounded fan-out just thrashes the
     *    fair scheduler, and the global pool's size is an accident of
     *    the host;
-    *  - per-table timeout, not an infinite await: one straggler table
+    *  - an OPT-IN per-table timeout: by default every table is awaited
+    *    to completion (`Duration.Inf` — a legitimately long cycle at
+    *    100 TB scale must never be interrupted mid-write by a default).
+    *    When an operator passes a finite budget, one straggler table
     *    (a wedged read, a pathological file) surfaces as a NAMED
     *    timeout row instead of hanging the whole refresh invisibly —
-    *    its task is interrupted and the remaining tables still report;
+    *    its task is interrupted, the remaining tables still report,
+    *    and the failure row warns that a partially written output
+    *    directory may exist (the next run's overwrite mode heals it);
     *  - failures are DATA, not exceptions: a table whose cycle throws
     *    lands in the result as a [[FileMetrics]] row with `failure`
     *    set (and an empty frame), so [[verify]] fails mechanically and
@@ -68,8 +73,8 @@ object Pipeline {
     * the merely starved ones so the operator chases the right ones. */
   def update(spark: SparkSession, tables: Seq[(TableDef, String)],
       outDir: String, parallelism: Int = 8,
-      perTableTimeout: scala.concurrent.duration.FiniteDuration =
-        scala.concurrent.duration.DurationInt(30).minutes)
+      perTableTimeout: scala.concurrent.duration.Duration =
+        scala.concurrent.duration.Duration.Inf)
       : Seq[TableResult] = {
     import java.util.concurrent.{Callable, ExecutionException, Executors,
       ThreadFactory, TimeoutException, TimeUnit}
@@ -97,12 +102,16 @@ object Pipeline {
         }))
       }
       futures.map { case (name, started, f) =>
-        try f.get(perTableTimeout.toMillis, TimeUnit.MILLISECONDS)
-        catch {
+        try {
+          if (perTableTimeout.isFinite)
+            f.get(perTableTimeout.toMillis, TimeUnit.MILLISECONDS)
+          else f.get()
+        } catch {
           case _: TimeoutException =>
             f.cancel(true)
             failed(name,
-              if (started.get) s"timeout after $perTableTimeout"
+              if (started.get) s"timeout after $perTableTimeout — " +
+                "partial output may exist under the table's directory"
               else s"never started within $perTableTimeout — pool " +
                 "slots held by earlier tables")
           case e: ExecutionException =>

@@ -193,9 +193,12 @@ object BloomProbe {
     * (`BloomDedupSpec` pins equality); the literal form remains the
     * default for the in-repo callers because their sketches sit far
     * below the ceiling and it keeps the probe a stock
-    * [[BloomFilterMightContain]]. Reuse the returned broadcast across
-    * queries — each call to the ShardedBloom overload broadcasts
-    * afresh. */
+    * [[BloomFilterMightContain]]. Ship the shards once with
+    * [[broadcastShards]] and reuse that handle across every probe (and
+    * `destroy()` it when the sketch retires) — there is deliberately NO
+    * overload that broadcasts internally, because a hidden
+    * per-call broadcast can neither be reused nor unpersisted and leaks
+    * a driver handle per query over a long-lived session. */
   def mightContainShardedBroadcast(
       bcast: org.apache.spark.broadcast.Broadcast[Array[Array[Byte]]],
       value: Column): Column = {
@@ -204,10 +207,14 @@ object BloomProbe {
       BloomProbeShards(Bridge.expression(value), bcast))
   }
 
-  def mightContainShardedBroadcast(s: org.apache.spark.sql.SparkSession,
-      sb: ShardedBloom, value: Column): Column =
-    mightContainShardedBroadcast(
-      s.sparkContext.broadcast(sb.shards.toArray), value)
+  /** Broadcast a [[ShardedBloom]]'s shard table once and hand the
+    * caller the handle — the caller owns its lifecycle (reuse across
+    * queries, `unpersist`/`destroy` when the history sketch is
+    * retired or retrained). */
+  def broadcastShards(s: org.apache.spark.sql.SparkSession,
+      sb: ShardedBloom)
+      : org.apache.spark.broadcast.Broadcast[Array[Array[Byte]]] =
+    s.sparkContext.broadcast(sb.shards.toArray)
 
   /** The documented size ceiling with automatic fallback: sketch the
     * history only while the TOTAL bit-array budget holds (at ~9.6

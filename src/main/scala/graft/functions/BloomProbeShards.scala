@@ -64,14 +64,30 @@ object BloomProbeShards {
 
   /** Executor-local deserialized-shard cache: one `BloomFilter[]` per
     * broadcast id per JVM, built on first probe — tasks share it, and a
-    * re-used broadcast across queries pays deserialization once. */
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[Long, Array[BloomFilter]]()
+    * re-used broadcast across queries pays deserialization once.
+    * Values are SOFT references so the cache is heap-bounded by the
+    * collector, not unbounded by session length: a retired sketch's
+    * array (up to ~1 GiB) is reclaimable the moment no task holds it,
+    * and each (re)build sweeps cleared entries so the ids of destroyed
+    * broadcasts don't accumulate as map keys. A cleared entry merely
+    * re-pays one deserialization on the next probe of a LIVE broadcast
+    * — correctness never depends on residency. */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    Long, java.lang.ref.SoftReference[Array[BloomFilter]]]()
 
   def probe(bcast: Broadcast[Array[Array[Byte]]], value: Long): Boolean = {
-    val filters = cache.computeIfAbsent(bcast.id,
-      _ => bcast.value.map(bytes =>
-        BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))))
+    var filters = {
+      val ref = cache.get(bcast.id)
+      if (ref == null) null else ref.get()
+    }
+    if (filters == null) {
+      filters = bcast.value.map(bytes =>
+        BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)))
+      cache.put(bcast.id,
+        new java.lang.ref.SoftReference[Array[BloomFilter]](filters))
+      val it = cache.entrySet().iterator()
+      while (it.hasNext) if (it.next().getValue.get() == null) it.remove()
+    }
     val shard = java.lang.Math.floorMod(value, filters.length.toLong).toInt
     filters(shard).mightContainLong(value)
   }

@@ -62,7 +62,9 @@ object IndexStats {
     * 4 × (docs with ≥ 2 tokens) — exactly the docs that produce ≥ 1
     * bigram shingle and hence one row per band; n_delkeys re-derives
     * the deletion-neighborhood size per distinct term with the same
-    * dedup rule the index builder applies. */
+    * dedup rule the index builder applies; both suggest branches carry
+    * the dictionary's empty-token drop (`term <> ''`) so the oracle
+    * mirrors Suggest.dictionary — one rule, both engines. */
   val indexStatsQuery = GQuery(
     "index_stats",
     (s, d) => indexStats(s, d),
@@ -89,12 +91,13 @@ object IndexStats {
              CAST(4 * COUNT(*) FILTER (len(t) >= 2) AS BIGINT) FROM docs
       UNION ALL SELECT 'suggest', 'n_terms',
              CAST(COUNT(DISTINCT term) AS BIGINT) FROM tok
+             WHERE term <> ''
       UNION ALL SELECT 'suggest', 'n_delkeys',
              CAST(SUM(nk) AS BIGINT) FROM (
                SELECT len(list_distinct(list_append(
                  list_transform(range(1, len(term)+1),
                    i -> term[1:i-1] || term[i+1:]), term))) AS nk
-               FROM (SELECT DISTINCT term FROM tok))
+               FROM (SELECT DISTINCT term FROM tok WHERE term <> ''))
       ORDER BY layout, stat
     """))
 

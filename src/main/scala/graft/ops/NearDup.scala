@@ -202,10 +202,16 @@ object NearDup {
     *  1. probe bands computed from the probe TEXT (the service receives
     *     the document, not an id) and collected — 4 rows per probe,
     *     [[MaxProbes]]-guarded;
-    *  2. bucket lookup: pushed `In(band_key, …)` scan of `bands/`,
-    *     tombstone anti-join above it, broadcast equi-join back to the
-    *     probe frame on (band_idx, band_key) → distinct candidate pairs,
-    *     materialized once ([[MaxCandidates]]-guarded);
+    *  2. bucket lookup: `bands/` scan restricted by the probe's distinct
+    *     band keys — a pushed `In(band_key, …)` up to [[MaxInPushdown]]
+    *     keys (row-group pruning), plain scan beyond it (the broadcast
+    *     equi-join below still bounds the rows; an over-threshold `In`
+    *     would bloat the plan past Spark's parquet pushdown threshold
+    *     and silently stop pruning anyway — the candidate-id switch's
+    *     rationale, applied to band keys); tombstone anti-join above
+    *     it, broadcast equi-join back to the probe frame on
+    *     (band_idx, band_key) → distinct candidate pairs, materialized
+    *     once ([[MaxCandidates]]-guarded);
     *  3. verification: candidate ids read from `toks/` (pushed `In` up
     *     to [[MaxInPushdown]] ids, broadcast join beyond), probe shingle
     *     sets broadcast, exact Jaccard as one array_intersect division.
@@ -223,9 +229,11 @@ object NearDup {
         s"(> ${MaxProbes * 4} ceiling) — split the batch")
     val keys = probeBands.select("band_key").distinct()
       .collect().map(_.getString(0)).toSeq
+    val bandsScan = s.read.parquet(s"$path/bands")
     val bands = Layout.minusTombstones(s,
-      s.read.parquet(s"$path/bands")
-        .where(col("band_key").isin(keys: _*)),
+      if (keys.length <= MaxInPushdown)
+        bandsScan.where(col("band_key").isin(keys: _*))
+      else bandsScan,
       path)
     val cand = bands
       .join(broadcast(probeBands), Seq("band_idx", "band_key"))
@@ -266,12 +274,28 @@ object NearDup {
     * least-id tie-break) indexed match. Pure read — the mutation side
     * of ingest lives in [[ingestBatch]]. Missing-match columns are
     * coalesced to (-1, 0.0) so the frame is driver-hashable with no
-    * nullable-numeric drift. */
+    * nullable-numeric drift.
+    *
+    * The match set EXCLUDES the batch's own doc ids (one broadcast
+    * anti-join on match_id), so a verdict is a pure function of
+    * (batch, index minus the batch's ids) — the property that makes a
+    * crash-replayed [[ingestBatch]] re-derive IDENTICAL verdicts with
+    * no batch-id ledger even when the batch carries intra-batch
+    * near-dup pairs: on the first delivery the accepted pair members
+    * aren't indexed yet; on a replay they are, but the exclusion
+    * removes them from each other's candidate sets again.
+    * (Self-match id-exclusion alone covers only identical ids.)
+    * Equivalently: a redelivered batch is judged against the same
+    * world its first delivery saw. Intra-batch near-dup pairs are both
+    * accepted by design — in-flight self-dedup is
+    * `StreamRunner.nearDupFilter`'s job, composed upstream. */
   def ingestVerdicts(s: SparkSession, batch: DataFrame, path: String,
       tau: Double = Tau): DataFrame = {
     val docs = batch.where(col("text").isNotNull)
       .dropDuplicates("doc_id")
     val matches = serveNearDup(s, docs, path, tau)
+      .join(broadcast(docs.select(col("doc_id").as("match_id"))),
+        Seq("match_id"), "left_anti")
     val best = matches.groupBy(col("probe_id").as("doc_id"))
       .agg(count(lit(1)).as("n_matches"),
         max(struct(col("jaccard").as("j"), (-col("match_id")).as("nm")))
@@ -297,18 +321,18 @@ object NearDup {
     * grows itself.
     *
     * Replay safety (the takedown stream's no-ledger discipline): a
-    * crash-replayed batch re-derives the SAME verdicts — an accepted
-    * doc is by then indexed, but self-matches are id-excluded, and a
-    * rejected doc's dup is still indexed — and appends NOTHING, because
-    * already-indexed and tombstoned ids are excluded from the append up
-    * front (the batch-bounded id lookup is a pushed `In` on the
-    * doc_id-sorted toks table). Verdicts are MATERIALIZED before the
-    * append (the lazy-segment trap: an un-checkpointed verdict frame
-    * re-evaluated after the append would see intra-batch accepted pairs
-    * as mutual dups — rejected AND indexed). Intra-batch near-dup pairs
-    * are both accepted by design — the gate checks the INDEX; in-flight
-    * self-dedup is `StreamRunner.nearDupFilter`'s job, composed
-    * upstream. */
+    * crash-replayed batch re-derives the SAME verdicts and appends
+    * NOTHING. Verdicts are replay-invariant because
+    * [[ingestVerdicts]] excludes the batch's own ids from the match
+    * set — including the intra-batch near-dup pair case, where the
+    * first run accepts and indexes both members and a naive replay
+    * would find each member's twin indexed and flip both to reject.
+    * The append is a no-op because already-indexed and tombstoned ids
+    * are excluded up front (the batch-bounded id lookup is a pushed
+    * `In` on the doc_id-sorted toks table). Verdicts are MATERIALIZED
+    * before the append (the lazy-segment trap: an un-checkpointed
+    * verdict frame re-evaluated after the append would re-read the
+    * segments it just grew). */
   def ingestBatch(s: SparkSession, batch: DataFrame, path: String,
       tau: Double = Tau): DataFrame = {
     val docs = batch.where(col("text").isNotNull)

@@ -80,12 +80,35 @@ object Suggest {
   private[ops] def delNeighborhood(q: String): Seq[String] =
     q +: (0 until q.length).map(i => q.take(i) + q.drop(i + 1))
 
+  /** Candidate read shared by both edit-distance tiers: the delkey
+    * directory restricted to the request frame's keys — a pushed
+    * `In(delkey, …)` up to [[NearDup.MaxInPushdown]] distinct keys
+    * (row-group pruning on the delkey-sorted layout), a plain scan
+    * beyond it with the broadcast equi-join below doing the
+    * restriction (a ≤1000-query batch of long queries can yield tens
+    * of thousands of keys — past Spark's parquet `In` pushdown
+    * threshold the literal list bloats the plan WITHOUT pruning
+    * anything, the PqEncode/Janino lesson; the switch point is
+    * NearDup's, one constant for every bounded-request read). Identical
+    * answers either way — `SuggestSpec` pins path-equality across the
+    * switch. */
+  private def candidateRead(s: SparkSession, dir: String,
+      requests: DataFrame, keys: Array[String],
+      maxInPushdown: Int): DataFrame = {
+    val scan = s.read.parquet(dir)
+    (if (keys.length <= maxInPushdown)
+       scan.where(col("delkey").isin(keys.toSeq: _*))
+     else scan)
+      .join(broadcast(requests), Seq("delkey"))
+  }
+
   /** Serve a query batch: per query, the top-`k` dictionary terms
     * within edit distance 1, ranked (df DESC, term). Output
     * (query, rnk, term, df); a query with no match contributes no
     * rows. */
   def suggestBatch(s: SparkSession, path: String, queries: Seq[String],
-      k: Int = 3): DataFrame = {
+      k: Int = 3,
+      maxInPushdown: Int = NearDup.MaxInPushdown): DataFrame = {
     require(queries.nonEmpty && queries.size <= 1000,
       s"suggestBatch: ${queries.size} queries (bounded request batch)")
     import s.implicits._
@@ -93,9 +116,8 @@ object Suggest {
       .flatMap(q => delNeighborhood(q).distinct.map(q -> _))
       .toDF("query", "delkey")
     val keys = requests.select("delkey").as[String].collect().distinct
-    val cand = s.read.parquet(s"$path/delnbr")
-      .where(col("delkey").isin(keys.toSeq: _*))
-      .join(broadcast(requests), Seq("delkey"))
+    val cand = candidateRead(s, s"$path/delnbr", requests, keys,
+      maxInPushdown)
       .select(col("query"), col("term"), col("df"))
       .distinct()
       .where(levenshtein(col("query"), col("term")) <= 1)
@@ -170,7 +192,8 @@ object Suggest {
     * request frame), exact `levenshtein ≤ 2` verification, per-query
     * partitioned window. */
   def suggestBatch2(s: SparkSession, path: String, queries: Seq[String],
-      k: Int = 3): DataFrame = {
+      k: Int = 3,
+      maxInPushdown: Int = NearDup.MaxInPushdown): DataFrame = {
     require(queries.nonEmpty && queries.size <= 1000,
       s"suggestBatch2: ${queries.size} queries (bounded request batch)")
     import s.implicits._
@@ -178,9 +201,8 @@ object Suggest {
       .flatMap(q => delNeighborhood2(q).map(q -> _))
       .toDF("query", "delkey")
     val keys = requests.select("delkey").as[String].collect().distinct
-    val cand = s.read.parquet(s"$path/delnbr2")
-      .where(col("delkey").isin(keys.toSeq: _*))
-      .join(broadcast(requests), Seq("delkey"))
+    val cand = candidateRead(s, s"$path/delnbr2", requests, keys,
+      maxInPushdown)
       .select(col("query"), col("term"), col("df"))
       .distinct()
       .withColumn("dist",

@@ -536,10 +536,13 @@ object StreamRunner {
     *
     * EXACTLY-ONCE with no batch-id ledger (the takedown stream's
     * discipline): `NearDup.ingestBatch` re-derives identical verdicts
-    * on a crash-replayed batch and appends nothing, because
-    * already-indexed and tombstoned ids are excluded from the append
-    * up front — replay is a no-op BY CONSTRUCTION. Pinned in
-    * `NearDupSpec`'s two-batch roundtrip (growth + replay). */
+    * on a crash-replayed batch — the verdict read excludes the batch's
+    * own ids from the match set, so even intra-batch near-dup pairs
+    * (accepted AND indexed by the first delivery) replay to the same
+    * verdicts — and appends nothing, because already-indexed and
+    * tombstoned ids are excluded from the append up front — replay is
+    * a no-op BY CONSTRUCTION. Pinned in `NearDupSpec`'s two-batch
+    * roundtrip (growth + replay) and intra-batch-pair replay case. */
   def neardupIngestStream(indexPath: String, docs: DataFrame)
       (emit: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =

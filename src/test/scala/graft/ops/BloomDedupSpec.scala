@@ -88,7 +88,7 @@ class BloomDedupSpec extends SparkTestBase {
     val sb = BloomProbe.buildSharded(hashes, "h", 4000L, 0.01,
       maxShardBytes = 1024L)
     assert(sb.nShards >= 4)
-    val bcast = spark.sparkContext.broadcast(sb.shards.toArray)
+    val bcast = BloomProbe.broadcastShards(spark, sb)
     // members + disjoint probes, both forms, row for row — including
     // null routing (null in → null out → coalesced false)
     val probes = (texts ++ (0 until 2000).map(i => s"unseen bcast $i"))

@@ -134,6 +134,38 @@ class NearDupSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$path/toks").count() === 3L)
   }
 
+  test("intra-batch near-dup pair: both accepted, and a crash-replayed " +
+      "batch re-derives the SAME verdicts (not mutual rejects)") {
+    import spark.implicits._
+    val path = s"${graft.GraftSession.scratchDir}/neardup_spec_intrabatch"
+    NearDup.buildNearDup(spark, Seq(
+      (1L, "a b c d e f g h i j")).toDF("doc_id", "text"), path)
+    // 301 and 302 are near-dups OF EACH OTHER but of nothing indexed
+    val batch = Seq(
+      (301L, "p q r s t u v w x y"),
+      (302L, "p q r s t u v w x z")).toDF("doc_id", "text")
+    def run() = NearDup.ingestBatch(spark, batch, path)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("verdict"), r.getAs[Long]("n_matches")))
+      .sortBy(_._1).toSeq
+    val first = run()
+    // the gate checks the INDEX: intra-batch pairs are both accepted
+    assert(first === Seq((301L, "accept", 0L), (302L, "accept", 0L)))
+    assert(spark.read.parquet(s"$path/toks").count() === 3L)
+    // replay after the append: each pair member is now indexed, but the
+    // batch-own-id exclusion keeps the verdicts identical — and the
+    // index is untouched
+    assert(run() === first)
+    assert(spark.read.parquet(s"$path/toks").count() === 3L)
+    // a LATER batch (different ids, similar text) is gated normally:
+    // the exclusion is batch-scoped, not a blanket blind spot
+    val later = NearDup.ingestBatch(spark,
+      Seq((401L, "p q r s t u v w x w")).toDF("doc_id", "text"), path)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("verdict"))).toSeq
+    assert(later === Seq(401L -> "reject"))
+  }
+
   test("a sub-shingle probe (one token) matches nothing, crashes nothing") {
     import spark.implicits._
     val path = NearDup.savedFullPath(spark, sf)

@@ -22,6 +22,29 @@ class SuggestSpec extends SparkTestBase {
       plan)
   }
 
+  test("over-threshold key batches fall back to the broadcast join " +
+      "with identical answers (no giant In literal in the plan)") {
+    val path = Suggest.savedSuggestPath(spark, sf)
+    // same probes, both sides of the switch: maxInPushdown = 0 forces
+    // the broadcast-only path the delkey count would normally trigger
+    // at > NearDup.MaxInPushdown keys
+    val pushed = Suggest.suggestBatch(spark, path, Suggest.probeQueries)
+    val fallback = Suggest.suggestBatch(spark, path,
+      Suggest.probeQueries, maxInPushdown = 0)
+    assert(pushed.collect().toSeq === fallback.collect().toSeq)
+    // the fallback plan restricts via the broadcast join, not a pushed
+    // In over the request keys
+    val plan = fallback.queryExecution.executedPlan.toString
+    assert(!plan.contains("In(delkey"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // distance-2 tier: same switch, same equality
+    val path2 = Suggest.savedSuggest2Path(spark, sf)
+    val p2 = Suggest.suggestBatch2(spark, path2, Seq("spqrk", "wind"))
+    val f2 = Suggest.suggestBatch2(spark, path2, Seq("spqrk", "wind"),
+      maxInPushdown = 0)
+    assert(p2.collect().toSeq === f2.collect().toSeq)
+  }
+
   test("index suggestion ≡ brute-force levenshtein over the dictionary") {
     val path = Suggest.savedSuggestPath(spark, sf)
     val dict = graft.Tables.documents(spark, sf)
