@@ -737,8 +737,143 @@ object IncrQueries {
       ORDER BY l_returnflag
     """))
 
+  /** Dedicated base copy + view with the AVG-covering partials: an
+    * UNCAST sum (same double addition the one-pass Average buffer
+    * performs) plus the COUNT(col) non-null count, and COUNT(*) for
+    * the row-count output. Separate from [[savedMvBasePath]] so the
+    * registration cannot change which view answers `mv_rewrite`. */
+  private val mvAvgSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedMvAvgBasePath(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.BuildOnce.memo(mvAvgSaved, d) {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"${graft.GraftSession.scratchDir}/mva_base_$tag"
+      val mv = s"${graft.GraftSession.scratchDir}/mva_view_$tag"
+      Tables.lineitem(s, d)
+        .select("l_quantity", "l_returnflag", "l_linestatus")
+        .write.mode("overwrite").parquet(base)
+      s.read.parquet(base)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty_p"),
+          count(col("l_quantity")).as("cntq_p"),
+          count(lit(1)).as("cnt_p"))
+        .write.mode("overwrite").parquet(mv)
+      graft.plans.MatView.register(graft.plans.MatView.MvDef(base, mv,
+        Seq("l_returnflag", "l_linestatus"),
+        Seq(graft.plans.MatView.AggSpec("sum", "l_quantity", None,
+            "sum_qty_p"),
+          graft.plans.MatView.AggSpec("count", "l_quantity", None,
+            "cntq_p"),
+          graft.plans.MatView.AggSpec("count", "", None, "cnt_p"))))
+      base
+    }
+
+  /** AVG through the materialized view: the Catalyst rule decomposes
+    * AVG(x) into SUM(sum_partial) / SUM(count_col_partial) — the
+    * derived-measure rewrite every warehouse needs, since dashboards
+    * ask for averages but views can only store partials (an avg of
+    * avgs is wrong under unequal cell sizes; the sum/count
+    * decomposition is the correct algebra). Oracle = DuckDB's AVG over
+    * the raw table; integral l_quantity keeps both engines' double
+    * sums exact, so the hash match is bit-for-bit. */
+  val mvRewriteAvg = GQuery(
+    "mv_rewrite_avg",
+    (s, d) => {
+      val base = savedMvAvgBasePath(s, d)
+      s.read.parquet(base)
+        .groupBy(col("l_returnflag"))
+        .agg(avg(col("l_quantity")).as("avg_qty"),
+          count(col("l_quantity")).as("n_vals"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+             AVG(l_quantity) AS avg_qty,
+             CAST(COUNT(l_quantity) AS BIGINT) AS n_vals,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """))
+
+  /** Base copy + sum/count view (NO min/max — those partials refuse
+    * deletes), then a takedown slice removed from BOTH the base table
+    * and the view via [[graft.plans.MatView.refreshDelete]]'s negated
+    * partials. */
+  private val mvDelSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedMvDeletePath(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.BuildOnce.memo(mvDelSaved, d) {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"${graft.GraftSession.scratchDir}/mvd_base_$tag"
+      val mv = s"${graft.GraftSession.scratchDir}/mvd_view_$tag"
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_returnflag",
+          "l_linestatus")
+      li.write.mode("overwrite").parquet(base)
+      s.read.parquet(base)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(DecimalType(38, 2)))
+          .as("sum_qty_p"),
+          count(lit(1)).as("cnt_p"))
+        .write.mode("overwrite").parquet(mv)
+      graft.plans.MatView.register(graft.plans.MatView.MvDef(base, mv,
+        Seq("l_returnflag", "l_linestatus"),
+        Seq(graft.plans.MatView.AggSpec("sum", "l_quantity",
+            Some(DecimalType(38, 2)), "sum_qty_p"),
+          graft.plans.MatView.AggSpec("count", "", None, "cnt_p"))))
+      // the takedown: materialize the doomed rows BEFORE rewriting the
+      // base they're computed from (the lazy-segment trap), shrink the
+      // base, negative-merge the view
+      val doomed = s.read.parquet(base)
+        .where(col("l_orderkey") % 3 === 0)
+        .localCheckpoint(true)
+      graft.ops.Layout.replaceDir(s,
+        s.read.parquet(base).where(col("l_orderkey") % 3 =!= 0), base)
+      graft.plans.MatView.refreshDelete(s, base, doomed)
+      base
+    }
+
+  /** Delete-side view maintenance, driver-verified end to end: a slice
+    * of the warehouse is taken down, the view subtracts the slice's
+    * partials algebraically (∝ |deleted| — the base is never
+    * rescanned), and the rollup query — rewritten onto the SHRUNK view
+    * by the same Catalyst rule — must hash-match the from-scratch
+    * aggregate over the survivors. Exact decimal/long subtraction
+    * makes delete-refresh ≡ survivors-rebuild; cells whose row count
+    * reaches 0 drop out entirely (`MatViewSpec` pins the cell-drop and
+    * that min/max views REFUSE the delete by name). */
+  val mvRefreshDelete = GQuery(
+    "mv_refresh_delete",
+    (s, d) => {
+      val base = savedMvDeletePath(s, d)
+      s.read.parquet(base)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity").cast(DecimalType(38, 2)))
+          .as("sum_qty_dec"),
+          count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"),
+          col("sum_qty_dec").cast(DoubleType).as("sum_qty"),
+          col("n_rows"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem
+      WHERE l_orderkey % 3 <> 0
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """))
+
   val all: Seq[GQuery] =
     Seq(incrAgg, incrDistinct, incrTopk, rollingWau, overlapSketch,
       zorderLayout, warehouseRefresh, incrPipeline, mvRewrite,
-      mvRewriteFiltered, mvRefresh)
+      mvRewriteFiltered, mvRefresh, mvRewriteAvg, mvRefreshDelete)
 }

@@ -4,9 +4,10 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
-  Cast, Coalesce, Expression, Literal, NamedExpression}
+  Cast, Coalesce, Divide, EqualTo, EvalMode, Expression, If, Literal,
+  NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Count, Max, Min, Sum}
+  AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
   LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -49,10 +50,14 @@ import org.apache.spark.sql.types.DataType
   * filter/uncovered-agg/distinct shapes are NOT rewritten. */
 object MatView {
 
-  /** One covered aggregate: `func` ("sum" | "count") over base column
-    * `inputCol` (sum only; cast to `castTo` when present — the match is
-    * exact, a differently-cast sum is NOT covered), stored in view
-    * column `mvCol`. */
+  /** One covered aggregate: `func` ("sum" | "count" | "min" | "max")
+    * over base column `inputCol` (cast to `castTo` when present — the
+    * match is exact, a differently-cast sum is NOT covered), stored in
+    * view column `mvCol`. A "count" with empty `inputCol` is COUNT(*)
+    * (rows per cell — also the delete algebra's cell-liveness signal);
+    * a "count" with a column is COUNT(col) (non-null rows), which is
+    * what lets AVG(col) rewrite null-correctly as
+    * SUM(sum_partial) / SUM(count_col_partial). */
   final case class AggSpec(func: String, inputCol: String,
       castTo: Option[DataType], mvCol: String)
 
@@ -95,10 +100,8 @@ object MatView {
     * `mv_refresh`'s oracle hash-verifies through the rewrite path. The
     * directory swap is the shared [[graft.ops.Layout.replaceDir]]
     * crash-recovery contract (same offline-maintenance window rules as
-    * every index mutation). Deletes follow the same algebra with
-    * negated partials; at MV granularity a count hitting 0 drops the
-    * cell — not needed at this engine's refresh cadence and therefore
-    * not implemented speculatively. */
+    * every index mutation). Deletes are [[refreshDelete]] — the same
+    * algebra with negated partials. */
   def refresh(s: SparkSession, basePath: String,
       delta: org.apache.spark.sql.DataFrame,
       stageMarkers: Seq[String] = Nil): Unit =
@@ -113,8 +116,8 @@ object MatView {
       case AggSpec("sum", in, castTo, mvCol) =>
         val base = col(in)
         sum(castTo.fold(base)(base.cast)).as(mvCol)
-      case AggSpec("count", _, _, mvCol) =>
-        count(lit(1)).as(mvCol)
+      case AggSpec("count", in, _, mvCol) =>
+        (if (in.isEmpty) count(lit(1)) else count(col(in))).as(mvCol)
       case AggSpec("min", in, castTo, mvCol) =>
         org.apache.spark.sql.functions.min(
           castTo.fold(col(in))(col(in).cast)).as(mvCol)
@@ -174,6 +177,102 @@ object MatView {
     catalog.getOrElse(norm(basePath), Vector.empty).foreach { mv =>
       if (!graft.ops.Layout.hasMarker(s, mv.mvPath, marker))
         refreshView(s, mv, delta, Seq(marker))
+    }
+  }
+
+  /** DELETE-side view maintenance: the deleted base rows merge into the
+    * partials with NEGATED sums and counts — exact long/decimal
+    * subtraction, so refresh-after-delete ≡ rebuild-over-survivors
+    * algebraically (what `mv_refresh_delete` hash-verifies through the
+    * rewrite path). Two mechanical preconditions, both REFUSED loudly
+    * rather than served wrong:
+    *
+    *  - min/max partials cannot be maintained under delete (a deleted
+    *    extremum is unrecoverable from the partial — the second-largest
+    *    value was never stored); a view registering them must rebuild
+    *    instead;
+    *  - a COUNT(*) partial is required as the cell-liveness signal: a
+    *    cell whose row count reaches 0 is DROPPED (a rebuild over the
+    *    survivors would never produce it), and without the row count
+    *    that boundary is unobservable from sums alone.
+    *
+    * A sum partial whose sibling COUNT(col) partial reaches 0 while the
+    * cell survives (every remaining value in the cell is NULL) is
+    * nulled to match the rebuild; a view that registers a sum WITHOUT
+    * the matching column count keeps an algebraic 0 in that corner
+    * case — register the count to close it. Assumes deleted ⊆ base
+    * (the caller's takedown contract); rows never ingested subtract
+    * garbage, exactly as re-appending them would double-add it. */
+  def refreshDelete(s: SparkSession, basePath: String,
+      deleted: org.apache.spark.sql.DataFrame,
+      stageMarkers: Seq[String] = Nil): Unit =
+    catalog.getOrElse(norm(basePath), Vector.empty)
+      .foreach(mv => refreshViewDelete(s, mv, deleted, stageMarkers))
+
+  private def refreshViewDelete(s: SparkSession, mv: MvDef,
+      deleted: org.apache.spark.sql.DataFrame,
+      stageMarkers: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+    val extrema = mv.aggs.filter(sp => sp.func == "min" || sp.func == "max")
+    require(extrema.isEmpty,
+      s"MatView.refreshDelete: view ${mv.mvPath} registers " +
+        s"${extrema.map(sp => s"${sp.func}(${sp.inputCol})").mkString(", ")}" +
+        " — min/max partials cannot be maintained under delete (the " +
+        "deleted extremum's runner-up was never stored); rebuild the " +
+        "view over the survivors instead")
+    val star = mv.aggs.find(sp => sp.func == "count" && sp.inputCol.isEmpty)
+    require(star.isDefined,
+      s"MatView.refreshDelete: view ${mv.mvPath} has no COUNT(*) " +
+        "partial — the delete algebra needs the row count as the " +
+        "cell-liveness signal (count 0 drops the cell)")
+    val negCols = mv.aggs.map {
+      case AggSpec("sum", in, castTo, mvCol) =>
+        (-sum(castTo.fold(col(in))(col(in).cast))).as(mvCol)
+      case AggSpec("count", in, _, mvCol) =>
+        (-(if (in.isEmpty) count(lit(1)) else count(col(in)))).as(mvCol)
+      case sp => throw new IllegalArgumentException(
+        s"MatView.refreshDelete: unsupported agg ${sp.func}")
+    }
+    val negPartials = deleted
+      .groupBy(mv.groupCols.map(col): _*)
+      .agg(negCols.head, negCols.tail: _*)
+    if (negPartials.isEmpty) return
+    val merged = s.read.parquet(mv.mvPath)
+      .unionByName(negPartials)
+      .groupBy(mv.groupCols.map(col): _*)
+      .agg(sum(col(mv.aggs.head.mvCol)).as(mv.aggs.head.mvCol),
+        mv.aggs.tail.map(sp => sum(col(sp.mvCol)).as(sp.mvCol)): _*)
+      .where(col(star.get.mvCol) > 0L)
+    val restored = mv.aggs.foldLeft(merged) { (df, sp) =>
+      if (sp.func == "count")
+        df.withColumn(sp.mvCol,
+          col(sp.mvCol).cast(org.apache.spark.sql.types.LongType))
+      else df
+    }
+    // null-repair: an all-null-surviving column's sum partial must read
+    // NULL (as a rebuild would), not the algebraic 0 the subtraction
+    // leaves — observable exactly when a COUNT(col) partial reaches 0
+    // in a live cell
+    val repaired = mv.aggs.foldLeft(restored) { (df, sp) =>
+      if (sp.func != "sum") df
+      else mv.aggs.find(c => c.func == "count" && c.inputCol == sp.inputCol)
+        .fold(df)(c => df.withColumn(sp.mvCol,
+          when(col(c.mvCol) === 0L, lit(null)).otherwise(col(sp.mvCol))))
+    }
+    graft.ops.Layout.replaceDir(s, repaired, mv.mvPath,
+      stageMarkers = stageMarkers)
+  }
+
+  /** EXACTLY-ONCE delete refresh — [[refreshOnce]]'s discipline on the
+    * delete algebra, with its own marker family (`_applied_del_<id>`)
+    * so an append stream and a takedown stream over the same view
+    * cannot collide on batch ids. */
+  def refreshDeleteOnce(s: SparkSession, basePath: String,
+      deleted: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+    val marker = s"_applied_del_$batchId"
+    catalog.getOrElse(norm(basePath), Vector.empty).foreach { mv =>
+      if (!graft.ops.Layout.hasMarker(s, mv.mvPath, marker))
+        refreshViewDelete(s, mv, deleted, Seq(marker))
     }
   }
 
@@ -279,10 +378,57 @@ object MatView {
             } yield Max(m).toAggregateExpression()
           case c: Count if c.children.forall(_.isInstanceOf[Literal]) =>
             for {
-              spec <- mv.aggs.find(_.func == "count")
+              spec <- mv.aggs.find(sp =>
+                sp.func == "count" && sp.inputCol.isEmpty)
               m <- mvAttr(spec.mvCol)
             } yield Coalesce(Seq(Sum(m).toAggregateExpression(),
               Literal(0L)))
+          // COUNT(col) — non-null count — re-aggregates from a
+          // registered COUNT(col) partial (NOT the COUNT(*) one:
+          // null rows diverge them)
+          case c: Count => c.children match {
+            case Seq(a: AttributeReference) =>
+              for {
+                spec <- mv.aggs.find(sp =>
+                  sp.func == "count" && sp.inputCol == a.name)
+                m <- mvAttr(spec.mvCol)
+              } yield Coalesce(Seq(Sum(m).toAggregateExpression(),
+                Literal(0L)))
+            case _ => None
+          }
+          // AVG(col) = SUM(sum_partial) / SUM(count_col_partial).
+          // Covered only for a DOUBLE-typed average over an UNCAST sum
+          // partial (castTo.isEmpty keeps the partial's addition the
+          // same arithmetic the one-pass Average buffer performs, so
+          // partials-of-partials introduces no new rounding) plus a
+          // COUNT(col) partial over the same column (COUNT(*) would
+          // miscount null inputs Average ignores). The all-null cell is
+          // If-guarded: count 0 → null, matching Average's empty
+          // semantics without tripping ANSI division.
+          case av: Average if ae.dataType ==
+              org.apache.spark.sql.types.DoubleType =>
+            av.child match {
+              case a: AttributeReference =>
+                for {
+                  sumSpec <- mv.aggs.find(sp => sp.func == "sum" &&
+                    sp.inputCol == a.name && sp.castTo.isEmpty)
+                  cntSpec <- mv.aggs.find(sp => sp.func == "count" &&
+                    sp.inputCol == a.name)
+                  sm <- mvAttr(sumSpec.mvCol)
+                  cm <- mvAttr(cntSpec.mvCol)
+                } yield {
+                  val total = Cast(Sum(sm).toAggregateExpression(),
+                    org.apache.spark.sql.types.DoubleType)
+                  val n = Coalesce(Seq(
+                    Sum(cm).toAggregateExpression(), Literal(0L)))
+                  If(EqualTo(n, Literal(0L)),
+                    Literal(null, org.apache.spark.sql.types.DoubleType),
+                    Divide(total,
+                      Cast(n, org.apache.spark.sql.types.DoubleType),
+                      EvalMode.LEGACY))
+                }
+              case _ => None
+            }
           case _ => None
         }
       val groupNames = groups.collect {

@@ -246,6 +246,164 @@ class MatViewSpec extends SparkTestBase {
     } finally MatView.deregister(basePath)
   }
 
+  test("AVG and COUNT(col) rewrite from sum/count-col partials — " +
+      "null-correct, including the all-null cell") {
+    import spark.implicits._
+    val basePath = s"${graft.GraftSession.scratchDir}/mvspec_abase"
+    val mvPath = s"${graft.GraftSession.scratchDir}/mvspec_amv"
+    Seq(("A", Option(10.0)), ("A", Option.empty[Double]),
+      ("A", Option(20.0)), ("B", Option.empty[Double]))
+      .toDF("f", "q")
+      .write.mode("overwrite").parquet(basePath)
+    spark.read.parquet(basePath).groupBy(col("f"))
+      .agg(sum(col("q")).as("sum_p"), count(col("q")).as("cntq_p"),
+        count(lit(1)).as("cnt_p"))
+      .write.mode("overwrite").parquet(mvPath)
+    MatView.register(MatView.MvDef(basePath, mvPath, Seq("f"),
+      Seq(MatView.AggSpec("sum", "q", None, "sum_p"),
+        MatView.AggSpec("count", "q", None, "cntq_p"),
+        MatView.AggSpec("count", "", None, "cnt_p"))))
+    try {
+      val q = spark.read.parquet(basePath).groupBy(col("f"))
+        .agg(avg(col("q")).as("a"), count(col("q")).as("nv"),
+          count(lit(1)).as("nr"))
+      assert(q.queryExecution.executedPlan.toString.contains("mvspec_amv"))
+      val got = q.collect()
+        .map(r => (r.getString(0), Option(r.get(1)), r.getLong(2),
+          r.getLong(3))).sortBy(_._1).toSeq
+      // AVG ignores nulls (A: (10+20)/2); the all-null cell is null avg
+      // with COUNT(col) 0 but COUNT(*) 1 — the exact divergence a
+      // COUNT(*) partial would get wrong
+      assert(got === Seq(("A", Some(15.0), 2L, 3L),
+        ("B", None, 0L, 1L)))
+      MatView.deregister(basePath)
+      val truth = spark.read.parquet(basePath).groupBy(col("f"))
+        .agg(avg(col("q")).as("a"), count(col("q")).as("nv"),
+          count(lit(1)).as("nr"))
+        .collect()
+        .map(r => (r.getString(0), Option(r.get(1)), r.getLong(2),
+          r.getLong(3))).sortBy(_._1).toSeq
+      assert(got === truth)
+    } finally MatView.deregister(basePath)
+  }
+
+  test("AVG does NOT rewrite without an uncast sum + COUNT(col) pair") {
+    registerMv() // sum is decimal-cast, count is COUNT(*) only
+    try {
+      val q = baseDf.groupBy(col("l_returnflag"))
+        .agg(avg(col("l_quantity")).as("a"))
+      assert(q.queryExecution.executedPlan.toString
+        .contains("mvspec_base"))
+    } finally MatView.deregister(base)
+  }
+
+  test("delete refresh: negated partials, cell drop at count 0, " +
+      "exactly-once markers independent of the append family") {
+    import spark.implicits._
+    val basePath = s"${graft.GraftSession.scratchDir}/mvspec_dbase"
+    val mvPath = s"${graft.GraftSession.scratchDir}/mvspec_dmv"
+    Seq(("A", 1.0), ("A", 2.0), ("B", 5.0), ("C", 7.0))
+      .toDF("f", "q")
+      .write.mode("overwrite").parquet(basePath)
+    spark.read.parquet(basePath).groupBy(col("f"))
+      .agg(sum(col("q").cast(DecimalType(38, 2))).as("sum_p"),
+        count(lit(1)).as("cnt_p"))
+      .write.mode("overwrite").parquet(mvPath)
+    MatView.register(MatView.MvDef(basePath, mvPath, Seq("f"),
+      Seq(MatView.AggSpec("sum", "q", Some(DecimalType(38, 2)), "sum_p"),
+        MatView.AggSpec("count", "", None, "cnt_p"))))
+    def cells = spark.read.parquet(mvPath).collect()
+      .map(r => (r.getString(0), r.getDecimal(1).toPlainString,
+        r.getLong(2))).sortBy(_._1).toSeq
+    try {
+      // delete the WHOLE C cell plus one A row
+      val doomed = Seq(("C", 7.0), ("A", 1.0)).toDF("f", "q")
+      MatView.refreshDeleteOnce(spark, basePath, doomed, batchId = 3L)
+      val after = cells
+      // C's count reached 0 → the cell is GONE, not a zero row
+      assert(after === Seq(("A", "2.00", 1L), ("B", "5.00", 1L)))
+      // crash-replay of the same delete batch id: a mechanical no-op
+      MatView.refreshDeleteOnce(spark, basePath, doomed, batchId = 3L)
+      assert(cells === after)
+      // the APPEND family's marker space is separate: batch id 3 on
+      // the append side still applies
+      MatView.refreshOnce(spark, basePath,
+        Seq(("B", 1.0)).toDF("f", "q"), batchId = 3L)
+      assert(cells === Seq(("A", "2.00", 1L), ("B", "6.00", 2L)))
+    } finally MatView.deregister(basePath)
+  }
+
+  test("delete refresh REFUSES min/max views and count-star-less views " +
+      "by name") {
+    import spark.implicits._
+    val basePath = s"${graft.GraftSession.scratchDir}/mvspec_refbase"
+    val mvPath = s"${graft.GraftSession.scratchDir}/mvspec_refmv"
+    Seq(("A", 1.0)).toDF("f", "q")
+      .write.mode("overwrite").parquet(basePath)
+    spark.read.parquet(basePath).groupBy(col("f"))
+      .agg(min(col("q")).as("min_p"), count(lit(1)).as("cnt_p"))
+      .write.mode("overwrite").parquet(mvPath)
+    MatView.register(MatView.MvDef(basePath, mvPath, Seq("f"),
+      Seq(MatView.AggSpec("min", "q", None, "min_p"),
+        MatView.AggSpec("count", "", None, "cnt_p"))))
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        MatView.refreshDelete(spark, basePath,
+          Seq(("A", 1.0)).toDF("f", "q"))
+      }
+      assert(ex.getMessage.contains("min(q)") &&
+        ex.getMessage.contains(mvPath), ex.getMessage)
+    } finally MatView.deregister(basePath)
+    // sum-only view: no cell-liveness signal → refused
+    spark.read.parquet(basePath).groupBy(col("f"))
+      .agg(sum(col("q")).as("sum_p"))
+      .write.mode("overwrite").parquet(mvPath)
+    MatView.register(MatView.MvDef(basePath, mvPath, Seq("f"),
+      Seq(MatView.AggSpec("sum", "q", None, "sum_p"))))
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        MatView.refreshDelete(spark, basePath,
+          Seq(("A", 1.0)).toDF("f", "q"))
+      }
+      assert(ex.getMessage.contains("COUNT(*)"), ex.getMessage)
+    } finally MatView.deregister(basePath)
+  }
+
+  test("an all-null-surviving column's sum partial is nulled, " +
+      "matching the survivors rebuild") {
+    import spark.implicits._
+    val basePath = s"${graft.GraftSession.scratchDir}/mvspec_nbase"
+    val mvPath = s"${graft.GraftSession.scratchDir}/mvspec_nmv"
+    Seq(("A", Option(5.0)), ("A", Option.empty[Double]))
+      .toDF("f", "q")
+      .write.mode("overwrite").parquet(basePath)
+    spark.read.parquet(basePath).groupBy(col("f"))
+      .agg(sum(col("q")).as("sum_p"), count(col("q")).as("cntq_p"),
+        count(lit(1)).as("cnt_p"))
+      .write.mode("overwrite").parquet(mvPath)
+    MatView.register(MatView.MvDef(basePath, mvPath, Seq("f"),
+      Seq(MatView.AggSpec("sum", "q", None, "sum_p"),
+        MatView.AggSpec("count", "q", None, "cntq_p"),
+        MatView.AggSpec("count", "", None, "cnt_p"))))
+    try {
+      // delete the only non-null row: the cell survives (one null row)
+      // but its sum must read NULL, exactly as a rebuild would
+      MatView.refreshDelete(spark, basePath,
+        Seq(("A", Option(5.0))).toDF("f", "q"))
+      val row = spark.read.parquet(mvPath).collect().head
+      assert(row.getString(0) === "A")
+      assert(row.isNullAt(row.fieldIndex("sum_p")))
+      assert(row.getAs[Long]("cntq_p") === 0L)
+      assert(row.getAs[Long]("cnt_p") === 1L)
+      // and the rewritten SUM(q)/AVG(q) both serve null off the view
+      val q = spark.read.parquet(basePath).groupBy(col("f"))
+        .agg(sum(col("q")).as("s"), avg(col("q")).as("a"))
+      assert(q.queryExecution.executedPlan.toString.contains("mvspec_nmv"))
+      val r = q.collect().head
+      assert(r.isNullAt(1) && r.isNullAt(2))
+    } finally MatView.deregister(basePath)
+  }
+
   test("exact-granularity query (no rollup) also serves from the view") {
     registerMv()
     try {
