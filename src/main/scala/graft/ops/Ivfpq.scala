@@ -204,6 +204,43 @@ object Ivfpq {
       .write.mode("append").partitionBy("cell").parquet(s"$path/encoded")
   }
 
+  /** UPDATE (upsert) a batch of vectors in the persisted index — the
+    * `bm25_serve_update` composition on the compressed layout, under
+    * ONE batch-id marker: [[delete]] the batch's ids (stale versions
+    * tombstoned), [[compact]] to fold the tombstones (the append gate
+    * demands it — an un-compacted tombstone would both refuse the
+    * re-add and swallow the new rows at load), [[append]] the new
+    * versions against the frozen quantizers, then plant
+    * `_applied_upd_<batchId>` on the encoded directory so a replayed
+    * batch is a mechanical no-op (the marker survives later compaction
+    * swaps via the carried `_applied_*` history).
+    *
+    * Every pre-marker crash window is SELF-HEALING under replay, which
+    * is why the marker can ride a plain file after the append instead
+    * of a swap: re-deleting already-dropped ids tombstones nothing
+    * that serving can still see, the compact then physically drops any
+    * partially appended rows of the batch, and the append re-adds the
+    * full batch — the final state is identical whichever step the
+    * crash hit. Ids absent from the index upsert to inserts. The
+    * batch frame must not derive from this layout's own directories
+    * (it is re-read after the compact swap). Same offline-maintenance
+    * window contract as every layout mutation. `IvfpqUpdateSpec` pins
+    * the replay no-op and the updated-vector serving roundtrip;
+    * `sim_ivfpq_update` hash-verifies update ≡ rebuild-over-updated-
+    * corpus through the standard recall gate. */
+  def update(spark: SparkSession, path: String, newVectors: DataFrame,
+      batchId: Long, idCol: String = "vec_id",
+      embCol: String = "embedding"): Unit = {
+    val marker = s"_applied_upd_$batchId"
+    if (Layout.hasMarker(spark, s"$path/encoded", marker)) return
+    val ids = newVectors.select(col(idCol)).distinct()
+      .localCheckpoint(true)
+    delete(spark, path, ids, idCol)
+    compact(spark, path)
+    append(spark, path, newVectors, idCol, embCol)
+    Layout.addMarker(spark, s"$path/encoded", marker)
+  }
+
   /** Top-`topK` neighbors of `probeId`: driver-side cell routing (the
     * centroids are local, same tie-breaks as [[Ann.query]]), then the
     * two-phase pruned-compressed search described on the object. */

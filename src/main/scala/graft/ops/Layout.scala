@@ -69,6 +69,20 @@ private[graft] object Layout {
     fs.delete(old, true)
   }
 
+  /** Plant marker file `name` in a LIVE layout directory — for
+    * compositions whose last step is an append (no swap to ride):
+    * the marker commits the whole composition, and every replay window
+    * before it must be self-healing on its own (the caller documents
+    * why). Underscore-prefixed names are invisible to parquet readers
+    * and survive subsequent [[replaceDir]] swaps via the carried
+    * `_applied_*` history. */
+  def addMarker(s: SparkSession, dir: String, name: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir, name)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .create(p, true).close()
+  }
+
   /** True iff `dir` carries marker file `name` (see `stageMarkers`). */
   def hasMarker(s: SparkSession, dir: String, name: String): Boolean = {
     import org.apache.hadoop.fs.Path

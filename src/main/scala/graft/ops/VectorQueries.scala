@@ -68,8 +68,16 @@ object VectorQueries {
   private[ops] def bruteTopK(s: org.apache.spark.sql.SparkSession, d: String,
       topK: Int,
       extraFilter: Option[org.apache.spark.sql.Column] = None)
+      : org.apache.spark.sql.DataFrame =
+    bruteTopKOf(Tables.embeddings(s, d), topK, extraFilter)
+
+  /** [[bruteTopK]] over an explicit corpus frame — the anchor for
+    * entries whose ground truth is NOT the raw embeddings table (the
+    * update roundtrip anchors on the post-update corpus). */
+  private[ops] def bruteTopKOf(e: org.apache.spark.sql.DataFrame,
+      topK: Int,
+      extraFilter: Option[org.apache.spark.sql.Column] = None)
       : org.apache.spark.sql.DataFrame = {
-    val e = Tables.embeddings(s, d)
     val probe: Seq[Double] = e.filter(col("vec_id") === 0)
       .select(transform(col("embedding"), _.cast(DoubleType)))
       .head().getSeq[Double](0).toSeq
@@ -308,8 +316,15 @@ object VectorQueries {
       approxTop: org.apache.spark.sql.DataFrame, topK: Int,
       minHits: Int,
       extraFilter: Option[org.apache.spark.sql.Column] = None)
+      : org.apache.spark.sql.DataFrame =
+    recallAnchoredOf(bruteTopK(s, d, topK, extraFilter), approxTop,
+      minHits)
+
+  /** [[recallAnchored]] against a caller-supplied brute anchor (see
+    * [[bruteTopKOf]]). */
+  private def recallAnchoredOf(brute: org.apache.spark.sql.DataFrame,
+      approxTop: org.apache.spark.sql.DataFrame, minHits: Int)
       : org.apache.spark.sql.DataFrame = {
-    val brute = bruteTopK(s, d, topK, extraFilter)
     val hits = approxTop.select(col("neighbor_id"), lit(1L).as("hit"))
     brute.join(broadcast(hits), Seq("neighbor_id"), "left")
       .select(col("rnk"), col("neighbor_id"),
@@ -800,6 +815,82 @@ object VectorQueries {
         shortlist = shortlistFor(embCount(s, d))),
       topK = IvfTopK, minHits = 3),
     Some(ivfRecallOracle))
+
+  /** The post-update corpus shared by the `sim_ivfpq_update` layout,
+    * its brute anchor, and (as SQL) its oracle: the vec_id ≡ 3 (mod 7)
+    * residue's embeddings REVERSED — a deterministic, engine-agnostic
+    * edit that moves every updated vector's cosine neighborhood. */
+  private def updatedEmbeddings(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"),
+      when(pmod(col("vec_id"), lit(7)) === 3, reverse(col("embedding")))
+        .otherwise(col("embedding")).as("embedding"))
+
+  /** Full build, then the mod-7 residue upserted with reversed
+    * embeddings through `Ivfpq.update`'s single-marker
+    * delete→compact→append composition. */
+  private val ivfpqUpdated =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), String]
+
+  private def updatedIvfpqPath(s: org.apache.spark.sql.SparkSession,
+      d: String, k: Int, m: Int): String =
+    graft.BuildOnce.memo(ivfpqUpdated, (d, k, m)) {
+      val path = s"${graft.GraftSession.scratchDir}/ivfpq_upd_" +
+        d.replaceAll("[^A-Za-z0-9]", "_") + s"_k${k}_m$m"
+      val e = Tables.embeddings(s, d)
+      Ivfpq.save(Ivfpq.build(e, k = k, m = m, codes = 16), path)
+      Ivfpq.update(s, path,
+        updatedEmbeddings(s, d)
+          .where(pmod(col("vec_id"), lit(7)) === 3)
+          .localCheckpoint(true),
+        batchId = 1L)
+      path
+    }
+
+  /** UPDATE ≡ rebuild for the compressed serving index — the last
+    * lifecycle identity on the vector side (`bm25_serve_update`'s
+    * IVF-PQ twin): ~1/7 of the vectors are upserted with CHANGED
+    * embeddings via the atomic single-marker delete→compact→append,
+    * and the standard two-phase search over the updated layout is
+    * anchored against the brute-force top-5 of the POST-UPDATE corpus
+    * (the oracle recomputes the same edit inline). The updated rows'
+    * cells and codes both move — frozen quantizers re-assign and
+    * re-encode them — so the hash match certifies the full
+    * composition, not just row plumbing. `IvfpqUpdateSpec` pins the
+    * marker replay no-op. Shortlist floor is raised to 100 (20% at the
+    * smallest SF): the frozen quantizers are one update STALER relative
+    * to the post-update corpus than in the append/delete twins — the
+    * updated residue's old neighbors vacate the true top-k and their
+    * replacements carry more code distortion, so the ADC phase needs a
+    * deeper exact re-rank to hold the recall gate (measured: 2/5 at
+    * the 50 floor, 5/5 at 100, sf0.001). */
+  val simIvfpqUpdate = GQuery(
+    "sim_ivfpq_update",
+    (s, d) => recallAnchoredOf(
+      bruteTopKOf(updatedEmbeddings(s, d), IvfTopK),
+      Ivfpq.search(Ivfpq.load(s, updatedIvfpqPath(s, d, k = 8, m = 4)),
+        probeId = 0, topK = IvfTopK, nProbe = 3,
+        shortlist = shortlistFor(embCount(s, d), minS = 100)),
+      minHits = 3),
+    Some(s"""
+      WITH up AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 7 = 3 THEN list_reverse(embedding)
+                    ELSE embedding END AS embedding
+        FROM embeddings),
+      probe AS (SELECT embedding AS probe_emb FROM up WHERE vec_id = 0),
+      sims AS (
+        SELECT e.vec_id AS neighbor_id,
+               list_cosine_similarity(e.embedding, p.probe_emb) AS sim
+        FROM up e, probe p
+        WHERE e.vec_id <> 0)
+      SELECT rnk, neighbor_id, TRUE AS recall_ok
+      FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk,
+                   neighbor_id
+            FROM sims)
+      WHERE rnk <= $IvfTopK
+      ORDER BY rnk
+    """))
 
   /** Online batched ANN serving, driver-visible end-to-end: load the
     * persisted index ([[savedIvfPath]] — the build is paid once per
@@ -1307,7 +1398,7 @@ object VectorQueries {
     Seq(vecNorm, simTopk, simBucketed, simPairs, dedupEmbed,
       dedupEmbedCluster, simIvf, simIvfLoaded, simFiltered, simIvfAppend,
       simIvfDelete, simIvfRetrain, simIvfpqAppend, simIvfpqDelete,
-      simIvfpqRetrain, simServe,
+      simIvfpqRetrain, simIvfpqUpdate, simServe,
       simPq, simIvfpq, simIvfpqLoaded, simIvfpqFiltered,
       knnJoin, knnJoinPq, deconSemantic,
       embedQuantize, simTopkBatch)
