@@ -957,6 +957,89 @@ object TextQueries {
       s"$path/stats")
   }
 
+  /** EXACTLY-ONCE [[postingsAppend]] — the streaming-facing variant
+    * that makes a crash-replayed batch a mechanical no-op WITHOUT the
+    * external restore-from-snapshot discipline the plain op documents.
+    * Each of the three legs is independently replay-safe:
+    *
+    *  - lists: the batch segment stages to a batch-keyed scratch dir
+    *    (overwrite mode — a replay just regenerates it), then publishes
+    *    as deterministically named `batch<id>_part<i>.parquet` files
+    *    inside `lists/` — the replay first DELETES any files of its
+    *    batch prefix and re-renames, so whatever mix of a crashed
+    *    attempt's files survived is replaced wholesale, never doubled
+    *    (idempotent at file granularity, no marker needed; the range
+    *    partitioner's sampling may split the rows differently across
+    *    attempts, which is why the prefix-delete precedes the rename).
+    *  - df and stats: algebraic merges, NOT idempotent — each rides an
+    *    `_applied_<batchId>` marker in its own [[Layout.replaceDir]]
+    *    swap (the `MatView.refreshOnce` discipline), so a replay skips
+    *    a leg exactly when its merge already committed.
+    *
+    * A crash between any two legs replays to the identical final
+    * layout: lists re-publish the same rows, each side table merges
+    * its batch exactly once. Same serving layout as the plain append
+    * (the published files are ordinary term-sorted segments under the
+    * same pushed-`In` pruning); same empty-batch early-return and
+    * tombstone re-add gate. `Bm25AppendSpec` pins replay ≡ once. */
+  def postingsAppendOnce(s: org.apache.spark.sql.SparkSession,
+      newDocs: org.apache.spark.sql.DataFrame, path: String,
+      batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val marker = s"_applied_$batchId"
+    val proj = docProjection(newDocs)
+    val nw = proj.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("dl")), lit(0L)).as("sd")).head()
+    if (nw.getLong(0) == 0L) return
+    Ann.appendTombstoneGate(s, path, proj.select(col("doc_id")),
+      "doc_id", "postingsAppendOnce")
+    val lists = postingRows(proj)
+    // the legs run in order, so the df marker already implies the
+    // lists leg completed in the attempt that set it
+    if (!Layout.hasMarker(s, s"$path/df", marker)) {
+      // lists leg: stage → prefix-delete → deterministic rename
+      val stage = s"$path/lists__stage_$batchId"
+      lists.repartitionByRange(8, col("term"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(stage)
+      val listsDir = new Path(s"$path/lists")
+      val fs = listsDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val prefix = s"batch${batchId}_part"
+      fs.listStatus(listsDir)
+        .filter(_.getPath.getName.startsWith(prefix))
+        .foreach(f => fs.delete(f.getPath, false))
+      fs.listStatus(new Path(stage))
+        .filter(_.getPath.getName.startsWith("part-"))
+        .sortBy(_.getPath.getName)
+        .zipWithIndex.foreach { case (f, i) =>
+          require(fs.rename(f.getPath,
+            new Path(listsDir, s"$prefix$i.parquet")),
+            s"postingsAppendOnce: publish of batch $batchId part $i failed")
+        }
+      Layout.deleteDir(s, stage)
+    }
+    if (!Layout.hasMarker(s, s"$path/df", marker)) {
+      val dfNew = lists.groupBy(col("term"))
+        .agg(count(lit(1)).cast(DoubleType).as("df"))
+      val dfMerged = s.read.parquet(s"$path/df").unionByName(dfNew)
+        .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      Layout.replaceDir(s, dfMerged, s"$path/df",
+        stageMarkers = Seq(marker))
+    }
+    if (!Layout.hasMarker(s, s"$path/stats", marker)) {
+      val old = s.read.parquet(s"$path/stats")
+        .select(col("sum_dl"), col("n_docs_l")).head()
+      val sumDl = old.getLong(0) + nw.getLong(1)
+      val nDocs = old.getLong(1) + nw.getLong(0)
+      import s.implicits._
+      Layout.replaceDir(s,
+        Seq((nDocs.toDouble, sumDl.toDouble / nDocs.toDouble, sumDl,
+          nDocs))
+          .toDF("n_docs", "avgdl", "sum_dl", "n_docs_l"),
+        s"$path/stats", stageMarkers = Seq(marker))
+    }
+  }
+
   /** Offline compaction of an appended postings layout — the
     * `compactZOrdered` discipline applied to the text index: each
     * [[postingsAppend]] leaves new small term-sorted segment files next

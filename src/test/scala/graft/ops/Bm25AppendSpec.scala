@@ -68,6 +68,45 @@ class Bm25AppendSpec extends SparkTestBase {
       sortedRows(s"$rebuilt/lists", "term", "doc_id", "dl", "tf"))
   }
 
+  test("postingsAppendOnce: a crash-replayed batch id is a mechanical " +
+      "no-op (append twice ≡ once), a new id still applies") {
+    val base = java.nio.file.Files
+      .createTempDirectory("bm25once").toString
+    val once = s"$base/once"
+    val rebuilt = s"$base/rebuilt"
+    TextQueries.buildPostings(spark, docsDf(half1), once)
+    TextQueries.postingsAppendOnce(spark, docsDf(half2), once,
+      batchId = 5L)
+    def snap(p: String) = {
+      def sortedRows(dir: String, cols: String*) =
+        spark.read.parquet(dir).select(cols.map(col): _*)
+          .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      (sortedRows(s"$p/lists", "term", "doc_id", "dl", "tf"),
+        sortedRows(s"$p/df", "term", "df"),
+        sortedRows(s"$p/stats", "n_docs", "avgdl", "sum_dl", "n_docs_l"))
+    }
+    val after = snap(once)
+    // ≡ full rebuild over the grown corpus
+    TextQueries.buildPostings(spark, docsDf(half1 ++ half2), rebuilt)
+    assert(after === snap(rebuilt))
+    // crash-replay: SAME batch id re-delivered — lists must not double,
+    // df/stats must not double-merge
+    TextQueries.postingsAppendOnce(spark, docsDf(half2), once,
+      batchId = 5L)
+    assert(snap(once) === after)
+    // the published batch files carry the deterministic batch prefix
+    assert(listFiles(once).keys.exists(_.startsWith("batch5_part")))
+    // a NEW batch id still applies
+    TextQueries.postingsAppendOnce(spark,
+      docsDf(Seq(8L -> "spark window")), once, batchId = 6L)
+    assert(snap(once)._1.size === after._1.size + 2)
+    // and the Once-grown layout equals a rebuild over the final corpus
+    val rebuilt2 = s"$base/rebuilt2"
+    TextQueries.buildPostings(spark,
+      docsDf(half1 ++ half2 :+ (8L -> "spark window")), rebuilt2)
+    assert(snap(once) === snap(rebuilt2))
+  }
+
   test("compaction folds appended segments into nFiles sorted runs " +
       "without changing a single posting row") {
     val base = java.nio.file.Files
