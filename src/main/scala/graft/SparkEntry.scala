@@ -19,7 +19,7 @@ object SparkEntry {
       ops.CorpusQueries.all ++
       ops.VectorQueries.all ++ ops.HybridQueries.all ++
       ops.DedupQueries.all ++ ops.NearDup.all ++ ops.IndexStats.all ++
-      ops.Multimodal.all ++ ops.IncrQueries.all
+      ops.Multimodal.all ++ ops.IncrQueries.all ++ ops.Takedown.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

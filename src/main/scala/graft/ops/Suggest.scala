@@ -161,6 +161,48 @@ object Suggest {
       s"$path/delnbr")
   }
 
+  /** DELETE documents from the suggest dictionary — the algebraic
+    * NEGATIVE merge [[suggestAppend]]'s df addition implies: the
+    * deleted docs' partial dictionary (term, distinct-doc df) merges
+    * in with NEGATED counts, and (delkey, term) rows whose df reaches
+    * 0 drop — exactly the rows a rebuild over the survivors would
+    * never produce. Long subtraction is exact, so delete ≡
+    * survivors-rebuild algebraically (`takedown_all` hash-verifies it
+    * through the full cross-tier composition). Takes the deleted
+    * docs' (doc_id, text) — df counts DISTINCT DOCS per term, so the
+    * subtraction needs each deleted doc's term set, not just its id.
+    * NOT idempotent (an algebraic merge never is) — replay-safe only
+    * through [[suggestDeleteOnce]]'s marker. Assumes deleted ⊆ the
+    * indexed corpus, same as every negative merge. */
+  def suggestDelete(s: SparkSession, deletedDocs: DataFrame,
+      path: String, stageMarkers: Seq[String] = Nil): Unit = {
+    val partial = dictionary(deletedDocs)
+    if (partial.isEmpty) return
+    val merged = s.read.parquet(s"$path/delnbr")
+      .select(col("delkey"), col("term"), col("df"))
+      .unionByName(partial
+        .select(explode(delKeys(col("term"))).as("delkey"),
+          col("term"), (-col("df")).as("df")))
+      .groupBy(col("delkey"), col("term"))
+      .agg(sum(col("df")).as("df"))
+      .where(col("df") > 0L)
+    Layout.replaceDir(s,
+      merged.repartitionByRange(4, col("delkey"))
+        .sortWithinPartitions("delkey"),
+      s"$path/delnbr", stageMarkers = stageMarkers)
+  }
+
+  /** EXACTLY-ONCE [[suggestDelete]]: the `_applied_del_<batchId>`
+    * marker rides the delnbr swap (the `MatView.refreshDeleteOnce`
+    * discipline), so a crash-replayed takedown batch skips the
+    * negative merge exactly when it already committed. */
+  def suggestDeleteOnce(s: SparkSession, deletedDocs: DataFrame,
+      path: String, batchId: Long): Unit = {
+    val marker = s"_applied_del_$batchId"
+    if (!Layout.hasMarker(s, s"$path/delnbr", marker))
+      suggestDelete(s, deletedDocs, path, Seq(marker))
+  }
+
   /** Depth-2 deletion keys: the depth-1 rule applied to its own output
     * (nested HOF lambdas — still zero UDFs), distinct-folded. Includes
     * depths 0 and 1, so one index serves distance ≤ 2 lookups. */

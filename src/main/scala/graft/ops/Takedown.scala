@@ -1,0 +1,396 @@
+package graft.ops
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** UNIFIED cross-tier takedown — the one consistency primitive a
+  * deployment actually invokes when content must go: ONE call that
+  * removes a document set from EVERY serving tier the engine persists,
+  * replay-safe under a single batch id. The reference gets global
+  * consistency only by full reload (`updatecalaccessrawdata.py:
+  * ~100-200` re-derives all state each cycle); this is the incremental
+  * replacement — each tier's own delete leg, composed so none can be
+  * forgotten.
+  *
+  * Per-tier legs and their replay story under ONE `batchId`:
+  *
+  *  - BM25 postings ([[TextQueries.postingsDelete]]), positional
+  *    ([[PhraseQueries.positionalDelete]]), near-dup
+  *    ([[NearDup.neardupDelete]]), IVF ([[Ann.delete]]), IVF-PQ
+  *    ([[Ivfpq.delete]]): tombstone writes, idempotent BY CONSTRUCTION
+  *    (already-tombstoned ids are excluded up front) — no marker
+  *    needed, a replayed leg is a mechanical no-op.
+  *  - Suggest dictionary ([[Suggest.suggestDeleteOnce]]): an algebraic
+  *    negative df merge — NOT idempotent, so it rides an
+  *    `_applied_del_<batchId>` marker in its directory swap.
+  *  - Materialized views ([[graft.plans.MatView.refreshDeleteOnce]]):
+  *    negated-partials merge per registered view, each under the same
+  *    `_applied_del_<batchId>` marker family.
+  *
+  * A crash ANYWHERE in the composition replays to the identical final
+  * state: the caller re-invokes with the same batch id, tombstone legs
+  * no-op on their own, marked legs skip exactly the merges that
+  * committed. The doomed frame is MATERIALIZED up front (the
+  * lazy-segment trap: a frame derived from one of these layouts would
+  * otherwise be re-read mid-mutation). Run in a maintenance window
+  * without concurrent serving — the same contract as every layout
+  * mutation here; replay a crashed takedown BEFORE any compaction
+  * folds the postings lists (the suggest leg is text-driven so it has
+  * no ordering constraint, but the per-tier delete semantics are).
+  *
+  * 100 TB shape: every leg is ∝ |doomed| or ∝ |dictionary|, never a
+  * corpus rescan — tombstones are bounded side segments, the suggest
+  * and MV merges rewrite term/cell-level state. `takedown_all`
+  * hash-verifies the whole composition against per-tier
+  * survivors-rebuilds in one driver-checked frame; `TakedownSpec` pins
+  * the crash-replay no-op and per-tier absence of the doomed ids. */
+object Takedown {
+
+  /** The tier paths one takedown spans; every field optional so a
+    * deployment wires exactly the layouts it runs. `mvBase` carries the
+    * deleted BASE ROWS alongside the registered base path — the MV
+    * delete algebra needs the rows' measures, not just ids (compute
+    * them BEFORE shrinking the base table). */
+  final case class Tiers(
+      postings: Option[String] = None,
+      positional: Option[String] = None,
+      neardup: Option[String] = None,
+      suggest: Option[String] = None,
+      ivf: Option[String] = None,
+      ivfpq: Option[String] = None,
+      mvBase: Option[(String, DataFrame)] = None)
+
+  /** Take down `doomedDocs` — (doc_id, text); text feeds the suggest
+    * leg's per-term distinct-doc subtraction, ids feed everything else
+    * (vector tiers key the same ids as `vec_id` — the document ≙
+    * embedding convention of the test corpus; ids absent from a layout
+    * tombstone nothing). */
+  def apply(s: SparkSession, doomedDocs: DataFrame, tiers: Tiers,
+      batchId: Long): Unit = {
+    val doomed = doomedDocs
+      .select(col("doc_id").cast(LongType), col("text"))
+      .dropDuplicates("doc_id")
+      .localCheckpoint(true)
+    val ids = doomed.select("doc_id")
+    tiers.postings.foreach(p => TextQueries.postingsDelete(s, ids, p))
+    tiers.positional.foreach(p =>
+      PhraseQueries.positionalDelete(s, ids, p))
+    tiers.neardup.foreach(p => NearDup.neardupDelete(s, ids, p))
+    tiers.ivf.foreach(p =>
+      Ann.delete(s, p, ids.select(col("doc_id").as("vec_id"))))
+    tiers.ivfpq.foreach(p =>
+      Ivfpq.delete(s, p, ids.select(col("doc_id").as("vec_id"))))
+    tiers.suggest.foreach(p =>
+      Suggest.suggestDeleteOnce(s, doomed, p, batchId))
+    tiers.mvBase.foreach { case (base, deletedRows) =>
+      graft.plans.MatView.refreshDeleteOnce(s, base, deletedRows,
+        batchId)
+    }
+  }
+
+  /** The doomed residue shared by the entry, its oracle, and the tier
+    * builders: doc_id ≡ 3 (mod 5) — spares vec_id 0 (the vector
+    * probe) and intersects the near-dup probe set's matches, so every
+    * tier's served output visibly changes. */
+  private[ops] val Residue = 3
+
+  private val savedState =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
+
+  private def scratch(prefix: String, d: String): String =
+    s"${graft.GraftSession.scratchDir}/${prefix}_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Build every tier FULL, register the MV, then ONE Takedown call
+    * removes the residue everywhere — the state `takedown_all` serves.
+    * The MV's deleted base rows are materialized before the base table
+    * itself shrinks (the warehouse-side row delete is the caller's
+    * data-plane op; the takedown owns the derived state). */
+  private[ops] def savedPaths(s: SparkSession, d: String)
+      : Map[String, String] =
+    graft.BuildOnce.memo(savedState, d) {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val post = scratch("tk_post", d)
+      val pos = scratch("tk_pos", d)
+      val nd = scratch("tk_nd", d)
+      val sug = scratch("tk_sug", d)
+      val vec = scratch("tk_vec", d)
+      val base = scratch("tk_mvbase", d)
+      val mv = scratch("tk_mv", d)
+      TextQueries.buildPostings(s, docs, post)
+      PhraseQueries.buildPositional(s, docs, pos)
+      NearDup.buildNearDup(s, docs, nd)
+      Suggest.buildSuggest(s, docs, sug)
+      Ivfpq.save(Ivfpq.build(emb, k = 8, m = 4, codes = 16), vec)
+      docs.select(col("doc_id"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(base)
+      s.read.parquet(base).groupBy(col("source"))
+        .agg(sum(col("n_chars").cast(DecimalType(38, 0)))
+          .as("sum_chars_p"),
+          count(lit(1)).as("cnt_p"))
+        .write.mode("overwrite").parquet(mv)
+      graft.plans.MatView.register(graft.plans.MatView.MvDef(base, mv,
+        Seq("source"),
+        Seq(graft.plans.MatView.AggSpec("sum", "n_chars",
+            Some(DecimalType(38, 0)), "sum_chars_p"),
+          graft.plans.MatView.AggSpec("count", "", None, "cnt_p"))))
+      val doomed = docs.where(col("doc_id") % 5 === Residue)
+        .select(col("doc_id"), col("text"))
+        .localCheckpoint(true)
+      val deletedBase = s.read.parquet(base)
+        .where(col("doc_id") % 5 === Residue)
+        .localCheckpoint(true)
+      Takedown(s, doomed,
+        Tiers(postings = Some(post), positional = Some(pos),
+          neardup = Some(nd), suggest = Some(sug), ivfpq = Some(vec),
+          mvBase = Some((base, deletedBase))),
+        batchId = 1L)
+      Layout.replaceDir(s,
+        s.read.parquet(base).where(col("doc_id") % 5 =!= Residue), base)
+      Map("post" -> post, "pos" -> pos, "nd" -> nd, "sug" -> sug,
+        "vec" -> vec, "base" -> base)
+    }
+
+  /** One normalized row shape so six tiers hash in one frame:
+    * (tier, k, id, v). Each tier's mapping is fixed here and mirrored
+    * column-for-column in the oracle. */
+  private def norm(tier: String, k: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] =
+    Seq(lit(tier).as("tier"), k.cast(LongType).as("k"),
+      id.cast(StringType).as("id"), v.cast(DoubleType).as("v"))
+
+  /** The global takedown verdict, driver-verified in ONE frame: after
+    * a single [[Takedown.apply]], every tier serves exactly what a
+    * from-scratch rebuild over the survivors would serve —
+    *  - `bm25`: top-10 keyword serving (rnk, doc_id, score);
+    *  - `phrase`: exact-phrase hits (doc_id, n_occ, first_pos);
+    *  - `neardup`: served near-dup pairs (probe_id, match_id, jaccard);
+    *  - `suggest`: spell corrections over the shrunk dictionary
+    *    (rnk, query|term, df);
+    *  - `vector`: the brute-force survivor top-5 anchor with the
+    *    IVF-PQ recall gate folded into `v` (1.0 = served search hit
+    *    ≥ 3 of 5);
+    *  - `mv`: the rollup THROUGH the rewrite over the delete-refreshed
+    *    view (n_rows, source, sum_chars).
+    * One hash over the union is the global-consistency proof the
+    * reference's full reload provides implicitly — no tier can be
+    * forgotten, stale, or double-subtracted without failing here. */
+  val takedownAll = GQuery(
+    "takedown_all",
+    (s, d) => {
+      val p = savedPaths(s, d)
+      val docs = Tables.documents(s, d)
+      val bm25 = {
+        val lists = TextQueries.servedLists(s, p("post"),
+          TextQueries.bm25Terms)
+        val dfs = s.read.parquet(s"${p("post")}/df")
+          .where(col("term").isin(TextQueries.bm25Terms: _*))
+        TextQueries.bm25TopK(lists,
+          dfs, s.read.parquet(s"${p("post")}/stats"))
+          .select(norm("bm25", col("rnk"), col("doc_id"),
+            col("score")): _*)
+      }
+      val phrase = PhraseQueries.servePhrase(s, p("pos"),
+        Seq("spark", "merge"))
+        .select(norm("phrase", col("doc_id"), col("n_occ"),
+          col("first_pos")): _*)
+      val neardup = NearDup.serveNearDup(s,
+        docs.where(col("doc_id") % 62 === 8), p("nd"))
+        .select(norm("neardup", col("probe_id"), col("match_id"),
+          col("jaccard")): _*)
+      val suggest = Suggest.suggestBatch(s, p("sug"),
+        Suggest.probeQueries)
+        .select(norm("suggest", col("rnk"),
+          concat(col("query"), lit("|"), col("term")),
+          col("df")): _*)
+      val vector = {
+        val emb = Tables.embeddings(s, d)
+        val brute = VectorQueries.bruteTopKOf(
+          emb.where(col("vec_id") % 5 =!= Residue),
+          VectorQueries.IvfTopK)
+        val served = Ivfpq.search(Ivfpq.load(s, p("vec")), probeId = 0,
+          topK = VectorQueries.IvfTopK, nProbe = 3,
+          shortlist = VectorQueries.shortlistFor(emb.count(),
+            minS = 100))
+        val hits = served.select(col("neighbor_id"), lit(1L).as("hit"))
+        brute.join(broadcast(hits), Seq("neighbor_id"), "left")
+          .select(norm("vector", col("rnk"), col("neighbor_id"),
+            (sum(coalesce(col("hit"), lit(0L)))
+              .over(org.apache.spark.sql.expressions.Window
+                .partitionBy()) >= 3).cast(IntegerType)): _*)
+      }
+      val mvQ = s.read.parquet(p("base"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_chars").cast(DecimalType(38, 0)))
+          .as("sum_chars"),
+          count(lit(1)).as("n_rows"))
+        .select(norm("mv", col("n_rows"), col("source"),
+          col("sum_chars")): _*)
+      Seq(bm25, phrase, neardup, suggest, vector, mvQ)
+        .reduce(_ unionByName _)
+        .orderBy("tier", "k", "id")
+    },
+    Some(s"""
+      WITH surv AS (
+        SELECT doc_id, text, source, n_chars FROM documents
+        WHERE text IS NOT NULL AND doc_id % 5 <> $Residue),
+      bdocs AS (
+        SELECT doc_id, str_split(text, ' ') AS toks,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS dl
+        FROM surv),
+      bstats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+        FROM bdocs),
+      btf AS (
+        SELECT term, doc_id, dl, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM bdocs)
+        WHERE term IN ('spark', 'merge', 'filter')
+        GROUP BY 1, 2, 3),
+      bdfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+               FROM btf GROUP BY 1),
+      bscored AS (
+        SELECT btf.doc_id,
+               CAST(round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (btf.tf * 2.2)
+                 / (btf.tf + 1.2 * (0.25 + 0.75 * (CAST(btf.dl AS DOUBLE) / s.avgdl))),
+                 4) AS DECIMAL(38,4)) AS score_term
+        FROM btf JOIN bdfs d USING (term) CROSS JOIN bstats s),
+      bagg AS (
+        SELECT doc_id, CAST(SUM(score_term) AS DOUBLE) AS score
+        FROM bscored GROUP BY 1),
+      bm25 AS (
+        SELECT 'bm25' AS tier,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                 AS BIGINT) AS k,
+               CAST(doc_id AS VARCHAR) AS id, score AS v
+        FROM bagg
+        ORDER BY score DESC, doc_id
+        LIMIT 10),
+      phits AS (
+        SELECT doc_id,
+               list_filter(range(1, len(toks)), i ->
+                 toks[i] = 'spark' AND toks[i+1] = 'merge') AS starts
+        FROM bdocs),
+      phrase AS (
+        SELECT 'phrase' AS tier, doc_id AS k,
+               CAST(len(starts) AS VARCHAR) AS id,
+               CAST(list_min(starts) - 1 AS DOUBLE) AS v
+        FROM phits WHERE len(starts) > 0),
+      nsh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(str_split(text, ' '))),
+                 i -> str_split(text, ' ')[i] || ' ' ||
+                      str_split(text, ' ')[i+1])) AS tok
+        FROM surv),
+      nsigs AS (
+        SELECT doc_id,
+               MIN(md5('0:' || tok)) AS s0, MIN(md5('1:' || tok)) AS s1,
+               MIN(md5('2:' || tok)) AS s2, MIN(md5('3:' || tok)) AS s3,
+               MIN(md5('4:' || tok)) AS s4, MIN(md5('5:' || tok)) AS s5,
+               MIN(md5('6:' || tok)) AS s6, MIN(md5('7:' || tok)) AS s7
+        FROM nsh GROUP BY doc_id),
+      nbands AS (
+        SELECT doc_id, 0 AS band_idx, md5(s0 || s1) AS band_key FROM nsigs
+        UNION ALL SELECT doc_id, 1, md5(s2 || s3) FROM nsigs
+        UNION ALL SELECT doc_id, 2, md5(s4 || s5) FROM nsigs
+        UNION ALL SELECT doc_id, 3, md5(s6 || s7) FROM nsigs),
+      nprobes AS (
+        SELECT doc_id, text FROM documents
+        WHERE text IS NOT NULL AND doc_id % 62 = 8),
+      npsh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(str_split(text, ' '))),
+                 i -> str_split(text, ' ')[i] || ' ' ||
+                      str_split(text, ' ')[i+1])) AS tok
+        FROM nprobes),
+      npsigs AS (
+        SELECT doc_id,
+               MIN(md5('0:' || tok)) AS s0, MIN(md5('1:' || tok)) AS s1,
+               MIN(md5('2:' || tok)) AS s2, MIN(md5('3:' || tok)) AS s3,
+               MIN(md5('4:' || tok)) AS s4, MIN(md5('5:' || tok)) AS s5,
+               MIN(md5('6:' || tok)) AS s6, MIN(md5('7:' || tok)) AS s7
+        FROM npsh GROUP BY doc_id),
+      npbands AS (
+        SELECT doc_id, 0 AS band_idx, md5(s0 || s1) AS band_key FROM npsigs
+        UNION ALL SELECT doc_id, 1, md5(s2 || s3) FROM npsigs
+        UNION ALL SELECT doc_id, 2, md5(s4 || s5) FROM npsigs
+        UNION ALL SELECT doc_id, 3, md5(s6 || s7) FROM npsigs),
+      ncand AS (
+        SELECT DISTINCT p.doc_id AS probe_id, b.doc_id AS match_id
+        FROM npbands p JOIN nbands b
+          ON p.band_idx = b.band_idx AND p.band_key = b.band_key
+             AND p.doc_id <> b.doc_id),
+      ntsets AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, len(str_split(text, ' '))),
+                 i -> str_split(text, ' ')[i] || ' ' ||
+                      str_split(text, ' ')[i+1])) AS toks
+        FROM surv),
+      nptsets AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, len(str_split(text, ' '))),
+                 i -> str_split(text, ' ')[i] || ' ' ||
+                      str_split(text, ' ')[i+1])) AS toks
+        FROM nprobes),
+      neardup AS (
+        SELECT 'neardup' AS tier, probe_id AS k,
+               CAST(match_id AS VARCHAR) AS id,
+               CAST(len(list_intersect(pa.toks, mb.toks)) AS DOUBLE) /
+               (len(pa.toks) + len(mb.toks)
+                - len(list_intersect(pa.toks, mb.toks))) AS v
+        FROM ncand
+        JOIN nptsets pa ON pa.doc_id = probe_id
+        JOIN ntsets mb ON mb.doc_id = match_id
+        WHERE CAST(len(list_intersect(pa.toks, mb.toks)) AS DOUBLE) /
+              (len(pa.toks) + len(mb.toks)
+               - len(list_intersect(pa.toks, mb.toks))) >= 0.5),
+      sterms AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS term
+              FROM surv)
+        WHERE term <> ''
+        GROUP BY term),
+      sq AS (SELECT unnest(['spqrk', 'mergee', 'rows', 'zzz']) AS query),
+      shits AS (
+        SELECT sq.query, t.term, t.df,
+               ROW_NUMBER() OVER (PARTITION BY sq.query
+                 ORDER BY t.df DESC, t.term) AS rnk
+        FROM sq JOIN sterms t ON levenshtein(sq.query, t.term) <= 1),
+      suggest AS (
+        SELECT 'suggest' AS tier, CAST(rnk AS BIGINT) AS k,
+               query || '|' || term AS id, CAST(df AS DOUBLE) AS v
+        FROM shits WHERE rnk <= 3),
+      vprobe AS (SELECT embedding AS probe_emb FROM embeddings
+                 WHERE vec_id = 0),
+      vsims AS (
+        SELECT e.vec_id AS neighbor_id,
+               list_cosine_similarity(e.embedding, p.probe_emb) AS sim
+        FROM embeddings e, vprobe p
+        WHERE e.vec_id <> 0 AND e.vec_id % 5 <> $Residue),
+      vector AS (
+        SELECT 'vector' AS tier, rnk AS k,
+               CAST(neighbor_id AS VARCHAR) AS id, 1.0 AS v
+        FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC,
+                 neighbor_id) AS BIGINT) AS rnk, neighbor_id
+              FROM vsims)
+        WHERE rnk <= ${VectorQueries.IvfTopK}),
+      mv AS (
+        SELECT 'mv' AS tier, CAST(COUNT(*) AS BIGINT) AS k, source AS id,
+               CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS v
+        FROM documents WHERE doc_id % 5 <> $Residue
+        GROUP BY source)
+      SELECT tier, k, id, v FROM (
+        SELECT * FROM bm25 UNION ALL SELECT * FROM phrase
+        UNION ALL SELECT * FROM neardup UNION ALL SELECT * FROM suggest
+        UNION ALL SELECT * FROM vector UNION ALL SELECT * FROM mv)
+      ORDER BY tier, k, id
+    """))
+
+  def all: Seq[GQuery] = Seq(takedownAll)
+}

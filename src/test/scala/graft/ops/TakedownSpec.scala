@@ -1,0 +1,125 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Unified-takedown pins: ONE `Takedown.apply` must remove the doomed
+  * doc from every wired tier (postings, positional, near-dup, suggest,
+  * IVF-PQ, MV partials), a crash-replayed call with the same batch id
+  * must change NOTHING (tombstone legs are idempotent, marked legs
+  * skip), and a new batch id must still apply. */
+class TakedownSpec extends SparkTestBase {
+
+  test("one call spans every tier; same-batch-id replay is a no-op; " +
+      "a new batch id applies") {
+    import spark.implicits._
+    val root = s"${graft.GraftSession.scratchDir}/takedown_spec"
+    val docs = Seq(
+      (1L, "spark merge filter", "web"),
+      (2L, "spark merge spark merge", "web"),
+      (3L, "merge filter window", "book"),
+      (4L, "spark merge filter scan", "book"),
+      (5L, "window filter spark", "web"),
+      (6L, "spark merge filter scam", "book"))
+      .toDF("doc_id", "text", "src")
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.95f, 0.05f, 0.0f, 0.0f)),
+      (5L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (6L, Array(0.0f, 0.0f, 0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val (post, pos, nd, sug, vec) = (s"$root/post", s"$root/pos",
+      s"$root/nd", s"$root/sug", s"$root/vec")
+    TextQueries.buildPostings(spark, docs, post)
+    PhraseQueries.buildPositional(spark, docs, pos)
+    NearDup.buildNearDup(spark, docs, nd)
+    Suggest.buildSuggest(spark, docs, sug)
+    Ivfpq.save(Ivfpq.build(emb, k = 2, m = 2, codes = 4), vec)
+    val base = s"$root/mvbase"
+    val mv = s"$root/mv"
+    docs.select(col("doc_id"), col("src"),
+      length(col("text")).cast("long").as("n"))
+      .write.mode("overwrite").parquet(base)
+    spark.read.parquet(base).groupBy(col("src"))
+      .agg(sum(col("n").cast(DecimalType(38, 0))).as("sum_p"),
+        count(lit(1)).as("cnt_p"))
+      .write.mode("overwrite").parquet(mv)
+    graft.plans.MatView.register(graft.plans.MatView.MvDef(base, mv,
+      Seq("src"),
+      Seq(graft.plans.MatView.AggSpec("sum", "n",
+          Some(DecimalType(38, 0)), "sum_p"),
+        graft.plans.MatView.AggSpec("count", "", None, "cnt_p"))))
+    try {
+      val deletedBase = spark.read.parquet(base)
+        .where(col("doc_id") === 4).localCheckpoint(true)
+      val tiers = Takedown.Tiers(postings = Some(post),
+        positional = Some(pos), neardup = Some(nd), suggest = Some(sug),
+        ivfpq = Some(vec), mvBase = Some((base, deletedBase)))
+      def doom(id: Long) =
+        docs.where(col("doc_id") === id).select("doc_id", "text")
+      Takedown(spark, doom(4L), tiers, batchId = 1L)
+
+      // postings: doc 4 can no longer be served
+      val lists = TextQueries.servedLists(spark, post, Seq("spark"))
+      assert(lists.where(col("doc_id") === 4).count() === 0L)
+      assert(lists.where(col("doc_id") === 1).count() === 1L)
+      // positional: the phrase in doc 4 is gone, others remain
+      val hits = PhraseQueries.servePhrase(spark, pos,
+        Seq("spark", "merge")).collect().map(_.getLong(0)).toSet
+      assert(!hits.contains(4L) && hits.contains(1L))
+      // near-dup: doc 4's twin (doc 6, one-token edit) no longer
+      // matches anything indexed as 4
+      val served = NearDup.serveNearDup(spark,
+        docs.where(col("doc_id") === 6), nd)
+        .collect().map(_.getLong(1)).toSet
+      assert(!served.contains(4L))
+      // suggest: 'scan' lived only in doc 4 — dictionary row gone;
+      // 'spark' df dropped from 5 docs to 4
+      val dict = spark.read.parquet(s"$sug/delnbr")
+        .where(col("delkey") === col("term"))
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(!dict.contains("scan"), dict.toString)
+      assert(dict("spark") === 4L)
+      // IVF-PQ: vec 4 (probe 1's nearest twin) is unservable
+      val nn = Ivfpq.search(Ivfpq.load(spark, vec), probeId = 1,
+        topK = 3, nProbe = 2, shortlist = 6)
+        .collect().map(_.getLong(0)).toSet
+      assert(!nn.contains(4L) && nn.contains(2L))
+      // MV partials: the 'book' cell lost one row and doc 4's chars,
+      // and the rewrite still serves the shrunk view
+      def cells = spark.read.parquet(mv).collect()
+        .map(r => (r.getString(0), r.getDecimal(1).longValue(),
+          r.getLong(2))).sortBy(_._1).toSeq
+      val after = cells
+      assert(after.find(_._1 == "book").get._3 === 2L)
+
+      // crash-replay: SAME batch id — nothing may change anywhere
+      val tombCount = spark.read.parquet(s"$post/tombstones").count()
+      Takedown(spark, doom(4L), tiers, batchId = 1L)
+      assert(cells === after)
+      assert(spark.read.parquet(s"$sug/delnbr")
+        .where(col("delkey") === col("term") &&
+          col("term") === "spark")
+        .head().getLong(2) === 4L)
+      assert(spark.read.parquet(s"$post/tombstones").count()
+        === tombCount)
+
+      // a NEW batch id still applies (doc 6 goes too)
+      val deletedBase6 = spark.read.parquet(base)
+        .where(col("doc_id") === 6).localCheckpoint(true)
+      Takedown(spark, doom(6L),
+        tiers.copy(mvBase = Some((base, deletedBase6))), batchId = 2L)
+      assert(cells.find(_._1 == "book").get._3 === 1L)
+      assert(spark.read.parquet(s"$sug/delnbr")
+        .where(col("delkey") === col("term") &&
+          col("term") === "spark")
+        .head().getLong(2) === 3L)
+      assert(!PhraseQueries.servePhrase(spark, pos,
+        Seq("spark", "merge")).collect().map(_.getLong(0)).toSet
+        .contains(6L))
+    } finally graft.plans.MatView.deregister(base)
+  }
+}
