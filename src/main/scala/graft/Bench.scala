@@ -30,7 +30,9 @@ package graft
   * queries' single reps instead of clustering on one block's full rep
   * set; (b) the MIN of reps is reported — still an honest end-to-end
   * wall time (every rep does the full scan + shuffle + sink), and the
-  * statistic least corruptible by one-sided contention noise.
+  * statistic least corruptible by one-sided contention noise; (c) the
+  * round-15 noise rule: sub-0.5 s entries take SPARK_GRAFT_FAST_REPS
+  * extra reps (see the loop comment) so their minima stabilize.
   * A query stops repping at its FIRST failing attempt — a known-broken
   * query shouldn't burn the remaining timed reps — and the failure is
   * reported as its NEGATED time-to-failure plus an `"errors"` entry, so
@@ -59,17 +61,32 @@ object Bench {
     val registry = SparkEntry.registry
     val times = Array.fill(registry.size)(List.empty[Double])
     val failures = Array.fill[Option[(Double, String)]](registry.size)(None)
-    for (_ <- 0 until reps; (q, idx) <- registry.zipWithIndex
-         if failures(idx).isEmpty) {
+    def timeOne(idx: Int): Unit = {
       val t0 = System.nanoTime()
       try {
-        q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        registry(idx).fn(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
         times(idx) ::= (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         failures(idx) = Some(((System.nanoTime() - t0) / 1e9,
           s"${e.getClass.getSimpleName}: ${e.getMessage}"))
       }
     }
+    for (_ <- 0 until reps; idx <- registry.indices
+         if failures(idx).isEmpty)
+      timeOne(idx)
+    // NOISE RULE (round 15): entries whose min is already sub-0.5 s get
+    // SPARK_GRAFT_FAST_REPS (default 2) EXTRA interleaved reps. At 3
+    // reps their cross-round deltas (±60–200 ms) were dominated by
+    // scheduler jitter, not plan changes — the r13→r14 diff showed a
+    // ±30% band on precisely this class. Five samples tighten the min
+    // at negligible cost (the extra reps are, by selection, fast), so
+    // a real regression on a small entry separates from noise.
+    val fastReps = sys.env.getOrElse("SPARK_GRAFT_FAST_REPS", "2").toInt
+    for (_ <- 0 until fastReps; idx <- registry.indices
+         if failures(idx).isEmpty && times(idx).nonEmpty &&
+           times(idx).min < 0.5)
+      timeOne(idx)
     // (secs — negative = time-to-failure, error message of that attempt)
     val results: Seq[(String, Double, Option[String])] =
       registry.zipWithIndex.map { case (q, idx) =>
@@ -95,7 +112,7 @@ object Bench {
       jstr(k) + ":" + jstr(e.take(200))
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","reps":$reps,"fast_reps":$fastReps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(full)
     // Truncation-proofing (round-7 verdict): the driver archives a bounded
     // TAIL of stdout, so on a long registry the full line's HEAD — which

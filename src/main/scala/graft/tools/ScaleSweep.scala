@@ -240,6 +240,26 @@ object ScaleSweep {
         .agg(sum(col("l_quantity").cast(DecimalType(38, 2))).as("s"),
           count(lit(1)).as("n"))
     }),
+    // The suggest tier's growth curve (round 15): dictionary build over
+    // the replica corpus with replica-disjoint token spaces (the
+    // cluster_sweep correction — R× replicas model R× NEW vocabulary,
+    // so the delnbr layout grows ∝ R·|vocab| like a real corpus's
+    // dictionary would), then one bounded serve batch. Build is one
+    // explode + hash-agg + one delkey explode + range write, all ∝
+    // dictionary; the serve is request-bounded (pushed-In bucket reads)
+    // and must stay FLAT in R — corpus size appears only in the build.
+    "suggest_sweep" -> ((s, dir) => {
+      import graft.ops.Suggest
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${graft.GraftSession.scratchDir}/sweep_suggest_$tag"
+      val docs = graft.Tables.documents(s, dir)
+        .withColumn("text", regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("r"), (col("doc_id") / KeyShift).cast("long"),
+            lit("_$1"))))
+      Suggest.buildSuggest(s, docs, path)
+      Suggest.suggestBatch(s, path,
+        Seq("r0_spqrk", "r0_mergee", "r0_rows", "zzz"))
+    }),
     "knnjoinpq_sweep" -> ((s, dir) => {
       val e = graft.Tables.embeddings(s, dir)
       val n = e.count()
@@ -347,7 +367,14 @@ object ScaleSweep {
         // round 14 late: the positional tier — the per-dir layout build
         // (posexplode + groupBy, ∝ n) plus the pushed-In phrase serve,
         // and the batched grouped-fold serving shape on top of it
-        "phrase_serve", "phrase_multi")
+        "phrase_serve", "phrase_multi",
+        // round 15: the suggest tier's dictionary growth curve (see
+        // `probes`) and the faceted-search grouping-sets agg (registry
+        // form is already unbounded ∝ n — swept directly). The unified
+        // takedown is NOT a separate probe: each of its legs IS one of
+        // the already-swept lifecycles (postingsdelete_sweep,
+        // neardup_sweep, mvrewrite_sweep, suggest_sweep).
+        "suggest_sweep", "search_facets")
     val spark = graft.GraftSession.local(4, "graft-scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
