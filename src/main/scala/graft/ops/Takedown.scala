@@ -49,10 +49,13 @@ import org.apache.spark.sql.types._
 object Takedown {
 
   /** The tier paths one takedown spans; every field optional so a
-    * deployment wires exactly the layouts it runs. `mvBase` carries the
-    * deleted BASE ROWS alongside the registered base path — the MV
-    * delete algebra needs the rows' measures, not just ids (compute
-    * them BEFORE shrinking the base table). */
+    * deployment wires exactly the layouts it runs. `mvBase` names a
+    * registered MV base table that carries `doc_id` — the MV delete
+    * algebra needs the doomed rows' MEASURES, which the takedown
+    * derives itself by an id join against the (not-yet-shrunk) base;
+    * the caller shrinks the base table only AFTER the takedown
+    * returns, so a replayed call either re-derives the same rows or
+    * skips on its marker. */
   final case class Tiers(
       postings: Option[String] = None,
       positional: Option[String] = None,
@@ -60,7 +63,7 @@ object Takedown {
       suggest: Option[String] = None,
       ivf: Option[String] = None,
       ivfpq: Option[String] = None,
-      mvBase: Option[(String, DataFrame)] = None)
+      mvBase: Option[String] = None)
 
   /** Take down `doomedDocs` — (doc_id, text); text feeds the suggest
     * leg's per-term distinct-doc subtraction, ids feed everything else
@@ -84,7 +87,11 @@ object Takedown {
       Ivfpq.delete(s, p, ids.select(col("doc_id").as("vec_id"))))
     tiers.suggest.foreach(p =>
       Suggest.suggestDeleteOnce(s, doomed, p, batchId))
-    tiers.mvBase.foreach { case (base, deletedRows) =>
+    tiers.mvBase.foreach { base =>
+      // lazy on purpose: refreshDeleteOnce skips marked views without
+      // ever evaluating the frame
+      val deletedRows = s.read.parquet(base)
+        .join(broadcast(ids), Seq("doc_id"))
       graft.plans.MatView.refreshDeleteOnce(s, base, deletedRows,
         batchId)
     }
@@ -140,13 +147,10 @@ object Takedown {
       val doomed = docs.where(col("doc_id") % 5 === Residue)
         .select(col("doc_id"), col("text"))
         .localCheckpoint(true)
-      val deletedBase = s.read.parquet(base)
-        .where(col("doc_id") % 5 === Residue)
-        .localCheckpoint(true)
       Takedown(s, doomed,
         Tiers(postings = Some(post), positional = Some(pos),
           neardup = Some(nd), suggest = Some(sug), ivfpq = Some(vec),
-          mvBase = Some((base, deletedBase))),
+          mvBase = Some(base)),
         batchId = 1L)
       Layout.replaceDir(s,
         s.read.parquet(base).where(col("doc_id") % 5 =!= Residue), base)

@@ -525,6 +525,31 @@ object StreamRunner {
       }
       .start()
 
+  /** Streaming UNIFIED takedown — [[takedownStream]]'s successor
+    * spanning EVERY tier through one [[graft.ops.Takedown]] call per
+    * micro-batch of doomed (doc_id, text) documents (text feeds the
+    * suggest dictionary's negative df merge — the one leg bare ids
+    * cannot drive). EXACTLY-ONCE composition: the checkpointed
+    * foreachBatch batch id IS the takedown batch id, so the tombstone
+    * legs replay as no-ops by construction and the algebraic legs
+    * (suggest, MV partials) skip on their `_applied_del_<id>` markers
+    * — a worker crash at ANY point replays to the identical global
+    * state, the property `TakedownSpec` pins call-level and this
+    * stream inherits wholesale. Same maintenance-worker contract as
+    * [[takedownStream]]: serialized delete batches in a window
+    * without concurrent serving. */
+  def takedownAllStream(tiers: graft.ops.Takedown.Tiers,
+      doomedDocs: DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    doomedDocs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Takedown(batch.sparkSession,
+          batch.select(col("doc_id").cast("long").as("doc_id"),
+            col("text")),
+          tiers, batchId)
+      }
+      .start()
+
   /** Streaming dedup-at-ingest GATE — the operational face of the
     * persisted near-dup index: each micro-batch of (doc_id, text)
     * documents is gated against the index (`NearDup.ingestVerdicts`),

@@ -53,11 +53,9 @@ class TakedownSpec extends SparkTestBase {
           Some(DecimalType(38, 0)), "sum_p"),
         graft.plans.MatView.AggSpec("count", "", None, "cnt_p"))))
     try {
-      val deletedBase = spark.read.parquet(base)
-        .where(col("doc_id") === 4).localCheckpoint(true)
       val tiers = Takedown.Tiers(postings = Some(post),
         positional = Some(pos), neardup = Some(nd), suggest = Some(sug),
-        ivfpq = Some(vec), mvBase = Some((base, deletedBase)))
+        ivfpq = Some(vec), mvBase = Some(base))
       def doom(id: Long) =
         docs.where(col("doc_id") === id).select("doc_id", "text")
       Takedown(spark, doom(4L), tiers, batchId = 1L)
@@ -108,10 +106,7 @@ class TakedownSpec extends SparkTestBase {
         === tombCount)
 
       // a NEW batch id still applies (doc 6 goes too)
-      val deletedBase6 = spark.read.parquet(base)
-        .where(col("doc_id") === 6).localCheckpoint(true)
-      Takedown(spark, doom(6L),
-        tiers.copy(mvBase = Some((base, deletedBase6))), batchId = 2L)
+      Takedown(spark, doom(6L), tiers, batchId = 2L)
       assert(cells.find(_._1 == "book").get._3 === 1L)
       assert(spark.read.parquet(s"$sug/delnbr")
         .where(col("delkey") === col("term") &&
@@ -120,6 +115,67 @@ class TakedownSpec extends SparkTestBase {
       assert(!PhraseQueries.servePhrase(spark, pos,
         Seq("spark", "merge")).collect().map(_.getLong(0)).toSet
         .contains(6L))
+    } finally graft.plans.MatView.deregister(base)
+  }
+
+  test("streaming face: micro-batches drive the unified takedown, " +
+      "checkpointed batch ids make the algebraic legs exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val root = s"${graft.GraftSession.scratchDir}/takedown_stream_spec"
+    val docs = Seq(
+      (1L, "spark merge filter", "web"),
+      (2L, "spark merge scan", "web"),
+      (3L, "merge filter scan", "book"))
+      .toDF("doc_id", "text", "src")
+    val (post, sug) = (s"$root/post", s"$root/sug")
+    TextQueries.buildPostings(spark, docs, post)
+    Suggest.buildSuggest(spark, docs, sug)
+    val base = s"$root/mvbase"
+    val mv = s"$root/mv"
+    docs.select(col("doc_id"), col("src"), lit(1L).as("n"))
+      .write.mode("overwrite").parquet(base)
+    spark.read.parquet(base).groupBy(col("src"))
+      .agg(sum(col("n").cast(DecimalType(38, 0))).as("sum_p"),
+        count(lit(1)).as("cnt_p"))
+      .write.mode("overwrite").parquet(mv)
+    graft.plans.MatView.register(graft.plans.MatView.MvDef(base, mv,
+      Seq("src"),
+      Seq(graft.plans.MatView.AggSpec("sum", "n",
+          Some(DecimalType(38, 0)), "sum_p"),
+        graft.plans.MatView.AggSpec("count", "", None, "cnt_p"))))
+    val tiers = Takedown.Tiers(postings = Some(post),
+      suggest = Some(sug), mvBase = Some(base))
+    try {
+      val source = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamRunner.takedownAllStream(tiers,
+        source.toDF().toDF("doc_id", "text"))
+      source.addData(1L -> "spark merge filter")
+      q.processAllAvailable()
+      source.addData(2L -> "spark merge scan")
+      q.processAllAvailable()
+      q.stop()
+      // both docs gone from postings serving and the suggest dictionary
+      val lists = TextQueries.servedLists(spark, post, Seq("spark"))
+      assert(lists.select("doc_id").collect().map(_.getLong(0)).toSet
+        === Set.empty[Long])
+      val dict = spark.read.parquet(s"$sug/delnbr")
+        .where(col("delkey") === col("term"))
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(dict === Map("merge" -> 1L, "filter" -> 1L, "scan" -> 1L))
+      // MV: the 'web' cell (both rows doomed) dropped entirely
+      val cells = spark.read.parquet(mv).collect()
+        .map(r => (r.getString(0), r.getLong(2))).toMap
+      assert(cells === Map("book" -> 1L))
+      // crash-replay of the stream's batch 0 (same id, same payload):
+      // the algebraic legs skip on their markers — nothing changes
+      Takedown(spark,
+        Seq(1L -> "spark merge filter").toDF("doc_id", "text"),
+        tiers, batchId = 0L)
+      assert(spark.read.parquet(s"$sug/delnbr")
+        .where(col("delkey") === col("term")).count() === 3L)
+      assert(spark.read.parquet(mv).count() === 1L)
     } finally graft.plans.MatView.deregister(base)
   }
 }
