@@ -27,13 +27,21 @@ object IndexStats {
     value.select(lit(layout).as("layout"), lit(stat).as("stat"),
       col(value.columns.head).cast(LongType).as("value"))
 
-  /** All tracked stats of the four full-corpus layouts for `d`. */
+  /** All tracked stats of the five full-corpus layouts for `d`. The
+    * vector tier contributes its one corpus-auditable number — encoded
+    * residents (must equal the embeddings row count; a crash that lost
+    * or doubled an append/compact segment shows here) — cell and
+    * codebook populations are k-means artifacts no SQL recompute can
+    * reproduce and stay spec-audited instead. */
   def indexStats(s: SparkSession, d: String): DataFrame = {
     val post = TextQueries.savedPostingsPath(s, d)
     val pos = PhraseQueries.savedPositionalPath(s, d)
     val nd = NearDup.savedFullPath(s, d)
     val sug = Suggest.savedSuggestPath(s, d)
+    val vec = VectorQueries.savedIvfpqPath(s, d, k = 8, m = 4)
     val frames = Seq(
+      one("ivfpq", "n_vectors",
+        s.read.parquet(s"$vec/encoded").agg(count(lit(1)))),
       one("postings", "n_docs",
         s.read.parquet(s"$post/stats").agg(sum("n_docs_l"))),
       one("postings", "sum_dl",
@@ -73,8 +81,10 @@ object IndexStats {
         SELECT doc_id, str_split(text, ' ') AS t
         FROM documents WHERE text IS NOT NULL),
       tok AS (SELECT doc_id, unnest(t) AS term FROM docs)
-      SELECT 'postings' AS layout, 'n_docs' AS stat,
-             CAST(COUNT(*) AS BIGINT) AS value FROM docs
+      SELECT 'ivfpq' AS layout, 'n_vectors' AS stat,
+             CAST(COUNT(*) AS BIGINT) AS value FROM embeddings
+      UNION ALL SELECT 'postings', 'n_docs',
+             CAST(COUNT(*) AS BIGINT) FROM docs
       UNION ALL SELECT 'postings', 'sum_dl',
              CAST(SUM(len(t)) AS BIGINT) FROM docs
       UNION ALL SELECT 'postings', 'n_terms',

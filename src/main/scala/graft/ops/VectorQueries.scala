@@ -1241,7 +1241,7 @@ object VectorQueries {
   private val ivfpqSaved =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Int), String]
 
-  private def savedIvfpqPath(s: org.apache.spark.sql.SparkSession,
+  private[ops] def savedIvfpqPath(s: org.apache.spark.sql.SparkSession,
       d: String, k: Int, m: Int): String =
     graft.BuildOnce.memo(ivfpqSaved, (d, k, m)) {
       val path = s"${graft.GraftSession.scratchDir}/ivfpq_" +

@@ -404,6 +404,24 @@ class MatViewSpec extends SparkTestBase {
     } finally MatView.deregister(basePath)
   }
 
+  test("HAVING (a filter above the aggregate) rides the rewrite: the " +
+      "exprId-stable outputs keep it resolvable against the view plan") {
+    registerMv()
+    try {
+      val q = query.where(col("n_rows") > 1L)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("mvspec_mv") && !plan.contains("mvspec_base"),
+        plan)
+      val got = q.collect().map(r => (r.getString(0),
+        r.getDecimal(1).toPlainString, r.getLong(2))).sortBy(_._1).toSeq
+      MatView.deregister(base)
+      val truth = query.where(col("n_rows") > 1L)
+        .collect().map(r => (r.getString(0),
+          r.getDecimal(1).toPlainString, r.getLong(2))).sortBy(_._1).toSeq
+      assert(got === truth)
+    } finally MatView.deregister(base)
+  }
+
   test("exact-granularity query (no rollup) also serves from the view") {
     registerMv()
     try {
