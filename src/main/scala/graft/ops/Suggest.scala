@@ -138,27 +138,41 @@ object Suggest {
     * rewrite is ∝ |dictionary|, NOT corpus: dictionary-scale
     * maintenance is the correct cost model for a term-level layout (at
     * 100 TB the dictionary is millions of rows where the corpus is
-    * trillions), which is also why DELETE has no bespoke path here —
-    * a takedown flows through the postings lifecycle and the suggest
-    * layout rebuilds from the postings df side table at dictionary
-    * cost. df addition is exact (long counts), so append ≡ rebuild —
-    * `suggest_append` hash-verifies it against the full-corpus
-    * oracle. */
+    * trillions). df addition is exact (long counts), so append ≡
+    * rebuild — `suggest_append` hash-verifies it against the
+    * full-corpus oracle; [[suggestDelete]] is the same algebra
+    * negated. */
   def suggestAppend(s: SparkSession, newDocs: DataFrame,
-      path: String): Unit = {
-    val partial = dictionary(newDocs)
+      path: String): Unit =
+    mergeDict(s, s"$path/delnbr", dictionary(newDocs), delKeys,
+      negate = false, Nil)
+
+  /** The ONE dictionary-merge core behind append and delete on BOTH
+    * edit-distance layouts: the batch's partial dictionary explodes to
+    * its deletion keys (the layout's own key rule), merges signed
+    * (positive = append, negated = delete) into the stored rows, and
+    * — on the delete side — (delkey, term) rows whose df reaches 0
+    * drop, exactly the rows a survivors-rebuild would never produce.
+    * Long df arithmetic is exact in both directions, so append ≡
+    * grown-rebuild and delete ≡ survivors-rebuild algebraically; one
+    * body means the four public ops cannot drift apart. */
+  private def mergeDict(s: SparkSession, dir: String, partial: DataFrame,
+      keysOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      negate: Boolean, stageMarkers: Seq[String]): Unit = {
     if (partial.isEmpty) return
-    val merged = s.read.parquet(s"$path/delnbr")
+    val signed = if (negate) -col("df") else col("df")
+    val merged = s.read.parquet(dir)
       .select(col("delkey"), col("term"), col("df"))
       .unionByName(partial
-        .select(explode(delKeys(col("term"))).as("delkey"),
-          col("term"), col("df")))
+        .select(explode(keysOf(col("term"))).as("delkey"),
+          col("term"), signed.as("df")))
       .groupBy(col("delkey"), col("term"))
       .agg(sum(col("df")).as("df"))
     Layout.replaceDir(s,
-      merged.repartitionByRange(4, col("delkey"))
+      (if (negate) merged.where(col("df") > 0L) else merged)
+        .repartitionByRange(4, col("delkey"))
         .sortWithinPartitions("delkey"),
-      s"$path/delnbr")
+      dir, stageMarkers = stageMarkers)
   }
 
   /** DELETE documents from the suggest dictionary — the algebraic
@@ -175,22 +189,9 @@ object Suggest {
     * through [[suggestDeleteOnce]]'s marker. Assumes deleted ⊆ the
     * indexed corpus, same as every negative merge. */
   def suggestDelete(s: SparkSession, deletedDocs: DataFrame,
-      path: String, stageMarkers: Seq[String] = Nil): Unit = {
-    val partial = dictionary(deletedDocs)
-    if (partial.isEmpty) return
-    val merged = s.read.parquet(s"$path/delnbr")
-      .select(col("delkey"), col("term"), col("df"))
-      .unionByName(partial
-        .select(explode(delKeys(col("term"))).as("delkey"),
-          col("term"), (-col("df")).as("df")))
-      .groupBy(col("delkey"), col("term"))
-      .agg(sum(col("df")).as("df"))
-      .where(col("df") > 0L)
-    Layout.replaceDir(s,
-      merged.repartitionByRange(4, col("delkey"))
-        .sortWithinPartitions("delkey"),
-      s"$path/delnbr", stageMarkers = stageMarkers)
-  }
+      path: String, stageMarkers: Seq[String] = Nil): Unit =
+    mergeDict(s, s"$path/delnbr", dictionary(deletedDocs), delKeys,
+      negate = true, stageMarkers)
 
   /** EXACTLY-ONCE [[suggestDelete]]: the `_applied_del_<batchId>`
     * marker rides the delnbr swap (the `MatView.refreshDeleteOnce`
@@ -226,6 +227,34 @@ object Suggest {
       .repartitionByRange(4, col("delkey"))
       .sortWithinPartitions("delkey")
       .write.mode("overwrite").parquet(s"$path/delnbr2")
+
+  /** Incremental growth of the distance-2 layout — [[suggestAppend]]'s
+    * algebra through the SAME merge core, just the depth-≤2 key rule
+    * and directory. append ≡ rebuild (`suggest2_append`
+    * hash-verifies it against the full-corpus distance-2 oracle). */
+  def suggestAppend2(s: SparkSession, newDocs: DataFrame,
+      path: String): Unit =
+    mergeDict(s, s"$path/delnbr2", dictionary(newDocs), delKeys2,
+      negate = false, Nil)
+
+  /** DELETE on the distance-2 layout — [[suggestDelete]]'s negative
+    * merge over the depth-≤2 keys; same exactness, same 0-df row drop,
+    * same non-idempotence (replay-safe only via
+    * [[suggestDelete2Once]]). */
+  def suggestDelete2(s: SparkSession, deletedDocs: DataFrame,
+      path: String, stageMarkers: Seq[String] = Nil): Unit =
+    mergeDict(s, s"$path/delnbr2", dictionary(deletedDocs), delKeys2,
+      negate = true, stageMarkers)
+
+  /** EXACTLY-ONCE [[suggestDelete2]] under the shared
+    * `_applied_del_<batchId>` marker family — the distance-2 leg of
+    * [[Takedown]]. */
+  def suggestDelete2Once(s: SparkSession, deletedDocs: DataFrame,
+      path: String, batchId: Long): Unit = {
+    val marker = s"_applied_del_$batchId"
+    if (!Layout.hasMarker(s, s"$path/delnbr2", marker))
+      suggestDelete2(s, deletedDocs, path, Seq(marker))
+  }
 
   /** Distance-2 serving with the CLASSIC SymSpell ranking — closest
     * edit distance first, then df, then term: an exact or distance-1
@@ -372,6 +401,78 @@ object Suggest {
     (s, d) => suggestBatch(s, savedAppendPath(s, d), probeQueries),
     termSuggest.oracle)
 
+  /** Full dictionary, then the mod-6 residue's documents deleted
+    * through the negative merge — the layout `suggest_delete`
+    * serves. */
+  private val deleteSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedDeletePath(s: SparkSession, d: String): String =
+    graft.BuildOnce.memo(deleteSaved, d) {
+      val path = s"${graft.GraftSession.scratchDir}/suggest_del_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = Tables.documents(s, d)
+      buildSuggest(s, docs, path)
+      suggestDelete(s,
+        docs.where(col("doc_id") % 6 === 1).select("doc_id", "text"),
+        path)
+      path
+    }
+
+  /** delete ≡ survivors rebuild for the dictionary layout: spell
+    * correction served off the negatively merged index must hash-match
+    * the brute levenshtein scan over ONLY the surviving documents'
+    * dictionary — dropped terms gone, decremented dfs re-ranked
+    * exactly. Closes the suggest lifecycle symmetry
+    * (build/append/delete) the other persisted tiers already have. */
+  val suggestDeleteQ = GQuery(
+    "suggest_delete",
+    (s, d) => suggestBatch(s, savedDeletePath(s, d), probeQueries),
+    Some("""
+      WITH terms AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS term
+              FROM documents
+              WHERE text IS NOT NULL AND doc_id % 6 <> 1)
+        WHERE term <> ''
+        GROUP BY term),
+      q AS (SELECT unnest(['spqrk', 'mergee', 'rows', 'zzz']) AS query),
+      hits AS (
+        SELECT q.query, t.term, t.df,
+               ROW_NUMBER() OVER (PARTITION BY q.query
+                 ORDER BY t.df DESC, t.term) AS rnk
+        FROM q JOIN terms t ON levenshtein(q.query, t.term) <= 1)
+      SELECT query, CAST(rnk AS BIGINT) AS rnk, term, df
+      FROM hits WHERE rnk <= 3
+      ORDER BY query, rnk
+    """))
+
+  /** Distance-2 layout built on the even half then grown through
+    * [[suggestAppend2]] — `suggest2_append` serves it against the
+    * FULL-corpus distance-2 oracle. */
+  private val append2Saved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedAppend2Path(s: SparkSession, d: String): String =
+    graft.BuildOnce.memo(append2Saved, d) {
+      val path = s"${graft.GraftSession.scratchDir}/suggest2_app_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = Tables.documents(s, d)
+      buildSuggest2(s, docs.where(col("doc_id") % 2 === 0), path)
+      suggestAppend2(s, docs.where(col("doc_id") % 2 === 1), path)
+      path
+    }
+
+  /** append ≡ rebuild on the distance-2 layout: the depth-≤2 key
+    * explosion of the new batch merges into the half-built directory
+    * and the distance-first ranking must still match the full-corpus
+    * brute scan — one merge core, both layouts, both directions. */
+  val suggest2AppendQ = GQuery(
+    "suggest2_append",
+    (s, d) => suggestBatch2(s, savedAppend2Path(s, d),
+      Seq("spqrk", "spxxk", "wind", "zzz")),
+    termSuggest2.oracle)
+
   /** Autocomplete — the other search-box affordance, served off the
     * SAME layout: every term's identity row (delkey = term) makes the
     * delkey-sorted directory double as a term-sorted dictionary, so a
@@ -409,5 +510,6 @@ object Suggest {
       LIMIT 5
     """))
 
-  def all: Seq[GQuery] = Seq(termSuggest, termSuggest2, suggestAppendQ, termComplete)
+  def all: Seq[GQuery] = Seq(termSuggest, termSuggest2, suggestAppendQ,
+    suggestDeleteQ, suggest2AppendQ, termComplete)
 }

@@ -22,8 +22,9 @@ import org.apache.spark.sql.types._
   *    ([[Ivfpq.delete]]): tombstone writes, idempotent BY CONSTRUCTION
   *    (already-tombstoned ids are excluded up front) — no marker
   *    needed, a replayed leg is a mechanical no-op.
-  *  - Suggest dictionary ([[Suggest.suggestDeleteOnce]]): an algebraic
-  *    negative df merge — NOT idempotent, so it rides an
+  *  - Suggest dictionaries ([[Suggest.suggestDeleteOnce]] /
+  *    [[Suggest.suggestDelete2Once]], one per edit-distance layout):
+  *    algebraic negative df merges — NOT idempotent, so each rides an
   *    `_applied_del_<batchId>` marker in its directory swap.
   *  - Materialized views ([[graft.plans.MatView.refreshDeleteOnce]]):
   *    negated-partials merge per registered view, each under the same
@@ -61,6 +62,7 @@ object Takedown {
       positional: Option[String] = None,
       neardup: Option[String] = None,
       suggest: Option[String] = None,
+      suggest2: Option[String] = None,
       ivf: Option[String] = None,
       ivfpq: Option[String] = None,
       mvBase: Option[String] = None)
@@ -87,6 +89,8 @@ object Takedown {
       Ivfpq.delete(s, p, ids.select(col("doc_id").as("vec_id"))))
     tiers.suggest.foreach(p =>
       Suggest.suggestDeleteOnce(s, doomed, p, batchId))
+    tiers.suggest2.foreach(p =>
+      Suggest.suggestDelete2Once(s, doomed, p, batchId))
     tiers.mvBase.foreach { base =>
       // lazy on purpose: refreshDeleteOnce skips marked views without
       // ever evaluating the frame

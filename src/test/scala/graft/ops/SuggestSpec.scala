@@ -45,6 +45,35 @@ class SuggestSpec extends SparkTestBase {
     assert(p2.collect().toSeq === f2.collect().toSeq)
   }
 
+  test("distance-2 delete ≡ survivors rebuild, and a marker-replayed " +
+      "delete batch is a no-op") {
+    val docs = graft.Tables.documents(spark, sf)
+    val path = s"${graft.GraftSession.scratchDir}/suggest2_del_spec"
+    val rebuilt = s"${graft.GraftSession.scratchDir}/suggest2_del_ref"
+    Suggest.buildSuggest2(spark, docs, path)
+    val doomed = docs.where(col("doc_id") % 6 === 1)
+      .select("doc_id", "text")
+    Suggest.suggestDelete2Once(spark, doomed, path, batchId = 9L)
+    Suggest.buildSuggest2(spark,
+      docs.where(col("doc_id") % 6 =!= 1), rebuilt)
+    def rows(p: String) = spark.read.parquet(s"$p/delnbr2")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val after = rows(path)
+    assert(after === rows(rebuilt))
+    // replay with the SAME batch id and a poison frame: marker skips
+    // the merge before the frame is evaluated
+    Suggest.suggestDelete2Once(spark, docs.select("doc_id", "text"),
+      path, batchId = 9L)
+    assert(rows(path) === after)
+    // served output over the deleted layout ≡ over the rebuild
+    val a = Suggest.suggestBatch2(spark, path, Seq("spqrk", "wind"))
+      .collect().toSeq
+    val b = Suggest.suggestBatch2(spark, rebuilt, Seq("spqrk", "wind"))
+      .collect().toSeq
+    assert(a === b)
+  }
+
   test("index suggestion ≡ brute-force levenshtein over the dictionary") {
     val path = Suggest.savedSuggestPath(spark, sf)
     val dict = graft.Tables.documents(spark, sf)
