@@ -872,8 +872,76 @@ object IncrQueries {
       ORDER BY l_returnflag
     """))
 
+  /** Dedicated fact copy + view at JOIN-KEY granularity for the
+    * star-schema rewrite: the view pre-aggregates lineitem by
+    * l_suppkey (|suppliers| rows), so a dim-grouped rollup joins
+    * |view| × supplier instead of scanning the fact table. */
+  private val mvJoinSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedMvJoinBasePath(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.BuildOnce.memo(mvJoinSaved, d) {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"${graft.GraftSession.scratchDir}/mvj_base_$tag"
+      val mv = s"${graft.GraftSession.scratchDir}/mvj_view_$tag"
+      Tables.lineitem(s, d)
+        .select("l_suppkey", "l_quantity")
+        .write.mode("overwrite").parquet(base)
+      s.read.parquet(base)
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(38, 2)))
+          .as("sum_qty_p"),
+          count(lit(1)).as("cnt_p"))
+        .write.mode("overwrite").parquet(mv)
+      graft.plans.MatView.register(graft.plans.MatView.MvDef(base, mv,
+        Seq("l_suppkey"),
+        Seq(graft.plans.MatView.AggSpec("sum", "l_quantity",
+            Some(DecimalType(38, 2)), "sum_qty_p"),
+          graft.plans.MatView.AggSpec("count", "", None, "cnt_p"))))
+      base
+    }
+
+  /** The STAR-SCHEMA rewrite, driver-verified: a rollup grouped by a
+    * DIM attribute over `fact ⋈ dim` re-plans onto `view ⋈ dim` — the
+    * fact table pre-aggregated at join-key granularity, so the query
+    * reads |suppliers| view rows instead of the fact table (the
+    * canonical warehouse dashboard join; at 100 TB the fact scan is
+    * the entire cost). Exact under join multiplicity: each view
+    * partial scales by the same per-key match count a row-level join
+    * would apply. The oracle recomputes from the raw join, so the
+    * hash match certifies the aggregate-through-join algebra end to
+    * end; `MatViewSpec` pins the plan (view scanned, fact base not)
+    * and the dim-aggregate/outer-join/row-filter blocks. */
+  val mvRewriteJoin = GQuery(
+    "mv_rewrite_join",
+    (s, d) => {
+      val base = savedMvJoinBasePath(s, d)
+      val fact = s.read.parquet(base)
+      val dim = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      fact.join(dim, fact("l_suppkey") === dim("s_suppkey"))
+        .groupBy(col("s_nationkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(38, 2)))
+          .as("sum_qty_dec"),
+          count(lit(1)).as("n_rows"))
+        .select(col("s_nationkey"),
+          col("sum_qty_dec").cast(DoubleType).as("sum_qty"),
+          col("n_rows"))
+        .orderBy("s_nationkey")
+    },
+    Some("""
+      SELECT s.s_nationkey,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_nationkey
+      ORDER BY s.s_nationkey
+    """))
+
   val all: Seq[GQuery] =
     Seq(incrAgg, incrDistinct, incrTopk, rollingWau, overlapSketch,
       zorderLayout, warehouseRefresh, incrPipeline, mvRewrite,
-      mvRewriteFiltered, mvRefresh, mvRewriteAvg, mvRefreshDelete)
+      mvRewriteFiltered, mvRefresh, mvRewriteAvg, mvRefreshDelete,
+      mvRewriteJoin)
 }

@@ -8,8 +8,10 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
   NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.AttributeSet
+import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
-  LogicalPlan, Project}
+  Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   LogicalRelation}
@@ -288,7 +290,46 @@ object MatView {
       case agg @ Aggregate(groups, out, child, _) =>
         scanInfo(child).toSeq.flatMap { case (paths, conds) =>
           lookup(paths).flatMap(mv => rewrite(groups, out, conds, mv))
-        }.headOption.getOrElse(agg)
+        }.headOption
+          .orElse(rewriteOverJoin(groups, out, child))
+          .getOrElse(agg)
+    }
+
+    /** The STAR-SCHEMA rewrite: `Aggregate(G, out, fact ⋈ dim)` where
+      * the fact side scans a registered base re-plans onto
+      * `Aggregate(G, out', view ⋈ dim)` — the fact table pre-aggregated
+      * at join-key (+ fact-group) granularity, joined to the untouched
+      * dim side at |view rows| cost instead of |fact rows|. This is
+      * exact for EVERY covered aggregate, including under join
+      * multiplicity m(k) (a dim key matching m rows): each fact row's
+      * contribution is scaled by m(k) row-level, and each view
+      * partial's by the same m(k) partial-level — SUM/COUNT totals,
+      * MIN/MAX extrema (replication changes neither), and the AVG
+      * ratio (numerator and denominator scale together) all agree.
+      * Aggregates over DIM columns block (a dim value's row-level
+      * repetition count is fact-row multiplicity, which the view has
+      * already collapsed). Inner equi-joins only — an outer join's
+      * null-extended rows have no view analog. Both orientations are
+      * tried (fact ⋈ dim and dim ⋈ fact). */
+    private def rewriteOverJoin(groups: Seq[Expression],
+        out: Seq[NamedExpression], child: LogicalPlan)
+        : Option[LogicalPlan] = {
+      def strip(p: LogicalPlan): LogicalPlan = p match {
+        case Project(pl, rel)
+            if pl.forall(_.isInstanceOf[AttributeReference]) => strip(rel)
+        case other => other
+      }
+      strip(child) match {
+        case Join(l, r, Inner, Some(cond), _) if cond.deterministic =>
+          def tryFact(fact: LogicalPlan, dim: LogicalPlan)
+              : Option[LogicalPlan] =
+            scanInfo(fact).toSeq.flatMap { case (paths, conds) =>
+              lookup(paths).flatMap(mv =>
+                rewrite(groups, out, conds, mv, Some((dim, cond))))
+            }.headOption
+          tryFact(l, r).orElse(tryFact(r, l))
+        case _ => None
+      }
     }
 
     /** Root paths + collected filter conditions of a file scan reached
@@ -316,18 +357,33 @@ object MatView {
 
     private def rewrite(groups: Seq[Expression],
         out: Seq[NamedExpression], conds: Seq[Expression],
-        mv: MvDef): Option[LogicalPlan] = {
+        mv: MvDef,
+        dim: Option[(LogicalPlan, Expression)] = None)
+        : Option[LogicalPlan] = {
+      // dim-owned attributes (exprId-keyed — a name can exist on both
+      // sides) pass through the rewrite untouched; fact attributes must
+      // be view group columns or covered agg inputs
+      val dimOut: AttributeSet =
+        dim.map(_._1.outputSet).getOrElse(AttributeSet.empty)
+      def dimOwned(a: AttributeReference): Boolean = dimOut.contains(a)
       // NAME-BASED pre-checks before any IO: the optimizer batch runs
       // to fixed point, so a registered-base query the view CANNOT
       // answer (row-level filter, foreign grouping) would otherwise
       // re-read the view's parquet footer on every iteration
       val coveredGroups = groups.forall {
-        case g: AttributeReference => mv.groupCols.contains(g.name)
+        case g: AttributeReference =>
+          dimOwned(g) || mv.groupCols.contains(g.name)
         case _ => false
       }
       val coveredConds = conds.forall(_.references.toSeq.forall(a =>
         mv.groupCols.contains(a.name)))
-      if (!coveredGroups || !coveredConds) return None
+      // every FACT attribute in the join condition must be a view
+      // group column (the view carries join keys as grouping state)
+      val coveredJoin = dim.forall { case (_, cond) =>
+        cond.references.toSeq.forall(a =>
+          dimOut.contains(a) || mv.groupCols.contains(a.name))
+      }
+      if (!coveredGroups || !coveredConds || !coveredJoin) return None
       // a FRESH analyzed relation per rewrite: reusing one plan across
       // queries would collide attribute ids
       val mvPlan = session.read.parquet(mv.mvPath).queryExecution.analyzed
@@ -335,18 +391,20 @@ object MatView {
         mvPlan.output.collectFirst {
           case a: AttributeReference if a.name == name => a
         }
-      val groupAttrs: Option[Seq[AttributeReference]] =
-        groups.foldLeft(Option(Seq.empty[AttributeReference])) {
+      val groupAttrs: Option[Seq[Expression]] =
+        groups.foldLeft(Option(Seq.empty[Expression])) {
+          case (acc, g: AttributeReference) if dimOwned(g) =>
+            acc.map(_ :+ g)
           case (acc, g: AttributeReference)
               if mv.groupCols.contains(g.name) =>
             acc.flatMap(s => mvAttr(g.name).map(s :+ _))
           case _ => None
         }
       def covered(func: String, c: Expression): Option[AggSpec] = c match {
-        case a: AttributeReference => mv.aggs.find(sp =>
+        case a: AttributeReference if !dimOwned(a) => mv.aggs.find(sp =>
           sp.func == func && sp.inputCol == a.name && sp.castTo.isEmpty)
         case cast: Cast => cast.child match {
-          case a: AttributeReference => mv.aggs.find(sp =>
+          case a: AttributeReference if !dimOwned(a) => mv.aggs.find(sp =>
             sp.func == func && sp.inputCol == a.name &&
               sp.castTo.contains(cast.dataType))
           case _ => None
@@ -387,7 +445,7 @@ object MatView {
           // registered COUNT(col) partial (NOT the COUNT(*) one:
           // null rows diverge them)
           case c: Count => c.children match {
-            case Seq(a: AttributeReference) =>
+            case Seq(a: AttributeReference) if !dimOwned(a) =>
               for {
                 spec <- mv.aggs.find(sp =>
                   sp.func == "count" && sp.inputCol == a.name)
@@ -408,7 +466,7 @@ object MatView {
           case av: Average if ae.dataType ==
               org.apache.spark.sql.types.DoubleType =>
             av.child match {
-              case a: AttributeReference =>
+              case a: AttributeReference if !dimOwned(a) =>
                 for {
                   sumSpec <- mv.aggs.find(sp => sp.func == "sum" &&
                     sp.inputCol == a.name && sp.castTo.isEmpty)
@@ -440,8 +498,12 @@ object MatView {
       // and grouping attributes (e.g. cast(sum(...) as double)).
       // Rewrite the tree node-wise; any leftover reference to a base
       // attribute means the view can't answer it → no rewrite.
+      val allowed = mvPlan.outputSet ++ dimOut
       def rewriteOne(ne: NamedExpression): Option[NamedExpression] =
         ne match {
+          // a dim-owned grouping attribute passes through unchanged —
+          // the dim side of the new join still produces it
+          case a: AttributeReference if dimOwned(a) => Some(a)
           case a: AttributeReference if groupNames.contains(a.name) =>
             mvAttr(a.name).map(m => Alias(m, a.name)(exprId = a.exprId))
           case al @ Alias(expr, name) =>
@@ -450,15 +512,19 @@ object MatView {
               // the ownership guard stops re-entry: transformDown
               // recurses into replacements, and an injected
               // re-aggregation (references MV attrs) must not be
-              // mistaken for an uncovered base aggregate
+              // mistaken for an uncovered base aggregate. An aggregate
+              // over a DIM column correctly falls to rewriteAgg's
+              // dim-guards and blocks: the view collapsed the fact-row
+              // multiplicity its row-level total depends on.
               case ae: AggregateExpression
                   if ae.references.intersect(mvPlan.outputSet).isEmpty =>
                 rewriteAgg(ae).getOrElse { ok = false; ae }
-              case a: AttributeReference if groupNames.contains(a.name) &&
+              case a: AttributeReference if !dimOwned(a) &&
+                  groupNames.contains(a.name) &&
                   mvAttr(a.name).isDefined =>
                 mvAttr(a.name).get
             }
-            if (ok && t.references.subsetOf(mvPlan.outputSet))
+            if (ok && t.references.subsetOf(allowed))
               Some(Alias(t, name)(exprId = al.exprId))
             else None
           case _ => None
@@ -476,6 +542,18 @@ object MatView {
         }
         if (ok) Some(t) else None
       }
+      // join condition: fact attrs substitute for view attrs, dim
+      // attrs stay — any other reference blocks
+      def rewriteJoinCond(c: Expression): Option[Expression] = {
+        var ok = true
+        val t = c.transformDown {
+          case a: AttributeReference if !dimOwned(a) =>
+            if (mv.groupCols.contains(a.name) && mvAttr(a.name).isDefined)
+              mvAttr(a.name).get
+            else { ok = false; a }
+        }
+        if (ok) Some(t) else None
+      }
       for {
         ga <- groupAttrs
         newConds <- conds.foldLeft(Option(Seq.empty[Expression])) {
@@ -484,11 +562,19 @@ object MatView {
         newOut <- out.foldLeft(Option(Seq.empty[NamedExpression])) {
           (acc, ne) => acc.flatMap(s => rewriteOne(ne).map(s :+ _))
         }
-      } yield Aggregate(ga, newOut,
-        if (newConds.isEmpty) mvPlan
-        else Filter(newConds.reduce(
-          org.apache.spark.sql.catalyst.expressions.And(_, _)), mvPlan),
-        None)
+        newChild <- {
+          val factSide =
+            if (newConds.isEmpty) mvPlan
+            else Filter(newConds.reduce(
+              org.apache.spark.sql.catalyst.expressions.And(_, _)), mvPlan)
+          dim match {
+            case None => Some(factSide)
+            case Some((dimPlan, cond)) =>
+              rewriteJoinCond(cond).map(c =>
+                Join(factSide, dimPlan, Inner, Some(c), JoinHint.NONE))
+          }
+        }
+      } yield Aggregate(ga, newOut, newChild, None)
     }
   }
 }

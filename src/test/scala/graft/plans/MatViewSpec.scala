@@ -422,6 +422,98 @@ class MatViewSpec extends SparkTestBase {
     } finally MatView.deregister(base)
   }
 
+  test("star-schema rewrite: an aggregate over fact ⋈ dim re-plans " +
+      "onto view ⋈ dim — exact under join multiplicity") {
+    import spark.implicits._
+    val basePath = s"${graft.GraftSession.scratchDir}/mvspec_jbase"
+    val mvPath = s"${graft.GraftSession.scratchDir}/mvspec_jmv"
+    Seq((1L, 1.0), (1L, 2.0), (2L, 5.0), (3L, 7.0))
+      .toDF("k", "q")
+      .write.mode("overwrite").parquet(basePath)
+    spark.read.parquet(basePath).groupBy(col("k"))
+      .agg(sum(col("q").cast(DecimalType(38, 2))).as("sum_p"),
+        count(col("q")).as("cntq_p"),
+        sum(col("q")).as("sumraw_p"),
+        count(lit(1)).as("cnt_p"))
+      .write.mode("overwrite").parquet(mvPath)
+    MatView.register(MatView.MvDef(basePath, mvPath, Seq("k"),
+      Seq(MatView.AggSpec("sum", "q", Some(DecimalType(38, 2)), "sum_p"),
+        MatView.AggSpec("count", "q", None, "cntq_p"),
+        MatView.AggSpec("sum", "q", None, "sumraw_p"),
+        MatView.AggSpec("count", "", None, "cnt_p"))))
+    // dim with a DUPLICATED join key (k=2 matches twice) and a key the
+    // fact never matches (k=3 absent): the exact corners of the
+    // multiplicity argument
+    val dim = Seq((1L, "A"), (2L, "B"), (2L, "B"), (9L, "Z"))
+      .toDF("dk", "g")
+    try {
+      def q(fact: org.apache.spark.sql.DataFrame) = fact
+        .join(dim, fact("k") === dim("dk"))
+        .groupBy(col("g"))
+        .agg(sum(col("q").cast(DecimalType(38, 2))).as("s"),
+          count(lit(1)).as("n"), avg(col("q")).as("a"))
+      val planned = q(spark.read.parquet(basePath))
+      val plan = planned.queryExecution.executedPlan.toString
+      assert(plan.contains("mvspec_jmv") && !plan.contains("mvspec_jbase"),
+        plan)
+      val got = planned.collect().map(r => (r.getString(0),
+        r.getDecimal(1).toPlainString, r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1).toSeq
+      // row-level truth: A = {1,2}; B = {5} joined TWICE (dup dim key)
+      assert(got === Seq(("A", "3.00", 2L, 1.5), ("B", "10.00", 2L, 5.0)))
+      MatView.deregister(basePath)
+      val truth = q(spark.read.parquet(basePath)).collect()
+        .map(r => (r.getString(0), r.getDecimal(1).toPlainString,
+          r.getLong(2), r.getDouble(3))).sortBy(_._1).toSeq
+      assert(got === truth)
+    } finally MatView.deregister(basePath)
+  }
+
+  test("star-schema rewrite blocks: dim-column aggregates, outer " +
+      "joins, and row-level fact filters") {
+    import spark.implicits._
+    val basePath = s"${graft.GraftSession.scratchDir}/mvspec_jbbase"
+    val mvPath = s"${graft.GraftSession.scratchDir}/mvspec_jbmv"
+    Seq((1L, 1.0), (2L, 5.0)).toDF("k", "q")
+      .write.mode("overwrite").parquet(basePath)
+    spark.read.parquet(basePath).groupBy(col("k"))
+      .agg(sum(col("q")).as("sum_p"), count(lit(1)).as("cnt_p"))
+      .write.mode("overwrite").parquet(mvPath)
+    MatView.register(MatView.MvDef(basePath, mvPath, Seq("k"),
+      Seq(MatView.AggSpec("sum", "q", None, "sum_p"),
+        MatView.AggSpec("count", "", None, "cnt_p"))))
+    val dim = Seq((1L, "A", 10.0), (2L, "B", 20.0)).toDF("dk", "g", "w")
+    try {
+      val fact = spark.read.parquet(basePath)
+      // SUM over a DIM column: its row-level total depends on fact-row
+      // multiplicity the view has collapsed — must stay on the base
+      val dimAgg = fact.join(dim, fact("k") === dim("dk"))
+        .groupBy(col("g")).agg(sum(col("w")).as("sw"))
+      assert(dimAgg.queryExecution.executedPlan.toString
+        .contains("mvspec_jbbase"))
+      // outer join: null-extended rows have no view analog
+      val outer = fact.join(dim, fact("k") === dim("dk"), "left")
+        .groupBy(col("g")).agg(count(lit(1)).as("n"))
+      assert(outer.queryExecution.executedPlan.toString
+        .contains("mvspec_jbbase"))
+      // row-level fact filter below the join
+      val rowFiltered = fact.where(col("q") > 2.0)
+        .join(dim, fact("k") === dim("dk"))
+        .groupBy(col("g")).agg(count(lit(1)).as("n"))
+      assert(rowFiltered.queryExecution.executedPlan.toString
+        .contains("mvspec_jbbase"))
+      // a GROUP-COLUMN fact filter below the join still rewrites
+      val keyFiltered = fact.where(col("k") === 1L)
+        .join(dim, fact("k") === dim("dk"))
+        .groupBy(col("g")).agg(count(lit(1)).as("n"))
+      val kfPlan = keyFiltered.queryExecution.executedPlan.toString
+      assert(kfPlan.contains("mvspec_jbmv") &&
+        !kfPlan.contains("mvspec_jbbase"), kfPlan)
+      assert(keyFiltered.collect().map(r =>
+        (r.getString(0), r.getLong(1))).toSeq === Seq(("A", 1L)))
+    } finally MatView.deregister(basePath)
+  }
+
   test("exact-granularity query (no rollup) also serves from the view") {
     registerMv()
     try {
