@@ -589,7 +589,71 @@ object CorpusQueries {
       ORDER BY "constraint"
     """))
 
+  /** Sliding-window chunking knobs shared by the entry and its oracle:
+    * 32-token chunks every 24 tokens (8-token overlap) — the RAG /
+    * context-window prep shape. One rule, both engines. */
+  private val ChunkSize = 32
+  private val ChunkStride = 24
+
+  /** Overlapping document chunking — the context-window prep every
+    * RAG / training pipeline runs before embedding or packing: each
+    * document explodes into fixed-size token windows on a stride
+    * (overlap = size − stride preserves cross-boundary context), each
+    * chunk carrying its token count and a content fingerprint (md5 of
+    * the re-joined window — the downstream chunk-level dedup key; the
+    * [[lineDedup]] frequency pass applies at this granularity
+    * unchanged).
+    *
+    * Plan shape: one narrow projection (split + sequence) + one
+    * generator (posexplode of the window starts) + per-row slice/hash —
+    * all scan-fused, no shuffle, output ∝ Σ chunks ≈ n/stride rows.
+    * 100 TB story: this is a map-only pass; the chunk table partitions
+    * by whatever the next stage keys on (hash for dedup, doc for
+    * reassembly). The oracle recomputes every window, count, and md5
+    * from scratch in SQL, so the hash match pins the boundary
+    * arithmetic (final short chunk included, 1-token docs = one
+    * 1-token chunk) — exactly where chunkers drift. */
+  val docChunk = GQuery(
+    "doc_chunk",
+    (s, d) => {
+      val toks = split(col("text"), " ")
+      val starts = sequence(lit(0),
+        floor((size(toks) - 1).cast(DoubleType) / ChunkStride)
+          .cast(IntegerType))
+      Tables.documents(s, d)
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), toks.as("t"), explode(starts).as("i"))
+        .select(col("doc_id"),
+          col("i").cast(LongType).as("chunk_id"),
+          slice(col("t"), col("i") * ChunkStride + 1, lit(ChunkSize))
+            .as("w"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("w")).cast(LongType).as("n_tokens"),
+          md5(concat_ws(" ", col("w"))).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, str_split(text, ' ') AS t
+        FROM documents WHERE text IS NOT NULL),
+      starts AS (
+        SELECT doc_id, t,
+               unnest(range(0, CAST(floor((len(t) - 1) / $ChunkStride.0)
+                 AS BIGINT) + 1)) AS i
+        FROM docs),
+      chunks AS (
+        SELECT doc_id, i AS chunk_id,
+               t[i * $ChunkStride + 1 :
+                 least(i * $ChunkStride + $ChunkSize, len(t))] AS w
+        FROM starts)
+      SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             md5(array_to_string(w, ' ')) AS chunk_hash
+      FROM chunks
+      ORDER BY doc_id, chunk_id
+    """))
+
   def all: Seq[GQuery] =
     Seq(piiScrub, lineDedup, tokenHistogram, profileStats, corpusClean,
-      sampleMixture, lmPerplexity, constraintCheck)
+      sampleMixture, lmPerplexity, constraintCheck, docChunk)
 }
