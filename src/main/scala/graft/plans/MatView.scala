@@ -26,19 +26,23 @@ import org.apache.spark.sql.types.DataType
   * without touching the fact table. At 100 TB the difference is a
   * full fact scan vs a read of |group cells| rows.
   *
-  * Scope (deliberately narrow — every condition is checked, no partial
-  * rewrites): the query must be `Aggregate(G, out, scan(base))` (an
-  * attribute-only Project in between is looked through; a Filter
-  * BLOCKS the rewrite — the view has no row-level data), with G a
-  * subset of the view's grouping columns (rollup queries re-aggregate
-  * the partials), and every output either a grouping attribute or an
-  * alias of SUM(x)/COUNT(1) covered by a registered partial. SUM
-  * re-aggregates as SUM(sum_partial); COUNT re-aggregates as
-  * SUM(cnt_partial) coalesced to 0 so the output keeps COUNT's
-  * non-null contract. Exactness: registered SUM inputs carry their
-  * decimal cast (the money discipline) — decimal addition is exact and
-  * order-independent, so partial-of-partials ≡ one-pass, which is what
-  * `mv_rewrite`'s oracle hash-verifies against the BASE-table SQL.
+  * Scope (every condition is checked, no partial rewrites): the query
+  * is `Aggregate(G, out, scan(base))` or — the star-schema form —
+  * `Aggregate(G, out, scan(base) ⋈_inner dim)` (attribute-only
+  * Projects are looked through; filters over GROUPING columns commute
+  * and apply to the view, row-level filters block), with G a subset of
+  * the view's grouping columns plus any dim attributes, and every
+  * output either a grouping attribute or an expression over covered
+  * aggregates: SUM(x) → SUM(sum_partial); COUNT(*)/COUNT(x) →
+  * SUM(count_partial) coalesced to 0; MIN/MAX re-extremize; AVG(x) →
+  * SUM(sum_partial)/SUM(count_col_partial) (null-correct, the
+  * derived-measure decomposition). Exactness: registered SUM inputs
+  * carry their decimal cast (the money discipline) — decimal addition
+  * is exact and order-independent, so partial-of-partials ≡ one-pass —
+  * and the join form is exact under join multiplicity (each partial
+  * scales by the same per-key match count a row-level join applies);
+  * `mv_rewrite*`'s oracles hash-verify all of it against BASE-table
+  * SQL.
   *
   * Output stability: the rewritten Aggregate reproduces the original
   * output attributes — same names, types, AND exprIds (every rewritten
