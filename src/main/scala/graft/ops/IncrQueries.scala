@@ -939,9 +939,45 @@ object IncrQueries {
       ORDER BY s.s_nationkey
     """))
 
+  /** ROLLUP through the materialized view — the Expand-shape rewrite:
+    * `rollup(flag, status)` compiles to Aggregate over Expand, and the
+    * rule re-plans the Expand onto the view's partials (each grouping
+    * set replicates partials exactly as it would base rows, so
+    * re-aggregation per set IS the rollup over the view). Sub-total
+    * AND grand-total rows — the dashboard's drill-down frame — serve
+    * at |view| cost; AVG rides along via the sum/count decomposition.
+    * NULL rolled-up keys coalesce to a sentinel in BOTH engines (the
+    * `agg_rollup` ordering discipline). Shares [[savedMvAvgBasePath]]'s
+    * registered view (uncast sum + COUNT(col) + COUNT(*) partials). */
+  val mvRewriteRollup = GQuery(
+    "mv_rewrite_rollup",
+    (s, d) => {
+      val base = savedMvAvgBasePath(s, d)
+      s.read.parquet(base)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          avg(col("l_quantity")).as("avg_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("<all>")).as("flag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("status"),
+          col("sum_qty"), col("n_rows"), col("avg_qty"))
+        .orderBy("flag", "status")
+    },
+    Some("""
+      SELECT COALESCE(l_returnflag, '<all>') AS flag,
+             COALESCE(l_linestatus, '<all>') AS status,
+             SUM(l_quantity) AS sum_qty,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             AVG(l_quantity) AS avg_qty
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY flag, status
+    """))
+
   val all: Seq[GQuery] =
     Seq(incrAgg, incrDistinct, incrTopk, rollingWau, overlapSketch,
       zorderLayout, warehouseRefresh, incrPipeline, mvRewrite,
       mvRewriteFiltered, mvRefresh, mvRewriteAvg, mvRefreshDelete,
-      mvRewriteJoin)
+      mvRewriteJoin, mvRewriteRollup)
 }

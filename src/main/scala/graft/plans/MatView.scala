@@ -10,8 +10,8 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.expressions.AttributeSet
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
-  Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand,
+  Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   LogicalRelation}
@@ -296,6 +296,7 @@ object MatView {
           lookup(paths).flatMap(mv => rewrite(groups, out, conds, mv))
         }.headOption
           .orElse(rewriteOverJoin(groups, out, child))
+          .orElse(rewriteOverExpand(groups, out, child))
           .getOrElse(agg)
     }
 
@@ -326,14 +327,113 @@ object MatView {
       strip(child) match {
         case Join(l, r, Inner, Some(cond), _) if cond.deterministic =>
           def tryFact(fact: LogicalPlan, dim: LogicalPlan)
-              : Option[LogicalPlan] =
+              : Option[LogicalPlan] = {
+            val dimOut = dim.outputSet
             scanInfo(fact).toSeq.flatMap { case (paths, conds) =>
-              lookup(paths).flatMap(mv =>
-                rewrite(groups, out, conds, mv, Some((dim, cond))))
+              lookup(paths)
+                // every FACT attribute in the join condition must be a
+                // view group column (name pre-check, no IO)
+                .filter(mv => cond.references.toSeq.forall(a =>
+                  dimOut.contains(a) || mv.groupCols.contains(a.name)))
+                .flatMap { mv =>
+                  // fact attrs substitute for view attrs, dim attrs
+                  // stay — any other reference blocks
+                  def buildJoin(factSide: LogicalPlan,
+                      mvAttr: String => Option[AttributeReference])
+                      : Option[LogicalPlan] = {
+                    var ok = true
+                    val c = cond.transformDown {
+                      case a: AttributeReference if !dimOut.contains(a) =>
+                        if (mv.groupCols.contains(a.name) &&
+                            mvAttr(a.name).isDefined) mvAttr(a.name).get
+                        else { ok = false; a }
+                    }
+                    if (ok)
+                      Some(Join(factSide, dim, Inner, Some(c),
+                        JoinHint.NONE))
+                    else None
+                  }
+                  rewrite(groups, out, conds, mv, dimOut, buildJoin)
+                }
             }.headOption
+          }
           tryFact(l, r).orElse(tryFact(r, l))
         case _ => None
       }
+    }
+
+    /** The ROLLUP / grouping-sets rewrite: `Aggregate(G ∪ gid, out,
+      * Expand(sets, scan(base)))` — the shape `rollup`/`cube`/
+      * `GROUPING SETS` compile to — re-plans onto the same Aggregate
+      * over `Expand(sets', view)`. Partials replicate through Expand
+      * exactly as base rows do (each grouping-set row passes every
+      * partial unchanged and nulls the same group columns), so
+      * re-aggregating partials per (set, groups) IS the rollup over
+      * the view — exact for every covered aggregate by the same
+      * partial-of-partials argument as the flat form. Structural
+      * requirements, all checked: pass-through positions (the agg
+      * input columns) must be the same base attribute in every set
+      * row (they become the view's partial columns, passed through
+      * every row); group positions must be a base attribute named in
+      * the view's group columns or the set's null literal; the
+      * grouping-id position is a literal. */
+    private def rewriteOverExpand(groups: Seq[Expression],
+        out: Seq[NamedExpression], child: LogicalPlan)
+        : Option[LogicalPlan] = child match {
+      case Expand(projections, expandOut, grandChild) =>
+        val childOut = grandChild.outputSet
+        // positions whose output attr is the child's own (pass-through
+        // agg inputs) vs fresh attrs (group copies + grouping id)
+        val passIdx = expandOut.indices.filter(i =>
+          childOut.contains(expandOut(i)))
+        val newIdx = expandOut.indices.filterNot(passIdx.contains)
+        val structureOk =
+          projections.forall(_.length == expandOut.length) &&
+          passIdx.forall(i => projections.forall(r =>
+            r(i) == expandOut(i))) &&
+          newIdx.forall(i => projections.forall(r => r(i) match {
+            case a: AttributeReference => childOut.contains(a)
+            case _: Literal => true
+            case _ => false
+          }))
+        if (!structureOk) None
+        else scanInfo(grandChild).toSeq.flatMap { case (paths, conds) =>
+          lookup(paths)
+            // name pre-checks before IO: every pass-through column and
+            // every group-position attr must be view-answerable
+            .filter { mv =>
+              passIdx.forall(i => mv.aggs.exists(sp =>
+                sp.inputCol == expandOut(i).name)) &&
+              newIdx.forall(i => projections.forall(r => r(i) match {
+                case a: AttributeReference =>
+                  mv.groupCols.contains(a.name)
+                case _ => true
+              }))
+            }
+            .flatMap { mv =>
+              def buildExpand(factSide: LogicalPlan,
+                  mvAttr: String => Option[AttributeReference])
+                  : Option[LogicalPlan] = {
+                val partials = mv.aggs.flatMap(sp => mvAttr(sp.mvCol))
+                if (partials.length != mv.aggs.length) return None
+                var ok = true
+                val newProjections = projections.map { r =>
+                  partials ++ newIdx.map(i => r(i) match {
+                    case a: AttributeReference =>
+                      mvAttr(a.name).getOrElse { ok = false; a }
+                    case l: Literal => l
+                    case other => ok = false; other
+                  })
+                }
+                if (!ok) None
+                else Some(Expand(newProjections,
+                  partials ++ newIdx.map(expandOut), factSide))
+              }
+              rewrite(groups, out, conds, mv,
+                AttributeSet(newIdx.map(expandOut)), buildExpand)
+            }
+        }.headOption
+      case _ => None
     }
 
     /** Root paths + collected filter conditions of a file scan reached
@@ -359,16 +459,23 @@ object MatView {
       case _ => None
     }
 
+    /** The shared rewrite core. `passThrough` is the set of attributes
+      * that remain VALID after the rewrite (a join's dim outputs, an
+      * Expand's group-copy + grouping-id attrs — exprId-keyed, since a
+      * name can exist on both sides); every other attribute is
+      * fact-owned and must be a view group column or a covered agg
+      * input. `buildChild` wraps the (possibly filtered) view relation
+      * into the final child shape — identity for the plain scan form,
+      * a re-keyed Join or Expand for the structured forms — and may
+      * itself refuse (None) when its expressions don't substitute. */
     private def rewrite(groups: Seq[Expression],
         out: Seq[NamedExpression], conds: Seq[Expression],
         mv: MvDef,
-        dim: Option[(LogicalPlan, Expression)] = None)
+        passThrough: AttributeSet = AttributeSet.empty,
+        buildChild: (LogicalPlan, String => Option[AttributeReference]) =>
+          Option[LogicalPlan] = (p, _) => Some(p))
         : Option[LogicalPlan] = {
-      // dim-owned attributes (exprId-keyed — a name can exist on both
-      // sides) pass through the rewrite untouched; fact attributes must
-      // be view group columns or covered agg inputs
-      val dimOut: AttributeSet =
-        dim.map(_._1.outputSet).getOrElse(AttributeSet.empty)
+      val dimOut: AttributeSet = passThrough
       def dimOwned(a: AttributeReference): Boolean = dimOut.contains(a)
       // NAME-BASED pre-checks before any IO: the optimizer batch runs
       // to fixed point, so a registered-base query the view CANNOT
@@ -381,13 +488,7 @@ object MatView {
       }
       val coveredConds = conds.forall(_.references.toSeq.forall(a =>
         mv.groupCols.contains(a.name)))
-      // every FACT attribute in the join condition must be a view
-      // group column (the view carries join keys as grouping state)
-      val coveredJoin = dim.forall { case (_, cond) =>
-        cond.references.toSeq.forall(a =>
-          dimOut.contains(a) || mv.groupCols.contains(a.name))
-      }
-      if (!coveredGroups || !coveredConds || !coveredJoin) return None
+      if (!coveredGroups || !coveredConds) return None
       // a FRESH analyzed relation per rewrite: reusing one plan across
       // queries would collide attribute ids
       val mvPlan = session.read.parquet(mv.mvPath).queryExecution.analyzed
@@ -546,18 +647,6 @@ object MatView {
         }
         if (ok) Some(t) else None
       }
-      // join condition: fact attrs substitute for view attrs, dim
-      // attrs stay — any other reference blocks
-      def rewriteJoinCond(c: Expression): Option[Expression] = {
-        var ok = true
-        val t = c.transformDown {
-          case a: AttributeReference if !dimOwned(a) =>
-            if (mv.groupCols.contains(a.name) && mvAttr(a.name).isDefined)
-              mvAttr(a.name).get
-            else { ok = false; a }
-        }
-        if (ok) Some(t) else None
-      }
       for {
         ga <- groupAttrs
         newConds <- conds.foldLeft(Option(Seq.empty[Expression])) {
@@ -566,18 +655,11 @@ object MatView {
         newOut <- out.foldLeft(Option(Seq.empty[NamedExpression])) {
           (acc, ne) => acc.flatMap(s => rewriteOne(ne).map(s :+ _))
         }
-        newChild <- {
-          val factSide =
-            if (newConds.isEmpty) mvPlan
-            else Filter(newConds.reduce(
-              org.apache.spark.sql.catalyst.expressions.And(_, _)), mvPlan)
-          dim match {
-            case None => Some(factSide)
-            case Some((dimPlan, cond)) =>
-              rewriteJoinCond(cond).map(c =>
-                Join(factSide, dimPlan, Inner, Some(c), JoinHint.NONE))
-          }
-        }
+        newChild <- buildChild(
+          if (newConds.isEmpty) mvPlan
+          else Filter(newConds.reduce(
+            org.apache.spark.sql.catalyst.expressions.And(_, _)), mvPlan),
+          mvAttr)
       } yield Aggregate(ga, newOut, newChild, None)
     }
   }

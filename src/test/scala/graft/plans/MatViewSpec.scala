@@ -514,6 +514,52 @@ class MatViewSpec extends SparkTestBase {
     } finally MatView.deregister(basePath)
   }
 
+  test("ROLLUP and CUBE (the Expand shape) rewrite onto the view: " +
+      "partials replicate per grouping set exactly like base rows") {
+    registerMv()
+    try {
+      def ru = baseDf.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(DecimalType(38, 2))).as("s"),
+          count(lit(1)).as("n"))
+      val plan = ru.queryExecution.executedPlan.toString
+      assert(plan.contains("mvspec_mv") && !plan.contains("mvspec_base"),
+        plan)
+      def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+          r.getDecimal(2).toPlainString, r.getLong(3)))
+        .sortBy(_.toString).toSeq
+      val got = snap(ru)
+      // grand-total row present and grouped rows intact
+      assert(got.exists(t => t._1.isEmpty && t._2.isEmpty))
+      MatView.deregister(base)
+      assert(got === snap(ru))
+      MatView.register(MatView.MvDef(base,
+        s"${graft.GraftSession.scratchDir}/mvspec_mv",
+        Seq("l_returnflag", "l_linestatus"),
+        Seq(MatView.AggSpec("sum", "l_quantity",
+            Some(DecimalType(38, 2)), "sum_qty_p"),
+          MatView.AggSpec("count", "", None, "cnt_p"))))
+      // CUBE: same Expand shape, more sets
+      def cu = baseDf.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+      assert(cu.queryExecution.executedPlan.toString
+        .contains("mvspec_mv"))
+      val gotCube = cu.collect()
+        .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+          r.getLong(2))).sortBy(_.toString).toSeq
+      MatView.deregister(base)
+      assert(gotCube === cu.collect()
+        .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+          r.getLong(2))).sortBy(_.toString).toSeq)
+      // an uncovered aggregate under rollup still blocks
+      registerMv()
+      val blocked = baseDf.rollup(col("l_returnflag"))
+        .agg(max(col("l_quantity")).as("m"))
+      assert(blocked.queryExecution.executedPlan.toString
+        .contains("mvspec_base"))
+    } finally MatView.deregister(base)
+  }
+
   test("exact-granularity query (no rollup) also serves from the view") {
     registerMv()
     try {
