@@ -374,7 +374,7 @@ object ScaleSweep {
         // takedown is NOT a separate probe: each of its legs IS one of
         // the already-swept lifecycles (postingsdelete_sweep,
         // neardup_sweep, mvrewrite_sweep, suggest_sweep).
-        "suggest_sweep", "search_facets")
+        "suggest_sweep", "search_facets", "doc_chunk")
     val spark = graft.GraftSession.local(4, "graft-scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
 
