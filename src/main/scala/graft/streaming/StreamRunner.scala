@@ -525,6 +525,28 @@ object StreamRunner {
       }
       .start()
 
+  /** Streaming KEYWORD-INDEX ingest — the text twin of
+    * `neardupIngestStream`'s self-growing layout: each micro-batch of
+    * (doc_id, text) documents appends to the persisted BM25 postings
+    * through `TextQueries.postingsAppendOnce`, with the checkpointed
+    * foreachBatch id as the append batch id — the idempotent
+    * batch-keyed lists leg plus marker-in-swap df/stats merges make a
+    * crash-replayed batch a mechanical no-op, so the stream is
+    * EXACTLY-ONCE with no external snapshot discipline. Serving
+    * between batches sees each append atomically per leg (the same
+    * maintenance-window contract as the batch op); compaction folds
+    * the accumulated small segments on the cold path. */
+  def postingsIngestStream(indexPath: String, docs: DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.TextQueries.postingsAppendOnce(batch.sparkSession,
+          batch.select(col("doc_id").cast("long").as("doc_id"),
+            col("text")),
+          indexPath, batchId)
+      }
+      .start()
+
   /** Streaming UNIFIED takedown — [[takedownStream]]'s successor
     * spanning EVERY tier through one [[graft.ops.Takedown]] call per
     * micro-batch of doomed (doc_id, text) documents (text feeds the

@@ -107,6 +107,42 @@ class Bm25AppendSpec extends SparkTestBase {
     assert(snap(once) === snap(rebuilt2))
   }
 
+  test("streaming ingest: micro-batches grow the postings exactly-once, " +
+      "final layout ≡ full rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("bm25stream").toString
+    val idx = s"$base/idx"
+    val rebuilt = s"$base/rebuilt"
+    TextQueries.buildPostings(spark, docsDf(half1), idx)
+    val source = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamRunner.postingsIngestStream(idx,
+      source.toDF().toDF("doc_id", "text"))
+    source.addData(half2.take(2): _*)
+    q.processAllAvailable()
+    source.addData(half2.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    TextQueries.buildPostings(spark, docsDf(half1 ++ half2), rebuilt)
+    def sortedRows(p: String, cols: String*) =
+      spark.read.parquet(p).select(cols.map(col): _*)
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(sortedRows(s"$idx/lists", "term", "doc_id", "dl", "tf") ===
+      sortedRows(s"$rebuilt/lists", "term", "doc_id", "dl", "tf"))
+    assert(sortedRows(s"$idx/df", "term", "df") ===
+      sortedRows(s"$rebuilt/df", "term", "df"))
+    assert(sortedRows(s"$idx/stats", "n_docs", "avgdl", "sum_dl",
+      "n_docs_l") === sortedRows(s"$rebuilt/stats", "n_docs", "avgdl",
+      "sum_dl", "n_docs_l"))
+    // crash-replay of the stream's batch 0: a mechanical no-op
+    TextQueries.postingsAppendOnce(spark, docsDf(half2.take(2)), idx,
+      batchId = 0L)
+    assert(sortedRows(s"$idx/lists", "term", "doc_id", "dl", "tf") ===
+      sortedRows(s"$rebuilt/lists", "term", "doc_id", "dl", "tf"))
+  }
+
   test("compaction folds appended segments into nFiles sorted runs " +
       "without changing a single posting row") {
     val base = java.nio.file.Files
