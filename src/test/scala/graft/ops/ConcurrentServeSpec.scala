@@ -139,6 +139,26 @@ class ConcurrentServeSpec extends SparkTestBase {
     } finally pool.shutdownNow()
   }
 
+  test("concurrent takedown_all serves race the six-tier build once " +
+      "and reproduce the serial frame") {
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutor(pool)
+    try {
+      def rows() = graft.SparkEntry.queries("takedown_all")(spark, sf)
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      // first touch races the biggest BuildOnce payload in the engine:
+      // five index layouts + an MV registration + the takedown itself
+      val got = Await.result(
+        Future.sequence(Seq(Future(rows()), Future(rows()))),
+        300.seconds)
+      val serial = rows()
+      got.foreach(r => assert(r === serial,
+        "takedown_all diverged under contention"))
+      assert(serial.nonEmpty)
+    } finally pool.shutdownNow()
+  }
+
   test("concurrent hybrid serve batches reproduce the serial fusion") {
     val pool = Executors.newFixedThreadPool(6)
     implicit val ec: ExecutionContext =
