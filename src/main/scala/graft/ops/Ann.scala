@@ -302,6 +302,31 @@ object Ann {
     Layout.dropTombstoned(spark, s"$path/assigned", path,
       partitionCols = Seq("cell"))
 
+  /** UPDATE (upsert) a vector batch — [[Ivfpq.update]]'s single-marker
+    * delete → compact → append composition on the float layout, so
+    * BOTH vector index forms carry the atomic update roundtrip: stale
+    * versions tombstone, the compact folds them (the append gate's
+    * demand), the new versions assign against the frozen centroids,
+    * and `_applied_upd_<batchId>` on the assigned directory makes a
+    * replayed batch a mechanical no-op. Every pre-marker crash window
+    * is self-healing under replay by the identical argument
+    * documented on [[Ivfpq.update]]; ids absent from the index upsert
+    * to inserts; the batch frame must not derive from this layout.
+    * `AnnUpdateSpec` pins update ≡ frozen-centroid rebuild over the
+    * post-update corpus and the replay no-op. */
+  def update(spark: SparkSession, path: String, newVectors: DataFrame,
+      batchId: Long, idCol: String = "vec_id",
+      embCol: String = "embedding"): Unit = {
+    val marker = s"_applied_upd_$batchId"
+    if (Layout.hasMarker(spark, s"$path/assigned", marker)) return
+    val ids = newVectors.select(col(idCol)).distinct()
+      .localCheckpoint(true)
+    delete(spark, path, ids, idCol)
+    compact(spark, path)
+    append(spark, path, newVectors, idCol, embCol)
+    Layout.addMarker(spark, s"$path/assigned", marker)
+  }
+
   /** Cell-occupancy skew statistic — max/mean resident count over the
     * index's cells — the retrain trigger for a grown index:
     * [[append]] assigns into FROZEN centroids, so as appended content

@@ -847,6 +847,65 @@ object VectorQueries {
       path
     }
 
+  /** Shared oracle of the two update entries: brute-force top-5 over
+    * the post-update corpus (the same reversed-residue edit inline),
+    * recall asserted TRUE. */
+  private val updatedRecallOracle = s"""
+      WITH up AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 7 = 3 THEN list_reverse(embedding)
+                    ELSE embedding END AS embedding
+        FROM embeddings),
+      probe AS (SELECT embedding AS probe_emb FROM up WHERE vec_id = 0),
+      sims AS (
+        SELECT e.vec_id AS neighbor_id,
+               list_cosine_similarity(e.embedding, p.probe_emb) AS sim
+        FROM up e, probe p
+        WHERE e.vec_id <> 0)
+      SELECT rnk, neighbor_id, TRUE AS recall_ok
+      FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk,
+                   neighbor_id
+            FROM sims)
+      WHERE rnk <= $IvfTopK
+      ORDER BY rnk
+    """
+
+  /** Full float-IVF build, then the mod-7 residue upserted with
+    * reversed embeddings through `Ann.update`'s single-marker
+    * composition — `sim_ivf_update`'s layout. */
+  private val ivfUpdated =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), String]
+
+  private def updatedIvfPath(s: org.apache.spark.sql.SparkSession,
+      d: String, k: Int): String =
+    graft.BuildOnce.memo(ivfUpdated, (d, k)) {
+      val path = s"${graft.GraftSession.scratchDir}/ivf_upd_" +
+        d.replaceAll("[^A-Za-z0-9]", "_") + s"_k$k"
+      Ann.save(Ann.build(Tables.embeddings(s, d), k = k), path)
+      Ann.update(s, path,
+        updatedEmbeddings(s, d)
+          .where(pmod(col("vec_id"), lit(7)) === 3)
+          .localCheckpoint(true),
+        batchId = 1L)
+      path
+    }
+
+  /** UPDATE ≡ rebuild on the FLOAT index — `sim_ivfpq_update`'s twin
+    * without the code-distortion variable: the updated residue
+    * re-assigns cells under the frozen centroids, the probe reads true
+    * embeddings in its probed cells, and recall against the
+    * post-update brute force holds at the standard (nProbe 3, ≥3/5)
+    * gate. Same oracle as the compressed twin; `AnnUpdateSpec` pins
+    * layout ≡ frozen-centroid rebuild and the replay no-op. */
+  val simIvfUpdate = GQuery(
+    "sim_ivf_update",
+    (s, d) => recallAnchoredOf(
+      bruteTopKOf(updatedEmbeddings(s, d), IvfTopK),
+      Ann.query(Ann.load(s, updatedIvfPath(s, d, k = 8)),
+        probeId = 0, topK = IvfTopK, nProbe = 3),
+      minHits = 3),
+    Some(updatedRecallOracle))
+
   /** UPDATE ≡ rebuild for the compressed serving index — the last
     * lifecycle identity on the vector side (`bm25_serve_update`'s
     * IVF-PQ twin): ~1/7 of the vectors are upserted with CHANGED
@@ -872,25 +931,7 @@ object VectorQueries {
         probeId = 0, topK = IvfTopK, nProbe = 3,
         shortlist = shortlistFor(embCount(s, d), minS = 100)),
       minHits = 3),
-    Some(s"""
-      WITH up AS (
-        SELECT vec_id,
-               CASE WHEN vec_id % 7 = 3 THEN list_reverse(embedding)
-                    ELSE embedding END AS embedding
-        FROM embeddings),
-      probe AS (SELECT embedding AS probe_emb FROM up WHERE vec_id = 0),
-      sims AS (
-        SELECT e.vec_id AS neighbor_id,
-               list_cosine_similarity(e.embedding, p.probe_emb) AS sim
-        FROM up e, probe p
-        WHERE e.vec_id <> 0)
-      SELECT rnk, neighbor_id, TRUE AS recall_ok
-      FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk,
-                   neighbor_id
-            FROM sims)
-      WHERE rnk <= $IvfTopK
-      ORDER BY rnk
-    """))
+    Some(updatedRecallOracle))
 
   /** Online batched ANN serving, driver-visible end-to-end: load the
     * persisted index ([[savedIvfPath]] — the build is paid once per
@@ -1397,8 +1438,8 @@ object VectorQueries {
   def all: Seq[GQuery] =
     Seq(vecNorm, simTopk, simBucketed, simPairs, dedupEmbed,
       dedupEmbedCluster, simIvf, simIvfLoaded, simFiltered, simIvfAppend,
-      simIvfDelete, simIvfRetrain, simIvfpqAppend, simIvfpqDelete,
-      simIvfpqRetrain, simIvfpqUpdate, simServe,
+      simIvfDelete, simIvfRetrain, simIvfUpdate, simIvfpqAppend,
+      simIvfpqDelete, simIvfpqRetrain, simIvfpqUpdate, simServe,
       simPq, simIvfpq, simIvfpqLoaded, simIvfpqFiltered,
       knnJoin, knnJoinPq, deconSemantic,
       embedQuantize, simTopkBatch)
