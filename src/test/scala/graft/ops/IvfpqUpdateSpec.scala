@@ -70,6 +70,29 @@ class IvfpqUpdateSpec extends SparkTestBase {
     assert(rows.exists(_._1 == maxId + 1L))
   }
 
+  test("the update marker survives a later delete+compact swap — a " +
+      "replay after unrelated maintenance is still a no-op") {
+    val path = s"${graft.GraftSession.scratchDir}/ivfpq_update_spec3"
+    Ivfpq.save(Ivfpq.build(emb, k = 8, m = 4, codes = 16), path)
+    val changed = emb.where(pmod(col("vec_id"), lit(7)) === 3)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      .localCheckpoint(true)
+    Ivfpq.update(spark, path, changed, batchId = 1L)
+    // unrelated maintenance AFTER the update: a delete + compact
+    // swap-replaces the encoded directory — the carried _applied_*
+    // history must keep batch 1's marker alive through the rename
+    Ivfpq.delete(spark, path,
+      emb.where(col("vec_id") % 11 === 5).select("vec_id"))
+    Ivfpq.compact(spark, path)
+    val after = layoutRows(path)
+    val poison = emb.where(pmod(col("vec_id"), lit(7)) === 3)
+      .select(col("vec_id"),
+        transform(col("embedding"), _ => lit(0.0f)).as("embedding"))
+    Ivfpq.update(spark, path, poison, batchId = 1L)
+    assert(layoutRows(path) === after,
+      "a replayed update re-applied after compaction swapped the marker away")
+  }
+
   test("a full-probe full-shortlist search over the updated layout " +
       "equals brute force over the updated corpus") {
     val path = s"${graft.GraftSession.scratchDir}/ivfpq_update_spec2"
