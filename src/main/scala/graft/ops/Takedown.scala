@@ -67,15 +67,24 @@ object Takedown {
       ivfpq: Option[String] = None,
       mvBase: Option[String] = None)
 
-  /** Take down `doomedDocs` — (doc_id, text); text feeds the suggest
-    * leg's per-term distinct-doc subtraction, ids feed everything else
-    * (vector tiers key the same ids as `vec_id` — the document ≙
-    * embedding convention of the test corpus; ids absent from a layout
-    * tombstone nothing). */
+  /** Take down `doomedDocs` — (doc_id[, text]); text feeds the suggest
+    * legs' per-term distinct-doc subtraction and is REQUIRED only when
+    * a suggest tier is wired (an id-only takedown batch drives every
+    * tombstone/MV leg without it), ids feed everything else (vector
+    * tiers key the same ids as `vec_id` — the document ≙ embedding
+    * convention of the test corpus; ids absent from a layout tombstone
+    * nothing). */
   def apply(s: SparkSession, doomedDocs: DataFrame, tiers: Tiers,
       batchId: Long): Unit = {
+    val needsText = tiers.suggest.nonEmpty || tiers.suggest2.nonEmpty
+    require(!needsText || doomedDocs.columns.contains("text"),
+      "Takedown: a wired suggest tier needs the doomed docs' text " +
+        "(the negative df merge subtracts per-term distinct-doc " +
+        "counts) — join the ids to the corpus table first")
     val doomed = doomedDocs
-      .select(col("doc_id").cast(LongType), col("text"))
+      .select(col("doc_id").cast(LongType) +:
+        (if (doomedDocs.columns.contains("text")) Seq(col("text"))
+         else Seq(lit(null).cast(StringType).as("text"))): _*)
       .dropDuplicates("doc_id")
       .localCheckpoint(true)
     val ids = doomed.select("doc_id")

@@ -118,6 +118,26 @@ class TakedownSpec extends SparkTestBase {
     } finally graft.plans.MatView.deregister(base)
   }
 
+  test("an id-only batch drives the tombstone legs; a wired suggest " +
+      "tier refuses it by name") {
+    import spark.implicits._
+    val root = s"${graft.GraftSession.scratchDir}/takedown_idonly"
+    val docs = Seq((1L, "spark merge"), (2L, "filter scan"))
+      .toDF("doc_id", "text")
+    val post = s"$root/post"
+    TextQueries.buildPostings(spark, docs, post)
+    Takedown(spark, Seq(1L).toDF("doc_id"),
+      Takedown.Tiers(postings = Some(post)), batchId = 1L)
+    assert(TextQueries.servedLists(spark, post, Seq("spark", "filter"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(2L))
+    val ex = intercept[IllegalArgumentException] {
+      Takedown(spark, Seq(2L).toDF("doc_id"),
+        Takedown.Tiers(postings = Some(post),
+          suggest = Some(s"$root/nope")), batchId = 2L)
+    }
+    assert(ex.getMessage.contains("text"), ex.getMessage)
+  }
+
   test("streaming face: micro-batches drive the unified takedown, " +
       "checkpointed batch ids make the algebraic legs exactly-once") {
     implicit val sqlCtx = spark.sqlContext
