@@ -52,7 +52,9 @@ object Pipeline {
     *    the host;
     *  - an OPT-IN per-table timeout: by default every table is awaited
     *    to completion (`Duration.Inf` — a legitimately long cycle at
-    *    100 TB scale must never be interrupted mid-write by a default).
+    *    100 TB scale must never be interrupted mid-write by a default;
+    *    the unbounded await logs a named per-minute still-running
+    *    heartbeat so a wedged table is observable without a budget).
     *    When an operator passes a finite budget, one straggler table
     *    (a wedged read, a pathological file) surfaces as a NAMED
     *    timeout row instead of hanging the whole refresh invisibly —
@@ -105,7 +107,26 @@ object Pipeline {
         try {
           if (perTableTimeout.isFinite)
             f.get(perTableTimeout.toMillis, TimeUnit.MILLISECONDS)
-          else f.get()
+          else {
+            // unbounded await, but never an INVISIBLE one: a wedged
+            // table surfaces as a periodic named still-running log
+            // line (one per minute) instead of a silent hang — the
+            // operator observability a finite budget used to provide,
+            // without interrupting a legitimately long 100 TB cycle
+            var result: Option[TableResult] = None
+            var waitedMin = 0
+            while (result.isEmpty) {
+              try result = Some(f.get(60, TimeUnit.SECONDS))
+              catch {
+                case _: TimeoutException =>
+                  waitedMin += 1
+                  org.slf4j.LoggerFactory.getLogger(getClass)
+                    .warn(s"Pipeline.update: table $name still " +
+                      s"running after ${waitedMin}m (no timeout set)")
+              }
+            }
+            result.get
+          }
         } catch {
           case _: TimeoutException =>
             f.cancel(true)

@@ -288,7 +288,16 @@ object NearDup {
     * Equivalently: a redelivered batch is judged against the same
     * world its first delivery saw. Intra-batch near-dup pairs are both
     * accepted by design — in-flight self-dedup is
-    * `StreamRunner.nearDupFilter`'s job, composed upstream. */
+    * `StreamRunner.nearDupFilter`'s job, composed upstream.
+    *
+    * SOURCE REQUIREMENT (stable whole-batch redelivery): the exclusion
+    * assumes a redelivered document arrives in the SAME batch as its
+    * first delivery (Spark foreachBatch replays whole batches over
+    * checkpointed offsets). A source that re-buckets offsets across
+    * restarts can mix an already-indexed doc X with a NEW near-dup A
+    * of X in one batch — the exclusion then removes X from A's
+    * candidate set and accepts A even though its dup is genuinely in
+    * the index, weakening the gate for exactly those mixed batches. */
   def ingestVerdicts(s: SparkSession, batch: DataFrame, path: String,
       tau: Double = Tau): DataFrame = {
     val docs = batch.where(col("text").isNotNull)

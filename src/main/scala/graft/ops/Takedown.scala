@@ -73,7 +73,16 @@ object Takedown {
     * tombstone/MV leg without it), ids feed everything else (vector
     * tiers key the same ids as `vec_id` — the document ≙ embedding
     * convention of the test corpus; ids absent from a layout tombstone
-    * nothing). */
+    * nothing).
+    *
+    * ORDERING vs the data-plane row delete: when a suggest tier OR an
+    * MV base is wired, the takedown must run BEFORE the caller shrinks
+    * the corpus/base table — both legs derive doomed state (per-term
+    * text counts, per-row measures) from rows that must still exist.
+    * An id-only batch against a corpus already shrunk cannot be joined
+    * back to its text, and a replayed call whose base rows are gone
+    * re-derives an empty MV delta — takedown-first is what keeps
+    * replay ≡ once (`TakedownSpec` pins the ordering requirement). */
   def apply(s: SparkSession, doomedDocs: DataFrame, tiers: Tiers,
       batchId: Long): Unit = {
     val needsText = tiers.suggest.nonEmpty || tiers.suggest2.nonEmpty
@@ -138,6 +147,7 @@ object Takedown {
       val nd = scratch("tk_nd", d)
       val sug = scratch("tk_sug", d)
       val vec = scratch("tk_vec", d)
+      val ivf = scratch("tk_ivf", d)
       val base = scratch("tk_mvbase", d)
       val mv = scratch("tk_mv", d)
       TextQueries.buildPostings(s, docs, post)
@@ -145,6 +155,7 @@ object Takedown {
       NearDup.buildNearDup(s, docs, nd)
       Suggest.buildSuggest(s, docs, sug)
       Ivfpq.save(Ivfpq.build(emb, k = 8, m = 4, codes = 16), vec)
+      Ann.save(Ann.build(emb, k = 8), ivf)
       docs.select(col("doc_id"), col("source"), col("n_chars"))
         .write.mode("overwrite").parquet(base)
       s.read.parquet(base).groupBy(col("source"))
@@ -162,16 +173,16 @@ object Takedown {
         .localCheckpoint(true)
       Takedown(s, doomed,
         Tiers(postings = Some(post), positional = Some(pos),
-          neardup = Some(nd), suggest = Some(sug), ivfpq = Some(vec),
-          mvBase = Some(base)),
+          neardup = Some(nd), suggest = Some(sug), ivf = Some(ivf),
+          ivfpq = Some(vec), mvBase = Some(base)),
         batchId = 1L)
       Layout.replaceDir(s,
         s.read.parquet(base).where(col("doc_id") % 5 =!= Residue), base)
       Map("post" -> post, "pos" -> pos, "nd" -> nd, "sug" -> sug,
-        "vec" -> vec, "base" -> base)
+        "vec" -> vec, "ivf" -> ivf, "base" -> base)
     }
 
-  /** One normalized row shape so six tiers hash in one frame:
+  /** One normalized row shape so seven tiers hash in one frame:
     * (tier, k, id, v). Each tier's mapping is fixed here and mirrored
     * column-for-column in the oracle. */
   private def norm(tier: String, k: org.apache.spark.sql.Column,
@@ -224,22 +235,32 @@ object Takedown {
         .select(norm("suggest", col("rnk"),
           concat(col("query"), lit("|"), col("term")),
           col("df")): _*)
-      val vector = {
+      // one brute survivor anchor feeds BOTH vector tiers' recall
+      // gates (the IVF-PQ and the float-IVF leg of the same takedown)
+      def vectorTier(tier: String,
+          served: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
         val emb = Tables.embeddings(s, d)
         val brute = VectorQueries.bruteTopKOf(
           emb.where(col("vec_id") % 5 =!= Residue),
           VectorQueries.IvfTopK)
-        val served = Ivfpq.search(Ivfpq.load(s, p("vec")), probeId = 0,
-          topK = VectorQueries.IvfTopK, nProbe = 3,
-          shortlist = VectorQueries.shortlistFor(emb.count(),
-            minS = 100))
         val hits = served.select(col("neighbor_id"), lit(1L).as("hit"))
         brute.join(broadcast(hits), Seq("neighbor_id"), "left")
-          .select(norm("vector", col("rnk"), col("neighbor_id"),
+          .select(norm(tier, col("rnk"), col("neighbor_id"),
             (sum(coalesce(col("hit"), lit(0L)))
               .over(org.apache.spark.sql.expressions.Window
                 .partitionBy()) >= 3).cast(IntegerType)): _*)
       }
+      val vector = vectorTier("vector",
+        Ivfpq.search(Ivfpq.load(s, p("vec")), probeId = 0,
+          topK = VectorQueries.IvfTopK, nProbe = 3,
+          shortlist = VectorQueries.shortlistFor(
+            Tables.embeddings(s, d).count(), minS = 100)))
+      // seventh tier: the float-IVF index the SAME takedown call
+      // tombstoned — served search must recall the survivor anchor
+      val vectorIvf = vectorTier("vector_ivf",
+        Ann.query(Ann.load(s, p("ivf")), probeId = 0,
+          topK = VectorQueries.IvfTopK, nProbe = 3))
       val mvQ = s.read.parquet(p("base"))
         .groupBy(col("source"))
         .agg(sum(col("n_chars").cast(DecimalType(38, 0)))
@@ -247,7 +268,7 @@ object Takedown {
           count(lit(1)).as("n_rows"))
         .select(norm("mv", col("n_rows"), col("source"),
           col("sum_chars")): _*)
-      Seq(bm25, phrase, neardup, suggest, vector, mvQ)
+      Seq(bm25, phrase, neardup, suggest, vector, vectorIvf, mvQ)
         .reduce(_ unionByName _)
         .orderBy("tier", "k", "id")
     },
@@ -397,6 +418,13 @@ object Takedown {
                  neighbor_id) AS BIGINT) AS rnk, neighbor_id
               FROM vsims)
         WHERE rnk <= ${VectorQueries.IvfTopK}),
+      vector_ivf AS (
+        SELECT 'vector_ivf' AS tier, rnk AS k,
+               CAST(neighbor_id AS VARCHAR) AS id, 1.0 AS v
+        FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC,
+                 neighbor_id) AS BIGINT) AS rnk, neighbor_id
+              FROM vsims)
+        WHERE rnk <= ${VectorQueries.IvfTopK}),
       mv AS (
         SELECT 'mv' AS tier, CAST(COUNT(*) AS BIGINT) AS k, source AS id,
                CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS v
@@ -405,7 +433,8 @@ object Takedown {
       SELECT tier, k, id, v FROM (
         SELECT * FROM bm25 UNION ALL SELECT * FROM phrase
         UNION ALL SELECT * FROM neardup UNION ALL SELECT * FROM suggest
-        UNION ALL SELECT * FROM vector UNION ALL SELECT * FROM mv)
+        UNION ALL SELECT * FROM vector UNION ALL SELECT * FROM vector_ivf
+        UNION ALL SELECT * FROM mv)
       ORDER BY tier, k, id
     """))
 

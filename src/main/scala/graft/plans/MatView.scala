@@ -187,11 +187,17 @@ object MatView {
   }
 
   /** DELETE-side view maintenance: the deleted base rows merge into the
-    * partials with NEGATED sums and counts — exact long/decimal
-    * subtraction, so refresh-after-delete ≡ rebuild-over-survivors
-    * algebraically (what `mv_refresh_delete` hash-verifies through the
-    * rewrite path). Two mechanical preconditions, both REFUSED loudly
-    * rather than served wrong:
+    * partials with NEGATED sums and counts — exact subtraction for
+    * LONG/DECIMAL-typed sum partials, so for those
+    * refresh-after-delete ≡ rebuild-over-survivors algebraically (what
+    * `mv_refresh_delete` hash-verifies through the rewrite path).
+    * SCOPE of that exactness claim: a view registering DOUBLE-typed
+    * sum partials (e.g. an uncast AVG-covering pattern) passes the
+    * preconditions but float subtraction is not exact — surviving
+    * cells can drift by ulps from a survivors-rebuild; operators
+    * needing bit-exact delete-refresh must register decimal/long-cast
+    * sums. Two mechanical preconditions, both REFUSED loudly rather
+    * than served wrong:
     *
     *  - min/max partials cannot be maintained under delete (a deleted
     *    extremum is unrecoverable from the partial — the second-largest

@@ -535,10 +535,19 @@ object StreamRunner {
     * EXACTLY-ONCE with no external snapshot discipline. Serving
     * between batches sees each append atomically per leg (the same
     * maintenance-window contract as the batch op); compaction folds
-    * the accumulated small segments on the cold path. */
-  def postingsIngestStream(indexPath: String, docs: DataFrame)
+    * the accumulated small segments on the cold path.
+    *
+    * `checkpoint` is REQUIRED for the exactly-once claim to survive a
+    * restart: the marker/batch-keyed legs key off the checkpointed
+    * foreachBatch id, and a stream restarted WITHOUT a checkpoint
+    * resets batch ids to 0 — a genuinely new batch then collides with
+    * an already-planted marker and is silently skipped. Running with
+    * `checkpoint = None` (tests, one-shot backfills that never
+    * restart) voids that contract. */
+  def postingsIngestStream(indexPath: String, docs: DataFrame,
+      checkpoint: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream.outputMode("append")
+    withCheckpoint(docs.writeStream.outputMode("append"), checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ops.TextQueries.postingsAppendOnce(batch.sparkSession,
           batch.select(col("doc_id").cast("long").as("doc_id"),
@@ -546,6 +555,15 @@ object StreamRunner {
           indexPath, batchId)
       }
       .start()
+
+  /** Apply a checkpoint location when one is supplied — shared by the
+    * streaming faces whose exactly-once rests on the checkpointed
+    * foreachBatch id (see each face's `checkpoint` doc). */
+  private def withCheckpoint[T](
+      w: org.apache.spark.sql.streaming.DataStreamWriter[T],
+      checkpoint: Option[String])
+      : org.apache.spark.sql.streaming.DataStreamWriter[T] =
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c))
 
   /** Streaming UNIFIED takedown — [[takedownStream]]'s successor
     * spanning EVERY tier through one [[graft.ops.Takedown]] call per
@@ -559,15 +577,30 @@ object StreamRunner {
     * state, the property `TakedownSpec` pins call-level and this
     * stream inherits wholesale. Same maintenance-worker contract as
     * [[takedownStream]]: serialized delete batches in a window
-    * without concurrent serving. */
+    * without concurrent serving.
+    *
+    * An ID-ONLY doomed stream (no `text` column) is accepted exactly
+    * when `Takedown.apply` accepts it — no suggest tier wired; the
+    * select mirrors the batch face instead of demanding text
+    * unconditionally. `checkpoint` is REQUIRED for exactly-once across
+    * restarts: the algebraic legs skip on `_applied_del_<batchId>`
+    * markers keyed by the checkpointed foreachBatch id, and a restart
+    * without a checkpoint resets ids to 0 — a new doomed batch then
+    * collides with old markers, so the suggest/MV legs silently skip
+    * while the tombstone legs still apply: exactly the cross-tier
+    * inconsistency this stream exists to prevent. `checkpoint = None`
+    * is for never-restarted one-shot runs only. */
   def takedownAllStream(tiers: graft.ops.Takedown.Tiers,
-      doomedDocs: DataFrame)
+      doomedDocs: DataFrame,
+      checkpoint: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    doomedDocs.writeStream.outputMode("append")
+    withCheckpoint(doomedDocs.writeStream.outputMode("append"),
+      checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.Takedown(batch.sparkSession,
-          batch.select(col("doc_id").cast("long").as("doc_id"),
-            col("text")),
+        val cols = col("doc_id").cast("long").as("doc_id") +:
+          (if (batch.columns.contains("text")) Seq(col("text"))
+           else Seq.empty)
+        graft.ops.Takedown(batch.sparkSession, batch.select(cols: _*),
           tiers, batchId)
       }
       .start()
@@ -614,11 +647,15 @@ object StreamRunner {
     * separate ledger store. Pinned in `MatViewSpec`'s stream test
     * (growth across batches + replay no-op). The caller appends the
     * same batches to the base table downstream of `emitBase` (or
-    * treats the view as the only materialization). */
-  def mvRefreshStream(basePath: String, rows: DataFrame)
+    * treats the view as the only materialization). `checkpoint` is
+    * REQUIRED for the replay-no-op to survive a restart (the markers
+    * key off the checkpointed batch id — see [[postingsIngestStream]]'s
+    * contract). */
+  def mvRefreshStream(basePath: String, rows: DataFrame,
+      checkpoint: Option[String] = None)
       (emitBase: (DataFrame, Long) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.StreamingQuery =
-    rows.writeStream.outputMode("append")
+    withCheckpoint(rows.writeStream.outputMode("append"), checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.localCheckpoint(true)
         graft.plans.MatView.refreshOnce(b.sparkSession, basePath, b,

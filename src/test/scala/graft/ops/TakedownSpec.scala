@@ -138,6 +138,61 @@ class TakedownSpec extends SparkTestBase {
     assert(ex.getMessage.contains("text"), ex.getMessage)
   }
 
+  test("id-only STREAM batches drive the no-suggest tiers (the " +
+      "streaming face mirrors the batch face's schema contract)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val root = s"${graft.GraftSession.scratchDir}/takedown_idonly_stream"
+    val docs = Seq((1L, "spark merge"), (2L, "filter scan"))
+      .toDF("doc_id", "text")
+    val post = s"$root/post"
+    TextQueries.buildPostings(spark, docs, post)
+    val source = MemoryStream[Long]
+    val q = graft.streaming.StreamRunner.takedownAllStream(
+      Takedown.Tiers(postings = Some(post)), source.toDF().toDF("doc_id"))
+    source.addData(1L)
+    q.processAllAvailable()
+    q.stop()
+    assert(TextQueries.servedLists(spark, post, Seq("spark", "filter"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(2L))
+  }
+
+  test("ORDERING pin: a suggest-wired takedown must precede the " +
+      "data-plane row delete — ids joined to an already-shrunk corpus " +
+      "derive no text, and the dictionary silently keeps the doomed " +
+      "terms") {
+    import spark.implicits._
+    val root = s"${graft.GraftSession.scratchDir}/takedown_order"
+    val corpus = s"$root/corpus"
+    val docs = Seq((1L, "spark uniqterm"), (2L, "filter scan"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(corpus)
+    val sug = s"$root/sug"
+    Suggest.buildSuggest(spark, docs, sug)
+    def df(term: String): Option[Long] = spark.read
+      .parquet(s"$sug/delnbr")
+      .where(col("delkey") === col("term") && col("term") === term)
+      .collect().headOption.map(_.getLong(2))
+    // WRONG order: the data-plane row delete runs first, then the
+    // takedown derives text by joining ids to the corpus — the doomed
+    // rows are already gone, the suggest merge subtracts nothing
+    Layout.replaceDir(spark,
+      spark.read.parquet(corpus).where(col("doc_id") =!= 1L), corpus)
+    val doomedLate = spark.read.parquet(corpus)
+      .join(Seq(1L).toDF("doc_id"), Seq("doc_id"))
+    Takedown(spark, doomedLate, Takedown.Tiers(suggest = Some(sug)),
+      batchId = 1L)
+    assert(df("uniqterm") === Some(1L),
+      "doomed term survived BECAUSE the row delete ran first — the " +
+        "ordering contract exists exactly for this")
+    // RIGHT order: text captured before the rows go — the term leaves
+    // the dictionary
+    Takedown(spark, docs.where(col("doc_id") === 1L),
+      Takedown.Tiers(suggest = Some(sug)), batchId = 2L)
+    assert(df("uniqterm") === None)
+  }
+
   test("streaming face: micro-batches drive the unified takedown, " +
       "checkpointed batch ids make the algebraic legs exactly-once") {
     implicit val sqlCtx = spark.sqlContext
