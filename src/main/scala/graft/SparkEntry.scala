@@ -15,7 +15,8 @@ object SparkEntry {
       ops.WindowQueries.all ++ ops.SortSetQueries.all ++
       ops.ScalarQueries.all ++ ops.StreamQueries.all ++
       ops.FunnelQueries.all ++
-      ops.TextQueries.all ++ ops.PhraseQueries.all ++ ops.Suggest.all ++
+      ops.TextQueries.all ++ ops.EpochPostings.all ++
+      ops.PhraseQueries.all ++ ops.Suggest.all ++
       ops.CorpusQueries.all ++
       ops.VectorQueries.all ++ ops.HybridQueries.all ++
       ops.DedupQueries.all ++ ops.NearDup.all ++ ops.IndexStats.all ++

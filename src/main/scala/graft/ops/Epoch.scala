@@ -1,0 +1,201 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest-pointer (epoch) layouts — SNAPSHOT-ISOLATED serving under
+  * live mutation, the successor to [[Layout.replaceDir]]'s
+  * "maintenance window without concurrent serving" contract.
+  *
+  * The reference sidesteps serve-during-mutation entirely: every
+  * update cycle loads into a fresh database and cuts over wholesale
+  * (`updatecalaccessrawdata.py:~100-200` — full reload). That works at
+  * its scale; a 100 TB serving deployment cannot reload the world per
+  * delete batch, and the in-place swap discipline [[Layout.replaceDir]]
+  * provides is atomic only per DIRECTORY — a reader overlapping a
+  * multi-directory mutation (lists + df + stats) can see mixed
+  * generations. Epoch layouts close that seam the way modern table
+  * formats do (Iceberg snapshots, Delta's log): mutations write NEW
+  * generation directories and publish them by atomically creating ONE
+  * numbered manifest file; readers resolve the highest committed
+  * manifest once per query and pin every directory it names.
+  *
+  * Layout on disk, all under one `path`:
+  * {{{
+  *   _manifest_<N>        one small text file per committed epoch
+  *   g<N>/<component>/    parquet dirs written by the epoch-N mutation
+  * }}}
+  * A manifest maps component name → the generation dirs (relative to
+  * `path`) that TOGETHER hold that component — so an append publishes
+  * a new epoch whose `lists` component is the old segment dirs PLUS
+  * one delta dir, without rewriting or even touching the old ones.
+  *
+  * The guarantees, each pinned in `EpochServeSpec`:
+  *
+  *  - ATOMIC VISIBILITY: a manifest is written to a temp name and
+  *    renamed into place — readers see a complete epoch or none of it,
+  *    never a half-published one. A crash before the rename leaves
+  *    only invisible orphan directories; the replayed mutation
+  *    regenerates them (overwrite mode) and commits.
+  *  - SNAPSHOT ISOLATION: a reader that resolved epoch N keeps reading
+  *    epoch N's directories even while N+1 commits — old generations
+  *    are immutable and survive until [[prune]] retires them. No mixed
+  *    reads: every directory a query touches came from one manifest.
+  *  - EXACTLY-ONCE MUTATION: each manifest carries the applied-batch
+  *    ledger (caller-namespaced ids, e.g. `app_7`, `del_3`); a
+  *    replayed mutation whose id is already in the CURRENT manifest is
+  *    a mechanical no-op — the ledger commits in the same rename as
+  *    the data it describes, the property [[Layout.replaceDir]] needed
+  *    marker files for.
+  *
+  * Concurrency contract: MANY readers, ONE mutator at a time (the
+  * standard table-format discipline — mutations serialize through the
+  * maintenance worker; [[commit]] fails loudly if a competing manifest
+  * appears). [[prune]] bounds retention: a reader pinned on an epoch
+  * older than the keep horizon can lose directories mid-query, exactly
+  * like Iceberg snapshot expiry — size `keep` to the longest query. */
+private[graft] object Epoch {
+
+  /** One committed epoch: `components` maps name → generation dirs
+    * RELATIVE to the layout root; `applied` is the namespaced
+    * mutation-batch ledger (newest last, capped at [[LedgerCap]]). */
+  final case class Manifest(epoch: Long,
+      components: Map[String, Seq[String]],
+      applied: Seq[String]) {
+    def dirs(root: String, component: String): Seq[String] =
+      components.getOrElse(component, Seq.empty).map(d => s"$root/$d")
+    def has(batchKey: String): Boolean = applied.contains(batchKey)
+    def next: Long = epoch + 1
+  }
+
+  /** Ledger cap — streaming replay only ever re-asks about the most
+    * recent uncommitted batch per checkpoint (the [[Layout]] marker
+    * cap's reasoning), so the newest 128 ids are the only ones a
+    * replay can probe. */
+  private val LedgerCap = 128
+
+  private def fs(s: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private val ManifestName = "_manifest_(\\d+)".r
+
+  /** Resolve the CURRENT epoch: highest committed `_manifest_<N>`.
+    * One small-file read per query — the reader's only coordination
+    * point; everything after is pinned. None on a never-built layout. */
+  def resolve(s: SparkSession, path: String): Option[Manifest] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val f = fs(s, path)
+    if (!f.exists(root)) return None
+    val ns = f.listStatus(root).map(_.getPath.getName).collect {
+      case ManifestName(n) => n.toLong
+    }
+    if (ns.isEmpty) None else Some(readManifest(s, path, ns.max))
+  }
+
+  private def readManifest(s: SparkSession, path: String, n: Long)
+      : Manifest = {
+    val p = new org.apache.hadoop.fs.Path(path, s"_manifest_$n")
+    val in = fs(s, path).open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.split("\n").filter(_.nonEmpty)
+    val kv = lines.map { l =>
+      val Array(k, v) = l.split("\t", 2); (k, v)
+    }
+    val applied = kv.collectFirst { case ("applied", v) => v } match {
+      case Some("") | None => Seq.empty[String]
+      case Some(v) => v.split(",").toSeq
+    }
+    Manifest(n,
+      kv.collect {
+        case (k, v) if k != "epoch" && k != "applied" =>
+          k -> (if (v.isEmpty) Seq.empty[String] else v.split(",").toSeq)
+      }.toMap,
+      applied)
+  }
+
+  /** Publish epoch `m.epoch`: serialize to `_manifest_<N>.tmp`, then
+    * ATOMICALLY rename into place. Fails loudly if the epoch number is
+    * already committed (a competing mutator — the single-mutator
+    * contract was violated) rather than clobbering it. Relative dirs
+    * only; the applied ledger is capped to the newest [[LedgerCap]]. */
+  def commit(s: SparkSession, path: String, m: Manifest): Unit = {
+    val f = fs(s, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!f.exists(root)) f.mkdirs(root)
+    val fin = new org.apache.hadoop.fs.Path(path, s"_manifest_${m.epoch}")
+    require(!f.exists(fin),
+      s"Epoch.commit: epoch ${m.epoch} of $path already committed — " +
+        "concurrent mutators are not supported (serialize mutations " +
+        "through one maintenance worker)")
+    val body = (Seq(s"epoch\t${m.epoch}",
+      s"applied\t${m.applied.takeRight(LedgerCap).mkString(",")}") ++
+      m.components.toSeq.sortBy(_._1).map { case (k, v) =>
+        require(k != "epoch" && k != "applied" && !k.contains("\t"),
+          s"Epoch.commit: reserved/invalid component name $k")
+        v.foreach(d => require(!d.startsWith("/") && !d.contains(","),
+          s"Epoch.commit: component dirs must be relative, comma-free: $d"))
+        s"$k\t${v.mkString(",")}"
+      }).mkString("", "\n", "\n")
+    val tmp = new org.apache.hadoop.fs.Path(path,
+      s"_manifest_${m.epoch}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    require(f.rename(tmp, fin),
+      s"Epoch.commit: publish of epoch ${m.epoch} at $path failed")
+  }
+
+  /** The generation scratch prefix for the mutation building epoch
+    * `n`. Clears any orphan of a CRASHED prior attempt at the same
+    * epoch first — safe under the single-mutator contract, because an
+    * existing committed manifest `n` makes [[commit]] refuse anyway. */
+  def genDir(s: SparkSession, path: String, n: Long): String = {
+    val g = s"$path/g$n"
+    val f = fs(s, path)
+    require(!f.exists(new org.apache.hadoop.fs.Path(path,
+      s"_manifest_$n")),
+      s"Epoch.genDir: epoch $n already committed at $path")
+    f.delete(new org.apache.hadoop.fs.Path(g), true)
+    g
+  }
+
+  /** Read one component of a PINNED manifest: a multi-dir parquet scan
+    * (one relation, filters/pruning push down exactly as on a single
+    * dir). Empty component → None. */
+  def read(s: SparkSession, path: String, m: Manifest,
+      component: String): Option[DataFrame] = {
+    val ds = m.dirs(path, component)
+    if (ds.isEmpty) None else Some(s.read.parquet(ds: _*))
+  }
+
+  /** Retire history: keep the newest `keep` manifests plus every
+    * generation directory any KEPT manifest references; delete older
+    * manifests, unreferenced `g<N>` directories, and orphan tmp files.
+    * Readers pinned beyond the horizon lose their snapshot — the
+    * documented retention trade (Iceberg snapshot expiry); run prune
+    * with `keep` sized to the longest-running query. */
+  def prune(s: SparkSession, path: String, keep: Int = 3): Unit = {
+    require(keep >= 1, s"Epoch.prune: keep=$keep")
+    val f = fs(s, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!f.exists(root)) return
+    val names = f.listStatus(root).map(_.getPath.getName)
+    val epochs = names.collect { case ManifestName(n) => n.toLong }.sorted
+    if (epochs.isEmpty) return
+    val kept = epochs.takeRight(keep).toSet
+    val liveDirs: Set[String] = kept.flatMap(n =>
+      readManifest(s, path, n).components.values.flatten
+        .map(_.split("/").head))
+    epochs.filterNot(kept).foreach(n =>
+      f.delete(new org.apache.hadoop.fs.Path(path, s"_manifest_$n"), false))
+    names.filter(_.startsWith("g")).foreach { d =>
+      if (d.matches("g\\d+") && !liveDirs.contains(d) &&
+          // never reap the IN-FLIGHT mutation's staging generation
+          d.stripPrefix("g").toLong <= epochs.max)
+        f.delete(new org.apache.hadoop.fs.Path(path, d), true)
+    }
+    names.filter(_.matches("_manifest_\\d+\\.tmp")).foreach(t =>
+      f.delete(new org.apache.hadoop.fs.Path(path, t), false))
+  }
+}

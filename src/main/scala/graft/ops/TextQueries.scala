@@ -826,7 +826,7 @@ object TextQueries {
     * append paths — ONE tokenization rule so an appended segment can
     * never disagree with the built index about what a term or a
     * document length is. */
-  private def docProjection(docs: org.apache.spark.sql.DataFrame)
+  private[ops] def docProjection(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     docs.where(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -838,7 +838,7 @@ object TextQueries {
     * exactly what makes the inverted index append-friendly: a new
     * segment's rows are identical to what a full rebuild would compute
     * for those documents. */
-  private def postingRows(proj: org.apache.spark.sql.DataFrame)
+  private[ops] def postingRows(proj: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     proj.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
@@ -850,7 +850,7 @@ object TextQueries {
     * avgdl = sum_dl / n_docs bit-identically to a full rebuild — dl
     * sums sit far below 2^53, so the double division is the only
     * rounding on either path. */
-  private def statsFrame(proj: org.apache.spark.sql.DataFrame)
+  private[ops] def statsFrame(proj: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     proj.agg(count(lit(1)).as("n_docs_l"), sum(col("dl")).as("sum_dl"))
       .select(col("n_docs_l").cast(DoubleType).as("n_docs"),
