@@ -872,6 +872,91 @@ object IncrQueries {
       ORDER BY l_returnflag
     """))
 
+  /** Base copy + view WITH min/max partials, then a takedown slice
+    * removed through [[graft.plans.MatView.refreshDelete]]'s targeted
+    * RECOUNT path (extrema are not subtractable — only the delete
+    * batch's cells recompute from surviving base rows). Ordering
+    * follows the takedown contract: the view recounts BEFORE the base
+    * shrinks. */
+  private val mvMinmaxDelSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedMvMinmaxDeletePath(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.BuildOnce.memo(mvMinmaxDelSaved, d) {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"${graft.GraftSession.scratchDir}/mvdx_base_$tag"
+      val mv = s"${graft.GraftSession.scratchDir}/mvdx_view_$tag"
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_returnflag",
+          "l_linestatus")
+      li.write.mode("overwrite").parquet(base)
+      s.read.parquet(base)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(DecimalType(38, 2)))
+          .as("sum_qty_p"),
+          count(lit(1)).as("cnt_p"),
+          min(col("l_quantity")).as("min_qty_p"),
+          max(col("l_quantity")).as("max_qty_p"))
+        .write.mode("overwrite").parquet(mv)
+      graft.plans.MatView.register(graft.plans.MatView.MvDef(base, mv,
+        Seq("l_returnflag", "l_linestatus"),
+        Seq(graft.plans.MatView.AggSpec("sum", "l_quantity",
+            Some(DecimalType(38, 2)), "sum_qty_p"),
+          graft.plans.MatView.AggSpec("count", "", None, "cnt_p"),
+          graft.plans.MatView.AggSpec("min", "l_quantity", None,
+            "min_qty_p"),
+          graft.plans.MatView.AggSpec("max", "l_quantity", None,
+            "max_qty_p"))))
+      val doomed = s.read.parquet(base)
+        .where(col("l_orderkey") % 3 === 0)
+        .localCheckpoint(true)
+      // takedown-first: the recount scans the doomed rows' cells while
+      // they still exist, then the data-plane delete shrinks the base
+      graft.plans.MatView.refreshDelete(s, base, doomed)
+      graft.ops.Layout.replaceDir(s,
+        s.read.parquet(base).where(col("l_orderkey") % 3 =!= 0), base)
+      base
+    }
+
+  /** Min/max views under DELETE — the targeted-recount gate,
+    * driver-verified end to end: extrema partials cannot subtract a
+    * deleted value (the runner-up was never stored), so the delete
+    * refresh recomputes ONLY the affected cells from their surviving
+    * base rows (∝ affected groups' rows — never the full base, never
+    * the other cells, which pass through byte-identical). The rollup
+    * — rewritten onto the recounted view by the Catalyst rule,
+    * MIN/MAX re-extremized over cell partials — must hash-match the
+    * from-scratch aggregate over the survivors: recount ≡ rebuild,
+    * through the rewrite path, extrema included. */
+  val mvRefreshDeleteMinmax = GQuery(
+    "mv_refresh_delete_minmax",
+    (s, d) => {
+      val base = savedMvMinmaxDeletePath(s, d)
+      s.read.parquet(base)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity").cast(DecimalType(38, 2)))
+          .as("sum_qty_dec"),
+          count(lit(1)).as("n_rows"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+        .select(col("l_returnflag"),
+          col("sum_qty_dec").cast(DoubleType).as("sum_qty"),
+          col("n_rows"), col("min_qty"), col("max_qty"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(l_quantity) AS min_qty,
+             MAX(l_quantity) AS max_qty
+      FROM lineitem
+      WHERE l_orderkey % 3 <> 0
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """))
+
   /** Dedicated fact copy + view at JOIN-KEY granularity for the
     * star-schema rewrite: the view pre-aggregates lineitem by
     * l_suppkey (|suppliers| rows), so a dim-grouped rollup joins
@@ -979,5 +1064,5 @@ object IncrQueries {
     Seq(incrAgg, incrDistinct, incrTopk, rollingWau, overlapSketch,
       zorderLayout, warehouseRefresh, incrPipeline, mvRewrite,
       mvRewriteFiltered, mvRefresh, mvRewriteAvg, mvRefreshDelete,
-      mvRewriteJoin, mvRewriteRollup)
+      mvRefreshDeleteMinmax, mvRewriteJoin, mvRewriteRollup)
 }

@@ -114,11 +114,13 @@ object MatView {
     catalog.getOrElse(norm(basePath), Vector.empty)
       .foreach(mv => refreshView(s, mv, delta, stageMarkers))
 
-  private def refreshView(s: SparkSession, mv: MvDef,
-      delta: org.apache.spark.sql.DataFrame,
-      stageMarkers: Seq[String]): Unit = {
+  /** The per-cell partial expressions a view stores — shared by the
+    * initial refresh aggregation and the delete-recount path so both
+    * compute partials with ONE definition. */
+  private def partialCols(mv: MvDef)
+      : Seq[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.functions.{col, count, lit, sum}
-    val partialCols = mv.aggs.map {
+    mv.aggs.map {
       case AggSpec("sum", in, castTo, mvCol) =>
         val base = col(in)
         sum(castTo.fold(base)(base.cast)).as(mvCol)
@@ -131,11 +133,18 @@ object MatView {
         org.apache.spark.sql.functions.max(
           castTo.fold(col(in))(col(in).cast)).as(mvCol)
       case sp => throw new IllegalArgumentException(
-        s"MatView.refresh: unsupported agg ${sp.func}")
+        s"MatView: unsupported agg ${sp.func}")
     }
+  }
+
+  private def refreshView(s: SparkSession, mv: MvDef,
+      delta: org.apache.spark.sql.DataFrame,
+      stageMarkers: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, sum}
+    val pc = partialCols(mv)
     val deltaPartials = delta
       .groupBy(mv.groupCols.map(col): _*)
-      .agg(partialCols.head, partialCols.tail: _*)
+      .agg(pc.head, pc.tail: _*)
     if (deltaPartials.isEmpty) return
     // each partial merges under its own algebra: sums and counts add,
     // min-of-mins / max-of-maxes re-extremize (appends only — a delete
@@ -196,17 +205,19 @@ object MatView {
     * preconditions but float subtraction is not exact — surviving
     * cells can drift by ulps from a survivors-rebuild; operators
     * needing bit-exact delete-refresh must register decimal/long-cast
-    * sums. Two mechanical preconditions, both REFUSED loudly rather
-    * than served wrong:
+    * sums. Dispatch and one precondition:
     *
-    *  - min/max partials cannot be maintained under delete (a deleted
-    *    extremum is unrecoverable from the partial — the second-largest
-    *    value was never stored); a view registering them must rebuild
-    *    instead;
-    *  - a COUNT(*) partial is required as the cell-liveness signal: a
-    *    cell whose row count reaches 0 is DROPPED (a rebuild over the
-    *    survivors would never produce it), and without the row count
-    *    that boundary is unobservable from sums alone.
+    *  - min/max partials cannot be maintained by subtraction (a
+    *    deleted extremum is unrecoverable from the partial — the
+    *    second-largest value was never stored); a view registering
+    *    them takes the TARGETED RECOUNT path ([[recountCells]]): only
+    *    the delete batch's cells recompute from surviving base rows,
+    *    untouched cells pass through byte-identical;
+    *  - on the algebraic path a COUNT(*) partial is required as the
+    *    cell-liveness signal: a cell whose row count reaches 0 is
+    *    DROPPED (a rebuild over the survivors would never produce it),
+    *    and without the row count that boundary is unobservable from
+    *    sums alone — REFUSED loudly when missing.
     *
     * A sum partial whose sibling COUNT(col) partial reaches 0 while the
     * cell survives (every remaining value in the cell is NULL) is
@@ -225,13 +236,14 @@ object MatView {
       deleted: org.apache.spark.sql.DataFrame,
       stageMarkers: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.{col, count, lit, sum, when}
-    val extrema = mv.aggs.filter(sp => sp.func == "min" || sp.func == "max")
-    require(extrema.isEmpty,
-      s"MatView.refreshDelete: view ${mv.mvPath} registers " +
-        s"${extrema.map(sp => s"${sp.func}(${sp.inputCol})").mkString(", ")}" +
-        " — min/max partials cannot be maintained under delete (the " +
-        "deleted extremum's runner-up was never stored); rebuild the " +
-        "view over the survivors instead")
+    // min/max partials cannot be subtracted (the deleted extremum's
+    // runner-up was never stored) — those views take the TARGETED
+    // RECOUNT path instead: only the cells whose group keys appear in
+    // the delete batch are recomputed from their surviving base rows
+    if (mv.aggs.exists(sp => sp.func == "min" || sp.func == "max")) {
+      recountCells(s, mv, deleted, stageMarkers)
+      return
+    }
     val star = mv.aggs.find(sp => sp.func == "count" && sp.inputCol.isEmpty)
     require(star.isDefined,
       s"MatView.refreshDelete: view ${mv.mvPath} has no COUNT(*) " +
@@ -273,6 +285,59 @@ object MatView {
     }
     graft.ops.Layout.replaceDir(s, repaired, mv.mvPath,
       stageMarkers = stageMarkers)
+  }
+
+  /** TARGETED CELL RECOUNT — the delete path for views whose partials
+    * are not algebraically subtractable (min/max): recompute ONLY the
+    * cells whose group keys appear in the delete batch, from their
+    * surviving base rows, and pass every untouched cell through from
+    * the stored view BYTE-IDENTICAL (no recomputation — a double-typed
+    * partial in an untouched cell keeps its exact bits, pinned in
+    * `MatViewSpec`). This is the standard production answer between
+    * "subtract partials" and "rebuild the world": cost is ∝ the
+    * AFFECTED groups' base rows (at scale, a group-key-partitioned
+    * base prunes the recount scan to those partitions), not the view
+    * and not the full base.
+    *
+    * Survivors are derived as `base ∩ affected-keys` MINUS the delete
+    * batch via multiset `exceptAll` on the view-relevant projection
+    * (group keys + agg inputs), so duplicate rows subtract one
+    * instance per deleted row — the same multiset arithmetic the
+    * negated-partials path encodes. NULL group keys match null-safely
+    * (a NULL-keyed cell recounts like any other, as `groupBy` groups
+    * them). Cells whose survivors vanish drop naturally (an empty
+    * group produces no row); all-null surviving columns read NULL from
+    * the real aggregation — both boundary behaviors the algebraic path
+    * needs explicit repair for. Runs BEFORE the caller shrinks the
+    * base (the takedown ordering contract — the recount needs the
+    * doomed rows' cells still scannable); assumes deleted ⊆ base.
+    * `mv_refresh_delete_minmax` hash-verifies recount ≡
+    * survivors-rebuild through the rewrite path. */
+  private def recountCells(s: SparkSession, mv: MvDef,
+      deleted: org.apache.spark.sql.DataFrame,
+      stageMarkers: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val cols = (mv.groupCols ++
+      mv.aggs.map(_.inputCol).filter(_.nonEmpty)).distinct
+    val delP = deleted.select(cols.map(col): _*)
+    val keys = delP.select(mv.groupCols.map(col): _*).distinct()
+    if (keys.isEmpty) return
+    def keyCond(left: org.apache.spark.sql.DataFrame,
+        right: org.apache.spark.sql.DataFrame) =
+      mv.groupCols.map(c => left(c) <=> right(c)).reduce(_ && _)
+    val base = s.read.parquet(mv.basePath).select(cols.map(col): _*)
+    val affected = base.join(broadcast(keys), keyCond(base, keys))
+      .select(cols.map(base(_)): _*)
+    val survivors = affected.exceptAll(delP)
+    val pc = partialCols(mv)
+    val recounted = survivors
+      .groupBy(mv.groupCols.map(col): _*)
+      .agg(pc.head, pc.tail: _*)
+    val view = s.read.parquet(mv.mvPath)
+    val untouched = view.join(broadcast(keys), keyCond(view, keys),
+      "left_anti")
+    graft.ops.Layout.replaceDir(s, untouched.unionByName(recounted),
+      mv.mvPath, stageMarkers = stageMarkers)
   }
 
   /** EXACTLY-ONCE delete refresh — [[refreshOnce]]'s discipline on the

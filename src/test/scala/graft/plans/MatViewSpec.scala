@@ -333,27 +333,71 @@ class MatViewSpec extends SparkTestBase {
     } finally MatView.deregister(basePath)
   }
 
-  test("delete refresh REFUSES min/max views and count-star-less views " +
-      "by name") {
+  test("delete on a min/max view takes the TARGETED RECOUNT: affected " +
+      "cells re-extremize from surviving base rows, untouched cells " +
+      "keep their exact bytes, emptied cells drop, replay is a no-op") {
+    import spark.implicits._
+    val basePath = s"${graft.GraftSession.scratchDir}/mvspec_rcbase"
+    val mvPath = s"${graft.GraftSession.scratchDir}/mvspec_rcmv"
+    // A: three rows with a double sum partial whose value (0.1+0.2+7)
+    // is NOT reproducible by any recomputation order-for-order — if
+    // the untouched cell were recounted instead of passed through,
+    // its bits could drift; B: the deleted extremum's runner-up must
+    // come back; C: emptied entirely
+    Seq(("A", 0.1), ("A", 0.2), ("A", 7.0),
+      ("B", 5.0), ("B", 3.0), ("B", 9.0),
+      ("C", 4.0))
+      .toDF("f", "q")
+      .write.mode("overwrite").parquet(basePath)
+    spark.read.parquet(basePath).groupBy(col("f"))
+      .agg(sum(col("q")).as("sum_p"), count(lit(1)).as("cnt_p"),
+        min(col("q")).as("min_p"), max(col("q")).as("max_p"))
+      .write.mode("overwrite").parquet(mvPath)
+    MatView.register(MatView.MvDef(basePath, mvPath, Seq("f"),
+      Seq(MatView.AggSpec("sum", "q", None, "sum_p"),
+        MatView.AggSpec("count", "", None, "cnt_p"),
+        MatView.AggSpec("min", "q", None, "min_p"),
+        MatView.AggSpec("max", "q", None, "max_p"))))
+    def cells = spark.read.parquet(mvPath).collect()
+      .map(r => (r.getString(0),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+        r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1).toSeq
+    try {
+      val aBits = cells.find(_._1 == "A").get._2
+      // delete B's max (9.0) and all of C — before the base shrinks
+      // (the takedown ordering contract)
+      val doomed = Seq(("B", 9.0), ("C", 4.0)).toDF("f", "q")
+      MatView.refreshDeleteOnce(spark, basePath, doomed, batchId = 11L)
+      val after = cells
+      assert(after.map(_._1) === Seq("A", "B")) // C dropped
+      // untouched A: the double partial's EXACT bits survived — proof
+      // the cell passed through, not recomputed
+      assert(after.find(_._1 == "A").get._2 === aBits)
+      // recounted B: the runner-up extremum is back
+      val b = after.find(_._1 == "B").get
+      assert(b._3 === 2L && b._4 === 3.0 && b._5 === 5.0)
+      // same-batch-id replay: marker no-op
+      MatView.refreshDeleteOnce(spark, basePath, doomed, batchId = 11L)
+      assert(cells === after)
+      // the rewrite serves the recounted view ≡ survivors rebuild
+      val served = spark.read.parquet(basePath)
+        .where(!(col("f") === "C") &&
+          !(col("f") === "B" && col("q") === 9.0))
+        .groupBy(col("f"))
+        .agg(min(col("q")).as("mn"), max(col("q")).as("mx"))
+        .collect().map(r => (r.getString(0), r.getDouble(1),
+          r.getDouble(2))).sortBy(_._1).toSeq
+      assert(served === Seq(("A", 0.1, 7.0), ("B", 3.0, 5.0)))
+    } finally MatView.deregister(basePath)
+  }
+
+  test("delete refresh REFUSES count-star-less views by name") {
     import spark.implicits._
     val basePath = s"${graft.GraftSession.scratchDir}/mvspec_refbase"
     val mvPath = s"${graft.GraftSession.scratchDir}/mvspec_refmv"
     Seq(("A", 1.0)).toDF("f", "q")
       .write.mode("overwrite").parquet(basePath)
-    spark.read.parquet(basePath).groupBy(col("f"))
-      .agg(min(col("q")).as("min_p"), count(lit(1)).as("cnt_p"))
-      .write.mode("overwrite").parquet(mvPath)
-    MatView.register(MatView.MvDef(basePath, mvPath, Seq("f"),
-      Seq(MatView.AggSpec("min", "q", None, "min_p"),
-        MatView.AggSpec("count", "", None, "cnt_p"))))
-    try {
-      val ex = intercept[IllegalArgumentException] {
-        MatView.refreshDelete(spark, basePath,
-          Seq(("A", 1.0)).toDF("f", "q"))
-      }
-      assert(ex.getMessage.contains("min(q)") &&
-        ex.getMessage.contains(mvPath), ex.getMessage)
-    } finally MatView.deregister(basePath)
     // sum-only view: no cell-liveness signal → refused
     spark.read.parquet(basePath).groupBy(col("f"))
       .agg(sum(col("q")).as("sum_p"))
