@@ -16,6 +16,7 @@ object SparkEntry {
       ops.ScalarQueries.all ++ ops.StreamQueries.all ++
       ops.FunnelQueries.all ++
       ops.TextQueries.all ++ ops.EpochPostings.all ++
+      ops.BoolQueries.all ++
       ops.PhraseQueries.all ++ ops.Suggest.all ++
       ops.CorpusQueries.all ++
       ops.VectorQueries.all ++ ops.HybridQueries.all ++
