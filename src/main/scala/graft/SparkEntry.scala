@@ -21,7 +21,8 @@ object SparkEntry {
       ops.CorpusQueries.all ++
       ops.VectorQueries.all ++ ops.HybridQueries.all ++
       ops.DedupQueries.all ++ ops.NearDup.all ++ ops.IndexStats.all ++
-      ops.Multimodal.all ++ ops.IncrQueries.all ++ ops.Takedown.all
+      ops.Multimodal.all ++ ops.IncrQueries.all ++ ops.Takedown.all ++
+      ops.Maintenance.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

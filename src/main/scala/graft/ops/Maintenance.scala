@@ -1,0 +1,187 @@
+package graft.ops
+
+import graft.GQuery
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Unified maintenance policy + sweep — ONE cadence decision for every
+  * persisted index layout, completing what each layout already has
+  * mechanically (append/delete/compact faces) with the WHEN: the
+  * reference runs its whole refresh on a timer (full reload each
+  * cycle, `updatecalaccessrawdata.py:~100-200`); a 100 TB deployment
+  * compacts each index exactly when growth or deletions have degraded
+  * it, and needs that judged by one shared statistic instead of one
+  * ad-hoc rule per index.
+  *
+  * The probe is two cheap reads per layout — no data scan:
+  *
+  *  - SEGMENT COUNT: parquet data files in the layout's primary
+  *    directory (an FS listing; each append leaves new segment files,
+  *    and per-query cost grows as matched-row-groups × segments);
+  *  - TOMBSTONE RATIO: tombstoned rows / data rows, both from parquet
+  *    footer counts (metadata-only `count()` — row-group stats, no
+  *    column IO). Deletes are served through a bounded anti-join
+  *    segment; the ratio bounds the wasted scan fraction AND the
+  *    anti-join side's growth.
+  *
+  * [[sweep]] walks registered layouts, probes each against the policy,
+  * and applies the due operation through the layout's OWN maintenance
+  * face (postings/positional/near-dup compaction, IVF retrain-or-
+  * compact via the existing [[Ann.needsRetrain]] skew trigger, IVF-PQ
+  * compaction) — the sweep adds no new mutation semantics, so every
+  * crash/replay contract those faces document carries over verbatim;
+  * all of them are idempotent, so re-running a crashed sweep under the
+  * same batch id converges (the id tags the report for the operator's
+  * ledger). `index_maintenance` drives build → grow → delete → sweep
+  * → serve against the survivors oracle; `MaintenanceSpec` pins that
+  * triggers fire iff their thresholds are hit. */
+object Maintenance {
+
+  /** The cadence knobs. `maxSegments`/`maxTombstoneRatio` gate
+    * compaction; `maxCellSkew` gates the IVF retrain (same meaning as
+    * [[Ann.needsRetrain]]). Latency-SLO knobs, not correctness ones —
+    * serving is exact at any setting. */
+  final case class Policy(maxSegments: Int = 16,
+      maxTombstoneRatio: Double = 0.10, maxCellSkew: Double = 4.0)
+
+  /** One layout under sweep management. `kind` ∈ postings |
+    * positional | neardup | ivf | ivfpq. */
+  final case class LayoutRef(kind: String, path: String)
+
+  /** What the probe saw and what the sweep did (`action` ∈ none |
+    * compact | retrain). */
+  final case class SweepResult(kind: String, path: String,
+      segments: Int, tombstoneRatio: Double, action: String,
+      batchId: Long)
+
+  /** The primary (corpus-scale) data directory the statistics are
+    * read from. */
+  private def dataDir(ref: LayoutRef): String = ref.kind match {
+    case "postings" | "positional" => s"${ref.path}/lists"
+    case "neardup" => s"${ref.path}/bands"
+    case "ivf" => s"${ref.path}/assigned"
+    case "ivfpq" => s"${ref.path}/encoded"
+    case k => throw new IllegalArgumentException(
+      s"Maintenance: unknown layout kind $k")
+  }
+
+  /** Parquet data files under `dir`, recursively (cell-partitioned
+    * layouts nest files under cell=N subdirectories) — one FS listing,
+    * no file IO. */
+  private[ops] def segmentCount(s: SparkSession, dir: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val it = fs.listFiles(root, true)
+    var n = 0
+    while (it.hasNext) {
+      val f = it.next().getPath.getName
+      if (!f.startsWith("_") && !f.startsWith(".")) n += 1
+    }
+    n
+  }
+
+  /** tombstoned rows / data rows — both metadata-only counts (parquet
+    * footer row counts; Spark's count over a bare scan never reads
+    * column data). 0 on a never-deleted layout. */
+  private[ops] def tombstoneRatio(s: SparkSession, ref: LayoutRef)
+      : Double =
+    Layout.tombstonesOpt(s, ref.path).map { t =>
+      val data = math.max(1L, s.read.parquet(dataDir(ref)).count())
+      t.count().toDouble / data.toDouble
+    }.getOrElse(0.0)
+
+  /** The shared trigger: too many segments OR too much tombstoned
+    * mass. */
+  def needsCompact(s: SparkSession, ref: LayoutRef, policy: Policy)
+      : Boolean =
+    segmentCount(s, dataDir(ref)) > policy.maxSegments ||
+      tombstoneRatio(s, ref) > policy.maxTombstoneRatio
+
+  /** Probe every layout, apply what is due, report what happened.
+    * IVF routes skew → retrain (subsumes compaction) before the
+    * shared compact trigger; every applied op is the layout's own
+    * idempotent maintenance face, so a crashed sweep re-run under the
+    * same `batchId` converges. Same maintenance-window contract as
+    * the underlying ops (epoch layouts mutate serve-safe; swap
+    * layouts need the window). */
+  def sweep(s: SparkSession, layouts: Seq[LayoutRef],
+      policy: Policy = Policy(), batchId: Long = 0L): Seq[SweepResult] =
+    layouts.map { ref =>
+      val segs = segmentCount(s, dataDir(ref))
+      val ratio = tombstoneRatio(s, ref)
+      val compactDue = segs > policy.maxSegments ||
+        ratio > policy.maxTombstoneRatio
+      val action = ref.kind match {
+        case "ivf" if Ann.needsRetrain(Ann.load(s, ref.path),
+            policy.maxCellSkew) =>
+          Ann.retrain(s, ref.path); "retrain"
+        case "ivf" if compactDue => Ann.compact(s, ref.path); "compact"
+        case "ivfpq" if compactDue =>
+          Ivfpq.compact(s, ref.path); "compact"
+        case "postings" if compactDue =>
+          TextQueries.postingsCompact(s, ref.path); "compact"
+        case "positional" if compactDue =>
+          PhraseQueries.positionalCompact(s, ref.path); "compact"
+        case "neardup" if compactDue =>
+          NearDup.neardupCompact(s, ref.path); "compact"
+        case _ => "none"
+      }
+      SweepResult(ref.kind, ref.path, segs, ratio, action, batchId)
+    }
+
+  /** Postings layout taken through the POLICY-DRIVEN lifecycle the
+    * sweep manages: built on half the corpus, grown by three append
+    * batches (segment inflation), ~1/7 deleted (tombstone mass), then
+    * ONE [[sweep]] whose thresholds both triggers exceed — the
+    * compaction it applies must leave serving ≡ a survivors rebuild.
+    * The build asserts the trigger actually fired (a sweep that
+    * no-ops would still pass the oracle — the require is the proof
+    * the policy path ran). */
+  private val saved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedMaintPath(s: SparkSession, d: String): String =
+    graft.BuildOnce.memo(saved, d) {
+      val path = s"${graft.GraftSession.scratchDir}/maint_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = graft.Tables.documents(s, d)
+      TextQueries.buildPostings(s, docs.where(col("doc_id") % 2 === 0),
+        path)
+      Seq(1, 3, 5).foreach(r =>
+        TextQueries.postingsAppend(s,
+          docs.where(pmod(col("doc_id"), lit(6)) === r), path))
+      TextQueries.postingsDelete(s,
+        docs.where(pmod(col("doc_id"), lit(7)) === 3).select("doc_id"),
+        path)
+      val ref = LayoutRef("postings", path)
+      val policy = Policy(maxSegments = 8, maxTombstoneRatio = 0.05)
+      require(needsCompact(s, ref, policy),
+        s"index_maintenance: the grown+deleted layout at $path did " +
+          "not trip the compact policy — the entry would not exercise " +
+          "the sweep")
+      val result = sweep(s, Seq(ref), policy, batchId = 1L)
+      require(result.head.action == "compact",
+        s"index_maintenance: sweep chose ${result.head.action}")
+      path
+    }
+
+  /** The policy-driven sweep, driver-verified end to end: after the
+    * sweep compacts the grown-and-deleted layout, BM25 serving must
+    * hash-match a from-scratch rebuild over the survivors (the
+    * `bm25_serve_delete` oracle — same doomed residue), proving the
+    * sweep's compaction folded segments and tombstones without
+    * touching semantics. */
+  val indexMaintenance = GQuery(
+    "index_maintenance",
+    (s, d) => {
+      val path = savedMaintPath(s, d)
+      val lists = TextQueries.servedLists(s, path, TextQueries.bm25Terms)
+      val dfs = s.read.parquet(s"$path/df")
+        .where(col("term").isin(TextQueries.bm25Terms: _*))
+      TextQueries.bm25TopK(lists, dfs, s.read.parquet(s"$path/stats"))
+    },
+    TextQueries.bm25ServeDelete.oracle)
+
+  def all: Seq[GQuery] = Seq(indexMaintenance)
+}

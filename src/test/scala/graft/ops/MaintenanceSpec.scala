@@ -1,0 +1,107 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Sweep-policy pins: the shared compact trigger fires IFF a threshold
+  * is hit (segment count and tombstone ratio independently), a
+  * below-threshold layout is left byte-untouched, the applied op goes
+  * through the layout's own maintenance face (content ≡ rebuild), and
+  * the IVF arm routes skew to retrain. */
+class MaintenanceSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def mkDocs(ids: Seq[Long]) =
+    ids.map(i => (i, s"spark merge filter d$i")).toDF("doc_id", "text")
+
+  private def listFiles(dir: String): Set[String] =
+    new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSet
+
+  test("compact fires iff a threshold is hit; below-threshold layouts " +
+      "are untouched; each trigger fires independently") {
+    val path = s"${graft.GraftSession.scratchDir}/maint_trig"
+    TextQueries.buildPostings(spark, mkDocs(1L to 20L), path)
+    (1 to 3).foreach(i => TextQueries.postingsAppend(spark,
+      mkDocs((20L + i * 10L) to (29L + i * 10L)), path))
+    val ref = Maintenance.LayoutRef("postings", path)
+    val before = listFiles(s"$path/lists")
+    assert(before.size > 8)
+
+    // BOTH thresholds comfortably high → probe says no, sweep no-ops,
+    // not one file moves
+    val lax = Maintenance.Policy(maxSegments = 100,
+      maxTombstoneRatio = 0.99)
+    assert(!Maintenance.needsCompact(spark, ref, lax))
+    val r0 = Maintenance.sweep(spark, Seq(ref), lax, batchId = 5L)
+    assert(r0.map(_.action) === Seq("none") && r0.head.batchId === 5L)
+    assert(listFiles(s"$path/lists") === before)
+
+    // SEGMENT trigger alone (ratio threshold stays lax; no tombstones
+    // exist anyway) → compact through postingsCompact
+    val segPolicy = Maintenance.Policy(maxSegments = 8,
+      maxTombstoneRatio = 0.99)
+    assert(Maintenance.needsCompact(spark, ref, segPolicy))
+    val r1 = Maintenance.sweep(spark, Seq(ref), segPolicy)
+    assert(r1.map(_.action) === Seq("compact"))
+    assert(Maintenance.segmentCount(spark, s"$path/lists") <= 8)
+    // now under threshold again: the same policy no-ops (iff, not if)
+    assert(Maintenance.sweep(spark, Seq(ref), segPolicy)
+      .map(_.action) === Seq("none"))
+
+    // TOMBSTONE trigger alone: 5 tombstoned ids over ~200 posting
+    // rows = ratio ~0.026 > 0.02, while segments are far under the
+    // (now lax) segment cap
+    TextQueries.postingsDelete(spark,
+      (1L to 5L).toDF("doc_id"), path)
+    val ratioPolicy = Maintenance.Policy(maxSegments = 100,
+      maxTombstoneRatio = 0.02)
+    val probed = Maintenance.sweep(spark, Seq(ref), ratioPolicy)
+    assert(probed.map(_.action) === Seq("compact"))
+    assert(probed.head.tombstoneRatio > 0.02, probed.toString)
+    // compaction folded the tombstones physically
+    assert(!Layout.dirExists(spark, s"$path/tombstones"))
+    // and the swept layout serves ≡ a survivors rebuild
+    val twin = s"${graft.GraftSession.scratchDir}/maint_trig_twin"
+    TextQueries.buildPostings(spark, mkDocs(6L to 50L), twin)
+    def served(p: String) = TextQueries.bm25TopK(
+      TextQueries.servedLists(spark, p, TextQueries.bm25Terms),
+      spark.read.parquet(s"$p/df")
+        .where(col("term").isin(TextQueries.bm25Terms: _*)),
+      spark.read.parquet(s"$p/stats"))
+      .collect().map(_.toSeq).toSeq
+    assert(served(path) === served(twin))
+  }
+
+  test("the IVF arm routes occupancy skew to RETRAIN and tombstone " +
+      "mass to compact") {
+    val path = s"${graft.GraftSession.scratchDir}/maint_ivf"
+    // 9 near-identical vectors + 1 outlier → k=2 lands ~9/1: skew
+    // max/mean = 9/5 = 1.8
+    val emb = ((1L to 9L).map(i =>
+      (i, Array(1.0f, 0.001f * i, 0f, 0f))) :+
+      (10L, Array(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    Ann.save(Ann.build(emb, k = 2), path)
+    val ref = Maintenance.LayoutRef("ivf", path)
+    // skew threshold above the observed skew → nothing due
+    assert(Maintenance.sweep(spark, Seq(ref),
+      Maintenance.Policy(maxCellSkew = 50.0)).map(_.action)
+      === Seq("none"))
+    // skew threshold below it → retrain (not compact)
+    val skew = Ann.cellSkew(Ann.load(spark, path))
+    assert(skew > 1.2, s"fixture skew $skew")
+    assert(Maintenance.sweep(spark, Seq(ref),
+      Maintenance.Policy(maxCellSkew = 1.2)).map(_.action)
+      === Seq("retrain"))
+    // tombstone mass with skew disarmed → the shared compact trigger
+    Ann.delete(spark, path, Seq(3L, 4L).toDF("vec_id"))
+    val r = Maintenance.sweep(spark, Seq(ref),
+      Maintenance.Policy(maxSegments = 1000,
+        maxTombstoneRatio = 0.10, maxCellSkew = 50.0))
+    assert(r.map(_.action) === Seq("compact"))
+    assert(!Layout.dirExists(spark, s"$path/tombstones"))
+    assert(Ann.load(spark, path).assigned.count() === 8L)
+  }
+}
