@@ -131,7 +131,7 @@ object Ann {
     * posexplode-based mean pays (|rows|·dim shuffle input). Only the
     * k·dim means come back to the driver. Cells that lost all members
     * drop out (standard Lloyd's degeneracy handling). */
-  private def meanCentroids(assigned: DataFrame, embCol: String, dim: Int)
+  private[ops] def meanCentroids(assigned: DataFrame, embCol: String, dim: Int)
       : Seq[(Long, Seq[Double])] = {
     val posAvgs = (1 to dim).map(i =>
       avg(element_at(col(embCol), i).cast(DoubleType)).as(s"m$i"))

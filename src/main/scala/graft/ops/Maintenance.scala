@@ -45,7 +45,7 @@ object Maintenance {
       maxTombstoneRatio: Double = 0.10, maxCellSkew: Double = 4.0)
 
   /** One layout under sweep management. `kind` ∈ postings |
-    * positional | neardup | ivf | ivfpq. */
+    * positional | neardup | ivf | ivfpq | epoch_postings. */
   final case class LayoutRef(kind: String, path: String)
 
   /** What the probe saw and what the sweep did (`action` ∈ none |
@@ -54,16 +54,23 @@ object Maintenance {
       segments: Int, tombstoneRatio: Double, action: String,
       batchId: Long)
 
-  /** The primary (corpus-scale) data directory the statistics are
-    * read from. */
-  private def dataDir(ref: LayoutRef): String = ref.kind match {
-    case "postings" | "positional" => s"${ref.path}/lists"
-    case "neardup" => s"${ref.path}/bands"
-    case "ivf" => s"${ref.path}/assigned"
-    case "ivfpq" => s"${ref.path}/encoded"
-    case k => throw new IllegalArgumentException(
-      s"Maintenance: unknown layout kind $k")
-  }
+  /** The primary (corpus-scale) data directories the statistics are
+    * read from — one for the swap layouts, the CURRENT manifest's
+    * `lists` component dirs for the epoch layout (each append adds a
+    * referenced delta dir, so the epoch segment count grows exactly
+    * like the swap layout's file count). */
+  private def dataDirs(s: SparkSession, ref: LayoutRef): Seq[String] =
+    ref.kind match {
+      case "postings" | "positional" => Seq(s"${ref.path}/lists")
+      case "neardup" => Seq(s"${ref.path}/bands")
+      case "ivf" => Seq(s"${ref.path}/assigned")
+      case "ivfpq" => Seq(s"${ref.path}/encoded")
+      case "epoch_postings" =>
+        Epoch.resolve(s, ref.path).map(_.dirs(ref.path, "lists"))
+          .getOrElse(Seq.empty)
+      case k => throw new IllegalArgumentException(
+        s"Maintenance: unknown layout kind $k")
+    }
 
   /** Parquet data files under `dir`, recursively (cell-partitioned
     * layouts nest files under cell=N subdirectories) — one FS listing,
@@ -83,19 +90,29 @@ object Maintenance {
 
   /** tombstoned rows / data rows — both metadata-only counts (parquet
     * footer row counts; Spark's count over a bare scan never reads
-    * column data). 0 on a never-deleted layout. */
+    * column data). 0 on a never-deleted layout. The epoch layout's
+    * tombstone set comes from its pinned manifest instead of the
+    * `tombstones` side segment. */
   private[ops] def tombstoneRatio(s: SparkSession, ref: LayoutRef)
-      : Double =
-    Layout.tombstonesOpt(s, ref.path).map { t =>
-      val data = math.max(1L, s.read.parquet(dataDir(ref)).count())
+      : Double = {
+    val tomb = ref.kind match {
+      case "epoch_postings" => Epoch.resolve(s, ref.path)
+        .flatMap(m => Epoch.read(s, ref.path, m, "tombstones"))
+      case _ => Layout.tombstonesOpt(s, ref.path)
+    }
+    tomb.map { t =>
+      val dirs = dataDirs(s, ref)
+      val data = math.max(1L,
+        if (dirs.isEmpty) 0L else s.read.parquet(dirs: _*).count())
       t.count().toDouble / data.toDouble
     }.getOrElse(0.0)
+  }
 
   /** The shared trigger: too many segments OR too much tombstoned
     * mass. */
   def needsCompact(s: SparkSession, ref: LayoutRef, policy: Policy)
       : Boolean =
-    segmentCount(s, dataDir(ref)) > policy.maxSegments ||
+    dataDirs(s, ref).map(segmentCount(s, _)).sum > policy.maxSegments ||
       tombstoneRatio(s, ref) > policy.maxTombstoneRatio
 
   /** Probe every layout, apply what is due, report what happened.
@@ -108,7 +125,7 @@ object Maintenance {
   def sweep(s: SparkSession, layouts: Seq[LayoutRef],
       policy: Policy = Policy(), batchId: Long = 0L): Seq[SweepResult] =
     layouts.map { ref =>
-      val segs = segmentCount(s, dataDir(ref))
+      val segs = dataDirs(s, ref).map(segmentCount(s, _)).sum
       val ratio = tombstoneRatio(s, ref)
       val compactDue = segs > policy.maxSegments ||
         ratio > policy.maxTombstoneRatio
@@ -125,6 +142,13 @@ object Maintenance {
           PhraseQueries.positionalCompact(s, ref.path); "compact"
         case "neardup" if compactDue =>
           NearDup.neardupCompact(s, ref.path); "compact"
+        // the serve-safe layout: compaction publishes a fresh epoch
+        // (readers keep their pinned snapshots), then prune retires
+        // generations beyond the retention horizon
+        case "epoch_postings" if compactDue =>
+          EpochPostings.compact(s, ref.path)
+          Epoch.prune(s, ref.path)
+          "compact"
         case _ => "none"
       }
       SweepResult(ref.kind, ref.path, segs, ratio, action, batchId)

@@ -480,6 +480,43 @@ object VectorQueries {
       Ann.load(s, appendedIvfPath(s, d, k = 8))),
     Some(ivfRecallOracle))
 
+  /** Epoch-layout grow path, built once per process: build on the
+    * even-id half as epoch 0, append the odd half as a referenced
+    * delta generation (epoch 1) — [[appendedIvfPath]]'s lifecycle on
+    * the MANIFEST-POINTER layout ([[EpochAnn]]), where the append was
+    * one atomic manifest flip a concurrent reader could overlap
+    * safely. */
+  private val ivfEpochSaved =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), String]
+
+  private[ops] def epochIvfPath(s: org.apache.spark.sql.SparkSession,
+      d: String, k: Int): String =
+    graft.BuildOnce.memo(ivfEpochSaved, (d, k)) {
+      val path = s"${graft.GraftSession.scratchDir}/ivf_epoch_" +
+        d.replaceAll("[^A-Za-z0-9]", "_") + s"_k$k"
+      val e = Tables.embeddings(s, d)
+      EpochAnn.build(s, e.filter(pmod(col("vec_id"), lit(2)) === 0),
+        path, k = k)
+      EpochAnn.append(s, e.filter(pmod(col("vec_id"), lit(2)) === 1),
+        path, batchId = 1L)
+      path
+    }
+
+  /** The SNAPSHOT-ISOLATED vector serving face, driver-verified: the
+    * IVF index lives on epoch manifests ([[EpochAnn]] — every
+    * mutation publishes new generation dirs behind one atomic manifest
+    * rename, so centroids and lists can never be read mixed-
+    * generation), grown half→full by a referenced delta append, then
+    * probed through the SAME [[Ann.query]] path and recall gate as
+    * `sim_ivf_append` — the layout change must be invisible in the
+    * served answer. `EpochAnnSpec` pins the pinned-manifest isolation
+    * across a concurrent retrain and the lifecycle ≡ rebuild. */
+  val simIvfEpoch = GQuery(
+    "sim_ivf_epoch",
+    (s, d) => ivfWithRecall(s, d,
+      EpochAnn.load(s, epochIvfPath(s, d, k = 8))),
+    Some(ivfRecallOracle))
+
   /** Tombstoned-delete path per (sfDir, k), built at most once per
     * process: the full-corpus index is built and saved, then the
     * vec_id ≡ 2 (mod 5) residue class (~1/5 of the corpus) is
@@ -1438,6 +1475,7 @@ object VectorQueries {
   def all: Seq[GQuery] =
     Seq(vecNorm, simTopk, simBucketed, simPairs, dedupEmbed,
       dedupEmbedCluster, simIvf, simIvfLoaded, simFiltered, simIvfAppend,
+      simIvfEpoch,
       simIvfDelete, simIvfRetrain, simIvfUpdate, simIvfpqAppend,
       simIvfpqDelete, simIvfpqRetrain, simIvfpqUpdate, simServe,
       simPq, simIvfpq, simIvfpqLoaded, simIvfpqFiltered,

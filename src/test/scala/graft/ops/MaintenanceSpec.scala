@@ -74,6 +74,39 @@ class MaintenanceSpec extends SparkTestBase {
     assert(served(path) === served(twin))
   }
 
+  test("the epoch-postings arm compacts through a fresh epoch and " +
+      "prunes retired generations — serve-safe, same trigger") {
+    val path = s"${graft.GraftSession.scratchDir}/maint_epoch"
+    EpochPostings.build(spark, mkDocs(1L to 20L), path)
+    (1 to 3).foreach(i => EpochPostings.append(spark,
+      mkDocs((20L + i * 10L) to (29L + i * 10L)), path, batchId = i))
+    EpochPostings.delete(spark, (1L to 5L).toDF("doc_id"), path,
+      batchId = 10L)
+    val ref = Maintenance.LayoutRef("epoch_postings", path)
+    val lax = Maintenance.Policy(maxSegments = 100,
+      maxTombstoneRatio = 0.99)
+    val e0 = Epoch.resolve(spark, path).get.epoch
+    assert(Maintenance.sweep(spark, Seq(ref), lax).map(_.action)
+      === Seq("none"))
+    assert(Epoch.resolve(spark, path).get.epoch === e0)
+    val strict = Maintenance.Policy(maxSegments = 8,
+      maxTombstoneRatio = 0.99)
+    assert(Maintenance.sweep(spark, Seq(ref), strict).map(_.action)
+      === Seq("compact"))
+    val m = Epoch.resolve(spark, path).get
+    assert(m.epoch === e0 + 1)
+    assert(m.components("tombstones").isEmpty)
+    // compacted + pruned layout serves ≡ survivors rebuild
+    val twin = s"${graft.GraftSession.scratchDir}/maint_epoch_twin"
+    EpochPostings.build(spark, mkDocs(6L to 50L), twin)
+    def served(p: String) = EpochPostings.serve(spark, p,
+      TextQueries.bm25Terms).collect().map(_.toSeq).toSeq
+    assert(served(path) === served(twin))
+    // and the same strict policy now no-ops (iff)
+    assert(Maintenance.sweep(spark, Seq(ref), strict).map(_.action)
+      === Seq("none"))
+  }
+
   test("the IVF arm routes occupancy skew to RETRAIN and tombstone " +
       "mass to compact") {
     val path = s"${graft.GraftSession.scratchDir}/maint_ivf"
