@@ -65,7 +65,13 @@ object Takedown {
       suggest2: Option[String] = None,
       ivf: Option[String] = None,
       ivfpq: Option[String] = None,
-      mvBase: Option[String] = None)
+      mvBase: Option[String] = None,
+      // the SERVE-SAFE epoch-layout twins (ops/Epoch): deletes publish
+      // a new manifest generation under the ledger key del_<batchId>
+      // — exactly-once rides the manifest, not marker files, and
+      // concurrent readers keep their pinned snapshots throughout
+      postingsEpoch: Option[String] = None,
+      ivfEpoch: Option[String] = None)
 
   /** Take down `doomedDocs` — (doc_id[, text]); text feeds the suggest
     * legs' per-term distinct-doc subtraction and is REQUIRED only when
@@ -98,6 +104,11 @@ object Takedown {
       .localCheckpoint(true)
     val ids = doomed.select("doc_id")
     tiers.postings.foreach(p => TextQueries.postingsDelete(s, ids, p))
+    tiers.postingsEpoch.foreach(p =>
+      EpochPostings.delete(s, ids, p, batchId))
+    tiers.ivfEpoch.foreach(p =>
+      EpochAnn.delete(s, ids.select(col("doc_id").as("vec_id")), p,
+        batchId))
     tiers.positional.foreach(p =>
       PhraseQueries.positionalDelete(s, ids, p))
     tiers.neardup.foreach(p => NearDup.neardupDelete(s, ids, p))

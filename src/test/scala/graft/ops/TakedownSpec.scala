@@ -158,6 +158,49 @@ class TakedownSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet === Set(2L))
   }
 
+  test("epoch-layout tiers ride the unified takedown: deletes publish " +
+      "manifest generations under the shared batch id, replay is a " +
+      "ledger no-op, pinned readers keep their snapshot") {
+    import spark.implicits._
+    val root = s"${graft.GraftSession.scratchDir}/takedown_epoch"
+    val docs = Seq(
+      (1L, "spark merge filter"), (2L, "spark merge scan"),
+      (3L, "merge filter scan"), (4L, "spark window"))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0.9f, 0.1f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)), (4L, Array(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val (post, vec) = (s"$root/post", s"$root/vec")
+    EpochPostings.build(spark, docs, post)
+    EpochAnn.build(spark, emb, vec, k = 2)
+    val m0post = Epoch.resolve(spark, post).get
+    val tiers = Takedown.Tiers(postingsEpoch = Some(post),
+      ivfEpoch = Some(vec))
+    Takedown(spark, Seq(2L).toDF("doc_id"), tiers, batchId = 9L)
+    // both layouts advanced one epoch with the shared ledger key
+    assert(Epoch.resolve(spark, post).get.has("del_9"))
+    assert(Epoch.resolve(spark, vec).get.has("del_9"))
+    // served state excludes the doomed doc on both tiers
+    assert(EpochPostings.serve(spark, post, Seq("spark"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 4L))
+    assert(EpochAnn.load(spark, vec).assigned
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 3L, 4L))
+    // replay under the same batch id: neither layout commits again
+    val (ep, ev) = (Epoch.resolve(spark, post).get.epoch,
+      Epoch.resolve(spark, vec).get.epoch)
+    Takedown(spark, Seq(2L).toDF("doc_id"), tiers, batchId = 9L)
+    assert(Epoch.resolve(spark, post).get.epoch === ep)
+    assert(Epoch.resolve(spark, vec).get.epoch === ev)
+    // a reader pinned before the takedown still sees the doomed doc —
+    // snapshot isolation through a takedown, the serve-safe story
+    assert(EpochPostings.servedOn(spark, post, m0post, Seq("spark"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+      .contains(2L))
+  }
+
   test("ORDERING pin: a suggest-wired takedown must precede the " +
       "data-plane row delete — ids joined to an already-shrunk corpus " +
       "derive no text, and the dictionary silently keeps the doomed " +
