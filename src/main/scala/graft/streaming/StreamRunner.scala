@@ -556,6 +556,29 @@ object StreamRunner {
       }
       .start()
 
+  /** Streaming keyword-index ingest on the EPOCH layout
+    * ([[graft.ops.EpochPostings]]) — [[postingsIngestStream]]'s
+    * serve-safe successor: each micro-batch appends as a referenced
+    * delta generation behind one atomic manifest flip, so SERVING
+    * CONTINUES UNINTERRUPTED while the stream ingests (no maintenance
+    * window — readers pin the manifest they resolved). Exactly-once
+    * rides the manifest's applied ledger (`app_<batchId>`, committed
+    * in the same rename as the data); the same `checkpoint` caveat
+    * applies — batch ids reset without one, colliding with the
+    * ledger. Compaction is the sweep's job
+    * (`Maintenance.sweep`, kind `epoch_postings`). */
+  def postingsIngestEpochStream(indexPath: String, docs: DataFrame,
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    withCheckpoint(docs.writeStream.outputMode("append"), checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.EpochPostings.append(batch.sparkSession,
+          batch.select(col("doc_id").cast("long").as("doc_id"),
+            col("text")),
+          indexPath, batchId)
+      }
+      .start()
+
   /** Apply a checkpoint location when one is supplied — shared by the
     * streaming faces whose exactly-once rests on the checkpointed
     * foreachBatch id (see each face's `checkpoint` doc). */

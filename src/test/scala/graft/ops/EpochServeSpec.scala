@@ -118,6 +118,38 @@ class EpochServeSpec extends SparkTestBase {
       plan)
   }
 
+  test("streaming ingest appends epochs exactly-once off the " +
+      "checkpointed batch id; serving between batches equals a " +
+      "rebuild over the drained corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val path = s"${graft.GraftSession.scratchDir}/epoch_stream"
+    val terms = Seq("spark", "merge", "filter")
+    EpochPostings.build(spark, mkDocs(1L to 10L), path)
+    val source = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamRunner.postingsIngestEpochStream(
+      path, source.toDF().toDF("doc_id", "text"))
+    source.addData((11L to 20L).map(i =>
+      i -> s"spark merge filter d$i word$i"): _*)
+    q.processAllAvailable()
+    val afterB0 = Epoch.resolve(spark, path).get
+    assert(afterB0.has("app_0"))
+    source.addData((21L to 30L).map(i =>
+      i -> s"spark merge filter d$i word$i"): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(Epoch.resolve(spark, path).get.has("app_1"))
+    // crash-replay of batch 0's payload under its id: ledger no-op
+    EpochPostings.append(spark, mkDocs(11L to 20L), path, batchId = 0L)
+    assert(Epoch.resolve(spark, path).get.epoch
+      === afterB0.epoch + 1)
+    // drained state ≡ one-shot rebuild
+    val twin = s"${graft.GraftSession.scratchDir}/epoch_stream_twin"
+    EpochPostings.build(spark, mkDocs(1L to 30L), twin)
+    assert(rows(EpochPostings.serve(spark, path, terms))
+      === rows(EpochPostings.serve(spark, twin, terms)))
+  }
+
   test("prune keeps the newest manifests and every generation they " +
       "reference; a crash before commit leaves orphans that replay " +
       "cleans up") {
