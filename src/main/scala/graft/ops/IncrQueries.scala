@@ -872,6 +872,71 @@ object IncrQueries {
       ORDER BY l_returnflag
     """))
 
+  /** EPOCH-MV state: base built on the even half, the view created as
+    * manifest generation 0, base grown to full, the view refreshed as
+    * generation 1 through [[graft.plans.EpochMv.refresh]] — every flip
+    * one atomic manifest rename + one atomic catalog swap, no
+    * maintenance window. */
+  private val mvEpochSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedMvEpochBasePath(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.BuildOnce.memo(mvEpochSaved, d) {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"${graft.GraftSession.scratchDir}/mvre_base_$tag"
+      val layout = s"${graft.GraftSession.scratchDir}/mvre_layout_$tag"
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_returnflag",
+          "l_linestatus")
+      li.where(col("l_orderkey") % 2 === 0)
+        .write.mode("overwrite").parquet(base)
+      val d0 = graft.plans.EpochMv.EpochMvDef(base, layout,
+        Seq("l_returnflag", "l_linestatus"),
+        Seq(graft.plans.MatView.AggSpec("sum", "l_quantity",
+            Some(DecimalType(38, 2)), "sum_qty_p"),
+          graft.plans.MatView.AggSpec("count", "", None, "cnt_p"),
+          graft.plans.MatView.AggSpec("min", "l_quantity", None,
+            "min_qty_p"),
+          graft.plans.MatView.AggSpec("max", "l_quantity", None,
+            "max_qty_p")))
+      graft.plans.EpochMv.create(s, d0)
+      val delta = li.where(col("l_orderkey") % 2 === 1)
+        .localCheckpoint(true)
+      delta.write.mode("append").parquet(base)
+      graft.plans.EpochMv.refresh(s, d0, delta, batchId = 1L)
+      base
+    }
+
+  /** Serve-safe view maintenance, driver-verified end to end: the
+    * warehouse grows by a delta batch, the EPOCH-layout view merges
+    * the delta's partials into a NEW manifest generation (the same
+    * merge frames as `mv_refresh` — the arithmetic is shared), the
+    * Catalyst rewrite atomically re-points at the fresh generation,
+    * and the rollup through it must hash-match the from-scratch
+    * aggregate over the grown table. Identical oracle to `mv_refresh`:
+    * the layout change (swap → manifest flip) must be invisible in
+    * the served answer — what changed is that a concurrent reader
+    * never needed a maintenance window (`EpochMvSpec` pins the atomic
+    * catalog swap and pinned-generation reads). */
+  val mvRefreshEpoch = GQuery(
+    "mv_refresh_epoch",
+    (s, d) => {
+      val base = savedMvEpochBasePath(s, d)
+      s.read.parquet(base)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity").cast(DecimalType(38, 2)))
+          .as("sum_qty_dec"),
+          count(lit(1)).as("n_rows"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+        .select(col("l_returnflag"),
+          col("sum_qty_dec").cast(DoubleType).as("sum_qty"),
+          col("n_rows"), col("min_qty"), col("max_qty"))
+        .orderBy("l_returnflag")
+    },
+    mvRewrite.oracle)
+
   /** Base copy + view WITH min/max partials, then a takedown slice
     * removed through [[graft.plans.MatView.refreshDelete]]'s targeted
     * RECOUNT path (extrema are not subtractable — only the delete
@@ -1064,5 +1129,6 @@ object IncrQueries {
     Seq(incrAgg, incrDistinct, incrTopk, rollingWau, overlapSketch,
       zorderLayout, warehouseRefresh, incrPipeline, mvRewrite,
       mvRewriteFiltered, mvRefresh, mvRewriteAvg, mvRefreshDelete,
-      mvRefreshDeleteMinmax, mvRewriteJoin, mvRewriteRollup)
+      mvRefreshDeleteMinmax, mvRefreshEpoch, mvRewriteJoin,
+      mvRewriteRollup)
 }

@@ -89,6 +89,20 @@ object MatView {
       .filterNot(_.mvPath == d.mvPath) :+ d)
   }
   def deregister(basePath: String): Unit = catalog.remove(norm(basePath))
+  /** ATOMIC generation swap for epoch MVs ([[EpochMv]]): register the
+    * new generation's definition and drop every prior definition whose
+    * mvPath lives under the same layout `prefix`, in ONE catalog
+    * update — a query planned before the swap keeps its (still
+    * on-disk) old generation, a query planned after sees only the new
+    * one, and no instant exposes both (a stale view answering rewrites
+    * beside the fresh one). */
+  private[plans] def registerGeneration(d: MvDef, prefix: String): Unit =
+    catalog.synchronized {
+      val k = norm(d.basePath)
+      val p = norm(prefix)
+      catalog.put(k, catalog.getOrElse(k, Vector.empty)
+        .filterNot(v => norm(v.mvPath).startsWith(p)) :+ d)
+    }
   /** Candidate views for a scanned path, COARSEST first (fewest group
     * columns = fewest view rows = cheapest covering answer; mvPath
     * tie-break keeps selection deterministic). The rewrite tries them
@@ -117,6 +131,9 @@ object MatView {
   /** The per-cell partial expressions a view stores — shared by the
     * initial refresh aggregation and the delete-recount path so both
     * compute partials with ONE definition. */
+  private[plans] def partialColsOf(mv: MvDef)
+      : Seq[org.apache.spark.sql.Column] = partialCols(mv)
+
   private def partialCols(mv: MvDef)
       : Seq[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.functions.{col, count, lit, sum}
@@ -137,19 +154,22 @@ object MatView {
     }
   }
 
-  private def refreshView(s: SparkSession, mv: MvDef,
-      delta: org.apache.spark.sql.DataFrame,
-      stageMarkers: Seq[String]): Unit = {
+  /** The append-refresh merge as a FRAME: current partials (read from
+    * `mv.mvPath`) ⊎ the delta's partials, re-aggregated under each
+    * partial's own algebra — sums and counts add, min-of-mins /
+    * max-of-maxes re-extremize. None when the delta contributes
+    * nothing. Shared by the in-place swap refresh below and the
+    * epoch-layout refresh ([[EpochMv]]), so the two maintenance forms
+    * cannot drift on the merge arithmetic. */
+  private[plans] def mergedForRefresh(s: SparkSession, mv: MvDef,
+      delta: org.apache.spark.sql.DataFrame)
+      : Option[org.apache.spark.sql.DataFrame] = {
     import org.apache.spark.sql.functions.{col, sum}
     val pc = partialCols(mv)
     val deltaPartials = delta
       .groupBy(mv.groupCols.map(col): _*)
       .agg(pc.head, pc.tail: _*)
-    if (deltaPartials.isEmpty) return
-    // each partial merges under its own algebra: sums and counts add,
-    // min-of-mins / max-of-maxes re-extremize (appends only — a delete
-    // would invalidate min/max partials, which is the documented reason
-    // delete support stops at the sum/count algebra)
+    if (deltaPartials.isEmpty) return None
     def mergeCol(sp: AggSpec) = sp.func match {
       case "min" => org.apache.spark.sql.functions.min(col(sp.mvCol))
         .as(sp.mvCol)
@@ -163,15 +183,20 @@ object MatView {
       .agg(mergeCol(mv.aggs.head), mv.aggs.tail.map(mergeCol): _*)
     // long counts re-aggregate through sum (long); cast back so the
     // stored partial keeps its declared type across refreshes
-    val restored = mv.aggs.foldLeft(merged) { (df, sp) =>
+    Some(mv.aggs.foldLeft(merged) { (df, sp) =>
       if (sp.func == "count")
         df.withColumn(sp.mvCol,
           col(sp.mvCol).cast(org.apache.spark.sql.types.LongType))
       else df
-    }
-    graft.ops.Layout.replaceDir(s, restored, mv.mvPath,
-      stageMarkers = stageMarkers)
+    })
   }
+
+  private def refreshView(s: SparkSession, mv: MvDef,
+      delta: org.apache.spark.sql.DataFrame,
+      stageMarkers: Seq[String]): Unit =
+    mergedForRefresh(s, mv, delta).foreach(restored =>
+      graft.ops.Layout.replaceDir(s, restored, mv.mvPath,
+        stageMarkers = stageMarkers))
 
   /** EXACTLY-ONCE refresh for the streaming face: the batch id's
     * applied-marker rides the staged directory, so it becomes visible
@@ -210,7 +235,7 @@ object MatView {
     *  - min/max partials cannot be maintained by subtraction (a
     *    deleted extremum is unrecoverable from the partial — the
     *    second-largest value was never stored); a view registering
-    *    them takes the TARGETED RECOUNT path ([[recountCells]]): only
+    *    them takes the TARGETED RECOUNT path ([[recountFrame]]): only
     *    the delete batch's cells recompute from surviving base rows,
     *    untouched cells pass through byte-identical;
     *  - on the algebraic path a COUNT(*) partial is required as the
@@ -232,18 +257,21 @@ object MatView {
     catalog.getOrElse(norm(basePath), Vector.empty)
       .foreach(mv => refreshViewDelete(s, mv, deleted, stageMarkers))
 
-  private def refreshViewDelete(s: SparkSession, mv: MvDef,
-      deleted: org.apache.spark.sql.DataFrame,
-      stageMarkers: Seq[String]): Unit = {
+  /** The delete-refresh result as a FRAME — dispatching exactly as
+    * [[refreshDelete]] documents (extrema → targeted recount, else
+    * negated partials), reading current partials from `mv.mvPath`.
+    * None when the batch changes nothing. Shared by the in-place swap
+    * delete below and the epoch-layout delete ([[EpochMv]]). */
+  private[plans] def mergedForDelete(s: SparkSession, mv: MvDef,
+      deleted: org.apache.spark.sql.DataFrame)
+      : Option[org.apache.spark.sql.DataFrame] = {
     import org.apache.spark.sql.functions.{col, count, lit, sum, when}
     // min/max partials cannot be subtracted (the deleted extremum's
     // runner-up was never stored) — those views take the TARGETED
     // RECOUNT path instead: only the cells whose group keys appear in
     // the delete batch are recomputed from their surviving base rows
-    if (mv.aggs.exists(sp => sp.func == "min" || sp.func == "max")) {
-      recountCells(s, mv, deleted, stageMarkers)
-      return
-    }
+    if (mv.aggs.exists(sp => sp.func == "min" || sp.func == "max"))
+      return recountFrame(s, mv, deleted)
     val star = mv.aggs.find(sp => sp.func == "count" && sp.inputCol.isEmpty)
     require(star.isDefined,
       s"MatView.refreshDelete: view ${mv.mvPath} has no COUNT(*) " +
@@ -260,7 +288,7 @@ object MatView {
     val negPartials = deleted
       .groupBy(mv.groupCols.map(col): _*)
       .agg(negCols.head, negCols.tail: _*)
-    if (negPartials.isEmpty) return
+    if (negPartials.isEmpty) return None
     val merged = s.read.parquet(mv.mvPath)
       .unionByName(negPartials)
       .groupBy(mv.groupCols.map(col): _*)
@@ -277,15 +305,20 @@ object MatView {
     // NULL (as a rebuild would), not the algebraic 0 the subtraction
     // leaves — observable exactly when a COUNT(col) partial reaches 0
     // in a live cell
-    val repaired = mv.aggs.foldLeft(restored) { (df, sp) =>
+    Some(mv.aggs.foldLeft(restored) { (df, sp) =>
       if (sp.func != "sum") df
       else mv.aggs.find(c => c.func == "count" && c.inputCol == sp.inputCol)
         .fold(df)(c => df.withColumn(sp.mvCol,
           when(col(c.mvCol) === 0L, lit(null)).otherwise(col(sp.mvCol))))
-    }
-    graft.ops.Layout.replaceDir(s, repaired, mv.mvPath,
-      stageMarkers = stageMarkers)
+    })
   }
+
+  private def refreshViewDelete(s: SparkSession, mv: MvDef,
+      deleted: org.apache.spark.sql.DataFrame,
+      stageMarkers: Seq[String]): Unit =
+    mergedForDelete(s, mv, deleted).foreach(repaired =>
+      graft.ops.Layout.replaceDir(s, repaired, mv.mvPath,
+        stageMarkers = stageMarkers))
 
   /** TARGETED CELL RECOUNT — the delete path for views whose partials
     * are not algebraically subtractable (min/max): recompute ONLY the
@@ -313,15 +346,15 @@ object MatView {
     * doomed rows' cells still scannable); assumes deleted ⊆ base.
     * `mv_refresh_delete_minmax` hash-verifies recount ≡
     * survivors-rebuild through the rewrite path. */
-  private def recountCells(s: SparkSession, mv: MvDef,
-      deleted: org.apache.spark.sql.DataFrame,
-      stageMarkers: Seq[String]): Unit = {
+  private def recountFrame(s: SparkSession, mv: MvDef,
+      deleted: org.apache.spark.sql.DataFrame)
+      : Option[org.apache.spark.sql.DataFrame] = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val cols = (mv.groupCols ++
       mv.aggs.map(_.inputCol).filter(_.nonEmpty)).distinct
     val delP = deleted.select(cols.map(col): _*)
     val keys = delP.select(mv.groupCols.map(col): _*).distinct()
-    if (keys.isEmpty) return
+    if (keys.isEmpty) return None
     def keyCond(left: org.apache.spark.sql.DataFrame,
         right: org.apache.spark.sql.DataFrame) =
       mv.groupCols.map(c => left(c) <=> right(c)).reduce(_ && _)
@@ -336,8 +369,7 @@ object MatView {
     val view = s.read.parquet(mv.mvPath)
     val untouched = view.join(broadcast(keys), keyCond(view, keys),
       "left_anti")
-    graft.ops.Layout.replaceDir(s, untouched.unionByName(recounted),
-      mv.mvPath, stageMarkers = stageMarkers)
+    Some(untouched.unionByName(recounted))
   }
 
   /** EXACTLY-ONCE delete refresh — [[refreshOnce]]'s discipline on the

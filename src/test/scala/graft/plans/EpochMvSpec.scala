@@ -1,0 +1,82 @@
+package graft.plans
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Epoch-MV pins: each refresh publishes a new generation and the
+  * Catalyst rewrite re-points atomically (the served plan scans
+  * EXACTLY one generation — the newest); a frame planned against the
+  * old generation keeps reading it after the flip; ledger replays
+  * no-op; the delete leg (min/max recount included) rides the same
+  * frames as the swap layout. */
+class EpochMvSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("generation flips are atomic for the rewrite; pinned frames " +
+      "survive; ledger replays no-op; delete recount rides epochs") {
+    val base = s"${graft.GraftSession.scratchDir}/emv_base"
+    val layout = s"${graft.GraftSession.scratchDir}/emv_layout"
+    Seq(("A", 1.0), ("A", 4.0), ("B", 5.0))
+      .toDF("f", "q")
+      .write.mode("overwrite").parquet(base)
+    val d = EpochMv.EpochMvDef(base, layout, Seq("f"),
+      Seq(MatView.AggSpec("sum", "q", Some(DecimalType(38, 2)),
+          "sum_p"),
+        MatView.AggSpec("count", "", None, "cnt_p"),
+        MatView.AggSpec("min", "q", None, "min_p"),
+        MatView.AggSpec("max", "q", None, "max_p")))
+    EpochMv.create(spark, d)
+    def q() = spark.read.parquet(base).groupBy(col("f"))
+      .agg(sum(col("q").cast(DecimalType(38, 2))).as("s"),
+        count(lit(1)).as("n"), min(col("q")).as("mn"),
+        max(col("q")).as("mx"))
+    def plansOn(gen: String): Boolean =
+      q().queryExecution.executedPlan.toString.contains(s"$gen/view")
+    try {
+      assert(plansOn("g0"))
+      val cells0 = q().collect().map(r => (r.getString(0),
+        r.getLong(2))).toMap
+
+      // a frame PLANNED against generation 0 before the flip
+      val pinned = spark.read.parquet(s"$layout/g0/view")
+      // grow the base, refresh as generation 1
+      val delta = Seq(("B", 7.0), ("C", 2.0)).toDF("f", "q")
+      delta.write.mode("append").parquet(base)
+      EpochMv.refresh(spark, d, delta, batchId = 1L)
+      assert(plansOn("g1") && !plansOn("g0"),
+        q().queryExecution.executedPlan.toString.take(2000))
+      assert(q().collect().map(r => (r.getString(0), r.getLong(2)))
+        .toMap === Map("A" -> 2L, "B" -> 2L, "C" -> 1L))
+      // the pre-flip frame still reads generation 0 (on disk until
+      // prune) — the snapshot a mid-flight dashboard query holds
+      assert(pinned.count() === 2L)
+      // ledger replay: same batch id commits nothing
+      EpochMv.refresh(spark, d, delta, batchId = 1L)
+      assert(graft.ops.Epoch.resolve(spark, layout).get.epoch === 1L)
+
+      // delete leg with min/max → the targeted recount, as an epoch;
+      // takedown-first ordering (view before base shrink)
+      val doomed = Seq(("B", 7.0)).toDF("f", "q")
+      EpochMv.refreshDelete(spark, d, doomed, batchId = 2L)
+      graft.ops.Layout.replaceDir(spark,
+        spark.read.parquet(base)
+          .where(!(col("f") === "B" && col("q") === 7.0)), base)
+      assert(plansOn("g2"))
+      val after = q().collect()
+        .map(r => (r.getString(0), r.getDouble(3), r.getDouble(4)))
+        .sortBy(_._1).toSeq
+      assert(after === Seq(("A", 1.0, 4.0), ("B", 5.0, 5.0),
+        ("C", 2.0, 2.0)))
+      // replay of the delete batch: ledger no-op
+      EpochMv.refreshDelete(spark, d, doomed, batchId = 2L)
+      assert(graft.ops.Epoch.resolve(spark, layout).get.epoch === 2L)
+      // prune retires g0/g1; the current generation keeps serving
+      graft.ops.Epoch.prune(spark, layout, keep = 1)
+      assert(!new java.io.File(s"$layout/g0").exists())
+      assert(q().collect().length === 3)
+      assert(cells0 === Map("A" -> 2L, "B" -> 1L)) // untouched capture
+    } finally MatView.deregister(base)
+  }
+}
