@@ -687,6 +687,27 @@ object StreamRunner {
       }
       .start()
 
+  /** Streaming MATERIALIZED-VIEW maintenance on the EPOCH layout
+    * ([[graft.plans.EpochMv]]) — [[mvRefreshStream]]'s serve-safe
+    * successor: each micro-batch merges into a NEW view generation
+    * behind one atomic manifest flip + one atomic catalog re-point,
+    * so dashboard queries rewritten onto the view never hit a swap
+    * window. Exactly-once rides the manifest ledger keyed by the
+    * checkpointed batch id (same `checkpoint` caveat as every ledger
+    * face). The caller appends the same batches to the base table
+    * downstream of `emitBase`. */
+  def mvRefreshEpochStream(d: graft.plans.EpochMv.EpochMvDef,
+      rows: DataFrame, checkpoint: Option[String] = None)
+      (emitBase: (DataFrame, Long) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    withCheckpoint(rows.writeStream.outputMode("append"), checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.localCheckpoint(true)
+        graft.plans.EpochMv.refresh(b.sparkSession, d, b, batchId)
+        emitBase(b, batchId)
+      }
+      .start()
+
   /** Typed event row for the custom-state path (object-nested so Spark
     * can derive its Encoder — no outer instance). */
   final case class UserEvent(event_id: Long, ts: java.sql.Timestamp,

@@ -79,4 +79,42 @@ class EpochMvSpec extends SparkTestBase {
       assert(cells0 === Map("A" -> 2L, "B" -> 1L)) // untouched capture
     } finally MatView.deregister(base)
   }
+
+  test("streaming refresh drains micro-batches into generations " +
+      "exactly-once; drained view ≡ rebuild through the rewrite") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = s"${graft.GraftSession.scratchDir}/emv_sbase"
+    val layout = s"${graft.GraftSession.scratchDir}/emv_slayout"
+    Seq(("A", 1.0)).toDF("f", "q")
+      .write.mode("overwrite").parquet(base)
+    val d = EpochMv.EpochMvDef(base, layout, Seq("f"),
+      Seq(MatView.AggSpec("sum", "q", Some(DecimalType(38, 2)),
+          "sum_p"),
+        MatView.AggSpec("count", "", None, "cnt_p")))
+    EpochMv.create(spark, d)
+    try {
+      val source = MemoryStream[(String, Double)]
+      val q = graft.streaming.StreamRunner.mvRefreshEpochStream(d,
+        source.toDF().toDF("f", "q")) { (b, _) =>
+        b.write.mode("append").parquet(base)
+      }
+      source.addData("A" -> 2.0, "B" -> 3.0)
+      q.processAllAvailable()
+      source.addData("B" -> 4.0)
+      q.processAllAvailable()
+      q.stop()
+      val m = graft.ops.Epoch.resolve(spark, layout).get
+      assert(m.epoch === 2L && m.has("app_0") && m.has("app_1"))
+      // replay of batch 0's payload under its id: ledger no-op
+      EpochMv.refresh(spark, d,
+        Seq("A" -> 2.0, "B" -> 3.0).toDF("f", "q"), batchId = 0L)
+      assert(graft.ops.Epoch.resolve(spark, layout).get.epoch === 2L)
+      // the rewrite serves the drained state ≡ from-scratch rebuild
+      val served = spark.read.parquet(base).groupBy(col("f"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(served === Map("A" -> 2L, "B" -> 2L))
+    } finally MatView.deregister(base)
+  }
 }
