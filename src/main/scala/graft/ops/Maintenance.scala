@@ -45,7 +45,8 @@ object Maintenance {
       maxTombstoneRatio: Double = 0.10, maxCellSkew: Double = 4.0)
 
   /** One layout under sweep management. `kind` ∈ postings |
-    * positional | neardup | ivf | ivfpq | epoch_postings. */
+    * positional | neardup | ivf | ivfpq | epoch_postings |
+    * epoch_ivf. */
   final case class LayoutRef(kind: String, path: String)
 
   /** What the probe saw and what the sweep did (`action` ∈ none |
@@ -67,6 +68,9 @@ object Maintenance {
       case "ivfpq" => Seq(s"${ref.path}/encoded")
       case "epoch_postings" =>
         Epoch.resolve(s, ref.path).map(_.dirs(ref.path, "lists"))
+          .getOrElse(Seq.empty)
+      case "epoch_ivf" =>
+        Epoch.resolve(s, ref.path).map(_.dirs(ref.path, "assigned"))
           .getOrElse(Seq.empty)
       case k => throw new IllegalArgumentException(
         s"Maintenance: unknown layout kind $k")
@@ -96,7 +100,7 @@ object Maintenance {
   private[ops] def tombstoneRatio(s: SparkSession, ref: LayoutRef)
       : Double = {
     val tomb = ref.kind match {
-      case "epoch_postings" => Epoch.resolve(s, ref.path)
+      case "epoch_postings" | "epoch_ivf" => Epoch.resolve(s, ref.path)
         .flatMap(m => Epoch.read(s, ref.path, m, "tombstones"))
       case _ => Layout.tombstonesOpt(s, ref.path)
     }
@@ -142,11 +146,20 @@ object Maintenance {
           PhraseQueries.positionalCompact(s, ref.path); "compact"
         case "neardup" if compactDue =>
           NearDup.neardupCompact(s, ref.path); "compact"
-        // the serve-safe layout: compaction publishes a fresh epoch
-        // (readers keep their pinned snapshots), then prune retires
-        // generations beyond the retention horizon
+        // the serve-safe layouts: compaction/retrain publish a fresh
+        // epoch (readers keep their pinned snapshots), then prune
+        // retires generations beyond the retention horizon
         case "epoch_postings" if compactDue =>
           EpochPostings.compact(s, ref.path)
+          Epoch.prune(s, ref.path)
+          "compact"
+        case "epoch_ivf" if Ann.needsRetrain(EpochAnn.load(s, ref.path),
+            policy.maxCellSkew) =>
+          EpochAnn.retrain(s, ref.path)
+          Epoch.prune(s, ref.path)
+          "retrain"
+        case "epoch_ivf" if compactDue =>
+          EpochAnn.compact(s, ref.path)
           Epoch.prune(s, ref.path)
           "compact"
         case _ => "none"

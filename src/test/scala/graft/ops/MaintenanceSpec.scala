@@ -107,6 +107,33 @@ class MaintenanceSpec extends SparkTestBase {
       === Seq("none"))
   }
 
+  test("the epoch-IVF arm routes skew to an epoch retrain and " +
+      "tombstone mass to an epoch compact") {
+    val path = s"${graft.GraftSession.scratchDir}/maint_epoch_ivf"
+    val emb = ((1L to 9L).map(i =>
+      (i, Array(1.0f, 0.001f * i, 0f, 0f))) :+
+      (10L, Array(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    EpochAnn.build(spark, emb, path, k = 2)
+    val ref = Maintenance.LayoutRef("epoch_ivf", path)
+    assert(Maintenance.sweep(spark, Seq(ref),
+      Maintenance.Policy(maxCellSkew = 50.0)).map(_.action)
+      === Seq("none"))
+    val e0 = Epoch.resolve(spark, path).get.epoch
+    assert(Maintenance.sweep(spark, Seq(ref),
+      Maintenance.Policy(maxCellSkew = 1.2)).map(_.action)
+      === Seq("retrain"))
+    assert(Epoch.resolve(spark, path).get.epoch === e0 + 1)
+    EpochAnn.delete(spark, Seq(3L, 4L).toDF("vec_id"), path, 1L)
+    assert(Maintenance.sweep(spark, Seq(ref),
+      Maintenance.Policy(maxSegments = 1000,
+        maxTombstoneRatio = 0.10, maxCellSkew = 50.0)).map(_.action)
+      === Seq("compact"))
+    assert(Epoch.resolve(spark, path).get
+      .components("tombstones").isEmpty)
+    assert(EpochAnn.load(spark, path).assigned.count() === 8L)
+  }
+
   test("the IVF arm routes occupancy skew to RETRAIN and tombstone " +
       "mass to compact") {
     val path = s"${graft.GraftSession.scratchDir}/maint_ivf"
