@@ -39,34 +39,50 @@ import org.apache.spark.sql.functions._
 object BoolQueries {
 
   /** Top-`10` BM25 over the docs satisfying
-    * (AND must) ∧ (OR should, required iff must empty) ∧ ¬(OR mustNot),
-    * served from the persisted postings layout at `path`. Scoring rows
-    * are the must+should postings of satisfying docs. */
+    * (AND must) ∧ (OR should, required iff must empty) ∧
+    * (AND each `phrases` entry, exact-adjacency via the POSITIONAL
+    * layout at `positional`) ∧ ¬(OR mustNot),
+    * served from the persisted postings layout at `path`. Scoring
+    * rows are the must+should+phrase-term postings of satisfying
+    * docs (the phrase contributes its terms' BM25 — the standard
+    * phrase-clause scoring shape without a proximity boost). */
   def boolSearch(s: org.apache.spark.sql.SparkSession, path: String,
       must: Seq[String], should: Seq[String] = Seq.empty,
-      mustNot: Seq[String] = Seq.empty)
+      mustNot: Seq[String] = Seq.empty,
+      positional: Option[String] = None,
+      phrases: Seq[Seq[String]] = Seq.empty)
       : org.apache.spark.sql.DataFrame = {
-    require(must.nonEmpty || should.nonEmpty,
-      "boolSearch: need at least one must or should term")
-    val scoring = (must ++ should).distinct
+    require(must.nonEmpty || should.nonEmpty || phrases.nonEmpty,
+      "boolSearch: need at least one must/should/phrase clause")
+    require(phrases.isEmpty || positional.nonEmpty,
+      "boolSearch: phrase clauses need the positional layout path")
+    val scoring = (must ++ should ++ phrases.flatten).distinct
     val allTerms = (scoring ++ mustNot).distinct
     // ONE pushed-In scan of the lists, sliced per clause below
     val lists = TextQueries.servedLists(s, path, allTerms)
-    val positive =
-      if (must.nonEmpty) {
+    // each required clause reduces to a distinct doc-id set; their
+    // k-way equi-join is the intersection (phrase sets come from the
+    // positional index's adjacency fold — already distinct per doc)
+    val clauseSets: Seq[org.apache.spark.sql.DataFrame] =
+      (if (must.nonEmpty)
         // every must term present: (term, doc) rows are unique, so a
         // plain row count per doc over the must slice counts distinct
         // matched terms
-        val satisfying = lists.where(col("term").isin(must: _*))
+        Seq(lists.where(col("term").isin(must: _*))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("_nmust"))
           .where(col("_nmust") === must.distinct.size)
-          .select(col("doc_id"))
-        lists.where(col("term").isin(scoring: _*))
-          .join(satisfying, Seq("doc_id"))
-      } else
-        // pure OR: any should doc satisfies; its matched rows score
-        lists.where(col("term").isin(scoring: _*))
+          .select(col("doc_id")))
+      else if (should.nonEmpty)
+        // pure OR tier: at least one should term must match
+        Seq(lists.where(col("term").isin(should: _*))
+          .select(col("doc_id")).distinct())
+      else Seq.empty) ++
+        phrases.map(ph => PhraseQueries
+          .servePhrase(s, positional.get, ph).select(col("doc_id")))
+    val satisfying = clauseSets.reduce(_.join(_, Seq("doc_id")))
+    val positive = lists.where(col("term").isin(scoring: _*))
+      .join(satisfying, Seq("doc_id"))
     val sat =
       if (mustNot.isEmpty) positive
       else positive.join(
@@ -150,5 +166,31 @@ object BoolQueries {
             SELECT doc_id FROM (SELECT doc_id, unnest(toks) AS term
                                 FROM docs) WHERE term = 'spark'))""")))
 
-  def all: Seq[GQuery] = Seq(boolSearch1, boolSearchOr)
+  /** PHRASE-clause composition, driver-verified: `"spark merge" AND
+    * filter` — docs holding the exact adjacent phrase (resolved
+    * through the positional index's adjacency fold, the
+    * `phrase_search` k-way discipline) AND the required term,
+    * BM25-scored over the phrase's terms plus the required one. The
+    * oracle re-derives the phrase hit set positionally from raw
+    * token arrays, so the hash match certifies the postings ∩
+    * positional composition end to end. */
+  val boolSearchPhrase = GQuery(
+    "bool_search_phrase",
+    (s, d) => boolSearch(s, TextQueries.savedPostingsPath(s, d),
+      must = Seq("filter"),
+      positional = Some(PhraseQueries.savedPositionalPath(s, d)),
+      phrases = Seq(Seq("spark", "merge"))),
+    Some(oracleFor("'filter', 'spark', 'merge'",
+      """ph AS (
+        SELECT doc_id FROM (SELECT doc_id, str_split(text, ' ') AS t
+                            FROM documents WHERE text IS NOT NULL)
+        WHERE len(list_filter(range(1, len(t)), i ->
+                t[i] = 'spark' AND t[i+1] = 'merge')) > 0),
+      sat AS (
+        SELECT doc_id FROM tf WHERE term = 'filter'
+        INTERSECT
+        SELECT doc_id FROM ph)""")))
+
+  def all: Seq[GQuery] =
+    Seq(boolSearch1, boolSearchOr, boolSearchPhrase)
 }

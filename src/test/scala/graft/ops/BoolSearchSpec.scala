@@ -67,6 +67,41 @@ class BoolSearchSpec extends SparkTestBase {
     }
   }
 
+  test("phrase clauses intersect through the positional index: exact " +
+      "adjacency required, order matters, composition with NOT holds") {
+    val path = mkIndex("ph")
+    val pos = s"${graft.GraftSession.scratchDir}/bool_ph_pos"
+    val docs = Seq(
+      (1L, "spark merge filter scan"),
+      (2L, "spark merge merge"),
+      (3L, "spark filter"),
+      (4L, "merge filter window"),
+      (5L, "spark merge window"),
+      (6L, "window scan")).toDF("doc_id", "text")
+    PhraseQueries.buildPositional(spark, docs, pos)
+    // exact phrase "spark merge" → {1,2,5}; AND filter → {1}
+    assert(ids(BoolQueries.boolSearch(spark, path, must = Seq("filter"),
+      positional = Some(pos), phrases = Seq(Seq("spark", "merge"))))
+      === Set(1L))
+    // order matters: "merge spark" matches nothing
+    assert(BoolQueries.boolSearch(spark, path, must = Seq.empty,
+      positional = Some(pos), phrases = Seq(Seq("merge", "spark")))
+      .count() === 0L)
+    // pure-phrase query + NOT: {1,2,5} minus filter docs {1,3,4} → {2,5}
+    assert(ids(BoolQueries.boolSearch(spark, path, must = Seq.empty,
+      mustNot = Seq("filter"), positional = Some(pos),
+      phrases = Seq(Seq("spark", "merge")))) === Set(2L, 5L))
+    // two phrase clauses intersect: "spark merge" AND "merge filter"
+    assert(ids(BoolQueries.boolSearch(spark, path, must = Seq.empty,
+      positional = Some(pos),
+      phrases = Seq(Seq("spark", "merge"), Seq("merge", "filter"))))
+      === Set(1L))
+    intercept[IllegalArgumentException] {
+      BoolQueries.boolSearch(spark, path, must = Seq.empty,
+        phrases = Seq(Seq("spark", "merge"))) // no positional path
+    }
+  }
+
   test("single-must no-not reproduces the plain BM25 serve; deleted " +
       "docs leave the satisfying set; clause union is one pushed scan") {
     val path = mkIndex("eq")
