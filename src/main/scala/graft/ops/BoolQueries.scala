@@ -73,8 +73,11 @@ object BoolQueries {
           .agg(count(lit(1)).as("_nmust"))
           .where(col("_nmust") === must.distinct.size)
           .select(col("doc_id")))
-      else if (should.nonEmpty)
-        // pure OR tier: at least one should term must match
+      else if (should.nonEmpty && phrases.isEmpty)
+        // pure OR tier: with NO other required clause, at least one
+        // should term must match (the Lucene rule — should is
+        // score-only whenever any must/phrase clause already
+        // constrains the set)
         Seq(lists.where(col("term").isin(should: _*))
           .select(col("doc_id")).distinct())
       else Seq.empty) ++

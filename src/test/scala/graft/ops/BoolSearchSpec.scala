@@ -96,6 +96,15 @@ class BoolSearchSpec extends SparkTestBase {
       positional = Some(pos),
       phrases = Seq(Seq("spark", "merge"), Seq("merge", "filter"))))
       === Set(1L))
+    // a phrase is itself a required clause, so should becomes
+    // score-only beside it (the Lucene rule): "spark merge" +
+    // should window does NOT narrow {1,2,5}, it boosts doc 5
+    val phBoost = BoolQueries.boolSearch(spark, path, must = Seq.empty,
+      should = Seq("window"), positional = Some(pos),
+      phrases = Seq(Seq("spark", "merge")))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(phBoost.keySet === Set(1L, 2L, 5L))
+    assert(phBoost(5L) === 3L && phBoost(2L) === 2L)
     intercept[IllegalArgumentException] {
       BoolQueries.boolSearch(spark, path, must = Seq.empty,
         phrases = Seq(Seq("spark", "merge"))) // no positional path

@@ -51,8 +51,10 @@ class EpochServeSpec extends SparkTestBase {
       // (appended lists with old stats, or old df with new lists)
       // produces a third ranking and fails here
       var sawOld, sawNew = false
-      while (!mutator.isCompleted) {
+      var served = 0
+      while (!mutator.isCompleted || served == 0) {
         val r = rows(EpochPostings.serve(spark, path, terms))
+        served += 1
         assert(r == r0 || r == r1,
           s"mixed-generation read: $r is neither the pre-append nor " +
             "the post-append answer")
