@@ -17,7 +17,8 @@ object SparkEntry {
       ops.FunnelQueries.all ++
       ops.TextQueries.all ++ ops.EpochPostings.all ++
       ops.BoolQueries.all ++
-      ops.PhraseQueries.all ++ ops.Suggest.all ++
+      ops.PhraseQueries.all ++ ops.EpochPositional.all ++
+      ops.Suggest.all ++
       ops.CorpusQueries.all ++
       ops.VectorQueries.all ++ ops.HybridQueries.all ++
       ops.DedupQueries.all ++ ops.NearDup.all ++ ops.IndexStats.all ++

@@ -54,7 +54,7 @@ object PhraseQueries {
   /** (doc_id, toks, dl) tokenize-on-read projection — same tokenization
     * rule as the BM25 tier (single definition there is private; the
     * rule is the one-split contract both layouts document). */
-  private def docProjection(docs: DataFrame): DataFrame =
+  private[ops] def docProjection(docs: DataFrame): DataFrame =
     docs.where(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("toks"),
@@ -81,7 +81,7 @@ object PhraseQueries {
 
   /** Corpus stats with exact long accumulators — the BM25 layout's
     * statsFrame contract (sum_dl/n_docs_l merge exactly on append). */
-  private def statsFrame(proj: DataFrame): DataFrame =
+  private[ops] def statsFrame(proj: DataFrame): DataFrame =
     proj.agg(count(lit(1)).as("n_docs_l"), sum(col("dl")).as("sum_dl"))
       .select(col("n_docs_l").cast(DoubleType).as("n_docs"),
         (col("sum_dl").cast(DoubleType) /
@@ -306,7 +306,7 @@ object PhraseQueries {
 
   /** (doc_id, n_occ, first_pos) presentation of a match frame — the
     * shared tail of the tokenize-on-read and served forms. */
-  private def phraseHits(matches: DataFrame): DataFrame =
+  private[ops] def phraseHits(matches: DataFrame): DataFrame =
     matches.select(col("doc_id"),
         size(col("starts")).cast(LongType).as("n_occ"),
         array_min(col("starts")).as("first_pos"))
@@ -325,7 +325,7 @@ object PhraseQueries {
     * re-derives the start set positionally from the token array (1-based
     * list indexing, hence the -1 on the emitted offset), so a hash match
     * proves the index path finds exactly the adjacent occurrences. */
-  private val phraseOracle = """
+  private[ops] val phraseOracle = """
       WITH toks AS (
         SELECT doc_id, str_split(text, ' ') AS t
         FROM documents WHERE text IS NOT NULL),

@@ -152,6 +152,46 @@ class EpochServeSpec extends SparkTestBase {
       === rows(EpochPostings.serve(spark, twin, terms)))
   }
 
+  test("the positional epoch layout: delta appends serve new phrase " +
+      "hits, deletes hide them behind the manifest while pinned " +
+      "readers keep them, compact ≡ survivors") {
+    import spark.implicits._
+    val path = s"${graft.GraftSession.scratchDir}/epoch_pos"
+    val mk = (ids: Seq[Long]) =>
+      ids.map(i => (i, s"spark merge d$i")).toDF("doc_id", "text")
+    EpochPositional.build(spark, mk(Seq(1L, 2L)), path)
+    def hits(m: Option[Epoch.Manifest] = None): Set[Long] =
+      (m match {
+        case Some(man) => EpochPositional.servePhraseOn(spark, path,
+          man, Seq("spark", "merge"))
+        case None => EpochPositional.servePhrase(spark, path,
+          Seq("spark", "merge"))
+      }).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hits() === Set(1L, 2L))
+    EpochPositional.append(spark, mk(Seq(3L)), path, batchId = 1L)
+    assert(hits() === Set(1L, 2L, 3L))
+    val e1 = Epoch.resolve(spark, path).get
+    EpochPositional.append(spark, mk(Seq(3L)), path, batchId = 1L)
+    assert(Epoch.resolve(spark, path).get.epoch === e1.epoch)
+    EpochPositional.delete(spark, Seq(2L).toDF("doc_id"), path,
+      batchId = 2L)
+    assert(hits() === Set(1L, 3L))
+    // the manifest pinned before the delete still serves doc 2
+    assert(hits(Some(e1)) === Set(1L, 2L, 3L))
+    EpochPositional.compact(spark, path)
+    assert(hits() === Set(1L, 3L))
+    assert(Epoch.resolve(spark, path).get
+      .components("tombstones").isEmpty)
+    // compacted stats equal a survivors rebuild's
+    val twin = s"${graft.GraftSession.scratchDir}/epoch_pos_twin"
+    EpochPositional.build(spark, mk(Seq(1L, 3L)), twin)
+    def stats(p: String) = {
+      val m = Epoch.resolve(spark, p).get
+      Epoch.read(spark, p, m, "stats").get.collect().head.toSeq
+    }
+    assert(stats(path) === stats(twin))
+  }
+
   test("prune keeps the newest manifests and every generation they " +
       "reference; a crash before commit leaves orphans that replay " +
       "cleans up") {
