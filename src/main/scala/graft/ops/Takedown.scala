@@ -71,6 +71,7 @@ object Takedown {
       // — exactly-once rides the manifest, not marker files, and
       // concurrent readers keep their pinned snapshots throughout
       postingsEpoch: Option[String] = None,
+      positionalEpoch: Option[String] = None,
       ivfEpoch: Option[String] = None)
 
   /** Take down `doomedDocs` — (doc_id[, text]); text feeds the suggest
@@ -106,6 +107,8 @@ object Takedown {
     tiers.postings.foreach(p => TextQueries.postingsDelete(s, ids, p))
     tiers.postingsEpoch.foreach(p =>
       EpochPostings.delete(s, ids, p, batchId))
+    tiers.positionalEpoch.foreach(p =>
+      EpochPositional.delete(s, ids, p, batchId))
     tiers.ivfEpoch.foreach(p =>
       EpochAnn.delete(s, ids.select(col("doc_id").as("vec_id")), p,
         batchId))
@@ -449,5 +452,144 @@ object Takedown {
       ORDER BY tier, k, id
     """))
 
-  def all: Seq[GQuery] = Seq(takedownAll)
+  /** EPOCH-tier takedown state: the three epoch layouts (postings,
+    * positional, float-IVF) built FULL, then ONE Takedown call with
+    * only epoch tiers wired removes the residue — every leg a
+    * manifest generation under the shared `del_1` ledger key, no
+    * maintenance window anywhere. */
+  private val savedEpochState =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
+
+  private[ops] def savedEpochPaths(s: SparkSession, d: String)
+      : Map[String, String] =
+    graft.BuildOnce.memo(savedEpochState, d) {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val post = scratch("tke_post", d)
+      val pos = scratch("tke_pos", d)
+      val vec = scratch("tke_vec", d)
+      EpochPostings.build(s, docs, post)
+      EpochPositional.build(s, docs, pos)
+      EpochAnn.build(s, emb, vec, k = 8)
+      val doomed = docs.where(col("doc_id") % 5 === Residue)
+        .select(col("doc_id"))
+        .localCheckpoint(true)
+      Takedown(s, doomed,
+        Tiers(postingsEpoch = Some(post), positionalEpoch = Some(pos),
+          ivfEpoch = Some(vec)),
+        batchId = 1L)
+      Map("post" -> post, "pos" -> pos, "vec" -> vec)
+    }
+
+  /** The SERVE-SAFE takedown verdict, driver-verified in one frame:
+    * after a single [[Takedown.apply]] over the three EPOCH layouts
+    * (each leg one atomic manifest flip — a concurrent reader never
+    * needed a window, the property the swap tiers cannot give), every
+    * tier serves exactly the survivors rebuild:
+    *  - `bm25`: the pinned-manifest keyword top-10;
+    *  - `phrase`: exact-phrase hits over the pinned positional scan;
+    *  - `vector`: the brute-force survivor anchor with the epoch-IVF
+    *    recall gate folded into `v`.
+    * Same normalized (tier, k, id, v) shape and per-tier oracle
+    * branches as `takedown_all` — what changed is the layout
+    * underneath, which must be invisible in every served answer. */
+  val takedownEpoch = GQuery(
+    "takedown_epoch",
+    (s, d) => {
+      val p = savedEpochPaths(s, d)
+      val bm25 = {
+        val m = Epoch.resolve(s, p("post")).get
+        EpochPostings.servedOn(s, p("post"), m, TextQueries.bm25Terms)
+          .select(norm("bm25", col("rnk"), col("doc_id"),
+            col("score")): _*)
+      }
+      val phrase = EpochPositional.servePhrase(s, p("pos"),
+        Seq("spark", "merge"))
+        .select(norm("phrase", col("doc_id"), col("n_occ"),
+          col("first_pos")): _*)
+      val vector = {
+        val emb = Tables.embeddings(s, d)
+        val brute = VectorQueries.bruteTopKOf(
+          emb.where(col("vec_id") % 5 =!= Residue),
+          VectorQueries.IvfTopK)
+        val served = Ann.query(EpochAnn.load(s, p("vec")), probeId = 0,
+          topK = VectorQueries.IvfTopK, nProbe = 3)
+        val hits = served.select(col("neighbor_id"), lit(1L).as("hit"))
+        brute.join(broadcast(hits), Seq("neighbor_id"), "left")
+          .select(norm("vector", col("rnk"), col("neighbor_id"),
+            (sum(coalesce(col("hit"), lit(0L)))
+              .over(org.apache.spark.sql.expressions.Window
+                .partitionBy()) >= 3).cast(IntegerType)): _*)
+      }
+      Seq(bm25, phrase, vector)
+        .reduce(_ unionByName _)
+        .orderBy("tier", "k", "id")
+    },
+    Some(s"""
+      WITH surv AS (
+        SELECT doc_id, text FROM documents
+        WHERE text IS NOT NULL AND doc_id % 5 <> $Residue),
+      bdocs AS (
+        SELECT doc_id, str_split(text, ' ') AS toks,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS dl
+        FROM surv),
+      bstats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+        FROM bdocs),
+      btf AS (
+        SELECT term, doc_id, dl, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM bdocs)
+        WHERE term IN ('spark', 'merge', 'filter')
+        GROUP BY 1, 2, 3),
+      bdfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+               FROM btf GROUP BY 1),
+      bscored AS (
+        SELECT btf.doc_id,
+               CAST(round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (btf.tf * 2.2)
+                 / (btf.tf + 1.2 * (0.25 + 0.75 * (CAST(btf.dl AS DOUBLE) / s.avgdl))),
+                 4) AS DECIMAL(38,4)) AS score_term
+        FROM btf JOIN bdfs d USING (term) CROSS JOIN bstats s),
+      bagg AS (
+        SELECT doc_id, CAST(SUM(score_term) AS DOUBLE) AS score
+        FROM bscored GROUP BY 1),
+      bm25 AS (
+        SELECT 'bm25' AS tier,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                 AS BIGINT) AS k,
+               CAST(doc_id AS VARCHAR) AS id, score AS v
+        FROM bagg
+        ORDER BY score DESC, doc_id
+        LIMIT 10),
+      phits AS (
+        SELECT doc_id,
+               list_filter(range(1, len(toks)), i ->
+                 toks[i] = 'spark' AND toks[i+1] = 'merge') AS starts
+        FROM bdocs),
+      phrase AS (
+        SELECT 'phrase' AS tier, doc_id AS k,
+               CAST(len(starts) AS VARCHAR) AS id,
+               CAST(list_min(starts) - 1 AS DOUBLE) AS v
+        FROM phits WHERE len(starts) > 0),
+      vprobe AS (SELECT embedding AS probe_emb FROM embeddings
+                 WHERE vec_id = 0),
+      vsims AS (
+        SELECT e.vec_id AS neighbor_id,
+               list_cosine_similarity(e.embedding, p.probe_emb) AS sim
+        FROM embeddings e, vprobe p
+        WHERE e.vec_id <> 0 AND e.vec_id % 5 <> $Residue),
+      vector AS (
+        SELECT 'vector' AS tier, rnk AS k,
+               CAST(neighbor_id AS VARCHAR) AS id, 1.0 AS v
+        FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC,
+                 neighbor_id) AS BIGINT) AS rnk, neighbor_id
+              FROM vsims)
+        WHERE rnk <= ${VectorQueries.IvfTopK})
+      SELECT tier, k, id, v FROM (
+        SELECT * FROM bm25 UNION ALL SELECT * FROM phrase
+        UNION ALL SELECT * FROM vector)
+      ORDER BY tier, k, id
+    """))
+
+  def all: Seq[GQuery] = Seq(takedownAll, takedownEpoch)
 }
