@@ -1271,8 +1271,42 @@ object HybridQueries {
       ORDER BY rnk
     """))
 
+  /** Hybrid retrieval ENTIRELY on snapshot-isolated layouts,
+    * driver-verified: the keyword list serves off the EPOCH postings
+    * (built half, grown by a referenced delta append, compacted —
+    * [[EpochPostings]]) and the vector list off the EPOCH IVF (same
+    * half→full growth, [[EpochAnn]]), RRF-fused by the shared
+    * [[rrfFuse]] and anchored against the exact fusion with
+    * `hybrid_serve`'s ≤2-miss tolerance boolean. Every index mutation
+    * under this entry was an atomic manifest flip a concurrent search
+    * could overlap safely — the end-to-end retrieval stack with no
+    * maintenance window left anywhere. */
+  val hybridServeEpoch = GQuery(
+    "hybrid_serve_epoch",
+    (s, d) => {
+      val kwServed = EpochPostings.serve(s,
+        EpochPostings.savedEpochPath(s, d), TextQueries.bm25Terms)
+        .select(col("doc_id"), col("rnk").as("kw_rnk"))
+      val vecServed = Ann.query(
+        EpochAnn.load(s, VectorQueries.epochIvfPath(s, d, k = 8)),
+        probeId = 0, topK = VectorQueries.IvfTopK, nProbe = 3)
+        .select(col("neighbor_id").as("doc_id"),
+          col("rank").as("vec_rnk"))
+      val servedIds = rrfFuse(kwServed, vecServed)
+        .select(col("doc_id"), lit(1L).as("hit"))
+      rrfFuse(kwExact(s, d), vecExact(s, d))
+        .join(broadcast(servedIds), Seq("doc_id"), "left")
+        .select(col("rnk"), col("doc_id"), col("kw_rnk"),
+          col("vec_rnk"), col("rrf"),
+          (sum(when(col("hit").isNull, lit(1L)).otherwise(lit(0L)))
+            .over(Window.partitionBy()) <= 2).as("fuse_ok"))
+        .orderBy("rnk")
+    },
+    hybridServe.oracle)
+
   val all: Seq[GQuery] =
-    Seq(hybridSearch, hybridServe, hybridMulti, hybridRerank,
+    Seq(hybridSearch, hybridServe, hybridServeEpoch, hybridMulti,
+      hybridRerank,
       hybridFiltered, hybridServeAppend, hybridMultiRerank,
       hybridServeDelete, hybridPhrase, hybridMmr)
 }
