@@ -18,7 +18,7 @@ object SparkEntry {
       ops.TextQueries.all ++ ops.EpochPostings.all ++
       ops.BoolQueries.all ++
       ops.PhraseQueries.all ++ ops.EpochPositional.all ++
-      ops.Suggest.all ++
+      ops.Suggest.all ++ ops.EpochSuggest.all ++
       ops.CorpusQueries.all ++
       ops.VectorQueries.all ++ ops.HybridQueries.all ++
       ops.DedupQueries.all ++ ops.NearDup.all ++ ops.IndexStats.all ++

@@ -40,7 +40,7 @@ object Suggest {
   /** Dictionary df: number of documents containing the term — the
     * suggestion-ranking signal, same aggregation the BM25 df table
     * uses. */
-  private def dictionary(docs: DataFrame): DataFrame =
+  private[ops] def dictionary(docs: DataFrame): DataFrame =
     docs.where(col("text").isNotNull)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       // consecutive separators split to empty tokens; an empty term is
@@ -55,7 +55,7 @@ object Suggest {
   /** {term} ∪ {term minus one character} as a per-row array — the
     * deletion-key set, SQL-expression form (no UDF: substr arithmetic
     * under `transform`). */
-  private def delKeys(term: org.apache.spark.sql.Column)
+  private[ops] def delKeys(term: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
     array_union(
       array(term),
@@ -156,10 +156,15 @@ object Suggest {
     * Long df arithmetic is exact in both directions, so append ≡
     * grown-rebuild and delete ≡ survivors-rebuild algebraically; one
     * body means the four public ops cannot drift apart. */
-  private def mergeDict(s: SparkSession, dir: String, partial: DataFrame,
+  /** The dictionary merge as a FRAME (sorted-layout shape included) —
+    * shared by the in-place swap merge below and the epoch-layout
+    * suggest ([[EpochSuggest]]), so the two maintenance forms cannot
+    * drift on the signed-df algebra. None when the partial is empty. */
+  private[ops] def mergedDict(s: SparkSession, dir: String,
+      partial: DataFrame,
       keysOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
-      negate: Boolean, stageMarkers: Seq[String]): Unit = {
-    if (partial.isEmpty) return
+      negate: Boolean): Option[DataFrame] = {
+    if (partial.isEmpty) return None
     val signed = if (negate) -col("df") else col("df")
     val merged = s.read.parquet(dir)
       .select(col("delkey"), col("term"), col("df"))
@@ -168,12 +173,16 @@ object Suggest {
           col("term"), signed.as("df")))
       .groupBy(col("delkey"), col("term"))
       .agg(sum(col("df")).as("df"))
-    Layout.replaceDir(s,
-      (if (negate) merged.where(col("df") > 0L) else merged)
-        .repartitionByRange(4, col("delkey"))
-        .sortWithinPartitions("delkey"),
-      dir, stageMarkers = stageMarkers)
+    Some((if (negate) merged.where(col("df") > 0L) else merged)
+      .repartitionByRange(4, col("delkey"))
+      .sortWithinPartitions("delkey"))
   }
+
+  private def mergeDict(s: SparkSession, dir: String, partial: DataFrame,
+      keysOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      negate: Boolean, stageMarkers: Seq[String]): Unit =
+    mergedDict(s, dir, partial, keysOf, negate).foreach(m =>
+      Layout.replaceDir(s, m, dir, stageMarkers = stageMarkers))
 
   /** DELETE documents from the suggest dictionary — the algebraic
     * NEGATIVE merge [[suggestAppend]]'s df addition implies: the

@@ -72,6 +72,7 @@ object Takedown {
       // concurrent readers keep their pinned snapshots throughout
       postingsEpoch: Option[String] = None,
       positionalEpoch: Option[String] = None,
+      suggestEpoch: Option[String] = None,
       ivfEpoch: Option[String] = None)
 
   /** Take down `doomedDocs` — (doc_id[, text]); text feeds the suggest
@@ -92,7 +93,8 @@ object Takedown {
     * replay ≡ once (`TakedownSpec` pins the ordering requirement). */
   def apply(s: SparkSession, doomedDocs: DataFrame, tiers: Tiers,
       batchId: Long): Unit = {
-    val needsText = tiers.suggest.nonEmpty || tiers.suggest2.nonEmpty
+    val needsText = tiers.suggest.nonEmpty || tiers.suggest2.nonEmpty ||
+      tiers.suggestEpoch.nonEmpty
     require(!needsText || doomedDocs.columns.contains("text"),
       "Takedown: a wired suggest tier needs the doomed docs' text " +
         "(the negative df merge subtracts per-term distinct-doc " +
@@ -109,6 +111,8 @@ object Takedown {
       EpochPostings.delete(s, ids, p, batchId))
     tiers.positionalEpoch.foreach(p =>
       EpochPositional.delete(s, ids, p, batchId))
+    tiers.suggestEpoch.foreach(p =>
+      EpochSuggest.delete(s, doomed, p, batchId))
     tiers.ivfEpoch.foreach(p =>
       EpochAnn.delete(s, ids.select(col("doc_id").as("vec_id")), p,
         batchId))
@@ -467,18 +471,20 @@ object Takedown {
       val emb = Tables.embeddings(s, d)
       val post = scratch("tke_post", d)
       val pos = scratch("tke_pos", d)
+      val sug = scratch("tke_sug", d)
       val vec = scratch("tke_vec", d)
       EpochPostings.build(s, docs, post)
       EpochPositional.build(s, docs, pos)
+      EpochSuggest.create(s, docs, sug)
       EpochAnn.build(s, emb, vec, k = 8)
       val doomed = docs.where(col("doc_id") % 5 === Residue)
-        .select(col("doc_id"))
+        .select(col("doc_id"), col("text"))
         .localCheckpoint(true)
       Takedown(s, doomed,
         Tiers(postingsEpoch = Some(post), positionalEpoch = Some(pos),
-          ivfEpoch = Some(vec)),
+          suggestEpoch = Some(sug), ivfEpoch = Some(vec)),
         batchId = 1L)
-      Map("post" -> post, "pos" -> pos, "vec" -> vec)
+      Map("post" -> post, "pos" -> pos, "sug" -> sug, "vec" -> vec)
     }
 
   /** The SERVE-SAFE takedown verdict, driver-verified in one frame:
@@ -507,6 +513,11 @@ object Takedown {
         Seq("spark", "merge"))
         .select(norm("phrase", col("doc_id"), col("n_occ"),
           col("first_pos")): _*)
+      val suggest = Suggest.suggestBatch(s,
+        EpochSuggest.currentGen(s, p("sug")), Suggest.probeQueries)
+        .select(norm("suggest", col("rnk"),
+          concat(col("query"), lit("|"), col("term")),
+          col("df")): _*)
       val vector = {
         val emb = Tables.embeddings(s, d)
         val brute = VectorQueries.bruteTopKOf(
@@ -521,7 +532,7 @@ object Takedown {
               .over(org.apache.spark.sql.expressions.Window
                 .partitionBy()) >= 3).cast(IntegerType)): _*)
       }
-      Seq(bm25, phrase, vector)
+      Seq(bm25, phrase, suggest, vector)
         .reduce(_ unionByName _)
         .orderBy("tier", "k", "id")
     },
@@ -571,6 +582,22 @@ object Takedown {
                CAST(len(starts) AS VARCHAR) AS id,
                CAST(list_min(starts) - 1 AS DOUBLE) AS v
         FROM phits WHERE len(starts) > 0),
+      sterms AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS term
+              FROM surv)
+        WHERE term <> ''
+        GROUP BY term),
+      sq AS (SELECT unnest(['spqrk', 'mergee', 'rows', 'zzz']) AS query),
+      shits AS (
+        SELECT sq.query, t.term, t.df,
+               ROW_NUMBER() OVER (PARTITION BY sq.query
+                 ORDER BY t.df DESC, t.term) AS rnk
+        FROM sq JOIN sterms t ON levenshtein(sq.query, t.term) <= 1),
+      suggest AS (
+        SELECT 'suggest' AS tier, CAST(rnk AS BIGINT) AS k,
+               query || '|' || term AS id, CAST(df AS DOUBLE) AS v
+        FROM shits WHERE rnk <= 3),
       vprobe AS (SELECT embedding AS probe_emb FROM embeddings
                  WHERE vec_id = 0),
       vsims AS (
@@ -587,7 +614,7 @@ object Takedown {
         WHERE rnk <= ${VectorQueries.IvfTopK})
       SELECT tier, k, id, v FROM (
         SELECT * FROM bm25 UNION ALL SELECT * FROM phrase
-        UNION ALL SELECT * FROM vector)
+        UNION ALL SELECT * FROM suggest UNION ALL SELECT * FROM vector)
       ORDER BY tier, k, id
     """))
 
