@@ -52,7 +52,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * maintenance worker; [[commit]] fails loudly if a competing manifest
   * appears). [[prune]] bounds retention: a reader pinned on an epoch
   * older than the keep horizon can lose directories mid-query, exactly
-  * like Iceberg snapshot expiry — size `keep` to the longest query. */
+  * like Iceberg snapshot expiry — size `keep` to the longest query.
+  *
+  * Adoption map: postings ([[EpochPostings]]), positional phrase
+  * ([[EpochPositional]]), suggest ([[EpochSuggest]]), float IVF
+  * ([[EpochAnn]]), and materialized views ([[graft.plans.EpochMv]])
+  * serve from epochs; hybrid retrieval composes the epoch postings +
+  * IVF faces. The NEAR-DUP tier deliberately stays on the
+  * [[Layout.replaceDir]] swap discipline: its ingest gate is a
+  * read-your-own-writes loop (each micro-batch's verdicts must see the
+  * segments the PREVIOUS batch appended, and `ingestVerdicts` replay
+  * safety keys off in-place segment state, NearDup.scala) — pinning
+  * that pipeline to a snapshot epoch per batch would re-admit every
+  * dup that arrived since the pinned epoch, so the gate reads latest
+  * state by design and its serving face inherits the maintenance-window
+  * contract instead. */
 private[graft] object Epoch {
 
   /** One committed epoch: `components` maps name → generation dirs
