@@ -517,6 +517,47 @@ object VectorQueries {
       EpochAnn.load(s, epochIvfPath(s, d, k = 8))),
     Some(ivfRecallOracle))
 
+  /** Epoch-layout grow path for the COMPRESSED index, built once per
+    * process — [[epochIvfPath]]'s lifecycle on [[EpochIvfpq]]: both
+    * quantizers train on the even-id half (epoch 0), the odd half
+    * appends as a referenced delta generation encoded under the PINNED
+    * frozen quantizers (epoch 1). */
+  private val ivfpqEpochSaved =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), String]
+
+  private[ops] def epochIvfpqPath(s: org.apache.spark.sql.SparkSession,
+      d: String, k: Int, m: Int): String =
+    graft.BuildOnce.memo(ivfpqEpochSaved, (d, k, m)) {
+      val path = s"${graft.GraftSession.scratchDir}/ivfpq_epoch_" +
+        d.replaceAll("[^A-Za-z0-9]", "_") + s"_k${k}_m$m"
+      val e = Tables.embeddings(s, d)
+      EpochIvfpq.build(s, e.filter(pmod(col("vec_id"), lit(2)) === 0),
+        path, k = k, m = m, codes = 16)
+      EpochIvfpq.append(s, e.filter(pmod(col("vec_id"), lit(2)) === 1),
+        path, batchId = 1L)
+      path
+    }
+
+  /** The snapshot-isolated COMPRESSED serving face, driver-verified:
+    * the IVF-PQ index lives on epoch manifests ([[EpochIvfpq]]), where
+    * a retrain's three-directory swap (encoded, centroids, books — the
+    * swap layout's sharpest seam: mixed generations there decode codes
+    * through the WRONG codebooks) is one atomic manifest rename. Grown
+    * half→full by a frozen-quantizer delta append, then probed through
+    * the SAME [[Ivfpq.search]] two-phase path and recall gate as
+    * `sim_ivfpq_append` — the layout change must be invisible in the
+    * served answer. `EpochIvfpqSpec` pins the coherent-triple snapshot
+    * across a concurrent retrain, ledger replays, the one-epoch
+    * upsert, and lifecycle ≡ rebuild. */
+  val simIvfpqEpoch = GQuery(
+    "sim_ivfpq_epoch",
+    (s, d) => recallAnchored(s, d,
+      Ivfpq.search(EpochIvfpq.load(s, epochIvfpqPath(s, d, k = 8, m = 4)),
+        probeId = 0, topK = IvfTopK, nProbe = 3,
+        shortlist = shortlistFor(embCount(s, d))),
+      topK = IvfTopK, minHits = 3),
+    Some(ivfRecallOracle))
+
   /** Tombstoned-delete path per (sfDir, k), built at most once per
     * process: the full-corpus index is built and saved, then the
     * vec_id ≡ 2 (mod 5) residue class (~1/5 of the corpus) is
@@ -1475,7 +1516,7 @@ object VectorQueries {
   def all: Seq[GQuery] =
     Seq(vecNorm, simTopk, simBucketed, simPairs, dedupEmbed,
       dedupEmbedCluster, simIvf, simIvfLoaded, simFiltered, simIvfAppend,
-      simIvfEpoch,
+      simIvfEpoch, simIvfpqEpoch,
       simIvfDelete, simIvfRetrain, simIvfUpdate, simIvfpqAppend,
       simIvfpqDelete, simIvfpqRetrain, simIvfpqUpdate, simServe,
       simPq, simIvfpq, simIvfpqLoaded, simIvfpqFiltered,
