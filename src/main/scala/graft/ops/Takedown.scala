@@ -73,7 +73,8 @@ object Takedown {
       postingsEpoch: Option[String] = None,
       positionalEpoch: Option[String] = None,
       suggestEpoch: Option[String] = None,
-      ivfEpoch: Option[String] = None)
+      ivfEpoch: Option[String] = None,
+      ivfpqEpoch: Option[String] = None)
 
   /** Take down `doomedDocs` — (doc_id[, text]); text feeds the suggest
     * legs' per-term distinct-doc subtraction and is REQUIRED only when
@@ -115,6 +116,9 @@ object Takedown {
       EpochSuggest.delete(s, doomed, p, batchId))
     tiers.ivfEpoch.foreach(p =>
       EpochAnn.delete(s, ids.select(col("doc_id").as("vec_id")), p,
+        batchId))
+    tiers.ivfpqEpoch.foreach(p =>
+      EpochIvfpq.delete(s, ids.select(col("doc_id").as("vec_id")), p,
         batchId))
     tiers.positional.foreach(p =>
       PhraseQueries.positionalDelete(s, ids, p))
@@ -456,11 +460,11 @@ object Takedown {
       ORDER BY tier, k, id
     """))
 
-  /** EPOCH-tier takedown state: the three epoch layouts (postings,
-    * positional, float-IVF) built FULL, then ONE Takedown call with
-    * only epoch tiers wired removes the residue — every leg a
-    * manifest generation under the shared `del_1` ledger key, no
-    * maintenance window anywhere. */
+  /** EPOCH-tier takedown state: the five epoch layouts (postings,
+    * positional, suggest, float-IVF, IVF-PQ) built FULL, then ONE
+    * Takedown call with only epoch tiers wired removes the residue —
+    * every leg a manifest generation under the shared `del_1` ledger
+    * key, no maintenance window anywhere. */
   private val savedEpochState =
     scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
 
@@ -473,29 +477,34 @@ object Takedown {
       val pos = scratch("tke_pos", d)
       val sug = scratch("tke_sug", d)
       val vec = scratch("tke_vec", d)
+      val vecpq = scratch("tke_vecpq", d)
       EpochPostings.build(s, docs, post)
       EpochPositional.build(s, docs, pos)
       EpochSuggest.create(s, docs, sug)
       EpochAnn.build(s, emb, vec, k = 8)
+      EpochIvfpq.build(s, emb, vecpq, k = 8, m = 4, codes = 16)
       val doomed = docs.where(col("doc_id") % 5 === Residue)
         .select(col("doc_id"), col("text"))
         .localCheckpoint(true)
       Takedown(s, doomed,
         Tiers(postingsEpoch = Some(post), positionalEpoch = Some(pos),
-          suggestEpoch = Some(sug), ivfEpoch = Some(vec)),
+          suggestEpoch = Some(sug), ivfEpoch = Some(vec),
+          ivfpqEpoch = Some(vecpq)),
         batchId = 1L)
-      Map("post" -> post, "pos" -> pos, "sug" -> sug, "vec" -> vec)
+      Map("post" -> post, "pos" -> pos, "sug" -> sug, "vec" -> vec,
+        "vecpq" -> vecpq)
     }
 
   /** The SERVE-SAFE takedown verdict, driver-verified in one frame:
-    * after a single [[Takedown.apply]] over the three EPOCH layouts
+    * after a single [[Takedown.apply]] over the five EPOCH layouts
     * (each leg one atomic manifest flip — a concurrent reader never
     * needed a window, the property the swap tiers cannot give), every
     * tier serves exactly the survivors rebuild:
     *  - `bm25`: the pinned-manifest keyword top-10;
     *  - `phrase`: exact-phrase hits over the pinned positional scan;
-    *  - `vector`: the brute-force survivor anchor with the epoch-IVF
-    *    recall gate folded into `v`.
+    *  - `suggest`: the dictionary after the negative-df merge;
+    *  - `vector` / `vector_pq`: the brute-force survivor anchor with
+    *    the epoch-IVF / epoch-IVF-PQ recall gates folded into `v`.
     * Same normalized (tier, k, id, v) shape and per-tier oracle
     * branches as `takedown_all` — what changed is the layout
     * underneath, which must be invisible in every served answer. */
@@ -518,21 +527,32 @@ object Takedown {
         .select(norm("suggest", col("rnk"),
           concat(col("query"), lit("|"), col("term")),
           col("df")): _*)
-      val vector = {
+      def vectorTier(tier: String,
+          served: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
         val emb = Tables.embeddings(s, d)
         val brute = VectorQueries.bruteTopKOf(
           emb.where(col("vec_id") % 5 =!= Residue),
           VectorQueries.IvfTopK)
-        val served = Ann.query(EpochAnn.load(s, p("vec")), probeId = 0,
-          topK = VectorQueries.IvfTopK, nProbe = 3)
         val hits = served.select(col("neighbor_id"), lit(1L).as("hit"))
         brute.join(broadcast(hits), Seq("neighbor_id"), "left")
-          .select(norm("vector", col("rnk"), col("neighbor_id"),
+          .select(norm(tier, col("rnk"), col("neighbor_id"),
             (sum(coalesce(col("hit"), lit(0L)))
               .over(org.apache.spark.sql.expressions.Window
                 .partitionBy()) >= 3).cast(IntegerType)): _*)
       }
-      Seq(bm25, phrase, suggest, vector)
+      val vector = vectorTier("vector",
+        Ann.query(EpochAnn.load(s, p("vec")), probeId = 0,
+          topK = VectorQueries.IvfTopK, nProbe = 3))
+      // fifth tier: the epoch IVF-PQ index the SAME manifest-ledger
+      // takedown tombstoned — the compressed two-phase search over the
+      // pinned triple must recall the survivor anchor
+      val vectorPq = vectorTier("vector_pq",
+        Ivfpq.search(EpochIvfpq.load(s, p("vecpq")), probeId = 0,
+          topK = VectorQueries.IvfTopK, nProbe = 3,
+          shortlist = VectorQueries.shortlistFor(
+            Tables.embeddings(s, d).count(), minS = 100)))
+      Seq(bm25, phrase, suggest, vector, vectorPq)
         .reduce(_ unionByName _)
         .orderBy("tier", "k", "id")
     },
@@ -611,10 +631,18 @@ object Takedown {
         FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC,
                  neighbor_id) AS BIGINT) AS rnk, neighbor_id
               FROM vsims)
+        WHERE rnk <= ${VectorQueries.IvfTopK}),
+      vector_pq AS (
+        SELECT 'vector_pq' AS tier, rnk AS k,
+               CAST(neighbor_id AS VARCHAR) AS id, 1.0 AS v
+        FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC,
+                 neighbor_id) AS BIGINT) AS rnk, neighbor_id
+              FROM vsims)
         WHERE rnk <= ${VectorQueries.IvfTopK})
       SELECT tier, k, id, v FROM (
         SELECT * FROM bm25 UNION ALL SELECT * FROM phrase
-        UNION ALL SELECT * FROM suggest UNION ALL SELECT * FROM vector)
+        UNION ALL SELECT * FROM suggest UNION ALL SELECT * FROM vector
+        UNION ALL SELECT * FROM vector_pq)
       ORDER BY tier, k, id
     """))
 
