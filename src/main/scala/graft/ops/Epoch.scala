@@ -212,4 +212,15 @@ private[graft] object Epoch {
     names.filter(_.matches("_manifest_\\d+\\.tmp")).foreach(t =>
       f.delete(new org.apache.hadoop.fs.Path(path, t), false))
   }
+
+  /** Committed (visible) epochs at `path` — the retained-history
+    * statistic [[graft.ops.Maintenance]]'s prune cadence reads; one FS
+    * listing, no file IO. 0 when the layout does not exist yet. */
+  def committedEpochs(s: SparkSession, path: String): Int = {
+    val f = fs(s, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!f.exists(root)) return 0
+    f.listStatus(root).map(_.getPath.getName)
+      .count(n => ManifestName.matches(n))
+  }
 }

@@ -42,15 +42,16 @@ object Maintenance {
     * [[Ann.needsRetrain]]). Latency-SLO knobs, not correctness ones —
     * serving is exact at any setting. */
   final case class Policy(maxSegments: Int = 16,
-      maxTombstoneRatio: Double = 0.10, maxCellSkew: Double = 4.0)
+      maxTombstoneRatio: Double = 0.10, maxCellSkew: Double = 4.0,
+      maxRetainedEpochs: Int = 8)
 
   /** One layout under sweep management. `kind` ∈ postings |
     * positional | neardup | ivf | ivfpq | epoch_postings |
-    * epoch_ivf. */
+    * epoch_positional | epoch_suggest | epoch_ivf | epoch_ivfpq. */
   final case class LayoutRef(kind: String, path: String)
 
   /** What the probe saw and what the sweep did (`action` ∈ none |
-    * compact | retrain). */
+    * compact | retrain | prune). */
   final case class SweepResult(kind: String, path: String,
       segments: Int, tombstoneRatio: Double, action: String,
       batchId: Long)
@@ -66,11 +67,17 @@ object Maintenance {
       case "neardup" => Seq(s"${ref.path}/bands")
       case "ivf" => Seq(s"${ref.path}/assigned")
       case "ivfpq" => Seq(s"${ref.path}/encoded")
-      case "epoch_postings" =>
+      case "epoch_postings" | "epoch_positional" =>
         Epoch.resolve(s, ref.path).map(_.dirs(ref.path, "lists"))
+          .getOrElse(Seq.empty)
+      case "epoch_suggest" =>
+        Epoch.resolve(s, ref.path).map(_.dirs(ref.path, "gen"))
           .getOrElse(Seq.empty)
       case "epoch_ivf" =>
         Epoch.resolve(s, ref.path).map(_.dirs(ref.path, "assigned"))
+          .getOrElse(Seq.empty)
+      case "epoch_ivfpq" =>
+        Epoch.resolve(s, ref.path).map(_.dirs(ref.path, "encoded"))
           .getOrElse(Seq.empty)
       case k => throw new IllegalArgumentException(
         s"Maintenance: unknown layout kind $k")
@@ -100,7 +107,7 @@ object Maintenance {
   private[ops] def tombstoneRatio(s: SparkSession, ref: LayoutRef)
       : Double = {
     val tomb = ref.kind match {
-      case "epoch_postings" | "epoch_ivf" => Epoch.resolve(s, ref.path)
+      case k if k.startsWith("epoch_") => Epoch.resolve(s, ref.path)
         .flatMap(m => Epoch.read(s, ref.path, m, "tombstones"))
       case _ => Layout.tombstonesOpt(s, ref.path)
     }
@@ -162,6 +169,32 @@ object Maintenance {
           EpochAnn.compact(s, ref.path)
           Epoch.prune(s, ref.path)
           "compact"
+        case "epoch_positional" if compactDue =>
+          EpochPositional.compact(s, ref.path)
+          Epoch.prune(s, ref.path)
+          "compact"
+        case "epoch_ivfpq" if {
+          val idx = EpochIvfpq.load(s, ref.path)
+          Ann.needsRetrain(Ann.IvfIndex(idx.centroids, idx.encoded),
+            policy.maxCellSkew)
+        } =>
+          EpochIvfpq.retrain(s, ref.path)
+          Epoch.prune(s, ref.path)
+          "retrain"
+        case "epoch_ivfpq" if compactDue =>
+          EpochIvfpq.compact(s, ref.path)
+          Epoch.prune(s, ref.path)
+          "compact"
+        // epoch layouts whose data never degrades (the suggest
+        // dictionary rewrites wholesale per mutation) — and any other
+        // epoch layout the compact triggers left alone — still accrete
+        // HISTORY: retired generations past the retention horizon are
+        // the one statistic left to manage
+        case k if k.startsWith("epoch_") &&
+            Epoch.committedEpochs(s, ref.path) >
+              policy.maxRetainedEpochs =>
+          Epoch.prune(s, ref.path)
+          "prune"
         case _ => "none"
       }
       SweepResult(ref.kind, ref.path, segs, ratio, action, batchId)

@@ -134,6 +134,87 @@ class MaintenanceSpec extends SparkTestBase {
     assert(EpochAnn.load(spark, path).assigned.count() === 8L)
   }
 
+  test("the epoch-positional arm compacts through a fresh epoch; the " +
+      "epoch-IVF-PQ arm routes skew to retrain and tombstones to " +
+      "compact; history past the retention horizon prunes") {
+    // positional: grow + delete, strict segment cap → compact
+    val pos = s"${graft.GraftSession.scratchDir}/maint_epos"
+    val phraseDocs = (1L to 20L)
+      .map(i => (i, s"spark merge filter d$i spark merge"))
+      .toDF("doc_id", "text")
+    EpochPositional.build(spark, phraseDocs, pos)
+    (1 to 3).foreach(i => EpochPositional.append(spark,
+      mkDocs((20L + i * 10L) to (29L + i * 10L)), pos, batchId = i))
+    EpochPositional.delete(spark, (1L to 5L).toDF("doc_id"), pos,
+      batchId = 10L)
+    val posRef = Maintenance.LayoutRef("epoch_positional", pos)
+    assert(Maintenance.sweep(spark, Seq(posRef),
+      Maintenance.Policy(maxSegments = 1000, maxTombstoneRatio = 0.99))
+      .map(_.action) === Seq("none"))
+    assert(Maintenance.sweep(spark, Seq(posRef),
+      Maintenance.Policy(maxSegments = 8, maxTombstoneRatio = 0.99))
+      .map(_.action) === Seq("compact"))
+    assert(Epoch.resolve(spark, pos).get.components("tombstones").isEmpty)
+    // compacted layout serves ≡ survivors rebuild
+    val posTwin = s"${graft.GraftSession.scratchDir}/maint_epos_twin"
+    EpochPositional.build(spark,
+      phraseDocs.where(col("doc_id") > 5L), posTwin)
+    (1 to 3).foreach(i => EpochPositional.append(spark,
+      mkDocs((20L + i * 10L) to (29L + i * 10L)), posTwin, batchId = i))
+    def phr(p: String) = EpochPositional
+      .servePhrase(spark, p, Seq("spark", "merge"))
+      .collect().map(_.toSeq).toSeq
+    assert(phr(pos) === phr(posTwin))
+
+    // IVF-PQ: the epoch_ivf skew fixture on the compressed layout
+    val pq = s"${graft.GraftSession.scratchDir}/maint_eivfpq"
+    val emb = ((1L to 9L).map(i =>
+      (i, Array(1.0f, 0.001f * i, 0f, 0f))) :+
+      (10L, Array(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    EpochIvfpq.build(spark, emb, pq, k = 2, m = 2, codes = 4)
+    val pqRef = Maintenance.LayoutRef("epoch_ivfpq", pq)
+    assert(Maintenance.sweep(spark, Seq(pqRef),
+      Maintenance.Policy(maxCellSkew = 50.0)).map(_.action)
+      === Seq("none"))
+    val e0 = Epoch.resolve(spark, pq).get.epoch
+    assert(Maintenance.sweep(spark, Seq(pqRef),
+      Maintenance.Policy(maxCellSkew = 1.2)).map(_.action)
+      === Seq("retrain"))
+    assert(Epoch.resolve(spark, pq).get.epoch === e0 + 1)
+    EpochIvfpq.delete(spark, Seq(3L, 4L).toDF("vec_id"), pq, 1L)
+    assert(Maintenance.sweep(spark, Seq(pqRef),
+      Maintenance.Policy(maxSegments = 1000,
+        maxTombstoneRatio = 0.10, maxCellSkew = 50.0)).map(_.action)
+      === Seq("compact"))
+    assert(Epoch.resolve(spark, pq).get.components("tombstones").isEmpty)
+    assert(EpochIvfpq.load(spark, pq).encoded.count() === 8L)
+
+    // suggest: no compactable data (each mutation rewrites the whole
+    // dictionary) — the sweep manages its HISTORY: five committed
+    // epochs against a 3-epoch horizon → prune, then steady-state none
+    val sug = s"${graft.GraftSession.scratchDir}/maint_esug"
+    EpochSuggest.create(spark, mkDocs(1L to 20L), sug)
+    (1 to 4).foreach(i => EpochSuggest.append(spark,
+      mkDocs((20L + i * 10L) to (29L + i * 10L)), sug, batchId = i))
+    assert(Epoch.committedEpochs(spark, sug) === 5)
+    val sugRef = Maintenance.LayoutRef("epoch_suggest", sug)
+    val horizon = Maintenance.Policy(maxSegments = 1000,
+      maxTombstoneRatio = 0.99, maxRetainedEpochs = 3)
+    val served0 = Suggest.suggestBatch(spark,
+      EpochSuggest.currentGen(spark, sug), Suggest.probeQueries)
+      .collect().map(_.toSeq).toSeq
+    assert(Maintenance.sweep(spark, Seq(sugRef), horizon)
+      .map(_.action) === Seq("prune"))
+    assert(Epoch.committedEpochs(spark, sug) === 3)
+    assert(Maintenance.sweep(spark, Seq(sugRef), horizon)
+      .map(_.action) === Seq("none"))
+    // pruning history never touches the current serving state
+    assert(Suggest.suggestBatch(spark,
+      EpochSuggest.currentGen(spark, sug), Suggest.probeQueries)
+      .collect().map(_.toSeq).toSeq === served0)
+  }
+
   test("the IVF arm routes occupancy skew to RETRAIN and tombstone " +
       "mass to compact") {
     val path = s"${graft.GraftSession.scratchDir}/maint_ivf"
