@@ -519,6 +519,81 @@ object Suggest {
       LIMIT 5
     """))
 
+  /** Query-time SPELL-CORRECTED search — the "did you mean" round trip
+    * a real search box runs as ONE request, composed from two persisted
+    * layouts: each raw query token resolves to its top-1 dictionary
+    * suggestion through the deletion-neighborhood index
+    * ([[suggestBatch]], k=1 — a bounded ≤|tokens| driver read, same
+    * request-batch discipline as every suggest face), the corrected
+    * term set then drives the standard BM25 serving path over the
+    * postings index (pushed `In(term,…)` scan, broadcast side tables,
+    * TakeOrdered tail — `bm25_serve`'s exact plan). Tokens with no
+    * distance-1 neighbor (`zzz`) drop out of the corrected set rather
+    * than poisoning the search; a fully-uncorrectable query serves
+    * empty. The oracle recomputes BOTH stages from scratch in SQL —
+    * brute levenshtein top-1 per token feeding the BM25 formula via a
+    * subquery — so the hash pins the composition end-to-end, not the
+    * stages separately. */
+  val searchCorrected = GQuery(
+    "search_corrected",
+    (s, d) => {
+      val corrected = suggestBatch(s, savedSuggestPath(s, d),
+        Seq("spqrk", "mergee", "filtr", "zzz"), k = 1)
+        .select(col("term")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      val post = TextQueries.savedPostingsPath(s, d)
+      TextQueries.bm25TopK(
+        TextQueries.servedLists(s, post, corrected),
+        s.read.parquet(s"$post/df")
+          .where(col("term").isin(corrected: _*)),
+        s.read.parquet(s"$post/stats"))
+    },
+    Some("""
+      WITH dict AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS term
+              FROM documents WHERE text IS NOT NULL)
+        WHERE term <> ''
+        GROUP BY term),
+      q AS (SELECT unnest(['spqrk', 'mergee', 'filtr', 'zzz']) AS query),
+      corr AS (
+        SELECT DISTINCT term FROM (
+          SELECT q.query, t.term,
+                 ROW_NUMBER() OVER (PARTITION BY q.query
+                   ORDER BY t.df DESC, t.term) AS rnk
+          FROM q JOIN dict t ON levenshtein(q.query, t.term) <= 1)
+        WHERE rnk = 1),
+      docs AS (
+        SELECT doc_id, str_split(text, ' ') AS toks,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents WHERE text IS NOT NULL),
+      stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+        FROM docs),
+      tf AS (
+        SELECT term, doc_id, dl, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+        WHERE term IN (SELECT term FROM corr)
+        GROUP BY 1, 2, 3),
+      dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT tf.doc_id,
+               CAST(round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / s.avgdl))),
+                 4) AS DECIMAL(38,4)) AS score_term
+        FROM tf JOIN dfs d USING (term) CROSS JOIN stats s),
+      agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(score_term) AS DOUBLE) AS score
+        FROM scored GROUP BY 1)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+             doc_id, n_terms, score
+      FROM agg
+      ORDER BY score DESC, doc_id
+      LIMIT 10
+    """))
+
   def all: Seq[GQuery] = Seq(termSuggest, termSuggest2, suggestAppendQ,
-    suggestDeleteQ, suggest2AppendQ, termComplete)
+    suggestDeleteQ, suggest2AppendQ, termComplete, searchCorrected)
 }
