@@ -731,7 +731,104 @@ object PhraseQueries {
       ORDER BY query_id, doc_id
     """))
 
+  /** The SEARCH-RESULTS PAGE, driver-verified as one frame — the
+    * composition a search frontend actually renders: BM25 top-10 over
+    * the postings index (rank + score), each result annotated with the
+    * first hit position of ANY query term from the POSITIONAL index
+    * and a KWIC snippet cut from the document text around it.
+    * Contrast [[phraseSnippet]]: that entry snips every doc matching
+    * an exact phrase, unranked; this one is the ranked-retrieval page.
+    *
+    * Scale shape: the ranked ids (≤10, the LIMIT) are collected and
+    * PUSHED as `doc_id IN (…)` into both the positional-list read and
+    * the documents scan — the row-lookup access path a 100 TB serving
+    * store gives you, instead of a full corpus scan filtered through a
+    * broadcast join. Every query-dependent read stays `In`-pruned
+    * (term on the index scans, doc_id on the fetches); the two ≤10-row
+    * annotation frames broadcast onto the ranked spine. Top-10 docs
+    * all scored > 0, so a first hit always exists (inner joins safe).
+    * The oracle recomputes ranking, hit positions, and snippets from
+    * scratch in one SQL statement. */
+  val searchSnippets = GQuery(
+    "search_snippets",
+    (s, d) => {
+      val post = TextQueries.savedPostingsPath(s, d)
+      val pos = savedPositionalPath(s, d)
+      val terms = TextQueries.bm25Terms
+      val top = TextQueries.bm25TopK(
+        TextQueries.servedLists(s, post, terms),
+        s.read.parquet(s"$post/df").where(col("term").isin(terms: _*)),
+        s.read.parquet(s"$post/stats"))
+        .select(col("rnk"), col("doc_id"), col("score"))
+        .localCheckpoint(true)
+      val ids = top.select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSeq
+      require(ids.size <= 10, s"search_snippets: ${ids.size} ids")
+      val hits = servedPositional(s, pos, terms)
+        .where(col("doc_id").isin(ids: _*))
+        .groupBy(col("doc_id"))
+        .agg(min(array_min(col("positions"))).as("hit_pos"))
+      val toks = split(col("text"), " ")
+      val ctx = 2
+      val docs = Tables.documents(s, d)
+        .where(col("doc_id").isin(ids: _*))
+        .select(col("doc_id"), toks.as("toks"))
+      val s0 = greatest(col("hit_pos") - ctx, lit(0L))
+      val e0 = least(col("hit_pos") + ctx,
+        size(col("toks")).cast(LongType) - 1)
+      top.join(broadcast(hits), "doc_id")
+        .join(broadcast(docs), "doc_id")
+        .select(col("rnk"), col("doc_id"), col("score"), col("hit_pos"),
+          array_join(slice(col("toks"), (s0 + 1).cast(IntegerType),
+            (e0 - s0 + 1).cast(IntegerType)), " ").as("snippet"))
+        .orderBy("rnk")
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, str_split(text, ' ') AS toks,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents WHERE text IS NOT NULL),
+      stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+        FROM docs),
+      tf AS (
+        SELECT term, doc_id, dl, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+        WHERE term IN ('spark', 'merge', 'filter')
+        GROUP BY 1, 2, 3),
+      dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT tf.doc_id,
+               CAST(round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / s.avgdl))),
+                 4) AS DECIMAL(38,4)) AS score_term
+        FROM tf JOIN dfs d USING (term) CROSS JOIN stats s),
+      agg AS (
+        SELECT doc_id, CAST(SUM(score_term) AS DOUBLE) AS score
+        FROM scored GROUP BY 1),
+      top AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                 AS BIGINT) AS rnk, doc_id, score
+        FROM agg
+        ORDER BY score DESC, doc_id
+        LIMIT 10),
+      hit AS (
+        SELECT d.doc_id, d.toks,
+               CAST(list_min(list_filter(range(1, len(d.toks) + 1),
+                 i -> d.toks[i] IN ('spark', 'merge', 'filter')))
+                 AS BIGINT) AS pos1
+        FROM docs d JOIN top USING (doc_id))
+      SELECT t.rnk, t.doc_id, t.score,
+             CAST(h.pos1 - 1 AS BIGINT) AS hit_pos,
+             array_to_string(
+               h.toks[greatest(h.pos1 - 2, 1):least(len(h.toks), h.pos1 + 2)],
+               ' ') AS snippet
+      FROM top t JOIN hit h USING (doc_id)
+      ORDER BY rnk
+    """))
+
   def all: Seq[GQuery] = Seq(phraseSearch, phraseServe, phraseNear,
     phraseRank, phraseSnippet, phraseServeAppend, phraseServeCompact,
-    phraseServeDelete, phraseMulti)
+    phraseServeDelete, phraseMulti, searchSnippets)
 }
