@@ -106,6 +106,19 @@ private[graft] object Epoch {
     if (ns.isEmpty) None else Some(readManifest(s, path, ns.max))
   }
 
+  /** Resolve a SPECIFIC committed epoch — the time-travel read face
+    * (Iceberg's snapshot-id read): serve the layout exactly as it
+    * stood when epoch `n` committed, regardless of what mutated since.
+    * None if that epoch was never committed or [[prune]] already
+    * retired it (history is bounded by the retention horizon — as-of
+    * reads reach back only `keep` epochs). */
+  def resolveAsOf(s: SparkSession, path: String, n: Long)
+      : Option[Manifest] = {
+    val p = new org.apache.hadoop.fs.Path(path, s"_manifest_$n")
+    if (!fs(s, path).exists(p)) None
+    else Some(readManifest(s, path, n))
+  }
+
   private def readManifest(s: SparkSession, path: String, n: Long)
       : Manifest = {
     val p = new org.apache.hadoop.fs.Path(path, s"_manifest_$n")

@@ -293,5 +293,47 @@ object EpochPostings {
       LIMIT 10
     """))
 
-  def all: Seq[GQuery] = Seq(bm25ServeEpoch)
+  /** Full-corpus build (epoch 0), then a residue-class delete
+    * (epoch 1) — the state whose HISTORY `bm25_serve_asof` reads. */
+  private val asofSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedAsofPath(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    graft.BuildOnce.memo(asofSaved, d) {
+      val path = s"${graft.GraftSession.scratchDir}/postings_asof_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = graft.Tables.documents(s, d)
+      build(s, docs, path)
+      delete(s, docs.where(col("doc_id") % 5 === 2).select("doc_id"),
+        path, batchId = 1L)
+      path
+    }
+
+  /** TIME-TRAVEL read, driver-verified: the index was built on the
+    * full corpus (epoch 0) and then ~1/5 of it was deleted (epoch 1),
+    * but this entry serves AS OF epoch 0 ([[Epoch.resolveAsOf]] —
+    * Iceberg's snapshot-id read) and must return the FULL-corpus
+    * answer, deletes invisible. The swap layout cannot express this at
+    * all (mutations overwrite in place); on the manifest layout it is
+    * the same pinned-read face every query uses, just pinned to an
+    * older manifest — which is why snapshot isolation under concurrent
+    * mutation and as-of history reads are ONE mechanism, not two.
+    * History is bounded by [[Epoch.prune]]'s retention horizon
+    * (`EpochServeSpec` pins both the as-of answer and the
+    * pruned-history None). */
+  val bm25ServeAsof = GQuery(
+    "bm25_serve_asof",
+    (s, d) => {
+      val path = savedAsofPath(s, d)
+      val m0 = Epoch.resolveAsOf(s, path, 0L).getOrElse(
+        throw new IllegalStateException(
+          s"bm25_serve_asof: epoch 0 missing at $path"))
+      servedOn(s, path, m0, TextQueries.bm25Terms)
+    },
+    // the FULL-corpus oracle — identical to bm25_serve_epoch's: the
+    // later delete epoch must be invisible to the pinned epoch-0 read
+    bm25ServeEpoch.oracle)
+
+  def all: Seq[GQuery] = Seq(bm25ServeEpoch, bm25ServeAsof)
 }

@@ -192,6 +192,28 @@ class EpochServeSpec extends SparkTestBase {
     assert(stats(path) === stats(twin))
   }
 
+  test("as-of reads serve history exactly: epoch 0 still answers with " +
+      "pre-delete content after the delete commits, and pruned history " +
+      "resolves to None") {
+    val path = s"${graft.GraftSession.scratchDir}/epoch_asof"
+    val terms = Seq("spark", "merge", "filter")
+    EpochPostings.build(spark, mkDocs(1L to 10L), path)          // e0
+    val full = rows(EpochPostings.serve(spark, path, terms))
+    EpochPostings.delete(spark,
+      Seq(2L, 4L).toDF("doc_id"), path, batchId = 1L)            // e1
+    // current epoch serves survivors; epoch 0 serves the full corpus
+    assert(rows(EpochPostings.serve(spark, path, terms)) !== full)
+    val m0 = Epoch.resolveAsOf(spark, path, 0L).get
+    assert(rows(EpochPostings.servedOn(spark, path, m0, terms))
+      === full)
+    // a never-committed epoch resolves to None
+    assert(Epoch.resolveAsOf(spark, path, 7L).isEmpty)
+    // pruning retires history: epoch 0 gone, as-of read refuses
+    EpochPostings.compact(spark, path)                           // e2
+    Epoch.prune(spark, path, keep = 1)
+    assert(Epoch.resolveAsOf(spark, path, 0L).isEmpty)
+  }
+
   test("prune keeps the newest manifests and every generation they " +
       "reference; a crash before commit leaves orphans that replay " +
       "cleans up") {
