@@ -579,6 +579,32 @@ object StreamRunner {
       }
       .start()
 
+  /** Streaming VECTOR ingest on the epoch IVF index
+    * ([[graft.ops.EpochAnn]]) — [[postingsIngestEpochStream]]'s vector
+    * twin: each micro-batch of (vec_id, embedding) cell-assigns
+    * against the PINNED frozen centroids and lands as one referenced
+    * delta generation behind one atomic manifest flip — ANN serving
+    * continues uninterrupted while embeddings stream in (readers pin
+    * the manifest they resolved). Exactly-once rides the manifest
+    * ledger (`app_<batchId>`); the shared `checkpoint` caveat applies
+    * — batch ids reset without one, colliding with the ledger.
+    * Quantizer staleness is the documented append trade
+    * (`sim_ivf_append`'s recall gate covers the worst case); the
+    * RETRAIN that heals it is the maintenance sweep's job
+    * (`Maintenance.sweep`, kind `epoch_ivf` — skew-triggered, itself
+    * one atomic epoch). */
+  def vectorIngestEpochStream(indexPath: String, vectors: DataFrame,
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    withCheckpoint(vectors.writeStream.outputMode("append"), checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.EpochAnn.append(batch.sparkSession,
+          batch.select(col("vec_id").cast("long").as("vec_id"),
+            col("embedding")),
+          indexPath, batchId)
+      }
+      .start()
+
   /** Apply a checkpoint location when one is supplied — shared by the
     * streaming faces whose exactly-once rests on the checkpointed
     * foreachBatch id (see each face's `checkpoint` doc). */

@@ -100,4 +100,37 @@ class EpochAnnSpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("compact first"), ex.getMessage)
   }
+
+  test("streaming vector ingest appends epochs exactly-once off the " +
+      "checkpointed batch id; drained state ≡ one-shot frozen-centroid " +
+      "appends") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val path = s"${graft.GraftSession.scratchDir}/epoch_ann_stream"
+    EpochAnn.build(spark, emb(1L to 20L), path, k = 3)
+    val source = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamRunner.vectorIngestEpochStream(
+      path, source.toDF().toDF("vec_id", "embedding"))
+    def vecs(ids: Seq[Long]) = ids.map(i =>
+      (i, Array((i % 7).toFloat, (i % 3).toFloat, 1.0f, (i % 5).toFloat)))
+    source.addData(vecs(21L to 30L): _*)
+    q.processAllAvailable()
+    val afterB0 = Epoch.resolve(spark, path).get
+    assert(afterB0.has("app_0"))
+    source.addData(vecs(31L to 40L): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(Epoch.resolve(spark, path).get.has("app_1"))
+    // crash-replay of batch 0's payload under its id: ledger no-op
+    EpochAnn.append(spark, emb(21L to 30L), path, batchId = 0L)
+    assert(Epoch.resolve(spark, path).get.epoch === afterB0.epoch + 1)
+    // drained state ≡ the same appends issued as one-shot batches
+    // against the same pinned centroids
+    val twin = s"${graft.GraftSession.scratchDir}/epoch_ann_stream_twin"
+    EpochAnn.build(spark, emb(1L to 20L), twin, k = 3)
+    EpochAnn.append(spark, emb(21L to 30L), twin, batchId = 0L)
+    EpochAnn.append(spark, emb(31L to 40L), twin, batchId = 1L)
+    assert(rows(EpochAnn.load(spark, path))
+      === rows(EpochAnn.load(spark, twin)))
+  }
 }
