@@ -187,6 +187,110 @@ private[graft] object Epoch {
     g
   }
 
+  // ------------------------------------------------------------------
+  // Optimistic concurrency — the MULTI-WRITER face.
+  //
+  // [[commit]] alone carries the single-mutator contract: a competing
+  // writer fails loudly. [[occ]] upgrades that to the table-format
+  // discipline (Delta/Iceberg commit protocol): a writer CAS-claims the
+  // epoch number it intends to commit, and a loser REBASES — waits for
+  // the winner's manifest, re-resolves, and re-runs its mutation
+  // against the new current epoch. Because every mutation in this
+  // module is ledger-keyed and re-resolves `current` internally, the
+  // re-run IS the rebase: an append retried after a competing append
+  // recomputes its df/stats merge on top of the winner's epoch, and a
+  // replayed batch id stays a no-op.
+  // ------------------------------------------------------------------
+
+  private def claimPath(path: String, n: Long) =
+    new org.apache.hadoop.fs.Path(path, s"_claim_$n")
+
+  /** CAS-claim epoch `n`: atomically create the zero-length
+    * `_claim_<n>` marker. Exactly one writer wins a given number. The
+    * local scheme needs `java.io.File.createNewFile` (O_CREAT|O_EXCL —
+    * POSIX-atomic); Hadoop's `FileSystem.createNewFile` default is
+    * check-then-act there and two racers can both "win". On HDFS-like
+    * stores the namenode makes `create(overwrite=false)` the atomic
+    * arbiter, so the generic path is safe. */
+  private def claim(s: SparkSession, path: String, n: Long): Boolean = {
+    val f = fs(s, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!f.exists(root)) f.mkdirs(root)
+    val p = claimPath(path, n)
+    f match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        try new java.io.File(p.toUri.getPath).createNewFile()
+        catch { case _: java.io.IOException => false }
+      case other =>
+        try other.createNewFile(p)
+        catch { case _: java.io.IOException => false }
+    }
+  }
+
+  private def release(s: SparkSession, path: String, n: Long): Unit =
+    fs(s, path).delete(claimPath(path, n), false)
+
+  /** Break an ORPHANED claim (its writer died between claim and
+    * commit). Operator/maintenance action only — breaking a LIVE
+    * writer's claim re-opens the lost-update race [[occ]] closes;
+    * verify the claimed epoch was never committed first. */
+  def breakClaim(s: SparkSession, path: String, n: Long): Unit = {
+    require(!fs(s, path).exists(new org.apache.hadoop.fs.Path(path,
+      s"_manifest_$n")),
+      s"Epoch.breakClaim: epoch $n at $path IS committed — nothing to " +
+        "break (prune retires stale claims below the committed head)")
+    release(s, path, n)
+  }
+
+  /** Run `mutation` as an optimistically-concurrent writer: claim the
+    * next epoch number, run the mutation (which resolves `current`
+    * itself and commits AT MOST the claimed epoch), release the claim.
+    * On a lost claim, wait for the winner's manifest (or its released
+    * claim) and retry — the retried mutation rebases by construction
+    * (it re-resolves the new current manifest; its ledger key makes an
+    * already-applied batch a no-op). Contract: one committed epoch per
+    * `occ` block (compose lifecycles as successive blocks), and ALL
+    * writers of a multi-writer layout go through `occ` — a bare
+    * [[commit]] beside it re-opens the race. `maxWaitMs` bounds the
+    * total wait across retries; exceeding it fails loudly naming the
+    * blocking claim so an operator can [[breakClaim]] a dead writer's
+    * orphan rather than silently dropping the mutation. */
+  def occ[A](s: SparkSession, path: String, maxWaitMs: Long = 120000L)(
+      mutation: => A): A = {
+    val f = fs(s, path)
+    val deadline = System.nanoTime() + maxWaitMs * 1000000L
+    while (true) {
+      val n = resolve(s, path).map(_.next).getOrElse(0L)
+      if (claim(s, path, n)) {
+        // the claim may be stale-won (a winner committed n and released
+        // between our resolve and our claim) — re-check before mutating
+        if (resolve(s, path).map(_.next).getOrElse(0L) != n) {
+          release(s, path, n)
+        } else {
+          try return mutation
+          finally release(s, path, n)
+        }
+      } else {
+        // lost the claim: wait for the winner to commit (manifest n
+        // appears) or abort/no-op (claim disappears), then rebase
+        val manifest = new org.apache.hadoop.fs.Path(path, s"_manifest_$n")
+        while (f.exists(claimPath(path, n)) && !f.exists(manifest)) {
+          if (System.nanoTime() > deadline)
+            throw new IllegalStateException(
+              s"Epoch.occ: epoch $n of $path claimed by another writer " +
+                s"for over ${maxWaitMs}ms — if that writer is dead, " +
+                s"breakClaim($n) clears its orphan")
+          Thread.sleep(20L)
+        }
+      }
+      if (System.nanoTime() > deadline)
+        throw new IllegalStateException(
+          s"Epoch.occ: could not commit at $path within ${maxWaitMs}ms")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Read one component of a PINNED manifest: a multi-dir parquet scan
     * (one relation, filters/pruning push down exactly as on a single
     * dir). Empty component → None. */
@@ -224,6 +328,13 @@ private[graft] object Epoch {
     }
     names.filter(_.matches("_manifest_\\d+\\.tmp")).foreach(t =>
       f.delete(new org.apache.hadoop.fs.Path(path, t), false))
+    // stale OCC claims at or below the committed head are spent (their
+    // epoch was committed or superseded); claims ABOVE the head may be
+    // a live writer's and are never touched here (see breakClaim)
+    names.filter(_.matches("_claim_\\d+")).foreach { c =>
+      if (c.stripPrefix("_claim_").toLong <= epochs.max)
+        f.delete(new org.apache.hadoop.fs.Path(path, c), false)
+    }
   }
 
   /** Committed (visible) epochs at `path` — the retained-history

@@ -293,6 +293,57 @@ object EpochPostings {
       LIMIT 10
     """))
 
+  /** Per-process layout grown by TWO CONCURRENT WRITERS under the OCC
+    * protocol ([[Epoch.occ]]): epoch 0 holds the even doc ids, then two
+    * threads race to append the 1-mod-4 and 3-mod-4 residue classes.
+    * Exactly one thread wins each epoch-number claim; the loser rebases
+    * (re-resolves, recomputes its df/stats merge on the winner's epoch)
+    * and lands as the next epoch — BOTH appends survive regardless of
+    * interleaving, which is the lost-update anomaly the single-mutator
+    * contract previously ruled out by fiat. The final index is
+    * order-independent because disjoint-batch appends commute (segment
+    * dirs union, df/stats merges are algebraic). */
+  private val occSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedOccPath(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    graft.BuildOnce.memo(occSaved, d) {
+      val path = s"${graft.GraftSession.scratchDir}/postings_occ_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = graft.Tables.documents(s, d)
+      build(s, docs.where(col("doc_id") % 2 === 0), path)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try {
+        val writers = Seq(1L, 3L).map { res =>
+          scala.concurrent.Future {
+            Epoch.occ(s, path) {
+              append(s, docs.where(col("doc_id") % 4 === res), path,
+                batchId = res)
+            }
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(writers),
+          scala.concurrent.duration.Duration(300, "s"))
+      } finally pool.shutdownNow()
+      path
+    }
+
+  /** MULTI-WRITER commit protocol, driver-verified: two concurrent
+    * appenders race [[Epoch.occ]]'s claim/rebase loop and BOTH batches
+    * must land — the served answer is the full-corpus BM25 ranking,
+    * byte-equal to the single-writer lifecycle's ([[bm25ServeEpoch]]'s
+    * oracle, unchanged). `EpochOccSpec` pins the protocol edges: both
+    * ledger keys present, three committed epochs, claim blocking, and
+    * the orphan-claim break path. */
+  val bm25EpochConcurrent = GQuery(
+    "bm25_epoch_concurrent",
+    (s, d) => serve(s, savedOccPath(s, d), TextQueries.bm25Terms),
+    bm25ServeEpoch.oracle)
+
   /** Full-corpus build (epoch 0), then a residue-class delete
     * (epoch 1) — the state whose HISTORY `bm25_serve_asof` reads. */
   private val asofSaved =
@@ -335,5 +386,6 @@ object EpochPostings {
     // later delete epoch must be invisible to the pinned epoch-0 read
     bm25ServeEpoch.oracle)
 
-  def all: Seq[GQuery] = Seq(bm25ServeEpoch, bm25ServeAsof)
+  def all: Seq[GQuery] =
+    Seq(bm25ServeEpoch, bm25ServeAsof, bm25EpochConcurrent)
 }

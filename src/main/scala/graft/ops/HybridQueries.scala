@@ -1304,8 +1304,72 @@ object HybridQueries {
     },
     hybridServe.oracle)
 
+  /** Per-process CROSS-TIER snapshot state ([[Snapshot]]): postings
+    * and IVF epoch layouts each built on their even-id half, snapshot
+    * 0 published pinning both heads, then ONE [[Snapshot.ingestBoth]]
+    * batch lands the odd halves in both tiers and flips the registry
+    * to snapshot 1. */
+  private val snapSaved =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String, String)]
+
+  private def savedSnapshotPaths(s: SparkSession, d: String)
+      : (String, String, String) =
+    graft.BuildOnce.memo(snapSaved, d) {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val reg = s"${graft.GraftSession.scratchDir}/snap_reg_$tag"
+      val post = s"${graft.GraftSession.scratchDir}/snap_postings_$tag"
+      val ivf = s"${graft.GraftSession.scratchDir}/snap_ivf_$tag"
+      val docs = Tables.documents(s, d)
+      val vecs = Tables.embeddings(s, d)
+      EpochPostings.build(s, docs.where(col("doc_id") % 2 === 0), post)
+      EpochAnn.build(s, vecs.where(col("vec_id") % 2 === 0), ivf, k = 8)
+      Snapshot.publish(s, reg, Map("postings" -> 0L, "ivf" -> 0L), "ing_0")
+      Snapshot.ingestBoth(s, reg, post, ivf,
+        docs.where(col("doc_id") % 2 === 1),
+        vecs.where(col("vec_id") % 2 === 1), batchId = 1L)
+      (reg, post, ivf)
+    }
+
+  /** CROSS-TIER consistent hybrid serving, driver-verified: the
+    * keyword and vector tiers are opened AS OF the epochs ONE registry
+    * manifest pins ([[Snapshot]]), so the composition can never
+    * straddle an ingest (a batch visible to BM25 but missing from the
+    * ANN list — the seam [[hybridServeEpoch]]'s independent resolves
+    * leave open). Here the pinned snapshot is post-ingest on both
+    * tiers, so the served fusion must equal the full-corpus answer
+    * under `hybrid_serve`'s ≤2-miss recall gate and oracle;
+    * `SnapshotSpec` pins the atomicity edges (a reader on snapshot 0
+    * sees BOTH tiers pre-ingest even after snapshot 1 commits; a crash
+    * between the tier appends and the registry flip leaves readers on
+    * the old consistent pair and the replayed ingest completes it). */
+  val hybridServeSnapshot = GQuery(
+    "hybrid_serve_snapshot",
+    (s, d) => {
+      val (reg, post, ivf) = savedSnapshotPaths(s, d)
+      val pins = Snapshot.resolvePins(s, reg)
+      val kwServed = EpochPostings.servedOn(s, post,
+        Snapshot.pinned(s, post, pins, "postings"), TextQueries.bm25Terms)
+        .select(col("doc_id"), col("rnk").as("kw_rnk"))
+      val vecServed = Ann.query(
+        EpochAnn.loadOn(s, ivf, Snapshot.pinned(s, ivf, pins, "ivf")),
+        probeId = 0, topK = VectorQueries.IvfTopK, nProbe = 3)
+        .select(col("neighbor_id").as("doc_id"),
+          col("rank").as("vec_rnk"))
+      val servedIds = rrfFuse(kwServed, vecServed)
+        .select(col("doc_id"), lit(1L).as("hit"))
+      rrfFuse(kwExact(s, d), vecExact(s, d))
+        .join(broadcast(servedIds), Seq("doc_id"), "left")
+        .select(col("rnk"), col("doc_id"), col("kw_rnk"),
+          col("vec_rnk"), col("rrf"),
+          (sum(when(col("hit").isNull, lit(1L)).otherwise(lit(0L)))
+            .over(Window.partitionBy()) <= 2).as("fuse_ok"))
+        .orderBy("rnk")
+    },
+    hybridServe.oracle)
+
   val all: Seq[GQuery] =
-    Seq(hybridSearch, hybridServe, hybridServeEpoch, hybridMulti,
+    Seq(hybridSearch, hybridServe, hybridServeEpoch, hybridServeSnapshot,
+      hybridMulti,
       hybridRerank,
       hybridFiltered, hybridServeAppend, hybridMultiRerank,
       hybridServeDelete, hybridPhrase, hybridMmr)
