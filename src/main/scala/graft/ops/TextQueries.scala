@@ -1413,6 +1413,95 @@ object TextQueries {
       LIMIT 10
     """))
 
+  /** KEYSET pagination over ranked search results, driver-verified —
+    * the results-page-2 access path that survives scale, vs the
+    * admin-changelist OFFSET idiom the reference inherits from Django
+    * (`admin.py:~20` — `[100:200]` compiles to LIMIT/OFFSET, which
+    * re-sorts and DISCARDS every earlier page, ∝ page-number work, and
+    * drifts under concurrent inserts). The cursor is the last row of
+    * the previous page as an EXACT (decimal score, doc_id) pair; page
+    * N+1 is the same df-bounded scored set under a strictly-after
+    * predicate — `score < c OR (score = c AND doc_id > c_doc)` — so
+    * every page costs the same as page 1 (no deep-offset skip; the
+    * cursor bound composes with the pushed `In(term,…)` scan). Under
+    * mutation, pair the cursor with a PINNED epoch manifest
+    * ([[EpochPostings.servedOn]]): BM25 re-scores existing rows when
+    * df/avgdl move, so cursor stability (no re-served, no skipped
+    * rows across pages) is a per-snapshot property — one more reason
+    * serving reads pin one manifest per SESSION of pages, not just
+    * per query. Keyset comparison runs on the DECIMAL score sum
+    * (exact), never the double projection. The oracle computes the
+    * FULL ranking and takes rows 6–10: keyset page 2 must equal the
+    * global ranking's second page exactly. */
+  val searchPage = GQuery(
+    "search_page",
+    (s, d) => {
+      val path = savedPostingsPath(s, d)
+      val lists = servedLists(s, path, bm25Terms)
+      val dfs = s.read.parquet(s"$path/df")
+        .where(col("term").isin(bm25Terms: _*))
+      val stats = s.read.parquet(s"$path/stats")
+      val scored = lists
+        .join(broadcast(dfs), "term")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), bm25ScoreTerm.as("score_term"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("score_term")).as("score_dec"))
+      // the client's cursor: last row of page 1 (top-5), carried as
+      // the exact decimal score + tiebreak id — a 1-row broadcast
+      val cursor = scored
+        .orderBy(col("score_dec").desc, col("doc_id")).limit(5)
+        .orderBy(col("score_dec").asc, col("doc_id").desc).limit(1)
+        .select(col("score_dec").as("c_score"), col("doc_id").as("c_doc"))
+      val page2 = scored.crossJoin(broadcast(cursor))
+        .where(col("score_dec") < col("c_score") ||
+          (col("score_dec") === col("c_score") &&
+            col("doc_id") > col("c_doc")))
+        .orderBy(col("score_dec").desc, col("doc_id")).limit(5)
+      page2.select(
+        (row_number().over(Window.orderBy(col("score_dec").desc,
+          col("doc_id"))) + lit(5)).cast(LongType).as("rnk"),
+        col("doc_id"), col("n_terms"),
+        col("score_dec").cast(DoubleType).as("score"))
+        .orderBy("rnk")
+    },
+    // the full ranking's rows 6–10 — keyset page 2 must equal them
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, str_split(text, ' ') AS toks,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents WHERE text IS NOT NULL),
+      stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+        FROM docs),
+      tf AS (
+        SELECT term, doc_id, dl, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+        WHERE term IN ('spark', 'merge', 'filter')
+        GROUP BY 1, 2, 3),
+      dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT tf.doc_id,
+               CAST(round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / s.avgdl))),
+                 4) AS DECIMAL(38,4)) AS score_term
+        FROM tf JOIN dfs d USING (term) CROSS JOIN stats s),
+      agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(score_term) AS DOUBLE) AS score
+        FROM scored GROUP BY 1),
+      ranked AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+               doc_id, n_terms, score
+        FROM agg)
+      SELECT rnk, doc_id, n_terms, score
+      FROM ranked
+      WHERE rnk BETWEEN 6 AND 10
+      ORDER BY rnk
+    """))
+
   /** Incremental index maintenance, driver-verified: BM25 served off an
     * index built on HALF the corpus (even doc ids) and grown to the
     * whole of it with [[postingsAppend]] — no rebuild, new term-sorted
@@ -2009,5 +2098,5 @@ object TextQueries {
     textRepetition, heavyHitters, modelScore, treeScore, quantileBins,
     postings, bm25Search, bm25Serve, bm25ServeAppend, bm25ServeCompact,
     bm25ServeDelete, bm25ServeUpdate, bm25Multi, prefixSearch,
-    searchFacets, heavyHittersSketch)
+    searchFacets, searchPage, heavyHittersSketch)
 }
