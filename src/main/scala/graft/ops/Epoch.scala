@@ -337,6 +337,16 @@ private[graft] object Epoch {
     }
   }
 
+  /** The committed epoch numbers at `path`, ascending — one FS
+    * listing. Empty on a never-built layout. */
+  def committedList(s: SparkSession, path: String): Seq[Long] = {
+    val f = fs(s, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!f.exists(root)) return Seq.empty
+    f.listStatus(root).map(_.getPath.getName)
+      .collect { case ManifestName(n) => n.toLong }.sorted.toSeq
+  }
+
   /** Committed (visible) epochs at `path` — the retained-history
     * statistic [[graft.ops.Maintenance]]'s prune cadence reads; one FS
     * listing, no file IO. 0 when the layout does not exist yet. */

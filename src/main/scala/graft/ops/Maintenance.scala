@@ -155,22 +155,29 @@ object Maintenance {
           NearDup.neardupCompact(s, ref.path); "compact"
         // the serve-safe layouts: compaction/retrain publish a fresh
         // epoch (readers keep their pinned snapshots), then prune
-        // retires generations beyond the retention horizon
+        // retires generations beyond the retention horizon. Each
+        // mutation commits through [[Epoch.occ]] — the sweep is just
+        // another optimistically-concurrent writer, so it can run
+        // BESIDE a live ingest worker: if an append wins the epoch
+        // number first, the compact/retrain rebases onto the appended
+        // head and folds it in (EpochOccSpec races exactly that).
+        // Prune itself is claim-aware (never touches generations or
+        // claims above the committed head), so it needs no claim.
         case "epoch_postings" if compactDue =>
-          EpochPostings.compact(s, ref.path)
+          Epoch.occ(s, ref.path)(EpochPostings.compact(s, ref.path))
           Epoch.prune(s, ref.path)
           "compact"
         case "epoch_ivf" if Ann.needsRetrain(EpochAnn.load(s, ref.path),
             policy.maxCellSkew) =>
-          EpochAnn.retrain(s, ref.path)
+          Epoch.occ(s, ref.path)(EpochAnn.retrain(s, ref.path))
           Epoch.prune(s, ref.path)
           "retrain"
         case "epoch_ivf" if compactDue =>
-          EpochAnn.compact(s, ref.path)
+          Epoch.occ(s, ref.path)(EpochAnn.compact(s, ref.path))
           Epoch.prune(s, ref.path)
           "compact"
         case "epoch_positional" if compactDue =>
-          EpochPositional.compact(s, ref.path)
+          Epoch.occ(s, ref.path)(EpochPositional.compact(s, ref.path))
           Epoch.prune(s, ref.path)
           "compact"
         case "epoch_ivfpq" if {
@@ -178,11 +185,11 @@ object Maintenance {
           Ann.needsRetrain(Ann.IvfIndex(idx.centroids, idx.encoded),
             policy.maxCellSkew)
         } =>
-          EpochIvfpq.retrain(s, ref.path)
+          Epoch.occ(s, ref.path)(EpochIvfpq.retrain(s, ref.path))
           Epoch.prune(s, ref.path)
           "retrain"
         case "epoch_ivfpq" if compactDue =>
-          EpochIvfpq.compact(s, ref.path)
+          Epoch.occ(s, ref.path)(EpochIvfpq.compact(s, ref.path))
           Epoch.prune(s, ref.path)
           "compact"
         // epoch layouts whose data never degrades (the suggest

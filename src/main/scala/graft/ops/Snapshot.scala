@@ -72,6 +72,37 @@ object Snapshot {
           "retained snapshot's pin"))
   }
 
+  /** Retention coordination — the ENFORCED form of the horizon
+    * contract [[pinned]] documents: prune the registry to its own
+    * `regKeep` newest snapshots, then prune each tier keeping the
+    * larger of the tier's own `tierKeep` horizon and EVERY epoch a
+    * retained snapshot still pins (prune keeps the newest K manifests,
+    * so covering the oldest retained pin means keeping
+    * `head − oldestPin + 1` epochs). After this, no retained snapshot
+    * can dangle — [[pinned]]'s loud failure becomes unreachable for
+    * registry-resolved readers, and tier history is bounded by the
+    * registry's retention instead of by hand-sized per-tier knobs. */
+  def pruneAll(s: SparkSession, regPath: String,
+      tierPaths: Map[String, String], regKeep: Int = 3,
+      tierKeep: Int = 1): Unit = {
+    Epoch.prune(s, regPath, regKeep)
+    val retainedPins: Map[String, Seq[Long]] =
+      Epoch.committedList(s, regPath)
+        .flatMap(n => Epoch.resolveAsOf(s, regPath, n))
+        .flatMap(_.components.toSeq.map { case (t, v) =>
+          t -> v.head.toLong
+        })
+        .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
+    tierPaths.foreach { case (tier, path) =>
+      val head = Epoch.resolve(s, path).map(_.epoch).getOrElse(0L)
+      val needed = retainedPins.get(tier) match {
+        case Some(pins) => (head - pins.min + 1).toInt.max(tierKeep)
+        case None => tierKeep
+      }
+      Epoch.prune(s, path, needed)
+    }
+  }
+
   /** One ingest batch across BOTH retrieval tiers + the registry
     * flip: docs append to the postings layout, vectors to the IVF
     * layout (shared `batchId`; each leg tier-ledger replay-safe), then
