@@ -69,6 +69,71 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * contract instead. */
 private[graft] object Epoch {
 
+  /** The TWO filesystem primitives the whole epoch design rests on —
+    * extracted so a store adapter is an argument, not a rewrite:
+    *
+    *  - `atomicRename(src, dst)`: publish a manifest. Must be atomic
+    *    and fail (not clobber) if `dst` exists mid-flight.
+    *  - `atomicCreate(p)`: CAS-claim an epoch number ([[occ]]). Must
+    *    be O_CREAT|O_EXCL semantics — exactly one creator wins.
+    *
+    * STORE CONTRACT: local POSIX filesystems, HDFS/ViewFS (namenode-
+    * arbitrated), and ABFS/GCS (single-object atomic rename + create-
+    * if-absent preconditions) satisfy both. Raw S3-class stores do
+    * NOT: `rename` is copy+delete and `create(overwrite=false)` is
+    * check-then-act, so two OCC writers can both "win" a claim and a
+    * half-copied manifest can become visible — the atomicity the
+    * design rests on silently degrades. [[HadoopCommitPrimitive]]
+    * therefore REJECTS known object-store schemes loudly; an S3
+    * deployment supplies a conditional-put-backed implementation
+    * (`If-None-Match`/`x-amz-copy-source` preconditions) or fronts
+    * the layout roots with an atomic-namespace store. */
+  trait CommitPrimitive {
+    def atomicRename(fs: org.apache.hadoop.fs.FileSystem,
+        src: org.apache.hadoop.fs.Path,
+        dst: org.apache.hadoop.fs.Path): Boolean
+    def atomicCreate(fs: org.apache.hadoop.fs.FileSystem,
+        p: org.apache.hadoop.fs.Path): Boolean
+  }
+
+  /** The default primitive: Hadoop `rename`/`createNewFile`, gated on
+    * a scheme allowlist so the unsafe stores fail LOUDLY at the first
+    * commit instead of corrupting under concurrency. The local scheme
+    * routes create through `java.io.File.createNewFile` (O_CREAT|
+    * O_EXCL — POSIX-atomic); Hadoop's own `createNewFile` default is
+    * check-then-act on local FS and two racers can both "win". */
+  object HadoopCommitPrimitive extends CommitPrimitive {
+    private val AtomicSchemes =
+      Set("file", "hdfs", "viewfs", "abfs", "abfss", "gs")
+    private def gate(fs: org.apache.hadoop.fs.FileSystem): Unit = {
+      val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+      require(AtomicSchemes.contains(scheme),
+        s"Epoch: scheme '$scheme' is not on the atomic-commit " +
+          "allowlist (raw S3-class stores implement rename as " +
+          "copy+delete and create(overwrite=false) as check-then-act) " +
+          "— supply a conditional-put CommitPrimitive or front the " +
+          "layout root with HDFS/ABFS/GCS/local")
+    }
+    def atomicRename(fs: org.apache.hadoop.fs.FileSystem,
+        src: org.apache.hadoop.fs.Path,
+        dst: org.apache.hadoop.fs.Path): Boolean = {
+      gate(fs); fs.rename(src, dst)
+    }
+    def atomicCreate(fs: org.apache.hadoop.fs.FileSystem,
+        p: org.apache.hadoop.fs.Path): Boolean = {
+      gate(fs)
+      fs match {
+        case _: org.apache.hadoop.fs.LocalFileSystem |
+             _: org.apache.hadoop.fs.RawLocalFileSystem =>
+          try new java.io.File(p.toUri.getPath).createNewFile()
+          catch { case _: java.io.IOException => false }
+        case other =>
+          try other.createNewFile(p)
+          catch { case _: java.io.IOException => false }
+      }
+    }
+  }
+
   /** One committed epoch: `components` maps name → generation dirs
     * RELATIVE to the layout root; `applied` is the namespaced
     * mutation-batch ledger (newest last, capped at [[LedgerCap]]). */
@@ -143,11 +208,14 @@ private[graft] object Epoch {
   }
 
   /** Publish epoch `m.epoch`: serialize to `_manifest_<N>.tmp`, then
-    * ATOMICALLY rename into place. Fails loudly if the epoch number is
-    * already committed (a competing mutator — the single-mutator
-    * contract was violated) rather than clobbering it. Relative dirs
-    * only; the applied ledger is capped to the newest [[LedgerCap]]. */
-  def commit(s: SparkSession, path: String, m: Manifest): Unit = {
+    * ATOMICALLY rename into place via `prim` ([[HadoopCommitPrimitive]]
+    * unless a store adapter is supplied — see [[CommitPrimitive]]'s
+    * store contract). Fails loudly if the epoch number is already
+    * committed (a competing mutator — the single-mutator contract was
+    * violated) rather than clobbering it. Relative dirs only; the
+    * applied ledger is capped to the newest [[LedgerCap]]. */
+  def commit(s: SparkSession, path: String, m: Manifest,
+      prim: CommitPrimitive = HadoopCommitPrimitive): Unit = {
     val f = fs(s, path)
     val root = new org.apache.hadoop.fs.Path(path)
     if (!f.exists(root)) f.mkdirs(root)
@@ -169,7 +237,7 @@ private[graft] object Epoch {
       s"_manifest_${m.epoch}.tmp")
     val out = f.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    require(f.rename(tmp, fin),
+    require(prim.atomicRename(f, tmp, fin),
       s"Epoch.commit: publish of epoch ${m.epoch} at $path failed")
   }
 
@@ -206,26 +274,15 @@ private[graft] object Epoch {
     new org.apache.hadoop.fs.Path(path, s"_claim_$n")
 
   /** CAS-claim epoch `n`: atomically create the zero-length
-    * `_claim_<n>` marker. Exactly one writer wins a given number. The
-    * local scheme needs `java.io.File.createNewFile` (O_CREAT|O_EXCL —
-    * POSIX-atomic); Hadoop's `FileSystem.createNewFile` default is
-    * check-then-act there and two racers can both "win". On HDFS-like
-    * stores the namenode makes `create(overwrite=false)` the atomic
-    * arbiter, so the generic path is safe. */
-  private def claim(s: SparkSession, path: String, n: Long): Boolean = {
+    * `_claim_<n>` marker through the commit primitive ([[CommitPrimitive]]
+    * — O_EXCL create; the scheme gate rejects stores where two racers
+    * could both "win"). Exactly one writer wins a given number. */
+  private def claim(s: SparkSession, path: String, n: Long,
+      prim: CommitPrimitive): Boolean = {
     val f = fs(s, path)
     val root = new org.apache.hadoop.fs.Path(path)
     if (!f.exists(root)) f.mkdirs(root)
-    val p = claimPath(path, n)
-    f match {
-      case _: org.apache.hadoop.fs.LocalFileSystem |
-           _: org.apache.hadoop.fs.RawLocalFileSystem =>
-        try new java.io.File(p.toUri.getPath).createNewFile()
-        catch { case _: java.io.IOException => false }
-      case other =>
-        try other.createNewFile(p)
-        catch { case _: java.io.IOException => false }
-    }
+    prim.atomicCreate(f, claimPath(path, n))
   }
 
   private def release(s: SparkSession, path: String, n: Long): Unit =
@@ -256,13 +313,14 @@ private[graft] object Epoch {
     * total wait across retries; exceeding it fails loudly naming the
     * blocking claim so an operator can [[breakClaim]] a dead writer's
     * orphan rather than silently dropping the mutation. */
-  def occ[A](s: SparkSession, path: String, maxWaitMs: Long = 120000L)(
+  def occ[A](s: SparkSession, path: String, maxWaitMs: Long = 120000L,
+      prim: CommitPrimitive = HadoopCommitPrimitive)(
       mutation: => A): A = {
     val f = fs(s, path)
     val deadline = System.nanoTime() + maxWaitMs * 1000000L
     while (true) {
       val n = resolve(s, path).map(_.next).getOrElse(0L)
-      if (claim(s, path, n)) {
+      if (claim(s, path, n, prim)) {
         // the claim may be stale-won (a winner committed n and released
         // between our resolve and our claim) — re-check before mutating
         if (resolve(s, path).map(_.next).getOrElse(0L) != n) {
@@ -356,5 +414,57 @@ private[graft] object Epoch {
     if (!f.exists(root)) return 0
     f.listStatus(root).map(_.getPath.getName)
       .count(n => ManifestName.matches(n))
+  }
+
+  /** The NEWEST retained epoch whose applied ledger carries `key` —
+    * how [[Snapshot.ingestBoth]] pins the exact epoch its own append
+    * produced instead of whatever head a concurrent writer advanced to
+    * since. Bounded work: one manifest read per retained epoch, newest
+    * first, stopping at the first hit. None if the batch never
+    * committed (empty batch) or its epoch was pruned away. */
+  def epochWith(s: SparkSession, path: String, key: String)
+      : Option[Long] =
+    committedList(s, path).reverseIterator
+      .find(n => readManifest(s, path, n).has(key))
+
+  /** Orphaned multi-writer residue at `path` — the observability face
+    * [[graft.ops.Maintenance]] reports so a crashed OCC writer's
+    * leftovers are operable instead of silent:
+    *
+    *  - `claims`: `_claim_<n>` markers ABOVE the committed head with
+    *    their age in ms. A young claim is a LIVE writer mid-commit; an
+    *    old one is a dead writer blocking every later [[occ]] call at
+    *    its number — verify the epoch was never committed, then
+    *    [[breakClaim]] it.
+    *  - `stagingBytes`: bytes under `g<N>` staging directories above
+    *    the head (a crashed writer's half-written generation —
+    *    deliberately never reaped by [[prune]], which cannot tell a
+    *    crash orphan from a live writer's in-flight dir). At 100 TB an
+    *    orphaned generation is real money: after `breakClaim`, the
+    *    next committed epoch at that number overwrites it
+    *    ([[genDir]] clears first), or delete it by hand. */
+  final case class Orphans(claims: Seq[(Long, Long)], stagingBytes: Long)
+
+  def orphans(s: SparkSession, path: String): Orphans = {
+    val f = fs(s, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!f.exists(root)) return Orphans(Seq.empty, 0L)
+    val stats = f.listStatus(root)
+    val head = stats.map(_.getPath.getName)
+      .collect { case ManifestName(n) => n.toLong }
+      .foldLeft(-1L)(math.max)
+    val now = System.currentTimeMillis()
+    val claims = stats.toSeq
+      .filter(_.getPath.getName.matches("_claim_\\d+"))
+      .map(st => (st.getPath.getName.stripPrefix("_claim_").toLong,
+        now - st.getModificationTime))
+      .filter(_._1 > head)
+      .sortBy(_._1)
+    val staging = stats.toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("g\\d+") &&
+        st.getPath.getName.stripPrefix("g").toLong > head)
+      .map(st => f.getContentSummary(st.getPath).getLength)
+      .sum
+    Orphans(claims, staging)
   }
 }

@@ -47,14 +47,32 @@ object Maintenance {
 
   /** One layout under sweep management. `kind` ∈ postings |
     * positional | neardup | ivf | ivfpq | epoch_postings |
-    * epoch_positional | epoch_suggest | epoch_ivf | epoch_ivfpq. */
-  final case class LayoutRef(kind: String, path: String)
+    * epoch_positional | epoch_suggest | epoch_ivf | epoch_ivfpq.
+    * `registry` binds an epoch layout to the cross-tier snapshot
+    * registry that pins it — `(registry layout path, tier name)` as
+    * published by [[Snapshot.publish]]: the sweep's prune arm then
+    * FLOORS this tier's retention at the oldest epoch any retained
+    * registry snapshot still pins, making the horizon contract
+    * Snapshot documents enforced instead of advisory. */
+  final case class LayoutRef(kind: String, path: String,
+      registry: Option[(String, String)] = None)
 
   /** What the probe saw and what the sweep did (`action` ∈ none |
-    * compact | retrain | prune). */
+    * compact | retrain | prune). For epoch layouts the sweep also
+    * reports the ORPHAN statistics ([[Epoch.orphans]]): claims above
+    * the committed head with their age, and bytes under above-head
+    * staging generations — a dead OCC writer's residue, invisible to
+    * prune by design ([[Epoch.prune]] cannot tell a crash orphan from
+    * a live writer's in-flight dir). Operator guidance: an orphan
+    * claim OLDER than any plausible commit (minutes, not the 20 ms
+    * poll tick) blocks every later occ at its number — verify the
+    * epoch was never committed, [[Epoch.breakClaim]] it, and the next
+    * committed epoch at that number reclaims the staging bytes
+    * ([[Epoch.genDir]] clears first). */
   final case class SweepResult(kind: String, path: String,
       segments: Int, tombstoneRatio: Double, action: String,
-      batchId: Long)
+      batchId: Long, orphanClaims: Int = 0, oldestClaimAgeMs: Long = 0L,
+      orphanStagingBytes: Long = 0L)
 
   /** The primary (corpus-scale) data directories the statistics are
     * read from — one for the swap layouts, the CURRENT manifest's
@@ -126,13 +144,44 @@ object Maintenance {
     dataDirs(s, ref).map(segmentCount(s, _)).sum > policy.maxSegments ||
       tombstoneRatio(s, ref) > policy.maxTombstoneRatio
 
+  /** The retention floor a registry-bound tier must keep: prune
+    * retains the newest K manifests and tier epochs are contiguous
+    * (every commit is head+1), so covering the OLDEST epoch any
+    * retained registry snapshot pins means keeping
+    * `head − oldestPin + 1` — the [[Snapshot.pruneAll]] arithmetic,
+    * applied from the sweep side so a sweep can never retire an epoch
+    * a retained snapshot still pins (pruning the registry first is
+    * what releases it). Unbound layouts keep the default horizon. */
+  private def pinnedKeep(s: SparkSession, ref: LayoutRef,
+      default: Int = 3): Int =
+    ref.registry match {
+      case None => default
+      case Some((regPath, tier)) =>
+        val pins = Epoch.committedList(s, regPath)
+          .flatMap(n => Epoch.resolveAsOf(s, regPath, n))
+          .flatMap(_.components.get(tier).flatMap(_.headOption)
+            .map(_.toLong))
+        if (pins.isEmpty) default
+        else {
+          val head = Epoch.resolve(s, ref.path).map(_.epoch)
+            .getOrElse(0L)
+          math.max(default, (head - pins.min + 1).toInt)
+        }
+    }
+
   /** Probe every layout, apply what is due, report what happened.
     * IVF routes skew → retrain (subsumes compaction) before the
     * shared compact trigger; every applied op is the layout's own
     * idempotent maintenance face, so a crashed sweep re-run under the
     * same `batchId` converges. Same maintenance-window contract as
-    * the underlying ops (epoch layouts mutate serve-safe; swap
-    * layouts need the window). */
+    * the underlying ops for the SWAP layouts; the epoch layouts
+    * mutate serve-safe AND multi-writer-safe — every epoch writer in
+    * the engine commits through [[Epoch.occ]] (this sweep, the
+    * streaming ingest faces `StreamRunner.postingsIngestEpochStream` /
+    * `vectorIngestEpochStream`, [[Snapshot.ingestBoth]]'s tier
+    * appends, and [[Takedown]]'s epoch legs), so the sweep can run
+    * BESIDE a live ingest worker: whoever wins the epoch-number claim
+    * commits first and the loser rebases (`EpochOccSpec`). */
   def sweep(s: SparkSession, layouts: Seq[LayoutRef],
       policy: Policy = Policy(), batchId: Long = 0L): Seq[SweepResult] =
     layouts.map { ref =>
@@ -155,30 +204,31 @@ object Maintenance {
           NearDup.neardupCompact(s, ref.path); "compact"
         // the serve-safe layouts: compaction/retrain publish a fresh
         // epoch (readers keep their pinned snapshots), then prune
-        // retires generations beyond the retention horizon. Each
+        // retires generations beyond the retention horizon — FLOORED
+        // at the oldest epoch any retained registry snapshot pins
+        // when the layout is registry-bound ([[pinnedKeep]]). Each
         // mutation commits through [[Epoch.occ]] — the sweep is just
-        // another optimistically-concurrent writer, so it can run
-        // BESIDE a live ingest worker: if an append wins the epoch
-        // number first, the compact/retrain rebases onto the appended
-        // head and folds it in (EpochOccSpec races exactly that).
-        // Prune itself is claim-aware (never touches generations or
-        // claims above the committed head), so it needs no claim.
+        // another optimistically-concurrent writer beside the
+        // occ-committing ingest faces (EpochOccSpec races exactly
+        // that). Prune itself is claim-aware (never touches
+        // generations or claims above the committed head), so it
+        // needs no claim.
         case "epoch_postings" if compactDue =>
           Epoch.occ(s, ref.path)(EpochPostings.compact(s, ref.path))
-          Epoch.prune(s, ref.path)
+          Epoch.prune(s, ref.path, pinnedKeep(s, ref))
           "compact"
         case "epoch_ivf" if Ann.needsRetrain(EpochAnn.load(s, ref.path),
             policy.maxCellSkew) =>
           Epoch.occ(s, ref.path)(EpochAnn.retrain(s, ref.path))
-          Epoch.prune(s, ref.path)
+          Epoch.prune(s, ref.path, pinnedKeep(s, ref))
           "retrain"
         case "epoch_ivf" if compactDue =>
           Epoch.occ(s, ref.path)(EpochAnn.compact(s, ref.path))
-          Epoch.prune(s, ref.path)
+          Epoch.prune(s, ref.path, pinnedKeep(s, ref))
           "compact"
         case "epoch_positional" if compactDue =>
           Epoch.occ(s, ref.path)(EpochPositional.compact(s, ref.path))
-          Epoch.prune(s, ref.path)
+          Epoch.prune(s, ref.path, pinnedKeep(s, ref))
           "compact"
         case "epoch_ivfpq" if {
           val idx = EpochIvfpq.load(s, ref.path)
@@ -186,25 +236,32 @@ object Maintenance {
             policy.maxCellSkew)
         } =>
           Epoch.occ(s, ref.path)(EpochIvfpq.retrain(s, ref.path))
-          Epoch.prune(s, ref.path)
+          Epoch.prune(s, ref.path, pinnedKeep(s, ref))
           "retrain"
         case "epoch_ivfpq" if compactDue =>
           Epoch.occ(s, ref.path)(EpochIvfpq.compact(s, ref.path))
-          Epoch.prune(s, ref.path)
+          Epoch.prune(s, ref.path, pinnedKeep(s, ref))
           "compact"
         // epoch layouts whose data never degrades (the suggest
         // dictionary rewrites wholesale per mutation) — and any other
         // epoch layout the compact triggers left alone — still accrete
         // HISTORY: retired generations past the retention horizon are
-        // the one statistic left to manage
+        // the one statistic left to manage. The pin floor applies here
+        // too: a tier whose old epochs are all still registry-pinned
+        // prunes NOTHING until the registry itself is pruned.
         case k if k.startsWith("epoch_") &&
             Epoch.committedEpochs(s, ref.path) >
               policy.maxRetainedEpochs =>
-          Epoch.prune(s, ref.path)
+          Epoch.prune(s, ref.path, pinnedKeep(s, ref))
           "prune"
         case _ => "none"
       }
-      SweepResult(ref.kind, ref.path, segs, ratio, action, batchId)
+      if (ref.kind.startsWith("epoch_")) {
+        val o = Epoch.orphans(s, ref.path)
+        SweepResult(ref.kind, ref.path, segs, ratio, action, batchId,
+          o.claims.size, if (o.claims.isEmpty) 0L else o.claims.map(_._2).max,
+          o.stagingBytes)
+      } else SweepResult(ref.kind, ref.path, segs, ratio, action, batchId)
     }
 
   /** Postings layout taken through the POLICY-DRIVEN lifecycle the

@@ -37,16 +37,21 @@ object Snapshot {
 
   /** Publish registry epoch pinning `pins` (tier name → committed
     * epoch of that tier), replay-safe on `key` through the registry
-    * manifest's applied ledger. */
+    * manifest's applied ledger. The commit runs under [[Epoch.occ]] on
+    * the registry itself, so two concurrent cross-tier ingests racing
+    * their registry flips both land (the loser rebases onto the
+    * winner's manifest and appends its own pins as the next epoch)
+    * instead of one dying on the single-mutator commit guard. */
   def publish(s: SparkSession, regPath: String, pins: Map[String, Long],
-      key: String): Unit = {
-    val cur = Epoch.resolve(s, regPath)
-    if (cur.exists(_.has(key))) return
-    Epoch.commit(s, regPath, Epoch.Manifest(
-      cur.map(_.next).getOrElse(0L),
-      pins.map { case (t, e) => t -> Seq(e.toString) },
-      cur.map(_.applied).getOrElse(Seq.empty) :+ key))
-  }
+      key: String): Unit =
+    Epoch.occ(s, regPath) {
+      val cur = Epoch.resolve(s, regPath)
+      if (!cur.exists(_.has(key)))
+        Epoch.commit(s, regPath, Epoch.Manifest(
+          cur.map(_.next).getOrElse(0L),
+          pins.map { case (t, e) => t -> Seq(e.toString) },
+          cur.map(_.applied).getOrElse(Seq.empty) :+ key))
+    }
 
   /** Resolve the registry's CURRENT pins once — the composed query's
     * single coordination point. */
@@ -89,12 +94,25 @@ object Snapshot {
     val retainedPins: Map[String, Seq[Long]] =
       Epoch.committedList(s, regPath)
         .flatMap(n => Epoch.resolveAsOf(s, regPath, n))
-        .flatMap(_.components.toSeq.map { case (t, v) =>
+        .flatMap(m => m.components.toSeq.map { case (t, v) =>
+          // same shape validation as resolvePins — a hand-published
+          // registry manifest fails by NAME here, not with a bare
+          // NoSuchElement/NumberFormat exception mid-prune
+          require(v.size == 1,
+            s"Snapshot.pruneAll: registry epoch ${m.epoch} pins " +
+              s"${v.size} epochs for tier $t (expected exactly 1)")
+          require(v.head.forall(_.isDigit),
+            s"Snapshot.pruneAll: registry epoch ${m.epoch} pin for " +
+              s"tier $t is not an epoch number: '${v.head}'")
           t -> v.head.toLong
         })
         .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
     tierPaths.foreach { case (tier, path) =>
       val head = Epoch.resolve(s, path).map(_.epoch).getOrElse(0L)
+      // keep-count arithmetic: prune retains the newest K manifests,
+      // and tier epoch numbers are contiguous (every commit is
+      // head+1 — genDir/commit enforce the numbering), so covering
+      // the oldest retained pin means keeping head − oldestPin + 1
       val needed = retainedPins.get(tier) match {
         case Some(pins) => (head - pins.min + 1).toInt.max(tierKeep)
         case None => tierKeep
@@ -107,15 +125,33 @@ object Snapshot {
     * flip: docs append to the postings layout, vectors to the IVF
     * layout (shared `batchId`; each leg tier-ledger replay-safe), then
     * the registry pins the two new heads as one snapshot. Until that
-    * last rename lands, composed readers see the PREVIOUS pair. */
+    * last rename lands, composed readers see the PREVIOUS pair.
+    *
+    * Multi-writer-safe end to end: each tier append commits under
+    * [[Epoch.occ]] (a concurrent sweep compaction or second ingest
+    * rebases instead of corrupting a shared staging generation), the
+    * published pins are the epochs THIS batch's appends produced
+    * ([[Epoch.epochWith]] on the batch key — not whatever head a
+    * concurrent writer advanced to since, which could pin a postings
+    * epoch containing batch B2 beside an IVF epoch without it), and
+    * [[publish]] itself rides the registry's own OCC loop. An EMPTY
+    * leg (no rows → no tier commit, no ledger key) pins that tier's
+    * current head — the newest consistent state the batch observed. */
   def ingestBoth(s: SparkSession, regPath: String, postingsPath: String,
       ivfPath: String, docs: org.apache.spark.sql.DataFrame,
       vectors: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
-    EpochPostings.append(s, docs, postingsPath, batchId)
-    EpochAnn.append(s, vectors, ivfPath, batchId)
+    Epoch.occ(s, postingsPath) {
+      EpochPostings.append(s, docs, postingsPath, batchId)
+    }
+    Epoch.occ(s, ivfPath) {
+      EpochAnn.append(s, vectors, ivfPath, batchId)
+    }
+    def pinFor(path: String): Long =
+      Epoch.epochWith(s, path, s"app_$batchId")
+        .getOrElse(Epoch.resolve(s, path).get.epoch)
     publish(s, regPath, Map(
-      "postings" -> Epoch.resolve(s, postingsPath).get.epoch,
-      "ivf" -> Epoch.resolve(s, ivfPath).get.epoch),
+      "postings" -> pinFor(postingsPath),
+      "ivf" -> pinFor(ivfPath)),
       s"ing_$batchId")
   }
 }

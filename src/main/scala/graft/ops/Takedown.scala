@@ -108,18 +108,26 @@ object Takedown {
       .localCheckpoint(true)
     val ids = doomed.select("doc_id")
     tiers.postings.foreach(p => TextQueries.postingsDelete(s, ids, p))
-    tiers.postingsEpoch.foreach(p =>
-      EpochPostings.delete(s, ids, p, batchId))
-    tiers.positionalEpoch.foreach(p =>
-      EpochPositional.delete(s, ids, p, batchId))
-    tiers.suggestEpoch.foreach(p =>
-      EpochSuggest.delete(s, doomed, p, batchId))
-    tiers.ivfEpoch.foreach(p =>
+    // every epoch leg commits under Epoch.occ: the epoch layouts are
+    // multi-writer (streaming ingest + sweep compaction + this), and a
+    // bare commit racing an occ writer would share its staging dir
+    tiers.postingsEpoch.foreach(p => Epoch.occ(s, p) {
+      EpochPostings.delete(s, ids, p, batchId)
+    })
+    tiers.positionalEpoch.foreach(p => Epoch.occ(s, p) {
+      EpochPositional.delete(s, ids, p, batchId)
+    })
+    tiers.suggestEpoch.foreach(p => Epoch.occ(s, p) {
+      EpochSuggest.delete(s, doomed, p, batchId)
+    })
+    tiers.ivfEpoch.foreach(p => Epoch.occ(s, p) {
       EpochAnn.delete(s, ids.select(col("doc_id").as("vec_id")), p,
-        batchId))
-    tiers.ivfpqEpoch.foreach(p =>
+        batchId)
+    })
+    tiers.ivfpqEpoch.foreach(p => Epoch.occ(s, p) {
       EpochIvfpq.delete(s, ids.select(col("doc_id").as("vec_id")), p,
-        batchId))
+        batchId)
+    })
     tiers.positional.foreach(p =>
       PhraseQueries.positionalDelete(s, ids, p))
     tiers.neardup.foreach(p => NearDup.neardupDelete(s, ids, p))

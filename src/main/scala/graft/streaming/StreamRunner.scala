@@ -566,16 +566,23 @@ object StreamRunner {
     * in the same rename as the data); the same `checkpoint` caveat
     * applies — batch ids reset without one, colliding with the
     * ledger. Compaction is the sweep's job
-    * (`Maintenance.sweep`, kind `epoch_postings`). */
+    * (`Maintenance.sweep`, kind `epoch_postings`) — and because each
+    * micro-batch append commits under `Epoch.occ`, the sweep's
+    * occ-wrapped compaction can run BESIDE this live stream: the
+    * claim loop serializes the two writers' staging generations (a
+    * bare append racing an occ compact would stage into the same
+    * `g<N>` dir, which `Epoch.genDir` clears — silent corruption). */
   def postingsIngestEpochStream(indexPath: String, docs: DataFrame,
       checkpoint: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     withCheckpoint(docs.writeStream.outputMode("append"), checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.EpochPostings.append(batch.sparkSession,
-          batch.select(col("doc_id").cast("long").as("doc_id"),
-            col("text")),
-          indexPath, batchId)
+        graft.ops.Epoch.occ(batch.sparkSession, indexPath) {
+          graft.ops.EpochPostings.append(batch.sparkSession,
+            batch.select(col("doc_id").cast("long").as("doc_id"),
+              col("text")),
+            indexPath, batchId)
+        }
       }
       .start()
 
@@ -592,16 +599,19 @@ object StreamRunner {
     * (`sim_ivf_append`'s recall gate covers the worst case); the
     * RETRAIN that heals it is the maintenance sweep's job
     * (`Maintenance.sweep`, kind `epoch_ivf` — skew-triggered, itself
-    * one atomic epoch). */
+    * one atomic epoch), safe to run beside this stream because both
+    * writers commit under `Epoch.occ` (the postings twin's rationale). */
   def vectorIngestEpochStream(indexPath: String, vectors: DataFrame,
       checkpoint: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     withCheckpoint(vectors.writeStream.outputMode("append"), checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.EpochAnn.append(batch.sparkSession,
-          batch.select(col("vec_id").cast("long").as("vec_id"),
-            col("embedding")),
-          indexPath, batchId)
+        graft.ops.Epoch.occ(batch.sparkSession, indexPath) {
+          graft.ops.EpochAnn.append(batch.sparkSession,
+            batch.select(col("vec_id").cast("long").as("vec_id"),
+              col("embedding")),
+            indexPath, batchId)
+        }
       }
       .start()
 
