@@ -40,6 +40,30 @@ object Pipeline {
     TableResult(table.name, loadedBack, metrics)
   }
 
+  /** One table cycle committed as ONE TABLE EPOCH (≙ one
+    * `RawDataVersion`, `models/tracking.py:~130`): clean → typed load →
+    * [[graft.ops.EpochTable.refresh]] — the full snapshot and its
+    * count-verified metrics flip visible together in one manifest
+    * rename, readers overlapping the refresh keep the previous
+    * version, and every retained version stays queryable by id
+    * ([[graft.ops.EpochTable.dataForVersion]] — the reference's
+    * every-monthly-version-queryable capability,
+    * `updatecalaccessrawdata.py:~100-200`). The serve-safe successor
+    * to [[updateTable]]'s overwrite sink: use this face when readers
+    * cannot be paused for the refresh. */
+  def updateTableEpoch(spark: SparkSession, table: TableDef,
+      tsvPath: String, layoutRoot: String, version: Long): TableResult = {
+    val cleaned = Clean.cleanFile(spark, table, tsvPath)
+    val typed = Load.load(table, cleaned.good)
+    val good = cleaned.good.count()
+    val bad = cleaned.bad.count()
+    val path = s"$layoutRoot/${table.name}"
+    val loaded = ops.EpochTable.refresh(spark, path, typed, version,
+      downloadRecords = Some(good + bad), errorRecords = bad)
+    TableResult(table.name, ops.EpochTable.serve(spark, path),
+      FileMetrics(table.name, good + bad, good, loaded, bad))
+  }
+
   /** Full update run over many tables: concurrent job submission on a
     * BOUNDED pool with a per-table timeout and per-table failure
     * capture. Three deliberate departures from the naive

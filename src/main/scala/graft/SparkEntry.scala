@@ -14,7 +14,7 @@ object SparkEntry {
     ops.CoreQueries.all ++ ops.JoinQueries.all ++ ops.AggQueries.all ++
       ops.WindowQueries.all ++ ops.SortSetQueries.all ++
       ops.ScalarQueries.all ++ ops.StreamQueries.all ++
-      ops.FunnelQueries.all ++
+      ops.FunnelQueries.all ++ ops.EpochTable.all ++
       ops.TextQueries.all ++ ops.EpochPostings.all ++
       ops.BoolQueries.all ++
       ops.PhraseQueries.all ++ ops.EpochPositional.all ++

@@ -416,15 +416,22 @@ private[graft] object Epoch {
       .count(n => ManifestName.matches(n))
   }
 
-  /** The NEWEST retained epoch whose applied ledger carries `key` —
-    * how [[Snapshot.ingestBoth]] pins the exact epoch its own append
+  /** The epoch whose commit INTRODUCED ledger key `key` — how
+    * [[Snapshot.ingestBoth]] pins the exact epoch its own append
     * produced instead of whatever head a concurrent writer advanced to
-    * since. Bounded work: one manifest read per retained epoch, newest
-    * first, stopping at the first hit. None if the batch never
-    * committed (empty batch) or its epoch was pruned away. */
+    * since. Ledgers accumulate (each commit appends to its
+    * predecessor's), so the introducing manifest is the OLDEST one
+    * carrying the key: one manifest read per retained epoch ascending,
+    * stopping at the first hit. None if the batch never committed
+    * (empty batch). Caveat: if the introducing epoch was pruned while
+    * newer ledgers still carry the key (within [[LedgerCap]] commits),
+    * this returns the oldest RETAINED holder — callers needing the
+    * exact historical commit after pruning must record it themselves
+    * (e.g. [[EpochTable]] resolves versions through its per-epoch meta
+    * component instead). */
   def epochWith(s: SparkSession, path: String, key: String)
       : Option[Long] =
-    committedList(s, path).reverseIterator
+    committedList(s, path).iterator
       .find(n => readManifest(s, path, n).has(key))
 
   /** Orphaned multi-writer residue at `path` — the observability face

@@ -1,0 +1,96 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+import java.util.concurrent.Executors
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+/** Table-tier epochs (round-16 verdict "next" #1): each update run is
+  * one RawDataVersion-shaped epoch — a reader racing a refresh keeps
+  * its pinned version (never a torn read across the flip), every
+  * retained version stays queryable by id, replayed versions are
+  * ledger no-ops, and the metrics row flips with the data it counts. */
+class EpochTableSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def mkTyped(ids: Seq[Long]) =
+    ids.map(i => (i, s"v$i", i * 10L)).toDF("event_id", "etype", "uid")
+
+  test("a reader racing a refresh serves wholly version 0 or wholly " +
+      "version 1; a pinned manifest survives the flip") {
+    val path = s"${graft.GraftSession.scratchDir}/table_epoch_race"
+    EpochTable.refresh(spark, path, mkTyped(1L to 50L), version = 0L)
+    val m0 = Epoch.resolve(spark, path).get
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val refresher = Future {
+        EpochTable.refresh(spark, path, mkTyped(1L to 120L), version = 1L)
+      }
+      // every racing read must count exactly one version's rows —
+      // a torn read (partially visible new snapshot) lands between
+      var served = 0
+      while (!refresher.isCompleted || served == 0) {
+        val n = EpochTable.serve(spark, path).count()
+        served += 1
+        assert(n == 50L || n == 120L,
+          s"torn table read: $n rows is neither version")
+      }
+      Await.result(refresher, 120.seconds)
+    } finally pool.shutdownNow()
+    assert(EpochTable.serve(spark, path).count() === 120L)
+    // the manifest pinned before the refresh still serves version 0
+    assert(EpochTable.data(spark, path, m0).count() === 50L)
+    // ... and so does the version-id lookup after the flip
+    assert(EpochTable.dataForVersion(spark, path, 0L).get.count() === 50L)
+    assert(EpochTable.dataForVersion(spark, path, 1L).get.count() === 120L)
+    assert(EpochTable.dataForVersion(spark, path, 7L).isEmpty)
+  }
+
+  test("a replayed version is a ledger no-op returning the committed " +
+      "count; versions() carries the verify invariant per retained row") {
+    val path = s"${graft.GraftSession.scratchDir}/table_epoch_once"
+    assert(EpochTable.refresh(spark, path, mkTyped(1L to 30L),
+      version = 0L, downloadRecords = Some(33L), errorRecords = 3L) === 30L)
+    // replay: different frame, same version — nothing committed, the
+    // original count comes back
+    assert(EpochTable.refresh(spark, path, mkTyped(1L to 999L),
+      version = 0L) === 30L)
+    assert(Epoch.committedList(spark, path) === Seq(0L))
+    assert(EpochTable.serve(spark, path).count() === 30L)
+    EpochTable.refresh(spark, path, mkTyped(1L to 40L), version = 1L)
+    val v = EpochTable.versions(spark, path).orderBy("version").collect()
+    assert(v.map(_.getAs[Long]("version")).toSeq === Seq(0L, 1L))
+    assert(v(0).getAs[Long]("download_records") === 33L)
+    assert(v(0).getAs[Long]("clean_records") === 30L)
+    assert(v(0).getAs[Long]("error_records") === 3L)
+    assert(v.forall(_.getAs[Boolean]("consistent")))
+    // prune retires version 0's history; the version lookup goes None
+    Epoch.prune(spark, path, keep = 1)
+    assert(EpochTable.dataForVersion(spark, path, 0L).isEmpty)
+    assert(EpochTable.dataForVersion(spark, path, 1L).get.count() === 40L)
+  }
+
+  test("Pipeline.updateTableEpoch: clean → load → epoch commit with " +
+      "count-verified metrics riding the manifest") {
+    import graft.schemas.Schemas
+    val dir = java.nio.file.Files.createTempDirectory("tsv")
+    val tsv = dir.resolve("LOOKUP_CODES_CD.TSV")
+    java.nio.file.Files.write(tsv,
+      ("CODE_TYPE\tCODE_ID\tCODE_DESC\n1\t100\tIndividual\n" +
+        "1\t200\tCommittee\nbroken row\n2\t300\tOther\n").getBytes("UTF-8"))
+    val root = s"${graft.GraftSession.scratchDir}/table_epoch_pipe"
+    val r = graft.Pipeline.updateTableEpoch(spark, Schemas.lookupCodesCd,
+      tsv.toString, root, version = 0L)
+    assert(r.metrics.consistent, r.metrics.toString)
+    assert(r.metrics.errorRecords === 1L)
+    assert(r.metrics.loadRecords === 3L)
+    val v = EpochTable.versions(spark,
+      s"$root/${Schemas.lookupCodesCd.name}").collect()
+    assert(v.length === 1 && v(0).getAs[Boolean]("consistent"))
+    assert(v(0).getAs[Long]("error_records") === 1L)
+  }
+}
