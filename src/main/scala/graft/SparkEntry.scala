@@ -21,7 +21,8 @@ object SparkEntry {
       ops.Suggest.all ++ ops.EpochSuggest.all ++
       ops.CorpusQueries.all ++
       ops.VectorQueries.all ++ ops.HybridQueries.all ++
-      ops.DedupQueries.all ++ ops.NearDup.all ++ ops.IndexStats.all ++
+      ops.DedupQueries.all ++ ops.NearDup.all ++ ops.EpochNearDup.all ++
+      ops.IndexStats.all ++
       ops.Multimodal.all ++ ops.IncrQueries.all ++ ops.Takedown.all ++
       ops.Maintenance.all
 

@@ -47,7 +47,8 @@ object Maintenance {
 
   /** One layout under sweep management. `kind` ∈ postings |
     * positional | neardup | ivf | ivfpq | epoch_postings |
-    * epoch_positional | epoch_suggest | epoch_ivf | epoch_ivfpq.
+    * epoch_positional | epoch_suggest | epoch_ivf | epoch_ivfpq |
+    * epoch_neardup.
     * `registry` binds an epoch layout to the cross-tier snapshot
     * registry that pins it — `(registry layout path, tier name)` as
     * published by [[Snapshot.publish]]: the sweep's prune arm then
@@ -87,6 +88,9 @@ object Maintenance {
       case "ivfpq" => Seq(s"${ref.path}/encoded")
       case "epoch_postings" | "epoch_positional" =>
         Epoch.resolve(s, ref.path).map(_.dirs(ref.path, "lists"))
+          .getOrElse(Seq.empty)
+      case "epoch_neardup" =>
+        Epoch.resolve(s, ref.path).map(_.dirs(ref.path, "bands"))
           .getOrElse(Seq.empty)
       case "epoch_suggest" =>
         Epoch.resolve(s, ref.path).map(_.dirs(ref.path, "gen"))
@@ -228,6 +232,10 @@ object Maintenance {
           "compact"
         case "epoch_positional" if compactDue =>
           Epoch.occ(s, ref.path)(EpochPositional.compact(s, ref.path))
+          Epoch.prune(s, ref.path, pinnedKeep(s, ref))
+          "compact"
+        case "epoch_neardup" if compactDue =>
+          Epoch.occ(s, ref.path)(EpochNearDup.compact(s, ref.path))
           Epoch.prune(s, ref.path, pinnedKeep(s, ref))
           "compact"
         case "epoch_ivfpq" if {

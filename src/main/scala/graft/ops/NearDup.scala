@@ -94,7 +94,7 @@ object NearDup {
     * 0/1-token document keeps its (doc_id, empty array) row here but
     * produces no shingles, hence no signature and no bands row: it is
     * never a candidate and never a match, in both engines. */
-  private def docProjection(docs: DataFrame): DataFrame =
+  private[ops] def docProjection(docs: DataFrame): DataFrame =
     docs.where(col("text").isNotNull)
       .select(col("doc_id"), shingleToks.as("toks"))
 
@@ -217,7 +217,30 @@ object NearDup {
     *     sets broadcast, exact Jaccard as one array_intersect division.
     * Corpus size appears in none of the three steps. */
   def serveNearDup(s: SparkSession, probes: DataFrame, path: String,
-      tau: Double = Tau): DataFrame = {
+      tau: Double = Tau): DataFrame =
+    serveCore(s, probes, tau,
+      bandsFor = keys => Layout.minusTombstones(s,
+        if (keys.length <= MaxInPushdown)
+          s.read.parquet(s"$path/bands")
+            .where(col("band_key").isin(keys: _*))
+        else s.read.parquet(s"$path/bands"),
+        path),
+      toksFor = ids => Layout.minusTombstones(s,
+        if (ids.length <= MaxInPushdown)
+          s.read.parquet(s"$path/toks")
+            .where(col("doc_id").isin(ids: _*))
+        else s.read.parquet(s"$path/toks"),
+        path))
+
+  /** The layout-independent serve plan (steps 1–3 above): the SWAP
+    * face supplies path scans with the tombstone-segment anti-join,
+    * the EPOCH face ([[EpochNearDup.servedOn]]) pinned multi-dir scans
+    * with the manifest's tombstone set — `bandsFor`/`toksFor` receive
+    * the collected probe keys / candidate ids so each layout applies
+    * its own pushed-`In` restriction (same [[MaxInPushdown]] switch). */
+  private[ops] def serveCore(s: SparkSession, probes: DataFrame,
+      tau: Double, bandsFor: Seq[String] => DataFrame,
+      toksFor: Seq[Long] => DataFrame): DataFrame = {
     val probeToks = docProjection(probes)
     val probeBands = bandRows(probes)
       .select(col("doc_id").as("probe_id"), col("band_idx"),
@@ -229,13 +252,7 @@ object NearDup {
         s"(> ${MaxProbes * 4} ceiling) — split the batch")
     val keys = probeBands.select("band_key").distinct()
       .collect().map(_.getString(0)).toSeq
-    val bandsScan = s.read.parquet(s"$path/bands")
-    val bands = Layout.minusTombstones(s,
-      if (keys.length <= MaxInPushdown)
-        bandsScan.where(col("band_key").isin(keys: _*))
-      else bandsScan,
-      path)
-    val cand = bands
+    val cand = bandsFor(keys)
       .join(broadcast(probeBands), Seq("band_idx", "band_key"))
       .where(col("doc_id") =!= col("probe_id"))
       .select(col("probe_id"), col("doc_id").as("match_id"))
@@ -247,12 +264,7 @@ object NearDup {
       s"serveNearDup: ${ids.length} candidate ids (> $MaxCandidates " +
         "ceiling) — widen the LSH bands (minhashWidthFor) or split " +
         "the probe batch")
-    val toksScan = s.read.parquet(s"$path/toks")
-    val matchToks = Layout.minusTombstones(s,
-      if (ids.length <= MaxInPushdown)
-        toksScan.where(col("doc_id").isin(ids: _*))
-      else toksScan,
-      path)
+    val matchToks = toksFor(ids)
       .select(col("doc_id").as("match_id"), col("toks").as("mtoks"))
     val inter = size(array_intersect(col("ptoks"), col("mtoks")))
     val jac = inter.cast(DoubleType) /
@@ -372,7 +384,7 @@ object NearDup {
     * (mod 62) — stable, engine-independent, ~1.6% of the corpus, and
     * chosen to intersect the planted near-dup structure at every SF so
     * the served output is non-trivially populated. */
-  private def probeDocs(s: SparkSession, d: String): DataFrame =
+  private[ops] def probeDocs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).where(col("doc_id") % 62 === 8)
 
   /** The delete residue: doc_id ≡ 0 (mod 5) — intersects the probe
@@ -451,7 +463,7 @@ object NearDup {
     * match proves candidate generation AND verification AND the
     * lifecycle identity (append ≡ rebuild, delete ≡ survivors rebuild),
     * not merely the final arithmetic. */
-  private def oracleFor(corpusExtra: String): String = s"""
+  private[ops] def oracleFor(corpusExtra: String): String = s"""
       WITH corpus AS (
         SELECT doc_id, text FROM documents
         WHERE text IS NOT NULL$corpusExtra),
