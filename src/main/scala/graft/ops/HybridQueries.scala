@@ -1367,8 +1367,105 @@ object HybridQueries {
     },
     hybridServe.oracle)
 
+  /** Per-process cross-tier state grown by TWO CONCURRENT
+    * [[Snapshot.ingestBoth]] calls — the multi-writer registry race:
+    * both tiers built on their even halves and snapshot 0 published,
+    * then two threads ingest the 1-mod-4 and 3-mod-4 residue classes
+    * through the full protocol (occ tier appends → occ registry
+    * publish). Every layer must survive the race: the tier appends
+    * serialize through their claim loops (both batches land), the two
+    * registry publishes land as successive epochs (the loser rebases —
+    * with a bare commit one would die on the single-mutator guard),
+    * and each snapshot pins the epochs ITS OWN appends produced. A
+    * final "fin" snapshot pins both tiers' heads — the deterministic
+    * consistent cut the entry serves (the racers' own snapshots are
+    * each a consistent cut of what their publisher knew, but WHICH
+    * batch each contains is interleaving-dependent by design). */
+  private val snapConcSaved = scala.collection.concurrent.TrieMap
+    .empty[String, (String, String, String)]
+
+  private def savedSnapshotConcurrentPaths(s: SparkSession, d: String)
+      : (String, String, String) =
+    graft.BuildOnce.memo(snapConcSaved, d) {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val reg = s"${graft.GraftSession.scratchDir}/snapc_reg_$tag"
+      val post = s"${graft.GraftSession.scratchDir}/snapc_postings_$tag"
+      val ivf = s"${graft.GraftSession.scratchDir}/snapc_ivf_$tag"
+      val docs = Tables.documents(s, d)
+      val vecs = Tables.embeddings(s, d)
+      EpochPostings.build(s, docs.where(col("doc_id") % 2 === 0), post)
+      EpochAnn.build(s, vecs.where(col("vec_id") % 2 === 0), ivf, k = 8)
+      Snapshot.publish(s, reg, Map("postings" -> 0L, "ivf" -> 0L),
+        "ing_0")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try {
+        val writers = Seq(1L, 3L).map { res =>
+          scala.concurrent.Future {
+            Snapshot.ingestBoth(s, reg, post, ivf,
+              docs.where(col("doc_id") % 4 === res),
+              vecs.where(col("vec_id") % 4 === res), batchId = res)
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(writers),
+          scala.concurrent.duration.Duration(300, "s"))
+      } finally pool.shutdownNow()
+      // both ingests and both registry flips must have landed — the
+      // lost-update anomaly would fail here, not in the served hash
+      Seq(post, ivf).foreach { tier =>
+        val applied = Epoch.resolve(s, tier).get.applied
+        require(applied.contains("app_1") && applied.contains("app_3"),
+          s"snapshot_concurrent: a racing append was lost at $tier " +
+            s"(ledger: $applied)")
+      }
+      val regKeys = Epoch.resolve(s, reg).get.applied
+      require(regKeys.contains("ing_1") && regKeys.contains("ing_3"),
+        s"snapshot_concurrent: a racing registry flip was lost " +
+          s"(ledger: $regKeys)")
+      Snapshot.publish(s, reg, Map(
+        "postings" -> Epoch.resolve(s, post).get.epoch,
+        "ivf" -> Epoch.resolve(s, ivf).get.epoch), "fin")
+      (reg, post, ivf)
+    }
+
+  /** MULTI-WRITER cross-tier ingest, driver-verified: two concurrent
+    * `ingestBoth` workers race the whole protocol stack — tier-append
+    * OCC claims, registry-publish OCC claims — and both batches must
+    * land everywhere; the final pinned snapshot then serves the
+    * full-corpus hybrid fusion, byte-equal to the sequential
+    * lifecycle's answer (`hybrid_serve`'s oracle, unchanged). The
+    * require gates in the builder fail the entry loudly if either
+    * tier's ledger or the registry's lost a racing batch. */
+  val snapshotConcurrent = GQuery(
+    "snapshot_concurrent",
+    (s, d) => {
+      val (reg, post, ivf) = savedSnapshotConcurrentPaths(s, d)
+      val pins = Snapshot.resolvePins(s, reg)
+      val kwServed = EpochPostings.servedOn(s, post,
+        Snapshot.pinned(s, post, pins, "postings"), TextQueries.bm25Terms)
+        .select(col("doc_id"), col("rnk").as("kw_rnk"))
+      val vecServed = Ann.query(
+        EpochAnn.loadOn(s, ivf, Snapshot.pinned(s, ivf, pins, "ivf")),
+        probeId = 0, topK = VectorQueries.IvfTopK, nProbe = 3)
+        .select(col("neighbor_id").as("doc_id"),
+          col("rank").as("vec_rnk"))
+      val servedIds = rrfFuse(kwServed, vecServed)
+        .select(col("doc_id"), lit(1L).as("hit"))
+      rrfFuse(kwExact(s, d), vecExact(s, d))
+        .join(broadcast(servedIds), Seq("doc_id"), "left")
+        .select(col("rnk"), col("doc_id"), col("kw_rnk"),
+          col("vec_rnk"), col("rrf"),
+          (sum(when(col("hit").isNull, lit(1L)).otherwise(lit(0L)))
+            .over(Window.partitionBy()) <= 2).as("fuse_ok"))
+        .orderBy("rnk")
+    },
+    hybridServe.oracle)
+
   val all: Seq[GQuery] =
     Seq(hybridSearch, hybridServe, hybridServeEpoch, hybridServeSnapshot,
+      snapshotConcurrent,
       hybridMulti,
       hybridRerank,
       hybridFiltered, hybridServeAppend, hybridMultiRerank,

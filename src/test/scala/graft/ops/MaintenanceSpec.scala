@@ -215,6 +215,51 @@ class MaintenanceSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSeq === served0)
   }
 
+  test("a registry-pinned tier epoch survives the sweep's prune until " +
+      "the registry releases it; orphan claims/staging are reported " +
+      "and breakClaim clears them") {
+    val sug = s"${graft.GraftSession.scratchDir}/maint_pinned"
+    val reg = s"${graft.GraftSession.scratchDir}/maint_pinned_reg"
+    EpochSuggest.create(spark, mkDocs(1L to 20L), sug)
+    // a retained registry snapshot pins the tier's epoch 0
+    Snapshot.publish(spark, reg, Map("suggest" -> 0L), "snap_0")
+    (1 to 4).foreach(i => EpochSuggest.append(spark,
+      mkDocs((20L + i * 10L) to (29L + i * 10L)), sug, batchId = i))
+    assert(Epoch.committedEpochs(spark, sug) === 5)
+    val ref = Maintenance.LayoutRef("epoch_suggest", sug,
+      registry = Some((reg, "suggest")))
+    val horizon = Maintenance.Policy(maxSegments = 1000,
+      maxTombstoneRatio = 0.99, maxRetainedEpochs = 3)
+    // the prune arm fires, but the pin floor (head 4 − pin 0 + 1 = 5)
+    // refuses to retire ANY epoch the snapshot still pins
+    assert(Maintenance.sweep(spark, Seq(ref), horizon)
+      .map(_.action) === Seq("prune"))
+    assert(Epoch.committedEpochs(spark, sug) === 5)
+    assert(Epoch.resolveAsOf(spark, sug, 0L).isDefined)
+    // release: a newer snapshot supersedes, the registry prunes, and
+    // only then does the tier's history retire
+    Snapshot.publish(spark, reg, Map("suggest" -> 4L), "snap_1")
+    Epoch.prune(spark, reg, keep = 1)
+    assert(Maintenance.sweep(spark, Seq(ref), horizon)
+      .map(_.action) === Seq("prune"))
+    assert(Epoch.committedEpochs(spark, sug) === 3)
+    assert(Epoch.resolveAsOf(spark, sug, 0L).isEmpty)
+    // a dead writer's residue: claim + staging generation above the
+    // head — the sweep REPORTS it (prune never reaps above-head state)
+    new java.io.File(s"$sug/_claim_99").createNewFile()
+    val g99 = new java.io.File(s"$sug/g99")
+    g99.mkdirs()
+    java.nio.file.Files.write(g99.toPath.resolve("part-0.parquet"),
+      Array.fill[Byte](64)(1))
+    val r = Maintenance.sweep(spark, Seq(ref), horizon).head
+    assert(r.orphanClaims === 1)
+    assert(r.orphanStagingBytes === 64L)
+    assert(r.oldestClaimAgeMs >= 0L)
+    Epoch.breakClaim(spark, sug, 99L)
+    assert(Maintenance.sweep(spark, Seq(ref), horizon)
+      .head.orphanClaims === 0)
+  }
+
   test("the IVF arm routes occupancy skew to RETRAIN and tombstone " +
       "mass to compact") {
     val path = s"${graft.GraftSession.scratchDir}/maint_ivf"
