@@ -74,7 +74,13 @@ object Takedown {
       positionalEpoch: Option[String] = None,
       suggestEpoch: Option[String] = None,
       ivfEpoch: Option[String] = None,
-      ivfpqEpoch: Option[String] = None)
+      ivfpqEpoch: Option[String] = None,
+      neardupEpoch: Option[String] = None,
+      // the epoch MV tier takes the view DEFINITION (base + layout
+      // root + shape), because its delete leg derives the doomed
+      // rows' measures from the base itself — same ordering contract
+      // as mvBase: takedown first, base shrink after
+      mvEpoch: Option[graft.plans.EpochMv.EpochMvDef] = None)
 
   /** Take down `doomedDocs` — (doc_id[, text]); text feeds the suggest
     * legs' per-term distinct-doc subtraction and is REQUIRED only when
@@ -128,6 +134,18 @@ object Takedown {
       EpochIvfpq.delete(s, ids.select(col("doc_id").as("vec_id")), p,
         batchId)
     })
+    tiers.neardupEpoch.foreach(p => Epoch.occ(s, p) {
+      EpochNearDup.delete(s, ids, p, batchId)
+    })
+    tiers.mvEpoch.foreach { d =>
+      // lazy on purpose (the mvBase leg's discipline): the ledger
+      // check inside refreshDelete skips without evaluating the frame
+      val deletedRows = s.read.parquet(d.basePath)
+        .join(broadcast(ids), Seq("doc_id"))
+      Epoch.occ(s, d.layoutPath) {
+        graft.plans.EpochMv.refreshDelete(s, d, deletedRows, batchId)
+      }
+    }
     tiers.positional.foreach(p =>
       PhraseQueries.positionalDelete(s, ids, p))
     tiers.neardup.foreach(p => NearDup.neardupDelete(s, ids, p))
@@ -468,11 +486,13 @@ object Takedown {
       ORDER BY tier, k, id
     """))
 
-  /** EPOCH-tier takedown state: the five epoch layouts (postings,
-    * positional, suggest, float-IVF, IVF-PQ) built FULL, then ONE
-    * Takedown call with only epoch tiers wired removes the residue —
-    * every leg a manifest generation under the shared `del_1` ledger
-    * key, no maintenance window anywhere. */
+  /** EPOCH-tier takedown state: the SEVEN epoch layouts (postings,
+    * positional, suggest, float-IVF, IVF-PQ, near-dup, MV) built FULL,
+    * then ONE Takedown call with only epoch tiers wired removes the
+    * residue — every leg a manifest generation under the shared
+    * `del_1` ledger key, no maintenance window anywhere; the base
+    * table shrinks only AFTER the takedown (the MV-ordering
+    * contract). Converged coverage with `takedown_all`'s swap tiers. */
   private val savedEpochState =
     scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
 
@@ -486,25 +506,40 @@ object Takedown {
       val sug = scratch("tke_sug", d)
       val vec = scratch("tke_vec", d)
       val vecpq = scratch("tke_vecpq", d)
+      val nd = scratch("tke_nd", d)
+      val base = scratch("tke_mvbase", d)
+      val mv = scratch("tke_mv", d)
       EpochPostings.build(s, docs, post)
       EpochPositional.build(s, docs, pos)
       EpochSuggest.create(s, docs, sug)
       EpochAnn.build(s, emb, vec, k = 8)
       EpochIvfpq.build(s, emb, vecpq, k = 8, m = 4, codes = 16)
+      EpochNearDup.build(s, docs, nd)
+      docs.select(col("doc_id"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(base)
+      val mvDef = graft.plans.EpochMv.EpochMvDef(base, mv,
+        Seq("source"),
+        Seq(graft.plans.MatView.AggSpec("sum", "n_chars",
+            Some(DecimalType(38, 0)), "sum_chars_p"),
+          graft.plans.MatView.AggSpec("count", "", None, "cnt_p")))
+      graft.plans.EpochMv.create(s, mvDef)
       val doomed = docs.where(col("doc_id") % 5 === Residue)
         .select(col("doc_id"), col("text"))
         .localCheckpoint(true)
       Takedown(s, doomed,
         Tiers(postingsEpoch = Some(post), positionalEpoch = Some(pos),
           suggestEpoch = Some(sug), ivfEpoch = Some(vec),
-          ivfpqEpoch = Some(vecpq)),
+          ivfpqEpoch = Some(vecpq), neardupEpoch = Some(nd),
+          mvEpoch = Some(mvDef)),
         batchId = 1L)
+      Layout.replaceDir(s,
+        s.read.parquet(base).where(col("doc_id") % 5 =!= Residue), base)
       Map("post" -> post, "pos" -> pos, "sug" -> sug, "vec" -> vec,
-        "vecpq" -> vecpq)
+        "vecpq" -> vecpq, "nd" -> nd, "base" -> base, "mv" -> mv)
     }
 
   /** The SERVE-SAFE takedown verdict, driver-verified in one frame:
-    * after a single [[Takedown.apply]] over the five EPOCH layouts
+    * after a single [[Takedown.apply]] over the SEVEN EPOCH layouts
     * (each leg one atomic manifest flip — a concurrent reader never
     * needed a window, the property the swap tiers cannot give), every
     * tier serves exactly the survivors rebuild:
@@ -512,14 +547,19 @@ object Takedown {
     *  - `phrase`: exact-phrase hits over the pinned positional scan;
     *  - `suggest`: the dictionary after the negative-df merge;
     *  - `vector` / `vector_pq`: the brute-force survivor anchor with
-    *    the epoch-IVF / epoch-IVF-PQ recall gates folded into `v`.
+    *    the epoch-IVF / epoch-IVF-PQ recall gates folded into `v`;
+    *  - `neardup`: served near-dup pairs off the pinned LSH epoch;
+    *  - `mv`: the rollup THROUGH the rewrite over the epoch MV's
+    *    delete-refreshed generation.
     * Same normalized (tier, k, id, v) shape and per-tier oracle
-    * branches as `takedown_all` — what changed is the layout
-    * underneath, which must be invisible in every served answer. */
+    * branches as `takedown_all` — full tier parity with the swap
+    * composition; what changed is the layout underneath, which must
+    * be invisible in every served answer. */
   val takedownEpoch = GQuery(
     "takedown_epoch",
     (s, d) => {
       val p = savedEpochPaths(s, d)
+      val docs = Tables.documents(s, d)
       val bm25 = {
         val m = Epoch.resolve(s, p("post")).get
         EpochPostings.servedOn(s, p("post"), m, TextQueries.bm25Terms)
@@ -560,7 +600,18 @@ object Takedown {
           topK = VectorQueries.IvfTopK, nProbe = 3,
           shortlist = VectorQueries.shortlistFor(
             Tables.embeddings(s, d).count(), minS = 100)))
-      Seq(bm25, phrase, suggest, vector, vectorPq)
+      val neardup = EpochNearDup.serve(s, p("nd"),
+        docs.where(col("doc_id") % 62 === 8))
+        .select(norm("neardup", col("probe_id"), col("match_id"),
+          col("jaccard")): _*)
+      val mvQ = s.read.parquet(p("base"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_chars").cast(DecimalType(38, 0)))
+          .as("sum_chars"),
+          count(lit(1)).as("n_rows"))
+        .select(norm("mv", col("n_rows"), col("source"),
+          col("sum_chars")): _*)
+      Seq(bm25, phrase, suggest, vector, vectorPq, neardup, mvQ)
         .reduce(_ unionByName _)
         .orderBy("tier", "k", "id")
     },
@@ -646,11 +697,87 @@ object Takedown {
         FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC,
                  neighbor_id) AS BIGINT) AS rnk, neighbor_id
               FROM vsims)
-        WHERE rnk <= ${VectorQueries.IvfTopK})
+        WHERE rnk <= ${VectorQueries.IvfTopK}),
+      nsh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(str_split(text, ' '))),
+                 i -> str_split(text, ' ')[i] || ' ' ||
+                      str_split(text, ' ')[i+1])) AS tok
+        FROM surv),
+      nsigs AS (
+        SELECT doc_id,
+               MIN(md5('0:' || tok)) AS s0, MIN(md5('1:' || tok)) AS s1,
+               MIN(md5('2:' || tok)) AS s2, MIN(md5('3:' || tok)) AS s3,
+               MIN(md5('4:' || tok)) AS s4, MIN(md5('5:' || tok)) AS s5,
+               MIN(md5('6:' || tok)) AS s6, MIN(md5('7:' || tok)) AS s7
+        FROM nsh GROUP BY doc_id),
+      nbands AS (
+        SELECT doc_id, 0 AS band_idx, md5(s0 || s1) AS band_key FROM nsigs
+        UNION ALL SELECT doc_id, 1, md5(s2 || s3) FROM nsigs
+        UNION ALL SELECT doc_id, 2, md5(s4 || s5) FROM nsigs
+        UNION ALL SELECT doc_id, 3, md5(s6 || s7) FROM nsigs),
+      nprobes AS (
+        SELECT doc_id, text FROM documents
+        WHERE text IS NOT NULL AND doc_id % 62 = 8),
+      npsh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(str_split(text, ' '))),
+                 i -> str_split(text, ' ')[i] || ' ' ||
+                      str_split(text, ' ')[i+1])) AS tok
+        FROM nprobes),
+      npsigs AS (
+        SELECT doc_id,
+               MIN(md5('0:' || tok)) AS s0, MIN(md5('1:' || tok)) AS s1,
+               MIN(md5('2:' || tok)) AS s2, MIN(md5('3:' || tok)) AS s3,
+               MIN(md5('4:' || tok)) AS s4, MIN(md5('5:' || tok)) AS s5,
+               MIN(md5('6:' || tok)) AS s6, MIN(md5('7:' || tok)) AS s7
+        FROM npsh GROUP BY doc_id),
+      npbands AS (
+        SELECT doc_id, 0 AS band_idx, md5(s0 || s1) AS band_key FROM npsigs
+        UNION ALL SELECT doc_id, 1, md5(s2 || s3) FROM npsigs
+        UNION ALL SELECT doc_id, 2, md5(s4 || s5) FROM npsigs
+        UNION ALL SELECT doc_id, 3, md5(s6 || s7) FROM npsigs),
+      ncand AS (
+        SELECT DISTINCT p.doc_id AS probe_id, b.doc_id AS match_id
+        FROM npbands p JOIN nbands b
+          ON p.band_idx = b.band_idx AND p.band_key = b.band_key
+             AND p.doc_id <> b.doc_id),
+      ntsets AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, len(str_split(text, ' '))),
+                 i -> str_split(text, ' ')[i] || ' ' ||
+                      str_split(text, ' ')[i+1])) AS toks
+        FROM surv),
+      nptsets AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, len(str_split(text, ' '))),
+                 i -> str_split(text, ' ')[i] || ' ' ||
+                      str_split(text, ' ')[i+1])) AS toks
+        FROM nprobes),
+      neardup AS (
+        SELECT 'neardup' AS tier, probe_id AS k,
+               CAST(match_id AS VARCHAR) AS id,
+               CAST(len(list_intersect(pa.toks, mb.toks)) AS DOUBLE) /
+               (len(pa.toks) + len(mb.toks)
+                - len(list_intersect(pa.toks, mb.toks))) AS v
+        FROM ncand
+        JOIN nptsets pa ON pa.doc_id = probe_id
+        JOIN ntsets mb ON mb.doc_id = match_id
+        WHERE CAST(len(list_intersect(pa.toks, mb.toks)) AS DOUBLE) /
+              (len(pa.toks) + len(mb.toks)
+               - len(list_intersect(pa.toks, mb.toks))) >= 0.5),
+      mv AS (
+        SELECT 'mv' AS tier, CAST(COUNT(*) AS BIGINT) AS k, source AS id,
+               CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS v
+        FROM documents WHERE doc_id % 5 <> $Residue
+        GROUP BY source)
       SELECT tier, k, id, v FROM (
         SELECT * FROM bm25 UNION ALL SELECT * FROM phrase
         UNION ALL SELECT * FROM suggest UNION ALL SELECT * FROM vector
-        UNION ALL SELECT * FROM vector_pq)
+        UNION ALL SELECT * FROM vector_pq
+        UNION ALL SELECT * FROM neardup UNION ALL SELECT * FROM mv)
       ORDER BY tier, k, id
     """))
 
