@@ -149,6 +149,49 @@ object EpochTable {
           col("load_records") === col("clean_records"))
   }
 
+  /** KEYED DIFF between two retained versions — what changed between
+    * the March and April snapshots, the question reference users
+    * answer by exporting both databases and comparing by hand. One
+    * row per key that differs: `change` ∈ added (key only in `vNew`) |
+    * removed (only in `vOld`) | changed (present in both, any value
+    * column differs under null-safe comparison); identical rows drop
+    * out. Output is `change` + the key columns.
+    *
+    * 100 TB shape: ONE shuffle-on-key full outer join between two
+    * pinned snapshot scans — both sides corpus-sized so neither
+    * broadcasts; AQE handles key skew; value comparison is a codegen'd
+    * conjunction, no UDF. Presence is tracked with literal flags (a
+    * key column could not distinguish absent-row from null-key). */
+  def diffVersions(s: SparkSession, path: String, vOld: Long,
+      vNew: Long, keys: Seq[String]): DataFrame = {
+    def ver(v: Long) = dataForVersion(s, path, v).getOrElse(
+      throw new IllegalStateException(
+        s"EpochTable.diffVersions: version $v not retained at $path"))
+    val o = ver(vOld)
+    val n = ver(vNew)
+    require(o.columns.sorted.sameElements(n.columns.sorted),
+      s"EpochTable.diffVersions: schema drift between versions " +
+        s"$vOld and $vNew — diff the shared projection explicitly")
+    val valCols = o.columns.filterNot(keys.contains).toSeq
+    val oldT = o.select(keys.map(col) ++
+      valCols.map(c => col(c).as(s"__o_$c")) :+
+      lit(1).as("__o_present"): _*)
+    val newT = n.select(keys.map(col) ++
+      valCols.map(c => col(c).as(s"__n_$c")) :+
+      lit(1).as("__n_present"): _*)
+    val differs = valCols
+      .map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    oldT.join(newT, keys, "full_outer")
+      .select(
+        when(col("__o_present").isNull, lit("added"))
+          .when(col("__n_present").isNull, lit("removed"))
+          .when(differs, lit("changed"))
+          .as("change") +: keys.map(col): _*)
+      .where(col("change").isNotNull)
+      .orderBy(col("change") +: keys.map(col): _*)
+  }
+
   // --------------------------------------------------------------
   // Registry entries: a two-version layout over the events table —
   // version 0 is a partial earlier extract (event_id % 3 <> 1, an
@@ -226,5 +269,168 @@ object EpochTable {
       ORDER BY version
     """))
 
-  def all: Seq[GQuery] = Seq(tableEpoch, tableAsof, tableVersions)
+  /** Layout for the diff entry: two OVERLAPPING partial versions with
+    * planted modifications, so all three change kinds occur — v0 drops
+    * the 1-mod-3 ids, v1 drops the 2-mod-5 ids AND rewrites etype for
+    * the 0-mod-7 ids. */
+  private val diffSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedDiffPath(s: SparkSession, d: String): String =
+    graft.BuildOnce.memo(diffSaved, d) {
+      val path = s"${graft.GraftSession.scratchDir}/table_diff_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      val typed = CoreQueries.loadTyped.fn(s, d)
+      refresh(s, path, typed.where(col("event_id") % 3 =!= 1),
+        version = 0L)
+      refresh(s, path,
+        typed.where(col("event_id") % 5 =!= 2)
+          .withColumn("etype",
+            when(col("event_id") % 7 === 0, lit("MOD"))
+              .otherwise(col("etype"))),
+        version = 1L)
+      path
+    }
+
+  /** Snapshot DIFF, driver-verified: added / removed / changed keys
+    * between two pinned versions, the oracle recomputing all three
+    * sets from the raw table with the same null-safe value comparison
+    * (IS DISTINCT FROM). The `changed` rows are planted etype rewrites
+    * — including rows whose old etype was NULL, pinning that null →
+    * value counts as a change, not a match. */
+  val tableDiff = GQuery(
+    "table_diff",
+    (s, d) => diffVersions(s, savedDiffPath(s, d), 0L, 1L,
+      Seq("event_id")),
+    Some("""
+      WITH o AS (
+        SELECT event_id,
+               CAST(ts AS DATE) AS event_date,
+               CAST(CAST(value AS DECIMAL(14,2)) AS DOUBLE) AS value_dec,
+               NULLIF(TRIM(event_type), '') AS etype,
+               CAST(user_id AS BIGINT) AS uid
+        FROM events WHERE event_id % 3 <> 1),
+      n AS (
+        SELECT event_id,
+               CAST(ts AS DATE) AS event_date,
+               CAST(CAST(value AS DECIMAL(14,2)) AS DOUBLE) AS value_dec,
+               CASE WHEN event_id % 7 = 0 THEN 'MOD'
+                    ELSE NULLIF(TRIM(event_type), '') END AS etype,
+               CAST(user_id AS BIGINT) AS uid
+        FROM events WHERE event_id % 5 <> 2)
+      SELECT change, event_id FROM (
+        SELECT 'added' AS change, event_id FROM n
+        WHERE event_id NOT IN (SELECT event_id FROM o)
+        UNION ALL
+        SELECT 'removed', event_id FROM o
+        WHERE event_id NOT IN (SELECT event_id FROM n)
+        UNION ALL
+        SELECT 'changed', n.event_id FROM n JOIN o USING (event_id)
+        WHERE n.etype IS DISTINCT FROM o.etype
+           OR n.event_date IS DISTINCT FROM o.event_date
+           OR n.value_dec IS DISTINCT FROM o.value_dec
+           OR n.uid IS DISTINCT FROM o.uid)
+      ORDER BY change, event_id
+    """))
+
+  /** Cross-tier state for the search→fetch composition: the postings
+    * epoch layout AND a table-tier layout over the documents' typed
+    * row projection, grown in lockstep (even halves → snapshot 0 →
+    * odd/full ingest → snapshot 1), each snapshot pinning BOTH tiers'
+    * matching epochs through the registry ([[Snapshot]]). */
+  private val fetchSaved = scala.collection.concurrent.TrieMap
+    .empty[String, (String, String, String)]
+
+  private def savedFetchPaths(s: SparkSession, d: String)
+      : (String, String, String) =
+    graft.BuildOnce.memo(fetchSaved, d) {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val reg = s"${graft.GraftSession.scratchDir}/snapt_reg_$tag"
+      val post = s"${graft.GraftSession.scratchDir}/snapt_post_$tag"
+      val tab = s"${graft.GraftSession.scratchDir}/snapt_tab_$tag"
+      val docs = graft.Tables.documents(s, d)
+      val rows = docs.select(col("doc_id"), col("source"),
+        col("n_chars").cast(org.apache.spark.sql.types.LongType)
+          .as("n_chars"))
+      EpochPostings.build(s, docs.where(col("doc_id") % 2 === 0), post)
+      refresh(s, tab, rows.where(col("doc_id") % 2 === 0), version = 0L)
+      Snapshot.publish(s, reg, Map("postings" -> 0L, "table" -> 0L),
+        "ing_0")
+      Epoch.occ(s, post) {
+        EpochPostings.append(s, docs.where(col("doc_id") % 2 === 1),
+          post, batchId = 1L)
+      }
+      refresh(s, tab, rows, version = 1L)
+      Snapshot.publish(s, reg, Map(
+        "postings" -> Epoch.epochWith(s, post, "app_1").get,
+        "table" -> Epoch.epochWith(s, tab, "ver_1").get),
+        "ing_1")
+      (reg, post, tab)
+    }
+
+  /** SEARCH → ROW FETCH from ONE consistent cut, driver-verified: the
+    * BM25 top-10 is served off the registry-pinned postings epoch and
+    * the result rows are fetched from the registry-pinned TABLE
+    * version — both pins resolved from a single snapshot manifest, so
+    * a hit can never dangle (a doc ranked by a post-ingest index but
+    * missing from a pre-ingest table, the straddle this closes — the
+    * reference never faces it because its full reload cuts search and
+    * tables over together). The fetch is the `search_snippets` row
+    * lookup discipline: the 10 ranked ids push into the pinned table
+    * scan as `doc_id IN (…)`, never a corpus scan. */
+  val snapshotTableFetch = GQuery(
+    "snapshot_table_fetch",
+    (s, d) => {
+      val (reg, post, tab) = savedFetchPaths(s, d)
+      val pins = Snapshot.resolvePins(s, reg)
+      val ranked = EpochPostings.servedOn(s, post,
+        Snapshot.pinned(s, post, pins, "postings"),
+        TextQueries.bm25Terms).localCheckpoint(true)
+      val ids = ranked.select("doc_id").collect().map(_.getLong(0))
+      val fetched = data(s, tab, Snapshot.pinned(s, tab, pins, "table"))
+        .where(col("doc_id").isin(ids.toSeq: _*))
+      ranked.join(broadcast(fetched), Seq("doc_id"))
+        .select(col("rnk"), col("doc_id"), col("score"), col("source"),
+          col("n_chars"))
+        .orderBy("rnk")
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, str_split(text, ' ') AS toks,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents WHERE text IS NOT NULL),
+      stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+        FROM docs),
+      tf AS (
+        SELECT term, doc_id, dl, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+        WHERE term IN ('spark', 'merge', 'filter')
+        GROUP BY 1, 2, 3),
+      dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT tf.doc_id,
+               CAST(round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / s.avgdl))),
+                 4) AS DECIMAL(38,4)) AS score_term
+        FROM tf JOIN dfs d USING (term) CROSS JOIN stats s),
+      agg AS (
+        SELECT doc_id, CAST(SUM(score_term) AS DOUBLE) AS score
+        FROM scored GROUP BY 1),
+      ranked AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                 AS BIGINT) AS rnk, doc_id, score
+        FROM agg
+        ORDER BY score DESC, doc_id
+        LIMIT 10)
+      SELECT r.rnk, r.doc_id, r.score, d.source,
+             CAST(d.n_chars AS BIGINT) AS n_chars
+      FROM ranked r JOIN documents d USING (doc_id)
+      ORDER BY rnk
+    """))
+
+  def all: Seq[GQuery] =
+    Seq(tableEpoch, tableAsof, tableVersions, tableDiff,
+      snapshotTableFetch)
 }
