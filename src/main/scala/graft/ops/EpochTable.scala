@@ -123,6 +123,67 @@ object EpochTable {
     loaded
   }
 
+  /** Commit a DELTA version: the batch's rows join the table as one
+    * referenced delta directory — the `data` component accumulates
+    * dirs like the postings layout's lists, so a monthly ingest at
+    * 100 TB costs ∝ |delta| instead of the reference's full-reload
+    * ∝ |table| (`updatecalaccessrawdata.py:~100-200` rewrites
+    * everything each cycle; this is the incremental successor).
+    * APPEND-ONLY by contract: amendments/corrections go through a
+    * full [[refresh]] (or upstream latest-amendment-wins folding —
+    * `amend_latest`); [[compact]] folds accumulated deltas back into
+    * one snapshot directory. The version's meta row counts the
+    * CUMULATIVE visible table (a RawDataVersion records the release's
+    * totals), download/error deltas add onto the previous version's.
+    * Replay-safe on `ver_<version>`; an empty delta commits nothing
+    * and returns the current cumulative count. */
+  def refreshDelta(s: SparkSession, path: String, delta: DataFrame,
+      version: Long, downloadDelta: Option[Long] = None,
+      errorDelta: Long = 0L): Long = {
+    val key = s"ver_$version"
+    val m = current(s, path)
+    if (m.has(key))
+      return metaRows(s, path, Seq(m)).head().getAs[Long]("load_records")
+    val prev = metaRows(s, path, Seq(m)).head()
+    val g = Epoch.genDir(s, path, m.next)
+    delta.write.mode("overwrite").parquet(s"$g/delta")
+    val added = s.read.parquet(s"$g/delta").count()
+    if (added == 0L) return prev.getAs[Long]("load_records")
+    val loaded = prev.getAs[Long]("load_records") + added
+    val download = prev.getAs[Long]("download_records") +
+      downloadDelta.getOrElse(added + errorDelta)
+    val errors = prev.getAs[Long]("error_records") + errorDelta
+    import s.implicits._
+    Seq((version, download, download - errors, loaded, errors))
+      .toDF("version", "download_records", "clean_records",
+        "load_records", "error_records")
+      .coalesce(1).write.mode("overwrite").parquet(s"$g/meta")
+    Epoch.commit(s, path, Epoch.Manifest(m.next,
+      m.components
+        .updated(Data, m.components(Data) :+ s"g${m.next}/delta")
+        .updated(Meta, Seq(s"g${m.next}/meta")),
+      m.applied :+ key))
+    loaded
+  }
+
+  /** Fold accumulated delta directories into ONE fresh snapshot
+    * directory (row content untouched — serving before ≡ after), as a
+    * new epoch carrying the current version's meta forward. The
+    * maintenance sweep triggers this on segment count (kind
+    * `epoch_table`). Idempotent without a ledger key. */
+  def compact(s: SparkSession, path: String, nFiles: Int = 8): Unit = {
+    val m = current(s, path)
+    val g = Epoch.genDir(s, path, m.next)
+    data(s, path, m).repartition(nFiles)
+      .write.mode("overwrite").parquet(s"$g/data")
+    metaRows(s, path, Seq(m))
+      .coalesce(1).write.mode("overwrite").parquet(s"$g/meta")
+    Epoch.commit(s, path, Epoch.Manifest(m.next,
+      Map(Data -> Seq(s"g${m.next}/data"),
+        Meta -> Seq(s"g${m.next}/meta")),
+      m.applied))
+  }
+
   private def metaRows(s: SparkSession, path: String,
       ms: Seq[Epoch.Manifest]): DataFrame =
     ms.map(m => Epoch.read(s, path, m, Meta).getOrElse(
@@ -143,6 +204,9 @@ object EpochTable {
     require(ms.nonEmpty,
       s"EpochTable.versions: no committed version at $path")
     metaRows(s, path, ms)
+      // a compact epoch carries its version's meta row forward
+      // verbatim — one row per version, not per manifest
+      .dropDuplicates("version")
       .withColumn("consistent",
         col("download_records") ===
           col("clean_records") + col("error_records") &&
@@ -268,6 +332,35 @@ object EpochTable {
         FROM v1)
       ORDER BY version
     """))
+
+  /** Layout for the delta entry: snapshot version 0 (even ids) grown
+    * by ONE delta version (odd ids — cost ∝ |delta|), then compacted
+    * back to a single folded directory. */
+  private val deltaSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedDeltaPath(s: SparkSession, d: String): String =
+    graft.BuildOnce.memo(deltaSaved, d) {
+      val path = s"${graft.GraftSession.scratchDir}/table_delta_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      val typed = CoreQueries.loadTyped.fn(s, d)
+      refresh(s, path, typed.where(col("event_id") % 2 === 0),
+        version = 0L)
+      refreshDelta(s, path, typed.where(col("event_id") % 2 === 1),
+        version = 1L)
+      compact(s, path)
+      path
+    }
+
+  /** DELTA-version ingest, driver-verified: version 1 arrived as one
+    * referenced delta directory (∝ |delta| — the incremental successor
+    * to the reference's monthly full reload) and was then compacted;
+    * the served table must hash-equal the plain `load_typed`
+    * projection — delta accumulation and folding both invisible. */
+  val tableDelta = GQuery(
+    "table_delta",
+    (s, d) => serve(s, savedDeltaPath(s, d)).orderBy("event_id"),
+    CoreQueries.loadTyped.oracle)
 
   /** Layout for the diff entry: two OVERLAPPING partial versions with
     * planted modifications, so all three change kinds occur — v0 drops
@@ -431,6 +524,6 @@ object EpochTable {
     """))
 
   def all: Seq[GQuery] =
-    Seq(tableEpoch, tableAsof, tableVersions, tableDiff,
+    Seq(tableEpoch, tableAsof, tableVersions, tableDiff, tableDelta,
       snapshotTableFetch)
 }

@@ -48,7 +48,7 @@ object Maintenance {
   /** One layout under sweep management. `kind` ∈ postings |
     * positional | neardup | ivf | ivfpq | epoch_postings |
     * epoch_positional | epoch_suggest | epoch_ivf | epoch_ivfpq |
-    * epoch_neardup.
+    * epoch_neardup | epoch_table.
     * `registry` binds an epoch layout to the cross-tier snapshot
     * registry that pins it — `(registry layout path, tier name)` as
     * published by [[Snapshot.publish]]: the sweep's prune arm then
@@ -91,6 +91,9 @@ object Maintenance {
           .getOrElse(Seq.empty)
       case "epoch_neardup" =>
         Epoch.resolve(s, ref.path).map(_.dirs(ref.path, "bands"))
+          .getOrElse(Seq.empty)
+      case "epoch_table" =>
+        Epoch.resolve(s, ref.path).map(_.dirs(ref.path, "data"))
           .getOrElse(Seq.empty)
       case "epoch_suggest" =>
         Epoch.resolve(s, ref.path).map(_.dirs(ref.path, "gen"))
@@ -236,6 +239,10 @@ object Maintenance {
           "compact"
         case "epoch_neardup" if compactDue =>
           Epoch.occ(s, ref.path)(EpochNearDup.compact(s, ref.path))
+          Epoch.prune(s, ref.path, pinnedKeep(s, ref))
+          "compact"
+        case "epoch_table" if compactDue =>
+          Epoch.occ(s, ref.path)(EpochTable.compact(s, ref.path))
           Epoch.prune(s, ref.path, pinnedKeep(s, ref))
           "compact"
         case "epoch_ivfpq" if {

@@ -74,6 +74,40 @@ class EpochTableSpec extends SparkTestBase {
     assert(EpochTable.dataForVersion(spark, path, 1L).get.count() === 40L)
   }
 
+  test("delta versions accumulate referenced dirs with cumulative " +
+      "metrics; compact folds them; the sweep's epoch_table arm " +
+      "triggers on segment count") {
+    val path = s"${graft.GraftSession.scratchDir}/table_epoch_delta"
+    assert(EpochTable.refresh(spark, path, mkTyped(1L to 50L),
+      version = 0L) === 50L)
+    assert(EpochTable.refreshDelta(spark, path, mkTyped(51L to 80L),
+      version = 1L, errorDelta = 2L) === 80L)
+    assert(EpochTable.serve(spark, path).count() === 80L)
+    // the delta epoch REFERENCES v0's directory (two dirs, no rewrite)
+    assert(Epoch.resolve(spark, path).get.components("data").size === 2)
+    // replayed delta: ledger no-op returning the committed cumulative
+    assert(EpochTable.refreshDelta(spark, path, mkTyped(1L to 9L),
+      version = 1L) === 80L)
+    assert(Epoch.committedList(spark, path) === Seq(0L, 1L))
+    val v1 = EpochTable.versions(spark, path)
+      .where(col("version") === 1L).head()
+    assert(v1.getAs[Long]("load_records") === 80L)
+    assert(v1.getAs[Long]("error_records") === 2L)
+    assert(v1.getAs[Long]("download_records") === 82L)
+    assert(v1.getAs[Boolean]("consistent"))
+    // sweep: segment count trips the epoch_table compact arm
+    val r = Maintenance.sweep(spark,
+      Seq(Maintenance.LayoutRef("epoch_table", path)),
+      Maintenance.Policy(maxSegments = 1, maxTombstoneRatio = 0.99))
+    assert(r.map(_.action) === Seq("compact"))
+    assert(Epoch.resolve(spark, path).get.components("data").size === 1)
+    assert(EpochTable.serve(spark, path).count() === 80L)
+    // versions() stays one row per version (compact carries meta
+    // forward verbatim), and the version lookup resolves post-compact
+    assert(EpochTable.versions(spark, path).count() === 2L)
+    assert(EpochTable.dataForVersion(spark, path, 1L).get.count() === 80L)
+  }
+
   test("Pipeline.updateTableEpoch: clean → load → epoch commit with " +
       "count-verified metrics riding the manifest") {
     import graft.schemas.Schemas
