@@ -48,18 +48,25 @@ object EpochTable {
 
   private val Data = "data"
   private val Meta = "meta"
+  private val Tomb = "tombstones"
 
   private[ops] def current(s: SparkSession, path: String)
       : Epoch.Manifest =
     Epoch.resolve(s, path).getOrElse(throw new IllegalStateException(
       s"EpochTable: no committed version at $path — refresh first"))
 
-  /** The typed table as of a PINNED manifest — one generation dir,
-    * ordinary pushdown/pruning. */
-  def data(s: SparkSession, path: String, m: Epoch.Manifest): DataFrame =
-    Epoch.read(s, path, m, Data).getOrElse(
+  /** The typed table as of a PINNED manifest — the generation dirs
+    * with the manifest's tombstoned keys anti-joined out (the row
+    * TAKEDOWN face, [[delete]]; a never-deleted version reads its
+    * directory bare, ordinary pushdown/pruning). */
+  def data(s: SparkSession, path: String, m: Epoch.Manifest): DataFrame = {
+    val raw = Epoch.read(s, path, m, Data).getOrElse(
       throw new IllegalStateException(
         s"EpochTable: epoch ${m.epoch} at $path has no data component"))
+    Epoch.read(s, path, m, Tomb)
+      .map(t => raw.join(broadcast(t), t.columns.toSeq, "left_anti"))
+      .getOrElse(raw)
+  }
 
   /** Resolve-then-read: the CURRENT version's table. */
   def serve(s: SparkSession, path: String): DataFrame =
@@ -166,11 +173,44 @@ object EpochTable {
     loaded
   }
 
-  /** Fold accumulated delta directories into ONE fresh snapshot
-    * directory (row content untouched — serving before ≡ after), as a
-    * new epoch carrying the current version's meta forward. The
-    * maintenance sweep triggers this on segment count (kind
-    * `epoch_table`). Idempotent without a ledger key. */
+  /** Row TAKEDOWN as one epoch: the doomed KEY rows (a frame whose
+    * columns are the table's key — e.g. one `doc_id` column) join the
+    * accumulated tombstone component; serving anti-joins them out
+    * ([[data]]), the next [[compact]] drops them physically. Cost
+    * ∝ |doomed| — the table tier's leg of the unified cross-tier
+    * takedown ([[Takedown.Tiers.tableEpoch]]), so "remove these
+    * documents" finally spans the ROWS themselves, not just the
+    * derived indexes. Replay-safe on `del_<batchId>`; already-
+    * tombstoned keys subtract nothing. The meta rows are HISTORY (a
+    * release's verified load counts) and deliberately do not shrink:
+    * a takedown removes rows from serving, it does not rewrite what
+    * the release loaded. */
+  def delete(s: SparkSession, keyRows: DataFrame, path: String,
+      batchId: Long): Unit = {
+    val m = current(s, path)
+    val key = s"del_$batchId"
+    if (m.has(key)) return
+    val ids = keyRows.distinct()
+    val oldTomb = Epoch.read(s, path, m, Tomb)
+    val fresh = oldTomb
+      .map(t => ids.join(broadcast(t), t.columns.toSeq, "left_anti"))
+      .getOrElse(ids)
+      .localCheckpoint(true)
+    if (fresh.isEmpty) return
+    val g = Epoch.genDir(s, path, m.next)
+    oldTomb.map(_.unionByName(fresh)).getOrElse(fresh)
+      .coalesce(1).write.mode("overwrite").parquet(s"$g/tombstones")
+    Epoch.commit(s, path, Epoch.Manifest(m.next,
+      m.components.updated(Tomb, Seq(s"g${m.next}/tombstones")),
+      m.applied :+ key))
+  }
+
+  /** Fold accumulated delta directories AND tombstones into ONE fresh
+    * snapshot directory (served rows untouched — serving before ≡
+    * after), as a new epoch carrying the current version's meta
+    * forward. The maintenance sweep triggers this on segment count or
+    * tombstone mass (kind `epoch_table`). Idempotent without a ledger
+    * key. */
   def compact(s: SparkSession, path: String, nFiles: Int = 8): Unit = {
     val m = current(s, path)
     val g = Epoch.genDir(s, path, m.next)
@@ -180,7 +220,8 @@ object EpochTable {
       .coalesce(1).write.mode("overwrite").parquet(s"$g/meta")
     Epoch.commit(s, path, Epoch.Manifest(m.next,
       Map(Data -> Seq(s"g${m.next}/data"),
-        Meta -> Seq(s"g${m.next}/meta")),
+        Meta -> Seq(s"g${m.next}/meta"),
+        Tomb -> Seq.empty),
       m.applied))
   }
 

@@ -80,7 +80,12 @@ object Takedown {
       // root + shape), because its delete leg derives the doomed
       // rows' measures from the base itself — same ordering contract
       // as mvBase: takedown first, base shrink after
-      mvEpoch: Option[graft.plans.EpochMv.EpochMvDef] = None)
+      mvEpoch: Option[graft.plans.EpochMv.EpochMvDef] = None,
+      // the TABLE tier itself ([[EpochTable]], keyed on doc_id): the
+      // takedown finally removes the ROWS, not just the derived
+      // indexes — tombstone epoch ∝ |doomed|, physical drop at the
+      // next table compact
+      tableEpoch: Option[String] = None)
 
   /** Take down `doomedDocs` — (doc_id[, text]); text feeds the suggest
     * legs' per-term distinct-doc subtraction and is REQUIRED only when
@@ -136,6 +141,9 @@ object Takedown {
     })
     tiers.neardupEpoch.foreach(p => Epoch.occ(s, p) {
       EpochNearDup.delete(s, ids, p, batchId)
+    })
+    tiers.tableEpoch.foreach(p => Epoch.occ(s, p) {
+      EpochTable.delete(s, ids, p, batchId)
     })
     tiers.mvEpoch.foreach { d =>
       // lazy on purpose (the mvBase leg's discipline): the ledger
@@ -486,8 +494,9 @@ object Takedown {
       ORDER BY tier, k, id
     """))
 
-  /** EPOCH-tier takedown state: the SEVEN epoch layouts (postings,
-    * positional, suggest, float-IVF, IVF-PQ, near-dup, MV) built FULL,
+  /** EPOCH-tier takedown state: the EIGHT epoch layouts (postings,
+    * positional, suggest, float-IVF, IVF-PQ, near-dup, MV, and the
+    * TABLE tier itself) built FULL,
     * then ONE Takedown call with only epoch tiers wired removes the
     * residue — every leg a manifest generation under the shared
     * `del_1` ledger key, no maintenance window anywhere; the base
@@ -515,6 +524,11 @@ object Takedown {
       EpochAnn.build(s, emb, vec, k = 8)
       EpochIvfpq.build(s, emb, vecpq, k = 8, m = 4, codes = 16)
       EpochNearDup.build(s, docs, nd)
+      val tab = scratch("tke_tab", d)
+      EpochTable.refresh(s, tab,
+        docs.select(col("doc_id"), col("source"),
+          col("n_chars").cast(LongType).as("n_chars")),
+        version = 0L)
       docs.select(col("doc_id"), col("source"), col("n_chars"))
         .write.mode("overwrite").parquet(base)
       val mvDef = graft.plans.EpochMv.EpochMvDef(base, mv,
@@ -530,16 +544,17 @@ object Takedown {
         Tiers(postingsEpoch = Some(post), positionalEpoch = Some(pos),
           suggestEpoch = Some(sug), ivfEpoch = Some(vec),
           ivfpqEpoch = Some(vecpq), neardupEpoch = Some(nd),
-          mvEpoch = Some(mvDef)),
+          mvEpoch = Some(mvDef), tableEpoch = Some(tab)),
         batchId = 1L)
       Layout.replaceDir(s,
         s.read.parquet(base).where(col("doc_id") % 5 =!= Residue), base)
       Map("post" -> post, "pos" -> pos, "sug" -> sug, "vec" -> vec,
-        "vecpq" -> vecpq, "nd" -> nd, "base" -> base, "mv" -> mv)
+        "vecpq" -> vecpq, "nd" -> nd, "base" -> base, "mv" -> mv,
+        "tab" -> tab)
     }
 
   /** The SERVE-SAFE takedown verdict, driver-verified in one frame:
-    * after a single [[Takedown.apply]] over the SEVEN EPOCH layouts
+    * after a single [[Takedown.apply]] over the EIGHT EPOCH layouts
     * (each leg one atomic manifest flip — a concurrent reader never
     * needed a window, the property the swap tiers cannot give), every
     * tier serves exactly the survivors rebuild:
@@ -550,11 +565,14 @@ object Takedown {
     *    the epoch-IVF / epoch-IVF-PQ recall gates folded into `v`;
     *  - `neardup`: served near-dup pairs off the pinned LSH epoch;
     *  - `mv`: the rollup THROUGH the rewrite over the epoch MV's
-    *    delete-refreshed generation.
+    *    delete-refreshed generation;
+    *  - `table`: the ROWS themselves — the takedown's tombstone epoch
+    *    on the table tier, served as the survivors (the leg no
+    *    derived-index takedown can provide).
     * Same normalized (tier, k, id, v) shape and per-tier oracle
-    * branches as `takedown_all` — full tier parity with the swap
-    * composition; what changed is the layout underneath, which must
-    * be invisible in every served answer. */
+    * branches as `takedown_all`, PLUS the table leg the swap
+    * composition delegates to the caller's data plane — the epoch
+    * composition owns the whole removal, rows included. */
   val takedownEpoch = GQuery(
     "takedown_epoch",
     (s, d) => {
@@ -611,7 +629,13 @@ object Takedown {
           count(lit(1)).as("n_rows"))
         .select(norm("mv", col("n_rows"), col("source"),
           col("sum_chars")): _*)
-      Seq(bm25, phrase, suggest, vector, vectorPq, neardup, mvQ)
+      // eighth tier: the TABLE rows themselves — the SAME takedown
+      // call tombstoned them; the pinned serve is the survivors
+      val tableQ = EpochTable.serve(s, p("tab"))
+        .select(norm("table", col("doc_id"), col("source"),
+          col("n_chars")): _*)
+      Seq(bm25, phrase, suggest, vector, vectorPq, neardup, mvQ,
+        tableQ)
         .reduce(_ unionByName _)
         .orderBy("tier", "k", "id")
     },
@@ -772,12 +796,17 @@ object Takedown {
         SELECT 'mv' AS tier, CAST(COUNT(*) AS BIGINT) AS k, source AS id,
                CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS v
         FROM documents WHERE doc_id % 5 <> $Residue
-        GROUP BY source)
+        GROUP BY source),
+      tbl AS (
+        SELECT 'table' AS tier, doc_id AS k, source AS id,
+               CAST(n_chars AS DOUBLE) AS v
+        FROM documents WHERE doc_id % 5 <> $Residue)
       SELECT tier, k, id, v FROM (
         SELECT * FROM bm25 UNION ALL SELECT * FROM phrase
         UNION ALL SELECT * FROM suggest UNION ALL SELECT * FROM vector
         UNION ALL SELECT * FROM vector_pq
-        UNION ALL SELECT * FROM neardup UNION ALL SELECT * FROM mv)
+        UNION ALL SELECT * FROM neardup UNION ALL SELECT * FROM mv
+        UNION ALL SELECT * FROM tbl)
       ORDER BY tier, k, id
     """))
 

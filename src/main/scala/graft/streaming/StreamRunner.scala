@@ -615,6 +615,33 @@ object StreamRunner {
       }
       .start()
 
+  /** Streaming TABLE ingest on the epoch table tier
+    * ([[graft.ops.EpochTable]]) — each micro-batch of typed rows
+    * commits one DELTA version (version id = the checkpointed
+    * foreachBatch id) under `Epoch.occ`: readers keep serving pinned
+    * versions while rows stream in, every retained micro-batch version
+    * stays queryable by id, and a crash-replayed batch is a ledger
+    * no-op. BOOTSTRAP: the layout needs an initial
+    * [[graft.ops.EpochTable.refresh]] (possibly of an empty frame)
+    * under a NEGATIVE version id, so checkpointed batch ids (≥ 0)
+    * never collide with it. Append-only (the delta contract —
+    * amendments go through a full refresh); the sweep's `epoch_table`
+    * arm folds the accumulated per-batch delta dirs. The shared
+    * `checkpoint` caveat applies: ids reset without one, colliding
+    * with the version ledger. */
+  def tableIngestEpochStream(layoutPath: String, rows: DataFrame,
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    withCheckpoint(rows.writeStream.outputMode("append"), checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Epoch.occ(batch.sparkSession, layoutPath) {
+          graft.ops.EpochTable.refreshDelta(batch.sparkSession,
+            layoutPath, batch, version = batchId)
+          ()
+        }
+      }
+      .start()
+
   /** Apply a checkpoint location when one is supplied — shared by the
     * streaming faces whose exactly-once rests on the checkpointed
     * foreachBatch id (see each face's `checkpoint` doc). */

@@ -108,6 +108,62 @@ class EpochTableSpec extends SparkTestBase {
     assert(EpochTable.dataForVersion(spark, path, 1L).get.count() === 80L)
   }
 
+  test("row takedown: delete hides rows from every read face, compact " +
+      "drops them physically, replays no-op, history counts untouched") {
+    val path = s"${graft.GraftSession.scratchDir}/table_epoch_takedown"
+    EpochTable.refresh(spark, path, mkTyped(1L to 60L), version = 0L)
+    val m0 = Epoch.resolve(spark, path).get
+    EpochTable.delete(spark,
+      (1L to 60L).filter(_ % 4 == 0).toDF("event_id"), path,
+      batchId = 1L)
+    assert(EpochTable.serve(spark, path).count() === 45L)
+    // the pinned pre-delete manifest still serves all 60
+    assert(EpochTable.data(spark, path, m0).count() === 60L)
+    // version lookup serves the survivors (the tombstone rides the
+    // version's CURRENT manifest)
+    assert(EpochTable.dataForVersion(spark, path, 0L).get.count() === 45L)
+    // replay + already-tombstoned-ids batches commit nothing
+    val epochs = Epoch.committedList(spark, path)
+    EpochTable.delete(spark, Seq(4L, 8L).toDF("event_id"), path,
+      batchId = 1L)
+    EpochTable.delete(spark, Seq(4L, 8L).toDF("event_id"), path,
+      batchId = 2L)
+    assert(Epoch.committedList(spark, path) === epochs)
+    // meta counts are release history — deletes never rewrite them
+    assert(EpochTable.versions(spark, path).head()
+      .getAs[Long]("load_records") === 60L)
+    EpochTable.compact(spark, path)
+    assert(Epoch.resolve(spark, path).get.components("tombstones").isEmpty)
+    assert(EpochTable.serve(spark, path).count() === 45L)
+  }
+
+  test("tableIngestEpochStream: one delta version per micro-batch, " +
+      "every batch version queryable, serve grows with the stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val path = s"${graft.GraftSession.scratchDir}/table_epoch_stream"
+    // bootstrap: an empty snapshot under a NEGATIVE version id so
+    // checkpointed batch ids (>= 0) never collide
+    EpochTable.refresh(spark, path, mkTyped(Seq.empty[Long]),
+      version = -1L)
+    val src = MemoryStream[(Long, String, Long)]
+    val q = graft.streaming.StreamRunner.tableIngestEpochStream(path,
+      src.toDF().toDF("event_id", "etype", "uid"))
+    try {
+      src.addData((1L, "a", 10L), (2L, "b", 20L))
+      q.processAllAvailable()
+      assert(EpochTable.serve(spark, path).count() === 2L)
+      src.addData((3L, "c", 30L))
+      q.processAllAvailable()
+      assert(EpochTable.serve(spark, path).count() === 3L)
+      // batch 0's version serves exactly the first micro-batch
+      assert(EpochTable.dataForVersion(spark, path, 0L).get.count() === 2L)
+      assert(EpochTable.versions(spark, path)
+        .orderBy("version").collect().map(_.getAs[Long]("version"))
+        .toSeq === Seq(-1L, 0L, 1L))
+    } finally q.stop()
+  }
+
   test("Pipeline.updateTableEpoch: clean → load → epoch commit with " +
       "count-verified metrics riding the manifest") {
     import graft.schemas.Schemas
