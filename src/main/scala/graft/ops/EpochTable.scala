@@ -49,24 +49,65 @@ object EpochTable {
   private val Data = "data"
   private val Meta = "meta"
   private val Tomb = "tombstones"
+  private val Merge = "merge"
+  private val MergeKeys = "mergekeys"
 
   private[ops] def current(s: SparkSession, path: String)
       : Epoch.Manifest =
     Epoch.resolve(s, path).getOrElse(throw new IllegalStateException(
       s"EpochTable: no committed version at $path — refresh first"))
 
-  /** The typed table as of a PINNED manifest — the generation dirs
-    * with the manifest's tombstoned keys anti-joined out (the row
-    * TAKEDOWN face, [[delete]]; a never-deleted version reads its
-    * directory bare, ordinary pushdown/pruning). */
+  /** The typed table as of a PINNED manifest: the generation dirs,
+    * with accumulated UPSERT generations ([[merge]]) shadowing the base
+    * by key (newest merge wins) and the manifest's tombstoned keys
+    * anti-joined out last — a takedown beats a merge (the row TAKEDOWN
+    * face, [[delete]]). A never-merged, never-deleted version reads
+    * its directory bare: ordinary pushdown/pruning, zero overhead.
+    *
+    * Merge-bearing reads stay |delta|-shaped: the base scan is still
+    * one multi-dir parquet relation; the merge dirs union with a
+    * literal generation ordinal (newest-wins is a window over MERGE
+    * rows only, never the corpus), and the base-side exclusion is a
+    * BROADCAST anti-join on the merged keys. The small merge scan is
+    * evaluated twice (keys for the anti-join, rows for the union) —
+    * deliberate: a read face materializes nothing. */
   def data(s: SparkSession, path: String, m: Epoch.Manifest): DataFrame = {
     val raw = Epoch.read(s, path, m, Data).getOrElse(
       throw new IllegalStateException(
         s"EpochTable: epoch ${m.epoch} at $path has no data component"))
+    val base = m.dirs(path, Merge) match {
+      case Seq() => raw
+      case mergeDirs =>
+        val keys = mergeKeyCols(s, path, m)
+        val ups = mergeDirs.zipWithIndex
+          .map { case (dir, i) =>
+            s.read.parquet(dir).withColumn("__gen", lit(i)) }
+          .reduce(_ unionByName _)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*).orderBy(col("__gen").desc)
+        val latest = ups
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__gen", "__rn")
+        raw.join(broadcast(latest.select(keys.map(col): _*).distinct()),
+            keys, "left_anti")
+          .unionByName(latest.select(raw.columns.map(col).toSeq: _*))
+    }
     Epoch.read(s, path, m, Tomb)
-      .map(t => raw.join(broadcast(t), t.columns.toSeq, "left_anti"))
-      .getOrElse(raw)
+      .map(t => base.join(broadcast(t), t.columns.toSeq, "left_anti"))
+      .getOrElse(base)
   }
+
+  /** The declared upsert key columns of a merge-bearing manifest (a
+    * one-row component riding the same manifest as the merge dirs —
+    * the layout stays self-describing; one tiny driver-side read, only
+    * on merge-bearing reads). */
+  private def mergeKeyCols(s: SparkSession, path: String,
+      m: Epoch.Manifest): Seq[String] =
+    Epoch.read(s, path, m, MergeKeys).getOrElse(
+        throw new IllegalStateException(
+          s"EpochTable: epoch ${m.epoch} at $path has merge dirs but " +
+            "no mergekeys component"))
+      .head().getAs[scala.collection.Seq[String]]("keys").toSeq
 
   /** Resolve-then-read: the CURRENT version's table. */
   def serve(s: SparkSession, path: String): DataFrame =
@@ -152,6 +193,13 @@ object EpochTable {
     if (m.has(key))
       return metaRows(s, path, Seq(m)).head().getAs[Long]("load_records")
     val prev = metaRows(s, path, Seq(m)).head()
+    // a multi-dir parquet scan silently picks one file's schema —
+    // schema evolution happens at full-refresh boundaries only
+    require(delta.columns.sorted.sameElements(
+        data(s, path, m).columns.sorted),
+      s"EpochTable.refreshDelta: delta schema " +
+        s"${delta.columns.sorted.toSeq} does not match the served " +
+        "table — evolve the schema with a full refresh first")
     val g = Epoch.genDir(s, path, m.next)
     delta.write.mode("overwrite").parquet(s"$g/delta")
     val added = s.read.parquet(s"$g/delta").count()
@@ -170,6 +218,76 @@ object EpochTable {
         .updated(Data, m.components(Data) :+ s"g${m.next}/delta")
         .updated(Meta, Seq(s"g${m.next}/meta")),
       m.applied :+ key))
+    loaded
+  }
+
+  /** Commit a keyed UPSERT batch as one MERGE version — the reference's
+    * amendment cycle (`amend_latest`'s latest-filing-wins fold)
+    * expressed incrementally: rows whose `keys` already exist REPLACE
+    * the served row, new keys INSERT, and the whole batch lands as ONE
+    * referenced merge generation — cost ∝ |upserts| write-side (vs the
+    * reference's full reload per amendment cycle). Serving shadows the
+    * base by key, newest merge generation wins ([[data]]); [[compact]]
+    * folds merges back into one snapshot directory; a takedown
+    * tombstone beats a merge. Upsert batches must be key-unique
+    * (validated — nondeterministic which duplicate would win) and
+    * schema-identical to the served table (validated — a multi-dir
+    * parquet scan silently picks one file's schema otherwise). `keys`
+    * must match any merges already accumulated since the last fold.
+    * Replay-safe on `ver_<version>`; the meta row counts the CUMULATIVE
+    * visible table (updates leave it flat, inserts grow it), recounted
+    * from the committed read face — the verify step against what a
+    * reader will see. */
+  def merge(s: SparkSession, path: String, upserts: DataFrame,
+      version: Long, keys: Seq[String], downloadDelta: Option[Long] = None,
+      errorDelta: Long = 0L): Long = {
+    val key = s"ver_$version"
+    val m = current(s, path)
+    if (m.has(key))
+      return metaRows(s, path, Seq(m)).head().getAs[Long]("load_records")
+    val served = data(s, path, m)
+    require(keys.nonEmpty && keys.forall(upserts.columns.contains),
+      s"EpochTable.merge: keys $keys not all present in the upsert batch")
+    require(upserts.columns.sorted.sameElements(served.columns.sorted),
+      s"EpochTable.merge: upsert schema ${upserts.columns.sorted.toSeq} " +
+        s"does not match the served table ${served.columns.sorted.toSeq}" +
+        " — evolve the schema with a full refresh first")
+    if (m.components.getOrElse(Merge, Seq.empty).nonEmpty)
+      require(mergeKeyCols(s, path, m) == keys,
+        s"EpochTable.merge: keys $keys differ from the accumulated " +
+          s"merges' ${mergeKeyCols(s, path, m)} — compact first")
+    val g = Epoch.genDir(s, path, m.next)
+    upserts.write.mode("overwrite").parquet(s"$g/merge")
+    val batch = s.read.parquet(s"$g/merge")
+    if (batch.isEmpty) return metaRows(s, path, Seq(m))
+      .head().getAs[Long]("load_records")
+    require(batch.groupBy(keys.map(col): _*).count()
+        .where(col("count") > 1).isEmpty,
+      s"EpochTable.merge: upsert batch has duplicate keys — " +
+        "fold latest-wins upstream (amend_latest) before merging")
+    import s.implicits._
+    Seq(keys).toDF("keys")
+      .coalesce(1).write.mode("overwrite").parquet(s"$g/mergekeys")
+    val next = Epoch.Manifest(m.next,
+      m.components
+        .updated(Merge,
+          m.components.getOrElse(Merge, Seq.empty) :+ s"g${m.next}/merge")
+        .updated(MergeKeys, Seq(s"g${m.next}/mergekeys")),
+      m.applied :+ key)
+    // verify count against the CANDIDATE read face (dirs exist; only
+    // the manifest is unpublished) — inserts grow it, updates do not
+    val prev = metaRows(s, path, Seq(m)).head()
+    val loaded = data(s, path, next).count()
+    val download = prev.getAs[Long]("download_records") +
+      downloadDelta.getOrElse(batch.count() + errorDelta)
+    val errors = prev.getAs[Long]("error_records") + errorDelta
+    Seq((version, download, download - errors, loaded, errors))
+      .toDF("version", "download_records", "clean_records",
+        "load_records", "error_records")
+      .coalesce(1).write.mode("overwrite").parquet(s"$g/meta")
+    Epoch.commit(s, path,
+      next.copy(components =
+        next.components.updated(Meta, Seq(s"g${m.next}/meta"))))
     loaded
   }
 
@@ -224,6 +342,35 @@ object EpochTable {
         Tomb -> Seq.empty),
       m.applied))
   }
+
+  /** A retained version read UNDER THE CURRENT SCHEMA — additive
+    * schema evolution across full-refresh boundaries (the reference's
+    * releases add columns across CAL-ACCESS format revisions; each
+    * monthly database keeps its own schema, and cross-version readers
+    * align by hand). [[dataForVersion]] serves a version exactly as
+    * written (historical fidelity); this face projects it to the
+    * current schema: columns the old version lacks come back as typed
+    * NULLs, column order follows the current table. ADDITIVE only —
+    * an old version carrying a column the current schema dropped, or
+    * the same name at a different type, fails loudly (a silent
+    * drop/cast would hide a breaking revision). Pure projection: zero
+    * shuffle, pushdown/pruning untouched. */
+  def dataForVersionAsCurrent(s: SparkSession, path: String,
+      version: Long): Option[DataFrame] =
+    dataForVersion(s, path, version).map { old =>
+      val cur = data(s, path, current(s, path)).schema
+      val curTypes = cur.fields.map(f => f.name -> f.dataType).toMap
+      old.schema.fields.foreach { f =>
+        require(curTypes.get(f.name).contains(f.dataType),
+          s"EpochTable.dataForVersionAsCurrent: version $version " +
+            s"column ${f.name}:${f.dataType} is not in the current " +
+            "schema at the same type — only additive evolution aligns")
+      }
+      val have = old.columns.toSet
+      old.select(cur.fields.toSeq.map(f =>
+        if (have(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)): _*)
+    }
 
   private def metaRows(s: SparkSession, path: String,
       ms: Seq[Epoch.Manifest]): DataFrame =
@@ -403,6 +550,81 @@ object EpochTable {
     (s, d) => serve(s, savedDeltaPath(s, d)).orderBy("event_id"),
     CoreQueries.loadTyped.oracle)
 
+  /** Layout for the upsert entry: version 0 is a CORRUPTED partial
+    * extract — the 3-mod-11 rows missing, the 0-mod-7 rows carrying a
+    * stale etype — and version 1 arrives as ONE keyed upsert batch
+    * (the corrected rows + the missing rows), so the merge exercises
+    * both REPLACE and INSERT in the same generation. */
+  private val upsertSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedUpsertPath(s: SparkSession, d: String): String =
+    graft.BuildOnce.memo(upsertSaved, d) {
+      val path = s"${graft.GraftSession.scratchDir}/table_upsert_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      val typed = CoreQueries.loadTyped.fn(s, d)
+      refresh(s, path,
+        typed.where(col("event_id") % 11 =!= 3)
+          .withColumn("etype",
+            when(col("event_id") % 7 === 0, lit("STALE"))
+              .otherwise(col("etype"))),
+        version = 0L)
+      merge(s, path,
+        typed.where(col("event_id") % 11 === 3 ||
+          col("event_id") % 7 === 0),
+        version = 1L, keys = Seq("event_id"))
+      path
+    }
+
+  /** Keyed UPSERT (merge) version, driver-verified: version 1 landed
+    * as one ∝-|batch| merge generation that REPLACED the stale rows
+    * and INSERTED the missing ones; the served table must hash-equal
+    * the plain `load_typed` projection — the shadowing read face and
+    * the planted corruption both invisible. ≙ the reference's
+    * amendment cycle without its full reload. */
+  val tableUpsert = GQuery(
+    "table_upsert",
+    (s, d) => serve(s, savedUpsertPath(s, d)).orderBy("event_id"),
+    CoreQueries.loadTyped.oracle)
+
+  /** Layout for the schema-evolution entry: version 0 committed
+    * WITHOUT the `uid` column (an earlier release's narrower format),
+    * version 1 the full reload that added it. */
+  private val evolveSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedEvolvePath(s: SparkSession, d: String): String =
+    graft.BuildOnce.memo(evolveSaved, d) {
+      val path = s"${graft.GraftSession.scratchDir}/table_evolve_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      val typed = CoreQueries.loadTyped.fn(s, d)
+      refresh(s, path, typed.drop("uid"), version = 0L)
+      refresh(s, path, typed, version = 1L)
+      path
+    }
+
+  /** Additive SCHEMA EVOLUTION, driver-verified: version 0 predates
+    * the `uid` column; this entry reads it UNDER THE CURRENT schema
+    * ([[dataForVersionAsCurrent]]) — the missing column comes back as
+    * typed NULLs in current column order, the oracle recomputing the
+    * same alignment. ≙ querying an old monthly database through the
+    * current release's model after a CAL-ACCESS format revision. */
+  val tableSchemaEvolve = GQuery(
+    "table_schema_evolve",
+    (s, d) => dataForVersionAsCurrent(s, savedEvolvePath(s, d), 0L)
+      .getOrElse(throw new IllegalStateException(
+        "table_schema_evolve: version 0 missing"))
+      .orderBy("event_id"),
+    Some("""
+      SELECT event_id,
+             CAST(ts AS DATE) AS event_date,
+             CAST(CAST(value AS DECIMAL(14,2)) AS DOUBLE) AS value_dec,
+             NULLIF(TRIM(event_type), '') AS etype,
+             CAST(NULL AS BIGINT) AS uid
+      FROM events
+      ORDER BY event_id
+    """))
+
   /** Layout for the diff entry: two OVERLAPPING partial versions with
     * planted modifications, so all three change kinds occur — v0 drops
     * the 1-mod-3 ids, v1 drops the 2-mod-5 ids AND rewrites etype for
@@ -566,5 +788,5 @@ object EpochTable {
 
   def all: Seq[GQuery] =
     Seq(tableEpoch, tableAsof, tableVersions, tableDiff, tableDelta,
-      snapshotTableFetch)
+      tableUpsert, tableSchemaEvolve, snapshotTableFetch)
 }

@@ -93,7 +93,10 @@ object Maintenance {
         Epoch.resolve(s, ref.path).map(_.dirs(ref.path, "bands"))
           .getOrElse(Seq.empty)
       case "epoch_table" =>
-        Epoch.resolve(s, ref.path).map(_.dirs(ref.path, "data"))
+        // delta generations ride `data`; upsert generations ride
+        // `merge` — both accumulate until compact folds them
+        Epoch.resolve(s, ref.path)
+          .map(m => m.dirs(ref.path, "data") ++ m.dirs(ref.path, "merge"))
           .getOrElse(Seq.empty)
       case "epoch_suggest" =>
         Epoch.resolve(s, ref.path).map(_.dirs(ref.path, "gen"))

@@ -137,6 +137,108 @@ class EpochTableSpec extends SparkTestBase {
     assert(EpochTable.serve(spark, path).count() === 45L)
   }
 
+  test("merge: upserts replace by key and insert new keys; newest " +
+      "merge generation wins; tombstone beats merge; compact folds") {
+    val path = s"${graft.GraftSession.scratchDir}/table_epoch_merge"
+    EpochTable.refresh(spark, path, mkTyped(1L to 50L), version = 0L)
+    // one batch carrying both kinds: ids 1..10 replaced, 51..55 new
+    val up1 = ((1L to 10L) ++ (51L to 55L))
+      .map(i => (i, s"u1_$i", i * 100L))
+      .toDF("event_id", "etype", "uid")
+    assert(EpochTable.merge(spark, path, up1, version = 1L,
+      keys = Seq("event_id")) === 55L)
+    val served = EpochTable.serve(spark, path)
+    assert(served.count() === 55L)
+    assert(served.where(col("event_id") === 3L).head()
+      .getAs[String]("etype") === "u1_3")
+    assert(served.where(col("event_id") === 20L).head()
+      .getAs[String]("etype") === "v20")
+    // replay: ledger no-op returning the committed cumulative count
+    assert(EpochTable.merge(spark, path, mkTyped(900L to 999L),
+      version = 1L, keys = Seq("event_id")) === 55L)
+    // a second merge shadows the first on overlapping keys
+    val up2 = Seq((3L, "u2_3", 42L)).toDF("event_id", "etype", "uid")
+    assert(EpochTable.merge(spark, path, up2, version = 2L,
+      keys = Seq("event_id")) === 55L)
+    assert(EpochTable.serve(spark, path)
+      .where(col("event_id") === 3L).head()
+      .getAs[String]("etype") === "u2_3")
+    // metrics: updates leave load flat, inserts grow it
+    val v = EpochTable.versions(spark, path).orderBy("version").collect()
+    assert(v.map(_.getAs[Long]("load_records")).toSeq ===
+      Seq(50L, 55L, 55L))
+    // a takedown tombstone beats a merged value
+    EpochTable.delete(spark, Seq(3L).toDF("event_id"), path, batchId = 9L)
+    assert(EpochTable.serve(spark, path)
+      .where(col("event_id") === 3L).isEmpty)
+    // compact folds merge generations + tombstones into one snapshot
+    EpochTable.compact(spark, path)
+    val m = Epoch.resolve(spark, path).get
+    assert(m.components.getOrElse("merge", Seq.empty).isEmpty)
+    assert(m.components("data").size === 1)
+    assert(EpochTable.serve(spark, path).count() === 54L)
+    assert(EpochTable.serve(spark, path)
+      .where(col("event_id") === 5L).head()
+      .getAs[String]("etype") === "u1_5")
+  }
+
+  test("merge validation: duplicate-key batches, schema drift, and " +
+      "key mismatch against accumulated merges all fail loudly") {
+    val path = s"${graft.GraftSession.scratchDir}/table_epoch_merge_val"
+    EpochTable.refresh(spark, path, mkTyped(1L to 10L), version = 0L)
+    val dup = Seq((1L, "a", 1L), (1L, "b", 2L))
+      .toDF("event_id", "etype", "uid")
+    intercept[IllegalArgumentException] {
+      EpochTable.merge(spark, path, dup, version = 1L,
+        keys = Seq("event_id"))
+    }
+    intercept[IllegalArgumentException] {
+      EpochTable.merge(spark, path,
+        Seq((1L, "a")).toDF("event_id", "etype"), version = 1L,
+        keys = Seq("event_id"))
+    }
+    EpochTable.merge(spark, path,
+      Seq((1L, "a", 1L)).toDF("event_id", "etype", "uid"),
+      version = 1L, keys = Seq("event_id"))
+    // keys must match the accumulated merges' until a compact folds
+    intercept[IllegalArgumentException] {
+      EpochTable.merge(spark, path,
+        Seq((2L, "b", 2L)).toDF("event_id", "etype", "uid"),
+        version = 2L, keys = Seq("etype"))
+    }
+  }
+
+  test("schema evolution: an old version serves its own schema " +
+      "verbatim, aligns to the current schema with typed NULLs, and " +
+      "non-additive drift fails loudly") {
+    val path = s"${graft.GraftSession.scratchDir}/table_epoch_evolve"
+    EpochTable.refresh(spark, path,
+      mkTyped(1L to 20L).drop("uid"), version = 0L)
+    EpochTable.refresh(spark, path, mkTyped(1L to 30L), version = 1L)
+    // historical fidelity: version 0 as written, no uid column
+    val old = EpochTable.dataForVersion(spark, path, 0L).get
+    assert(old.columns.sorted === Array("etype", "event_id"))
+    // aligned: uid present, typed NULL, current column order
+    val aligned =
+      EpochTable.dataForVersionAsCurrent(spark, path, 0L).get
+    assert(aligned.columns === EpochTable.serve(spark, path).columns)
+    assert(aligned.count() === 20L)
+    assert(aligned.where(col("uid").isNotNull).isEmpty)
+    assert(aligned.schema("uid").dataType ===
+      org.apache.spark.sql.types.LongType)
+    // a delta whose schema drifted from the served table is refused
+    intercept[IllegalArgumentException] {
+      EpochTable.refreshDelta(spark, path,
+        mkTyped(31L to 35L).drop("uid"), version = 2L)
+    }
+    // non-additive: current drops a column the old version carried
+    EpochTable.refresh(spark, path, mkTyped(1L to 30L).drop("etype"),
+      version = 3L)
+    intercept[IllegalArgumentException] {
+      EpochTable.dataForVersionAsCurrent(spark, path, 1L).get.count()
+    }
+  }
+
   test("tableIngestEpochStream: one delta version per micro-batch, " +
       "every batch version queryable, serve grows with the stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
