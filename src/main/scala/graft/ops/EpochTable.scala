@@ -124,11 +124,37 @@ object EpochTable {
     * the reference operator keeping N monthly databases. */
   def dataForVersion(s: SparkSession, path: String, version: Long)
       : Option[DataFrame] =
+    manifestForVersion(s, path, version).map(m => data(s, path, m))
+
+  /** The manifest whose meta row carries `version` — the version-id
+    * resolution [[dataForVersion]] and the SQL catalog face
+    * ([[graft.sources.EpochTableCatalog]]) share. */
+  private[graft] def manifestForVersion(s: SparkSession, path: String,
+      version: Long): Option[Epoch.Manifest] =
     Epoch.committedList(s, path).reverseIterator
       .flatMap(n => Epoch.resolveAsOf(s, path, n))
       .find(m => Epoch.read(s, path, m, Meta).exists(
         _.where(col("version") === version).limit(1).count() > 0))
-      .map(m => data(s, path, m))
+
+  /** The manifest's data dirs IF the pinned version is servable as a
+    * BARE multi-dir parquet scan — what the SQL catalog face hands to
+    * Spark's vectorized parquet `Table` (full pushdown/pruning, zero
+    * wrapper cost). A version carrying unfolded tombstones or merges
+    * needs the [[data]] read plan (anti-joins/shadowing a `Table`
+    * cannot express) — fail loudly naming the fix rather than serve
+    * deleted or stale rows. */
+  private[graft] def scanDirs(s: SparkSession, path: String,
+      m: Epoch.Manifest): Seq[String] = {
+    require(m.components.getOrElse(Tomb, Seq.empty).isEmpty &&
+        m.components.getOrElse(Merge, Seq.empty).isEmpty,
+      s"EpochTable: epoch ${m.epoch} at $path carries unfolded " +
+        "tombstones/merges — the SQL catalog face serves folded " +
+        "snapshots only; compact first (or read through EpochTable)")
+    val ds = m.dirs(path, Data)
+    require(ds.nonEmpty,
+      s"EpochTable: epoch ${m.epoch} at $path has no data component")
+    ds
+  }
 
   /** Commit one update run as one table epoch: the full typed snapshot
     * plus its count-verified metrics row, atomically visible together.
@@ -550,6 +576,46 @@ object EpochTable {
     (s, d) => serve(s, savedDeltaPath(s, d)).orderBy("event_id"),
     CoreQueries.loadTyped.oracle)
 
+  /** Register the SQL catalog over the scratch root and return the
+    * saved layout's table identifier under it — the two `table_sql*`
+    * entries address the SAME layout `table_epoch` serves through the
+    * programmatic face. */
+  private def sqlIdent(s: SparkSession, d: String): String = {
+    val path = savedTablePath(s, d)
+    graft.sources.EpochTableCatalog.register(s, "graft",
+      graft.GraftSession.scratchDir)
+    path.stripPrefix(s"${graft.GraftSession.scratchDir}/")
+  }
+
+  /** The epoch table tier through SPARK SQL, driver-verified: the
+    * layout addressed as an ordinary catalog table
+    * (`graft.<tbl>` via [[graft.sources.EpochTableCatalog]]) — the
+    * statement plans a stock vectorized parquet scan over the pinned
+    * manifest's dirs and must hash-equal the plain `load_typed`
+    * projection, the catalog face invisible in the answer. */
+  val tableSql = GQuery(
+    "table_sql",
+    (s, d) => {
+      val tbl = sqlIdent(s, d)
+      s.sql(s"SELECT event_id, event_date, value_dec, etype, uid " +
+        s"FROM graft.`$tbl` ORDER BY event_id")
+    },
+    CoreQueries.loadTyped.oracle)
+
+  /** Version-id TIME TRAVEL through Spark's own SQL syntax,
+    * driver-verified: `VERSION AS OF 0` addresses the RawDataVersion
+    * id (resolved through the retained epochs' meta rows), serving the
+    * earlier partial extract AFTER the later full reload committed —
+    * the same answer `table_asof` gets programmatically. */
+  val tableSqlAsof = GQuery(
+    "table_sql_asof",
+    (s, d) => {
+      val tbl = sqlIdent(s, d)
+      s.sql(s"SELECT event_id, event_date, value_dec, etype, uid " +
+        s"FROM graft.`$tbl` VERSION AS OF 0 ORDER BY event_id")
+    },
+    tableAsof.oracle)
+
   /** Layout for the upsert entry: version 0 is a CORRUPTED partial
     * extract — the 3-mod-11 rows missing, the 0-mod-7 rows carrying a
     * stale etype — and version 1 arrives as ONE keyed upsert batch
@@ -788,5 +854,6 @@ object EpochTable {
 
   def all: Seq[GQuery] =
     Seq(tableEpoch, tableAsof, tableVersions, tableDiff, tableDelta,
-      tableUpsert, tableSchemaEvolve, snapshotTableFetch)
+      tableUpsert, tableSchemaEvolve, tableSql, tableSqlAsof,
+      snapshotTableFetch)
 }

@@ -1,0 +1,136 @@
+package graft.sources
+
+import graft.SparkTestBase
+import graft.ops.{Epoch, EpochTable}
+import org.apache.spark.sql.functions._
+
+/** The DataSourceV2 catalog face of the epoch table tier: SQL reads
+  * plan stock pushed-down parquet scans over PINNED manifests, Spark's
+  * own `VERSION AS OF` addresses RawDataVersion ids, writes die in
+  * analysis, and unfolded tombstone/merge versions refuse loudly. */
+class EpochCatalogSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def mkTyped(ids: Seq[Long]) =
+    ids.map(i => (i, s"v$i", i * 10L)).toDF("event_id", "etype", "uid")
+
+  private val root = s"${graft.GraftSession.scratchDir}/sqlcat"
+
+  private def registered(): Unit =
+    EpochTableCatalog.register(spark, "gcat", root)
+
+  test("SQL head read equals the programmatic serve; each statement " +
+      "re-resolves to the newest committed version; listTables lists " +
+      "exactly the committed layouts") {
+    registered()
+    val path = s"$root/evts"
+    EpochTable.refresh(spark, path, mkTyped(1L to 40L), version = 0L)
+    assert(spark.sql("SELECT * FROM gcat.evts").count() === 40L)
+    // an uncommitted sibling dir is not a table
+    new java.io.File(s"$root/scratch_not_a_table").mkdirs()
+    assert(spark.sql("SHOW TABLES IN gcat").collect()
+      .map(_.getAs[String]("tableName")).toSeq === Seq("evts"))
+    // the next statement sees the next version — resolution is per query
+    EpochTable.refresh(spark, path, mkTyped(1L to 70L), version = 1L)
+    assert(spark.sql("SELECT * FROM gcat.evts").count() === 70L)
+    assert(spark.sql("SELECT sum(uid) AS s FROM gcat.evts").head()
+      .getAs[Long]("s") === (1L to 70L).map(_ * 10L).sum)
+  }
+
+  test("VERSION AS OF addresses the RawDataVersion id through the " +
+      "meta rows — stable across compaction — and an unknown version " +
+      "fails in analysis") {
+    registered()
+    val path = s"$root/tt"
+    EpochTable.refresh(spark, path, mkTyped(1L to 30L), version = 5L)
+    EpochTable.refreshDelta(spark, path, mkTyped(31L to 50L),
+      version = 7L)
+    EpochTable.compact(spark, path)
+    // version 7 is CURRENT (carried through the compact's meta row);
+    // version 5's epoch is still retained and addressable
+    assert(spark.sql("SELECT * FROM gcat.tt VERSION AS OF 7")
+      .count() === 50L)
+    assert(spark.sql("SELECT * FROM gcat.tt VERSION AS OF 5")
+      .count() === 30L)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gcat.tt VERSION AS OF 99").collect()
+    }
+  }
+
+  test("the SQL scan pushes filters and prunes columns — the catalog " +
+      "face costs nothing over a bare parquet scan") {
+    registered()
+    val path = s"$root/push"
+    EpochTable.refresh(spark, path, mkTyped(1L to 100L), version = 0L)
+    val df = spark.sql(
+      "SELECT event_id FROM gcat.push WHERE uid > 500")
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters: [IsNotNull(uid), " +
+      "GreaterThan(uid,500)]"), s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<event_id:bigint,uid:bigint>"),
+      s"columns not pruned:\n$plan")
+    assert(df.count() === 50L)
+  }
+
+  test("writes die in analysis (BATCH_READ only) and catalog " +
+      "mutations throw — the manifest protocol stays the only write " +
+      "path") {
+    registered()
+    val path = s"$root/ro"
+    EpochTable.refresh(spark, path, mkTyped(1L to 10L), version = 0L)
+    intercept[Exception] {
+      spark.sql("INSERT INTO gcat.ro VALUES (11, 'x', 110)")
+    }
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.newtbl (a INT)")
+    }
+    intercept[Exception] {
+      spark.sql("DROP TABLE gcat.ro")
+    }
+    // nothing changed
+    assert(spark.sql("SELECT * FROM gcat.ro").count() === 10L)
+  }
+
+  test("a version carrying unfolded tombstones or merges refuses " +
+      "loudly; compact folds it back into SQL reach") {
+    registered()
+    val path = s"$root/folded"
+    EpochTable.refresh(spark, path, mkTyped(1L to 20L), version = 0L)
+    EpochTable.delete(spark, Seq(3L, 4L).toDF("event_id"), path,
+      batchId = 1L)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gcat.folded").collect()
+    }
+    assert(e.getMessage.contains("compact first") ||
+      Option(e.getCause).exists(_.getMessage.contains("compact first")),
+      s"wrong refusal: ${e.getMessage}")
+    EpochTable.compact(spark, path)
+    assert(spark.sql("SELECT * FROM gcat.folded").count() === 18L)
+    // merges refuse the same way until folded
+    EpochTable.merge(spark, path,
+      Seq((5L, "m5", 999L)).toDF("event_id", "etype", "uid"),
+      version = 1L, keys = Seq("event_id"))
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gcat.folded").collect()
+    }
+    EpochTable.compact(spark, path)
+    assert(spark.sql(
+      "SELECT etype FROM gcat.folded WHERE event_id = 5").head()
+      .getAs[String]("etype") === "m5")
+  }
+
+  test("a loaded table is PINNED: dirs resolved at load survive a " +
+      "concurrent refresh (snapshot isolation per statement)") {
+    registered()
+    val path = s"$root/pin"
+    EpochTable.refresh(spark, path, mkTyped(1L to 25L), version = 0L)
+    // pin a DataFrame (resolution happened at analysis)
+    val pinnedDf = spark.sql("SELECT * FROM gcat.pin")
+    EpochTable.refresh(spark, path, mkTyped(1L to 60L), version = 1L)
+    // the pinned statement still serves version 0's dirs; prune keeps
+    // both epochs by default (keep=3)
+    assert(pinnedDf.count() === 25L)
+    assert(spark.sql("SELECT * FROM gcat.pin").count() === 60L)
+  }
+}
