@@ -143,6 +143,13 @@ object EpochTable {
     * needs the [[data]] read plan (anti-joins/shadowing a `Table`
     * cannot express) — fail loudly naming the fix rather than serve
     * deleted or stale rows. */
+  /** The manifest's raw data dirs — schema-only uses (the streaming
+    * source's reader factory); serving goes through [[scanDirs]]'s
+    * folded-snapshot gate or [[data]]'s full read plan. */
+  private[graft] def scanDataDirs(path: String,
+      m: Epoch.Manifest): Seq[String] =
+    m.dirs(path, Data)
+
   private[graft] def scanDirs(s: SparkSession, path: String,
       m: Epoch.Manifest): Seq[String] = {
     require(m.components.getOrElse(Tomb, Seq.empty).isEmpty &&
@@ -755,6 +762,60 @@ object EpochTable {
       ORDER BY change, event_id
     """))
 
+  /** Layout + one bounded run for the change-feed entry: snapshot 0
+    * holds the even ids; versions 1 and 2 commit the odd ids as two
+    * delta generations; a `readStream.table` subscription from
+    * `startingVersion=1` drains both through the exactly-once parquet
+    * sink. The entry reads the sink — the stream ran once per dataset
+    * dir, like every other persisted-layout build. */
+  private val streamSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedStreamOut(s: SparkSession, d: String): String =
+    graft.BuildOnce.memo(streamSaved, d) {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${graft.GraftSession.scratchDir}/table_feed_$tag"
+      val out = s"${graft.GraftSession.scratchDir}/table_feed_out_$tag"
+      val typed = CoreQueries.loadTyped.fn(s, d)
+      refresh(s, path, typed.where(col("event_id") % 2 === 0),
+        version = 0L)
+      refreshDelta(s, path, typed.where(col("event_id") % 4 === 1),
+        version = 1L)
+      refreshDelta(s, path, typed.where(col("event_id") % 4 === 3),
+        version = 2L)
+      graft.sources.EpochTableCatalog.register(s, "graft",
+        graft.GraftSession.scratchDir)
+      val q = s.readStream.option("startingVersion", "1")
+        .table(s"graft.`table_feed_$tag`")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", s"${out}_ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      out
+    }
+
+  /** The epoch table CHANGE FEED, driver-verified: the two delta
+    * versions streamed as micro-batches (offsets = epochs,
+    * `startingVersion` = RawDataVersion id) into an exactly-once
+    * parquet sink — together exactly the odd-id rows, the snapshot
+    * invisible; the oracle recomputes the same set relationally.
+    * Planning is manifest-diff only; each batch reads only its new
+    * directories ([[graft.sources.EpochTableStream]]). */
+  val tableStream = GQuery(
+    "table_stream",
+    (s, d) => s.read.parquet(savedStreamOut(s, d)).orderBy("event_id"),
+    Some("""
+      SELECT event_id,
+             CAST(ts AS DATE) AS event_date,
+             CAST(CAST(value AS DECIMAL(14,2)) AS DOUBLE) AS value_dec,
+             NULLIF(TRIM(event_type), '') AS etype,
+             CAST(user_id AS BIGINT) AS uid
+      FROM events
+      WHERE event_id % 2 = 1
+      ORDER BY event_id
+    """))
+
   /** Cross-tier state for the search→fetch composition: the postings
     * epoch layout AND a table-tier layout over the documents' typed
     * row projection, grown in lockstep (even halves → snapshot 0 →
@@ -855,5 +916,5 @@ object EpochTable {
   def all: Seq[GQuery] =
     Seq(tableEpoch, tableAsof, tableVersions, tableDiff, tableDelta,
       tableUpsert, tableSchemaEvolve, tableSql, tableSqlAsof,
-      snapshotTableFetch)
+      tableStream, snapshotTableFetch)
 }

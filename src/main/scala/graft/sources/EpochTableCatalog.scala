@@ -125,7 +125,7 @@ final class EpochTableCatalog extends TableCatalog {
   private def pinned(s: SparkSession, ident: Identifier, p: String,
       m: Epoch.Manifest): Table = {
     val dirs = EpochTable.scanDirs(s, p, m)
-    new EpochTableCatalog.PinnedEpochTable(ident.toString,
+    new EpochTableCatalog.PinnedEpochTable(ident.toString, s, p,
       ParquetTable(ident.toString, s,
         new CaseInsensitiveStringMap(java.util.Collections.emptyMap()),
         dirs, None, classOf[ParquetFileFormat]))
@@ -165,17 +165,24 @@ object EpochTableCatalog {
   }
 
   /** A read-only pin over the built-in vectorized parquet table: the
-    * scan path (pushdown, pruning, codegen) is the delegate's
-    * untouched; only the WRITE capability is withheld, so an INSERT
-    * that would bypass the manifest protocol dies in analysis instead
-    * of corrupting the layout. */
-  private final class PinnedEpochTable(ident: String,
-      delegate: ParquetTable) extends Table with SupportsRead {
+    * batch scan path (pushdown, pruning, codegen) is the delegate's —
+    * routed through [[EpochTableStream.StreamableScanBuilder]], which
+    * delegates every pushdown call and only adds the micro-batch face
+    * (`readStream.table` subscribes to committed delta versions).
+    * The WRITE capability is withheld, so an INSERT that would bypass
+    * the manifest protocol dies in analysis instead of corrupting the
+    * layout. */
+  private final class PinnedEpochTable(ident: String, s: SparkSession,
+      layoutPath: String, delegate: ParquetTable)
+      extends Table with SupportsRead {
     override def name(): String = ident
     override def schema(): StructType = delegate.schema
     override def capabilities(): java.util.Set[TableCapability] =
-      java.util.EnumSet.of(TableCapability.BATCH_READ)
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap)
-        : ScanBuilder = delegate.newScanBuilder(options)
+        : ScanBuilder =
+      new EpochTableStream.StreamableScanBuilder(s, layoutPath,
+        delegate.newScanBuilder(options), options)
   }
 }

@@ -1,0 +1,137 @@
+package graft.sources
+
+import graft.SparkTestBase
+import graft.ops.{Epoch, EpochTable}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The epoch table change feed: `readStream.table` emits committed
+  * delta versions as micro-batches, exactly-once off the checkpoint,
+  * append-only violations fail loudly, takedowns never retract. */
+class EpochTableStreamSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def mkTyped(ids: Seq[Long]) =
+    ids.map(i => (i, s"v$i", i * 10L)).toDF("event_id", "etype", "uid")
+
+  private val root = s"${graft.GraftSession.scratchDir}/sqlstream"
+
+  private def registered(): Unit =
+    EpochTableCatalog.register(spark, "gstr", root)
+
+  private def startMemory(df: org.apache.spark.sql.DataFrame,
+      name: String, checkpoint: Option[String] = None): StreamingQuery = {
+    val w = df.writeStream.format("memory").queryName(name)
+    checkpoint.map(w.option("checkpointLocation", _)).getOrElse(w)
+      .start()
+  }
+
+  test("a stream started at head emits only subsequently committed " +
+      "delta versions, batch by batch; a tombstone epoch emits nothing") {
+    registered()
+    val path = s"$root/feed"
+    EpochTable.refresh(spark, path, mkTyped(1L to 20L), version = 0L)
+    val q = startMemory(
+      spark.readStream.table("gstr.feed").select("event_id", "uid"),
+      "feed_sink")
+    try {
+      q.processAllAvailable()
+      assert(spark.table("feed_sink").count() === 0L)
+      EpochTable.refreshDelta(spark, path, mkTyped(21L to 30L),
+        version = 1L)
+      q.processAllAvailable()
+      assert(spark.table("feed_sink").select("event_id").collect()
+        .map(_.getLong(0)).sorted.toSeq === (21L to 30L))
+      // a takedown epoch adds no dirs: nothing emitted, nothing retracted
+      EpochTable.delete(spark, Seq(21L, 5L).toDF("event_id"), path,
+        batchId = 1L)
+      EpochTable.refreshDelta(spark, path, mkTyped(31L to 33L),
+        version = 2L)
+      q.processAllAvailable()
+      assert(spark.table("feed_sink").count() === 13L)
+    } finally q.stop()
+  }
+
+  test("startingVersion replays from a retained RawDataVersion id; " +
+      "the checkpoint makes restart exactly-once") {
+    registered()
+    val path = s"$root/resume"
+    val ckpt = s"$root/resume_ckpt"
+    EpochTable.refresh(spark, path, mkTyped(1L to 10L), version = 0L)
+    EpochTable.refreshDelta(spark, path, mkTyped(11L to 15L), version = 1L)
+    EpochTable.refreshDelta(spark, path, mkTyped(16L to 18L), version = 2L)
+    // a fault-tolerant sink (parquet), so the restart exercises the
+    // SOURCE's checkpointed offsets (memory sinks refuse recovery)
+    val out = s"$root/resume_out"
+    def run(): Unit = {
+      val q = spark.readStream.option("startingVersion", "1")
+        .table("gstr.resume")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    // both retained delta versions stream; the snapshot does not
+    assert(spark.read.parquet(out).select("event_id").collect()
+      .map(_.getLong(0)).sorted.toSeq === (11L to 18L))
+    // restart on the SAME checkpoint: nothing re-emitted, new deltas flow
+    EpochTable.refreshDelta(spark, path, mkTyped(19L to 20L), version = 3L)
+    run()
+    assert(spark.read.parquet(out).select("event_id").collect()
+      .map(_.getLong(0)).sorted.toSeq === (11L to 20L))
+  }
+
+  test("non-append epochs fail the stream loudly: a compact rewrites " +
+      "directories, a merge shadows emitted rows") {
+    registered()
+    val path = s"$root/ao"
+    EpochTable.refresh(spark, path, mkTyped(1L to 10L), version = 0L)
+    EpochTable.refreshDelta(spark, path, mkTyped(11L to 14L), version = 1L)
+    val q = startMemory(spark.readStream.table("gstr.ao"), "ao_sink")
+    try {
+      q.processAllAvailable()
+      EpochTable.compact(spark, path)
+      val e = intercept[Exception] { q.processAllAvailable() }
+      assert(e.getMessage.contains("rewrote data directories") ||
+        Option(e.getCause).exists(
+          _.getMessage.contains("rewrote data directories")),
+        s"wrong failure: ${e.getMessage}")
+    } finally q.stop()
+    val q2 = startMemory(spark.readStream.table("gstr.ao"), "ao_sink2")
+    try {
+      q2.processAllAvailable()
+      EpochTable.merge(spark, path,
+        Seq((1L, "mod", 0L)).toDF("event_id", "etype", "uid"),
+        version = 2L, keys = Seq("event_id"))
+      val e = intercept[Exception] { q2.processAllAvailable() }
+      assert(e.getMessage.contains("committed a keyed merge") ||
+        Option(e.getCause).exists(
+          _.getMessage.contains("committed a keyed merge")),
+        s"wrong failure: ${e.getMessage}")
+    } finally q2.stop()
+  }
+
+  test("a stream that fell behind the retention horizon fails naming " +
+      "the pruned epoch; a startingVersion older than retention fails") {
+    registered()
+    val path = s"$root/horizon"
+    EpochTable.refresh(spark, path, mkTyped(1L to 5L), version = 0L)
+    EpochTable.refreshDelta(spark, path, mkTyped(6L to 8L), version = 1L)
+    EpochTable.refreshDelta(spark, path, mkTyped(9L to 10L), version = 2L)
+    Epoch.prune(spark, path, keep = 1)
+    val e = intercept[Exception] {
+      val q = startMemory(
+        spark.readStream.option("startingVersion", "0")
+          .table("gstr.horizon"),
+        "horizon_sink")
+      try q.processAllAvailable() finally q.stop()
+    }
+    def deepMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(deepMsg(e).contains("not a retained version") ||
+      deepMsg(e).contains("retention horizon"), deepMsg(e))
+  }
+}
