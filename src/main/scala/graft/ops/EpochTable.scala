@@ -176,9 +176,19 @@ object EpochTable {
     * Single-writer per table layout (the reference's per-table update
     * loop); wrap in [[Epoch.occ]] if concurrent refreshers are ever
     * pointed at one table. */
+  /** The release-time column every meta row carries (nullable — a
+    * version committed without a declared release instant cannot be
+    * addressed by TIMESTAMP AS OF, only by id). */
+  private def withReleaseTs(df: DataFrame,
+      releaseTs: Option[java.sql.Timestamp]): DataFrame =
+    df.withColumn("release_ts",
+      releaseTs.map(lit(_)).getOrElse(lit(null))
+        .cast(org.apache.spark.sql.types.TimestampType))
+
   def refresh(s: SparkSession, path: String, typed: DataFrame,
       version: Long, downloadRecords: Option[Long] = None,
-      errorRecords: Long = 0L): Long = {
+      errorRecords: Long = 0L,
+      releaseTs: Option[java.sql.Timestamp] = None): Long = {
     val key = s"ver_$version"
     val cur = Epoch.resolve(s, path)
     if (cur.exists(_.has(key)))
@@ -193,10 +203,10 @@ object EpochTable {
     val loaded = s.read.parquet(s"$g/data").count()
     val download = downloadRecords.getOrElse(loaded + errorRecords)
     import s.implicits._
-    Seq((version, download, download - errorRecords, loaded,
-      errorRecords))
+    withReleaseTs(Seq((version, download, download - errorRecords,
+      loaded, errorRecords))
       .toDF("version", "download_records", "clean_records",
-        "load_records", "error_records")
+        "load_records", "error_records"), releaseTs)
       .coalesce(1).write.mode("overwrite").parquet(s"$g/meta")
     Epoch.commit(s, path, Epoch.Manifest(next,
       Map(Data -> Seq(s"g$next/data"), Meta -> Seq(s"g$next/meta")),
@@ -220,7 +230,8 @@ object EpochTable {
     * and returns the current cumulative count. */
   def refreshDelta(s: SparkSession, path: String, delta: DataFrame,
       version: Long, downloadDelta: Option[Long] = None,
-      errorDelta: Long = 0L): Long = {
+      errorDelta: Long = 0L,
+      releaseTs: Option[java.sql.Timestamp] = None): Long = {
     val key = s"ver_$version"
     val m = current(s, path)
     if (m.has(key))
@@ -242,9 +253,10 @@ object EpochTable {
       downloadDelta.getOrElse(added + errorDelta)
     val errors = prev.getAs[Long]("error_records") + errorDelta
     import s.implicits._
-    Seq((version, download, download - errors, loaded, errors))
+    withReleaseTs(Seq((version, download, download - errors, loaded,
+      errors))
       .toDF("version", "download_records", "clean_records",
-        "load_records", "error_records")
+        "load_records", "error_records"), releaseTs)
       .coalesce(1).write.mode("overwrite").parquet(s"$g/meta")
     Epoch.commit(s, path, Epoch.Manifest(m.next,
       m.components
@@ -273,7 +285,8 @@ object EpochTable {
     * reader will see. */
   def merge(s: SparkSession, path: String, upserts: DataFrame,
       version: Long, keys: Seq[String], downloadDelta: Option[Long] = None,
-      errorDelta: Long = 0L): Long = {
+      errorDelta: Long = 0L,
+      releaseTs: Option[java.sql.Timestamp] = None): Long = {
     val key = s"ver_$version"
     val m = current(s, path)
     if (m.has(key))
@@ -314,9 +327,10 @@ object EpochTable {
     val download = prev.getAs[Long]("download_records") +
       downloadDelta.getOrElse(batch.count() + errorDelta)
     val errors = prev.getAs[Long]("error_records") + errorDelta
-    Seq((version, download, download - errors, loaded, errors))
+    withReleaseTs(Seq((version, download, download - errors, loaded,
+      errors))
       .toDF("version", "download_records", "clean_records",
-        "load_records", "error_records")
+        "load_records", "error_records"), releaseTs)
       .coalesce(1).write.mode("overwrite").parquet(s"$g/meta")
     Epoch.commit(s, path,
       next.copy(components =
@@ -419,7 +433,18 @@ object EpochTable {
     * `verifycalaccessrawdata.py:~30-90`). One tiny one-row parquet
     * read per retained epoch — bounded by the retention horizon, never
     * by table size. */
-  def versions(s: SparkSession, path: String): DataFrame = {
+  def versions(s: SparkSession, path: String): DataFrame =
+    versionsMeta(s, path)
+      .select("version", "download_records", "clean_records",
+        "load_records", "error_records", "consistent")
+
+  /** [[versions]] plus the declared release instant — the
+    * `$versions` metadata-table face
+    * ([[graft.sources.EpochTableCatalog]]) and TIMESTAMP AS OF both
+    * read it. Stable-column [[versions]] stays the driver-verified
+    * rollup. */
+  private[graft] def versionsMeta(s: SparkSession,
+      path: String): DataFrame = {
     val ms = Epoch.committedList(s, path)
       .flatMap(n => Epoch.resolveAsOf(s, path, n))
     require(ms.nonEmpty,
@@ -433,6 +458,26 @@ object EpochTable {
           col("clean_records") + col("error_records") &&
           col("load_records") === col("clean_records"))
   }
+
+  /** The manifest TIMESTAMP AS OF `tsMicros` addresses: the newest
+    * retained manifest whose meta row declares a release instant at or
+    * before the asked time (compact manifests carry their version's
+    * release forward, so the resolution lands on the freshest layout
+    * of the same rows). None if every retained release is later, or
+    * none declared a release instant. */
+  private[graft] def manifestForTimestamp(s: SparkSession, path: String,
+      tsMicros: Long): Option[Epoch.Manifest] =
+    Epoch.committedList(s, path).reverseIterator
+      .flatMap(n => Epoch.resolveAsOf(s, path, n))
+      .find { m =>
+        Epoch.read(s, path, m, Meta).exists { meta =>
+          meta.schema.fieldNames.contains("release_ts") &&
+            meta.where(col("release_ts").isNotNull &&
+              col("release_ts") <=
+                timestamp_micros(lit(tsMicros)))
+              .limit(1).count() > 0
+        }
+      }
 
   /** KEYED DIFF between two retained versions — what changed between
     * the March and April snapshots, the question reference users
@@ -491,10 +536,18 @@ object EpochTable {
       val path = s"${graft.GraftSession.scratchDir}/table_epoch_" +
         d.replaceAll("[^A-Za-z0-9]", "_")
       val typed = CoreQueries.loadTyped.fn(s, d)
-      refresh(s, path, typed.where(col("event_id") % 3 =!= 1), version = 0L)
-      refresh(s, path, typed, version = 1L)
+      // two "monthly releases", each with its declared release instant
+      // (≙ RawDataVersion.release_datetime) — TIMESTAMP AS OF resolves
+      // against these, never against commit wall-clock
+      refresh(s, path, typed.where(col("event_id") % 3 =!= 1),
+        version = 0L, releaseTs = Some(utc("2024-03-01T00:00:00Z")))
+      refresh(s, path, typed, version = 1L,
+        releaseTs = Some(utc("2024-04-01T00:00:00Z")))
       path
     }
+
+  private def utc(iso: String): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.parse(iso))
 
   /** The CURRENT version served from its pinned manifest — must
     * hash-equal the plain `load_typed` projection (the epoch layout
@@ -622,6 +675,54 @@ object EpochTable {
         s"FROM graft.`$tbl` VERSION AS OF 0 ORDER BY event_id")
     },
     tableAsof.oracle)
+
+  /** `TIMESTAMP AS OF` through Spark SQL, driver-verified: the asked
+    * instant (mid-March) falls between the two declared release
+    * instants, so the March release — version 0, the partial extract —
+    * answers, exactly as [[manifestForTimestamp]] resolves it from the
+    * meta rows (never commit wall-clock, so the answer is replayable). */
+  val tableSqlAsofTs = GQuery(
+    "table_sql_asof_ts",
+    (s, d) => {
+      val tbl = sqlIdent(s, d)
+      s.sql(s"SELECT event_id, event_date, value_dec, etype, uid " +
+        s"FROM graft.`$tbl` " +
+        "TIMESTAMP AS OF TIMESTAMP '2024-03-15 00:00:00' " +
+        "ORDER BY event_id")
+    },
+    tableAsof.oracle)
+
+  /** The `$versions` METADATA TABLE, driver-verified: the version
+    * history (ids, verified counts, the verify invariant, declared
+    * release instants) as an ordinary SQL table — planned as a local
+    * scan (bounded by the retention horizon, no executor tasks); the
+    * oracle recomputes the counts and invariant from the raw table. */
+  val tableSqlVersions = GQuery(
+    "table_sql_versions",
+    (s, d) => {
+      val tbl = sqlIdent(s, d)
+      s.sql(s"SELECT version, download_records, clean_records, " +
+        s"load_records, error_records, consistent, release_ts " +
+        s"FROM graft.`$tbl$$versions` ORDER BY version")
+    },
+    Some("""
+      WITH v0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM events
+                  WHERE event_id % 3 <> 1),
+           v1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM events)
+      SELECT version, download_records, clean_records, load_records,
+             error_records, consistent, release_ts
+      FROM (
+        SELECT CAST(0 AS BIGINT) AS version, c AS download_records,
+               c AS clean_records, c AS load_records,
+               CAST(0 AS BIGINT) AS error_records, TRUE AS consistent,
+               TIMESTAMP '2024-03-01 00:00:00' AS release_ts
+        FROM v0
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), c, c, c, CAST(0 AS BIGINT), TRUE,
+               TIMESTAMP '2024-04-01 00:00:00'
+        FROM v1)
+      ORDER BY version
+    """))
 
   /** Layout for the upsert entry: version 0 is a CORRUPTED partial
     * extract — the 3-mod-11 rows missing, the 0-mod-7 rows carrying a
@@ -916,5 +1017,5 @@ object EpochTable {
   def all: Seq[GQuery] =
     Seq(tableEpoch, tableAsof, tableVersions, tableDiff, tableDelta,
       tableUpsert, tableSchemaEvolve, tableSql, tableSqlAsof,
-      tableStream, snapshotTableFetch)
+      tableSqlAsofTs, tableSqlVersions, tableStream, snapshotTableFetch)
 }

@@ -97,11 +97,40 @@ final class EpochTableCatalog extends TableCatalog {
   override def tableExists(ident: Identifier): Boolean =
     Epoch.resolve(active, layoutPath(ident)).nonEmpty
 
-  /** The CURRENT version — resolved at load time, pinned thereafter. */
+  /** Iceberg-style metadata-table suffix: `graft.tbl$versions` is the
+    * RawDataVersion history of `graft.tbl` (id, verified counts, the
+    * verify invariant, the declared release instant) as a SQL table. */
+  private val MetaSuffix = "$versions"
+
+  /** The CURRENT version — resolved at load time, pinned thereafter.
+    * `tbl$versions` loads the version-history metadata table. */
   override def loadTable(ident: Identifier): Table = {
     val s = active
+    if (ident.name().endsWith(MetaSuffix)) {
+      val base = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix(MetaSuffix))
+      val p = layoutPath(base)
+      if (Epoch.resolve(s, p).isEmpty)
+        throw new NoSuchTableException(ident)
+      return new EpochTableCatalog.VersionsTable(ident.toString,
+        EpochTable.versionsMeta(s, p).orderBy("version"))
+    }
     val p = layoutPath(ident)
     val m = Epoch.resolve(s, p).getOrElse(
+      throw new NoSuchTableException(ident))
+    pinned(s, ident, p, m)
+  }
+
+  /** TIME TRAVEL: `TIMESTAMP AS OF <t>` — resolved against each
+    * version's DECLARED release instant (≙
+    * `RawDataVersion.release_datetime`), never commit wall-clock, so
+    * "the table as California published it in March" is exact and
+    * replayable. `timestamp` arrives in microseconds (Spark's
+    * contract). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val s = active
+    val p = layoutPath(ident)
+    val m = EpochTable.manifestForTimestamp(s, p, timestamp).getOrElse(
       throw new NoSuchTableException(ident))
     pinned(s, ident, p, m)
   }
@@ -184,5 +213,29 @@ object EpochTableCatalog {
         : ScanBuilder =
       new EpochTableStream.StreamableScanBuilder(s, layoutPath,
         delegate.newScanBuilder(options), options)
+  }
+
+  /** The `$versions` metadata table: one row per retained
+    * RawDataVersion — tiny by construction (bounded by the retention
+    * horizon, never by table size), so it plans as a LOCAL scan (a
+    * driver-side row set, no executor tasks), the same way Iceberg
+    * serves its snapshot/history tables. */
+  private final class VersionsTable(ident: String,
+      df: org.apache.spark.sql.DataFrame)
+      extends Table with SupportsRead {
+    override def name(): String = ident
+    override def schema(): StructType = df.schema
+    override def capabilities(): java.util.Set[TableCapability] =
+      java.util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap)
+        : ScanBuilder = new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.LocalScan {
+          override def rows()
+              : Array[org.apache.spark.sql.catalyst.InternalRow] =
+            df.queryExecution.executedPlan.executeCollect()
+          override def readSchema(): StructType = df.schema
+        }
+    }
   }
 }

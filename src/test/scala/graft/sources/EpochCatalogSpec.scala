@@ -120,6 +120,40 @@ class EpochCatalogSpec extends SparkTestBase {
       .getAs[String]("etype") === "m5")
   }
 
+  test("TIMESTAMP AS OF resolves against declared release instants " +
+      "(not commit wall-clock): between releases → the earlier one, " +
+      "before the first → analysis error; $versions is the history " +
+      "as a local-scan SQL table") {
+    registered()
+    val path = s"$root/ts"
+    def utc(iso: String) =
+      java.sql.Timestamp.from(java.time.Instant.parse(iso))
+    EpochTable.refresh(spark, path, mkTyped(1L to 10L), version = 0L,
+      releaseTs = Some(utc("2024-03-01T00:00:00Z")))
+    EpochTable.refreshDelta(spark, path, mkTyped(11L to 16L),
+      version = 1L, releaseTs = Some(utc("2024-04-01T00:00:00Z")))
+    assert(spark.sql("SELECT * FROM gcat.ts " +
+      "TIMESTAMP AS OF TIMESTAMP '2024-03-15 00:00:00'").count() === 10L)
+    assert(spark.sql("SELECT * FROM gcat.ts " +
+      "TIMESTAMP AS OF TIMESTAMP '2024-06-01 00:00:00'").count() === 16L)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gcat.ts " +
+        "TIMESTAMP AS OF TIMESTAMP '2023-01-01 00:00:00'").collect()
+    }
+    // the metadata table: history rows with release instants, planned
+    // as a LOCAL scan (no file source in the plan)
+    val hist = spark.sql("SELECT * FROM gcat.`ts$versions` ORDER BY version")
+    assert(hist.collect().map(_.getAs[Long]("version")).toSeq ===
+      Seq(0L, 1L))
+    assert(hist.where(col("consistent")).count() === 2L)
+    assert(hist.queryExecution.executedPlan.toString()
+      .contains("LocalTableScan"))
+    // a metadata table over a layout that does not exist refuses
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gcat.`nope$versions`").collect()
+    }
+  }
+
   test("a loaded table is PINNED: dirs resolved at load survive a " +
       "concurrent refresh (snapshot isolation per statement)") {
     registered()
