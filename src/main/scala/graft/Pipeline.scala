@@ -52,14 +52,19 @@ object Pipeline {
     * to [[updateTable]]'s overwrite sink: use this face when readers
     * cannot be paused for the refresh. */
   def updateTableEpoch(spark: SparkSession, table: TableDef,
-      tsvPath: String, layoutRoot: String, version: Long): TableResult = {
+      tsvPath: String, layoutRoot: String, version: Long,
+      releaseTs: Option[java.sql.Timestamp] = None): TableResult = {
     val cleaned = Clean.cleanFile(spark, table, tsvPath)
     val typed = Load.load(table, cleaned.good)
     val good = cleaned.good.count()
     val bad = cleaned.bad.count()
     val path = s"$layoutRoot/${table.name}"
+    // releaseTs ≙ RawDataVersion.release_datetime (the export's declared
+    // instant, models/tracking.py:~130) — rides the meta row so SQL
+    // TIMESTAMP AS OF addresses the run by its release, not wall-clock
     val loaded = ops.EpochTable.refresh(spark, path, typed, version,
-      downloadRecords = Some(good + bad), errorRecords = bad)
+      downloadRecords = Some(good + bad), errorRecords = bad,
+      releaseTs = releaseTs)
     TableResult(table.name, ops.EpochTable.serve(spark, path),
       FileMetrics(table.name, good + bad, good, loaded, bad))
   }
