@@ -642,6 +642,44 @@ object StreamRunner {
       }
       .start()
 
+  /** Streaming CDC APPLY on the epoch table tier — the upsert twin of
+    * [[tableIngestEpochStream]]: each micro-batch of keyed change rows
+    * commits one MERGE version ([[graft.ops.EpochTable.merge]],
+    * version id = the checkpointed foreachBatch id) under `Epoch.occ`.
+    * Updated keys REPLACE the served row, new keys INSERT — the
+    * change-data-capture consumer a warehouse points at an OLTP
+    * feed, each batch ∝ |changes| never ∝ |table|. A batch may carry
+    * several changes for one key when `orderCol` names a monotone
+    * sequence column (the CDC log position): the batch folds
+    * latest-wins per key BEFORE merging and the ordering column is
+    * dropped (it orders application, it is not table data); without
+    * `orderCol`, batches must arrive key-unique (merge validates
+    * loudly — picking a survivor would be nondeterministic).
+    * Same bootstrap + checkpoint contract as the ingest face; the
+    * sweep's `epoch_table` arm folds accumulated merge generations. */
+  def tableCdcEpochStream(layoutPath: String, changes: DataFrame,
+      keys: Seq[String], orderCol: Option[String] = None,
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    withCheckpoint(changes.writeStream.outputMode("append"), checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val folded = orderCol match {
+          case None => batch
+          case Some(oc) =>
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(keys.map(col): _*)
+              .orderBy(col(oc).desc)
+            batch.withColumn("__rn", row_number().over(w))
+              .where(col("__rn") === 1).drop("__rn", oc)
+        }
+        graft.ops.Epoch.occ(batch.sparkSession, layoutPath) {
+          graft.ops.EpochTable.merge(batch.sparkSession, layoutPath,
+            folded, version = batchId, keys = keys)
+          ()
+        }
+      }
+      .start()
+
   /** Apply a checkpoint location when one is supplied — shared by the
     * streaming faces whose exactly-once rests on the checkpointed
     * foreachBatch id (see each face's `checkpoint` doc). */

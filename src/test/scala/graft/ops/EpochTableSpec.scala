@@ -266,6 +266,40 @@ class EpochTableSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("tableCdcEpochStream: one merge version per micro-batch, " +
+      "in-batch changes fold latest-wins on the CDC position, " +
+      "updates replace and inserts grow the served table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val path = s"${graft.GraftSession.scratchDir}/table_epoch_cdc"
+    EpochTable.refresh(spark, path, mkTyped(1L to 20L), version = -1L)
+    val src = MemoryStream[(Long, String, Long, Long)]
+    val q = graft.streaming.StreamRunner.tableCdcEpochStream(path,
+      src.toDF().toDF("event_id", "etype", "uid", "seq"),
+      keys = Seq("event_id"), orderCol = Some("seq"))
+    try {
+      // two changes for key 5 in ONE batch: seq decides the survivor
+      src.addData((5L, "stale", 0L, 1L), (5L, "fresh", 50L, 2L),
+        (21L, "new", 210L, 1L))
+      q.processAllAvailable()
+      val served = EpochTable.serve(spark, path)
+      assert(served.count() === 21L)
+      assert(served.where(col("event_id") === 5L).head()
+        .getAs[String]("etype") === "fresh")
+      // the CDC position column is applied, not stored
+      assert(!served.columns.contains("seq"))
+      src.addData((5L, "fresher", 51L, 3L))
+      q.processAllAvailable()
+      assert(EpochTable.serve(spark, path)
+        .where(col("event_id") === 5L).head()
+        .getAs[String]("etype") === "fresher")
+      // each micro-batch is a queryable merge version
+      assert(EpochTable.versions(spark, path)
+        .orderBy("version").collect().map(_.getAs[Long]("version"))
+        .toSeq === Seq(-1L, 0L, 1L))
+    } finally q.stop()
+  }
+
   test("Pipeline.updateTableEpoch: clean → load → epoch commit with " +
       "count-verified metrics riding the manifest") {
     import graft.schemas.Schemas
