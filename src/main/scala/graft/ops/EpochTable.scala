@@ -52,7 +52,7 @@ object EpochTable {
   private val Merge = "merge"
   private val MergeKeys = "mergekeys"
 
-  private[ops] def current(s: SparkSession, path: String)
+  private[graft] def current(s: SparkSession, path: String)
       : Epoch.Manifest =
     Epoch.resolve(s, path).getOrElse(throw new IllegalStateException(
       s"EpochTable: no committed version at $path — refresh first"))
@@ -724,6 +724,82 @@ object EpochTable {
       ORDER BY version
     """))
 
+  /** Layouts + one DML run each for the SQL-write entries. Each build
+    * registers the catalog, commits a base version, runs ONE SQL DML
+    * statement against it, and the entry reads the served result —
+    * the writes land as manifest versions like any pipeline commit. */
+  private val dmlSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedDmlTag(s: SparkSession, d: String): String =
+    graft.BuildOnce.memo(dmlSaved, d) {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.EpochTableCatalog.register(s, "graft",
+        graft.GraftSession.scratchDir)
+      val typed = CoreQueries.loadTyped.fn(s, d)
+      typed.createOrReplaceTempView(s"dml_src_$tag")
+      // INSERT INTO: base = even ids, the odd ids arrive as one SQL
+      // delta version
+      val ins = s"table_ins_$tag"
+      refresh(s, s"${graft.GraftSession.scratchDir}/$ins",
+        typed.where(col("event_id") % 2 === 0), version = 0L)
+      s.sql(s"INSERT INTO graft.`$ins` " +
+        s"SELECT * FROM dml_src_$tag WHERE event_id % 2 = 1")
+      // DELETE FROM: base = real rows + planted junk (shifted ids, a
+      // marker etype), one SQL copy-on-write delete removes the junk
+      val del = s"table_del_$tag"
+      refresh(s, s"${graft.GraftSession.scratchDir}/$del",
+        typed.unionByName(typed.limit(500)
+          .withColumn("event_id", col("event_id") + 1000000000L)
+          .withColumn("etype", lit("JUNK"))),
+        version = 0L)
+      s.sql(s"DELETE FROM graft.`$del` WHERE etype = 'JUNK'")
+      // INSERT OVERWRITE: base = a corrupted partial extract, the SQL
+      // overwrite commits the full reload (≙ the reference's monthly
+      // reload; the corrupted version stays addressable by id)
+      val ow = s"table_ow_$tag"
+      refresh(s, s"${graft.GraftSession.scratchDir}/$ow",
+        typed.where(col("event_id") % 3 === 0)
+          .withColumn("etype", lit("CORRUPT")),
+        version = 0L)
+      s.sql(s"INSERT OVERWRITE graft.`$ow` " +
+        s"SELECT * FROM dml_src_$tag")
+      tag
+    }
+
+  private def dmlServe(s: SparkSession, d: String,
+      prefix: String): DataFrame = {
+    val tag = savedDmlTag(s, d)
+    serve(s, s"${graft.GraftSession.scratchDir}/${prefix}_$tag")
+      .orderBy("event_id")
+  }
+
+  /** `INSERT INTO` through the catalog, driver-verified: the odd-id
+    * rows landed as ONE SQL-committed delta version (a manifest
+    * commit under occ, version id self-assigned); the served table
+    * must hash-equal the plain `load_typed` projection. */
+  val tableSqlInsert = GQuery(
+    "table_sql_insert",
+    (s, d) => dmlServe(s, d, "table_ins"),
+    CoreQueries.loadTyped.oracle)
+
+  /** `DELETE FROM` through the catalog, driver-verified: the planted
+    * junk rows removed by one copy-on-write SQL delete (tombstone
+    * epoch + fold epoch); exactly the real rows survive. */
+  val tableSqlDelete = GQuery(
+    "table_sql_delete",
+    (s, d) => dmlServe(s, d, "table_del"),
+    CoreQueries.loadTyped.oracle)
+
+  /** `INSERT OVERWRITE` through the catalog, driver-verified: the
+    * corrupted partial version replaced by a SQL full-reload version
+    * (≙ the reference's monthly reload as one statement); the served
+    * table must hash-equal `load_typed`, the corruption invisible. */
+  val tableSqlOverwrite = GQuery(
+    "table_sql_overwrite",
+    (s, d) => dmlServe(s, d, "table_ow"),
+    CoreQueries.loadTyped.oracle)
+
   /** Layout for the upsert entry: version 0 is a CORRUPTED partial
     * extract — the 3-mod-11 rows missing, the 0-mod-7 rows carrying a
     * stale etype — and version 1 arrives as ONE keyed upsert batch
@@ -1017,5 +1093,6 @@ object EpochTable {
   def all: Seq[GQuery] =
     Seq(tableEpoch, tableAsof, tableVersions, tableDiff, tableDelta,
       tableUpsert, tableSchemaEvolve, tableSql, tableSqlAsof,
-      tableSqlAsofTs, tableSqlVersions, tableStream, snapshotTableFetch)
+      tableSqlAsofTs, tableSqlVersions, tableSqlInsert, tableSqlDelete,
+      tableSqlOverwrite, tableStream, snapshotTableFetch)
 }

@@ -2,13 +2,17 @@ package graft.sources
 
 import graft.ops.{Epoch, EpochTable}
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -45,14 +49,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * happens per `spark.sql` call, so each statement sees the newest
   * committed version.
   *
-  * READ-ONLY by construction: the returned table advertises BATCH_READ
-  * only (INSERT/CTAS fail in analysis), and every catalog mutation
-  * throws — writes that bypassed the manifest commit protocol would
-  * corrupt the layout's atomicity ([[graft.ops.EpochTable.refresh]] /
-  * `refreshDelta` / `merge` are the write path). A version carrying
-  * unfolded tombstones or merge generations refuses loudly (the bare
-  * parquet `Table` cannot express the anti-join/shadowing plan) —
-  * compact first, or read through `EpochTable`'s faces.
+  * SQL WRITES GO THROUGH THE MANIFEST PROTOCOL — never around it:
+  * `INSERT INTO` commits one delta version
+  * ([[graft.ops.EpochTable.refreshDelta]] under `Epoch.occ`),
+  * `INSERT OVERWRITE` commits a full-reload version (≙ the
+  * reference's monthly reload — the old version stays addressable by
+  * `VERSION AS OF`), and `DELETE FROM` commits one tombstone takedown
+  * epoch; version ids self-assign past the retained maximum. A write
+  * path that dodged the protocol (files appended into generation
+  * dirs) is structurally impossible here: the only write surface IS
+  * the commit. Catalog-level DDL (CREATE/DROP/ALTER/RENAME) still
+  * throws — layouts are created by their build pipelines. A version
+  * carrying unfolded tombstones or merge generations refuses READS
+  * loudly (the bare parquet `Table` cannot express the
+  * anti-join/shadowing plan) — compact first, or read through
+  * `EpochTable`'s faces.
   *
   * Identifier mapping: `graft.ns.tbl` → `<root>/ns/tbl` — one epoch
   * layout per table path, namespaces are directories. */
@@ -170,7 +181,8 @@ final class EpochTableCatalog extends TableCatalog {
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = readOnly()
 
-  override def createTable(ident: Identifier, columns: Array[Column],
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = readOnly()
 
@@ -193,27 +205,130 @@ object EpochTableCatalog {
     s.conf.set(s"spark.sql.catalog.$name.root", rootDir)
   }
 
-  /** A read-only pin over the built-in vectorized parquet table: the
-    * batch scan path (pushdown, pruning, codegen) is the delegate's —
-    * routed through [[EpochTableStream.StreamableScanBuilder]], which
-    * delegates every pushdown call and only adds the micro-batch face
+  /** The SQL table over one pinned version. READS: the batch scan
+    * path (pushdown, pruning, codegen) is the built-in parquet
+    * table's — routed through
+    * [[EpochTableStream.StreamableScanBuilder]], which delegates every
+    * pushdown call and only adds the micro-batch face
     * (`readStream.table` subscribes to committed delta versions).
-    * The WRITE capability is withheld, so an INSERT that would bypass
-    * the manifest protocol dies in analysis instead of corrupting the
-    * layout. */
+    * WRITES commit manifests, never files: INSERT INTO → one delta
+    * version, INSERT OVERWRITE / TRUNCATE-backed overwrite → one
+    * full-reload version, DELETE FROM → one tombstone takedown epoch —
+    * each under `Epoch.occ`, each a single atomic rename, version ids
+    * self-assigned past the retained maximum (SQL has no
+    * RawDataVersion notion; pipeline runs that do assign their own ids
+    * coexist because both draw from the same monotone sequence).
+    * Writes act on the layout HEAD (the occ rebase discipline), not
+    * the pinned manifest a time-travel read resolved. */
   private final class PinnedEpochTable(ident: String, s: SparkSession,
       layoutPath: String, delegate: ParquetTable)
-      extends Table with SupportsRead {
+      extends Table with SupportsRead with SupportsWrite
+      with SupportsDelete {
     override def name(): String = ident
     override def schema(): StructType = delegate.schema
     override def capabilities(): java.util.Set[TableCapability] =
       java.util.EnumSet.of(TableCapability.BATCH_READ,
-        TableCapability.MICRO_BATCH_READ)
+        TableCapability.MICRO_BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
     override def newScanBuilder(options: CaseInsensitiveStringMap)
         : ScanBuilder =
       new EpochTableStream.StreamableScanBuilder(s, layoutPath,
         delegate.newScanBuilder(options), options)
+
+    /** The next version id no retained version uses — monotone across
+      * SQL and pipeline writers (retained-history-bounded driver read). */
+    private def autoVersion(): Long = {
+      val next = Epoch.resolve(s, layoutPath).map(_.next).getOrElse(0L)
+      val maxVer = EpochTable.versionsMeta(s, layoutPath)
+        .agg(org.apache.spark.sql.functions.max("version")).head()
+        .getLong(0)
+      math.max(next, maxVer + 1L)
+    }
+
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      new WriteBuilder with SupportsTruncate {
+        private var overwrite = false
+        override def truncate(): WriteBuilder = { overwrite = true; this }
+        override def build(): Write = new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: DataFrame, ov: Boolean): Unit =
+                Epoch.occ(s, layoutPath) {
+                  if (overwrite || ov)
+                    EpochTable.refresh(s, layoutPath, data,
+                      version = autoVersion())
+                  else
+                    EpochTable.refreshDelta(s, layoutPath, data,
+                      version = autoVersion())
+                  ()
+                }
+            }
+        }
+      }
+
+    override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+      EpochTableCatalog.filtersToColumn(filters).isDefined
+
+    /** DELETE FROM … WHERE, COPY-ON-WRITE: one tombstone epoch (the
+      * pushed condition evaluated against the served head, ∝ |doomed|)
+      * followed by one fold epoch — successive occ blocks, so the next
+      * SELECT serves a bare folded snapshot (the SQL face's contract).
+      * The fold is ∝ |table| — the price every copy-on-write format
+      * pays on DELETE; high-volume takedown pipelines use the
+      * merge-on-read path instead ([[graft.ops.EpochTable.delete]] +
+      * the sweep's cadence-scheduled folds) and pay ∝ |doomed| per
+      * batch. The pre-delete version stays addressable. */
+    override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+      val cond = EpochTableCatalog.filtersToColumn(filters).getOrElse(
+        throw new UnsupportedOperationException(
+          s"EpochTableCatalog: cannot push delete condition " +
+            filters.mkString("[", ", ", "]")))
+      Epoch.occ(s, layoutPath) {
+        val m = EpochTable.current(s, layoutPath)
+        val doomed = EpochTable.data(s, layoutPath, m).where(cond)
+        EpochTable.delete(s, doomed, layoutPath, batchId = m.next)
+      }
+      Epoch.occ(s, layoutPath) {
+        EpochTable.compact(s, layoutPath)
+      }
+    }
   }
+
+  /** v1 data-source filters → one Column, the supported-subset
+    * translation `DELETE FROM` pushes through (None = a shape we
+    * cannot express; `canDeleteWhere` then refuses in analysis
+    * instead of failing mid-delete). */
+  private[sources] def filtersToColumn(
+      filters: Array[sources.Filter]): Option[Column] =
+    filters.foldLeft(Option(lit(true))) { (acc, f) =>
+      acc.flatMap(a => filterToColumn(f).map(a && _))
+    }
+
+  private def filterToColumn(f: sources.Filter): Option[Column] =
+    f match {
+      case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+      case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+      case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case sources.LessThan(a, v) => Some(col(a) < lit(v))
+      case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case sources.In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+      case sources.IsNull(a) => Some(col(a).isNull)
+      case sources.IsNotNull(a) => Some(col(a).isNotNull)
+      case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case sources.StringContains(a, v) => Some(col(a).contains(v))
+      case sources.And(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r))
+          yield lc && rc
+      case sources.Or(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r))
+          yield lc || rc
+      case sources.Not(c) => filterToColumn(c).map(!_)
+      case sources.AlwaysTrue() => Some(lit(true))
+      case sources.AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
 
   /** The `$versions` metadata table: one row per retained
     * RawDataVersion — tiny by construction (bounded by the retention

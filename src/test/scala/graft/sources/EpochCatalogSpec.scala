@@ -73,23 +73,52 @@ class EpochCatalogSpec extends SparkTestBase {
     assert(df.count() === 50L)
   }
 
-  test("writes die in analysis (BATCH_READ only) and catalog " +
-      "mutations throw — the manifest protocol stays the only write " +
-      "path") {
+  test("SQL writes commit manifest versions, never files: INSERT " +
+      "INTO = a delta version, INSERT OVERWRITE = a full reload with " +
+      "the old version still addressable, DELETE FROM = a tombstone " +
+      "epoch; DDL still throws") {
     registered()
-    val path = s"$root/ro"
+    val path = s"$root/dml"
     EpochTable.refresh(spark, path, mkTyped(1L to 10L), version = 0L)
+    // INSERT INTO → one delta version (epoch grew by exactly one)
+    spark.sql("INSERT INTO gcat.dml VALUES (11, 'x', 110), (12, 'y', 120)")
+    assert(spark.sql("SELECT * FROM gcat.dml").count() === 12L)
+    assert(Epoch.resolve(spark, path).get.epoch === 1L)
+    assert(Epoch.resolve(spark, path).get.components("data").size === 2)
+    // the SQL-assigned version id is queryable like any other
+    val v1 = EpochTable.versions(spark, path)
+      .orderBy("version").collect().map(_.getAs[Long]("version"))
+    assert(v1.toSeq === Seq(0L, 1L))
+    // DELETE FROM: copy-on-write — tombstone epoch + fold epoch, so
+    // the very next SELECT serves a bare folded snapshot
+    spark.sql("DELETE FROM gcat.dml WHERE etype = 'x'")
+    assert(spark.sql("SELECT * FROM gcat.dml WHERE event_id = 11")
+      .count() === 0L)
+    assert(spark.sql("SELECT * FROM gcat.dml").count() === 11L)
+    assert(Epoch.resolve(spark, path).get
+      .components("tombstones").isEmpty)
+    // a non-pushable delete condition refuses in ANALYSIS (no
+    // half-applied delete)
     intercept[Exception] {
-      spark.sql("INSERT INTO gcat.ro VALUES (11, 'x', 110)")
+      spark.sql("DELETE FROM gcat.dml WHERE event_id % 2 = 0")
     }
+    assert(EpochTable.serve(spark, path).count() === 11L)
+    // INSERT OVERWRITE → a full-reload version; the pre-overwrite
+    // table stays addressable by its version id
+    spark.sql("INSERT OVERWRITE gcat.dml VALUES (100, 'z', 1000)")
+    assert(spark.sql("SELECT * FROM gcat.dml").count() === 1L)
+    val vers = EpochTable.versions(spark, path)
+      .orderBy("version").collect().map(_.getAs[Long]("version"))
+    val preOverwrite = vers(vers.length - 2)
+    assert(EpochTable.dataForVersion(spark, path, preOverwrite)
+      .get.count() === 11L)
+    // DDL is still refused — layouts are created by their pipelines
     intercept[Exception] {
       spark.sql("CREATE TABLE gcat.newtbl (a INT)")
     }
     intercept[Exception] {
-      spark.sql("DROP TABLE gcat.ro")
+      spark.sql("DROP TABLE gcat.dml")
     }
-    // nothing changed
-    assert(spark.sql("SELECT * FROM gcat.ro").count() === 10L)
   }
 
   test("a version carrying unfolded tombstones or merges refuses " +
