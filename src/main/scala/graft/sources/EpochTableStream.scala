@@ -109,7 +109,9 @@ object EpochTableStream {
     override def stop(): Unit = ()
 
     /** The data directories manifests (a, b] ADDED, append-only
-      * validated epoch by epoch. */
+      * validated epoch by epoch. Epoch 0's predecessor is the empty
+      * layout, so a stream started AT the first version (offset -1)
+      * emits the initial snapshot as its first batch. */
     private def dirsBetween(a: Long, b: Long): Seq[String] = {
       def manifest(n: Long) = Epoch.resolveAsOf(s, path, n).getOrElse(
         throw new IllegalStateException(
@@ -117,7 +119,9 @@ object EpochTableStream {
             "fell behind the retention horizon (Epoch.prune); restart " +
             "from a retained version"))
       (a + 1 to b).flatMap { n =>
-        val prev = manifest(n - 1)
+        val prev =
+          if (n == 0L) Epoch.Manifest(-1L, Map.empty, Seq.empty)
+          else manifest(n - 1)
         val cur = manifest(n)
         val prevData = prev.components.getOrElse("data", Seq.empty)
         val curData = cur.components.getOrElse("data", Seq.empty)

@@ -83,6 +83,23 @@ class EpochTableStreamSpec extends SparkTestBase {
       .map(_.getLong(0)).sorted.toSeq === (11L to 20L))
   }
 
+  test("startingVersion at the FIRST version streams the initial " +
+      "snapshot itself (epoch 0's predecessor is the empty layout)") {
+    registered()
+    val path = s"$root/genesis"
+    EpochTable.refresh(spark, path, mkTyped(1L to 7L), version = 0L)
+    EpochTable.refreshDelta(spark, path, mkTyped(8L to 9L), version = 1L)
+    val q = startMemory(
+      spark.readStream.option("startingVersion", "0")
+        .table("gstr.genesis"),
+      "genesis_sink")
+    try {
+      q.processAllAvailable()
+      assert(spark.table("genesis_sink").select("event_id").collect()
+        .map(_.getLong(0)).sorted.toSeq === (1L to 9L))
+    } finally q.stop()
+  }
+
   test("non-append epochs fail the stream loudly: a compact rewrites " +
       "directories, a merge shadows emitted rows") {
     registered()
