@@ -800,6 +800,67 @@ object EpochTable {
     (s, d) => dmlServe(s, d, "table_ow"),
     CoreQueries.loadTyped.oracle)
 
+  /** Layout for the snapshot-catalog entry: TWO table tiers — the
+    * typed events and a per-user rollup DERIVED from the same extract
+    * — published under one registry cut, then the events tier
+    * refreshed to the full reload WITHOUT republishing: the snapshot
+    * catalog must keep serving both tables from the published cut. */
+  private val snapSqlSaved =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String, String)]
+
+  private[ops] def savedSnapSql(s: SparkSession, d: String)
+      : (String, String, String) =
+    graft.BuildOnce.memo(snapSqlSaved, d) {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val ev = s"snapsql_ev_$tag"
+      val ag = s"snapsql_agg_$tag"
+      val reg = s"${graft.GraftSession.scratchDir}/snapsql_reg_$tag"
+      val typed = CoreQueries.loadTyped.fn(s, d)
+      val extract = typed.where(col("event_id") % 3 =!= 1)
+      refresh(s, s"${graft.GraftSession.scratchDir}/$ev", extract,
+        version = 0L)
+      refresh(s, s"${graft.GraftSession.scratchDir}/$ag",
+        extract.where(col("uid").isNotNull)
+          .groupBy(col("uid")).agg(count(lit(1)).as("n_events")),
+        version = 0L)
+      Snapshot.publish(s, reg, Map(ev -> 0L, ag -> 0L), "cut_0")
+      // the full reload lands on the events tier but is NOT published
+      refresh(s, s"${graft.GraftSession.scratchDir}/$ev", typed,
+        version = 1L)
+      graft.sources.EpochTableCatalog.register(s, s"gsnap_$tag",
+        graft.GraftSession.scratchDir, registry = Some(reg))
+      (s"gsnap_$tag", ev, ag)
+    }
+
+  /** MULTI-TABLE consistent SQL, driver-verified: a cross-table join
+    * through the snapshot-mode catalog — both tables resolve through
+    * ONE registry snapshot, so the join can never straddle an ingest
+    * (the events tier's newer unpublished reload is invisible). The
+    * join keeps only uids whose recomputed count EQUALS the pinned
+    * rollup's — under any straddle the counts diverge and the result
+    * changes, so the oracle match IS the consistency proof. */
+  val tableSqlSnapshot = GQuery(
+    "table_sql_snapshot",
+    (s, d) => {
+      val (cat, ev, ag) = savedSnapSql(s, d)
+      s.sql(s"""
+        SELECT a.uid, b.n_events
+        FROM (SELECT uid, COUNT(*) AS c FROM $cat.`$ev`
+              WHERE uid IS NOT NULL GROUP BY uid) a
+        JOIN $cat.`$ag` b
+          ON a.uid = b.uid AND a.c = b.n_events
+        ORDER BY a.uid
+      """)
+    },
+    Some("""
+      SELECT CAST(user_id AS BIGINT) AS uid,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events
+      WHERE event_id % 3 <> 1 AND user_id IS NOT NULL
+      GROUP BY 1
+      ORDER BY 1
+    """))
+
   /** Layout for the upsert entry: version 0 is a CORRUPTED partial
     * extract — the 3-mod-11 rows missing, the 0-mod-7 rows carrying a
     * stale etype — and version 1 arrives as ONE keyed upsert batch
@@ -1094,5 +1155,6 @@ object EpochTable {
     Seq(tableEpoch, tableAsof, tableVersions, tableDiff, tableDelta,
       tableUpsert, tableSchemaEvolve, tableSql, tableSqlAsof,
       tableSqlAsofTs, tableSqlVersions, tableSqlInsert, tableSqlDelete,
-      tableSqlOverwrite, tableStream, snapshotTableFetch)
+      tableSqlOverwrite, tableSqlSnapshot, tableStream,
+      snapshotTableFetch)
 }

@@ -71,6 +71,7 @@ final class EpochTableCatalog extends TableCatalog {
 
   private var catalogName: String = _
   private var root: String = _
+  private var registry: Option[String] = None
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
@@ -78,6 +79,7 @@ final class EpochTableCatalog extends TableCatalog {
     root = Option(options.get("root")).getOrElse(
       throw new IllegalArgumentException(
         s"EpochTableCatalog: spark.sql.catalog.$name.root is required"))
+    registry = Option(options.get("registry"))
   }
 
   override def name(): String = catalogName
@@ -88,16 +90,20 @@ final class EpochTableCatalog extends TableCatalog {
     (ident.namespace() :+ ident.name()).mkString(s"$root/", "/", "")
 
   /** Tables under a namespace = child dirs holding >=1 committed
-    * manifest — one FS listing, no file IO. */
+    * manifest — one FS listing, no file IO. In snapshot mode, only
+    * the tiers the current registry snapshot pins are tables. */
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val s = active
     val base = new org.apache.hadoop.fs.Path(
       namespace.mkString(s"$root/", "/", ""))
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return Array.empty
+    val pinnedOnly = registry.map(r =>
+      graft.ops.Snapshot.resolvePins(s, r).keySet)
     fs.listStatus(base).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
+      .filter(d => pinnedOnly.forall(_.contains(d)))
       .filter(d => Epoch.committedList(s,
         new org.apache.hadoop.fs.Path(base, d).toString).nonEmpty)
       .sorted
@@ -127,8 +133,20 @@ final class EpochTableCatalog extends TableCatalog {
         EpochTable.versionsMeta(s, p).orderBy("version"))
     }
     val p = layoutPath(ident)
-    val m = Epoch.resolve(s, p).getOrElse(
-      throw new NoSuchTableException(ident))
+    val m = registry match {
+      case None =>
+        Epoch.resolve(s, p).getOrElse(
+          throw new NoSuchTableException(ident))
+      case Some(reg) =>
+        // SNAPSHOT MODE: every table resolves through the SAME
+        // registry snapshot manifest — one consistent cut across all
+        // tables this catalog serves ([[graft.ops.Snapshot]]); a tier
+        // the snapshot does not pin is not a table HERE
+        val pins = graft.ops.Snapshot.resolvePins(s, reg)
+        if (!pins.contains(ident.name()))
+          throw new NoSuchTableException(ident)
+        graft.ops.Snapshot.pinned(s, p, pins, ident.name())
+    }
     pinned(s, ident, p, m)
   }
 
@@ -198,11 +216,21 @@ final class EpochTableCatalog extends TableCatalog {
 object EpochTableCatalog {
 
   /** Register this catalog on the session under `name` (idempotent) —
-    * SQL can then address every epoch table layout under `rootDir`. */
-  def register(s: SparkSession, name: String, rootDir: String): Unit = {
+    * SQL can then address every epoch table layout under `rootDir`.
+    * With `registry` set, the catalog runs in SNAPSHOT MODE: every
+    * table resolves through the CURRENT registry snapshot
+    * ([[graft.ops.Snapshot]]) — one consistent cut across all pinned
+    * tables, so a cross-table join can never straddle an ingest (the
+    * multi-table form of `snapshot_table_fetch`'s guarantee). NOTE:
+    * catalog options are read once at first use per session; register
+    * snapshot and head modes under DIFFERENT names. */
+  def register(s: SparkSession, name: String, rootDir: String,
+      registry: Option[String] = None): Unit = {
     s.conf.set(s"spark.sql.catalog.$name",
       classOf[EpochTableCatalog].getName)
     s.conf.set(s"spark.sql.catalog.$name.root", rootDir)
+    registry.foreach(r =>
+      s.conf.set(s"spark.sql.catalog.$name.registry", r))
   }
 
   /** The SQL table over one pinned version. READS: the batch scan

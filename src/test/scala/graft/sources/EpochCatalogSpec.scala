@@ -183,6 +183,30 @@ class EpochCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("snapshot mode: every table resolves through ONE registry cut " +
+      "— an unpublished refresh is invisible, unpinned tiers are not " +
+      "tables, and the head catalog diverges as expected") {
+    registered()
+    val tbl = s"$root/snapt"
+    val other = s"$root/snapo"
+    val reg = s"$root/snapreg"
+    EpochTable.refresh(spark, tbl, mkTyped(1L to 12L), version = 0L)
+    EpochTable.refresh(spark, other, mkTyped(1L to 3L), version = 0L)
+    graft.ops.Snapshot.publish(spark, reg, Map("snapt" -> 0L), "cut_0")
+    EpochTableCatalog.register(spark, "gsnapc", root,
+      registry = Some(reg))
+    // an unpublished refresh advances the head catalog, not the cut
+    EpochTable.refresh(spark, tbl, mkTyped(1L to 40L), version = 1L)
+    assert(spark.sql("SELECT * FROM gsnapc.snapt").count() === 12L)
+    assert(spark.sql("SELECT * FROM gcat.snapt").count() === 40L)
+    // a tier the snapshot does not pin is not a table in snapshot mode
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gsnapc.snapo").collect()
+    }
+    assert(spark.sql("SHOW TABLES IN gsnapc").collect()
+      .map(_.getAs[String]("tableName")).toSeq === Seq("snapt"))
+  }
+
   test("a loaded table is PINNED: dirs resolved at load survive a " +
       "concurrent refresh (snapshot isolation per statement)") {
     registered()
