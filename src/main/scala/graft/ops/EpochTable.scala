@@ -370,16 +370,31 @@ object EpochTable {
       m.applied :+ key))
   }
 
-  /** Fold accumulated delta directories AND tombstones into ONE fresh
-    * snapshot directory (served rows untouched — serving before ≡
-    * after), as a new epoch carrying the current version's meta
-    * forward. The maintenance sweep triggers this on segment count or
-    * tombstone mass (kind `epoch_table`). Idempotent without a ledger
-    * key. */
-  def compact(s: SparkSession, path: String, nFiles: Int = 8): Unit = {
+  /** Fold accumulated delta directories, merge generations, AND
+    * tombstones into ONE fresh snapshot directory (served rows
+    * untouched — serving before ≡ after), as a new epoch carrying the
+    * current version's meta forward. The maintenance sweep triggers
+    * this on segment count or tombstone mass (kind `epoch_table`).
+    * Idempotent without a ledger key.
+    *
+    * `clusterBy` CLUSTERS the fold (the X8 layout lever applied to the
+    * table tier): range-partition + sort-within on the named columns,
+    * so every rewritten file owns a disjoint key interval and parquet
+    * footer min/max stats prune point/range lookups to one file
+    * instead of all of them — the compaction pass is where layout is
+    * cheapest to buy (the rows are being rewritten anyway; the flip
+    * stays one rename). */
+  def compact(s: SparkSession, path: String, nFiles: Int = 8,
+      clusterBy: Seq[String] = Seq.empty): Unit = {
     val m = current(s, path)
     val g = Epoch.genDir(s, path, m.next)
-    data(s, path, m).repartition(nFiles)
+    val folded = data(s, path, m)
+    val arranged =
+      if (clusterBy.isEmpty) folded.repartition(nFiles)
+      else folded
+        .repartitionByRange(nFiles, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+    arranged
       .write.mode("overwrite").parquet(s"$g/data")
     metaRows(s, path, Seq(m))
       .coalesce(1).write.mode("overwrite").parquet(s"$g/meta")
@@ -936,6 +951,34 @@ object EpochTable {
       ORDER BY event_id
     """))
 
+  /** Layout for the clustered-compaction entry: the delta-grown table
+    * folded WITH `clusterBy=uid` — files own disjoint uid intervals. */
+  private val clusterSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedClusterPath(s: SparkSession, d: String): String =
+    graft.BuildOnce.memo(clusterSaved, d) {
+      val path = s"${graft.GraftSession.scratchDir}/table_cluster_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      val typed = CoreQueries.loadTyped.fn(s, d)
+      refresh(s, path, typed.where(col("event_id") % 2 === 0),
+        version = 0L)
+      refreshDelta(s, path, typed.where(col("event_id") % 2 === 1),
+        version = 1L)
+      compact(s, path, clusterBy = Seq("uid", "event_id"))
+      path
+    }
+
+  /** CLUSTERED compaction, driver-verified: the fold range-clustered
+    * on (uid, event_id), so parquet footer stats prune uid lookups to
+    * one file — and the served rows are BYTE-IDENTICAL to the plain
+    * `load_typed` projection (layout is invisible in answers; the
+    * disjoint-file-interval property is spec-pinned). */
+  val tableCluster = GQuery(
+    "table_cluster",
+    (s, d) => serve(s, savedClusterPath(s, d)).orderBy("event_id"),
+    CoreQueries.loadTyped.oracle)
+
   /** Layout for the diff entry: two OVERLAPPING partial versions with
     * planted modifications, so all three change kinds occur — v0 drops
     * the 1-mod-3 ids, v1 drops the 2-mod-5 ids AND rewrites etype for
@@ -1155,6 +1198,6 @@ object EpochTable {
     Seq(tableEpoch, tableAsof, tableVersions, tableDiff, tableDelta,
       tableUpsert, tableSchemaEvolve, tableSql, tableSqlAsof,
       tableSqlAsofTs, tableSqlVersions, tableSqlInsert, tableSqlDelete,
-      tableSqlOverwrite, tableSqlSnapshot, tableStream,
+      tableSqlOverwrite, tableSqlSnapshot, tableCluster, tableStream,
       snapshotTableFetch)
 }

@@ -266,6 +266,36 @@ class EpochTableSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("clustered compaction: files own disjoint key intervals (the " +
+      "footer-stats pruning property), rows byte-identical to the " +
+      "unclustered fold") {
+    val path = s"${graft.GraftSession.scratchDir}/table_epoch_cluster"
+    EpochTable.refresh(spark, path,
+      mkTyped(scala.util.Random.shuffle((1L to 4000L).toList)),
+      version = 0L)
+    EpochTable.compact(spark, path, nFiles = 4,
+      clusterBy = Seq("event_id"))
+    val served = EpochTable.serve(spark, path)
+    assert(served.count() === 4000L)
+    // per-file [min,max] intervals of the cluster key must be disjoint
+    val ranges = served
+      .withColumn("f", input_file_name())
+      .groupBy("f")
+      .agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
+      .collect()
+      .map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    assert(ranges.length === 4)
+    ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 < lo2, s"overlapping file intervals: $ranges")
+    }
+    // a point lookup is pruned to ONE file by the parquet footer stats
+    val one = EpochTable.serve(spark, path)
+      .where(col("event_id") === 1234L)
+      .withColumn("f", input_file_name())
+    assert(one.select("f").distinct().count() === 1L)
+  }
+
   test("tableCdcEpochStream: one merge version per micro-batch, " +
       "in-batch changes fold latest-wins on the CDC position, " +
       "updates replace and inserts grow the served table") {
