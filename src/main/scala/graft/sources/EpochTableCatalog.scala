@@ -181,13 +181,16 @@ final class EpochTableCatalog extends TableCatalog {
   }
 
   private def pinned(s: SparkSession, ident: Identifier, p: String,
-      m: Epoch.Manifest): Table = {
-    val dirs = EpochTable.scanDirs(s, p, m)
-    new EpochTableCatalog.PinnedEpochTable(ident.toString, s, p,
+      m: Epoch.Manifest): Table =
+    // schema comes from the raw data dirs (merge batches are
+    // schema-equal by construction); the folded-snapshot gate runs
+    // lazily at SCAN build, so DML on a merge-bearing layout works
+    // while reads refuse with the compact-first message
+    new EpochTableCatalog.PinnedEpochTable(ident.toString, s, p, m,
       ParquetTable(ident.toString, s,
         new CaseInsensitiveStringMap(java.util.Collections.emptyMap()),
-        dirs, None, classOf[ParquetFileFormat]))
-  }
+        EpochTable.scanDataDirs(p, m), None,
+        classOf[ParquetFileFormat]))
 
   private def readOnly(): Nothing =
     throw new UnsupportedOperationException(
@@ -249,7 +252,8 @@ object EpochTableCatalog {
     * Writes act on the layout HEAD (the occ rebase discipline), not
     * the pinned manifest a time-travel read resolved. */
   private final class PinnedEpochTable(ident: String, s: SparkSession,
-      layoutPath: String, delegate: ParquetTable)
+      layoutPath: String, manifest: Epoch.Manifest,
+      delegate: ParquetTable)
       extends Table with SupportsRead with SupportsWrite
       with SupportsDelete {
     override def name(): String = ident
@@ -259,9 +263,13 @@ object EpochTableCatalog {
         TableCapability.MICRO_BATCH_READ,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
     override def newScanBuilder(options: CaseInsensitiveStringMap)
-        : ScanBuilder =
+        : ScanBuilder = {
+      // the folded-snapshot gate: reads of a version carrying
+      // unfolded tombstones/merges refuse here (writes never arrive)
+      EpochTable.scanDirs(s, layoutPath, manifest)
       new EpochTableStream.StreamableScanBuilder(s, layoutPath,
         delegate.newScanBuilder(options), options)
+    }
 
     /** The next version id no retained version uses — monotone across
       * SQL and pipeline writers (retained-history-bounded driver read). */

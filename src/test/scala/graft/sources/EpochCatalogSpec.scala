@@ -143,6 +143,11 @@ class EpochCatalogSpec extends SparkTestBase {
     intercept[Exception] {
       spark.sql("SELECT * FROM gcat.folded").collect()
     }
+    // ... but DML still lands on a merge-bearing layout (the gate is
+    // on the SCAN, not the table): one more delta version commits
+    spark.sql("INSERT INTO gcat.folded VALUES (99, 'ins', 990)")
+    assert(EpochTable.serve(spark, path)
+      .where(col("event_id") === 99L).count() === 1L)
     EpochTable.compact(spark, path)
     assert(spark.sql(
       "SELECT etype FROM gcat.folded WHERE event_id = 5").head()
