@@ -73,6 +73,31 @@ class EpochCatalogSpec extends SparkTestBase {
     assert(df.count() === 50L)
   }
 
+  test("aggregate pushdown survives the streamable-builder delegation: " +
+      "MIN/MAX/COUNT answer from parquet footers, no row scan") {
+    registered()
+    val path = s"$root/aggpush"
+    EpochTable.refresh(spark, path, mkTyped(1L to 64L), version = 0L)
+    val prev = spark.conf.getOption("spark.sql.parquet.aggregatePushdown")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val df = spark.sql(
+        "SELECT MIN(uid) AS lo, MAX(uid) AS hi, COUNT(*) AS n " +
+          "FROM gcat.aggpush")
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(plan.contains("PushedAggregation: [MIN(uid), MAX(uid), " +
+        "COUNT(*)]"), s"aggregates not pushed:\n$plan")
+      val r = df.head()
+      assert(r.getAs[Long]("lo") === 10L)
+      assert(r.getAs[Long]("hi") === 640L)
+      assert(r.getAs[Long]("n") === 64L)
+    } finally {
+      prev.fold(spark.conf
+        .unset("spark.sql.parquet.aggregatePushdown"))(v =>
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", v))
+    }
+  }
+
   test("SQL writes commit manifest versions, never files: INSERT " +
       "INTO = a delta version, INSERT OVERWRITE = a full reload with " +
       "the old version still addressable, DELETE FROM = a tombstone " +
