@@ -106,7 +106,51 @@ object Pipeline {
       outDir: String, parallelism: Int = 8,
       perTableTimeout: scala.concurrent.duration.Duration =
         scala.concurrent.duration.Duration.Inf)
+      : Seq[TableResult] =
+    updateWith(spark, tables, parallelism, perTableTimeout)(
+      (t, path) => updateTable(spark, t, path, outDir))
+
+  /** The FULL monthly update on the epoch table tier — ≙ ONE
+    * `updatecalaccessrawdata` run: every table's clean → load → one
+    * version commit ([[updateTableEpoch]], concurrent on the same
+    * bounded pool as [[update]]), then optionally ONE registry
+    * snapshot pinning every successfully committed table's epoch
+    * ([[ops.Snapshot.publish]], replay-safe on `upd_<version>`) — the
+    * cutover the reference gets by renaming the whole database,
+    * expressed as one atomic registry flip: a catalog registered in
+    * snapshot mode serves the OLD cut until the publish, the NEW one
+    * after, never a mix. Failed tables are data rows (their tier is
+    * not pinned; the previous snapshot's pin, if any, is dropped from
+    * the new cut — resolve failures and re-run, the version ledger
+    * makes the re-run cheap). */
+  def updateEpoch(spark: SparkSession, tables: Seq[(TableDef, String)],
+      layoutRoot: String, version: Long,
+      releaseTs: Option[java.sql.Timestamp] = None,
+      registry: Option[String] = None, parallelism: Int = 8,
+      perTableTimeout: scala.concurrent.duration.Duration =
+        scala.concurrent.duration.Duration.Inf)
       : Seq[TableResult] = {
+    val results = updateWith(spark, tables, parallelism, perTableTimeout)(
+      (t, path) => updateTableEpoch(spark, t, path, layoutRoot, version,
+        releaseTs))
+    registry.foreach { reg =>
+      val pins = results
+        .filter(_.metrics.failure.isEmpty)
+        .map(r => r.table -> ops.Epoch.epochWith(spark,
+          s"$layoutRoot/${r.table}", s"ver_$version").getOrElse(
+          throw new IllegalStateException(
+            s"updateEpoch: table ${r.table} reported success but " +
+              s"version $version is not in its ledger")))
+        .toMap
+      ops.Snapshot.publish(spark, reg, pins, s"upd_$version")
+    }
+    results
+  }
+
+  private def updateWith(spark: SparkSession,
+      tables: Seq[(TableDef, String)], parallelism: Int,
+      perTableTimeout: scala.concurrent.duration.Duration)(
+      run: (TableDef, String) => TableResult): Seq[TableResult] = {
     import java.util.concurrent.{Callable, ExecutionException, Executors,
       ThreadFactory, TimeoutException, TimeUnit}
     require(parallelism >= 1, s"update: parallelism=$parallelism")
@@ -128,7 +172,7 @@ object Pipeline {
         (t.name, started, pool.submit(new Callable[TableResult] {
           def call(): TableResult = {
             started.set(true)
-            updateTable(spark, t, path, outDir)
+            run(t, path)
           }
         }))
       }

@@ -142,4 +142,47 @@ class PipelineSpec extends SparkTestBase {
     assert(results.size === 3)
     assert(Pipeline.verify(results))
   }
+
+  test("updateEpoch: the full monthly run as one call — every table " +
+      "a version commit, ONE registry cut, snapshot-mode SQL serves " +
+      "the old cut until publish and the new one after, never a mix") {
+    import graft.ops.{EpochTable, Snapshot}
+    val header = "CODE_TYPE\tCODE_ID\tCODE_DESC"
+    val dir = Files.createTempDirectory("mupd").toString
+    def month(rows: Int)
+        : Seq[(graft.schemas.Schemas.TableDef, String)] =
+      (1 to 2).map { i =>
+        val p = s"$dir/m${rows}_t$i.tsv"
+        Files.writeString(java.nio.file.Paths.get(p),
+          (Seq(header) ++ (1 to rows).map(r =>
+            s"$i\t${r * 10}\tRow $r")).mkString("\n") + "\n")
+        graft.schemas.Schemas.lookupCodesCd.copy(name = s"mt$i") -> p
+      }
+    val root = Files.createTempDirectory("mupd_root").toString
+    val reg = s"$root/_registry"
+    // month 0: two tables, one cut
+    val r0 = Pipeline.updateEpoch(spark, month(3), root, version = 0L,
+      registry = Some(reg))
+    assert(r0.size === 2 && Pipeline.verify(r0))
+    assert(Snapshot.resolvePins(spark, reg) ===
+      Map("mt1" -> 0L, "mt2" -> 0L))
+    graft.sources.EpochTableCatalog.register(spark, "gmupd", root,
+      registry = Some(reg))
+    assert(spark.sql("SELECT * FROM gmupd.mt1").count() === 3L)
+    // month 1 loads BOTH tables but the catalog serves the old cut
+    // until the registry flips — which updateEpoch does atomically
+    val r1 = Pipeline.updateEpoch(spark, month(5), root, version = 1L,
+      registry = Some(reg))
+    assert(Pipeline.verify(r1))
+    assert(spark.sql("SELECT * FROM gmupd.mt1").count() === 5L)
+    assert(spark.sql("SELECT * FROM gmupd.mt2").count() === 5L)
+    // both monthly versions stay queryable per table
+    assert(EpochTable.dataForVersion(spark, s"$root/mt1", 0L)
+      .get.count() === 3L)
+    // a replayed month is a ledger no-op end-to-end (tables AND registry)
+    val epochsBefore = graft.ops.Epoch.committedList(spark, reg)
+    Pipeline.updateEpoch(spark, month(5), root, version = 1L,
+      registry = Some(reg))
+    assert(graft.ops.Epoch.committedList(spark, reg) === epochsBefore)
+  }
 }
