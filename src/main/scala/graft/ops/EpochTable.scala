@@ -311,6 +311,11 @@ object EpochTable {
         .where(col("count") > 1).isEmpty,
       s"EpochTable.merge: upsert batch has duplicate keys — " +
         "fold latest-wins upstream (amend_latest) before merging")
+    // a NULL key row can never shadow the base (null ≠ null in the
+    // anti-join) — it would silently DUPLICATE instead of replace
+    require(batch.where(keys.map(col(_).isNull).reduce(_ || _)).isEmpty,
+      s"EpochTable.merge: upsert batch has NULL in key columns $keys" +
+        " — null keys cannot shadow; repair or route through refresh")
     import s.implicits._
     Seq(keys).toDF("keys")
       .coalesce(1).write.mode("overwrite").parquet(s"$g/mergekeys")

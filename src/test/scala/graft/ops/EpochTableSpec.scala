@@ -197,6 +197,13 @@ class EpochTableSpec extends SparkTestBase {
         Seq((1L, "a")).toDF("event_id", "etype"), version = 1L,
         keys = Seq("event_id"))
     }
+    // null keys cannot shadow (null ≠ null in the anti-join) — refused
+    intercept[IllegalArgumentException] {
+      EpochTable.merge(spark, path,
+        Seq((Option.empty[Long], "a", 1L))
+          .toDF("event_id", "etype", "uid"),
+        version = 1L, keys = Seq("event_id"))
+    }
     EpochTable.merge(spark, path,
       Seq((1L, "a", 1L)).toDF("event_id", "etype", "uid"),
       version = 1L, keys = Seq("event_id"))

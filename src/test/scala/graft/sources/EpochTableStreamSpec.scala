@@ -130,6 +130,34 @@ class EpochTableStreamSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("live producer → live consumer: a tableIngestEpochStream " +
+      "writer and a readStream.table feed run against the same layout " +
+      "— every ingested row arrives downstream exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    registered()
+    val path = s"$root/livepipe"
+    EpochTable.refresh(spark, path, mkTyped(Seq.empty[Long]),
+      version = -1L)
+    val feed = startMemory(spark.readStream.table("gstr.livepipe"),
+      "livepipe_sink")
+    val src = MemoryStream[(Long, String, Long)]
+    val writer = graft.streaming.StreamRunner.tableIngestEpochStream(
+      path, src.toDF().toDF("event_id", "etype", "uid"))
+    try {
+      src.addData((1L, "a", 10L), (2L, "b", 20L))
+      writer.processAllAvailable()
+      feed.processAllAvailable()
+      assert(spark.table("livepipe_sink").select("event_id").collect()
+        .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+      src.addData((3L, "c", 30L))
+      writer.processAllAvailable()
+      feed.processAllAvailable()
+      assert(spark.table("livepipe_sink").select("event_id").collect()
+        .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    } finally { writer.stop(); feed.stop() }
+  }
+
   test("a stream that fell behind the retention horizon fails naming " +
       "the pruned epoch; a startingVersion older than retention fails") {
     registered()
