@@ -439,6 +439,24 @@ object EpochTable {
         else lit(null).cast(f.dataType).as(f.name)): _*)
     }
 
+  /** Commit a staged FULL REWRITE (the SQL row-level CoW path,
+    * [[graft.sources.EpochTableCatalog]]): the caller already moved
+    * the replacement rows into `g<m.next>/data`; this writes the
+    * carried-forward meta (DML rewrites rows, not release history —
+    * the delete+compact precedent) and flips the manifest. Must run
+    * under the same `Epoch.occ` block that claimed `m.next`. */
+  private[graft] def commitRewrite(s: SparkSession, path: String,
+      m: Epoch.Manifest): Unit = {
+    val g = s"$path/g${m.next}"
+    metaRows(s, path, Seq(m))
+      .coalesce(1).write.mode("overwrite").parquet(s"$g/meta")
+    Epoch.commit(s, path, Epoch.Manifest(m.next,
+      Map(Data -> Seq(s"g${m.next}/data"),
+        Meta -> Seq(s"g${m.next}/meta"),
+        Tomb -> Seq.empty),
+      m.applied))
+  }
+
   private def metaRows(s: SparkSession, path: String,
       ms: Seq[Epoch.Manifest]): DataFrame =
     ms.map(m => Epoch.read(s, path, m, Meta).getOrElse(
@@ -784,6 +802,34 @@ object EpochTable {
         version = 0L)
       s.sql(s"INSERT OVERWRITE graft.`$ow` " +
         s"SELECT * FROM dml_src_$tag")
+      // UPDATE: planted uid offsets (1e12 on the 0-mod-7 rows)
+      // reverted by one copy-on-write SQL update
+      val upd = s"table_upd_$tag"
+      refresh(s, s"${graft.GraftSession.scratchDir}/$upd",
+        typed.withColumn("uid",
+          when(col("event_id") % 7 === 0,
+            col("uid") + lit(1000000000000L)).otherwise(col("uid"))),
+        version = 0L)
+      s.sql(s"UPDATE graft.`$upd` SET uid = uid - 1000000000000 " +
+        "WHERE uid >= 1000000000000")
+      // MERGE: a corrupted partial base healed by one SQL merge —
+      // matched rows update from the source, missing rows insert
+      val mrg = s"table_mrg_$tag"
+      refresh(s, s"${graft.GraftSession.scratchDir}/$mrg",
+        typed.where(col("event_id") % 11 =!= 3)
+          .withColumn("etype",
+            when(col("event_id") % 7 === 0, lit("STALE"))
+              .otherwise(col("etype"))),
+        version = 0L)
+      typed.where(col("event_id") % 11 === 3 ||
+          col("event_id") % 7 === 0)
+        .createOrReplaceTempView(s"dml_mrg_src_$tag")
+      s.sql(s"""
+        MERGE INTO graft.`$mrg` t USING dml_mrg_src_$tag s
+        ON t.event_id = s.event_id
+        WHEN MATCHED THEN UPDATE SET t.etype = s.etype
+        WHEN NOT MATCHED THEN INSERT *
+      """)
       tag
     }
 
@@ -818,6 +864,25 @@ object EpochTable {
   val tableSqlOverwrite = GQuery(
     "table_sql_overwrite",
     (s, d) => dmlServe(s, d, "table_ow"),
+    CoreQueries.loadTyped.oracle)
+
+  /** `UPDATE` through the catalog, driver-verified: the planted uid
+    * offsets reverted by one copy-on-write row-level rewrite
+    * (Spark's group-based `SupportsRowLevelOperations` path — the
+    * rewrite scan reads every row, the replacement snapshot commits
+    * as one epoch); served table hash-equals `load_typed`. */
+  val tableSqlUpdate = GQuery(
+    "table_sql_update",
+    (s, d) => dmlServe(s, d, "table_upd"),
+    CoreQueries.loadTyped.oracle)
+
+  /** `MERGE INTO` through the catalog, driver-verified: matched rows
+    * update from the source, missing rows insert — one SQL statement
+    * heals the corrupted partial base into the full extract; served
+    * table hash-equals `load_typed`. */
+  val tableSqlMerge = GQuery(
+    "table_sql_merge",
+    (s, d) => dmlServe(s, d, "table_mrg"),
     CoreQueries.loadTyped.oracle)
 
   /** Layout for the snapshot-catalog entry: TWO table tiers — the
@@ -1203,6 +1268,6 @@ object EpochTable {
     Seq(tableEpoch, tableAsof, tableVersions, tableDiff, tableDelta,
       tableUpsert, tableSchemaEvolve, tableSql, tableSqlAsof,
       tableSqlAsofTs, tableSqlVersions, tableSqlInsert, tableSqlDelete,
-      tableSqlOverwrite, tableSqlSnapshot, tableCluster, tableStream,
-      snapshotTableFetch)
+      tableSqlOverwrite, tableSqlUpdate, tableSqlMerge,
+      tableSqlSnapshot, tableCluster, tableStream, snapshotTableFetch)
 }

@@ -7,7 +7,10 @@ import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.functions.{col, lit}
@@ -255,7 +258,20 @@ object EpochTableCatalog {
       layoutPath: String, manifest: Epoch.Manifest,
       delegate: ParquetTable)
       extends Table with SupportsRead with SupportsWrite
-      with SupportsDelete {
+      with SupportsDelete with SupportsMetadataColumns
+      with SupportsRowLevelOperations {
+
+    /** One synthetic metadata column, constant 0: the whole table is
+      * ONE rewrite group. Spark's group-based row-level framework
+      * routes the replacement rows through its data/metadata
+      * projections only when the operation declares metadata
+      * attributes the scan produces (`ReplaceDataExec.writingTask`
+      * falls back to writing RAW rows — operation column included —
+      * otherwise); `_g` exists to engage that path, and whole-table
+      * grouping is exactly the copy-on-write semantic the commit
+      * implements. */
+    override def metadataColumns(): Array[MetadataColumn] =
+      Array(EpochTableCatalog.RewriteGroupColumn)
     override def name(): String = ident
     override def schema(): StructType = delegate.schema
     override def capabilities(): java.util.Set[TableCapability] =
@@ -302,6 +318,99 @@ object EpochTableCatalog {
         }
       }
 
+    /** SQL `UPDATE` / `MERGE INTO` (and non-pushable `DELETE`),
+      * GROUP-BASED COPY-ON-WRITE: the whole table is one rewrite group
+      * — the rewrite scan reads every row of the current folded
+      * snapshot (the scan builder deliberately exposes NO filter
+      * pushdown: a pushed condition would prune rows out of the
+      * rewrite and a whole-table replace would lose them), Spark
+      * computes the merged row set, and the replacement rows stream
+      * through Spark's own parquet writers into a private staging dir;
+      * the driver-side commit renames the staged dir into the next
+      * generation and flips the manifest under `Epoch.occ` — readers
+      * keep their pinned version throughout, the pre-statement version
+      * stays addressable, meta rows carry forward verbatim (DML
+      * rewrites rows, not release history — the delete+compact
+      * precedent). ∝ |table| per statement, the price every
+      * copy-on-write format pays; ∝-|batch| amendments use the
+      * programmatic merge / CDC faces. */
+    override def newRowLevelOperationBuilder(
+        info: RowLevelOperationInfo): RowLevelOperationBuilder =
+      new RowLevelOperationBuilder {
+        override def build(): RowLevelOperation = new RowLevelOperation {
+          override def command(): RowLevelOperation.Command =
+            info.command()
+
+          override def requiredMetadataAttributes()
+              : Array[NamedReference] =
+            Array(Expressions.column(EpochTableCatalog.GroupCol))
+
+          override def newScanBuilder(
+              options: CaseInsensitiveStringMap): ScanBuilder = {
+            val m = EpochTable.current(s, layoutPath)
+            new EpochTableCatalog.RewriteScanBuilder(s,
+              EpochTable.scanDirs(s, layoutPath, m))
+          }
+
+          override def newWriteBuilder(
+              winfo: LogicalWriteInfo): WriteBuilder = {
+            val stage = s"$layoutPath/_stage_${winfo.queryId()}"
+            val inner = ParquetTable(s"$ident#stage", s,
+              new CaseInsensitiveStringMap(
+                java.util.Collections.emptyMap()),
+              Seq(stage), Some(winfo.schema()),
+              classOf[ParquetFileFormat]).newWriteBuilder(winfo)
+            new WriteBuilder {
+              override def build(): Write = new Write {
+                private val d = inner.build()
+                override def description(): String =
+                  s"epoch-cow-rewrite($ident)"
+                override def toBatch: BatchWrite = new BatchWrite {
+                  private val db = d.toBatch
+                  // the file write runs its own Hadoop commit protocol
+                  // (useCommitCoordinator=false there); not delegating
+                  // this re-enables driver coordination ON TOP of it
+                  // and every task commit gets denied
+                  override def useCommitCoordinator(): Boolean =
+                    db.useCommitCoordinator()
+                  override def createBatchWriterFactory(
+                      pinfo: PhysicalWriteInfo): DataWriterFactory =
+                    db.createBatchWriterFactory(pinfo)
+                  override def commit(
+                      messages: Array[WriterCommitMessage]): Unit = {
+                    db.commit(messages)
+                    publishStaged(stage)
+                  }
+                  override def abort(
+                      messages: Array[WriterCommitMessage]): Unit = {
+                    db.abort(messages)
+                    val f = new org.apache.hadoop.fs.Path(stage)
+                      .getFileSystem(
+                        s.sparkContext.hadoopConfiguration)
+                    f.delete(new org.apache.hadoop.fs.Path(stage), true)
+                  }
+                }
+              }
+            }
+          }
+        }
+      }
+
+    /** Flip a staged full rewrite into the next epoch: one directory
+      * rename into the claimed generation + one manifest rename. */
+    private def publishStaged(stage: String): Unit =
+      Epoch.occ(s, layoutPath) {
+        val m = EpochTable.current(s, layoutPath)
+        val g = Epoch.genDir(s, layoutPath, m.next)
+        val f = new org.apache.hadoop.fs.Path(layoutPath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        f.mkdirs(new org.apache.hadoop.fs.Path(g))
+        require(f.rename(new org.apache.hadoop.fs.Path(stage),
+          new org.apache.hadoop.fs.Path(s"$g/data")),
+          s"EpochTableCatalog: staging move $stage -> $g/data failed")
+        EpochTable.commitRewrite(s, layoutPath, m)
+      }
+
     override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
       EpochTableCatalog.filtersToColumn(filters).isDefined
 
@@ -326,6 +435,89 @@ object EpochTableCatalog {
       }
       Epoch.occ(s, layoutPath) {
         EpochTable.compact(s, layoutPath)
+      }
+    }
+  }
+
+  /** The rewrite-group metadata column name ([[RewriteGroupColumn]]). */
+  private[sources] val GroupCol = "_g"
+
+  /** The one rewrite group: constant 0 — see
+    * `PinnedEpochTable.metadataColumns`. */
+  private[sources] object RewriteGroupColumn extends MetadataColumn {
+    override def name(): String = GroupCol
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.IntegerType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "rewrite group id (constant — the whole table is one " +
+        "copy-on-write group)"
+  }
+
+  /** The ROW-LEVEL REWRITE scan: reads every row of the pinned dirs.
+    * Deliberately exposes ONLY column pruning — no filter pushdown
+    * interfaces — so the command's condition can never prune rows out
+    * of a whole-table rewrite; produces the constant `_g` group
+    * column when the plan asks for it (always last, after the data
+    * columns — the row-level read relation's layout). */
+  private[sources] final class RewriteScanBuilder(s: SparkSession,
+      dirs: Seq[String]) extends ScanBuilder
+      with SupportsPushDownRequiredColumns {
+    private val delegate = ParquetTable("epoch-rewrite", s,
+      new CaseInsensitiveStringMap(java.util.Collections.emptyMap()),
+      dirs, None, classOf[ParquetFileFormat])
+      .newScanBuilder(new CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+    private var needsGroup = false
+
+    override def pruneColumns(requiredSchema: StructType): Unit = {
+      needsGroup = requiredSchema.fieldNames.contains(GroupCol)
+      if (needsGroup)
+        require(requiredSchema.fields.last.name == GroupCol,
+          s"RewriteScanBuilder: $GroupCol must be the trailing column" +
+            s" — got ${requiredSchema.fieldNames.mkString(",")}")
+      delegate.pruneColumns(StructType(
+        requiredSchema.fields.filterNot(_.name == GroupCol)))
+    }
+
+    override def build(): Scan =
+      new RewriteScan(delegate.build(), needsGroup)
+  }
+
+  private final class RewriteScan(delegate: Scan, withGroup: Boolean)
+      extends Scan with Batch {
+    override def readSchema(): StructType =
+      if (!withGroup) delegate.readSchema()
+      else StructType(delegate.readSchema().fields :+
+        org.apache.spark.sql.types.StructField(GroupCol,
+          org.apache.spark.sql.types.IntegerType, nullable = false))
+    override def description(): String =
+      s"epoch-rewrite(${delegate.description()})"
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] =
+      delegate.toBatch.planInputPartitions()
+    override def createReaderFactory(): PartitionReaderFactory = {
+      val inner = delegate.toBatch.createReaderFactory()
+      if (!withGroup) inner else GroupAppendReaderFactory(inner)
+    }
+  }
+
+  /** Appends the constant group ordinal to every row — forces the
+    * row-based read path (the join is per-row; the rewrite is a
+    * one-shot maintenance scan, not a serving path). */
+  private final case class GroupAppendReaderFactory(
+      delegate: PartitionReaderFactory) extends PartitionReaderFactory {
+    override def supportColumnarReads(p: InputPartition): Boolean = false
+    override def createReader(
+        p: InputPartition): PartitionReader[InternalRow] = {
+      val d = delegate.createReader(p)
+      new PartitionReader[InternalRow] {
+        private val joined =
+          new org.apache.spark.sql.catalyst.expressions.JoinedRow
+        private val group = InternalRow(0)
+        override def next(): Boolean = d.next()
+        override def get(): InternalRow = joined(d.get(), group)
+        override def close(): Unit = d.close()
       }
     }
   }

@@ -122,11 +122,16 @@ class EpochCatalogSpec extends SparkTestBase {
     assert(spark.sql("SELECT * FROM gcat.dml").count() === 11L)
     assert(Epoch.resolve(spark, path).get
       .components("tombstones").isEmpty)
-    // a non-pushable delete condition refuses in ANALYSIS (no
-    // half-applied delete)
-    intercept[Exception] {
-      spark.sql("DELETE FROM gcat.dml WHERE event_id % 2 = 0")
-    }
+    // a non-pushable delete condition falls back to the row-level
+    // copy-on-write rewrite — unmatched rows survive
+    spark.sql("DELETE FROM gcat.dml WHERE event_id % 2 = 0")
+    assert(EpochTable.serve(spark, path).count() === 5L)
+    assert(spark.sql("SELECT * FROM gcat.dml WHERE event_id = 7")
+      .count() === 1L)
+    spark.sql("INSERT INTO gcat.dml SELECT * FROM " +
+      "(VALUES (2, 'b2', 20), (4, 'b4', 40), (6, 'b6', 60), " +
+      "(8, 'b8', 80), (10, 'b10', 100), (12, 'b12', 120)) " +
+      "AS t(event_id, etype, uid)")
     assert(EpochTable.serve(spark, path).count() === 11L)
     // INSERT OVERWRITE → a full-reload version; the pre-overwrite
     // table stays addressable by its version id
@@ -144,6 +149,58 @@ class EpochCatalogSpec extends SparkTestBase {
     intercept[Exception] {
       spark.sql("DROP TABLE gcat.dml")
     }
+  }
+
+  test("UPDATE and MERGE INTO rewrite copy-on-write: matched rows " +
+      "change, unmatched rows survive, sources insert, the " +
+      "pre-statement version stays addressable, no staging residue") {
+    registered()
+    val path = s"$root/rlo"
+    EpochTable.refresh(spark, path, mkTyped(1L to 30L), version = 0L)
+    // UPDATE: one condition, the rest untouched
+    spark.sql("UPDATE gcat.rlo SET etype = 'upd', uid = uid + 1 " +
+      "WHERE event_id <= 5")
+    val afterUpd = spark.sql("SELECT * FROM gcat.rlo")
+    assert(afterUpd.count() === 30L)
+    assert(afterUpd.where(col("etype") === "upd").count() === 5L)
+    assert(afterUpd.where(col("event_id") === 3L).head()
+      .getAs[Long]("uid") === 31L)
+    assert(afterUpd.where(col("event_id") === 20L).head()
+      .getAs[String]("etype") === "v20")
+    // the pre-update rows are still served by the retained epoch
+    assert(EpochTable.data(spark, path,
+      Epoch.resolveAsOf(spark, path, 0L).get)
+      .where(col("event_id") === 3L).head()
+      .getAs[String]("etype") === "v3")
+    // MERGE INTO: updates + inserts from a source in one statement
+    mkTyped(Seq(2L, 3L)).withColumn("etype", lit("merged"))
+      .unionByName(mkTyped(Seq(31L, 32L)))
+      .createOrReplaceTempView("rlo_src")
+    spark.sql("""
+      MERGE INTO gcat.rlo t USING rlo_src s ON t.event_id = s.event_id
+      WHEN MATCHED THEN UPDATE SET t.etype = s.etype
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    val afterMerge = spark.sql("SELECT * FROM gcat.rlo")
+    assert(afterMerge.count() === 32L)
+    assert(afterMerge.where(col("etype") === "merged").count() === 2L)
+    assert(afterMerge.where(col("event_id") === 31L).count() === 1L)
+    // untouched rows unchanged through both rewrites
+    assert(afterMerge.where(col("event_id") === 20L).head()
+      .getAs[String]("etype") === "v20")
+    // MERGE with a delete clause drops through the same rewrite
+    spark.sql("""
+      MERGE INTO gcat.rlo t USING rlo_src s ON t.event_id = s.event_id
+      WHEN MATCHED AND s.event_id = 2 THEN DELETE
+    """)
+    assert(spark.sql("SELECT * FROM gcat.rlo").count() === 31L)
+    assert(spark.sql("SELECT * FROM gcat.rlo WHERE event_id = 2")
+      .count() === 0L)
+    // no staging residue
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).exists(_.startsWith("_stage_")))
   }
 
   test("a version carrying unfolded tombstones or merges refuses " +
