@@ -294,6 +294,34 @@ class EpochCatalogSpec extends SparkTestBase {
       .map(_.getAs[String]("tableName")).toSeq === Seq("snapt"))
   }
 
+  test("two concurrent SQL INSERT writers both land: the occ rebase " +
+      "serializes the manifest flips, no rows lost, distinct versions") {
+    registered()
+    val path = s"$root/race"
+    EpochTable.refresh(spark, path, mkTyped(1L to 10L), version = 0L)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val f1 = scala.concurrent.Future {
+        spark.sql("INSERT INTO gcat.race VALUES (11, 'a', 110)")
+      }
+      val f2 = scala.concurrent.Future {
+        spark.sql("INSERT INTO gcat.race VALUES (12, 'b', 120)")
+      }
+      scala.concurrent.Await.result(f1, scala.concurrent.duration
+        .Duration(120, "s"))
+      scala.concurrent.Await.result(f2, scala.concurrent.duration
+        .Duration(120, "s"))
+    } finally pool.shutdownNow()
+    val served = spark.sql("SELECT * FROM gcat.race")
+    assert(served.count() === 12L)
+    assert(served.where(col("event_id").isin(11L, 12L)).count() === 2L)
+    // two delta epochs committed, each with its own version id
+    assert(Epoch.resolve(spark, path).get.epoch === 2L)
+    assert(EpochTable.versions(spark, path).count() === 3L)
+  }
+
   test("a loaded table is PINNED: dirs resolved at load survive a " +
       "concurrent refresh (snapshot isolation per statement)") {
     registered()
