@@ -70,7 +70,14 @@ object EpochTable {
     * rows only, never the corpus), and the base-side exclusion is a
     * BROADCAST anti-join on the merged keys. The small merge scan is
     * evaluated twice (keys for the anti-join, rows for the union) —
-    * deliberate: a read face materializes nothing. */
+    * deliberate: a read face materializes nothing.
+    *
+    * The tombstone anti-join is NULL-SAFE (`<=>` per column, still an
+    * equi broadcast hash join): tombstones carry whatever columns the
+    * takedown keyed on — full rows on the SQL DELETE path — and the
+    * core schema's value columns are nullable, so an EqualTo join
+    * would let any doomed row with a NULL survive its own tombstone
+    * (and a `WHERE c IS NULL` delete would remove nothing). */
   def data(s: SparkSession, path: String, m: Epoch.Manifest): DataFrame = {
     val raw = Epoch.read(s, path, m, Data).getOrElse(
       throw new IllegalStateException(
@@ -93,9 +100,17 @@ object EpochTable {
           .unionByName(latest.select(raw.columns.map(col).toSeq: _*))
     }
     Epoch.read(s, path, m, Tomb)
-      .map(t => base.join(broadcast(t), t.columns.toSeq, "left_anti"))
+      .map(t => base.join(broadcast(t), nullSafeOn(base, t), "left_anti"))
       .getOrElse(base)
   }
+
+  /** Column-wise null-safe equality between `left` and every column of
+    * `right` — the tombstone match condition. Each `<=>` is an equi
+    * key to the planner (ExtractEquiJoinKeys), so the join stays a
+    * broadcast HASH join, never a BNLJ. */
+  private def nullSafeOn(left: DataFrame,
+      right: DataFrame): org.apache.spark.sql.Column =
+    right.columns.map(c => left(c) <=> right(c)).reduce(_ && _)
 
   /** The declared upsert key columns of a merge-bearing manifest (a
     * one-row component riding the same manifest as the merge dirs —
@@ -286,7 +301,8 @@ object EpochTable {
   def merge(s: SparkSession, path: String, upserts: DataFrame,
       version: Long, keys: Seq[String], downloadDelta: Option[Long] = None,
       errorDelta: Long = 0L,
-      releaseTs: Option[java.sql.Timestamp] = None): Long = {
+      releaseTs: Option[java.sql.Timestamp] = None,
+      fullRecount: Boolean = false): Long = {
     val key = s"ver_$version"
     val m = current(s, path)
     if (m.has(key))
@@ -325,10 +341,42 @@ object EpochTable {
           m.components.getOrElse(Merge, Seq.empty) :+ s"g${m.next}/merge")
         .updated(MergeKeys, Seq(s"g${m.next}/mergekeys")),
       m.applied :+ key)
-    // verify count against the CANDIDATE read face (dirs exist; only
-    // the manifest is unpublished) — inserts grow it, updates do not
+    // verify count of the CANDIDATE read face. Default is the
+    // ∝-|upserts| ALGEBRAIC count — prev − (served rows the batch's
+    // keys replace: one broadcast semi on the key columns, no window,
+    // no full shadowed face) + (batch rows that surface: batch minus
+    // the tombstone-suppressed, a takedown beats a merge). That keeps
+    // the documented ∝-|upserts| write cost honest — the CDC face
+    // commits a merge per micro-batch and must not pay ∝ |table| in
+    // window work each time (the one corpus-width touch left is the
+    // column-pruned key semi). `fullRecount=true` opts into the
+    // original whole-face recount (data(next).count()) when an ingest
+    // wants the verify step to read exactly what a reader will see;
+    // `EpochTableSpec` pins the two counts equal across duplicates,
+    // prior merges, and tombstones.
     val prev = metaRows(s, path, Seq(m)).head()
-    val loaded = data(s, path, next).count()
+    // the algebraic base is the previous meta count, which equals the
+    // served face ONLY while no takedown landed since that meta row
+    // committed (meta is release history — [[delete]] never shrinks
+    // it). The applied ledger is ordered, so "a del_* after the last
+    // ver_*" detects exactly the stale case — fall back to the full
+    // recount there instead of silently overcounting.
+    val tombStale = m.components.getOrElse(Tomb, Seq.empty).nonEmpty &&
+      m.applied.reverse.takeWhile(!_.startsWith("ver_"))
+        .exists(_.startsWith("del_"))
+    val loaded =
+      if (fullRecount || tombStale) data(s, path, next).count()
+      else {
+        val keyRows = batch.select(keys.map(col): _*)
+        val replaced = served.select(keys.map(col): _*)
+          .join(broadcast(keyRows), keys, "left_semi").count()
+        val suppressed = Epoch.read(s, path, m, Tomb)
+          .map(t => batch.join(broadcast(t), nullSafeOn(batch, t),
+            "left_semi").count())
+          .getOrElse(0L)
+        prev.getAs[Long]("load_records") - replaced +
+          batch.count() - suppressed
+      }
     val download = prev.getAs[Long]("download_records") +
       downloadDelta.getOrElse(batch.count() + errorDelta)
     val errors = prev.getAs[Long]("error_records") + errorDelta
@@ -362,8 +410,10 @@ object EpochTable {
     if (m.has(key)) return
     val ids = keyRows.distinct()
     val oldTomb = Epoch.read(s, path, m, Tomb)
+    // null-safe dedup against the accumulated tombstones — an EqualTo
+    // anti-join would re-append any NULL-bearing key every batch
     val fresh = oldTomb
-      .map(t => ids.join(broadcast(t), t.columns.toSeq, "left_anti"))
+      .map(t => ids.join(broadcast(t), nullSafeOn(ids, t), "left_anti"))
       .getOrElse(ids)
       .localCheckpoint(true)
     if (fresh.isEmpty) return

@@ -114,8 +114,24 @@ final class EpochTableCatalog extends TableCatalog {
       .toArray
   }
 
-  override def tableExists(ident: Identifier): Boolean =
-    Epoch.resolve(active, layoutPath(ident)).nonEmpty
+  /** `$versions` identifiers resolve to their base layout; snapshot
+    * mode recognizes only the tiers the registry cut pins — the same
+    * rules [[loadTable]] applies, so EXISTS and LOAD can never
+    * disagree. */
+  override def tableExists(ident: Identifier): Boolean = {
+    val isMeta = ident.name().endsWith(MetaSuffix)
+    val base =
+      if (isMeta)
+        Identifier.of(ident.namespace(),
+          ident.name().stripSuffix(MetaSuffix))
+      else ident
+    // snapshot mode refuses $versions in loadTable (history escapes
+    // the cut) — EXISTS answers consistently
+    (!isMeta || registry.isEmpty) &&
+    registry.forall(reg =>
+      graft.ops.Snapshot.resolvePins(active, reg).contains(base.name())) &&
+      Epoch.resolve(active, layoutPath(base)).nonEmpty
+  }
 
   /** Iceberg-style metadata-table suffix: `graft.tbl$versions` is the
     * RawDataVersion history of `graft.tbl` (id, verified counts, the
@@ -127,6 +143,7 @@ final class EpochTableCatalog extends TableCatalog {
   override def loadTable(ident: Identifier): Table = {
     val s = active
     if (ident.name().endsWith(MetaSuffix)) {
+      refuseEscapeInSnapshotMode("the $versions history table")
       val base = Identifier.of(ident.namespace(),
         ident.name().stripSuffix(MetaSuffix))
       val p = layoutPath(base)
@@ -153,6 +170,16 @@ final class EpochTableCatalog extends TableCatalog {
     pinned(s, ident, p, m)
   }
 
+  /** Snapshot mode serves exactly ONE consistent cut — a time-travel
+    * read (or the full `$versions` history) would escape it and could
+    * surface epochs the snapshot never pinned; refuse loudly, naming
+    * the head-mode alternative. */
+  private def refuseEscapeInSnapshotMode(what: String): Unit =
+    registry.foreach(_ => throw new UnsupportedOperationException(
+      s"EpochTableCatalog($catalogName) runs in SNAPSHOT MODE — $what " +
+        "would escape the registry cut this catalog promises; register " +
+        "a head-mode catalog (no registry option) for history reads"))
+
   /** TIME TRAVEL: `TIMESTAMP AS OF <t>` — resolved against each
     * version's DECLARED release instant (≙
     * `RawDataVersion.release_datetime`), never commit wall-clock, so
@@ -160,6 +187,7 @@ final class EpochTableCatalog extends TableCatalog {
     * replayable. `timestamp` arrives in microseconds (Spark's
     * contract). */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    refuseEscapeInSnapshotMode("TIMESTAMP AS OF")
     val s = active
     val p = layoutPath(ident)
     val m = EpochTable.manifestForTimestamp(s, p, timestamp).getOrElse(
@@ -170,6 +198,7 @@ final class EpochTableCatalog extends TableCatalog {
   /** TIME TRAVEL: `VERSION AS OF <v>` — `v` is the RawDataVersion id,
     * resolved through the retained epochs' meta rows. */
   override def loadTable(ident: Identifier, version: String): Table = {
+    refuseEscapeInSnapshotMode("VERSION AS OF")
     val s = active
     val p = layoutPath(ident)
     val v =

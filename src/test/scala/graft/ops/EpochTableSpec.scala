@@ -337,6 +337,78 @@ class EpochTableSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("tombstones match NULL-bearing rows (null-safe anti-join): a " +
+      "doomed row with NULL in a value column is removed, an IS NULL " +
+      "takedown removes exactly the null rows, and the plan stays a " +
+      "broadcast hash join") {
+    val path = s"${graft.GraftSession.scratchDir}/table_epoch_nulltomb"
+    // etype NULL on the 0-mod-3 rows, uid NULL on row 7
+    val base = (1L to 30L).map(i => (i,
+      if (i % 3 == 0) null else s"v$i",
+      if (i == 7L) None else Some(i * 10L)))
+      .toDF("event_id", "etype", "uid")
+    EpochTable.refresh(spark, path, base, version = 0L)
+    // full-row tombstones (the SQL DELETE shape) carrying NULLs: rows
+    // 3 (null etype) and 7 (null uid) must die despite the NULLs
+    EpochTable.delete(spark,
+      base.where(col("event_id").isin(3L, 7L)), path, batchId = 1L)
+    val served = EpochTable.serve(spark, path)
+    assert(served.count() === 28L)
+    assert(served.where(col("event_id").isin(3L, 7L)).isEmpty)
+    val plan = served.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), s"not a BHJ:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ:\n$plan")
+    // replaying a NULL-bearing tombstone batch stays a no-op commit
+    // (null-safe dedup): no fresh rows → no new epoch
+    val before = Epoch.resolve(spark, path).get.epoch
+    EpochTable.delete(spark,
+      base.where(col("event_id").isin(3L, 7L)), path, batchId = 3L)
+    assert(Epoch.resolve(spark, path).get.epoch === before)
+    // and the fold physically drops them, serving unchanged
+    EpochTable.compact(spark, path)
+    assert(EpochTable.serve(spark, path).count() === 28L)
+    // a NULL KEY takedown (tombstone batches share one schema per
+    // layout): every null-etype row dies on a single null key
+    val path2 = s"${graft.GraftSession.scratchDir}/table_epoch_nullkey"
+    EpochTable.refresh(spark, path2, base, version = 0L)
+    EpochTable.delete(spark,
+      base.where(col("etype").isNull).select("etype"), path2,
+      batchId = 1L)
+    assert(EpochTable.serve(spark, path2).count() === 20L)
+    assert(EpochTable.serve(spark, path2)
+      .where(col("etype").isNull).isEmpty)
+  }
+
+  test("merge's algebraic load_records equals the full recount across " +
+      "duplicates, prior merges, and tombstones") {
+    val path = s"${graft.GraftSession.scratchDir}/table_epoch_mergecnt"
+    // base carries a DUPLICATE key (id 5 twice)
+    val base = mkTyped(1L to 20L)
+      .unionByName(mkTyped(Seq(5L)).withColumn("etype", lit("dup")))
+    EpochTable.refresh(spark, path, base, version = 0L)
+    // a takedown: id 9 tombstoned
+    EpochTable.delete(spark, Seq(9L).toDF("event_id"), path, batchId = 1L)
+    // merge 1: replaces the duplicated key (both rows die → −1),
+    // inserts 21 (+1), re-merges the tombstoned 9 (suppressed → +0)
+    val loaded1 = EpochTable.merge(spark, path,
+      mkTyped(Seq(5L, 9L, 21L)), version = 1L, keys = Seq("event_id"))
+    assert(loaded1 === EpochTable.serve(spark, path).count())
+    // merge 2 on top of merge 1 (newest-gen-wins shadowing live):
+    // replaces 5 again (+0) and inserts 22 (+1)
+    val loaded2 = EpochTable.merge(spark, path,
+      mkTyped(Seq(5L, 22L)), version = 2L, keys = Seq("event_id"),
+      fullRecount = false)
+    assert(loaded2 === EpochTable.serve(spark, path).count())
+    // the opt-in full recount lands on the same number
+    val loaded3 = EpochTable.merge(spark, path,
+      mkTyped(Seq(23L)), version = 3L, keys = Seq("event_id"),
+      fullRecount = true)
+    assert(loaded3 === loaded2 + 1L)
+    assert(EpochTable.versions(spark, path)
+      .where(col("version") === 2L).head()
+      .getAs[Long]("load_records") === loaded2)
+  }
+
   test("Pipeline.updateTableEpoch: clean → load → epoch commit with " +
       "count-verified metrics riding the manifest") {
     import graft.schemas.Schemas

@@ -322,6 +322,83 @@ class EpochCatalogSpec extends SparkTestBase {
     assert(EpochTable.versions(spark, path).count() === 3L)
   }
 
+  test("snapshot mode refuses history escapes: VERSION/TIMESTAMP AS " +
+      "OF and $versions throw naming the head-mode alternative; " +
+      "tableExists agrees with loadTable on pins and $versions") {
+    registered()
+    val tbl = s"$root/snaptt"
+    val reg = s"$root/snapttreg"
+    def utc(iso: String) =
+      java.sql.Timestamp.from(java.time.Instant.parse(iso))
+    EpochTable.refresh(spark, tbl, mkTyped(1L to 8L), version = 0L,
+      releaseTs = Some(utc("2024-03-01T00:00:00Z")))
+    graft.ops.Snapshot.publish(spark, reg, Map("snaptt" -> 0L), "cut_0")
+    EpochTableCatalog.register(spark, "gsnaptt", root,
+      registry = Some(reg))
+    // an unpublished full reload the cut must never surface — not
+    // through the head read, not through a time-travel side door
+    EpochTable.refresh(spark, tbl, mkTyped(1L to 50L), version = 1L,
+      releaseTs = Some(utc("2024-04-01T00:00:00Z")))
+    assert(spark.sql("SELECT * FROM gsnaptt.snaptt").count() === 8L)
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT * FROM gsnaptt.snaptt VERSION AS OF 1").collect()
+    }
+    assert((e1.getMessage + Option(e1.getCause).map(_.getMessage)
+      .getOrElse("")).contains("SNAPSHOT MODE"), e1.getMessage)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gsnaptt.snaptt " +
+        "TIMESTAMP AS OF TIMESTAMP '2024-04-15 00:00:00'").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gsnaptt.`snaptt$versions`").collect()
+    }
+    // the head catalog still serves all three faces
+    assert(spark.sql("SELECT * FROM gcat.snaptt VERSION AS OF 1")
+      .count() === 50L)
+    assert(spark.sql("SELECT * FROM gcat.`snaptt$versions`")
+      .count() === 2L)
+    // tableExists mirrors loadTable: pinned base yes, unpinned no,
+    // $versions only in head mode
+    val snapCat = spark.sessionState.catalogManager
+      .catalog("gsnaptt")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val headCat = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val id = Identifier.of(Array.empty[String], "snaptt")
+    val idMeta = Identifier.of(Array.empty[String], "snaptt$versions")
+    assert(snapCat.tableExists(id))
+    assert(!snapCat.tableExists(
+      Identifier.of(Array.empty[String], "snapo")))
+    assert(!snapCat.tableExists(idMeta))
+    assert(headCat.tableExists(idMeta))
+    assert(!headCat.tableExists(
+      Identifier.of(Array.empty[String], "nope$versions")))
+  }
+
+  test("SQL DELETE removes NULL-bearing rows: the tombstones carry " +
+      "full rows with NULLs and the null-safe anti-join still kills " +
+      "them; WHERE c IS NULL deletes exactly the null rows") {
+    registered()
+    val path = s"$root/nulldel"
+    val base = (1L to 20L).map(i => (i,
+      if (i % 4 == 0) null else s"v$i",
+      if (i == 5L) None else Some(i * 10L)))
+      .toDF("event_id", "etype", "uid")
+    EpochTable.refresh(spark, path, base, version = 0L)
+    // pushable condition, doomed rows carry NULL etype — the full-row
+    // tombstones must still match them
+    spark.sql("DELETE FROM gcat.nulldel WHERE event_id <= 8")
+    assert(spark.sql("SELECT * FROM gcat.nulldel").count() === 12L)
+    assert(spark.sql(
+      "SELECT * FROM gcat.nulldel WHERE event_id = 4").count() === 0L)
+    // IS NULL is translated, pushed, and actually deletes
+    spark.sql("DELETE FROM gcat.nulldel WHERE etype IS NULL")
+    val left = spark.sql("SELECT * FROM gcat.nulldel")
+    assert(left.count() === 9L)
+    assert(left.where(col("etype").isNull).count() === 0L)
+  }
+
   test("a loaded table is PINNED: dirs resolved at load survive a " +
       "concurrent refresh (snapshot isolation per statement)") {
     registered()
