@@ -489,23 +489,102 @@ object EpochTable {
         else lit(null).cast(f.dataType).as(f.name)): _*)
     }
 
-  /** Commit a staged FULL REWRITE (the SQL row-level CoW path,
-    * [[graft.sources.EpochTableCatalog]]): the caller already moved
-    * the replacement rows into `g<m.next>/data`; this writes the
-    * carried-forward meta (DML rewrites rows, not release history —
-    * the delete+compact precedent) and flips the manifest. Must run
-    * under the same `Epoch.occ` block that claimed `m.next`. */
+  /** Commit a staged ROW-LEVEL rewrite (the SQL UPDATE/MERGE and
+    * non-pushable DELETE copy-on-write path,
+    * [[graft.sources.EpochTableCatalog]]) at FILE granularity:
+    * `rewritten` names the data files the rewrite scan actually read
+    * (after Spark's runtime group filtering pruned it to the files
+    * the command condition touches) and `stage` holds their
+    * replacement rows; every OTHER data file of the `scanned`
+    * manifest carries forward BY REFERENCE — the new manifest lists
+    * it as an individual file entry, no bytes move. Point DML on a
+    * clustered table therefore costs ∝ |touched files|, not
+    * ∝ |table| (the amendment-style point correction the reference
+    * can only express as a monthly full reload,
+    * `updatecalaccessrawdata.py:~100-200`). When no runtime filter
+    * fired, `rewritten` is every file and this degrades exactly to
+    * the whole-table rewrite — correctness never depends on the
+    * pruning.
+    *
+    * CONFLICT CHECK (the Delta/Iceberg commit discipline): the
+    * caller's occ block serializes the COMMIT, but the rewrite read
+    * `scanned` — if any other writer committed since (the head
+    * moved), the replacement rows and the carried-forward file set
+    * are both stale and blindly publishing would silently erase that
+    * writer's rows (the lost-update race). Abort the statement
+    * loudly, clean the staging dir, and let the user re-run against
+    * the new head. `EpochTableSpec` pins both branches. */
   private[graft] def commitRewrite(s: SparkSession, path: String,
-      m: Epoch.Manifest): Unit = {
-    val g = s"$path/g${m.next}"
+      scanned: Epoch.Manifest, rewritten: Set[String],
+      stage: String): Unit = {
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stagePath = new org.apache.hadoop.fs.Path(stage)
+    val m = current(s, path)
+    if (m.epoch != scanned.epoch) {
+      f.delete(stagePath, true)
+      throw new java.util.ConcurrentModificationException(
+        s"EpochTable: row-level rewrite read epoch ${scanned.epoch} " +
+          s"of $path but the head is now ${m.epoch} — a concurrent " +
+          "commit landed mid-statement and publishing would erase its " +
+          "rows; the statement is aborted (staging cleaned), re-run it")
+    }
+    val stagedNonEmpty = f.exists(stagePath) &&
+      f.listStatus(stagePath).exists(st =>
+        st.isFile && isDataFile(st.getPath.getName))
+    if (rewritten.isEmpty && !stagedNonEmpty) {
+      // the condition matched no file and nothing was written — a
+      // no-op statement commits nothing
+      f.delete(stagePath, true)
+      return
+    }
+    val rootAbs = f.makeQualified(new org.apache.hadoop.fs.Path(path))
+      .toUri.getPath
+    def rel(p: org.apache.hadoop.fs.Path): String = {
+      val abs = p.toUri.getPath
+      require(abs.startsWith(rootAbs + "/"),
+        s"EpochTable.commitRewrite: $abs is not under $rootAbs")
+      abs.stripPrefix(rootAbs + "/")
+    }
+    val survivors = dataFiles(s, path, m)
+      .filterNot(st => rewritten.contains(st.getPath.toUri.getPath))
+    val g = Epoch.genDir(s, path, m.next)
+    f.mkdirs(new org.apache.hadoop.fs.Path(g))
+    require(f.rename(stagePath,
+      new org.apache.hadoop.fs.Path(s"$g/data")),
+      s"EpochTable.commitRewrite: staging move $stage -> $g/data failed")
+    val entries = survivors.map(st => rel(st.getPath)) ++
+      (if (stagedNonEmpty) Seq(s"g${m.next}/data") else Seq.empty)
+    require(entries.nonEmpty,
+      s"EpochTable.commitRewrite: the rewrite leaves $path with no " +
+        "data files (every row deleted) — an empty table has no " +
+        "schema to serve; route full truncation through INSERT " +
+        "OVERWRITE / refresh instead")
     metaRows(s, path, Seq(m))
       .coalesce(1).write.mode("overwrite").parquet(s"$g/meta")
     Epoch.commit(s, path, Epoch.Manifest(m.next,
-      Map(Data -> Seq(s"g${m.next}/data"),
-        Meta -> Seq(s"g${m.next}/meta"),
+      Map(Data -> entries, Meta -> Seq(s"g${m.next}/meta"),
         Tomb -> Seq.empty),
       m.applied))
   }
+
+  /** Every physical data file of manifest `m`: dir entries list their
+    * parquet files, file entries (a prior rewrite's carried-forward
+    * survivors) stand alone. One FS listing per dir entry. */
+  private[graft] def dataFiles(s: SparkSession, path: String,
+      m: Epoch.Manifest): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    m.dirs(path, Data).flatMap { d =>
+      val st = f.getFileStatus(new org.apache.hadoop.fs.Path(d))
+      if (st.isFile) Seq(st)
+      else f.listStatus(st.getPath).toSeq
+        .filter(c => c.isFile && isDataFile(c.getPath.getName))
+    }
+  }
+
+  private def isDataFile(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".")
 
   private def metaRows(s: SparkSession, path: String,
       ms: Seq[Epoch.Manifest]): DataFrame =
@@ -862,6 +941,22 @@ object EpochTable {
         version = 0L)
       s.sql(s"UPDATE graft.`$upd` SET uid = uid - 1000000000000 " +
         "WHERE uid >= 1000000000000")
+      // UPDATE with FILE-GRANULAR pruning: the planted corruption
+      // occupies one narrow key interval of a CLUSTERED layout (8
+      // files, disjoint event_id ranges) — the matching subquery
+      // pushes the condition into the parquet scan, runtime group
+      // filtering prunes the rewrite to the touched file(s), and the
+      // commit carries the other files forward by reference
+      val updp = s"table_updp_$tag"
+      val updpPath = s"${graft.GraftSession.scratchDir}/$updp"
+      refresh(s, updpPath,
+        typed.withColumn("uid",
+          when(col("event_id") < 100L,
+            col("uid") + lit(1000000000000L)).otherwise(col("uid"))),
+        version = 0L)
+      compact(s, updpPath, nFiles = 8, clusterBy = Seq("event_id"))
+      s.sql(s"UPDATE graft.`$updp` SET uid = uid - 1000000000000 " +
+        "WHERE event_id < 100")
       // MERGE: a corrupted partial base healed by one SQL merge —
       // matched rows update from the source, missing rows insert
       val mrg = s"table_mrg_$tag"
@@ -924,6 +1019,20 @@ object EpochTable {
   val tableSqlUpdate = GQuery(
     "table_sql_update",
     (s, d) => dmlServe(s, d, "table_upd"),
+    CoreQueries.loadTyped.oracle)
+
+  /** FILE-GRANULAR `UPDATE` through the catalog, driver-verified: the
+    * corruption sits in one key interval of a clustered 8-file
+    * layout, so Spark's runtime group filter (fed by a matching-rows
+    * subquery whose condition reaches the parquet scan) prunes the
+    * copy-on-write rewrite to the touched file(s) and the commit
+    * carries every other file forward BY REFERENCE — ∝ |touched
+    * files| where `table_sql_update` pays ∝ |table|; the served
+    * result still hash-equals `load_typed` (pruning is invisible in
+    * answers — `EpochCatalogSpec` pins the carried-forward file set). */
+  val tableSqlUpdatePruned = GQuery(
+    "table_sql_update_pruned",
+    (s, d) => dmlServe(s, d, "table_updp"),
     CoreQueries.loadTyped.oracle)
 
   /** `MERGE INTO` through the catalog, driver-verified: matched rows
@@ -1318,6 +1427,7 @@ object EpochTable {
     Seq(tableEpoch, tableAsof, tableVersions, tableDiff, tableDelta,
       tableUpsert, tableSchemaEvolve, tableSql, tableSqlAsof,
       tableSqlAsofTs, tableSqlVersions, tableSqlInsert, tableSqlDelete,
-      tableSqlOverwrite, tableSqlUpdate, tableSqlMerge,
+      tableSqlOverwrite, tableSqlUpdate, tableSqlUpdatePruned,
+      tableSqlMerge,
       tableSqlSnapshot, tableCluster, tableStream, snapshotTableFetch)
 }

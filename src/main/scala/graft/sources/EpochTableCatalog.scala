@@ -290,15 +290,15 @@ object EpochTableCatalog {
       with SupportsDelete with SupportsMetadataColumns
       with SupportsRowLevelOperations {
 
-    /** One synthetic metadata column, constant 0: the whole table is
-      * ONE rewrite group. Spark's group-based row-level framework
-      * routes the replacement rows through its data/metadata
-      * projections only when the operation declares metadata
-      * attributes the scan produces (`ReplaceDataExec.writingTask`
-      * falls back to writing RAW rows — operation column included —
-      * otherwise); `_g` exists to engage that path, and whole-table
-      * grouping is exactly the copy-on-write semantic the commit
-      * implements. */
+    /** One synthetic metadata column, the row's FILE PATH: every data
+      * file is its own rewrite group (Iceberg's `_file` discipline).
+      * Spark's group-based row-level framework routes the replacement
+      * rows through its data/metadata projections only when the
+      * operation declares metadata attributes the scan produces
+      * (`ReplaceDataExec.writingTask` falls back to writing RAW rows
+      * — operation column included — otherwise); `_g` engages that
+      * path AND carries the group identity the runtime group filter
+      * prunes on ([[RewriteScan]]). */
     override def metadataColumns(): Array[MetadataColumn] =
       Array(EpochTableCatalog.RewriteGroupColumn)
     override def name(): String = ident
@@ -348,25 +348,40 @@ object EpochTableCatalog {
       }
 
     /** SQL `UPDATE` / `MERGE INTO` (and non-pushable `DELETE`),
-      * GROUP-BASED COPY-ON-WRITE: the whole table is one rewrite group
-      * — the rewrite scan reads every row of the current folded
-      * snapshot (the scan builder deliberately exposes NO filter
-      * pushdown: a pushed condition would prune rows out of the
-      * rewrite and a whole-table replace would lose them), Spark
-      * computes the merged row set, and the replacement rows stream
-      * through Spark's own parquet writers into a private staging dir;
-      * the driver-side commit renames the staged dir into the next
-      * generation and flips the manifest under `Epoch.occ` — readers
-      * keep their pinned version throughout, the pre-statement version
-      * stays addressable, meta rows carry forward verbatim (DML
-      * rewrites rows, not release history — the delete+compact
-      * precedent). ∝ |table| per statement, the price every
-      * copy-on-write format pays; ∝-|batch| amendments use the
-      * programmatic merge / CDC faces. */
+      * GROUP-BASED COPY-ON-WRITE at FILE granularity: every data file
+      * is one rewrite group. The rewrite scan plans one partition per
+      * file and exposes NO build-time filter pushdown (a pushed
+      * condition would prune ROWS out of the rewrite and the replaced
+      * groups would lose them) — but it DOES accept Spark's runtime
+      * group filter ([[RewriteScan]] implements
+      * `SupportsRuntimeV2Filtering` on `_g`): the optimizer plans a
+      * matching-rows subquery over the ORIGINAL table (full pushdown
+      * — the command condition reaches the parquet scan, footer
+      * stats + the `table_cluster` layout prune it to few files),
+      * collects the distinct `_g` file paths that contain matches,
+      * and the rewrite scan drops every other file. The replacement
+      * rows for the MATCHED FILES ONLY stream through Spark's own
+      * parquet writers into a private staging dir; the driver-side
+      * commit ([[graft.ops.EpochTable.commitRewrite]]) carries every
+      * untouched file forward BY REFERENCE in the new manifest and
+      * aborts loudly if any concurrent commit moved the head
+      * mid-statement (the lost-update conflict check). Readers keep
+      * their pinned version throughout; the pre-statement version
+      * stays addressable; meta rows carry forward verbatim. Cost
+      * ∝ |touched files| on a clustered layout — degrades to the
+      * whole-table rewrite (never to wrong answers) when the
+      * condition cannot prune. */
     override def newRowLevelOperationBuilder(
         info: RowLevelOperationInfo): RowLevelOperationBuilder =
       new RowLevelOperationBuilder {
         override def build(): RowLevelOperation = new RowLevelOperation {
+          // the manifest the rewrite scan pinned + the scan itself —
+          // the commit consults both (conflict check; the scanned
+          // file set after runtime group filtering)
+          @volatile private var scanned: Epoch.Manifest = _
+          @volatile private var rewriteScan
+              : EpochTableCatalog.RewriteScan = _
+
           override def command(): RowLevelOperation.Command =
             info.command()
 
@@ -376,9 +391,10 @@ object EpochTableCatalog {
 
           override def newScanBuilder(
               options: CaseInsensitiveStringMap): ScanBuilder = {
-            val m = EpochTable.current(s, layoutPath)
+            scanned = EpochTable.current(s, layoutPath)
             new EpochTableCatalog.RewriteScanBuilder(s,
-              EpochTable.scanDirs(s, layoutPath, m))
+              EpochTable.scanDirs(s, layoutPath, scanned),
+              sc => rewriteScan = sc)
           }
 
           override def newWriteBuilder(
@@ -408,7 +424,12 @@ object EpochTableCatalog {
                   override def commit(
                       messages: Array[WriterCommitMessage]): Unit = {
                     db.commit(messages)
-                    publishStaged(stage)
+                    val rewritten = Option(rewriteScan)
+                      .map(_.scannedFilePaths).getOrElse(Set.empty)
+                    Epoch.occ(s, layoutPath) {
+                      EpochTable.commitRewrite(s, layoutPath, scanned,
+                        rewritten, stage)
+                    }
                   }
                   override def abort(
                       messages: Array[WriterCommitMessage]): Unit = {
@@ -423,21 +444,6 @@ object EpochTableCatalog {
             }
           }
         }
-      }
-
-    /** Flip a staged full rewrite into the next epoch: one directory
-      * rename into the claimed generation + one manifest rename. */
-    private def publishStaged(stage: String): Unit =
-      Epoch.occ(s, layoutPath) {
-        val m = EpochTable.current(s, layoutPath)
-        val g = Epoch.genDir(s, layoutPath, m.next)
-        val f = new org.apache.hadoop.fs.Path(layoutPath)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        f.mkdirs(new org.apache.hadoop.fs.Path(g))
-        require(f.rename(new org.apache.hadoop.fs.Path(stage),
-          new org.apache.hadoop.fs.Path(s"$g/data")),
-          s"EpochTableCatalog: staging move $stage -> $g/data failed")
-        EpochTable.commitRewrite(s, layoutPath, m)
       }
 
     override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
@@ -471,26 +477,57 @@ object EpochTableCatalog {
   /** The rewrite-group metadata column name ([[RewriteGroupColumn]]). */
   private[sources] val GroupCol = "_g"
 
-  /** The one rewrite group: constant 0 — see
-    * `PinnedEpochTable.metadataColumns`. */
+  /** The rewrite group identity: the row's data FILE PATH (scheme
+    * stripped) — every file is one copy-on-write group, so runtime
+    * group filtering prunes point DML to the files its condition
+    * touches. */
   private[sources] object RewriteGroupColumn extends MetadataColumn {
     override def name(): String = GroupCol
     override def dataType(): org.apache.spark.sql.types.DataType =
-      org.apache.spark.sql.types.IntegerType
+      org.apache.spark.sql.types.StringType
     override def isNullable: Boolean = false
     override def comment(): String =
-      "rewrite group id (constant — the whole table is one " +
-        "copy-on-write group)"
+      "rewrite group id: the row's data file path — one " +
+        "copy-on-write group per file"
   }
 
-  /** The ROW-LEVEL REWRITE scan: reads every row of the pinned dirs.
-    * Deliberately exposes ONLY column pruning — no filter pushdown
-    * interfaces — so the command's condition can never prune rows out
-    * of a whole-table rewrite; produces the constant `_g` group
-    * column when the plan asks for it (always last, after the data
-    * columns — the row-level read relation's layout). */
+  /** One [[FilePartition]] per physical FILE: the delegate parquet
+    * scan may split a file into ranges or coalesce several files into
+    * one partition; regroup so partition ≡ group. Group identity must
+    * survive splits, so it is the file path, never the partition. */
+  private[sources] def perFilePartitions(
+      parts: Array[InputPartition])
+      : Array[org.apache.spark.sql.execution.datasources.FilePartition] = {
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    val files = parts.flatMap {
+      case fp: FilePartition => fp.files
+      case other => throw new IllegalStateException(
+        s"EpochTableCatalog: expected FilePartition from the parquet " +
+          s"scan, got ${other.getClass.getName}")
+    }
+    files.groupBy(_.filePath.toString).toSeq.sortBy(_._1).zipWithIndex
+      .map { case ((_, fs), i) => FilePartition(i, fs) }.toArray
+  }
+
+  /** The group id of a per-file partition — the SAME derivation the
+    * reader factory appends as `_g`, so the runtime filter's IN-set
+    * and the commit's rewritten-file set always compare like with
+    * like. */
+  private[sources] def partitionFilePath(
+      fp: org.apache.spark.sql.execution.datasources.FilePartition)
+      : String =
+    fp.files.head.filePath.toPath.toUri.getPath
+
+  /** The ROW-LEVEL REWRITE scan builder. Exposes ONLY column pruning
+    * — no build-time filter pushdown — so the command's condition can
+    * never prune ROWS out of a group rewrite (a replaced file would
+    * lose its unmatched rows); group-level pruning arrives through
+    * the RUNTIME filter instead ([[RewriteScan.filter]]). `onBuild`
+    * hands the built scan back to the [[RowLevelOperation]] so the
+    * commit can read the post-filter scanned-file set. */
   private[sources] final class RewriteScanBuilder(s: SparkSession,
-      dirs: Seq[String]) extends ScanBuilder
+      dirs: Seq[String], onBuild: RewriteScan => Unit = _ => ())
+      extends ScanBuilder
       with SupportsPushDownRequiredColumns {
     private val delegate = ParquetTable("epoch-rewrite", s,
       new CaseInsensitiveStringMap(java.util.Collections.emptyMap()),
@@ -509,41 +546,122 @@ object EpochTableCatalog {
         requiredSchema.fields.filterNot(_.name == GroupCol)))
     }
 
-    override def build(): Scan =
-      new RewriteScan(delegate.build(), needsGroup)
+    override def build(): Scan = {
+      val sc = new RewriteScan(delegate.build(), needsGroup)
+      onBuild(sc)
+      sc
+    }
   }
 
-  private final class RewriteScan(delegate: Scan, withGroup: Boolean)
-      extends Scan with Batch {
+  /** Per-file rewrite scan with RUNTIME GROUP FILTERING: Spark's
+    * optimizer (RowLevelOperationRuntimeGroupFiltering) plans a
+    * matching-rows subquery over the original table — command
+    * condition pushed all the way into the parquet scan — and feeds
+    * the distinct matched `_g` values here via [[filter]]; only the
+    * matched files stay in the rewrite. `scannedFilePaths` is what
+    * the commit replaces — initialized to every file, narrowed by the
+    * runtime filter, so a plan where the rule never fires degrades to
+    * the whole-table rewrite, never to a wrong answer. Also serves as
+    * the `_g`-producing BATCH scan of the original table (the
+    * matching subquery's read — [[EpochTableStream.StreamableScanBuilder]]
+    * builds one when `_g` is requested). */
+  private[sources] final class RewriteScan(delegate: Scan,
+      withGroup: Boolean) extends Scan with Batch
+      with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    import org.apache.spark.sql.execution.datasources.FilePartition
+
+    private lazy val allParts: Array[FilePartition] =
+      perFilePartitions(delegate.toBatch.planInputPartitions())
+    @volatile private var retained: Option[Array[FilePartition]] = None
+    private def parts: Array[FilePartition] = retained.getOrElse(allParts)
+
+    /** The files this scan will read / has read — post runtime
+      * filtering. */
+    private[sources] def scannedFilePaths: Set[String] =
+      parts.map(partitionFilePath).toSet
+
     override def readSchema(): StructType =
       if (!withGroup) delegate.readSchema()
       else StructType(delegate.readSchema().fields :+
         org.apache.spark.sql.types.StructField(GroupCol,
-          org.apache.spark.sql.types.IntegerType, nullable = false))
+          org.apache.spark.sql.types.StringType, nullable = false))
     override def description(): String =
       s"epoch-rewrite(${delegate.description()})"
     override def toBatch: Batch = this
+
+    override def filterAttributes(): Array[NamedReference] =
+      Array(Expressions.column(GroupCol))
+
+    override def filter(predicates: Array[
+        org.apache.spark.sql.connector.expressions.filter.Predicate])
+        : Unit = {
+      val sets = predicates.flatMap(inSetOnGroupCol)
+      if (sets.nonEmpty) {
+        val keep = sets.reduce(_ intersect _)
+        retained = Some(parts.filter(p =>
+          keep.contains(partitionFilePath(p))))
+      }
+      // unrecognized predicates prune nothing — scanning more files
+      // than matched is always safe (they rewrite to themselves)
+    }
+
     override def planInputPartitions(): Array[InputPartition] =
-      delegate.toBatch.planInputPartitions()
+      parts.toArray[InputPartition]
     override def createReaderFactory(): PartitionReaderFactory = {
       val inner = delegate.toBatch.createReaderFactory()
-      if (!withGroup) inner else GroupAppendReaderFactory(inner)
+      if (!withGroup) inner else FilePathAppendReaderFactory(inner)
     }
   }
 
-  /** Appends the constant group ordinal to every row — forces the
-    * row-based read path (the join is per-row; the rewrite is a
-    * one-shot maintenance scan, not a serving path). */
-  private final case class GroupAppendReaderFactory(
+  /** Parse a runtime predicate into the matched `_g` set: `IN(_g,
+    * v…)` (what the dynamic-pruning subquery produces) or `=(_g, v)`.
+    * None → not a `_g` restriction → ignored (safe direction). */
+  private def inSetOnGroupCol(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[Set[String]] = {
+    def isG(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Boolean = e match {
+      case r: NamedReference => r.fieldNames.toSeq == Seq(GroupCol)
+      case _ => false
+    }
+    def lit(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_]
+          if l.value != null => Some(l.value.toString)
+      case _ => None
+    }
+    p.name() match {
+      case "IN" if p.children().nonEmpty && isG(p.children().head) =>
+        Some(p.children().tail.flatMap(lit).toSet)
+      case "=" if p.children().length == 2 && isG(p.children().head) =>
+        lit(p.children()(1)).map(Set(_))
+      case _ => None
+    }
+  }
+
+  /** Appends the partition's FILE PATH as `_g` to every row — forces
+    * the row-based read path (per-row join; rewrite and
+    * matching-subquery scans are maintenance paths, not serving
+    * paths). Partitions are per-file ([[perFilePartitions]]), so the
+    * group id is one constant per partition. */
+  private final case class FilePathAppendReaderFactory(
       delegate: PartitionReaderFactory) extends PartitionReaderFactory {
     override def supportColumnarReads(p: InputPartition): Boolean = false
     override def createReader(
         p: InputPartition): PartitionReader[InternalRow] = {
+      val path = p match {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+          partitionFilePath(fp)
+        case other => throw new IllegalStateException(
+          s"FilePathAppendReaderFactory: expected FilePartition, got " +
+            other.getClass.getName)
+      }
       val d = delegate.createReader(p)
       new PartitionReader[InternalRow] {
         private val joined =
           new org.apache.spark.sql.catalyst.expressions.JoinedRow
-        private val group = InternalRow(0)
+        private val group = InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(path))
         override def next(): Boolean = d.next()
         override def get(): InternalRow = joined(d.get(), group)
         override def close(): Unit = d.close()

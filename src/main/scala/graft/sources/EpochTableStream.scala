@@ -163,7 +163,16 @@ object EpochTableStream {
   /** ScanBuilder that keeps the delegate's full pushdown surface
     * (catalyst filters incl. partition pruning, column pruning,
     * aggregate pushdown) and returns a Scan that can ALSO stream —
-    * the batch path is the delegate's scan verbatim. */
+    * the batch path is the delegate's scan verbatim.
+    *
+    * When the required schema asks for the `_g` metadata column (the
+    * row's file path — only the row-level matching subquery and
+    * explicit provenance reads do), the build returns the per-file
+    * `_g`-appending scan instead: the pushed condition still reaches
+    * the parquet readers (footer-stats pruning intact), each matched
+    * row carries the file it lives in, and the dynamic-pruning
+    * subquery turns that into the rewrite's file set. The serving
+    * path — no `_g` — keeps the stock vectorized scan untouched. */
   private[sources] final class StreamableScanBuilder(s: SparkSession,
       path: String, delegate: ParquetScanBuilder,
       options: CaseInsensitiveStringMap)
@@ -172,6 +181,7 @@ object EpochTableStream {
 
     private var pushedExprs: Seq[Expression] = Seq.empty
     private var required: Option[StructType] = None
+    private var needsGroup = false
 
     override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
       pushedExprs = filters
@@ -182,20 +192,28 @@ object EpochTableStream {
       delegate.pushedFilters
 
     override def pruneColumns(requiredSchema: StructType): Unit = {
-      required = Some(requiredSchema)
-      delegate.pruneColumns(requiredSchema)
+      import graft.sources.{EpochTableCatalog => Cat}
+      needsGroup = requiredSchema.fieldNames.contains(Cat.GroupCol)
+      val pruned = StructType(
+        requiredSchema.fields.filterNot(_.name == Cat.GroupCol))
+      required = Some(pruned)
+      delegate.pruneColumns(pruned)
     }
 
     override def pushAggregation(aggregation: Aggregation): Boolean =
-      delegate.pushAggregation(aggregation)
+      !needsGroup && delegate.pushAggregation(aggregation)
 
     override def supportCompletePushDown(
         aggregation: Aggregation): Boolean =
-      delegate.supportCompletePushDown(aggregation)
+      !needsGroup && delegate.supportCompletePushDown(aggregation)
 
     override def build(): Scan =
-      new StreamableScan(delegate.build(),
-        new TableChangesStream(s, path, options, required, pushedExprs))
+      if (needsGroup)
+        new EpochTableCatalog.RewriteScan(delegate.build(),
+          withGroup = true)
+      else
+        new StreamableScan(delegate.build(),
+          new TableChangesStream(s, path, options, required, pushedExprs))
   }
 
   /** The delegate parquet scan, plus the micro-batch face. */

@@ -399,6 +399,88 @@ class EpochCatalogSpec extends SparkTestBase {
     assert(left.where(col("etype").isNull).count() === 0L)
   }
 
+  test("file-granular rewrite groups: a point UPDATE on a clustered " +
+      "table rewrites ONLY the files its condition touches — " +
+      "untouched files carry forward by reference, byte-identical") {
+    registered()
+    val path = s"$root/pruned"
+    EpochTable.refresh(spark, path, mkTyped(1L to 4000L), version = 0L)
+    // cluster into 8 files, each owning a disjoint event_id interval
+    EpochTable.compact(spark, path, nFiles = 8,
+      clusterBy = Seq("event_id"))
+    val before = Epoch.resolve(spark, path).get
+    val beforeFiles = EpochTable.dataFiles(spark, path, before)
+      .map(st => (st.getPath.toUri.getPath, st.getModificationTime,
+        st.getLen))
+    assert(beforeFiles.size === 8, s"expected 8 files: $beforeFiles")
+    // point update: one id → the condition prunes to ONE file
+    spark.sql("UPDATE gcat.pruned SET etype = 'point', uid = 0 " +
+      "WHERE event_id = 1234")
+    val served = spark.sql("SELECT * FROM gcat.pruned")
+    assert(served.count() === 4000L)
+    assert(served.where(col("etype") === "point").count() === 1L)
+    assert(served.where(col("event_id") === 1234L).head()
+      .getAs[Long]("uid") === 0L)
+    // the committed manifest carries ≥ 6 of the 8 files forward as
+    // individual FILE entries (same path, same bytes — nothing moved);
+    // only the matched file(s) were rewritten into the new generation
+    val after = Epoch.resolve(spark, path).get
+    assert(after.epoch === before.epoch + 1)
+    val afterFiles = EpochTable.dataFiles(spark, path, after)
+      .map(st => (st.getPath.toUri.getPath, st.getModificationTime,
+        st.getLen))
+    val carried = afterFiles.toSet.intersect(beforeFiles.toSet)
+    assert(carried.size >= 6,
+      s"runtime group filtering did not prune: carried=${carried.size}" +
+        s" of ${beforeFiles.size}\nbefore=$beforeFiles\nafter=$afterFiles")
+    assert(carried.size < beforeFiles.size)
+    // and the rewrite's data entries name those files individually
+    val entries = after.components("data")
+    assert(entries.count(_.endsWith(".parquet")) === carried.size,
+      entries.toString)
+  }
+
+  test("a concurrent commit between the rewrite scan and its publish " +
+      "aborts the statement loudly and cleans the staging dir (the " +
+      "lost-update conflict check)") {
+    val path = s"$root/conflict"
+    EpochTable.refresh(spark, path, mkTyped(1L to 100L), version = 0L)
+    val scanned = Epoch.resolve(spark, path).get
+    // simulate the race: an INSERT-like delta commits AFTER the
+    // rewrite pinned `scanned` but BEFORE its publish
+    EpochTable.refreshDelta(spark, path, mkTyped(101L to 110L),
+      version = 1L)
+    // a staged rewrite of the OLD head must now refuse to publish
+    val stage = s"$path/_stage_test"
+    mkTyped(1L to 100L).withColumn("etype", lit("rewritten"))
+      .write.mode("overwrite").parquet(stage)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Epoch.occ(spark, path) {
+        EpochTable.commitRewrite(spark, path, scanned,
+          EpochTable.dataFiles(spark, path, scanned)
+            .map(_.getPath.toUri.getPath).toSet, stage)
+      }
+    }
+    assert(e.getMessage.contains("concurrent commit"), e.getMessage)
+    // staging cleaned, head untouched, the concurrent rows intact
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(stage)))
+    assert(Epoch.resolve(spark, path).get.epoch === 1L)
+    assert(EpochTable.serve(spark, path).count() === 110L)
+    // the happy path still publishes: same rewrite against the NEW head
+    val head = Epoch.resolve(spark, path).get
+    mkTyped(1L to 110L).withColumn("etype", lit("rw"))
+      .write.mode("overwrite").parquet(stage)
+    Epoch.occ(spark, path) {
+      EpochTable.commitRewrite(spark, path, head,
+        EpochTable.dataFiles(spark, path, head)
+          .map(_.getPath.toUri.getPath).toSet, stage)
+    }
+    assert(EpochTable.serve(spark, path)
+      .where(col("etype") === "rw").count() === 110L)
+  }
+
   test("a loaded table is PINNED: dirs resolved at load survive a " +
       "concurrent refresh (snapshot isolation per statement)") {
     registered()
