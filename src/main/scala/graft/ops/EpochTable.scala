@@ -52,6 +52,18 @@ object EpochTable {
   private val Merge = "merge"
   private val MergeKeys = "mergekeys"
 
+  /** Marker component: `kind → compact` tags a CONTENT-PRESERVING
+    * epoch (a fold rearranges bytes, serving before ≡ after), so the
+    * change-feed faces can SKIP it instead of failing the stream —
+    * the `dataChange=false` idea from the table-format world. Epochs
+    * that inherit components from their predecessor strip the marker
+    * (a delta/merge/delete after a fold IS a data change). */
+  private val Kind = "kind"
+  private val KindCompact = "compact"
+
+  private[graft] def isContentPreserving(m: Epoch.Manifest): Boolean =
+    m.components.get(Kind).exists(_.contains(KindCompact))
+
   private[graft] def current(s: SparkSession, path: String)
       : Epoch.Manifest =
     Epoch.resolve(s, path).getOrElse(throw new IllegalStateException(
@@ -274,7 +286,7 @@ object EpochTable {
         "load_records", "error_records"), releaseTs)
       .coalesce(1).write.mode("overwrite").parquet(s"$g/meta")
     Epoch.commit(s, path, Epoch.Manifest(m.next,
-      m.components
+      (m.components - Kind)
         .updated(Data, m.components(Data) :+ s"g${m.next}/delta")
         .updated(Meta, Seq(s"g${m.next}/meta")),
       m.applied :+ key))
@@ -336,7 +348,7 @@ object EpochTable {
     Seq(keys).toDF("keys")
       .coalesce(1).write.mode("overwrite").parquet(s"$g/mergekeys")
     val next = Epoch.Manifest(m.next,
-      m.components
+      (m.components - Kind)
         .updated(Merge,
           m.components.getOrElse(Merge, Seq.empty) :+ s"g${m.next}/merge")
         .updated(MergeKeys, Seq(s"g${m.next}/mergekeys")),
@@ -421,7 +433,7 @@ object EpochTable {
     oldTomb.map(_.unionByName(fresh)).getOrElse(fresh)
       .coalesce(1).write.mode("overwrite").parquet(s"$g/tombstones")
     Epoch.commit(s, path, Epoch.Manifest(m.next,
-      m.components.updated(Tomb, Seq(s"g${m.next}/tombstones")),
+      (m.components - Kind).updated(Tomb, Seq(s"g${m.next}/tombstones")),
       m.applied :+ key))
   }
 
@@ -456,7 +468,8 @@ object EpochTable {
     Epoch.commit(s, path, Epoch.Manifest(m.next,
       Map(Data -> Seq(s"g${m.next}/data"),
         Meta -> Seq(s"g${m.next}/meta"),
-        Tomb -> Seq.empty),
+        Tomb -> Seq.empty,
+        Kind -> Seq(KindCompact)),
       m.applied))
   }
 
@@ -1326,6 +1339,87 @@ object EpochTable {
       ORDER BY event_id
     """))
 
+  /** Layout + one bounded run for the TYPED change-feed entry: a
+    * partial snapshot with planted stale rows, healed by ONE merge
+    * version, grown by one delta version, then a takedown — the
+    * `$changes` stream from `startingVersion=1` must emit exactly the
+    * merge batch as upserts, the delta as inserts, and the doomed
+    * keys as NULL-padded delete rows. */
+  private val cdcSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedCdcOut(s: SparkSession, d: String): String =
+    graft.BuildOnce.memo(cdcSaved, d) {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${graft.GraftSession.scratchDir}/table_cdc_$tag"
+      val out = s"${graft.GraftSession.scratchDir}/table_cdc_out_$tag"
+      val typed = CoreQueries.loadTyped.fn(s, d)
+      refresh(s, path,
+        typed.where(col("event_id") % 2 === 0)
+          .withColumn("etype",
+            when(col("event_id") % 14 === 0, lit("STALE"))
+              .otherwise(col("etype"))),
+        version = 0L)
+      merge(s, path, typed.where(col("event_id") % 14 === 0),
+        version = 1L, keys = Seq("event_id"))
+      refreshDelta(s, path, typed.where(col("event_id") % 2 === 1),
+        version = 2L)
+      delete(s, typed.where(col("event_id") % 10 === 6)
+        .select("event_id"), path, batchId = 1L)
+      graft.sources.EpochTableCatalog.register(s, "graft",
+        graft.GraftSession.scratchDir)
+      val q = s.readStream.option("startingVersion", "1")
+        .table(s"graft.`table_cdc_$tag$$changes`")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", s"${out}_ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      out
+    }
+
+  /** The TYPED CHANGE FEED (`tbl$changes`), driver-verified: one
+    * merge, one delta, and one takedown version stream as typed
+    * change rows — `_op` ∈ upsert/insert/delete with the after-image
+    * columns (delete rows carry the doomed key, other columns NULL).
+    * The oracle recomputes all three change sets relationally from
+    * the raw table; hash-equality proves the feed emitted exactly the
+    * committed changes, nothing retracted, nothing doubled.
+    * ≙ the reference's users diffing two monthly databases by hand —
+    * here the log of what changed is a first-class subscription. */
+  val tableStreamCdc = GQuery(
+    "table_stream_cdc",
+    (s, d) => s.read.parquet(savedCdcOut(s, d))
+      // ISO-string the date on BOTH sides: an all-NULL date column
+      // arrow-types as object vs datetime64 and None ≠ NaT in the
+      // driver compare
+      .select(col("_op"), col("event_id"),
+        date_format(col("event_date"), "yyyy-MM-dd").as("event_date"),
+        col("value_dec"), col("etype"), col("uid"))
+      .orderBy("_op", "event_id"),
+    Some("""
+      WITH t AS (
+        SELECT event_id,
+               CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+               CAST(CAST(value AS DECIMAL(14,2)) AS DOUBLE) AS value_dec,
+               NULLIF(TRIM(event_type), '') AS etype,
+               CAST(user_id AS BIGINT) AS uid
+        FROM events)
+      SELECT _op, event_id, event_date, value_dec, etype, uid FROM (
+        SELECT 'upsert' AS _op, event_id, event_date, value_dec,
+               etype, uid
+        FROM t WHERE event_id % 14 = 0
+        UNION ALL
+        SELECT 'insert', event_id, event_date, value_dec, etype, uid
+        FROM t WHERE event_id % 2 = 1
+        UNION ALL
+        SELECT 'delete', event_id, CAST(NULL AS VARCHAR),
+               CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+               CAST(NULL AS BIGINT)
+        FROM t WHERE event_id % 10 = 6)
+      ORDER BY _op, event_id
+    """))
+
   /** Cross-tier state for the search→fetch composition: the postings
     * epoch layout AND a table-tier layout over the documents' typed
     * row projection, grown in lockstep (even halves → snapshot 0 →
@@ -1429,5 +1523,6 @@ object EpochTable {
       tableSqlAsofTs, tableSqlVersions, tableSqlInsert, tableSqlDelete,
       tableSqlOverwrite, tableSqlUpdate, tableSqlUpdatePruned,
       tableSqlMerge,
-      tableSqlSnapshot, tableCluster, tableStream, snapshotTableFetch)
+      tableSqlSnapshot, tableCluster, tableStream, tableStreamCdc,
+      snapshotTableFetch)
 }

@@ -119,15 +119,15 @@ final class EpochTableCatalog extends TableCatalog {
     * rules [[loadTable]] applies, so EXISTS and LOAD can never
     * disagree. */
   override def tableExists(ident: Identifier): Boolean = {
-    val isMeta = ident.name().endsWith(MetaSuffix)
-    val base =
-      if (isMeta)
-        Identifier.of(ident.namespace(),
-          ident.name().stripSuffix(MetaSuffix))
-      else ident
-    // snapshot mode refuses $versions in loadTable (history escapes
-    // the cut) — EXISTS answers consistently
-    (!isMeta || registry.isEmpty) &&
+    val suffix = Seq(MetaSuffix, ChangesSuffix)
+      .find(ident.name().endsWith)
+    val base = suffix.fold(ident)(sfx =>
+      Identifier.of(ident.namespace(),
+        ident.name().stripSuffix(sfx)))
+    // snapshot mode refuses $versions/$changes in loadTable (history
+    // and the live head both escape the cut) — EXISTS answers
+    // consistently
+    (suffix.isEmpty || registry.isEmpty) &&
     registry.forall(reg =>
       graft.ops.Snapshot.resolvePins(active, reg).contains(base.name())) &&
       Epoch.resolve(active, layoutPath(base)).nonEmpty
@@ -137,6 +137,13 @@ final class EpochTableCatalog extends TableCatalog {
     * RawDataVersion history of `graft.tbl` (id, verified counts, the
     * verify invariant, the declared release instant) as a SQL table. */
   private val MetaSuffix = "$versions"
+
+  /** The TYPED CHANGE FEED suffix: `readStream.table("graft.\`tbl$changes\`")`
+    * subscribes to the table's committed changes as typed rows
+    * (after-image columns + `_op` + `_epoch`) — merge versions stream
+    * as upserts, takedowns as delete keys, folds are skipped
+    * ([[EpochTableStream.ChangesTable]]). */
+  private val ChangesSuffix = "$changes"
 
   /** The CURRENT version — resolved at load time, pinned thereafter.
     * `tbl$versions` loads the version-history metadata table. */
@@ -151,6 +158,16 @@ final class EpochTableCatalog extends TableCatalog {
         throw new NoSuchTableException(ident)
       return new EpochTableCatalog.VersionsTable(ident.toString,
         EpochTable.versionsMeta(s, p).orderBy("version"))
+    }
+    if (ident.name().endsWith(ChangesSuffix)) {
+      refuseEscapeInSnapshotMode("the $changes feed (it follows the " +
+        "live head)")
+      val base = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix(ChangesSuffix))
+      val p = layoutPath(base)
+      if (Epoch.resolve(s, p).isEmpty)
+        throw new NoSuchTableException(ident)
+      return new EpochTableStream.ChangesTable(ident.toString, s, p)
     }
     val p = layoutPath(ident)
     val m = registry match {

@@ -3,7 +3,9 @@ package graft.sources
 import graft.ops.{Epoch, EpochTable}
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
@@ -111,33 +113,32 @@ object EpochTableStream {
     /** The data directories manifests (a, b] ADDED, append-only
       * validated epoch by epoch. Epoch 0's predecessor is the empty
       * layout, so a stream started AT the first version (offset -1)
-      * emits the initial snapshot as its first batch. */
-    private def dirsBetween(a: Long, b: Long): Seq[String] = {
-      def manifest(n: Long) = Epoch.resolveAsOf(s, path, n).getOrElse(
-        throw new IllegalStateException(
-          s"EpochTableStream: epoch $n at $path is gone — the stream " +
-            "fell behind the retention horizon (Epoch.prune); restart " +
-            "from a retained version"))
-      (a + 1 to b).flatMap { n =>
-        val prev =
-          if (n == 0L) Epoch.Manifest(-1L, Map.empty, Seq.empty)
-          else manifest(n - 1)
-        val cur = manifest(n)
-        val prevData = prev.components.getOrElse("data", Seq.empty)
-        val curData = cur.components.getOrElse("data", Seq.empty)
-        require(prevData.forall(curData.contains),
-          s"EpochTableStream: epoch $n at $path rewrote data " +
-            "directories (a refresh or compact) — a stream cannot " +
-            "replay rewritten history; restart from the new snapshot")
-        require(cur.components.getOrElse("merge", Seq.empty) ==
-            prev.components.getOrElse("merge", Seq.empty),
-          s"EpochTableStream: epoch $n at $path committed a keyed " +
-            "merge — upserts shadow rows a stream already emitted; " +
-            "restart from a compacted snapshot")
-        // a tombstone-only epoch adds no dirs and emits nothing
-        curData.filterNot(prevData.contains).map(d => s"$path/$d")
+      * emits the initial snapshot as its first batch. A fold epoch
+      * (`kind → compact` — serving before ≡ after) emits nothing and
+      * does NOT break the stream: subsequent deltas append onto the
+      * folded layout and keep streaming. */
+    private def dirsBetween(a: Long, b: Long): Seq[String] =
+      EpochTableStream.epochSteps(s, path, a, b).flatMap {
+        case (_, prev, cur) if EpochTable.isContentPreserving(cur) =>
+          Seq.empty
+        case (n, prev, cur) =>
+          val prevData = prev.components.getOrElse("data", Seq.empty)
+          val curData = cur.components.getOrElse("data", Seq.empty)
+          require(prevData.forall(curData.contains),
+            s"EpochTableStream: epoch $n at $path rewrote data " +
+              "directories (a refresh or row-level rewrite) — a " +
+              "stream cannot replay rewritten history; restart from " +
+              "the new snapshot")
+          require(cur.components.getOrElse("merge", Seq.empty) ==
+              prev.components.getOrElse("merge", Seq.empty),
+            s"EpochTableStream: epoch $n at $path committed a keyed " +
+              "merge — upserts shadow rows a stream already emitted; " +
+              "restart from a compacted snapshot (or read the " +
+              "change-feed face, `tbl$$changes`, which emits them " +
+              "as typed upsert rows)")
+          // a tombstone-only epoch adds no dirs and emits nothing
+          curData.filterNot(prevData.contains).map(d => s"$path/$d")
       }
-    }
 
     override def planInputPartitions(start: Offset,
         end: Offset): Array[InputPartition] = {
@@ -229,5 +230,238 @@ object EpochTableStream {
     override def supportedCustomMetrics()
         : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
       delegate.supportedCustomMetrics()
+  }
+
+  // ------------------------------------------------------------------
+  // The TYPED CHANGE FEED — `tbl$changes`
+  // ------------------------------------------------------------------
+
+  /** The change-feed op column: `insert` (a delta version's rows),
+    * `upsert` (a merge version's after-images — the row that now
+    * serves for its key), `delete` (the takedown's key rows, columns
+    * the table lacks padded NULL). */
+  private[sources] val OpCol = "_op"
+
+  /** The epoch number that committed the change — monotone and
+    * defined for every change kind (takedown epochs carry no
+    * RawDataVersion id: a takedown is not a release). */
+  private[sources] val EpochCol = "_epoch"
+
+  /** Walk manifests (a, b] as (n, prev, cur) steps — shared by the
+    * append-only and change-feed planners; a pruned predecessor
+    * fails loudly with the retention message. */
+  private[sources] def epochSteps(s: SparkSession, path: String,
+      a: Long, b: Long): Seq[(Long, Epoch.Manifest, Epoch.Manifest)] = {
+    def manifest(n: Long) = Epoch.resolveAsOf(s, path, n).getOrElse(
+      throw new IllegalStateException(
+        s"EpochTableStream: epoch $n at $path is gone — the stream " +
+          "fell behind the retention horizon (Epoch.prune); restart " +
+          "from a retained version"))
+    (a + 1 to b).map { n =>
+      val prev =
+        if (n == 0L) Epoch.Manifest(-1L, Map.empty, Seq.empty)
+        else manifest(n - 1)
+      (n, prev, manifest(n))
+    }
+  }
+
+  /** `readStream.table("graft.\`tbl$changes\`")` — the table's epoch
+    * history as TYPED CHANGE ROWS (Delta CDF / Iceberg changelog, on
+    * the manifest chain): every column of the table (the AFTER image
+    * — before-images would need write-side capture the merge path
+    * does not pay for) plus `_op` and `_epoch`. Offsets are epoch
+    * numbers; `startingVersion` resumes at a RawDataVersion id;
+    * fold epochs are skipped (content-preserving); full refreshes
+    * and SQL row-level rewrites still FAIL the stream loudly —
+    * they rewrite history no change log can replay. */
+  private[sources] final class ChangesTable(ident: String,
+      s: SparkSession, path: String) extends Table with SupportsRead {
+    private lazy val dataSchema: StructType = {
+      val m = Epoch.resolve(s, path).getOrElse(
+        throw new IllegalStateException(
+          s"EpochTableStream: no committed version at $path"))
+      s.read.parquet(EpochTable.scanDataDirs(path, m): _*).schema
+    }
+    override def name(): String = ident
+    override def schema(): StructType = cdcSchema(dataSchema)
+    override def capabilities(): java.util.Set[TableCapability] =
+      java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap)
+        : ScanBuilder = {
+      val ds = dataSchema
+      new ScanBuilder {
+        override def build(): Scan = new Scan {
+          override def readSchema(): StructType = cdcSchema(ds)
+          override def description(): String = s"epoch-cdc($ident)"
+          override def toMicroBatchStream(
+              checkpointLocation: String): MicroBatchStream =
+            new TableCdcStream(s, path, options, ds)
+        }
+      }
+    }
+  }
+
+  private def cdcSchema(dataSchema: StructType): StructType =
+    StructType(dataSchema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(OpCol,
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField(EpochCol,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** A change-feed partition: either a wrapped parquet file partition
+    * (insert/upsert payload) or a driver-embedded row set (the
+    * takedown's fresh tombstone keys — bounded by design, collected
+    * at planning). `op`/`epoch` ride the partition; the reader
+    * appends them per row. */
+  private final case class CdcPartition(op: String, epoch: Long,
+      inner: Option[InputPartition],
+      rows: Array[org.apache.spark.sql.catalyst.InternalRow])
+      extends InputPartition
+
+  /** The micro-batch CDC stream. Planning is manifest-diff (driver
+    * text files) plus one bounded tombstone anti-join per delete
+    * epoch; each batch's bulk rows are read by the stock parquet
+    * reader over exactly the NEW directories. */
+  private[sources] final class TableCdcStream(s: SparkSession,
+      path: String, options: CaseInsensitiveStringMap,
+      dataSchema: StructType) extends MicroBatchStream {
+
+    private def head: Long =
+      Epoch.resolve(s, path).map(_.epoch).getOrElse(
+        throw new IllegalStateException(
+          s"EpochTableStream: no committed version at $path"))
+
+    override def initialOffset(): Offset =
+      Option(options.get("startingVersion")) match {
+        case None => EpochOffset(head)
+        case Some(v) =>
+          val ver =
+            try v.toLong
+            catch {
+              case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"EpochTableStream: startingVersion '$v' is not a " +
+                    "RawDataVersion id")
+            }
+          val m = EpochTable.manifestForVersion(s, path, ver).getOrElse(
+            throw new IllegalStateException(
+              s"EpochTableStream: startingVersion $ver is not a " +
+                s"retained version at $path (pruned or never committed)"))
+          EpochOffset(m.epoch - 1)
+      }
+
+    override def latestOffset(): Offset = EpochOffset(head)
+    override def deserializeOffset(json: String): Offset =
+      EpochOffset(json.toLong)
+    override def commit(end: Offset): Unit = ()
+    override def stop(): Unit = ()
+
+    override def planInputPartitions(start: Offset,
+        end: Offset): Array[InputPartition] = {
+      val a = start.asInstanceOf[EpochOffset].epoch
+      val b = end.asInstanceOf[EpochOffset].epoch
+      val parts = scala.collection.mutable.ArrayBuffer[InputPartition]()
+      epochSteps(s, path, a, b).foreach { case (n, prev, cur) =>
+        if (!EpochTable.isContentPreserving(cur)) {
+          val prevData = prev.components.getOrElse("data", Seq.empty)
+          val curData = cur.components.getOrElse("data", Seq.empty)
+          require(prevData.forall(curData.contains),
+            s"EpochTableStream: epoch $n at $path rewrote data " +
+              "directories (a full refresh or SQL row-level rewrite) " +
+              "— rewritten history has no change log; restart the " +
+              "change feed from the new snapshot")
+          val addedData = curData.filterNot(prevData.contains)
+            .map(d => s"$path/$d")
+          val prevMerge = prev.components.getOrElse("merge", Seq.empty)
+          val curMerge = cur.components.getOrElse("merge", Seq.empty)
+          require(prevMerge.forall(curMerge.contains),
+            s"EpochTableStream: epoch $n at $path dropped merge " +
+              "generations without the compact marker — restart the " +
+              "change feed from the new snapshot")
+          val addedMerge = curMerge.filterNot(prevMerge.contains)
+            .map(d => s"$path/$d")
+          def fileParts(dirs: Seq[String], op: String): Unit =
+            scanFor(s, dirs, None, Seq.empty).toBatch
+              .planInputPartitions()
+              .foreach(p => parts += CdcPartition(op, n, Some(p), Array.empty))
+          if (addedData.nonEmpty) fileParts(addedData, "insert")
+          if (addedMerge.nonEmpty) fileParts(addedMerge, "upsert")
+          val prevTomb = prev.components.getOrElse("tombstones", Seq.empty)
+          val curTomb = cur.components.getOrElse("tombstones", Seq.empty)
+          if (curTomb != prevTomb && curTomb.nonEmpty) {
+            // fresh doomed keys = cur tombstones minus prev (null-safe
+            // — tombstones may carry NULLs); bounded by the takedown
+            // contract, so a driver-side collect is the cheap plan
+            val curT = s.read.parquet(cur.dirs(path, "tombstones"): _*)
+            val fresh = prevTomb match {
+              case Seq() => curT
+              case pd =>
+                val prevT = s.read.parquet(
+                  pd.map(d => s"$path/$d"): _*)
+                curT.join(org.apache.spark.sql.functions.broadcast(prevT),
+                  curT.columns.map(c => curT(c) <=> prevT(c))
+                    .reduce(_ && _),
+                  "left_anti")
+            }
+            val have = fresh.columns.toSet
+            val aligned = fresh.select(dataSchema.fields.toSeq.map(f =>
+              if (have(f.name)) org.apache.spark.sql.functions.col(f.name)
+              else org.apache.spark.sql.functions.lit(null)
+                .cast(f.dataType).as(f.name)): _*)
+            val rows = aligned.queryExecution.executedPlan
+              .executeCollect().map(_.copy())
+            if (rows.nonEmpty)
+              parts += CdcPartition("delete", n, None, rows)
+          }
+        }
+      }
+      parts.toArray
+    }
+
+    override def createReaderFactory(): PartitionReaderFactory = {
+      val m = Epoch.resolve(s, path).getOrElse(
+        throw new IllegalStateException(
+          s"EpochTableStream: no committed version at $path"))
+      // one inner factory for the stream's lifetime, bound to the full
+      // data schema (merge batches are schema-equal by contract);
+      // partitions carry the files
+      val inner = scanFor(s, EpochTable.scanDataDirs(path, m),
+        None, Seq.empty).toBatch.createReaderFactory()
+      CdcReaderFactory(inner)
+    }
+  }
+
+  /** Routes each [[CdcPartition]]: parquet payloads read through the
+    * inner factory, embedded tombstone rows replay directly; every
+    * row gets (op, epoch) appended. Row-based by design — the change
+    * feed is delta-sized, not a serving scan. */
+  private final case class CdcReaderFactory(
+      inner: PartitionReaderFactory) extends PartitionReaderFactory {
+    override def supportColumnarReads(p: InputPartition): Boolean = false
+    override def createReader(
+        p: InputPartition): PartitionReader[InternalRow] = {
+      val cp = p.asInstanceOf[CdcPartition]
+      val tail = InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(cp.op),
+        cp.epoch)
+      val joined =
+        new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      cp.inner match {
+        case Some(filePart) =>
+          val d = inner.createReader(filePart)
+          new PartitionReader[InternalRow] {
+            override def next(): Boolean = d.next()
+            override def get(): InternalRow = joined(d.get(), tail)
+            override def close(): Unit = d.close()
+          }
+        case None =>
+          new PartitionReader[InternalRow] {
+            private var i = -1
+            override def next(): Boolean = { i += 1; i < cp.rows.length }
+            override def get(): InternalRow = joined(cp.rows(i), tail)
+            override def close(): Unit = ()
+          }
+      }
+    }
   }
 }

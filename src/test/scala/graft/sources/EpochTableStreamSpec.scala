@@ -100,16 +100,32 @@ class EpochTableStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
-  test("non-append epochs fail the stream loudly: a compact rewrites " +
-      "directories, a merge shadows emitted rows") {
+  test("non-append epochs: a FOLD is skipped (content-preserving " +
+      "marker) and the stream survives it; a full refresh still " +
+      "fails loudly; a merge fails the plain feed naming the " +
+      "$changes alternative") {
     registered()
     val path = s"$root/ao"
     EpochTable.refresh(spark, path, mkTyped(1L to 10L), version = 0L)
-    EpochTable.refreshDelta(spark, path, mkTyped(11L to 14L), version = 1L)
     val q = startMemory(spark.readStream.table("gstr.ao"), "ao_sink")
     try {
       q.processAllAvailable()
+      EpochTable.refreshDelta(spark, path, mkTyped(11L to 14L),
+        version = 1L)
+      q.processAllAvailable()
+      assert(spark.table("ao_sink").count() === 4L)
+      // the fold emits nothing and breaks nothing — deltas keep
+      // flowing across it
       EpochTable.compact(spark, path)
+      q.processAllAvailable()
+      assert(spark.table("ao_sink").count() === 4L)
+      EpochTable.refreshDelta(spark, path, mkTyped(15L to 16L),
+        version = 2L)
+      q.processAllAvailable()
+      assert(spark.table("ao_sink").select("event_id").collect()
+        .map(_.getLong(0)).sorted.toSeq === (11L to 16L))
+      // a FULL REFRESH rewrites history — that still fails
+      EpochTable.refresh(spark, path, mkTyped(1L to 3L), version = 9L)
       val e = intercept[Exception] { q.processAllAvailable() }
       assert(e.getMessage.contains("rewrote data directories") ||
         Option(e.getCause).exists(
@@ -121,13 +137,71 @@ class EpochTableStreamSpec extends SparkTestBase {
       q2.processAllAvailable()
       EpochTable.merge(spark, path,
         Seq((1L, "mod", 0L)).toDF("event_id", "etype", "uid"),
-        version = 2L, keys = Seq("event_id"))
+        version = 10L, keys = Seq("event_id"))
       val e = intercept[Exception] { q2.processAllAvailable() }
       assert(e.getMessage.contains("committed a keyed merge") ||
         Option(e.getCause).exists(
           _.getMessage.contains("committed a keyed merge")),
         s"wrong failure: ${e.getMessage}")
     } finally q2.stop()
+  }
+
+  test("$changes: merges stream as typed upserts, deltas as inserts, " +
+      "takedowns as deduped delete keys (NULL-padded), folds are " +
+      "skipped, and a checkpoint restart across a merge version is " +
+      "exactly-once") {
+    registered()
+    val path = s"$root/cdc"
+    val ckpt = s"$root/cdc_ckpt"
+    val out = s"$root/cdc_out"
+    EpochTable.refresh(spark, path, mkTyped(1L to 10L), version = 0L)
+    EpochTable.merge(spark, path,
+      mkTyped(Seq(1L, 2L, 11L)).withColumn("etype", lit("up")),
+      version = 1L, keys = Seq("event_id"))
+    def run(): Unit = {
+      val q = spark.readStream.option("startingVersion", "1")
+        .table("gstr.`cdc$changes`")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val r1 = spark.read.parquet(out)
+    assert(r1.count() === 3L)
+    assert(r1.where(col("_op") === "upsert").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 11L))
+    assert(r1.where(col("event_id") === 2L).head()
+      .getAs[String]("etype") === "up")
+    // fold (skipped), a delta, and a TWO-STEP takedown — the second
+    // batch re-dooms 2 and adds 12; only 12 is a fresh change
+    EpochTable.compact(spark, path)
+    EpochTable.refreshDelta(spark, path, mkTyped(12L to 13L),
+      version = 2L)
+    EpochTable.delete(spark, Seq(2L).toDF("event_id"), path,
+      batchId = 1L)
+    EpochTable.delete(spark, Seq(2L, 12L).toDF("event_id"), path,
+      batchId = 2L)
+    run()
+    val r2 = spark.read.parquet(out)
+    assert(r2.count() === 7L, r2.orderBy("_epoch", "event_id")
+      .collect().mkString("\n"))
+    assert(r2.where(col("_op") === "insert").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(12L, 13L))
+    val dels = r2.where(col("_op") === "delete")
+    assert(dels.select("event_id").collect().map(_.getLong(0))
+      .sorted.toSeq === Seq(2L, 12L))
+    // non-key columns NULL-padded, epochs distinct per takedown
+    assert(dels.where(col("etype").isNull && col("uid").isNull)
+      .count() === 2L)
+    assert(dels.select("_epoch").distinct().count() === 2L)
+    // a full refresh rewrites history — the change feed fails loudly
+    EpochTable.refresh(spark, path, mkTyped(1L to 5L), version = 9L)
+    val e = intercept[Exception] { run() }
+    def deepMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(deepMsg(e).contains("no change log"), deepMsg(e))
   }
 
   test("live producer → live consumer: a tableIngestEpochStream " +
