@@ -64,6 +64,202 @@ object EpochTable {
   private[graft] def isContentPreserving(m: Epoch.Manifest): Boolean =
     m.components.get(Kind).exists(_.contains(KindCompact))
 
+  // ------------------------------------------------------------------
+  // FIELD IDS — non-additive schema evolution (rename/drop) as pure
+  // metadata commits. Every refresh records a `fields` component:
+  // one row per column, (field_id, phys, name, dtype, pos) — the
+  // Iceberg/parquet field-id idea on the manifest chain. A column's
+  // IDENTITY is its id; `name` is the display name the mapped read
+  // faces serve; `phys` is the physical parquet column name of the
+  // files this manifest references (display and physical diverge
+  // between a rename and the next fold). The reference can only
+  // express a CAL-ACCESS format revision as a new database whose
+  // readers align columns by hand — here a rename is one manifest
+  // commit and every retained version keeps resolving under the
+  // CURRENT names ([[dataForVersionMapped]]).
+  // ------------------------------------------------------------------
+
+  private val Fields = "fields"
+
+  /** One column's identity row in the `fields` component. A DROPPED
+    * entry is a tombstone, not an absence: it pins the id so no later
+    * refresh can ever reissue it — a re-added name mints a NEW id and
+    * old versions' bytes for the dead id stay dead. */
+  final case class FieldEntry(field_id: Long, phys: String,
+      name: String, dtype: String, pos: Int,
+      dropped: Boolean = false)
+
+  private def fieldsOf(s: SparkSession, path: String,
+      m: Epoch.Manifest): Option[Seq[FieldEntry]] =
+    Epoch.read(s, path, m, Fields).map(_.collect().map(r =>
+      FieldEntry(r.getAs[Long]("field_id"), r.getAs[String]("phys"),
+        r.getAs[String]("name"), r.getAs[String]("dtype"),
+        r.getAs[Int]("pos"), r.getAs[Boolean]("dropped")))
+      .sortBy(_.pos).toSeq)
+
+  /** A legacy manifest (no `fields` component) gets a synthesized
+    * name-keyed mapping: the id is a stable negative hash of the
+    * physical name, so same-named columns keep one identity across
+    * legacy versions (the additive name-matching semantic,
+    * [[dataForVersionAsCurrent]]) without ever colliding with the
+    * sequential ids refresh assigns. */
+  private def synthFields(schema: org.apache.spark.sql.types.StructType)
+      : Seq[FieldEntry] =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      FieldEntry(
+        -(math.abs(scala.util.hashing.MurmurHash3
+          .stringHash(f.name).toLong) + 1L),
+        f.name, f.name, f.dataType.catalogString, i)
+    }.toSeq
+
+  private def fieldsOrSynth(s: SparkSession, path: String,
+      m: Epoch.Manifest): Seq[FieldEntry] =
+    fieldsOf(s, path, m).getOrElse(
+      synthFields(Epoch.read(s, path, m, Data).map(_.schema).getOrElse(
+        throw new IllegalStateException(
+          s"EpochTable: epoch ${m.epoch} at $path has no data " +
+            "component to derive a field mapping from"))))
+
+  /** The next mapping for a full refresh: columns matching a previous
+    * DISPLAY name keep that id (same identity across releases);
+    * unmatched columns get fresh sequential ids; columns the new
+    * snapshot lacks drop out of the mapping (their id never returns).
+    * A matched column whose TYPE changed refuses loudly — a silent
+    * in-place retype would corrupt every cross-version read; drop the
+    * column (new id for the new shape) or fold the change upstream. */
+  private def evolveFields(prev: Option[Seq[FieldEntry]],
+      schema: org.apache.spark.sql.types.StructType): Seq[FieldEntry] = {
+    val prevAll = prev.getOrElse(Seq.empty)
+    // only LIVE entries match by name; the id watermark spans
+    // tombstones too, so a dropped id is never minted again
+    val prevByName = prevAll.filterNot(_.dropped)
+      .map(f => f.name -> f).toMap
+    var nextId = prevAll.map(_.field_id)
+      .filter(_ >= 0L).maxOption.getOrElse(-1L) + 1L
+    val live = schema.fields.zipWithIndex.map { case (f, i) =>
+      prevByName.get(f.name) match {
+        case Some(p) =>
+          require(p.dtype == f.dataType.catalogString,
+            s"EpochTable: column ${f.name} changes type ${p.dtype} → " +
+              s"${f.dataType.catalogString} under the same field id — " +
+              "an in-place retype would corrupt cross-version reads; " +
+              "drop the column (a new id for the new shape) or fold " +
+              "the type change upstream")
+          FieldEntry(p.field_id, f.name, f.name,
+            f.dataType.catalogString, i)
+        case None =>
+          val id = nextId; nextId += 1L
+          FieldEntry(id, f.name, f.name, f.dataType.catalogString, i)
+      }
+    }.toSeq
+    // carry the tombstones (their pos pushed past the live columns —
+    // they render nowhere, they only pin their ids)
+    live ++ prevAll.filter(_.dropped).zipWithIndex.map {
+      case (f, i) => f.copy(pos = live.size + i)
+    }
+  }
+
+  private def writeFields(s: SparkSession, fs: Seq[FieldEntry],
+      dir: String): Unit = {
+    import s.implicits._
+    fs.toDF().coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** A rename is pending until the next fold rewrites the files under
+    * the display names — deltas/merges must not land mid-divergence
+    * (a multi-dir scan would mix physical schemas). */
+  private def requireConverged(s: SparkSession, path: String,
+      m: Epoch.Manifest, what: String): Unit =
+    fieldsOf(s, path, m).map(_.filterNot(_.dropped)).foreach(fs =>
+      require(fs.forall(f => f.phys == f.name),
+        s"EpochTable.$what: a rename/drop is pending physical " +
+          s"convergence at $path (display ≠ physical for " +
+          s"${fs.filter(f => f.phys != f.name).map(_.name).mkString(",")})" +
+          " — compact first, then resume ingestion"))
+
+  /** RENAME a column — ONE metadata commit, zero data movement: the
+    * field id keeps its identity, only the display name flips; every
+    * retained version immediately resolves under the new name through
+    * [[dataForVersionMapped]]. The physical parquet columns still
+    * carry the old name until the next [[compact]] converges them
+    * (deltas/merges refuse in between). */
+  def renameColumn(s: SparkSession, path: String, from: String,
+      to: String): Unit = Epoch.occ(s, path) {
+    val m = current(s, path)
+    val fs = fieldsOrSynth(s, path, m)
+    require(fs.exists(f => !f.dropped && f.name == from),
+      s"EpochTable.renameColumn: no column $from at $path " +
+        s"(have ${fs.filterNot(_.dropped).map(_.name).mkString(",")})")
+    require(!fs.exists(f => !f.dropped && f.name == to),
+      s"EpochTable.renameColumn: $to already exists at $path")
+    val g = Epoch.genDir(s, path, m.next)
+    writeFields(s, fs.map(f =>
+      if (!f.dropped && f.name == from) f.copy(name = to) else f),
+      s"$g/fields")
+    Epoch.commit(s, path, Epoch.Manifest(m.next,
+      (m.components - Kind).updated(Fields, Seq(s"g${m.next}/fields")),
+      m.applied))
+  }
+
+  /** DROP a column — a mapping tombstone, zero data movement: the id
+    * leaves the mapping, mapped reads stop serving it (old versions
+    * read under the current schema lose it too — the current schema
+    * IS the contract); the bytes go at the next fold. */
+  def dropColumn(s: SparkSession, path: String, name: String): Unit =
+    Epoch.occ(s, path) {
+      val m = current(s, path)
+      val fs = fieldsOrSynth(s, path, m)
+      require(fs.exists(f => !f.dropped && f.name == name),
+        s"EpochTable.dropColumn: no column $name at $path")
+      require(fs.count(!_.dropped) > 1,
+        s"EpochTable.dropColumn: $name is the last column at $path")
+      val g = Epoch.genDir(s, path, m.next)
+      writeFields(s, fs.map(f =>
+        if (!f.dropped && f.name == name) f.copy(dropped = true)
+        else f), s"$g/fields")
+      Epoch.commit(s, path, Epoch.Manifest(m.next,
+        (m.components - Kind).updated(Fields, Seq(s"g${m.next}/fields")),
+        m.applied))
+    }
+
+  /** The served table under the CURRENT mapping — physical columns
+    * projected to display names, dropped ids omitted. A pure
+    * projection over [[data]]: zero shuffle, pushdown intact. */
+  def serveMapped(s: SparkSession, path: String): DataFrame = {
+    val m = current(s, path)
+    mapped(s, path, m, m)
+  }
+
+  /** A retained VERSION under the CURRENT mapping, resolved by FIELD
+    * ID: renamed columns answer to their new name over files written
+    * under the old one, columns added since come back as typed NULLs,
+    * dropped columns are gone — "query the March snapshot through
+    * today's schema" across a format revision. */
+  def dataForVersionMapped(s: SparkSession, path: String,
+      version: Long): Option[DataFrame] =
+    manifestForVersion(s, path, version)
+      .map(mv => mapped(s, path, mv, current(s, path)))
+
+  private def mapped(s: SparkSession, path: String,
+      mRead: Epoch.Manifest, mNames: Epoch.Manifest): DataFrame = {
+    val raw = data(s, path, mRead)
+    val vById = fieldsOrSynth(s, path, mRead)
+      .filterNot(_.dropped).map(f => f.field_id -> f).toMap
+    val cur = fieldsOrSynth(s, path, mNames)
+      .filterNot(_.dropped).sortBy(_.pos)
+    raw.select(cur.map { cf =>
+      vById.get(cf.field_id) match {
+        case Some(vf) =>
+          require(vf.dtype == cf.dtype,
+            s"EpochTable: field ${cf.field_id} (${cf.name}) drifted " +
+              s"${vf.dtype} → ${cf.dtype} across versions at $path")
+          col(vf.phys).cast(cf.dtype).as(cf.name)
+        case None =>
+          lit(null).cast(cf.dtype).as(cf.name)
+      }
+    }: _*)
+  }
+
   private[graft] def current(s: SparkSession, path: String)
       : Epoch.Manifest =
     Epoch.resolve(s, path).getOrElse(throw new IllegalStateException(
@@ -223,8 +419,14 @@ object EpochTable {
         .where(col("version") === version)
         .head().getAs[Long]("load_records")
     val next = cur.map(_.next).getOrElse(0L)
+    // evolve the field-id mapping BEFORE any write: same display name
+    // → same id (and the type-change refusal fires with nothing
+    // half-written); new columns → fresh ids; absent columns drop out
+    val evolved = evolveFields(
+      cur.map(m => fieldsOrSynth(s, path, m)), typed.schema)
     val g = Epoch.genDir(s, path, next)
     typed.write.mode("overwrite").parquet(s"$g/data")
+    writeFields(s, evolved, s"$g/fields")
     // the verify count reads the COMMITTED-to-be files, not the input
     // frame — load = clean is asserted against what a reader will see
     val loaded = s.read.parquet(s"$g/data").count()
@@ -236,7 +438,8 @@ object EpochTable {
         "load_records", "error_records"), releaseTs)
       .coalesce(1).write.mode("overwrite").parquet(s"$g/meta")
     Epoch.commit(s, path, Epoch.Manifest(next,
-      Map(Data -> Seq(s"g$next/data"), Meta -> Seq(s"g$next/meta")),
+      Map(Data -> Seq(s"g$next/data"), Meta -> Seq(s"g$next/meta"),
+        Fields -> Seq(s"g$next/fields")),
       cur.map(_.applied).getOrElse(Seq.empty) :+ key))
     loaded
   }
@@ -263,6 +466,7 @@ object EpochTable {
     val m = current(s, path)
     if (m.has(key))
       return metaRows(s, path, Seq(m)).head().getAs[Long]("load_records")
+    requireConverged(s, path, m, "refreshDelta")
     val prev = metaRows(s, path, Seq(m)).head()
     // a multi-dir parquet scan silently picks one file's schema —
     // schema evolution happens at full-refresh boundaries only
@@ -319,6 +523,7 @@ object EpochTable {
     val m = current(s, path)
     if (m.has(key))
       return metaRows(s, path, Seq(m)).head().getAs[Long]("load_records")
+    requireConverged(s, path, m, "merge")
     val served = data(s, path, m)
     require(keys.nonEmpty && keys.forall(upserts.columns.contains),
       s"EpochTable.merge: keys $keys not all present in the upsert batch")
@@ -455,7 +660,17 @@ object EpochTable {
       clusterBy: Seq[String] = Seq.empty): Unit = {
     val m = current(s, path)
     val g = Epoch.genDir(s, path, m.next)
-    val folded = data(s, path, m)
+    // a pending rename/drop converges HERE: the fold rewrites the
+    // rows under the display names (the mapped projection — dropped
+    // columns excluded, their bytes reaped) and the new mapping
+    // records phys = name again
+    val fs = fieldsOf(s, path, m)
+    val rawCols = Epoch.read(s, path, m, Data)
+      .map(_.columns.toSet).getOrElse(Set.empty)
+    val diverged = fs.exists(_.exists(f =>
+      (!f.dropped && f.phys != f.name) ||
+        (f.dropped && rawCols.contains(f.phys))))
+    val folded = if (diverged) mapped(s, path, m, m) else data(s, path, m)
     val arranged =
       if (clusterBy.isEmpty) folded.repartition(nFiles)
       else folded
@@ -465,12 +680,16 @@ object EpochTable {
       .write.mode("overwrite").parquet(s"$g/data")
     metaRows(s, path, Seq(m))
       .coalesce(1).write.mode("overwrite").parquet(s"$g/meta")
-    Epoch.commit(s, path, Epoch.Manifest(m.next,
-      Map(Data -> Seq(s"g${m.next}/data"),
-        Meta -> Seq(s"g${m.next}/meta"),
-        Tomb -> Seq.empty,
-        Kind -> Seq(KindCompact)),
-      m.applied))
+    val comps = Map(Data -> Seq(s"g${m.next}/data"),
+      Meta -> Seq(s"g${m.next}/meta"),
+      Tomb -> Seq.empty,
+      Kind -> Seq(KindCompact)) ++
+      fs.map { entries =>
+        writeFields(s, entries.map(f =>
+          if (f.dropped) f else f.copy(phys = f.name)), s"$g/fields")
+        Fields -> Seq(s"g${m.next}/fields")
+      }
+    Epoch.commit(s, path, Epoch.Manifest(m.next, comps, m.applied))
   }
 
   /** A retained version read UNDER THE CURRENT SCHEMA — additive
@@ -575,9 +794,12 @@ object EpochTable {
         "OVERWRITE / refresh instead")
     metaRows(s, path, Seq(m))
       .coalesce(1).write.mode("overwrite").parquet(s"$g/meta")
+    // the rewrite keeps physical names, so the field mapping (and any
+    // pending divergence) carries forward verbatim
     Epoch.commit(s, path, Epoch.Manifest(m.next,
       Map(Data -> entries, Meta -> Seq(s"g${m.next}/meta"),
-        Tomb -> Seq.empty),
+        Tomb -> Seq.empty) ++
+        m.components.get(Fields).map(Fields -> _),
       m.applied))
   }
 
@@ -1193,6 +1415,49 @@ object EpochTable {
       ORDER BY event_id
     """))
 
+  /** Layout for the FIELD-ID rename entry: version 0 predates the
+    * `uid` column AND the rename — then `etype` becomes `category`
+    * in one metadata commit, and version 1 lands as the full reload
+    * under the new names. */
+  private val renameSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedRenamePath(s: SparkSession, d: String): String =
+    graft.BuildOnce.memo(renameSaved, d) {
+      val path = s"${graft.GraftSession.scratchDir}/table_rename_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      val typed = CoreQueries.loadTyped.fn(s, d)
+      refresh(s, path, typed.drop("uid"), version = 0L)
+      renameColumn(s, path, "etype", "category")
+      refresh(s, path, typed.withColumnRenamed("etype", "category"),
+        version = 1L)
+      path
+    }
+
+  /** NON-ADDITIVE schema evolution via FIELD IDS, driver-verified:
+    * `etype` was renamed to `category` in one metadata commit (zero
+    * data movement), then a full reload added `uid` — and this entry
+    * queries VERSION 0, whose files physically carry `etype` and no
+    * `uid`, under the CURRENT names: the renamed column answers by
+    * field-id resolution, the added column comes back as typed NULLs.
+    * ≙ a CAL-ACCESS format revision where the reference's readers
+    * re-align old monthly databases by hand. */
+  val tableSchemaRename = GQuery(
+    "table_schema_rename",
+    (s, d) => dataForVersionMapped(s, savedRenamePath(s, d), 0L)
+      .getOrElse(throw new IllegalStateException(
+        "table_schema_rename: version 0 missing"))
+      .orderBy("event_id"),
+    Some("""
+      SELECT event_id,
+             CAST(ts AS DATE) AS event_date,
+             CAST(CAST(value AS DECIMAL(14,2)) AS DOUBLE) AS value_dec,
+             NULLIF(TRIM(event_type), '') AS category,
+             CAST(NULL AS BIGINT) AS uid
+      FROM events
+      ORDER BY event_id
+    """))
+
   /** Layout for the clustered-compaction entry: the delta-grown table
     * folded WITH `clusterBy=uid` — files own disjoint uid intervals. */
   private val clusterSaved =
@@ -1519,7 +1784,8 @@ object EpochTable {
 
   def all: Seq[GQuery] =
     Seq(tableEpoch, tableAsof, tableVersions, tableDiff, tableDelta,
-      tableUpsert, tableSchemaEvolve, tableSql, tableSqlAsof,
+      tableUpsert, tableSchemaEvolve, tableSchemaRename, tableSql,
+      tableSqlAsof,
       tableSqlAsofTs, tableSqlVersions, tableSqlInsert, tableSqlDelete,
       tableSqlOverwrite, tableSqlUpdate, tableSqlUpdatePruned,
       tableSqlMerge,
