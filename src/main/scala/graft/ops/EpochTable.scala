@@ -1192,6 +1192,12 @@ object EpochTable {
       compact(s, updpPath, nFiles = 8, clusterBy = Seq("event_id"))
       s.sql(s"UPDATE graft.`$updp` SET uid = uid - 1000000000000 " +
         "WHERE event_id < 100")
+      // CTAS: the table is BORN from one SQL statement — stageCreate
+      // routes the SELECT through refresh(version = 0) under occ, so
+      // manifest 0 carries the meta row and field ids like any
+      // pipeline-built layout
+      s.sql(s"CREATE TABLE graft.`table_ctas_$tag` AS " +
+        s"SELECT * FROM dml_src_$tag")
       // MERGE: a corrupted partial base healed by one SQL merge —
       // matched rows update from the source, missing rows insert
       val mrg = s"table_mrg_$tag"
@@ -1268,6 +1274,18 @@ object EpochTable {
   val tableSqlUpdatePruned = GQuery(
     "table_sql_update_pruned",
     (s, d) => dmlServe(s, d, "table_updp"),
+    CoreQueries.loadTyped.oracle)
+
+  /** `CREATE TABLE AS SELECT` through the catalog, driver-verified:
+    * the staged create commits the SELECT as manifest 0 via
+    * `Epoch.occ` (≙ the reference's loadcalaccessrawfile bootstrap as
+    * ONE statement); the served table hash-equals the plain
+    * `load_typed` projection and the layout is indistinguishable from
+    * a pipeline-built one — plain CREATE (no AS) stays refused
+    * (`EpochCatalogSpec`). */
+  val tableSqlCtas = GQuery(
+    "table_sql_ctas",
+    (s, d) => dmlServe(s, d, "table_ctas"),
     CoreQueries.loadTyped.oracle)
 
   /** `MERGE INTO` through the catalog, driver-verified: matched rows
@@ -1788,7 +1806,7 @@ object EpochTable {
       tableSqlAsof,
       tableSqlAsofTs, tableSqlVersions, tableSqlInsert, tableSqlDelete,
       tableSqlOverwrite, tableSqlUpdate, tableSqlUpdatePruned,
-      tableSqlMerge,
+      tableSqlMerge, tableSqlCtas,
       tableSqlSnapshot, tableCluster, tableStream, tableStreamCdc,
       snapshotTableFetch)
 }

@@ -70,7 +70,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Identifier mapping: `graft.ns.tbl` → `<root>/ns/tbl` — one epoch
   * layout per table path, namespaces are directories. */
-final class EpochTableCatalog extends TableCatalog {
+final class EpochTableCatalog extends TableCatalog
+    with StagingTableCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -243,9 +244,51 @@ final class EpochTableCatalog extends TableCatalog {
 
   private def readOnly(): Nothing =
     throw new UnsupportedOperationException(
-      s"EpochTableCatalog($catalogName) is read-only — table mutations " +
-        "go through EpochTable.refresh/refreshDelta/merge/delete so " +
-        "every change commits one atomic manifest")
+      s"EpochTableCatalog($catalogName) is read-only for bare DDL — " +
+        "layouts are created by their build pipelines or by CREATE " +
+        "TABLE AS SELECT (which commits manifest 0 through the same " +
+        "protocol); mutations go through EpochTable.refresh/" +
+        "refreshDelta/merge/delete so every change is one atomic " +
+        "manifest")
+
+  // ---- CTAS: the one sanctioned SQL table-creation path ----------
+  // `CREATE TABLE cat.t AS SELECT …` routes through stageCreate (this
+  // catalog is a StagingTableCatalog), the SELECT's rows land via the
+  // staged table's writer as EpochTable.refresh(version = 0) under
+  // Epoch.occ — one atomic manifest commit, immediately carrying the
+  // full version/meta/fields machinery ($versions, VERSION AS OF,
+  // DML, the change feed). Plain CREATE TABLE (no AS) still throws:
+  // an epoch layout without a committed version serves nothing.
+
+  override def stageCreate(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    refuseEscapeInSnapshotMode("CREATE TABLE AS SELECT")
+    require(partitions.isEmpty,
+      "EpochTableCatalog: partitioned CTAS is not supported — cluster " +
+        "at the fold instead (EpochTable.compact(clusterBy = …))")
+    val s = active
+    val p = layoutPath(ident)
+    if (Epoch.resolve(s, p).nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    new EpochTableCatalog.StagedEpochTable(ident.toString, s, p,
+      StructType(columns.map(c => org.apache.spark.sql.types
+        .StructField(c.name(), c.dataType(), c.nullable()))))
+  }
+
+  override def stageReplace(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable =
+    readOnly()
+
+  override def stageCreateOrReplace(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable =
+    readOnly()
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
@@ -488,6 +531,43 @@ object EpochTableCatalog {
       Epoch.occ(s, layoutPath) {
         EpochTable.compact(s, layoutPath)
       }
+    }
+  }
+
+  /** The CTAS staging table: the SELECT's rows arrive through the V1
+    * write bridge and commit as EpochTable version 0 under
+    * `Epoch.occ` — CTAS IS a refresh, so the new table is born with
+    * the full protocol (meta row, field ids, time travel, DML).
+    * Abort deletes the half-born layout; commit verifies a manifest
+    * actually landed. */
+  private final class StagedEpochTable(ident: String, s: SparkSession,
+      layoutPath: String, declared: StructType)
+      extends StagedTable with SupportsWrite {
+    override def name(): String = ident
+    override def schema(): StructType = declared
+    override def capabilities(): java.util.Set[TableCapability] =
+      java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE)
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      new WriteBuilder {
+        override def build(): Write = new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: DataFrame, ov: Boolean): Unit =
+                Epoch.occ(s, layoutPath) {
+                  EpochTable.refresh(s, layoutPath, data, version = 0L)
+                  ()
+                }
+            }
+        }
+      }
+    override def commitStagedChanges(): Unit =
+      require(Epoch.resolve(s, layoutPath).nonEmpty,
+        s"EpochTableCatalog: CTAS commit for $ident saw no committed " +
+          "manifest — the write never ran")
+    override def abortStagedChanges(): Unit = {
+      val f = new org.apache.hadoop.fs.Path(layoutPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      f.delete(new org.apache.hadoop.fs.Path(layoutPath), true)
     }
   }
 

@@ -481,6 +481,39 @@ class EpochCatalogSpec extends SparkTestBase {
       .where(col("etype") === "rw").count() === 110L)
   }
 
+  test("CTAS commits manifest 0 through the protocol: the new table " +
+      "is born with $versions/time-travel/DML; plain CREATE, " +
+      "stage-replace, and CTAS onto an existing table still refuse") {
+    registered()
+    val path = s"$root/ctas"
+    mkTyped(1L to 25L).createOrReplaceTempView("ctas_src")
+    spark.sql("CREATE TABLE gcat.ctas AS SELECT * FROM ctas_src")
+    assert(spark.sql("SELECT * FROM gcat.ctas").count() === 25L)
+    // born with the full machinery: version 0, meta row, field ids
+    assert(Epoch.resolve(spark, path).get.epoch === 0L)
+    val hist = spark.sql("SELECT * FROM gcat.`ctas$versions`")
+    assert(hist.count() === 1L &&
+      hist.head().getAs[Long]("version") === 0L &&
+      hist.head().getAs[Boolean]("consistent"))
+    assert(spark.sql("SELECT * FROM gcat.ctas VERSION AS OF 0")
+      .count() === 25L)
+    // DML lands on it like on any pipeline-built layout
+    spark.sql("INSERT INTO gcat.ctas VALUES (26, 'x', 260)")
+    assert(spark.sql("SELECT * FROM gcat.ctas").count() === 26L)
+    // refusals: CTAS onto an existing table, plain CREATE, REPLACE
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.ctas AS SELECT * FROM ctas_src")
+    }
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.ctas_bare (a INT)")
+    }
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE gcat.ctas AS SELECT * FROM ctas_src")
+    }
+    // a bare-CREATE refusal left no half-born layout behind
+    assert(Epoch.resolve(spark, s"$root/ctas_bare").isEmpty)
+  }
+
   test("a loaded table is PINNED: dirs resolved at load survive a " +
       "concurrent refresh (snapshot isolation per statement)") {
     registered()
