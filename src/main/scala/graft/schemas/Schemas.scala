@@ -29,9 +29,12 @@ import org.apache.spark.sql.types._
   * dimensions. The four headline tables (`rcpt_cd`, `expn_cd`,
   * `cvr_campaign_disclosure_cd`, `filer_filings_cd`) carry their FULL
   * declared column sets in raw-TSV order, so any real reference query
-  * resolves; the remaining tiers are column subsets of their ~50-column
-  * originals — widening a TableDef is additive and needs no engine
-  * change.
+  * resolves; the deep tiers carry every documented
+  * record block (round 18 widened the CVR2 continuation pages and the
+  * F501/502 candidate-intention table to their documented field sets);
+  * raw columns whose names public memory cannot pin are omitted rather
+  * than guessed (SURVEY §0) — widening a TableDef stays additive and
+  * needs no engine change.
   */
 object Schemas {
 
@@ -1453,9 +1456,27 @@ object Schemas {
       str("fin_city", "Financial institution address city"),
       str("fin_st", "Financial institution address state"),
       str("fin_zip4", "Financial institution address ZIP+4"),
-      str("fin_phon", "Financial institution phone number"))),
+      str("fin_phon", "Financial institution phone number"),
+      str("cand_fax", "Candidate fax number"),
+      str("moniker_pos", "Position of the moniker relative to the " +
+        "candidate name"),
+      str("moniker", "Moniker (nickname) the candidate runs under"),
+      str("elec_type", "Election type (primary, general, special, ...)"),
+      lng("yr_of_elec", "Year of the election"),
+      str("party_cd", "Political party code of the candidate"),
+      str("can_sig", "Candidate signature on the statement"),
+      str("account_no", "Campaign bank account number (F502)"),
+      date("acct_op_dt", "Date the campaign bank account was opened, " +
+        "M/D/YYYY in the raw file"),
+      str("accept_limit_yn", "Accepts the voluntary contribution " +
+        "limit? (Y/N)"),
+      date("did_exceed_dt", "Date contributions first exceeded the " +
+        "threshold, M/D/YYYY"),
+      date("cntrb_prsnl_fnds_dt", "Date personal funds were first " +
+        "contributed, M/D/YYYY"))),
     uniqueKey = Seq("filing_id", "amend_id", "rec_type", "form_type"),
-    dateFields = Seq("rpt_date", "execute_dt"))
+    dateFields = Seq("rpt_date", "execute_dt", "acct_op_dt",
+      "did_exceed_dt", "cntrb_prsnl_fnds_dt"))
 
   /** ≙ CVR2_CAMPAIGN_DISCLOSURE_CD — campaign-disclosure additional
     * names page (`models/campaign.py:~400-900`): the committees,
@@ -1508,7 +1529,11 @@ object Schemas {
       str("bal_juris", "Jurisdiction of the ballot measure"),
       str("mail_city", "Entity mailing address city"),
       str("mail_st", "Entity mailing address state"),
-      str("mail_zip4", "Entity mailing address ZIP+4"))),
+      str("mail_zip4", "Entity mailing address ZIP+4"),
+      str("tres_naml", "Treasurer or responsible officer last name"),
+      str("tres_namf", "Treasurer or responsible officer first name"),
+      str("tres_namt", "Treasurer name title or prefix"),
+      str("tres_nams", "Treasurer name suffix"))),
     uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type",
       "form_type"))
 
@@ -1537,7 +1562,12 @@ object Schemas {
       str("enty_namf", "Entity first name"),
       str("enty_namt", "Entity name title or prefix"),
       str("enty_nams", "Entity name suffix"),
-      str("enty_title", "Title of the named person"))),
+      str("enty_title", "Title of the named person"),
+      str("main_naml", "Last/organization name of the prime firm " +
+        "when the named entity is a subcontracted firm"),
+      str("main_namf", "First name of the prime firm's signatory"),
+      str("main_namt", "Prime-firm name title or prefix"),
+      str("main_nams", "Prime-firm name suffix"))),
     uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type"))
 
   /** ≙ LOBBYIST_FIRM1_CD (directory family) — lobbying-firm directory
@@ -1861,7 +1891,14 @@ object Schemas {
       str("enty_naml", "Entity last name or organization name"),
       str("enty_namf", "Entity first name"),
       str("enty_namt", "Entity name title or prefix"),
-      str("enty_nams", "Entity name suffix"))),
+      str("enty_nams", "Entity name suffix"),
+      str("a_b_name", "Agency or business the registrant lobbies, " +
+        "named on the continuation page"),
+      str("a_b_adr1", "Agency/business address line 1"),
+      str("a_b_adr2", "Agency/business address line 2"),
+      str("a_b_city", "Agency/business city"),
+      str("a_b_st", "Agency/business state"),
+      str("a_b_zip4", "Agency/business ZIP+4"))),
     uniqueKey = Seq("filing_id", "amend_id", "line_item", "rec_type"))
 
   /** ≙ CVR3_VERIFICATION_INFO_CD — verification/signature page

@@ -111,12 +111,23 @@ class SchemasSpec extends AnyFunSuite {
     // the CVR2 additional-names pages, widened to the documented record
     // blocks (entity identity + name parts; campaign adds office/
     // jurisdiction/ballot/mailing blocks)
-    assert(Schemas.cvr2CampaignDisclosureCd.schema.length === 32)
-    assert(Schemas.cvr2LobbyDisclosureCd.schema.length === 13)
-    assert(Schemas.cvr2RegistrationCd.schema.length === 12)
+    assert(Schemas.cvr2CampaignDisclosureCd.schema.length === 36)
+    assert(Schemas.cvr2LobbyDisclosureCd.schema.length === 17)
+    assert(Schemas.cvr2RegistrationCd.schema.length === 18)
+    assert(Schemas.f501502Cd.schema.length === 47)
+    val f501 = Schemas.f501502Cd.schema.fieldNames.toSet
+    for (c <- Seq("moniker", "party_cd", "acct_op_dt",
+        "accept_limit_yn", "cntrb_prsnl_fnds_dt", "can_sig"))
+      assert(f501.contains(c), s"f501_502_cd.$c missing")
+    val cvr2L = Schemas.cvr2LobbyDisclosureCd.schema.fieldNames.toSet
+    for (c <- Seq("main_naml", "main_nams", "enty_title"))
+      assert(cvr2L.contains(c), s"cvr2_lobby_disclosure_cd.$c missing")
+    val cvr2R = Schemas.cvr2RegistrationCd.schema.fieldNames.toSet
+    for (c <- Seq("a_b_name", "a_b_zip4", "entity_id"))
+      assert(cvr2R.contains(c), s"cvr2_registration_cd.$c missing")
     val cvr2C = Schemas.cvr2CampaignDisclosureCd.schema.fieldNames.toSet
     for (c <- Seq("f460_part", "control_yn", "bal_num", "enty_phon",
-        "mail_zip4"))
+        "mail_zip4", "tres_naml"))
       assert(cvr2C.contains(c), s"cvr2_campaign_disclosure_cd.$c missing")
     val cvrLob = Schemas.cvrLobbyDisclosureCd.schema.fieldNames.toSet
     for (c <- Seq("sender_id", "cum_beg_dt", "firm_id", "mail_city",
