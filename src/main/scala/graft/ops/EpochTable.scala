@@ -81,6 +81,29 @@ object EpochTable {
 
   private val Fields = "fields"
 
+  /** Divergence marker: set by [[renameColumn]]/[[dropColumn]] so the
+    * SQL catalog can route a diverged table to the MAPPED read face
+    * without reading the fields component on the (hot) fast path —
+    * one manifest-key check, no file IO. Cleared by the convergence
+    * fold and by any full refresh. */
+  private val Evolve = "evolve"
+
+  private[graft] def isDiverged(m: Epoch.Manifest): Boolean =
+    m.components.contains(Evolve)
+
+  /** The LIVE field entries of a manifest (tombstones filtered), in
+    * display order — the catalog's mapped face reads these. */
+  private[graft] def liveFields(s: SparkSession, path: String,
+      m: Epoch.Manifest): Seq[FieldEntry] =
+    fieldsOrSynth(s, path, m).filterNot(_.dropped).sortBy(_.pos)
+
+  /** The display schema a manifest serves under its own mapping. */
+  private[graft] def displaySchema(s: SparkSession, path: String,
+      m: Epoch.Manifest): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(liveFields(s, path, m).map(
+      f => org.apache.spark.sql.types.StructField(f.name,
+        org.apache.spark.sql.types.DataType.fromDDL(f.dtype))))
+
   /** One column's identity row in the `fields` component. A DROPPED
     * entry is a tombstone, not an absence: it pins the id so no later
     * refresh can ever reissue it — a re-added name mints a NEW id and
@@ -197,7 +220,9 @@ object EpochTable {
       if (!f.dropped && f.name == from) f.copy(name = to) else f),
       s"$g/fields")
     Epoch.commit(s, path, Epoch.Manifest(m.next,
-      (m.components - Kind).updated(Fields, Seq(s"g${m.next}/fields")),
+      (m.components - Kind)
+        .updated(Fields, Seq(s"g${m.next}/fields"))
+        .updated(Evolve, Seq("diverged")),
       m.applied))
   }
 
@@ -218,7 +243,9 @@ object EpochTable {
         if (!f.dropped && f.name == name) f.copy(dropped = true)
         else f), s"$g/fields")
       Epoch.commit(s, path, Epoch.Manifest(m.next,
-        (m.components - Kind).updated(Fields, Seq(s"g${m.next}/fields")),
+        (m.components - Kind)
+          .updated(Fields, Seq(s"g${m.next}/fields"))
+          .updated(Evolve, Seq("diverged")),
         m.applied))
     }
 
@@ -683,7 +710,10 @@ object EpochTable {
     val comps = Map(Data -> Seq(s"g${m.next}/data"),
       Meta -> Seq(s"g${m.next}/meta"),
       Tomb -> Seq.empty,
-      Kind -> Seq(KindCompact)) ++
+      // an evolve fold changes the PHYSICAL schema — a live stream's
+      // fixed read schema would silently null renamed columns, so it
+      // must NOT carry the skip marker (streams fail loudly instead)
+      Kind -> Seq(if (diverged) "compact_evolve" else KindCompact)) ++
       fs.map { entries =>
         writeFields(s, entries.map(f =>
           if (f.dropped) f else f.copy(phys = f.name)), s"$g/fields")
@@ -1476,6 +1506,49 @@ object EpochTable {
       ORDER BY event_id
     """))
 
+  /** Layout for the SQL-native rename entry: one full version, then
+    * `ALTER TABLE … RENAME COLUMN` — and the entry queries the table
+    * BEFORE any fold, through the mapped SQL face. */
+  private val sqlRenameSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedSqlRenameTag(s: SparkSession, d: String): String =
+    graft.BuildOnce.memo(sqlRenameSaved, d) {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val tbl = s"table_sqlren_$tag"
+      refresh(s, s"${graft.GraftSession.scratchDir}/$tbl",
+        CoreQueries.loadTyped.fn(s, d), version = 0L)
+      graft.sources.EpochTableCatalog.register(s, "graft",
+        graft.GraftSession.scratchDir)
+      s.sql(s"ALTER TABLE graft.`$tbl` RENAME COLUMN etype TO category")
+      tag
+    }
+
+  /** SQL-NATIVE rename, driver-verified: `ALTER TABLE … RENAME
+    * COLUMN` committed one metadata manifest (zero data movement) and
+    * the very next SELECT — no fold in between — serves the CURRENT
+    * schema through the mapped face: the renamed column answers under
+    * its new name over files physically carrying the old one, the
+    * filter/pruning path unchanged (display→physical translation
+    * around the stock vectorized scan). Hash-equals the oracle's
+    * aliased projection. */
+  val tableSqlRename = GQuery(
+    "table_sql_rename",
+    (s, d) => {
+      val tag = savedSqlRenameTag(s, d)
+      s.sql(s"SELECT event_id, event_date, value_dec, category, uid " +
+        s"FROM graft.`table_sqlren_$tag` ORDER BY event_id")
+    },
+    Some("""
+      SELECT event_id,
+             CAST(ts AS DATE) AS event_date,
+             CAST(CAST(value AS DECIMAL(14,2)) AS DOUBLE) AS value_dec,
+             NULLIF(TRIM(event_type), '') AS category,
+             CAST(user_id AS BIGINT) AS uid
+      FROM events
+      ORDER BY event_id
+    """))
+
   /** Layout for the clustered-compaction entry: the delta-grown table
     * folded WITH `clusterBy=uid` — files own disjoint uid intervals. */
   private val clusterSaved =
@@ -1802,8 +1875,8 @@ object EpochTable {
 
   def all: Seq[GQuery] =
     Seq(tableEpoch, tableAsof, tableVersions, tableDiff, tableDelta,
-      tableUpsert, tableSchemaEvolve, tableSchemaRename, tableSql,
-      tableSqlAsof,
+      tableUpsert, tableSchemaEvolve, tableSchemaRename, tableSqlRename,
+      tableSql, tableSqlAsof,
       tableSqlAsofTs, tableSqlVersions, tableSqlInsert, tableSqlDelete,
       tableSqlOverwrite, tableSqlUpdate, tableSqlUpdatePruned,
       tableSqlMerge, tableSqlCtas,

@@ -232,15 +232,22 @@ final class EpochTableCatalog extends TableCatalog
 
   private def pinned(s: SparkSession, ident: Identifier, p: String,
       m: Epoch.Manifest): Table =
-    // schema comes from the raw data dirs (merge batches are
-    // schema-equal by construction); the folded-snapshot gate runs
-    // lazily at SCAN build, so DML on a merge-bearing layout works
-    // while reads refuse with the compact-first message
-    new EpochTableCatalog.PinnedEpochTable(ident.toString, s, p, m,
-      ParquetTable(ident.toString, s,
-        new CaseInsensitiveStringMap(java.util.Collections.emptyMap()),
-        EpochTable.scanDataDirs(p, m), None,
-        classOf[ParquetFileFormat]))
+    // A DIVERGED manifest (rename/drop awaiting its convergence fold
+    // — one manifest-key check, no file IO on the fast path) serves
+    // through the MAPPED face: current display names over the old
+    // physical columns, reads only. Otherwise the stock path: schema
+    // comes from the raw data dirs (merge batches are schema-equal by
+    // construction); the folded-snapshot gate runs lazily at SCAN
+    // build, so DML on a merge-bearing layout works while reads
+    // refuse with the compact-first message.
+    if (EpochTable.isDiverged(m))
+      new EpochTableCatalog.MappedEpochTable(ident.toString, s, p, m)
+    else
+      new EpochTableCatalog.PinnedEpochTable(ident.toString, s, p, m,
+        ParquetTable(ident.toString, s,
+          new CaseInsensitiveStringMap(java.util.Collections.emptyMap()),
+          EpochTable.scanDataDirs(p, m), None,
+          classOf[ParquetFileFormat]))
 
   private def readOnly(): Nothing =
     throw new UnsupportedOperationException(
@@ -299,8 +306,34 @@ final class EpochTableCatalog extends TableCatalog
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = readOnly()
 
+  /** `ALTER TABLE … RENAME COLUMN` / `DROP COLUMN` — SQL-native
+    * field-id evolution: each change is ONE metadata commit through
+    * [[graft.ops.EpochTable.renameColumn]]/[[graft.ops.EpochTable.dropColumn]]
+    * (zero data movement; retained versions keep resolving by id).
+    * Until the next fold converges the files, the table serves
+    * through the MAPPED read face (current names, reads only — see
+    * [[EpochTableCatalog.MappedEpochTable]]). Every other ALTER shape
+    * still refuses. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table = readOnly()
+      changes: TableChange*): Table = {
+    refuseEscapeInSnapshotMode("ALTER TABLE")
+    val s = active
+    val p = layoutPath(ident)
+    if (Epoch.resolve(s, p).isEmpty)
+      throw new NoSuchTableException(ident)
+    changes.foreach {
+      case rc: TableChange.RenameColumn =>
+        require(rc.fieldNames().length == 1,
+          "EpochTableCatalog: nested column evolution is not supported")
+        EpochTable.renameColumn(s, p, rc.fieldNames()(0), rc.newName())
+      case dc: TableChange.DeleteColumn =>
+        require(dc.fieldNames().length == 1,
+          "EpochTableCatalog: nested column evolution is not supported")
+        EpochTable.dropColumn(s, p, dc.fieldNames()(0))
+      case _ => readOnly()
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = readOnly()
 
@@ -532,6 +565,106 @@ object EpochTableCatalog {
         EpochTable.compact(s, layoutPath)
       }
     }
+  }
+
+  /** The MAPPED SQL face of a DIVERGED table (a rename/drop awaiting
+    * its convergence fold): serves the CURRENT display schema over
+    * the old physical columns by field-id resolution — reads only
+    * (writes, streaming, and row-level ops are fenced until the fold;
+    * the missing capabilities make Spark refuse them in analysis).
+    * The scan stays the stock VECTORIZED parquet path: rows are
+    * positional, so the mapping costs exactly two schema-object
+    * renames — display→physical on the way down (column pruning +
+    * pushed filters, so footer pruning still fires on the renamed
+    * column) and physical→display on the way up. */
+  private[sources] final class MappedEpochTable(ident: String,
+      s: SparkSession, layoutPath: String, manifest: Epoch.Manifest)
+      extends Table with SupportsRead {
+    private lazy val fields =
+      EpochTable.liveFields(s, layoutPath, manifest)
+    override def name(): String = ident
+    override def schema(): StructType =
+      EpochTable.displaySchema(s, layoutPath, manifest)
+    override def capabilities(): java.util.Set[TableCapability] =
+      java.util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap)
+        : ScanBuilder = {
+      val dirs = EpochTable.scanDirs(s, layoutPath, manifest)
+      new RenamingScanBuilder(
+        ParquetTable(s"$ident#mapped", s,
+          new CaseInsensitiveStringMap(
+            java.util.Collections.emptyMap()),
+          dirs, None, classOf[ParquetFileFormat])
+          .newScanBuilder(new CaseInsensitiveStringMap(
+            java.util.Collections.emptyMap())),
+        schema(),
+        fields.map(f => f.name -> f.phys).toMap,
+        fields.map(f => f.phys -> f.name).toMap)
+    }
+  }
+
+  /** Display↔physical translation around a stock parquet scan
+    * builder. Filters are pushed under PHYSICAL names (and all
+    * returned as residuals — re-evaluating a pushed filter above the
+    * scan is always safe); the built scan's batch is the delegate's
+    * VERBATIM, only `readSchema` comes back renamed. */
+  private final class RenamingScanBuilder(
+      delegate: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder,
+      displaySchema: StructType,
+      d2p: Map[String, String], p2d: Map[String, String])
+      extends ScanBuilder
+      with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+      with SupportsPushDownRequiredColumns {
+
+    private var pruned = false
+
+    private def toPhys(st: StructType): StructType =
+      StructType(st.fields.map(f => f.copy(name =
+        d2p.getOrElse(f.name, f.name))))
+
+    override def pushFilters(
+        filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+      val translated = filters.map(_.transform {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+            if d2p.contains(a.name) => a.withName(d2p(a.name))
+      })
+      delegate.pushFilters(translated)
+      // everything stays a residual — over-filtering above a pushed
+      // parquet filter is a no-op, under-claiming is never wrong
+      filters
+    }
+
+    override def pushedFilters()
+        : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+      delegate.pushedFilters
+
+    override def pruneColumns(requiredSchema: StructType): Unit = {
+      pruned = true
+      delegate.pruneColumns(toPhys(requiredSchema))
+    }
+
+    override def build(): Scan = {
+      if (!pruned) delegate.pruneColumns(toPhys(displaySchema))
+      new RenamedScan(delegate.build(), p2d)
+    }
+  }
+
+  /** The delegate scan with `readSchema` translated physical→display
+    * — batch, partitioning, and columnar mode untouched. */
+  private final class RenamedScan(delegate: Scan,
+      p2d: Map[String, String]) extends Scan {
+    override def readSchema(): StructType =
+      StructType(delegate.readSchema().fields.map(f =>
+        f.copy(name = p2d.getOrElse(f.name, f.name))))
+    override def description(): String =
+      s"epoch-mapped(${delegate.description()})"
+    override def toBatch: Batch = delegate.toBatch
+    override def columnarSupportMode(): Scan.ColumnarSupportMode =
+      delegate.columnarSupportMode()
+    override def supportedCustomMetrics()
+        : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+      delegate.supportedCustomMetrics()
   }
 
   /** The CTAS staging table: the SELECT's rows arrive through the V1

@@ -56,6 +56,12 @@ class EpochCatalogSpec extends SparkTestBase {
     intercept[Exception] {
       spark.sql("SELECT * FROM gcat.tt VERSION AS OF 99").collect()
     }
+    // compaction carries meta rows forward — the $versions face still
+    // shows exactly ONE row per version id, never one per manifest
+    val hist = spark.sql("SELECT version FROM gcat.`tt$versions`")
+      .collect().map(_.getLong(0)).toSeq
+    assert(hist.sorted === hist.distinct.sorted, hist.toString)
+    assert(hist.toSet === Set(5L, 7L))
   }
 
   test("the SQL scan pushes filters and prunes columns — the catalog " +
@@ -512,6 +518,63 @@ class EpochCatalogSpec extends SparkTestBase {
     }
     // a bare-CREATE refusal left no half-born layout behind
     assert(Epoch.resolve(spark, s"$root/ctas_bare").isEmpty)
+  }
+
+  test("SQL-native evolution: ALTER TABLE RENAME/DROP COLUMN are " +
+      "one-metadata commits; the diverged table serves the CURRENT " +
+      "schema read-only with pushdown intact; the fold converges and " +
+      "reopens DML; pre-rename versions serve as written") {
+    registered()
+    val path = s"$root/altt"
+    EpochTable.refresh(spark, path, mkTyped(1L to 50L), version = 0L)
+    spark.sql("ALTER TABLE gcat.altt RENAME COLUMN etype TO label")
+    // mapped serving: the new name answers immediately, zero data
+    // movement (the data dirs are the original generation's)
+    val served = spark.sql("SELECT event_id, label, uid FROM gcat.altt")
+    assert(served.count() === 50L)
+    assert(served.where(col("label") === "v7").count() === 1L)
+    assert(Epoch.resolve(spark, path).get.components("data") ===
+      Seq("g0/data"))
+    // pushdown on the RENAMED column reaches the parquet scan under
+    // the PHYSICAL name — footer pruning intact through the mapping
+    val q = spark.sql(
+      "SELECT event_id FROM gcat.altt WHERE label = 'v9'")
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters") && plan.contains("etype"),
+      plan)
+    assert(q.count() === 1L)
+    // writes fence until the convergence fold (capabilities withheld)
+    intercept[Exception] {
+      spark.sql("INSERT INTO gcat.altt VALUES (99, 'x', 990)")
+    }
+    intercept[Exception] {
+      spark.sql("UPDATE gcat.altt SET uid = 0 WHERE event_id = 1")
+    }
+    // DROP COLUMN = a mapping tombstone, served schema shrinks at once
+    spark.sql("ALTER TABLE gcat.altt DROP COLUMN uid")
+    assert(spark.sql("SELECT * FROM gcat.altt").columns.toSeq ===
+      Seq("event_id", "label"))
+    // the convergence fold returns the table to the stock fast path
+    // and reopens DML under the new names
+    EpochTable.compact(spark, path)
+    assert(spark.sql("SELECT * FROM gcat.altt").columns.toSeq ===
+      Seq("event_id", "label"))
+    spark.sql("INSERT INTO gcat.altt VALUES (99, 'x')")
+    assert(spark.sql("SELECT * FROM gcat.altt").count() === 51L)
+    // VERSION AS OF resolves to the freshest manifest carrying the
+    // version's meta (the documented compaction rule) — version 0's
+    // ROWS answer under the CURRENT names even across the evolution;
+    // the as-written face is the programmatic epoch-number read
+    val v0 = spark.sql("SELECT * FROM gcat.altt VERSION AS OF 0")
+    assert(v0.columns.toSeq === Seq("event_id", "label"))
+    assert(v0.count() === 50L)
+    assert(EpochTable.data(spark, path,
+      Epoch.resolveAsOf(spark, path, 0L).get).columns.toSeq ===
+      Seq("event_id", "etype", "uid"))
+    // other ALTER shapes still refuse
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.altt ADD COLUMN extra INT")
+    }
   }
 
   test("a loaded table is PINNED: dirs resolved at load survive a " +
