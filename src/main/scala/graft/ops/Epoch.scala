@@ -450,7 +450,8 @@ private[graft] object Epoch {
     *    orphaned generation is real money: after `breakClaim`, the
     *    next committed epoch at that number overwrites it
     *    ([[genDir]] clears first), or delete it by hand. */
-  final case class Orphans(claims: Seq[(Long, Long)], stagingBytes: Long)
+  final case class Orphans(claims: Seq[(Long, Long)],
+      stagingBytes: Long, stages: Seq[(String, Long)] = Seq.empty)
 
   def orphans(s: SparkSession, path: String): Orphans = {
     val f = fs(s, path)
@@ -467,11 +468,40 @@ private[graft] object Epoch {
         now - st.getModificationTime))
       .filter(_._1 > head)
       .sortBy(_._1)
+    // `_stage_*` dirs are SQL row-level/CTAS staging — present only
+    // while a statement is mid-write (commit renames them away, abort
+    // deletes them); an OLD one is a crashed statement's leftover
+    val stages = stats.toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("_stage_"))
+      .map(st => (st.getPath.getName, now - st.getModificationTime))
+      .sortBy(-_._2)
     val staging = stats.toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.matches("g\\d+") &&
-        st.getPath.getName.stripPrefix("g").toLong > head)
+      .filter(st => st.isDirectory &&
+        ((st.getPath.getName.matches("g\\d+") &&
+          st.getPath.getName.stripPrefix("g").toLong > head) ||
+          st.getPath.getName.startsWith("_stage_")))
       .map(st => f.getContentSummary(st.getPath).getLength)
       .sum
-    Orphans(claims, staging)
+    Orphans(claims, staging, stages)
+  }
+
+  /** Reap CRASHED statements' staging dirs: delete `_stage_*` older
+    * than `olderThanMs` (a live statement's staging is young — size
+    * the threshold to the longest-running DML; commit renames staging
+    * away and abort deletes it, so anything old is an orphan by
+    * construction). Returns the reaped names — operator/maintenance
+    * action, reported by [[orphans]] first. */
+  def reapStages(s: SparkSession, path: String,
+      olderThanMs: Long): Seq[String] = {
+    val f = fs(s, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!f.exists(root)) return Seq.empty
+    val now = System.currentTimeMillis()
+    f.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("_stage_") &&
+        now - st.getModificationTime > olderThanMs)
+      .map { st => f.delete(st.getPath, true); st.getPath.getName }
   }
 }

@@ -911,6 +911,148 @@ object EpochTable {
         }
       }
 
+  /** The committed CHANGES over epochs `(fromEpoch, toEpoch]` as typed
+    * rows — the BATCH face of the `$changes` stream (Delta's
+    * `table_changes`): after-image columns + `_op`
+    * (insert/upsert/delete; delete rows carry the doomed key columns,
+    * the rest NULL) + `_epoch`. Fold epochs are skipped
+    * (content-preserving); a full refresh or row-level rewrite inside
+    * the range fails loudly — rewritten history has no change log.
+    * Planning is manifest-diff; the rows are bare parquet reads of
+    * exactly the added directories plus one bounded null-safe
+    * tombstone diff per takedown epoch. */
+  def changes(s: SparkSession, path: String, fromEpoch: Long,
+      toEpoch: Long): DataFrame = {
+    val head = Epoch.resolveAsOf(s, path, toEpoch).getOrElse(
+      throw new IllegalStateException(
+        s"EpochTable.changes: epoch $toEpoch not committed at $path"))
+    val cols = s.read.parquet(scanDataDirs(path, head): _*).schema
+    changePieces(s, path, fromEpoch, toEpoch, cols)
+      .map { case (op, n, df) =>
+        df.select(cols.fieldNames.map(col).toSeq: _*)
+          .withColumn("_op", lit(op)).withColumn("_epoch", lit(n))
+      }
+      .reduceOption(_ unionByName _)
+      .getOrElse(s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(cols.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("_op",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("_epoch",
+            org.apache.spark.sql.types.LongType)))))
+  }
+
+  /** [[changes]] WITH BEFORE-IMAGES — the full CDC row shape (op, key,
+    * before, after, version) WITHOUT write-side capture: the before
+    * image of an upsert/delete is the row the PREVIOUS pinned version
+    * served for that key — retained history makes before-images a
+    * lookup, not a write-path cost. Non-key columns come back twice:
+    * as the after image (NULL on deletes) and as `before_<col>`
+    * (NULL on inserts). Per changed epoch the previous face is
+    * restricted by one broadcast key semi-join (∝ |table| scan, one
+    * column-pruned pass, result bounded by |changes|) and the bounded
+    * restriction broadcasts back onto the change rows — no
+    * corpus-sized shuffle. */
+  def changesWithBefore(s: SparkSession, path: String, fromEpoch: Long,
+      toEpoch: Long, keys: Seq[String]): DataFrame = {
+    val head = Epoch.resolveAsOf(s, path, toEpoch).getOrElse(
+      throw new IllegalStateException(
+        s"EpochTable.changesWithBefore: epoch $toEpoch not committed " +
+          s"at $path"))
+    val cols = s.read.parquet(scanDataDirs(path, head): _*).schema
+    require(keys.forall(cols.fieldNames.contains),
+      s"EpochTable.changesWithBefore: keys $keys not in the table")
+    val valCols = cols.fields.filterNot(f => keys.contains(f.name))
+    val pieces = changePieces(s, path, fromEpoch, toEpoch, cols)
+      .map { case (op, n, df) =>
+        val after = df.select(cols.fieldNames.map(col).toSeq: _*)
+          .withColumn("_op", lit(op)).withColumn("_epoch", lit(n))
+        if (op == "insert")
+          after.select(after.columns.map(col) ++
+            valCols.map(f => lit(null).cast(f.dataType)
+              .as(s"before_${f.name}")): _*)
+        else {
+          // before = the previous version's row for the key: restrict
+          // the pinned (n-1) face by the bounded change keys first,
+          // then broadcast the restriction back — both joins keyed
+          val prevFace = data(s, path, Epoch.resolveAsOf(s, path, n - 1)
+            .getOrElse(throw new IllegalStateException(
+              s"EpochTable.changesWithBefore: epoch ${n - 1} at $path " +
+                "is pruned — before-images reach back exactly the " +
+                "retention horizon")))
+          val restricted = prevFace
+            .join(broadcast(after.select(keys.map(col): _*).distinct()),
+              keys, "left_semi")
+            .select(keys.map(col) ++ valCols.toSeq.map(f =>
+              col(f.name).as(s"before_${f.name}")): _*)
+          after.join(broadcast(restricted), keys, "left")
+        }
+      }
+    pieces.reduceOption(_ unionByName _).getOrElse(
+      throw new IllegalStateException(
+        s"EpochTable.changesWithBefore: no epochs in ($fromEpoch, " +
+          s"$toEpoch] at $path"))
+  }
+
+  /** The per-epoch change payloads of `(fromEpoch, toEpoch]`:
+    * (op, epoch, rows) — shared by the batch change faces; the same
+    * append-only/fold rules as the streaming planner. */
+  private def changePieces(s: SparkSession, path: String,
+      fromEpoch: Long, toEpoch: Long,
+      cols: org.apache.spark.sql.types.StructType)
+      : Seq[(String, Long, DataFrame)] =
+    (fromEpoch + 1 to toEpoch).flatMap { n =>
+      def manifest(k: Long) = Epoch.resolveAsOf(s, path, k).getOrElse(
+        throw new IllegalStateException(
+          s"EpochTable.changes: epoch $k at $path is gone — the range " +
+            "fell behind the retention horizon (Epoch.prune)"))
+      val cur = manifest(n)
+      if (isContentPreserving(cur)) Seq.empty
+      else {
+        val prev =
+          if (n == 0L) Epoch.Manifest(-1L, Map.empty, Seq.empty)
+          else manifest(n - 1)
+        val prevData = prev.components.getOrElse(Data, Seq.empty)
+        val curData = cur.components.getOrElse(Data, Seq.empty)
+        require(prevData.forall(curData.contains),
+          s"EpochTable.changes: epoch $n at $path rewrote data " +
+            "directories (a full refresh or row-level rewrite) — " +
+            "rewritten history has no change log")
+        val prevMerge = prev.components.getOrElse(Merge, Seq.empty)
+        val curMerge = cur.components.getOrElse(Merge, Seq.empty)
+        require(prevMerge.forall(curMerge.contains),
+          s"EpochTable.changes: epoch $n at $path dropped merge " +
+            "generations without the compact marker")
+        val ins = curData.filterNot(prevData.contains)
+          .map(d => s"$path/$d")
+        val ups = curMerge.filterNot(prevMerge.contains)
+          .map(d => s"$path/$d")
+        val prevTomb = prev.components.getOrElse(Tomb, Seq.empty)
+        val curTomb = cur.components.getOrElse(Tomb, Seq.empty)
+        val dels: Seq[(String, Long, DataFrame)] =
+          if (curTomb == prevTomb || curTomb.isEmpty) Seq.empty
+          else {
+            val curT = s.read.parquet(cur.dirs(path, Tomb): _*)
+            val fresh = prevTomb match {
+              case Seq() => curT
+              case pd =>
+                val prevT = s.read.parquet(pd.map(d => s"$path/$d"): _*)
+                curT.join(broadcast(prevT), nullSafeOn(curT, prevT),
+                  "left_anti")
+            }
+            val have = fresh.columns.toSet
+            Seq(("delete", n, fresh.select(cols.fields.toSeq.map(f =>
+              if (have(f.name)) col(f.name)
+              else lit(null).cast(f.dataType).as(f.name)): _*)))
+          }
+        (if (ins.nonEmpty)
+          Seq(("insert", n, s.read.parquet(ins: _*))) else Seq.empty) ++
+          (if (ups.nonEmpty)
+            Seq(("upsert", n, s.read.parquet(ups: _*))) else Seq.empty) ++
+          dels
+      }
+    }
+
   /** KEYED DIFF between two retained versions — what changed between
     * the March and April snapshots, the question reference users
     * answer by exporting both databases and comparing by hand. One
@@ -1776,6 +1918,96 @@ object EpochTable {
       ORDER BY _op, event_id
     """))
 
+  /** Layout for the before-image change entry: a partial snapshot
+    * with planted stale rows, ONE merge version (replacements AND
+    * fresh keys in the same batch), then a takedown. */
+  private val changesSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedChangesPath(s: SparkSession, d: String): String =
+    graft.BuildOnce.memo(changesSaved, d) {
+      val path = s"${graft.GraftSession.scratchDir}/table_chg_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      val typed = CoreQueries.loadTyped.fn(s, d)
+      refresh(s, path,
+        typed.where(col("event_id") % 2 === 0)
+          .withColumn("etype",
+            when(col("event_id") % 14 === 0, lit("STALE"))
+              .otherwise(col("etype"))),
+        version = 0L)
+      merge(s, path,
+        typed.where(col("event_id") % 14 === 0 ||
+          (col("event_id") % 2 === 1 && col("event_id") % 5 === 0)),
+        version = 1L, keys = Seq("event_id"))
+      delete(s, typed.where(col("event_id") % 10 === 6)
+        .select("event_id"), path, batchId = 1L)
+      path
+    }
+
+  /** BATCH change feed WITH BEFORE-IMAGES, driver-verified: the full
+    * CDC row shape — op, key, AFTER image, and the BEFORE image
+    * resolved from the previous pinned version (retained history
+    * makes before-images a bounded keyed lookup, no write-side
+    * capture). The merge batch mixes replacements (before = the stale
+    * v0 row) and fresh keys (before NULL); the takedown's delete rows
+    * carry NULL after-values and the pre-delete row as before. The
+    * oracle recomputes every image relationally from the raw table. */
+  val tableChangesBefore = GQuery(
+    "table_changes_before",
+    (s, d) => {
+      val path = savedChangesPath(s, d)
+      changesWithBefore(s, path, 0L,
+        Epoch.resolve(s, path).get.epoch, keys = Seq("event_id"))
+        .select(col("_op"), col("event_id"),
+          date_format(col("event_date"), "yyyy-MM-dd").as("event_date"),
+          col("value_dec"), col("etype"), col("uid"),
+          date_format(col("before_event_date"), "yyyy-MM-dd")
+            .as("before_event_date"),
+          col("before_value_dec"), col("before_etype"),
+          col("before_uid"))
+        .orderBy("_op", "event_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT event_id,
+               CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+               CAST(CAST(value AS DECIMAL(14,2)) AS DOUBLE) AS value_dec,
+               NULLIF(TRIM(event_type), '') AS etype,
+               CAST(user_id AS BIGINT) AS uid
+        FROM events),
+      v0 AS (
+        SELECT event_id, event_date, value_dec,
+               CASE WHEN event_id % 14 = 0 THEN 'STALE' ELSE etype END
+                 AS etype,
+               uid
+        FROM t WHERE event_id % 2 = 0),
+      mrg AS (
+        SELECT * FROM t WHERE event_id % 14 = 0
+           OR (event_id % 2 = 1 AND event_id % 5 = 0)),
+      v1 AS (
+        SELECT * FROM v0
+        WHERE event_id NOT IN (SELECT event_id FROM mrg)
+        UNION ALL SELECT * FROM mrg),
+      del AS (SELECT event_id FROM t WHERE event_id % 10 = 6)
+      SELECT _op, event_id, event_date, value_dec, etype, uid,
+             before_event_date, before_value_dec, before_etype,
+             before_uid
+      FROM (
+        SELECT 'upsert' AS _op, m.event_id, m.event_date, m.value_dec,
+               m.etype, m.uid,
+               v.event_date AS before_event_date,
+               v.value_dec AS before_value_dec,
+               v.etype AS before_etype, v.uid AS before_uid
+        FROM mrg m LEFT JOIN v0 v USING (event_id)
+        UNION ALL
+        SELECT 'delete', d.event_id, CAST(NULL AS VARCHAR),
+               CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+               CAST(NULL AS BIGINT),
+               v.event_date, v.value_dec, v.etype, v.uid
+        FROM del d LEFT JOIN v1 v USING (event_id))
+      ORDER BY _op, event_id
+    """))
+
   /** Cross-tier state for the search→fetch composition: the postings
     * epoch layout AND a table-tier layout over the documents' typed
     * row projection, grown in lockstep (even halves → snapshot 0 →
@@ -1881,5 +2113,5 @@ object EpochTable {
       tableSqlOverwrite, tableSqlUpdate, tableSqlUpdatePruned,
       tableSqlMerge, tableSqlCtas,
       tableSqlSnapshot, tableCluster, tableStream, tableStreamCdc,
-      snapshotTableFetch)
+      tableChangesBefore, snapshotTableFetch)
 }

@@ -409,6 +409,74 @@ class EpochTableSpec extends SparkTestBase {
       .getAs[Long]("load_records") === loaded2)
   }
 
+  test("batch changes face: insert/upsert/delete pieces with correct " +
+      "ops, folds skipped, rewrites refuse; before-images resolve " +
+      "from the previous pinned version (inserts NULL)") {
+    val path = s"${graft.GraftSession.scratchDir}/table_epoch_chg"
+    EpochTable.refresh(spark, path, mkTyped(1L to 10L), version = 0L)
+    EpochTable.refreshDelta(spark, path, mkTyped(11L to 14L),
+      version = 1L)
+    EpochTable.merge(spark, path, mkTyped(Seq(5L, 21L))
+      .withColumn("etype", lit("up")), version = 2L,
+      keys = Seq("event_id"))
+    EpochTable.delete(spark, Seq(3L, 11L).toDF("event_id"), path,
+      batchId = 1L)
+    EpochTable.compact(spark, path)
+    EpochTable.refreshDelta(spark, path, mkTyped(22L to 23L),
+      version = 3L)
+    val head = Epoch.resolve(spark, path).get.epoch
+    val chg = EpochTable.changes(spark, path, 0L, head)
+    def ids(op: String) = chg.where(col("_op") === op)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids("insert") === Seq(11L, 12L, 13L, 14L, 22L, 23L))
+    assert(ids("upsert") === Seq(5L, 21L))
+    assert(ids("delete") === Seq(3L, 11L))
+    // delete rows NULL-pad the columns the tombstone lacks
+    assert(chg.where(col("_op") === "delete" && col("etype").isNotNull)
+      .isEmpty)
+    // before-images: replaced key 5 sees its v0 row, fresh key 21 and
+    // plain inserts see NULL, deleted keys see the pre-delete face
+    val wb = EpochTable.changesWithBefore(spark, path, 0L, head,
+      keys = Seq("event_id"))
+    assert(wb.where(col("event_id") === 5L && col("_op") === "upsert")
+      .head().getAs[String]("before_etype") === "v5")
+    assert(wb.where(col("event_id") === 21L).head()
+      .getAs[String]("before_etype") === null)
+    assert(wb.where(col("event_id") === 12L && col("_op") === "insert")
+      .head().getAs[String]("before_etype") === null)
+    assert(wb.where(col("event_id") === 3L && col("_op") === "delete")
+      .head().getAs[String]("before_etype") === "v3")
+    assert(wb.where(col("event_id") === 11L && col("_op") === "delete")
+      .head().getAs[String]("before_etype") === "v11")
+    // a full refresh inside the range refuses — no change log exists
+    EpochTable.refresh(spark, path, mkTyped(1L to 3L), version = 9L)
+    val e = intercept[Exception] {
+      EpochTable.changes(spark, path, 0L,
+        Epoch.resolve(spark, path).get.epoch).count()
+    }
+    assert(e.getMessage.contains("no change log"), e.getMessage)
+  }
+
+  test("staging orphans are observable and reapable: a crashed " +
+      "statement's _stage_ dir reports with age and bytes, an aged " +
+      "reap removes it, a young one survives") {
+    val path = s"${graft.GraftSession.scratchDir}/table_epoch_stage"
+    EpochTable.refresh(spark, path, mkTyped(1L to 5L), version = 0L)
+    mkTyped(1L to 5L).write.mode("overwrite")
+      .parquet(s"$path/_stage_crashed")
+    val o = Epoch.orphans(spark, path)
+    assert(o.stages.map(_._1) === Seq("_stage_crashed"))
+    assert(o.stagingBytes > 0L)
+    // young stages survive a conservative reap...
+    assert(Epoch.reapStages(spark, path,
+      olderThanMs = 3600_000L).isEmpty)
+    // ...an aged reap removes them
+    assert(Epoch.reapStages(spark, path, olderThanMs = 0L) ===
+      Seq("_stage_crashed"))
+    assert(Epoch.orphans(spark, path).stages.isEmpty)
+    assert(EpochTable.serve(spark, path).count() === 5L)
+  }
+
   test("Pipeline.updateTableEpoch: clean → load → epoch commit with " +
       "count-verified metrics riding the manifest") {
     import graft.schemas.Schemas
