@@ -970,7 +970,8 @@ object EpochTable {
         if (op == "insert")
           after.select(after.columns.map(col) ++
             valCols.map(f => lit(null).cast(f.dataType)
-              .as(s"before_${f.name}")): _*)
+              .as(s"before_${f.name}")) :+
+            lit(false).as("_before_present"): _*)
         else {
           // before = the previous version's row for the key: restrict
           // the pinned (n-1) face by the bounded change keys first,
@@ -984,8 +985,14 @@ object EpochTable {
             .join(broadcast(after.select(keys.map(col): _*).distinct()),
               keys, "left_semi")
             .select(keys.map(col) ++ valCols.toSeq.map(f =>
-              col(f.name).as(s"before_${f.name}")): _*)
+              col(f.name).as(s"before_${f.name}")) :+
+              lit(true).as("_before_present"): _*)
           after.join(broadcast(restricted), keys, "left")
+            // an all-NULL before image is distinguishable from a
+            // fresh key (a merge batch may insert): the flag is the
+            // truth, never the nullability of the value columns
+            .withColumn("_before_present",
+              coalesce(col("_before_present"), lit(false)))
         }
       }
     pieces.reduceOption(_ unionByName _).getOrElse(

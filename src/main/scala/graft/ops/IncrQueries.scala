@@ -1125,10 +1125,141 @@ object IncrQueries {
       ORDER BY flag, status
     """))
 
+  /** CDC-DRIVEN view maintenance: the MV subscribes to the table
+    * tier's change log instead of being handed deltas — the
+    * composition the two r18 faces exist for. The view reads its base
+    * exactly ONCE (at create); every subsequent mutation arrives as
+    * change rows from [[EpochTable.changesWithBefore]]: before-images
+    * (op ∈ upsert/delete, flag-gated) apply as NEGATED partials,
+    * after-images (op ∈ insert/upsert) as positive partials — an
+    * upsert that moves a row BETWEEN groups decrements the old cell
+    * and increments the new one, the group-migration case naive
+    * delta-only maintenance gets wrong. The planted STALE group
+    * empties entirely and the count-0 cell drop reaps it (asserted at
+    * build). */
+  private val mvCdcSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def mvCdcDef(tag: String): graft.plans.EpochMv.EpochMvDef =
+    graft.plans.EpochMv.EpochMvDef(
+      s"${graft.GraftSession.scratchDir}/mvcdc_base_$tag",
+      s"${graft.GraftSession.scratchDir}/mvcdc_view_$tag",
+      Seq("egroup"),
+      Seq(graft.plans.MatView.AggSpec("sum", "value_dec",
+          Some(DecimalType(38, 2)), "sum_v_p"),
+        graft.plans.MatView.AggSpec("count", "", None, "cnt_p")))
+
+  private[ops] def savedMvCdcTag(
+      s: org.apache.spark.sql.SparkSession, d: String): String =
+    graft.BuildOnce.memo(mvCdcSaved, d) {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val tbl = s"${graft.GraftSession.scratchDir}/mvcdc_tbl_$tag"
+      val typed = CoreQueries.loadTyped.fn(s, d)
+      def shaped(df: org.apache.spark.sql.DataFrame) =
+        df.select(coalesce(col("etype"), lit("(null)")).as("egroup"),
+          col("value_dec"))
+      EpochTable.refresh(s, tbl,
+        typed.where(col("event_id") % 2 === 0)
+          .withColumn("etype",
+            when(col("event_id") % 14 === 0, lit("STALE"))
+              .otherwise(col("etype"))),
+        version = 0L)
+      val d0 = mvCdcDef(tag)
+      // the ONE base read the view ever performs
+      shaped(EpochTable.serve(s, tbl))
+        .write.mode("overwrite").parquet(d0.basePath)
+      graft.plans.EpochMv.create(s, d0)
+      // the table moves on: a merge (replacements that MIGRATE groups
+      // + fresh keys), a delta, a takedown
+      EpochTable.merge(s, tbl,
+        typed.where(col("event_id") % 14 === 0 ||
+          (col("event_id") % 2 === 1 && col("event_id") % 5 === 0)),
+        version = 1L, keys = Seq("event_id"))
+      EpochTable.refreshDelta(s, tbl,
+        typed.where(col("event_id") % 2 === 1 &&
+          col("event_id") % 5 =!= 0), version = 2L)
+      EpochTable.delete(s,
+        typed.where(col("event_id") % 10 === 6).select("event_id"),
+        tbl, batchId = 1L)
+      // maintain PURELY from the change log
+      val head = graft.ops.Epoch.resolve(s, tbl).get.epoch
+      val chg = EpochTable.changesWithBefore(s, tbl, 0L, head,
+        keys = Seq("event_id")).localCheckpoint(true)
+      val befores = chg.where(col("_before_present"))
+        .select(coalesce(col("before_etype"), lit("(null)"))
+          .as("egroup"),
+          col("before_value_dec").as("value_dec"))
+      val afters = chg.where(col("_op") =!= "delete")
+        .select(coalesce(col("etype"), lit("(null)")).as("egroup"),
+          col("value_dec"))
+      graft.plans.EpochMv.refreshDelete(s, d0, befores, batchId = 1L)
+      graft.plans.EpochMv.refresh(s, d0, afters, batchId = 1L)
+      // the STALE group emptied — the count-0 drop must reap its cell
+      val served = s.read.parquet(
+        graft.plans.EpochMv.currentDef(s, d0).mvPath)
+      require(served.where(col("egroup") === "STALE").isEmpty,
+        "mv_refresh_cdc: the emptied STALE cell survived maintenance")
+      tag
+    }
+
+  /** Incremental view maintenance DRIVEN BY THE CHANGE FEED,
+    * driver-verified: the view never re-reads its base after create —
+    * upserts/deletes/inserts arrive as change rows with before-images
+    * (resolved from retained versions, no write-side capture) and
+    * apply as negated + positive partials; the served rollup must
+    * hash-equal the from-scratch aggregate over the FINAL table state,
+    * group migrations and the emptied group included. ≙ keeping the
+    * reference's summary tables right across amendment cycles without
+    * its monthly full reload. */
+  val mvRefreshCdc = GQuery(
+    "mv_refresh_cdc",
+    (s, d) => {
+      val tag = savedMvCdcTag(s, d)
+      s.read.parquet(
+        graft.plans.EpochMv.currentDef(s, mvCdcDef(tag)).mvPath)
+        .select(col("egroup"),
+          col("sum_v_p").cast(DoubleType).as("sum_v"),
+          col("cnt_p").as("n_rows"))
+        .orderBy("egroup")
+    },
+    Some("""
+      WITH t AS (
+        SELECT event_id,
+               CAST(CAST(value AS DECIMAL(14,2)) AS DOUBLE) AS value_dec,
+               NULLIF(TRIM(event_type), '') AS etype
+        FROM events),
+      v0 AS (
+        SELECT event_id, value_dec,
+               CASE WHEN event_id % 14 = 0 THEN 'STALE' ELSE etype END
+                 AS etype
+        FROM t WHERE event_id % 2 = 0),
+      mrg AS (
+        SELECT event_id, value_dec, etype FROM t
+        WHERE event_id % 14 = 0
+           OR (event_id % 2 = 1 AND event_id % 5 = 0)),
+      v1 AS (
+        SELECT * FROM v0
+        WHERE event_id NOT IN (SELECT event_id FROM mrg)
+        UNION ALL SELECT * FROM mrg),
+      v2 AS (
+        SELECT * FROM v1
+        UNION ALL
+        SELECT event_id, value_dec, etype FROM t
+        WHERE event_id % 2 = 1 AND event_id % 5 <> 0),
+      fin AS (SELECT * FROM v2 WHERE event_id % 10 <> 6)
+      SELECT COALESCE(etype, '(null)') AS egroup,
+             CAST(SUM(CAST(value_dec AS DECIMAL(38,2))) AS DOUBLE)
+               AS sum_v,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM fin
+      GROUP BY 1
+      ORDER BY 1
+    """))
+
   val all: Seq[GQuery] =
     Seq(incrAgg, incrDistinct, incrTopk, rollingWau, overlapSketch,
       zorderLayout, warehouseRefresh, incrPipeline, mvRewrite,
       mvRewriteFiltered, mvRefresh, mvRewriteAvg, mvRefreshDelete,
-      mvRefreshDeleteMinmax, mvRefreshEpoch, mvRewriteJoin,
-      mvRewriteRollup)
+      mvRefreshDeleteMinmax, mvRefreshEpoch, mvRefreshCdc,
+      mvRewriteJoin, mvRewriteRollup)
 }
