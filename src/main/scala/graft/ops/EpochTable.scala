@@ -1925,6 +1925,58 @@ object EpochTable {
       ORDER BY _op, event_id
     """))
 
+  /** The BATCH SQL face of the change feed (Delta's `table_changes`),
+    * driver-verified: ONE `SELECT … FROM graft.`tbl$changes`` reads
+    * the table's ENTIRE retained change history — the initial
+    * snapshot as epoch 0's insert batch (its predecessor is the empty
+    * layout), the merge as upserts, the delta as inserts, the
+    * takedown as NULL-padded delete keys — same planner, same
+    * skip/refuse rules as the subscription. The oracle recomputes all
+    * four change sets relationally, INCLUDING the planted corruption
+    * in the snapshot batch (history shows what was committed, not
+    * what is true now). */
+  val tableSqlChanges = GQuery(
+    "table_sql_changes",
+    (s, d) => {
+      savedCdcOut(s, d) // builds the layout + registers the catalog
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      s.sql(s"SELECT _op, event_id, " +
+        "date_format(event_date, 'yyyy-MM-dd') AS event_date, " +
+        "value_dec, etype, uid " +
+        s"FROM graft.`table_cdc_$tag$$changes` ORDER BY _op, event_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT event_id,
+               CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+               CAST(CAST(value AS DECIMAL(14,2)) AS DOUBLE) AS value_dec,
+               NULLIF(TRIM(event_type), '') AS etype,
+               CAST(user_id AS BIGINT) AS uid
+        FROM events),
+      v0 AS (
+        SELECT event_id, event_date, value_dec,
+               CASE WHEN event_id % 14 = 0 THEN 'STALE' ELSE etype END
+                 AS etype,
+               uid
+        FROM t WHERE event_id % 2 = 0)
+      SELECT _op, event_id, event_date, value_dec, etype, uid FROM (
+        SELECT 'insert' AS _op, event_id, event_date, value_dec,
+               etype, uid
+        FROM v0
+        UNION ALL
+        SELECT 'insert', event_id, event_date, value_dec, etype, uid
+        FROM t WHERE event_id % 2 = 1
+        UNION ALL
+        SELECT 'upsert', event_id, event_date, value_dec, etype, uid
+        FROM t WHERE event_id % 14 = 0
+        UNION ALL
+        SELECT 'delete', event_id, CAST(NULL AS VARCHAR),
+               CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+               CAST(NULL AS BIGINT)
+        FROM t WHERE event_id % 10 = 6)
+      ORDER BY _op, event_id
+    """))
+
   /** Layout for the before-image change entry: a partial snapshot
     * with planted stale rows, ONE merge version (replacements AND
     * fresh keys in the same batch), then a takedown. */
@@ -2120,5 +2172,5 @@ object EpochTable {
       tableSqlOverwrite, tableSqlUpdate, tableSqlUpdatePruned,
       tableSqlMerge, tableSqlCtas,
       tableSqlSnapshot, tableCluster, tableStream, tableStreamCdc,
-      tableChangesBefore, snapshotTableFetch)
+      tableSqlChanges, tableChangesBefore, snapshotTableFetch)
 }

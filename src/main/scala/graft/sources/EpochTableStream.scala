@@ -285,17 +285,36 @@ object EpochTableStream {
     override def name(): String = ident
     override def schema(): StructType = cdcSchema(dataSchema)
     override def capabilities(): java.util.Set[TableCapability] =
-      java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+      java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+        TableCapability.BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap)
         : ScanBuilder = {
       val ds = dataSchema
       new ScanBuilder {
-        override def build(): Scan = new Scan {
+        override def build(): Scan = new Scan with Batch {
           override def readSchema(): StructType = cdcSchema(ds)
           override def description(): String = s"epoch-cdc($ident)"
           override def toMicroBatchStream(
               checkpointLocation: String): MicroBatchStream =
             new TableCdcStream(s, path, options, ds)
+          // the BATCH face (Delta's table_changes): one SELECT over
+          // `tbl$changes` reads the ENTIRE retained change history —
+          // epoch 0's predecessor is the empty layout, so the initial
+          // snapshot arrives as its insert batch; the same planner,
+          // the same skip/refuse rules as the stream
+          override def toBatch: Batch = this
+          private lazy val cdc = new TableCdcStream(s, path, options, ds)
+          private lazy val range: (Long, Long) = {
+            val epochs = Epoch.committedList(s, path)
+            require(epochs.nonEmpty,
+              s"EpochTableStream: no committed version at $path")
+            (epochs.min - 1L, epochs.max)
+          }
+          override def planInputPartitions(): Array[InputPartition] =
+            cdc.planInputPartitions(EpochOffset(range._1),
+              EpochOffset(range._2))
+          override def createReaderFactory(): PartitionReaderFactory =
+            cdc.createReaderFactory()
         }
       }
     }

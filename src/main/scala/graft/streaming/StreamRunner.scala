@@ -680,6 +680,55 @@ object StreamRunner {
       }
       .start()
 
+  /** LIVE view maintenance off the table tier's CHANGE FEED: a
+    * `readStream` over `tbl$changes` drives an epoch MV — per
+    * micro-batch, the batch's epoch range is re-resolved through
+    * [[graft.ops.EpochTable.changesWithBefore]] (exact, manifest-
+    * based — the stream's after-images only trigger; before-images
+    * come from the retained versions) and applies as one negated +
+    * one positive partials epoch. EXACTLY-ONCE: the MV's manifest
+    * ledger keys off the range's max epoch (`del_<e>`/`app_<e>`), so
+    * a replayed micro-batch re-derives the identical frames and
+    * no-ops on the ledger; a crash between the two legs replays both,
+    * the first leg skipping. The view never re-reads its base —
+    * `mv_refresh_cdc` proves the algebra batch-side; `EpochMvSpec`
+    * runs this stream live against a mutating table. */
+  def mvMaintainStream(s: org.apache.spark.sql.SparkSession,
+      tablePath: String,
+      mv: graft.plans.EpochMv.EpochMvDef, keys: Seq[String],
+      shape: DataFrame => DataFrame, changesTable: String,
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    withCheckpoint(
+      s.readStream.table(changesTable).writeStream.outputMode("append"),
+      checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val ss = batch.sparkSession
+          val epochs = batch.select(min(col("_epoch")),
+            max(col("_epoch"))).head()
+          val (lo, hi) = (epochs.getLong(0), epochs.getLong(1))
+          val chg = graft.ops.EpochTable.changesWithBefore(ss,
+            tablePath, lo - 1L, hi, keys).localCheckpoint(true)
+          val befores = shape(chg.where(col("_before_present"))
+            .select(keys.map(col) ++
+              chg.columns.filter(_.startsWith("before_")).toSeq.map(c =>
+                col(c).as(c.stripPrefix("before_"))): _*))
+          val afters = shape(chg.where(col("_op") =!= "delete")
+            .select(chg.columns.filterNot(c =>
+              c.startsWith("before_") || c.startsWith("_")).map(col)
+              .toSeq: _*))
+          graft.ops.Epoch.occ(ss, mv.layoutPath) {
+            graft.plans.EpochMv.refreshDelete(ss, mv, befores,
+              batchId = hi)
+          }
+          graft.ops.Epoch.occ(ss, mv.layoutPath) {
+            graft.plans.EpochMv.refresh(ss, mv, afters, batchId = hi)
+          }
+        }
+      }
+      .start()
+
   /** Apply a checkpoint location when one is supplied — shared by the
     * streaming faces whose exactly-once rests on the checkpointed
     * foreachBatch id (see each face's `checkpoint` doc). */

@@ -117,4 +117,71 @@ class EpochMvSpec extends SparkTestBase {
       assert(served === Map("A" -> 2L, "B" -> 2L))
     } finally MatView.deregister(base)
   }
+
+  test("live CDC → MV maintenance: a $changes subscription drives the " +
+      "view across merge/delta/takedown epochs exactly-once; the view " +
+      "never re-reads its base") {
+    val tbl = s"${graft.GraftSession.scratchDir}/emv_cdc_tbl"
+    val base = s"${graft.GraftSession.scratchDir}/emv_cdc_base"
+    val layout = s"${graft.GraftSession.scratchDir}/emv_cdc_view"
+    val ckpt = s"${graft.GraftSession.scratchDir}/emv_cdc_ckpt"
+    def rows(xs: (Long, String, Double)*) =
+      xs.toSeq.toDF("event_id", "grp", "v")
+    graft.ops.EpochTable.refresh(spark, tbl,
+      rows((1L, "A", 1.0), (2L, "A", 2.0), (3L, "B", 3.0)),
+      version = 0L)
+    graft.sources.EpochTableCatalog.register(spark, "gmv",
+      graft.GraftSession.scratchDir)
+    spark.read.parquet(s"$tbl/g0/data").select("grp", "v")
+      .write.mode("overwrite").parquet(base)
+    val d = EpochMv.EpochMvDef(base, layout, Seq("grp"),
+      Seq(MatView.AggSpec("sum", "v", Some(DecimalType(38, 2)),
+          "sum_p"),
+        MatView.AggSpec("count", "", None, "cnt_p")))
+    EpochMv.create(spark, d)
+    val q = graft.streaming.StreamRunner.mvMaintainStream(spark, tbl,
+      d, keys = Seq("event_id"),
+      shape = df => df.select("grp", "v"),
+      changesTable = "gmv.`emv_cdc_tbl$changes`",
+      checkpoint = Some(ckpt))
+    def view(): Map[String, (Double, Long)] =
+      spark.read.parquet(EpochMv.currentDef(spark, d).mvPath)
+        .collect().map(r => r.getAs[String]("grp") ->
+          ((r.getDecimal(1).doubleValue(), r.getAs[Long]("cnt_p"))))
+        .toMap
+    try {
+      // a merge that MIGRATES key 2 from group A to B and inserts 4
+      graft.ops.EpochTable.merge(spark, tbl,
+        rows((2L, "B", 2.0), (4L, "C", 4.0)), version = 1L,
+        keys = Seq("event_id"))
+      q.processAllAvailable()
+      assert(view() === Map("A" -> ((1.0, 1L)), "B" -> ((5.0, 2L)),
+        "C" -> ((4.0, 1L))))
+      // a delta and a takedown in the next batch
+      graft.ops.EpochTable.refreshDelta(spark, tbl,
+        rows((5L, "A", 5.0)), version = 2L)
+      graft.ops.EpochTable.delete(spark,
+        Seq(3L).toDF("event_id"), tbl, batchId = 1L)
+      q.processAllAvailable()
+      assert(view() === Map("A" -> ((6.0, 2L)), "B" -> ((2.0, 1L)),
+        "C" -> ((4.0, 1L))))
+    } finally { q.stop(); MatView.deregister(base) }
+    // restart on the same checkpoint: nothing re-applies, new
+    // changes still flow
+    val q2 = graft.streaming.StreamRunner.mvMaintainStream(spark, tbl,
+      d, keys = Seq("event_id"),
+      shape = df => df.select("grp", "v"),
+      changesTable = "gmv.`emv_cdc_tbl$changes`",
+      checkpoint = Some(ckpt))
+    try {
+      q2.processAllAvailable()
+      assert(view() === Map("A" -> ((6.0, 2L)), "B" -> ((2.0, 1L)),
+        "C" -> ((4.0, 1L))))
+      graft.ops.EpochTable.refreshDelta(spark, tbl,
+        rows((6L, "B", 6.0)), version = 3L)
+      q2.processAllAvailable()
+      assert(view() === Map("A" -> ((6.0, 2L)), "B" -> ((8.0, 2L)),
+        "C" -> ((4.0, 1L))))
+    } finally { q2.stop(); MatView.deregister(base) }
+  }
 }
