@@ -577,6 +577,30 @@ class EpochCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("the _g metadata column serves FILE PROVENANCE on the normal " +
+      "read path: one distinct path per physical file, joinable to " +
+      "the manifest's file inventory") {
+    registered()
+    val path = s"$root/prov"
+    EpochTable.refresh(spark, path, mkTyped(1L to 400L), version = 0L)
+    EpochTable.compact(spark, path, nFiles = 4,
+      clusterBy = Seq("event_id"))
+    val prov = spark.sql(
+      "SELECT _g, count(*) AS n FROM gcat.prov GROUP BY _g")
+    val paths = prov.collect().map(_.getString(0)).sorted
+    val files = EpochTable.dataFiles(spark, path,
+      Epoch.resolve(spark, path).get)
+      .map(_.getPath.toUri.getPath).sorted
+    assert(paths.toSeq === files.toSeq)
+    assert(prov.agg(sum(col("n"))).head().getLong(0) === 400L)
+    // plain reads stay columnar/vectorized — _g never taxes them
+    val plain = spark.sql("SELECT event_id FROM gcat.prov " +
+      "WHERE uid > 100")
+    assert(plain.queryExecution.executedPlan.toString()
+      .contains("ColumnarToRow"),
+      plain.queryExecution.executedPlan.toString())
+  }
+
   test("a loaded table is PINNED: dirs resolved at load survive a " +
       "concurrent refresh (snapshot isolation per statement)") {
     registered()
