@@ -577,6 +577,54 @@ class EpochCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("two racing SQL UPDATEs never lose a write: either both " +
+      "serialize (disjoint effects land) or the loser aborts with " +
+      "the conflict discipline — never a silent overwrite") {
+    registered()
+    val path = s"$root/updrace"
+    EpochTable.refresh(spark, path,
+      mkTyped(1L to 100L).withColumn("uid", lit(0L)), version = 0L)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    def deepMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val fs = Seq(
+      "UPDATE gcat.updrace SET etype = 'lo' WHERE event_id <= 50",
+      "UPDATE gcat.updrace SET uid = 7 WHERE event_id > 50")
+      .map(q => scala.concurrent.Future(
+        scala.util.Try { spark.sql(q); () }))
+    val results =
+      try fs.map(f => scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration(180, "s")))
+      finally pool.shutdownNow()
+    val failures = results.collect { case scala.util.Failure(e) => e }
+    // any failure must be THE conflict abort, nothing else
+    failures.foreach(e => assert(deepMsg(e).contains("aborted"),
+      deepMsg(e)))
+    assert(failures.size <= 1, failures.map(deepMsg).toString)
+    val served = spark.sql("SELECT * FROM gcat.updrace")
+    assert(served.count() === 100L)
+    val loApplied = served.where(col("etype") === "lo").count() === 50L
+    val hiApplied = served.where(col("uid") === 7L).count() === 50L
+    if (failures.isEmpty)
+      // serialized: the loser rebased... there is no rebase for DML —
+      // serialization here means the statements did not overlap
+      assert(loApplied && hiApplied)
+    else {
+      // exactly one landed; the aborted one changed NOTHING
+      assert(loApplied ^ hiApplied)
+      assert(served.where(col("etype") === "lo" && col("uid") === 7L)
+        .isEmpty)
+    }
+    // no staging residue either way
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).exists(_.startsWith("_stage_")))
+  }
+
   test("the _g metadata column serves FILE PROVENANCE on the normal " +
       "read path: one distinct path per physical file, joinable to " +
       "the manifest's file inventory") {
