@@ -1925,6 +1925,42 @@ object EpochTable {
       ORDER BY _op, event_id
     """))
 
+  /** Layout + SQL maintenance run for the CALL entry: a delta-grown
+    * table folded and retention-pruned ENTIRELY through SQL CALL
+    * procedures — the operational lifecycle as statements. */
+  private val sqlMaintSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedSqlMaintPath(s: SparkSession, d: String): String =
+    graft.BuildOnce.memo(sqlMaintSaved, d) {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val tbl = s"table_maint_$tag"
+      val path = s"${graft.GraftSession.scratchDir}/$tbl"
+      val typed = CoreQueries.loadTyped.fn(s, d)
+      refresh(s, path, typed.where(col("event_id") % 2 === 0),
+        version = 0L)
+      refreshDelta(s, path, typed.where(col("event_id") % 2 === 1),
+        version = 1L)
+      graft.sources.EpochTableCatalog.register(s, "graft",
+        graft.GraftSession.scratchDir)
+      s.sql(s"CALL graft.compact(`table` => '$tbl', n_files => 4, " +
+        "cluster_by => 'event_id')")
+      s.sql(s"CALL graft.prune(`table` => '$tbl', keep => 1)")
+      path
+    }
+
+  /** SQL CALL maintenance, driver-verified: the fold (clustered) and
+    * the retention prune both ran as `CALL graft.compact/prune(...)`
+    * statements — Iceberg's `CALL catalog.system.*` idea on Spark 4's
+    * ProcedureCatalog, running exactly the sweep's code paths — and
+    * the served table still hash-equals the plain `load_typed`
+    * projection with only ONE manifest retained (the layout and its
+    * history management are invisible in answers). */
+  val tableSqlMaintenance = GQuery(
+    "table_sql_maintenance",
+    (s, d) => serve(s, savedSqlMaintPath(s, d)).orderBy("event_id"),
+    CoreQueries.loadTyped.oracle)
+
   /** The BATCH SQL face of the change feed (Delta's `table_changes`),
     * driver-verified: ONE `SELECT … FROM graft.`tbl$changes`` reads
     * the table's ENTIRE retained change history — the initial
@@ -2172,5 +2208,6 @@ object EpochTable {
       tableSqlOverwrite, tableSqlUpdate, tableSqlUpdatePruned,
       tableSqlMerge, tableSqlCtas,
       tableSqlSnapshot, tableCluster, tableStream, tableStreamCdc,
-      tableSqlChanges, tableChangesBefore, snapshotTableFetch)
+      tableSqlChanges, tableChangesBefore, tableSqlMaintenance,
+      snapshotTableFetch)
 }

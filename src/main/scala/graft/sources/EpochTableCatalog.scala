@@ -71,7 +71,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Identifier mapping: `graft.ns.tbl` → `<root>/ns/tbl` — one epoch
   * layout per table path, namespaces are directories. */
 final class EpochTableCatalog extends TableCatalog
-    with StagingTableCatalog {
+    with StagingTableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -296,6 +296,34 @@ final class EpochTableCatalog extends TableCatalog
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): StagedTable =
     readOnly()
+
+  // ---- SQL CALL maintenance procedures --------------------------
+  // The operational lifecycle as first-class SQL (the Iceberg
+  // `CALL catalog.system.*` idea on Spark 4's ProcedureCatalog):
+  //   CALL cat.compact(`table` => 't' [, n_files, cluster_by])
+  //   CALL cat.prune(`table` => 't' [, keep])
+  //   CALL cat.reap_stages(`table` => 't' [, older_than_ms])
+  // Each runs the SAME code path the maintenance sweep uses (occ'd
+  // fold, retention-pruned history, staging reap) and returns one
+  // status row. Snapshot-mode catalogs refuse (maintenance mutates).
+
+  override def listProcedures(
+      namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty && registry.isEmpty)
+      EpochTableCatalog.ProcedureNames
+        .map(Identifier.of(namespace, _)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    refuseEscapeInSnapshotMode("CALL (maintenance mutates the head)")
+    require(ident.namespace().isEmpty &&
+      EpochTableCatalog.ProcedureNames.contains(ident.name()),
+      s"EpochTableCatalog: no procedure $ident (have " +
+        s"${EpochTableCatalog.ProcedureNames.mkString(", ")})")
+    new EpochTableCatalog.MaintenanceProcedure(ident.name(), active,
+      root)
+  }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
@@ -564,6 +592,87 @@ object EpochTableCatalog {
       Epoch.occ(s, layoutPath) {
         EpochTable.compact(s, layoutPath)
       }
+    }
+  }
+
+  private[sources] val ProcedureNames =
+    Seq("compact", "prune", "reap_stages")
+
+  /** One maintenance verb as a Spark 4 SQL procedure. Parameters are
+    * IN-mode with literal defaults; `call` runs the verb and returns
+    * a single status row as a LocalScan (no executor tasks). */
+  private[sources] final class MaintenanceProcedure(verb: String,
+      s: SparkSession, root: String)
+      extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+      with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+    import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType => SStr}
+
+    override def name(): String = verb
+    override def description(): String = verb match {
+      case "compact" =>
+        "fold accumulated deltas/merges/tombstones into one snapshot " +
+          "generation (occ'd; optional clustering)"
+      case "prune" =>
+        "retire manifests/generations past the retention horizon"
+      case _ =>
+        "delete crashed statements' _stage_* dirs older than a bound"
+    }
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+
+    override def parameters(): Array[ProcedureParameter] = {
+      val tbl = ProcedureParameter.in("table", SStr)
+        .comment("table identifier under this catalog").build()
+      verb match {
+        case "compact" => Array(tbl,
+          ProcedureParameter.in("n_files", IntegerType)
+            .defaultValue("8").build(),
+          ProcedureParameter.in("cluster_by", SStr)
+            .defaultValue("''")
+            .comment("comma-separated range-cluster columns").build())
+        case "prune" => Array(tbl,
+          ProcedureParameter.in("keep", IntegerType)
+            .defaultValue("3").build())
+        case _ => Array(tbl,
+          ProcedureParameter.in("older_than_ms", LongType)
+            .defaultValue("3600000").build())
+      }
+    }
+
+    override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+        : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+      val path = s"$root/${input.getUTF8String(0).toString}"
+      require(Epoch.resolve(s, path).nonEmpty,
+        s"EpochTableCatalog.$verb: no committed version at $path")
+      val status = verb match {
+        case "compact" =>
+          val nFiles = input.getInt(1)
+          val cluster = input.getUTF8String(2).toString.trim
+          Epoch.occ(s, path) {
+            EpochTable.compact(s, path, nFiles,
+              if (cluster.isEmpty) Seq.empty
+              else cluster.split(",").map(_.trim).toSeq)
+          }
+          s"folded into epoch ${EpochTable.current(s, path).epoch}"
+        case "prune" =>
+          Epoch.prune(s, path, input.getInt(1))
+          s"retained ${Epoch.committedList(s, path).size} manifests"
+        case _ =>
+          val reaped = Epoch.reapStages(s, path, input.getLong(1))
+          s"reaped ${reaped.size} staging dirs" +
+            (if (reaped.isEmpty) "" else reaped.mkString(": ", ", ", ""))
+      }
+      val schema = StructType(Seq(org.apache.spark.sql.types
+        .StructField("status", org.apache.spark.sql.types.StringType)))
+      val row: org.apache.spark.sql.catalyst.InternalRow =
+        InternalRow(org.apache.spark.unsafe.types.UTF8String
+          .fromString(status))
+      java.util.Collections.singletonList(
+        new org.apache.spark.sql.connector.read.LocalScan {
+          override def rows(): Array[InternalRow] = Array(row)
+          override def readSchema(): StructType = schema
+        }: org.apache.spark.sql.connector.read.Scan).iterator()
     }
   }
 

@@ -625,6 +625,50 @@ class EpochCatalogSpec extends SparkTestBase {
       .map(_.getPath.getName).exists(_.startsWith("_stage_")))
   }
 
+  test("SQL CALL maintenance: compact folds (clustered), prune " +
+      "retires history, reap_stages clears crashed staging; unknown " +
+      "procedures and snapshot-mode calls refuse") {
+    registered()
+    val path = s"$root/proc"
+    EpochTable.refresh(spark, path, mkTyped(1L to 40L), version = 0L)
+    EpochTable.refreshDelta(spark, path, mkTyped(41L to 60L),
+      version = 1L)
+    assert(Epoch.resolve(spark, path).get.components("data").size === 2)
+    val st = spark.sql("CALL gcat.compact(`table` => 'proc', " +
+      "n_files => 2, cluster_by => 'event_id')").head()
+      .getAs[String]("status")
+    assert(st.contains("folded into epoch 2"), st)
+    assert(Epoch.resolve(spark, path).get.components("data") ===
+      Seq("g2/data"))
+    assert(spark.sql("SELECT * FROM gcat.proc").count() === 60L)
+    // prune retires everything below the keep horizon
+    spark.sql("CALL gcat.prune(`table` => 'proc', keep => 1)")
+    assert(Epoch.committedList(spark, path) === Seq(2L))
+    // reap_stages: plant a crashed stage, a conservative call keeps
+    // it, an aggressive one removes it
+    mkTyped(1L to 3L).write.mode("overwrite")
+      .parquet(s"$path/_stage_dead")
+    spark.sql("CALL gcat.reap_stages(`table` => 'proc')")
+    assert(Epoch.orphans(spark, path).stages.size === 1)
+    val st2 = spark.sql("CALL gcat.reap_stages(`table` => 'proc', " +
+      "older_than_ms => 0)").head().getAs[String]("status")
+    assert(st2.contains("reaped 1"), st2)
+    assert(Epoch.orphans(spark, path).stages.isEmpty)
+    intercept[Exception] {
+      spark.sql("CALL gcat.vacuum(`table` => 'proc')").collect()
+    }
+    // snapshot-mode catalogs refuse maintenance (they pin a cut)
+    val reg = s"$root/procreg"
+    graft.ops.Snapshot.publish(spark, reg, Map("proc" -> 2L), "cut")
+    EpochTableCatalog.register(spark, "gproccut", root,
+      registry = Some(reg))
+    val e = intercept[Exception] {
+      spark.sql("CALL gproccut.compact(`table` => 'proc')").collect()
+    }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage)
+      .getOrElse("")).contains("SNAPSHOT MODE"), e.getMessage)
+  }
+
   test("the _g metadata column serves FILE PROVENANCE on the normal " +
       "read path: one distinct path per physical file, joinable to " +
       "the manifest's file inventory") {
