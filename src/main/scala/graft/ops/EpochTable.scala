@@ -127,13 +127,28 @@ object EpochTable {
     * [[dataForVersionAsCurrent]]) without ever colliding with the
     * sequential ids refresh assigns. */
   private def synthFields(schema: org.apache.spark.sql.types.StructType)
-      : Seq[FieldEntry] =
-    schema.fields.zipWithIndex.map { case (f, i) =>
+      : Seq[FieldEntry] = {
+    val fs = schema.fields.zipWithIndex.map { case (f, i) =>
       FieldEntry(
         -(math.abs(scala.util.hashing.MurmurHash3
           .stringHash(f.name).toLong) + 1L),
         f.name, f.name, f.dataType.catalogString, i)
     }.toSeq
+    // a 32-bit hash CAN collide across two distinct names — and a
+    // collided mapping would silently resolve the wrong physical
+    // column on every cross-version read; the mapping must stay
+    // injective, so refuse loudly (one explicit full refresh mints a
+    // real fields component and retires the synthesized ids)
+    val dup = fs.groupBy(_.field_id).collect {
+      case (_, es) if es.size > 1 => es.map(_.name)
+    }
+    require(dup.isEmpty,
+      s"EpochTable: legacy field-id synthesis collided on " +
+        s"${dup.map(_.mkString("≡")).mkString(", ")} — commit one " +
+        "full refresh to mint a real fields component before using " +
+        "the mapped faces")
+    fs
+  }
 
   private def fieldsOrSynth(s: SparkSession, path: String,
       m: Epoch.Manifest): Seq[FieldEntry] =
@@ -604,10 +619,14 @@ object EpochTable {
     // committed (meta is release history — [[delete]] never shrinks
     // it). The applied ledger is ordered, so "a del_* after the last
     // ver_*" detects exactly the stale case — fall back to the full
-    // recount there instead of silently overcounting.
-    val tombStale = m.components.getOrElse(Tomb, Seq.empty).nonEmpty &&
-      m.applied.reverse.takeWhile(!_.startsWith("ver_"))
-        .exists(_.startsWith("del_"))
+    // recount there instead of silently overcounting. The ledger check
+    // must stand ALONE: a compact after the delete empties the Tomb
+    // component but carries the pre-delete meta row (and the ledger)
+    // forward verbatim, so gating on Tomb-nonEmpty would let the first
+    // merge after delete→compact count the deleted rows back in (and
+    // poison every later algebraic count through its own meta row).
+    val tombStale = m.applied.reverse.takeWhile(!_.startsWith("ver_"))
+      .exists(_.startsWith("del_"))
     val loaded =
       if (fullRecount || tombStale) data(s, path, next).count()
       else {
@@ -824,12 +843,15 @@ object EpochTable {
         "OVERWRITE / refresh instead")
     metaRows(s, path, Seq(m))
       .coalesce(1).write.mode("overwrite").parquet(s"$g/meta")
-    // the rewrite keeps physical names, so the field mapping (and any
-    // pending divergence) carries forward verbatim
+    // the rewrite keeps physical names, so the field mapping AND any
+    // pending divergence marker carry forward verbatim — dropping the
+    // Evolve marker here would route the catalog back to the stock
+    // face and serve raw physical column names mid-divergence
     Epoch.commit(s, path, Epoch.Manifest(m.next,
       Map(Data -> entries, Meta -> Seq(s"g${m.next}/meta"),
         Tomb -> Seq.empty) ++
-        m.components.get(Fields).map(Fields -> _),
+        m.components.get(Fields).map(Fields -> _) ++
+        m.components.get(Evolve).map(Evolve -> _),
       m.applied))
   }
 

@@ -806,11 +806,19 @@ object EpochTableCatalog {
       require(Epoch.resolve(s, layoutPath).nonEmpty,
         s"EpochTableCatalog: CTAS commit for $ident saw no committed " +
           "manifest — the write never ran")
-    override def abortStagedChanges(): Unit = {
-      val f = new org.apache.hadoop.fs.Path(layoutPath)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      f.delete(new org.apache.hadoop.fs.Path(layoutPath), true)
-    }
+    /** Abort deletes the half-born layout ONLY while no manifest is
+      * committed there: stageCreate's existence check is not under
+      * occ, so a racing writer may have committed the same table
+      * between the check and this abort — an unconditional delete
+      * would destroy ITS committed layout (and if our own write
+      * committed manifest 0 before a later stage failure, the table
+      * is born and stays; the orphan report covers the odd case). */
+    override def abortStagedChanges(): Unit =
+      if (Epoch.resolve(s, layoutPath).isEmpty) {
+        val f = new org.apache.hadoop.fs.Path(layoutPath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        f.delete(new org.apache.hadoop.fs.Path(layoutPath), true)
+      }
   }
 
   /** The rewrite-group metadata column name ([[RewriteGroupColumn]]). */

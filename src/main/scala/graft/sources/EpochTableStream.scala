@@ -308,7 +308,19 @@ object EpochTableStream {
             val epochs = Epoch.committedList(s, path)
             require(epochs.nonEmpty,
               s"EpochTableStream: no committed version at $path")
-            (epochs.min - 1L, epochs.max)
+            // `startingVersion` narrows the batch read exactly like a
+            // subscription resume; otherwise start at the earliest
+            // RECONSTRUCTIBLE diff — epoch 0 diffs against the empty
+            // layout, but on a pruned table the earliest retained
+            // epoch's own diff needs its retired predecessor, so the
+            // history starts one epoch later (never throws on a
+            // pruned table; the unreachable prefix is simply gone)
+            val start =
+              if (options.containsKey("startingVersion"))
+                cdc.initialOffset().asInstanceOf[EpochOffset].epoch
+              else if (epochs.min == 0L) -1L
+              else epochs.min
+            (start, epochs.max)
           }
           override def planInputPartitions(): Array[InputPartition] =
             cdc.planInputPartitions(EpochOffset(range._1),

@@ -496,4 +496,89 @@ class EpochTableSpec extends SparkTestBase {
     assert(v.length === 1 && v(0).getAs[Boolean]("consistent"))
     assert(v(0).getAs[Long]("error_records") === 1L)
   }
+
+  test("algebraic merge count survives delete→compact→merge: compact " +
+      "empties the Tomb component but the carried meta row still " +
+      "counts the deleted rows — the ledger check alone must force " +
+      "the recount") {
+    val path = s"${graft.GraftSession.scratchDir}/table_epoch_dcm"
+    EpochTable.refresh(spark, path, mkTyped(1L to 20L), version = 0L)
+    EpochTable.delete(spark, Seq(3L, 4L).toDF("event_id"), path,
+      batchId = 1L)
+    EpochTable.compact(spark, path) // Tomb empty; meta still says 20
+    // 18 served − 1 replaced (5) + 2 batch = 19, NOT 21 (the stale
+    // algebraic base would count the two deleted rows back in)
+    val loaded = EpochTable.merge(spark, path, mkTyped(Seq(5L, 21L)),
+      version = 1L, keys = Seq("event_id"))
+    assert(loaded === 19L)
+    assert(loaded === EpochTable.serve(spark, path).count())
+    // the NEXT merge's algebraic path rides the now-correct meta row
+    val loaded2 = EpochTable.merge(spark, path, mkTyped(Seq(22L)),
+      version = 2L, keys = Seq("event_id"))
+    assert(loaded2 === 20L)
+    assert(loaded2 === EpochTable.serve(spark, path).count())
+    // ... and $versions serves the corrected counts
+    assert(EpochTable.versions(spark, path)
+      .where(col("version") === 1L).head()
+      .getAs[Long]("load_records") === 19L)
+  }
+
+  test("legacy field-id synthesis refuses a 32-bit hash collision " +
+      "instead of silently aliasing two columns to one id") {
+    // brute-force two distinct names whose synthesized ids collide
+    val seen = scala.collection.mutable.HashMap.empty[Long, String]
+    var pair: Option[(String, String)] = None
+    var i = 0
+    while (pair.isEmpty && i < 2000000) {
+      val n = s"c$i"
+      val id = math.abs(
+        scala.util.hashing.MurmurHash3.stringHash(n).toLong)
+      seen.get(id) match {
+        case Some(prev) => pair = Some((prev, n))
+        case None => seen(id) = n
+      }
+      i += 1
+    }
+    assert(pair.nonEmpty, "no murmur collision within 2M candidates")
+    val (a, b) = pair.get
+    // a LEGACY layout (no fields component), committed by hand
+    val path = s"${graft.GraftSession.scratchDir}/table_epoch_synthcol"
+    Seq((1L, 2L)).toDF(a, b).write.mode("overwrite")
+      .parquet(s"$path/g0/data")
+    Epoch.commit(spark, path, Epoch.Manifest(0L,
+      Map("data" -> Seq("g0/data")), Seq("ver_0")))
+    val e = intercept[IllegalArgumentException] {
+      EpochTable.serveMapped(spark, path).collect()
+    }
+    assert(e.getMessage.contains("collided"), e.getMessage)
+  }
+
+  test("commitRewrite carries a pending divergence marker forward: a " +
+      "programmatic rewrite mid-rename keeps the table routed to the " +
+      "mapped face (display names, not raw physical ones)") {
+    val path = s"${graft.GraftSession.scratchDir}/table_epoch_rwev"
+    EpochTable.refresh(spark, path, mkTyped(1L to 10L), version = 0L)
+    EpochTable.renameColumn(spark, path, "etype", "category")
+    val m = Epoch.resolve(spark, path).get
+    assert(EpochTable.isDiverged(m))
+    // a whole-table rewrite under the PHYSICAL names (what the CoW
+    // path stages), committed programmatically
+    val stage = s"$path/_stage_t"
+    spark.read.parquet(EpochTable.scanDataDirs(path, m): _*)
+      .write.parquet(stage)
+    Epoch.occ(spark, path) {
+      EpochTable.commitRewrite(spark, path, m,
+        EpochTable.dataFiles(spark, path, m)
+          .map(_.getPath.toUri.getPath).toSet, stage)
+    }
+    val after = Epoch.resolve(spark, path).get
+    assert(EpochTable.isDiverged(after),
+      "rewrite dropped the Evolve marker — the catalog would serve " +
+        "raw physical column names mid-divergence")
+    assert(EpochTable.serveMapped(spark, path).columns
+      .contains("category"))
+    // the convergence fold still clears it
+    EpochTable.compact(spark, path)
+    assert(!EpochTable.isDiverged(Epoch.resolve(spark, path).get))
+  }
 }

@@ -706,4 +706,52 @@ class EpochCatalogSpec extends SparkTestBase {
     assert(pinnedDf.count() === 25L)
     assert(spark.sql("SELECT * FROM gcat.pin").count() === 60L)
   }
+
+  test("CTAS abort never deletes a COMMITTED layout: a racer that " +
+      "commits the same table between the existence check and the " +
+      "abort keeps its data; a true abort still cleans up") {
+    registered()
+    val cat = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.StagingTableCatalog]
+    def stage(name: String) = cat.stageCreate(
+      org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array.empty, name),
+      Array(org.apache.spark.sql.connector.catalog.Column.create(
+        "event_id", org.apache.spark.sql.types.LongType)),
+      Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+      new java.util.HashMap[String, String]())
+    // racer commits between stageCreate's check and our abort
+    val raced = stage("ctas_abort_race")
+    EpochTable.refresh(spark, s"$root/ctas_abort_race",
+      mkTyped(1L to 12L), version = 0L)
+    raced.abortStagedChanges()
+    assert(spark.sql("SELECT * FROM gcat.ctas_abort_race").count()
+      === 12L)
+    // a genuine abort (nothing committed) removes the half-born dir
+    val lone = stage("ctas_abort_lone")
+    lone.abortStagedChanges()
+    assert(Epoch.resolve(spark, s"$root/ctas_abort_lone").isEmpty)
+  }
+
+  test("the batch $changes face survives retention pruning: history " +
+      "starts at the earliest reconstructible diff instead of " +
+      "throwing on the pruned predecessor") {
+    registered()
+    val path = s"$root/chg_pruned"
+    EpochTable.refresh(spark, path, mkTyped(1L to 10L), version = 0L)
+    EpochTable.refreshDelta(spark, path, mkTyped(11L to 14L),
+      version = 1L)
+    EpochTable.refreshDelta(spark, path, mkTyped(15L to 16L),
+      version = 2L)
+    // full history first: snapshot + both deltas
+    assert(spark.sql(
+      "SELECT * FROM gcat.`chg_pruned$changes`").count() === 16L)
+    Epoch.prune(spark, path, keep = 2) // epoch 0's manifest retired
+    // epoch 1's diff needs the pruned epoch-0 manifest — the batch
+    // face starts at epoch 2's diff (the earliest reconstructible)
+    val chg = spark.sql(
+      "SELECT event_id, _op FROM gcat.`chg_pruned$changes`")
+    assert(chg.collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(15L, 16L))
+  }
 }
