@@ -52,6 +52,80 @@ object EpochTable {
   private val Merge = "merge"
   private val MergeKeys = "mergekeys"
 
+  /** MANIFEST-LEVEL FILE STATISTICS — the `stats` component: one tiny
+    * parquet per generation with a row per (data file × column):
+    * min/max (as strings — round-tripped through the column's own
+    * cast), null count, row count. Written in the SAME pass as the
+    * verify recount every commit already pays, so stats cost nothing
+    * new write-side; read-side the SQL catalog evaluates pushed
+    * predicates against them and drops whole files at PLANNING time
+    * ([[graft.sources.StatsPrune]]) — zero footer opens for pruned
+    * files, the planning-time successor to `table_cluster`'s
+    * scan-time footer-stats discipline. Entries are keyed by file
+    * path, so a rewrite's carried-forward survivors keep their old
+    * entries and a file with no entry is simply never pruned. */
+  private val Stats = "stats"
+
+  /** Stats rows capped to the first [[MaxStatCols]] stattable columns
+    * (display order) — a 1000-column table keeps its stats parquet
+    * bounded; unstatted columns just never prune. */
+  private val MaxStatCols = 32
+
+  /** One (file × column) statistics row ([[Stats]]). */
+  final case class FileColStat(file: String, col: String, dtype: String,
+      min_s: Option[String], max_s: Option[String], nulls: Long,
+      rows: Long)
+
+  private[graft] def rootAbs(s: SparkSession, path: String): String = {
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.makeQualified(new org.apache.hadoop.fs.Path(path)).toUri.getPath
+  }
+
+  /** Compute per-file column stats over `dataDir`'s files in ONE
+    * aggregation pass (map-side combinable; one output row per file)
+    * and write them as `statsDir`; returns (total rows, stats
+    * written?) — the total IS the verify recount, riding the same
+    * pass. */
+  private def writeStatsAndCount(s: SparkSession, path: String,
+      dataDir: String, statsDir: String): (Long, Boolean) = {
+    import s.implicits._
+    val df = s.read.parquet(dataDir)
+    val statable = df.schema.fields
+      .filter(f => graft.sources.StatsPrune.stattable(f.dataType))
+      .take(MaxStatCols)
+    val aggs = count(lit(1L)).as("__rows") +:
+      statable.toSeq.flatMap(f => Seq(
+        min(df(f.name)).cast("string").as(s"__mn_${f.name}"),
+        max(df(f.name)).cast("string").as(s"__mx_${f.name}"),
+        count(df(f.name)).as(s"__nn_${f.name}")))
+    val perFile = df.groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val root = rootAbs(s, path)
+    val entries = perFile.toSeq.flatMap { r =>
+      val abs = new org.apache.hadoop.fs.Path(
+        new java.net.URI(r.getAs[String]("__file"))).toUri.getPath
+      val rel = abs.stripPrefix(root + "/")
+      val n = r.getAs[Long]("__rows")
+      statable.map(f => FileColStat(rel, f.name,
+        f.dataType.catalogString,
+        Option(r.getAs[String](s"__mn_${f.name}")),
+        Option(r.getAs[String](s"__mx_${f.name}")),
+        n - r.getAs[Long](s"__nn_${f.name}"), n))
+    }
+    if (entries.nonEmpty)
+      entries.toDF().coalesce(1).write.mode("overwrite").parquet(statsDir)
+    (perFile.map(_.getAs[Long]("__rows")).sum, entries.nonEmpty)
+  }
+
+  /** The manifest's per-file stats rows, if any generation recorded
+    * them — the SQL catalog's planning-time pruning input. Bounded by
+    * |files| × min(|columns|, [[MaxStatCols]]). */
+  private[graft] def fileStats(s: SparkSession, path: String,
+      m: Epoch.Manifest): Seq[org.apache.spark.sql.Row] =
+    Epoch.read(s, path, m, Stats).map(_.collect().toSeq)
+      .getOrElse(Seq.empty)
+
   /** Marker component: `kind → compact` tags a CONTENT-PRESERVING
     * epoch (a fold rearranges bytes, serving before ≡ after), so the
     * change-feed faces can SKIP it instead of failing the stream —
@@ -470,8 +544,10 @@ object EpochTable {
     typed.write.mode("overwrite").parquet(s"$g/data")
     writeFields(s, evolved, s"$g/fields")
     // the verify count reads the COMMITTED-to-be files, not the input
-    // frame — load = clean is asserted against what a reader will see
-    val loaded = s.read.parquet(s"$g/data").count()
+    // frame — load = clean is asserted against what a reader will see;
+    // the per-file stats component rides the same pass
+    val (loaded, statsWritten) =
+      writeStatsAndCount(s, path, s"$g/data", s"$g/stats")
     val download = downloadRecords.getOrElse(loaded + errorRecords)
     import s.implicits._
     withReleaseTs(Seq((version, download, download - errorRecords,
@@ -481,7 +557,9 @@ object EpochTable {
       .coalesce(1).write.mode("overwrite").parquet(s"$g/meta")
     Epoch.commit(s, path, Epoch.Manifest(next,
       Map(Data -> Seq(s"g$next/data"), Meta -> Seq(s"g$next/meta"),
-        Fields -> Seq(s"g$next/fields")),
+        Fields -> Seq(s"g$next/fields")) ++
+        (if (statsWritten) Map(Stats -> Seq(s"g$next/stats"))
+         else Map.empty),
       cur.map(_.applied).getOrElse(Seq.empty) :+ key))
     loaded
   }
@@ -519,7 +597,8 @@ object EpochTable {
         "table — evolve the schema with a full refresh first")
     val g = Epoch.genDir(s, path, m.next)
     delta.write.mode("overwrite").parquet(s"$g/delta")
-    val added = s.read.parquet(s"$g/delta").count()
+    val (added, statsWritten) =
+      writeStatsAndCount(s, path, s"$g/delta", s"$g/stats")
     if (added == 0L) return prev.getAs[Long]("load_records")
     val loaded = prev.getAs[Long]("load_records") + added
     val download = prev.getAs[Long]("download_records") +
@@ -531,8 +610,13 @@ object EpochTable {
       .toDF("version", "download_records", "clean_records",
         "load_records", "error_records"), releaseTs)
       .coalesce(1).write.mode("overwrite").parquet(s"$g/meta")
+    val withStats =
+      if (statsWritten)
+        (m.components - Kind).updated(Stats,
+          m.components.getOrElse(Stats, Seq.empty) :+ s"g${m.next}/stats")
+      else m.components - Kind
     Epoch.commit(s, path, Epoch.Manifest(m.next,
-      (m.components - Kind)
+      withStats
         .updated(Data, m.components(Data) :+ s"g${m.next}/delta")
         .updated(Meta, Seq(s"g${m.next}/meta")),
       m.applied :+ key))
@@ -724,9 +808,17 @@ object EpochTable {
         .sortWithinPartitions(clusterBy.map(col): _*)
     arranged
       .write.mode("overwrite").parquet(s"$g/data")
+    // the fold's stats pass is where planning-time pruning is bought:
+    // a clustered fold writes disjoint per-file key intervals and the
+    // stats component records them for the scan-build pruner
+    val (_, statsWritten) =
+      writeStatsAndCount(s, path, s"$g/data", s"$g/stats")
     metaRows(s, path, Seq(m))
       .coalesce(1).write.mode("overwrite").parquet(s"$g/meta")
-    val comps = Map(Data -> Seq(s"g${m.next}/data"),
+    val comps: Map[String, Seq[String]] = (if (statsWritten)
+      Map(Stats -> Seq(s"g${m.next}/stats"))
+    else Map.empty[String, Seq[String]]) ++
+      Map(Data -> Seq(s"g${m.next}/data"),
       Meta -> Seq(s"g${m.next}/meta"),
       Tomb -> Seq.empty,
       // an evolve fold changes the PHYSICAL schema — a live stream's
@@ -843,6 +935,14 @@ object EpochTable {
         "OVERWRITE / refresh instead")
     metaRows(s, path, Seq(m))
       .coalesce(1).write.mode("overwrite").parquet(s"$g/meta")
+    // stats: survivors keep their old entries (keyed by file path —
+    // entries for rewritten files go dead with their files, and the
+    // next fold resets the accumulation); the replacement files get
+    // fresh entries so point DML keeps planning-time pruning sharp
+    val statsDirs = m.components.getOrElse(Stats, Seq.empty) ++
+      (if (stagedNonEmpty &&
+          writeStatsAndCount(s, path, s"$g/data", s"$g/stats")._2)
+        Seq(s"g${m.next}/stats") else Seq.empty)
     // the rewrite keeps physical names, so the field mapping AND any
     // pending divergence marker carry forward verbatim — dropping the
     // Evolve marker here would route the catalog back to the stock
@@ -850,6 +950,8 @@ object EpochTable {
     Epoch.commit(s, path, Epoch.Manifest(m.next,
       Map(Data -> entries, Meta -> Seq(s"g${m.next}/meta"),
         Tomb -> Seq.empty) ++
+        (if (statsDirs.nonEmpty) Map(Stats -> statsDirs)
+         else Map.empty) ++
         m.components.get(Fields).map(Fields -> _) ++
         m.components.get(Evolve).map(Evolve -> _),
       m.applied))
@@ -1748,6 +1850,51 @@ object EpochTable {
     (s, d) => serve(s, savedClusterPath(s, d)).orderBy("event_id"),
     CoreQueries.loadTyped.oracle)
 
+  /** Layout for the stats-pruning entry: one full version folded into
+    * 8 files range-clustered on event_id — the fold's stats component
+    * records each file's disjoint key interval for the planner. */
+  private val statsSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedStatsPath(s: SparkSession, d: String): String =
+    graft.BuildOnce.memo(statsSaved, d) {
+      val path = s"${graft.GraftSession.scratchDir}/table_stats_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      refresh(s, path, CoreQueries.loadTyped.fn(s, d), version = 0L)
+      compact(s, path, nFiles = 8, clusterBy = Seq("event_id"))
+      path
+    }
+
+  /** PLANNING-TIME file skipping off manifest stats, driver-verified:
+    * the ranged lookup's condition is evaluated against the per-file
+    * stats component at scan BUILD, so only the file(s) owning the
+    * asked event_id interval are ever listed into partitions or
+    * footer-opened — the zero-file-open upgrade over `table_cluster`'s
+    * scan-time footer discipline (`StatsPruneSpec` pins files-planned
+    * < files-live). The answer must hash-equal the oracle's: pruning
+    * is invisible in results or it is wrong. */
+  val tableStatsPrune = GQuery(
+    "table_stats_prune",
+    (s, d) => {
+      val path = savedStatsPath(s, d)
+      graft.sources.EpochTableCatalog.register(s, "graft",
+        graft.GraftSession.scratchDir)
+      val tbl = path.stripPrefix(s"${graft.GraftSession.scratchDir}/")
+      s.sql(s"SELECT event_id, event_date, value_dec, etype, uid " +
+        s"FROM graft.`$tbl` WHERE event_id BETWEEN 50 AND 149 " +
+        "ORDER BY event_id")
+    },
+    Some("""
+      SELECT event_id,
+             CAST(ts AS DATE) AS event_date,
+             CAST(CAST(value AS DECIMAL(14,2)) AS DOUBLE) AS value_dec,
+             NULLIF(TRIM(event_type), '') AS etype,
+             CAST(user_id AS BIGINT) AS uid
+      FROM events
+      WHERE event_id BETWEEN 50 AND 149
+      ORDER BY event_id
+    """))
+
   /** Layout for the diff entry: two OVERLAPPING partial versions with
     * planted modifications, so all three change kinds occur — v0 drops
     * the 1-mod-3 ids, v1 drops the 2-mod-5 ids AND rewrites etype for
@@ -2229,7 +2376,8 @@ object EpochTable {
       tableSqlAsofTs, tableSqlVersions, tableSqlInsert, tableSqlDelete,
       tableSqlOverwrite, tableSqlUpdate, tableSqlUpdatePruned,
       tableSqlMerge, tableSqlCtas,
-      tableSqlSnapshot, tableCluster, tableStream, tableStreamCdc,
+      tableSqlSnapshot, tableCluster, tableStatsPrune, tableStream,
+      tableStreamCdc,
       tableSqlChanges, tableChangesBefore, tableSqlMaintenance,
       snapshotTableFetch)
 }

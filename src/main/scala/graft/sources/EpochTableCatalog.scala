@@ -434,7 +434,8 @@ object EpochTableCatalog {
       // unfolded tombstones/merges refuse here (writes never arrive)
       EpochTable.scanDirs(s, layoutPath, manifest)
       new EpochTableStream.StreamableScanBuilder(s, layoutPath,
-        delegate.newScanBuilder(options), options)
+        manifest, delegate.schema, delegate.newScanBuilder(options),
+        options)
     }
 
     /** The next version id no retained version uses — monotone across

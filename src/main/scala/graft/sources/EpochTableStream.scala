@@ -175,7 +175,8 @@ object EpochTableStream {
     * subquery turns that into the rewrite's file set. The serving
     * path — no `_g` — keeps the stock vectorized scan untouched. */
   private[sources] final class StreamableScanBuilder(s: SparkSession,
-      path: String, delegate: ParquetScanBuilder,
+      path: String, manifest: Epoch.Manifest,
+      tableSchema: StructType, delegate: ParquetScanBuilder,
       options: CaseInsensitiveStringMap)
       extends ScanBuilder with SupportsPushDownCatalystFilters
       with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
@@ -208,13 +209,48 @@ object EpochTableStream {
         aggregation: Aggregation): Boolean =
       !needsGroup && delegate.supportCompletePushDown(aggregation)
 
-    override def build(): Scan =
+    override def build(): Scan = {
+      val d = statsPruned()
       if (needsGroup)
-        new EpochTableCatalog.RewriteScan(delegate.build(),
+        new EpochTableCatalog.RewriteScan(d.build(),
           withGroup = true)
       else
-        new StreamableScan(delegate.build(),
+        new StreamableScan(d.build(),
           new TableChangesStream(s, path, options, required, pushedExprs))
+    }
+
+    /** PLANNING-TIME file skipping off the manifest's stats component
+      * ([[graft.ops.EpochTable]] writes it with every commit): when
+      * the pushed conjuncts PROVE some files match nothing
+      * ([[StatsPrune]] — conservative, unknown keeps), the parquet
+      * relation is rebuilt over only the survivors, so pruned files
+      * are never listed into partitions and never footer-opened — the
+      * zero-file-open upgrade over scan-time footer pruning. Applies
+      * to the serving scan AND the `_g` matching-rows subquery (the
+      * CoW rewrite's file discovery plans over the pruned set); the
+      * no-prune path returns the original builder untouched. */
+    private def statsPruned(): ParquetScanBuilder = {
+      if (pushedExprs.isEmpty) return delegate
+      val statRows = EpochTable.fileStats(s, path, manifest)
+      if (statRows.isEmpty) return delegate
+      val root = EpochTable.rootAbs(s, path)
+      val files = EpochTable.dataFiles(s, path, manifest).map { st =>
+        val abs = st.getPath.toUri.getPath
+        (abs, abs.stripPrefix(root + "/"))
+      }
+      StatsPrune.surviving(pushedExprs, files,
+        StatsPrune.statsByFile(statRows),
+        s.sessionState.conf.sessionLocalTimeZone) match {
+        case None => delegate
+        case Some(keep) =>
+          val b = ParquetTable("epoch-stats-pruned", s, emptyOpts,
+            keep, Some(tableSchema), classOf[ParquetFileFormat])
+            .newScanBuilder(emptyOpts)
+          b.pushFilters(pushedExprs)
+          required.foreach(b.pruneColumns)
+          b
+      }
+    }
   }
 
   /** The delegate parquet scan, plus the micro-batch face. */
