@@ -946,8 +946,17 @@ object EpochTableCatalog {
       val sets = predicates.flatMap(inSetOnGroupCol)
       if (sets.nonEmpty) {
         val keep = sets.reduce(_ intersect _)
-        retained = Some(parts.filter(p =>
-          keep.contains(partitionFilePath(p))))
+        // the matched-file set is a driver-side structure bounded by
+        // file count. Past the limit (a condition touching most of a
+        // many-file table), per-file pruning stops paying for itself
+        // — drop it EXPLICITLY and take the documented degradation,
+        // the whole-table rewrite: bounded driver memory, never a
+        // wrong answer.
+        val limit = SparkSession.active.conf
+          .get("spark.graft.cow.runtimeFilterFileLimit", "100000").toInt
+        if (keep.size <= limit)
+          retained = Some(parts.filter(p =>
+            keep.contains(partitionFilePath(p))))
       }
       // unrecognized predicates prune nothing — scanning more files
       // than matched is always safe (they rewrite to themselves)

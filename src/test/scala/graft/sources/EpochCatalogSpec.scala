@@ -707,6 +707,36 @@ class EpochCatalogSpec extends SparkTestBase {
     assert(spark.sql("SELECT * FROM gcat.pin").count() === 60L)
   }
 
+  test("the CoW runtime-filter IN-set is bounded: past the file " +
+      "limit a point UPDATE falls back to the whole-table rewrite " +
+      "explicitly — zero carried files, same answer") {
+    registered()
+    val path = s"$root/inset_cap"
+    EpochTable.refresh(spark, path, mkTyped(1L to 2000L), version = 0L)
+    EpochTable.compact(spark, path, nFiles = 4,
+      clusterBy = Seq("event_id"))
+    spark.conf.set("spark.graft.cow.runtimeFilterFileLimit", "0")
+    try {
+      spark.sql("UPDATE gcat.inset_cap SET etype = 'cap' " +
+        "WHERE event_id = 77")
+      val m = Epoch.resolve(spark, path).get
+      // no carried-forward file entries: every file was rewritten
+      assert(!m.components("data").exists(_.endsWith(".parquet")),
+        m.components("data").toString)
+      val served = spark.sql("SELECT * FROM gcat.inset_cap")
+      assert(served.count() === 2000L)
+      assert(served.where(col("etype") === "cap").count() === 1L)
+    } finally
+      spark.conf.unset("spark.graft.cow.runtimeFilterFileLimit")
+    // with the default limit the same statement prunes again
+    spark.sql("UPDATE gcat.inset_cap SET etype = 'cap2' " +
+      "WHERE event_id = 77")
+    assert(Epoch.resolve(spark, path).get.components("data")
+      .exists(_.endsWith(".parquet")))
+    assert(spark.sql("SELECT * FROM gcat.inset_cap")
+      .where(col("etype") === "cap2").count() === 1L)
+  }
+
   test("CTAS abort never deletes a COMMITTED layout: a racer that " +
       "commits the same table between the existence check and the " +
       "abort keeps its data; a true abort still cleans up") {
