@@ -88,9 +88,13 @@ object EpochTable {
     * written?) — the total IS the verify recount, riding the same
     * pass. */
   private def writeStatsAndCount(s: SparkSession, path: String,
-      dataDir: String, statsDir: String): (Long, Boolean) = {
+      dataDir: String, statsDir: String): (Long, Boolean) =
+    writeStatsAndCountDirs(s, path, Seq(dataDir), statsDir)
+
+  private def writeStatsAndCountDirs(s: SparkSession, path: String,
+      dataDirs: Seq[String], statsDir: String): (Long, Boolean) = {
     import s.implicits._
-    val df = s.read.parquet(dataDir)
+    val df = s.read.parquet(dataDirs: _*)
     val statable = df.schema.fields
       .filter(f => graft.sources.StatsPrune.stattable(f.dataType))
       .take(MaxStatCols)
@@ -125,6 +129,215 @@ object EpochTable {
       m: Epoch.Manifest): Seq[org.apache.spark.sql.Row] =
     Epoch.read(s, path, m, Stats).map(_.collect().toSeq)
       .getOrElse(Seq.empty)
+
+  // ------------------------------------------------------------------
+  // PARTITIONED tables — the reference's natural month grain
+  // (`RawDataVersion.release_datetime`, `models/tracking.py:~130`;
+  // date columns on every itemization, `models/campaign.py:~1840`)
+  // made physical: a partitioned refresh lands one directory PER
+  // PARTITION VALUE and records the spec in the manifest. What it
+  // buys at 100 TB:
+  //  - PLANNING-TIME partition pruning falls out of the stats
+  //    component for free (every file of a month partition carries
+  //    that month's min/max, so a month-scoped predicate disproves
+  //    every other partition's files — zero extra machinery, and it
+  //    composes with pruning on OTHER columns the way dir-name
+  //    matching never could);
+  //  - BOUNDED FOLDS: a takedown's fold rewrites ONLY the partitions
+  //    holding doomed rows ([[foldPartitions]]) — DELETE cost drops
+  //    from ∝|table| to ∝|touched partitions|, the standard
+  //    table-format answer for time-scoped maintenance.
+  // The partition column stays IN the files (the `_p` dir key is
+  // derived), so readers never depend on dir-name reconstruction.
+  // v1 scope: full refreshes, reads, SQL DELETE with partition-scoped
+  // folds, INSERT OVERWRITE (spec-preserving); deltas/merges/renames
+  // refuse loudly — their partition-aware forms are future work.
+  // ------------------------------------------------------------------
+
+  private val Part = "partspec"
+  private val NullPart = "__HIVE_DEFAULT_PARTITION__"
+
+  /** A table's declared physical partitioning: `transform` ∈
+    * `identity` (one dir per distinct value — enum-ish columns) |
+    * `month` (one dir per yyyy-MM of a date/timestamp column — the
+    * reference's release grain). */
+  final case class PartSpec(col: String, transform: String) {
+    require(transform == "identity" || transform == "month",
+      s"EpochTable.PartSpec: unknown transform $transform")
+  }
+
+  private[graft] def partSpecOf(s: SparkSession, path: String,
+      m: Epoch.Manifest): Option[PartSpec] =
+    Epoch.read(s, path, m, Part).map { df =>
+      val r = df.head()
+      PartSpec(r.getAs[String]("col"), r.getAs[String]("transform"))
+    }
+
+  /** The dir-encoded partition value of a row (string; NULL rows land
+    * in the hive default partition like any Spark partitioned write). */
+  private def partValue(spec: PartSpec): org.apache.spark.sql.Column =
+    spec.transform match {
+      case "month" => date_format(col(spec.col), "yyyy-MM")
+      case _ => col(spec.col).cast("string")
+    }
+
+  private def listPartDirs(s: SparkSession, dataDir: String)
+      : Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dataDir)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_p="))
+      .map(_.getPath.getName).sorted
+  }
+
+  /** The `_p=<value>` (unescaped) of a manifest data entry, if the
+    * entry is partition-shaped — rewrite residue (a staged dir or a
+    * carried file outside any `_p=` dir) has none and is treated as
+    * touched by every fold. */
+  private def entryPartValue(entry: String): Option[String] =
+    entry.split("/").find(_.startsWith("_p=")).map(seg =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(seg.stripPrefix("_p=")))
+
+  private def requireUnpartitioned(s: SparkSession, path: String,
+      m: Epoch.Manifest, what: String): Unit =
+    require(partSpecOf(s, path, m).isEmpty,
+      s"EpochTable.$what: $path is partitioned — deltas/merges/renames " +
+        "are not partition-aware yet; commit a full refreshPartitioned " +
+        "or fold first")
+
+  /** Commit one update run as one PARTITIONED epoch: the snapshot
+    * lands as one physical directory per partition value of `spec`
+    * (each a separate manifest data entry), the spec rides the same
+    * manifest, and every face — reads, stats pruning, time travel,
+    * the fold — sees partitions as what they are: independently
+    * referenced, independently rewritable directory sets. Same
+    * replay/meta/fields contract as [[refresh]]. */
+  def refreshPartitioned(s: SparkSession, path: String, typed: DataFrame,
+      version: Long, spec: PartSpec,
+      downloadRecords: Option[Long] = None, errorRecords: Long = 0L,
+      releaseTs: Option[java.sql.Timestamp] = None): Long = {
+    val key = s"ver_$version"
+    val cur = Epoch.resolve(s, path)
+    if (cur.exists(_.has(key)))
+      return metaRows(s, path, Seq(cur.get))
+        .where(col("version") === version)
+        .head().getAs[Long]("load_records")
+    require(typed.columns.contains(spec.col),
+      s"EpochTable.refreshPartitioned: partition column ${spec.col} " +
+        s"is not in the snapshot (${typed.columns.mkString(",")})")
+    val next = cur.map(_.next).getOrElse(0L)
+    val evolved = evolveFields(
+      cur.map(m => fieldsOrSynth(s, path, m)), typed.schema)
+    val g = Epoch.genDir(s, path, next)
+    // `_p` is DERIVED (the source column stays in the files), so the
+    // per-partition dirs read bare — no dir-name reconstruction
+    typed.withColumn("_p", partValue(spec))
+      .write.partitionBy("_p").mode("overwrite").parquet(s"$g/data")
+    writeFields(s, evolved, s"$g/fields")
+    import s.implicits._
+    Seq((spec.col, spec.transform)).toDF("col", "transform")
+      .coalesce(1).write.mode("overwrite").parquet(s"$g/partspec")
+    val partDirs = listPartDirs(s, s"$g/data")
+    require(partDirs.nonEmpty,
+      s"EpochTable.refreshPartitioned: empty snapshot for $path — an " +
+        "empty partitioned table has no schema to serve")
+    val entries = partDirs.map(p => s"g$next/data/$p")
+    val (loaded, statsWritten) = writeStatsAndCountDirs(s, path,
+      entries.map(e => s"$path/$e"), s"$g/stats")
+    val download = downloadRecords.getOrElse(loaded + errorRecords)
+    withReleaseTs(Seq((version, download, download - errorRecords,
+      loaded, errorRecords))
+      .toDF("version", "download_records", "clean_records",
+        "load_records", "error_records"), releaseTs)
+      .coalesce(1).write.mode("overwrite").parquet(s"$g/meta")
+    Epoch.commit(s, path, Epoch.Manifest(next,
+      Map(Data -> entries, Meta -> Seq(s"g$next/meta"),
+        Fields -> Seq(s"g$next/fields"),
+        Part -> Seq(s"g$next/partspec")) ++
+        (if (statsWritten) Map(Stats -> Seq(s"g$next/stats"))
+         else Map.empty),
+      cur.map(_.applied).getOrElse(Seq.empty) :+ key))
+    loaded
+  }
+
+  /** Fold a PARTITIONED table: the partitions holding tombstoned rows
+    * (plus any non-partition-shaped rewrite residue) rewrite into
+    * fresh per-partition dirs with the doomed rows anti-joined out;
+    * every UNTOUCHED partition dir carries forward BY REFERENCE — the
+    * bounded fold that makes DELETE ∝ |touched partitions| instead of
+    * ∝ |table|. `touchedOnly=false` folds everything (the CALL/sweep
+    * compact). Tombstones lacking the partition column fold every
+    * partition (conservative — correctness never depends on deriving
+    * the touched set). Content-preserving: serving before ≡ after. */
+  private def foldPartitions(s: SparkSession, path: String,
+      spec: PartSpec, touchedOnly: Boolean): Unit = {
+    val m = current(s, path)
+    val dataEntries = m.components.getOrElse(Data, Seq.empty)
+    val tomb = Epoch.read(s, path, m, Tomb)
+    val touchedVals: Option[Set[String]] =
+      if (!touchedOnly) None
+      else tomb match {
+        case None => Some(Set.empty)
+        case Some(t) if t.columns.contains(spec.col) =>
+          Some(t.select(partValue(spec).as("__p")).distinct()
+            .collect().map(r => Option(r.getString(0))
+              .getOrElse(NullPart)).toSet)
+        case Some(_) => None // key-only tombstones: fold everything
+      }
+    val (folded, carried) = dataEntries.partition { e =>
+      entryPartValue(e) match {
+        case Some(v) => touchedVals.forall(_.contains(v))
+        case None => true // rewrite residue is always folded
+      }
+    }
+    if (folded.isEmpty && tomb.isEmpty) return // nothing to fold
+    val g = Epoch.genDir(s, path, m.next)
+    val newParts =
+      if (folded.isEmpty) Seq.empty
+      else {
+        val raw = s.read.parquet(folded.map(e => s"$path/$e"): _*)
+        val kept = tomb.map(t =>
+          raw.join(broadcast(t), nullSafeOn(raw, t), "left_anti"))
+          .getOrElse(raw)
+        kept.withColumn("_p", partValue(spec))
+          .write.partitionBy("_p").mode("overwrite").parquet(s"$g/data")
+        listPartDirs(s, s"$g/data").map(p => s"g${m.next}/data/$p")
+      }
+    require(carried.nonEmpty || newParts.nonEmpty,
+      s"EpochTable.foldPartitions: the fold leaves $path empty — an " +
+        "empty table has no schema to serve; route full truncation " +
+        "through refresh")
+    val statsDirs = (if (carried.isEmpty) Seq.empty
+      else m.components.getOrElse(Stats, Seq.empty)) ++
+      (if (newParts.nonEmpty && writeStatsAndCountDirs(s, path,
+          newParts.map(e => s"$path/$e"), s"$g/stats")._2)
+        Seq(s"g${m.next}/stats") else Seq.empty)
+    metaRows(s, path, Seq(m))
+      .coalesce(1).write.mode("overwrite").parquet(s"$g/meta")
+    Epoch.commit(s, path, Epoch.Manifest(m.next,
+      Map(Data -> (carried ++ newParts),
+        Meta -> Seq(s"g${m.next}/meta"),
+        Tomb -> Seq.empty,
+        Kind -> Seq(KindCompact)) ++
+        (if (statsDirs.nonEmpty) Map(Stats -> statsDirs)
+         else Map.empty) ++
+        m.components.get(Part).map(Part -> _) ++
+        m.components.get(Fields).map(Fields -> _),
+      m.applied))
+  }
+
+  /** The fold the SQL DELETE path runs: partition-scoped on a
+    * partitioned table (∝ |touched partitions|), the whole-table
+    * [[compact]] otherwise. */
+  private[graft] def compactForDelete(s: SparkSession,
+      path: String): Unit =
+    partSpecOf(s, path, current(s, path)) match {
+      case Some(spec) => foldPartitions(s, path, spec,
+        touchedOnly = true)
+      case None => compact(s, path)
+    }
 
   /** Marker component: `kind → compact` tags a CONTENT-PRESERVING
     * epoch (a fold rearranges bytes, serving before ≡ after), so the
@@ -298,6 +511,7 @@ object EpochTable {
   def renameColumn(s: SparkSession, path: String, from: String,
       to: String): Unit = Epoch.occ(s, path) {
     val m = current(s, path)
+    requireUnpartitioned(s, path, m, "renameColumn")
     val fs = fieldsOrSynth(s, path, m)
     require(fs.exists(f => !f.dropped && f.name == from),
       s"EpochTable.renameColumn: no column $from at $path " +
@@ -322,6 +536,7 @@ object EpochTable {
   def dropColumn(s: SparkSession, path: String, name: String): Unit =
     Epoch.occ(s, path) {
       val m = current(s, path)
+      requireUnpartitioned(s, path, m, "dropColumn")
       val fs = fieldsOrSynth(s, path, m)
       require(fs.exists(f => !f.dropped && f.name == name),
         s"EpochTable.dropColumn: no column $name at $path")
@@ -587,6 +802,7 @@ object EpochTable {
     if (m.has(key))
       return metaRows(s, path, Seq(m)).head().getAs[Long]("load_records")
     requireConverged(s, path, m, "refreshDelta")
+    requireUnpartitioned(s, path, m, "refreshDelta")
     val prev = metaRows(s, path, Seq(m)).head()
     // a multi-dir parquet scan silently picks one file's schema —
     // schema evolution happens at full-refresh boundaries only
@@ -650,6 +866,7 @@ object EpochTable {
     if (m.has(key))
       return metaRows(s, path, Seq(m)).head().getAs[Long]("load_records")
     requireConverged(s, path, m, "merge")
+    requireUnpartitioned(s, path, m, "merge")
     val served = data(s, path, m)
     require(keys.nonEmpty && keys.forall(upserts.columns.contains),
       s"EpochTable.merge: keys $keys not all present in the upsert batch")
@@ -789,6 +1006,12 @@ object EpochTable {
   def compact(s: SparkSession, path: String, nFiles: Int = 8,
       clusterBy: Seq[String] = Seq.empty): Unit = {
     val m = current(s, path)
+    partSpecOf(s, path, m).foreach { spec =>
+      require(clusterBy.isEmpty,
+        s"EpochTable.compact: $path is partitioned on ${spec.col} — " +
+          "within-partition clustering is not supported yet")
+      return foldPartitions(s, path, spec, touchedOnly = false)
+    }
     val g = Epoch.genDir(s, path, m.next)
     // a pending rename/drop converges HERE: the fold rewrites the
     // rows under the display names (the mapped projection — dropped
@@ -1895,6 +2118,92 @@ object EpochTable {
       ORDER BY event_id
     """))
 
+  /** Layout for the partitioned entries: the orders table partitioned
+    * on month(o_orderdate) — the reference's monthly release grain as
+    * physical layout. The delete twin plants junk rows confined to
+    * ONE month, so the SQL DELETE's fold touches exactly one
+    * partition (`PartitionedTableSpec` pins the carried-by-reference
+    * set). */
+  private val partSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedPartPath(s: SparkSession, d: String): String =
+    graft.BuildOnce.memo(partSaved, d) {
+      val path = s"${graft.GraftSession.scratchDir}/table_part_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      refreshPartitioned(s, path, graft.Tables.orders(s, d),
+        version = 0L, PartSpec("o_orderdate", "month"))
+      path
+    }
+
+  private val partDelSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedPartDelPath(s: SparkSession, d: String): String =
+    graft.BuildOnce.memo(partDelSaved, d) {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val tbl = s"table_pdel_$tag"
+      val path = s"${graft.GraftSession.scratchDir}/$tbl"
+      val orders = graft.Tables.orders(s, d)
+      val junk = orders.limit(300)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
+        .withColumn("o_orderpriority", lit("JUNK"))
+        .withColumn("o_orderdate",
+          lit(java.sql.Timestamp.valueOf("1996-06-15 00:00:00")))
+      refreshPartitioned(s, path, orders.unionByName(junk),
+        version = 0L, PartSpec("o_orderdate", "month"))
+      graft.sources.EpochTableCatalog.register(s, "graft",
+        graft.GraftSession.scratchDir)
+      s.sql(s"DELETE FROM graft.`$tbl` WHERE o_orderpriority = 'JUNK'")
+      path
+    }
+
+  /** MONTH-PARTITIONED table, driver-verified: the snapshot landed as
+    * one directory per month and a month-scoped SQL query answers
+    * hash-identically to the raw table — with the stats component
+    * disproving every other month's files at PLANNING time, so the
+    * scan lists exactly the asked month's partition
+    * (`PartitionedTableSpec` pins files-planned ⊆ the month's dir).
+    * ≙ querying one monthly release without touching the others. */
+  val tablePartitioned = GQuery(
+    "table_partitioned",
+    (s, d) => {
+      val path = savedPartPath(s, d)
+      graft.sources.EpochTableCatalog.register(s, "graft",
+        graft.GraftSession.scratchDir)
+      val tbl = path.stripPrefix(s"${graft.GraftSession.scratchDir}/")
+      s.sql(s"SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        s"o_totalprice, o_orderdate, o_orderpriority " +
+        s"FROM graft.`$tbl` " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00' " +
+        "ORDER BY o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      ORDER BY o_orderkey
+    """))
+
+  /** SQL DELETE on a PARTITIONED table, driver-verified: the planted
+    * junk (confined to one month) removed by one tombstone epoch plus
+    * one PARTITION-SCOPED fold — every other month's directory
+    * carried forward by reference, the fold cost ∝ |touched
+    * partitions| where the unpartitioned `table_sql_delete` pays
+    * ∝ |table|; exactly the real rows survive. */
+  val tablePartDelete = GQuery(
+    "table_part_delete",
+    (s, d) => serve(s, savedPartDelPath(s, d)).orderBy("o_orderkey"),
+    Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders
+      ORDER BY o_orderkey
+    """))
+
   /** Layout for the diff entry: two OVERLAPPING partial versions with
     * planted modifications, so all three change kinds occur — v0 drops
     * the 1-mod-3 ids, v1 drops the 2-mod-5 ids AND rewrites etype for
@@ -2376,7 +2685,8 @@ object EpochTable {
       tableSqlAsofTs, tableSqlVersions, tableSqlInsert, tableSqlDelete,
       tableSqlOverwrite, tableSqlUpdate, tableSqlUpdatePruned,
       tableSqlMerge, tableSqlCtas,
-      tableSqlSnapshot, tableCluster, tableStatsPrune, tableStream,
+      tableSqlSnapshot, tableCluster, tableStatsPrune, tablePartitioned,
+      tablePartDelete, tableStream,
       tableStreamCdc,
       tableSqlChanges, tableChangesBefore, tableSqlMaintenance,
       snapshotTableFetch)

@@ -458,8 +458,18 @@ object EpochTableCatalog {
               override def insert(data: DataFrame, ov: Boolean): Unit =
                 Epoch.occ(s, layoutPath) {
                   if (overwrite || ov)
-                    EpochTable.refresh(s, layoutPath, data,
-                      version = autoVersion())
+                    // a partitioned table's overwrite keeps its
+                    // declared partition spec — the monthly reload
+                    // lands partitioned like the layout it replaces
+                    EpochTable.partSpecOf(s, layoutPath,
+                        EpochTable.current(s, layoutPath)) match {
+                      case Some(spec) =>
+                        EpochTable.refreshPartitioned(s, layoutPath,
+                          data, version = autoVersion(), spec)
+                      case None =>
+                        EpochTable.refresh(s, layoutPath, data,
+                          version = autoVersion())
+                    }
                   else
                     EpochTable.refreshDelta(s, layoutPath, data,
                       version = autoVersion())
@@ -590,8 +600,11 @@ object EpochTableCatalog {
         val doomed = EpochTable.data(s, layoutPath, m).where(cond)
         EpochTable.delete(s, doomed, layoutPath, batchId = m.next)
       }
+      // partition-scoped on a partitioned table (∝ |touched
+      // partitions| — the tombstones carry full rows, so the touched
+      // set derives exactly); whole-table fold otherwise
       Epoch.occ(s, layoutPath) {
-        EpochTable.compact(s, layoutPath)
+        EpochTable.compactForDelete(s, layoutPath)
       }
     }
   }
