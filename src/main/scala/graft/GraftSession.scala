@@ -32,6 +32,11 @@ object GraftSession {
       // in every session the mains build, not just in specs
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // storage-partitioned joins: lets a DSv2 scan's reported
+      // KeyGroupedPartitioning (the bucketed epoch tables) satisfy
+      // join distribution without an exchange; inert for every scan
+      // that reports nothing
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // managed-table root for bucketed sinks (S5): keep it out of the

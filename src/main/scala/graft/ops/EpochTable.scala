@@ -339,6 +339,85 @@ object EpochTable {
       case None => compact(s, path)
     }
 
+  // ------------------------------------------------------------------
+  // BUCKETED tables — storage-partitioned joins (r18 verdict #3): a
+  // bucketed fold hash-places every row by pmod(murmur3(key), n) into
+  // one directory per bucket, records the spec in the manifest, and
+  // the SQL catalog reports KeyGroupedPartitioning(bucket(n, key))
+  // from the scan — two epoch tables bucketed the same way equi-join
+  // with ZERO exchanges (Spark's storage-partitioned join), the
+  // epoch-tier twin of `bucketed_join`'s standalone-sink proof. At
+  // 100 TB this is the filings⋈itemizations star joining without
+  // re-shuffling the fact table, ever (`models/common.py:~200`).
+  // The `_b` dir key is derived; the key column stays in the files.
+  // ------------------------------------------------------------------
+
+  private val Bucket = "bucketspec"
+
+  /** A table's declared hash-bucket layout: `pmod(murmur3(col), n)`
+    * (Spark's own `hash()` — seed 42), one directory per bucket. */
+  final case class BucketSpec(col: String, n: Int)
+
+  private[graft] def bucketSpecOf(s: SparkSession, path: String,
+      m: Epoch.Manifest): Option[BucketSpec] =
+    Epoch.read(s, path, m, Bucket).map { df =>
+      val r = df.head()
+      BucketSpec(r.getAs[String]("col"), r.getAs[Int]("n"))
+    }
+
+  /** Fold the table into a HASH-BUCKETED layout on `key` — the
+    * storage-partitioned-join lever, bought (like clustering) at the
+    * fold where the rows are being rewritten anyway. Accumulated
+    * deltas/merges/tombstones fold in; the bucket spec persists across
+    * later [[compact]]/DELETE folds (they re-bucket). */
+  def compactBucketed(s: SparkSession, path: String, key: String,
+      nBuckets: Int): Unit = {
+    val m = current(s, path)
+    requireConverged(s, path, m, "compactBucketed")
+    require(partSpecOf(s, path, m).isEmpty,
+      s"EpochTable.compactBucketed: $path is date-partitioned — " +
+        "partition+bucket layouts do not compose yet")
+    require(nBuckets > 0, s"EpochTable.compactBucketed: n=$nBuckets")
+    val folded = data(s, path, m)
+    require(folded.columns.contains(key),
+      s"EpochTable.compactBucketed: no column $key at $path")
+    val g = Epoch.genDir(s, path, m.next)
+    folded.withColumn("_b", pmod(hash(col(key)), lit(nBuckets)))
+      .repartition(nBuckets, col("_b"))
+      .write.partitionBy("_b").mode("overwrite").parquet(s"$g/data")
+    val bucketDirs = listBucketDirs(s, s"$g/data")
+    require(bucketDirs.nonEmpty,
+      s"EpochTable.compactBucketed: the fold leaves $path empty")
+    val entries = bucketDirs.map(p => s"g${m.next}/data/$p")
+    val (_, statsWritten) = writeStatsAndCountDirs(s, path,
+      entries.map(e => s"$path/$e"), s"$g/stats")
+    metaRows(s, path, Seq(m))
+      .coalesce(1).write.mode("overwrite").parquet(s"$g/meta")
+    import s.implicits._
+    Seq((key, nBuckets)).toDF("col", "n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$g/bucketspec")
+    Epoch.commit(s, path, Epoch.Manifest(m.next,
+      Map(Data -> entries, Meta -> Seq(s"g${m.next}/meta"),
+        Tomb -> Seq.empty,
+        Bucket -> Seq(s"g${m.next}/bucketspec"),
+        Kind -> Seq(KindCompact)) ++
+        (if (statsWritten) Map(Stats -> Seq(s"g${m.next}/stats"))
+         else Map.empty) ++
+        m.components.get(Fields).map(Fields -> _),
+      m.applied))
+  }
+
+  private def listBucketDirs(s: SparkSession, dataDir: String)
+      : Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dataDir)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_b="))
+      .map(_.getPath.getName)
+      .sortBy(_.stripPrefix("_b=").toInt)
+  }
+
   /** Marker component: `kind → compact` tags a CONTENT-PRESERVING
     * epoch (a fold rearranges bytes, serving before ≡ after), so the
     * change-feed faces can SKIP it instead of failing the stream —
@@ -1012,6 +1091,15 @@ object EpochTable {
           "within-partition clustering is not supported yet")
       return foldPartitions(s, path, spec, touchedOnly = false)
     }
+    // a bucketed table's fold RE-BUCKETS — the layout a join plan
+    // depends on must survive routine maintenance, not silently decay
+    bucketSpecOf(s, path, m).foreach { bs =>
+      require(clusterBy.isEmpty,
+        s"EpochTable.compact: $path is bucketed on ${bs.col} — " +
+          "clustering would destroy the co-partitioned join layout; " +
+          "compactBucketed re-buckets instead")
+      return compactBucketed(s, path, bs.col, bs.n)
+    }
     val g = Epoch.genDir(s, path, m.next)
     // a pending rename/drop converges HERE: the fold rewrites the
     // rows under the display names (the mapped projection — dropped
@@ -1169,14 +1257,21 @@ object EpochTable {
     // the rewrite keeps physical names, so the field mapping AND any
     // pending divergence marker carry forward verbatim — dropping the
     // Evolve marker here would route the catalog back to the stock
-    // face and serve raw physical column names mid-divergence
+    // face and serve raw physical column names mid-divergence. The
+    // DECLARED layout (partition/bucket spec) also persists: the
+    // staged replacement files aren't partition/bucket-shaped, so the
+    // scan-level claims fall back until the next fold restores the
+    // physical layout — but the fold can only restore what the
+    // manifest still declares.
     Epoch.commit(s, path, Epoch.Manifest(m.next,
       Map(Data -> entries, Meta -> Seq(s"g${m.next}/meta"),
         Tomb -> Seq.empty) ++
         (if (statsDirs.nonEmpty) Map(Stats -> statsDirs)
          else Map.empty) ++
         m.components.get(Fields).map(Fields -> _) ++
-        m.components.get(Evolve).map(Evolve -> _),
+        m.components.get(Evolve).map(Evolve -> _) ++
+        m.components.get(Part).map(Part -> _) ++
+        m.components.get(Bucket).map(Bucket -> _),
       m.applied))
   }
 
@@ -2204,6 +2299,62 @@ object EpochTable {
       ORDER BY o_orderkey
     """))
 
+  /** Layouts for the co-partitioned join entry: customer and orders
+    * as epoch tables, each folded into the SAME hash-bucket layout on
+    * the customer key — the scans report the shared bucketing and the
+    * join plans with zero exchanges (`CopartJoinSpec`). */
+  private val copartSaved =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  private[ops] def savedCopartPaths(s: SparkSession, d: String)
+      : (String, String) =
+    graft.BuildOnce.memo(copartSaved, d) {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val cust = s"${graft.GraftSession.scratchDir}/table_bcust_$tag"
+      val ords = s"${graft.GraftSession.scratchDir}/table_bords_$tag"
+      refresh(s, cust, graft.Tables.customer(s, d), version = 0L)
+      compactBucketed(s, cust, "c_custkey", nBuckets = 8)
+      refresh(s, ords, graft.Tables.orders(s, d), version = 0L)
+      compactBucketed(s, ords, "o_custkey", nBuckets = 8)
+      (cust, ords)
+    }
+
+  /** STORAGE-PARTITIONED JOIN between two epoch tables,
+    * driver-verified: both layouts are hash-bucketed on the customer
+    * key with the same width, both scans report
+    * `KeyGroupedPartitioning(bucket(8, key))`, and the equi-join
+    * plans with ZERO shuffle exchanges — at 100 TB the
+    * filings⋈itemizations star joins without ever re-shuffling the
+    * fact table (the epoch-tier twin of `bucketed_join`;
+    * `CopartJoinSpec` pins the exchange-free plan — the answer here
+    * must simply hash-equal the oracle's join). */
+  val tableJoinCopart = GQuery(
+    "table_join_copart",
+    (s, d) => {
+      val (cust, ords) = savedCopartPaths(s, d)
+      graft.sources.EpochTableCatalog.register(s, "graft",
+        graft.GraftSession.scratchDir)
+      val c = cust.stripPrefix(s"${graft.GraftSession.scratchDir}/")
+      val o = ords.stripPrefix(s"${graft.GraftSession.scratchDir}/")
+      s.sql(s"""
+        SELECT c.c_custkey AS custkey, c.c_mktsegment,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(o.o_totalprice), 2) AS DOUBLE) AS total
+        FROM graft.`$c` c JOIN graft.`$o` o
+          ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey, c.c_mktsegment
+        ORDER BY custkey
+      """)
+    },
+    Some("""
+      SELECT c.c_custkey AS custkey, c.c_mktsegment,
+             COUNT(*) AS n_orders,
+             CAST(ROUND(SUM(o.o_totalprice), 2) AS DOUBLE) AS total
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey, c.c_mktsegment
+      ORDER BY custkey
+    """))
+
   /** Layout for the diff entry: two OVERLAPPING partial versions with
     * planted modifications, so all three change kinds occur — v0 drops
     * the 1-mod-3 ids, v1 drops the 2-mod-5 ids AND rewrites etype for
@@ -2686,7 +2837,7 @@ object EpochTable {
       tableSqlOverwrite, tableSqlUpdate, tableSqlUpdatePruned,
       tableSqlMerge, tableSqlCtas,
       tableSqlSnapshot, tableCluster, tableStatsPrune, tablePartitioned,
-      tablePartDelete, tableStream,
+      tablePartDelete, tableJoinCopart, tableStream,
       tableStreamCdc,
       tableSqlChanges, tableChangesBefore, tableSqlMaintenance,
       snapshotTableFetch)

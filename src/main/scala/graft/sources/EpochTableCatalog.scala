@@ -71,7 +71,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Identifier mapping: `graft.ns.tbl` → `<root>/ns/tbl` — one epoch
   * layout per table path, namespaces are directories. */
 final class EpochTableCatalog extends TableCatalog
-    with StagingTableCatalog with ProcedureCatalog {
+    with StagingTableCatalog with ProcedureCatalog
+    with FunctionCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -325,6 +326,25 @@ final class EpochTableCatalog extends TableCatalog
       root)
   }
 
+  // ---- FunctionCatalog: the bucket transform ---------------------
+  // Storage-partitioned joins resolve a scan-reported
+  // `bucket(n, col)` transform through the RELATION's catalog — this
+  // is how Spark learns what our bucket ids mean and that two epoch
+  // tables' bucketings are the same function ([[BucketFunction]]).
+
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.isEmpty)
+      Array(Identifier.of(Array.empty, "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name() == "bucket")
+      EpochTableCatalog.BucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = readOnly()
@@ -428,6 +448,17 @@ object EpochTableCatalog {
       java.util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.MICRO_BATCH_READ,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    /** The bucket layout the scan may REPORT: declared by the
+      * manifest AND physically intact — every data entry must carry a
+      * `_b=` segment (a row-level rewrite's staged files don't, so
+      * the co-partitioning claim falls back to plain scanning until
+      * the next fold re-buckets; a false claim would silently
+      * mis-join). */
+    private lazy val reportableBuckets: Option[EpochTable.BucketSpec] =
+      EpochTable.bucketSpecOf(s, layoutPath, manifest).filter(_ =>
+        manifest.components.getOrElse("data", Seq.empty)
+          .forall(_.contains("_b=")))
+
     override def newScanBuilder(options: CaseInsensitiveStringMap)
         : ScanBuilder = {
       // the folded-snapshot gate: reads of a version carrying
@@ -435,7 +466,7 @@ object EpochTableCatalog {
       EpochTable.scanDirs(s, layoutPath, manifest)
       new EpochTableStream.StreamableScanBuilder(s, layoutPath,
         manifest, delegate.schema, delegate.newScanBuilder(options),
-        options)
+        options, reportableBuckets)
     }
 
     /** The next version id no retained version uses — monotone across
@@ -833,6 +864,47 @@ object EpochTableCatalog {
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         f.delete(new org.apache.hadoop.fs.Path(layoutPath), true)
       }
+  }
+
+  /** The bucket transform both sides of a storage-partitioned join
+    * resolve: `pmod(murmur3hash(col), n)` — EXACTLY the placement
+    * [[graft.ops.EpochTable.compactBucketed]] wrote (Spark's `hash()`,
+    * seed 42), so the reported partition keys are truthful. The
+    * canonical name keys compatibility: two epoch-table scans bucketed
+    * on the same-typed key with the same n are co-partitioned. */
+  private[sources] object BucketFunction
+      extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(n, col) = pmod(murmur3hash(col), n) — the epoch table " +
+        "tier's hash-bucket placement"
+    override def bind(inputType: StructType)
+        : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+      require(inputType.size == 2,
+        s"bucket expects (numBuckets, col), got $inputType")
+      new BoundBucket(inputType.fields(1).dataType)
+    }
+  }
+
+  private final class BoundBucket(keyType: org.apache.spark.sql.types.DataType)
+      extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer] {
+    @transient private lazy val hasher =
+      new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+        Seq(org.apache.spark.sql.catalyst.expressions.BoundReference(
+          1, keyType, nullable = true)), 42)
+    override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+      Array(org.apache.spark.sql.types.IntegerType, keyType)
+    override def resultType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.IntegerType
+    override def isResultNullable: Boolean = false
+    override def name(): String = "bucket"
+    override def canonicalName(): String =
+      s"graft.bucket(${keyType.catalogString})"
+    override def produceResult(input: InternalRow): Integer = {
+      val n = input.getInt(0)
+      val h = hasher.eval(input).asInstanceOf[Int]
+      ((h % n) + n) % n
+    }
   }
 
   /** The rewrite-group metadata column name ([[RewriteGroupColumn]]). */

@@ -177,7 +177,8 @@ object EpochTableStream {
   private[sources] final class StreamableScanBuilder(s: SparkSession,
       path: String, manifest: Epoch.Manifest,
       tableSchema: StructType, delegate: ParquetScanBuilder,
-      options: CaseInsensitiveStringMap)
+      options: CaseInsensitiveStringMap,
+      buckets: Option[EpochTable.BucketSpec] = None)
       extends ScanBuilder with SupportsPushDownCatalystFilters
       with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -214,9 +215,14 @@ object EpochTableStream {
       if (needsGroup)
         new EpochTableCatalog.RewriteScan(d.build(),
           withGroup = true)
-      else
-        new StreamableScan(d.build(),
-          new TableChangesStream(s, path, options, required, pushedExprs))
+      else {
+        val stream =
+          new TableChangesStream(s, path, options, required, pushedExprs)
+        buckets match {
+          case Some(bs) => new BucketedScan(d.build(), stream, bs)
+          case None => new StreamableScan(d.build(), stream)
+        }
+      }
     }
 
     /** PLANNING-TIME file skipping off the manifest's stats component
@@ -251,6 +257,94 @@ object EpochTableStream {
           b
       }
     }
+  }
+
+  /** The bucketed table's scan: the delegate parquet scan REGROUPED
+    * one partition per bucket, each carrying its bucket id as the
+    * partition key, with the layout reported as
+    * `KeyGroupedPartitioning(bucket(n, key))` — what Spark's
+    * storage-partitioned join consumes to plan epoch⋈epoch equi-joins
+    * with ZERO exchanges (both sides' bucket i hold exactly the keys
+    * hashing to i, by the write placement [[EpochTableCatalog.BucketFunction]]
+    * mirrors). Columnar reads and the micro-batch face are untouched;
+    * stats pruning composes (a pruned bucket just drops out of the
+    * reported partition values — Spark aligns the sides). */
+  private[sources] final class BucketedScan(delegate: Scan,
+      stream: TableChangesStream, spec: EpochTable.BucketSpec)
+      extends Scan with Batch
+      with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    import org.apache.spark.sql.execution.datasources.FilePartition
+
+    override def readSchema(): StructType = delegate.readSchema()
+    override def description(): String =
+      s"epoch-bucketed(${spec.col}/${spec.n}, ${delegate.description()})"
+    override def toBatch: Batch = this
+    override def toMicroBatchStream(
+        checkpointLocation: String): MicroBatchStream = stream
+    override def columnarSupportMode(): Scan.ColumnarSupportMode =
+      delegate.columnarSupportMode()
+    override def supportedCustomMetrics()
+        : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+      delegate.supportedCustomMetrics()
+
+    private lazy val grouped: Array[BucketKeyedPartition] = {
+      val files = delegate.toBatch.planInputPartitions().flatMap {
+        case fp: FilePartition => fp.files
+        case other => throw new IllegalStateException(
+          s"BucketedScan: expected FilePartition, got " +
+            other.getClass.getName)
+      }
+      def bucketOf(path: String): Int =
+        path.split("/").find(_.startsWith("_b="))
+          .getOrElse(throw new IllegalStateException(
+            s"BucketedScan: $path carries no _b= segment — the " +
+              "catalog should have fallen back to a plain scan"))
+          .stripPrefix("_b=").toInt
+      files.groupBy(f => bucketOf(f.filePath.toString)).toSeq
+        .sortBy(_._1).zipWithIndex
+        .map { case ((b, fs), i) =>
+          BucketKeyedPartition(b, FilePartition(i, fs)) }
+        .toArray
+    }
+
+    override def outputPartitioning()
+        : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+      new org.apache.spark.sql.connector.read.partitioning
+        .KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .bucket(spec.n, spec.col)), grouped.length)
+
+    override def planInputPartitions(): Array[InputPartition] =
+      grouped.toArray[InputPartition]
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      BucketUnwrapFactory(delegate.toBatch.createReaderFactory())
+  }
+
+  /** One bucket's files + its bucket id as the partition KEY — what
+    * key-grouped join planning co-locates on. */
+  private[sources] final case class BucketKeyedPartition(bucket: Int,
+      inner: org.apache.spark.sql.execution.datasources.FilePartition)
+      extends InputPartition
+      with org.apache.spark.sql.connector.read.HasPartitionKey {
+    override def partitionKey(): InternalRow = InternalRow(bucket)
+    override def preferredLocations(): Array[String] =
+      inner.preferredLocations()
+  }
+
+  /** Routes bucket-keyed partitions to the delegate parquet factory —
+    * vectorized reads preserved. */
+  private final case class BucketUnwrapFactory(
+      inner: PartitionReaderFactory) extends PartitionReaderFactory {
+    private def unwrap(p: InputPartition): InputPartition =
+      p.asInstanceOf[BucketKeyedPartition].inner
+    override def supportColumnarReads(p: InputPartition): Boolean =
+      inner.supportColumnarReads(unwrap(p))
+    override def createReader(p: InputPartition)
+        : PartitionReader[InternalRow] = inner.createReader(unwrap(p))
+    override def createColumnarReader(p: InputPartition)
+        : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+      inner.createColumnarReader(unwrap(p))
   }
 
   /** The delegate parquet scan, plus the micro-batch face. */
