@@ -918,6 +918,82 @@ object EpochTable {
     loaded
   }
 
+  /** Commit one streaming micro-batch's STAGED parquet files as one
+    * delta version — the `writeStream.toTable` sink's epoch commit
+    * ([[graft.sources.EpochTableSink]]). The staged directory MOVES
+    * into the generation (the batch's rows are written exactly once);
+    * the meta row accumulates like [[refreshDelta]]'s with a
+    * self-assigned version id. Exactly-once rides `key`
+    * (`stw_<queryId>_<epochId>`): a replayed epoch's commit sweeps
+    * its re-staged files and applies nothing; an empty epoch commits
+    * nothing. Runs under [[Epoch.occ]] — concurrent SQL/pipeline
+    * writers rebase around it like any other commit. */
+  private[graft] def commitStreamDelta(s: SparkSession, path: String,
+      stagedDir: String, key: String): Unit = Epoch.occ(s, path) {
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staged = new org.apache.hadoop.fs.Path(stagedDir)
+    val m = current(s, path)
+    val replayed = m.has(key)
+    if (!replayed) {
+      requireConverged(s, path, m, "commitStreamDelta")
+      requireUnpartitioned(s, path, m, "commitStreamDelta")
+    }
+    // an empty micro-batch still produces a zero-row parquet file
+    // (Spark's V2 write runs one empty task) — gate on ROWS, not
+    // files, so idle epochs never bloat the manifest chain
+    val hasRows = !replayed && f.exists(staged) &&
+      f.listStatus(staged).exists(st =>
+        st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith(".")) &&
+      !s.read.parquet(staged.toString).isEmpty
+    if (!hasRows) { f.delete(staged, true); () }
+    else commitStreamRows(s, path, f, staged, key, m)
+  }
+
+  private def commitStreamRows(s: SparkSession, path: String,
+      f: org.apache.hadoop.fs.FileSystem,
+      staged: org.apache.hadoop.fs.Path, key: String,
+      m: Epoch.Manifest): Unit = {
+    val stagedDir = staged.toString
+    // a multi-dir scan silently picks one file's schema — a stream
+    // whose table was full-refreshed to a new shape mid-flight must
+    // die loudly, not corrupt the chain
+    require(s.read.parquet(stagedDir).columns.sorted.sameElements(
+        s.read.parquet(m.dirs(path, Data): _*).columns.sorted),
+      s"EpochTable.commitStreamDelta: staged schema does not match " +
+        s"the served table at $path — the table evolved mid-stream; " +
+        "restart the stream")
+    val prev = metaRows(s, path, Seq(m)).head()
+    val version = math.max(m.next, versionsMeta(s, path)
+      .agg(max("version")).head().getLong(0) + 1L)
+    val g = Epoch.genDir(s, path, m.next)
+    f.mkdirs(new org.apache.hadoop.fs.Path(g))
+    require(f.rename(staged, new org.apache.hadoop.fs.Path(s"$g/delta")),
+      s"EpochTable.commitStreamDelta: move $stagedDir -> $g/delta failed")
+    val (added, statsWritten) =
+      writeStatsAndCountDirs(s, path, Seq(s"$g/delta"), s"$g/stats")
+    val loaded = prev.getAs[Long]("load_records") + added
+    val download = prev.getAs[Long]("download_records") + added
+    val errors = prev.getAs[Long]("error_records")
+    import s.implicits._
+    withReleaseTs(Seq((version, download, download - errors, loaded,
+      errors))
+      .toDF("version", "download_records", "clean_records",
+        "load_records", "error_records"), None)
+      .coalesce(1).write.mode("overwrite").parquet(s"$g/meta")
+    val withStats =
+      if (statsWritten)
+        (m.components - Kind).updated(Stats,
+          m.components.getOrElse(Stats, Seq.empty) :+ s"g${m.next}/stats")
+      else m.components - Kind
+    Epoch.commit(s, path, Epoch.Manifest(m.next,
+      withStats
+        .updated(Data, m.components(Data) :+ s"g${m.next}/delta")
+        .updated(Meta, Seq(s"g${m.next}/meta")),
+      m.applied :+ s"ver_$version" :+ key))
+  }
+
   /** Commit a keyed UPSERT batch as one MERGE version — the reference's
     * amendment cycle (`amend_latest`'s latest-filing-wins fold)
     * expressed incrementally: rows whose `keys` already exist REPLACE
@@ -2473,6 +2549,52 @@ object EpochTable {
       ORDER BY event_id
     """))
 
+  /** Layout + one bounded run for the STREAMING-WRITE entry: the
+    * source table grows two delta versions; a
+    * `readStream.table(src).writeStream.toTable(tgt)` pipe drains
+    * them into the target (seeded with the snapshot), each micro-batch
+    * one ledger-keyed delta commit. */
+  private val streamWriteSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedStreamWritePath(s: SparkSession,
+      d: String): String =
+    graft.BuildOnce.memo(streamWriteSaved, d) {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val src = s"${graft.GraftSession.scratchDir}/table_stw_src_$tag"
+      val tgt = s"${graft.GraftSession.scratchDir}/table_stw_tgt_$tag"
+      val typed = CoreQueries.loadTyped.fn(s, d)
+      refresh(s, src, typed.where(col("event_id") % 2 === 0),
+        version = 0L)
+      refreshDelta(s, src, typed.where(col("event_id") % 4 === 1),
+        version = 1L)
+      refreshDelta(s, src, typed.where(col("event_id") % 4 === 3),
+        version = 2L)
+      refresh(s, tgt, typed.where(col("event_id") % 2 === 0),
+        version = 0L)
+      graft.sources.EpochTableCatalog.register(s, "graft",
+        graft.GraftSession.scratchDir)
+      val q = s.readStream.option("startingVersion", "1")
+        .table(s"graft.`table_stw_src_$tag`")
+        .writeStream
+        .option("checkpointLocation", s"${tgt}_ckpt")
+        .toTable(s"graft.`table_stw_tgt_$tag`")
+      try q.processAllAvailable() finally q.stop()
+      tgt
+    }
+
+  /** STREAMING WRITE into the catalog (`writeStream.toTable`),
+    * driver-verified: the source's two delta versions drained through
+    * the DSv2 streaming sink as ledger-keyed delta commits
+    * (exactly-once on restart — `StreamWriteSpec`), and the target's
+    * served table must hash-equal the plain `load_typed` projection —
+    * the pipe, its staging, and its per-batch commits all invisible
+    * in the answer. */
+  val tableStreamWrite = GQuery(
+    "table_stream_write",
+    (s, d) => serve(s, savedStreamWritePath(s, d)).orderBy("event_id"),
+    CoreQueries.loadTyped.oracle)
+
   /** Layout + one bounded run for the TYPED change-feed entry: a
     * partial snapshot with planted stale rows, healed by ONE merge
     * version, grown by one delta version, then a takedown — the
@@ -2837,7 +2959,7 @@ object EpochTable {
       tableSqlOverwrite, tableSqlUpdate, tableSqlUpdatePruned,
       tableSqlMerge, tableSqlCtas,
       tableSqlSnapshot, tableCluster, tableStatsPrune, tablePartitioned,
-      tablePartDelete, tableJoinCopart, tableStream,
+      tablePartDelete, tableJoinCopart, tableStream, tableStreamWrite,
       tableStreamCdc,
       tableSqlChanges, tableChangesBefore, tableSqlMaintenance,
       snapshotTableFetch)

@@ -447,7 +447,8 @@ object EpochTableCatalog {
     override def capabilities(): java.util.Set[TableCapability] =
       java.util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.MICRO_BATCH_READ,
-        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.STREAMING_WRITE)
     /** The bucket layout the scan may REPORT: declared by the
       * manifest AND physically intact — every data entry must carry a
       * `_b=` segment (a row-level rewrite's staged files don't, so
@@ -484,6 +485,20 @@ object EpochTableCatalog {
         private var overwrite = false
         override def truncate(): WriteBuilder = { overwrite = true; this }
         override def build(): Write = new V1Write {
+          /** `writeStream.toTable` — each micro-batch commits one
+            * delta version, exactly-once off the ledger
+            * ([[EpochTableSink]]); append output mode only (the
+            * change feed and snapshot history have no meaning under
+            * per-batch truncation). */
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+            if (overwrite) throw new UnsupportedOperationException(
+              "EpochTableCatalog: streaming writes are APPEND-only — " +
+                "complete/update output modes would rewrite history " +
+                "every batch; route full reloads through INSERT " +
+                "OVERWRITE")
+            new EpochTableSink.EpochStreamingWrite(s, layoutPath, info)
+          }
           override def toInsertableRelation: InsertableRelation =
             new InsertableRelation {
               override def insert(data: DataFrame, ov: Boolean): Unit =
