@@ -478,13 +478,67 @@ object EpochTable {
       name: String, dtype: String, pos: Int,
       dropped: Boolean = false)
 
+  // committed generations are immutable, so a fields component read
+  // once is right forever — data() consults the mapping on every read
+  // and must not pay a driver-side parquet open each time
+  private val fieldsCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Seq[String]), Option[Seq[FieldEntry]]]
+
   private def fieldsOf(s: SparkSession, path: String,
       m: Epoch.Manifest): Option[Seq[FieldEntry]] =
-    Epoch.read(s, path, m, Fields).map(_.collect().map(r =>
-      FieldEntry(r.getAs[Long]("field_id"), r.getAs[String]("phys"),
-        r.getAs[String]("name"), r.getAs[String]("dtype"),
-        r.getAs[Int]("pos"), r.getAs[Boolean]("dropped")))
-      .sortBy(_.pos).toSeq)
+    fieldsCache.getOrElseUpdate(
+      (path, m.components.getOrElse(Fields, Seq.empty)),
+      Epoch.read(s, path, m, Fields).map(_.collect().map(r =>
+        FieldEntry(r.getAs[Long]("field_id"), r.getAs[String]("phys"),
+          r.getAs[String]("name"), r.getAs[String]("dtype"),
+          r.getAs[Int]("pos"), r.getAs[Boolean]("dropped")))
+        .sortBy(_.pos).toSeq))
+
+  /** The PHYSICAL read schema a manifest's fields declare (live
+    * entries, physical names, declared types, display order) — when
+    * present, every data read pins it, so files predating an added
+    * column serve typed NULLs for it (Spark's by-name parquet
+    * resolution) and multi-generation scans can never silently pick
+    * one file's schema. None on legacy manifests (inferred read, the
+    * old behavior). */
+  private[graft] def physReadSchema(s: SparkSession, path: String,
+      m: Epoch.Manifest): Option[org.apache.spark.sql.types.StructType] =
+    fieldsOf(s, path, m).map(fs =>
+      org.apache.spark.sql.types.StructType(
+        fs.filterNot(_.dropped).sortBy(_.pos).map(f =>
+          org.apache.spark.sql.types.StructField(f.phys,
+            org.apache.spark.sql.types.DataType.fromDDL(f.dtype)))))
+
+  /** ADD a column — ONE metadata commit, zero data movement: a fresh
+    * field id joins the mapping at the end of the display order, and
+    * every file written before it serves typed NULLs through the
+    * declared-schema read ([[physReadSchema]]) — no divergence, no
+    * fold needed (phys = name from birth). ≙ a CAL-ACCESS format
+    * revision growing a field, without the reference's new-database
+    * realignment. The SQL face is `ALTER TABLE … ADD COLUMN` and the
+    * automatic half of `MERGE … WITH SCHEMA EVOLUTION`. */
+  def addColumn(s: SparkSession, path: String, name: String,
+      dtype: org.apache.spark.sql.types.DataType): Unit =
+    Epoch.occ(s, path) {
+      val m = current(s, path)
+      val fs = fieldsOrSynth(s, path, m)
+      require(!fs.exists(f => !f.dropped && f.name == name),
+        s"EpochTable.addColumn: $name already exists at $path")
+      val nextId =
+        fs.map(_.field_id).filter(_ >= 0L).maxOption.getOrElse(-1L) + 1L
+      val live = fs.filterNot(_.dropped).sortBy(_.pos)
+      val entry = FieldEntry(nextId, name, name,
+        dtype.catalogString, live.size)
+      val tombs = fs.filter(_.dropped).zipWithIndex.map {
+        case (f, i) => f.copy(pos = live.size + 1 + i)
+      }
+      val g = Epoch.genDir(s, path, m.next)
+      writeFields(s, (live :+ entry) ++ tombs, s"$g/fields")
+      Epoch.commit(s, path, Epoch.Manifest(m.next,
+        (m.components - Kind)
+          .updated(Fields, Seq(s"g${m.next}/fields")),
+        m.applied))
+    }
 
   /** A legacy manifest (no `fields` component) gets a synthesized
     * name-keyed mapping: the id is a stable negative hash of the
@@ -697,16 +751,25 @@ object EpochTable {
     * would let any doomed row with a NULL survive its own tombstone
     * (and a `WHERE c IS NULL` delete would remove nothing). */
   def data(s: SparkSession, path: String, m: Epoch.Manifest): DataFrame = {
-    val raw = Epoch.read(s, path, m, Data).getOrElse(
-      throw new IllegalStateException(
-        s"EpochTable: epoch ${m.epoch} at $path has no data component"))
+    val dataDirs = m.dirs(path, Data)
+    if (dataDirs.isEmpty) throw new IllegalStateException(
+      s"EpochTable: epoch ${m.epoch} at $path has no data component")
+    // the declared physical schema pins every read: files written
+    // before an added column serve typed NULLs for it, and a
+    // multi-generation scan can never silently pick one file's shape
+    val declared = physReadSchema(s, path, m)
+    def readDirs(dirs: Seq[String]): DataFrame = declared match {
+      case Some(sc) => s.read.schema(sc).parquet(dirs: _*)
+      case None => s.read.parquet(dirs: _*)
+    }
+    val raw = readDirs(dataDirs)
     val base = m.dirs(path, Merge) match {
       case Seq() => raw
       case mergeDirs =>
         val keys = mergeKeyCols(s, path, m)
         val ups = mergeDirs.zipWithIndex
           .map { case (dir, i) =>
-            s.read.parquet(dir).withColumn("__gen", lit(i)) }
+            readDirs(Seq(dir)).withColumn("__gen", lit(i)) }
           .reduce(_ unionByName _)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keys.map(col): _*).orderBy(col("__gen").desc)
@@ -1015,7 +1078,8 @@ object EpochTable {
       version: Long, keys: Seq[String], downloadDelta: Option[Long] = None,
       errorDelta: Long = 0L,
       releaseTs: Option[java.sql.Timestamp] = None,
-      fullRecount: Boolean = false): Long = {
+      fullRecount: Boolean = false,
+      evolveSchema: Boolean = false): Long = {
     val key = s"ver_$version"
     val m = current(s, path)
     if (m.has(key))
@@ -1025,10 +1089,47 @@ object EpochTable {
     val served = data(s, path, m)
     require(keys.nonEmpty && keys.forall(upserts.columns.contains),
       s"EpochTable.merge: keys $keys not all present in the upsert batch")
-    require(upserts.columns.sorted.sameElements(served.columns.sorted),
-      s"EpochTable.merge: upsert schema ${upserts.columns.sorted.toSeq} " +
-        s"does not match the served table ${served.columns.sorted.toSeq}" +
-        " — evolve the schema with a full refresh first")
+    // ADDITIVE schema evolution in the SAME commit (`evolveSchema`):
+    // a batch carrying NEW columns evolves the field-id mapping with
+    // the merge generation — old files serve typed NULLs for the new
+    // ids through the declared-schema read; a retyped column still
+    // refuses (evolveFields), and a batch MISSING served columns
+    // always refuses (an upsert replaces whole rows)
+    val extraCols = upserts.schema.fields
+      .filterNot(f => served.columns.contains(f.name)).toSeq
+    if (evolveSchema && extraCols.nonEmpty)
+      require(served.columns.forall(upserts.columns.contains),
+        s"EpochTable.merge: evolveSchema batch must carry every " +
+          s"served column — missing " +
+          served.columns.filterNot(upserts.columns.contains).toSeq)
+    else
+      require(upserts.columns.sorted.sameElements(served.columns.sorted),
+        s"EpochTable.merge: upsert schema ${upserts.columns.sorted.toSeq} " +
+          s"does not match the served table ${served.columns.sorted.toSeq}" +
+          " — evolve the schema with a full refresh (or " +
+          "evolveSchema=true for additive columns)")
+    // shared columns must keep their exact type — name-only equality
+    // would let a retyped batch silently mix physical schemas in the
+    // merge generations (the declared-schema read would then fail or
+    // corrupt); this refusal predates evolveSchema and gates it too
+    locally {
+      val servedTypes =
+        served.schema.fields.map(f => f.name -> f.dataType).toMap
+      upserts.schema.fields
+        .filter(f => servedTypes.contains(f.name)).foreach { f =>
+          require(servedTypes(f.name) == f.dataType,
+            s"EpochTable.merge: column ${f.name} changes type " +
+              s"${servedTypes(f.name).catalogString} → " +
+              s"${f.dataType.catalogString} — an in-place retype " +
+              "would corrupt the served face; drop the column or " +
+              "route the change through refresh")
+        }
+    }
+    val evolvedFields =
+      if (extraCols.isEmpty) None
+      else Some(evolveFields(Some(fieldsOrSynth(s, path, m)),
+        org.apache.spark.sql.types.StructType(
+          served.schema.fields ++ extraCols)))
     if (m.components.getOrElse(Merge, Seq.empty).nonEmpty)
       require(mergeKeyCols(s, path, m) == keys,
         s"EpochTable.merge: keys $keys differ from the accumulated " +
@@ -1050,8 +1151,14 @@ object EpochTable {
     import s.implicits._
     Seq(keys).toDF("keys")
       .coalesce(1).write.mode("overwrite").parquet(s"$g/mergekeys")
+    evolvedFields.foreach(fs => writeFields(s, fs, s"$g/fields"))
+    val withFields = evolvedFields match {
+      case Some(_) => (m.components - Kind)
+        .updated(Fields, Seq(s"g${m.next}/fields"))
+      case None => m.components - Kind
+    }
     val next = Epoch.Manifest(m.next,
-      (m.components - Kind)
+      withFields
         .updated(Merge,
           m.components.getOrElse(Merge, Seq.empty) :+ s"g${m.next}/merge")
         .updated(MergeKeys, Seq(s"g${m.next}/mergekeys")),
@@ -1439,15 +1546,27 @@ object EpochTable {
     * Planning is manifest-diff; the rows are bare parquet reads of
     * exactly the added directories plus one bounded null-safe
     * tombstone diff per takedown epoch. */
+  /** Project `df` to exactly `cols` — columns a piece predates (an
+    * added field) come back as typed NULLs, the change-feed twin of
+    * the declared-schema read. */
+  private def alignTo(df: DataFrame,
+      cols: org.apache.spark.sql.types.StructType): DataFrame = {
+    val have = df.columns.toSet
+    df.select(cols.fields.toSeq.map(f =>
+      if (have(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)): _*)
+  }
+
   def changes(s: SparkSession, path: String, fromEpoch: Long,
       toEpoch: Long): DataFrame = {
     val head = Epoch.resolveAsOf(s, path, toEpoch).getOrElse(
       throw new IllegalStateException(
         s"EpochTable.changes: epoch $toEpoch not committed at $path"))
-    val cols = s.read.parquet(scanDataDirs(path, head): _*).schema
+    val cols = physReadSchema(s, path, head).getOrElse(
+      s.read.parquet(scanDataDirs(path, head): _*).schema)
     changePieces(s, path, fromEpoch, toEpoch, cols)
       .map { case (op, n, df) =>
-        df.select(cols.fieldNames.map(col).toSeq: _*)
+        alignTo(df, cols)
           .withColumn("_op", lit(op)).withColumn("_epoch", lit(n))
       }
       .reduceOption(_ unionByName _)
@@ -1477,13 +1596,14 @@ object EpochTable {
       throw new IllegalStateException(
         s"EpochTable.changesWithBefore: epoch $toEpoch not committed " +
           s"at $path"))
-    val cols = s.read.parquet(scanDataDirs(path, head): _*).schema
+    val cols = physReadSchema(s, path, head).getOrElse(
+      s.read.parquet(scanDataDirs(path, head): _*).schema)
     require(keys.forall(cols.fieldNames.contains),
       s"EpochTable.changesWithBefore: keys $keys not in the table")
     val valCols = cols.fields.filterNot(f => keys.contains(f.name))
     val pieces = changePieces(s, path, fromEpoch, toEpoch, cols)
       .map { case (op, n, df) =>
-        val after = df.select(cols.fieldNames.map(col).toSeq: _*)
+        val after = alignTo(df, cols)
           .withColumn("_op", lit(op)).withColumn("_epoch", lit(n))
         if (op == "insert")
           after.select(after.columns.map(col) ++
@@ -1494,11 +1614,12 @@ object EpochTable {
           // before = the previous version's row for the key: restrict
           // the pinned (n-1) face by the bounded change keys first,
           // then broadcast the restriction back — both joins keyed
-          val prevFace = data(s, path, Epoch.resolveAsOf(s, path, n - 1)
-            .getOrElse(throw new IllegalStateException(
-              s"EpochTable.changesWithBefore: epoch ${n - 1} at $path " +
-                "is pruned — before-images reach back exactly the " +
-                "retention horizon")))
+          val prevFace = alignTo(
+            data(s, path, Epoch.resolveAsOf(s, path, n - 1)
+              .getOrElse(throw new IllegalStateException(
+                s"EpochTable.changesWithBefore: epoch ${n - 1} at " +
+                  s"$path is pruned — before-images reach back " +
+                  "exactly the retention horizon"))), cols)
           val restricted = prevFace
             .join(broadcast(after.select(keys.map(col): _*).distinct()),
               keys, "left_semi")
@@ -2126,6 +2247,63 @@ object EpochTable {
              CAST(CAST(value AS DECIMAL(14,2)) AS DOUBLE) AS value_dec,
              NULLIF(TRIM(event_type), '') AS etype,
              CAST(NULL AS BIGINT) AS uid
+      FROM events
+      ORDER BY event_id
+    """))
+
+  /** Layout for the merge-evolution entry: version 0 committed
+    * WITHOUT the `uid` column; one SQL `MERGE … WITH SCHEMA
+    * EVOLUTION` carries it in — Spark routes the additive change
+    * through `alterTable(AddColumn)` (one metadata commit) and the
+    * copy-on-write merge updates the matched rows with it. */
+  private val mergeEvolveSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedMergeEvolveTag(s: SparkSession,
+      d: String): String =
+    graft.BuildOnce.memo(mergeEvolveSaved, d) {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val tbl = s"table_mev_$tag"
+      val typed = CoreQueries.loadTyped.fn(s, d)
+      refresh(s, s"${graft.GraftSession.scratchDir}/$tbl",
+        typed.drop("uid"), version = 0L)
+      graft.sources.EpochTableCatalog.register(s, "graft",
+        graft.GraftSession.scratchDir)
+      typed.where(col("event_id") % 3 === 0)
+        .createOrReplaceTempView(s"mev_src_$tag")
+      s.sql(s"""
+        MERGE WITH SCHEMA EVOLUTION INTO graft.`$tbl` t
+        USING mev_src_$tag s
+        ON t.event_id = s.event_id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+      """)
+      tag
+    }
+
+  /** ADDITIVE SCHEMA EVOLUTION ON MERGE, driver-verified: the source
+    * batch carries a column the table never had — `MERGE … WITH
+    * SCHEMA EVOLUTION` evolves the field-id mapping (one metadata
+    * commit through ALTER) and the copy-on-write merge lands the
+    * values; rows the batch never touched serve typed NULLs for the
+    * new column through the declared-schema read (their files
+    * physically predate it — no rewrite, no fold). ≙ the monthly
+    * CAL-ACCESS export growing a field (the widenings r18 did by
+    * hand for CVR2/F501502), as ONE statement. */
+  val tableMergeEvolve = GQuery(
+    "table_merge_evolve",
+    (s, d) => {
+      val tag = savedMergeEvolveTag(s, d)
+      s.sql(s"SELECT event_id, event_date, value_dec, etype, uid " +
+        s"FROM graft.`table_mev_$tag` ORDER BY event_id")
+    },
+    Some("""
+      SELECT event_id,
+             CAST(ts AS DATE) AS event_date,
+             CAST(CAST(value AS DECIMAL(14,2)) AS DOUBLE) AS value_dec,
+             NULLIF(TRIM(event_type), '') AS etype,
+             CASE WHEN event_id % 3 = 0 THEN CAST(user_id AS BIGINT)
+                  ELSE NULL END AS uid
       FROM events
       ORDER BY event_id
     """))
@@ -2954,6 +3132,7 @@ object EpochTable {
   def all: Seq[GQuery] =
     Seq(tableEpoch, tableAsof, tableVersions, tableDiff, tableDelta,
       tableUpsert, tableSchemaEvolve, tableSchemaRename, tableSqlRename,
+      tableMergeEvolve,
       tableSql, tableSqlAsof,
       tableSqlAsofTs, tableSqlVersions, tableSqlInsert, tableSqlDelete,
       tableSqlOverwrite, tableSqlUpdate, tableSqlUpdatePruned,

@@ -244,10 +244,14 @@ final class EpochTableCatalog extends TableCatalog
     if (EpochTable.isDiverged(m))
       new EpochTableCatalog.MappedEpochTable(ident.toString, s, p, m)
     else
+      // the DECLARED schema (when the manifest records field ids)
+      // pins the read: files predating an added column serve typed
+      // NULLs, and schema inference is skipped on the hot path
       new EpochTableCatalog.PinnedEpochTable(ident.toString, s, p, m,
         ParquetTable(ident.toString, s,
           new CaseInsensitiveStringMap(java.util.Collections.emptyMap()),
-          EpochTable.scanDataDirs(p, m), None,
+          EpochTable.scanDataDirs(p, m),
+          EpochTable.physReadSchema(s, p, m),
           classOf[ParquetFileFormat]))
 
   private def readOnly(): Nothing =
@@ -378,6 +382,16 @@ final class EpochTableCatalog extends TableCatalog
         require(dc.fieldNames().length == 1,
           "EpochTableCatalog: nested column evolution is not supported")
         EpochTable.dropColumn(s, p, dc.fieldNames()(0))
+      case ac: TableChange.AddColumn =>
+        // ADD COLUMN / the automatic half of MERGE … WITH SCHEMA
+        // EVOLUTION: one metadata commit, files predating the column
+        // serve typed NULLs (declared-schema reads)
+        require(ac.fieldNames().length == 1,
+          "EpochTableCatalog: nested column evolution is not supported")
+        require(ac.position() == null,
+          "EpochTableCatalog: positioned ADD COLUMN is not supported " +
+            "— new columns append to the display order")
+        EpochTable.addColumn(s, p, ac.fieldNames()(0), ac.dataType())
       case _ => readOnly()
     }
     loadTable(ident)
@@ -448,7 +462,11 @@ object EpochTableCatalog {
       java.util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.MICRO_BATCH_READ,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-        TableCapability.STREAMING_WRITE)
+        TableCapability.STREAMING_WRITE,
+        // MERGE … WITH SCHEMA EVOLUTION: Spark computes the additive
+        // TableChanges and routes them through alterTable(AddColumn)
+        // — one metadata commit — before planning the merge
+        TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
     /** The bucket layout the scan may REPORT: declared by the
       * manifest AND physically intact — every data entry must carry a
       * `_b=` segment (a row-level rewrite's staged files don't, so
@@ -572,6 +590,7 @@ object EpochTableCatalog {
             scanned = EpochTable.current(s, layoutPath)
             new EpochTableCatalog.RewriteScanBuilder(s,
               EpochTable.scanDirs(s, layoutPath, scanned),
+              EpochTable.physReadSchema(s, layoutPath, scanned),
               sc => rewriteScan = sc)
           }
 
@@ -974,12 +993,14 @@ object EpochTableCatalog {
     * hands the built scan back to the [[RowLevelOperation]] so the
     * commit can read the post-filter scanned-file set. */
   private[sources] final class RewriteScanBuilder(s: SparkSession,
-      dirs: Seq[String], onBuild: RewriteScan => Unit = _ => ())
+      dirs: Seq[String],
+      declaredSchema: Option[StructType] = None,
+      onBuild: RewriteScan => Unit = _ => ())
       extends ScanBuilder
       with SupportsPushDownRequiredColumns {
     private val delegate = ParquetTable("epoch-rewrite", s,
       new CaseInsensitiveStringMap(java.util.Collections.emptyMap()),
-      dirs, None, classOf[ParquetFileFormat])
+      dirs, declaredSchema, classOf[ParquetFileFormat])
       .newScanBuilder(new CaseInsensitiveStringMap(
         java.util.Collections.emptyMap()))
     private var needsGroup = false

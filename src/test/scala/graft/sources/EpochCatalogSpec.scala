@@ -571,9 +571,10 @@ class EpochCatalogSpec extends SparkTestBase {
     assert(EpochTable.data(spark, path,
       Epoch.resolveAsOf(spark, path, 0L).get).columns.toSeq ===
       Seq("event_id", "etype", "uid"))
-    // other ALTER shapes still refuse
+    // ADD COLUMN is supported since r19 (additive evolution,
+    // MergeEvolveSpec); genuinely unsupported shapes still refuse
     intercept[Exception] {
-      spark.sql("ALTER TABLE gcat.altt ADD COLUMN extra INT")
+      spark.sql("ALTER TABLE gcat.altt ALTER COLUMN label TYPE INT")
     }
   }
 
