@@ -263,33 +263,44 @@ object EpochTable {
   }
 
   /** Fold a PARTITIONED table: the partitions holding tombstoned rows
-    * (plus any non-partition-shaped rewrite residue) rewrite into
-    * fresh per-partition dirs with the doomed rows anti-joined out;
-    * every UNTOUCHED partition dir carries forward BY REFERENCE — the
-    * bounded fold that makes DELETE ∝ |touched partitions| instead of
-    * ∝ |table|. `touchedOnly=false` folds everything (the CALL/sweep
-    * compact). Tombstones lacking the partition column fold every
-    * partition (conservative — correctness never depends on deriving
-    * the touched set). Content-preserving: serving before ≡ after. */
+    * — plus, in maintenance mode (`touchedOnly=false`), the
+    * FRAGMENTED partitions whose value accumulated multiple delta
+    * dirs — rewrite into fresh per-partition dirs with the doomed
+    * rows anti-joined out; every other partition dir carries forward
+    * BY REFERENCE. DELETE therefore costs ∝ |touched partitions| and
+    * routine compaction costs ∝ |fragmented partitions| — an
+    * unfragmented, untombed month NEVER rewrites, which is what makes
+    * a years-deep partitioned table maintainable at 100 TB.
+    * Tombstones lacking the partition column fold every partition
+    * (conservative — correctness never depends on deriving the
+    * touched set). Content-preserving: serving before ≡ after. */
   private def foldPartitions(s: SparkSession, path: String,
       spec: PartSpec, touchedOnly: Boolean): Unit = {
     val m = current(s, path)
     val dataEntries = m.components.getOrElse(Data, Seq.empty)
     val tomb = Epoch.read(s, path, m, Tomb)
-    val touchedVals: Option[Set[String]] =
-      if (!touchedOnly) None
-      else tomb match {
-        case None => Some(Set.empty)
-        case Some(t) if t.columns.contains(spec.col) =>
-          Some(t.select(partValue(spec).as("__p")).distinct()
-            .collect().map(r => Option(r.getString(0))
-              .getOrElse(NullPart)).toSet)
-        case Some(_) => None // key-only tombstones: fold everything
-      }
+    // tombstone-touched partition values; None = underivable
+    // (key-only tombstones) → every partition counts as touched
+    val tombTouched: Option[Set[String]] = tomb match {
+      case None => Some(Set.empty)
+      case Some(t) if t.columns.contains(spec.col) =>
+        Some(t.select(partValue(spec).as("__p")).distinct()
+          .collect().map(r => Option(r.getString(0))
+            .getOrElse(NullPart)).toSet)
+      case Some(_) => None
+    }
+    // a partition folds when it holds doomed rows, when it is
+    // FRAGMENTED (maintenance mode only — accumulated delta dirs fold
+    // back to one), or when the entry is non-partition-shaped rewrite
+    // residue; an unfragmented, untombed partition NEVER rewrites
+    val entryCounts = dataEntries.flatMap(entryPartValue)
+      .groupBy(identity).view.mapValues(_.size).toMap
     val (folded, carried) = dataEntries.partition { e =>
       entryPartValue(e) match {
-        case Some(v) => touchedVals.forall(_.contains(v))
-        case None => true // rewrite residue is always folded
+        case Some(v) =>
+          tombTouched.forall(_.contains(v)) ||
+            (!touchedOnly && entryCounts.getOrElse(v, 1) > 1)
+        case None => true
       }
     }
     if (folded.isEmpty && tomb.isEmpty) return // nothing to fold
@@ -944,7 +955,6 @@ object EpochTable {
     if (m.has(key))
       return metaRows(s, path, Seq(m)).head().getAs[Long]("load_records")
     requireConverged(s, path, m, "refreshDelta")
-    requireUnpartitioned(s, path, m, "refreshDelta")
     val prev = metaRows(s, path, Seq(m)).head()
     // a multi-dir parquet scan silently picks one file's schema —
     // schema evolution happens at full-refresh boundaries only
@@ -954,9 +964,26 @@ object EpochTable {
         s"${delta.columns.sorted.toSeq} does not match the served " +
         "table — evolve the schema with a full refresh first")
     val g = Epoch.genDir(s, path, m.next)
-    delta.write.mode("overwrite").parquet(s"$g/delta")
+    // on a PARTITIONED table the delta lands partition-aligned: one
+    // dir per touched partition value, each its own manifest entry —
+    // a monthly incremental ingest only ever adds its months' dirs,
+    // and the fold stays partition-scoped ([[foldPartitions]] folds
+    // fragmented partitions only)
+    val deltaEntries: Seq[String] = partSpecOf(s, path, m) match {
+      case Some(ps) =>
+        delta.withColumn("_p", partValue(ps))
+          .write.partitionBy("_p").mode("overwrite")
+          .parquet(s"$g/delta")
+        listPartDirs(s, s"$g/delta")
+          .map(p => s"g${m.next}/delta/$p")
+      case None =>
+        delta.write.mode("overwrite").parquet(s"$g/delta")
+        Seq(s"g${m.next}/delta")
+    }
+    if (deltaEntries.isEmpty) return prev.getAs[Long]("load_records")
     val (added, statsWritten) =
-      writeStatsAndCount(s, path, s"$g/delta", s"$g/stats")
+      writeStatsAndCountDirs(s, path,
+        deltaEntries.map(e => s"$path/$e"), s"$g/stats")
     if (added == 0L) return prev.getAs[Long]("load_records")
     val loaded = prev.getAs[Long]("load_records") + added
     val download = prev.getAs[Long]("download_records") +
@@ -975,7 +1002,7 @@ object EpochTable {
       else m.components - Kind
     Epoch.commit(s, path, Epoch.Manifest(m.next,
       withStats
-        .updated(Data, m.components(Data) :+ s"g${m.next}/delta")
+        .updated(Data, m.components(Data) ++ deltaEntries)
         .updated(Meta, Seq(s"g${m.next}/meta")),
       m.applied :+ key))
     loaded
@@ -2553,6 +2580,83 @@ object EpochTable {
       ORDER BY o_orderkey
     """))
 
+  /** Layout for the partition-aligned delta entry: the even-key half
+    * of orders as the partitioned base, the odd-key half as ONE
+    * incremental delta (landing per-month dirs), then the maintenance
+    * fold — which rewrites only the FRAGMENTED months. */
+  private val partDeltaSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedPartDeltaPath(s: SparkSession,
+      d: String): String =
+    graft.BuildOnce.memo(partDeltaSaved, d) {
+      val path = s"${graft.GraftSession.scratchDir}/table_pdelta_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      val orders = graft.Tables.orders(s, d)
+      refreshPartitioned(s, path,
+        orders.where(col("o_orderkey") % 2 === 0), version = 0L,
+        PartSpec("o_orderdate", "month"))
+      refreshDelta(s, path, orders.where(col("o_orderkey") % 2 === 1),
+        version = 1L)
+      compact(s, path)
+      path
+    }
+
+  /** PARTITION-ALIGNED incremental ingest, driver-verified: the delta
+    * version landed as one directory PER TOUCHED MONTH (the monthly
+    * export grain kept through incremental loading), and the
+    * maintenance fold rewrote only the months the delta fragmented —
+    * `PartitionedTableSpec` pins both the aligned delta entries and
+    * the fragmented-only fold; the served table must hash-equal the
+    * raw orders table, layout invisible. */
+  val tablePartDelta = GQuery(
+    "table_part_delta",
+    (s, d) => serve(s, savedPartDeltaPath(s, d)).orderBy("o_orderkey"),
+    Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders
+      ORDER BY o_orderkey
+    """))
+
+  /** Layout for the partitioned-CTAS entry: the table is BORN
+    * month-partitioned from one SQL statement. */
+  private val ctasPartSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedCtasPartTag(s: SparkSession, d: String): String =
+    graft.BuildOnce.memo(ctasPartSaved, d) {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      graft.sources.EpochTableCatalog.register(s, "graft",
+        graft.GraftSession.scratchDir)
+      graft.Tables.orders(s, d)
+        .createOrReplaceTempView(s"ctasp_src_$tag")
+      s.sql(s"CREATE TABLE graft.`table_ctasp_$tag` " +
+        s"PARTITIONED BY (months(o_orderdate)) AS " +
+        s"SELECT * FROM ctasp_src_$tag")
+      tag
+    }
+
+  /** PARTITIONED `CREATE TABLE AS SELECT`, driver-verified: the
+    * `PARTITIONED BY (months(col))` transform maps to the table
+    * tier's month spec, so the layout is born with per-month
+    * directories, partition-scoped folds, and stats-driven partition
+    * pruning — one statement, the full protocol. The served table
+    * hash-equals the raw orders table. */
+  val tableSqlCtasPart = GQuery(
+    "table_sql_ctas_part",
+    (s, d) => {
+      val tag = savedCtasPartTag(s, d)
+      s.sql(s"SELECT * FROM graft.`table_ctasp_$tag` " +
+        "ORDER BY o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders
+      ORDER BY o_orderkey
+    """))
+
   /** Layouts for the co-partitioned join entry: customer and orders
     * as epoch tables, each folded into the SAME hash-bucket layout on
     * the customer key — the scans report the shared bucketing and the
@@ -3138,7 +3242,8 @@ object EpochTable {
       tableSqlOverwrite, tableSqlUpdate, tableSqlUpdatePruned,
       tableSqlMerge, tableSqlCtas,
       tableSqlSnapshot, tableCluster, tableStatsPrune, tablePartitioned,
-      tablePartDelete, tableJoinCopart, tableStream, tableStreamWrite,
+      tablePartDelete, tablePartDelta, tableSqlCtasPart,
+      tableJoinCopart, tableStream, tableStreamWrite,
       tableStreamCdc,
       tableSqlChanges, tableChangesBefore, tableSqlMaintenance,
       snapshotTableFetch)

@@ -277,9 +277,33 @@ final class EpochTableCatalog extends TableCatalog
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): StagedTable = {
     refuseEscapeInSnapshotMode("CREATE TABLE AS SELECT")
-    require(partitions.isEmpty,
-      "EpochTableCatalog: partitioned CTAS is not supported — cluster " +
-        "at the fold instead (EpochTable.compact(clusterBy = …))")
+    // `PARTITIONED BY (col)` / `PARTITIONED BY (months(col))` map to
+    // the table tier's identity/month partition specs — the new
+    // layout is BORN partitioned (per-value dirs, partition-scoped
+    // folds); other transforms refuse naming the supported set
+    val spec: Option[EpochTable.PartSpec] = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) =>
+        val colName = t.references().toSeq match {
+          case Seq(r) => r.fieldNames.mkString(".")
+          case _ => throw new UnsupportedOperationException(
+            s"EpochTableCatalog: partition transform $t must " +
+              "reference exactly one column")
+        }
+        t.name() match {
+          case "identity" =>
+            Some(EpochTable.PartSpec(colName, "identity"))
+          case "months" =>
+            Some(EpochTable.PartSpec(colName, "month"))
+          case other => throw new UnsupportedOperationException(
+            s"EpochTableCatalog: unsupported partition transform " +
+              s"$other — supported: identity (PARTITIONED BY (col)) " +
+              "and month (PARTITIONED BY (months(col)))")
+        }
+      case many => throw new UnsupportedOperationException(
+        s"EpochTableCatalog: multi-column partitioning is not " +
+          s"supported yet (got ${many.mkString(", ")})")
+    }
     val s = active
     val p = layoutPath(ident)
     if (Epoch.resolve(s, p).nonEmpty)
@@ -287,7 +311,7 @@ final class EpochTableCatalog extends TableCatalog
         .TableAlreadyExistsException(ident)
     new EpochTableCatalog.StagedEpochTable(ident.toString, s, p,
       StructType(columns.map(c => org.apache.spark.sql.types
-        .StructField(c.name(), c.dataType(), c.nullable()))))
+        .StructField(c.name(), c.dataType(), c.nullable()))), spec)
   }
 
   override def stageReplace(ident: Identifier,
@@ -675,7 +699,7 @@ object EpochTableCatalog {
   }
 
   private[sources] val ProcedureNames =
-    Seq("compact", "prune", "reap_stages")
+    Seq("compact", "prune", "reap_stages", "compact_bucketed")
 
   /** One maintenance verb as a Spark 4 SQL procedure. Parameters are
     * IN-mode with literal defaults; `call` runs the verb and returns
@@ -694,6 +718,9 @@ object EpochTableCatalog {
           "generation (occ'd; optional clustering)"
       case "prune" =>
         "retire manifests/generations past the retention horizon"
+      case "compact_bucketed" =>
+        "fold into a hash-bucketed layout on a key — enables " +
+          "storage-partitioned (zero-exchange) joins"
       case _ =>
         "delete crashed statements' _stage_* dirs older than a bound"
     }
@@ -713,6 +740,11 @@ object EpochTableCatalog {
         case "prune" => Array(tbl,
           ProcedureParameter.in("keep", IntegerType)
             .defaultValue("3").build())
+        case "compact_bucketed" => Array(tbl,
+          ProcedureParameter.in("key", SStr)
+            .comment("hash-bucket key column").build(),
+          ProcedureParameter.in("n_buckets", IntegerType)
+            .defaultValue("8").build())
         case _ => Array(tbl,
           ProcedureParameter.in("older_than_ms", LongType)
             .defaultValue("3600000").build())
@@ -737,6 +769,14 @@ object EpochTableCatalog {
         case "prune" =>
           Epoch.prune(s, path, input.getInt(1))
           s"retained ${Epoch.committedList(s, path).size} manifests"
+        case "compact_bucketed" =>
+          val key = input.getUTF8String(1).toString
+          val n = input.getInt(2)
+          Epoch.occ(s, path) {
+            EpochTable.compactBucketed(s, path, key, n)
+          }
+          s"bucketed into $n buckets on $key at epoch " +
+            s"${EpochTable.current(s, path).epoch}"
         case _ =>
           val reaped = Epoch.reapStages(s, path, input.getLong(1))
           s"reaped ${reaped.size} staging dirs" +
@@ -862,7 +902,8 @@ object EpochTableCatalog {
     * Abort deletes the half-born layout; commit verifies a manifest
     * actually landed. */
   private final class StagedEpochTable(ident: String, s: SparkSession,
-      layoutPath: String, declared: StructType)
+      layoutPath: String, declared: StructType,
+      partSpec: Option[EpochTable.PartSpec] = None)
       extends StagedTable with SupportsWrite {
     override def name(): String = ident
     override def schema(): StructType = declared
@@ -875,7 +916,12 @@ object EpochTableCatalog {
             new InsertableRelation {
               override def insert(data: DataFrame, ov: Boolean): Unit =
                 Epoch.occ(s, layoutPath) {
-                  EpochTable.refresh(s, layoutPath, data, version = 0L)
+                  partSpec match {
+                    case Some(spec) => EpochTable.refreshPartitioned(
+                      s, layoutPath, data, version = 0L, spec)
+                    case None => EpochTable.refresh(
+                      s, layoutPath, data, version = 0L)
+                  }
                   ()
                 }
             }

@@ -144,11 +144,8 @@ class PartitionedTableSpec extends SparkTestBase {
     assert(m.components("data").forall(_.contains("_p=")),
       m.components("data").toString)
     assert(EpochTable.partSpecOf(spark, path, m).nonEmpty)
-    // the refusals
-    val e1 = intercept[IllegalArgumentException] {
-      EpochTable.refreshDelta(spark, path, mkRows(5L), version = 9L)
-    }
-    assert(e1.getMessage.contains("partitioned"), e1.getMessage)
+    // deltas are partition-AWARE (they land per-month dirs — see the
+    // partition-aligned delta test); merges/renames still refuse
     val e2 = intercept[IllegalArgumentException] {
       EpochTable.merge(spark, path, mkRows(5L), version = 9L,
         keys = Seq("id"))
@@ -158,6 +155,76 @@ class PartitionedTableSpec extends SparkTestBase {
       EpochTable.renameColumn(spark, path, "v", "w")
     }
     assert(e3.getMessage.contains("partitioned"), e3.getMessage)
+  }
+
+  test("partition-aligned deltas: a monthly delta adds only its " +
+      "months' dirs; the maintenance fold rewrites only FRAGMENTED " +
+      "months — unfragmented ones never rewrite") {
+    val path = s"$root/pdelta"
+    // base: 3 months (ids 1..90); delta touches ONLY month 2024-02
+    EpochTable.refreshPartitioned(spark, path, mkRows(), version = 0L,
+      EpochTable.PartSpec("dt", "month"))
+    val delta = (200L to 219L).map(i =>
+      (i, ts("2024-02-05"), s"d$i")).toDF("id", "dt", "v")
+    EpochTable.refreshDelta(spark, path, delta, version = 1L)
+    val m1 = Epoch.resolve(spark, path).get
+    val deltaEntries = m1.components("data")
+      .filterNot(Epoch.resolveAsOf(spark, path, 0L).get
+        .components("data").contains)
+    assert(deltaEntries.nonEmpty &&
+      deltaEntries.forall(_.contains("_p=2024-02")),
+      deltaEntries.toString)
+    assert(EpochTable.serve(spark, path).count() === 110L)
+    // the fold: month 02 is fragmented (2 dirs) → rewrites; months
+    // 01 and 03 are single-dir, untombed → carried BY REFERENCE
+    val beforeFiles = EpochTable.dataFiles(spark, path, m1)
+      .map(st => (st.getPath.toUri.getPath, st.getModificationTime,
+        st.getLen)).toSet
+    EpochTable.compact(spark, path)
+    val m2 = Epoch.resolve(spark, path).get
+    def byMonth(m: Epoch.Manifest) = m.components("data").groupBy(e =>
+      e.split("/").find(_.startsWith("_p=")).get)
+    assert(byMonth(m2)("_p=2024-01") === byMonth(m1)("_p=2024-01"))
+    assert(byMonth(m2)("_p=2024-03") === byMonth(m1)("_p=2024-03"))
+    assert(byMonth(m2)("_p=2024-02").size === 1)
+    assert(byMonth(m2)("_p=2024-02") !== byMonth(m1)("_p=2024-02"))
+    val afterFiles = EpochTable.dataFiles(spark, path, m2)
+      .map(st => (st.getPath.toUri.getPath, st.getModificationTime,
+        st.getLen)).toSet
+    assert(beforeFiles.intersect(afterFiles).nonEmpty)
+    assert(EpochTable.serve(spark, path).count() === 110L)
+    // a fold with nothing fragmented and no tombstones is a NO-OP
+    val head = Epoch.resolve(spark, path).get.epoch
+    EpochTable.compact(spark, path)
+    assert(Epoch.resolve(spark, path).get.epoch === head)
+  }
+
+  test("partitioned CTAS: PARTITIONED BY (months(col)) births a " +
+      "month-partitioned layout; identity transform works; exotic " +
+      "transforms refuse") {
+    registered()
+    mkRows(60L).createOrReplaceTempView("pctas_src")
+    spark.sql("CREATE TABLE gpart.pctas " +
+      "PARTITIONED BY (months(dt)) AS SELECT * FROM pctas_src")
+    val path = s"$root/pctas"
+    val m = Epoch.resolve(spark, path).get
+    assert(EpochTable.partSpecOf(spark, path, m)
+      === Some(EpochTable.PartSpec("dt", "month")))
+    assert(m.components("data").forall(_.contains("_p=2024-")))
+    assert(spark.sql("SELECT * FROM gpart.pctas").count() === 60L)
+    // identity transform
+    spark.sql("CREATE TABLE gpart.pctas_id " +
+      "PARTITIONED BY (v) AS SELECT * FROM pctas_src WHERE id <= 3")
+    assert(EpochTable.partSpecOf(spark, s"$root/pctas_id",
+      Epoch.resolve(spark, s"$root/pctas_id").get)
+      === Some(EpochTable.PartSpec("v", "identity")))
+    // unsupported transform refuses loudly
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE gpart.pctas_bad " +
+        "PARTITIONED BY (years(dt)) AS SELECT * FROM pctas_src")
+    }
+    assert(e.getMessage.contains("unsupported partition transform"),
+      e.getMessage)
   }
 
   test("INSERT OVERWRITE preserves the partition spec: the reload " +

@@ -79,6 +79,34 @@ class CopartJoinSpec extends SparkTestBase {
     assert(agg.count() === 200L)
   }
 
+  test("CALL compact_bucketed buckets a table through SQL and the " +
+      "zero-exchange join follows") {
+    registered()
+    val a = s"$root/cb_a"
+    val b = s"$root/cb_b"
+    EpochTable.refresh(spark, a, dim(100L), version = 0L)
+    EpochTable.refresh(spark, b, fact(1500L, 100L), version = 0L)
+    spark.sql(
+      "CALL gcop.compact_bucketed(`table` => 'cb_a', key => 'k', " +
+        "n_buckets => 4)")
+    spark.sql(
+      "CALL gcop.compact_bucketed(`table` => 'cb_b', key => 'k', " +
+        "n_buckets => 4)")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.sql(
+        "SELECT a.k, a.name, b.fid FROM gcop.cb_a a " +
+          "JOIN gcop.cb_b b ON a.k = b.k")
+      val plan = joined.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(!"\\(\\d+\\) Exchange".r.findFirstIn(plan).isDefined,
+        s"CALL-bucketed join still exchanges:\n$plan")
+      assert(joined.count() === 1500L)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("a row-level rewrite withdraws the co-partitioning claim " +
       "(unbucketed staged files) and the next fold restores it") {
     registered()
