@@ -275,7 +275,8 @@ object EpochTable {
     * (conservative — correctness never depends on deriving the
     * touched set). Content-preserving: serving before ≡ after. */
   private def foldPartitions(s: SparkSession, path: String,
-      spec: PartSpec, touchedOnly: Boolean): Unit = {
+      spec: PartSpec, touchedOnly: Boolean,
+      clusterBy: Seq[String] = Seq.empty, nFiles: Int = 8): Unit = {
     val m = current(s, path)
     val dataEntries = m.components.getOrElse(Data, Seq.empty)
     val tomb = Epoch.read(s, path, m, Tomb)
@@ -295,10 +296,13 @@ object EpochTable {
     // residue; an unfragmented, untombed partition NEVER rewrites
     val entryCounts = dataEntries.flatMap(entryPartValue)
       .groupBy(identity).view.mapValues(_.size).toMap
+    // a clustering fold rewrites EVERYTHING — the new layout is the
+    // point; otherwise only tombstoned/fragmented partitions fold
+    val foldAll = !touchedOnly && clusterBy.nonEmpty
     val (folded, carried) = dataEntries.partition { e =>
       entryPartValue(e) match {
         case Some(v) =>
-          tombTouched.forall(_.contains(v)) ||
+          foldAll || tombTouched.forall(_.contains(v)) ||
             (!touchedOnly && entryCounts.getOrElse(v, 1) > 1)
         case None => true
       }
@@ -308,11 +312,24 @@ object EpochTable {
     val newParts =
       if (folded.isEmpty) Seq.empty
       else {
-        val raw = s.read.parquet(folded.map(e => s"$path/$e"): _*)
+        val raw = readEntries(s, path, m, folded)
         val kept = tomb.map(t =>
           raw.join(broadcast(t), nullSafeOn(raw, t), "left_anti"))
           .getOrElse(raw)
-        kept.withColumn("_p", partValue(spec))
+        val withP = kept.withColumn("_p", partValue(spec))
+        // within-partition CLUSTERING: range-split on (_p, cluster
+        // key) so every file inside a month owns a disjoint key
+        // interval — month pruning and key-range pruning compose in
+        // the stats component (applies to the FOLDED partitions;
+        // carried ones keep their layout)
+        val arranged =
+          if (clusterBy.isEmpty) withP
+          else withP
+            .repartitionByRange(nFiles,
+              col("_p") +: clusterBy.map(col): _*)
+            .sortWithinPartitions(
+              col("_p") +: clusterBy.map(col): _*)
+        arranged
           .write.partitionBy("_p").mode("overwrite").parquet(s"$g/data")
         listPartDirs(s, s"$g/data").map(p => s"g${m.next}/data/$p")
       }
@@ -339,16 +356,98 @@ object EpochTable {
       m.applied))
   }
 
+  /** Declared-schema read of specific manifest entries — the fold
+    * paths' input (files predating an added column serve typed
+    * NULLs, same contract as [[data]]). */
+  private def readEntries(s: SparkSession, path: String,
+      m: Epoch.Manifest, entries: Seq[String]): DataFrame = {
+    val dirs = entries.map(e => s"$path/$e")
+    physReadSchema(s, path, m) match {
+      case Some(sc) => s.read.schema(sc).parquet(dirs: _*)
+      case None => s.read.parquet(dirs: _*)
+    }
+  }
+
+  /** Fold a BUCKETED table after a takedown: only the buckets the
+    * tombstoned keys hash to (plus any unbucketed residue) rewrite —
+    * every other bucket dir carries forward BY REFERENCE, so a point
+    * DELETE on a bucketed fact table costs ∝ |touched buckets| and
+    * the co-partitioned join layout survives untouched. Tombstones
+    * lacking the bucket key fold every bucket (conservative).
+    * Content-preserving. */
+  private def foldBuckets(s: SparkSession, path: String,
+      bs: BucketSpec): Unit = {
+    val m = current(s, path)
+    val dataEntries = m.components.getOrElse(Data, Seq.empty)
+    val tomb = Epoch.read(s, path, m, Tomb)
+    def entryBucket(e: String): Option[Int] =
+      e.split("/").find(_.startsWith("_b="))
+        .map(_.stripPrefix("_b=").toInt)
+    val touched: Option[Set[Int]] = tomb match {
+      case None => Some(Set.empty)
+      case Some(t) if t.columns.contains(bs.col) =>
+        Some(t.select(pmod(hash(col(bs.col)), lit(bs.n))
+          .cast("int").as("__b")).distinct()
+          .collect().map(_.getInt(0)).toSet)
+      case Some(_) => None
+    }
+    val (folded, carried) = dataEntries.partition { e =>
+      entryBucket(e) match {
+        case Some(b) => touched.forall(_.contains(b))
+        case None => true
+      }
+    }
+    if (folded.isEmpty && tomb.isEmpty) return
+    val g = Epoch.genDir(s, path, m.next)
+    val newDirs =
+      if (folded.isEmpty) Seq.empty
+      else {
+        val raw = readEntries(s, path, m, folded)
+        val kept = tomb.map(t =>
+          raw.join(broadcast(t), nullSafeOn(raw, t), "left_anti"))
+          .getOrElse(raw)
+        kept.withColumn("_b", pmod(hash(col(bs.col)), lit(bs.n)))
+          .write.partitionBy("_b").mode("overwrite").parquet(s"$g/data")
+        listBucketDirs(s, s"$g/data").map(p => s"g${m.next}/data/$p")
+      }
+    require(carried.nonEmpty || newDirs.nonEmpty,
+      s"EpochTable.foldBuckets: the fold leaves $path empty — route " +
+        "full truncation through refresh")
+    val statsDirs = (if (carried.isEmpty) Seq.empty
+      else m.components.getOrElse(Stats, Seq.empty)) ++
+      (if (newDirs.nonEmpty && writeStatsAndCountDirs(s, path,
+          newDirs.map(e => s"$path/$e"), s"$g/stats")._2)
+        Seq(s"g${m.next}/stats") else Seq.empty)
+    metaRows(s, path, Seq(m))
+      .coalesce(1).write.mode("overwrite").parquet(s"$g/meta")
+    Epoch.commit(s, path, Epoch.Manifest(m.next,
+      Map(Data -> (carried ++ newDirs),
+        Meta -> Seq(s"g${m.next}/meta"),
+        Tomb -> Seq.empty,
+        Kind -> Seq(KindCompact)) ++
+        (if (statsDirs.nonEmpty) Map(Stats -> statsDirs)
+         else Map.empty) ++
+        m.components.get(Bucket).map(Bucket -> _) ++
+        m.components.get(Fields).map(Fields -> _),
+      m.applied))
+  }
+
   /** The fold the SQL DELETE path runs: partition-scoped on a
-    * partitioned table (∝ |touched partitions|), the whole-table
-    * [[compact]] otherwise. */
+    * partitioned table (∝ |touched partitions|), bucket-scoped on a
+    * bucketed one (∝ |touched buckets| — the join layout survives),
+    * the whole-table [[compact]] otherwise. */
   private[graft] def compactForDelete(s: SparkSession,
-      path: String): Unit =
-    partSpecOf(s, path, current(s, path)) match {
+      path: String): Unit = {
+    val m = current(s, path)
+    partSpecOf(s, path, m) match {
       case Some(spec) => foldPartitions(s, path, spec,
         touchedOnly = true)
-      case None => compact(s, path)
+      case None => bucketSpecOf(s, path, m) match {
+        case Some(bs) => foldBuckets(s, path, bs)
+        case None => compact(s, path)
+      }
     }
+  }
 
   // ------------------------------------------------------------------
   // BUCKETED tables — storage-partitioned joins (r18 verdict #3): a
@@ -1027,7 +1126,11 @@ object EpochTable {
     val replayed = m.has(key)
     if (!replayed) {
       requireConverged(s, path, m, "commitStreamDelta")
-      requireUnpartitioned(s, path, m, "commitStreamDelta")
+      // a PARTITIONED target accepts stream batches as
+      // non-partition-shaped residue entries: reads stay correct
+      // (declared schema; stats still prune the residue's files) and
+      // the next fold absorbs the residue into its partitions — the
+      // per-batch commit never pays a partition regroup
     }
     // an empty micro-batch still produces a zero-row parquet file
     // (Spark's V2 write runs one empty task) — gate on ROWS, not
@@ -1296,10 +1399,11 @@ object EpochTable {
       clusterBy: Seq[String] = Seq.empty): Unit = {
     val m = current(s, path)
     partSpecOf(s, path, m).foreach { spec =>
-      require(clusterBy.isEmpty,
-        s"EpochTable.compact: $path is partitioned on ${spec.col} — " +
-          "within-partition clustering is not supported yet")
-      return foldPartitions(s, path, spec, touchedOnly = false)
+      // clusterBy on a partitioned table clusters WITHIN partitions
+      // (and forces a full fold — every partition rewrites under the
+      // new layout; the plain fold stays fragmented-only)
+      return foldPartitions(s, path, spec,
+        touchedOnly = false, clusterBy, nFiles)
     }
     // a bucketed table's fold RE-BUCKETS — the layout a join plan
     // depends on must survive routine maintenance, not silently decay

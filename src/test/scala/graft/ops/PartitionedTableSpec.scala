@@ -227,6 +227,84 @@ class PartitionedTableSpec extends SparkTestBase {
       e.getMessage)
   }
 
+  test("within-partition clustering: compact(clusterBy) range-splits " +
+      "inside each month, so month pruning and key-range pruning " +
+      "compose in the stats component") {
+    registered()
+    val path = s"$root/pclust"
+    EpochTable.refreshPartitioned(spark, path, mkRows(3000L),
+      version = 0L, EpochTable.PartSpec("dt", "month"))
+    EpochTable.compact(spark, path, nFiles = 12, clusterBy = Seq("id"))
+    val m = Epoch.resolve(spark, path).get
+    assert(m.components("data").forall(_.contains("_p=2024-")))
+    val month2Files = EpochTable.dataFiles(spark, path, m)
+      .map(_.getPath.toUri.getPath).filter(_.contains("_p=2024-02"))
+    assert(month2Files.size >= 3, month2Files.toString)
+    val q = spark.sql("SELECT * FROM gpart.pclust " +
+      "WHERE dt >= TIMESTAMP '2024-02-01 00:00:00' " +
+      "AND dt < TIMESTAMP '2024-03-01 00:00:00' " +
+      "AND id BETWEEN 1 AND 300")
+    q.collect()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(qs.plan)
+        case other => other.children.flatMap(walk) ++ (other match {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            Seq(b)
+          case _ => Seq.empty
+        })
+      }
+    val planned = walk(q.queryExecution.executedPlan)
+      .flatMap(_.inputPartitions).flatMap {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+          fp.files.map(_.filePath.toString).toSeq
+        case _ => Seq.empty[String]
+      }.distinct
+    // month pruning AND in-month range pruning both fired
+    assert(planned.nonEmpty && planned.forall(_.contains("_p=2024-02")),
+      planned.toString)
+    assert(planned.size < month2Files.size,
+      s"in-month clustering did not prune: ${planned.size} of " +
+        s"${month2Files.size}")
+    assert(q.count() ===
+      (1L to 300L).count(i => (i % 3) + 1 == 2))
+  }
+
+  test("streaming writes land on a partitioned table as residue the " +
+      "next fold absorbs into partitions") {
+    registered()
+    val src = s"$root/stwp_src"
+    val tgt = s"$root/stwp_tgt"
+    EpochTable.refresh(spark, src, mkRows(30L), version = 0L)
+    val extra = (200L to 229L).map(i =>
+      (i, ts(f"2024-${(i % 3) + 1}%02d-15"), s"x$i"))
+      .toDF("id", "dt", "v")
+    EpochTable.refreshDelta(spark, src, extra, version = 1L)
+    EpochTable.refreshPartitioned(spark, tgt, mkRows(), version = 0L,
+      EpochTable.PartSpec("dt", "month"))
+    val q = spark.readStream.option("startingVersion", "1")
+      .table("gpart.stwp_src")
+      .writeStream.option("checkpointLocation", s"$root/stwp_ckpt")
+      .toTable("gpart.stwp_tgt")
+    try q.processAllAvailable() finally q.stop()
+    val m = Epoch.resolve(spark, tgt).get
+    // the batch landed as a residue entry (no partition regroup paid
+    // per batch); serving is correct throughout
+    assert(m.components("data").exists(e => !e.contains("_p=")),
+      m.components("data").toString)
+    assert(spark.sql("SELECT * FROM gpart.stwp_tgt").count() === 120L)
+    // the fold absorbs the residue into per-month dirs
+    EpochTable.compact(spark, tgt)
+    val m2 = Epoch.resolve(spark, tgt).get
+    assert(m2.components("data").forall(_.contains("_p=")),
+      m2.components("data").toString)
+    assert(spark.sql("SELECT * FROM gpart.stwp_tgt").count() === 120L)
+  }
+
   test("INSERT OVERWRITE preserves the partition spec: the reload " +
       "lands per-month like the layout it replaces") {
     registered()

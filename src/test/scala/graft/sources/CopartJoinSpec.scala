@@ -107,6 +107,34 @@ class CopartJoinSpec extends SparkTestBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("a point DELETE on a bucketed table folds only the TOUCHED " +
+      "bucket — the other buckets carry by reference and the join " +
+      "layout survives") {
+    registered()
+    val path = s"$root/bdel"
+    EpochTable.refresh(spark, path, fact(2000L, 100L), version = 0L)
+    EpochTable.compactBucketed(spark, path, "k", nBuckets = 4)
+    val before = Epoch.resolve(spark, path).get
+    val beforeFiles = EpochTable.dataFiles(spark, path, before)
+      .map(st => (st.getPath.toUri.getPath, st.getModificationTime,
+        st.getLen)).toSet
+    spark.sql("DELETE FROM gcop.bdel WHERE fid = 123")
+    val after = Epoch.resolve(spark, path).get
+    // tombstones carry the key, so exactly ONE bucket rewrote
+    val carried = after.components("data")
+      .intersect(before.components("data"))
+    assert(carried.size === 3, after.components("data").toString)
+    assert(after.components("data").forall(_.contains("_b=")))
+    assert(after.components.getOrElse("tombstones", Seq.empty).isEmpty)
+    val afterFiles = EpochTable.dataFiles(spark, path, after)
+      .map(st => (st.getPath.toUri.getPath, st.getModificationTime,
+        st.getLen)).toSet
+    assert(beforeFiles.intersect(afterFiles).nonEmpty)
+    val served = spark.sql("SELECT * FROM gcop.bdel")
+    assert(served.count() === 1999L)
+    assert(served.where(col("fid") === 123L).isEmpty)
+  }
+
   test("a row-level rewrite withdraws the co-partitioning claim " +
       "(unbucketed staged files) and the next fold restores it") {
     registered()
