@@ -159,10 +159,11 @@ object EpochTable {
 
   /** A table's declared physical partitioning: `transform` ∈
     * `identity` (one dir per distinct value — enum-ish columns) |
-    * `month` (one dir per yyyy-MM of a date/timestamp column — the
-    * reference's release grain). */
+    * `year`/`month`/`day` (one dir per time grain of a
+    * date/timestamp column — `month` is the reference's release
+    * grain). */
   final case class PartSpec(col: String, transform: String) {
-    require(transform == "identity" || transform == "month",
+    require(Set("identity", "year", "month", "day")(transform),
       s"EpochTable.PartSpec: unknown transform $transform")
   }
 
@@ -177,7 +178,9 @@ object EpochTable {
     * in the hive default partition like any Spark partitioned write). */
   private def partValue(spec: PartSpec): org.apache.spark.sql.Column =
     spec.transform match {
+      case "year" => date_format(col(spec.col), "yyyy")
       case "month" => date_format(col(spec.col), "yyyy-MM")
+      case "day" => date_format(col(spec.col), "yyyy-MM-dd")
       case _ => col(spec.col).cast("string")
     }
 

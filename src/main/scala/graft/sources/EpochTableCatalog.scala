@@ -293,12 +293,16 @@ final class EpochTableCatalog extends TableCatalog
         t.name() match {
           case "identity" =>
             Some(EpochTable.PartSpec(colName, "identity"))
+          case "years" =>
+            Some(EpochTable.PartSpec(colName, "year"))
           case "months" =>
             Some(EpochTable.PartSpec(colName, "month"))
+          case "days" =>
+            Some(EpochTable.PartSpec(colName, "day"))
           case other => throw new UnsupportedOperationException(
             s"EpochTableCatalog: unsupported partition transform " +
               s"$other — supported: identity (PARTITIONED BY (col)) " +
-              "and month (PARTITIONED BY (months(col)))")
+              "and years/months/days of a date/timestamp column")
         }
       case many => throw new UnsupportedOperationException(
         s"EpochTableCatalog: multi-column partitioning is not " +

@@ -218,13 +218,58 @@ class PartitionedTableSpec extends SparkTestBase {
     assert(EpochTable.partSpecOf(spark, s"$root/pctas_id",
       Epoch.resolve(spark, s"$root/pctas_id").get)
       === Some(EpochTable.PartSpec("v", "identity")))
+    // years/days grains are first-class too
+    spark.sql("CREATE TABLE gpart.pctas_yr " +
+      "PARTITIONED BY (years(dt)) AS SELECT * FROM pctas_src")
+    assert(EpochTable.partSpecOf(spark, s"$root/pctas_yr",
+      Epoch.resolve(spark, s"$root/pctas_yr").get)
+      === Some(EpochTable.PartSpec("dt", "year")))
+    assert(Epoch.resolve(spark, s"$root/pctas_yr").get
+      .components("data").forall(_.contains("_p=2024")))
     // unsupported transform refuses loudly
     val e = intercept[Exception] {
       spark.sql("CREATE TABLE gpart.pctas_bad " +
-        "PARTITIONED BY (years(dt)) AS SELECT * FROM pctas_src")
+        "PARTITIONED BY (hours(dt)) AS SELECT * FROM pctas_src")
     }
     assert(e.getMessage.contains("unsupported partition transform"),
       e.getMessage)
+  }
+
+  test("SQL MERGE works on a partitioned table through the " +
+      "copy-on-write path: touched files rewrite, the partition spec " +
+      "survives, and the next fold re-partitions the residue") {
+    registered()
+    val path = s"$root/pmerge"
+    // plant stale rows in month 2; heal them + insert fresh via MERGE
+    EpochTable.refreshPartitioned(spark, path,
+      mkRows().withColumn("v",
+        when(col("id") % 10 === 1, lit("STALE"))
+          .otherwise(col("v"))),
+      version = 0L, EpochTable.PartSpec("dt", "month"))
+    mkRows(100L).where(col("id") % 10 === 1)
+      .unionByName((500L to 504L).map(i =>
+        (i, ts("2024-02-02"), s"new$i")).toDF("id", "dt", "v"))
+      .createOrReplaceTempView("pmerge_src")
+    spark.sql("""
+      MERGE INTO gpart.pmerge t USING pmerge_src s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    // 90 base + 1 fresh matched key (91) + 5 planted news = 96
+    val served = spark.sql("SELECT * FROM gpart.pmerge")
+    assert(served.count() === 96L)
+    assert(served.where(col("v") === "STALE").isEmpty)
+    assert(served.where(col("v").startsWith("new")).count() === 5L)
+    // the declared partitioning survived the rewrite
+    val m = Epoch.resolve(spark, path).get
+    assert(EpochTable.partSpecOf(spark, path, m).nonEmpty)
+    // the fold absorbs the rewrite's unpartitioned staging back into
+    // per-month dirs
+    EpochTable.compact(spark, path)
+    assert(Epoch.resolve(spark, path).get
+      .components("data").forall(_.contains("_p=")))
+    assert(spark.sql("SELECT * FROM gpart.pmerge").count() === 96L)
   }
 
   test("within-partition clustering: compact(clusterBy) range-splits " +
