@@ -409,7 +409,12 @@ object EpochTable {
         val kept = tomb.map(t =>
           raw.join(broadcast(t), nullSafeOn(raw, t), "left_anti"))
           .getOrElse(raw)
+        // preserve the sorted-within-bucket property the carried
+        // buckets already have, so the ordering claim survives the
+        // partial fold
         kept.withColumn("_b", pmod(hash(col(bs.col)), lit(bs.n)))
+          .repartition(bs.n, col("_b"))
+          .sortWithinPartitions(col("_b"), col(bs.col))
           .write.partitionBy("_b").mode("overwrite").parquet(s"$g/data")
         listBucketDirs(s, s"$g/data").map(p => s"g${m.next}/data/$p")
       }
@@ -468,14 +473,20 @@ object EpochTable {
   private val Bucket = "bucketspec"
 
   /** A table's declared hash-bucket layout: `pmod(murmur3(col), n)`
-    * (Spark's own `hash()` — seed 42), one directory per bucket. */
-  final case class BucketSpec(col: String, n: Int)
+    * (Spark's own `hash()` — seed 42), one directory per bucket.
+    * `sorted` records that every file was written key-ascending
+    * within its bucket — the scan can then REPORT the ordering and
+    * a sort-merge join runs with neither exchanges NOR sorts. */
+  final case class BucketSpec(col: String, n: Int,
+      sorted: Boolean = false)
 
   private[graft] def bucketSpecOf(s: SparkSession, path: String,
       m: Epoch.Manifest): Option[BucketSpec] =
     Epoch.read(s, path, m, Bucket).map { df =>
       val r = df.head()
-      BucketSpec(r.getAs[String]("col"), r.getAs[Int]("n"))
+      BucketSpec(r.getAs[String]("col"), r.getAs[Int]("n"),
+        df.schema.fieldNames.contains("sorted") &&
+          r.getAs[Boolean]("sorted"))
     }
 
   /** Fold the table into a HASH-BUCKETED layout on `key` — the
@@ -495,8 +506,13 @@ object EpochTable {
     require(folded.columns.contains(key),
       s"EpochTable.compactBucketed: no column $key at $path")
     val g = Epoch.genDir(s, path, m.next)
+    // sort within buckets while the rows are being rewritten anyway:
+    // the write keeps the order (FileFormatWriter's required ordering
+    // — the partition column — is a prefix of ours), so the scan can
+    // REPORT it and joins skip their sorts too
     folded.withColumn("_b", pmod(hash(col(key)), lit(nBuckets)))
       .repartition(nBuckets, col("_b"))
+      .sortWithinPartitions(col("_b"), col(key))
       .write.partitionBy("_b").mode("overwrite").parquet(s"$g/data")
     val bucketDirs = listBucketDirs(s, s"$g/data")
     require(bucketDirs.nonEmpty,
@@ -507,7 +523,7 @@ object EpochTable {
     metaRows(s, path, Seq(m))
       .coalesce(1).write.mode("overwrite").parquet(s"$g/meta")
     import s.implicits._
-    Seq((key, nBuckets)).toDF("col", "n")
+    Seq((key, nBuckets, true)).toDF("col", "n", "sorted")
       .coalesce(1).write.mode("overwrite").parquet(s"$g/bucketspec")
     Epoch.commit(s, path, Epoch.Manifest(m.next,
       Map(Data -> entries, Meta -> Seq(s"g${m.next}/meta"),

@@ -272,7 +272,8 @@ object EpochTableStream {
   private[sources] final class BucketedScan(delegate: Scan,
       stream: TableChangesStream, spec: EpochTable.BucketSpec)
       extends Scan with Batch
-      with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+      with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+      with org.apache.spark.sql.connector.read.SupportsReportOrdering {
     import org.apache.spark.sql.execution.datasources.FilePartition
 
     override def readSchema(): StructType = delegate.readSchema()
@@ -316,6 +317,26 @@ object EpochTableStream {
 
     override def planInputPartitions(): Array[InputPartition] =
       grouped.toArray[InputPartition]
+
+    /** The ordering claim — key-ascending within every partition —
+      * made ONLY when it is provable: the manifest says the fold
+      * sorted its files AND every bucket holds exactly one file (a
+      * multi-file bucket concatenates sorted runs, which is not
+      * sorted). With both partitioning and ordering reported, a
+      * sort-merge join of two such tables runs with neither
+      * exchanges nor sorts. */
+    override def outputOrdering()
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      if (spec.sorted &&
+          delegate.readSchema().fieldNames.contains(spec.col) &&
+          grouped.forall(_.inner.files.length == 1))
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .sort(
+            org.apache.spark.sql.connector.expressions.Expressions
+              .column(spec.col),
+            org.apache.spark.sql.connector.expressions.SortDirection
+              .ASCENDING))
+      else Array.empty
 
     override def createReaderFactory(): PartitionReaderFactory =
       BucketUnwrapFactory(delegate.toBatch.createReaderFactory())

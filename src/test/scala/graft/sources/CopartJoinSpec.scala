@@ -56,6 +56,10 @@ class CopartJoinSpec extends SparkTestBase {
       assert(plan.contains("SortMergeJoin"), plan)
       assert(!"\\(\\d+\\) Exchange".r.findFirstIn(plan).isDefined,
         s"co-partitioned epoch join still exchanges:\n$plan")
+      // the fold also sorted within buckets and the scan REPORTS it:
+      // the merge join runs without its sorts either
+      assert(!"\\(\\d+\\) Sort\\b".r.findFirstIn(plan).isDefined,
+        s"sorted-bucket join still sorts:\n$plan")
       assert(joined.count() === 3000L)
       // byte-for-byte the plain join's answer
       val expect = dim(200L).join(fact(3000L, 200L), "k")
