@@ -299,9 +299,15 @@ object EpochTable {
     // residue; an unfragmented, untombed partition NEVER rewrites
     val entryCounts = dataEntries.flatMap(entryPartValue)
       .groupBy(identity).view.mapValues(_.size).toMap
-    // a clustering fold rewrites EVERYTHING — the new layout is the
-    // point; otherwise only tombstoned/fragmented partitions fold
-    val foldAll = !touchedOnly && clusterBy.nonEmpty
+    // a clustering fold rewrites EVERYTHING (the new layout is the
+    // point), and so does the CONVERGENCE fold of a pending
+    // rename/drop (the rows must land under the display names);
+    // otherwise only tombstoned/fragmented partitions fold
+    val diverged = isDiverged(m)
+    require(!(diverged && touchedOnly),
+      s"EpochTable.foldPartitions: a pending rename/drop at $path " +
+        "converges at the maintenance fold — compact first")
+    val foldAll = !touchedOnly && (clusterBy.nonEmpty || diverged)
     val (folded, carried) = dataEntries.partition { e =>
       entryPartValue(e) match {
         case Some(v) =>
@@ -315,10 +321,17 @@ object EpochTable {
     val newParts =
       if (folded.isEmpty) Seq.empty
       else {
-        val raw = readEntries(s, path, m, folded)
-        val kept = tomb.map(t =>
-          raw.join(broadcast(t), nullSafeOn(raw, t), "left_anti"))
-          .getOrElse(raw)
+        // a convergence fold reads through the MAPPED face (display
+        // names over old physical columns, tombstones applied inside
+        // data()); the plain fold reads the entries declared-schema
+        val kept =
+          if (diverged) mapped(s, path, m, m)
+          else {
+            val raw = readEntries(s, path, m, folded)
+            tomb.map(t =>
+              raw.join(broadcast(t), nullSafeOn(raw, t), "left_anti"))
+              .getOrElse(raw)
+          }
         val withP = kept.withColumn("_p", partValue(spec))
         // within-partition CLUSTERING: range-split on (_p, cluster
         // key) so every file inside a month owns a disjoint key
@@ -347,15 +360,27 @@ object EpochTable {
         Seq(s"g${m.next}/stats") else Seq.empty)
     metaRows(s, path, Seq(m))
       .coalesce(1).write.mode("overwrite").parquet(s"$g/meta")
+    // a convergence fold records phys = name again and clears the
+    // divergence marker (Kind compact_evolve — live streams with a
+    // fixed physical read schema must fail loudly, as on the
+    // unpartitioned fold); otherwise the mapping carries verbatim
+    val fieldsComp: Map[String, Seq[String]] =
+      if (diverged)
+        fieldsOf(s, path, m).map { entries =>
+          writeFields(s, entries.map(f =>
+            if (f.dropped) f else f.copy(phys = f.name)), s"$g/fields")
+          Map(Fields -> Seq(s"g${m.next}/fields"))
+        }.getOrElse(Map.empty)
+      else m.components.get(Fields).map(Fields -> _).toMap
     Epoch.commit(s, path, Epoch.Manifest(m.next,
       Map(Data -> (carried ++ newParts),
         Meta -> Seq(s"g${m.next}/meta"),
         Tomb -> Seq.empty,
-        Kind -> Seq(KindCompact)) ++
+        Kind -> Seq(if (diverged) "compact_evolve" else KindCompact)) ++
         (if (statsDirs.nonEmpty) Map(Stats -> statsDirs)
          else Map.empty) ++
         m.components.get(Part).map(Part -> _) ++
-        m.components.get(Fields).map(Fields -> _),
+        fieldsComp,
       m.applied))
   }
 
@@ -773,7 +798,11 @@ object EpochTable {
   def renameColumn(s: SparkSession, path: String, from: String,
       to: String): Unit = Epoch.occ(s, path) {
     val m = current(s, path)
-    requireUnpartitioned(s, path, m, "renameColumn")
+    // the PARTITION column's name is baked into the layout spec —
+    // renaming it would orphan every `_p=` dir derivation
+    partSpecOf(s, path, m).foreach(ps => require(ps.col != from,
+      s"EpochTable.renameColumn: $from is the partition column of " +
+        s"$path — re-partition through a full refresh instead"))
     val fs = fieldsOrSynth(s, path, m)
     require(fs.exists(f => !f.dropped && f.name == from),
       s"EpochTable.renameColumn: no column $from at $path " +
@@ -798,7 +827,9 @@ object EpochTable {
   def dropColumn(s: SparkSession, path: String, name: String): Unit =
     Epoch.occ(s, path) {
       val m = current(s, path)
-      requireUnpartitioned(s, path, m, "dropColumn")
+      partSpecOf(s, path, m).foreach(ps => require(ps.col != name,
+        s"EpochTable.dropColumn: $name is the partition column of " +
+          s"$path — re-partition through a full refresh instead"))
       val fs = fieldsOrSynth(s, path, m)
       require(fs.exists(f => !f.dropped && f.name == name),
         s"EpochTable.dropColumn: no column $name at $path")

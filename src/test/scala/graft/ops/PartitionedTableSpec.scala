@@ -144,17 +144,14 @@ class PartitionedTableSpec extends SparkTestBase {
     assert(m.components("data").forall(_.contains("_p=")),
       m.components("data").toString)
     assert(EpochTable.partSpecOf(spark, path, m).nonEmpty)
-    // deltas are partition-AWARE (they land per-month dirs — see the
-    // partition-aligned delta test); merges/renames still refuse
+    // deltas are partition-AWARE and renames converge at the fold
+    // (their own tests); programmatic merge-on-read still refuses —
+    // SQL MERGE routes through the CoW path instead
     val e2 = intercept[IllegalArgumentException] {
       EpochTable.merge(spark, path, mkRows(5L), version = 9L,
         keys = Seq("id"))
     }
     assert(e2.getMessage.contains("partitioned"), e2.getMessage)
-    val e3 = intercept[IllegalArgumentException] {
-      EpochTable.renameColumn(spark, path, "v", "w")
-    }
-    assert(e3.getMessage.contains("partitioned"), e3.getMessage)
   }
 
   test("partition-aligned deltas: a monthly delta adds only its " +
@@ -348,6 +345,44 @@ class PartitionedTableSpec extends SparkTestBase {
     assert(m2.components("data").forall(_.contains("_p=")),
       m2.components("data").toString)
     assert(spark.sql("SELECT * FROM gpart.stwp_tgt").count() === 120L)
+  }
+
+  test("ALTER TABLE RENAME COLUMN on a partitioned table: mapped " +
+      "serving until the fold converges per-month files under the " +
+      "new names; renaming the partition column refuses") {
+    registered()
+    val path = s"$root/pren"
+    EpochTable.refreshPartitioned(spark, path, mkRows(), version = 0L,
+      EpochTable.PartSpec("dt", "month"))
+    spark.sql("ALTER TABLE gpart.pren RENAME COLUMN v TO label")
+    // mapped read-only serving mid-divergence
+    val served = spark.sql("SELECT * FROM gpart.pren")
+    assert(served.columns.toSeq === Seq("id", "dt", "label"))
+    assert(served.count() === 90L)
+    // a delete-path fold refuses mid-divergence (converge first)
+    val e1 = intercept[IllegalArgumentException] {
+      EpochTable.compactForDelete(spark, path)
+    }
+    assert(e1.getMessage.contains("converges"), e1.getMessage)
+    // the maintenance fold converges: physical files carry the new
+    // name, still per-month, marker cleared, DML reopens
+    EpochTable.compact(spark, path)
+    val m = Epoch.resolve(spark, path).get
+    assert(!EpochTable.isDiverged(m))
+    assert(m.components("data").forall(_.contains("_p=2024-")))
+    assert(spark.sql("SELECT * FROM gpart.pren").columns.toSeq
+      === Seq("id", "dt", "label"))
+    spark.sql("DELETE FROM gpart.pren WHERE label = 'v7'")
+    assert(spark.sql("SELECT * FROM gpart.pren").count() === 89L)
+    // the partition column itself can never rename or drop
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE gpart.pren RENAME COLUMN dt TO when_at")
+    }
+    assert(e2.getMessage.contains("partition column"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE gpart.pren DROP COLUMN dt")
+    }
+    assert(e3.getMessage.contains("partition column"), e3.getMessage)
   }
 
   test("INSERT OVERWRITE preserves the partition spec: the reload " +
