@@ -98,10 +98,23 @@ object EpochTable {
     val statable = df.schema.fields
       .filter(f => graft.sources.StatsPrune.stattable(f.dataType))
       .take(MaxStatCols)
+    // TIMESTAMP min/max are stored TZ-INDEPENDENTLY as epoch micros
+    // (a string cast renders in the WRITER session's zone and a
+    // reader in another zone would parse shifted bounds — silently
+    // wrong pruning); every other stattable type's string cast
+    // round-trips exactly. min/max commute with unix_micros
+    // (monotone), so the agg shape is unchanged.
+    def statStr(f: org.apache.spark.sql.types.StructField,
+        agg: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      f.dataType match {
+        case org.apache.spark.sql.types.TimestampType =>
+          unix_micros(agg).cast("string")
+        case _ => agg.cast("string")
+      }
     val aggs = count(lit(1L)).as("__rows") +:
       statable.toSeq.flatMap(f => Seq(
-        min(df(f.name)).cast("string").as(s"__mn_${f.name}"),
-        max(df(f.name)).cast("string").as(s"__mx_${f.name}"),
+        statStr(f, min(df(f.name))).as(s"__mn_${f.name}"),
+        statStr(f, max(df(f.name))).as(s"__mx_${f.name}"),
         count(df(f.name)).as(s"__nn_${f.name}")))
     val perFile = df.groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*).collect()
@@ -175,14 +188,32 @@ object EpochTable {
     }
 
   /** The dir-encoded partition value of a row (string; NULL rows land
-    * in the hive default partition like any Spark partitioned write). */
-  private def partValue(spec: PartSpec): org.apache.spark.sql.Column =
+    * in the hive default partition like any Spark partitioned write).
+    * TIMESTAMP columns derive their grain IN UTC via epoch-day
+    * arithmetic — session-tz-independent, so the write-side dir
+    * value, the fold's tombstone-touched derivation, and the
+    * planner's partition bounds can never disagree across sessions
+    * (DATE formatting round-trips through the session zone and
+    * cancels, so dates need no pinning). Identity on a timestamp
+    * encodes the raw epoch micros for the same reason. */
+  private[ops] def partValue(spec: PartSpec,
+      df: DataFrame): org.apache.spark.sql.Column = {
+    val isTs = df.schema.fields.exists(f => f.name == spec.col &&
+      f.dataType == org.apache.spark.sql.types.TimestampType)
+    val c =
+      if (isTs) date_from_unix_date(
+        floor(unix_micros(col(spec.col)) / lit(86400000000L))
+          .cast("int"))
+      else col(spec.col)
     spec.transform match {
-      case "year" => date_format(col(spec.col), "yyyy")
-      case "month" => date_format(col(spec.col), "yyyy-MM")
-      case "day" => date_format(col(spec.col), "yyyy-MM-dd")
-      case _ => col(spec.col).cast("string")
+      case "year" => date_format(c, "yyyy")
+      case "month" => date_format(c, "yyyy-MM")
+      case "day" => date_format(c, "yyyy-MM-dd")
+      case _ =>
+        if (isTs) unix_micros(col(spec.col)).cast("string")
+        else col(spec.col).cast("string")
     }
+  }
 
   private def listPartDirs(s: SparkSession, dataDir: String)
       : Seq[String] = {
@@ -236,7 +267,7 @@ object EpochTable {
     val g = Epoch.genDir(s, path, next)
     // `_p` is DERIVED (the source column stays in the files), so the
     // per-partition dirs read bare — no dir-name reconstruction
-    typed.withColumn("_p", partValue(spec))
+    typed.withColumn("_p", partValue(spec, typed))
       .write.partitionBy("_p").mode("overwrite").parquet(s"$g/data")
     writeFields(s, evolved, s"$g/fields")
     import s.implicits._
@@ -288,7 +319,7 @@ object EpochTable {
     val tombTouched: Option[Set[String]] = tomb match {
       case None => Some(Set.empty)
       case Some(t) if t.columns.contains(spec.col) =>
-        Some(t.select(partValue(spec).as("__p")).distinct()
+        Some(t.select(partValue(spec, t).as("__p")).distinct()
           .collect().map(r => Option(r.getString(0))
             .getOrElse(NullPart)).toSet)
       case Some(_) => None
@@ -332,7 +363,7 @@ object EpochTable {
               raw.join(broadcast(t), nullSafeOn(raw, t), "left_anti"))
               .getOrElse(raw)
           }
-        val withP = kept.withColumn("_p", partValue(spec))
+        val withP = kept.withColumn("_p", partValue(spec, kept))
         // within-partition CLUSTERING: range-split on (_p, cluster
         // key) so every file inside a month owns a disjoint key
         // interval — month pruning and key-range pruning compose in
@@ -368,7 +399,8 @@ object EpochTable {
       if (diverged)
         fieldsOf(s, path, m).map { entries =>
           writeFields(s, entries.map(f =>
-            if (f.dropped) f else f.copy(phys = f.name)), s"$g/fields")
+            if (f.dropped) f.copy(phys = "") else f.copy(phys = f.name)),
+            s"$g/fields")
           Map(Fields -> Seq(s"g${m.next}/fields"))
         }.getOrElse(Map.empty)
       else m.components.get(Fields).map(Fields -> _).toMap
@@ -634,19 +666,40 @@ object EpochTable {
 
   // committed generations are immutable, so a fields component read
   // once is right forever — data() consults the mapping on every read
-  // and must not pay a driver-side parquet open each time
+  // and must not pay a driver-side parquet open each time. The key
+  // carries the component dirs' (mtime, len) FINGERPRINT: a layout
+  // deleted and recreated at the same path reuses generation numbers
+  // like g0/fields, and a path-only key would serve the dead table's
+  // entries (one cheap getFileStatus per dir vs a parquet open). The
+  // cache is BOUNDED — every evolution commit adds a key, so a
+  // long-lived session would otherwise grow it without limit.
+  private val FieldsCacheMax = 1024
   private val fieldsCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Seq[String]), Option[Seq[FieldEntry]]]
+    .empty[(String, Seq[String], Seq[(Long, Long)]),
+      Option[Seq[FieldEntry]]]
 
   private def fieldsOf(s: SparkSession, path: String,
-      m: Epoch.Manifest): Option[Seq[FieldEntry]] =
-    fieldsCache.getOrElseUpdate(
-      (path, m.components.getOrElse(Fields, Seq.empty)),
+      m: Epoch.Manifest): Option[Seq[FieldEntry]] = {
+    val comp = m.components.getOrElse(Fields, Seq.empty)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stamp = comp.map { e =>
+      try {
+        val st = fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(s"$path/$e"))
+        (st.getModificationTime, st.getLen)
+      } catch {
+        case _: java.io.FileNotFoundException => (-1L, -1L)
+      }
+    }
+    if (fieldsCache.size > FieldsCacheMax) fieldsCache.clear()
+    fieldsCache.getOrElseUpdate((path, comp, stamp),
       Epoch.read(s, path, m, Fields).map(_.collect().map(r =>
         FieldEntry(r.getAs[Long]("field_id"), r.getAs[String]("phys"),
           r.getAs[String]("name"), r.getAs[String]("dtype"),
           r.getAs[Int]("pos"), r.getAs[Boolean]("dropped")))
         .sortBy(_.pos).toSeq))
+  }
 
   /** The PHYSICAL read schema a manifest's fields declare (live
     * entries, physical names, declared types, display order) — when
@@ -678,6 +731,20 @@ object EpochTable {
       val fs = fieldsOrSynth(s, path, m)
       require(!fs.exists(f => !f.dropped && f.name == name),
         s"EpochTable.addColumn: $name already exists at $path")
+      // the PHYSICAL name may still be owned by an entry the display
+      // schema no longer shows — a dropped column (its phys persists
+      // in the files until the fold reaps it) or a pending rename
+      // (the new name's entry keeps the OLD physical name until the
+      // convergence fold). Re-adding over a live phys would resolve
+      // the new field to the old column's bytes in old files (silent
+      // data resurrection; a retype breaks every declared read) or
+      // put two live entries on one phys — refuse until a fold
+      // retires the physical column.
+      require(!fs.exists(f => f.phys == name),
+        s"EpochTable.addColumn: physical column $name at $path is " +
+          "still owned by a dropped or renamed field — compact first " +
+          "(the fold reaps dead columns and converges renames), then " +
+          "re-add")
       val nextId =
         fs.map(_.field_id).filter(_ >= 0L).maxOption.getOrElse(-1L) + 1L
       val live = fs.filterNot(_.dropped).sortBy(_.pos)
@@ -766,8 +833,11 @@ object EpochTable {
     }.toSeq
     // carry the tombstones (their pos pushed past the live columns —
     // they render nowhere, they only pin their ids)
+    // tombstones carry with their phys claim RETIRED: a full refresh
+    // rewrites every file, so the dropped column's bytes are gone and
+    // the name is free to re-add (the id stays pinned forever)
     live ++ prevAll.filter(_.dropped).zipWithIndex.map {
-      case (f, i) => f.copy(pos = live.size + i)
+      case (f, i) => f.copy(pos = live.size + i, phys = "")
     }
   }
 
@@ -1120,7 +1190,7 @@ object EpochTable {
     // fragmented partitions only)
     val deltaEntries: Seq[String] = partSpecOf(s, path, m) match {
       case Some(ps) =>
-        delta.withColumn("_p", partValue(ps))
+        delta.withColumn("_p", partValue(ps, delta))
           .write.partitionBy("_p").mode("overwrite")
           .parquet(s"$g/delta")
         listPartDirs(s, s"$g/delta")
@@ -1201,12 +1271,18 @@ object EpochTable {
     val stagedDir = staged.toString
     // a multi-dir scan silently picks one file's schema — a stream
     // whose table was full-refreshed to a new shape mid-flight must
-    // die loudly, not corrupt the chain
-    require(s.read.parquet(stagedDir).columns.sorted.sameElements(
-        s.read.parquet(m.dirs(path, Data): _*).columns.sorted),
+    // die loudly, not corrupt the chain. The guard compares
+    // (name → type) PAIRS, not names: a drop/add evolution can keep
+    // a column's name while changing its type, and a name-only check
+    // would commit a delta whose physical type poisons every
+    // declared-schema read until the next fold.
+    def shape(sc: org.apache.spark.sql.types.StructType) =
+      sc.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+    require(shape(s.read.parquet(stagedDir).schema) ==
+        shape(s.read.parquet(m.dirs(path, Data): _*).schema),
       s"EpochTable.commitStreamDelta: staged schema does not match " +
-        s"the served table at $path — the table evolved mid-stream; " +
-        "restart the stream")
+        s"the served table at $path (names or types differ) — the " +
+        "table evolved mid-stream; restart the stream")
     val prev = metaRows(s, path, Seq(m)).head()
     val version = math.max(m.next, versionsMeta(s, path)
       .agg(max("version")).head().getLong(0) + 1L)
@@ -1502,7 +1578,8 @@ object EpochTable {
       Kind -> Seq(if (diverged) "compact_evolve" else KindCompact)) ++
       fs.map { entries =>
         writeFields(s, entries.map(f =>
-          if (f.dropped) f else f.copy(phys = f.name)), s"$g/fields")
+          if (f.dropped) f.copy(phys = "") else f.copy(phys = f.name)),
+            s"$g/fields")
         Fields -> Seq(s"g${m.next}/fields")
       }
     Epoch.commit(s, path, Epoch.Manifest(m.next, comps, m.applied))

@@ -150,13 +150,20 @@ private[graft] object StatsPrune {
   }
 
   /** Parse a stored stat string back to the column type's internal
-    * value — the inverse of the write-side `cast(col, string)`. None on
-    * any parse trouble (→ unknown → keep). */
+    * value — the inverse of the write-side encoding. None on any
+    * parse trouble (→ unknown → keep). TIMESTAMP stats are epoch
+    * micros (tz-independent by contract — the internal value
+    * verbatim); a non-numeric timestamp stat is a LEGACY entry whose
+    * rendering depended on the writer session's zone, so it never
+    * prunes (a zone-shifted parse could drop files holding matches). */
   private def parse(str: String, dt: DataType, zone: String)
-      : Option[Any] =
-    try Option(Cast(Literal(UTF8String.fromString(str), StringType),
-      dt, Some(zone)).eval(null))
-    catch { case scala.util.control.NonFatal(_) => None }
+      : Option[Any] = dt match {
+    case TimestampType => str.toLongOption
+    case _ =>
+      try Option(Cast(Literal(UTF8String.fromString(str), StringType),
+        dt, Some(zone)).eval(null))
+      catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** The surviving subset of `files` (abs path, rel path) under the
     * pushed conjuncts — Some(absPaths) only when pruning actually

@@ -121,4 +121,81 @@ class EpochFieldsSpec extends SparkTestBase {
     assert(v0.where(col("uid").isNotNull).count() === 0L)
     assert(f.exists(new org.apache.hadoop.fs.Path(path)))
   }
+
+  test("ADD COLUMN refuses while a dropped or renamed field still " +
+      "owns the physical name — the fold retires it and the re-add " +
+      "then mints a fresh id (no resurrection of dead bytes)") {
+    val path = s"${graft.GraftSession.scratchDir}/fields_readd"
+    EpochTable.refresh(spark, path, mkTyped(1L to 10L), version = 0L)
+    // drop uid: the entry is a tombstone but phys `uid` is still in
+    // every file — a same-name ADD would resolve to the dead bytes
+    EpochTable.dropColumn(spark, path, "uid")
+    val e1 = intercept[IllegalArgumentException] {
+      EpochTable.addColumn(spark, path, "uid",
+        org.apache.spark.sql.types.LongType)
+    }
+    assert(e1.getMessage.contains("still owned"), e1.getMessage)
+    // rename etype→label: the live entry keeps phys `etype` until the
+    // fold — ADD COLUMN etype would put two live fields on one phys
+    EpochTable.renameColumn(spark, path, "etype", "label")
+    val e2 = intercept[IllegalArgumentException] {
+      EpochTable.addColumn(spark, path, "etype",
+        org.apache.spark.sql.types.StringType)
+    }
+    assert(e2.getMessage.contains("still owned"), e2.getMessage)
+    // the fold reaps the dropped bytes and converges the rename —
+    // both names are free again, and the re-added uid serves typed
+    // NULLs (a fresh id, never version 0's values)
+    EpochTable.compact(spark, path)
+    EpochTable.addColumn(spark, path, "uid",
+      org.apache.spark.sql.types.LongType)
+    EpochTable.addColumn(spark, path, "etype",
+      org.apache.spark.sql.types.StringType)
+    val served = EpochTable.serveMapped(spark, path)
+    assert(served.columns.toSeq ===
+      Seq("event_id", "label", "uid", "etype"))
+    assert(served.where(col("uid").isNotNull ||
+      col("etype").isNotNull).count() === 0L)
+  }
+
+  test("a layout deleted and recreated at the same path serves the " +
+      "NEW fields component — the cache keys on the component's file " +
+      "fingerprint, never on path alone") {
+    val path = s"${graft.GraftSession.scratchDir}/fields_recreate"
+    EpochTable.refresh(spark, path, mkTyped(1L to 5L), version = 0L)
+    // populate the cache through a mapped read
+    assert(EpochTable.serveMapped(spark, path).columns.toSeq ===
+      Seq("event_id", "etype", "uid"))
+    // FS-level recreation (out-of-band cleanup): same path, same
+    // generation numbers, DIFFERENT schema
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(path), true)
+    Thread.sleep(20) // ensure a distinct mtime on the recreated dirs
+    EpochTable.refresh(spark, path,
+      (1L to 5L).map(i => (i, i * 2.5)).toDF("row_id", "score"),
+      version = 0L)
+    assert(EpochTable.serveMapped(spark, path).columns.toSeq ===
+      Seq("row_id", "score"))
+  }
+
+  test("a mid-stream RETYPE refuses at the stream-delta commit: the " +
+      "guard compares types, not just names") {
+    val path = s"${graft.GraftSession.scratchDir}/fields_stw_retype"
+    EpochTable.refresh(spark, path, mkTyped(1L to 10L), version = 0L)
+    // stage a batch whose columns match by NAME but uid is retyped
+    val stage = s"$path/_stage_retype"
+    (11L to 12L).map(i => (i, s"v$i", i * 1.5))
+      .toDF("event_id", "etype", "uid")
+      .write.mode("overwrite").parquet(stage)
+    val e = intercept[IllegalArgumentException] {
+      EpochTable.commitStreamDelta(spark, path, stage, "stw_retype_0")
+    }
+    assert(e.getMessage.contains("names or types differ"), e.getMessage)
+    // same shape commits fine
+    val stage2 = s"$path/_stage_ok"
+    mkTyped(11L to 12L).write.mode("overwrite").parquet(stage2)
+    EpochTable.commitStreamDelta(spark, path, stage2, "stw_ok_0")
+    assert(EpochTable.serve(spark, path).count() === 12L)
+  }
 }

@@ -385,6 +385,43 @@ class PartitionedTableSpec extends SparkTestBase {
     assert(e3.getMessage.contains("partition column"), e3.getMessage)
   }
 
+  test("the fold's tombstone-touched derivation is session-tz-stable: " +
+      "a DELETE run in another timezone still folds exactly the " +
+      "writer's touched partition and removes the rows") {
+    registered()
+    val path = s"$root/ptz"
+    // junk confined to month 2024-02 — written under UTC
+    val junk = (1000L to 1009L).map(i =>
+      (i, ts("2024-02-20"), "JUNK")).toDF("id", "dt", "v")
+    EpochTable.refreshPartitioned(spark, path,
+      mkRows().unionByName(junk), version = 0L,
+      EpochTable.PartSpec("dt", "month"))
+    val before = Epoch.resolve(spark, path).get
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // a session far west of UTC: a tz-dependent date_format would
+      // derive 2024-02-19 wall dates — same month here, so go further:
+      // month boundaries. Plant a boundary row: 2024-03-01T00:00 UTC
+      // renders as 2024-02 in a UTC-8 session under the OLD derivation
+      spark.conf.set("spark.sql.session.timeZone",
+        "America/Los_Angeles")
+      spark.sql("DELETE FROM gpart.ptz WHERE v = 'JUNK'")
+    } finally
+      spark.conf.set("spark.sql.session.timeZone", prevTz)
+    val after = Epoch.resolve(spark, path).get
+    def byMonth(m: Epoch.Manifest) = m.components("data").groupBy(e =>
+      e.split("/").find(_.startsWith("_p=")).get)
+    // only the tombstoned month folded; the others carried by
+    // reference — and the doomed rows are GONE (an under-derived
+    // touched set would clear the tombstone while the rows survive)
+    assert(byMonth(after)("_p=2024-01") === byMonth(before)("_p=2024-01"))
+    assert(byMonth(after)("_p=2024-03") === byMonth(before)("_p=2024-03"))
+    assert(byMonth(after)("_p=2024-02") !== byMonth(before)("_p=2024-02"))
+    val served = EpochTable.serve(spark, path)
+    assert(served.count() === 90L)
+    assert(served.where(col("v") === "JUNK").isEmpty)
+  }
+
   test("INSERT OVERWRITE preserves the partition spec: the reload " +
       "lands per-month like the layout it replaces") {
     registered()

@@ -140,6 +140,40 @@ class StatsPruneSpec extends SparkTestBase {
     assert(q.count() === 1L)
   }
 
+  test("TIMESTAMP stats prune tz-independently: bounds written as " +
+      "epoch micros survive a session-timezone flip between writer " +
+      "and reader — no silently missing rows, pruning still fires") {
+    registered()
+    val path = s"$root/tsprune"
+    val rows = (1L to 2000L).map(i =>
+      (i, new java.sql.Timestamp(1700000000000L + i * 3600000L)))
+      .toDF("event_id", "ts")
+    EpochTable.refresh(spark, path, rows, version = 0L)
+    EpochTable.compact(spark, path, nFiles = 4, clusterBy = Seq("ts"))
+    val live = EpochTable.dataFiles(spark, path,
+      Epoch.resolve(spark, path).get).size
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // the READER runs nine-and-a-half hours east of the writer —
+      // a string-round-tripped bound would shift and could disprove
+      // files that hold matches; the micros encoding cannot
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
+      val q = spark.sql("SELECT * FROM gstat.tsprune WHERE ts " +
+        "BETWEEN TIMESTAMP '2023-12-05 00:00:00' " +
+        "AND TIMESTAMP '2023-12-06 00:00:00'")
+      val planned = plannedFiles(q)
+      assert(planned.size < live,
+        s"timestamp pruning did not fire: $planned of $live")
+      val expect = EpochTable.serve(spark, path)
+        .where(col("ts").between("2023-12-05 00:00:00",
+          "2023-12-06 00:00:00"))
+        .orderBy("event_id").collect().toSeq
+      assert(q.orderBy("event_id").collect().toSeq === expect)
+      assert(expect.nonEmpty)
+    } finally
+      spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("the _g matching-rows subquery plans over the stats-pruned " +
       "set: point file discovery without opening the other files") {
     registered()
