@@ -211,7 +211,7 @@ object EpochTableStream {
       !needsGroup && delegate.supportCompletePushDown(aggregation)
 
     override def build(): Scan = {
-      val d = statsPruned()
+      val (d, exactRows) = statsPruned()
       if (needsGroup)
         new EpochTableCatalog.RewriteScan(d.build(),
           withGroup = true)
@@ -219,10 +219,25 @@ object EpochTableStream {
         val stream =
           new TableChangesStream(s, path, options, required, pushedExprs)
         buckets match {
-          case Some(bs) => new BucketedScan(d.build(), stream, bs)
-          case None => new StreamableScan(d.build(), stream)
+          case Some(bs) => new BucketedScan(d.build(), stream, bs,
+            exactRows)
+          case None => new StreamableScan(d.build(), stream, exactRows)
         }
       }
+    }
+
+    /** The EXACT row count of the (possibly pruned) file set, from the
+      * manifest stats component's per-file `rows` — reported to the
+      * planner ([[ScanStats]]) so join strategy sees the pruned
+      * reality. None when any live file lacks a stats entry (legacy
+      * generations) — the planner then rides the delegate's
+      * size-based estimate, never a guess. */
+    private def exactRowsOf(relFiles: Seq[String],
+        stats: Map[String, Map[String, StatsPrune.ColStat]])
+        : Option[Long] = {
+      val counts = relFiles.map(f =>
+        stats.get(f).flatMap(_.values.headOption).map(_.rows))
+      if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
     }
 
     /** PLANNING-TIME file skipping off the manifest's stats component
@@ -235,26 +250,29 @@ object EpochTableStream {
       * to the serving scan AND the `_g` matching-rows subquery (the
       * CoW rewrite's file discovery plans over the pruned set); the
       * no-prune path returns the original builder untouched. */
-    private def statsPruned(): ParquetScanBuilder = {
-      if (pushedExprs.isEmpty) return delegate
+    private def statsPruned(): (ParquetScanBuilder, Option[Long]) = {
       val statRows = EpochTable.fileStats(s, path, manifest)
-      if (statRows.isEmpty) return delegate
+      if (statRows.isEmpty) return (delegate, None)
+      val stats = StatsPrune.statsByFile(statRows)
       val root = EpochTable.rootAbs(s, path)
       val files = EpochTable.dataFiles(s, path, manifest).map { st =>
         val abs = st.getPath.toUri.getPath
         (abs, abs.stripPrefix(root + "/"))
       }
-      StatsPrune.surviving(pushedExprs, files,
-        StatsPrune.statsByFile(statRows),
+      if (pushedExprs.isEmpty)
+        return (delegate, exactRowsOf(files.map(_._2), stats))
+      StatsPrune.surviving(pushedExprs, files, stats,
         s.sessionState.conf.sessionLocalTimeZone) match {
-        case None => delegate
+        case None => (delegate, exactRowsOf(files.map(_._2), stats))
         case Some(keep) =>
           val b = ParquetTable("epoch-stats-pruned", s, emptyOpts,
             keep, Some(tableSchema), classOf[ParquetFileFormat])
             .newScanBuilder(emptyOpts)
           b.pushFilters(pushedExprs)
           required.foreach(b.pruneColumns)
-          b
+          val keepSet = keep.toSet
+          (b, exactRowsOf(
+            files.filter(f => keepSet.contains(f._1)).map(_._2), stats))
       }
     }
   }
@@ -270,12 +288,17 @@ object EpochTableStream {
     * stats pruning composes (a pruned bucket just drops out of the
     * reported partition values — Spark aligns the sides). */
   private[sources] final class BucketedScan(delegate: Scan,
-      stream: TableChangesStream, spec: EpochTable.BucketSpec)
+      stream: TableChangesStream, spec: EpochTable.BucketSpec,
+      exactRows: Option[Long] = None)
       extends Scan with Batch
       with org.apache.spark.sql.connector.read.SupportsReportPartitioning
-      with org.apache.spark.sql.connector.read.SupportsReportOrdering {
+      with org.apache.spark.sql.connector.read.SupportsReportOrdering
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     import org.apache.spark.sql.execution.datasources.FilePartition
 
+    override def estimateStatistics()
+        : org.apache.spark.sql.connector.read.Statistics =
+      scanStats(delegate, exactRows)
     override def readSchema(): StructType = delegate.readSchema()
     override def description(): String =
       s"epoch-bucketed(${spec.col}/${spec.n}, ${delegate.description()})"
@@ -368,9 +391,38 @@ object EpochTableStream {
       inner.createColumnarReader(unwrap(p))
   }
 
+  /** STATISTICS the planner consumes (`SupportsReportStatistics`,
+    * round-19 verdict #3): size-in-bytes is the delegate's — after
+    * stats-pruning the delegate is the relation over SURVIVING files
+    * only, so a pruned-to-one-file side reports one file's bytes and
+    * earns its broadcast without a hint; row count is the manifest
+    * stats component's EXACT per-file sum when every live file has an
+    * entry. Pure planner input — semantics never depend on it. */
+  private def scanStats(delegate: Scan, exactRows: Option[Long])
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val inner = delegate match {
+      case d: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        Some(d.estimateStatistics())
+      case _ => None
+    }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        inner.map(_.sizeInBytes()).getOrElse(java.util.OptionalLong.empty())
+      override def numRows(): java.util.OptionalLong =
+        exactRows.map(java.util.OptionalLong.of)
+          .orElse(inner.map(_.numRows()))
+          .getOrElse(java.util.OptionalLong.empty())
+    }
+  }
+
   /** The delegate parquet scan, plus the micro-batch face. */
   private[sources] final class StreamableScan(delegate: Scan,
-      stream: TableChangesStream) extends Scan {
+      stream: TableChangesStream, exactRows: Option[Long] = None)
+      extends Scan
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    override def estimateStatistics()
+        : org.apache.spark.sql.connector.read.Statistics =
+      scanStats(delegate, exactRows)
     override def readSchema(): StructType = delegate.readSchema()
     override def description(): String = delegate.description()
     override def toBatch: Batch = delegate.toBatch

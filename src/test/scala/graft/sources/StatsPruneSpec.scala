@@ -140,6 +140,35 @@ class StatsPruneSpec extends SparkTestBase {
     assert(q.count() === 1L)
   }
 
+  test("the scan REPORTS statistics: exact manifest row counts reach " +
+      "the planner, and a stats-pruned-to-one-file side of a join " +
+      "earns a static BroadcastHashJoin with no hint") {
+    registered()
+    val big = s"$root/statbig"
+    val small = s"$root/statsmall"
+    EpochTable.refresh(spark, big, mkTyped(1L to 30000L), version = 0L)
+    EpochTable.refresh(spark, small, mkTyped(1L to 4000L), version = 0L)
+    EpochTable.compact(spark, small, nFiles = 8,
+      clusterBy = Seq("event_id"))
+    // the unfiltered scan's logical stats carry the EXACT row count
+    // from the manifest stats component (not a size-derived guess)
+    val rc = spark.sql("SELECT * FROM gstat.statbig")
+      .queryExecution.optimizedPlan.stats.rowCount
+    assert(rc === Some(BigInt(30000)), rc.toString)
+    // pruned-to-one-file side: the STATIC plan (pre-AQE) must already
+    // broadcast it — before stats reporting, the wrapper hid the
+    // delegate's size and both epoch scans planned as huge (SMJ)
+    val j = spark.sql(
+      "SELECT b.event_id, b.uid, s.etype FROM gstat.statbig b " +
+        "JOIN gstat.statsmall s ON b.event_id = s.event_id " +
+        "WHERE s.event_id BETWEEN 100 AND 140")
+    val staticPlan = j.queryExecution.sparkPlan
+    assert(staticPlan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }.nonEmpty, s"pruned side not broadcast statically:\n$staticPlan")
+    assert(j.count() === 41L)
+  }
+
   test("TIMESTAMP stats prune tz-independently: bounds written as " +
       "epoch micros survive a session-timezone flip between writer " +
       "and reader — no silently missing rows, pruning still fires") {
