@@ -314,6 +314,17 @@ object EpochTable {
     val m = current(s, path)
     val dataEntries = m.components.getOrElse(Data, Seq.empty)
     val tomb = Epoch.read(s, path, m, Tomb)
+    // a COMPOSED partition+bucket layout folds at CELL granularity:
+    // an entry is `_p=X/_b=Y`, and a takedown rewrites only the
+    // (touched partition × touched bucket) intersection
+    val bs = bucketSpecOf(s, path, m)
+    require(!(bs.nonEmpty && clusterBy.nonEmpty),
+      s"EpochTable.foldPartitions: $path is bucketed on " +
+        s"${bs.get.col} — clustering would destroy the co-partitioned " +
+        "join layout; compactBucketed re-buckets instead")
+    def entryBucket(e: String): Option[Int] =
+      e.split("/").find(_.startsWith("_b="))
+        .map(_.stripPrefix("_b=").toInt)
     // tombstone-touched partition values; None = underivable
     // (key-only tombstones) → every partition counts as touched
     val tombTouched: Option[Set[String]] = tomb match {
@@ -324,12 +335,41 @@ object EpochTable {
             .getOrElse(NullPart)).toSet)
       case Some(_) => None
     }
-    // a partition folds when it holds doomed rows, when it is
-    // FRAGMENTED (maintenance mode only — accumulated delta dirs fold
-    // back to one), or when the entry is non-partition-shaped rewrite
-    // residue; an unfragmented, untombed partition NEVER rewrites
-    val entryCounts = dataEntries.flatMap(entryPartValue)
-      .groupBy(identity).view.mapValues(_.size).toMap
+    // tombstone-touched bucket ids (composed layouts only); None = no
+    // bucket restriction (no layout, or tombstones lack the key —
+    // conservative: the partition gate alone decides)
+    val tombTouchedB: Option[Set[Int]] = (bs, tomb) match {
+      case (Some(b), Some(t)) if t.columns.contains(b.col) =>
+        Some(t.select(pmod(hash(col(b.col)), lit(b.n))
+          .cast("int").as("__b")).distinct()
+          .collect().map(_.getInt(0)).toSet)
+      case _ => None
+    }
+    def tombBucketOk(e: String): Boolean =
+      bs.isEmpty || (entryBucket(e) match {
+        case None => true // residue entries count as touched
+        case Some(b) => tombTouchedB.forall(_.contains(b))
+      })
+    // FRAGMENTED partitions (maintenance mode only): unbucketed — a
+    // partition value spread over several dirs (accumulated deltas);
+    // bucketed — a partition carrying non-cell residue (delta dirs
+    // without `_b=`) or duplicate cells folds wholesale so the
+    // residue merges back into cells. An unfragmented, untombed
+    // partition NEVER rewrites.
+    val fragParts: Set[String] = bs match {
+      case None =>
+        dataEntries.flatMap(entryPartValue).groupBy(identity)
+          .collect { case (p, es) if es.size > 1 => p }.toSet
+      case Some(_) =>
+        val residue = dataEntries
+          .filter(e => entryBucket(e).isEmpty).flatMap(entryPartValue)
+        val dupCells = dataEntries
+          .flatMap(e => for { p <- entryPartValue(e);
+            b <- entryBucket(e) } yield (p, b))
+          .groupBy(identity)
+          .collect { case ((p, _), es) if es.size > 1 => p }
+        (residue ++ dupCells).toSet
+    }
     // a clustering fold rewrites EVERYTHING (the new layout is the
     // point), and so does the CONVERGENCE fold of a pending
     // rename/drop (the rows must land under the display names);
@@ -342,8 +382,9 @@ object EpochTable {
     val (folded, carried) = dataEntries.partition { e =>
       entryPartValue(e) match {
         case Some(v) =>
-          foldAll || tombTouched.forall(_.contains(v)) ||
-            (!touchedOnly && entryCounts.getOrElse(v, 1) > 1)
+          foldAll ||
+            (tombTouched.forall(_.contains(v)) && tombBucketOk(e)) ||
+            (!touchedOnly && fragParts.contains(v))
         case None => true
       }
     }
@@ -364,21 +405,36 @@ object EpochTable {
               .getOrElse(raw)
           }
         val withP = kept.withColumn("_p", partValue(spec, kept))
-        // within-partition CLUSTERING: range-split on (_p, cluster
-        // key) so every file inside a month owns a disjoint key
-        // interval — month pruning and key-range pruning compose in
-        // the stats component (applies to the FOLDED partitions;
-        // carried ones keep their layout)
-        val arranged =
-          if (clusterBy.isEmpty) withP
-          else withP
-            .repartitionByRange(nFiles,
-              col("_p") +: clusterBy.map(col): _*)
-            .sortWithinPartitions(
-              col("_p") +: clusterBy.map(col): _*)
-        arranged
-          .write.partitionBy("_p").mode("overwrite").parquet(s"$g/data")
-        listPartDirs(s, s"$g/data").map(p => s"g${m.next}/data/$p")
+        bs match {
+          case Some(b) =>
+            // the composed rewrite re-cells: per (partition, bucket)
+            // dir, sorted within the bucket — the folded cells rejoin
+            // the carried ones under the SAME placement, so the
+            // zero-exchange join layout survives the partial fold
+            withP.withColumn("_b", pmod(hash(col(b.col)), lit(b.n)))
+              .repartition(col("_p"), col("_b"))
+              .sortWithinPartitions(col("_p"), col("_b"), col(b.col))
+              .write.partitionBy("_p", "_b").mode("overwrite")
+              .parquet(s"$g/data")
+            listCellDirs(s, s"$g/data").map(p => s"g${m.next}/data/$p")
+          case None =>
+            // within-partition CLUSTERING: range-split on (_p, cluster
+            // key) so every file inside a month owns a disjoint key
+            // interval — month pruning and key-range pruning compose in
+            // the stats component (applies to the FOLDED partitions;
+            // carried ones keep their layout)
+            val arranged =
+              if (clusterBy.isEmpty) withP
+              else withP
+                .repartitionByRange(nFiles,
+                  col("_p") +: clusterBy.map(col): _*)
+                .sortWithinPartitions(
+                  col("_p") +: clusterBy.map(col): _*)
+            arranged
+              .write.partitionBy("_p").mode("overwrite")
+              .parquet(s"$g/data")
+            listPartDirs(s, s"$g/data").map(p => s"g${m.next}/data/$p")
+        }
       }
     require(carried.nonEmpty || newParts.nonEmpty,
       s"EpochTable.foldPartitions: the fold leaves $path empty — an " +
@@ -412,6 +468,7 @@ object EpochTable {
         (if (statsDirs.nonEmpty) Map(Stats -> statsDirs)
          else Map.empty) ++
         m.components.get(Part).map(Part -> _) ++
+        m.components.get(Bucket).map(Bucket -> _) ++
         fieldsComp,
       m.applied))
   }
@@ -555,26 +612,44 @@ object EpochTable {
       nBuckets: Int): Unit = {
     val m = current(s, path)
     requireConverged(s, path, m, "compactBucketed")
-    require(partSpecOf(s, path, m).isEmpty,
-      s"EpochTable.compactBucketed: $path is date-partitioned — " +
-        "partition+bucket layouts do not compose yet")
     require(nBuckets > 0, s"EpochTable.compactBucketed: n=$nBuckets")
+    val pSpec = partSpecOf(s, path, m)
+    pSpec.foreach(ps => require(ps.col != key,
+      s"EpochTable.compactBucketed: $key is the partition column of " +
+        s"$path — bucket on a different column (the partition grain " +
+        "already co-locates it)"))
     val folded = data(s, path, m)
     require(folded.columns.contains(key),
       s"EpochTable.compactBucketed: no column $key at $path")
     val g = Epoch.genDir(s, path, m.next)
     // sort within buckets while the rows are being rewritten anyway:
     // the write keeps the order (FileFormatWriter's required ordering
-    // — the partition column — is a prefix of ours), so the scan can
-    // REPORT it and joins skip their sorts too
-    folded.withColumn("_b", pmod(hash(col(key)), lit(nBuckets)))
-      .repartition(nBuckets, col("_b"))
-      .sortWithinPartitions(col("_b"), col(key))
-      .write.partitionBy("_b").mode("overwrite").parquet(s"$g/data")
-    val bucketDirs = listBucketDirs(s, s"$g/data")
-    require(bucketDirs.nonEmpty,
+    // — the partition columns — is a prefix of ours), so the scan can
+    // REPORT it and joins skip their sorts too. On a PARTITIONED
+    // table the layouts COMPOSE: one directory per (partition value ×
+    // bucket) cell — `_p=2024-03/_b=5` — each an independent manifest
+    // entry, so partition pruning (via the stats component) and the
+    // reported bucket partitioning stack: a month-scoped query joins
+    // its month's buckets with zero exchanges, and the delete fold
+    // intersects (touched month × touched bucket).
+    val entries: Seq[String] = pSpec match {
+      case Some(spec) =>
+        folded.withColumn("_p", partValue(spec, folded))
+          .withColumn("_b", pmod(hash(col(key)), lit(nBuckets)))
+          .repartition(col("_p"), col("_b"))
+          .sortWithinPartitions(col("_p"), col("_b"), col(key))
+          .write.partitionBy("_p", "_b").mode("overwrite")
+          .parquet(s"$g/data")
+        listCellDirs(s, s"$g/data").map(p => s"g${m.next}/data/$p")
+      case None =>
+        folded.withColumn("_b", pmod(hash(col(key)), lit(nBuckets)))
+          .repartition(nBuckets, col("_b"))
+          .sortWithinPartitions(col("_b"), col(key))
+          .write.partitionBy("_b").mode("overwrite").parquet(s"$g/data")
+        listBucketDirs(s, s"$g/data").map(p => s"g${m.next}/data/$p")
+    }
+    require(entries.nonEmpty,
       s"EpochTable.compactBucketed: the fold leaves $path empty")
-    val entries = bucketDirs.map(p => s"g${m.next}/data/$p")
     val (_, statsWritten) = writeStatsAndCountDirs(s, path,
       entries.map(e => s"$path/$e"), s"$g/stats")
     metaRows(s, path, Seq(m))
@@ -589,9 +664,17 @@ object EpochTable {
         Kind -> Seq(KindCompact)) ++
         (if (statsWritten) Map(Stats -> Seq(s"g${m.next}/stats"))
          else Map.empty) ++
+        m.components.get(Part).map(Part -> _) ++
         m.components.get(Fields).map(Fields -> _),
       m.applied))
   }
+
+  /** The `_p=X/_b=Y` cell dirs of a composed partition+bucket write,
+    * partition-major then bucket-numeric order. */
+  private def listCellDirs(s: SparkSession, dataDir: String)
+      : Seq[String] =
+    listPartDirs(s, dataDir).flatMap(p =>
+      listBucketDirs(s, s"$dataDir/$p").map(b => s"$p/$b"))
 
   private def listBucketDirs(s: SparkSession, dataDir: String)
       : Seq[String] = {
@@ -873,6 +956,10 @@ object EpochTable {
     partSpecOf(s, path, m).foreach(ps => require(ps.col != from,
       s"EpochTable.renameColumn: $from is the partition column of " +
         s"$path — re-partition through a full refresh instead"))
+    bucketSpecOf(s, path, m).foreach(bsp => require(bsp.col != from,
+      s"EpochTable.renameColumn: $from is the bucket key of $path — " +
+        "a rename would orphan the declared join layout; refresh and " +
+        "re-bucket under the new name instead"))
     val fs = fieldsOrSynth(s, path, m)
     require(fs.exists(f => !f.dropped && f.name == from),
       s"EpochTable.renameColumn: no column $from at $path " +
@@ -900,6 +987,10 @@ object EpochTable {
       partSpecOf(s, path, m).foreach(ps => require(ps.col != name,
         s"EpochTable.dropColumn: $name is the partition column of " +
           s"$path — re-partition through a full refresh instead"))
+      bucketSpecOf(s, path, m).foreach(bsp => require(bsp.col != name,
+        s"EpochTable.dropColumn: $name is the bucket key of $path — " +
+          "dropping it would orphan the declared join layout; refresh " +
+          "without the column instead"))
       val fs = fieldsOrSynth(s, path, m)
       require(fs.exists(f => !f.dropped && f.name == name),
         s"EpochTable.dropColumn: no column $name at $path")
@@ -2944,6 +3035,70 @@ object EpochTable {
       ORDER BY custkey
     """))
 
+  /** Layouts for the COMPOSED partition+bucket entry: orders
+    * month-partitioned AND hash-bucketed on the customer key
+    * (`_p=1996-03/_b=5` cells — the canonical 100 TB fact layout:
+    * the reference's monthly release grain × the filings⋈itemizations
+    * join key), joined month-scoped against the same-width bucketed
+    * customer table. */
+  private val partBucketSaved =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  private[ops] def savedPartBucketPaths(s: SparkSession, d: String)
+      : (String, String) =
+    graft.BuildOnce.memo(partBucketSaved, d) {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val cust = s"${graft.GraftSession.scratchDir}/table_pbcust_$tag"
+      val ords = s"${graft.GraftSession.scratchDir}/table_pbords_$tag"
+      refresh(s, cust, graft.Tables.customer(s, d), version = 0L)
+      compactBucketed(s, cust, "c_custkey", nBuckets = 8)
+      refreshPartitioned(s, ords, graft.Tables.orders(s, d),
+        version = 0L, PartSpec("o_orderdate", "month"))
+      compactBucketed(s, ords, "o_custkey", nBuckets = 8)
+      (cust, ords)
+    }
+
+  /** PARTITION × BUCKET COMPOSITION, driver-verified: the fact table
+    * is month-partitioned AND bucketed on the customer key — one
+    * directory per (month, bucket) cell — so a month-scoped query
+    * plans ONLY that month's cells (stats pruning) while the scan
+    * still reports `KeyGroupedPartitioning(bucket(8, key))` over the
+    * survivors, and the join against the co-bucketed customer table
+    * runs with ZERO exchanges (`PartBucketSpec` pins the plan and the
+    * files-planned ⊆ month containment; the delete fold intersects
+    * touched month × touched bucket). The answer must hash-equal the
+    * oracle's plain join — the composed layout invisible in results. */
+  val tablePartBucket = GQuery(
+    "table_part_bucket",
+    (s, d) => {
+      val (cust, ords) = savedPartBucketPaths(s, d)
+      graft.sources.EpochTableCatalog.register(s, "graft",
+        graft.GraftSession.scratchDir)
+      val c = cust.stripPrefix(s"${graft.GraftSession.scratchDir}/")
+      val o = ords.stripPrefix(s"${graft.GraftSession.scratchDir}/")
+      s.sql(s"""
+        SELECT c.c_custkey AS custkey, c.c_mktsegment,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(o.o_totalprice), 2) AS DOUBLE) AS total
+        FROM graft.`$c` c JOIN graft.`$o` o
+          ON c.c_custkey = o.o_custkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY c.c_custkey, c.c_mktsegment
+        ORDER BY custkey
+      """)
+    },
+    Some("""
+      SELECT c.c_custkey AS custkey, c.c_mktsegment,
+             COUNT(*) AS n_orders,
+             CAST(ROUND(SUM(o.o_totalprice), 2) AS DOUBLE) AS total
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      WHERE o.o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY c.c_custkey, c.c_mktsegment
+      ORDER BY custkey
+    """))
+
   /** Layout for the diff entry: two OVERLAPPING partial versions with
     * planted modifications, so all three change kinds occur — v0 drops
     * the 1-mod-3 ids, v1 drops the 2-mod-5 ids AND rewrites etype for
@@ -3474,7 +3629,7 @@ object EpochTable {
       tableSqlMerge, tableSqlCtas,
       tableSqlSnapshot, tableCluster, tableStatsPrune, tablePartitioned,
       tablePartDelete, tablePartDelta, tableSqlCtasPart,
-      tableJoinCopart, tableStream, tableStreamWrite,
+      tableJoinCopart, tablePartBucket, tableStream, tableStreamWrite,
       tableStreamCdc,
       tableSqlChanges, tableChangesBefore, tableSqlMaintenance,
       snapshotTableFetch)
