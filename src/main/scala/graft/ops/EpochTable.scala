@@ -687,6 +687,74 @@ object EpochTable {
       .sortBy(_.stripPrefix("_b=").toInt)
   }
 
+  // ------------------------------------------------------------------
+  // TABLE PROPERTIES — a tiny key/value component riding the manifest
+  // chain (one metadata commit per change, carried forward verbatim
+  // by every epoch that inherits components). The one property with
+  // engine semantics today is `graft.mode = mor`: row-level DELETE
+  // becomes MERGE-ON-READ — the statement commits ONLY the tombstone
+  // component (O(|doomed|) bytes, zero data files rewritten) and the
+  // SQL serve path applies the tombstones at read ([[morTombstones]],
+  // [[graft.sources.EpochTableStream.MorScan]]) until a maintenance
+  // fold reaps them — the Iceberg-v2-delete-file / Delta-DV idea on
+  // the tombstone machinery the programmatic tier already had. A
+  // steady drip of point takedowns no longer rewrites hot files.
+  // ------------------------------------------------------------------
+
+  private val Props = "props"
+
+  /** Set (or with `value = None`, remove) one table property as one
+    * metadata commit under occ. */
+  def setProperty(s: SparkSession, path: String, key: String,
+      value: Option[String]): Unit = Epoch.occ(s, path) {
+    val m = current(s, path)
+    val next = value match {
+      case Some(v) => propsOf(s, path, m).updated(key, v)
+      case None => propsOf(s, path, m) - key
+    }
+    val g = Epoch.genDir(s, path, m.next)
+    import s.implicits._
+    val comps =
+      if (next.isEmpty) (m.components - Kind) - Props
+      else {
+        next.toSeq.toDF("key", "value")
+          .coalesce(1).write.mode("overwrite").parquet(s"$g/props")
+        (m.components - Kind).updated(Props, Seq(s"g${m.next}/props"))
+      }
+    Epoch.commit(s, path, Epoch.Manifest(m.next, comps, m.applied))
+  }
+
+  private[graft] def propsOf(s: SparkSession, path: String,
+      m: Epoch.Manifest): Map[String, String] =
+    Epoch.read(s, path, m, Props).map(_.collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[String]("value"))
+      .toMap).getOrElse(Map.empty)
+
+  /** Does this manifest serve row-level deletes MERGE-ON-READ? */
+  private[graft] def isMor(s: SparkSession, path: String,
+      m: Epoch.Manifest): Boolean =
+    m.components.contains(Props) &&
+      propsOf(s, path, m).get("graft.mode").contains("mor")
+
+  /** The pending tombstones the SQL read face must apply, ALIGNED to
+    * the physical column types — Some only on a mor-mode manifest
+    * with unfolded tombstones and NO merge generations (merges still
+    * refuse SQL reads pre-fold). Bounded by the takedown contract,
+    * so the scan build collects them driver-side. */
+  private[graft] def morTombstones(s: SparkSession, path: String,
+      m: Epoch.Manifest): Option[DataFrame] =
+    if (!isMor(s, path, m) ||
+        m.components.getOrElse(Merge, Seq.empty).nonEmpty) None
+    else Epoch.read(s, path, m, Tomb).map { t =>
+      val types = physReadSchema(s, path, m)
+        .map(_.fields.map(f => f.name -> f.dataType).toMap)
+        .getOrElse(s.read.parquet(m.dirs(path, Data): _*)
+          .schema.fields.map(f => f.name -> f.dataType).toMap)
+      t.select(t.columns.toSeq.map(c =>
+        types.get(c).map(dt => col(c).cast(dt).as(c))
+          .getOrElse(col(c))): _*)
+    }
+
   /** Marker component: `kind → compact` tags a CONTENT-PRESERVING
     * epoch (a fold rearranges bytes, serving before ≡ after), so the
     * change-feed faces can SKIP it instead of failing the stream —
@@ -2323,6 +2391,23 @@ object EpochTable {
           .withColumn("etype", lit("JUNK"))),
         version = 0L)
       s.sql(s"DELETE FROM graft.`$del` WHERE etype = 'JUNK'")
+      // DELETE, MERGE-ON-READ: the same junk planting as the CoW twin
+      // on a CLUSTERED layout flipped to graft.mode=mor — the DELETE
+      // commits ONLY the tombstone component (zero data files
+      // rewritten; MorDeleteSpec pins the write amplification) and
+      // the entry reads the SQL face with the tombstones still
+      // PENDING, so the reader-side anti-filter is what's verified
+      val mdel = s"table_mdel_$tag"
+      val mdelPath = s"${graft.GraftSession.scratchDir}/$mdel"
+      refresh(s, mdelPath,
+        typed.unionByName(typed.limit(500)
+          .withColumn("event_id", col("event_id") + 1000000000L)
+          .withColumn("etype", lit("JUNK"))),
+        version = 0L)
+      compact(s, mdelPath, nFiles = 8, clusterBy = Seq("event_id"))
+      s.sql(s"ALTER TABLE graft.`$mdel` " +
+        "SET TBLPROPERTIES ('graft.mode' = 'mor')")
+      s.sql(s"DELETE FROM graft.`$mdel` WHERE etype = 'JUNK'")
       // INSERT OVERWRITE: base = a corrupted partial extract, the SQL
       // overwrite commits the full reload (≙ the reference's monthly
       // reload; the corrupted version stays addressable by id)
@@ -2408,6 +2493,25 @@ object EpochTable {
   val tableSqlDelete = GQuery(
     "table_sql_delete",
     (s, d) => dmlServe(s, d, "table_del"),
+    CoreQueries.loadTyped.oracle)
+
+  /** MERGE-ON-READ `DELETE` through the catalog, driver-verified: the
+    * statement committed ONLY the tombstone component (`graft.mode =
+    * mor` — zero data files rewritten, O(|doomed|) bytes, the
+    * Iceberg-v2-delete-file discipline) and this entry reads the SQL
+    * face with the tombstones still PENDING: the scan's reader-side
+    * anti-filter must hide exactly the doomed rows, hash-equal to the
+    * CoW twin's answer. At 100 TB this is the steady takedown drip
+    * that never rewrites hot files; the maintenance fold reaps on its
+    * own cadence (`MorDeleteSpec` pins write amplification, the
+    * $changes delete row, and the fold's reap/restore). */
+  val tableSqlDeleteMor = GQuery(
+    "table_sql_delete_mor",
+    (s, d) => {
+      val tag = savedDmlTag(s, d)
+      s.sql(s"SELECT event_id, event_date, value_dec, etype, uid " +
+        s"FROM graft.`table_mdel_$tag` ORDER BY event_id")
+    },
     CoreQueries.loadTyped.oracle)
 
   /** `INSERT OVERWRITE` through the catalog, driver-verified: the
@@ -3625,6 +3729,7 @@ object EpochTable {
       tableMergeEvolve,
       tableSql, tableSqlAsof,
       tableSqlAsofTs, tableSqlVersions, tableSqlInsert, tableSqlDelete,
+      tableSqlDeleteMor,
       tableSqlOverwrite, tableSqlUpdate, tableSqlUpdatePruned,
       tableSqlMerge, tableSqlCtas,
       tableSqlSnapshot, tableCluster, tableStatsPrune, tablePartitioned,

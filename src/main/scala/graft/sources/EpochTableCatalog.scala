@@ -420,6 +420,16 @@ final class EpochTableCatalog extends TableCatalog
           "EpochTableCatalog: positioned ADD COLUMN is not supported " +
             "— new columns append to the display order")
         EpochTable.addColumn(s, p, ac.fieldNames()(0), ac.dataType())
+      case sp: TableChange.SetProperty =>
+        // table properties are one metadata commit; `graft.mode=mor`
+        // flips row-level DELETE to merge-on-read
+        if (sp.property() == "graft.mode")
+          require(Set("mor", "cow")(sp.value()),
+            s"EpochTableCatalog: graft.mode must be mor or cow, got " +
+              sp.value())
+        EpochTable.setProperty(s, p, sp.property(), Some(sp.value()))
+      case rp: TableChange.RemoveProperty =>
+        EpochTable.setProperty(s, p, rp.property(), None)
       case _ => readOnly()
     }
     loadTable(ident)
@@ -508,12 +518,27 @@ object EpochTableCatalog {
 
     override def newScanBuilder(options: CaseInsensitiveStringMap)
         : ScanBuilder = {
-      // the folded-snapshot gate: reads of a version carrying
-      // unfolded tombstones/merges refuse here (writes never arrive)
-      EpochTable.scanDirs(s, layoutPath, manifest)
+      // MERGE-ON-READ: a mor-mode manifest with pending tombstones
+      // (and no merges) serves through the tombstone-applying scan —
+      // a point DELETE committed O(|doomed|) bytes and reads stay
+      // correct until the maintenance fold reaps. Otherwise the
+      // folded-snapshot gate: reads of a version carrying unfolded
+      // tombstones/merges refuse here (writes never arrive).
+      val morTomb = EpochTable.morTombstones(s, layoutPath, manifest)
+      if (morTomb.isEmpty)
+        EpochTable.scanDirs(s, layoutPath, manifest)
       new EpochTableStream.StreamableScanBuilder(s, layoutPath,
         manifest, delegate.schema, delegate.newScanBuilder(options),
-        options, reportableBuckets)
+        options,
+        if (morTomb.isEmpty) reportableBuckets else None, morTomb)
+    }
+
+    /** Declared table properties (`SHOW TBLPROPERTIES`). */
+    override def properties(): java.util.Map[String, String] = {
+      val m = new java.util.HashMap[String, String]()
+      EpochTable.propsOf(s, layoutPath, manifest)
+        .foreach { case (k, v) => m.put(k, v) }
+      m
     }
 
     /** The next version id no retained version uses — monotone across
@@ -693,12 +718,19 @@ object EpochTableCatalog {
         val doomed = EpochTable.data(s, layoutPath, m).where(cond)
         EpochTable.delete(s, doomed, layoutPath, batchId = m.next)
       }
+      // MERGE-ON-READ mode stops here: the statement committed only
+      // the tombstone component (O(|doomed|) bytes, zero data files
+      // rewritten) — serving applies it at read and the maintenance
+      // fold reaps on its own cadence. Copy-on-write mode folds now:
       // partition-scoped on a partitioned table (∝ |touched
       // partitions| — the tombstones carry full rows, so the touched
-      // set derives exactly); whole-table fold otherwise
-      Epoch.occ(s, layoutPath) {
-        EpochTable.compactForDelete(s, layoutPath)
-      }
+      // set derives exactly), bucket-scoped on a bucketed one,
+      // whole-table otherwise.
+      if (!EpochTable.isMor(s, layoutPath,
+          EpochTable.current(s, layoutPath)))
+        Epoch.occ(s, layoutPath) {
+          EpochTable.compactForDelete(s, layoutPath)
+        }
     }
   }
 

@@ -178,7 +178,8 @@ object EpochTableStream {
       path: String, manifest: Epoch.Manifest,
       tableSchema: StructType, delegate: ParquetScanBuilder,
       options: CaseInsensitiveStringMap,
-      buckets: Option[EpochTable.BucketSpec] = None)
+      buckets: Option[EpochTable.BucketSpec] = None,
+      morTomb: Option[org.apache.spark.sql.DataFrame] = None)
       extends ScanBuilder with SupportsPushDownCatalystFilters
       with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -194,34 +195,64 @@ object EpochTableStream {
     override def pushedFilters(): Array[Predicate] =
       delegate.pushedFilters
 
+    /** The delegate's pruned schema — on a MoR-pending read, WIDENED
+      * by the tombstone-match columns the reader-side anti-filter
+      * needs (projected away after the match, so the query's output
+      * schema is untouched). */
+    private def morWiden(pruned: StructType): StructType =
+      morTomb match {
+        case None => pruned
+        case Some(t) =>
+          val have = pruned.fieldNames.toSet
+          val missing = t.columns.filterNot(have)
+          if (missing.isEmpty) pruned
+          else StructType(pruned.fields ++
+            tableSchema.fields.filter(f => missing.contains(f.name)))
+      }
+
     override def pruneColumns(requiredSchema: StructType): Unit = {
       import graft.sources.{EpochTableCatalog => Cat}
       needsGroup = requiredSchema.fieldNames.contains(Cat.GroupCol)
       val pruned = StructType(
         requiredSchema.fields.filterNot(_.name == Cat.GroupCol))
       required = Some(pruned)
-      delegate.pruneColumns(pruned)
+      delegate.pruneColumns(morWiden(pruned))
     }
 
+    // aggregate pushdown is fenced on a MoR-pending read: a pushed
+    // COUNT/MIN/MAX would answer from footers INCLUDING the doomed
+    // rows the tombstones hide
     override def pushAggregation(aggregation: Aggregation): Boolean =
-      !needsGroup && delegate.pushAggregation(aggregation)
+      !needsGroup && morTomb.isEmpty && delegate.pushAggregation(aggregation)
 
     override def supportCompletePushDown(
         aggregation: Aggregation): Boolean =
-      !needsGroup && delegate.supportCompletePushDown(aggregation)
+      !needsGroup && morTomb.isEmpty &&
+        delegate.supportCompletePushDown(aggregation)
 
     override def build(): Scan = {
       val (d, exactRows) = statsPruned()
-      if (needsGroup)
+      if (needsGroup) {
+        require(morTomb.isEmpty,
+          s"EpochTableStream: $path carries unfolded merge-on-read " +
+            "tombstones — the _g provenance/rewrite face serves raw " +
+            "files and would surface deleted rows; CALL compact first")
         new EpochTableCatalog.RewriteScan(d.build(),
           withGroup = true)
-      else {
+      } else {
         val stream =
           new TableChangesStream(s, path, options, required, pushedExprs)
-        buckets match {
-          case Some(bs) => new BucketedScan(d.build(), stream, bs,
-            exactRows)
-          case None => new StreamableScan(d.build(), stream, exactRows)
+        morTomb match {
+          case Some(t) =>
+            // the bucket claim is withdrawn while tombstones pend
+            // (same discipline as rewrite residue — withdrawal is
+            // always safe); the fold reaps them and restores it
+            new MorScan(d.build(), stream, t, required)
+          case None => buckets match {
+            case Some(bs) => new BucketedScan(d.build(), stream, bs,
+              exactRows)
+            case None => new StreamableScan(d.build(), stream, exactRows)
+          }
         }
       }
     }
@@ -269,7 +300,7 @@ object EpochTableStream {
             keep, Some(tableSchema), classOf[ParquetFileFormat])
             .newScanBuilder(emptyOpts)
           b.pushFilters(pushedExprs)
-          required.foreach(b.pruneColumns)
+          required.foreach(r => b.pruneColumns(morWiden(r)))
           val keepSet = keep.toSet
           (b, exactRowsOf(
             files.filter(f => keepSet.contains(f._1)).map(_._2), stats))
@@ -412,6 +443,95 @@ object EpochTableStream {
         exactRows.map(java.util.OptionalLong.of)
           .orElse(inner.map(_.numRows()))
           .getOrElse(java.util.OptionalLong.empty())
+    }
+  }
+
+  /** MERGE-ON-READ serving scan: the delegate parquet scan (possibly
+    * stats-pruned, pushdown intact) with the manifest's pending
+    * tombstones applied PER ROW at read — the Iceberg v2 delete-file /
+    * Delta deletion-vector idea on the tombstone component the
+    * programmatic tier already serves through. The tombstone set is
+    * bounded by the takedown contract, collected once driver-side,
+    * shipped to executors inside the reader factory, and matched by
+    * canonical UnsafeRow bytes (null-safe by construction: null bits
+    * are part of the bytes). Columns the match needs beyond the
+    * query's projection ride a WIDENED delegate schema and are
+    * projected away after the filter — the query's output schema
+    * never changes. Row-based while tombstones pend; the maintenance
+    * fold reaps them and restores vectorized reads, aggregate
+    * pushdown, and any bucket claim. */
+  private[sources] final class MorScan(delegate: Scan,
+      stream: TableChangesStream, tomb: org.apache.spark.sql.DataFrame,
+      required: Option[StructType]) extends Scan with Batch
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+    private val tombSchema = tomb.schema
+    private lazy val tombRows: Array[InternalRow] =
+      tomb.queryExecution.executedPlan.executeCollect()
+        .map(_.copy().asInstanceOf[InternalRow])
+
+    override def readSchema(): StructType =
+      required.getOrElse(delegate.readSchema())
+    override def description(): String =
+      s"epoch-mor(${tombSchema.fieldNames.mkString(",")}, " +
+        s"${delegate.description()})"
+    override def toBatch: Batch = this
+    override def toMicroBatchStream(
+        checkpointLocation: String): MicroBatchStream = stream
+    override def estimateStatistics()
+        : org.apache.spark.sql.connector.read.Statistics =
+      scanStats(delegate, None)
+    override def planInputPartitions(): Array[InputPartition] =
+      delegate.toBatch.planInputPartitions()
+    override def createReaderFactory(): PartitionReaderFactory =
+      MorReaderFactory(delegate.toBatch.createReaderFactory(),
+        delegate.readSchema(), readSchema(), tombSchema, tombRows)
+  }
+
+  /** Executor-side tombstone anti-filter + output projection. The
+    * canonical projection re-writes BOTH sides (the shipped tombstone
+    * rows and each data row's extracted match columns) through the
+    * same UnsafeProjection shape, so set membership is exact byte
+    * equality — null-safe, type-exact. */
+  private final case class MorReaderFactory(
+      inner: PartitionReaderFactory, widened: StructType,
+      out: StructType, tombSchema: StructType,
+      tombRows: Array[InternalRow]) extends PartitionReaderFactory {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection, UnsafeRow}
+
+    override def supportColumnarReads(p: InputPartition): Boolean = false
+
+    override def createReader(
+        p: InputPartition): PartitionReader[InternalRow] = {
+      val canon = UnsafeProjection.create(
+        tombSchema.fields.zipWithIndex.map { case (f, i) =>
+          BoundReference(i, f.dataType, nullable = true) }.toSeq)
+      val tombSet: Set[UnsafeRow] =
+        tombRows.map(r => canon(r).copy()).toSet
+      val extract = UnsafeProjection.create(
+        tombSchema.fields.map(f => BoundReference(
+          widened.fieldIndex(f.name), f.dataType,
+          nullable = true)).toSeq)
+      val project = UnsafeProjection.create(
+        out.fields.map(f => BoundReference(
+          widened.fieldIndex(f.name), f.dataType,
+          nullable = true)).toSeq)
+      val d = inner.createReader(p)
+      new PartitionReader[InternalRow] {
+        private var current: InternalRow = _
+        override def next(): Boolean = {
+          while (d.next()) {
+            val row = d.get()
+            if (!tombSet.contains(extract(row))) {
+              current = project(row)
+              return true
+            }
+          }
+          false
+        }
+        override def get(): InternalRow = current
+        override def close(): Unit = d.close()
+      }
     }
   }
 
