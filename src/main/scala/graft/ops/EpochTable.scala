@@ -135,13 +135,33 @@ object EpochTable {
     (perFile.map(_.getAs[Long]("__rows")).sum, entries.nonEmpty)
   }
 
+  /** Diagnostic: stats rows materialized driver-side across all scan
+    * builds this JVM — the spec-pinned proof that partition pruning
+    * bounds planning cost to the surviving partitions' files. */
+  private[graft] val statsRowsRead =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** The manifest's per-file stats rows, if any generation recorded
-    * them — the SQL catalog's planning-time pruning input. Bounded by
-    * |files| × min(|columns|, [[MaxStatCols]]). */
+    * them — the SQL catalog's planning-time pruning input. With
+    * `onlyEntries`, the read is RESTRICTED to files under the named
+    * data entries (pushed `file`-prefix predicates on the stats
+    * parquet), so a partition-pruned scan build materializes
+    * ∝ |surviving partitions' files| rows, never ∝ |table files|. */
   private[graft] def fileStats(s: SparkSession, path: String,
-      m: Epoch.Manifest): Seq[org.apache.spark.sql.Row] =
-    Epoch.read(s, path, m, Stats).map(_.collect().toSeq)
-      .getOrElse(Seq.empty)
+      m: Epoch.Manifest, onlyEntries: Option[Seq[String]] = None)
+      : Seq[org.apache.spark.sql.Row] =
+    Epoch.read(s, path, m, Stats).map { df =>
+      val filtered = onlyEntries match {
+        case Some(es) if es.nonEmpty =>
+          df.where(es.map(e =>
+            col("file").startsWith(e + "/") || col("file") === e)
+            .reduce(_ || _))
+        case _ => df
+      }
+      val rows = filtered.collect().toSeq
+      statsRowsRead.addAndGet(rows.size.toLong)
+      rows
+    }.getOrElse(Seq.empty)
 
   // ------------------------------------------------------------------
   // PARTITIONED tables — the reference's natural month grain
@@ -229,7 +249,7 @@ object EpochTable {
     * entry is partition-shaped — rewrite residue (a staged dir or a
     * carried file outside any `_p=` dir) has none and is treated as
     * touched by every fold. */
-  private def entryPartValue(entry: String): Option[String] =
+  private[graft] def entryPartValue(entry: String): Option[String] =
     entry.split("/").find(_.startsWith("_p=")).map(seg =>
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         .unescapePathName(seg.stripPrefix("_p=")))
@@ -1879,10 +1899,18 @@ object EpochTable {
     * parquet files, file entries (a prior rewrite's carried-forward
     * survivors) stand alone. One FS listing per dir entry. */
   private[graft] def dataFiles(s: SparkSession, path: String,
-      m: Epoch.Manifest): Seq[org.apache.hadoop.fs.FileStatus] = {
+      m: Epoch.Manifest): Seq[org.apache.hadoop.fs.FileStatus] =
+    dataFilesFor(s, path,
+      m.components.getOrElse(Data, Seq.empty).map(e => s"$path/$e"))
+
+  /** [[dataFiles]] restricted to specific entries — the
+    * partition-pruned scan build lists ONLY the surviving entries'
+    * dirs, so planning IO is bounded by what survived. */
+  private[graft] def dataFilesFor(s: SparkSession, path: String,
+      dirs: Seq[String]): Seq[org.apache.hadoop.fs.FileStatus] = {
     val f = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    m.dirs(path, Data).flatMap { d =>
+    dirs.flatMap { d =>
       val st = f.getFileStatus(new org.apache.hadoop.fs.Path(d))
       if (st.isFile) Seq(st)
       else f.listStatus(st.getPath).toSeq

@@ -282,27 +282,72 @@ object EpochTableStream {
       * CoW rewrite's file discovery plans over the pruned set); the
       * no-prune path returns the original builder untouched. */
     private def statsPruned(): (ParquetScanBuilder, Option[Long]) = {
-      val statRows = EpochTable.fileStats(s, path, manifest)
-      if (statRows.isEmpty) return (delegate, None)
+      val zone = s.sessionState.conf.sessionLocalTimeZone
+      val allEntries = manifest.components.getOrElse("data", Seq.empty)
+      // PARTITION-LEVEL entry pruning FIRST — pure driver arithmetic
+      // over the dir-encoded values, zero IO: pushed conjuncts on the
+      // partition column disprove whole entries before any stats row
+      // is read or any directory listed, so scan-build cost is
+      // ∝ |surviving partitions' files|, never ∝ |table files|. An
+      // entry whose value can't be interpreted keeps (conservative).
+      val entrySurvivors: Seq[String] =
+        if (pushedExprs.isEmpty) allEntries
+        else EpochTable.partSpecOf(s, path, manifest) match {
+          case None => allEntries
+          case Some(ps) =>
+            tableSchema.fields.find(_.name == ps.col)
+              .map(_.dataType) match {
+              case None => allEntries
+              case Some(dt) =>
+                val kept = allEntries.filter { e =>
+                  EpochTable.entryPartValue(e) match {
+                    case Some(v) =>
+                      StatsPrune.partitionStat(v, ps.transform, dt)
+                        match {
+                        case Some(st) => !StatsPrune.provedEmpty(
+                          pushedExprs, Map(ps.col -> st), zone)
+                        case None => true
+                      }
+                    case None => true
+                  }
+                }
+                // every partition disproven: keep ONE entry — its
+                // rows die at the pushed filter, and empty relations
+                // need no special-casing downstream
+                if (kept.isEmpty) allEntries.take(1) else kept
+            }
+        }
+      val partPruned = entrySurvivors.size < allEntries.size
+      val statRows = EpochTable.fileStats(s, path, manifest,
+        if (partPruned) Some(entrySurvivors) else None)
       val stats = StatsPrune.statsByFile(statRows)
+      if (statRows.isEmpty && !partPruned) return (delegate, None)
       val root = EpochTable.rootAbs(s, path)
-      val files = EpochTable.dataFiles(s, path, manifest).map { st =>
+      val files = EpochTable.dataFilesFor(s, path,
+        entrySurvivors.map(e => s"$path/$e")).map { st =>
         val abs = st.getPath.toUri.getPath
         (abs, abs.stripPrefix(root + "/"))
       }
+      def rebuilt(keep: Seq[String]): ParquetScanBuilder = {
+        val b = ParquetTable("epoch-stats-pruned", s, emptyOpts,
+          keep, Some(tableSchema), classOf[ParquetFileFormat])
+          .newScanBuilder(emptyOpts)
+        b.pushFilters(pushedExprs)
+        required.foreach(r => b.pruneColumns(morWiden(r)))
+        b
+      }
       if (pushedExprs.isEmpty)
         return (delegate, exactRowsOf(files.map(_._2), stats))
-      StatsPrune.surviving(pushedExprs, files, stats,
-        s.sessionState.conf.sessionLocalTimeZone) match {
-        case None => (delegate, exactRowsOf(files.map(_._2), stats))
+      StatsPrune.surviving(pushedExprs, files, stats, zone) match {
+        case None if !partPruned =>
+          (delegate, exactRowsOf(files.map(_._2), stats))
+        case None => // partition pruning alone removed entries —
+          // the relation must still rebuild over the survivors
+          (rebuilt(files.map(_._1)),
+            exactRowsOf(files.map(_._2), stats))
         case Some(keep) =>
-          val b = ParquetTable("epoch-stats-pruned", s, emptyOpts,
-            keep, Some(tableSchema), classOf[ParquetFileFormat])
-            .newScanBuilder(emptyOpts)
-          b.pushFilters(pushedExprs)
-          required.foreach(r => b.pruneColumns(morWiden(r)))
           val keepSet = keep.toSet
-          (b, exactRowsOf(
+          (rebuilt(keep), exactRowsOf(
             files.filter(f => keepSet.contains(f._1)).map(_._2), stats))
       }
     }

@@ -193,4 +193,55 @@ private[graft] object StatsPrune {
     case And(l, r) => splitAnd(l) ++ splitAnd(r)
     case other => Seq(other)
   }
+
+  /** Do the pushed conjuncts PROVE this stat map matches nothing?
+    * The partition-level entry pruner's entry point — same machinery,
+    * same conservativeness, as the per-file path. */
+  def provedEmpty(conjuncts: Seq[Expression],
+      st: Map[String, ColStat], zone: String): Boolean =
+    conjuncts.flatMap(splitAnd).exists(neverMatches(_, st, zone))
+
+  /** A PARTITION's pseudo-stat for its partition column, derived from
+    * the dir-encoded value alone — zero IO, pure driver arithmetic:
+    * a `month` partition `1996-03` bounds the column to
+    * [1996-03-01, 1996-04-01] (the upper bound inclusive-over-covers
+    * by construction — conservative, never wrong), the hive NULL
+    * partition is an all-NULL stat (any comparison disproves it,
+    * IS NULL keeps it), an unparseable value returns None and prunes
+    * nothing. TIMESTAMP bounds are epoch micros, matching [[parse]]. */
+  def partitionStat(value: String, transform: String,
+      dt: DataType): Option[ColStat] = {
+    if (value == "__HIVE_DEFAULT_PARTITION__")
+      return Some(ColStat(dt.catalogString, None, None,
+        nulls = 1L, rows = 1L))
+    def micros(d: java.time.LocalDate): Long =
+      d.toEpochDay * 86400000000L
+    // `hiEx` is the EXCLUSIVE upper bound (next period start); the
+    // stat's max must be the INCLUSIVE maximum — next start − 1 µs
+    // for timestamps, the period's last day for dates — or a
+    // boundary predicate like `>= next-month-start` could never
+    // disprove the earlier month
+    def fmt(lo: java.time.LocalDate, hiEx: java.time.LocalDate)
+        : (String, String) = dt match {
+      case TimestampType =>
+        (micros(lo).toString, (micros(hiEx) - 1L).toString)
+      case _ => (lo.toString, hiEx.minusDays(1).toString)
+    }
+    val bounds: Option[(String, String)] =
+      try transform match {
+        case "identity" => Some((value, value))
+        case "year" =>
+          val lo = java.time.LocalDate.of(value.toInt, 1, 1)
+          Some(fmt(lo, lo.plusYears(1)))
+        case "month" =>
+          val lo = java.time.YearMonth.parse(value).atDay(1)
+          Some(fmt(lo, lo.plusMonths(1)))
+        case "day" =>
+          val lo = java.time.LocalDate.parse(value)
+          Some(fmt(lo, lo.plusDays(1)))
+        case _ => None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    bounds.map { case (lo, hi) =>
+      ColStat(dt.catalogString, Some(lo), Some(hi), 0L, 1L) }
+  }
 }

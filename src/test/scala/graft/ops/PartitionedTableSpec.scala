@@ -385,6 +385,92 @@ class PartitionedTableSpec extends SparkTestBase {
     assert(e3.getMessage.contains("partition column"), e3.getMessage)
   }
 
+  test("planning is BOUNDED to surviving partitions: a one-month " +
+      "query on a 12-month table materializes only that month's " +
+      "stats rows driver-side, and entry pruning works even before " +
+      "any stats row is read") {
+    registered()
+    val path = s"$root/bound"
+    // 12 months, 40 rows each
+    val rows = (1L to 480L).map(i =>
+      (i, ts(f"2024-${(i % 12) + 1}%02d-10"), s"v$i"))
+      .toDF("id", "dt", "v")
+    EpochTable.refreshPartitioned(spark, path, rows, version = 0L,
+      EpochTable.PartSpec("dt", "month"))
+    val m = Epoch.resolve(spark, path).get
+    assert(m.components("data").size === 12)
+    // total stats rows vs the one month's share
+    val allStats = Epoch.read(spark, path, m, "stats").get.collect()
+    val monthStats = allStats.count(
+      _.getAs[String]("file").contains("_p=2024-07"))
+    assert(monthStats > 0 && monthStats < allStats.length)
+    EpochTable.statsRowsRead.set(0L)
+    val q = spark.sql("SELECT * FROM gpart.bound " +
+      "WHERE dt >= TIMESTAMP '2024-07-01 00:00:00' " +
+      "AND dt < TIMESTAMP '2024-08-01 00:00:00'")
+    assert(q.count() === 40L)
+    // Spark builds the scan twice per action (aggregate-pushdown
+    // probe + final build), so the bound is 2× the month's rows —
+    // the point is it never approaches the table's 144
+    val read = EpochTable.statsRowsRead.get()
+    assert(read > 0 && read <= 2L * monthStats,
+      s"scan build read $read stats rows; the month owns $monthStats " +
+        s"of ${allStats.length}")
+    // an unfiltered scan still reads the full stats (row-count
+    // reporting) — behavior unchanged where nothing prunes
+    EpochTable.statsRowsRead.set(0L)
+    assert(spark.sql("SELECT * FROM gpart.bound").count() === 480L)
+    assert(EpochTable.statsRowsRead.get() >= allStats.length.toLong)
+  }
+
+  test("partition-level entry pruning needs NO stats component: a " +
+      "hand-committed partitioned manifest without stats still plans " +
+      "only the asked month's files") {
+    registered()
+    val path = s"$root/nostats"
+    import org.apache.spark.sql.functions.date_format
+    val rows = (1L to 90L).map(i =>
+      (i, ts(f"2024-${(i % 3) + 1}%02d-10"), s"v$i"))
+      .toDF("id", "dt", "v")
+    rows.withColumn("_p", date_format(col("dt"), "yyyy-MM"))
+      .write.partitionBy("_p").parquet(s"$path/g0/data")
+    Seq(("dt", "month")).toDF("col", "transform")
+      .coalesce(1).write.parquet(s"$path/g0/partspec")
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = f.listStatus(new org.apache.hadoop.fs.Path(s"$path/g0/data"))
+      .filter(_.isDirectory).map(_.getPath.getName).sorted
+    Epoch.commit(spark, path, Epoch.Manifest(0L,
+      Map("data" -> parts.map(p => s"g0/data/$p").toSeq,
+        "partspec" -> Seq("g0/partspec")), Seq("ver_0")))
+    val q = spark.sql("SELECT * FROM gpart.nostats " +
+      "WHERE dt >= TIMESTAMP '2024-02-01 00:00:00' " +
+      "AND dt < TIMESTAMP '2024-03-01 00:00:00'")
+    q.collect()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(qs.plan)
+        case other => other.children.flatMap(walk) ++ (other match {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            Seq(b)
+          case _ => Seq.empty
+        })
+      }
+    val planned = walk(q.queryExecution.executedPlan)
+      .flatMap(_.inputPartitions).flatMap {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+          fp.files.map(_.filePath.toString).toSeq
+        case _ => Seq.empty[String]
+      }.distinct
+    assert(planned.nonEmpty && planned.forall(_.contains("_p=2024-02")),
+      planned.toString)
+    assert(q.count() === 30L)
+  }
+
   test("the fold's tombstone-touched derivation is session-tz-stable: " +
       "a DELETE run in another timezone still folds exactly the " +
       "writer's touched partition and removes the rows") {
