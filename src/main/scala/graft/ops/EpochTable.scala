@@ -200,12 +200,67 @@ object EpochTable {
       s"EpochTable.PartSpec: unknown transform $transform")
   }
 
+  /** The CURRENT partition spec — the highest-seq row of the spec
+    * HISTORY the `partspec` component records (legacy single-row
+    * components read as a one-spec history). */
   private[graft] def partSpecOf(s: SparkSession, path: String,
       m: Epoch.Manifest): Option[PartSpec] =
+    partSpecHistoryOf(s, path, m).lastOption
+
+  /** The FULL spec history, oldest first — every grain any retained
+    * entry was ever written under. Folds derive tombstone-touched
+    * sets under every historical spec (an entry's value is exact
+    * under its producing spec; other specs only ever ADD folding),
+    * and the planner's entry pruning interprets a value under
+    * whichever historical grains parse it. */
+  private[graft] def partSpecHistoryOf(s: SparkSession, path: String,
+      m: Epoch.Manifest): Seq[PartSpec] =
     Epoch.read(s, path, m, Part).map { df =>
-      val r = df.head()
-      PartSpec(r.getAs[String]("col"), r.getAs[String]("transform"))
-    }
+      val rows =
+        if (df.schema.fieldNames.contains("seq"))
+          df.orderBy("seq").collect().toSeq
+        else df.collect().toSeq
+      rows.map(r => PartSpec(r.getAs[String]("col"),
+        r.getAs[String]("transform")))
+    }.getOrElse(Seq.empty)
+
+  /** EVOLVE the partition spec — one metadata commit, zero data
+    * movement (the Iceberg partition-evolution discipline): retained
+    * entries keep serving under the grain they were written with
+    * (reads are per-entry `_p=`-driven), NEW deltas land under the
+    * new grain, and folds regroup exactly the entries they touch to
+    * the current grain. A table born month-grained moves to day
+    * grain without rewriting a byte of history. */
+  def evolvePartitionSpec(s: SparkSession, path: String,
+      spec: PartSpec): Unit = Epoch.occ(s, path) {
+    val m = current(s, path)
+    val hist = partSpecHistoryOf(s, path, m)
+    require(hist.nonEmpty,
+      s"EpochTable.evolvePartitionSpec: $path is not partitioned — " +
+        "commit a refreshPartitioned first")
+    if (hist.last == spec) return // already current: no-op
+    // the GRAIN evolves; the COLUMN does not — dir values from
+    // different columns would be indistinguishable to the fold's
+    // touched-set derivation and the planner's entry pruning (an
+    // identity string can parse as any grain), so a column change
+    // routes through a full refreshPartitioned instead
+    require(spec.col == hist.last.col,
+      s"EpochTable.evolvePartitionSpec: the partition column cannot " +
+        s"change (${hist.last.col} → ${spec.col}) — evolve the grain " +
+        "only, or re-partition through a full refreshPartitioned")
+    val served = data(s, path, m)
+    require(served.columns.contains(spec.col),
+      s"EpochTable.evolvePartitionSpec: no column ${spec.col} at $path")
+    val g = Epoch.genDir(s, path, m.next)
+    import s.implicits._
+    (hist :+ spec).zipWithIndex
+      .map { case (h, i) => (h.col, h.transform, i) }
+      .toDF("col", "transform", "seq")
+      .coalesce(1).write.mode("overwrite").parquet(s"$g/partspec")
+    Epoch.commit(s, path, Epoch.Manifest(m.next,
+      (m.components - Kind).updated(Part, Seq(s"g${m.next}/partspec")),
+      m.applied))
+  }
 
   /** The dir-encoded partition value of a row (string; NULL rows land
     * in the hive default partition like any Spark partitioned write).
@@ -291,7 +346,9 @@ object EpochTable {
       .write.partitionBy("_p").mode("overwrite").parquet(s"$g/data")
     writeFields(s, evolved, s"$g/fields")
     import s.implicits._
-    Seq((spec.col, spec.transform)).toDF("col", "transform")
+    // a FULL refresh replaces every entry, so the spec history resets
+    // to the one grain the new snapshot is written under
+    Seq((spec.col, spec.transform, 0)).toDF("col", "transform", "seq")
       .coalesce(1).write.mode("overwrite").parquet(s"$g/partspec")
     val partDirs = listPartDirs(s, s"$g/data")
     require(partDirs.nonEmpty,
@@ -345,15 +402,28 @@ object EpochTable {
     def entryBucket(e: String): Option[Int] =
       e.split("/").find(_.startsWith("_b="))
         .map(_.stripPrefix("_b=").toInt)
-    // tombstone-touched partition values; None = underivable
-    // (key-only tombstones) → every partition counts as touched
+    // tombstone-touched partition values, derived under EVERY
+    // retained spec of the evolution history — an entry's dir value
+    // is exact under its producing spec, and a spurious match under
+    // another grain only ever ADDS folding (safe). None = some
+    // historical spec's column is absent from the tombstones
+    // (key-only takedown) → every partition counts as touched.
+    val specHistory = {
+      val h = partSpecHistoryOf(s, path, m)
+      if (h.isEmpty) Seq(spec) else h
+    }
     val tombTouched: Option[Set[String]] = tomb match {
       case None => Some(Set.empty)
-      case Some(t) if t.columns.contains(spec.col) =>
-        Some(t.select(partValue(spec, t).as("__p")).distinct()
-          .collect().map(r => Option(r.getString(0))
-            .getOrElse(NullPart)).toSet)
-      case Some(_) => None
+      case Some(t) =>
+        val perSpec = specHistory.distinct.map { h =>
+          if (t.columns.contains(h.col))
+            Some(t.select(partValue(h, t).as("__p")).distinct()
+              .collect().map(r => Option(r.getString(0))
+                .getOrElse(NullPart)).toSet)
+          else None
+        }
+        if (perSpec.exists(_.isEmpty)) None
+        else Some(perSpec.flatten.flatten.toSet)
     }
     // tombstone-touched bucket ids (composed layouts only); None = no
     // bucket restriction (no layout, or tombstones lack the key —
@@ -3073,6 +3143,49 @@ object EpochTable {
       ORDER BY o_orderkey
     """))
 
+  /** Layout for the partition-spec EVOLUTION entry: the even-key half
+    * lands month-grained, the spec evolves month→day in one metadata
+    * commit (zero data movement), and the odd-key half arrives as a
+    * delta under the NEW day grain — month dirs and day dirs coexist
+    * in one manifest, every face still correct. */
+  private val partEvolveSaved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[ops] def savedPartEvolvePath(s: SparkSession,
+      d: String): String =
+    graft.BuildOnce.memo(partEvolveSaved, d) {
+      val path = s"${graft.GraftSession.scratchDir}/table_pevolve_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      val orders = graft.Tables.orders(s, d)
+      refreshPartitioned(s, path,
+        orders.where(col("o_orderkey") % 2 === 0), version = 0L,
+        PartSpec("o_orderdate", "month"))
+      evolvePartitionSpec(s, path, PartSpec("o_orderdate", "day"))
+      refreshDelta(s, path, orders.where(col("o_orderkey") % 2 === 1),
+        version = 1L)
+      path
+    }
+
+  /** PARTITION-SPEC EVOLUTION, driver-verified: the table moved from
+    * month to day grain MID-HISTORY in one metadata commit — retained
+    * month-grained entries keep serving as written (reads are
+    * per-entry `_p=`-driven), the delta landed day-grained, and the
+    * served union must hash-equal the raw orders table with both
+    * grains invisible. ≙ the reference's export grain changing across
+    * years without rewriting the earlier years' databases
+    * (`PartEvolveSpec` pins the mixed-grain manifest, the cross-grain
+    * delete fold, time travel to the pre-evolution version, and
+    * mixed-grain planning bounds). */
+  val tablePartEvolve = GQuery(
+    "table_part_evolve",
+    (s, d) => serve(s, savedPartEvolvePath(s, d)).orderBy("o_orderkey"),
+    Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders
+      ORDER BY o_orderkey
+    """))
+
   /** Layout for the partitioned-CTAS entry: the table is BORN
     * month-partitioned from one SQL statement. */
   private val ctasPartSaved =
@@ -3761,7 +3874,7 @@ object EpochTable {
       tableSqlOverwrite, tableSqlUpdate, tableSqlUpdatePruned,
       tableSqlMerge, tableSqlCtas,
       tableSqlSnapshot, tableCluster, tableStatsPrune, tablePartitioned,
-      tablePartDelete, tablePartDelta, tableSqlCtasPart,
+      tablePartDelete, tablePartDelta, tablePartEvolve, tableSqlCtasPart,
       tableJoinCopart, tablePartBucket, tableStream, tableStreamWrite,
       tableStreamCdc,
       tableSqlChanges, tableChangesBefore, tableSqlMaintenance,

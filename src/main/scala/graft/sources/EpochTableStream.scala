@@ -290,33 +290,37 @@ object EpochTableStream {
       // is read or any directory listed, so scan-build cost is
       // ∝ |surviving partitions' files|, never ∝ |table files|. An
       // entry whose value can't be interpreted keeps (conservative).
-      val entrySurvivors: Seq[String] =
-        if (pushedExprs.isEmpty) allEntries
-        else EpochTable.partSpecOf(s, path, manifest) match {
+      val entrySurvivors: Seq[String] = {
+        // the spec HISTORY shares one column (evolvePartitionSpec
+        // enforces it), so a dir value interprets under whichever
+        // historical grains parse it — exact under its producing
+        // spec; an entry prunes only when EVERY parsing
+        // interpretation proves it empty (unparseable → keep)
+        val hist = EpochTable.partSpecHistoryOf(s, path, manifest)
+          .distinct
+        if (pushedExprs.isEmpty || hist.isEmpty) allEntries
+        else tableSchema.fields.find(_.name == hist.head.col)
+          .map(_.dataType) match {
           case None => allEntries
-          case Some(ps) =>
-            tableSchema.fields.find(_.name == ps.col)
-              .map(_.dataType) match {
-              case None => allEntries
-              case Some(dt) =>
-                val kept = allEntries.filter { e =>
-                  EpochTable.entryPartValue(e) match {
-                    case Some(v) =>
-                      StatsPrune.partitionStat(v, ps.transform, dt)
-                        match {
-                        case Some(st) => !StatsPrune.provedEmpty(
-                          pushedExprs, Map(ps.col -> st), zone)
-                        case None => true
-                      }
-                    case None => true
-                  }
-                }
-                // every partition disproven: keep ONE entry — its
-                // rows die at the pushed filter, and empty relations
-                // need no special-casing downstream
-                if (kept.isEmpty) allEntries.take(1) else kept
+          case Some(dt) =>
+            val kept = allEntries.filter { e =>
+              EpochTable.entryPartValue(e) match {
+                case Some(v) =>
+                  val interps = hist.flatMap(h =>
+                    StatsPrune.partitionStat(v, h.transform, dt)
+                      .map(h.col -> _))
+                  !(interps.nonEmpty && interps.forall {
+                    case (c, st) => StatsPrune.provedEmpty(
+                      pushedExprs, Map(c -> st), zone) })
+                case None => true
+              }
             }
+            // every partition disproven: keep ONE entry — its rows
+            // die at the pushed filter, and empty relations need no
+            // special-casing downstream
+            if (kept.isEmpty) allEntries.take(1) else kept
         }
+      }
       val partPruned = entrySurvivors.size < allEntries.size
       val statRows = EpochTable.fileStats(s, path, manifest,
         if (partPruned) Some(entrySurvivors) else None)
