@@ -62,6 +62,10 @@ object Bench {
     val times = Array.fill(registry.size)(List.empty[Double])
     val failures = Array.fill[Option[(Double, String)]](registry.size)(None)
     def timeOne(idx: Int): Unit = {
+      // guide §1.5: label every query's jobs so UI/event-log analysis
+      // can attribute stages to registry entries (nanosecond-cheap;
+      // the timed region is identical).
+      spark.sparkContext.setJobDescription(s"bench:${registry(idx).name}")
       val t0 = System.nanoTime()
       try {
         registry(idx).fn(spark, sfDir)
@@ -70,7 +74,7 @@ object Bench {
       } catch { case e: Throwable =>
         failures(idx) = Some(((System.nanoTime() - t0) / 1e9,
           s"${e.getClass.getSimpleName}: ${e.getMessage}"))
-      }
+      } finally spark.sparkContext.setJobDescription(null)
     }
     for (_ <- 0 until reps; idx <- registry.indices
          if failures(idx).isEmpty)

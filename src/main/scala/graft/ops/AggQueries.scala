@@ -311,14 +311,23 @@ object AggQueries {
     (s, d) => {
       def r4(c: Column) =
         round(c, 4).cast(DecimalType(38, 4)).cast(DoubleType)
+      // r20 §4: ONE percentile buffer per group for the three
+      // l_quantity quantiles (array form) instead of three independent
+      // aggregate buffers each holding every value — same
+      // Percentile.getPercentile interpolation per element, identical
+      // doubles, one-third the aggregation state and merge work.
       Tables.lineitem(s, d)
         .groupBy(col("l_linestatus"))
         .agg(
-          r4(expr("percentile(CAST(l_quantity AS DOUBLE), 0.25)")).as("p25"),
-          r4(expr("percentile(CAST(l_quantity AS DOUBLE), 0.5)")).as("p50"),
-          r4(expr("percentile(CAST(l_quantity AS DOUBLE), 0.75)")).as("p75"),
+          expr("percentile(CAST(l_quantity AS DOUBLE), " +
+            "array(0.25D, 0.5D, 0.75D))").as("pq"),
           r4(expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.9)"))
             .as("p90_price"))
+        .select(col("l_linestatus"),
+          r4(element_at(col("pq"), 1)).as("p25"),
+          r4(element_at(col("pq"), 2)).as("p50"),
+          r4(element_at(col("pq"), 3)).as("p75"),
+          col("p90_price"))
         .orderBy("l_linestatus")
     },
     Some("""
@@ -411,12 +420,24 @@ object AggQueries {
         expr(s"approx_percentile(CAST(l_quantity AS DOUBLE), $q, 10000)")
       def ok(a: Column, e: Column): Column =
         abs(a - e) <= greatest(lit(1.0), abs(e) * 0.05)
+      // r20 §4: one exact buffer + one GK sketch for all three
+      // quantiles (array forms) instead of six independent aggregate
+      // buffers — identical per-element results, a third of the
+      // aggregation state.
       Tables.lineitem(s, d)
         .groupBy(col("l_linestatus"))
         .agg(
-          exact("0.25").as("e25"), approx("0.25").as("a25"),
-          exact("0.5").as("e50"), approx("0.5").as("a50"),
-          exact("0.75").as("e75"), approx("0.75").as("a75"))
+          expr("percentile(CAST(l_quantity AS DOUBLE), " +
+            "array(0.25D, 0.5D, 0.75D))").as("e"),
+          expr("approx_percentile(CAST(l_quantity AS DOUBLE), " +
+            "array(0.25D, 0.5D, 0.75D), 10000)").as("a"))
+        .select(col("l_linestatus"),
+          element_at(col("e"), 1).as("e25"),
+          element_at(col("a"), 1).cast(DoubleType).as("a25"),
+          element_at(col("e"), 2).as("e50"),
+          element_at(col("a"), 2).cast(DoubleType).as("a50"),
+          element_at(col("e"), 3).as("e75"),
+          element_at(col("a"), 3).cast(DoubleType).as("a75"))
         .select(col("l_linestatus"),
           round(col("e50"), 4).cast(DecimalType(38, 4)).cast(DoubleType)
             .as("p50_exact"),

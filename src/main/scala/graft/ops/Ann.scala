@@ -401,12 +401,28 @@ object Ann {
     * still pushes below the join), so every search path — query /
     * knnJoin / serveBatch — observes the deletes without any of them
     * knowing the segment exists. */
-  def load(spark: SparkSession, path: String): IvfIndex =
-    IvfIndex(
-      spark.read.parquet(s"$path/centroids")
+  /** Centroid tables resident per (path, content fingerprint) — a
+    * serving process holds its index metadata in memory instead of
+    * re-collecting the (k · dim)-bounded table on every query; the
+    * fingerprint key (see [[Layout.dirFingerprint]]) means a retrain's
+    * swapped-in centroids are always picked up. The data-side frame is
+    * still built fresh per load (lazy — tombstones and layout changes
+    * flow through it untouched). */
+  private val centroidCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Seq[(Long, Seq[Double])]]
+
+  private[ops] def loadCentroidsMemo(spark: SparkSession,
+      dir: String): Seq[(Long, Seq[Double])] =
+    graft.BuildOnce.memo(centroidCache,
+      (dir, Layout.dirFingerprint(spark, dir)))(
+      spark.read.parquet(dir)
         .select(col("centroid_id").cast(LongType), col("centroid_emb"))
         .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq,
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq)
+
+  def load(spark: SparkSession, path: String): IvfIndex =
+    IvfIndex(
+      loadCentroidsMemo(spark, s"$path/centroids"),
       Layout.minusTombstones(spark,
         spark.read.parquet(s"$path/assigned"), path))
 

@@ -79,9 +79,17 @@ object Components {
       maxRounds: Int = 30): DataFrame = {
     val idCol = nodes.columns.head
     val Seq(srcCol, dstCol) = edges.columns.toSeq.take(2)
+    // r20 guide §1.2/§5: the edge list is read by EVERY round's
+    // neighbor-min join, and the edges the callers pass are themselves
+    // expensive pipelines (LSH banding + exact-Jaccard verification) —
+    // without persistence each round re-executed that whole DAG. Cache
+    // the symmetrized list once (disk-backed so eviction can't silently
+    // reintroduce the recompute), drop it at the fixpoint. Linear in
+    // |E| — the same budget the per-round shuffle already pays.
     val sym = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var (labels, labelsRdd) = materialize(nodes
       .select(col(idCol).as("id"), col(idCol).as("component")))
     var prevSum = checksum(labels)
@@ -118,6 +126,7 @@ object Components {
       labels = compressed
       labelsRdd = compressedRdd
     }
+    sym.unpersist(blocking = false)
     labels
   }
 

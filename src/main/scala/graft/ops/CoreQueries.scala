@@ -388,8 +388,15 @@ object CoreQueries {
           Tracking.forTable(name, cleaned, Load.load(tdef, cleaned.good))
         } finally lines.unpersist(blocking = false)
       }
+      // r20 guide §2.6: the two splits' counts are independent jobs —
+      // overlap them (same discipline as tracking_version).
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
       Tracking.toDf(s,
-          Seq(loadSplit("events_even", 0), loadSplit("events_odd", 1)))
+          Await.result(Future.sequence(Seq(
+            Future(loadSplit("events_even", 0)),
+            Future(loadSplit("events_odd", 1)))), Duration.Inf))
         .select(col("tableName").as("table_name"),
           col("downloadRecords").as("download_records"),
           col("cleanRecords").as("clean_records"),
@@ -537,9 +544,20 @@ object CoreQueries {
             cleaned, Load.load(tdef, cleaned.good))
         } finally lines.unpersist(blocking = false)
       }
-      val files = Seq(
-        fileMetrics("r_even", 0, 0), fileMetrics("r_even", 0, 1),
-        fileMetrics("r_odd", 1, 0), fileMetrics("r_odd", 1, 1))
+      // r20 guide §2.6: the four files' count jobs are independent —
+      // submit them from driver threads so each file's tail back-fills
+      // the others' idle executors instead of serializing 4×3 count
+      // jobs end-to-end. Job descriptions/results are per-thread; the
+      // metrics rows land in declaration order regardless of finish
+      // order, so the output frame is unchanged.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val files = Await.result(Future.sequence(Seq(
+        Future(fileMetrics("r_even", 0, 0)),
+        Future(fileMetrics("r_even", 0, 1)),
+        Future(fileMetrics("r_odd", 1, 0)),
+        Future(fileMetrics("r_odd", 1, 1)))), Duration.Inf)
       import s.implicits._
       val filesDf = files.map { case (rel, m) =>
         (rel, m.tableName, m.downloadRecords, m.cleanRecords,

@@ -100,11 +100,24 @@ object CorpusQueries {
             i => array_join(slice(toks, i * 3 + 1, lit(3)), " "))))
         .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
           col("col").as("chunk"))
-      val freq = chunks.groupBy("chunk")
-        .agg(count_distinct(col("doc_id")).as("df"))
-      val kept = chunks.join(freq.filter(col("df") <= 2), "chunk")
-      val tot = chunks.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_chunks"))
+      // r20 §2.4: chunk document-frequency via ONE window pass over the
+      // chunk-partitioned rows (df = max dense_rank ordered by doc_id —
+      // exactly count_distinct(doc_id) per chunk) instead of a separate
+      // groupBy(chunk) aggregate joined back onto a SECOND explode of
+      // the corpus. One exchange on chunk where there were two plus a
+      // join; the explode runs once, not three times.
+      import org.apache.spark.sql.expressions.Window
+      val wc = Window.partitionBy(col("chunk"))
+      val kept = chunks
+        .withColumn("dr", dense_rank().over(wc.orderBy(col("doc_id"))))
+        .withColumn("df", max(col("dr")).over(wc))
+        .filter(col("df") <= 2)
+        .select(col("doc_id"), col("pos"), col("chunk"))
+      // n_chunks is derivable without the explode: the chunk generator
+      // emits exactly nChunks rows per non-null-text doc.
+      val tot = Tables.documents(s, d)
+        .select(col("doc_id"), nChunks.cast(LongType).as("n_chunks"))
+        .where(col("n_chunks").isNotNull)
       val agg = kept.groupBy("doc_id")
         .agg(count(lit(1)).as("n_kept"),
           array_join(transform(

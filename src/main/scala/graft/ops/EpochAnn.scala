@@ -80,12 +80,19 @@ object EpochAnn {
     m.dirs(path, Assigned).map(s.read.parquet(_))
       .reduce(_ unionByName _)
 
+  // r20 §5: centroids resident per pinned component-dir set (same
+  // immutable-generation reasoning as EpochIvfpq's caches) — one
+  // collect per epoch, not per served query.
+  private val centCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(Long, Seq[Double])]]
+
   private def centroidsOf(s: SparkSession, path: String,
       m: Epoch.Manifest): Seq[(Long, Seq[Double])] =
-    Epoch.read(s, path, m, Cents).get
-      .select(col("centroid_id").cast(LongType), col("centroid_emb"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    graft.BuildOnce.memo(centCache, m.dirs(path, Cents).mkString(";"))(
+      Epoch.read(s, path, m, Cents).get
+        .select(col("centroid_id").cast(LongType), col("centroid_emb"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq)
 
   /** Load ONE pinned epoch as the shared [[Ann.IvfIndex]] — after
     * this, every [[Ann]] read path (query, serveBatch, kNN join,

@@ -88,22 +88,34 @@ object EpochIvfpq {
     m.dirs(path, Encoded).map(s.read.parquet(_))
       .reduce(_ unionByName _)
 
+  // r20 §5: quantizer tables resident per pinned component-dir set —
+  // a committed generation's centroid/book files are immutable (epoch
+  // layouts only ever ADD generations), so the manifest's dir list is
+  // a complete staleness key and the (k·dim)-bounded collect runs once
+  // per epoch instead of once per served query.
+  private val centCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(Long, Seq[Double])]]
+  private val bookCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[Seq[Seq[Double]]]]
+
   private def centroidsOf(s: SparkSession, path: String,
       m: Epoch.Manifest): Seq[(Long, Seq[Double])] =
-    Epoch.read(s, path, m, Cents).get
-      .select(col("centroid_id").cast(LongType), col("centroid_emb"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    graft.BuildOnce.memo(centCache, m.dirs(path, Cents).mkString(";"))(
+      Epoch.read(s, path, m, Cents).get
+        .select(col("centroid_id").cast(LongType), col("centroid_emb"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq)
 
   private def booksOf(s: SparkSession, path: String,
       m: Epoch.Manifest): Seq[Seq[Seq[Double]]] =
-    Epoch.read(s, path, m, Books).get
-      .select(col("sub").cast("int"), col("code").cast("int"),
-        col("centroid"))
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toSeq }
+    graft.BuildOnce.memo(bookCache, m.dirs(path, Books).mkString(";"))(
+      Epoch.read(s, path, m, Books).get
+        .select(col("sub").cast("int"), col("code").cast("int"),
+          col("centroid"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toSeq })
 
   /** Load the CURRENT pinned epoch as a plain [[Ivfpq.IvfPqIndex]] —
     * every [[Ivfpq]] read path works unchanged on it. */

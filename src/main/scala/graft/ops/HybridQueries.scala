@@ -352,13 +352,11 @@ object HybridQueries {
       val kwServed = TextQueries.bm25ServeBatch(s, d, multiRequests,
         topK = KwTopK)
         .select(col("query_id"), col("doc_id"), col("rnk").as("kw_rnk"))
-      val e = Tables.embeddings(s, d)
+      // r20 §5: request vectors via the once-per-process probe memo
+      // (VectorQueries.probeEmbedding) instead of a collect per rep
       val probeEmb: Map[Long, Seq[Double]] =
-        e.filter(col("vec_id") < multiRequests.size)
-          .select(col("vec_id").cast(LongType),
-            transform(col("embedding"), _.cast(DoubleType)))
-          .collect()
-          .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+        (0L until multiRequests.size.toLong)
+          .map(i => i -> VectorQueries.probeEmbedding(s, d, i)).toMap
       val servedIds = hybridServeBatch(s, d,
         multiRequests.map { case (qid, terms) =>
           (qid, terms, probeEmb(qid)) })
@@ -1132,13 +1130,20 @@ object HybridQueries {
         .select(col("doc_id"), col("rrf").as("rel"))
       val embs = Tables.embeddings(s, d)
         .select(col("vec_id").as("doc_id"), col("embedding"))
-      val cand = fusedList.join(embs, Seq("doc_id"))
-        .localCheckpoint(true)
-      val shortlist = cand.select("doc_id", "rel").collect()
+      // r20 §5: ONE collect of the ≤64-row shortlist (ids, rels AND
+      // embeddings) replaces localCheckpoint + a second collect; the
+      // pairwise-sim crossJoin below then runs over the re-created
+      // LOCAL relation through the same VecMath kernels — identical
+      // engine bits, two fewer driver round-trips per serve.
+      val candPlan = fusedList.join(embs, Seq("doc_id"))
+      val candRows = candPlan.collect()
+      val shortlist = candRows
         .map(r => r.getLong(0) -> r.getDouble(1))
       require(shortlist.length <= 64,
         s"hybrid_mmr: ${shortlist.length} candidates — the shortlist " +
           "contract (≤ kw_k + vec_k) is broken upstream")
+      val cand = s.createDataFrame(
+        java.util.Arrays.asList(candRows: _*), candPlan.schema)
       val a = cand.select(col("doc_id").as("ida"),
         col("embedding").as("ea"))
       val b = cand.select(col("doc_id").as("idb"),

@@ -76,22 +76,29 @@ object Ivfpq {
       .write.mode("overwrite").parquet(s"$path/books")
   }
 
+  /** Coarse centroids resident per (path, fingerprint) — shared memo
+    * with the float-IVF index (see [[Ann.loadCentroidsMemo]]): the
+    * quantizer tables are the small, frozen-between-retrains metadata a
+    * serving process keeps in memory; the fingerprint key picks up any
+    * retrain swap. */
   private def loadCentroids(spark: SparkSession,
       path: String): Seq[(Long, Seq[Double])] =
-    spark.read.parquet(s"$path/centroids")
-      .select(col("centroid_id").cast(LongType), col("centroid_emb"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    Ann.loadCentroidsMemo(spark, s"$path/centroids")
+
+  private val bookCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Seq[Seq[Seq[Double]]]]
 
   private def loadBooks(spark: SparkSession,
       path: String): Seq[Seq[Seq[Double]]] =
-    spark.read.parquet(s"$path/books")
-      .select(col("sub").cast(IntegerType), col("code").cast(IntegerType),
-        col("centroid"))
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toSeq }
+    graft.BuildOnce.memo(bookCache,
+      (path, Layout.dirFingerprint(spark, s"$path/books")))(
+      spark.read.parquet(s"$path/books")
+        .select(col("sub").cast(IntegerType), col("code").cast(IntegerType),
+          col("centroid"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toSeq })
 
   /** Load a saved index; [[search]] on it prunes to the probed cell
     * directories and the ADC phase reads only the codes column. When a

@@ -104,6 +104,26 @@ private[graft] object Layout {
     * the data for real, so the segment stays a broadcast-sized side
     * table. ONE definition behind every index's serving path (postings,
     * IVF, IVF-PQ) so the crash-recovery-sensitive pattern cannot fork. */
+  /** Cheap content fingerprint of a layout directory: the sorted
+    * (name, length, mtime) listing. Used as the staleness component of
+    * once-per-process driver caches over SMALL layout components
+    * (centroid/codebook tables): a retrain/compact swaps in new files
+    * (fresh names from the staged write), so any mutation changes the
+    * fingerprint and the cache can never serve a stale component —
+    * unlike a bare path key. One FS listing per serve: microseconds
+    * locally, one RPC on a real store — always cheaper than the collect
+    * job it replaces (optimization guide §5: the driver should do
+    * almost no data work, and re-collecting an unchanged component per
+    * query was exactly that). */
+  def dirFingerprint(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else fs.listStatus(p).map(st =>
+      s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString(",")
+  }
+
   def tombstonesOpt(s: SparkSession, path: String): Option[DataFrame] =
     if (dirExists(s, s"$path/tombstones"))
       Some(s.read.parquet(s"$path/tombstones"))

@@ -241,25 +241,34 @@ object NearDup {
   private[ops] def serveCore(s: SparkSession, probes: DataFrame,
       tau: Double, bandsFor: Seq[String] => DataFrame,
       toksFor: Seq[Long] => DataFrame): DataFrame = {
+    import s.implicits._
     val probeToks = docProjection(probes)
-    val probeBands = bandRows(probes)
+    // r20 guide §5 (driver round-trips): the band rows are bounded by
+    // the MaxProbes ceiling below, so ONE typed collect both enforces
+    // the ceiling and supplies the pushed-In key set — replacing the
+    // localCheckpoint + count + collect triple (three sequential jobs)
+    // with a single job. The broadcast side then ships the already-
+    // local rows with no recompute. Same rows, same ceilings.
+    val bandLocal = bandRows(probes)
       .select(col("doc_id").as("probe_id"), col("band_idx"),
         col("band_key"))
-      .localCheckpoint(true)
-    val nBandRows = probeBands.count()
-    require(nBandRows <= MaxProbes * 4L,
-      s"serveNearDup: probe batch yields $nBandRows band rows " +
+      .as[(Long, Int, String)].collect()
+    require(bandLocal.length <= MaxProbes * 4L,
+      s"serveNearDup: probe batch yields ${bandLocal.length} band rows " +
         s"(> ${MaxProbes * 4} ceiling) — split the batch")
-    val keys = probeBands.select("band_key").distinct()
-      .collect().map(_.getString(0)).toSeq
-    val cand = bandsFor(keys)
+    val probeBands = bandLocal.toSeq
+      .toDF("probe_id", "band_idx", "band_key")
+    val keys = bandLocal.map(_._3).distinct.toSeq
+    // candidate set is MaxCandidates-bounded: collect it once (one
+    // job), serve the verification join from the local rows.
+    val candLocal = bandsFor(keys)
       .join(broadcast(probeBands), Seq("band_idx", "band_key"))
       .where(col("doc_id") =!= col("probe_id"))
       .select(col("probe_id"), col("doc_id").as("match_id"))
       .distinct()
-      .localCheckpoint(true)
-    val ids = cand.select("match_id").distinct()
-      .collect().map(_.getLong(0)).toSeq
+      .as[(Long, Long)].collect()
+    val cand = candLocal.toSeq.toDF("probe_id", "match_id")
+    val ids = candLocal.map(_._2).distinct.toSeq
     require(ids.length <= MaxCandidates,
       s"serveNearDup: ${ids.length} candidate ids (> $MaxCandidates " +
         "ceiling) — widen the LSH bands (minhashWidthFor) or split " +

@@ -112,10 +112,12 @@ object Suggest {
     require(queries.nonEmpty && queries.size <= 1000,
       s"suggestBatch: ${queries.size} queries (bounded request batch)")
     import s.implicits._
-    val requests = queries.distinct
+    val reqPairs = queries.distinct
       .flatMap(q => delNeighborhood(q).distinct.map(q -> _))
-      .toDF("query", "delkey")
-    val keys = requests.select("delkey").as[String].collect().distinct
+    val requests = reqPairs.toDF("query", "delkey")
+    // r20 §5: the request frame IS driver-local — derive the pushed-In
+    // key set from the local pairs instead of a collect job per serve
+    val keys = reqPairs.map(_._2).distinct.toArray
     val cand = candidateRead(s, s"$path/delnbr", requests, keys,
       maxInPushdown)
       .select(col("query"), col("term"), col("df"))
@@ -277,10 +279,11 @@ object Suggest {
     require(queries.nonEmpty && queries.size <= 1000,
       s"suggestBatch2: ${queries.size} queries (bounded request batch)")
     import s.implicits._
-    val requests = queries.distinct
+    val reqPairs = queries.distinct
       .flatMap(q => delNeighborhood2(q).map(q -> _))
-      .toDF("query", "delkey")
-    val keys = requests.select("delkey").as[String].collect().distinct
+    val requests = reqPairs.toDF("query", "delkey")
+    // local key derivation — same rationale as suggestBatch
+    val keys = reqPairs.map(_._2).distinct.toArray
     val cand = candidateRead(s, s"$path/delnbr2", requests, keys,
       maxInPushdown)
       .select(col("query"), col("term"), col("df"))

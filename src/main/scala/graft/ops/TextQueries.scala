@@ -767,16 +767,41 @@ object TextQueries {
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), col("toks"),
           size(col("toks")).cast(LongType).as("dl"))
-      val stats = docs.agg(count(lit(1)).cast(DoubleType).as("n_docs"),
-        avg(col("dl")).as("avgdl"))
-      // postings-with-tf, restricted to the query terms before grouping
+      // r20 §2.3/§2.4: tf as a NARROW per-term occurrence count
+      // (size(filter(toks, = term)) per query term) instead of
+      // explode-every-token → IN-filter → (term, doc) hash-agg. Same
+      // (term, doc_id, dl, tf) rows — exact integer counts either way —
+      // but the explode of ~every corpus token and the pre-aggregation
+      // exchange are gone; at 100 TB the tokenizer-side tf pass is a
+      // map, not a shuffle. (The PERSISTED-index form, bm25_serve, was
+      // always the true scale path; this is the tokenize-on-read twin.)
       val tf = docs
-        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-        .where(col("term").isin(bm25Terms: _*))
-        .groupBy(col("term"), col("doc_id"), col("dl"))
-        .agg(count(lit(1)).cast(DoubleType).as("tf"))
-      val dfs = tf.groupBy(col("term"))
-        .agg(count(lit(1)).cast(DoubleType).as("df"))
+        .select(col("doc_id"), col("dl"),
+          explode(array(bm25Terms.map(t =>
+            struct(lit(t).as("term"),
+              size(filter(col("toks"), x => x === lit(t)))
+                .cast(DoubleType).as("tf"))): _*)).as("tc"))
+        .select(col("tc.term").as("term"), col("doc_id"), col("dl"),
+          col("tc.tf").as("tf"))
+        .where(col("tf") > 0d)
+      // ONE 1-row aggregate carries corpus stats AND every term's df
+      // (df_i = #docs whose per-term count is positive — identical to
+      // counting tf rows per term); dfs/stats project from it, so the
+      // old third documents scan (df re-aggregation over an exploded
+      // tf recompute) disappears.
+      val sdCols = count(lit(1)).cast(DoubleType).as("n_docs") +:
+        avg(col("dl")).as("avgdl") +:
+        bm25Terms.zipWithIndex.map { case (t, i) =>
+          sum(when(size(filter(col("toks"), x => x === lit(t))) > 0,
+            1.0).otherwise(0.0)).as(s"df_$i")
+        }
+      val sd = docs.agg(sdCols.head, sdCols.tail: _*)
+      val stats = sd.select(col("n_docs"), col("avgdl"))
+      val dfs = sd.select(explode(array(
+          bm25Terms.zipWithIndex.map { case (t, i) =>
+            struct(lit(t).as("term"), col(s"df_$i").as("df"))
+          }: _*)).as("td"))
+        .select(col("td.term").as("term"), col("td.df").as("df"))
       bm25TopK(tf, dfs, stats)
     },
     Some("""
