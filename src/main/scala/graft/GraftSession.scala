@@ -37,6 +37,17 @@ object GraftSession {
       // join distribution without an exchange; inert for every scan
       // that reports nothing
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // r20 guide §2.2/§6: distributed file listing defaults to ONE
+      // TASK PER PATH (parallelPartitionDiscoveryParallelism=10000), so
+      // a 2.5k-partition epoch read paid a 2.5k-task listing job whose
+      // work was 0.1 s of stat calls under 4 s of scheduling. 128
+      // listing tasks bound the scheduler overhead at ANY path count
+      // while each task batches many store RPCs — the right shape on a
+      // real object store too, where per-task listing throughput (not
+      // task count) is the limit. Override via the standard conf knob
+      // if a deployment's store needs more listing concurrency.
+      .config("spark.sql.sources.parallelPartitionDiscovery.parallelism",
+        "128")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // managed-table root for bucketed sinks (S5): keep it out of the

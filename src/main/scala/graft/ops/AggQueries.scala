@@ -119,6 +119,10 @@ object AggQueries {
   val aggApproxDistinct = GQuery(
     "agg_approx_distinct",
     (s, d) =>
+      // (r20: a Fan.out fan-out was measured here and REVERTED — the
+      // extra 600k-row exchange cost more than the parallel partial
+      // distinct saved; the two-level distinct already bounds the
+      // single-task work to one hash pass)
       Tables.lineitem(s, d)
         // NULL partkeys would count as a distinct pair here but are
         // excluded by the oracle's COUNT(DISTINCT) — drop them so both
@@ -316,6 +320,9 @@ object AggQueries {
       // aggregate buffers each holding every value — same
       // Percentile.getPercentile interpolation per element, identical
       // doubles, one-third the aggregation state and merge work.
+      // (r20: a Fan.out fan-out was measured here and REVERTED — the
+      // percentile buffers ship every value through the exchange, so
+      // spreading them cost more than the parallel insert saved)
       Tables.lineitem(s, d)
         .groupBy(col("l_linestatus"))
         .agg(

@@ -389,9 +389,12 @@ object CorpusQueries {
   val lmPerplexity = GQuery(
     "lm_perplexity",
     (s, d) => {
-      val docs = Tables.documents(s, d)
-        .where(size(split(col("text"), " ")) >= 2)
-        .select(col("doc_id"), col("text"))
+      // r20 §2 (Fan): bigram explode + two count tables over every
+      // token — spread the tokenization when the scan is one split
+      // (filter stays on the scan side, so pushdown is unchanged)
+      val docs = Fan.out(Tables.documents(s, d)
+          .where(size(split(col("text"), " ")) >= 2)
+          .select(col("doc_id"), col("text")), col("doc_id"))
       val big = docs.select(col("doc_id"),
         explode(TextQueries.ngramShingles(col("text"), 2)).as("bg"))
       // context count = bigrams STARTING with w1 (not the raw unigram

@@ -89,9 +89,24 @@ object HybridQueries {
     val zero = lit(BigDecimal(0)).cast(DecimalType(38, 6))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("rrf").desc, col("doc_id"))
-    val kwB = kw.withColumn("kw_rnk", boundedRank(col("kw_rnk"), "keyword"))
-    val vecB = vec.withColumn("vec_rnk", boundedRank(col("vec_rnk"), "vector"))
-    kwB.join(vecB, keys :+ "doc_id", "full_outer")
+    // r20 §2.4: the full-outer join of two per-(key, doc) UNIQUE ranked
+    // lists is exactly a union + max-per-side aggregate — one exchange
+    // where the join paid two plus a sort. Rank uniqueness per side is
+    // the member-tier contract (each emits contiguous 1..topK per key),
+    // so max() only ever folds one non-null rank with nulls; fused rows,
+    // values and hashes are identical to the join form.
+    val kwB = kw
+      .withColumn("kw_rnk", boundedRank(col("kw_rnk"), "keyword"))
+      .select(keys.map(col) ++ Seq(col("doc_id"), col("kw_rnk"),
+        lit(null).cast(LongType).as("vec_rnk")): _*)
+    val vecB = vec
+      .withColumn("vec_rnk", boundedRank(col("vec_rnk"), "vector"))
+      .select(keys.map(col) ++ Seq(col("doc_id"),
+        lit(null).cast(LongType).as("kw_rnk"), col("vec_rnk")): _*)
+    kwB.unionByName(vecB)
+      .groupBy((keys :+ "doc_id").map(col): _*)
+      .agg(max(col("kw_rnk")).as("kw_rnk"),
+        max(col("vec_rnk")).as("vec_rnk"))
       .select(keys.map(col) ++ Seq(col("doc_id"), col("kw_rnk"),
         col("vec_rnk"),
         (coalesce(rrfTerm(col("kw_rnk")), zero) +

@@ -537,11 +537,18 @@ object IncrQueries {
         .getOrElse(lit(true))
       val probed = delta.withColumn("_maybe",
         coalesce(probe, lit(false)))
+      // r20 §5: the deduped delta feeds FOUR downstream subtrees (the
+      // five-constraint gate scans it three ways, the merge partial
+      // once) — materialize it once per batch instead of re-running
+      // the bloom probe + exact anti-join per subtree. This is also
+      // the deployment shape: the streaming form's idempotent state
+      // write materializes the deduped batch anyway.
       val fresh = probed.filter(!col("_maybe"))
         .unionByName(probed.filter(col("_maybe"))
           .join(history.select(col("o_orderkey")), Seq("o_orderkey"),
             "left_anti"))
         .drop("_maybe")
+        .localCheckpoint(true)
       val gateOk = CorpusQueries
         .constraintReport(fresh, Tables.customer(s, d))
         .agg((coalesce(sum(when(col("ok"), 0).otherwise(1)), lit(0L))

@@ -480,7 +480,11 @@ object TextQueries {
     "decontaminate",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val trainSh = docs.filter(col("doc_id") >= 50)
+      // r20 §2 (Fan): shingling every training doc is the dominant
+      // cost — spread it when the scan is a single split (the filter
+      // stays below, so the pushed range predicate is unchanged)
+      val trainSh = Fan.out(docs.filter(col("doc_id") >= 50),
+          col("doc_id"))
         .select(col("doc_id"),
           explode(array_distinct(fiveGramShingles(col("text"))))
             .as("shingle"))
@@ -517,7 +521,9 @@ object TextQueries {
   val textRepetition = GQuery(
     "text_repetition",
     (s, d) => {
-      Tables.documents(s, d)
+      // r20 §2 (Fan): shingle-array construction + distinct per row is
+      // the whole cost — spread it when the scan is a single split
+      Fan.out(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"), ngramShingles(col("text"), 3).as("g"))
         .select(col("doc_id"),
           size(col("g")).cast(LongType).as("n_grams"),
@@ -1855,7 +1861,9 @@ object TextQueries {
         split(lower(coalesce(col("text"), lit(""))), "[^a-z0-9]+"), "")
       val weights = transform(DedupQueries.tokenHashes32(toks),
         v => (((v % 256) * 37 + 11) % 1001) - 500)
-      Tables.documents(s, d)
+      // r20 §2 (Fan): ~10⁶ per-token hash folds are the whole cost —
+      // spread the narrow map when the scan is a single split
+      Fan.out(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"),
           size(toks).cast(LongType).as("n_toks"),
           aggregate(weights, lit(0L), (acc, w) => acc + w).as("score"))

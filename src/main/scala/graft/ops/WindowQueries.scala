@@ -113,7 +113,10 @@ object WindowQueries {
       val w = Window.partitionBy(col("l_returnflag"), col("l_linestatus"))
         .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
           col("l_linenumber"))
-      Tables.lineitem(s, d)
+      // r20 §2 (Fan): the map-side WindowGroupLimit (local sort +
+      // per-group top-5) otherwise runs inside the single-split scan
+      // task — spread it; identity at deployment scan parallelism
+      Fan.out(Tables.lineitem(s, d), col("l_orderkey"))
         .withColumn("rn", row_number().over(w).cast(LongType))
         .filter(col("rn") <= 5)
         .select("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber",
