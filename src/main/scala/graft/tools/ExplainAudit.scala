@@ -21,7 +21,12 @@ object ExplainAudit {
         // agg_pushdown the PushedAggregation metadata pass
         "bm25_search", "bm25_serve", "knn_join_pq", "agg_pushdown",
         "incr_pipeline")
-    val spark = graft.GraftSession.local(4, "graft-explain-audit")
+    // r20: honor the bench's core-count env var so plans whose shape is
+    // deliberately parallelism-adaptive (Fan.out) can be audited at the
+    // same core count the bench runs with; default stays 4.
+    val spark = graft.GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt,
+      "graft-explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
     for (n <- names) {
       println(s"\n========== $n ==========")
