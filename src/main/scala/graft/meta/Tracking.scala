@@ -42,16 +42,15 @@ object Tracking {
     // submit them concurrently so the stage tails overlap instead of
     // paying three sequential job round-trips (optimization guide
     // §2.6). Values and the consistency invariant are unchanged.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val goodF = Future(cleaned.good.count())
-    val badF = Future(cleaned.bad.count())
-    val loadedF = Future(loaded.count())
-    val good = Await.result(goodF, Duration.Inf)
-    val bad = Await.result(badF, Duration.Inf)
-    FileMetrics(name, good + bad, good,
-      Await.result(loadedF, Duration.Inf), bad)
+    // r21: through graft.Overlap — dedicated pool (the shared global
+    // pool mislabeled jobs and could starve under the nested fan-out
+    // in tracking_verify) and a finite await ceiling.
+    val spark = loaded.sparkSession
+    val Seq(good, bad, loadedN) = graft.Overlap.all(spark)(
+      () => cleaned.good.count(),
+      () => cleaned.bad.count(),
+      () => loaded.count())
+    FileMetrics(name, good + bad, good, loadedN, bad)
   }
 
   /** The metrics frame (≙ the RawDataFile table) for a run. */

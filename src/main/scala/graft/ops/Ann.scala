@@ -408,13 +408,16 @@ object Ann {
     * swapped-in centroids are always picked up. The data-side frame is
     * still built fresh per load (lazy — tombstones and layout changes
     * flow through it untouched). */
+  // r21 (r20 advice): keyed by dir with the fingerprint as the STAMP —
+  // a retrain's swapped-in centroids replace the entry instead of
+  // accreting one table per retrain generation
   private val centroidCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), Seq[(Long, Seq[Double])]]
+    .empty[String, (String, Seq[(Long, Seq[Double])])]
 
   private[ops] def loadCentroidsMemo(spark: SparkSession,
       dir: String): Seq[(Long, Seq[Double])] =
-    graft.BuildOnce.memo(centroidCache,
-      (dir, Layout.dirFingerprint(spark, dir)))(
+    graft.BuildOnce.memoStamped(centroidCache,
+      dir, Layout.dirFingerprint(spark, dir))(
       spark.read.parquet(dir)
         .select(col("centroid_id").cast(LongType), col("centroid_emb"))
         .collect()
@@ -441,17 +444,26 @@ object Ann {
     * recall against a filtered brute-force baseline needs nProbe sized
     * for the post-filter candidate count (`sim_filtered` verifies at
     * nProbe=3 against its filtered anchor). */
+  /** `knownProbe`: the probe embedding when the CALLER already holds it
+    * (a real serving client sends the vector with the request; the
+    * registry entries hold it in the once-per-process request memo) —
+    * skips the one-row index lookup job this method otherwise pays per
+    * invocation (r21 guide §5: driver round-trips). The caller owns the
+    * equivalence claim: the supplied vector must equal the index row's
+    * (true at every registry site — no planted mutation touches
+    * vec_id 0), and the probe-must-exist check is theirs too. */
   def query(index: IvfIndex, probeId: Long, topK: Int, nProbe: Int,
       idCol: String = "vec_id", embCol: String = "embedding",
-      candidateFilter: Option[Column] = None): DataFrame = {
-    val probe: Seq[Double] = index.assigned
+      candidateFilter: Option[Column] = None,
+      knownProbe: Option[Seq[Double]] = None): DataFrame = {
+    val probe: Seq[Double] = knownProbe.getOrElse(index.assigned
       .filter(col(idCol) === probeId)
       .select(transform(col(embCol), _.cast(DoubleType)))
       .take(1) match {
         case Array(r) => r.getSeq[Double](0).toSeq
         case _ => throw new IllegalArgumentException(
           s"Ann.query: probe id $probeId not found in the index")
-      }
+      })
     val cells: Seq[Long] = index.centroids
       .map { case (cid, cemb) => (cid, localCosine(cemb, probe)) }
       .sortBy { case (cid, csim) => (-csim, cid) }

@@ -90,9 +90,8 @@ object Components {
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var (labels, labelsRdd) = materialize(nodes
+    var (labels, labelsRdd, prevSum) = materialize(nodes
       .select(col(idCol).as("id"), col(idCol).as("component")))
-    var prevSum = checksum(labels)
     var round = 0
     var converged = false
     while (!converged) {
@@ -113,10 +112,9 @@ object Components {
       // 2. path compression: component ← component(component)
       val ptr = propagated
         .select(col("id").as("pid"), col("component").as("pcomp"))
-      val (compressed, compressedRdd) = materialize(propagated
+      val (compressed, compressedRdd, s) = materialize(propagated
         .join(ptr, propagated("component") === ptr("pid"))
         .select(propagated("id"), col("pcomp").as("component")))
-      val s = checksum(compressed)
       // this round's checkpoint now exists; the previous round's labels
       // can never be read again — drop the blocks AND (reliable path)
       // the files, so storage stays O(1) in rounds on both tiers
@@ -144,20 +142,34 @@ object Components {
     * full join lineage (and disk-backed so eviction can't silently
     * reintroduce that recompute); the cache is dropped as soon as the
     * files are durable. */
-  private def materialize(df: DataFrame): (DataFrame, RDD[_]) = {
+  private def materialize(df: DataFrame): (DataFrame, RDD[_], Long) = {
     val reliable =
       df.sparkSession.sparkContext.getCheckpointDir.isDefined
-    val cp = if (reliable) {
+    val (cp, sum) = if (reliable) {
       df.persist(StorageLevel.MEMORY_AND_DISK)
+      // r21 guide §5 (driver round-trips): the convergence checksum IS
+      // the cache-materializing action — one job computes the round's
+      // labels, populates the cache, and proves (non-)convergence,
+      // where r20 paid a separate checksum job per round
+      val s = checksum(df)
       val out = df.checkpoint(eager = true)
       df.unpersist(blocking = false) // files are durable; cache is dead
-      out
-    } else df.localCheckpoint(eager = true)
+      (out, s)
+    } else {
+      // local path, same fold: mark the plan for local checkpointing
+      // LAZILY, then let the checksum aggregate be the first (and only)
+      // action — its pass computes every partition, the marked storage
+      // level persists the blocks as they materialize, and job-end
+      // doCheckpoint() finds nothing left to save. One job per round
+      // instead of two; blocks and values identical.
+      val out = df.localCheckpoint(eager = false)
+      (out, checksum(out))
+    }
     val rdd = cp.queryExecution.analyzed.collectFirst {
       case l: LogicalRDD => l.rdd
     }.getOrElse(throw new IllegalStateException(
       "checkpointed plan is not a LogicalRDD")) // can't happen
-    (cp, rdd)
+    (cp, rdd, sum)
   }
 
   /** Free a superseded round: unpersist its blocks (the local-checkpoint

@@ -389,14 +389,13 @@ object CoreQueries {
         } finally lines.unpersist(blocking = false)
       }
       // r20 guide §2.6: the two splits' counts are independent jobs —
-      // overlap them (same discipline as tracking_version).
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
+      // overlap them (same discipline as tracking_version). r21: via
+      // graft.Overlap — labeled jobs, finite await, starvation-proof
+      // under the nested forTable fan-out.
       Tracking.toDf(s,
-          Await.result(Future.sequence(Seq(
-            Future(loadSplit("events_even", 0)),
-            Future(loadSplit("events_odd", 1)))), Duration.Inf))
+          graft.Overlap.all(s)(
+            () => loadSplit("events_even", 0),
+            () => loadSplit("events_odd", 1)))
         .select(col("tableName").as("table_name"),
           col("downloadRecords").as("download_records"),
           col("cleanRecords").as("clean_records"),
@@ -550,14 +549,11 @@ object CoreQueries {
       // jobs end-to-end. Job descriptions/results are per-thread; the
       // metrics rows land in declaration order regardless of finish
       // order, so the output frame is unchanged.
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val files = Await.result(Future.sequence(Seq(
-        Future(fileMetrics("r_even", 0, 0)),
-        Future(fileMetrics("r_even", 0, 1)),
-        Future(fileMetrics("r_odd", 1, 0)),
-        Future(fileMetrics("r_odd", 1, 1)))), Duration.Inf)
+      val files = graft.Overlap.all(s)(
+        () => fileMetrics("r_even", 0, 0),
+        () => fileMetrics("r_even", 0, 1),
+        () => fileMetrics("r_odd", 1, 0),
+        () => fileMetrics("r_odd", 1, 1))
       import s.implicits._
       val filesDf = files.map { case (rel, m) =>
         (rel, m.tableName, m.downloadRecords, m.cleanRecords,

@@ -82,17 +82,24 @@ object EpochAnn {
 
   // r20 §5: centroids resident per pinned component-dir set (same
   // immutable-generation reasoning as EpochIvfpq's caches) — one
-  // collect per epoch, not per served query.
+  // collect per epoch, not per served query. ACCRETIVE by design
+  // (snapshot readers pin OLD generations concurrently with current
+  // serving — one-generation-per-path would thrash between them), so
+  // r21 adds the fieldsCache-style size bound: the cache cannot grow
+  // past the cap across unbounded retrain/compact cycles.
+  private val CentCacheMax = 256
   private val centCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(Long, Seq[Double])]]
 
   private def centroidsOf(s: SparkSession, path: String,
-      m: Epoch.Manifest): Seq[(Long, Seq[Double])] =
+      m: Epoch.Manifest): Seq[(Long, Seq[Double])] = {
+    if (centCache.size > CentCacheMax) centCache.clear()
     graft.BuildOnce.memo(centCache, m.dirs(path, Cents).mkString(";"))(
       Epoch.read(s, path, m, Cents).get
         .select(col("centroid_id").cast(LongType), col("centroid_emb"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq)
+  }
 
   /** Load ONE pinned epoch as the shared [[Ann.IvfIndex]] — after
     * this, every [[Ann]] read path (query, serveBatch, kNN join,

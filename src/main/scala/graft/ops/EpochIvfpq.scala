@@ -92,22 +92,29 @@ object EpochIvfpq {
   // a committed generation's centroid/book files are immutable (epoch
   // layouts only ever ADD generations), so the manifest's dir list is
   // a complete staleness key and the (k·dim)-bounded collect runs once
-  // per epoch instead of once per served query.
+  // per epoch instead of once per served query. ACCRETIVE by design
+  // (snapshot readers pin OLD generations concurrently with current
+  // serving); r21 adds the fieldsCache-style size bound so unbounded
+  // retrain cycles cannot grow the cache without limit (r20 advice).
+  private val QuantCacheMax = 256
   private val centCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(Long, Seq[Double])]]
   private val bookCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[Seq[Seq[Double]]]]
 
   private def centroidsOf(s: SparkSession, path: String,
-      m: Epoch.Manifest): Seq[(Long, Seq[Double])] =
+      m: Epoch.Manifest): Seq[(Long, Seq[Double])] = {
+    if (centCache.size > QuantCacheMax) centCache.clear()
     graft.BuildOnce.memo(centCache, m.dirs(path, Cents).mkString(";"))(
       Epoch.read(s, path, m, Cents).get
         .select(col("centroid_id").cast(LongType), col("centroid_emb"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq)
+  }
 
   private def booksOf(s: SparkSession, path: String,
-      m: Epoch.Manifest): Seq[Seq[Seq[Double]]] =
+      m: Epoch.Manifest): Seq[Seq[Seq[Double]]] = {
+    if (bookCache.size > QuantCacheMax) bookCache.clear()
     graft.BuildOnce.memo(bookCache, m.dirs(path, Books).mkString(";"))(
       Epoch.read(s, path, m, Books).get
         .select(col("sub").cast("int"), col("code").cast("int"),
@@ -116,6 +123,7 @@ object EpochIvfpq {
         .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
         .groupBy(_._1).toSeq.sortBy(_._1)
         .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toSeq })
+  }
 
   /** Load the CURRENT pinned epoch as a plain [[Ivfpq.IvfPqIndex]] —
     * every [[Ivfpq]] read path works unchanged on it. */

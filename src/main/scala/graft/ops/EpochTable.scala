@@ -919,12 +919,18 @@ object EpochTable {
     .empty[(String, Seq[String], Seq[(Long, Long)]),
       Option[Seq[FieldEntry]]]
 
-  private def fieldsOf(s: SparkSession, path: String,
-      m: Epoch.Manifest): Option[Seq[FieldEntry]] = {
-    val comp = m.components.getOrElse(Fields, Seq.empty)
+  /** The (dirs, per-dir (mtime,len)) identity of one manifest component
+    * — the fingerprint key [[fieldsOf]]'s cache established for
+    * immutable committed generations, shared by every manifest-metadata
+    * memo in this file (fields, merge keys, meta version ids). One
+    * cheap getFileStatus per dir instead of a parquet open per read. */
+  private def componentStamp(s: SparkSession, path: String,
+      m: Epoch.Manifest, comp: String)
+      : (Seq[String], Seq[(Long, Long)]) = {
+    val dirs = m.components.getOrElse(comp, Seq.empty)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val stamp = comp.map { e =>
+    val stamp = dirs.map { e =>
       try {
         val st = fs.getFileStatus(
           new org.apache.hadoop.fs.Path(s"$path/$e"))
@@ -933,6 +939,12 @@ object EpochTable {
         case _: java.io.FileNotFoundException => (-1L, -1L)
       }
     }
+    (dirs, stamp)
+  }
+
+  private def fieldsOf(s: SparkSession, path: String,
+      m: Epoch.Manifest): Option[Seq[FieldEntry]] = {
+    val (comp, stamp) = componentStamp(s, path, m, Fields)
     if (fieldsCache.size > FieldsCacheMax) fieldsCache.clear()
     fieldsCache.getOrElseUpdate((path, comp, stamp),
       Epoch.read(s, path, m, Fields).map(_.collect().map(r =>
@@ -1255,7 +1267,12 @@ object EpochTable {
         val latest = ups
           .withColumn("__rn", row_number().over(w))
           .where(col("__rn") === 1).drop("__gen", "__rn")
-        raw.join(broadcast(latest.select(keys.map(col): _*).distinct()),
+        // r21 guide §2.4: the anti-join needs only the merged KEY SET,
+        // which is identical for `ups` and `latest` (newest-wins keeps
+        // exactly one row per key, never zero) — taking it from `ups`
+        // drops the second evaluation of the window subtree from the
+        // base-exclusion branch; the window runs once, on the union side
+        raw.join(broadcast(ups.select(keys.map(col): _*).distinct()),
             keys, "left_anti")
           .unionByName(latest.select(raw.columns.map(col).toSeq: _*))
     }
@@ -1274,15 +1291,28 @@ object EpochTable {
 
   /** The declared upsert key columns of a merge-bearing manifest (a
     * one-row component riding the same manifest as the merge dirs —
-    * the layout stays self-describing; one tiny driver-side read, only
-    * on merge-bearing reads). */
+    * the layout stays self-describing). Memoized under the
+    * [[componentStamp]] fingerprint (r21 guide §5): committed
+    * generations are immutable, and the `.head()` was one Spark job on
+    * EVERY merge-bearing read — a pure per-rep driver-latency tax for
+    * bytes that never change. The fingerprint key makes a
+    * deleted-and-recreated layout at the same path miss the cache, the
+    * same staleness argument as [[fieldsOf]]. */
+  private val MergeKeysCacheMax = 1024
+  private val mergeKeysCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Seq[String], Seq[(Long, Long)]), Seq[String]]
+
   private def mergeKeyCols(s: SparkSession, path: String,
-      m: Epoch.Manifest): Seq[String] =
-    Epoch.read(s, path, m, MergeKeys).getOrElse(
-        throw new IllegalStateException(
-          s"EpochTable: epoch ${m.epoch} at $path has merge dirs but " +
-            "no mergekeys component"))
-      .head().getAs[scala.collection.Seq[String]]("keys").toSeq
+      m: Epoch.Manifest): Seq[String] = {
+    val (comp, stamp) = componentStamp(s, path, m, MergeKeys)
+    if (mergeKeysCache.size > MergeKeysCacheMax) mergeKeysCache.clear()
+    mergeKeysCache.getOrElseUpdate((path, comp, stamp),
+      Epoch.read(s, path, m, MergeKeys).getOrElse(
+          throw new IllegalStateException(
+            s"EpochTable: epoch ${m.epoch} at $path has merge dirs but " +
+              "no mergekeys component"))
+        .head().getAs[scala.collection.Seq[String]]("keys").toSeq)
+  }
 
   /** Resolve-then-read: the CURRENT version's table. */
   def serve(s: SparkSession, path: String): DataFrame =
@@ -1301,6 +1331,43 @@ object EpochTable {
       : Option[DataFrame] =
     manifestForVersion(s, path, version).map(m => data(s, path, m))
 
+  /** The (version id, release instant in epoch micros) pairs a
+    * manifest's meta component declares — the resolution key for
+    * version-id and TIMESTAMP-AS-OF addressing, memoized under the
+    * [[componentStamp]] fingerprint (r21 guide §5): resolving a version
+    * previously paid one `limit(1).count()` Spark job PER PROBED
+    * MANIFEST per read (a time-travel read walking back V manifests ran
+    * V tiny jobs, every rep). Committed meta generations are immutable;
+    * the fingerprint key carries the same staleness proof as
+    * [[fieldsOf]]. Release instants are stored as epoch micros (None
+    * when the column is absent or null) — exactly what the old
+    * `release_ts <= timestamp_micros(lit(t))` predicate compared. */
+  private val MetaCacheMax = 1024
+  private val metaCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Seq[String], Seq[(Long, Long)]),
+      Seq[(Long, Option[Long])]]
+
+  private def metaIds(s: SparkSession, path: String,
+      m: Epoch.Manifest): Seq[(Long, Option[Long])] = {
+    val (comp, stamp) = componentStamp(s, path, m, Meta)
+    if (metaCache.size > MetaCacheMax) metaCache.clear()
+    metaCache.getOrElseUpdate((path, comp, stamp),
+      Epoch.read(s, path, m, Meta).map { meta =>
+        val hasRel = meta.schema.fieldNames.contains("release_ts")
+        val proj =
+          if (hasRel) meta.select(col("version"), col("release_ts"))
+          else meta.select(col("version"))
+        proj.collect().toSeq.map { r =>
+          val rel =
+            if (hasRel && !r.isNullAt(1)) {
+              val i = r.getTimestamp(1).toInstant
+              Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+            } else None
+          (r.getLong(0), rel)
+        }
+      }.getOrElse(Seq.empty))
+  }
+
   /** The manifest whose meta row carries `version` — the version-id
     * resolution [[dataForVersion]] and the SQL catalog face
     * ([[graft.sources.EpochTableCatalog]]) share. */
@@ -1308,8 +1375,7 @@ object EpochTable {
       version: Long): Option[Epoch.Manifest] =
     Epoch.committedList(s, path).reverseIterator
       .flatMap(n => Epoch.resolveAsOf(s, path, n))
-      .find(m => Epoch.read(s, path, m, Meta).exists(
-        _.where(col("version") === version).limit(1).count() > 0))
+      .find(m => metaIds(s, path, m).exists(_._1 == version))
 
   /** The manifest's data dirs IF the pinned version is servable as a
     * BARE multi-dir parquet scan — what the SQL catalog face hands to
@@ -2041,15 +2107,7 @@ object EpochTable {
       tsMicros: Long): Option[Epoch.Manifest] =
     Epoch.committedList(s, path).reverseIterator
       .flatMap(n => Epoch.resolveAsOf(s, path, n))
-      .find { m =>
-        Epoch.read(s, path, m, Meta).exists { meta =>
-          meta.schema.fieldNames.contains("release_ts") &&
-            meta.where(col("release_ts").isNotNull &&
-              col("release_ts") <=
-                timestamp_micros(lit(tsMicros)))
-              .limit(1).count() > 0
-        }
-      }
+      .find(m => metaIds(s, path, m).exists(_._2.exists(_ <= tsMicros)))
 
   /** The committed CHANGES over epochs `(fromEpoch, toEpoch]` as typed
     * rows — the BATCH face of the `$changes` stream (Delta's

@@ -29,8 +29,26 @@ private[graft] object Fan {
 
   def out(df: DataFrame, key: Column): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
+    if (target <= 2) return df
+    // The probe below physically plans `df` and asks its RDD for the
+    // partition count. On an EXCHANGE-FREE frame that is pure driver
+    // work (scan split packing, no job); on a frame carrying exchanges,
+    // `df.rdd` under AQE would EXECUTE the upstream shuffle stages to
+    // materialize the final plan — a hidden job a helper must never
+    // trigger. Callers pass scan+filter frames by contract; enforce it
+    // structurally so a future caller fails loudly instead of silently
+    // running stages (r20 advice item).
+    import org.apache.spark.sql.catalyst.plans.logical._
+    df.queryExecution.optimizedPlan.foreach {
+      case n @ (_: Join | _: Aggregate | _: Window | _: Sort |
+                _: RepartitionOperation) =>
+        throw new IllegalArgumentException(
+          "Fan.out: input must be an exchange-free scan/filter/project " +
+            s"frame — found ${n.nodeName}; fan out BEFORE wide operators")
+      case _ =>
+    }
     val planned = df.rdd.getNumPartitions
-    if (target <= 2 || planned * 2 >= target) df
+    if (planned * 2 >= target) df
     else df.repartition(target, key)
   }
 }

@@ -214,7 +214,8 @@ object HybridQueries {
         .select(col("doc_id"), col("rnk").as("kw_rnk"))
       val vecServed = Ann.query(
         Ann.load(s, VectorQueries.savedIvfPath(s, d, k = 8)),
-        probeId = 0, topK = VectorQueries.IvfTopK, nProbe = 3)
+        probeId = 0, topK = VectorQueries.IvfTopK, nProbe = 3,
+        knownProbe = Some(VectorQueries.probeEmbedding(s, d)))
         .select(col("neighbor_id").as("doc_id"), col("rank").as("vec_rnk"))
       // served fusion is ≤ 15 rows by construction — broadcastable
       val servedIds = rrfFuse(kwServed, vecServed)
@@ -621,7 +622,8 @@ object HybridQueries {
       val vecServed = Ann.query(
         Ann.load(s, VectorQueries.savedIvfPath(s, d, k = 8)),
         probeId = 0, topK = VectorQueries.IvfTopK, nProbe = 3,
-        candidateFilter = Some(vecPred))
+        candidateFilter = Some(vecPred),
+        knownProbe = Some(VectorQueries.probeEmbedding(s, d)))
         .select(col("neighbor_id").as("doc_id"), col("rank").as("vec_rnk"))
       val vecExactFiltered = VectorQueries.bruteTopK(s, d,
         VectorQueries.IvfTopK, Some(vecPred))
@@ -717,7 +719,8 @@ object HybridQueries {
         .select(col("doc_id"), col("rnk").as("kw_rnk"))
       val vecServed = Ann.query(
         Ann.load(s, VectorQueries.appendedIvfPath(s, d, k = 8)),
-        probeId = 0, topK = VectorQueries.IvfTopK, nProbe = 3)
+        probeId = 0, topK = VectorQueries.IvfTopK, nProbe = 3,
+        knownProbe = Some(VectorQueries.probeEmbedding(s, d)))
         .select(col("neighbor_id").as("doc_id"), col("rank").as("vec_rnk"))
       val servedIds = rrfFuse(kwServed, vecServed)
         .select(col("doc_id"), lit(1L).as("hit"))
@@ -957,7 +960,8 @@ object HybridQueries {
         .select(col("doc_id"), col("rnk").as("kw_rnk"))
       val vecServed = Ann.query(
         Ann.load(s, VectorQueries.deletedIvfPath7(s, d, k = 8)),
-        probeId = 0, topK = VectorQueries.IvfTopK, nProbe = 3)
+        probeId = 0, topK = VectorQueries.IvfTopK, nProbe = 3,
+        knownProbe = Some(VectorQueries.probeEmbedding(s, d)))
         .select(col("neighbor_id").as("doc_id"), col("rank").as("vec_rnk"))
       val vecExactSurvivors = VectorQueries.bruteTopK(s, d,
         VectorQueries.IvfTopK, Some(pmod(col("vec_id"), lit(7)) =!= 3))
@@ -1309,7 +1313,8 @@ object HybridQueries {
         .select(col("doc_id"), col("rnk").as("kw_rnk"))
       val vecServed = Ann.query(
         EpochAnn.load(s, VectorQueries.epochIvfPath(s, d, k = 8)),
-        probeId = 0, topK = VectorQueries.IvfTopK, nProbe = 3)
+        probeId = 0, topK = VectorQueries.IvfTopK, nProbe = 3,
+        knownProbe = Some(VectorQueries.probeEmbedding(s, d)))
         .select(col("neighbor_id").as("doc_id"),
           col("rank").as("vec_rnk"))
       val servedIds = rrfFuse(kwServed, vecServed)
@@ -1372,7 +1377,8 @@ object HybridQueries {
         .select(col("doc_id"), col("rnk").as("kw_rnk"))
       val vecServed = Ann.query(
         EpochAnn.loadOn(s, ivf, Snapshot.pinned(s, ivf, pins, "ivf")),
-        probeId = 0, topK = VectorQueries.IvfTopK, nProbe = 3)
+        probeId = 0, topK = VectorQueries.IvfTopK, nProbe = 3,
+        knownProbe = Some(VectorQueries.probeEmbedding(s, d)))
         .select(col("neighbor_id").as("doc_id"),
           col("rank").as("vec_rnk"))
       val servedIds = rrfFuse(kwServed, vecServed)
@@ -1468,7 +1474,8 @@ object HybridQueries {
         .select(col("doc_id"), col("rnk").as("kw_rnk"))
       val vecServed = Ann.query(
         EpochAnn.loadOn(s, ivf, Snapshot.pinned(s, ivf, pins, "ivf")),
-        probeId = 0, topK = VectorQueries.IvfTopK, nProbe = 3)
+        probeId = 0, topK = VectorQueries.IvfTopK, nProbe = 3,
+        knownProbe = Some(VectorQueries.probeEmbedding(s, d)))
         .select(col("neighbor_id").as("doc_id"),
           col("rank").as("vec_rnk"))
       val servedIds = rrfFuse(kwServed, vecServed)

@@ -85,13 +85,15 @@ object Ivfpq {
       path: String): Seq[(Long, Seq[Double])] =
     Ann.loadCentroidsMemo(spark, s"$path/centroids")
 
+  // r21 (r20 advice): fingerprint as STAMP, not key — one codebook
+  // table per path, replaced on retrain, never accreted
   private val bookCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), Seq[Seq[Seq[Double]]]]
+    .empty[String, (String, Seq[Seq[Seq[Double]]])]
 
   private def loadBooks(spark: SparkSession,
       path: String): Seq[Seq[Seq[Double]]] =
-    graft.BuildOnce.memo(bookCache,
-      (path, Layout.dirFingerprint(spark, s"$path/books")))(
+    graft.BuildOnce.memoStamped(bookCache,
+      path, Layout.dirFingerprint(spark, s"$path/books"))(
       spark.read.parquet(s"$path/books")
         .select(col("sub").cast(IntegerType), col("code").cast(IntegerType),
           col("centroid"))
@@ -257,19 +259,23 @@ object Ivfpq {
     * Pre-filtering (not post-filtering the unfiltered top-k) means the
     * result is the k best MATCHING vectors, and the ADC budget is spent
     * only on rows the predicate admits. */
+  /** `knownProbe`: as on [[Ann.query]] — the caller-held request
+    * vector, skipping the per-invocation one-row lookup job; the
+    * caller owns the value-equivalence and existence claims. */
   def search(index: IvfPqIndex, probeId: Long, topK: Int, nProbe: Int,
       shortlist: Int, idCol: String = "vec_id",
       embCol: String = "embedding",
-      candidateFilter: Option[org.apache.spark.sql.Column] = None)
+      candidateFilter: Option[org.apache.spark.sql.Column] = None,
+      knownProbe: Option[Seq[Double]] = None)
       : DataFrame = {
-    val probe: Seq[Double] = index.encoded
+    val probe: Seq[Double] = knownProbe.getOrElse(index.encoded
       .filter(col(idCol) === probeId)
       .select(transform(col(embCol), _.cast(DoubleType)))
       .take(1) match {
         case Array(r) => r.getSeq[Double](0).toSeq
         case _ => throw new IllegalArgumentException(
           s"Ivfpq.search: probe id $probeId not found in the index")
-      }
+      })
     val probeUnit = Pq.localUnit(probe)
     val pnorm = math.sqrt(probe.map(x => x * x).sum)
     val cells: Seq[Long] = index.centroids

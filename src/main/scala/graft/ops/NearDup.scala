@@ -249,13 +249,22 @@ object NearDup {
     // localCheckpoint + count + collect triple (three sequential jobs)
     // with a single job. The broadcast side then ships the already-
     // local rows with no recompute. Same rows, same ceilings.
+    // r21 (round-20 verdict): the ceiling must trip BEFORE driver
+    // materialization — the r20 form collected first and required
+    // after, so a grossly oversized probe batch could OOM the driver
+    // instead of failing the require. limit(ceiling + 1) bounds what
+    // can ever reach the driver to one row past the ceiling (still one
+    // job); at or under the ceiling the limit passes every row through,
+    // so served results are unchanged.
+    val bandCap = MaxProbes * 4
     val bandLocal = bandRows(probes)
       .select(col("doc_id").as("probe_id"), col("band_idx"),
         col("band_key"))
+      .limit(bandCap + 1)
       .as[(Long, Int, String)].collect()
-    require(bandLocal.length <= MaxProbes * 4L,
-      s"serveNearDup: probe batch yields ${bandLocal.length} band rows " +
-        s"(> ${MaxProbes * 4} ceiling) — split the batch")
+    require(bandLocal.length <= bandCap,
+      s"serveNearDup: probe batch yields more than $bandCap band rows " +
+        "(the MaxProbes*4 ceiling) — split the batch")
     val probeBands = bandLocal.toSeq
       .toDF("probe_id", "band_idx", "band_key")
     val keys = bandLocal.map(_._3).distinct.toSeq

@@ -274,9 +274,8 @@ object Takedown {
       // other. Build each tier under a Future so those eager actions
       // overlap instead of running ~a dozen tiny jobs end-to-end; the
       // union below is unchanged (rows, ordering, hash identical).
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
+      // r21: graft.Overlap — dedicated labeled pool, finite await.
+      def Future[T](body: => T) = graft.Overlap.future(s)(body)
       val bm25F = Future {
         val lists = TextQueries.servedLists(s, p("post"),
           TextQueries.bm25Terms)
@@ -325,12 +324,14 @@ object Takedown {
           shortlist = VectorQueries.shortlistFor(
             // r20 §5: once-per-process corpus count (VectorQueries
             // embCount memo) instead of a count job per timed rep
-            VectorQueries.embCount(s, d), minS = 100))))
+            VectorQueries.embCount(s, d), minS = 100),
+          knownProbe = Some(VectorQueries.probeEmbedding(s, d)))))
       // seventh tier: the float-IVF index the SAME takedown call
       // tombstoned — served search must recall the survivor anchor
       val vectorIvfF = Future(vectorTier("vector_ivf",
         Ann.query(Ann.load(s, p("ivf")), probeId = 0,
-          topK = VectorQueries.IvfTopK, nProbe = 3)))
+          topK = VectorQueries.IvfTopK, nProbe = 3,
+          knownProbe = Some(VectorQueries.probeEmbedding(s, d)))))
       val mvQF = Future(s.read.parquet(p("base"))
         .groupBy(col("source"))
         .agg(sum(col("n_chars").cast(DecimalType(38, 0)))
@@ -338,8 +339,8 @@ object Takedown {
           count(lit(1)).as("n_rows"))
         .select(norm("mv", col("n_rows"), col("source"),
           col("sum_chars")): _*))
-      Await.result(Future.sequence(Seq(bm25F, phraseF, neardupF,
-          suggestF, vectorF, vectorIvfF, mvQF)), Duration.Inf)
+      graft.Overlap.await(Seq(bm25F, phraseF, neardupF,
+          suggestF, vectorF, vectorIvfF, mvQF))
         .reduce(_ unionByName _)
         .orderBy("tier", "k", "id")
     },
@@ -596,9 +597,8 @@ object Takedown {
       // r20 guide §2.6: overlap the eight tiers' construction-time
       // driver actions (manifest resolves, probe lookups, bounded
       // collects) — same discipline and rationale as takedown_all.
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
+      // r21: graft.Overlap — dedicated labeled pool, finite await.
+      def Future[T](body: => T) = graft.Overlap.future(s)(body)
       val bm25F = Future {
         val m = Epoch.resolve(s, p("post")).get
         EpochPostings.servedOn(s, p("post"), m, TextQueries.bm25Terms)
@@ -633,7 +633,8 @@ object Takedown {
       }
       val vectorF = Future(vectorTier("vector",
         Ann.query(EpochAnn.load(s, p("vec")), probeId = 0,
-          topK = VectorQueries.IvfTopK, nProbe = 3)))
+          topK = VectorQueries.IvfTopK, nProbe = 3,
+          knownProbe = Some(VectorQueries.probeEmbedding(s, d)))))
       // fifth tier: the epoch IVF-PQ index the SAME manifest-ledger
       // takedown tombstoned — the compressed two-phase search over the
       // pinned triple must recall the survivor anchor
@@ -643,7 +644,8 @@ object Takedown {
           shortlist = VectorQueries.shortlistFor(
             // r20 §5: once-per-process corpus count (VectorQueries
             // embCount memo) instead of a count job per timed rep
-            VectorQueries.embCount(s, d), minS = 100))))
+            VectorQueries.embCount(s, d), minS = 100),
+          knownProbe = Some(VectorQueries.probeEmbedding(s, d)))))
       val neardupF = Future(EpochNearDup.serve(s, p("nd"),
         docs.where(col("doc_id") % 62 === 8))
         .select(norm("neardup", col("probe_id"), col("match_id"),
@@ -660,8 +662,8 @@ object Takedown {
       val tableQF = Future(EpochTable.serve(s, p("tab"))
         .select(norm("table", col("doc_id"), col("source"),
           col("n_chars")): _*))
-      Await.result(Future.sequence(Seq(bm25F, phraseF, suggestF,
-          vectorF, vectorPqF, neardupF, mvQF, tableQF)), Duration.Inf)
+      graft.Overlap.await(Seq(bm25F, phraseF, suggestF,
+          vectorF, vectorPqF, neardupF, mvQF, tableQF))
         .reduce(_ unionByName _)
         .orderBy("tier", "k", "id")
     },

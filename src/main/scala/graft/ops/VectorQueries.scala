@@ -357,7 +357,8 @@ object VectorQueries {
       index: Ann.IvfIndex, topK: Int = IvfTopK, nProbe: Int = 3,
       minHits: Int = 3): org.apache.spark.sql.DataFrame =
     recallAnchored(s, d,
-      Ann.query(index, probeId = 0, topK = topK, nProbe = nProbe),
+      Ann.query(index, probeId = 0, topK = topK, nProbe = nProbe,
+        knownProbe = Some(probeEmbedding(s, d))),
       topK, minHits)
 
   /** topK shared by [[ivfWithRecall]] and [[ivfRecallOracle]] so the
@@ -447,7 +448,8 @@ object VectorQueries {
       recallAnchored(s, d,
         Ann.query(Ann.load(s, savedIvfPath(s, d, k = 8)),
           probeId = 0, topK = IvfTopK, nProbe = 3,
-          candidateFilter = Some(pred)),
+          candidateFilter = Some(pred),
+          knownProbe = Some(probeEmbedding(s, d))),
         IvfTopK, minHits = 3, extraFilter = Some(pred))
     },
     Some(s"""
@@ -574,7 +576,8 @@ object VectorQueries {
     (s, d) => recallAnchored(s, d,
       Ivfpq.search(EpochIvfpq.load(s, epochIvfpqPath(s, d, k = 8, m = 4)),
         probeId = 0, topK = IvfTopK, nProbe = 3,
-        shortlist = shortlistFor(embCount(s, d))),
+        shortlist = shortlistFor(embCount(s, d)),
+        knownProbe = Some(probeEmbedding(s, d))),
       topK = IvfTopK, minHits = 3),
     Some(ivfRecallOracle))
 
@@ -617,7 +620,8 @@ object VectorQueries {
       val pred = pmod(col("vec_id"), lit(5)) =!= 2
       recallAnchored(s, d,
         Ann.query(Ann.load(s, deletedIvfPath(s, d, k = 8)),
-          probeId = 0, topK = IvfTopK, nProbe = 3),
+          probeId = 0, topK = IvfTopK, nProbe = 3,
+          knownProbe = Some(probeEmbedding(s, d))),
         IvfTopK, minHits = 3, extraFilter = Some(pred))
     },
     Some(s"""
@@ -734,7 +738,7 @@ object VectorQueries {
       val skewOk = refitOk && post < RetrainSkewCeiling
       recallAnchored(s, d,
         Ann.query(Ann.load(s, path), probeId = 0, topK = IvfTopK,
-          nProbe = 3),
+          nProbe = 3, knownProbe = Some(probeEmbedding(s, d))),
         IvfTopK, minHits = 3)
         .withColumn("skew_ok", lit(skewOk))
     },
@@ -804,7 +808,8 @@ object VectorQueries {
       recallAnchored(s, d,
         Ivfpq.search(Ivfpq.load(s, path), probeId = 0,
           topK = IvfTopK, nProbe = 3,
-          shortlist = shortlistFor(embCount(s, d))),
+          shortlist = shortlistFor(embCount(s, d)),
+          knownProbe = Some(probeEmbedding(s, d))),
         topK = IvfTopK, minHits = 3)
         .withColumn("skew_ok", lit(skewOk))
     },
@@ -887,7 +892,8 @@ object VectorQueries {
     (s, d) => recallAnchored(s, d,
       Ivfpq.search(Ivfpq.load(s, deletedIvfpqPath(s, d, k = 8, m = 4)),
         probeId = 0, topK = IvfTopK, nProbe = 3,
-        shortlist = shortlistFor(embCount(s, d))),
+        shortlist = shortlistFor(embCount(s, d)),
+        knownProbe = Some(probeEmbedding(s, d))),
       topK = IvfTopK, minHits = 3,
       extraFilter = Some(pmod(col("vec_id"), lit(5)) =!= 2)),
     Some(s"""
@@ -910,7 +916,8 @@ object VectorQueries {
     (s, d) => recallAnchored(s, d,
       Ivfpq.search(Ivfpq.load(s, appendedIvfpqPath(s, d, k = 8, m = 4)),
         probeId = 0, topK = IvfTopK, nProbe = 3,
-        shortlist = shortlistFor(embCount(s, d))),
+        shortlist = shortlistFor(embCount(s, d)),
+        knownProbe = Some(probeEmbedding(s, d))),
       topK = IvfTopK, minHits = 3),
     Some(ivfRecallOracle))
 
@@ -998,9 +1005,11 @@ object VectorQueries {
   val simIvfUpdate = GQuery(
     "sim_ivf_update",
     (s, d) => recallAnchoredOf(
-      bruteTopKOf(updatedEmbeddings(s, d), IvfTopK),
+      bruteTopKOf(updatedEmbeddings(s, d), IvfTopK,
+        knownProbe = Some(probeEmbedding(s, d))),
       Ann.query(Ann.load(s, updatedIvfPath(s, d, k = 8)),
-        probeId = 0, topK = IvfTopK, nProbe = 3),
+        probeId = 0, topK = IvfTopK, nProbe = 3,
+        knownProbe = Some(probeEmbedding(s, d))),
       minHits = 3),
     Some(updatedRecallOracle))
 
@@ -1024,10 +1033,12 @@ object VectorQueries {
   val simIvfpqUpdate = GQuery(
     "sim_ivfpq_update",
     (s, d) => recallAnchoredOf(
-      bruteTopKOf(updatedEmbeddings(s, d), IvfTopK),
+      bruteTopKOf(updatedEmbeddings(s, d), IvfTopK,
+        knownProbe = Some(probeEmbedding(s, d))),
       Ivfpq.search(Ivfpq.load(s, updatedIvfpqPath(s, d, k = 8, m = 4)),
         probeId = 0, topK = IvfTopK, nProbe = 3,
-        shortlist = shortlistFor(embCount(s, d), minS = 100)),
+        shortlist = shortlistFor(embCount(s, d), minS = 100),
+        knownProbe = Some(probeEmbedding(s, d))),
       minHits = 3),
     Some(updatedRecallOracle))
 
@@ -1166,54 +1177,55 @@ object VectorQueries {
     },
     Some(serveRecallOracle))
 
-  /** Reference-set IVF index per sfDir for [[deconSemantic]], built once
-    * per process (the benchmark side of a decontamination run is static
-    * state, not per-query work). */
-  private val deconIndex =
-    scala.collection.concurrent.TrieMap.empty[String, Ann.IvfIndex]
-
-  private def deconIndexFor(s: org.apache.spark.sql.SparkSession,
-      d: String): Ann.IvfIndex =
-    graft.BuildOnce.memo(deconIndex, d)(
-      Ann.build(Tables.embeddings(s, d)
-        .filter(pmod(col("vec_id"), lit(5)) === 0), k = 8))
-
-  /** SEMANTIC decontamination — the composition `knn_join` exists for,
-    * driver-verified end-to-end: every corpus document retrieves its
-    * nearest neighbor IN A SEPARATE REFERENCE SET (the held-out
-    * eval-benchmark embeddings — here the vec_id % 5 == 0 slice stands
-    * in) through the unbounded kNN join, and a document whose nearest
+  /** SEMANTIC decontamination, driver-verified end-to-end: every
+    * corpus document retrieves its nearest neighbor IN A SEPARATE
+    * REFERENCE SET (the held-out eval-benchmark embeddings — here the
+    * vec_id % 5 == 0 slice stands in), and a document whose nearest
     * benchmark neighbor is too similar is a contamination hit. This is
     * the embedding-space sibling of the 5-gram `decontaminate` entry:
     * n-gram matching catches verbatim leakage, the semantic form
     * catches paraphrase.
     *
-    * Mechanism vs verification: the join side is [[Ann.knnJoin]]
-    * against the reference index (different id spaces →
-    * `excludeSelf = false`, the external-id contract the spec warns
-    * about — driver-exercised here) with topK = 1 and nProbe = k, i.e.
-    * FULL probing: the cartesian-free join mechanism runs end to end,
-    * and because the re-rank is exact and no cell is pruned, its top-1
-    * sim IS each document's true max cosine — so the whole output
-    * (max sim rounded through DECIMAL(38,4) + the threshold flag
-    * computed FROM the rounded value, so an engine ulp can never flip
-    * it) hash-verifies against the oracle's brute-force recompute with
-    * no tolerance boolean. On THIS corpus (near-uniform random
-    * cosines) a pruned probe has no margin to hide a miss in, so the
-    * exact configuration is the honest one; the pruned-recall serving
-    * trade-off is `knn_join` / `knn_join_pq`'s demonstrated claim, and
-    * a production decontamination run tunes nProbe against exactly
-    * their recall gate. */
+    * Plan shape (r21, guide §2.4/§3.1 — this entry regressed in every
+    * r20 battery and its r20 plan was structurally wasteful): the entry
+    * is EXACT by definition (nProbe = k full probing in r20's
+    * [[Ann.knnJoin]] form), and under full probing the cell equi-join
+    * is a cross product in disguise — every (corpus row, ref row) pair
+    * was materialized through an 8-distinct-key cell shuffle and a
+    * |corpus|·|refs|-row window just to keep one row per probe. The
+    * direct form of the same computation broadcasts the BOUNDED
+    * benchmark side (eval sets are small by nature; the corpus side
+    * stays unbounded and never shuffles a row) and takes max(sim) with
+    * a map-side partial aggregate: the r20 plan's 2 corpus-scaled
+    * exchanges drop to one |corpus|-row aggregate exchange. The sim
+    * expression is [[Ann.guardedSim]] with the probe norm hoisted per
+    * corpus row — the IDENTICAL VecMath kernel and operand order as
+    * knnJoin's, and max() over the same double set is order-free, so
+    * the output (max sim rounded through DECIMAL(38,4) + the threshold
+    * flag computed FROM the rounded value) hash-verifies against the
+    * oracle's brute-force recompute with no tolerance boolean, exactly
+    * as before. The pruned cartesian-free join mechanism remains
+    * demonstrated (and recall-gated) by `knn_join` / `knn_join_pq`; a
+    * production run whose reference set outgrows the broadcast budget
+    * switches back to it and tunes nProbe against their recall gate. */
   val deconSemantic = GQuery(
     "decon_semantic",
     (s, d) => {
       val e = Tables.embeddings(s, d)
       val corpus = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
-      val ann = Ann.knnJoin(deconIndexFor(s, d),
-        corpus.select(col("vec_id").as("probe_id"),
-          col("embedding").as("probe_emb")),
-        topK = 1, nProbe = 8, excludeSelf = false)
-      ann.select(col("probe_id"),
+        .select(col("vec_id").as("probe_id"),
+          col("embedding").as("probe_emb"))
+        .withColumn("_probe_norm",
+          sqrt(graft.functions.VecMath.vecNormSq(col("probe_emb"))))
+      val refs = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+        .select(col("embedding").as("ref_emb"))
+      corpus.crossJoin(broadcast(refs))
+        .select(col("probe_id"),
+          Ann.guardedSim(col("ref_emb"), col("probe_emb"),
+            col("_probe_norm")).as("sim"))
+        .groupBy(col("probe_id"))
+        .agg(max(col("sim")).as("sim"))
+        .select(col("probe_id"),
           round(col("sim"), 4).cast(DecimalType(38, 4))
             .cast(DoubleType).as("max_sim"))
         .select(col("probe_id"), col("max_sim"),
@@ -1367,7 +1379,8 @@ object VectorQueries {
     (s, d) => recallAnchored(s, d,
       Ivfpq.search(builtIvfpq(s, d, k = 8, m = 4, codes = 16),
         probeId = 0, topK = IvfTopK, nProbe = 3,
-        shortlist = shortlistFor(embCount(s, d))),
+        shortlist = shortlistFor(embCount(s, d)),
+        knownProbe = Some(probeEmbedding(s, d))),
       topK = IvfTopK, minHits = 3),
     Some(ivfRecallOracle))
 
@@ -1400,7 +1413,8 @@ object VectorQueries {
     (s, d) => recallAnchored(s, d,
       Ivfpq.search(Ivfpq.load(s, savedIvfpqPath(s, d, k = 8, m = 4)),
         probeId = 0, topK = IvfTopK, nProbe = 3,
-        shortlist = shortlistFor(embCount(s, d))),
+        shortlist = shortlistFor(embCount(s, d)),
+        knownProbe = Some(probeEmbedding(s, d))),
       topK = IvfTopK, minHits = 3),
     Some(ivfRecallOracle))
 
@@ -1424,7 +1438,8 @@ object VectorQueries {
         Ivfpq.search(Ivfpq.load(s, savedIvfpqPath(s, d, k = 8, m = 4)),
           probeId = 0, topK = IvfTopK, nProbe = 3,
           shortlist = shortlistFor(embCount(s, d)),
-          candidateFilter = Some(pred)),
+          candidateFilter = Some(pred),
+          knownProbe = Some(probeEmbedding(s, d))),
         IvfTopK, minHits = 3, extraFilter = Some(pred))
     },
     Some(s"""

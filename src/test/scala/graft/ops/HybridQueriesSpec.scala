@@ -31,6 +31,30 @@ class HybridQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("member tiers emit per-(keys, doc_id) UNIQUE ranked lists — the " +
+      "contract the union+max fusion rests on") {
+    // r20 advice: the union+max rrfFuse is equivalent to the old
+    // full-outer join ONLY while each member list is (keys, doc_id)
+    // unique — a duplicate row would be silently max-merged where the
+    // join surfaced it as duplicated output. Pin the contract on the
+    // real tiers feeding the fusion so a tier regression fails HERE,
+    // loudly, instead of being masked in every hybrid entry.
+    def assertUnique(df: org.apache.spark.sql.DataFrame,
+        keys: Seq[String], what: String): Unit = {
+      val n = df.count()
+      val nd = df.select(keys.map(col): _*).distinct().count()
+      assert(n === nd, s"$what emits duplicate ${keys.mkString("/")} rows")
+    }
+    assertUnique(TextQueries.bm25Search.fn(spark, sf), Seq("doc_id"),
+      "bm25_search (keyword tier)")
+    assertUnique(VectorQueries.bruteTopK(spark, sf, 5), Seq("neighbor_id"),
+      "bruteTopK (vector tier)")
+    assertUnique(
+      Ann.query(Ann.load(spark, VectorQueries.savedIvfPath(spark, sf, 8)),
+        probeId = 0, topK = 5, nProbe = 3), Seq("neighbor_id"),
+      "Ann.query (served vector tier)")
+  }
+
   test("rrf is the decimal round-sum of 1/(60+rank) contributions") {
     def contrib(r: Option[Long]): BigDecimal = r match {
       case Some(v) => BigDecimal(1.0 / (60.0 + v))

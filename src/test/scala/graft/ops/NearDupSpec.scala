@@ -55,6 +55,23 @@ class NearDupSpec extends SparkTestBase {
     assert(serveOff(path) === served)
   }
 
+  test("an over-ceiling probe batch fails BEFORE driver materialization") {
+    // > MaxProbes docs with >= 2 tokens each → > MaxProbes*4 band rows.
+    // The serve plan bounds its band collect with limit(ceiling + 1), so
+    // the require trips after at most ONE row past the ceiling reaches
+    // the driver — an oversized batch can fail the guard but can never
+    // OOM the driver first (the r20-verdict safety property).
+    val path = NearDup.savedFullPath(spark, sf)
+    val oversized = spark.range(NearDup.MaxProbes + 1L)
+      .select(col("id").as("doc_id"),
+        concat(lit("tok"), col("id"), lit(" alpha beta")).as("text"))
+    val e = intercept[IllegalArgumentException] {
+      NearDup.serveNearDup(spark, oversized, path).collect()
+    }
+    assert(e.getMessage.contains("band rows"), e.getMessage)
+    assert(e.getMessage.contains("split the batch"), e.getMessage)
+  }
+
   test("empty and re-delivered delete batches are no-ops") {
     val docs = graft.Tables.documents(spark, sf)
     val path = s"${graft.GraftSession.scratchDir}/neardup_spec_del"
