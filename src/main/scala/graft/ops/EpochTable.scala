@@ -1256,6 +1256,21 @@ object EpochTable {
     val raw = readDirs(dataDirs)
     val base = m.dirs(path, Merge) match {
       case Seq() => raw
+      case Seq(onlyDir) =>
+        // r21 guide §2.4 (remove shuffles outright): with ONE
+        // accumulated merge generation, newest-wins is the generation
+        // itself — [[merge]] validates every batch key-unique and
+        // null-key-free, so the window (an exchange + two sorts per
+        // read) is a provable no-op and is skipped. The anti-join
+        // build side needs only key EXISTENCE; an anti join is
+        // insensitive to build-side duplicates (and a validated batch
+        // has none), so the distinct's exchange+aggregate is dropped
+        // too. Same rows, two fewer shuffle stages per merged read.
+        val keys = mergeKeyCols(s, path, m)
+        val ups = readDirs(Seq(onlyDir))
+        raw.join(broadcast(ups.select(keys.map(col): _*)),
+            keys, "left_anti")
+          .unionByName(ups.select(raw.columns.map(col).toSeq: _*))
       case mergeDirs =>
         val keys = mergeKeyCols(s, path, m)
         val ups = mergeDirs.zipWithIndex
@@ -1271,8 +1286,13 @@ object EpochTable {
         // which is identical for `ups` and `latest` (newest-wins keeps
         // exactly one row per key, never zero) — taking it from `ups`
         // drops the second evaluation of the window subtree from the
-        // base-exclusion branch; the window runs once, on the union side
-        raw.join(broadcast(ups.select(keys.map(col): _*).distinct()),
+        // base-exclusion branch; the window runs once, on the union
+        // side. The key set is NOT deduplicated: an anti join is
+        // insensitive to build-side duplicates, duplication across
+        // generations is bounded by the generation count (compaction
+        // keeps it small), and the distinct cost a full exchange +
+        // two aggregates per read.
+        raw.join(broadcast(ups.select(keys.map(col): _*)),
             keys, "left_anti")
           .unionByName(latest.select(raw.columns.map(col).toSeq: _*))
     }
@@ -2193,8 +2213,13 @@ object EpochTable {
                 s"EpochTable.changesWithBefore: epoch ${n - 1} at " +
                   s"$path is pruned — before-images reach back " +
                   "exactly the retention horizon"))), cols)
+          // the change-key broadcast is NOT deduplicated (r21 §2.4): a
+          // semi join is insensitive to build-side duplicates, change
+          // pieces are key-unique per op by construction (merge batches
+          // validated, tombstones one row per doomed key), and the
+          // distinct cost a full exchange + two aggregates per piece
           val restricted = prevFace
-            .join(broadcast(after.select(keys.map(col): _*).distinct()),
+            .join(broadcast(after.select(keys.map(col): _*)),
               keys, "left_semi")
             .select(keys.map(col) ++ valCols.toSeq.map(f =>
               col(f.name).as(s"before_${f.name}")) :+

@@ -242,7 +242,19 @@ object NearDup {
       tau: Double, bandsFor: Seq[String] => DataFrame,
       toksFor: Seq[Long] => DataFrame): DataFrame = {
     import s.implicits._
-    val probeToks = docProjection(probes)
+    // r21 guide §5 (reused subtree): the probe shingle sets feed BOTH
+    // the band computation (collected below) and the final
+    // verification join — as two separate evaluations each serve paid
+    // the documents scan + shingle split twice. Mark the bounded toks
+    // frame for LAZY local checkpointing: the band-collect job is the
+    // first action over it, so ONE job materializes the blocks as it
+    // computes the bands (the Components.materialize fold), and the
+    // verification join reads blocks instead of re-scanning. The band
+    // rows are derived FROM the toks frame (same md5 family over the
+    // same distinct shingle arrays — `minhashSignatures(tokens=toks)`
+    // explodes the identical token set bandRows' text path would), so
+    // values are unchanged.
+    val probeToks = docProjection(probes).localCheckpoint(eager = false)
     // r20 guide §5 (driver round-trips): the band rows are bounded by
     // the MaxProbes ceiling below, so ONE typed collect both enforces
     // the ceiling and supplies the pushed-In key set — replacing the
@@ -257,7 +269,8 @@ object NearDup {
     // job); at or under the ceiling the limit passes every row through,
     // so served results are unchanged.
     val bandCap = MaxProbes * 4
-    val bandLocal = bandRows(probes)
+    val bandLocal = DedupQueries.minhashBands(
+        DedupQueries.minhashSignatures(probeToks, tokens = col("toks")))
       .select(col("doc_id").as("probe_id"), col("band_idx"),
         col("band_key"))
       .limit(bandCap + 1)
@@ -330,8 +343,16 @@ object NearDup {
     * the index, weakening the gate for exactly those mixed batches. */
   def ingestVerdicts(s: SparkSession, batch: DataFrame, path: String,
       tau: Double = Tau): DataFrame = {
+    // r21 guide §5 (reused subtree): the deduped batch feeds FOUR
+    // consumers — the serve's band/verification sides, the own-id
+    // anti-join broadcast, and the final per-document left join. Each
+    // was a separate evaluation of the batch scan + dropDuplicates
+    // exchange. Lazily checkpoint it: the serve's band-collect job is
+    // the first action (its dedup exchange computes every partition,
+    // materializing the blocks in the same job), and the other three
+    // consumers read blocks. Bounded by the ingest MaxProbes contract.
     val docs = batch.where(col("text").isNotNull)
-      .dropDuplicates("doc_id")
+      .dropDuplicates("doc_id").localCheckpoint(eager = false)
     val matches = serveNearDup(s, docs, path, tau)
       .join(broadcast(docs.select(col("doc_id").as("match_id"))),
         Seq("match_id"), "left_anti")
