@@ -82,14 +82,19 @@ object Components {
     // r20 guide §1.2/§5: the edge list is read by EVERY round's
     // neighbor-min join, and the edges the callers pass are themselves
     // expensive pipelines (LSH banding + exact-Jaccard verification) —
-    // without persistence each round re-executed that whole DAG. Cache
-    // the symmetrized list once (disk-backed so eviction can't silently
-    // reintroduce the recompute), drop it at the fixpoint. Linear in
-    // |E| — the same budget the per-round shuffle already pays.
-    val sym = edges
-      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // without persistence each round re-executed that whole DAG.
+    // r21 refinement: r20 persisted the SYMMETRIZED union lazily, so
+    // materialization (inside round 1) still evaluated the caller's
+    // pipeline once per union branch — two racing AQE stages, profiled
+    // as the bulk of dedup_cluster's time. Materialize the UNSYMMETRIZED
+    // list eagerly once (half the stored rows, one pipeline evaluation,
+    // reliable checkpoint when a checkpoint dir is configured — the
+    // same durability discipline as the label rounds) and derive the
+    // symmetric view per round from the materialized blocks.
+    val (e0, e0Rdd) = materializeEdges(edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    val sym = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
     var (labels, labelsRdd, prevSum) = materialize(nodes
       .select(col(idCol).as("id"), col(idCol).as("component")))
     var round = 0
@@ -124,8 +129,29 @@ object Components {
       labels = compressed
       labelsRdd = compressedRdd
     }
-    sym.unpersist(blocking = false)
+    release(e0, e0Rdd)
     labels
+  }
+
+  /** Materialize an edge frame once, with the same durability discipline
+    * as the label rounds: reliable checkpoint when the context has a
+    * checkpoint dir (cluster runs — survives executor churn), local
+    * checkpoint blocks otherwise. Returns the frame and the internal RDD
+    * handle so [[release]] can free blocks/files at the fixpoint. */
+  private def materializeEdges(df: DataFrame): (DataFrame, RDD[_]) = {
+    val reliable =
+      df.sparkSession.sparkContext.getCheckpointDir.isDefined
+    val cp = if (reliable) {
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      val out = df.checkpoint(eager = true)
+      df.unpersist(blocking = false)
+      out
+    } else df.localCheckpoint(eager = true)
+    val rdd = cp.queryExecution.analyzed.collectFirst {
+      case l: LogicalRDD => l.rdd
+    }.getOrElse(throw new IllegalStateException(
+      "checkpointed edge plan is not a LogicalRDD")) // can't happen
+    (cp, rdd)
   }
 
   /** Checkpoint a label table, returning the lineage-truncated frame and

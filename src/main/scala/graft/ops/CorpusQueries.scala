@@ -395,20 +395,33 @@ object CorpusQueries {
       val docs = Fan.out(Tables.documents(s, d)
           .where(size(split(col("text"), " ")) >= 2)
           .select(col("doc_id"), col("text")), col("doc_id"))
+      // r21 guide §5/§2.3: the corpus-scale bigram explode fed FOUR
+      // subtrees (context counts, vocabulary, bigram counts, scoring),
+      // each a separate tokenize+explode evaluation — and the context
+      // and vocabulary tables are EXACTLY derivable from the
+      // V²-bounded bigram count table, so three of the four
+      // corpus-scale passes were redundant. Materialize the explode
+      // once (eager local checkpoint: AQE materializes the count and
+      // scoring stages concurrently, so a lazy persist would still
+      // race two evaluations) and derive:
+      //  - c1(w1) = Σ c12 over bigrams starting with w1 (bigrams
+      //    STARTING with w1, by construction — the doc-final-token
+      //    mass exclusion the spec pins, now structural);
+      //  - V = distinct tokens of the ≥2-token docs ≡ distinct tokens
+      //    appearing in any bigram (every token in such a doc is a
+      //    bigram's w1, or the doc-final token = the last bigram's w2).
       val big = docs.select(col("doc_id"),
         explode(TextQueries.ngramShingles(col("text"), 2)).as("bg"))
-      // context count = bigrams STARTING with w1 (not the raw unigram
-      // count: a doc-final token has no successor, and normalizing by
-      // raw occurrences would leak its mass — the distribution must sum
-      // to exactly 1 over the V-word outcome space, which the spec pins)
-      val uni = big
-        .select(element_at(split(col("bg"), " "), 1).as("w1"))
-        .groupBy("w1").agg(count(lit(1)).as("c1"))
-      // V = the full token vocabulary (the smoothing outcome space)
-      val vDf = docs
-        .select(explode(split(col("text"), " ")).as("tok"))
-        .agg(count_distinct(col("tok")).cast(DoubleType).as("v"))
+        .localCheckpoint(eager = true)
       val bc = big.groupBy("bg").agg(count(lit(1)).as("c12"))
+        .localCheckpoint(eager = true) // V²-bounded; feeds 3 subtrees
+      val uni = bc
+        .select(element_at(split(col("bg"), " "), 1).as("w1"),
+          col("c12"))
+        .groupBy("w1").agg(sum(col("c12")).as("c1"))
+      val vDf = bc
+        .select(explode(split(col("bg"), " ")).as("tok"))
+        .agg(count_distinct(col("tok")).cast(DoubleType).as("v"))
       val scored = big
         .join(bc, "bg")
         .withColumn("w1", element_at(split(col("bg"), " "), 1))

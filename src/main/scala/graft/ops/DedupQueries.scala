@@ -415,10 +415,39 @@ object DedupQueries {
   def verifiedNearDupEdges(docs: DataFrame, tau: Double = 0.5,
       numHashes: Int = DefaultNumHashes,
       bandRows: Int = DefaultBandRows,
-      tokens: Column = unigramTokens): DataFrame = {
-    val toksOf = docs.select(col("doc_id"), tokens.as("toks"))
+      tokens: Column = unigramTokens,
+      materializeToks: Boolean = true): DataFrame = {
+    // r21 guide §5 (reused subtree): the tokenized doc set feeds the
+    // signature computation AND both sides of the exact-Jaccard
+    // verification — and under AQE those stages materialize
+    // CONCURRENTLY, so a lazily-persisted frame would still tokenize
+    // 2-3x (profiled on dedup_cluster: two racing 64-task stages, 13.8
+    // + 9.3 s of task time on a 100-doc input, all md5/tokenize
+    // recompute). Checkpoint the token arrays eagerly ONCE and derive
+    // candidates and verification from the blocks; the band self-join
+    // reuses one exchange, so the md5 signature pass also runs once.
+    // Callers pass pre-filtered doc sets; at corpus scale the blocks
+    // spill to disk exactly like the shuffles this feeds already do.
+    // `materializeToks = false` keeps the one-shot pipeline shape for
+    // callers that evaluate the edge set exactly once with no fixpoint
+    // downstream (dedup_minhash_verify): there the extra checkpoint
+    // job costs more than the duplicate tokenize it saves (measured
+    // 0.63 -> 0.78 s solo — the r20 revert discipline).
+    val toksBase = docs.select(col("doc_id"), tokens.as("toks"))
+    val toksOf =
+      if (materializeToks) toksBase.localCheckpoint(eager = true)
+      else toksBase
+    val bands = minhashBands(
+      minhashSignatures(toksOf, numHashes, tokens = col("toks")),
+      numHashes, bandRows)
+    val cands = bands.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("ida"))
+      .join(bands.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("idb")), Seq("band_idx", "band_key"))
+      .filter(col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
     val inter = size(array_intersect(col("ta"), col("tb")))
-    minhashCandidates(docs, numHashes, bandRows, tokens)
+    cands
       .join(toksOf.select(col("doc_id").as("ida"), col("toks").as("ta")),
         "ida")
       .join(toksOf.select(col("doc_id").as("idb"), col("toks").as("tb")),
@@ -436,7 +465,7 @@ object DedupQueries {
     "dedup_minhash_verify",
     (s, d) => {
       val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
-      val verified = verifiedNearDupEdges(docs)
+      val verified = verifiedNearDupEdges(docs, materializeToks = false)
         .groupBy(col("idb"))
         .agg(min(col("ida")).as("keeper_min"))
       docs.select(col("doc_id"))
