@@ -102,7 +102,7 @@ object Tracking {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val w = Window.orderBy(col("releaseDatetime").desc)
-    spark.read.parquet(logPath)
+    graft.Pq.read(spark, logPath)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }

@@ -208,7 +208,7 @@ object Ann {
   private[ops] def appendSchemaGate(spark: SparkSession, dataDir: String,
       newVectors: DataFrame, idCol: String, embCol: String,
       caller: String): Unit =
-    scala.util.Try(spark.read.parquet(dataDir).schema)
+    scala.util.Try(graft.Pq.read(spark, dataDir).schema)
       .foreach { saved =>
         for ((name, role) <- Seq(idCol -> "id", embCol -> "embedding")) {
           val savedField = saved.find(_.name == name).getOrElse(
@@ -235,7 +235,7 @@ object Ann {
       "Ann.append")
     appendTombstoneGate(spark, path, newVectors.select(col(idCol)),
       idCol, "Ann.append")
-    val cents = spark.read.parquet(s"$path/centroids")
+    val cents = graft.Pq.read(spark, s"$path/centroids")
       .select(col("centroid_id").cast(LongType), col("centroid_emb"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
@@ -418,7 +418,7 @@ object Ann {
       dir: String): Seq[(Long, Seq[Double])] =
     graft.BuildOnce.memoStamped(centroidCache,
       dir, Layout.dirFingerprint(spark, dir))(
-      spark.read.parquet(dir)
+      graft.Pq.read(spark, dir)
         .select(col("centroid_id").cast(LongType), col("centroid_emb"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq)
@@ -427,7 +427,7 @@ object Ann {
     IvfIndex(
       loadCentroidsMemo(spark, s"$path/centroids"),
       Layout.minusTombstones(spark,
-        spark.read.parquet(s"$path/assigned"), path))
+        graft.Pq.read(spark, s"$path/assigned"), path))
 
   /** Top-k neighbors of `probeId` searching only the nProbe nearest
     * cells. Cell ranking happens on the driver (centroids are local);

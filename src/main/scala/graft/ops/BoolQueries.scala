@@ -92,9 +92,9 @@ object BoolQueries {
         lists.where(col("term").isin(mustNot: _*))
           .select(col("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
-    val dfs = s.read.parquet(s"$path/df")
+    val dfs = graft.Pq.read(s, s"$path/df")
       .where(col("term").isin(scoring: _*))
-    TextQueries.bm25TopK(sat, dfs, s.read.parquet(s"$path/stats"))
+    TextQueries.bm25TopK(sat, dfs, graft.Pq.read(s, s"$path/stats"))
   }
 
   /** The scoring/sat-set CTE block shared by both oracles: BM25

@@ -237,7 +237,14 @@ object CorpusQueries {
         .select(explode(TextQueries.fiveGramShingles(col("text")))
           .as("shingle"))
         .distinct()
-      val contaminated = deduped.filter(col("doc_id") >= 50)
+      // r21 guide §2.4: contamination is decided by a doc's OWN text,
+      // so computing it from the PRE-dedup quality frame is equivalent
+      // — an id the dedup window would drop never appears on the
+      // anti-join's left side, so its membership here is inert (and
+      // the oracle's `sh` CTE reads raw `documents` for exactly this
+      // reason). This halves the plan: the md5 window subtree was
+      // evaluated once per consumer before, twice in total.
+      val contaminated = docs.filter(col("doc_id") >= 50)
         .select(col("doc_id"),
           explode(array_distinct(
             TextQueries.fiveGramShingles(col("text")))).as("shingle"))

@@ -355,7 +355,7 @@ private[graft] object Epoch {
   def read(s: SparkSession, path: String, m: Manifest,
       component: String): Option[DataFrame] = {
     val ds = m.dirs(path, component)
-    if (ds.isEmpty) None else Some(s.read.parquet(ds: _*))
+    if (ds.isEmpty) None else Some(graft.Pq.read(s, ds: _*))
   }
 
   /** Retire history: keep the newest `keep` manifests plus every

@@ -77,7 +77,7 @@ object EpochAnn {
     * partition pruning. */
   private def readAssigned(s: SparkSession, path: String,
       m: Epoch.Manifest): DataFrame =
-    m.dirs(path, Assigned).map(s.read.parquet(_))
+    m.dirs(path, Assigned).map(graft.Pq.read(s, _))
       .reduce(_ unionByName _)
 
   // r20 §5: centroids resident per pinned component-dir set (same

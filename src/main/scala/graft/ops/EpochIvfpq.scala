@@ -85,7 +85,7 @@ object EpochIvfpq {
     * partition pruning. */
   private def readEncoded(s: SparkSession, path: String,
       m: Epoch.Manifest): DataFrame =
-    m.dirs(path, Encoded).map(s.read.parquet(_))
+    m.dirs(path, Encoded).map(graft.Pq.read(s, _))
       .reduce(_ unionByName _)
 
   // r20 §5: quantizer tables resident per pinned component-dir set —

@@ -127,7 +127,7 @@ object EpochPositional {
     survivors.repartitionByRange(nFiles, col("term"))
       .sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$g/lists")
-    val st = s.read.parquet(s"$g/lists")
+    val st = graft.Pq.read(s, s"$g/lists")
       .select(col("doc_id"), col("dl")).distinct()
       .agg(count(lit(1)).as("n"),
         coalesce(sum(col("dl")), lit(0L)).as("sd")).head()

@@ -178,7 +178,7 @@ object EpochPostings {
     survivors.repartitionByRange(nFiles, col("term"))
       .sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$g/lists")
-    val compacted = s.read.parquet(s"$g/lists")
+    val compacted = graft.Pq.read(s, s"$g/lists")
     compacted.groupBy(col("term"))
       .agg(count(lit(1)).cast(DoubleType).as("df"))
       .write.mode("overwrite").parquet(s"$g/df")

@@ -94,7 +94,7 @@ object EpochTable {
   private def writeStatsAndCountDirs(s: SparkSession, path: String,
       dataDirs: Seq[String], statsDir: String): (Long, Boolean) = {
     import s.implicits._
-    val df = s.read.parquet(dataDirs: _*)
+    val df = graft.Pq.read(s, dataDirs: _*)
     val statable = df.schema.fields
       .filter(f => graft.sources.StatsPrune.stattable(f.dataType))
       .take(MaxStatCols)
@@ -571,7 +571,7 @@ object EpochTable {
     val dirs = entries.map(e => s"$path/$e")
     physReadSchema(s, path, m) match {
       case Some(sc) => s.read.schema(sc).parquet(dirs: _*)
-      case None => s.read.parquet(dirs: _*)
+      case None => graft.Pq.read(s, dirs: _*)
     }
   }
 
@@ -838,7 +838,7 @@ object EpochTable {
     else Epoch.read(s, path, m, Tomb).map { t =>
       val types = physReadSchema(s, path, m)
         .map(_.fields.map(f => f.name -> f.dataType).toMap)
-        .getOrElse(s.read.parquet(m.dirs(path, Data): _*)
+        .getOrElse(graft.Pq.read(s, m.dirs(path, Data): _*)
           .schema.fields.map(f => f.name -> f.dataType).toMap)
       t.select(t.columns.toSeq.map(c =>
         types.get(c).map(dt => col(c).cast(dt).as(c))
@@ -1251,7 +1251,7 @@ object EpochTable {
     val declared = physReadSchema(s, path, m)
     def readDirs(dirs: Seq[String]): DataFrame = declared match {
       case Some(sc) => s.read.schema(sc).parquet(dirs: _*)
-      case None => s.read.parquet(dirs: _*)
+      case None => graft.Pq.read(s, dirs: _*)
     }
     val raw = readDirs(dataDirs)
     val base = m.dirs(path, Merge) match {
@@ -1614,7 +1614,7 @@ object EpochTable {
     def shape(sc: org.apache.spark.sql.types.StructType) =
       sc.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
     require(shape(s.read.parquet(stagedDir).schema) ==
-        shape(s.read.parquet(m.dirs(path, Data): _*).schema),
+        shape(graft.Pq.read(s, m.dirs(path, Data): _*).schema),
       s"EpochTable.commitStreamDelta: staged schema does not match " +
         s"the served table at $path (names or types differ) — the " +
         "table evolved mid-stream; restart the stream")
@@ -2156,7 +2156,7 @@ object EpochTable {
       throw new IllegalStateException(
         s"EpochTable.changes: epoch $toEpoch not committed at $path"))
     val cols = physReadSchema(s, path, head).getOrElse(
-      s.read.parquet(scanDataDirs(path, head): _*).schema)
+      graft.Pq.read(s, scanDataDirs(path, head): _*).schema)
     changePieces(s, path, fromEpoch, toEpoch, cols)
       .map { case (op, n, df) =>
         alignTo(df, cols)
@@ -2190,7 +2190,7 @@ object EpochTable {
         s"EpochTable.changesWithBefore: epoch $toEpoch not committed " +
           s"at $path"))
     val cols = physReadSchema(s, path, head).getOrElse(
-      s.read.parquet(scanDataDirs(path, head): _*).schema)
+      graft.Pq.read(s, scanDataDirs(path, head): _*).schema)
     require(keys.forall(cols.fieldNames.contains),
       s"EpochTable.changesWithBefore: keys $keys not in the table")
     val valCols = cols.fields.filterNot(f => keys.contains(f.name))
@@ -2276,11 +2276,11 @@ object EpochTable {
         val dels: Seq[(String, Long, DataFrame)] =
           if (curTomb == prevTomb || curTomb.isEmpty) Seq.empty
           else {
-            val curT = s.read.parquet(cur.dirs(path, Tomb): _*)
+            val curT = graft.Pq.read(s, cur.dirs(path, Tomb): _*)
             val fresh = prevTomb match {
               case Seq() => curT
               case pd =>
-                val prevT = s.read.parquet(pd.map(d => s"$path/$d"): _*)
+                val prevT = graft.Pq.read(s, pd.map(d => s"$path/$d"): _*)
                 curT.join(broadcast(prevT), nullSafeOn(curT, prevT),
                   "left_anti")
             }
@@ -2290,9 +2290,9 @@ object EpochTable {
               else lit(null).cast(f.dataType).as(f.name)): _*)))
           }
         (if (ins.nonEmpty)
-          Seq(("insert", n, s.read.parquet(ins: _*))) else Seq.empty) ++
+          Seq(("insert", n, graft.Pq.read(s, ins: _*))) else Seq.empty) ++
           (if (ups.nonEmpty)
-            Seq(("upsert", n, s.read.parquet(ups: _*))) else Seq.empty) ++
+            Seq(("upsert", n, graft.Pq.read(s, ups: _*))) else Seq.empty) ++
           dels
       }
     }
@@ -3533,7 +3533,7 @@ object EpochTable {
     * directories ([[graft.sources.EpochTableStream]]). */
   val tableStream = GQuery(
     "table_stream",
-    (s, d) => s.read.parquet(savedStreamOut(s, d)).orderBy("event_id"),
+    (s, d) => graft.Pq.read(s, savedStreamOut(s, d)).orderBy("event_id"),
     Some("""
       SELECT event_id,
              CAST(ts AS DATE) AS event_date,
@@ -3641,7 +3641,7 @@ object EpochTable {
     * here the log of what changed is a first-class subscription. */
   val tableStreamCdc = GQuery(
     "table_stream_cdc",
-    (s, d) => s.read.parquet(savedCdcOut(s, d))
+    (s, d) => graft.Pq.read(s, savedCdcOut(s, d))
       // ISO-string the date on BOTH sides: an all-NULL date column
       // arrow-types as object vs datetime64 and None ≠ NaT in the
       // driver compare

@@ -612,9 +612,9 @@ object HybridQueries {
     (s, d) => {
       val path = TextQueries.savedPostingsPath(s, d)
       val lists = TextQueries.servedLists(s, path, TextQueries.bm25Terms)
-      val dfs = s.read.parquet(s"$path/df")
+      val dfs = graft.Pq.read(s, s"$path/df")
         .where(col("term").isin(TextQueries.bm25Terms: _*))
-      val stats = s.read.parquet(s"$path/stats")
+      val stats = graft.Pq.read(s, s"$path/stats")
       val kwFiltered = TextQueries.bm25TopK(
         lists.where(pmod(col("doc_id"), lit(3)) === 0), dfs, stats)
         .select(col("doc_id"), col("rnk").as("kw_rnk"))
@@ -712,9 +712,9 @@ object HybridQueries {
     (s, d) => {
       val path = TextQueries.savedPostingsAppendPath(s, d)
       val lists = TextQueries.servedLists(s, path, TextQueries.bm25Terms)
-      val dfs = s.read.parquet(s"$path/df")
+      val dfs = graft.Pq.read(s, s"$path/df")
         .where(col("term").isin(TextQueries.bm25Terms: _*))
-      val stats = s.read.parquet(s"$path/stats")
+      val stats = graft.Pq.read(s, s"$path/stats")
       val kwServed = TextQueries.bm25TopK(lists, dfs, stats)
         .select(col("doc_id"), col("rnk").as("kw_rnk"))
       val vecServed = Ann.query(
@@ -954,9 +954,9 @@ object HybridQueries {
       val path = TextQueries.savedPostingsDeletePath(s, d)
       val kwServed = TextQueries.bm25TopK(
         TextQueries.servedLists(s, path, TextQueries.bm25Terms),
-        s.read.parquet(s"$path/df")
+        graft.Pq.read(s, s"$path/df")
           .where(col("term").isin(TextQueries.bm25Terms: _*)),
-        s.read.parquet(s"$path/stats"))
+        graft.Pq.read(s, s"$path/stats"))
         .select(col("doc_id"), col("rnk").as("kw_rnk"))
       val vecServed = Ann.query(
         Ann.load(s, VectorQueries.deletedIvfPath7(s, d, k = 8)),

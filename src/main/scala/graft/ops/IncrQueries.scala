@@ -588,7 +588,7 @@ object IncrQueries {
       Tables.lineitem(s, d)
         .select("l_quantity", "l_returnflag", "l_linestatus")
         .write.mode("overwrite").parquet(base)
-      s.read.parquet(base)
+      graft.Pq.read(s, base)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity").cast(DecimalType(38, 2)))
           .as("sum_qty_p"),
@@ -622,7 +622,7 @@ object IncrQueries {
     "mv_rewrite",
     (s, d) => {
       val base = savedMvBasePath(s, d)
-      s.read.parquet(base)
+      graft.Pq.read(s, base)
         .groupBy(col("l_returnflag"))
         .agg(sum(col("l_quantity").cast(DecimalType(38, 2)))
           .as("sum_qty_dec"),
@@ -663,7 +663,7 @@ object IncrQueries {
           "l_linestatus")
       li.where(col("l_orderkey") % 2 === 0)
         .write.mode("overwrite").parquet(base)
-      s.read.parquet(base)
+      graft.Pq.read(s, base)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity").cast(DecimalType(38, 2)))
           .as("sum_qty_p"),
@@ -698,7 +698,7 @@ object IncrQueries {
     "mv_refresh",
     (s, d) => {
       val base = savedMvRefreshPath(s, d)
-      s.read.parquet(base)
+      graft.Pq.read(s, base)
         .groupBy(col("l_returnflag"))
         .agg(sum(col("l_quantity").cast(DecimalType(38, 2)))
           .as("sum_qty_dec"),
@@ -723,7 +723,7 @@ object IncrQueries {
     "mv_rewrite_filtered",
     (s, d) => {
       val base = savedMvBasePath(s, d)
-      s.read.parquet(base)
+      graft.Pq.read(s, base)
         .where(col("l_returnflag").isin("A", "N"))
         .groupBy(col("l_returnflag"))
         .agg(sum(col("l_quantity").cast(DecimalType(38, 2)))
@@ -761,7 +761,7 @@ object IncrQueries {
       Tables.lineitem(s, d)
         .select("l_quantity", "l_returnflag", "l_linestatus")
         .write.mode("overwrite").parquet(base)
-      s.read.parquet(base)
+      graft.Pq.read(s, base)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity")).as("sum_qty_p"),
           count(col("l_quantity")).as("cntq_p"),
@@ -789,7 +789,7 @@ object IncrQueries {
     "mv_rewrite_avg",
     (s, d) => {
       val base = savedMvAvgBasePath(s, d)
-      s.read.parquet(base)
+      graft.Pq.read(s, base)
         .groupBy(col("l_returnflag"))
         .agg(avg(col("l_quantity")).as("avg_qty"),
           count(col("l_quantity")).as("n_vals"),
@@ -823,7 +823,7 @@ object IncrQueries {
         .select("l_orderkey", "l_quantity", "l_returnflag",
           "l_linestatus")
       li.write.mode("overwrite").parquet(base)
-      s.read.parquet(base)
+      graft.Pq.read(s, base)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity").cast(DecimalType(38, 2)))
           .as("sum_qty_p"),
@@ -837,11 +837,11 @@ object IncrQueries {
       // the takedown: materialize the doomed rows BEFORE rewriting the
       // base they're computed from (the lazy-segment trap), shrink the
       // base, negative-merge the view
-      val doomed = s.read.parquet(base)
+      val doomed = graft.Pq.read(s, base)
         .where(col("l_orderkey") % 3 === 0)
         .localCheckpoint(true)
       graft.ops.Layout.replaceDir(s,
-        s.read.parquet(base).where(col("l_orderkey") % 3 =!= 0), base)
+        graft.Pq.read(s, base).where(col("l_orderkey") % 3 =!= 0), base)
       graft.plans.MatView.refreshDelete(s, base, doomed)
       base
     }
@@ -859,7 +859,7 @@ object IncrQueries {
     "mv_refresh_delete",
     (s, d) => {
       val base = savedMvDeletePath(s, d)
-      s.read.parquet(base)
+      graft.Pq.read(s, base)
         .groupBy(col("l_returnflag"))
         .agg(sum(col("l_quantity").cast(DecimalType(38, 2)))
           .as("sum_qty_dec"),
@@ -930,7 +930,7 @@ object IncrQueries {
     "mv_refresh_epoch",
     (s, d) => {
       val base = savedMvEpochBasePath(s, d)
-      s.read.parquet(base)
+      graft.Pq.read(s, base)
         .groupBy(col("l_returnflag"))
         .agg(sum(col("l_quantity").cast(DecimalType(38, 2)))
           .as("sum_qty_dec"),
@@ -963,7 +963,7 @@ object IncrQueries {
         .select("l_orderkey", "l_quantity", "l_returnflag",
           "l_linestatus")
       li.write.mode("overwrite").parquet(base)
-      s.read.parquet(base)
+      graft.Pq.read(s, base)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity").cast(DecimalType(38, 2)))
           .as("sum_qty_p"),
@@ -980,14 +980,14 @@ object IncrQueries {
             "min_qty_p"),
           graft.plans.MatView.AggSpec("max", "l_quantity", None,
             "max_qty_p"))))
-      val doomed = s.read.parquet(base)
+      val doomed = graft.Pq.read(s, base)
         .where(col("l_orderkey") % 3 === 0)
         .localCheckpoint(true)
       // takedown-first: the recount scans the doomed rows' cells while
       // they still exist, then the data-plane delete shrinks the base
       graft.plans.MatView.refreshDelete(s, base, doomed)
       graft.ops.Layout.replaceDir(s,
-        s.read.parquet(base).where(col("l_orderkey") % 3 =!= 0), base)
+        graft.Pq.read(s, base).where(col("l_orderkey") % 3 =!= 0), base)
       base
     }
 
@@ -1005,7 +1005,7 @@ object IncrQueries {
     "mv_refresh_delete_minmax",
     (s, d) => {
       val base = savedMvMinmaxDeletePath(s, d)
-      s.read.parquet(base)
+      graft.Pq.read(s, base)
         .groupBy(col("l_returnflag"))
         .agg(sum(col("l_quantity").cast(DecimalType(38, 2)))
           .as("sum_qty_dec"),
@@ -1045,7 +1045,7 @@ object IncrQueries {
       Tables.lineitem(s, d)
         .select("l_suppkey", "l_quantity")
         .write.mode("overwrite").parquet(base)
-      s.read.parquet(base)
+      graft.Pq.read(s, base)
         .groupBy(col("l_suppkey"))
         .agg(sum(col("l_quantity").cast(DecimalType(38, 2)))
           .as("sum_qty_p"),
@@ -1074,7 +1074,7 @@ object IncrQueries {
     "mv_rewrite_join",
     (s, d) => {
       val base = savedMvJoinBasePath(s, d)
-      val fact = s.read.parquet(base)
+      val fact = graft.Pq.read(s, base)
       val dim = Tables.supplier(s, d)
         .select(col("s_suppkey"), col("s_nationkey"))
       fact.join(dim, fact("l_suppkey") === dim("s_suppkey"))
@@ -1110,7 +1110,7 @@ object IncrQueries {
     "mv_rewrite_rollup",
     (s, d) => {
       val base = savedMvAvgBasePath(s, d)
-      s.read.parquet(base)
+      graft.Pq.read(s, base)
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity")).as("sum_qty"),
           count(lit(1)).as("n_rows"),
@@ -1202,7 +1202,7 @@ object IncrQueries {
       graft.plans.EpochMv.refreshDelete(s, d0, befores, batchId = 1L)
       graft.plans.EpochMv.refresh(s, d0, afters, batchId = 1L)
       // the STALE group emptied — the count-0 drop must reap its cell
-      val served = s.read.parquet(
+      val served = graft.Pq.read(s, 
         graft.plans.EpochMv.currentDef(s, d0).mvPath)
       require(served.where(col("egroup") === "STALE").isEmpty,
         "mv_refresh_cdc: the emptied STALE cell survived maintenance")
@@ -1222,7 +1222,7 @@ object IncrQueries {
     "mv_refresh_cdc",
     (s, d) => {
       val tag = savedMvCdcTag(s, d)
-      s.read.parquet(
+      graft.Pq.read(s, 
         graft.plans.EpochMv.currentDef(s, mvCdcDef(tag)).mvPath)
         .select(col("egroup"),
           col("sum_v_p").cast(DoubleType).as("sum_v"),

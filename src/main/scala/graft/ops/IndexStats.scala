@@ -41,27 +41,27 @@ object IndexStats {
     val vec = VectorQueries.savedIvfpqPath(s, d, k = 8, m = 4)
     val frames = Seq(
       one("ivfpq", "n_vectors",
-        s.read.parquet(s"$vec/encoded").agg(count(lit(1)))),
+        graft.Pq.read(s, s"$vec/encoded").agg(count(lit(1)))),
       one("postings", "n_docs",
-        s.read.parquet(s"$post/stats").agg(sum("n_docs_l"))),
+        graft.Pq.read(s, s"$post/stats").agg(sum("n_docs_l"))),
       one("postings", "sum_dl",
-        s.read.parquet(s"$post/stats").agg(sum("sum_dl"))),
+        graft.Pq.read(s, s"$post/stats").agg(sum("sum_dl"))),
       one("postings", "n_terms",
-        s.read.parquet(s"$post/df").agg(count(lit(1)))),
+        graft.Pq.read(s, s"$post/df").agg(count(lit(1)))),
       one("positional", "n_docs",
-        s.read.parquet(s"$pos/stats").agg(sum("n_docs_l"))),
+        graft.Pq.read(s, s"$pos/stats").agg(sum("n_docs_l"))),
       one("positional", "sum_dl",
-        s.read.parquet(s"$pos/stats").agg(sum("sum_dl"))),
+        graft.Pq.read(s, s"$pos/stats").agg(sum("sum_dl"))),
       one("positional", "n_terms",
-        s.read.parquet(s"$pos/lists").agg(countDistinct(col("term")))),
+        graft.Pq.read(s, s"$pos/lists").agg(countDistinct(col("term")))),
       one("neardup", "n_docs",
-        s.read.parquet(s"$nd/toks").agg(count(lit(1)))),
+        graft.Pq.read(s, s"$nd/toks").agg(count(lit(1)))),
       one("neardup", "n_band_rows",
-        s.read.parquet(s"$nd/bands").agg(count(lit(1)))),
+        graft.Pq.read(s, s"$nd/bands").agg(count(lit(1)))),
       one("suggest", "n_terms",
-        s.read.parquet(s"$sug/delnbr").agg(countDistinct(col("term")))),
+        graft.Pq.read(s, s"$sug/delnbr").agg(countDistinct(col("term")))),
       one("suggest", "n_delkeys",
-        s.read.parquet(s"$sug/delnbr").agg(count(lit(1)))))
+        graft.Pq.read(s, s"$sug/delnbr").agg(count(lit(1)))))
     frames.reduce(_ unionByName _).orderBy("layout", "stat")
   }
 

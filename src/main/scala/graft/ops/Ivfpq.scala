@@ -94,7 +94,7 @@ object Ivfpq {
       path: String): Seq[Seq[Seq[Double]]] =
     graft.BuildOnce.memoStamped(bookCache,
       path, Layout.dirFingerprint(spark, s"$path/books"))(
-      spark.read.parquet(s"$path/books")
+      graft.Pq.read(spark, s"$path/books")
         .select(col("sub").cast(IntegerType), col("code").cast(IntegerType),
           col("centroid"))
         .collect()
@@ -114,7 +114,7 @@ object Ivfpq {
     val books = loadBooks(spark, path)
     IvfPqIndex(cents, books.length, books.head.head.length, books,
       Layout.minusTombstones(spark,
-        spark.read.parquet(s"$path/encoded"), path))
+        graft.Pq.read(spark, s"$path/encoded"), path))
   }
 
   /** DELETE from a persisted IVF-PQ index — the same tombstone segment

@@ -126,7 +126,7 @@ private[graft] object Layout {
 
   def tombstonesOpt(s: SparkSession, path: String): Option[DataFrame] =
     if (dirExists(s, s"$path/tombstones"))
-      Some(s.read.parquet(s"$path/tombstones"))
+      Some(graft.Pq.read(s, s"$path/tombstones"))
     else None
 
   /** Serve `df` minus the layout's tombstoned ids: broadcast anti-join
@@ -151,7 +151,7 @@ private[graft] object Layout {
     tombstonesOpt(s, path).foreach { t =>
       import org.apache.spark.sql.functions.broadcast
       replaceDir(s,
-        s.read.parquet(dataDir)
+        graft.Pq.read(s, dataDir)
           .join(broadcast(t), t.columns.toSeq, "left_anti"),
         dataDir, partitionCols)
       deleteDir(s, s"$path/tombstones")

@@ -142,7 +142,7 @@ object Maintenance {
     tomb.map { t =>
       val dirs = dataDirs(s, ref)
       val data = math.max(1L,
-        if (dirs.isEmpty) 0L else s.read.parquet(dirs: _*).count())
+        if (dirs.isEmpty) 0L else graft.Pq.read(s, dirs: _*).count())
       t.count().toDouble / data.toDouble
     }.getOrElse(0.0)
   }
@@ -329,9 +329,9 @@ object Maintenance {
     (s, d) => {
       val path = savedMaintPath(s, d)
       val lists = TextQueries.servedLists(s, path, TextQueries.bm25Terms)
-      val dfs = s.read.parquet(s"$path/df")
+      val dfs = graft.Pq.read(s, s"$path/df")
         .where(col("term").isin(TextQueries.bm25Terms: _*))
-      TextQueries.bm25TopK(lists, dfs, s.read.parquet(s"$path/stats"))
+      TextQueries.bm25TopK(lists, dfs, graft.Pq.read(s, s"$path/stats"))
     },
     TextQueries.bm25ServeDelete.oracle)
 

@@ -180,12 +180,12 @@ object NearDup {
   def neardupCompact(s: SparkSession, path: String,
       nFiles: Int = 8): Unit = {
     Layout.replaceDir(s,
-      Layout.minusTombstones(s, s.read.parquet(s"$path/bands"), path)
+      Layout.minusTombstones(s, graft.Pq.read(s, s"$path/bands"), path)
         .repartitionByRange(nFiles, col("band_key"))
         .sortWithinPartitions("band_key"),
       s"$path/bands")
     Layout.replaceDir(s,
-      Layout.minusTombstones(s, s.read.parquet(s"$path/toks"), path)
+      Layout.minusTombstones(s, graft.Pq.read(s, s"$path/toks"), path)
         .repartitionByRange(nFiles, col("doc_id"))
         .sortWithinPartitions("doc_id"),
       s"$path/toks")
@@ -221,15 +221,15 @@ object NearDup {
     serveCore(s, probes, tau,
       bandsFor = keys => Layout.minusTombstones(s,
         if (keys.length <= MaxInPushdown)
-          s.read.parquet(s"$path/bands")
+          graft.Pq.read(s, s"$path/bands")
             .where(col("band_key").isin(keys: _*))
-        else s.read.parquet(s"$path/bands"),
+        else graft.Pq.read(s, s"$path/bands"),
         path),
       toksFor = ids => Layout.minusTombstones(s,
         if (ids.length <= MaxInPushdown)
-          s.read.parquet(s"$path/toks")
+          graft.Pq.read(s, s"$path/toks")
             .where(col("doc_id").isin(ids: _*))
-        else s.read.parquet(s"$path/toks"),
+        else graft.Pq.read(s, s"$path/toks"),
         path))
 
   /** The layout-independent serve plan (steps 1–3 above): the SWAP
@@ -406,7 +406,7 @@ object NearDup {
     val verdicts = ingestVerdicts(s, docs, path, tau).localCheckpoint(true)
     val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSeq
     if (ids.nonEmpty) {
-      val already = s.read.parquet(s"$path/toks")
+      val already = graft.Pq.read(s, s"$path/toks")
         .where(col("doc_id").isin(ids: _*)).select("doc_id")
       val doomed = Layout.tombstonesOpt(s, path)
         .fold(already)(t => already.unionByName(t.select("doc_id")))

@@ -112,7 +112,7 @@ object PhraseQueries {
   private def servedPositional(s: SparkSession, path: String,
       terms: Seq[String]): DataFrame =
     Layout.minusTombstones(s,
-      s.read.parquet(s"$path/lists").where(col("term").isin(terms: _*)),
+      graft.Pq.read(s, s"$path/lists").where(col("term").isin(terms: _*)),
       path)
 
   /** Incremental growth of a positional index — the BM25 layout's
@@ -134,7 +134,7 @@ object PhraseQueries {
       .repartitionByRange(8, col("term"))
       .sortWithinPartitions("term")
       .write.mode("append").parquet(s"$path/lists")
-    val old = s.read.parquet(s"$path/stats")
+    val old = graft.Pq.read(s, s"$path/stats")
       .select(col("sum_dl"), col("n_docs_l")).head()
     val sumDl = old.getLong(0) + nw.getLong(1)
     val nDocs = old.getLong(1) + nw.getLong(0)
@@ -164,14 +164,14 @@ object PhraseQueries {
       .map(t => ids.join(broadcast(t), Seq("doc_id"), "left_anti"))
       .getOrElse(ids)
       .localCheckpoint(true)
-    val matched = s.read.parquet(s"$path/lists")
+    val matched = graft.Pq.read(s, s"$path/lists")
       .join(broadcast(freshIds), Seq("doc_id"))
     val docStats = matched.select(col("doc_id"), col("dl")).distinct()
       .agg(count(lit(1)).as("n"),
         coalesce(sum(col("dl")), lit(0L)).as("sd")).head()
     if (docStats.getLong(0) == 0L) return
     freshIds.coalesce(1).write.mode("append").parquet(s"$path/tombstones")
-    val old = s.read.parquet(s"$path/stats")
+    val old = graft.Pq.read(s, s"$path/stats")
       .select(col("sum_dl"), col("n_docs_l")).head()
     val sumDl = old.getLong(0) - docStats.getLong(1)
     val nDocs = old.getLong(1) - docStats.getLong(0)
@@ -193,13 +193,13 @@ object PhraseQueries {
   def positionalCompact(s: SparkSession, path: String,
       nFiles: Int = 8): Unit = {
     val survivors = Layout.minusTombstones(s,
-      s.read.parquet(s"$path/lists"), path)
+      graft.Pq.read(s, s"$path/lists"), path)
     Layout.replaceDir(s,
       survivors
         .repartitionByRange(nFiles, col("term"))
         .sortWithinPartitions("term"),
       s"$path/lists")
-    val st = s.read.parquet(s"$path/lists")
+    val st = graft.Pq.read(s, s"$path/lists")
       .select(col("doc_id"), col("dl")).distinct()
       .agg(count(lit(1)).as("n"),
         coalesce(sum(col("dl")), lit(0L)).as("sd")).head()
@@ -487,7 +487,7 @@ object PhraseQueries {
     (s, d) => {
       val path = savedPositionalPath(s, d)
       val rows = servedPositional(s, path, phraseTerms)
-      val stats = s.read.parquet(s"$path/stats")
+      val stats = graft.Pq.read(s, s"$path/stats")
         .select(col("n_docs"), col("avgdl"))
       val matches = phraseStarts(rows, phraseTerms)
         .select(col("doc_id"),
@@ -757,8 +757,8 @@ object PhraseQueries {
       val terms = TextQueries.bm25Terms
       val top = TextQueries.bm25TopK(
         TextQueries.servedLists(s, post, terms),
-        s.read.parquet(s"$post/df").where(col("term").isin(terms: _*)),
-        s.read.parquet(s"$post/stats"))
+        graft.Pq.read(s, s"$post/df").where(col("term").isin(terms: _*)),
+        graft.Pq.read(s, s"$post/stats"))
         .select(col("rnk"), col("doc_id"), col("score"))
         .localCheckpoint(true)
       val ids = top.select(col("doc_id"))

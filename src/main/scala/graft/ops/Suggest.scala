@@ -95,7 +95,7 @@ object Suggest {
   private def candidateRead(s: SparkSession, dir: String,
       requests: DataFrame, keys: Array[String],
       maxInPushdown: Int): DataFrame = {
-    val scan = s.read.parquet(dir)
+    val scan = graft.Pq.read(s, dir)
     (if (keys.length <= maxInPushdown)
        scan.where(col("delkey").isin(keys.toSeq: _*))
      else scan)
@@ -168,7 +168,7 @@ object Suggest {
       negate: Boolean): Option[DataFrame] = {
     if (partial.isEmpty) return None
     val signed = if (negate) -col("df") else col("df")
-    val merged = s.read.parquet(dir)
+    val merged = graft.Pq.read(s, dir)
       .select(col("delkey"), col("term"), col("df"))
       .unionByName(partial
         .select(explode(keysOf(col("term"))).as("delkey"),
@@ -497,7 +497,7 @@ object Suggest {
     "term_complete",
     (s, d) => {
       val path = savedSuggestPath(s, d)
-      s.read.parquet(s"$path/delnbr")
+      graft.Pq.read(s, s"$path/delnbr")
         .where(col("delkey").startsWith("s") &&
           col("delkey") === col("term"))
         .orderBy(col("df").desc, col("term"))
@@ -547,9 +547,9 @@ object Suggest {
       val post = TextQueries.savedPostingsPath(s, d)
       TextQueries.bm25TopK(
         TextQueries.servedLists(s, post, corrected),
-        s.read.parquet(s"$post/df")
+        graft.Pq.read(s, s"$post/df")
           .where(col("term").isin(corrected: _*)),
-        s.read.parquet(s"$post/stats"))
+        graft.Pq.read(s, s"$post/stats"))
     },
     Some("""
       WITH dict AS (

@@ -148,7 +148,7 @@ object Takedown {
     tiers.mvEpoch.foreach { d =>
       // lazy on purpose (the mvBase leg's discipline): the ledger
       // check inside refreshDelete skips without evaluating the frame
-      val deletedRows = s.read.parquet(d.basePath)
+      val deletedRows = graft.Pq.read(s, d.basePath)
         .join(broadcast(ids), Seq("doc_id"))
       Epoch.occ(s, d.layoutPath) {
         graft.plans.EpochMv.refreshDelete(s, d, deletedRows, batchId)
@@ -168,7 +168,7 @@ object Takedown {
     tiers.mvBase.foreach { base =>
       // lazy on purpose: refreshDeleteOnce skips marked views without
       // ever evaluating the frame
-      val deletedRows = s.read.parquet(base)
+      val deletedRows = graft.Pq.read(s, base)
         .join(broadcast(ids), Seq("doc_id"))
       graft.plans.MatView.refreshDeleteOnce(s, base, deletedRows,
         batchId)
@@ -214,7 +214,7 @@ object Takedown {
       Ann.save(Ann.build(emb, k = 8), ivf)
       docs.select(col("doc_id"), col("source"), col("n_chars"))
         .write.mode("overwrite").parquet(base)
-      s.read.parquet(base).groupBy(col("source"))
+      graft.Pq.read(s, base).groupBy(col("source"))
         .agg(sum(col("n_chars").cast(DecimalType(38, 0)))
           .as("sum_chars_p"),
           count(lit(1)).as("cnt_p"))
@@ -233,7 +233,7 @@ object Takedown {
           ivfpq = Some(vec), mvBase = Some(base)),
         batchId = 1L)
       Layout.replaceDir(s,
-        s.read.parquet(base).where(col("doc_id") % 5 =!= Residue), base)
+        graft.Pq.read(s, base).where(col("doc_id") % 5 =!= Residue), base)
       Map("post" -> post, "pos" -> pos, "nd" -> nd, "sug" -> sug,
         "vec" -> vec, "ivf" -> ivf, "base" -> base)
     }
@@ -279,10 +279,10 @@ object Takedown {
       val bm25F = Future {
         val lists = TextQueries.servedLists(s, p("post"),
           TextQueries.bm25Terms)
-        val dfs = s.read.parquet(s"${p("post")}/df")
+        val dfs = graft.Pq.read(s, s"${p("post")}/df")
           .where(col("term").isin(TextQueries.bm25Terms: _*))
         TextQueries.bm25TopK(lists,
-          dfs, s.read.parquet(s"${p("post")}/stats"))
+          dfs, graft.Pq.read(s, s"${p("post")}/stats"))
           .select(norm("bm25", col("rnk"), col("doc_id"),
             col("score")): _*)
       }
@@ -332,7 +332,7 @@ object Takedown {
         Ann.query(Ann.load(s, p("ivf")), probeId = 0,
           topK = VectorQueries.IvfTopK, nProbe = 3,
           knownProbe = Some(VectorQueries.probeEmbedding(s, d)))))
-      val mvQF = Future(s.read.parquet(p("base"))
+      val mvQF = Future(graft.Pq.read(s, p("base"))
         .groupBy(col("source"))
         .agg(sum(col("n_chars").cast(DecimalType(38, 0)))
           .as("sum_chars"),
@@ -563,7 +563,7 @@ object Takedown {
           mvEpoch = Some(mvDef), tableEpoch = Some(tab)),
         batchId = 1L)
       Layout.replaceDir(s,
-        s.read.parquet(base).where(col("doc_id") % 5 =!= Residue), base)
+        graft.Pq.read(s, base).where(col("doc_id") % 5 =!= Residue), base)
       Map("post" -> post, "pos" -> pos, "sug" -> sug, "vec" -> vec,
         "vecpq" -> vecpq, "nd" -> nd, "base" -> base, "mv" -> mv,
         "tab" -> tab)
@@ -650,7 +650,7 @@ object Takedown {
         docs.where(col("doc_id") % 62 === 8))
         .select(norm("neardup", col("probe_id"), col("match_id"),
           col("jaccard")): _*))
-      val mvQF = Future(s.read.parquet(p("base"))
+      val mvQF = Future(graft.Pq.read(s, p("base"))
         .groupBy(col("source"))
         .agg(sum(col("n_chars").cast(DecimalType(38, 0)))
           .as("sum_chars"),

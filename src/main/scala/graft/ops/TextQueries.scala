@@ -973,11 +973,11 @@ object TextQueries {
       .write.mode("append").parquet(s"$path/lists")
     val dfNew = lists.groupBy(col("term"))
       .agg(count(lit(1)).cast(DoubleType).as("df"))
-    val dfMerged = s.read.parquet(s"$path/df").unionByName(dfNew)
+    val dfMerged = graft.Pq.read(s, s"$path/df").unionByName(dfNew)
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
     replaceDir(s, dfMerged, s"$path/df")
     // both sides bounded by construction: 1 row each
-    val old = s.read.parquet(s"$path/stats")
+    val old = graft.Pq.read(s, s"$path/stats")
       .select(col("sum_dl"), col("n_docs_l")).head()
     val sumDl = old.getLong(0) + nw.getLong(1)
     val nDocs = old.getLong(1) + nw.getLong(0)
@@ -1052,13 +1052,13 @@ object TextQueries {
     if (!Layout.hasMarker(s, s"$path/df", marker)) {
       val dfNew = lists.groupBy(col("term"))
         .agg(count(lit(1)).cast(DoubleType).as("df"))
-      val dfMerged = s.read.parquet(s"$path/df").unionByName(dfNew)
+      val dfMerged = graft.Pq.read(s, s"$path/df").unionByName(dfNew)
         .groupBy(col("term")).agg(sum(col("df")).as("df"))
       Layout.replaceDir(s, dfMerged, s"$path/df",
         stageMarkers = Seq(marker))
     }
     if (!Layout.hasMarker(s, s"$path/stats", marker)) {
-      val old = s.read.parquet(s"$path/stats")
+      val old = graft.Pq.read(s, s"$path/stats")
         .select(col("sum_dl"), col("n_docs_l")).head()
       val sumDl = old.getLong(0) + nw.getLong(1)
       val nDocs = old.getLong(1) + nw.getLong(0)
@@ -1088,7 +1088,7 @@ object TextQueries {
   def postingsCompact(s: org.apache.spark.sql.SparkSession, path: String,
       nFiles: Int = 8): Unit = {
     val survivors = Layout.minusTombstones(s,
-      s.read.parquet(s"$path/lists"), path)
+      graft.Pq.read(s, s"$path/lists"), path)
     replaceDir(s,
       survivors
         .repartitionByRange(nFiles, col("term"))
@@ -1103,7 +1103,7 @@ object TextQueries {
     // Identical arithmetic to buildPostings' side tables (counts, and
     // the same single double division for avgdl), so on an undrifted
     // layout the rewrite is value-identical.
-    val compacted = s.read.parquet(s"$path/lists")
+    val compacted = graft.Pq.read(s, s"$path/lists")
     replaceDir(s, compacted.groupBy(col("term"))
       .agg(count(lit(1)).cast(DoubleType).as("df")), s"$path/df")
     val st = compacted.select(col("doc_id"), col("dl")).distinct()
@@ -1137,7 +1137,7 @@ object TextQueries {
   private[graft] def servedLists(s: org.apache.spark.sql.SparkSession,
       path: String, terms: Seq[String]): org.apache.spark.sql.DataFrame =
     Layout.minusTombstones(s,
-      s.read.parquet(s"$path/lists").where(col("term").isin(terms: _*)),
+      graft.Pq.read(s, s"$path/lists").where(col("term").isin(terms: _*)),
       path)
 
   /** DELETE from a persisted BM25 index — the takedown/dedup-removal
@@ -1186,7 +1186,7 @@ object TextQueries {
       .map(t => ids.join(broadcast(t), Seq("doc_id"), "left_anti"))
       .getOrElse(ids)
       .localCheckpoint(true)
-    val matched = s.read.parquet(s"$path/lists")
+    val matched = graft.Pq.read(s, s"$path/lists")
       .join(broadcast(freshIds), Seq("doc_id"))
     // batch aggregates FIRST (the append path's empty-batch discipline):
     // a batch matching nothing mutates nothing
@@ -1197,11 +1197,11 @@ object TextQueries {
     freshIds.coalesce(1).write.mode("append").parquet(s"$path/tombstones")
     val dfDel = matched.groupBy(col("term"))
       .agg((-count(lit(1)).cast(DoubleType)).as("df"))
-    val dfMerged = s.read.parquet(s"$path/df").unionByName(dfDel)
+    val dfMerged = graft.Pq.read(s, s"$path/df").unionByName(dfDel)
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
       .where(col("df") > 0d)
     replaceDir(s, dfMerged, s"$path/df")
-    val old = s.read.parquet(s"$path/stats")
+    val old = graft.Pq.read(s, s"$path/stats")
       .select(col("sum_dl"), col("n_docs_l")).head()
     val sumDl = old.getLong(0) - docStats.getLong(1)
     val nDocs = old.getLong(1) - docStats.getLong(0)
@@ -1300,9 +1300,9 @@ object TextQueries {
     (s, d) => {
       val path = savedPostingsDeletePath(s, d)
       val lists = servedLists(s, path, bm25Terms)
-      val dfs = s.read.parquet(s"$path/df")
+      val dfs = graft.Pq.read(s, s"$path/df")
         .where(col("term").isin(bm25Terms: _*))
-      val stats = s.read.parquet(s"$path/stats")
+      val stats = graft.Pq.read(s, s"$path/stats")
       bm25TopK(lists, dfs, stats)
     },
     // bm25_serve's oracle restricted to the survivors: the tombstoned
@@ -1360,9 +1360,9 @@ object TextQueries {
     val path = savedPostingsPath(s, d)
     val allTerms = queries.flatMap(_._2).distinct
     val lists = servedLists(s, path, allTerms)
-    val dfs = s.read.parquet(s"$path/df")
+    val dfs = graft.Pq.read(s, s"$path/df")
       .where(col("term").isin(allTerms: _*))
-    val stats = s.read.parquet(s"$path/stats")
+    val stats = graft.Pq.read(s, s"$path/stats")
     import s.implicits._
     val qterms = queries
       .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
@@ -1405,9 +1405,9 @@ object TextQueries {
     (s, d) => {
       val path = savedPostingsPath(s, d)
       val lists = servedLists(s, path, bm25Terms)
-      val dfs = s.read.parquet(s"$path/df")
+      val dfs = graft.Pq.read(s, s"$path/df")
         .where(col("term").isin(bm25Terms: _*))
-      val stats = s.read.parquet(s"$path/stats")
+      val stats = graft.Pq.read(s, s"$path/stats")
       bm25TopK(lists, dfs, stats)
     },
     // identical oracle to bm25_search: the persisted index must serve
@@ -1469,9 +1469,9 @@ object TextQueries {
     (s, d) => {
       val path = savedPostingsPath(s, d)
       val lists = servedLists(s, path, bm25Terms)
-      val dfs = s.read.parquet(s"$path/df")
+      val dfs = graft.Pq.read(s, s"$path/df")
         .where(col("term").isin(bm25Terms: _*))
-      val stats = s.read.parquet(s"$path/stats")
+      val stats = graft.Pq.read(s, s"$path/stats")
       val scored = lists
         .join(broadcast(dfs), "term")
         .crossJoin(broadcast(stats))
@@ -1552,9 +1552,9 @@ object TextQueries {
     (s, d) => {
       val path = savedPostingsAppendPath(s, d)
       val lists = servedLists(s, path, bm25Terms)
-      val dfs = s.read.parquet(s"$path/df")
+      val dfs = graft.Pq.read(s, s"$path/df")
         .where(col("term").isin(bm25Terms: _*))
-      val stats = s.read.parquet(s"$path/stats")
+      val stats = graft.Pq.read(s, s"$path/stats")
       bm25TopK(lists, dfs, stats)
     },
     // identical oracle to bm25_serve: build-half + append-half must
@@ -1615,9 +1615,9 @@ object TextQueries {
     (s, d) => {
       val path = savedPostingsCompactPath(s, d)
       val lists = servedLists(s, path, bm25Terms)
-      val dfs = s.read.parquet(s"$path/df")
+      val dfs = graft.Pq.read(s, s"$path/df")
         .where(col("term").isin(bm25Terms: _*))
-      val stats = s.read.parquet(s"$path/stats")
+      val stats = graft.Pq.read(s, s"$path/stats")
       bm25TopK(lists, dfs, stats)
     },
     // identical oracle to bm25_serve: compaction must be invisible to
@@ -1923,7 +1923,7 @@ object TextQueries {
     (s, d) => {
       val path = savedPostingsPath(s, d)
       val lists = Layout.minusTombstones(s,
-        s.read.parquet(s"$path/lists")
+        graft.Pq.read(s, s"$path/lists")
           .where(col("term").startsWith("s")),
         path)
       lists.groupBy(col("doc_id"))
@@ -2002,7 +2002,7 @@ object TextQueries {
       // corpus, so the join strategy is AQE's call (broadcast when the
       // matched-id frame is small, shuffle join on the doc_id-sorted
       // side table when it is not)
-      s.read.parquet(savedDocMetaPath(s, d))
+      graft.Pq.read(s, savedDocMetaPath(s, d))
         .join(matched, Seq("doc_id"))
         .groupingSets(
           Seq(Seq(col("lang")), Seq(col("source"))),
@@ -2083,9 +2083,9 @@ object TextQueries {
     (s, d) => {
       val path = savedPostingsUpdatePath(s, d)
       val lists = servedLists(s, path, bm25Terms)
-      val dfs = s.read.parquet(s"$path/df")
+      val dfs = graft.Pq.read(s, s"$path/df")
         .where(col("term").isin(bm25Terms: _*))
-      val stats = s.read.parquet(s"$path/stats")
+      val stats = graft.Pq.read(s, s"$path/stats")
       bm25TopK(lists, dfs, stats)
     },
     Some("""

@@ -1331,7 +1331,7 @@ object VectorQueries {
       val path = s"${graft.GraftSession.scratchDir}/pq_" +
         d.replaceAll("[^A-Za-z0-9]", "_") + s"_m${m}_c$codes"
       idx.encoded.write.mode("overwrite").parquet(path)
-      idx.copy(encoded = s.read.parquet(path))
+      idx.copy(encoded = graft.Pq.read(s, path))
     }
 
   private val ivfpqBuilt = scala.collection.concurrent.TrieMap

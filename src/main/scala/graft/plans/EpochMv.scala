@@ -55,7 +55,7 @@ object EpochMv {
     val probe = MatView.MvDef(d.basePath, s"$g/view", d.groupCols,
       d.aggs)
     val pc = MatView.partialColsOf(probe)
-    s.read.parquet(d.basePath)
+    graft.Pq.read(s, d.basePath)
       .groupBy(d.groupCols.map(col): _*)
       .agg(pc.head, pc.tail: _*)
       .write.mode("overwrite").parquet(s"$g/view")

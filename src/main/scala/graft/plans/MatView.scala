@@ -177,7 +177,7 @@ object MatView {
         .as(sp.mvCol)
       case _ => sum(col(sp.mvCol)).as(sp.mvCol)
     }
-    val merged = s.read.parquet(mv.mvPath)
+    val merged = graft.Pq.read(s, mv.mvPath)
       .unionByName(deltaPartials)
       .groupBy(mv.groupCols.map(col): _*)
       .agg(mergeCol(mv.aggs.head), mv.aggs.tail.map(mergeCol): _*)
@@ -289,7 +289,7 @@ object MatView {
       .groupBy(mv.groupCols.map(col): _*)
       .agg(negCols.head, negCols.tail: _*)
     if (negPartials.isEmpty) return None
-    val merged = s.read.parquet(mv.mvPath)
+    val merged = graft.Pq.read(s, mv.mvPath)
       .unionByName(negPartials)
       .groupBy(mv.groupCols.map(col): _*)
       .agg(sum(col(mv.aggs.head.mvCol)).as(mv.aggs.head.mvCol),
@@ -358,7 +358,7 @@ object MatView {
     def keyCond(left: org.apache.spark.sql.DataFrame,
         right: org.apache.spark.sql.DataFrame) =
       mv.groupCols.map(c => left(c) <=> right(c)).reduce(_ && _)
-    val base = s.read.parquet(mv.basePath).select(cols.map(col): _*)
+    val base = graft.Pq.read(s, mv.basePath).select(cols.map(col): _*)
     val affected = base.join(broadcast(keys), keyCond(base, keys))
       .select(cols.map(base(_)): _*)
     val survivors = affected.exceptAll(delP)
@@ -366,7 +366,7 @@ object MatView {
     val recounted = survivors
       .groupBy(mv.groupCols.map(col): _*)
       .agg(pc.head, pc.tail: _*)
-    val view = s.read.parquet(mv.mvPath)
+    val view = graft.Pq.read(s, mv.mvPath)
     val untouched = view.join(broadcast(keys), keyCond(view, keys),
       "left_anti")
     Some(untouched.unionByName(recounted))
@@ -594,7 +594,7 @@ object MatView {
       if (!coveredGroups || !coveredConds) return None
       // a FRESH analyzed relation per rewrite: reusing one plan across
       // queries would collide attribute ids
-      val mvPlan = session.read.parquet(mv.mvPath).queryExecution.analyzed
+      val mvPlan = graft.Pq.read(session, mv.mvPath).queryExecution.analyzed
       def mvAttr(name: String): Option[AttributeReference] =
         mvPlan.output.collectFirst {
           case a: AttributeReference if a.name == name => a
