@@ -137,10 +137,16 @@ object Ann {
       avg(element_at(col(embCol), i).cast(DoubleType)).as(s"m$i"))
     assigned.groupBy("cell")
       .agg(posAvgs.head, posAvgs.tail: _*)
-      .orderBy("cell")
+      // r21 §2.4: the ≤k-row result is ordered on the DRIVER — a global
+      // orderBy here paid a range exchange (sampling job + shuffle +
+      // sort stage) per Lloyd iteration to sort a handful of rows. The
+      // sort order is semantic (tie-breaks in `assign`'s fold resolve
+      // to the earlier-listed centroid), and sortBy on distinct longs
+      // reproduces orderBy("cell") exactly.
       .collect()
       .map(r => (r.getLong(0), (1 to dim).map(i => r.getDouble(i)).toSeq))
       .toSeq
+      .sortBy(_._1)
   }
 
   /** Build the IVF index: deterministic seeding (the k lowest-id vectors)

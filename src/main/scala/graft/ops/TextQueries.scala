@@ -31,7 +31,7 @@ object TextQueries {
       toks.withColumn("rn", row_number().over(w).cast(LongType))
         .filter(col("rn") <= 5)
         .select("lang", "token", "cnt", "rn")
-        .orderBy("lang", "rn")
+        .transform(Out.boundedSort(_, col("lang"), col("rn")))
     },
     Some("""
       SELECT lang, token, cnt, rn
@@ -246,7 +246,7 @@ object TextQueries {
       bigrams.withColumn("rn", row_number().over(wr).cast(LongType))
         .filter(col("rn") <= 3)
         .select("lang", "bigram", "cnt", "rn")
-        .orderBy("lang", "rn")
+        .transform(Out.boundedSort(_, col("lang"), col("rn")))
     },
     Some("""
       WITH toks AS (
@@ -333,7 +333,7 @@ object TextQueries {
         .select(col("lang"), col("doc_id"))
         .withColumn("rk", row_number().over(w).cast(LongType))
         .where(col("rk") <= 20)
-        .orderBy("lang", "rk")
+        .transform(Out.boundedSort(_, col("lang"), col("rk")))
     },
     Some("""
       SELECT lang, doc_id, rk
@@ -579,7 +579,7 @@ object TextQueries {
       tf.crossJoin(broadcast(total))
         .filter(col("cnt") > col("total") / 200)
         .select(col("token"), col("cnt"))
-        .orderBy(col("cnt").desc, col("token"))
+        .transform(Out.boundedSort(_, col("cnt").desc, col("token")))
     },
     Some("""
       WITH tf AS (
@@ -640,7 +640,7 @@ object TextQueries {
         .filter(col("cnt") > col("total") / 200)
         .select(col("token"), col("cnt"),
           col("token").isin(cand: _*).as("in_sketch"))
-        .orderBy(col("cnt").desc, col("token"))
+        .transform(Out.boundedSort(_, col("cnt").desc, col("token")))
     },
     Some("""
       WITH tf AS (
@@ -762,7 +762,7 @@ object TextQueries {
         row_number().over(Window.orderBy(col("score").desc,
           col("doc_id"))).cast(LongType).as("rnk"),
         col("doc_id"), col("n_terms"), col("score"))
-      .orderBy("rnk")
+      .transform(Out.boundedSort(_, col("rnk")))
   }
 
   val bm25Search = GQuery(
@@ -1495,7 +1495,7 @@ object TextQueries {
           col("doc_id"))) + lit(5)).cast(LongType).as("rnk"),
         col("doc_id"), col("n_terms"),
         col("score_dec").cast(DoubleType).as("score"))
-        .orderBy("rnk")
+        .transform(Out.boundedSort(_, col("rnk")))
     },
     // the full ranking's rows 6–10 — keyset page 2 must equal them
     Some("""
@@ -1660,7 +1660,7 @@ object TextQueries {
         1L -> Seq("spark", "merge"),
         2L -> Seq("filter"),
         3L -> Seq("spark", "filter", "query")), topK = 5)
-      .orderBy("query_id", "rnk"),
+      .transform(Out.boundedSort(_, col("query_id"), col("rnk"))),
     Some("""
       WITH q(query_id, term) AS (VALUES
         (CAST(1 AS BIGINT), 'spark'), (1, 'merge'),
@@ -1735,7 +1735,7 @@ object TextQueries {
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("cnt"),
           min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
-        .orderBy("bin")
+        .transform(Out.boundedSort(_, col("bin")))
     },
     Some("""
       WITH cuts AS (
@@ -1935,7 +1935,7 @@ object TextQueries {
           row_number().over(Window.orderBy(col("tf_total").desc,
             col("doc_id"))).cast(LongType).as("rnk"),
           col("doc_id"), col("n_terms"), col("tf_total"))
-        .orderBy("rnk")
+        .transform(Out.boundedSort(_, col("rnk")))
     },
     Some("""
       WITH pairs AS (
@@ -2015,7 +2015,7 @@ object TextQueries {
           when(col("gid") === 1, col("lang")).otherwise(col("source"))
             .as("value"),
           col("n_docs"))
-        .orderBy("facet", "value")
+        .transform(Out.boundedSort(_, col("facet"), col("value")))
     },
     Some("""
       WITH m AS (
