@@ -48,7 +48,9 @@ object CorpusQueries {
         lpad(pmod(col("doc_id"), lit(10000)).cast(StringType), 4, "0"),
         lit(" ip 10.0."), pmod(col("doc_id"), lit(256)).cast(StringType),
         lit(".1"))
-      Tables.documents(s, d)
+      // r21 §2 (Fan): three regex passes per row otherwise run inside
+      // the single-split scan task; identity at deployment parallelism
+      Fan.out(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"), raw.as("raw"))
         .select(
           col("doc_id"),
@@ -94,7 +96,9 @@ object CorpusQueries {
     (s, d) => {
       val toks = split(col("text"), " ")
       val nChunks = ceil(size(toks) / lit(3.0)).cast(IntegerType)
-      val chunks = Tables.documents(s, d)
+      // r21 §2 (Fan): the chunk explode otherwise runs inside the
+      // single-split scan task and single-feeds the window exchange
+      val chunks = Fan.out(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"),
           posexplode(transform(sequence(lit(0), nChunks - 1),
             i => array_join(slice(toks, i * 3 + 1, lit(3)), " "))))
@@ -227,7 +231,10 @@ object CorpusQueries {
   val corpusClean = GQuery(
     "corpus_clean",
     (s, d) => {
-      val docs = Tables.documents(s, d)
+      // r21 §2 (Fan): tokenize+md5 and the shingle explode both read
+      // this frame — spread it once when the scan is a single split
+      // (both consumers reuse the one fan-out exchange)
+      val docs = Fan.out(Tables.documents(s, d), col("doc_id"))
         .withColumn("n_tok", size(split(col("text"), " ")).cast(LongType))
         .filter(col("n_tok") >= 30)
       val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
