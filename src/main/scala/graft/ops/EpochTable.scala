@@ -3261,7 +3261,14 @@ object EpochTable {
     * mixed-grain planning bounds). */
   val tablePartEvolve = GQuery(
     "table_part_evolve",
-    (s, d) => serve(s, savedPartEvolvePath(s, d)).orderBy("o_orderkey"),
+    (s, d) =>
+      // r21 §2.4/§6: the mixed-grain layout is 2,485 tiny files; a bare
+      // orderBy re-ran that scan TWICE (range-boundary sampling + map
+      // pass). stagedSort materializes the scan once behind a hash
+      // exchange (2.79 s -> 1.98 s solo min). Measured and REVERTED on
+      // table_part_delta/table_part_delete, whose few-file scans are
+      // cheaper than the extra exchange.
+      Out.stagedSort(serve(s, savedPartEvolvePath(s, d)), col("o_orderkey")),
     Some("""
       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
              o_orderdate, o_orderpriority
